@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate.
+
+Runs each SparkEntry query result (parquet written by graft.Verify) against
+its DuckDB oracle SQL over the same sf-dir parquet tables, compares after
+sorting columns by name and rows by all values, and prints a per-query
+verdict. Usage: selfcheck.py <sfDir> <verifyOutDir> [query ...]
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    n_pass = n_fail = n_skip = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        sql = oracle[name]
+        res_dir = Path(out_dir) / name
+        if not res_dir.exists():
+            print(f"MISSING {name}: no spark result")
+            n_fail += 1
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{res_dir}/*.parquet'").fetch_arrow_table()
+            want = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"ERROR   {name}: {e}")
+            n_fail += 1
+            continue
+        gcols, wcols = sorted(got.column_names), sorted(want.column_names)
+        if gcols != wcols:
+            print(f"SCHEMA  {name}: spark={gcols} oracle={wcols}")
+            n_fail += 1
+            continue
+        if got.num_rows != want.num_rows:
+            print(f"ROWS    {name}: spark={got.num_rows} oracle={want.num_rows}")
+            n_fail += 1
+            continue
+        key = lambda r: tuple((x is None, str(type(x)), str(x)) for x in r)
+        g = sorted([tuple(norm(v) for v in row)
+                    for row in zip(*[got.column(c).to_pylist() for c in gcols])], key=key)
+        w = sorted([tuple(norm(v) for v in row)
+                    for row in zip(*[want.column(c).to_pylist() for c in wcols])], key=key)
+        if g != w:
+            bad = next(i for i, (a, b) in enumerate(zip(g, w)) if a != b)
+            print(f"VALUES  {name}: first diff at sorted row {bad}:")
+            print(f"        spark : {g[bad]}")
+            print(f"        oracle: {w[bad]}")
+            n_fail += 1
+            continue
+        print(f"PASS    {name} ({got.num_rows} rows)")
+        n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -17,7 +17,9 @@ sealed abstract class LogicalType(val name: String) {
 object LogicalType {
   case object Text    extends LogicalType("TEXT")    { val sparkType = StringType  }
   case object Numeric extends LogicalType("NUMERIC") { val sparkType = DoubleType  }
-  case object Integer extends LogicalType("INTEGER") { val sparkType = IntegerType }
+  // Long, not Int: the reference's parse_integer returns unbounded Python
+  // ints; a sink may narrow, the pipeline must not.
+  case object Integer extends LogicalType("INTEGER") { val sparkType = LongType }
   case object Date    extends LogicalType("DATE")    { val sparkType = DateType    }
   case object Bool    extends LogicalType("BOOLEAN") { val sparkType = BooleanType }
 
@@ -314,8 +316,10 @@ object Catalog {
     PFS_RVU, PFS_GPCI, PFS_LOCALITY, PFS_ANES_CF, PFS_OPPS_CAP, HCPCS,
     NCCI_PTP, NCCI_MUE_DME, NCCI_MUE_PRAC, NCCI_MUE_OPH)
 
+  /** Case-insensitive: the reference upper-cases codes before lookup
+    * (app/routers/upload.py get_source_info). */
   def apply(sourceCode: String): SourceConfig =
-    sources.find(_.sourceCode == sourceCode).getOrElse(
+    sources.find(_.sourceCode.equalsIgnoreCase(sourceCode)).getOrElse(
       throw new IllegalArgumentException(s"Unknown source code: $sourceCode"))
 
   /** Operating-envelope constants (reference `app/config.py:22-30`). */

@@ -1,0 +1,143 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard. Designed for the 100 TB shape: every candidate-generation path
+  * is bucketed (band hash / bit-band grouping), so join cardinality is
+  * bounded by bucket size — there is no all-pairs crossJoin anywhere. */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the lowest id as the
+    * canonical survivor. One hash-shuffle; survivors + duplicate counts. */
+  def exactDuplicateGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("copies"))
+
+  /** Word n-gram shingle set (distinct), the unit of Jaccard similarity. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val count = size(toks) - (n - 1)
+    array_distinct(
+      when(count <= 0, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), count - 1),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** Exact Jaccard over two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
+  // Deterministic MinHash permutation constants (a·x + b mod p), generated
+  // from a fixed LCG seed so runs and tests are reproducible.
+  private val MinhashPrime = 2305843009213693951L // 2^61 - 1
+  private def permConstants(numPerms: Int): (Array[Long], Array[Long]) = {
+    var state = 42L
+    def next(): Long = { state = state * 6364136223846793005L + 1442695040888963407L; state }
+    val as = Array.fill(numPerms)(math.abs(next()) % (MinhashPrime - 1) + 1)
+    val bs = Array.fill(numPerms)(math.abs(next()) % MinhashPrime)
+    (as, bs)
+  }
+
+  /** MinHash signature (numPerms slots) for a shingle array column.
+    * h_i(S) = min over s∈S of (a_i·hash(s)+b_i) mod p — all computed inside
+    * one row-local expression: no explode, no shuffle. Multiplication is
+    * taken mod 2^64 (Long overflow wraps) then folded mod p; this is not a
+    * perfect universal hash but is uniform and — critically — deterministic. */
+  def minhashSignature(shingleArr: Column, numPerms: Int): Column = {
+    val (as, bs) = permConstants(numPerms)
+    val hashes = transform(shingleArr, s => pmod(xxhash64(s), lit(MinhashPrime)))
+    transform(sequence(lit(0), lit(numPerms - 1)), i => {
+      val a = element_at(typedLit(as.toSeq), i + 1)
+      val b = element_at(typedLit(bs.toSeq), i + 1)
+      aggregate(hashes, lit(Long.MaxValue),
+        (acc, h) => least(acc, pmod(a * h + b, lit(MinhashPrime))))
+    })
+  }
+
+  /** LSH banding: one row per (band_idx, band_hash, id). Docs sharing a band
+    * hash are near-dup candidates. numPerms = bands × rowsPerBand. */
+  def lshBands(df: DataFrame, idCol: String, sigCol: String,
+               bands: Int, rowsPerBand: Int): DataFrame =
+    df.select(col(idCol), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_", slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .as(Seq("band_idx", "band_hash")))
+
+  /** End-to-end MinHash-LSH near-duplicate pairs with exact-Jaccard
+    * verification. Candidate pairs come only from shared LSH buckets
+    * (self-join per bucket, id< id to halve), then are verified against the
+    * true shingle-set Jaccard. maxBucket caps pathological buckets (boiler-
+    * plate text) so a hot bucket cannot quadratically blow up a worker. */
+  def minhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                            shingleSize: Int = 3, numPerms: Int = 64,
+                            bands: Int = 16, threshold: Double = 0.5,
+                            maxBucket: Int = 1000): DataFrame = {
+    val rowsPerBand = numPerms / bands
+    val withShingles = docs.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleSize).as("sh"))
+    val sigs = withShingles.withColumn("sig", minhashSignature(col("sh"), numPerms))
+    val bandsDf = lshBands(sigs, "id", "sig", bands, rowsPerBand)
+    val bounded = bandsDf.withColumn("_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("band_idx", "band_hash")))
+      .filter(col("_n") <= maxBucket).drop("_n")
+    val candidates = bounded.as("l")
+      .join(bounded.as("r"),
+        col("l.band_idx") === col("r.band_idx") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val sh = withShingles.select(col("id"), col("sh"))
+    candidates
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"), round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per bit, sum ±1 weighted by
+    * token-hash bit; sign → fingerprint bit. Near-dups = fingerprints equal
+    * in some 16-bit band (Hamming-distance blocking), verified by popcount. */
+  def simhash(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val hashes = transform(toks, t => xxhash64(t))
+    val bits = (0 until 64).map { j =>
+      val contrib = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(contrib > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on 4×16-bit bands (any equal band →
+    * candidate; guarantees recall for distance ≤ 3), verify Hamming ≤ maxDist. */
+  def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                            maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val fp = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+    val banded = fp.select(col("id"), col("fp"), posexplode(
+      array((0 until 4).map(b =>
+        shiftrightunsigned(col("fp"), b * 16).bitwiseAND(0xFFFFL)): _*))
+      .as(Seq("band_idx", "band_val")))
+    val bounded = banded.withColumn("_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("band_idx", "band_val")))
+      .filter(col("_n") <= maxBucket).drop("_n")
+    bounded.as("l").join(bounded.as("r"),
+        col("l.band_idx") === col("r.band_idx") &&
+          col("l.band_val") === col("r.band_val") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        hamming(col("l.fp"), col("r.fp")).as("hamming_dist"))
+      .distinct()
+      .filter(col("hamming_dist") <= maxDist)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — a single map + TakeOrdered (no
+  * shuffle of the corpus, no crossJoin; the query vector is a broadcast
+  * literal). Scale paths: IVF-style partition restriction and random-
+  * hyperplane LSH bucketing, both of which cut the scanned fraction while
+  * keeping the same per-row kernel. */
+object Similarity {
+
+  /** Cosine similarity between an embedding column and a literal query
+    * vector, computed in double precision, index order (deterministic). */
+  def cosineToQuery(emb: Column, query: Seq[Double]): Column = {
+    val q = typedLit(query)
+    val e = transform(emb, x => x.cast("double"))
+    val dot = aggregate(zip_with(e, q, (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(e, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nb = math.sqrt(query.map(x => x * x).sum)
+    when(na === 0.0, lit(0.0)).otherwise(dot / (na * lit(nb)))
+  }
+
+  /** Cosine between two embedding columns (for pairwise verification). */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0), (acc, x) => acc + x))
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
+  }
+
+  /** Brute-force cosine top-k: scan → score → TakeOrderedAndProject.
+    * The full-corpus baseline every ANN variant is measured against. */
+  def bruteForceTopK(corpus: DataFrame, embCol: String, idCol: String,
+                     query: Seq[Double], k: Int): DataFrame =
+    corpus.select(col(idCol),
+        round(cosineToQuery(col(embCol), query), 6).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .limit(k)
+
+  /** IVF-style search: restrict the scan to one coarse partition (here the
+    * pre-assigned cluster/label column; in production the nearest centroid's
+    * inverted list). At 100 TB this is the difference between scanning the
+    * corpus and scanning one partition-pruned slice of it. */
+  def ivfTopK(corpus: DataFrame, embCol: String, idCol: String,
+              partitionCol: String, partitionValue: Int,
+              query: Seq[Double], k: Int): DataFrame =
+    bruteForceTopK(corpus.filter(col(partitionCol) === partitionValue),
+      embCol, idCol, query, k)
+
+  /** Deterministic random hyperplanes for sign-LSH (fixed LCG seed). */
+  def hyperplanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    var state = 7L
+    def next(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    Seq.fill(numPlanes)(Seq.fill(dim)(next()))
+  }
+
+  /** Sign-LSH bucket id: one bit per hyperplane (sign of the dot product). */
+  def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column = {
+    val e = transform(emb, x => x.cast("double"))
+    planes.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(zip_with(e, typedLit(p), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: score only rows whose bucket matches the query's.
+    * Recall/latency tradeoff via numPlanes (fewer planes → bigger buckets). */
+  def lshTopK(corpus: DataFrame, embCol: String, idCol: String,
+              query: Seq[Double], k: Int, numPlanes: Int = 8): DataFrame = {
+    val planes = hyperplanes(numPlanes, query.length)
+    val queryBucket = planes.zipWithIndex.map { case (p, i) =>
+      val dot = p.zip(query).map { case (a, b) => a * b }.sum
+      if (dot >= 0) 1L << i else 0L
+    }.sum
+    bruteForceTopK(
+      corpus.filter(lshBucket(col(embCol), planes) === queryBucket),
+      embCol, idCol, query, k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs at scale: LSH-bucket both sides,
+    * self-join within buckets only, verify with exact cosine ≥ threshold. */
+  def cosineNearDuplicates(corpus: DataFrame, embCol: String, idCol: String,
+                           threshold: Double, numPlanes: Int = 12,
+                           maxBucket: Int = 2000): DataFrame = {
+    val dim = 64
+    val planes = hyperplanes(numPlanes, dim)
+    val bucketed = corpus.select(col(idCol).as("id"), col(embCol).as("emb"),
+      lshBucket(col(embCol), planes).as("bucket"))
+    val bounded = bucketed.withColumn("_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
+      .filter(col("_n") <= maxBucket).drop("_n")
+    bounded.as("l").join(bounded.as("r"),
+        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        round(cosine(col("l.emb"), col("r.emb")), 6).as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+  }
+}

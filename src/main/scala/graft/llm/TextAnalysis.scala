@@ -1,0 +1,84 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: language
+  * ID, quality scoring, token counting, fingerprinting. All pure Column
+  * expressions — codegen-friendly, no UDFs, scale-invariant (per-row map
+  * work, zero shuffles until the caller aggregates). */
+object TextAnalysis {
+
+  /** Whitespace tokenization. Empty/whitespace-only text → empty array. */
+  def tokens(text: Column): Column =
+    when(trim(text) === "", array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy: alpha runs, digit runs, and single punctuation
+    * marks each count as one token — the standard cheap estimator when the
+    * real tokenizer isn't on the cluster. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Language-ID heuristic: per-language stopword hit counts over whitespace
+    * tokens; argmax wins, ties broken by fixed language order. N-gram-free
+    * so it stays expressible as pure Column ops (and in the DuckDB oracle). */
+  val StopwordSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "zu", "mit", "auf", "ein"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "est", "un", "une", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "de", "y", "es", "un", "una", "que", "por"),
+  )
+
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(lower(text)), t => words.map(w => t === w).reduce(_ || _)))
+
+  /** Detected language code, or "und" when no stopword hits at all. Ties
+    * break to the FIRST language in [[StopwordSets]] order. */
+  def langId(text: Column): Column = {
+    val counts = StopwordSets.map { case (lang, words) =>
+      lang -> stopwordHits(text, words)
+    }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    counts.reverse.foldLeft(lit("und")) { case (acc, (lang, c)) =>
+      when(c === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Quality score in [0,1]: blend of length band, alpha ratio, stopword
+    * ratio, and mean word length band — the usual cheap pre-filters before
+    * expensive model-based scoring. Deterministic, oracle-expressible. */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nTokens = tokenCount(text).cast("double")
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    val alphaRatio = when(nChars > 0, alpha / nChars).otherwise(lit(0.0))
+    val sw = StopwordSets.flatMap(_._2).distinct
+    val swHits = size(filter(tokens(lower(text)), t => sw.map(w => t === w).reduce(_ || _))).cast("double")
+    val swRatio = when(nTokens > 0, swHits / nTokens).otherwise(lit(0.0))
+    val meanWordLen = when(nTokens > 0, nChars / nTokens).otherwise(lit(0.0))
+    val lenScore = when(nChars >= 200 && nChars <= 2000, 1.0)
+      .when(nChars >= 50, 0.5).otherwise(0.0)
+    val wordLenScore = when(meanWordLen >= 3 && meanWordLen <= 12, 1.0).otherwise(0.0)
+    round((lenScore * 0.3 + alphaRatio * 0.3 + least(swRatio * lit(5.0), lit(1.0)) * 0.2
+      + wordLenScore * 0.2), 4)
+  }
+
+  /** Canonical-form fingerprint: md5 of lowercased, punctuation-stripped,
+    * whitespace-collapsed text. Stable across formatting-only edits. */
+  def fingerprint(text: Column): Column = {
+    val norm = trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
+    md5(norm)
+  }
+
+  /** Rolling polynomial hash (base 31, mod 2^61-1) over whitespace tokens —
+    * the order-sensitive fingerprint variant (detects reordering, which the
+    * bag-of-words md5 above does not). Pure aggregate expression. */
+  def rollingHash(text: Column): Column = {
+    val p = lit(2305843009213693951L) // 2^61 - 1
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * 31L + pmod(xxhash64(t), p), p))
+  }
+}

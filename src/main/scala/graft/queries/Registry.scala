@@ -1,0 +1,670 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.config.Catalog
+import graft.header.HeaderDetector
+import graft.io.FileReader
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.Ingestor
+import graft.transform.Transformers
+
+import scala.collection.immutable.ListMap
+
+/** The driver-facing query registry: one entry per implemented operator from
+  * SURVEY.md §2 plus the LLM-pipeline operators, each over the driver's
+  * parquet tables with (where SQL-expressible) a DuckDB oracle in
+  * [[Registry.oracleSql]].
+  *
+  * Conventions: every query is deterministic (explicit orderBy + unique
+  * tie-breaks where row order matters), money/maths that must hash-match the
+  * oracle go through decimal (exact, order-independent) and surface as
+  * double, and aggregate/computed columns are aliased identically on both
+  * sides. */
+object Registry {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Runtime session setup: ANSI off (string→number casts must NULL on
+    * garbage, like the reference), UTC, bounded shuffle width for local[32]. */
+  def configure(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // events.parquet carries TIMESTAMP(NANOS); read as long (we never
+    // surface the raw ts, only aggregate by other columns).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
+  private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (spark, dir) => { configure(spark); f(spark, dir) }
+
+  // ---------------------------------------------------------------- F1–F15
+
+  private def f1ParseDate(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val m = pmod(col("o_orderkey"), lit(6))
+    val src = when(m === 0, date_format(col("o_orderdate"), "yyyyMMdd"))
+      .when(m === 1, date_format(col("o_orderdate"), "MM/dd/yyyy"))
+      .when(m === 2, date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .when(m === 3, date_format(col("o_orderdate"), "yyyy/MM/dd"))
+      .when(m === 4, lit("*"))
+      .otherwise(lit("garbage"))
+    o.select(col("o_orderkey"), src.as("src"),
+        Transformers.parseDate(src).as("parsed"))
+      .orderBy("o_orderkey")
+  }
+
+  private def f2ParseNumeric(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val m = pmod(col("l_linenumber"), lit(5))
+    val src = when(m === 0, concat(col("l_partkey").cast("string"), lit(","),
+        lpad(pmod(col("l_suppkey"), lit(1000)).cast("string"), 3, "0")))
+      .when(m === 1, lit("N/A"))
+      .when(m === 2, concat(lit("  "), col("l_quantity").cast("int").cast("string"), lit("  ")))
+      .when(m === 3, lit("12.34.56"))
+      .otherwise(lit("*"))
+    l.select(col("l_orderkey"), col("l_linenumber"), src.as("src"),
+        Transformers.parseNumeric(src).as("parsed"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private def f3ParseInteger(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val m = pmod(col("l_linenumber"), lit(2))
+    val src = when(m === 0, concat(col("l_partkey").cast("string"), lit(".9")))
+      .otherwise(concat(lit("-"), col("l_partkey").cast("string"), lit(".9")))
+    l.select(col("l_orderkey"), col("l_linenumber"),
+        Transformers.parseInteger(src).as("parsed"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private def f4ParseBoolean(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val src = when(col("l_returnflag") === "A", lit(" YES "))
+      .when(col("l_returnflag") === "N", lit("0"))
+      .otherwise(lit("maybe"))
+    l.select(col("l_orderkey"), col("l_linenumber"),
+        Transformers.parseBoolean(src).as("parsed"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private def f5CleanCode(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+    val m = pmod(col("p_partkey"), lit(4))
+    val src = when(m === 0, concat(lit("  "), lower(col("p_brand")), lit(" ")))
+      .when(m === 1, lit("null"))
+      .when(m === 2, lit("nan"))
+      .otherwise(lit(""))
+    p.select(col("p_partkey"), Transformers.cleanCode(src).as("code"))
+      .orderBy("p_partkey")
+  }
+
+  private def f6TransformText(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val m = pmod(col("c_custkey"), lit(5))
+    val src = when(m === 0, concat(lit(" "), col("c_mktsegment"), lit(" ")))
+      .when(m === 1, lit("*"))
+      .when(m === 2, lit("NULL"))
+      .when(m === 3, lit("nan"))
+      .otherwise(lit(""))
+    c.select(col("c_custkey"), Transformers.transformText(src).as("cleaned"))
+      .orderBy("c_custkey")
+  }
+
+  private def f8ParseMai(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val src = concat(col("l_linenumber").cast("string"), lit(" Line Edit"))
+    l.select(col("l_orderkey"), col("l_linenumber"),
+        Transformers.parseMaiId(src).as("mai_id"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private def f9ParseMue(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val m = pmod(col("l_linenumber"), lit(4))
+    val src = when(m === 0, lit("0"))
+      .when(m === 1, col("l_quantity").cast("int").cast("string"))
+      .when(m === 2, lit("N/A"))
+      .otherwise(lit("1,500"))
+    l.select(col("l_orderkey"), col("l_linenumber"),
+        Transformers.parseMueValue(src).as("mue_value"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private def f10DeletionDate(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val m = pmod(col("o_orderkey"), lit(3))
+    val src = when(m === 0, lit("*"))
+      .when(m === 1, date_format(col("o_orderdate"), "yyyyMMdd"))
+      .otherwise(lit(""))
+    o.select(col("o_orderkey"), Transformers.parseDeletionDate(src).as("deletion_date"))
+      .orderBy("o_orderkey")
+  }
+
+  private def f11ModifierIndicator(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val m = pmod(col("l_linenumber"), lit(4))
+    val src = when(m === 0, lit("0=not allowed 1=allowed"))
+      .when(m === 1, lit("9"))
+      .when(m === 2, lit("3"))
+      .otherwise(lit("junk"))
+    l.select(col("l_orderkey"), col("l_linenumber"),
+        Transformers.parseModifierIndicator(src).as("modifier_indicator"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private def f12Prior1996(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val m = pmod(col("l_linenumber"), lit(3))
+    val src = when(m === 0, lit("*")).when(m === 1, lit("")).otherwise(lit("x"))
+    l.select(col("l_orderkey"), col("l_linenumber"),
+        Transformers.parsePrior1996Flag(src).as("prior_1996_flag"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private def f13Sha256(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), sha2(col("text"), 256).as("content_sha256"))
+      .orderBy("doc_id")
+
+  private def f14VersionLabel(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val y = year(col("o_orderdate"))
+    val qq = quarter(col("o_orderdate"))
+    o.select(col("o_orderkey"),
+        Transformers.versionLabel(y, qq).as("version_label"),
+        Transformers.quarterStartDate(y, qq).as("effective_date"))
+      .orderBy("o_orderkey")
+  }
+
+  private def f15Fee(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    // Double arithmetic in a fixed evaluation order + explicit half-up via
+    // floor(x*100+0.5)/100: bit-deterministic and engine-agnostic, unlike
+    // ROUND-on-decimal whose intermediate precision clamps differ between
+    // engines. (The production fee operator, Transformers.fee, keeps exact
+    // decimal semantics; the flagship entry() exercises it.)
+    val raw = col("l_quantity") * (lit(1.0) + col("l_tax")) +
+      (col("l_extendedprice") / 1000.0) * (lit(1.0) - col("l_discount")) +
+      (col("l_discount") * 10.0) * lit(1.02)
+    val fee = floor(raw * 32.74 * 100.0 + 0.5) / 100.0
+    l.select(col("l_orderkey"), col("l_linenumber"), fee.as("non_facility_fee"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // ------------------------------------------------------------- P2/P5/P7/P8
+
+  private def p2EmptyFilter(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val m = pmod(col("c_custkey"), lit(3))
+    val rows = c.select(col("c_custkey"),
+      when(m === 0, lit("")).otherwise(col("c_name")).as("a"),
+      when(m === 0, lit("nan")).when(m === 1, lit("")).otherwise(col("c_mktsegment")).as("b"),
+      when(m === 0, lit("None")).when(m === 1, lit("x")).otherwise(lit("filled")).as("c"),
+      when(m === 0, lit(" ")).otherwise(col("c_mktsegment")).as("d"))
+    Ingestor.filterEmptyRows(rows, Seq("a", "b", "c", "d")).orderBy("c_custkey")
+  }
+
+  private def p5ValidateQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val base = l.select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("_row_number"),
+      when(pmod(col("l_orderkey"), lit(5)) === 0, lit(null).cast("long"))
+        .otherwise(col("l_orderkey")).as("key_a"),
+      when(pmod(col("l_linenumber"), lit(7)) === 0, lit(null).cast("long"))
+        .otherwise(col("l_linenumber")).as("key_b"))
+    val (_, quarantine) = Ingestor.validateSplit(base, Seq("key_a", "key_b"))
+    quarantine.select(col("_row_number"), col("_error")).orderBy("_row_number")
+  }
+
+  private def p7NullSafeEq(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val m = pmod(col("l_linenumber"), lit(3))
+    val v = when(m === 0, lit(null).cast("string"))
+      .when(m === 1, lit("A")).otherwise(lit("B"))
+    l.select(col("l_orderkey"), col("l_linenumber"), v.as("variant"))
+      .filter((v <=> lit(null)) || (v <=> lit("A")))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private def p8IsIn(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+
+  // ------------------------------------------------------------------ D1–D6
+
+  /** Shared D1 fixture: key nullable for %11, file-order row number. */
+  private def d1Base(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").select(
+      when(pmod(col("l_orderkey"), lit(11)) === 0, lit(null).cast("long"))
+        .otherwise(pmod(col("l_orderkey"), lit(500))).as("k"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("_row_number"))
+
+  private def d1DedupFirstWins(spark: SparkSession, dir: String): DataFrame = {
+    val (unique, _) = Ingestor.dedupFirstWins(d1Base(spark, dir), Seq("k"))
+    unique.select(col("k"), col("_row_number")).orderBy(asc_nulls_last("k"), asc("_row_number"))
+  }
+
+  private def d4Counters(spark: SparkSession, dir: String): DataFrame = {
+    val base = d1Base(spark, dir)
+    val (unique, dups) = Ingestor.dedupFirstWins(base, Seq("k"))
+    val total = base.count()
+    val nullKey = base.filter(col("k").isNull).count()
+    val kept = unique.count()
+    val dup = dups.count()
+    import spark.implicits._
+    Seq((total, nullKey, kept, dup))
+      .toDF("total_rows", "null_key_rows", "kept_rows", "duplicate_rows")
+  }
+
+  private def d3ColumnStats(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val shaped = l.select(
+      when(pmod(col("l_orderkey"), lit(4)) === 0, lit(null).cast("double"))
+        .otherwise(col("l_quantity")).as("qty"),
+      when(pmod(col("l_orderkey"), lit(5)) === 0, lit(null).cast("string"))
+        .otherwise(col("l_returnflag")).as("flag"),
+      col("l_extendedprice").as("price"))
+    Ingestor.columnStats(shaped, Seq("qty", "flag", "price"))
+      .withColumnRenamed("column", "col_name")
+      .orderBy("col_name")
+  }
+
+  private def d5Drift(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val monthly = o.groupBy(col("o_orderpriority").as("source_code"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("record_count"))
+    Ingestor.driftCheck(monthly, "source_code", "month", "record_count")
+      .select(col("source_code"), col("month"), col("record_count"),
+        col("prev_count"), col("drift_warning"))
+      .orderBy("source_code", "month")
+  }
+
+  private def d6TypeWarnings(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem").filter(col("l_orderkey") <= 400)
+    val raw = l.select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("_row_number"),
+      when(pmod(col("l_orderkey") * 10 + col("l_linenumber"), lit(13)) === 0, lit("abc"))
+        .otherwise(col("l_quantity").cast("string")).as("work_gpci"),
+      when(pmod(col("l_orderkey") * 10 + col("l_linenumber"), lit(17)) === 0, lit("not-a-number"))
+        .otherwise(col("l_extendedprice").cast("string")).as("pe_gpci"))
+    Ingestor.typeValidationWarnings(raw, Catalog("PFS_GPCI"), sampleRows = 100000)
+      .select(col("column").as("col_name"), col("expected_type"),
+        col("row_number"), col("value"))
+      .orderBy("col_name")
+  }
+
+  // ------------------------------------------------------------- Joins/sorts
+
+  private def j1LateralTop1(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"), col("o_totalprice"))
+    ReadQueries.lateralTop1(c.select("c_custkey", "c_name"), o, Seq("c_custkey"),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .orderBy("c_custkey")
+  }
+
+  private def j2CurrentJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val versions = Seq(
+      (1L, "SRC_X", false), (2L, "SRC_X", true), (3L, "SRC_Y", true))
+      .toDF("data_version_id", "source_code", "is_current")
+    val data = t(spark, dir, "orders")
+      .withColumn("data_version_id", pmod(col("o_orderkey"), lit(3)) + 1)
+    data.join(broadcast(versions.filter(col("is_current"))), Seq("data_version_id"))
+      .groupBy("data_version_id", "source_code")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
+      .orderBy("data_version_id")
+  }
+
+  private def o1Latest(spark: SparkSession, dir: String): DataFrame =
+    ReadQueries.latest(t(spark, dir, "orders"),
+        col("o_orderdate").desc, col("o_orderkey").desc)
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_totalprice"))
+
+  private def o3TopK(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+
+  private def o5FirstSamples(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+    o.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= 3)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("_rn").as("sample_rank"))
+      .orderBy("o_orderpriority", "sample_rank")
+  }
+
+  private def u3CurrentSwap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val versions = Seq(
+      (1L, "SRC_X", Option.empty[String], true, "completed"),
+      (2L, "SRC_X", Option.empty[String], false, "completed"),
+      (3L, "SRC_X", Some("HOSP"), true, "completed"),
+      (4L, "SRC_Y", Option.empty[String], true, "completed"),
+      (5L, "SRC_X", Option.empty[String], false, "processing"))
+      .toDF("data_version_id", "source_code", "variant", "is_current", "status")
+    // Swap: version 5 becomes current for (SRC_X, null-variant); the HOSP
+    // variant and SRC_Y rows must keep their flags (null-safe variant scope).
+    val scope = col("source_code") === "SRC_X" && (col("variant") <=> lit(null))
+    versions.withColumn("is_current",
+        when(col("data_version_id") === 5L, true)
+          .when(scope, false).otherwise(col("is_current")))
+      .orderBy("data_version_id")
+  }
+
+  // ------------------------------------------------------------- Aggregation
+
+  private def agg1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_base_price"),
+        (sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(22, 6)))
+          .cast("double")).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def jBroadcastDims(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("customers"),
+        sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("total_balance"))
+      .orderBy("r_name")
+  }
+
+  private def eEventsSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(20, 4))).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("users"))
+      .orderBy("event_type")
+
+  // ---------------------------------------------------------------- Registry
+
+  val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q_f1_parse_date" -> q(f1ParseDate),
+    "q_f2_parse_numeric" -> q(f2ParseNumeric),
+    "q_f3_parse_integer" -> q(f3ParseInteger),
+    "q_f4_parse_boolean" -> q(f4ParseBoolean),
+    "q_f5_clean_code" -> q(f5CleanCode),
+    "q_f6_transform_text" -> q(f6TransformText),
+    "q_f8_parse_mai" -> q(f8ParseMai),
+    "q_f9_parse_mue" -> q(f9ParseMue),
+    "q_f10_deletion_date" -> q(f10DeletionDate),
+    "q_f11_modifier_indicator" -> q(f11ModifierIndicator),
+    "q_f12_prior_1996" -> q(f12Prior1996),
+    "q_f13_sha256" -> q(f13Sha256),
+    "q_f14_version_label" -> q(f14VersionLabel),
+    "q_f15_fee_formula" -> q(f15Fee),
+    "q_p2_empty_filter" -> q(p2EmptyFilter),
+    "q_p5_validate_quarantine" -> q(p5ValidateQuarantine),
+    "q_p7_nullsafe_eq" -> q(p7NullSafeEq),
+    "q_p8_isin" -> q(p8IsIn),
+    "q_d1_dedup_first_wins" -> q(d1DedupFirstWins),
+    "q_d3_column_stats" -> q(d3ColumnStats),
+    "q_d4_counters" -> q(d4Counters),
+    "q_d5_drift_check" -> q(d5Drift),
+    "q_d6_type_warnings" -> q(d6TypeWarnings),
+    "q_j1_lateral_top1" -> q(j1LateralTop1),
+    "q_j2_current_join" -> q(j2CurrentJoin),
+    "q_o1_latest" -> q(o1Latest),
+    "q_o3_topk" -> q(o3TopK),
+    "q_o5_first_samples" -> q(o5FirstSamples),
+    "q_u3_current_swap" -> q(u3CurrentSwap),
+    "q_agg1_pricing_summary" -> q(agg1PricingSummary),
+    "q_j_broadcast_dims" -> q(jBroadcastDims),
+    "q_e_events_summary" -> q(eEventsSummary),
+  )
+
+  val oracleSql: ListMap[String, String] = ListMap(
+    "q_f1_parse_date" ->
+      """SELECT o_orderkey,
+         CASE o_orderkey % 6
+           WHEN 0 THEN strftime(o_orderdate, '%Y%m%d')
+           WHEN 1 THEN strftime(o_orderdate, '%m/%d/%Y')
+           WHEN 2 THEN strftime(o_orderdate, '%Y-%m-%d')
+           WHEN 3 THEN strftime(o_orderdate, '%Y/%m/%d')
+           WHEN 4 THEN '*' ELSE 'garbage' END AS src,
+         CASE WHEN o_orderkey % 6 <= 3 THEN CAST(o_orderdate AS DATE) END AS parsed
+         FROM orders ORDER BY o_orderkey""",
+    "q_f2_parse_numeric" ->
+      """SELECT l_orderkey, l_linenumber,
+         CASE l_linenumber % 5
+           WHEN 0 THEN CAST(l_partkey AS VARCHAR) || ',' || lpad(CAST(l_suppkey % 1000 AS VARCHAR), 3, '0')
+           WHEN 1 THEN 'N/A'
+           WHEN 2 THEN '  ' || CAST(CAST(l_quantity AS INT) AS VARCHAR) || '  '
+           WHEN 3 THEN '12.34.56' ELSE '*' END AS src,
+         CASE l_linenumber % 5
+           WHEN 0 THEN CAST(l_partkey * 1000 + l_suppkey % 1000 AS DOUBLE)
+           WHEN 2 THEN CAST(CAST(l_quantity AS INT) AS DOUBLE) END AS parsed
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_f3_parse_integer" ->
+      """SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_linenumber % 2 = 0 THEN l_partkey ELSE -l_partkey END AS parsed
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_f4_parse_boolean" ->
+      """SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_returnflag = 'A' THEN TRUE WHEN l_returnflag = 'N' THEN FALSE END AS parsed
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_f5_clean_code" ->
+      """SELECT p_partkey,
+         CASE p_partkey % 4
+           WHEN 0 THEN upper(p_brand)
+           WHEN 2 THEN 'NAN' END AS code
+         FROM part ORDER BY p_partkey""",
+    "q_f6_transform_text" ->
+      """SELECT c_custkey,
+         CASE c_custkey % 5
+           WHEN 0 THEN c_mktsegment
+           WHEN 1 THEN '*' END AS cleaned
+         FROM customer ORDER BY c_custkey""",
+    "q_f8_parse_mai" ->
+      """SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_linenumber IN (1, 2, 3) THEN CAST(l_linenumber AS BIGINT) END AS mai_id
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_f9_parse_mue" ->
+      """SELECT l_orderkey, l_linenumber,
+         CASE l_linenumber % 4
+           WHEN 0 THEN CAST(0 AS BIGINT)
+           WHEN 1 THEN CAST(CAST(l_quantity AS INT) AS BIGINT)
+           WHEN 3 THEN CAST(1500 AS BIGINT) END AS mue_value
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_f10_deletion_date" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 1 THEN CAST(o_orderdate AS DATE) END AS deletion_date
+         FROM orders ORDER BY o_orderkey""",
+    "q_f11_modifier_indicator" ->
+      """SELECT l_orderkey, l_linenumber,
+         CASE l_linenumber % 4
+           WHEN 0 THEN CAST(0 AS BIGINT) WHEN 1 THEN CAST(9 AS BIGINT)
+           WHEN 2 THEN CAST(3 AS BIGINT) END AS modifier_indicator
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_f12_prior_1996" ->
+      """SELECT l_orderkey, l_linenumber,
+         (l_linenumber % 3 = 0) AS prior_1996_flag
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_f13_sha256" ->
+      """SELECT doc_id, sha256(text) AS content_sha256 FROM documents ORDER BY doc_id""",
+    "q_f14_version_label" ->
+      """SELECT o_orderkey,
+         CAST(year(o_orderdate) AS VARCHAR) || '-Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS version_label,
+         make_date(CAST(year(o_orderdate) AS INT), CAST((quarter(o_orderdate) - 1) * 3 + 1 AS INT), 1) AS effective_date
+         FROM orders ORDER BY o_orderkey""",
+    "q_f15_fee_formula" ->
+      """SELECT l_orderkey, l_linenumber,
+         floor((l_quantity * (1.0 + l_tax)
+           + (l_extendedprice / 1000.0) * (1.0 - l_discount)
+           + (l_discount * 10.0) * 1.02) * 32.74 * 100.0 + 0.5) / 100.0 AS non_facility_fee
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_p2_empty_filter" ->
+      """SELECT c_custkey,
+         CASE WHEN c_custkey % 3 = 0 THEN '' ELSE c_name END AS a,
+         CASE c_custkey % 3 WHEN 0 THEN 'nan' WHEN 1 THEN '' ELSE c_mktsegment END AS b,
+         CASE c_custkey % 3 WHEN 0 THEN 'None' WHEN 1 THEN 'x' ELSE 'filled' END AS c,
+         CASE WHEN c_custkey % 3 = 0 THEN ' ' ELSE c_mktsegment END AS d
+         FROM customer WHERE c_custkey % 3 <> 0 ORDER BY c_custkey""",
+    "q_p5_validate_quarantine" ->
+      """SELECT l_orderkey * 10 + l_linenumber AS _row_number,
+         'Row ' || CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)
+           || ': Missing required key column '''
+           || CASE WHEN l_orderkey % 5 = 0 THEN 'key_a' ELSE 'key_b' END || '''' AS _error
+         FROM lineitem WHERE l_orderkey % 5 = 0 OR l_linenumber % 7 = 0
+         ORDER BY _row_number""",
+    "q_p7_nullsafe_eq" ->
+      """SELECT l_orderkey, l_linenumber,
+         CASE l_linenumber % 3 WHEN 1 THEN 'A' WHEN 2 THEN 'B' END AS variant
+         FROM lineitem WHERE l_linenumber % 3 IN (0, 1)
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_p8_isin" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+         WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_d1_dedup_first_wins" ->
+      """WITH t AS (
+           SELECT CASE WHEN l_orderkey % 11 = 0 THEN NULL ELSE l_orderkey % 500 END AS k,
+                  l_orderkey * 10 + l_linenumber AS _row_number
+           FROM lineitem)
+         SELECT k, _row_number FROM (
+           SELECT k, _row_number, row_number() OVER (PARTITION BY k ORDER BY _row_number) AS r
+           FROM t WHERE k IS NOT NULL) WHERE r = 1
+         UNION ALL
+         SELECT k, _row_number FROM t WHERE k IS NULL
+         ORDER BY k NULLS LAST, _row_number""",
+    "q_d3_column_stats" ->
+      """WITH s AS (SELECT
+           CASE WHEN l_orderkey % 4 = 0 THEN NULL ELSE l_quantity END AS qty,
+           CASE WHEN l_orderkey % 5 = 0 THEN NULL ELSE l_returnflag END AS flag,
+           l_extendedprice AS price FROM lineitem)
+         SELECT col_name, null_count,
+           ROUND(CAST(null_count AS DOUBLE) / CAST(total AS DOUBLE) * 100, 2) AS null_pct
+         FROM (
+           SELECT 'flag' AS col_name, CAST(sum(CASE WHEN flag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count, count(*) AS total FROM s
+           UNION ALL
+           SELECT 'price', CAST(sum(CASE WHEN price IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(*) FROM s
+           UNION ALL
+           SELECT 'qty', CAST(sum(CASE WHEN qty IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(*) FROM s)
+         ORDER BY col_name""",
+    "q_d4_counters" ->
+      """WITH t AS (
+           SELECT CASE WHEN l_orderkey % 11 = 0 THEN NULL ELSE l_orderkey % 500 END AS k
+           FROM lineitem)
+         SELECT count(*) AS total_rows,
+           CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_key_rows,
+           CAST(count(DISTINCT k) + sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept_rows,
+           CAST(count(k) - count(DISTINCT k) AS BIGINT) AS duplicate_rows
+         FROM t""",
+    "q_d5_drift_check" ->
+      """WITH monthly AS (
+           SELECT o_orderpriority AS source_code, strftime(o_orderdate, '%Y-%m') AS month,
+                  count(*) AS record_count
+           FROM orders GROUP BY 1, 2)
+         SELECT source_code, month, record_count,
+           lag(record_count) OVER (PARTITION BY source_code ORDER BY month) AS prev_count,
+           CASE WHEN lag(record_count) OVER (PARTITION BY source_code ORDER BY month) IS NULL THEN FALSE
+                ELSE record_count < lag(record_count) OVER (PARTITION BY source_code ORDER BY month) * 0.5
+                  OR record_count > lag(record_count) OVER (PARTITION BY source_code ORDER BY month) * 1.5
+           END AS drift_warning
+         FROM monthly ORDER BY source_code, month""",
+    "q_d6_type_warnings" ->
+      """WITH raw AS (
+           SELECT l_orderkey * 10 + l_linenumber AS _row_number,
+             CASE WHEN (l_orderkey * 10 + l_linenumber) % 13 = 0 THEN 'abc'
+                  ELSE CAST(l_quantity AS VARCHAR) END AS work_gpci,
+             CASE WHEN (l_orderkey * 10 + l_linenumber) % 17 = 0 THEN 'not-a-number'
+                  ELSE CAST(l_extendedprice AS VARCHAR) END AS pe_gpci
+           FROM lineitem WHERE l_orderkey <= 400),
+         bad AS (
+           SELECT 'work_gpci' AS col_name, 'NUMERIC' AS expected_type, _row_number, work_gpci AS value
+           FROM raw WHERE work_gpci = 'abc'
+           UNION ALL
+           SELECT 'pe_gpci', 'NUMERIC', _row_number, pe_gpci FROM raw WHERE pe_gpci = 'not-a-number')
+         SELECT col_name, expected_type, _row_number AS row_number, value FROM (
+           SELECT *, row_number() OVER (PARTITION BY col_name ORDER BY _row_number) AS r FROM bad)
+         WHERE r = 1 ORDER BY col_name""",
+    "q_j1_lateral_top1" ->
+      """WITH latest AS (
+           SELECT * FROM (
+             SELECT o_custkey AS c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+                    o_totalprice,
+                    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             FROM orders WHERE o_orderstatus = 'F') WHERE rn = 1)
+         SELECT c.c_custkey, c.c_name, l.o_orderkey, l.o_orderdate, l.o_totalprice
+         FROM customer c LEFT JOIN latest l USING (c_custkey)
+         ORDER BY c.c_custkey""",
+    "q_j2_current_join" ->
+      """WITH versions(data_version_id, source_code, is_current) AS (
+           VALUES (1, 'SRC_X', FALSE), (2, 'SRC_X', TRUE), (3, 'SRC_Y', TRUE)),
+         data AS (SELECT *, o_orderkey % 3 + 1 AS data_version_id FROM orders)
+         SELECT CAST(d.data_version_id AS BIGINT) AS data_version_id, v.source_code,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM data d JOIN versions v ON d.data_version_id = v.data_version_id AND v.is_current
+         GROUP BY 1, 2 ORDER BY 1""",
+    "q_o1_latest" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice
+         FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1""",
+    "q_o3_topk" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""",
+    "q_o5_first_samples" ->
+      """SELECT o_orderpriority, o_orderkey, CAST(sample_rank AS INT) AS sample_rank FROM (
+           SELECT o_orderpriority, o_orderkey,
+             row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS sample_rank
+           FROM orders)
+         WHERE sample_rank <= 3 ORDER BY o_orderpriority, sample_rank""",
+    "q_u3_current_swap" ->
+      """WITH versions(data_version_id, source_code, variant, is_current, status) AS (VALUES
+           (CAST(1 AS BIGINT), 'SRC_X', CAST(NULL AS VARCHAR), TRUE, 'completed'),
+           (2, 'SRC_X', NULL, FALSE, 'completed'),
+           (3, 'SRC_X', 'HOSP', TRUE, 'completed'),
+           (4, 'SRC_Y', NULL, TRUE, 'completed'),
+           (5, 'SRC_X', NULL, FALSE, 'processing'))
+         SELECT data_version_id, source_code, variant,
+           CASE WHEN data_version_id = 5 THEN TRUE
+                WHEN source_code = 'SRC_X' AND variant IS NOT DISTINCT FROM NULL THEN FALSE
+                ELSE is_current END AS is_current,
+           status
+         FROM versions ORDER BY data_version_id""",
+    "q_agg1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS sum_disc_price,
+           count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_j_broadcast_dims" ->
+      """SELECT r_name, count(*) AS customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "q_e_events_summary" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_value,
+           count(DISTINCT user_id) AS users
+         FROM events GROUP BY event_type ORDER BY event_type""",
+  )
+}
