@@ -12,6 +12,14 @@ import org.apache.spark.sql.functions._
   * keeping the same per-row kernel. */
 object Similarity {
 
+  /** Deterministic half-up rounding on doubles: floor(x*10^n + 0.5)/10^n.
+    * Unlike ROUND (whose decimal/double semantics differ across engines),
+    * this is plain IEEE arithmetic — bit-identical in any engine. */
+  def roundHalfUp(c: Column, digits: Int): Column = {
+    val p = math.pow(10, digits)
+    floor(c * p + 0.5) / p
+  }
+
   /** Cosine similarity between an embedding column and a literal query
     * vector, computed in double precision, index order (deterministic). */
   def cosineToQuery(emb: Column, query: Seq[Double]): Column = {
@@ -38,7 +46,7 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, embCol: String, idCol: String,
                      query: Seq[Double], k: Int): DataFrame =
     corpus.select(col(idCol),
-        round(cosineToQuery(col(embCol), query), 6).as("cosine_sim"))
+        roundHalfUp(cosineToQuery(col(embCol), query), 6).as("cosine_sim"))
       .orderBy(col("cosine_sim").desc, col(idCol))
       .limit(k)
 
@@ -101,7 +109,7 @@ object Similarity {
     bounded.as("l").join(bounded.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        round(cosine(col("l.emb"), col("r.emb")), 6).as("cosine_sim"))
+        roundHalfUp(cosine(col("l.emb"), col("r.emb")), 6).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
   }
 }

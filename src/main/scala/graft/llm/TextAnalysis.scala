@@ -62,8 +62,9 @@ object TextAnalysis {
     val lenScore = when(nChars >= 200 && nChars <= 2000, 1.0)
       .when(nChars >= 50, 0.5).otherwise(0.0)
     val wordLenScore = when(meanWordLen >= 3 && meanWordLen <= 12, 1.0).otherwise(0.0)
-    round((lenScore * 0.3 + alphaRatio * 0.3 + least(swRatio * lit(5.0), lit(1.0)) * 0.2
-      + wordLenScore * 0.2), 4)
+    // floor(x*10^4+0.5)/10^4: engine-agnostic half-up (see Similarity.roundHalfUp)
+    floor((lenScore * 0.3 + alphaRatio * 0.3 + least(swRatio * lit(5.0), lit(1.0)) * 0.2
+      + wordLenScore * 0.2) * 10000.0 + 0.5) / 10000.0
   }
 
   /** Canonical-form fingerprint: md5 of lowercased, punctuation-stripped,

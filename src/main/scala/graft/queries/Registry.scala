@@ -400,6 +400,210 @@ object Registry {
         countDistinct(col("user_id")).as("users"))
       .orderBy("event_type")
 
+  // ------------------------------------------------------- Readers / headers
+
+  /** S1: CSV round-trip through the encoding cascade — the file is written
+    * in latin-1 (0xE9 é) so UTF-8 strict decode fails and the reader must
+    * fall back; quoted commas, leading zeros, and empty-stays-"" are all in
+    * the fixture. */
+  private def s1CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val p = java.nio.file.Files.createTempFile("graft-s1", ".csv")
+    java.nio.file.Files.write(p,
+      "01112,\"Smith, John\",café,100\n00500,plain,,0042\n"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val df = FileReader.readCsv(spark, p.toString)
+    FileReader.withRowNumbers(df).orderBy("_row_number")
+  }
+
+  /** S4: TXT delimiter sniffing — pipes outnumber commas in the sample. */
+  private def s4TxtSniff(spark: SparkSession, dir: String): DataFrame = {
+    val p = java.nio.file.Files.createTempFile("graft-s4", ".txt")
+    java.nio.file.Files.writeString(p, "A|B|C\n1|2,5|3\n4|5|6\n")
+    FileReader.withRowNumbers(FileReader.readTxt(spark, p.toString))
+      .orderBy("_row_number")
+  }
+
+  /** S2: XLSX read through the zip+XML bridge (shared strings + inline
+    * numbers + explicit cell refs with a gap column). */
+  private def s2Xlsx(spark: SparkSession, dir: String): DataFrame = {
+    val p = java.nio.file.Files.createTempFile("graft-s2", ".xlsx")
+    val zos = new java.util.zip.ZipOutputStream(java.nio.file.Files.newOutputStream(p))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst><si><t>HCPCS</t></si><si><t>WORK RVU</t></si><si><t>99213</t></si><si><t>99214</t></si></sst>""")
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>1.3</v></c></row>
+        |<row r="3"><c r="A3" t="s"><v>3</v></c><c r="C3"><v>42</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    FileReader.withRowNumbers(FileReader.readXlsx(spark, p.toString))
+      .orderBy("_row_number")
+  }
+
+  /** H1-H4 + P3 + F-transforms end-to-end on a literal messy file: title
+    * row, blank row, header row found at index 2, typed projection out. */
+  private def h1HeaderDetect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = Seq(
+      ("Quarterly GPCI Update", "", "", "", ""),
+      ("", "", "", "", ""),
+      ("LOCALITY", "LOCALITY NAME", "WORK GPCI", "PE GPCI", "MP GPCI"),
+      ("01112", "Alabama", "1.000", "0.869", "0.575"),
+      ("05102", "San Francisco", "1.060", "1.298", "0.604"),
+    ).toDF("_c0", "_c1", "_c2", "_c3", "_c4")
+    val source = Catalog("PFS_GPCI")
+    val mappings = ListMap(source.columns.collect {
+      case c if c.acceptedHeaders.nonEmpty =>
+        c.internalName -> HeaderDetector.ColumnMapping(c.acceptedHeaders, c.isRequired)
+    }: _*)
+    val head = FileReader.firstRows(raw, HeaderDetector.MaxScanRows)
+    val det = HeaderDetector.detectHeaderRow(head, mappings)
+    require(det.found && det.headerRowIndex.contains(2), s"detect failed: $det")
+    val colIdx = HeaderDetector.getColumnIndex(head(det.headerRowIndex.get), det.columnMap)
+    val numbered = FileReader.withRowNumbers(raw)
+    val data = numbered.filter(col("_row_number") > det.headerRowIndex.get + 1)
+    val typed = Ingestor.transformColumns(Ingestor.project(data, colIdx), source)
+    typed.drop("_row_number").orderBy("mac_locality")
+  }
+
+  // ----------------------------------------------------- LLM-pipeline: dedup
+
+  /** Documents plus exact copies (ids shifted +10000) — exact dedup must
+    * find precisely those 50 groups. */
+  private def llmExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val dupes = docs.filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 10000)
+    Dedup.exactDuplicateGroups(docs.unionByName(dupes), "doc_id", "text")
+      .filter(col("copies") > 1)
+      .orderBy("content_hash")
+  }
+
+  /** MinHash-LSH near-dups over documents ∪ lightly-mutated copies.
+    * Deterministic seeds; verified against exact Jaccard. Not DuckDB-
+    * expressible (xxhash64) → rows-only driver check. */
+  private def llmMinhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val mutated = docs.filter(col("doc_id") < 30)
+      .withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("text", concat(col("text"), lit(" appended marker token")))
+    Dedup.minhashNearDuplicates(docs.unionByName(mutated), "doc_id", "text",
+        shingleSize = 3, numPerms = 64, bands = 16, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash near-dups over the same mutated corpus (rows-only check). */
+  private def llmSimhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val mutated = docs.filter(col("doc_id") < 30)
+      .withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("text", concat(col("text"), lit(" appended marker token")))
+    Dedup.simhashNearDuplicates(docs.unionByName(mutated), "doc_id", "text", maxDist = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Word-2-gram Jaccard between consecutive documents — oracle-checked
+    * against DuckDB list algebra. */
+  private def llmNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.shingles(col("text"), 2).as("grams"))
+    docs.as("a").join(docs.as("b"), col("a.doc_id") + 1 === col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        Similarity.roundHalfUp(Dedup.jaccard(col("a.grams"), col("b.grams")), 4).as("jaccard"))
+      .orderBy("doc_a")
+  }
+
+  // ------------------------------------------------ LLM-pipeline: similarity
+
+  private def queryVector(spark: SparkSession, dir: String): Seq[Double] =
+    t(spark, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble)
+
+  private def llmAnnBrute(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(t(spark, dir, "embeddings"), "embedding", "vec_id",
+      queryVector(spark, dir), k = 10)
+
+  private def llmAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val label = emb.filter(col("vec_id") === 0).select("label").head.getInt(0)
+    Similarity.ivfTopK(emb, "embedding", "vec_id", "label", label,
+      queryVector(spark, dir), k = 5)
+  }
+
+  /** Sign-LSH bucketed ANN (planes from a fixed seed — rows-only check). */
+  private def llmAnnLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(t(spark, dir, "embeddings"), "embedding", "vec_id",
+      queryVector(spark, dir), k = 5, numPlanes = 6)
+
+  /** Embedding-cosine near-dup pairs: corpus ∪ scaled copies (cosine 1.0 to
+    * their originals). LSH-bucketed, verified; rows-only check. */
+  private def llmCosineNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val scaled = emb.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + 10000)
+      .withColumn("embedding", transform(col("embedding"), x => x * lit(1.001f)))
+    Similarity.cosineNearDuplicates(emb.unionByName(scaled), "embedding", "vec_id",
+        threshold = 0.999, numPlanes = 8)
+      .orderBy("id_a", "id_b")
+  }
+
+  // ------------------------------------------------------ LLM-pipeline: text
+
+  private def llmLangId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(TextAnalysis.langId(col("text")).as("detected_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("detected_lang")
+
+  private def llmQuality(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  private def llmTokens(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
+        length(col("text")).cast("long").as("n_chars_computed"))
+      .orderBy("doc_id")
+
+  private def llmFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Order-sensitive rolling-hash fingerprint (xxhash64-based → rows-only). */
+  private def llmRollingFp(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rolling_fp"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------- Multimodal
+
+  /** Binary-payload metadata through pure expressions (oracle: byte_len). */
+  private def mmMeta(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"), length(col("payload")).cast("long").as("byte_len"))
+      .orderBy("doc_id")
+
+  /** Typed Dataset decode path through the partition-local stub decoder
+    * (deterministic fake; rows-only check). */
+  private def mmDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val files = t(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+        col("text").cast("binary").as("payload"))
+      .as[Multimodal.MediaFile]
+    Multimodal.decode(files).toDF().orderBy("media_id")
+  }
+
   // ---------------------------------------------------------------- Registry
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -435,6 +639,25 @@ object Registry {
     "q_agg1_pricing_summary" -> q(agg1PricingSummary),
     "q_j_broadcast_dims" -> q(jBroadcastDims),
     "q_e_events_summary" -> q(eEventsSummary),
+    "q_s1_csv_roundtrip" -> q(s1CsvRoundtrip),
+    "q_s4_txt_sniff" -> q(s4TxtSniff),
+    "q_s2_xlsx_read" -> q(s2Xlsx),
+    "q_h1_header_detect" -> q(h1HeaderDetect),
+    "q_llm_exact_dedup" -> q(llmExactDedup),
+    "q_llm_minhash_neardup" -> q(llmMinhashNearDup),
+    "q_llm_simhash_neardup" -> q(llmSimhashNearDup),
+    "q_llm_ngram_jaccard" -> q(llmNgramJaccard),
+    "q_llm_ann_brute" -> q(llmAnnBrute),
+    "q_llm_ann_ivf" -> q(llmAnnIvf),
+    "q_llm_ann_lsh" -> q(llmAnnLsh),
+    "q_llm_cosine_neardup" -> q(llmCosineNearDup),
+    "q_llm_langid" -> q(llmLangId),
+    "q_llm_quality" -> q(llmQuality),
+    "q_llm_tokens" -> q(llmTokens),
+    "q_llm_fingerprint" -> q(llmFingerprint),
+    "q_llm_rolling_fp" -> q(llmRollingFp),
+    "q_mm_meta" -> q(mmMeta),
+    "q_mm_decode" -> q(mmDecode),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -666,5 +889,121 @@ object Registry {
            CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_value,
            count(DISTINCT user_id) AS users
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_s1_csv_roundtrip" ->
+      """SELECT * FROM (VALUES
+           ('01112', 'Smith, John', 'café', '100', CAST(1 AS BIGINT)),
+           ('00500', 'plain', '', '0042', 2))
+         t(_c0, _c1, _c2, _c3, _row_number) ORDER BY _row_number""",
+    "q_s4_txt_sniff" ->
+      """SELECT * FROM (VALUES
+           ('A', 'B', 'C', CAST(1 AS BIGINT)),
+           ('1', '2,5', '3', 2),
+           ('4', '5', '6', 3))
+         t(_c0, _c1, _c2, _row_number) ORDER BY _row_number""",
+    "q_s2_xlsx_read" ->
+      """SELECT * FROM (VALUES
+           ('HCPCS', 'WORK RVU', '', CAST(1 AS BIGINT)),
+           ('99213', '1.3', '', 2),
+           ('99214', '', '42', 3))
+         t(_c0, _c1, _c2, _row_number) ORDER BY _row_number""",
+    "q_h1_header_detect" ->
+      """SELECT * FROM (VALUES
+           ('01112', 'Alabama', CAST(1.000 AS DOUBLE), CAST(0.869 AS DOUBLE), CAST(0.575 AS DOUBLE)),
+           ('05102', 'San Francisco', 1.060, 1.298, 0.604))
+         t(mac_locality, locality_name, work_gpci, pe_gpci, mp_gpci)
+         ORDER BY mac_locality""",
+    "q_llm_exact_dedup" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50)
+         SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS copies
+         FROM all_docs GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""",
+    "q_llm_ngram_jaccard" ->
+      """WITH g AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, len(string_split_regex(trim(text), '\s+'))),
+             i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+                  string_split_regex(trim(text), '\s+')[i+1])) AS grams
+           FROM documents)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           floor(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE)
+             * 10000 + 0.5) / 10000 AS jaccard
+         FROM g a JOIN g b ON a.doc_id + 1 = b.doc_id ORDER BY doc_a""",
+    "q_llm_ann_brute" ->
+      """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+                    FROM embeddings WHERE vec_id = 0),
+           c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                 FROM embeddings)
+         SELECT vec_id,
+           floor(list_sum(list_transform(list_zip(e, qe), p -> p[1] * p[2])) /
+             (sqrt(list_sum(list_transform(e, x -> x*x)))
+              * sqrt(list_sum(list_transform(qe, x -> x*x)))) * 1000000 + 0.5) / 1000000
+             AS cosine_sim
+         FROM c, q ORDER BY cosine_sim DESC, vec_id LIMIT 10""",
+    "q_llm_ann_ivf" ->
+      """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe, label AS ql
+                    FROM embeddings WHERE vec_id = 0),
+           c AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                 FROM embeddings)
+         SELECT vec_id,
+           floor(list_sum(list_transform(list_zip(e, qe), p -> p[1] * p[2])) /
+             (sqrt(list_sum(list_transform(e, x -> x*x)))
+              * sqrt(list_sum(list_transform(qe, x -> x*x)))) * 1000000 + 0.5) / 1000000
+             AS cosine_sim
+         FROM c, q WHERE c.label = q.ql ORDER BY cosine_sim DESC, vec_id LIMIT 5""",
+    "q_llm_langid" ->
+      """WITH hits AS (SELECT
+           len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS en,
+           len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t IN ('der','die','das','und','ist','von','zu','mit','auf','ein'))) AS de,
+           len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t IN ('le','la','les','de','et','est','un','une','que','pour'))) AS fr,
+           len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t IN ('el','la','los','de','y','es','un','una','que','por'))) AS es
+           FROM documents),
+         det AS (SELECT CASE
+             WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+             WHEN en = greatest(en, de, fr, es) THEN 'en'
+             WHEN de = greatest(en, de, fr, es) THEN 'de'
+             WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+             ELSE 'es' END AS detected_lang FROM hits)
+         SELECT detected_lang, count(*) AS n FROM det
+         GROUP BY detected_lang ORDER BY detected_lang""",
+    "q_llm_quality" ->
+      """WITH m AS (SELECT doc_id,
+           CAST(length(text) AS DOUBLE) AS nchars,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS ntok,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t IN ('the','a','of','and','to','in','is','that','it','for',
+                        'der','die','das','und','ist','von','zu','mit','auf','ein',
+                        'le','la','les','de','et','est','un','une','que','pour',
+                        'el','los','y','es','por'))) AS DOUBLE) AS sw
+           FROM documents)
+         SELECT doc_id, floor((
+             (CASE WHEN nchars >= 200 AND nchars <= 2000 THEN 1.0
+                   WHEN nchars >= 50 THEN 0.5 ELSE 0.0 END) * 0.3
+             + (CASE WHEN nchars > 0 THEN alpha / nchars ELSE 0.0 END) * 0.3
+             + least((CASE WHEN ntok > 0 THEN sw / ntok ELSE 0.0 END) * 5.0, 1.0) * 0.2
+             + (CASE WHEN ntok > 0 AND nchars / ntok >= 3 AND nchars / ntok <= 12
+                     THEN 1.0 ELSE 0.0 END) * 0.2) * 10000 + 0.5) / 10000 AS quality
+         FROM m ORDER BY doc_id""",
+    "q_llm_tokens" ->
+      """SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish,
+           length(text) AS n_chars_computed
+         FROM documents ORDER BY doc_id""",
+    "q_llm_fingerprint" ->
+      """SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+             '\s+', ' ', 'g'))) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q_mm_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len
+         FROM documents ORDER BY doc_id""",
   )
 }
