@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Similarity, TextAnalysis}
+
+/** LLM-pipeline operator specs: planted near-duplicates must be found,
+  * ANN ranking must match brute force, text metrics must be sane. */
+class LlmOpsSpec extends SparkSpecBase {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts, keeps lowest id") {
+    val d = docs((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma"))
+    val groups = Dedup.exactDuplicateGroups(d, "doc_id", "text")
+      .filter(col("copies") > 1).collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("keeper_id") == 1L)
+    assert(groups(0).getAs[Long]("copies") == 2L)
+  }
+
+  test("minhash-lsh finds a planted near-duplicate and skips unrelated text") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val nearDup = base + " extra"
+    val unrelated = "completely different words describing another topic entirely with no overlap"
+    val d = docs((1L, base), (2L, nearDup), (3L, unrelated))
+    val pairs = Dedup.minhashNearDuplicates(d, "doc_id", "text",
+      shingleSize = 3, numPerms = 64, bands = 16, threshold = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(pairs(0).getAs[Double]("jaccard") > 0.8)
+  }
+
+  test("simhash: identical text distance 0; small edit small distance") {
+    val fp = docs((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "a b c d e f g x")).select(Dedup.simhash(col("text")).as("fp"))
+      .collect().map(_.getLong(0))
+    assert(fp(0) == fp(1))
+    assert(java.lang.Long.bitCount(fp(0) ^ fp(2)) <= 16)
+  }
+
+  test("jaccard shingles: exact value on known sets") {
+    import spark.implicits._
+    val d = Seq(("a b c", "b c d")).toDF("t1", "t2")
+    val j = d.select(Dedup.jaccard(
+      Dedup.shingles(col("t1"), 1), Dedup.shingles(col("t2"), 1)).as("j"))
+      .head.getDouble(0)
+    assert(math.abs(j - 2.0 / 4.0) < 1e-12)
+  }
+
+  test("brute-force cosine top-k ranks the query vector itself first") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)), (4L, Array(-1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(corpus, "embedding", "vec_id",
+      Seq(1.0, 0.0, 0.0), 3).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(top(0).getDouble(1) == 1.0)
+  }
+
+  test("lsh ANN returns a subset consistent with brute force on its bucket") {
+    import spark.implicits._
+    val corpus = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = (0 until 8).map(j => math.sin(j).toDouble) // = vector 0
+    val top = Similarity.lshTopK(corpus, "embedding", "vec_id", q, 3, numPlanes = 4)
+      .collect()
+    assert(top.nonEmpty && top(0).getLong(0) == 0L && top(0).getDouble(1) == 1.0)
+  }
+
+  test("langid picks the language with most stopword hits; und for none") {
+    val r = docs(
+      (1L, "the cat and the dog is in a house"),
+      (2L, "der hund und die katze ist auf ein haus"),
+      (3L, "xyzzy plugh qwerty"))
+      .select(TextAnalysis.langId(col("text")).as("lang"))
+      .collect().map(_.getString(0))
+    assert(r.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("token counts and quality score bounds") {
+    val d = docs((1L, "Hello, world! This is a test."))
+    val row = d.select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("b"),
+      TextAnalysis.qualityScore(col("text")).as("q")).head
+    assert(row.getAs[Int]("n") == 6)
+    assert(row.getAs[Int]("b") == 9) // 6 word runs + 3 punctuation marks
+    val q = row.getAs[Double]("q")
+    assert(q >= 0.0 && q <= 1.0)
+  }
+
+  test("fingerprint invariant to case/punctuation/whitespace; rolling hash is not") {
+    val d = docs((1L, "Hello,   World!"), (2L, "hello world"), (3L, "world hello"))
+    val fps = d.select(TextAnalysis.fingerprint(col("text")).as("fp"),
+      TextAnalysis.rollingHash(col("text")).as("rh")).collect()
+    assert(fps(0).getString(0) == fps(1).getString(0)) // normalized-equal
+    assert(fps(1).getString(0) != fps(2).getString(0)) // md5 of different bags
+    assert(fps(1).getLong(1) != fps(2).getLong(1))     // order-sensitive
+  }
+}

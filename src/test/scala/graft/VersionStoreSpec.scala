@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.store.VersionStore
+
+/** Version lifecycle (U2-U5), current views (J2), duplicate-file detection
+  * (D2) over a temp store root. */
+class VersionStoreSpec extends SparkSpecBase {
+
+  private def newStore(): VersionStore = {
+    val root = java.nio.file.Files.createTempDirectory("graft-store").toString
+    new VersionStore(spark, root)
+  }
+
+  private def sampleData(v: Int) = {
+    import spark.implicits._
+    Seq((s"code$v", v * 1.0), (s"other$v", v * 2.0)).toDF("hcpcs_code", "amount")
+  }
+
+  test("lifecycle: create -> complete -> mark current -> current view resolves") {
+    val store = newStore()
+    val id1 = store.createVersion("PFS_OPPS_CAP", "2025-Q4",
+      java.sql.Date.valueOf("2025-10-01"), None, "hash1", "f1.csv")
+    store.writeData("cms.pfs_opps_cap", id1, sampleData(1))
+    store.completeVersion(id1, 2)
+    store.markCurrent(id1, "PFS_OPPS_CAP", None)
+
+    val id2 = store.createVersion("PFS_OPPS_CAP", "2026-Q1",
+      java.sql.Date.valueOf("2026-01-01"), None, "hash2", "f2.csv")
+    store.writeData("cms.pfs_opps_cap", id2, sampleData(2))
+    store.completeVersion(id2, 2)
+    store.markCurrent(id2, "PFS_OPPS_CAP", None)
+
+    // current view sees ONLY version 2's rows
+    val cur = store.currentView("cms.pfs_opps_cap", "PFS_OPPS_CAP")
+    assert(cur.count() == 2)
+    assert(cur.select("hcpcs_code").collect().map(_.getString(0)).toSet ==
+      Set("code2", "other2"))
+    // exactly one current version per (source, variant) scope
+    assert(store.versions.filter(col("is_current")).count() == 1)
+  }
+
+  test("failed version is excluded from current view; error recorded") {
+    val store = newStore()
+    val id = store.createVersion("HCPCS", "2026-Q1",
+      java.sql.Date.valueOf("2026-01-01"), None, "h", "f.csv")
+    store.failVersion(id, "boom")
+    val v = store.versions.filter(col("data_version_id") === id).head
+    assert(v.getAs[String]("status") == "failed")
+    assert(v.getAs[String]("error_message") == "boom")
+  }
+
+  test("variant scoping: HOSPITAL current swap leaves PRACTITIONER untouched") {
+    val store = newStore()
+    val h1 = store.createVersion("NCCI_PTP", "2026-Q1",
+      java.sql.Date.valueOf("2026-01-01"), Some("HOSPITAL"), "h1", "h.csv")
+    store.completeVersion(h1, 1); store.markCurrent(h1, "NCCI_PTP", Some("HOSPITAL"))
+    val p1 = store.createVersion("NCCI_PTP", "2026-Q1",
+      java.sql.Date.valueOf("2026-01-01"), Some("PRACTITIONER"), "p1", "p.csv")
+    store.completeVersion(p1, 1); store.markCurrent(p1, "NCCI_PTP", Some("PRACTITIONER"))
+    val h2 = store.createVersion("NCCI_PTP", "2026-Q2",
+      java.sql.Date.valueOf("2026-04-01"), Some("HOSPITAL"), "h2", "h2.csv")
+    store.completeVersion(h2, 1); store.markCurrent(h2, "NCCI_PTP", Some("HOSPITAL"))
+
+    val current = store.versions.filter(col("is_current"))
+      .select("data_version_id").collect().map(_.getLong(0)).toSet
+    assert(current == Set(p1, h2))
+  }
+
+  test("duplicate-file detection blocks completed hashes only (D2)") {
+    val store = newStore()
+    val id = store.createVersion("HCPCS", "2026-Q1",
+      java.sql.Date.valueOf("2026-01-01"), None, "samehash", "f.csv")
+    assert(!store.isDuplicateFile("HCPCS", "samehash")) // processing, not completed
+    store.completeVersion(id, 1)
+    assert(store.isDuplicateFile("HCPCS", "samehash"))
+    assert(!store.isDuplicateFile("HCPCS", "otherhash"))
+  }
+
+  test("cascade delete removes data and metadata (U5)") {
+    val store = newStore()
+    val id = store.createVersion("PFS_GPCI", "2026-Q1",
+      java.sql.Date.valueOf("2026-01-01"), None, "h", "f.csv")
+    store.writeData("cms.pfs_gpci", id, sampleData(1))
+    store.completeVersion(id, 2)
+    store.deleteVersion(id, "cms.pfs_gpci")
+    assert(store.versions.filter(col("data_version_id") === id).isEmpty)
+  }
+}
