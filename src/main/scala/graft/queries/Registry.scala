@@ -367,6 +367,156 @@ object Registry {
       .orderBy("data_version_id")
   }
 
+  // ----------------------------------------- Remaining §2 operator coverage
+
+  /** P6 status/flag predicates (init_db.py:428, dashboard.py:43-47). */
+  private def p6StatusFilter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 100000.0)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** O2 latest-by-effective-date scalar (validator.py:55-63). */
+  private def o2LatestEffective(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").filter(col("o_orderstatus") === "O")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc).limit(1)
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
+
+  /** O4 multi-key presentation sort (dashboard.py:48, schema.py:57). */
+  private def o4PresentationSort(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .filter(col("c_custkey") <= 50)
+      .orderBy(col("c_mktsegment").asc, col("c_nationkey").asc, col("c_name").asc)
+      .select("c_mktsegment", "c_nationkey", "c_name")
+
+  /** D2 duplicate-file detection semantics (validator.py:178-214). */
+  private def d2DuplicateFile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val versions = Seq(
+      (1L, "SRC_X", "hash_a", "completed"), (2L, "SRC_X", "hash_b", "failed"),
+      (3L, "SRC_X", "hash_c", "completed"), (4L, "SRC_Y", "hash_a", "completed"))
+      .toDF("data_version_id", "source_code", "file_hash", "status")
+    val uploads = Seq(("SRC_X", "hash_a"), ("SRC_X", "hash_b"), ("SRC_Y", "hash_z"))
+      .toDF("source_code", "file_hash")
+    uploads.join(versions.filter(col("status") === "completed")
+        .select(col("source_code"), col("file_hash"), lit(true).as("hit")),
+        Seq("source_code", "file_hash"), "left")
+      .select(col("source_code"), col("file_hash"),
+        coalesce(col("hit"), lit(false)).as("is_duplicate"))
+      .orderBy("source_code", "file_hash")
+  }
+
+  /** D7 metadata counter update: COALESCE(record_count,0)+delta
+    * (ingestor.py:178-195). */
+  private def d7CounterUpdate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val versions = Seq((1L, Some(100L), Some(1)), (2L, None, None), (3L, Some(7L), Some(3)))
+      .toDF("data_version_id", "record_count", "part_count")
+    versions.select(col("data_version_id"),
+        (coalesce(col("record_count"), lit(0L)) + 50L).as("record_count"),
+        (coalesce(col("part_count"), lit(1)) + 1).as("part_count"))
+      .orderBy("data_version_id")
+  }
+
+  /** D8 group-by category with collected members (dashboard.py:53-58). */
+  private def d8GroupCategory(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "nation").join(t(spark, dir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(sort_array(collect_list(col("n_name"))).as("nations"))
+      .orderBy("r_name")
+
+  /** J3 metadata equi-join: canonical columns x sources (upload.py:68-86). */
+  private def j3MetaJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sources = Catalog.sources.map(s => (s.sourceCode, s.targetTable, s.displayOrder))
+      .toDF("source_code", "target_table", "display_order")
+    val columns = Catalog.sources.flatMap(s => s.columns.map(c =>
+      (s.sourceCode, c.internalName, c.dataType.name, c.isRequired)))
+      .toDF("source_code", "internal_name", "data_type", "is_required")
+    sources.join(columns, "source_code")
+      .groupBy("source_code", "target_table")
+      .agg(count(lit(1)).as("n_columns"),
+        sum(when(col("is_required"), 1L).otherwise(0L)).as("n_required"))
+      .orderBy("source_code")
+  }
+
+  /** J4 parts ⋈ versions (upload.py:272-279). */
+  private def j4PartsJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val versions = Seq((1L, "NCCI_PTP", "2026-Q1"), (2L, "NCCI_PTP", "2026-Q2"))
+      .toDF("data_version_id", "source_code", "version_label")
+    val parts = Seq((1L, 1, "p1h"), (1L, 2, "p2h"), (2L, 1, "p3h"))
+      .toDF("data_version_id", "part_number", "file_hash")
+    versions.join(parts, "data_version_id")
+      .select("data_version_id", "version_label", "part_number", "file_hash")
+      .orderBy("data_version_id", "part_number")
+  }
+
+  /** J6 scalar-subquery config lookup (init_db.py:428-430): resolve one
+    * source's id then filter the fact side by it. */
+  private def j6ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val n = t(spark, dir, "nation")
+    val targetKey = t(spark, dir, "region").filter(col("r_name") === "ASIA")
+      .select("r_regionkey").head.getInt(0)
+    n.filter(col("n_regionkey") === targetKey)
+      .select("n_nationkey", "n_name").orderBy("n_nationkey")
+  }
+
+  /** U1 config upsert: merge incoming over existing on key (seed_data.py
+    * ON CONFLICT DO UPDATE): full outer + coalesce new-over-old. */
+  private def u1Upsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val existing = Seq(("A", "old-a", 1), ("B", "old-b", 2)).toDF("k", "v", "rev")
+    val incoming = Seq(("B", "new-b", 3), ("C", "new-c", 1)).toDF("k", "v2", "rev2")
+    existing.join(incoming, Seq("k"), "full")
+      .select(col("k"), coalesce(col("v2"), col("v")).as("v"),
+        coalesce(col("rev2"), col("rev")).as("rev"))
+      .orderBy("k")
+  }
+
+  /** U2 lifecycle transitions as data: processing -> completed|failed
+    * (ingestor.py:101-127, 198-223). */
+  private def u2Lifecycle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val versions = Seq(
+      (1L, "processing", Some(100L), Option.empty[String]),
+      (2L, "processing", Option.empty[Long], Some("parse error")),
+      (3L, "completed", Some(5L), Option.empty[String]))
+      .toDF("data_version_id", "status", "inserted", "error")
+    versions.select(col("data_version_id"),
+        when(col("status") =!= "processing", col("status"))
+          .when(col("error").isNotNull, "failed")
+          .when(col("inserted").isNotNull && col("inserted") > 0, "completed")
+          .otherwise("failed").as("status"),
+        col("inserted"), col("error"))
+      .orderBy("data_version_id")
+  }
+
+  /** U4 multi-part append = UNION ALL under one version id
+    * (ingestor.py:691-783). */
+  private def u4MultiPartAppend(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val part1 = l.filter(col("l_orderkey") % 4 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), lit(1).as("part_number"))
+    val part2 = l.filter(col("l_orderkey") % 4 === 1)
+      .select(col("l_orderkey"), col("l_linenumber"), lit(2).as("part_number"))
+    part1.unionByName(part2).withColumn("data_version_id", lit(7L))
+      .groupBy("data_version_id", "part_number")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("part_number")
+  }
+
+  /** U5 cascade delete as relational algebra: anti-join children of the
+    * deleted version (init_db.py:98-146). */
+  private def u5CascadeDelete(spark: SparkSession, dir: String): DataFrame = {
+    val data = t(spark, dir, "orders")
+      .withColumn("data_version_id", pmod(col("o_orderkey"), lit(4)) + 1)
+    data.filter(col("data_version_id") =!= 2)
+      .groupBy("data_version_id").agg(count(lit(1)).as("n"))
+      .orderBy("data_version_id")
+  }
+
   // ------------------------------------------------------------- Aggregation
 
   private def agg1PricingSummary(spark: SparkSession, dir: String): DataFrame =
@@ -658,6 +808,19 @@ object Registry {
     "q_llm_rolling_fp" -> q(llmRollingFp),
     "q_mm_meta" -> q(mmMeta),
     "q_mm_decode" -> q(mmDecode),
+    "q_p6_status_filter" -> q(p6StatusFilter),
+    "q_o2_latest_effective" -> q(o2LatestEffective),
+    "q_o4_presentation_sort" -> q(o4PresentationSort),
+    "q_d2_duplicate_file" -> q(d2DuplicateFile),
+    "q_d7_counter_update" -> q(d7CounterUpdate),
+    "q_d8_group_category" -> q(d8GroupCategory),
+    "q_j3_meta_join" -> q(j3MetaJoin),
+    "q_j4_parts_join" -> q(j4PartsJoin),
+    "q_j6_scalar_subquery" -> q(j6ScalarSubquery),
+    "q_u1_upsert" -> q(u1Upsert),
+    "q_u2_lifecycle" -> q(u2Lifecycle),
+    "q_u4_multipart_append" -> q(u4MultiPartAppend),
+    "q_u5_cascade_delete" -> q(u5CascadeDelete),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -1005,5 +1168,77 @@ object Registry {
     "q_mm_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len
          FROM documents ORDER BY doc_id""",
+    "q_p6_status_filter" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0 ORDER BY o_orderkey""",
+    "q_o2_latest_effective" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate FROM orders
+         WHERE o_orderstatus = 'O' ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1""",
+    "q_o4_presentation_sort" ->
+      """SELECT c_mktsegment, c_nationkey, c_name FROM customer WHERE c_custkey <= 50
+         ORDER BY c_mktsegment, c_nationkey, c_name""",
+    "q_d2_duplicate_file" ->
+      """WITH versions(data_version_id, source_code, file_hash, status) AS (VALUES
+             (1, 'SRC_X', 'hash_a', 'completed'), (2, 'SRC_X', 'hash_b', 'failed'),
+             (3, 'SRC_X', 'hash_c', 'completed'), (4, 'SRC_Y', 'hash_a', 'completed')),
+           uploads(source_code, file_hash) AS (VALUES
+             ('SRC_X', 'hash_a'), ('SRC_X', 'hash_b'), ('SRC_Y', 'hash_z'))
+         SELECT u.source_code, u.file_hash,
+           EXISTS (SELECT 1 FROM versions v WHERE v.source_code = u.source_code
+                   AND v.file_hash = u.file_hash AND v.status = 'completed') AS is_duplicate
+         FROM uploads u ORDER BY source_code, file_hash""",
+    "q_d7_counter_update" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), CAST(150 AS BIGINT), CAST(2 AS INT)),
+           (2, 50, 2), (3, 57, 4))
+         t(data_version_id, record_count, part_count) ORDER BY data_version_id""",
+    "q_d8_group_category" ->
+      """SELECT r_name, list_sort(list(n_name)) AS nations
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "q_j3_meta_join" ->
+      """SELECT * FROM (VALUES
+           ('HCPCS', 'cms.hcpcs_codes', CAST(8 AS BIGINT), CAST(1 AS BIGINT)),
+           ('NCCI_MUE_DME', 'cms.ncci_mue', 5, 3),
+           ('NCCI_MUE_OPH', 'cms.ncci_mue', 5, 3),
+           ('NCCI_MUE_PRAC', 'cms.ncci_mue', 5, 3),
+           ('NCCI_PTP', 'cms.ncci_ptp', 7, 4),
+           ('PFS_ANES_CF', 'cms.pfs_anes_cf', 3, 2),
+           ('PFS_GPCI', 'cms.pfs_gpci', 5, 4),
+           ('PFS_LOCALITY', 'cms.pfs_locality', 6, 3),
+           ('PFS_OPPS_CAP', 'cms.pfs_opps_cap', 2, 2),
+           ('PFS_RVU', 'cms.pfs_rvu', 13, 1))
+         t(source_code, target_table, n_columns, n_required) ORDER BY source_code""",
+    "q_j4_parts_join" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), '2026-Q1', CAST(1 AS INT), 'p1h'),
+           (1, '2026-Q1', 2, 'p2h'), (2, '2026-Q2', 1, 'p3h'))
+         t(data_version_id, version_label, part_number, file_hash)
+         ORDER BY data_version_id, part_number""",
+    "q_j6_scalar_subquery" ->
+      """SELECT n_nationkey, n_name FROM nation
+         WHERE n_regionkey = (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')
+         ORDER BY n_nationkey""",
+    "q_u1_upsert" ->
+      """SELECT * FROM (VALUES
+           ('A', 'old-a', CAST(1 AS INT)), ('B', 'new-b', 3), ('C', 'new-c', 1))
+         t(k, v, rev) ORDER BY k""",
+    "q_u2_lifecycle" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), 'completed', CAST(100 AS BIGINT), CAST(NULL AS VARCHAR)),
+           (2, 'failed', NULL, 'parse error'),
+           (3, 'completed', 5, NULL))
+         t(data_version_id, status, inserted, error) ORDER BY data_version_id""",
+    "q_u4_multipart_append" ->
+      """SELECT CAST(7 AS BIGINT) AS data_version_id, part_number, count(*) AS n FROM (
+           SELECT CAST(1 AS INT) AS part_number FROM lineitem WHERE l_orderkey % 4 = 0
+           UNION ALL
+           SELECT 2 FROM lineitem WHERE l_orderkey % 4 = 1)
+         GROUP BY part_number ORDER BY part_number""",
+    "q_u5_cascade_delete" ->
+      """SELECT l_orderkey % 4 + 1 AS data_version_id, count(*) AS n
+         FROM (SELECT o_orderkey AS l_orderkey FROM orders)
+         WHERE l_orderkey % 4 + 1 <> 2
+         GROUP BY 1 ORDER BY 1""",
   )
 }
