@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming surface over the `events` relation shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Net-new capability relative to the reference (which is request-driven
+  * batch only — SURVEY.md §2.9): the same transforms the batch pipeline
+  * applies, expressed as an unbounded flow with event-time semantics. All
+  * operators here are standard Structured Streaming idioms: watermarked
+  * tumbling windows, streaming dedup by key-within-watermark, and
+  * mapGroupsWithState sessionization.
+  */
+object EventStream {
+
+  /** Windowed per-type aggregation with a watermark: the streaming
+    * equivalent of the batch events summary. Late rows beyond the watermark
+    * are dropped deterministically rather than buffered forever — the state
+    * bound that keeps this runnable on an unbounded 100 TB/day feed. */
+  def windowedSummary(events: DataFrame, windowSize: String = "1 minute",
+                      watermark: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowSize), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("total_value"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+
+  /** Streaming exact dedup on event_id within the watermark horizon —
+    * Spark keeps one state entry per key seen, aged out by the watermark. */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionSummary(user_id: Long, n_events: Long,
+                                  total_value: Double, session_end: Timestamp)
+
+  /** Custom sessionization state machine via mapGroupsWithState: per-user
+    * running session, emitted when the processing-time gap expires. The
+    * KeyValueGroupedDataset path the reference has no analogue for. */
+  def sessionize(events: Dataset[SessionEvent],
+                 gapMs: Long = 30 * 60 * 1000): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionSummary, SessionSummary](
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        case (userId, rows, state: GroupState[SessionSummary]) =>
+          if (state.hasTimedOut) {
+            val out = state.get
+            state.remove()
+            out
+          } else {
+            val buffered = rows.toSeq
+            val prev = state.getOption.getOrElse(
+              SessionSummary(userId, 0L, 0.0, new Timestamp(0)))
+            val updated = SessionSummary(
+              userId,
+              prev.n_events + buffered.size,
+              prev.total_value + buffered.map(_.value).sum,
+              buffered.map(_.ts).maxBy(_.getTime))
+            state.update(updated)
+            state.setTimeoutDuration(gapMs)
+            updated
+          }
+      }
+  }
+
+  /** Replay the batch events parquet as a bounded stream (one file per
+    * micro-batch) — the standard harness for exercising streaming plans
+    * against deterministic data. Returns the running query writing to an
+    * in-memory sink table named `sinkTable`. */
+  def replayParquetAsStream(spark: SparkSession, dir: String, schema: org.apache.spark.sql.types.StructType,
+                            transform: DataFrame => DataFrame,
+                            sinkTable: String,
+                            outputMode: OutputMode = OutputMode.Append()): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    transform(stream).writeStream
+      .format("memory")
+      .queryName(sinkTable)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}
