@@ -595,6 +595,12 @@ object Registry {
       .orderBy("_row_number")
   }
 
+  /** S3: legacy XLS read through the BIFF8/CFB subset reader. */
+  private def s3Xls(spark: SparkSession, dir: String): DataFrame =
+    FileReader.withRowNumbers(
+      FileReader.readXls(spark, graft.io.SyntheticXls.standardFixture()))
+      .orderBy("_row_number")
+
   /** H1-H4 + P3 + F-transforms end-to-end on a literal messy file: title
     * row, blank row, header row found at index 2, typed projection out. */
   private def h1HeaderDetect(spark: SparkSession, dir: String): DataFrame = {
@@ -754,6 +760,16 @@ object Registry {
     Multimodal.decode(files).toDF().orderBy("media_id")
   }
 
+  /** JSONB-analogue handling (reference ingestion_logs.details JSONB,
+    * init_db.py:149): extract a typed field from a JSON string column and
+    * aggregate on it. */
+  private def ePropsJson(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(pmod(col("k"), lit(10)).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy("k_bucket")
+
   // ---------------------------------------------------------------- Registry
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -792,6 +808,7 @@ object Registry {
     "q_s1_csv_roundtrip" -> q(s1CsvRoundtrip),
     "q_s4_txt_sniff" -> q(s4TxtSniff),
     "q_s2_xlsx_read" -> q(s2Xlsx),
+    "q_s3_xls_read" -> q(s3Xls),
     "q_h1_header_detect" -> q(h1HeaderDetect),
     "q_llm_exact_dedup" -> q(llmExactDedup),
     "q_llm_minhash_neardup" -> q(llmMinhashNearDup),
@@ -821,6 +838,7 @@ object Registry {
     "q_u2_lifecycle" -> q(u2Lifecycle),
     "q_u4_multipart_append" -> q(u4MultiPartAppend),
     "q_u5_cascade_delete" -> q(u5CascadeDelete),
+    "q_e_props_json" -> q(ePropsJson),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -1069,6 +1087,12 @@ object Registry {
            ('99213', '1.3', '', 2),
            ('99214', '', '42', 3))
          t(_c0, _c1, _c2, _row_number) ORDER BY _row_number""",
+    "q_s3_xls_read" ->
+      """SELECT * FROM (VALUES
+           ('HCPCS', 'MOD', CAST(1 AS BIGINT)),
+           ('99213', '1.5', 2),
+           ('A1234', '42', 3))
+         t(_c0, _c1, _row_number) ORDER BY _row_number""",
     "q_h1_header_detect" ->
       """SELECT * FROM (VALUES
            ('01112', 'Alabama', CAST(1.000 AS DOUBLE), CAST(0.869 AS DOUBLE), CAST(0.575 AS DOUBLE)),
@@ -1240,5 +1264,10 @@ object Registry {
          FROM (SELECT o_orderkey AS l_orderkey FROM orders)
          WHERE l_orderkey % 4 + 1 <> 2
          GROUP BY 1 ORDER BY 1""",
+    "q_e_props_json" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+         FROM events GROUP BY 1 ORDER BY 1""",
   )
 }
