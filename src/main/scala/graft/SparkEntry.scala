@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.config.Catalog
 import graft.header.HeaderDetector
 import graft.io.FileReader
-import graft.pipeline.Ingestor
+import graft.pipeline.{Ingestor, IngestPipeline}
 import graft.queries.{ReadQueries, Registry}
 import graft.store.VersionStore
 
@@ -40,44 +40,14 @@ object SparkEntry {
         |""".stripMargin)
 
     val store = new VersionStore(spark, s"$work/store")
-    ingestCsv(spark, store, "PFS_RVU", rvuCsv)
-    ingestCsv(spark, store, "PFS_GPCI", gpciCsv)
+    val d = java.sql.Date.valueOf("2026-01-01")
+    IngestPipeline.ingestFile(spark, store, "PFS_RVU", rvuCsv, "2026-Q1", d)
+    IngestPipeline.ingestFile(spark, store, "PFS_GPCI", gpciCsv, "2026-Q1", d)
 
     val rvuCur = store.currentView("cms.pfs_rvu", "PFS_RVU")
     val gpciCur = store.currentView("cms.pfs_gpci", "PFS_GPCI")
     ReadQueries.feeFor(rvuCur, gpciCur, "99213", "05102",
       conversionFactor = Some(32.7442), modifier = Some("26"))
-  }
-
-  /** Minimal full-pipeline ingest used by the flagship (and specs). */
-  private[graft] def ingestCsv(spark: SparkSession, store: VersionStore,
-                               sourceCode: String, path: String): Long = {
-    val source = Catalog(sourceCode)
-    val raw = FileReader.readCsv(spark, path)
-    val numbered = FileReader.withRowNumbers(raw)
-    val mappings = scala.collection.immutable.ListMap(source.columns.collect {
-      case c if c.acceptedHeaders.nonEmpty =>
-        c.internalName -> HeaderDetector.ColumnMapping(c.acceptedHeaders, c.isRequired)
-    }: _*)
-    val head = FileReader.firstRows(raw, HeaderDetector.MaxScanRows)
-    val det = HeaderDetector.detectHeaderRow(head, mappings)
-    require(det.found, det.error.getOrElse("header not found"))
-    val hdrIdx = det.headerRowIndex.get
-    val colIdx = HeaderDetector.getColumnIndex(head(hdrIdx), det.columnMap)
-    val dataRows = numbered.filter(col("_row_number") > hdrIdx + 1)
-    val dataCols = colIdx.values.map(i => s"_c$i").toSeq
-    val nonEmpty = Ingestor.filterEmptyRows(dataRows, dataCols)
-    val projected = Ingestor.project(nonEmpty, colIdx)
-    val typed = Ingestor.transformColumns(projected, source)
-    val (valid, _) = Ingestor.validateSplit(typed, source.uniqueKeys)
-    val (unique, _) = Ingestor.dedupFirstWins(valid, source.uniqueKeys)
-    val versionId = store.createVersion(sourceCode, "2026-Q1",
-      java.sql.Date.valueOf("2026-01-01"), None, VersionStore.sha256File(path),
-      path.substring(path.lastIndexOf('/') + 1))
-    store.writeData(source.targetTable, versionId, unique.drop("_row_number"))
-    store.completeVersion(versionId, unique.count())
-    store.markCurrent(versionId, sourceCode, None)
-    versionId
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -136,6 +136,21 @@ final class VersionStore(val spark: SparkSession, val root: String) {
       swapWrite(parts.filter(col("data_version_id") =!= id), partsPath)
   }
 
+  /** U4 part bookkeeping: add a part row and bump the version's counters
+    * (record_count += n, part_count += 1 — reference ingestor.py:153-195). */
+  def appendPart(versionId: Long, partNumber: Int, fileHash: String,
+                 fileName: String, recordCount: Long): Unit = {
+    val row = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        versionId, partNumber, fileHash, fileName, recordCount)), partSchema)
+    swapWrite(parts.unionByName(row), partsPath)
+    updateVersion(versionId, v => v
+      .withColumn("record_count", when(col("data_version_id") === versionId,
+        coalesce(col("record_count"), lit(0L)) + recordCount).otherwise(col("record_count")))
+      .withColumn("part_count", when(col("data_version_id") === versionId,
+        coalesce(col("part_count"), lit(1)) + 1).otherwise(col("part_count"))))
+  }
+
   /** U6 ingestion event log append. */
   def log(versionId: Long, level: String, message: String, detailsJson: Option[String] = None): Unit = {
     val now = new java.sql.Timestamp(System.currentTimeMillis())
