@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.llm.TextAnalysis
+import graft.pipeline.Ingestor
+import graft.transform.Transformers
+
+/** Property tests the reference lacks (SURVEY.md §5 plan): totality,
+  * idempotence, and round-trip invariants, each materialized as ONE Spark
+  * job over a generated batch (fixed seed — reproducible). */
+class PropertySpec extends SparkSpecBase {
+
+  /** Deterministic sample of n values from a generator. */
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val anyString: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr, Gen.asciiPrintableStr,
+    Gen.oneOf("", " ", "*", "NULL", "N/A", "nan", "NaN", "None", "1,2,3", "-",
+      "1e5", "0x1A", ".", "..", "  123  ", "12.34.56"))
+
+  test("parse_numeric is total: every string maps to null or a double, never throws") {
+    import spark.implicits._
+    val inputs = sample(anyString, 300)
+    val out = inputs.toDF("v")
+      .select(col("v"), Transformers.parseNumeric(col("v")).as("p"))
+      .collect()
+    assert(out.length == 300) // no exception = pass; values null or double
+    out.foreach(r => assert(r.get(1) == null || r.get(1).isInstanceOf[Double]))
+  }
+
+  test("parse_numeric round-trips doubles formatted with thousands separators") {
+    import spark.implicits._
+    val nums = sample(Gen.chooseNum(-999999999L, 999999999L), 100)
+    val formatted = nums.map(n => {
+      val s = math.abs(n).toString.reverse.grouped(3).mkString(",").reverse
+      (if (n < 0) "-" + s else s, n)
+    })
+    val out = formatted.toDF("v", "expected")
+      .select(Transformers.parseNumeric(col("v")).as("p"), col("expected"))
+      .collect()
+    out.foreach(r => assert(r.getDouble(0) == r.getLong(1).toDouble))
+  }
+
+  test("clean_code is idempotent") {
+    import spark.implicits._
+    val inputs = sample(anyString, 200)
+    val out = inputs.toDF("v")
+      .select(Transformers.cleanCode(col("v")).as("once"),
+        Transformers.cleanCode(Transformers.cleanCode(col("v"))).as("twice"))
+      .collect()
+    out.foreach(r => assert(r.get(0) == r.get(1)))
+  }
+
+  test("parse_date round-trips random dates through all five formats") {
+    import spark.implicits._
+    val days = sample(Gen.chooseNum(0, 20000), 60) // 1970..2024
+    val fmts = Seq("yyyyMMdd", "MM/dd/yyyy", "yyyy-MM-dd", "yyyy/MM/dd", "MM-dd-yyyy")
+    val df = days.toDF("d")
+      .select(date_add(lit("1970-01-01").cast("date"), col("d")).as("date"))
+    for (f <- fmts) {
+      val bad = df.select(col("date"),
+        Transformers.parseDate(date_format(col("date"), f)).as("back"))
+        .filter(!(col("back") <=> col("date"))).count()
+      assert(bad == 0, s"format $f")
+    }
+  }
+
+  test("parse_integer truncates toward zero for arbitrary doubles") {
+    import spark.implicits._
+    val ds = sample(Gen.chooseNum(-1e9, 1e9), 150)
+    val out = ds.toDF("d")
+      .select(col("d"), Transformers.parseInteger(format_number(col("d"), 6)).as("p"))
+      .collect()
+    out.foreach { r =>
+      val expected = r.getDouble(0).toLong // Scala double->long truncates toward zero
+      assert(r.getLong(1) == expected, s"input ${r.getDouble(0)}")
+    }
+  }
+
+  test("dedup is idempotent and never drops null-key rows") {
+    import spark.implicits._
+    val rows = sample(for {
+      k <- Gen.option(Gen.chooseNum(0L, 20L))
+      v <- Gen.alphaStr
+    } yield (k, v), 300).zipWithIndex.map { case ((k, v), i) =>
+      (k.map(java.lang.Long.valueOf).orNull, v, i.toLong)
+    }
+    val df = rows.toDF("k", "v", "_row_number")
+    val (once, _) = Ingestor.dedupFirstWins(df, Seq("k"))
+    val (twice, dups2) = Ingestor.dedupFirstWins(once, Seq("k"))
+    assert(once.count() == twice.count())
+    assert(dups2.count() == 0)
+    val nullIn = df.filter(col("k").isNull).count()
+    assert(once.filter(col("k").isNull).count() == nullIn)
+  }
+
+  test("quality score stays within [0,1] for arbitrary text") {
+    import spark.implicits._
+    val inputs = sample(anyString, 200)
+    val out = inputs.toDF("v")
+      .select(TextAnalysis.qualityScore(col("v")).as("q")).collect()
+    out.foreach(r => assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0))
+  }
+
+  test("fingerprint is invariant under case and extra whitespace") {
+    import spark.implicits._
+    val words = sample(Gen.nonEmptyListOf(Gen.alphaLowerStr.suchThat(_.nonEmpty))
+      .map(_.take(8).mkString(" ")), 80).filter(_.nonEmpty)
+    val df = words.toDF("v").select(
+      TextAnalysis.fingerprint(col("v")).as("a"),
+      TextAnalysis.fingerprint(upper(col("v"))).as("b"),
+      TextAnalysis.fingerprint(regexp_replace(col("v"), " ", "   ")).as("c"))
+    df.collect().foreach { r =>
+      assert(r.getString(0) == r.getString(1))
+      assert(r.getString(0) == r.getString(2))
+    }
+  }
+}
