@@ -18,6 +18,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM/session (codegen, parquet footer reads) so the first
+    // measured query isn't charged for session startup.
+    try spark.read.parquet(s"$sfDir/region.parquet").count()
+    catch { case _: Throwable => }
     val results: Seq[(String, Double)] = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val elapsed =

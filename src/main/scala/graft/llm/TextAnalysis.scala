@@ -35,6 +35,25 @@ object TextAnalysis {
   def stopwordHits(text: Column, words: Seq[String]): Column =
     size(filter(tokens(lower(text)), t => words.map(w => t === w).reduce(_ || _)))
 
+  /** Relation-level language ID: explode tokens once and compute all
+    * per-language hit counts as codegen'd conditional sums — same result as
+    * [[langId]], but the higher-order-function filters (interpreted
+    * per-token) are replaced by one shuffle on the doc id. Use for corpus
+    * scoring; use [[langId]] for ad-hoc row expressions. */
+  def langIds(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode_outer(tokens(lower(col(textCol)))).as("_t"))
+    val aggs = StopwordSets.map { case (lang, words) =>
+      sum(when(col("_t").isin(words: _*), 1).otherwise(0)).as(s"_hits_$lang")
+    }
+    val counts = exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val best = StopwordSets.map(s => col(s"_hits_${s._1}")).reduce((a, b) => greatest(a, b))
+    val detected = StopwordSets.reverse.foldLeft(lit("und")) { case (acc, (lang, _)) =>
+      when(col(s"_hits_$lang") === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    counts.select(col(idCol), detected.as("detected_lang"))
+  }
+
   /** Detected language code, or "und" when no stopword hits at all. Ties
     * break to the FIRST language in [[StopwordSets]] order. */
   def langId(text: Column): Column = {

@@ -711,8 +711,8 @@ object Registry {
   // ------------------------------------------------------ LLM-pipeline: text
 
   private def llmLangId(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .groupBy(TextAnalysis.langId(col("text")).as("detected_lang"))
+    TextAnalysis.langIds(t(spark, dir, "documents"), "doc_id", "text")
+      .groupBy("detected_lang")
       .agg(count(lit(1)).as("n"))
       .orderBy("detected_lang")
 
