@@ -770,6 +770,85 @@ object Registry {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
       .orderBy("k_bucket")
 
+  // --------------------------------------- Store-backed end-to-end queries
+
+  private def tempStore(spark: SparkSession): graft.store.VersionStore =
+    new graft.store.VersionStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-q-store").toString)
+
+  private def writeCsv(content: String): String = {
+    val p = java.nio.file.Files.createTempFile("graft-q", ".csv")
+    java.nio.file.Files.writeString(p, content)
+    p.toString
+  }
+
+  private val qDate = java.sql.Date.valueOf("2026-01-01")
+
+  /** Flagship F15/J5 over the REAL pipeline: two CSVs through ingest ->
+    * versioned store -> current views -> fee join. Oracle is the hand-
+    * computed fee (SCHEMA.md:248-265 formula). */
+  private def feeFlagship(spark: SparkSession, dir: String): DataFrame = {
+    val store = tempStore(spark)
+    val rvu = writeCsv(
+      """PFS Relative Value File,,,,,,,
+        |HCPCS,MOD,DESCRIPTION,STATUS,WORK RVU,NON-FAC PE RVU,FAC PE RVU,MP RVU
+        |99213,26,Office outpatient visit est,A,1.30,1.26,0.55,0.10
+        |99213,26,Office outpatient visit est,A,1.30,1.26,0.55,0.10
+        |99214,26,Office outpatient visit est,A,1.92,1.68,0.76,0.14
+        |,,,,,,,
+        |""".stripMargin)
+    val gpci = writeCsv(
+      """LOCALITY,LOCALITY NAME,WORK GPCI,PE GPCI,MP GPCI
+        |05102,San Francisco,1.060,1.298,0.604
+        |01112,Alabama,1.000,0.869,0.575
+        |""".stripMargin)
+    graft.pipeline.IngestPipeline.ingestFile(spark, store, "PFS_RVU", rvu, "2026-Q1", qDate)
+    graft.pipeline.IngestPipeline.ingestFile(spark, store, "PFS_GPCI", gpci, "2026-Q1", qDate)
+    ReadQueries.feeFor(
+        store.currentView("cms.pfs_rvu", "PFS_RVU"),
+        store.currentView("cms.pfs_gpci", "PFS_GPCI"),
+        "99213", "05102", conversionFactor = Some(32.7442), modifier = Some("26"))
+      .select(col("hcpcs_code"), col("mac_locality"),
+        col("non_facility_fee").cast("double").as("non_facility_fee"),
+        col("facility_fee").cast("double").as("facility_fee"))
+  }
+
+  /** PTP bundling check (SCHEMA.md "Check PTP Bundling") over an ingested
+    * NCCI_PTP file: active pairs (deletion_date IS NULL) for a code. */
+  private def ptpBundleCheck(spark: SparkSession, dir: String): DataFrame = {
+    val store = tempStore(spark)
+    val ptp = writeCsv(
+      """Column 1,Column 2,Modifier 0=not allowed 1=allowed,Effective Date,Deletion Date,PTP Edit Rationale
+        |00100,00101,1,20240101,*,Standard policy
+        |00100,00102,0,20240101,*,Mutually exclusive
+        |00100,00103,9,20240101,20250101,Deleted edit
+        |00200,00201,1,20240101,*,Standard policy
+        |""".stripMargin)
+    graft.pipeline.IngestPipeline.ingestFile(spark, store, "NCCI_PTP", ptp,
+      "2026-Q1", qDate, Some("PRACTITIONER"))
+    store.currentView("cms.ncci_ptp", "NCCI_PTP", Some("PRACTITIONER"))
+      .filter(col("comprehensive_code") === "00100" && col("deletion_date").isNull)
+      .select("comprehensive_code", "component_code", "modifier_indicator", "rationale")
+      .orderBy("component_code")
+  }
+
+  /** MUE lookup over an ingested NCCI_MUE file: mai_id derived from the
+    * description column, zero preserved as a valid value. */
+  private def mueLookup(spark: SparkSession, dir: String): DataFrame = {
+    val store = tempStore(spark)
+    val mue = writeCsv(
+      """HCPCS/CPT Code,Practitioner Services MUE Values,MUE Adjudication Indicator,MUE Rationale
+        |99213,4,3 Date of Service Edit: Clinical,Clinical benchmarks
+        |J1234,0,2 Date of Service Edit: Policy,Not payable
+        |A5500,2,1 Line Edit,Anatomic
+        |""".stripMargin)
+    graft.pipeline.IngestPipeline.ingestFile(spark, store, "NCCI_MUE_PRAC", mue,
+      "2026-Q1", qDate)
+    store.currentView("cms.ncci_mue", "NCCI_MUE_PRAC")
+      .select("hcpcs_code", "mue_value", "mai_id", "mue_rationale")
+      .orderBy("hcpcs_code")
+  }
+
   // ---------------------------------------------------------------- Registry
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -839,6 +918,9 @@ object Registry {
     "q_u4_multipart_append" -> q(u4MultiPartAppend),
     "q_u5_cascade_delete" -> q(u5CascadeDelete),
     "q_e_props_json" -> q(ePropsJson),
+    "q_fee_flagship" -> q(feeFlagship),
+    "q_ptp_bundle_check" -> q(ptpBundleCheck),
+    "q_mue_lookup" -> q(mueLookup),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -1269,5 +1351,21 @@ object Registry {
            count(*) AS n,
            CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q_fee_flagship" ->
+      """SELECT '99213' AS hcpcs_code, '05102' AS mac_locality,
+           CAST(100.65 AS DOUBLE) AS non_facility_fee,
+           CAST(70.48 AS DOUBLE) AS facility_fee""",
+    "q_ptp_bundle_check" ->
+      """SELECT * FROM (VALUES
+           ('00100', '00101', CAST(1 AS BIGINT), 'Standard policy'),
+           ('00100', '00102', 0, 'Mutually exclusive'))
+         t(comprehensive_code, component_code, modifier_indicator, rationale)
+         ORDER BY component_code""",
+    "q_mue_lookup" ->
+      """SELECT * FROM (VALUES
+           ('99213', CAST(4 AS BIGINT), CAST(3 AS BIGINT), 'Clinical benchmarks'),
+           ('A5500', 2, 1, 'Anatomic'),
+           ('J1234', 0, 2, 'Not payable'))
+         t(hcpcs_code, mue_value, mai_id, mue_rationale) ORDER BY hcpcs_code""",
   )
 }
