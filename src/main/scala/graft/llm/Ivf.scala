@@ -1,0 +1,49 @@
+package graft.llm
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest-neighbor index: coarse-quantize
+  * the corpus with k-means, store cluster assignments as a partition
+  * column, search only the `nprobe` clusters nearest to the query.
+  *
+  * This is the production shape of [[Similarity.ivfTopK]] (which uses a
+  * pre-assigned label as the coarse partition): at 100 TB the assignment
+  * column becomes a hive partition key and a probe touches only
+  * nprobe/k of the corpus files. Deterministic under a fixed seed. */
+object Ivf {
+
+  final case class Index(assigned: DataFrame, centroids: Array[Array[Double]],
+                         embCol: String, idCol: String)
+
+  /** Build the index: fit k-means on the embedding column (seeded), attach
+    * a `_cluster` column. The fitted centroids are tiny driver state. */
+  def build(corpus: DataFrame, embCol: String, idCol: String,
+            k: Int, seed: Long = 42L): Index = {
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val withVec = corpus.withColumn("_features", toVec(col(embCol)))
+    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("_features")
+      .fit(withVec)
+    val assigned = model.transform(withVec)
+      .withColumnRenamed("prediction", "_cluster")
+      .drop("_features")
+    Index(assigned, model.clusterCenters.map(_.toArray), embCol, idCol)
+  }
+
+  /** Search: rank centroids by distance to the query driver-side (k is
+    * small), filter the corpus to the nprobe nearest clusters — partition
+    * pruning at scale — then exact cosine top-k within. */
+  def search(index: Index, query: Seq[Double], topK: Int, nprobe: Int): DataFrame = {
+    val nearest = index.centroids.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
+        (i, d)
+      }
+      .sortBy(_._2).take(nprobe).map(_._1)
+    Similarity.bruteForceTopK(
+      index.assigned.filter(col("_cluster").isin(nearest.map(Integer.valueOf): _*)),
+      index.embCol, index.idCol, query, topK)
+  }
+}

@@ -740,6 +740,23 @@ object Registry {
       .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rolling_fp"))
       .orderBy("doc_id")
 
+  /** IVF with real k-means coarse quantization (seeded); searching all
+    * clusters must equal brute force — registered rows-only (k-means not
+    * expressible in the SQL oracle). */
+  private def llmAnnIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val idx = graft.llm.Ivf.build(emb, "embedding", "vec_id", k = 10)
+    graft.llm.Ivf.search(idx, queryVector(spark, dir), topK = 5, nprobe = 10)
+  }
+
+  /** Skew-safe salted aggregation — result must be exactly the plain
+    * GROUP BY (two-stage decomposable combine), oracle-checked. */
+  private def skewSaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Skew.saltedCount(
+        t(spark, dir, "lineitem").withColumn("k", pmod(col("l_orderkey"), lit(10))),
+        Seq("k"), salts = 8)
+      .orderBy("k")
+
   // ------------------------------------------------------------- Multimodal
 
   /** Binary-payload metadata through pure expressions (oracle: byte_len). */
@@ -896,6 +913,8 @@ object Registry {
     "q_llm_ann_brute" -> q(llmAnnBrute),
     "q_llm_ann_ivf" -> q(llmAnnIvf),
     "q_llm_ann_lsh" -> q(llmAnnLsh),
+    "q_llm_ann_ivf_kmeans" -> q(llmAnnIvfKmeans),
+    "q_skew_salted_agg" -> q(skewSaltedAgg),
     "q_llm_cosine_neardup" -> q(llmCosineNearDup),
     "q_llm_langid" -> q(llmLangId),
     "q_llm_quality" -> q(llmQuality),
@@ -1361,6 +1380,9 @@ object Registry {
            ('00100', '00102', 0, 'Mutually exclusive'))
          t(comprehensive_code, component_code, modifier_indicator, rationale)
          ORDER BY component_code""",
+    "q_skew_salted_agg" ->
+      """SELECT l_orderkey % 10 AS k, count(*) AS n FROM lineitem
+         GROUP BY 1 ORDER BY 1""",
     "q_mue_lookup" ->
       """SELECT * FROM (VALUES
            ('99213', CAST(4 AS BIGINT), CAST(3 AS BIGINT), 'Clinical benchmarks'),
