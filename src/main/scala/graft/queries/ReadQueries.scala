@@ -24,6 +24,38 @@ object ReadQueries {
     left.join(top1, key, "left")
   }
 
+  /** §3.3 dashboard assembly: active sources left-joined with their latest
+    * completed version (lateral-top-1 rewrite), grouped into per-category
+    * source lists in presentation order (reference: dashboard.py:16-67). */
+  def dashboard(sources: DataFrame, versions: DataFrame): DataFrame = {
+    val latest = lateralTop1(
+      sources.filter(col("is_active")),
+      versions.filter(col("status") === "completed"),
+      Seq("source_code"),
+      Seq(col("imported_at").desc, col("data_version_id").desc))
+    latest
+      .groupBy(col("category"))
+      .agg(sort_array(collect_list(struct(
+        // display_order leads the struct so sort_array gives the
+        // presentation order deterministically (collect_list order through
+        // a hash aggregate is NOT guaranteed).
+        col("display_order"), col("source_code"), col("source_name"),
+        col("version_label"), col("record_count")))).as("sources"))
+      .orderBy("category")
+  }
+
+  /** Flattened dashboard rows (category, presentation order, latest
+    * version) — same join, row-per-source shape. */
+  def dashboardRows(sources: DataFrame, versions: DataFrame): DataFrame =
+    lateralTop1(
+      sources.filter(col("is_active")),
+      versions.filter(col("status") === "completed"),
+      Seq("source_code"),
+      Seq(col("imported_at").desc, col("data_version_id").desc))
+      .select("category", "display_order", "source_code", "source_name",
+        "version_label", "record_count")
+      .orderBy("category", "display_order", "source_name")
+
   /** O1-style latest row: TakeOrderedAndProject, never a full sort. */
   def latest(df: DataFrame, order: Column*): DataFrame =
     df.orderBy(order: _*).limit(1)

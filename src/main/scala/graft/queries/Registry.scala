@@ -250,17 +250,15 @@ object Registry {
     unique.select(col("k"), col("_row_number")).orderBy(asc_nulls_last("k"), asc("_row_number"))
   }
 
-  private def d4Counters(spark: SparkSession, dir: String): DataFrame = {
-    val base = d1Base(spark, dir)
-    val (unique, dups) = Ingestor.dedupFirstWins(base, Seq("k"))
-    val total = base.count()
-    val nullKey = base.filter(col("k").isNull).count()
-    val kept = unique.count()
-    val dup = dups.count()
-    import spark.implicits._
-    Seq((total, nullKey, kept, dup))
-      .toDF("total_rows", "null_key_rows", "kept_rows", "duplicate_rows")
-  }
+  private def d4Counters(spark: SparkSession, dir: String): DataFrame =
+    // One aggregation pass (no per-counter actions): the dedup counters are
+    // all derivable from count/count-distinct over the keyed rows.
+    d1Base(spark, dir).agg(
+      count(lit(1)).as("total_rows"),
+      sum(when(col("k").isNull, 1L).otherwise(0L)).as("null_key_rows"),
+      (countDistinct(col("k")) + sum(when(col("k").isNull, 1L).otherwise(0L)))
+        .as("kept_rows"),
+      (count(col("k")) - countDistinct(col("k"))).as("duplicate_rows"))
 
   private def d3ColumnStats(spark: SparkSession, dir: String): DataFrame = {
     val l = t(spark, dir, "lineitem")
@@ -740,6 +738,27 @@ object Registry {
       .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rolling_fp"))
       .orderBy("doc_id")
 
+  /** §3.3 dashboard: active sources × latest completed version (lateral
+    * top-1 rewrite) in presentation order. */
+  private def dashboardQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sources = Seq(
+      ("PFS_RVU", "Relative Value Units", "PFS", 10, true),
+      ("PFS_GPCI", "Geographic Indices", "PFS", 20, true),
+      ("HCPCS", "HCPCS Codes", "HCPCS", 30, true),
+      ("LEGACY", "Legacy Feed", "PFS", 5, false))
+      .toDF("source_code", "source_name", "category", "display_order", "is_active")
+    val versions = Seq(
+      (1L, "PFS_RVU", "completed", "2025-10-01", "2025-Q4", 100L),
+      (2L, "PFS_RVU", "completed", "2026-01-01", "2026-Q1", 120L),
+      (3L, "PFS_RVU", "failed", "2026-04-01", "2026-Q2", 0L),
+      (4L, "PFS_GPCI", "completed", "2026-01-01", "2026-Q1", 50L))
+      .toDF("data_version_id", "source_code", "status", "imported_at",
+        "version_label", "record_count")
+      .withColumn("imported_at", col("imported_at").cast("date"))
+    ReadQueries.dashboardRows(sources, versions)
+  }
+
   /** IVF with real k-means coarse quantization (seeded); searching all
     * clusters must equal brute force — registered rows-only (k-means not
     * expressible in the SQL oracle). */
@@ -913,6 +932,7 @@ object Registry {
     "q_llm_ann_brute" -> q(llmAnnBrute),
     "q_llm_ann_ivf" -> q(llmAnnIvf),
     "q_llm_ann_lsh" -> q(llmAnnLsh),
+    "q_dashboard" -> q(dashboardQuery),
     "q_llm_ann_ivf_kmeans" -> q(llmAnnIvfKmeans),
     "q_skew_salted_agg" -> q(skewSaltedAgg),
     "q_llm_cosine_neardup" -> q(llmCosineNearDup),
@@ -1380,6 +1400,14 @@ object Registry {
            ('00100', '00102', 0, 'Mutually exclusive'))
          t(comprehensive_code, component_code, modifier_indicator, rationale)
          ORDER BY component_code""",
+    "q_dashboard" ->
+      """SELECT * FROM (VALUES
+           ('HCPCS', CAST(30 AS INT), 'HCPCS', 'HCPCS Codes',
+            CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)),
+           ('PFS', 10, 'PFS_RVU', 'Relative Value Units', '2026-Q1', 120),
+           ('PFS', 20, 'PFS_GPCI', 'Geographic Indices', '2026-Q1', 50))
+         t(category, display_order, source_code, source_name, version_label, record_count)
+         ORDER BY category, display_order, source_name""",
     "q_skew_salted_agg" ->
       """SELECT l_orderkey % 10 AS k, count(*) AS n FROM lineitem
          GROUP BY 1 ORDER BY 1""",
