@@ -92,4 +92,24 @@ object ReadQueries {
           col("facility_pe_rvu"), col("pe_gpci"),
           col("mp_rvu"), col("mp_gpci"), cf).as("facility_fee"))
   }
+
+  /** Anesthesia fee: (base units + time units) × locality conversion factor
+    * (reference: SCHEMA.md:113-116). */
+  def anesthesiaFee(anesCfCurrent: DataFrame, macLocality: String,
+                    baseUnits: Double, timeUnits: Double): DataFrame =
+    anesCfCurrent.filter(col("mac_locality") === macLocality)
+      .select(col("mac_locality"),
+        round((lit(baseUnits) + lit(timeUnits)).cast(org.apache.spark.sql.types.DecimalType(20, 6))
+          * col("anes_conversion_factor").cast(org.apache.spark.sql.types.DecimalType(20, 6)), 2)
+          .cast("double").as("anesthesia_fee"))
+
+  /** OPPS imaging cap: fee is capped at the OPPS amount when a cap row
+    * exists (reference: SCHEMA.md:131-134, seed_data.py:260-263). */
+  def cappedFeeFor(feeRow: DataFrame, oppsCapCurrent: DataFrame): DataFrame =
+    feeRow.join(broadcast(oppsCapCurrent.select(col("hcpcs_code"), col("opps_cap_amount"))),
+        Seq("hcpcs_code"), "left")
+      .withColumn("capped_fee",
+        when(col("opps_cap_amount").isNotNull,
+          least(col("non_facility_fee"), col("opps_cap_amount")))
+          .otherwise(col("non_facility_fee")))
 }

@@ -885,6 +885,53 @@ object Registry {
       .orderBy("hcpcs_code")
   }
 
+  /** Anesthesia fee over an ingested PFS_ANES_CF file (SCHEMA.md:113-116). */
+  private def feeAnesthesia(spark: SparkSession, dir: String): DataFrame = {
+    val store = tempStore(spark)
+    val anes = writeCsv(
+      """LOCALITY,LOCALITY NAME,ANESTHESIA CF
+        |05102,San Francisco,22.01
+        |01112,Alabama,19.85
+        |""".stripMargin)
+    graft.pipeline.IngestPipeline.ingestFile(spark, store, "PFS_ANES_CF", anes, "2026-Q1", qDate)
+    // base 5 units + time 3 units in SF: round(8 * 22.01, 2) = 176.08
+    ReadQueries.anesthesiaFee(
+      store.currentView("cms.pfs_anes_cf", "PFS_ANES_CF"), "05102", 5.0, 3.0)
+  }
+
+  /** OPPS-capped imaging fee over ingested RVU/GPCI/OPPS files
+    * (SCHEMA.md:131-134): fee = least(computed, cap). */
+  private def feeOppsCapped(spark: SparkSession, dir: String): DataFrame = {
+    val store = tempStore(spark)
+    val rvu = writeCsv(
+      """HCPCS,MOD,DESCRIPTION,STATUS,WORK RVU,NON-FAC PE RVU,FAC PE RVU,MP RVU
+        |70450,TC,CT head-brain wo dye,A,0.00,3.50,3.50,0.02
+        |""".stripMargin)
+    val gpci = writeCsv(
+      """LOCALITY,LOCALITY NAME,WORK GPCI,PE GPCI,MP GPCI
+        |05102,San Francisco,1.060,1.298,0.604
+        |""".stripMargin)
+    val opps = writeCsv(
+      """HCPCS,OPPS CAP
+        |70450,95.50
+        |""".stripMargin)
+    val d = qDate
+    graft.pipeline.IngestPipeline.ingestFile(spark, store, "PFS_RVU", rvu, "2026-Q1", d)
+    graft.pipeline.IngestPipeline.ingestFile(spark, store, "PFS_GPCI", gpci, "2026-Q1", d)
+    graft.pipeline.IngestPipeline.ingestFile(spark, store, "PFS_OPPS_CAP", opps, "2026-Q1", d)
+    val fee = ReadQueries.feeFor(
+      store.currentView("cms.pfs_rvu", "PFS_RVU"),
+      store.currentView("cms.pfs_gpci", "PFS_GPCI"),
+      "70450", "05102", conversionFactor = Some(32.7442), modifier = Some("TC"))
+    // computed fee = round((0*1.060 + 3.50*1.298 + 0.02*0.604)*32.7442, 2)
+    //             = round(4.55508 * 32.7442, 2) = 149.15 -> capped at 95.50
+    ReadQueries.cappedFeeFor(fee, store.currentView("cms.pfs_opps_cap", "PFS_OPPS_CAP"))
+      .select(col("hcpcs_code"),
+        col("non_facility_fee").cast("double").as("non_facility_fee"),
+        col("opps_cap_amount").cast("double").as("opps_cap_amount"),
+        col("capped_fee").cast("double").as("capped_fee"))
+  }
+
   // ---------------------------------------------------------------- Registry
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -958,6 +1005,8 @@ object Registry {
     "q_u5_cascade_delete" -> q(u5CascadeDelete),
     "q_e_props_json" -> q(ePropsJson),
     "q_fee_flagship" -> q(feeFlagship),
+    "q_fee_anesthesia" -> q(feeAnesthesia),
+    "q_fee_opps_capped" -> q(feeOppsCapped),
     "q_ptp_bundle_check" -> q(ptpBundleCheck),
     "q_mue_lookup" -> q(mueLookup),
   )
@@ -1394,6 +1443,11 @@ object Registry {
       """SELECT '99213' AS hcpcs_code, '05102' AS mac_locality,
            CAST(100.65 AS DOUBLE) AS non_facility_fee,
            CAST(70.48 AS DOUBLE) AS facility_fee""",
+    "q_fee_anesthesia" ->
+      """SELECT '05102' AS mac_locality, CAST(176.08 AS DOUBLE) AS anesthesia_fee""",
+    "q_fee_opps_capped" ->
+      """SELECT '70450' AS hcpcs_code, CAST(149.15 AS DOUBLE) AS non_facility_fee,
+           CAST(95.50 AS DOUBLE) AS opps_cap_amount, CAST(95.50 AS DOUBLE) AS capped_fee""",
     "q_ptp_bundle_check" ->
       """SELECT * FROM (VALUES
            ('00100', '00101', CAST(1 AS BIGINT), 'Standard policy'),
