@@ -932,6 +932,25 @@ object Registry {
         col("capped_fee").cast("double").as("capped_fee"))
   }
 
+  /** Catalyst SQL entry point: the same engine surface via spark.sql over
+    * registered temp views (parse -> analyze -> optimize -> execute). */
+  private def sqlRevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    t(spark, dir, "orders").createOrReplaceTempView("v_orders")
+    t(spark, dir, "customer").createOrReplaceTempView("v_customer")
+    t(spark, dir, "nation").createOrReplaceTempView("v_nation")
+    spark.sql(
+      """SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+         FROM v_lineitem
+         JOIN v_orders ON l_orderkey = o_orderkey
+         JOIN v_customer ON o_custkey = c_custkey
+         JOIN v_nation ON c_nationkey = n_nationkey
+         WHERE o_orderstatus = 'F'
+         GROUP BY n_name ORDER BY n_name""")
+  }
+
   // ---------------------------------------------------------------- Registry
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -1004,6 +1023,7 @@ object Registry {
     "q_u4_multipart_append" -> q(u4MultiPartAppend),
     "q_u5_cascade_delete" -> q(u5CascadeDelete),
     "q_e_props_json" -> q(ePropsJson),
+    "q_sql_revenue_by_nation" -> q(sqlRevenueByNation),
     "q_fee_flagship" -> q(feeFlagship),
     "q_fee_anesthesia" -> q(feeAnesthesia),
     "q_fee_opps_capped" -> q(feeOppsCapped),
@@ -1443,6 +1463,16 @@ object Registry {
       """SELECT '99213' AS hcpcs_code, '05102' AS mac_locality,
            CAST(100.65 AS DOUBLE) AS non_facility_fee,
            CAST(70.48 AS DOUBLE) AS facility_fee""",
+    "q_sql_revenue_by_nation" ->
+      """SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderstatus = 'F'
+         GROUP BY n_name ORDER BY n_name""",
     "q_fee_anesthesia" ->
       """SELECT '05102' AS mac_locality, CAST(176.08 AS DOUBLE) AS anesthesia_fee""",
     "q_fee_opps_capped" ->
