@@ -102,12 +102,12 @@ object IngestPipeline {
           effectiveDate, variant, fileHash, fileName)
         if (inserted > 0) {
           store.writeData(source.targetTable, versionId, toWrite)
-          store.completeVersion(versionId, inserted)
+          store.completeVersion(versionId, inserted,
+            markCurrentFor = if (markAsCurrent) Some((source.sourceCode, variant)) else None)
           if (invalidRows.nonEmpty)
             store.log(versionId, "WARNING",
               s"${invalidRows.size} rows failed validation",
               Some(invalidRows.take(5).mkString("[\"", "\",\"", "\"]")))
-          if (markAsCurrent) store.markCurrent(versionId, source.sourceCode, variant)
           IngestResult(versionId, "completed", inserted + invalidRows.size + dupCount,
             inserted, invalidRows.size, dupCount, invalidRows,
             det.headerRowIndex.get, det.unmappedColumns)

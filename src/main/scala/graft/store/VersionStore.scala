@@ -82,10 +82,27 @@ final class VersionStore(val spark: SparkSession, val root: String) {
     nextId
   }
 
-  /** U2 transition: completed (+record_count) or failed (+error). */
-  def completeVersion(id: Long, recordCount: Long): Unit = updateVersion(id,
-    _.withColumn("status", when(col("data_version_id") === id, "completed").otherwise(col("status")))
-      .withColumn("record_count", when(col("data_version_id") === id, recordCount).otherwise(col("record_count"))))
+  /** U2 transition: completed (+record_count) or failed (+error). When
+    * `markCurrentFor` is set, the U3 current-swap happens in the SAME
+    * metadata swap — one atomic transition, like the reference's single DB
+    * transaction (and one fewer metadata write per ingest). */
+  def completeVersion(id: Long, recordCount: Long,
+                      markCurrentFor: Option[(String, Option[String])] = None): Unit =
+    updateVersion(id, v => {
+      val completed = v
+        .withColumn("status", when(col("data_version_id") === id, "completed").otherwise(col("status")))
+        .withColumn("record_count", when(col("data_version_id") === id, recordCount).otherwise(col("record_count")))
+      markCurrentFor match {
+        case Some((sourceCode, variant)) =>
+          val scope = col("source_code") === sourceCode &&
+            (col("variant") <=> lit(variant.orNull))
+          completed.withColumn("is_current",
+            when(col("data_version_id") === id, true)
+              .when(scope, false)
+              .otherwise(col("is_current")))
+        case None => completed
+      }
+    })
 
   def failVersion(id: Long, error: String): Unit = updateVersion(id,
     _.withColumn("status", when(col("data_version_id") === id, "failed").otherwise(col("status")))
