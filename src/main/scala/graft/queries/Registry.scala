@@ -932,6 +932,21 @@ object Registry {
         col("capped_fee").cast("double").as("capped_fee"))
   }
 
+  /** Window functions as first-class surface (§2.9 — net-new vs the
+    * reference): per-customer running order total in date order. Decimal
+    * cumulative sum (exact, order-pinned by unique tiebreak). */
+  private def wRunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") <= 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Catalyst SQL entry point: the same engine surface via spark.sql over
     * registered temp views (parse -> analyze -> optimize -> execute). */
   private def sqlRevenueByNation(spark: SparkSession, dir: String): DataFrame = {
@@ -1024,6 +1039,7 @@ object Registry {
     "q_u5_cascade_delete" -> q(u5CascadeDelete),
     "q_e_props_json" -> q(ePropsJson),
     "q_sql_revenue_by_nation" -> q(sqlRevenueByNation),
+    "q_w_running_total" -> q(wRunningTotal),
     "q_fee_flagship" -> q(feeFlagship),
     "q_fee_anesthesia" -> q(feeAnesthesia),
     "q_fee_opps_capped" -> q(feeOppsCapped),
@@ -1463,6 +1479,13 @@ object Registry {
       """SELECT '99213' AS hcpcs_code, '05102' AS mac_locality,
            CAST(100.65 AS DOUBLE) AS non_facility_fee,
            CAST(70.48 AS DOUBLE) AS facility_fee""",
+    "q_w_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE)
+             AS running_total
+         FROM orders WHERE o_custkey <= 200
+         ORDER BY o_custkey, o_orderkey""",
     "q_sql_revenue_by_nation" ->
       """SELECT n_name,
            CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
