@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan-regression guards: the physical-plan properties PLANS.md documents
+  * must keep holding (a silent regression to a shuffle join or a full scan
+  * is a perf bug even when results stay correct). */
+class PlanRegressionSpec extends SparkSpecBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    graft.queries.Registry.configure(spark)
+    val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("broadcast dims: both dimension joins broadcast, no sort-merge join") {
+    val p = plan("q_j_broadcast_dims")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("status filter pushes both predicates into the parquet scan") {
+    val p = plan("q_p6_status_filter")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("EqualTo(o_orderstatus,F)"))
+    assert(p.contains("GreaterThan(o_total")) // toString elides long filter lists
+  }
+
+  test("dedup window gets partial rank-limit before the shuffle") {
+    val p = plan("q_d1_dedup_first_wins")
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("ANN brute force is scan + TakeOrdered, no shuffle exchange") {
+    val p = plan("q_llm_ann_brute")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange hashpartitioning"))
+  }
+
+  test("pricing summary aggregates partially before its single exchange") {
+    val p = plan("q_agg1_pricing_summary")
+    // partial + final HashAggregate pairs around one hash exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("Exchange hashpartitioning"))
+  }
+
+  test("lateral top-1 rewrite: window + broadcast left join, filter pushed") {
+    val p = plan("q_j1_lateral_top1")
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("EqualTo(o_orderstatus,F)"))
+  }
+
+  test("column pruning: pricing summary reads only the five needed columns") {
+    val p = plan("q_agg1_pricing_summary")
+    assert(p.contains("l_quantity"))
+    assert(!p.contains("l_shipdate"), "unneeded column not pruned from scan")
+  }
+}
