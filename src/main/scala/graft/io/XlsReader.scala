@@ -166,6 +166,62 @@ object XlsReader {
       if (div100) v / 100 else v
     }
 
+    // SST string parse across Continue fragments. A string's characters may
+    // split at a fragment boundary; the continuation fragment re-declares
+    // the encoding with a fresh grbit byte (MS-XLS 2.5.293). A boundary
+    // BETWEEN strings continues directly with the next string header.
+    def readSstStrings(frags: IndexedSeq[Array[Byte]], count: Int): Seq[String] = {
+      var frag = 0
+      var off = 8 // skip cstTotal/cstUnique in the first fragment
+      def atEnd: Boolean = frag >= frags.length ||
+        (off >= frags(frag).length && frag == frags.length - 1)
+      def advance(): Unit =
+        if (off >= frags(frag).length && frag < frags.length - 1) { frag += 1; off = 0 }
+      def u8(): Int = { advance(); val v = frags(frag)(off) & 0xFF; off += 1; v }
+      def u16(): Int = u8() | (u8() << 8)
+      val out = ArrayBuffer.empty[String]
+      var i = 0
+      while (i < count && !atEnd) {
+        val cch = u16()
+        var grbit = u8()
+        if ((grbit & ~1) != 0)
+          throw new IllegalArgumentException("xls: rich/ext strings unsupported")
+        val sb = new StringBuilder
+        var remaining = cch
+        while (remaining > 0) {
+          advance()
+          if (off >= frags(frag).length)
+            throw new IllegalArgumentException("xls: truncated SST")
+          val avail = frags(frag).length - off
+          val high = (grbit & 1) != 0
+          val charBytes = if (high) 2 else 1
+          val take = math.min(remaining, avail / charBytes)
+          if (take == 0) {
+            // boundary reached mid-string: next fragment re-declares grbit
+            frag += 1; off = 0
+            grbit = u8()
+            if ((grbit & ~1) != 0)
+              throw new IllegalArgumentException("xls: rich/ext strings unsupported")
+          } else {
+            sb.append(new String(frags(frag), off, take * charBytes,
+              if (high) "UTF-16LE" else "ISO-8859-1"))
+            off += take * charBytes
+            remaining -= take
+            if (remaining > 0) {
+              // exhausted this fragment mid-string
+              frag += 1; off = 0
+              grbit = u8()
+              if ((grbit & ~1) != 0)
+                throw new IllegalArgumentException("xls: rich/ext strings unsupported")
+            }
+          }
+        }
+        out += sb.toString()
+        i += 1
+      }
+      out.toSeq
+    }
+
     // BIFF8 XLUnicodeString at offset `o` inside a record; returns (str, len)
     def readString(b: Array[Byte], o: Int): (String, Int) = {
       val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
@@ -189,12 +245,16 @@ object XlsReader {
           val substreamType = bb.getShort(2) & 0xFFFF
           if (substreamType == 0x10) sheetSeen += 1 // worksheet substream
         case 0x0A => bofDepth -= 1 // EOF
-        case 0xFC => // SST (no Continue-spanning support)
-          var o = 8
-          while (o < body.length) {
-            val (s, len) = readString(body, o)
-            sst += s; o += len
+        case 0xFC => // SST, possibly spanning Continue (0x3C) records
+          val frags = ArrayBuffer(body)
+          var p2 = pos + 4 + recLen
+          while (p2 + 4 <= data.length && (buf.getShort(p2) & 0xFFFF) == 0x3C) {
+            val contLen = buf.getShort(p2 + 2) & 0xFFFF
+            frags += java.util.Arrays.copyOfRange(data, p2 + 4, p2 + 4 + contLen)
+            p2 += 4 + contLen
           }
+          val unique = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN).getInt(4)
+          sst ++= readSstStrings(frags.toIndexedSeq, unique)
         case 0xFD => // LABELSST
           put(bb.getShort(0) & 0xFFFF, bb.getShort(2) & 0xFFFF,
             sst.lift(bb.getInt(6)).getOrElse(""))
