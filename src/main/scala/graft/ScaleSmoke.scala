@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Similarity}
+
+/** Scale stress main: blow the documents/embeddings corpora up ~20× with
+  * deterministic mutations and run the bucketed near-dup paths, printing
+  * row counts and timings. Catches quadratic cliffs the sf-sized bench
+  * can't see (bucket blowup, lambda interpretation, plan recomputation). */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "20").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
+    }
+
+    // ~factor× documents: replicas get a replica-indexed token appended, so
+    // replicas of the same doc are mutual near-duplicates.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val big = docs.crossJoin(
+        spark.range(factor).withColumnRenamed("id", "rep"))
+      .select((col("doc_id") * factor + col("rep")).as("doc_id"),
+        concat(col("text"), lit(" replica token "), col("rep").cast("string")).as("text"))
+      .persist()
+    println(s"[scale] corpus: ${big.count()} docs")
+
+    val pairs = timed("minhash-lsh near-dup")(
+      Dedup.minhashNearDuplicates(big, "doc_id", "text",
+        shingleSize = 3, numPerms = 64, bands = 16, threshold = 0.5).count())
+    println(s"[scale] minhash pairs: $pairs")
+
+    val sims = timed("simhash near-dup")(
+      Dedup.simhashNearDuplicates(big, "doc_id", "text", maxDist = 3).count())
+    println(s"[scale] simhash pairs: $sims")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val bigEmb = emb.crossJoin(spark.range(factor).withColumnRenamed("id", "rep"))
+      .select((col("vec_id") * factor + col("rep")).as("vec_id"),
+        transform(col("embedding"),
+          x => x + (col("rep") % 7).cast("float") * 1e-4f).as("embedding"))
+      .persist()
+    println(s"[scale] embeddings: ${bigEmb.count()} vectors")
+
+    val cosPairs = timed("cosine near-dup (sign-LSH bucketed)")(
+      Similarity.cosineNearDuplicates(bigEmb, "embedding", "vec_id",
+        threshold = 0.9999, numPlanes = 10, maxBucket = 20000).count())
+    println(s"[scale] cosine pairs: $cosPairs")
+
+    spark.stop()
+  }
+}

@@ -41,6 +41,21 @@ object Similarity {
     when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
   }
 
+  /** Cosine between two columns with a STATICALLY KNOWN dimension: the dot
+    * product and norms unroll to `element_at` term sums, which (unlike
+    * zip_with/aggregate lambdas, interpreted per element) stay inside
+    * whole-stage codegen. Prefer this on verification hot paths. */
+  def cosineUnrolled(a: Column, b: Column, dim: Int): Column = {
+    def term(i: Int) = element_at(a, i + 1).cast("double") * element_at(b, i + 1).cast("double")
+    def sq(c: Column, i: Int) = {
+      val x = element_at(c, i + 1).cast("double"); x * x
+    }
+    val dot = (0 until dim).map(term).reduce(_ + _)
+    val na = sqrt((0 until dim).map(sq(a, _)).reduce(_ + _))
+    val nb = sqrt((0 until dim).map(sq(b, _)).reduce(_ + _))
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
+  }
+
   /** Brute-force cosine top-k: scan → score → TakeOrderedAndProject.
     * The full-corpus baseline every ANN variant is measured against. */
   def bruteForceTopK(corpus: DataFrame, embCol: String, idCol: String,
@@ -98,8 +113,7 @@ object Similarity {
     * self-join within buckets only, verify with exact cosine ≥ threshold. */
   def cosineNearDuplicates(corpus: DataFrame, embCol: String, idCol: String,
                            threshold: Double, numPlanes: Int = 12,
-                           maxBucket: Int = 2000): DataFrame = {
-    val dim = 64
+                           maxBucket: Int = 2000, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
     val bucketed = corpus.select(col(idCol).as("id"), col(embCol).as("emb"),
       lshBucket(col(embCol), planes).as("bucket"))
@@ -109,7 +123,7 @@ object Similarity {
     bounded.as("l").join(bounded.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        roundHalfUp(cosine(col("l.emb"), col("r.emb")), 6).as("cosine_sim"))
+        roundHalfUp(cosineUnrolled(col("l.emb"), col("r.emb"), dim), 6).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
   }
 }
