@@ -21,12 +21,14 @@ object Similarity {
   }
 
   /** Cosine similarity between an embedding column and a literal query
-    * vector, computed in double precision, index order (deterministic). */
+    * vector, computed in double precision, index order (deterministic).
+    * Unrolled to element_at term sums — the query length is always known,
+    * and the unrolled form stays in whole-stage codegen while summing in
+    * the exact same left-fold order as a lambda fold (bit-identical). */
   def cosineToQuery(emb: Column, query: Seq[Double]): Column = {
-    val q = typedLit(query)
-    val e = transform(emb, x => x.cast("double"))
-    val dot = aggregate(zip_with(e, q, (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(e, x => x * x), lit(0.0), (acc, x) => acc + x))
+    def e(i: Int) = element_at(emb, i + 1).cast("double")
+    val dot = query.indices.map(i => e(i) * lit(query(i))).reduce(_ + _)
+    val na = sqrt(query.indices.map(i => e(i) * e(i)).reduce(_ + _))
     val nb = math.sqrt(query.map(x => x * x).sum)
     when(na === 0.0, lit(0.0)).otherwise(dot / (na * lit(nb)))
   }
