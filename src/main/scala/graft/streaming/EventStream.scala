@@ -31,6 +31,19 @@ object EventStream {
         sum(col("value")).as("total_value"),
         approx_count_distinct(col("user_id")).as("approx_users"))
 
+  /** Event-time session windows: per-user sessions close after `gap` of
+    * event-time silence (state bounded by the watermark). The declarative
+    * sibling of [[sessionize]]'s explicit state machine. */
+  def sessionWindows(events: DataFrame, gap: String = "5 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
   /** Streaming exact dedup on event_id within the watermark horizon —
     * Spark keeps one state entry per key seen, aged out by the watermark. */
   def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =

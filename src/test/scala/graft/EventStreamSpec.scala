@@ -67,6 +67,26 @@ class EventStreamSpec extends SparkSpecBase {
     assert(ids.toSeq == (0L until 10L))
   }
 
+  test("session windows split on event-time gaps") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-sw").toString
+    import spark.implicits._
+    val base = 1700000000000L
+    // user 1: two bursts separated by 10 minutes -> two sessions
+    val ts = Seq(0L, 60000L, 120000L, 720000L, 780000L)
+    ts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, new Timestamp(base + t), 1L, "click", 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(s"$dir/stream")
+    val q = EventStream.replayParquetAsStream(spark, s"$dir/stream", schema,
+      df => EventStream.sessionWindows(df, "5 minutes", "10 minutes"),
+      "session_sink", org.apache.spark.sql.streaming.OutputMode.Complete())
+    q.awaitTermination(60000)
+    val sessions = spark.table("session_sink")
+      .orderBy("session_start")
+      .collect().map(r => r.getAs[Long]("n_events"))
+    assert(sessions.toSeq == Seq(3L, 2L))
+  }
+
   test("sessionize accumulates per-user state") {
     import spark.implicits._
     val base = 1700000000000L
