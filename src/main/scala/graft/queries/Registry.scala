@@ -947,6 +947,32 @@ object Registry {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** TPC-H Q3 shape: top-10 unshipped-order revenue — join + decimal-exact
+    * aggregation + deterministic top-k. */
+  private def agg3TopRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderstatus") === "O")
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(22, 6))).cast("double").as("revenue"))
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** Exact distribution quantiles (interpolated): the summary-statistics
+    * surface a data pipeline needs before sketch-based approximations. */
+  private def aggQuantiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").agg(
+      expr("percentile(l_quantity, 0.5)").as("median_qty"),
+      expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
+      expr("percentile(l_extendedprice, 0.75)").as("p75_price"),
+      min(col("l_extendedprice")).as("min_price"),
+      max(col("l_extendedprice")).as("max_price"))
+
   /** Catalyst SQL entry point: the same engine surface via spark.sql over
     * registered temp views (parse -> analyze -> optimize -> execute). */
   private def sqlRevenueByNation(spark: SparkSession, dir: String): DataFrame = {
@@ -1040,6 +1066,8 @@ object Registry {
     "q_e_props_json" -> q(ePropsJson),
     "q_sql_revenue_by_nation" -> q(sqlRevenueByNation),
     "q_w_running_total" -> q(wRunningTotal),
+    "q_agg3_top_revenue" -> q(agg3TopRevenue),
+    "q_agg_quantiles" -> q(aggQuantiles),
     "q_fee_flagship" -> q(feeFlagship),
     "q_fee_anesthesia" -> q(feeAnesthesia),
     "q_fee_opps_capped" -> q(feeOppsCapped),
@@ -1479,6 +1507,20 @@ object Registry {
       """SELECT '99213' AS hcpcs_code, '05102' AS mac_locality,
            CAST(100.65 AS DOUBLE) AS non_facility_fee,
            CAST(70.48 AS DOUBLE) AS facility_fee""",
+    "q_agg3_top_revenue" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderstatus = 'O'
+         GROUP BY o_orderkey, o_orderdate
+         ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
+    "q_agg_quantiles" ->
+      """SELECT quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_extendedprice, 0.25) AS p25_price,
+           quantile_cont(l_extendedprice, 0.75) AS p75_price,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price
+         FROM lineitem""",
     "q_w_running_total" ->
       """SELECT o_custkey, o_orderkey,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
