@@ -40,6 +40,10 @@ object LogicalType {
   *   [[SourceConfig.uniqueKeys]])
   * @param acceptedHeaders raw-file header spellings that resolve to this
   *   column, matched case-insensitively (reference `seed_data.py:413-509`)
+  *
+  * The reference's `is_nullable` attribute is intentionally omitted: it is
+  * display-only there (schema.py:80) with no pipeline effect; nullability
+  * enforcement happens via unique-key validation, not per-column flags.
   */
 final case class CanonicalColumn(
     internalName: String,
@@ -55,7 +59,10 @@ final case class CanonicalColumn(
   *
   * Column order is semantically significant: header detection matches
   * canonical columns greedily in declaration order with first-match-wins
-  * cell exclusion (reference `header_detector.py:47-75`).
+  * cell exclusion (reference `header_detector.py:47-75`). The reference
+  * fetches mappings with no ORDER BY, so its cross-column match priority is
+  * unspecified DB row order; this engine's declaration order is a
+  * deterministic pinning of that behavior, not a reproduced guarantee.
   */
 final case class SourceConfig(
     sourceCode: String,
