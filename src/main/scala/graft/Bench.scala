@@ -32,12 +32,36 @@ object Bench {
         }
       name -> elapsed
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The harness that captures this output keeps only the final 2000
+    // characters of the log (sbt's trailing "[success] Total time" line
+    // included), so the one parseable JSON line must fit with ALL query
+    // timings present: per-query values print at decisecond precision in
+    // minimal form ("0.5", "8.5", "2") — honest on a host whose bench noise
+    // is far larger — and full nanosecond precision goes to a sidecar file.
+    def compact(v: Double, scale: Int): String =
+      if (v < 0) "-1"
+      else new java.math.BigDecimal(v).setScale(scale, java.math.RoundingMode.HALF_UP)
+        .stripTrailingZeros().toPlainString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + compact(v, 1) }
       .mkString("{", ",", "}")
     val ok = results.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // sf as a bare number ("0.1") when the dir is .../sf<N>, else quoted.
+    val sfToken = {
+      val m = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir)
+      m.map(_.group(1)).getOrElse("\"" + sfDir + "\"")
+    }
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val failedField = if (failed > 0) s""","failed":$failed""" else ""
+    val line =
+      s"""{"metric":"total","value":${compact(total, 2)},"unit":"sec","queries":$qs$failedField,"sf":$sfToken}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failed,"sf":"$sfDir"}""" + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
+    System.err.println(s"[bench] line length: ${line.length} chars")
+    println(line)
     spark.stop()
   }
 }

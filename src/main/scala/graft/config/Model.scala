@@ -336,5 +336,9 @@ object Catalog {
     val typeValidationSampleRows: Int = 100
     val emptyRowThreshold: Double = 0.8
     val insertBatchSize: Int = 1000
+    // Engine-side bound (no reference analogue — the reference collects all
+    // error strings in Python lists): cap on error strings brought to the
+    // driver per ingest; the exact invalid count stays distributed.
+    val maxCollectedErrors: Int = 10000
   }
 }

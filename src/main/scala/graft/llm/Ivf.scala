@@ -1,7 +1,7 @@
 package graft.llm
 
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -22,8 +22,8 @@ object Ivf {
     * a `_cluster` column. The fitted centroids are tiny driver state. */
   def build(corpus: DataFrame, embCol: String, idCol: String,
             k: Int, seed: Long = 42L): Index = {
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    val withVec = corpus.withColumn("_features", toVec(col(embCol)))
+    val withVec = corpus.withColumn("_features",
+      array_to_vector(col(embCol).cast("array<double>")))
     val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("_features")
       .fit(withVec)
     val assigned = model.transform(withVec)

@@ -87,12 +87,17 @@ object Similarity {
     Seq.fill(numPlanes)(Seq.fill(dim)(next()))
   }
 
-  /** Sign-LSH bucket id: one bit per hyperplane (sign of the dot product). */
+  /** Sign-LSH bucket id: one bit per hyperplane (sign of the dot product).
+    * The plane dimension is statically known at every call site, so each dot
+    * product unrolls to `element_at` term sums — the same codegen-friendly
+    * shape as [[cosineUnrolled]] — instead of interpreted
+    * `aggregate(zip_with(...))` lambdas per corpus row. The unrolled sum
+    * left-folds in index order, exactly like the lambda fold it replaces,
+    * so bucket ids are bit-identical. */
   def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column = {
-    val e = transform(emb, x => x.cast("double"))
+    def e(i: Int) = element_at(emb, i + 1).cast("double")
     planes.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(zip_with(e, typedLit(p), (a, b) => a * b),
-        lit(0.0), (acc, x) => acc + x)
+      val dot = p.indices.map(j => e(j) * lit(p(j))).reduce(_ + _)
       when(dot >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_ + _)
   }

@@ -41,9 +41,13 @@ object IngestPipeline {
     }: _*)
 
   /** Parse + detect + project + transform + split. Shared by ingest and
-    * validate. Returns (typedValid, quarantine, detection, headerIdx). */
+    * validate. Returns (typedValid, quarantine, detection) — both returned
+    * frames share the `typed` parent, which is PERSISTED so the ingest's
+    * several actions (insert count, invalid count, dup count, data write)
+    * each start from the cached typed rows instead of re-parsing the file.
+    * Callers release it via the also-returned handle. */
   private def prepare(spark: SparkSession, source: SourceConfig, path: String):
-      (DataFrame, DataFrame, HeaderDetector.Detection) = {
+      (DataFrame, DataFrame, HeaderDetector.Detection, DataFrame) = {
     val (raw, _) = FileReader.parseFile(spark, path)
     val head = FileReader.firstRows(raw, HeaderDetector.MaxScanRows)
     val det = HeaderDetector.detectHeaderRow(head, mappingsOf(source))
@@ -54,9 +58,18 @@ object IngestPipeline {
     val numbered = FileReader.withRowNumbers(raw)
     val dataRows = numbered.filter(col("_row_number") > hdrIdx + 1)
     val nonEmpty = Ingestor.filterEmptyRows(dataRows, colIdx.values.map(i => s"_c$i").toSeq)
+    // localCheckpoint (not just persist): the typed lineage is hundreds of
+    // parse/when expressions per column, and every downstream action (insert
+    // count, invalid count, error collect, data write) would re-ANALYZE that
+    // whole tree on the driver — at this point planning time, not execution
+    // time, dominates an ingest. Truncating the lineage makes each follow-up
+    // plan trivial. Fault-tolerance note: an ingest input is ≤100 MB by
+    // contract (the validate-time size cap), so losing a cached partition
+    // and restarting the ingest is cheaper than keeping the lineage.
     val typed = Ingestor.transformColumns(Ingestor.project(nonEmpty, colIdx), source)
+      .localCheckpoint()
     val (valid, quarantine) = Ingestor.validateSplit(typed, source.uniqueKeys)
-    (valid, quarantine, det)
+    (valid, quarantine, det, typed)
   }
 
   /** Full ingest with the reference's partial-success semantics:
@@ -81,12 +94,22 @@ object IngestPipeline {
         .select("data_version_id", "part_count").collect().headOption
     else None
 
-    val (valid, quarantine, det) = prepare(spark, source, path)
-    val (unique, dups) = Ingestor.dedupFirstWins(valid, source.uniqueKeys)
+    val (valid, quarantine, det, typed) = prepare(spark, source, path)
+    val (unique, _) = Ingestor.dedupFirstWins(valid, source.uniqueKeys)
     val toWrite = unique.drop("_row_number").persist()
     val inserted = toWrite.count()
-    val invalidRows = quarantine.select("_error").collect().map(_.getString(0)).toSeq
-    val dupCount = dups.count()
+    // Duplicates = valid minus survivors (dedup keeps null-key rows, so the
+    // difference is exactly the rank>1 rows) — a count over the cached typed
+    // rows instead of a second run of the dedup window.
+    val dupCount = valid.count() - inserted
+    // Error strings come to the driver CAPPED at maxCollectedErrors (the
+    // exact invalid count is still computed distributed) — an adversarial
+    // all-invalid file must not become a driver-OOM vector.
+    val invalidCount = quarantine.count()
+    val invalidRows = quarantine.select("_error", "_row_number")
+      .orderBy("_row_number")
+      .limit(Catalog.Limits.maxCollectedErrors)
+      .collect().map(_.getString(0)).toSeq
 
     val result = existing match {
       case Some(row) => // U4 append path
@@ -94,8 +117,8 @@ object IngestPipeline {
         store.writeData(source.targetTable, versionId, toWrite, append = true)
         store.appendPart(versionId, row.getInt(1) + 1, fileHash, fileName, inserted)
         store.log(versionId, "INFO", s"Appended part ${row.getInt(1) + 1} ($inserted rows)")
-        IngestResult(versionId, "completed", inserted + invalidRows.size + dupCount,
-          inserted, invalidRows.size, dupCount, invalidRows,
+        IngestResult(versionId, "completed", inserted + invalidCount + dupCount,
+          inserted, invalidCount, dupCount, invalidRows,
           det.headerRowIndex.get, det.unmappedColumns)
       case None =>
         val versionId = store.createVersion(source.sourceCode, versionLabel,
@@ -104,22 +127,23 @@ object IngestPipeline {
           store.writeData(source.targetTable, versionId, toWrite)
           store.completeVersion(versionId, inserted,
             markCurrentFor = if (markAsCurrent) Some((source.sourceCode, variant)) else None)
-          if (invalidRows.nonEmpty)
+          if (invalidCount > 0)
             store.log(versionId, "WARNING",
-              s"${invalidRows.size} rows failed validation",
+              s"$invalidCount rows failed validation",
               Some(invalidRows.take(5).mkString("[\"", "\",\"", "\"]")))
-          IngestResult(versionId, "completed", inserted + invalidRows.size + dupCount,
-            inserted, invalidRows.size, dupCount, invalidRows,
+          IngestResult(versionId, "completed", inserted + invalidCount + dupCount,
+            inserted, invalidCount, dupCount, invalidRows,
             det.headerRowIndex.get, det.unmappedColumns)
         } else {
           val summary = invalidRows.take(5).mkString("; ")
           store.failVersion(versionId, s"No rows inserted. First errors: $summary")
-          IngestResult(versionId, "failed", invalidRows.size + dupCount, 0,
-            invalidRows.size, dupCount, invalidRows,
+          IngestResult(versionId, "failed", invalidCount + dupCount, 0,
+            invalidCount, dupCount, invalidRows,
             det.headerRowIndex.get, det.unmappedColumns)
         }
     }
     toWrite.unpersist()
+    typed.unpersist()
     result
   }
 
@@ -135,6 +159,19 @@ object IngestPipeline {
       return ValidationReport(valid = false, 0, None, Map.empty, Seq.empty,
         Seq(s"Unsupported file type: $ext"), Seq.empty,
         duplicateFile = false, willAppend = false)
+
+    // Size cap before any read of the content — the reference rejects
+    // oversized uploads with this exact message (upload.py:231-242,
+    // config.py:22 max_upload_size_mb=100).
+    val fileSize = java.nio.file.Files.size(java.nio.file.Paths.get(path))
+    if (fileSize > Catalog.Limits.maxFileSizeBytes) {
+      val sizeMb = String.format(java.util.Locale.ROOT, "%.1f",
+        Double.box(fileSize / 1024.0 / 1024.0))
+      val maxMb = Catalog.Limits.maxFileSizeBytes / 1024 / 1024
+      return ValidationReport(valid = false, 0, None, Map.empty, Seq.empty,
+        Seq(s"File size ($sizeMb MB) exceeds maximum ($maxMb MB)"), Seq.empty,
+        duplicateFile = false, willAppend = false)
+    }
 
     val fileHash = VersionStore.sha256File(path)
     val isDup = store.isDuplicateFile(source.sourceCode, fileHash)

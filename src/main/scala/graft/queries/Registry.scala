@@ -421,7 +421,7 @@ object Registry {
     t(spark, dir, "nation").join(t(spark, dir, "region"),
         col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name")
-      .agg(sort_array(collect_list(col("n_name"))).as("nations"))
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
       .orderBy("r_name")
 
   /** J3 metadata equi-join: canonical columns x sources (upload.py:68-86). */
@@ -1451,7 +1451,7 @@ object Registry {
            (2, 50, 2), (3, 57, 4))
          t(data_version_id, record_count, part_count) ORDER BY data_version_id""",
     "q_d8_group_category" ->
-      """SELECT r_name, list_sort(list(n_name)) AS nations
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
          FROM nation JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name ORDER BY r_name""",
     "q_j3_meta_join" ->

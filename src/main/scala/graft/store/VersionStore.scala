@@ -35,26 +35,64 @@ final class VersionStore(val spark: SparkSession, val root: String) {
 
   private def exists(p: String): Boolean = Files.exists(Paths.get(p))
 
-  /** Versions metadata DF (empty-shaped if none yet). */
-  def versions: DataFrame =
-    if (exists(versionsPath)) spark.read.parquet(versionsPath)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], versionSchema)
+  // The versions/parts metadata tables are KB-scale and this store is
+  // single-writer (class contract above), so they are cached as driver-local
+  // rows and served as LocalRelations: a metadata read costs no file-scan
+  // job, and a swap costs one local collect plus the one durable parquet
+  // write. The parquet under `meta/` stays the source of truth on disk —
+  // a fresh VersionStore instance on the same root reloads it.
+  private var versionsCache: Option[Seq[org.apache.spark.sql.Row]] = None
+  private var partsCache: Option[Seq[org.apache.spark.sql.Row]] = None
 
-  def parts: DataFrame =
-    if (exists(partsPath)) spark.read.parquet(partsPath)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], partSchema)
+  private def localDF(rows: Seq[org.apache.spark.sql.Row],
+                      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val list = new java.util.ArrayList[org.apache.spark.sql.Row](rows.size)
+    rows.foreach(list.add)
+    spark.createDataFrame(list, schema)
+  }
+
+  private def loadMeta(cache: Option[Seq[org.apache.spark.sql.Row]], path: String):
+      Seq[org.apache.spark.sql.Row] =
+    cache.getOrElse {
+      if (exists(path)) spark.read.parquet(path).collect().toSeq
+      else Seq.empty
+    }
+
+  /** Cached versions rows for driver-side metadata reads. Positional field
+    * access only — rows constructed here are schemaless GenericRows. */
+  private def versionRows: Seq[org.apache.spark.sql.Row] = {
+    val rows = loadMeta(versionsCache, versionsPath)
+    versionsCache = Some(rows)
+    rows
+  }
+
+  /** Versions metadata DF (empty-shaped if none yet). */
+  def versions: DataFrame = localDF(versionRows, versionSchema)
+
+  def parts: DataFrame = {
+    val rows = loadMeta(partsCache, partsPath)
+    partsCache = Some(rows)
+    localDF(rows, partSchema)
+  }
 
   def logs: DataFrame =
     if (exists(logsPath)) spark.read.parquet(logsPath)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logSchema)
 
-  /** Atomic swap: write to a temp dir, then rename over the live one. */
-  private def swapWrite(df: DataFrame, path: String): Unit = {
+  /** Atomic swap: write to a temp dir, then rename over the live one. The
+    * new state is collected once (tiny, local), cached for subsequent
+    * metadata reads, and written durably from the collected rows. */
+  private def swapWrite(df: DataFrame, path: String): Unit =
+    swapWriteRows(df.collect().toSeq, df.schema, path)
+
+  private def swapWriteRows(rows: Seq[org.apache.spark.sql.Row],
+                            schema: org.apache.spark.sql.types.StructType,
+                            path: String): Unit = {
+    if (path == versionsPath) versionsCache = Some(rows)
+    else if (path == partsPath) partsCache = Some(rows)
     val tmp = path + ".tmp"
-    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    localDF(rows, schema).coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
     val live = Paths.get(path)
     val old = Paths.get(path + ".old")
     if (Files.exists(live)) {
@@ -65,20 +103,20 @@ final class VersionStore(val spark: SparkSession, val root: String) {
     deleteRecursively(old)
   }
 
-  /** U2 create a version in 'processing' state; returns its id. */
+  /** U2 create a version in 'processing' state; returns its id. The new row
+    * is built driver-side from the cached metadata (no read job) and the
+    * swap pays only the one durable write. */
   def createVersion(sourceCode: String, versionLabel: String,
                     effectiveDate: java.sql.Date, variant: Option[String],
                     fileHash: String, fileName: String): Long = {
-    val cur = versions
-    val nextId = if (cur.isEmpty) 1L
-      else cur.agg(max("data_version_id")).head.getLong(0) + 1L
+    val cur = versionRows
+    val nextId =
+      if (cur.isEmpty) 1L else cur.map(_.getLong(0)).max + 1L
     val now = new java.sql.Timestamp(System.currentTimeMillis())
-    val row = spark.createDataFrame(
-      java.util.List.of(org.apache.spark.sql.Row(
-        nextId, sourceCode, versionLabel, effectiveDate, variant.orNull,
-        "processing", fileHash, fileName, null, false, now, 1, null)),
-      versionSchema)
-    swapWrite(cur.unionByName(row), versionsPath)
+    val row = org.apache.spark.sql.Row(
+      nextId, sourceCode, versionLabel, effectiveDate, variant.orNull,
+      "processing", fileHash, fileName, null, false, now, 1, null)
+    swapWriteRows(cur :+ row, versionSchema, versionsPath)
     nextId
   }
 
@@ -124,12 +162,16 @@ final class VersionStore(val spark: SparkSession, val root: String) {
           .otherwise(col("is_current"))))
   }
 
-  /** Write a version's data partition (U4 append mode for multi-part). */
+  /** Write a version's data partition (U4 append mode for multi-part).
+    * The partition value is a constant for the whole write, so the files go
+    * straight into the hive-style `data_version_id=<id>` directory — the
+    * on-disk layout (and the partition-pruned read path) is identical to a
+    * `partitionBy` write, without the dynamic-partition writer, and
+    * Overwrite is scoped to THIS version's directory instead of risking a
+    * static-mode truncate of every other version's partition. */
   def writeData(table: String, versionId: Long, df: DataFrame, append: Boolean = false): Unit = {
-    df.withColumn("data_version_id", lit(versionId))
-      .write.mode(if (append) SaveMode.Append else SaveMode.Overwrite)
-      .partitionBy("data_version_id")
-      .parquet(s"$dataDir/$table")
+    df.write.mode(if (append) SaveMode.Append else SaveMode.Overwrite)
+      .parquet(s"$dataDir/$table/data_version_id=$versionId")
   }
 
   def data(table: String): DataFrame = spark.read.parquet(s"$dataDir/$table")
@@ -178,10 +220,11 @@ final class VersionStore(val spark: SparkSession, val root: String) {
   }
 
   /** D2 duplicate-file detection: any completed version of this source with
-    * the same hash blocks re-upload (reference: validator.py:178-214). */
+    * the same hash blocks re-upload (reference: validator.py:178-214).
+    * Driver-side over the cached metadata rows — zero jobs. */
   def isDuplicateFile(sourceCode: String, fileHash: String): Boolean =
-    !versions.filter(col("source_code") === sourceCode &&
-      col("file_hash") === fileHash && col("status") === "completed").isEmpty
+    versionRows.exists(r => r.getString(1) == sourceCode &&
+      r.getString(6) == fileHash && r.getString(5) == "completed")
 }
 
 object VersionStore {
