@@ -174,6 +174,21 @@ final class VersionStore(val spark: SparkSession, val root: String) {
       .parquet(s"$dataDir/$table/data_version_id=$versionId")
   }
 
+  /** S7's relational-sink sibling: write a version's rows to an external
+    * RDBMS over JDBC in 1000-row insert batches — the same page size as the
+    * reference's `execute_values(..., page_size=1000)` bulk insert
+    * (ingestor.py:383-438, config `insertBatchSize`). Executors open their
+    * own connections and batch independently, so the insert parallelism
+    * scales with the DataFrame's partitioning (repartition upstream to match
+    * what the target database can absorb). */
+  def writeJdbc(url: String, table: String, versionId: Long, df: DataFrame,
+                properties: java.util.Properties = new java.util.Properties(),
+                mode: SaveMode = SaveMode.Append): Unit =
+    df.withColumn("data_version_id", lit(versionId))
+      .write.mode(mode)
+      .option("batchsize", Catalog.Limits.insertBatchSize)
+      .jdbc(url, table, properties)
+
   def data(table: String): DataFrame = spark.read.parquet(s"$dataDir/$table")
 
   /** J2 current view: data ⋈ broadcast(current version ids). The metadata

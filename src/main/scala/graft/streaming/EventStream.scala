@@ -84,6 +84,60 @@ object EventStream {
       }
   }
 
+  /** Event-time sessionization via flatMapGroupsWithState: sessions split on
+    * event-time gaps and close either when a later event proves the gap
+    * (emitted immediately) or when the WATERMARK passes end+gap
+    * (EventTimeTimeout). Unlike [[sessionize]]'s processing-time variant,
+    * replaying the same events yields the same sessions regardless of
+    * trigger pacing — a gap inside one micro-batch and the same gap split
+    * across micro-batches close the same session with the same summary.
+    * State is one open session per user, aged by the watermark: bounded on
+    * an unbounded feed. */
+  def sessionizeEventTime(events: Dataset[SessionEvent],
+                          gapMs: Long = 30 * 60 * 1000,
+                          watermark: String = "10 minutes"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionSummary, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        case (userId, rows, state: GroupState[SessionSummary]) =>
+          if (state.hasTimedOut) {
+            val out = state.get
+            state.remove()
+            Iterator.single(out)
+          } else {
+            // Event-time order within the batch makes the fold independent
+            // of arrival order; cross-batch stragglers inside the watermark
+            // extend the open session (end = max ts seen).
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionSummary]
+            var open = state.getOption
+            sorted.foreach { e =>
+              open = open match {
+                case Some(s) if e.ts.getTime - s.session_end.getTime > gapMs =>
+                  closed += s
+                  Some(SessionSummary(userId, 1L, e.value, e.ts))
+                case Some(s) =>
+                  Some(SessionSummary(userId, s.n_events + 1, s.total_value + e.value,
+                    if (e.ts.getTime > s.session_end.getTime) e.ts else s.session_end))
+                case None =>
+                  Some(SessionSummary(userId, 1L, e.value, e.ts))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // Spark requires the timeout to sit ahead of the current
+              // watermark; a session already older than that closes on the
+              // next watermark advance.
+              state.setTimeoutTimestamp(
+                math.max(s.session_end.getTime + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Replay the batch events parquet as a bounded stream (one file per
     * micro-batch) — the standard harness for exercising streaming plans
     * against deterministic data. Returns the running query writing to an

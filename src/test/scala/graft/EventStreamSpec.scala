@@ -87,6 +87,51 @@ class EventStreamSpec extends SparkSpecBase {
     assert(sessions.toSeq == Seq(3L, 2L))
   }
 
+  test("event-time sessionize is replay-deterministic across trigger pacings") {
+    import spark.implicits._
+    val sessionSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    val base = 1700000000000L
+    val min = 60000L
+    // user 1: session A (0,1,2 min), session B (20,21 min), then a sentinel
+    // at 60 min whose only job is to advance the watermark past B's close.
+    // gap=5 min, watermark=10 min -> final watermark 50 min: A and B are
+    // both provably closed; the sentinel's own session stays open (correct —
+    // on an unbounded feed it could still be extended).
+    val bursts: Seq[Seq[Long]] = Seq(
+      Seq(0L, 1 * min),                    // first half of session A
+      Seq(2 * min, 20 * min, 21 * min),    // A's tail + all of session B
+      Seq(60 * min))                       // watermark-advancing sentinel
+    def df(ts: Seq[Long]) = ts.map(t => (1L, new Timestamp(base + t), 1.0))
+      .toDF("user_id", "ts", "value")
+    val oneDir = java.nio.file.Files.createTempDirectory("graft-sess-one").toString
+    df(bursts.flatten).coalesce(1).write.parquet(s"$oneDir/stream")
+    val manyDir = java.nio.file.Files.createTempDirectory("graft-sess-many").toString
+    bursts.foreach { b =>
+      df(b).coalesce(1).write.mode("append").parquet(s"$manyDir/stream")
+      Thread.sleep(1100) // distinct file timestamps => deterministic batch order
+    }
+    def run(dir: String, sink: String): Seq[(Long, Double, Long)] = {
+      val q = EventStream.replayParquetAsStream(spark, s"$dir/stream", sessionSchema,
+        d => EventStream.sessionizeEventTime(d.as[EventStream.SessionEvent],
+          gapMs = 5 * min, watermark = "10 minutes").toDF(),
+        sink)
+      q.awaitTermination(60000)
+      spark.table(sink)
+        .collect().map(r => (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"),
+          r.getAs[Timestamp]("session_end").getTime))
+        .sortBy(_._3).toSeq
+    }
+    val one = run(oneDir, "sess_one_sink")
+    val many = run(manyDir, "sess_many_sink")
+    // identical CLOSED sessions regardless of how the replay was paced
+    assert(one == many)
+    assert(one == Seq(
+      (3L, 3.0, base + 2 * min),    // session A: 3 events, ends at minute 2
+      (2L, 2.0, base + 21 * min)))  // session B: 2 events, ends at minute 21
+  }
+
   test("sessionize accumulates per-user state") {
     import spark.implicits._
     val base = 1700000000000L

@@ -103,6 +103,30 @@ class IngestPipelineSpec extends SparkSpecBase {
     assert(rep3.duplicateFile && !rep3.valid)
   }
 
+  test("oversized upload is rejected with the reference's size-cap message") {
+    val store = newStore()
+    // A sparse file: size() reports >100 MB without writing the bytes — the
+    // cap must reject on size alone, before any read of the content.
+    val big = Files.createTempFile("graft-ip", ".csv")
+    val raf = new java.io.RandomAccessFile(big.toFile, "rw")
+    try raf.setLength(105L * 1024 * 1024) finally raf.close()
+    val rep = IngestPipeline.validateFile(spark, store, "PFS_OPPS_CAP", big.toString, "2026-Q1")
+    assert(!rep.valid)
+    assert(rep.errors == Seq("File size (105.0 MB) exceeds maximum (100 MB)"))
+  }
+
+  test("all-invalid file: error list capped at 10k, counts stay exact") {
+    val store = newStore()
+    val n = graft.config.Catalog.Limits.maxCollectedErrors + 50
+    val body = (1 to n).map(_ => ",1.00").mkString("\n")
+    val path = csv(s"HCPCS,OPPS CAP\n$body\n")
+    val r = IngestPipeline.ingestFile(spark, store, "PFS_OPPS_CAP", path, "2026-Q1", d)
+    assert(r.status == "failed")
+    assert(r.invalid == n)                 // exact, computed distributed
+    assert(r.errors.size == graft.config.Catalog.Limits.maxCollectedErrors)
+    assert(r.errors.head.contains("Row 2:")) // first-N by row order
+  }
+
   test("unsupported extension and missing header are reported, not thrown") {
     val store = newStore()
     val pdf = Files.createTempFile("graft-ip", ".pdf")

@@ -78,6 +78,35 @@ class VersionStoreSpec extends SparkSpecBase {
     assert(!store.isDuplicateFile("HCPCS", "otherhash"))
   }
 
+  test("metadata survives a fresh store instance on the same root") {
+    val store = newStore()
+    val id = store.createVersion("PFS_OPPS_CAP", "2026-Q1",
+      java.sql.Date.valueOf("2026-01-01"), None, "hash1", "f1.csv")
+    store.writeData("cms.pfs_opps_cap", id, sampleData(1))
+    store.completeVersion(id, 2, markCurrentFor = Some(("PFS_OPPS_CAP", None)))
+    // a NEW instance must reload the durable parquet, not see empty caches
+    val reopened = new VersionStore(spark, store.root)
+    assert(reopened.currentView("cms.pfs_opps_cap", "PFS_OPPS_CAP").count() == 2)
+    assert(reopened.isDuplicateFile("PFS_OPPS_CAP", "hash1"))
+    assert(reopened.versions.filter(col("is_current")).count() == 1)
+  }
+
+  test("JDBC sink writes version rows in 1000-row insert batches (S7)") {
+    val store = newStore()
+    val dbDir = java.nio.file.Files.createTempDirectory("graft-jdbc").toString
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val id = store.createVersion("PFS_GPCI", "2026-Q1",
+      java.sql.Date.valueOf("2026-01-01"), None, "h", "f.csv")
+    store.writeJdbc(url, "pfs_gpci", id, sampleData(1), props)
+    val back = spark.read.jdbc(url, "pfs_gpci", props)
+    assert(back.count() == 2)
+    assert(back.columns.map(_.toLowerCase).toSet ==
+      Set("hcpcs_code", "amount", "data_version_id"))
+    assert(back.filter(col("data_version_id") === id).count() == 2)
+  }
+
   test("cascade delete removes data and metadata (U5)") {
     val store = newStore()
     val id = store.createVersion("PFS_GPCI", "2026-Q1",
