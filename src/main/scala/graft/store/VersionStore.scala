@@ -191,16 +191,27 @@ final class VersionStore(val spark: SparkSession, val root: String) {
 
   def data(table: String): DataFrame = spark.read.parquet(s"$dataDir/$table")
 
-  /** J2 current view: data ⋈ broadcast(current version ids). The metadata
-    * side is tiny, so Catalyst broadcasts it and partition pruning on
-    * data_version_id keeps the scan to current files only. */
+  /** J2 current view. The current version ids are resolved DRIVER-SIDE from
+    * the cached metadata and emitted as a static `isin` partition filter, so
+    * the scan provably prunes to the current version's files at PLANNING
+    * time — on a table with years of version history this is the difference
+    * between listing one `data_version_id=<id>` directory and scanning them
+    * all (a broadcast join would at best prune dynamically at runtime).
+    * Null-safe variant compare mirrors the reference's
+    * `IS NOT DISTINCT FROM` (init_db.py:418-518). */
   def currentView(table: String, sourceCode: String, variant: Option[String] = None): DataFrame = {
-    val cur = versions.filter(
-      col("source_code") === sourceCode && col("is_current") === true &&
-        col("status") === "completed" && (col("variant") <=> lit(variant.orNull)))
-      .select("data_version_id")
-    data(table).join(broadcast(cur), Seq("data_version_id"))
+    val ids = currentVersionIds(sourceCode, variant)
+    data(table).filter(col("data_version_id").isin(ids.map(Long.box): _*))
   }
+
+  /** Current completed version ids for a (source, variant) scope, from the
+    * driver-side metadata cache — zero jobs. */
+  def currentVersionIds(sourceCode: String, variant: Option[String]): Seq[Long] =
+    versionRows.collect {
+      case r if r.getString(1) == sourceCode && r.getBoolean(9) &&
+        r.getString(5) == "completed" && Option(r.getString(4)) == variant =>
+        r.getLong(0)
+    }
 
   /** U5 cascade delete: version data files + metadata rows. */
   def deleteVersion(id: Long, table: String): Unit = {

@@ -58,4 +58,28 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(p.contains("l_quantity"))
     assert(!p.contains("l_shipdate"), "unneeded column not pruned from scan")
   }
+
+  test("current view statically prunes to the current version's partition") {
+    import spark.implicits._
+    val store = new graft.store.VersionStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-prune").toString)
+    def ingest(label: String, v: Int): Long = {
+      val id = store.createVersion("PFS_GPCI", label,
+        java.sql.Date.valueOf("2026-01-01"), None, s"hash$v", s"f$v.csv")
+      store.writeData("cms.pfs_gpci", id,
+        Seq((s"loc$v", v * 1.0)).toDF("mac_locality", "work_gpci"))
+      store.completeVersion(id, 1, markCurrentFor = Some(("PFS_GPCI", None)))
+      id
+    }
+    ingest("2026-Q1", 1)
+    val id2 = ingest("2026-Q2", 2)
+    val view = store.currentView("cms.pfs_gpci", "PFS_GPCI")
+    val p = view.queryExecution.executedPlan.toString
+    // a static partition filter, not a join: only version 2's files scanned
+    assert(p.contains(s"data_version_id#") && p.contains(s"IN ($id2)")
+      || p.contains(s"data_version_id IN ($id2)")
+      || p.contains(s"= $id2"), s"expected static partition filter in:\n$p")
+    assert(!p.contains("Join"), "current view must not need a join")
+    assert(view.collect().map(_.getAs[String]("mac_locality")).toSeq == Seq("loc2"))
+  }
 }
