@@ -126,6 +126,61 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over an undirected near-dup pair list
+    * (id_a, id_b): iterative min-label propagation — each round every node
+    * takes the minimum label among itself and its neighbors, until no label
+    * changes. Rounds are bounded by the component diameter; near-duplicate
+    * clusters are dense in practice (a dup of A and a dup of B are usually
+    * dups of each other), so diameters — and round counts — stay small even
+    * when the corpus is huge. Each round ends in a localCheckpoint: without
+    * it the iterated plan nests one join deeper per round and Catalyst
+    * re-analysis, not execution, becomes the cost.
+    *
+    * Returns (id, component) where component = min id reachable. */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 50): DataFrame = {
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbr = sym.join(labels.select(col("id").as("dst"),
+          col("component").as("_nbrComp")), "dst")
+        .groupBy(col("src").as("id")).agg(min("_nbrComp").as("_nbrMin"))
+      val next = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("_nbrMin"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.component") =!= col("o.component")).count()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Cluster-level dedup: label every document with its near-dup component
+    * (docs with no pair are their own singleton component) and mark the
+    * min-id document of each component as the representative to keep. This
+    * is the step that turns PAIRS (what LSH emits) into KEEP/DROP decisions
+    * (what a training-data pipeline needs). */
+  def dedupByCluster(docs: DataFrame, idCol: String, pairs: DataFrame,
+                     aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    docs.join(comps, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .withColumn("is_representative",
+        col(idCol) === min(col(idCol)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("component")))
+  }
+
   /** 64-bit SimHash over whitespace tokens: per bit, sum ±1 weighted by
     * token-hash bit; sign → fingerprint bit. Near-dups = fingerprints equal
     * in some 16-bit band (Hamming-distance blocking), verified by popcount.

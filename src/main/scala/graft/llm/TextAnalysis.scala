@@ -86,6 +86,68 @@ object TextAnalysis {
       + wordLenScore * 0.2) * 10000.0 + 0.5) / 10000.0
   }
 
+  // ---- Gopher-style document-format rules (public heuristics from "Scaling
+  // Language Models: Methods, Analysis & Insights from Training Gopher",
+  // Rae et al. 2021, App. A — the standard cheap pre-filters a training-data
+  // pipeline runs before any model-based scoring). All pure Column
+  // expressions; ratios rounded half-up to 4 dp in engine-agnostic floor
+  // form so the DuckDB oracle hash-matches.
+
+  private def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+  private def docLines(text: Column): Column = split(text, "\n")
+
+  /** Mean word length: non-whitespace chars / word count. */
+  def meanWordLen(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val chars = length(regexp_replace(text, "\\s+", "")).cast("double")
+    when(n > 0, r4(chars / n)).otherwise(lit(0.0))
+  }
+
+  /** Symbol-to-word ratio: ('#' occurrences + '...' occurrences) / words. */
+  def symbolWordRatio(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val hashes = (length(text) - length(regexp_replace(text, "#", ""))).cast("double")
+    val ellipses = size(regexp_extract_all(text, lit("\\.\\.\\."), lit(0))).cast("double")
+    when(n > 0, r4((hashes + ellipses) / n)).otherwise(lit(0.0))
+  }
+
+  /** Fraction of lines starting with a bullet ('-' or '*'). */
+  def bulletLineFrac(text: Column): Column = {
+    val ls = docLines(text)
+    val b = size(filter(ls, l => trim(l).rlike("^[-*]"))).cast("double")
+    r4(b / size(ls).cast("double")) // split() yields >= 1 line always
+  }
+
+  /** Fraction of lines ending with an ellipsis. */
+  def ellipsisLineFrac(text: Column): Column = {
+    val ls = docLines(text)
+    val e = size(filter(ls, l => trim(l).endsWith("..."))).cast("double")
+    r4(e / size(ls).cast("double"))
+  }
+
+  /** Fraction of words containing at least one alphabetic character. */
+  def alphaWordFrac(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val a = size(filter(tokens(text), t => t.rlike("[A-Za-z]"))).cast("double")
+    when(n > 0, r4(a / n)).otherwise(lit(0.0))
+  }
+
+  /** The conjunction of the Gopher format rules: 50–100k words, mean word
+    * length 3–10, symbol ratio < 0.1, bullet lines < 90%, ellipsis lines
+    * < 30%, alpha-word fraction > 0.8, ≥ 2 English stopwords. Comparisons
+    * run on the same rounded values the per-rule columns surface. */
+  def gopherPass(text: Column): Column = {
+    val n = tokenCount(text)
+    val stops = stopwordHits(text, StopwordSets.head._2)
+    n.between(50, 100000) &&
+      meanWordLen(text).between(3.0, 10.0) &&
+      symbolWordRatio(text) < 0.1 &&
+      bulletLineFrac(text) < 0.9 &&
+      ellipsisLineFrac(text) < 0.3 &&
+      alphaWordFrac(text) > 0.8 &&
+      stops >= 2
+  }
+
   /** Canonical-form fingerprint: md5 of lowercased, punctuation-stripped,
     * whitespace-collapsed text. Stable across formatting-only edits. */
   def fingerprint(text: Column): Column = {

@@ -638,6 +638,26 @@ object Registry {
       .orderBy("content_hash")
   }
 
+  /** Connected components + cluster dedup over a deterministic pair graph:
+    * chain edges doc i → i+1 except across i%7==6 boundaries give
+    * components of size 7 (last one truncated), so the min-label
+    * propagation genuinely runs multiple rounds. The oracle derives the
+    * same components arithmetically (doc_id - doc_id%7) — the EDGES are
+    * synthetic; the component/representative computation under test is the
+    * general operator a near-dup pipeline feeds with LSH pairs. */
+  private def llmDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"))
+    val edges = docs.filter(pmod(col("doc_id"), lit(7)) =!= 6)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      .join(docs.select(col("doc_id").as("id_b")), Seq("id_b")) // b must exist
+    Dedup.dedupByCluster(docs, "doc_id", edges)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("doc_id")).as("representative"),
+        sum(when(col("is_representative"), 1L).otherwise(0L)).as("n_reps"))
+      .orderBy("component")
+  }
+
   /** MinHash-LSH near-dups over documents ∪ lightly-mutated copies.
     * Deterministic seeds; verified against exact Jaccard. Not DuckDB-
     * expressible (xxhash64) → rows-only driver check. */
@@ -717,6 +737,20 @@ object Registry {
   private def llmQuality(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** Gopher-style format rules per document (Rae et al. 2021 App. A): the
+    * per-rule columns plus the keep/drop conjunction. */
+  private def llmGopher(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("word_count"),
+        TextAnalysis.meanWordLen(col("text")).as("mean_word_len"),
+        TextAnalysis.symbolWordRatio(col("text")).as("symbol_word_ratio"),
+        TextAnalysis.bulletLineFrac(col("text")).as("bullet_line_frac"),
+        TextAnalysis.ellipsisLineFrac(col("text")).as("ellipsis_line_frac"),
+        TextAnalysis.alphaWordFrac(col("text")).as("alpha_word_frac"),
+        TextAnalysis.gopherPass(col("text")).as("gopher_pass"))
       .orderBy("doc_id")
 
   private def llmTokens(spark: SparkSession, dir: String): DataFrame =
@@ -1033,6 +1067,7 @@ object Registry {
     "q_s3_xls_read" -> q(s3Xls),
     "q_h1_header_detect" -> q(h1HeaderDetect),
     "q_llm_exact_dedup" -> q(llmExactDedup),
+    "q_llm_dedup_clusters" -> q(llmDedupClusters),
     "q_llm_minhash_neardup" -> q(llmMinhashNearDup),
     "q_llm_simhash_neardup" -> q(llmSimhashNearDup),
     "q_llm_ngram_jaccard" -> q(llmNgramJaccard),
@@ -1045,6 +1080,7 @@ object Registry {
     "q_llm_cosine_neardup" -> q(llmCosineNearDup),
     "q_llm_langid" -> q(llmLangId),
     "q_llm_quality" -> q(llmQuality),
+    "q_llm_gopher" -> q(llmGopher),
     "q_llm_tokens" -> q(llmTokens),
     "q_llm_fingerprint" -> q(llmFingerprint),
     "q_llm_rolling_fp" -> q(llmRollingFp),
@@ -1340,6 +1376,12 @@ object Registry {
            SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50)
          SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS copies
          FROM all_docs GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""",
+    "q_llm_dedup_clusters" ->
+      """SELECT (doc_id - doc_id % 7) AS component,
+                count(*) AS n_members,
+                min(doc_id) AS representative,
+                CAST(1 AS BIGINT) AS n_reps
+         FROM documents GROUP BY 1 ORDER BY 1""",
     "q_llm_ngram_jaccard" ->
       """WITH g AS (
            SELECT doc_id, list_distinct(list_transform(
@@ -1412,6 +1454,37 @@ object Registry {
              + (CASE WHEN ntok > 0 AND nchars / ntok >= 3 AND nchars / ntok <= 12
                      THEN 1.0 ELSE 0.0 END) * 0.2) * 10000 + 0.5) / 10000 AS quality
          FROM m ORDER BY doc_id""",
+    "q_llm_gopher" ->
+      """WITH m AS (SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS wc,
+           CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS nonws,
+           CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) AS hashes,
+           CAST(len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) AS ellipses,
+           string_split(text, chr(10)) AS ls,
+           string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         r AS (SELECT doc_id, wc,
+           CASE WHEN wc > 0 THEN floor(nonws / wc * 10000 + 0.5) / 10000
+                ELSE 0.0 END AS mean_word_len,
+           CASE WHEN wc > 0 THEN floor((hashes + ellipses) / wc * 10000 + 0.5) / 10000
+                ELSE 0.0 END AS symbol_word_ratio,
+           floor(CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*]'))) AS DOUBLE)
+             / len(ls) * 10000 + 0.5) / 10000 AS bullet_line_frac,
+           floor(CAST(len(list_filter(ls, l -> trim(l) LIKE '%...')) AS DOUBLE)
+             / len(ls) * 10000 + 0.5) / 10000 AS ellipsis_line_frac,
+           CASE WHEN wc > 0 THEN
+             floor(CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+               / wc * 10000 + 0.5) / 10000 ELSE 0.0 END AS alpha_word_frac,
+           len(list_filter(toks, t -> lower(t) IN
+             ('the','a','of','and','to','in','is','that','it','for'))) AS stops
+           FROM m)
+         SELECT doc_id, wc AS word_count, mean_word_len, symbol_word_ratio,
+           bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+           (wc BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+             AND symbol_word_ratio < 0.1 AND bullet_line_frac < 0.9
+             AND ellipsis_line_frac < 0.3 AND alpha_word_frac > 0.8
+             AND stops >= 2 AS gopher_pass
+         FROM r ORDER BY doc_id""",
     "q_llm_tokens" ->
       """SELECT doc_id,
            len(string_split_regex(trim(text), '\s+')) AS n_tokens,

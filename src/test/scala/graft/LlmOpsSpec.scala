@@ -33,6 +33,40 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(pairs(0).getAs[Double]("jaccard") > 0.8)
   }
 
+  test("connected components match driver-side union-find on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 200
+    val edges = (0 until 150)
+      .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // union-find with union-by-min: the root of each set is its min id,
+    // which is exactly the component label the operator must produce
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val inGraph = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    val expected = inGraph.map(i => i -> find(i.toInt).toLong).toMap
+    val got = Dedup.connectedComponents(
+        edges.toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("cluster dedup: singletons self-labeled, one representative per cluster") {
+    import spark.implicits._
+    val d = docs((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b") // {1,2,3} + singletons
+    val out = Dedup.dedupByCluster(d, "doc_id", pairs)
+      .select("doc_id", "component", "is_representative")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 5L, true)))
+  }
+
   test("simhash: identical text distance 0; small edit small distance") {
     val fp = docs((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
       (3L, "a b c d e f g x")).select(Dedup.simhash(col("text")).as("fp"))
