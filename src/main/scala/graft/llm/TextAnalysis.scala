@@ -148,6 +148,42 @@ object TextAnalysis {
       stops >= 2
   }
 
+  /** Gopher repetition rule: fraction of lines that are duplicates of an
+    * earlier line. Boilerplate-heavy pages (nav bars, cookie banners) score
+    * high and get filtered before training. */
+  def dupLineFrac(text: Column): Column = {
+    val ls = docLines(text)
+    r4((size(ls) - size(array_distinct(ls))).cast("double") / size(ls).cast("double"))
+  }
+
+  /** Companion repetition rule: fraction of CHARACTERS sitting in duplicate
+    * lines (a page whose one repeated line is huge should score worse than
+    * one repeating a short divider). */
+  def dupLineCharFrac(text: Column): Column = {
+    val ls = docLines(text)
+    val total = aggregate(ls, lit(0), (a, l) => a + length(l)).cast("double")
+    val distinctChars = aggregate(array_distinct(ls), lit(0), (a, l) => a + length(l)).cast("double")
+    when(total > 0, r4((total - distinctChars) / total)).otherwise(lit(0.0))
+  }
+
+  // ---- PII scrubbing: the standard pre-training redaction pass. Patterns
+  // deliberately use only syntax with identical semantics in Java regex
+  // (Spark codegen) and RE2 (DuckDB oracle): char classes, greedy
+  // quantifiers, \b — no alternation, no backrefs.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val PhoneRe = "\\b\\d{3}[- .]\\d{3}[- .]\\d{4}\\b"
+
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Redact emails, then URLs, then phone-number shapes (order matters and
+    * is part of the contract — an email inside a URL is already gone when
+    * the URL pass runs). */
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      EmailRe, "<EMAIL>"), UrlRe, "<URL>"), PhoneRe, "<PHONE>")
+
   /** Canonical-form fingerprint: md5 of lowercased, punctuation-stripped,
     * whitespace-collapsed text. Stable across formatting-only edits. */
   def fingerprint(text: Column): Column = {

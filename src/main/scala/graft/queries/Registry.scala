@@ -753,6 +753,41 @@ object Registry {
         TextAnalysis.gopherPass(col("text")).as("gopher_pass"))
       .orderBy("doc_id")
 
+  /** Gopher repetition rules over documents with every third text given a
+    * duplicated-line tail (the synthetic docs are single-line, so the
+    * injection is what makes the rule bite; both engines build the same
+    * input). */
+  private def llmRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val injected = when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(col("text"), lit("\n"), col("text")))
+      .otherwise(col("text"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.dupLineFrac(injected).as("dup_line_frac"),
+        TextAnalysis.dupLineCharFrac(injected).as("dup_line_char_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** PII scrub over documents with deterministic email/URL/phone
+    * injections; emits per-kind counts and the md5 of the scrubbed text so
+    * the oracle hash-compares redaction byte-for-byte. */
+  private def llmPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val m = pmod(col("doc_id"), lit(5))
+    val injected = when(m === 0,
+        concat(col("text"), lit(" Contact bob.smith+spam@example-mail.com now")))
+      .when(m === 1,
+        concat(col("text"), lit(" see https://example.com/a/b?c=d#e and http://t.co/xyz")))
+      .when(m === 2, concat(col("text"), lit(" call 415-555-0123 today")))
+      .otherwise(col("text"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.piiCount(injected, TextAnalysis.EmailRe).cast("long").as("n_emails"),
+        TextAnalysis.piiCount(injected, TextAnalysis.UrlRe).cast("long").as("n_urls"),
+        TextAnalysis.piiCount(injected, TextAnalysis.PhoneRe).cast("long").as("n_phones"),
+        md5(TextAnalysis.scrubPii(injected)).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
   private def llmTokens(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"),
@@ -1081,6 +1116,8 @@ object Registry {
     "q_llm_langid" -> q(llmLangId),
     "q_llm_quality" -> q(llmQuality),
     "q_llm_gopher" -> q(llmGopher),
+    "q_llm_repetition" -> q(llmRepetition),
+    "q_llm_pii_scrub" -> q(llmPiiScrub),
     "q_llm_tokens" -> q(llmTokens),
     "q_llm_fingerprint" -> q(llmFingerprint),
     "q_llm_rolling_fp" -> q(llmRollingFp),
@@ -1485,6 +1522,36 @@ object Registry {
              AND ellipsis_line_frac < 0.3 AND alpha_word_frac > 0.8
              AND stops >= 2 AS gopher_pass
          FROM r ORDER BY doc_id""",
+    "q_llm_repetition" ->
+      """WITH m AS (SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || text ELSE text END AS t
+           FROM documents),
+         l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM m)
+         SELECT doc_id,
+           floor(CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE)
+             / len(ls) * 10000 + 0.5) / 10000 AS dup_line_frac,
+           CASE WHEN list_sum(list_transform(ls, x -> length(x))) > 0 THEN
+             floor(CAST(list_sum(list_transform(ls, x -> length(x)))
+                 - list_sum(list_transform(list_distinct(ls), x -> length(x))) AS DOUBLE)
+               / list_sum(list_transform(ls, x -> length(x))) * 10000 + 0.5) / 10000
+           ELSE 0.0 END AS dup_line_char_frac
+         FROM l ORDER BY doc_id""",
+    "q_llm_pii_scrub" ->
+      """WITH m AS (SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN text || ' Contact bob.smith+spam@example-mail.com now'
+                WHEN doc_id % 5 = 1 THEN text || ' see https://example.com/a/b?c=d#e and http://t.co/xyz'
+                WHEN doc_id % 5 = 2 THEN text || ' call 415-555-0123 today'
+                ELSE text END AS t
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+           CAST(len(regexp_extract_all(t, '\b\d{3}[- .]\d{3}[- .]\d{4}\b')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^\s]+', '<URL>', 'g'),
+             '\b\d{3}[- .]\d{3}[- .]\d{4}\b', '<PHONE>', 'g')) AS scrubbed_md5
+         FROM m ORDER BY doc_id""",
     "q_llm_tokens" ->
       """SELECT doc_id,
            len(string_split_regex(trim(text), '\s+')) AS n_tokens,
