@@ -39,10 +39,19 @@ object ScaleSmoke {
       .persist()
     println(s"[scale] corpus: ${big.count()} docs")
 
-    val pairs = timed("minhash-lsh near-dup")(
-      Dedup.minhashNearDuplicates(big, "doc_id", "text",
-        shingleSize = 3, numPerms = 64, bands = 16, threshold = 0.5).count())
+    val pairsDf = Dedup.minhashNearDuplicates(big, "doc_id", "text",
+      shingleSize = 3, numPerms = 64, bands = 16, threshold = 0.5).persist()
+    val pairs = timed("minhash-lsh near-dup")(pairsDf.count())
     println(s"[scale] minhash pairs: $pairs")
+
+    // pairs -> components -> representatives: ~1M edges over ~100k nodes;
+    // replica clusters are dense, so the label loop should converge in a
+    // handful of rounds regardless of corpus size.
+    val reps = timed("connected components + cluster dedup")(
+      Dedup.dedupByCluster(big.select(col("doc_id")), "doc_id",
+          pairsDf.select(col("id_a"), col("id_b")))
+        .filter(col("is_representative")).count())
+    println(s"[scale] representatives kept: $reps")
 
     val sims = timed("simhash near-dup")(
       Dedup.simhashNearDuplicates(big, "doc_id", "text", maxDist = 3).count())

@@ -12,9 +12,11 @@ import scala.collection.mutable.ArrayBuffer
   * Two layers, both subset implementations of the public specs:
   *  - CFB container (MS-CFB): header, FAT via DIFAT, directory, regular and
   *    mini stream chains — enough to locate and read the Workbook stream.
-  *  - BIFF8 records (MS-XLS): BOF/EOF, SST + LABELSST, LABEL, NUMBER, RK,
-  *    MULRK, BLANK, BOOLERR. RC4 encryption, Continue-spanning SST strings,
-  *    rich-text runs and far-east extensions are out of scope and raise.
+  *  - BIFF8 records (MS-XLS): BOF/EOF, SST + LABELSST (including SST
+  *    strings spanning Continue records, with mid-string grbit
+  *    re-declaration), LABEL, NUMBER, RK, MULRK, BLANK, BOOLERR. RC4
+  *    encryption, rich-text runs and far-east extensions are out of scope
+  *    and raise.
   */
 object XlsReader {
 

@@ -151,9 +151,19 @@ object Dedup {
       val nbr = sym.join(labels.select(col("id").as("dst"),
           col("component").as("_nbrComp")), "dst")
         .groupBy(col("src").as("id")).agg(min("_nbrComp").as("_nbrMin"))
-      val next = labels.join(nbr, Seq("id"), "left")
+      val prop = labels.join(nbr, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("_nbrMin"), col("component")))
+            .as("component"))
+      // Pointer jump: also adopt the label OF the current label (labels are
+      // node ids, so it is a self-join on the label relation). Propagation
+      // alone needs diameter rounds on a path; with jumping the label
+      // distance roughly doubles per round → O(log diameter) rounds.
+      val next = prop.as("a").join(
+          prop.select(col("id").as("_lid"), col("component").as("_lcomp")),
+          col("a.component") === col("_lid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.component"), coalesce(col("_lcomp"), col("a.component")))
             .as("component"))
         .localCheckpoint()
       changed = next.as("n").join(labels.as("o"), "id")
