@@ -1,0 +1,50 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus sampling/splitting operators for training-data pipelines.
+  *
+  * Both are deterministic by construction: a document lands in the same
+  * split on every run, every cluster layout, and every engine — the
+  * property that keeps train/val membership stable as a 100 TB corpus is
+  * re-processed incrementally.
+  */
+object Sampling {
+
+  /** Hex-digit expansion of a fraction in [0,1): the md5-space threshold
+    * below which a row is "in". 8 digits ≈ 2^-32 resolution. */
+  private[graft] def hexThreshold(frac: Double, digits: Int = 8): String = {
+    val hex = "0123456789abcdef"
+    var f = frac
+    val sb = new StringBuilder
+    (0 until digits).foreach { _ =>
+      f *= 16
+      val d = math.min(15, f.toInt)
+      sb.append(hex(d))
+      f -= d
+    }
+    sb.toString
+  }
+
+  /** Deterministic hash split via md5 of the stringified id compared
+    * LEXICOGRAPHICALLY against the fraction's hex expansion. md5 hex is
+    * uniform and identical in every engine (unlike xxhash64/rand seeds), so
+    * the split is reproducible AND oracle-checkable. */
+  def splitLabel(id: Column, trainFrac: Double): Column =
+    when(md5(id.cast("string")) < lit(hexThreshold(trainFrac)), "train")
+      .otherwise("val")
+
+  /** Per-group quota: keep at most `quota` rows per group, chosen
+    * deterministically by `orderCol` — the standard domain-balancing step
+    * (cap any one source/domain's share of the corpus). One shuffle on the
+    * group key; Spark's WindowGroupLimit prunes rows past the quota before
+    * the shuffle. */
+  def quotaPerGroup(df: DataFrame, groupCol: String, orderCol: String,
+                    quota: Int): DataFrame =
+    df.withColumn("_rn", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col(orderCol))))
+      .filter(col("_rn") <= quota)
+      .drop("_rn")
+}

@@ -788,6 +788,24 @@ object Registry {
       .orderBy("doc_id")
   }
 
+  /** Deterministic 80/20 train-val split (md5 threshold) with per-split
+    * counts by language — membership is stable across runs and engines. */
+  private def llmTrainSplit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        graft.llm.Sampling.splitLabel(col("doc_id"), 0.8).as("split"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+      .orderBy("split", "lang")
+
+  /** Per-source quota sampling: cap every source's share at 30 docs,
+    * deterministic by doc_id order. */
+  private def llmQuotaSample(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Sampling.quotaPerGroup(
+        t(spark, dir, "documents").select(col("doc_id"), col("source")),
+        "source", "doc_id", 30)
+      .orderBy("doc_id")
+
   private def llmTokens(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"),
@@ -1118,6 +1136,8 @@ object Registry {
     "q_llm_gopher" -> q(llmGopher),
     "q_llm_repetition" -> q(llmRepetition),
     "q_llm_pii_scrub" -> q(llmPiiScrub),
+    "q_llm_train_split" -> q(llmTrainSplit),
+    "q_llm_quota_sample" -> q(llmQuotaSample),
     "q_llm_tokens" -> q(llmTokens),
     "q_llm_fingerprint" -> q(llmFingerprint),
     "q_llm_rolling_fp" -> q(llmRollingFp),
@@ -1552,6 +1572,15 @@ object Registry {
              'https?://[^\s]+', '<URL>', 'g'),
              '\b\d{3}[- .]\d{3}[- .]\d{4}\b', '<PHONE>', 'g')) AS scrubbed_md5
          FROM m ORDER BY doc_id""",
+    "q_llm_train_split" ->
+      """SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccccccc'
+                     THEN 'train' ELSE 'val' END AS split,
+                lang, count(*) AS n, min(doc_id) AS first_doc
+         FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_llm_quota_sample" ->
+      """SELECT doc_id, source FROM documents
+         QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 30
+         ORDER BY doc_id""",
     "q_llm_tokens" ->
       """SELECT doc_id,
            len(string_split_regex(trim(text), '\s+')) AS n_tokens,

@@ -67,6 +67,33 @@ class LlmOpsSpec extends SparkSpecBase {
       (4L, 4L, true), (5L, 5L, true)))
   }
 
+  test("hash split is deterministic and near the requested fraction") {
+    import spark.implicits._
+    val ids = (0L until 2000L).toDF("id")
+    val labeled = ids.select(col("id"),
+      graft.llm.Sampling.splitLabel(col("id"), 0.8).as("split"))
+    val counts = labeled.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("train") - 1600L) < 100) // binomial wiggle
+    // repeated evaluation yields the identical assignment
+    val again = ids.select(col("id"),
+      graft.llm.Sampling.splitLabel(col("id"), 0.8).as("split"))
+    assert(labeled.except(again).isEmpty && again.except(labeled).isEmpty)
+    assert(graft.llm.Sampling.hexThreshold(0.8) == "cccccccc")
+    assert(graft.llm.Sampling.hexThreshold(0.5) == "80000000")
+  }
+
+  test("quota sampling keeps at most N per group, lowest ids first") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
+    val out = graft.llm.Sampling.quotaPerGroup(df, "src", "id", 5)
+    val byGroup = out.groupBy("src").agg(count(lit(1)).as("n"), max("id").as("mx"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byGroup.values.forall(_._1 == 5L))
+    // lowest ids win: max kept id for src0 is the 5th multiple of 3
+    assert(byGroup("src0")._2 == 12L)
+  }
+
   test("simhash: identical text distance 0; small edit small distance") {
     val fp = docs((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
       (3L, "a b c d e f g x")).select(Dedup.simhash(col("text")).as("fp"))
