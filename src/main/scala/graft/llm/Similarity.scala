@@ -67,6 +67,26 @@ object Similarity {
       .orderBy(col("cosine_sim").desc, col(idCol))
       .limit(k)
 
+  /** Batch ANN: top-k per query over MANY queries at once — the production
+    * shape (scoring requests arrive in batches, not one at a time). The
+    * query set broadcasts (it is small by definition); the corpus is scored
+    * once per (row, query) with the codegen'd unrolled kernel, and the
+    * per-query top-k resolves through a rank window that Spark prunes to k
+    * rows per partition (WindowGroupLimit) BEFORE the one shuffle on query
+    * id — shuffle volume is tasks × queries × k, independent of corpus
+    * size. */
+  def topKPerQuery(corpus: DataFrame, embCol: String, idCol: String,
+                   queries: DataFrame, qIdCol: String, qEmbCol: String,
+                   k: Int, dim: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(col(qIdCol), col(idCol),
+        roundHalfUp(cosineUnrolled(col(embCol), col(qEmbCol), dim), 6).as("cosine_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qIdCol)).orderBy(col("cosine_sim").desc, col(idCol))
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k).drop("_rn")
+  }
+
   /** IVF-style search: restrict the scan to one coarse partition (here the
     * pre-assigned cluster/label column; in production the nearest centroid's
     * inverted list). At 100 TB this is the difference between scanning the

@@ -788,6 +788,16 @@ object Registry {
       .orderBy("doc_id")
   }
 
+  /** Batch ANN: per-query top-5 for three query vectors in one pass. */
+  private def llmAnnBatch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    Similarity.topKPerQuery(emb, "embedding", "vec_id",
+        queries, "query_id", "q_emb", k = 5, dim = 64)
+      .orderBy(col("query_id"), col("cosine_sim").desc, col("vec_id"))
+  }
+
   /** Deterministic 80/20 train-val split (md5 threshold) with per-split
     * counts by language — membership is stable across runs and engines. */
   private def llmTrainSplit(spark: SparkSession, dir: String): DataFrame =
@@ -1125,6 +1135,7 @@ object Registry {
     "q_llm_simhash_neardup" -> q(llmSimhashNearDup),
     "q_llm_ngram_jaccard" -> q(llmNgramJaccard),
     "q_llm_ann_brute" -> q(llmAnnBrute),
+    "q_llm_ann_batch" -> q(llmAnnBatch),
     "q_llm_ann_ivf" -> q(llmAnnIvf),
     "q_llm_ann_lsh" -> q(llmAnnLsh),
     "q_dashboard" -> q(dashboardQuery),
@@ -1462,6 +1473,22 @@ object Registry {
               * sqrt(list_sum(list_transform(qe, x -> x*x)))) * 1000000 + 0.5) / 1000000
              AS cosine_sim
          FROM c, q ORDER BY cosine_sim DESC, vec_id LIMIT 10""",
+    "q_llm_ann_batch" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+                    FROM embeddings WHERE vec_id < 3),
+           c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                 FROM embeddings),
+           s AS (SELECT q.query_id, c.vec_id,
+                   floor(list_sum(list_transform(list_zip(e, qe), p -> p[1] * p[2])) /
+                     (sqrt(list_sum(list_transform(e, x -> x*x)))
+                      * sqrt(list_sum(list_transform(qe, x -> x*x)))) * 1000000 + 0.5) / 1000000
+                     AS cosine_sim
+                 FROM c, q)
+         SELECT query_id, vec_id, cosine_sim FROM s
+         QUALIFY row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_sim DESC, vec_id) <= 5
+         ORDER BY query_id, cosine_sim DESC, vec_id""",
     "q_llm_ann_ivf" ->
       """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe, label AS ql
                     FROM embeddings WHERE vec_id = 0),

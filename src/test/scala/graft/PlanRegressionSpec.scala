@@ -59,6 +59,13 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(!p.contains("l_shipdate"), "unneeded column not pruned from scan")
   }
 
+  test("batch ANN: broadcast queries, rank-limit pruned before the shuffle") {
+    val p = plan("q_llm_ann_batch")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(p.contains("WindowGroupLimit"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("current view statically prunes to the current version's partition") {
     import spark.implicits._
     val store = new graft.store.VersionStore(spark,
