@@ -788,6 +788,33 @@ object Registry {
       .orderBy("doc_id")
   }
 
+  /** The full preprocessing funnel, composed from the real operators:
+    * corpus → Gopher quality filter → near-dup cluster dedup (chain-graph
+    * edges restricted to surviving docs, as a real pipeline would restrict
+    * LSH pairs) → deterministic train split. One row per stage with its
+    * surviving count — the end-to-end shape a training-data pipeline runs,
+    * and every stage oracle-checkable. */
+  private def llmFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val passing = docs.filter(TextAnalysis.gopherPass(col("text")))
+      .select(col("doc_id"))
+    val edges = passing.select(col("doc_id").as("id_a"))
+      .filter(pmod(col("id_a"), lit(7)) =!= 6)
+      .select(col("id_a"), (col("id_a") + 1).as("id_b"))
+      .join(passing.select(col("doc_id").as("id_b")), Seq("id_b"))
+    val reps = Dedup.dedupByCluster(passing, "doc_id", edges)
+      .filter(col("is_representative"))
+    val train = reps.filter(
+      graft.llm.Sampling.splitLabel(col("doc_id"), 0.8) === "train")
+    Seq("1_all" -> docs, "2_quality" -> passing,
+        "3_dedup_reps" -> reps, "4_train" -> train)
+      .map { case (stage, df) =>
+        df.agg(count(lit(1)).as("n")).select(lit(stage).as("stage"), col("n"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy("stage")
+  }
+
   /** Batch ANN: per-query top-5 for three query vectors in one pass. */
   private def llmAnnBatch(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
@@ -1149,6 +1176,7 @@ object Registry {
     "q_llm_pii_scrub" -> q(llmPiiScrub),
     "q_llm_train_split" -> q(llmTrainSplit),
     "q_llm_quota_sample" -> q(llmQuotaSample),
+    "q_llm_funnel" -> q(llmFunnel),
     "q_llm_tokens" -> q(llmTokens),
     "q_llm_fingerprint" -> q(llmFingerprint),
     "q_llm_rolling_fp" -> q(llmRollingFp),
@@ -1599,6 +1627,45 @@ object Registry {
              'https?://[^\s]+', '<URL>', 'g'),
              '\b\d{3}[- .]\d{3}[- .]\d{4}\b', '<PHONE>', 'g')) AS scrubbed_md5
          FROM m ORDER BY doc_id""",
+    "q_llm_funnel" ->
+      """WITH m AS (SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS wc,
+           CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS nonws,
+           CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) AS hashes,
+           CAST(len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) AS ellipses,
+           string_split(text, chr(10)) AS ls,
+           string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         r AS (SELECT doc_id, wc,
+           CASE WHEN wc > 0 THEN floor(nonws / wc * 10000 + 0.5) / 10000
+                ELSE 0.0 END AS mwl,
+           CASE WHEN wc > 0 THEN floor((hashes + ellipses) / wc * 10000 + 0.5) / 10000
+                ELSE 0.0 END AS swr,
+           floor(CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*]'))) AS DOUBLE)
+             / len(ls) * 10000 + 0.5) / 10000 AS blf,
+           floor(CAST(len(list_filter(ls, l -> trim(l) LIKE '%...')) AS DOUBLE)
+             / len(ls) * 10000 + 0.5) / 10000 AS elf,
+           CASE WHEN wc > 0 THEN
+             floor(CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+               / wc * 10000 + 0.5) / 10000 ELSE 0.0 END AS awf,
+           len(list_filter(toks, t -> lower(t) IN
+             ('the','a','of','and','to','in','is','that','it','for'))) AS stops
+           FROM m),
+         pass_docs AS (SELECT doc_id FROM r
+           WHERE (wc BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+             AND swr < 0.1 AND blf < 0.9 AND elf < 0.3 AND awf > 0.8
+             AND stops >= 2),
+         reps AS (SELECT doc_id FROM (
+             SELECT doc_id, lag(doc_id) OVER (ORDER BY doc_id) AS prev
+             FROM pass_docs)
+           WHERE doc_id % 7 = 0 OR prev IS NULL OR prev <> doc_id - 1),
+         train AS (SELECT doc_id FROM reps
+           WHERE md5(CAST(doc_id AS VARCHAR)) < 'cccccccc')
+         SELECT '1_all' AS stage, count(*) AS n FROM documents
+         UNION ALL SELECT '2_quality', count(*) FROM pass_docs
+         UNION ALL SELECT '3_dedup_reps', count(*) FROM reps
+         UNION ALL SELECT '4_train', count(*) FROM train
+         ORDER BY stage""",
     "q_llm_train_split" ->
       """SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccccccc'
                      THEN 'train' ELSE 'val' END AS split,
