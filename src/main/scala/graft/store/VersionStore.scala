@@ -189,6 +189,26 @@ final class VersionStore(val spark: SparkSession, val root: String) {
       .option("batchsize", Catalog.Limits.insertBatchSize)
       .jdbc(url, table, properties)
 
+  /** Compact one version's data directory into `targetFiles` parquet files,
+    * with the same write-new-then-rename swap the metadata uses. The ingest
+    * parallelism that made the WRITE fast leaves file counts sized for the
+    * writing cluster, not the readers — at scale, every query thereafter
+    * pays the listing + footer cost of thousands of small files until a
+    * compaction pass amortizes it away. Readers see the old files or the
+    * new ones, never a mix. */
+  def compactVersion(table: String, versionId: Long, targetFiles: Int = 1): Unit = {
+    val dir = s"$dataDir/$table/data_version_id=$versionId"
+    val tmp = dir + ".compact-tmp"
+    spark.read.parquet(dir).repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val live = Paths.get(dir)
+    val old = Paths.get(dir + ".old")
+    deleteRecursively(old)
+    Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), live, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
+  }
+
   def data(table: String): DataFrame = spark.read.parquet(s"$dataDir/$table")
 
   /** J2 current view. The current version ids are resolved DRIVER-SIDE from
