@@ -106,6 +106,37 @@ class PropertySpec extends SparkSpecBase {
     out.foreach(r => assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0))
   }
 
+  test("pii scrub is idempotent and leaves no matches behind") {
+    import spark.implicits._
+    val inputs = sample(anyString, 100) ++ Seq(
+      "mail a.b@c.de and x@y.io", "go to https://a.b/c now", "call 123-456-7890",
+      "nested http://u:p@h.com/x@y", "edge 999-999-9999.")
+    val df = inputs.toDF("v").select(
+      TextAnalysis.scrubPii(col("v")).as("once"))
+      .select(col("once"), TextAnalysis.scrubPii(col("once")).as("twice"),
+        TextAnalysis.piiCount(col("once"), TextAnalysis.EmailRe).as("emails_left"),
+        TextAnalysis.piiCount(col("once"), TextAnalysis.PhoneRe).as("phones_left"))
+    df.collect().foreach { r =>
+      assert(r.getString(0) == r.getString(1)) // idempotent
+      assert(r.getInt(2) == 0 && r.getInt(3) == 0)
+    }
+  }
+
+  test("hash split respects the requested fraction ordering") {
+    // more training fraction -> superset of training membership
+    val ids = (0L until 500L)
+    def trainSet(f: Double) = {
+      val th = graft.llm.Sampling.hexThreshold(f)
+      ids.filter { id =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes).map("%02x".format(_)).mkString < th
+      }.toSet
+    }
+    val t5 = trainSet(0.5); val t8 = trainSet(0.8)
+    assert(t5.subsetOf(t8))
+    assert(t8.size > t5.size)
+  }
+
   test("fingerprint is invariant under case and extra whitespace") {
     import spark.implicits._
     val words = sample(Gen.nonEmptyListOf(Gen.alphaLowerStr.suchThat(_.nonEmpty))
