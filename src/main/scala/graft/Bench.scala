@@ -42,11 +42,12 @@ object Bench {
       if (v < 0) "-1"
       else new java.math.BigDecimal(v).setScale(scale, java.math.RoundingMode.HALF_UP)
         .stripTrailingZeros().toPlainString
-    // Keys drop the uniform "q_" prefix in the compact line only (the
-    // sidecar keeps full names) — 2 chars × ~80 queries is the headroom
-    // that keeps the line safely inside the 2000-char tail as queries grow.
+    // Keys drop the uniform "q_"/"q_llm_" prefixes in the compact line only
+    // (the sidecar keeps full names; stripped names stay unique) — the
+    // headroom that keeps the line safely inside the 2000-char tail as the
+    // query count grows.
     val qs = results.map { case (k, v) =>
-      "\"" + k.stripPrefix("q_") + "\":" + compact(v, 1)
+      "\"" + k.stripPrefix("q_").stripPrefix("llm_") + "\":" + compact(v, 1)
     }.mkString("{", ",", "}")
     val ok = results.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0

@@ -87,6 +87,21 @@ object Similarity {
       .filter(col("_rn") <= k).drop("_rn")
   }
 
+  /** Per-row symmetric int8 quantization scale: max |e_i| / 127. Storing
+    * embeddings as int8 + one double cuts ANN storage (and scan bytes) 4×;
+    * cosine is scale-invariant, so quantized search needs no dequantize. */
+  def int8Scale(emb: Column, dim: Int): Column =
+    greatest((0 until dim).map(i => abs(element_at(emb, i + 1).cast("double"))): _*) / 127.0
+
+  /** Quantize to int8 values (as ints) with engine-portable half-up
+    * rounding; pass the precomputed [[int8Scale]] column. */
+  def quantizeInt8(emb: Column, scale: Column, dim: Int): Column =
+    array((0 until dim).map { i =>
+      when(scale === 0.0, lit(0))
+        .otherwise(floor(element_at(emb, i + 1).cast("double") / scale + 0.5))
+        .cast("int")
+    }: _*)
+
   /** IVF-style search: restrict the scan to one coarse partition (here the
     * pre-assigned cluster/label column; in production the nearest centroid's
     * inverted list). At 100 TB this is the difference between scanning the

@@ -788,6 +788,23 @@ object Registry {
       .orderBy("doc_id")
   }
 
+  /** ANN over int8-QUANTIZED embeddings (symmetric per-row scale): cosine
+    * is scale-invariant so the quantized arrays search directly — 4× less
+    * storage scanned per probe at identical plan shape. */
+  private def llmAnnQuant(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val quant = emb
+      .withColumn("_s", Similarity.int8Scale(col("embedding"), 64))
+      .select(col("vec_id"),
+        Similarity.quantizeInt8(col("embedding"), col("_s"), 64).as("q"))
+    val query = quant.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("q_emb"))
+    Similarity.topKPerQuery(quant, "q", "vec_id", query, "query_id", "q_emb",
+        k = 10, dim = 64)
+      .select(col("vec_id"), col("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+  }
+
   /** The full preprocessing funnel, composed from the real operators:
     * corpus → Gopher quality filter → near-dup cluster dedup (chain-graph
     * edges restricted to surviving docs, as a real pipeline would restrict
@@ -1163,6 +1180,7 @@ object Registry {
     "q_llm_ngram_jaccard" -> q(llmNgramJaccard),
     "q_llm_ann_brute" -> q(llmAnnBrute),
     "q_llm_ann_batch" -> q(llmAnnBatch),
+    "q_llm_ann_quant" -> q(llmAnnQuant),
     "q_llm_ann_ivf" -> q(llmAnnIvf),
     "q_llm_ann_lsh" -> q(llmAnnLsh),
     "q_dashboard" -> q(dashboardQuery),
@@ -1501,6 +1519,22 @@ object Registry {
               * sqrt(list_sum(list_transform(qe, x -> x*x)))) * 1000000 + 0.5) / 1000000
              AS cosine_sim
          FROM c, q ORDER BY cosine_sim DESC, vec_id LIMIT 10""",
+    "q_llm_ann_quant" ->
+      """WITH s AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                    FROM embeddings),
+           sc AS (SELECT vec_id, e,
+                    list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM s),
+           qv AS (SELECT vec_id,
+                    CASE WHEN scale = 0 THEN list_transform(e, x -> 0.0)
+                         ELSE list_transform(e, x -> floor(x / scale + 0.5)) END AS q
+                  FROM sc),
+           qq AS (SELECT q AS qe FROM qv WHERE vec_id = 0)
+         SELECT vec_id,
+           floor(list_sum(list_transform(list_zip(q, qe), p -> p[1] * p[2])) /
+             (sqrt(list_sum(list_transform(q, x -> x*x)))
+              * sqrt(list_sum(list_transform(qe, x -> x*x)))) * 1000000 + 0.5) / 1000000
+             AS cosine_sim
+         FROM qv, qq ORDER BY cosine_sim DESC, vec_id LIMIT 10""",
     "q_llm_ann_batch" ->
       """WITH q AS (SELECT vec_id AS query_id,
                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
