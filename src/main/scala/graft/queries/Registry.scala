@@ -424,6 +424,21 @@ object Registry {
       .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
       .orderBy("r_name")
 
+  /** Version-diff audit: classify every key across two versions of a
+    * relation as added/removed/changed/unchanged (null-safe compare). */
+  private def storeVersionDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v1 = Seq(("99213", 1.30, "A"), ("99214", 1.92, "A"),
+        ("99215", 2.80, "A"), ("G0008", 0.00, null.asInstanceOf[String]))
+      .toDF("hcpcs_code", "work_rvu", "status")
+    val v2 = Seq(("99213", 1.30, "A"), ("99214", 2.00, "A"),
+        ("99216", 3.10, "A"), ("G0008", 0.00, null.asInstanceOf[String]))
+      .toDF("hcpcs_code", "work_rvu", "status")
+    graft.store.VersionStore.diffVersions(v1, v2,
+        Seq("hcpcs_code"), Seq("work_rvu", "status"))
+      .orderBy("hcpcs_code")
+  }
+
   /** J3 metadata equi-join: canonical columns x sources (upload.py:68-86). */
   private def j3MetaJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1207,6 +1222,7 @@ object Registry {
     "q_d7_counter_update" -> q(d7CounterUpdate),
     "q_d8_group_category" -> q(d8GroupCategory),
     "q_j3_meta_join" -> q(j3MetaJoin),
+    "q_store_version_diff" -> q(storeVersionDiff),
     "q_j4_parts_join" -> q(j4PartsJoin),
     "q_j6_scalar_subquery" -> q(j6ScalarSubquery),
     "q_u1_upsert" -> q(u1Upsert),
@@ -1751,6 +1767,21 @@ object Registry {
       """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
          FROM nation JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name ORDER BY r_name""",
+    "q_store_version_diff" ->
+      """WITH v1(hcpcs_code, work_rvu, status) AS (VALUES
+           ('99213', 1.30, 'A'), ('99214', 1.92, 'A'),
+           ('99215', 2.80, 'A'), ('G0008', 0.00, NULL)),
+         v2(hcpcs_code, work_rvu, status) AS (VALUES
+           ('99213', 1.30, 'A'), ('99214', 2.00, 'A'),
+           ('99216', 3.10, 'A'), ('G0008', 0.00, NULL))
+         SELECT coalesce(v1.hcpcs_code, v2.hcpcs_code) AS hcpcs_code,
+           CASE WHEN v1.hcpcs_code IS NULL THEN 'added'
+                WHEN v2.hcpcs_code IS NULL THEN 'removed'
+                WHEN v1.work_rvu IS DISTINCT FROM v2.work_rvu
+                  OR v1.status IS DISTINCT FROM v2.status THEN 'changed'
+                ELSE 'unchanged' END AS change_type
+         FROM v1 FULL OUTER JOIN v2 ON v1.hcpcs_code = v2.hcpcs_code
+         ORDER BY hcpcs_code""",
     "q_j3_meta_join" ->
       """SELECT * FROM (VALUES
            ('HCPCS', 'cms.hcpcs_codes', CAST(8 AS BIGINT), CAST(1 AS BIGINT)),

@@ -276,6 +276,31 @@ final class VersionStore(val spark: SparkSession, val root: String) {
 object VersionStore {
   import org.apache.spark.sql.types._
 
+  /** Audit diff between two versions of a relation on its unique keys:
+    * one row per key present in either side, classified added / removed /
+    * changed / unchanged (value compare is null-safe). The full-outer join
+    * shuffles both sides once on the key columns — the scalable shape for
+    * "what changed in this quarter's file" over any size history. */
+  def diffVersions(oldV: DataFrame, newV: DataFrame, keys: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    val o = oldV.select((keys ++ compareCols).map(col): _*)
+      .withColumns(compareCols.map(c => s"_old_$c" -> col(c)).toMap)
+      .drop(compareCols: _*)
+      .withColumn("_in_old", lit(true))
+    val n = newV.select((keys ++ compareCols).map(col): _*)
+      .withColumns(compareCols.map(c => s"_new_$c" -> col(c)).toMap)
+      .drop(compareCols: _*)
+      .withColumn("_in_new", lit(true))
+    val joined = o.join(n, keys, "full_outer")
+    val differs = compareCols.map(c => !(col(s"_old_$c") <=> col(s"_new_$c")))
+      .reduce(_ || _)
+    joined.select(keys.map(col) :+
+      when(col("_in_old").isNull, "added")
+        .when(col("_in_new").isNull, "removed")
+        .when(differs, "changed")
+        .otherwise("unchanged").as("change_type"): _*)
+  }
+
   val versionSchema: StructType = StructType(Seq(
     StructField("data_version_id", LongType, nullable = false),
     StructField("source_code", StringType, nullable = false),

@@ -128,6 +128,16 @@ class VersionStoreSpec extends SparkSpecBase {
     assert(checksumBefore == checksumAfter)
   }
 
+  test("version diff classifies added/removed/changed/unchanged keys") {
+    import spark.implicits._
+    val v1 = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("k", "v")
+    val v2 = Seq(("a", 1.0), ("b", 9.0), ("d", 4.0)).toDF("k", "v")
+    val out = VersionStore.diffVersions(v1, v2, Seq("k"), Seq("v"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("a" -> "unchanged", "b" -> "changed",
+      "c" -> "removed", "d" -> "added"))
+  }
+
   test("cascade delete removes data and metadata (U5)") {
     val store = newStore()
     val id = store.createVersion("PFS_GPCI", "2026-Q1",
