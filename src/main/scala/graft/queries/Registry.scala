@@ -424,6 +424,25 @@ object Registry {
       .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
       .orderBy("r_name")
 
+  /** As-of join: every order matched to the rate effective at its order
+    * date (union + carry-forward window — one shuffle, no join blowup).
+    * Oracle is DuckDB's native ASOF LEFT JOIN. */
+  private def asofRates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = t(spark, dir, "orders")
+      .select(col("o_orderkey"), pmod(col("o_custkey"), lit(5)).as("bucket"),
+        col("o_orderdate"))
+    val rates = Seq(
+        (0L, "1993-01-01", 1.0), (0L, "1995-06-01", 1.5),
+        (1L, "1994-01-01", 2.0), (2L, "1992-06-01", 3.0),
+        (2L, "1996-01-01", 3.5), (3L, "1997-01-01", 4.0))
+      .toDF("bucket", "eff", "rate")
+      .select(col("bucket"), to_date(col("eff")).as("eff_date"), col("rate"))
+    graft.operators.AsOfJoin.asOf(orders, rates, Seq("bucket"),
+        "o_orderdate", "eff_date", Seq("rate"))
+      .orderBy("o_orderkey")
+  }
+
   /** Version-diff audit: classify every key across two versions of a
     * relation as added/removed/changed/unchanged (null-safe compare). */
   private def storeVersionDiff(spark: SparkSession, dir: String): DataFrame = {
@@ -1223,6 +1242,7 @@ object Registry {
     "q_d8_group_category" -> q(d8GroupCategory),
     "q_j3_meta_join" -> q(j3MetaJoin),
     "q_store_version_diff" -> q(storeVersionDiff),
+    "q_asof_rates" -> q(asofRates),
     "q_j4_parts_join" -> q(j4PartsJoin),
     "q_j6_scalar_subquery" -> q(j6ScalarSubquery),
     "q_u1_upsert" -> q(u1Upsert),
@@ -1767,6 +1787,20 @@ object Registry {
       """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
          FROM nation JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name ORDER BY r_name""",
+    "q_asof_rates" ->
+      """WITH rates(bucket, eff_date, rate) AS (VALUES
+           (0, DATE '1993-01-01', CAST(1.0 AS DOUBLE)),
+           (0, DATE '1995-06-01', 1.5),
+           (1, DATE '1994-01-01', 2.0),
+           (2, DATE '1992-06-01', 3.0),
+           (2, DATE '1996-01-01', 3.5),
+           (3, DATE '1997-01-01', 4.0)),
+         o AS (SELECT o_orderkey, o_custkey % 5 AS bucket, o_orderdate
+               FROM orders)
+         SELECT o.o_orderkey, o.bucket, o.o_orderdate, r.rate
+         FROM o ASOF LEFT JOIN rates r
+           ON o.bucket = r.bucket AND o.o_orderdate >= r.eff_date
+         ORDER BY o_orderkey""",
     "q_store_version_diff" ->
       """WITH v1(hcpcs_code, work_rvu, status) AS (VALUES
            ('99213', 1.30, 'A'), ('99214', 1.92, 'A'),
