@@ -443,6 +443,22 @@ object Registry {
       .orderBy("o_orderkey")
   }
 
+  /** Bucketed range join: orders matched to OVERLAPPING price bands via the
+    * explode-buckets equi-join (no broadcast-nested-loop), aggregated per
+    * band with an order-key checksum. */
+  private def rangeBands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(("low", 0.0, 100000.0), ("mid", 80000.0, 300000.0),
+        ("high", 250000.0, 600000.0))
+      .toDF("band", "lo", "hi")
+    graft.operators.RangeJoin.pointInInterval(
+        t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        bands, "o_totalprice", "lo", "hi", bucketWidth = 50000L)
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+      .orderBy("band")
+  }
+
   /** Version-diff audit: classify every key across two versions of a
     * relation as added/removed/changed/unchanged (null-safe compare). */
   private def storeVersionDiff(spark: SparkSession, dir: String): DataFrame = {
@@ -1241,8 +1257,9 @@ object Registry {
     "q_d7_counter_update" -> q(d7CounterUpdate),
     "q_d8_group_category" -> q(d8GroupCategory),
     "q_j3_meta_join" -> q(j3MetaJoin),
-    "q_store_version_diff" -> q(storeVersionDiff),
+    "q_version_diff" -> q(storeVersionDiff),
     "q_asof_rates" -> q(asofRates),
+    "q_range_bands" -> q(rangeBands),
     "q_j4_parts_join" -> q(j4PartsJoin),
     "q_j6_scalar_subquery" -> q(j6ScalarSubquery),
     "q_u1_upsert" -> q(u1Upsert),
@@ -1787,6 +1804,13 @@ object Registry {
       """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
          FROM nation JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name ORDER BY r_name""",
+    "q_range_bands" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+           ('low', 0.0, 100000.0), ('mid', 80000.0, 300000.0),
+           ('high', 250000.0, 600000.0))
+         SELECT band, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         FROM orders JOIN bands ON o_totalprice BETWEEN lo AND hi
+         GROUP BY band ORDER BY band""",
     "q_asof_rates" ->
       """WITH rates(bucket, eff_date, rate) AS (VALUES
            (0, DATE '1993-01-01', CAST(1.0 AS DOUBLE)),
@@ -1801,7 +1825,7 @@ object Registry {
          FROM o ASOF LEFT JOIN rates r
            ON o.bucket = r.bucket AND o.o_orderdate >= r.eff_date
          ORDER BY o_orderkey""",
-    "q_store_version_diff" ->
+    "q_version_diff" ->
       """WITH v1(hcpcs_code, work_rvu, status) AS (VALUES
            ('99213', 1.30, 'A'), ('99214', 1.92, 'A'),
            ('99215', 2.80, 'A'), ('G0008', 0.00, NULL)),

@@ -25,6 +25,21 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(out(5L) == null)   // key with no right rows at all
   }
 
+  test("range join matches overlapping intervals exactly, equi-join plan") {
+    import spark.implicits._
+    val pts = Seq((1L, 5.0), (2L, 95.0), (3L, 150.0), (4L, 999.0))
+      .toDF("id", "x")
+    val ivs = Seq(("a", 0.0, 100.0), ("b", 90.0, 200.0)).toDF("iv", "lo", "hi")
+    val out = graft.operators.RangeJoin.pointInInterval(
+        pts, ivs, "x", "lo", "hi", bucketWidth = 50L)
+      .select("id", "iv").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "a"), (2L, "a"), (2L, "b"), (3L, "b")))
+    val p = graft.operators.RangeJoin.pointInInterval(
+        pts, ivs, "x", "lo", "hi", bucketWidth = 50L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"quadratic plan:\n$p")
+  }
+
   test("as-of plan is one shuffle on the key, no join operator") {
     import spark.implicits._
     val left = Seq((1L, "k1", 10L)).toDF("id", "k", "t")
