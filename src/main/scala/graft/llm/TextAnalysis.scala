@@ -193,10 +193,13 @@ object TextAnalysis {
 
   /** Rolling polynomial hash (base 31, mod 2^61-1) over whitespace tokens —
     * the order-sensitive fingerprint variant (detects reordering, which the
-    * bag-of-words md5 above does not). Pure aggregate expression. */
+    * bag-of-words md5 above does not). Backed by the native codegen'd
+    * [[graft.expressions.RollingHash64]] Expression; the prior
+    * `aggregate(...)` lambda formulation computed the identical fold but
+    * interpreted it per element outside whole-stage codegen. */
   def rollingHash(text: Column): Column = {
-    val p = lit(2305843009213693951L) // 2^61 - 1
-    aggregate(tokens(text), lit(0L),
-      (acc, t) => pmod(acc * 31L + pmod(xxhash64(t), p), p))
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.expressions.RollingHash64(
+      Bridge.expression(tokens(text))))
   }
 }

@@ -67,6 +67,25 @@ class LlmOpsSpec extends SparkSpecBase {
       (4L, 4L, true), (5L, 5L, true)))
   }
 
+  test("native rolling-hash expression matches the lambda fold bit-for-bit") {
+    import spark.implicits._
+    val p = lit(2305843009213693951L)
+    def lambdaForm(text: org.apache.spark.sql.Column) =
+      aggregate(TextAnalysis.tokens(text), lit(0L),
+        (acc, t) => pmod(acc * 31L + pmod(xxhash64(t), p), p))
+    val inputs = Seq("one two three", "one  two\tthree", "", "   ",
+      "a", "reordered three two one", "x " * 500)
+    val out = inputs.toDF("v").select(
+        TextAnalysis.rollingHash(col("v")).as("native"),
+        lambdaForm(col("v")).as("lambda"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // order sensitivity survives the rewrite
+    val Seq(fwd, rev) = Seq("one two three", "three two one").toDF("v")
+      .select(TextAnalysis.rollingHash(col("v"))).collect().map(_.getLong(0)).toSeq
+    assert(fwd != rev)
+  }
+
   test("hash split is deterministic and near the requested fraction") {
     import spark.implicits._
     val ids = (0L until 2000L).toDF("id")
