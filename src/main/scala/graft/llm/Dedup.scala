@@ -154,7 +154,7 @@ object Dedup {
       val prop = labels.join(nbr, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("_nbrMin"), col("component")))
-            .as("component"))
+            .as("component"), col("component").as("_prev"))
       // Pointer jump: also adopt the label OF the current label (labels are
       // node ids, so it is a self-join on the label relation). Propagation
       // alone needs diameter rounds on a path; with jumping the label
@@ -164,11 +164,12 @@ object Dedup {
           col("a.component") === col("_lid"), "left")
         .select(col("a.id").as("id"),
           least(col("a.component"), coalesce(col("_lcomp"), col("a.component")))
-            .as("component"))
+            .as("component"), col("a._prev").as("_prev"))
         .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.component") =!= col("o.component")).count()
-      labels = next
+      // Convergence check is a filter over the just-checkpointed rows (the
+      // previous label rode along), not another join.
+      changed = next.filter(col("component") =!= col("_prev")).count()
+      labels = next.drop("_prev")
       iter += 1
     }
     sym.unpersist()
