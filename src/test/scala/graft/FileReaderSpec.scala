@@ -23,6 +23,17 @@ class FileReaderSpec extends SparkSpecBase {
     assert(rows(1) == Seq("1", "2", "3"))
   }
 
+  test("csv with quoted embedded newline stays one record (pandas parity)") {
+    val p = java.nio.file.Files.createTempFile("graft-spec", ".csv")
+    java.nio.file.Files.writeString(p,
+      "a,b\n\"line1\nline2\",x\nplain,y\n")
+    val rows = FileReader.readCsv(spark, p.toString).collect()
+    assert(rows.length == 3)
+    assert(rows(1).getString(0) == "line1\nline2")
+    assert(rows(1).getString(1) == "x")
+    assert(rows(2).getString(0) == "plain")
+  }
+
   test("txt tab sniffing (test_file_parser.py:57-71)") {
     val p = tmp(".txt", "A\tB\tC\n1\t2\t3\n")
     val rows = FileReader.readTxt(spark, p).collect().map(_.toSeq)
