@@ -1,0 +1,21 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook registering the engine's native expressions
+  * on the SQL surface, so `spark.sql("SELECT rolling_hash64(...)")` works
+  * next to the Column API. Activate with
+  * `.config("spark.sql.extensions", "graft.expressions.GraftExtensions")`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash64"),
+      new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash64"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "rolling_hash64 takes exactly one argument")
+        RollingHash64(exprs.head)
+      }))
+  }
+}

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** The SQL surface for native expressions must agree with the Column API.
+  * Registration goes into an isolated child session (same SparkContext,
+  * own function registry) — never stop or rebuild the shared session. */
+class GraftExtensionsSpec extends SparkSpecBase {
+
+  test("rolling_hash64 is callable from SQL and matches the Column API") {
+    import spark.implicits._
+    val s2 = spark.newSession()
+    Bridge.registerFunction(s2, "rolling_hash64",
+      exprs => graft.expressions.RollingHash64(exprs.head))
+    val viaSql = s2.sql(
+      "SELECT rolling_hash64(array('one', 'two', 'three')) AS h")
+      .head.getLong(0)
+    val viaColumn = Seq("one two three").toDF("v")
+      .select(graft.llm.TextAnalysis.rollingHash(col("v")).as("h"))
+      .head.getLong(0)
+    assert(viaSql == viaColumn)
+    // the parent session's registry is untouched
+    intercept[Exception] {
+      spark.sql("SELECT rolling_hash64(array('x'))").collect()
+    }
+  }
+
+  test("the extensions hook injects the same builder") {
+    val exts = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.expressions.GraftExtensions().apply(exts) // must not throw
+  }
+}
