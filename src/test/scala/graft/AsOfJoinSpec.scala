@@ -40,6 +40,50 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"quadratic plan:\n$p")
   }
 
+  test("as-of matches brute force on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val left = (0 until 300).map(i =>
+      (i.toLong, s"k${rnd.nextInt(8)}", rnd.nextInt(1000).toLong))
+    val right = (0 until 120).map(i =>
+      (s"k${rnd.nextInt(10)}", rnd.nextInt(1000).toLong, s"v$i"))
+    val expected = left.map { case (id, k, t) =>
+      val best = right.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(r => (r._2, r._3)).lastOption // latest rt; ties by rv like the window's row order
+      id -> best.map(_._3)
+    }.toMap
+    val got = AsOfJoin.asOf(left.toDF("id", "k", "t"),
+        right.toDF("k", "rt", "rv"), Seq("k"), "t", "rt", Seq("rv"))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("rv"))).toMap
+    // compare only ids whose winning timestamp is unique (tie order between
+    // equal-rt right rows is not part of the contract)
+    val unambiguous = left.filter { case (_, k, t) =>
+      val eligible = right.filter(r => r._1 == k && r._2 <= t)
+      eligible.isEmpty || eligible.count(_._2 == eligible.map(_._2).max) == 1
+    }.map(_._1).toSet
+    unambiguous.foreach(id => assert(got(id) == expected(id), s"id=$id"))
+    assert(unambiguous.size > 200) // the comparison actually covers most rows
+  }
+
+  test("range join matches brute force on random intervals") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val pts = (0 until 200).map(i => (i.toLong, rnd.nextInt(10000).toDouble))
+    val ivs = (0 until 60).map(i => {
+      val lo = rnd.nextInt(9000)
+      (s"iv$i", lo.toDouble, (lo + rnd.nextInt(2000)).toDouble)
+    })
+    val expected = (for {
+      (id, x) <- pts; (iv, lo, hi) <- ivs if x >= lo && x <= hi
+    } yield (id, iv)).toSet
+    val got = graft.operators.RangeJoin.pointInInterval(
+        pts.toDF("id", "x"), ivs.toDF("iv", "lo", "hi"),
+        "x", "lo", "hi", bucketWidth = 500L)
+      .select("id", "iv").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == expected)
+  }
+
   test("as-of plan is one shuffle on the key, no join operator") {
     import spark.implicits._
     val left = Seq((1L, "k1", 10L)).toDF("id", "k", "t")
