@@ -56,6 +56,17 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("components converge logarithmically on a 300-node path graph") {
+    import spark.implicits._
+    // worst-case diameter: a single path 0-1-2-...-299; pointer jumping
+    // must label everything 0 well inside the 50-round bound
+    val edges = (0L until 299L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 300)
+    assert(got.forall(_._2 == 0L))
+  }
+
   test("cluster dedup: singletons self-labeled, one representative per cluster") {
     import spark.implicits._
     val d = docs((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
