@@ -127,6 +127,16 @@ class IngestPipelineSpec extends SparkSpecBase {
     assert(r.errors.head.contains("Row 2:")) // first-N by row order
   }
 
+  test("ingest of a headerless file raises the detector's message") {
+    val store = newStore()
+    val noHdr = csv("a,b\n1,2\n")
+    val e = intercept[IllegalArgumentException] {
+      IngestPipeline.ingestFile(spark, store, "PFS_OPPS_CAP", noHdr, "2026-Q1", d)
+    }
+    assert(e.getMessage.contains("Could not find header row"))
+    assert(store.versions.isEmpty) // nothing half-created
+  }
+
   test("unsupported extension and missing header are reported, not thrown") {
     val store = newStore()
     val pdf = Files.createTempFile("graft-ip", ".pdf")

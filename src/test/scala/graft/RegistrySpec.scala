@@ -1,0 +1,28 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry integrity: the driver's contract couples `queries` and
+  * `oracleSql` by NAME — an oracle keyed to a nonexistent query (or a
+  * dangling rename) would silently weaken the correctness gate. */
+class RegistrySpec extends AnyFunSuite {
+
+  test("every oracle belongs to a registered query") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("registry size and oracle coverage match COVERAGE.md") {
+    assert(SparkEntry.queries.size == 90)
+    assert(SparkEntry.oracleSql.size == 83)
+    val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+    assert(rowsOnly.size == 7, s"rows-only set drifted: $rowsOnly")
+  }
+
+  test("query names are unique after bench prefix stripping") {
+    val stripped = SparkEntry.queries.keySet.toSeq
+      .map(_.stripPrefix("q_").stripPrefix("llm_"))
+    assert(stripped.distinct.size == stripped.size)
+  }
+}
