@@ -863,8 +863,12 @@ object Registry {
     * and every stage oracle-checkable. */
   private def llmFunnel(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
+    // The quality filter's expression tree (regex + line lambdas over every
+    // doc) is the expensive stage and is referenced three times below
+    // (edge endpoints ×2 + cluster membership) — materialize it once.
     val passing = docs.filter(TextAnalysis.gopherPass(col("text")))
       .select(col("doc_id"))
+      .localCheckpoint()
     val edges = passing.select(col("doc_id").as("id_a"))
       .filter(pmod(col("id_a"), lit(7)) =!= 6)
       .select(col("id_a"), (col("id_a") + 1).as("id_b"))
