@@ -30,6 +30,10 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           -1.0
         }
+      // Cached frames (minhash/cosine/funnel persist intermediates) would
+      // otherwise accumulate across 90 queries and GC-tax later ones; each
+      // query is measured from a clean cache, like a fresh session would be.
+      spark.catalog.clearCache()
       name -> elapsed
     }
     // The harness that captures this output keeps only the final 2000
