@@ -7,6 +7,38 @@ import org.apache.spark.sql.SparkSession
   * recorded as -1 (failed) — never as its elapsed-time-until-crash — so
   * BENCH output is auditable. */
 object Bench {
+
+  // Keys compress hard in the compact line only (the sidecar keeps full
+  // names): queries named by a SURVEY id ("q_f1_parse_date") keep just the
+  // id ("f1"); long descriptive names shorten via the map below. This is
+  // the headroom that keeps the line safely inside the 2000-char tail as
+  // the query count grows. RegistrySpec asserts compacted keys stay unique.
+  private val short = Map(
+    "minhash_neardup" -> "minhash", "simhash_neardup" -> "simhash",
+    "cosine_neardup" -> "cosdup", "ann_ivf_kmeans" -> "ivf_km",
+    "sql_revenue_by_nation" -> "sqlrev", "exact_dedup" -> "exdedup",
+    "dedup_clusters" -> "dclust", "ngram_jaccard" -> "njacc",
+    "w_running_total" -> "wtotal", "e_events_summary" -> "events",
+    "e_props_json" -> "props", "j_broadcast_dims" -> "bdims",
+    "skew_salted_agg" -> "skew", "version_diff" -> "vdiff",
+    "asof_rates" -> "asof", "range_bands" -> "range",
+    "quota_sample" -> "quota", "train_split" -> "split",
+    "pii_scrub" -> "pii", "rolling_fp" -> "rollfp",
+    "decontaminate" -> "decon", "cdc_chunks" -> "cdc",
+    "agg_quantiles" -> "quants", "fee_flagship" -> "fee",
+    "fee_anesthesia" -> "fee_an", "fee_opps_capped" -> "fee_opps",
+    "ptp_bundle_check" -> "ptp", "mue_lookup" -> "mue",
+    "mm_decode" -> "mm_dec", "fingerprint" -> "fprint",
+    "repetition" -> "repet", "dashboard" -> "dash")
+
+  private val idPrefix = "^([a-z]+[0-9]+)_.+".r
+
+  private[graft] def benchKey(k: String): String = {
+    val s = k.stripPrefix("q_").stripPrefix("llm_")
+    val id = s match { case idPrefix(p) => p; case _ => s }
+    short.getOrElse(id, id)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -46,33 +78,6 @@ object Bench {
       if (v < 0) "-1"
       else new java.math.BigDecimal(v).setScale(scale, java.math.RoundingMode.HALF_UP)
         .stripTrailingZeros().toPlainString
-    // Keys compress hard in the compact line only (the sidecar keeps full
-    // names): queries named by a SURVEY id ("q_f1_parse_date") keep just the
-    // id ("f1"); long descriptive names shorten via the map below. This is
-    // the headroom that keeps the line safely inside the 2000-char tail as
-    // the query count grows.
-    val short = Map(
-      "minhash_neardup" -> "minhash", "simhash_neardup" -> "simhash",
-      "cosine_neardup" -> "cosdup", "ann_ivf_kmeans" -> "ivf_km",
-      "sql_revenue_by_nation" -> "sqlrev", "exact_dedup" -> "exdedup",
-      "dedup_clusters" -> "dclust", "ngram_jaccard" -> "njacc",
-      "w_running_total" -> "wtotal", "e_events_summary" -> "events",
-      "e_props_json" -> "props", "j_broadcast_dims" -> "bdims",
-      "skew_salted_agg" -> "skew", "version_diff" -> "vdiff",
-      "asof_rates" -> "asof", "range_bands" -> "range",
-      "quota_sample" -> "quota", "train_split" -> "split",
-      "pii_scrub" -> "pii", "rolling_fp" -> "rollfp",
-      "agg_quantiles" -> "quants", "fee_flagship" -> "fee",
-      "fee_anesthesia" -> "fee_an", "fee_opps_capped" -> "fee_opps",
-      "ptp_bundle_check" -> "ptp", "mue_lookup" -> "mue",
-      "mm_decode" -> "mm_dec", "fingerprint" -> "fprint",
-      "repetition" -> "repet", "dashboard" -> "dash")
-    val idPrefix = "^([a-z]+[0-9]+)_.+".r
-    def benchKey(k: String): String = {
-      val s = k.stripPrefix("q_").stripPrefix("llm_")
-      val id = s match { case idPrefix(p) => p; case _ => s }
-      short.getOrElse(id, id)
-    }
     val keys = results.map { case (k, _) => benchKey(k) }
     require(keys.distinct.size == keys.size,
       s"bench compact keys collide: ${keys.diff(keys.distinct).mkString(",")}")

@@ -1,0 +1,64 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus indexing operators: inverted index (term → postings) and TF-IDF
+  * term scoring — the lookup structures a retrieval/curation layer builds
+  * over a training corpus. */
+object Index {
+
+  /** Inverted index: one row per distinct term with its document frequency
+    * and the first `maxPostings` posting doc ids (ascending, comma-joined).
+    *
+    * Scale shape: the naive `collect_list(id)` aggregate would materialize
+    * the FULL posting list per term before truncation — for a stopword in a
+    * trillion-token corpus that is one executor holding millions of ids.
+    * Instead the posting sample is capped BEFORE aggregation with a
+    * rank-limit window (row_number ≤ maxPostings), which Spark's
+    * WindowGroupLimit rewrites into a pre-shuffle per-partition limit —
+    * each map task ships at most maxPostings rows per term. The true df
+    * comes from a separate codegen'd count aggregate over the uncapped
+    * rows; both sides shuffle on the same term key. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    maxPostings: Int = 20): DataFrame = {
+    val terms = docs.select(col(idCol).as("_id"),
+      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("term"))
+    val df = terms.groupBy("term").agg(count(lit(1)).as("df"))
+    val limited = terms
+      .withColumn("_rn", row_number().over(Window.partitionBy("term").orderBy("_id")))
+      .filter(col("_rn") <= maxPostings)
+      .groupBy("term")
+      .agg(array_join(sort_array(collect_list(col("_id"))), ",").as("postings"))
+    df.join(limited, Seq("term"))
+  }
+
+  /** Top-k terms per document by TF-IDF (tf · ln(N/df)), the classic
+    * relevance weighting. Scores are rounded half-up to 4 decimals so they
+    * hash-compare across engines; ties break on the term itself.
+    *
+    * Plan: one token explode; tf = groupBy(doc, term); df = groupBy(term)
+    * over tf (already distinct per doc — no countDistinct needed); N rides
+    * in as a broadcast single-row aggregate (a scalar subquery, never a
+    * driver-side collect); top-k is a rank-limit window on the doc key
+    * (WindowGroupLimit prunes pre-shuffle). The df join keys by term and is
+    * left to AQE: vocabulary size is corpus-dependent, so no static
+    * broadcast hint. */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    val terms = docs.select(col(idCol).as("_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy("_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("_nd"))
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        floor(col("tf") * log(col("_nd") / col("df")) * 1e4 + 0.5) / 1e4)
+    scored
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("_id").orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("_rn") <= k)
+      .select(col("_id").as(idCol), col("term"), col("tf"), col("tfidf"))
+  }
+}

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import graft.config.Catalog
 import graft.header.HeaderDetector
 import graft.io.FileReader
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Decontaminate, Dedup, Index, Multimodal, Pack, Similarity, TextAnalysis}
 import graft.pipeline.Ingestor
 import graft.transform.Transformers
 
@@ -971,6 +971,45 @@ object Registry {
         Seq("k"), salts = 8)
       .orderBy("k")
 
+  // ------------------------------------- LLM-pipeline: corpus curation
+
+  /** Benchmark decontamination: documents with doc_id % 97 == 0 stand in
+    * for the eval set; every document reports its distinct-5-gram overlap
+    * count and keep/drop flag. Benchmark grams broadcast. */
+  private def llmDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Decontaminate.contamination(docs, "doc_id", "text",
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0), "text", n = 5)
+      .orderBy("doc_id")
+  }
+
+  /** Inverted index over document tokens: term → (df, first-20 postings),
+    * posting sample capped pre-shuffle via WindowGroupLimit. */
+  private def llmPostings(spark: SparkSession, dir: String): DataFrame =
+    Index.invertedIndex(t(spark, dir, "documents"), "doc_id", "text",
+        maxPostings = 20)
+      .orderBy("term")
+
+  /** Top-3 TF-IDF terms per document (4-decimal rounded scores, term
+    * tie-break). */
+  private def llmTfIdf(spark: SparkSession, dir: String): DataFrame =
+    Index.tfIdfTopTerms(t(spark, dir, "documents"), "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
+
+  /** Concat-then-chop sequence packing at 128 tokens: global offsets via
+    * the two-pass bucketed prefix sum (bucketSize deliberately smaller than
+    * the corpus so the multi-bucket path is what's exercised). */
+  private def llmPack(spark: SparkSession, dir: String): DataFrame =
+    Pack.packSequences(t(spark, dir, "documents"), "doc_id", "text",
+        seqLen = 128, bucketSize = 512)
+      .orderBy("doc_id")
+
+  /** Content-defined chunking stats per document (xxhash boundaries — not
+    * DuckDB-expressible → rows-only check; invariants in CorpusOpsSpec). */
+  private def llmCdcChunks(spark: SparkSession, dir: String): DataFrame =
+    Pack.cdcChunks(t(spark, dir, "documents"), "doc_id", "text", divisor = 16)
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------- Multimodal
 
   /** Binary-payload metadata through pure expressions (oracle: byte_len). */
@@ -1252,6 +1291,11 @@ object Registry {
     "q_llm_tokens" -> q(llmTokens),
     "q_llm_fingerprint" -> q(llmFingerprint),
     "q_llm_rolling_fp" -> q(llmRollingFp),
+    "q_llm_decontaminate" -> q(llmDecontaminate),
+    "q_llm_postings" -> q(llmPostings),
+    "q_llm_tfidf" -> q(llmTfIdf),
+    "q_llm_pack" -> q(llmPack),
+    "q_llm_cdc_chunks" -> q(llmCdcChunks),
     "q_mm_meta" -> q(mmMeta),
     "q_mm_decode" -> q(mmDecode),
     "q_p6_status_filter" -> q(p6StatusFilter),
@@ -1565,6 +1609,57 @@ object Registry {
              / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE)
              * 10000 + 0.5) / 10000 AS jaccard
          FROM g a JOIN g b ON a.doc_id + 1 = b.doc_id ORDER BY doc_a""",
+    "q_llm_decontaminate" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                     FROM documents),
+           g AS (SELECT doc_id,
+                   CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                        ELSE list_distinct(list_transform(range(1, len(t) - 3),
+                               i -> array_to_string(t[i:i+4], ' '))) END AS grams
+                 FROM tk),
+           bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+           dg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+           hits AS (SELECT doc_id, count(*) AS n_hits
+                    FROM dg JOIN bg USING (gram) GROUP BY doc_id)
+         SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                COALESCE(h.n_hits, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""",
+    "q_llm_postings" ->
+      """WITH tk AS (SELECT DISTINCT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS term
+                     FROM documents)
+         SELECT term, count(*) AS df,
+                array_to_string((list(doc_id ORDER BY doc_id))[1:20], ',') AS postings
+         FROM tk GROUP BY term ORDER BY term""",
+    "q_llm_tfidf" ->
+      """WITH tk AS (SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS term
+                     FROM documents),
+           tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+           df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+           s AS (SELECT doc_id, term, tf,
+                   floor(tf * ln(nd / df) * 10000 + 0.5) / 10000 AS tfidf
+                 FROM tf JOIN df USING (term), n)
+         SELECT doc_id, term, tf, tfidf FROM s
+         QUALIFY row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, term) <= 3
+         ORDER BY doc_id, tfidf DESC, term""",
+    "q_llm_pack" ->
+      """WITH tk AS (SELECT doc_id,
+                       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                         AS tok_count
+                     FROM documents),
+           o AS (SELECT doc_id, tok_count,
+                   CAST(COALESCE(SUM(tok_count) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS start_offset
+                 FROM tk)
+         SELECT doc_id, tok_count, start_offset,
+                start_offset // 128 AS seq_id,
+                ((start_offset + tok_count - 1) // 128) > (start_offset // 128)
+                  AS crosses_boundary
+         FROM o ORDER BY doc_id""",
     "q_llm_ann_brute" ->
       """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
                     FROM embeddings WHERE vec_id = 0),

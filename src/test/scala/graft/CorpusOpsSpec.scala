@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Decontaminate, Index, Pack, TextAnalysis}
+
+/** Corpus-curation operator specs: decontamination must flag exactly the
+  * overlapping docs, index/tf-idf must match hand computation, packing
+  * offsets must be bucketing-invariant, CDC chunks must conserve tokens and
+  * re-align after edits. */
+class CorpusOpsSpec extends SparkSpecBase {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  // ------------------------------------------------------- decontamination
+
+  test("decontamination flags benchmark overlap and nothing else") {
+    val corpus = docs(
+      (1L, "one two three four five six seven"),   // shares the 5-gram "one two three four five"
+      (2L, "totally different words here with zero benchmark overlap present"),
+      (3L, "zz one two three four five tail"),     // same 5-gram mid-document
+      (4L, "one three two four five six seven"))   // same words, different order → no shared 5-gram
+    val bench = docs((100L, "prefix one two three four five"))
+    val out = Decontaminate.contamination(corpus, "doc_id", "text", bench, "text", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == (1L, true))
+    assert(out(2L) == (0L, false))
+    assert(out(3L) == (1L, true))
+    assert(out(4L) == (0L, false))
+  }
+
+  test("decontamination counts distinct shared grams, not occurrences") {
+    // Doc repeats the planted gram twice, but shingles are per-doc distinct.
+    val corpus = docs((1L, "a b c d e x a b c d e"))
+    val bench = docs((9L, "a b c d e"))
+    val out = Decontaminate.contamination(corpus, "doc_id", "text", bench, "text", n = 5)
+      .collect()
+    assert(out.head.getLong(1) == 1L)
+  }
+
+  // ---------------------------------------------------------- inverted index
+
+  test("inverted index: df is exact while postings cap at maxPostings") {
+    val d = docs((0L until 30L).map(i => i -> s"common word$i"): _*)
+    val out = Index.invertedIndex(d, "doc_id", "text", maxPostings = 5)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out("common")._1 == 30L)
+    assert(out("common")._2 == "0,1,2,3,4")
+    assert(out("word7") == ((1L, "7")))
+  }
+
+  test("inverted index counts a repeated term once per doc") {
+    val d = docs((1L, "echo echo echo"), (2L, "echo"))
+    val out = Index.invertedIndex(d, "doc_id", "text", maxPostings = 10).collect()
+    val echo = out.find(_.getString(0) == "echo").get
+    assert(echo.getLong(1) == 2L)
+    assert(echo.getString(2) == "1,2")
+  }
+
+  // ----------------------------------------------------------------- tf-idf
+
+  test("tf-idf scores match hand computation and k caps per doc") {
+    // 4 docs; "rare" appears only in doc 1 (tf 2), "common" in all.
+    val d = docs(
+      (1L, "rare rare common"), (2L, "common common alpha"),
+      (3L, "common beta beta"), (4L, "common gamma"))
+    val out = Index.tfIdfTopTerms(d, "doc_id", "text", k = 2)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val expectRare = math.floor(2.0 * math.log(4.0 / 1.0) * 1e4 + 0.5) / 1e4
+    assert(rows((1L, "rare")) == ((2L, expectRare)))
+    // "common" is in every doc → idf = ln(1) = 0 everywhere.
+    assert(rows.get((1L, "common")).forall(_._2 == 0.0))
+    assert(out.groupBy("doc_id").count().collect().forall(_.getLong(1) <= 2))
+  }
+
+  test("tf-idf breaks score ties by term ascending") {
+    val d = docs((1L, "zeta alpha"), (2L, "other thing"))
+    // Both doc-1 terms have tf=1, df=1 → equal scores; k=1 must pick "alpha".
+    val top = Index.tfIdfTopTerms(d, "doc_id", "text", k = 1)
+      .filter(col("doc_id") === 1).collect()
+    assert(top.length == 1 && top.head.getString(1) == "alpha")
+  }
+
+  // ---------------------------------------------------------------- packing
+
+  test("packing offsets are exact cumulative sums and bucket-invariant") {
+    val d = docs((0L until 50L).map(i => i -> ("w " * (i % 7 + 1).toInt).trim): _*)
+    val small = Pack.packSequences(d, "doc_id", "text", seqLen = 16, bucketSize = 4)
+      .orderBy("doc_id").collect()
+    val big = Pack.packSequences(d, "doc_id", "text", seqLen = 16, bucketSize = 1000)
+      .orderBy("doc_id").collect()
+    assert(small.map(_.toSeq).toSeq == big.map(_.toSeq).toSeq,
+      "two-pass bucketed prefix sum must not depend on bucketSize")
+    var cum = 0L
+    small.foreach { r =>
+      assert(r.getAs[Long]("start_offset") == cum)
+      assert(r.getAs[Long]("seq_id") == cum / 16)
+      val tok = r.getAs[Long]("tok_count")
+      assert(r.getAs[Boolean]("crosses_boundary") == ((cum + tok - 1) / 16 > cum / 16))
+      cum += tok
+    }
+  }
+
+  // ------------------------------------------------------------ CDC chunks
+
+  test("cdc chunks conserve tokens and match per-doc token counts") {
+    val d = docs((0L until 20L).map(i =>
+      i -> (0 until (i % 13 + 1).toInt).map(j => s"t${(i * 7 + j) % 31}").mkString(" ")): _*)
+    val out = Pack.cdcChunks(d, "doc_id", "text", divisor = 4).collect()
+    val expected = d.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.length == 20)
+    out.foreach { r =>
+      assert(r.getAs[Long]("total_tokens") == expected(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("n_chunks") >= 1L)
+      assert(r.getAs[Long]("max_chunk_tokens") >= r.getAs[Long]("min_chunk_tokens"))
+    }
+  }
+
+  test("cdc boundaries re-align after a prefix edit (content-defined, not positional)") {
+    import spark.implicits._
+    val base = (0 until 60).map(j => s"tok${j % 17}").mkString(" ")
+    val edited = "inserted words at front " + base
+    // Chunk the token streams directly and compare the chunk token-lists
+    // after each stream's first boundary: identical tails.
+    def chunksOf(text: String): Seq[Seq[String]] = {
+      val d = docs((1L, text))
+      val toks = d.select(posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+        .orderBy("pos").as[(Int, String)].collect()
+      val flags = d.select(posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+        .select(col("pos"), (pmod(xxhash64(col("tok")), lit(4)) === 0).as("b"))
+        .orderBy("pos").as[(Int, Boolean)].collect().map(_._2)
+      val out = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      var cur = scala.collection.mutable.ArrayBuffer[String]()
+      toks.zip(flags).foreach { case ((_, t), b) =>
+        cur += t
+        if (b) { out += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer[String]() }
+      }
+      if (cur.nonEmpty) out += cur.toSeq
+      out.toSeq
+    }
+    val a = chunksOf(base)
+    val b = chunksOf(edited)
+    assert(a.length > 2, "test text must produce several chunks")
+    // Only the chunk containing the edit can change (the prefix may even
+    // add chunks of its own); everything after the first boundary in the
+    // shared tail re-aligns, so a's chunk list minus its first chunk must
+    // be a suffix of b's.
+    assert(b.takeRight(a.length - 1) == a.drop(1),
+      "chunks after the first boundary must be identical across the edit")
+    // And the operator's stats agree with the reconstruction.
+    val stats = Pack.cdcChunks(docs((1L, base)), "doc_id", "text", divisor = 4).head
+    assert(stats.getAs[Long]("n_chunks") == a.length.toLong)
+    assert(stats.getAs[Long]("max_chunk_tokens") == a.map(_.length).max.toLong)
+  }
+}

@@ -89,4 +89,18 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(!p.contains("Join"), "current view must not need a join")
     assert(view.collect().map(_.getAs[String]("mac_locality")).toSeq == Seq("loc2"))
   }
+
+  test("inverted index caps postings pre-shuffle via WindowGroupLimit") {
+    val p = plan("q_llm_postings")
+    assert(p.contains("WindowGroupLimit"),
+      "posting cap must prune before the term shuffle, not after collect_list")
+  }
+
+  test("decontamination probes a broadcast semi-join, corpus side unshuffled") {
+    val p = plan("q_llm_decontaminate")
+    assert("BroadcastHashJoin .*, LeftSemi".r.findFirstIn(p).isDefined,
+      s"benchmark gram set must broadcast-semi-join; got:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must not shuffle to meet the benchmark grams")
+  }
 }

@@ -14,15 +14,15 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size and oracle coverage match COVERAGE.md") {
-    assert(SparkEntry.queries.size == 90)
-    assert(SparkEntry.oracleSql.size == 83)
+    assert(SparkEntry.queries.size == 95)
+    assert(SparkEntry.oracleSql.size == 87)
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
-    assert(rowsOnly.size == 7, s"rows-only set drifted: $rowsOnly")
+    assert(rowsOnly.size == 8, s"rows-only set drifted: $rowsOnly")
   }
 
-  test("query names are unique after bench prefix stripping") {
-    val stripped = SparkEntry.queries.keySet.toSeq
-      .map(_.stripPrefix("q_").stripPrefix("llm_"))
-    assert(stripped.distinct.size == stripped.size)
+  test("query names are unique after bench key compaction") {
+    val keys = SparkEntry.queries.keySet.toSeq.map(Bench.benchKey)
+    assert(keys.distinct.size == keys.size,
+      s"bench keys collide: ${keys.diff(keys.distinct)}")
   }
 }
