@@ -25,6 +25,8 @@ object Bench {
     "quota_sample" -> "quota", "train_split" -> "split",
     "pii_scrub" -> "pii", "rolling_fp" -> "rollfp",
     "decontaminate" -> "decon", "cdc_chunks" -> "cdc",
+    "quality_gate" -> "qgate", "mix_sample" -> "mix",
+    "e_sessions" -> "sess",
     "agg_quantiles" -> "quants", "fee_flagship" -> "fee",
     "fee_anesthesia" -> "fee_an", "fee_opps_capped" -> "fee_opps",
     "ptp_bundle_check" -> "ptp", "mue_lookup" -> "mue",

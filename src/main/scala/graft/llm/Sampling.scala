@@ -36,6 +36,14 @@ object Sampling {
     when(md5(id.cast("string")) < lit(hexThreshold(trainFrac)), "train")
       .otherwise("val")
 
+  /** Deterministic Bernoulli membership at a per-row hex threshold (built
+    * with [[hexThreshold]], or "g" for keep-everything since every md5 hex
+    * digit sorts below it): `md5(id) < threshold` keeps ≈ that fraction of
+    * rows, identically in any engine — the primitive under domain-mix
+    * resampling, where each source gets its own target rate. */
+  def inSample(id: Column, thresholdHex: Column): Column =
+    md5(id.cast("string")) < thresholdHex
+
   /** Per-group quota: keep at most `quota` rows per group, chosen
     * deterministically by `orderCol` — the standard domain-balancing step
     * (cap any one source/domain's share of the corpus). One shuffle on the

@@ -1010,6 +1010,50 @@ object Registry {
     Pack.cdcChunks(t(spark, dir, "documents"), "doc_id", "text", divisor = 16)
       .orderBy("doc_id")
 
+  /** Per-language quality gate: drop the bottom decile of quality within
+    * each language. percent_rank orders by (quality, doc_id) so ranks are
+    * tie-free and deterministic in both engines. */
+  private def llmQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val scored = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+    scored
+      .withColumn("n_total", count(lit(1)).over(W.partitionBy("lang")))
+      .withColumn("pr", percent_rank().over(
+        W.partitionBy("lang").orderBy(col("quality"), col("doc_id"))))
+      .filter(col("pr") >= 0.1)
+      .groupBy(col("lang"))
+      .agg(max(col("n_total")).as("n_total"), count(lit(1)).as("n_kept"),
+        min(col("quality")).as("min_kept_quality"))
+      .orderBy("lang")
+  }
+
+  /** Domain-mix resampling: each source gets a target keep-rate by source
+    * index mod 4 (1.0 / 0.8 / 0.5 / 0.25); membership is the deterministic
+    * md5-threshold test — join-free, reproducible, one count shuffle. */
+  private def llmMixSample(spark: SparkSession, dir: String): DataFrame = {
+    val idx = pmod(substring(col("source"), 4, 10).cast("int"), lit(4))
+    val thr = when(idx === 0, lit("g"))
+      .when(idx === 1, lit(graft.llm.Sampling.hexThreshold(0.8)))
+      .when(idx === 2, lit(graft.llm.Sampling.hexThreshold(0.5)))
+      .otherwise(lit(graft.llm.Sampling.hexThreshold(0.25)))
+    t(spark, dir, "documents")
+      .withColumn("_in", graft.llm.Sampling.inSample(col("doc_id"), thr))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_in"), 1L).otherwise(0L)).as("n_sampled"))
+      .orderBy("source")
+  }
+
+  /** Batch gap sessionization over events (30-minute gap; ts is raw nanos
+    * on both engines — nanosAsLong here, epoch_ns in the oracle). */
+  private def eSessions(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessionize.userStats(
+        t(spark, dir, "events"), "user_id", "ts", "event_id",
+        gap = 30L * 60 * 1000 * 1000 * 1000)
+      .orderBy("user_id")
+
   // ------------------------------------------------------------- Multimodal
 
   /** Binary-payload metadata through pure expressions (oracle: byte_len). */
@@ -1296,6 +1340,9 @@ object Registry {
     "q_llm_tfidf" -> q(llmTfIdf),
     "q_llm_pack" -> q(llmPack),
     "q_llm_cdc_chunks" -> q(llmCdcChunks),
+    "q_llm_quality_gate" -> q(llmQualityGate),
+    "q_llm_mix_sample" -> q(llmMixSample),
+    "q_e_sessions" -> q(eSessions),
     "q_mm_meta" -> q(mmMeta),
     "q_mm_decode" -> q(mmDecode),
     "q_p6_status_filter" -> q(p6StatusFilter),
@@ -1660,6 +1707,59 @@ object Registry {
                 ((start_offset + tok_count - 1) // 128) > (start_offset // 128)
                   AS crosses_boundary
          FROM o ORDER BY doc_id""",
+    "q_llm_quality_gate" ->
+      """WITH m AS (SELECT doc_id, lang,
+           CAST(length(text) AS DOUBLE) AS nchars,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS ntok,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t IN ('the','a','of','and','to','in','is','that','it','for',
+                        'der','die','das','und','ist','von','zu','mit','auf','ein',
+                        'le','la','les','de','et','est','un','une','que','pour',
+                        'el','los','y','es','por'))) AS DOUBLE) AS sw
+           FROM documents),
+         sc AS (SELECT doc_id, lang, floor((
+             (CASE WHEN nchars >= 200 AND nchars <= 2000 THEN 1.0
+                   WHEN nchars >= 50 THEN 0.5 ELSE 0.0 END) * 0.3
+             + (CASE WHEN nchars > 0 THEN alpha / nchars ELSE 0.0 END) * 0.3
+             + least((CASE WHEN ntok > 0 THEN sw / ntok ELSE 0.0 END) * 5.0, 1.0) * 0.2
+             + (CASE WHEN ntok > 0 AND nchars / ntok >= 3 AND nchars / ntok <= 12
+                     THEN 1.0 ELSE 0.0 END) * 0.2) * 10000 + 0.5) / 10000 AS quality
+           FROM m),
+         r AS (SELECT doc_id, lang, quality,
+                 count(*) OVER (PARTITION BY lang) AS n_total,
+                 percent_rank() OVER (PARTITION BY lang
+                                      ORDER BY quality, doc_id) AS pr
+               FROM sc)
+         SELECT lang, CAST(max(n_total) AS BIGINT) AS n_total,
+                count(*) AS n_kept, min(quality) AS min_kept_quality
+         FROM r WHERE pr >= 0.1 GROUP BY lang ORDER BY lang""",
+    "q_llm_mix_sample" ->
+      """WITH d AS (SELECT source, doc_id,
+           CASE CAST(substr(source, 4) AS INT) % 4
+             WHEN 0 THEN 'g' WHEN 1 THEN 'cccccccc'
+             WHEN 2 THEN '80000000' ELSE '40000000' END AS thr
+           FROM documents)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(CASE WHEN md5(CAST(doc_id AS VARCHAR)) < thr
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+         FROM d GROUP BY source ORDER BY source""",
+    "q_e_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events),
+           f AS (SELECT user_id, event_id, tsn,
+                   CASE WHEN lag(tsn) OVER w IS NULL THEN 0
+                        WHEN tsn - lag(tsn) OVER w > 1800000000000 THEN 1
+                        ELSE 0 END AS newf
+                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
+           s AS (SELECT user_id,
+                   SUM(newf) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                 FROM f),
+           c AS (SELECT user_id, session_id, count(*) AS n FROM s GROUP BY 1, 2)
+         SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+                count(*) AS n_sessions,
+                CAST(max(n) AS BIGINT) AS max_session_events
+         FROM c GROUP BY user_id ORDER BY user_id""",
     "q_llm_ann_brute" ->
       """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
                     FROM embeddings WHERE vec_id = 0),

@@ -105,6 +105,26 @@ class CorpusOpsSpec extends SparkSpecBase {
     }
   }
 
+  // ------------------------------------------------------------- sampling
+
+  test("inSample keeps everything at threshold 'g' and nothing at '00000000'") {
+    import graft.llm.Sampling
+    val d = docs((0L until 100L).map(i => i -> "x"): _*)
+    val kept = d.filter(Sampling.inSample(col("doc_id"), lit("g"))).count()
+    val none = d.filter(Sampling.inSample(col("doc_id"), lit("00000000"))).count()
+    assert(kept == 100L && none == 0L)
+  }
+
+  test("inSample rate is deterministic and roughly proportional") {
+    import graft.llm.Sampling
+    val d = docs((0L until 1000L).map(i => i -> "x"): _*)
+    val half = lit(Sampling.hexThreshold(0.5))
+    val a = d.filter(Sampling.inSample(col("doc_id"), half)).count()
+    val b = d.filter(Sampling.inSample(col("doc_id"), half)).count()
+    assert(a == b, "membership must be identical across runs")
+    assert(a > 400 && a < 600, s"~half expected, got $a")
+  }
+
   // ------------------------------------------------------------ CDC chunks
 
   test("cdc chunks conserve tokens and match per-doc token counts") {

@@ -14,8 +14,8 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size and oracle coverage match COVERAGE.md") {
-    assert(SparkEntry.queries.size == 95)
-    assert(SparkEntry.oracleSql.size == 87)
+    assert(SparkEntry.queries.size == 98)
+    assert(SparkEntry.oracleSql.size == 90)
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
     assert(rowsOnly.size == 8, s"rows-only set drifted: $rowsOnly")
   }
