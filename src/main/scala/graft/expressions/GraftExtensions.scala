@@ -17,5 +17,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 1, "rolling_hash64 takes exactly one argument")
         RollingHash64(exprs.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "word_ngrams takes (tokens, n)")
+        val n = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"word_ngrams n must be an integer literal, got $other")
+        }
+        WordNGrams(exprs.head, n)
+      }))
   }
 }

@@ -15,8 +15,20 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("copies"))
 
-  /** Word n-gram shingle set (distinct), the unit of Jaccard similarity. */
+  /** Word n-gram shingle set (distinct), the unit of Jaccard similarity.
+    * Backed by the native codegen'd [[graft.expressions.WordNGrams]]
+    * kernel; [[shinglesColumnApi]] keeps the original higher-order-function
+    * formulation for the equivalence spec. */
   def shingles(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.expressions.WordNGrams(
+      Bridge.expression(TextAnalysis.tokens(text)), n))
+  }
+
+  /** The pre-native Column-API shingle formulation (interpreted lambda per
+    * gram) — retained only as the reference implementation that
+    * WordNGramsSpec proves the native kernel bit-identical to. */
+  private[graft] def shinglesColumnApi(text: Column, n: Int): Column = {
     val toks = TextAnalysis.tokens(text)
     val count = size(toks) - (n - 1)
     array_distinct(
