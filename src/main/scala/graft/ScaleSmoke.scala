@@ -70,6 +70,26 @@ object ScaleSmoke {
         threshold = 0.9999, numPlanes = 10, maxBucket = 20000).count())
     println(s"[scale] cosine pairs: $cosPairs")
 
+    // Round-5 curation ops at the blown-up corpus: decontamination must
+    // stay linear in corpus grams (benchmark side broadcast), the inverted
+    // index must stay bounded per term (pre-shuffle posting cap with
+    // "replica"/"token" present in EVERY doc — the stopword stress), and
+    // packing must stay shuffle-light with exact global offsets.
+    val contaminated = timed("decontamination (5-gram vs 1% benchmark)")(
+      graft.llm.Decontaminate.contamination(big, "doc_id", "text",
+        big.filter(pmod(col("doc_id"), lit(97)) === 0), "text", n = 5)
+        .filter(col("contaminated")).count())
+    println(s"[scale] contaminated docs: $contaminated")
+
+    val terms = timed("inverted index (df + capped postings)")(
+      graft.llm.Index.invertedIndex(big, "doc_id", "text", maxPostings = 20).count())
+    println(s"[scale] distinct terms: $terms")
+
+    val seqs = timed("sequence packing (2048-token chop)")(
+      graft.llm.Pack.packSequences(big, "doc_id", "text", seqLen = 2048)
+        .agg(max(col("seq_id"))).head.getLong(0) + 1)
+    println(s"[scale] packed sequences: $seqs")
+
     spark.stop()
   }
 }
