@@ -26,7 +26,7 @@ object Bench {
     "pii_scrub" -> "pii", "rolling_fp" -> "rollfp",
     "decontaminate" -> "decon", "cdc_chunks" -> "cdc",
     "quality_gate" -> "qgate", "mix_sample" -> "mix",
-    "e_sessions" -> "sess",
+    "e_sessions" -> "sess", "s_jsonl_read" -> "jsonl",
     "agg_quantiles" -> "quants", "fee_flagship" -> "fee",
     "fee_anesthesia" -> "fee_an", "fee_opps_capped" -> "fee_opps",
     "ptp_bundle_check" -> "ptp", "mue_lookup" -> "mue",

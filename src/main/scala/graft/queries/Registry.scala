@@ -613,6 +613,23 @@ object Registry {
     FileReader.withRowNumbers(df).orderBy("_row_number")
   }
 
+  /** JSONL read (beyond-reference source): explicit schema (no inference
+    * pass), missing field → NULL, unicode intact. */
+  private def sJsonlRead(spark: SparkSession, dir: String): DataFrame = {
+    val p = java.nio.file.Files.createTempFile("graft-jsonl", ".jsonl")
+    java.nio.file.Files.write(p,
+      ("""{"doc_id":1,"text":"hello world","lang":"en"}""" + "\n" +
+        """{"doc_id":2,"text":"café näive","lang":"fr"}""" + "\n" +
+        """{"doc_id":3,"text":"missing lang"}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType)))
+    graft.io.JsonlReader.read(spark, p.toString, Some(schema))
+      .select(col("doc_id"), col("lang"), col("text"))
+      .orderBy("doc_id")
+  }
+
   /** S4: TXT delimiter sniffing — pipes outnumber commas in the sample. */
   private def s4TxtSniff(spark: SparkSession, dir: String): DataFrame = {
     val p = java.nio.file.Files.createTempFile("graft-s4", ".txt")
@@ -963,6 +980,17 @@ object Registry {
     graft.llm.Ivf.search(idx, queryVector(spark, dir), topK = 5, nprobe = 10)
   }
 
+  /** Product-quantization ANN (m=8 × k=16 codebooks over dim-64, ADC
+    * search). Seeded k-means training → rows-only driver check; recall and
+    * exactness invariants live in PqSpec. */
+  private def llmAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val model = graft.llm.Pq.fit(emb, "embedding", dim = 64, m = 8, k = 16,
+      maxIter = 5)
+    graft.llm.Pq.search(graft.llm.Pq.encode(emb, "embedding", model),
+      "vec_id", model, queryVector(spark, dir), topK = 5)
+  }
+
   /** Skew-safe salted aggregation — result must be exactly the plain
     * GROUP BY (two-stage decomposable combine), oracle-checked. */
   private def skewSaltedAgg(spark: SparkSession, dir: String): DataFrame =
@@ -1307,6 +1335,7 @@ object Registry {
     "q_e_events_summary" -> q(eEventsSummary),
     "q_s1_csv_roundtrip" -> q(s1CsvRoundtrip),
     "q_s4_txt_sniff" -> q(s4TxtSniff),
+    "q_s_jsonl_read" -> q(sJsonlRead),
     "q_s2_xlsx_read" -> q(s2Xlsx),
     "q_s3_xls_read" -> q(s3Xls),
     "q_h1_header_detect" -> q(h1HeaderDetect),
@@ -1322,6 +1351,7 @@ object Registry {
     "q_llm_ann_lsh" -> q(llmAnnLsh),
     "q_dashboard" -> q(dashboardQuery),
     "q_llm_ann_ivf_kmeans" -> q(llmAnnIvfKmeans),
+    "q_llm_ann_pq" -> q(llmAnnPq),
     "q_skew_salted_agg" -> q(skewSaltedAgg),
     "q_llm_cosine_neardup" -> q(llmCosineNearDup),
     "q_llm_langid" -> q(llmLangId),
@@ -1607,6 +1637,12 @@ object Registry {
            ('01112', 'Smith, John', 'café', '100', CAST(1 AS BIGINT)),
            ('00500', 'plain', '', '0042', 2))
          t(_c0, _c1, _c2, _c3, _row_number) ORDER BY _row_number""",
+    "q_s_jsonl_read" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), 'en', 'hello world'),
+           (2, 'fr', 'café näive'),
+           (3, NULL, 'missing lang'))
+         t(doc_id, lang, text) ORDER BY doc_id""",
     "q_s4_txt_sniff" ->
       """SELECT * FROM (VALUES
            ('A', 'B', 'C', CAST(1 AS BIGINT)),
