@@ -115,26 +115,20 @@ object Pq {
     Model(m, k, subDim, centroids)
   }
 
-  // Squared L2 distance between subspace j of `emb` and centroid c,
-  // unrolled to element_at terms that stay inside whole-stage codegen.
-  private def subDist(emb: Column, j: Int, subDim: Int, c: Array[Double]): Column =
-    (0 until subDim).map { d =>
-      val x = element_at(emb, j * subDim + d + 1).cast("double") - lit(c(d))
-      x * x
-    }.reduce(_ + _)
-
   /** Encode: per subspace, the 0-based index of the nearest centroid
-    * (ties → lowest index via array_position's first-match semantics).
-    * Adds `pq_codes` (array<int>, length m). One distributed projection,
-    * fully codegen'd — the codebooks become expression literals. */
+    * (ties → lowest index, first-strict-minimum). Adds `pq_codes`
+    * (array<int>, length m). One distributed projection via the native
+    * `PqEncode` Expression — the codebook travels as a reference object,
+    * so codegen compiles a constant-size loop instead of an
+    * m×k×subDim-term unrolled tree (seconds of compile per re-fit at the
+    * 8×16×16 defaults; see expressions/PqEncode.scala). */
   def encode(corpus: DataFrame, embCol: String, model: Model): DataFrame = {
-    val emb = col(embCol)
-    val codes = (0 until model.m).map { j =>
-      val dists = array((0 until model.k).map(i =>
-        subDist(emb, j, model.subDim, model.codebooks(j)(i))): _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
-    corpus.withColumn("pq_codes", array(codes: _*))
+    import org.apache.spark.sql.graftbridge.Bridge
+    val flat = new Array[Double](model.m * model.k * model.subDim)
+    for (j <- 0 until model.m; i <- 0 until model.k; d <- 0 until model.subDim)
+      flat((j * model.k + i) * model.subDim + d) = model.codebooks(j)(i)(d)
+    corpus.withColumn("pq_codes", Bridge.column(graft.expressions.PqEncode(
+      Bridge.expression(col(embCol)), model.m, model.k, model.subDim, flat)))
   }
 
   /** ADC search: the query's m×k distance table is computed driver-side
