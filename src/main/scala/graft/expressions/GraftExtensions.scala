@@ -18,6 +18,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         RollingHash64(exprs.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "nfc_normalize takes exactly one argument")
+        UnicodeNormalize(exprs.head, "NFC")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
       (exprs: Seq[Expression]) => {

@@ -202,4 +202,14 @@ object TextAnalysis {
     Bridge.column(graft.expressions.RollingHash64(
       Bridge.expression(tokens(text))))
   }
+
+  /** Unicode normalization (native [[graft.expressions.UnicodeNormalize]];
+    * zero-copy ASCII fast path). Normalize BEFORE any byte-hashing dedup —
+    * composed vs decomposed input otherwise defeats exact/MinHash/
+    * fingerprint matching. */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.expressions.UnicodeNormalize(
+      Bridge.expression(text), form))
+  }
 }

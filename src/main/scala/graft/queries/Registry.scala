@@ -806,6 +806,19 @@ object Registry {
       .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
+  /** NFC unicode normalization (native UnicodeNormalize expression). The
+    * corpus text is already NFC, so the query appends a DECOMPOSED
+    * "e"+U+0301 suffix — normalization must compose it to "é", shortening
+    * the string by one code point; md5 + length are hash-compared against
+    * DuckDB's nfc_normalize. */
+  private def llmNfc(spark: SparkSession, dir: String): DataFrame = {
+    val norm = TextAnalysis.unicodeNormalize(concat(col("text"), lit("e\u0301")))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), md5(norm).as("norm_hash"),
+        length(norm).as("norm_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style format rules per document (Rae et al. 2021 App. A): the
     * per-rule columns plus the keep/drop conjunction. */
   private def llmGopher(spark: SparkSession, dir: String): DataFrame =
@@ -1356,6 +1369,7 @@ object Registry {
     "q_llm_cosine_neardup" -> q(llmCosineNearDup),
     "q_llm_langid" -> q(llmLangId),
     "q_llm_quality" -> q(llmQuality),
+    "q_llm_nfc" -> q(llmNfc),
     "q_llm_gopher" -> q(llmGopher),
     "q_llm_repetition" -> q(llmRepetition),
     "q_llm_pii_scrub" -> q(llmPiiScrub),
@@ -1888,6 +1902,11 @@ object Registry {
              + (CASE WHEN ntok > 0 AND nchars / ntok >= 3 AND nchars / ntok <= 12
                      THEN 1.0 ELSE 0.0 END) * 0.2) * 10000 + 0.5) / 10000 AS quality
          FROM m ORDER BY doc_id""",
+    "q_llm_nfc" ->
+      """SELECT doc_id,
+           md5(nfc_normalize(text || 'e' || chr(769))) AS norm_hash,
+           length(nfc_normalize(text || 'e' || chr(769))) AS norm_chars
+         FROM documents ORDER BY doc_id""",
     "q_llm_gopher" ->
       """WITH m AS (SELECT doc_id,
            CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS wc,
