@@ -70,6 +70,17 @@ object ScaleSmoke {
         threshold = 0.9999, numPlanes = 10, maxBucket = 20000).count())
     println(s"[scale] cosine pairs: $cosPairs")
 
+    // SemDeDup at 20×: the quadratic step must track Σ|cluster|², not
+    // corpus² — k scales with the corpus (64 here vs 16 at sf-scale) so
+    // mean cluster size stays ~constant; the replica blow-up plants ~190
+    // true semantic dups per base vector for the within-cluster cosine to
+    // find.
+    val semReps = timed("semdedup (k-means gate + within-cluster cosine)")(
+      graft.llm.SemDedup.semDedup(bigEmb, "embedding", "vec_id",
+          k = 64, threshold = 0.9999)
+        .filter(col("is_representative")).count())
+    println(s"[scale] semdedup representatives kept: $semReps")
+
     // Round-5 curation ops at the blown-up corpus: decontamination must
     // stay linear in corpus grams (benchmark side broadcast), the inverted
     // index must stay bounded per term (pre-shuffle posting cap with

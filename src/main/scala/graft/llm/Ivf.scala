@@ -19,12 +19,21 @@ object Ivf {
                          embCol: String, idCol: String)
 
   /** Build the index: fit k-means on the embedding column (seeded), attach
-    * a `_cluster` column. The fitted centroids are tiny driver state. */
+    * a `_cluster` column. The fitted centroids are tiny driver state.
+    * `maxIter` caps the Lloyd's iterations — a COARSE quantizer only
+    * needs rough partitions, and each extra iteration is a full
+    * distributed pass over the training relation. `initMode` "random"
+    * replaces the multi-round k-means|| init sweep with a single seeded
+    * sample — the right trade when the clustering only gates candidates
+    * (SemDeDup) rather than ranks results. */
   def build(corpus: DataFrame, embCol: String, idCol: String,
-            k: Int, seed: Long = 42L): Index = {
+            k: Int, seed: Long = 42L, maxIter: Int = 20,
+            initMode: String = "k-means||"): Index = {
     val withVec = corpus.withColumn("_features",
       array_to_vector(col(embCol).cast("array<double>")))
-    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("_features")
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setInitMode(initMode)
+      .setFeaturesCol("_features")
       .fit(withVec)
     val assigned = model.transform(withVec)
       .withColumnRenamed("prediction", "_cluster")

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import graft.config.Catalog
 import graft.header.HeaderDetector
 import graft.io.FileReader
-import graft.llm.{Decontaminate, Dedup, Index, Multimodal, Pack, Similarity, TextAnalysis}
+import graft.llm.{Decontaminate, Dedup, Index, Multimodal, Pack, SemDedup, Similarity, TextAnalysis}
 import graft.pipeline.Ingestor
 import graft.transform.Transformers
 
@@ -793,6 +793,46 @@ object Registry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Token-budget report — the table you read before choosing mixture
+    * weights: per source, docs / whitespace tokens / share of the corpus /
+    * cumulative share in descending-token order. The windows run over the
+    * AGGREGATED relation (#sources rows), so the single-partition window
+    * is scale-safe: 100 TB of documents still aggregates to a handful of
+    * sources before any window sees it. */
+  private def llmTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def r4(c: Column) = floor(c * 10000.0 + 0.5) / 10000.0
+    val agg = t(spark, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"))
+    val overall = sum(col("total_tokens")).over(Window.partitionBy())
+    val cum = sum(col("total_tokens"))
+      .over(Window.orderBy(col("total_tokens").desc, col("source")))
+    agg
+      .withColumn("token_share", r4(col("total_tokens") / overall))
+      .withColumn("cum_share", r4(cum / overall))
+      .select("source", "n_docs", "total_tokens", "token_share", "cum_share")
+      .orderBy("source")
+  }
+
+  /** SemDeDup semantic dedup: plant 20 scaled replicas (cosine ≈ 1 to
+    * their originals), cluster with seeded k-means, drop within-cluster
+    * near-dups. Output = the dropped documents (the replicas: min-id
+    * representatives win). Rows-only (seeded Spark-ML k-means is not
+    * DuckDB-expressible); SemDedupSpec pins pair-recall vs brute force. */
+  private def llmSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val planted = emb.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + 10000)
+      .withColumn("embedding", transform(col("embedding"), x => x * lit(1.001f)))
+    SemDedup.semDedup(emb.unionByName(planted), "embedding", "vec_id",
+        k = 16, threshold = 0.999)
+      .filter(!col("is_representative"))
+      .select(col("vec_id"), col("component"))
+      .orderBy("vec_id")
+  }
+
   // ------------------------------------------------------ LLM-pipeline: text
 
   private def llmLangId(spark: SparkSession, dir: String): DataFrame =
@@ -1367,6 +1407,8 @@ object Registry {
     "q_llm_ann_pq" -> q(llmAnnPq),
     "q_skew_salted_agg" -> q(skewSaltedAgg),
     "q_llm_cosine_neardup" -> q(llmCosineNearDup),
+    "q_llm_semdedup" -> q(llmSemDedup),
+    "q_llm_token_budget" -> q(llmTokenBudget),
     "q_llm_langid" -> q(llmLangId),
     "q_llm_quality" -> q(llmQuality),
     "q_llm_nfc" -> q(llmNfc),
@@ -2022,6 +2064,18 @@ object Registry {
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish,
            length(text) AS n_chars_computed
          FROM documents ORDER BY doc_id""",
+    "q_llm_token_budget" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+               CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                 AS total_tokens
+             FROM documents GROUP BY source),
+           w AS (SELECT *, sum(total_tokens) OVER () AS overall,
+               sum(total_tokens) OVER (ORDER BY total_tokens DESC, source) AS cum
+             FROM s)
+         SELECT source, n_docs, total_tokens,
+           floor(total_tokens / overall * 10000 + 0.5) / 10000 AS token_share,
+           floor(cum / overall * 10000 + 0.5) / 10000 AS cum_share
+         FROM w ORDER BY source""",
     "q_llm_fingerprint" ->
       """SELECT doc_id,
            md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
