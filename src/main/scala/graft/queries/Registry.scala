@@ -1044,6 +1044,17 @@ object Registry {
       "vec_id", model, queryVector(spark, dir), topK = 5)
   }
 
+  /** IVF-PQ (FAISS IVFADC): coarse k-means prunes to nprobe=4 of 16
+    * clusters, PQ codes over residuals score with ADC lookups. Rows-only
+    * (two seeded k-means fits); IvfPqSpec pins residual-ADC exactness and
+    * recall. */
+  private def llmAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val idx = graft.llm.IvfPq.build(emb, "embedding", "vec_id",
+      kCoarse = 16, m = 8, kSub = 16)
+    graft.llm.IvfPq.search(idx, queryVector(spark, dir), topK = 5, nprobe = 4)
+  }
+
   /** Skew-safe salted aggregation — result must be exactly the plain
     * GROUP BY (two-stage decomposable combine), oracle-checked. */
   private def skewSaltedAgg(spark: SparkSession, dir: String): DataFrame =
@@ -1405,6 +1416,7 @@ object Registry {
     "q_dashboard" -> q(dashboardQuery),
     "q_llm_ann_ivf_kmeans" -> q(llmAnnIvfKmeans),
     "q_llm_ann_pq" -> q(llmAnnPq),
+    "q_llm_ann_ivfpq" -> q(llmAnnIvfPq),
     "q_skew_salted_agg" -> q(skewSaltedAgg),
     "q_llm_cosine_neardup" -> q(llmCosineNearDup),
     "q_llm_semdedup" -> q(llmSemDedup),
