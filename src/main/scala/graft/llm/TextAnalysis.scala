@@ -203,6 +203,21 @@ object TextAnalysis {
       Bridge.expression(tokens(text))))
   }
 
+  /** Boilerplate-line removal: drop lines matching the classic web-chrome
+    * patterns (copyright/cookie/subscribe/nav phrases). Line-local and
+    * embarrassingly parallel; the filter lambda runs over a SHORT
+    * per-document line list, not a corpus-sized relation. The pattern set
+    * is deliberately small and literal — mirrored verbatim in the DuckDB
+    * oracle (Java regex and RE2 agree on plain alternations). */
+  val boilerplatePattern: String =
+    "(all rights reserved|cookie|subscribe|sign up|click here|" +
+      "terms of service|privacy policy|copyright|©)"
+
+  def stripBoilerplate(text: Column): Column =
+    array_join(
+      filter(docLines(text), l => !lower(l).rlike(boilerplatePattern)),
+      "\n")
+
   /** Unicode normalization (native [[graft.expressions.UnicodeNormalize]];
     * zero-copy ASCII fast path). Normalize BEFORE any byte-hashing dedup —
     * composed vs decomposed input otherwise defeats exact/MinHash/

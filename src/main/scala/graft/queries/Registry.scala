@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import graft.config.Catalog
 import graft.header.HeaderDetector
 import graft.io.FileReader
-import graft.llm.{Decontaminate, Dedup, Index, Multimodal, Pack, SemDedup, Similarity, TextAnalysis}
+import graft.llm.{Decontaminate, Dedup, Index, Multimodal, Pack, SemDedup, Similarity, TextAnalysis, Urls}
 import graft.pipeline.Ingestor
 import graft.transform.Transformers
 
@@ -793,6 +793,47 @@ object Registry {
       .orderBy("id_a", "id_b")
   }
 
+  /** URL canonicalization over messy URLs derived deterministically from
+    * the documents table — uppercase scheme/host, www prefix, default
+    * ports, tracking params, unsorted params, trailing slashes, fragments
+    * all exercised; canonical form is hash-compared against the identical
+    * rule set mirrored in DuckDB SQL. */
+  private def llmUrlCanon(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTP://WWW."))
+        .otherwise(lit("https://www.")),
+      col("source"), lit(".example.com"),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit(":80")).otherwise(lit(":443")),
+      lit("/docs/"), col("doc_id").cast("string"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit("/")).otherwise(lit("")),
+      lit("?b=2&utm_source=feed&a=1"),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit("&fbclid=xyz"))
+        .otherwise(lit("")),
+      lit("#sec"), col("doc_id").cast("string"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("canonical", Urls.canonicalize(col("url")))
+      .orderBy("doc_id")
+  }
+
+  /** Boilerplate-line removal: two web-chrome lines are appended to every
+    * document (a copyright footer and a subscribe banner) and must be
+    * stripped; line counts and the md5 of the cleaned text hash-compare
+    * against the mirrored DuckDB rule set. */
+  private def llmBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = concat(col("text"),
+      lit("\nCopyright 2024 Example Corp. All rights reserved."),
+      lit("\nSubscribe to our newsletter today!"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), dirty.as("dirty"))
+      .select(col("doc_id"),
+        size(split(col("dirty"), "\n")).as("n_lines_in"),
+        size(split(TextAnalysis.stripBoilerplate(col("dirty")), "\n"))
+          .as("n_lines_kept"),
+        md5(TextAnalysis.stripBoilerplate(col("dirty"))).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
   /** Token-budget report — the table you read before choosing mixture
     * weights: per source, docs / whitespace tokens / share of the corpus /
     * cumulative share in descending-token order. The windows run over the
@@ -1421,6 +1462,8 @@ object Registry {
     "q_llm_cosine_neardup" -> q(llmCosineNearDup),
     "q_llm_semdedup" -> q(llmSemDedup),
     "q_llm_token_budget" -> q(llmTokenBudget),
+    "q_llm_url_canon" -> q(llmUrlCanon),
+    "q_llm_boilerplate" -> q(llmBoilerplate),
     "q_llm_langid" -> q(llmLangId),
     "q_llm_quality" -> q(llmQuality),
     "q_llm_nfc" -> q(llmNfc),
@@ -2076,6 +2119,53 @@ object Registry {
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish,
            length(text) AS n_chars_computed
          FROM documents ORDER BY doc_id""",
+    "q_llm_boilerplate" ->
+      """WITH d AS (SELECT doc_id,
+             text || chr(10) || 'Copyright 2024 Example Corp. All rights reserved.'
+                  || chr(10) || 'Subscribe to our newsletter today!' AS dirty
+           FROM documents),
+         c AS (SELECT doc_id, dirty,
+             array_to_string(list_filter(string_split(dirty, chr(10)),
+               l -> NOT regexp_matches(lower(l),
+                 '(all rights reserved|cookie|subscribe|sign up|click here|terms of service|privacy policy|copyright|©)')),
+               chr(10)) AS clean
+           FROM d)
+         SELECT doc_id,
+           len(string_split(dirty, chr(10))) AS n_lines_in,
+           len(string_split(clean, chr(10))) AS n_lines_kept,
+           md5(clean) AS clean_hash
+         FROM c ORDER BY doc_id""",
+    "q_llm_url_canon" ->
+      """WITH u AS (SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.' ELSE 'https://www.' END)
+             || source || '.example.com'
+             || (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+             || '/docs/' || doc_id
+             || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+             || '?b=2&utm_source=feed&a=1'
+             || (CASE WHEN doc_id % 5 = 0 THEN '&fbclid=xyz' ELSE '' END)
+             || '#sec' || doc_id AS url
+           FROM documents),
+         comp AS (SELECT doc_id, url,
+             lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             regexp_replace(lower(regexp_extract(nofrag, '^[^:]+://([^/?]+)', 1)),
+               '^www\.', '') AS host0,
+             regexp_replace(regexp_extract(nofrag, '^[^:]+://[^/?]+([^?]*)', 1),
+               '/+$', '') AS path,
+             array_to_string(list_sort(list_filter(
+               string_split(regexp_extract(nofrag, '\?([^#]*)', 1), '&'),
+               p -> NOT (regexp_matches(p, '^(utm_[^=&]*|fbclid|gclid)(=|$)')
+                         OR p = ''))), '&') AS kept
+           FROM (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag
+                 FROM u))
+         SELECT doc_id, url,
+           scheme || '://'
+           || (CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+                    WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+                    ELSE host0 END)
+           || path
+           || (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS canonical
+         FROM comp ORDER BY doc_id""",
     "q_llm_token_budget" ->
       """WITH s AS (SELECT source, count(*) AS n_docs,
                CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
