@@ -23,8 +23,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - otherwise the sliding n-token windows joined by ' ', de-duplicated
   *     preserving first occurrence;
   *   - null tokens are skipped inside a gram like `concat_ws`;
-  *   - null array → null. */
-case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
+  *   - null array → null.
+  *
+  * `keepDuplicates = true` returns EVERY sliding window in order (no
+  * dedup) — the multiplicity-preserving variant that repetition metrics
+  * (top-n-gram character fraction) need, where the distinct set used by
+  * shingling would erase exactly the signal being measured. */
+case class WordNGrams(child: Expression, n: Int,
+                      keepDuplicates: Boolean = false) extends UnaryExpression {
   require(n >= 1, s"word_ngrams needs n >= 1, got $n")
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -58,6 +64,15 @@ case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
     val count = numToks - (n - 1)
     if (count <= 0)
       return new GenericArrayData(Array[Any](joinRange(input, 0, numToks)))
+    if (keepDuplicates) {
+      val out = new Array[Any](count)
+      var i = 0
+      while (i < count) {
+        out(i) = joinRange(input, i, n)
+        i += 1
+      }
+      return new GenericArrayData(out)
+    }
     val seen = new java.util.LinkedHashSet[UTF8String]()
     var i = 0
     while (i < count) {

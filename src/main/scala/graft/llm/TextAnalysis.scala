@@ -218,6 +218,16 @@ object TextAnalysis {
       filter(docLines(text), l => !lower(l).rlike(boilerplatePattern)),
       "\n")
 
+  /** Character coverage of the heaviest word n-gram (count × gram chars),
+    * via the native row-local [[graft.expressions.TopNGramChars]] — zero
+    * shuffle; see that file for why the relational explode/groupBy
+    * formulation is wrong at scale. */
+  def topNGramChars(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.expressions.TopNGramChars(
+      Bridge.expression(tokens(text)), n))
+  }
+
   /** Unicode normalization (native [[graft.expressions.UnicodeNormalize]];
     * zero-copy ASCII fast path). Normalize BEFORE any byte-hashing dedup —
     * composed vs decomposed input otherwise defeats exact/MinHash/

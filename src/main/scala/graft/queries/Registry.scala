@@ -816,6 +816,22 @@ object Registry {
       .orderBy("doc_id")
   }
 
+  /** Gopher top-n-gram repetition fractions (n = 2, 3, 4): character
+    * coverage of the heaviest n-gram over the doc's char length. Computed
+    * row-locally by the native TopNGramChars expression (zero shuffle);
+    * the oracle mirrors the semantics relationally in DuckDB
+    * (unnest windows → count → max) — same numbers, different plan. */
+  private def llmTopNgram(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column) = floor(c * 10000.0 + 0.5) / 10000.0
+    def frac(n: Int) = when(length(col("text")) > 0,
+      r4(TextAnalysis.topNGramChars(col("text"), n) / length(col("text"))))
+      .otherwise(lit(0.0))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), frac(2).as("top2_frac"), frac(3).as("top3_frac"),
+        frac(4).as("top4_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Boilerplate-line removal: two web-chrome lines are appended to every
     * document (a copyright footer and a subscribe banner) and must be
     * stripped; line counts and the md5 of the cleaned text hash-compare
@@ -1464,6 +1480,7 @@ object Registry {
     "q_llm_token_budget" -> q(llmTokenBudget),
     "q_llm_url_canon" -> q(llmUrlCanon),
     "q_llm_boilerplate" -> q(llmBoilerplate),
+    "q_llm_top_ngram" -> q(llmTopNgram),
     "q_llm_langid" -> q(llmLangId),
     "q_llm_quality" -> q(llmQuality),
     "q_llm_nfc" -> q(llmNfc),
@@ -2119,6 +2136,25 @@ object Registry {
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish,
            length(text) AS n_chars_computed
          FROM documents ORDER BY doc_id""",
+    "q_llm_top_ngram" ->
+      """WITH tk AS (SELECT doc_id, length(text) AS nchars,
+             string_split_regex(trim(text), '\s+') AS t FROM documents),
+         gr AS (SELECT doc_id, nchars, n, array_to_string(t[i:i+n-1], ' ') AS g
+           FROM (SELECT doc_id, nchars, t, n,
+                   unnest(range(1, len(t) - n + 2)) AS i
+                 FROM tk, (VALUES (2), (3), (4)) nn(n))),
+         cnts AS (SELECT doc_id, nchars, n, g, count(*) AS cnt
+                  FROM gr GROUP BY doc_id, nchars, n, g),
+         top AS (SELECT doc_id, n,
+                   floor(max(cnt * length(g)) / nchars * 10000 + 0.5) / 10000
+                     AS frac
+                 FROM cnts GROUP BY doc_id, n, nchars)
+         SELECT d.doc_id,
+           coalesce(max(CASE WHEN n = 2 THEN frac END), 0.0) AS top2_frac,
+           coalesce(max(CASE WHEN n = 3 THEN frac END), 0.0) AS top3_frac,
+           coalesce(max(CASE WHEN n = 4 THEN frac END), 0.0) AS top4_frac
+         FROM documents d LEFT JOIN top ON d.doc_id = top.doc_id
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
     "q_llm_boilerplate" ->
       """WITH d AS (SELECT doc_id,
              text || chr(10) || 'Copyright 2024 Example Corp. All rights reserved.'

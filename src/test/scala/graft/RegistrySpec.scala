@@ -14,8 +14,8 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size and oracle coverage match COVERAGE.md") {
-    assert(SparkEntry.queries.size == 106)
-    assert(SparkEntry.oracleSql.size == 95)
+    assert(SparkEntry.queries.size == 107)
+    assert(SparkEntry.oracleSql.size == 96)
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
     assert(rowsOnly.size == 11, s"rows-only set drifted: $rowsOnly")
   }

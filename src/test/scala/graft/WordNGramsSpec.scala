@@ -42,6 +42,34 @@ class WordNGramsSpec extends SparkSpecBase {
     }
   }
 
+  test("keepDuplicates returns every sliding window in order") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge.Bridge
+    import spark.implicits._
+    val out = Seq("a b a b a").toDF("t")
+      .select(Bridge.column(graft.expressions.WordNGrams(
+        Bridge.expression(split(col("t"), " ")), 2, keepDuplicates = true)).as("g"))
+      .head.getSeq[String](0)
+    assert(out == Seq("a b", "b a", "a b", "b a"))
+  }
+
+  test("top_ngram_chars is count × chars of the heaviest gram, 0 when short") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def top(text: String, n: Int): Long =
+      Seq(text).toDF("t")
+        .select(graft.llm.TextAnalysis.topNGramChars(col("t"), n).as("c"))
+        .head.getLong(0)
+    // "a b" occurs 3×, 3 chars each → 9; beats "b a" (2×3=6).
+    assert(top("a b a b a b", 2) == 9L)
+    // one token, n=2 → no windows
+    assert(top("solo", 2) == 0L)
+    assert(top("", 2) == 0L)
+    // count×length tie-break: "xx yy" (2×5=10) beats "a b" (2×3=6)... both
+    // occur twice; the heavier-by-chars gram wins.
+    assert(top("xx yy a b xx yy a b", 2) > 6L)
+  }
+
   test("word_ngrams is callable from SQL via the registered extension") {
     import org.apache.spark.sql.graftbridge.Bridge
     Bridge.registerFunction(spark, "word_ngrams",
