@@ -27,7 +27,7 @@ object Bench {
     "decontaminate" -> "decon", "cdc_chunks" -> "cdc",
     "quality_gate" -> "qgate", "mix_sample" -> "mix",
     "e_sessions" -> "sess", "s_jsonl_read" -> "jsonl",
-    "token_budget" -> "budget",
+    "token_budget" -> "budget", "s_orc_roundtrip" -> "orc",
     "agg_quantiles" -> "quants", "fee_flagship" -> "fee",
     "fee_anesthesia" -> "fee_an", "fee_opps_capped" -> "fee_opps",
     "ptp_bundle_check" -> "ptp", "mue_lookup" -> "mue",

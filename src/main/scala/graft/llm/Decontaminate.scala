@@ -39,4 +39,37 @@ object Decontaminate {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** Bloom-filter contamination flag — the variant for when the benchmark
+    * gram set outgrows exact broadcast (an exact distinct-gram relation
+    * stops broadcasting somewhere in the gigabytes; the Bloom filter over
+    * the same grams is ~1.2 MB per million grams at 1% fpp). One-sided
+    * error: a truly contaminated document is NEVER missed (asserted by
+    * CorpusOpsSpec against [[contamination]]). `fpp` is PER GRAM and
+    * compounds over a document's grams — a clean doc with G grams
+    * false-positives with probability ≈ 1-(1-fpp)^G — so pick
+    * fpp ≈ (target doc-level fpp) / (typical grams per doc), the union
+    * bound. The filter only grows with log(1/fpp), so the tighter
+    * setting is nearly free.
+    *
+    * Shape: the filter builds distributed (`stat.bloomFilter` tree-
+    * aggregates the benchmark grams), then ships once per executor inside
+    * the native [[graft.expressions.BloomAnyContain]] expression — the
+    * corpus side is ONE shuffle-free projection with an early-exit loop
+    * per row: no gram explode, no join, no groupBy. */
+  def bloomContamination(docs: DataFrame, idCol: String, textCol: String,
+                         bench: DataFrame, benchTextCol: String,
+                         n: Int = 5, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val benchGrams = bench
+      .select(explode(Dedup.shingles(col(benchTextCol), n)).as("gram"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val expected = math.max(benchGrams.count(), 1L)
+    val bloom = benchGrams.stat.bloomFilter("gram", expected, fpp)
+    benchGrams.unpersist()
+    docs.select(col(idCol), Bridge.column(graft.expressions.BloomAnyContain(
+      Bridge.expression(Dedup.shingles(col(textCol), n)), bloom))
+      .as("contaminated_bloom"))
+  }
 }

@@ -630,6 +630,26 @@ object Registry {
       .orderBy("doc_id")
   }
 
+  /** ORC write → read roundtrip (beyond-reference source): Spark's native
+    * columnar ORC source — mixed types, column order preserved, and (at
+    * scale) the same predicate/column pushdown surface as parquet. The
+    * fixture is written by the query itself so the roundtrip exercises the
+    * sink AND the scan. */
+  private def sOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    Seq(
+      (1L, "alpha", 1.5, "2024-01-15"),
+      (2L, "béta", -0.25, "2024-06-30"),
+      (3L, "gamma", 1e9, "2025-02-01"))
+      .toDF("id", "name", "score", "d")
+      .withColumn("d", to_date(col("d")))
+      .write.mode("overwrite").orc(p)
+    spark.read.orc(p)
+      .select(col("id"), col("name"), col("score"), col("d"))
+      .orderBy("id")
+  }
+
   /** S4: TXT delimiter sniffing — pipes outnumber commas in the sample. */
   private def s4TxtSniff(spark: SparkSession, dir: String): DataFrame = {
     val p = java.nio.file.Files.createTempFile("graft-s4", ".txt")
@@ -1132,6 +1152,29 @@ object Registry {
       .orderBy("doc_id")
   }
 
+  /** Bloom-filter decontamination vs the exact broadcast-semi variant on
+    * the same benchmark split: one summary row proving the one-sided error
+    * contract — `false_negatives` MUST be 0 (Bloom never misses real
+    * contamination); `false_positives` is the fpp-bounded price. Rows-only
+    * (the filter's bit layout isn't SQL-expressible). */
+  private def llmBloomDecon(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val exact = Decontaminate.contamination(docs, "doc_id", "text",
+      bench, "text", n = 5)
+    // fpp is per gram: 1e-4 × ~100 grams/doc ≈ 1% doc-level false positives
+    val bloom = Decontaminate.bloomContamination(docs, "doc_id", "text",
+      bench, "text", n = 5, fpp = 1e-4)
+    exact.join(bloom, "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("exact_hits"),
+        sum(when(col("contaminated_bloom"), 1L).otherwise(0L)).as("bloom_hits"),
+        sum(when(col("contaminated") && !col("contaminated_bloom"), 1L)
+          .otherwise(0L)).as("false_negatives"),
+        sum(when(!col("contaminated") && col("contaminated_bloom"), 1L)
+          .otherwise(0L)).as("false_positives"))
+  }
+
   /** Inverted index over document tokens: term → (df, first-20 postings),
     * posting sample capped pre-shuffle via WindowGroupLimit. */
   private def llmPostings(spark: SparkSession, dir: String): DataFrame =
@@ -1457,6 +1500,7 @@ object Registry {
     "q_s1_csv_roundtrip" -> q(s1CsvRoundtrip),
     "q_s4_txt_sniff" -> q(s4TxtSniff),
     "q_s_jsonl_read" -> q(sJsonlRead),
+    "q_s_orc_roundtrip" -> q(sOrcRoundtrip),
     "q_s2_xlsx_read" -> q(s2Xlsx),
     "q_s3_xls_read" -> q(s3Xls),
     "q_h1_header_detect" -> q(h1HeaderDetect),
@@ -1494,6 +1538,7 @@ object Registry {
     "q_llm_fingerprint" -> q(llmFingerprint),
     "q_llm_rolling_fp" -> q(llmRollingFp),
     "q_llm_decontaminate" -> q(llmDecontaminate),
+    "q_llm_bloom_decon" -> q(llmBloomDecon),
     "q_llm_postings" -> q(llmPostings),
     "q_llm_tfidf" -> q(llmTfIdf),
     "q_llm_pack" -> q(llmPack),
@@ -1765,6 +1810,12 @@ object Registry {
            ('01112', 'Smith, John', 'café', '100', CAST(1 AS BIGINT)),
            ('00500', 'plain', '', '0042', 2))
          t(_c0, _c1, _c2, _c3, _row_number) ORDER BY _row_number""",
+    "q_s_orc_roundtrip" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), 'alpha', CAST(1.5 AS DOUBLE), DATE '2024-01-15'),
+           (2, 'béta', CAST(-0.25 AS DOUBLE), DATE '2024-06-30'),
+           (3, 'gamma', CAST(1e9 AS DOUBLE), DATE '2025-02-01'))
+         t(id, name, score, d) ORDER BY id""",
     "q_s_jsonl_read" ->
       """SELECT * FROM (VALUES
            (CAST(1 AS BIGINT), 'en', 'hello world'),

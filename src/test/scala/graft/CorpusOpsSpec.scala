@@ -32,6 +32,23 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(out(4L) == (0L, false))
   }
 
+  test("bloom decontamination never misses what exact decontamination flags") {
+    // 60 docs, a third sharing a benchmark 5-gram: every exact hit MUST be
+    // a bloom hit (one-sided error); clean docs may rarely false-positive.
+    val corpus = docs((0L until 60L).map { i =>
+      if (i % 3 == 0) (i, s"filler$i the quick brown fox jumps tail$i")
+      else (i, s"unique$i words only in doc number$i nothing shared$i")
+    }: _*)
+    val bench = docs((999L, "prefix the quick brown fox jumps suffix"))
+    val exact = Decontaminate.contamination(corpus, "doc_id", "text", bench, "text", n = 5)
+      .filter(col("contaminated")).collect().map(_.getLong(0)).toSet
+    val bloom = Decontaminate.bloomContamination(corpus, "doc_id", "text", bench, "text", n = 5)
+      .filter(col("contaminated_bloom")).collect().map(_.getLong(0)).toSet
+    assert(exact == (0L until 60L by 3).toSet)
+    assert(exact.subsetOf(bloom),
+      s"false negatives are forbidden: ${exact.diff(bloom)}")
+  }
+
   test("decontamination counts distinct shared grams, not occurrences") {
     // Doc repeats the planted gram twice, but shingles are per-doc distinct.
     val corpus = docs((1L, "a b c d e x a b c d e"))
