@@ -44,6 +44,41 @@ object Sampling {
   def inSample(id: Column, thresholdHex: Column): Column =
     md5(id.cast("string")) < thresholdHex
 
+  /** Epoch upsampling: repeat each row `factor` times where factor may be
+    * FRACTIONAL — 2.3 epochs = 2 guaranteed copies plus membership in a
+    * deterministic 0.3-rate sample for the third (the standard way
+    * pretraining mixtures over-weight small high-quality sources). The
+    * fractional copy reuses the md5-threshold primitive, salted with the
+    * integer epoch count so different factors draw independent samples.
+    * Output adds an `epoch` column (1-based).
+    *
+    * Scale shape: `explode(sequence(...))` is row-local — zero shuffle,
+    * output size = Σ factor·|source| by construction. Factors arrive as a
+    * tiny (source → factor) map inlined as a when-chain, not a join. */
+  def upsampleEpochs(df: DataFrame, idCol: String, groupCol: String,
+                     factors: Map[String, Double],
+                     defaultFactor: Double = 1.0): DataFrame = {
+    require(factors.values.forall(_ >= 0.0), "factors must be >= 0")
+    def whole(f: Double) = math.floor(f).toLong
+    def fracThreshold(f: Double): String = {
+      val frac = f - math.floor(f)
+      if (frac <= 0.0) "" else hexThreshold(frac)
+    }
+    val wholeCol = factors.foldLeft(lit(whole(defaultFactor))) {
+      case (acc, (g, f)) => when(col(groupCol) === g, lit(whole(f))).otherwise(acc)
+    }
+    val fracCol = factors.foldLeft(lit(fracThreshold(defaultFactor))) {
+      case (acc, (g, f)) => when(col(groupCol) === g, lit(fracThreshold(f))).otherwise(acc)
+    }
+    val extra = when(
+      md5(concat(col(idCol).cast("string"), lit(":"), wholeCol.cast("string")))
+        < fracCol, 1L).otherwise(0L)
+    df.withColumn("_copies", wholeCol + extra)
+      .filter(col("_copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(1L), col("_copies"))))
+      .drop("_copies")
+  }
+
   /** Per-group quota: keep at most `quota` rows per group, chosen
     * deterministically by `orderCol` — the standard domain-balancing step
     * (cap any one source/domain's share of the corpus). One shuffle on the
