@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
@@ -23,25 +24,58 @@ import org.apache.spark.sql.functions._
 object SemDedup {
 
   /** Within-cluster pairs with cosine ≥ threshold: (id_a, id_b, cos),
-    * id_a < id_b. */
+    * id_a < id_b.
+    *
+    * The quadratic step is bounded: a cluster larger than `maxCluster`
+    * (skewed k-means — one boilerplate mega-cluster is the common case on
+    * web corpora) is split by a sign-LSH sub-key before the self-join, so
+    * near-identical embeddings still land together while the join stays
+    * Σ|bucket|² with |bucket| ≤ maxCluster. A sub-bucket that is STILL
+    * oversized is a true mega-group of near-identical vectors; for those
+    * the all-pairs join degrades to consecutive-chain pairing (sorted by
+    * id, one `lead` window) — O(n) pairs whose ≥-threshold links the
+    * downstream connected components merges back into one dedup group, so
+    * the mega-group is still deduplicated instead of silently skipped. */
   def semanticPairs(corpus: DataFrame, embCol: String, idCol: String,
                     k: Int, threshold: Double, dim: Int = 64,
-                    seed: Long = 42L, maxIter: Int = 5): DataFrame = {
+                    seed: Long = 42L, maxIter: Int = 5,
+                    maxCluster: Int = 2000): DataFrame = {
     // 5 Lloyd's iterations, but KEEP the k-means|| init: random init can
     // seed one tight blob twice and split it (SemDedupSpec catches exactly
     // this — a split blob silently loses its cross-split pairs). A gating
     // clusterer tolerates loose convergence, not a broken partition.
     val assigned = Ivf.build(corpus, embCol, idCol, k, seed, maxIter).assigned
-    val a = assigned.select(col("_cluster"), col(idCol).as("id_a"),
-      col(embCol).as("_ea"))
-    val b = assigned.select(col("_cluster"), col(idCol).as("id_b"),
-      col(embCol).as("_eb"))
-    a.join(b, "_cluster")
+    val planes = Similarity.hyperplanes(8, dim)
+    val subKeyed = assigned
+      .withColumn("_cn", count(lit(1)).over(Window.partitionBy("_cluster")))
+      .withColumn("_sub", when(col("_cn") <= maxCluster, lit(0L))
+        .otherwise(Similarity.lshBucket(col(embCol), planes)))
+      .withColumn("_sn",
+        count(lit(1)).over(Window.partitionBy("_cluster", "_sub")))
+    val cos = (ea: org.apache.spark.sql.Column, eb: org.apache.spark.sql.Column) =>
+      Similarity.cosineUnrolled(ea, eb, dim)
+
+    val small = subKeyed.filter(col("_sn") <= maxCluster)
+    val a = small.select(col("_cluster"), col("_sub"),
+      col(idCol).as("id_a"), col(embCol).as("_ea"))
+    val b = small.select(col("_cluster"), col("_sub"),
+      col(idCol).as("id_b"), col(embCol).as("_eb"))
+    val allPairs = a.join(b, Seq("_cluster", "_sub"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos",
-        Similarity.cosineUnrolled(col("_ea"), col("_eb"), dim))
+      .withColumn("cos", cos(col("_ea"), col("_eb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
+
+    val chainOrd = Window.partitionBy("_cluster", "_sub").orderBy(col(idCol))
+    val chainPairs = subKeyed.filter(col("_sn") > maxCluster)
+      .withColumn("_nid", lead(col(idCol), 1).over(chainOrd))
+      .withColumn("_nemb", lead(col(embCol), 1).over(chainOrd))
+      .filter(col("_nid").isNotNull)
+      .withColumn("cos", cos(col(embCol), col("_nemb")))
+      .filter(col("cos") >= threshold)
+      .select(col(idCol).as("id_a"), col("_nid").as("id_b"), col("cos"))
+
+    allPairs.unionByName(chainPairs)
   }
 
   /** Full SemDeDup decision: every document labeled with its semantic
@@ -49,8 +83,9 @@ object SemDedup {
     * matching the byte-level dedup contract). */
   def semDedup(corpus: DataFrame, embCol: String, idCol: String,
                k: Int, threshold: Double, dim: Int = 64,
-               seed: Long = 42L): DataFrame = {
-    val pairs = semanticPairs(corpus, embCol, idCol, k, threshold, dim, seed)
+               seed: Long = 42L, maxCluster: Int = 2000): DataFrame = {
+    val pairs = semanticPairs(corpus, embCol, idCol, k, threshold, dim, seed,
+      maxCluster = maxCluster)
     Dedup.dedupByCluster(corpus.select(col(idCol)), idCol, pairs)
   }
 }

@@ -50,6 +50,35 @@ class SemDedupSpec extends SparkSpecBase {
     assert(out.length == 20)
   }
 
+  test("mega-cluster: pair output stays linear and the group still dedups") {
+    import spark.implicits._
+    // One boilerplate mega-group: 30 near-identical vectors, far over the
+    // cap. All land in one k-means cluster AND one LSH sub-bucket, so the
+    // all-pairs path would be 435 pairs; the chain fallback must emit at
+    // most n-1 = 29, and connected components must still merge the whole
+    // group to the min-id representative.
+    val rnd = new scala.util.Random(11)
+    val mega = (0L until 30L).map { id =>
+      id -> Seq(10.0, 0, 0, 0, 0, 0, 0, 0).map(_ + rnd.nextGaussian() * 0.005)
+    }
+    // a second, far-away small group so k=2 has two natural clusters and
+    // k-means doesn't split the blob across both centroids
+    val other = (30L until 35L).map { id =>
+      id -> Seq(0.0, 10, 0, 0, 0, 0, 0, 0).map(_ + rnd.nextGaussian() * 0.005)
+    }
+    val megaDf = (mega ++ other).toDF("vec_id", "embedding")
+    val pairs = SemDedup.semanticPairs(megaDf, "embedding", "vec_id",
+      k = 2, threshold = 0.99, dim = dim, maxCluster = 5).collect()
+    // mega-group: ≤29 chain links; small group: ≤10 all-pairs
+    assert(pairs.length <= 39,
+      s"cap failed: ${pairs.length} pairs from a 30-doc mega-cluster")
+    assert(pairs.nonEmpty, "chain fallback emitted no links")
+    val out = SemDedup.semDedup(megaDf, "embedding", "vec_id",
+      k = 2, threshold = 0.99, dim = dim, maxCluster = 5).collect()
+    val kept = out.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 30L), s"groups not merged to min ids: $kept")
+  }
+
   test("a corpus with no semantic dups keeps everything") {
     import spark.implicits._
     // one point per anchor direction: all cross-cosines ≈ 0
