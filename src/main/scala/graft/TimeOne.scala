@@ -16,6 +16,7 @@ object TimeOne {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    graft.queries.Registry.warmSharedStore(spark)
     for (n <- names) {
       val t0 = System.nanoTime()
       val c = SparkEntry.queries(n)(spark, sfDir).count()

@@ -98,14 +98,15 @@ object IngestPipeline {
     val (unique, _) = Ingestor.dedupFirstWins(valid, source.uniqueKeys)
     val toWrite = unique.drop("_row_number").persist()
     val inserted = toWrite.count()
+    // Valid + invalid in one job over the checkpointed typed rows.
     // Duplicates = valid minus survivors (dedup keeps null-key rows, so the
     // difference is exactly the rank>1 rows) — a count over the cached typed
     // rows instead of a second run of the dedup window.
-    val dupCount = valid.count() - inserted
+    val (validCount, invalidCount) = Ingestor.validCounts(typed, source.uniqueKeys)
+    val dupCount = validCount - inserted
     // Error strings come to the driver CAPPED at maxCollectedErrors (the
     // exact invalid count is still computed distributed) — an adversarial
     // all-invalid file must not become a driver-OOM vector.
-    val invalidCount = quarantine.count()
     val invalidRows = quarantine.select("_error", "_row_number")
       .orderBy("_row_number")
       .limit(Catalog.Limits.maxCollectedErrors)

@@ -79,6 +79,16 @@ object Ingestor {
     * ("Row N: Missing required key column 'k'", reference: ingestor.py:358-375).
     * Returns (valid, quarantine-with-_error). One pass, no write-then-retry:
     * validate-before-write replaces the reference's per-row INSERT fallback. */
+  /** Valid/invalid row counts in ONE action (the split frames would cost a
+    * job each; an ingest is fixed-overhead-bound at KB scale). */
+  def validCounts(df: DataFrame, uniqueKeys: Seq[String]): (Long, Long) = {
+    val allPresent = uniqueKeys.map(col(_).isNotNull).reduce(_ && _)
+    val r = df.select(
+      count(when(allPresent, lit(1))).as("v"),
+      count(when(!allPresent, lit(1))).as("q")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   def validateSplit(df: DataFrame, uniqueKeys: Seq[String],
                     rowNumberCol: String = "_row_number"): (DataFrame, DataFrame) = {
     val allPresent = uniqueKeys.map(col(_).isNotNull).reduce(_ && _)
