@@ -8,11 +8,10 @@ import org.apache.spark.sql.types._
   * `binary` columns next to typed metadata; decode/feature steps run as
   * partition-local batch functions.
   *
-  * The decode kernel itself is STUBBED (this image ships no codec libs): it
-  * is a clearly-marked deterministic fake keyed on the payload bytes, so the
-  * Spark-side plumbing — schema, batching, partition shape, null handling —
-  * is real and testable, and swapping in a true decoder changes one
-  * function. */
+  * The image decode kernel is REAL: JDK `javax.imageio` (no external deps)
+  * decodes PNG/JPEG/GIF/BMP payloads to true dimensions and a pixel
+  * checksum. Formats the JDK can't read (video, audio) would slot in the
+  * same `decodeImage` seam with an external codec. */
 object Multimodal {
 
   /** Typed media row: payload + envelope metadata. */
@@ -29,39 +28,74 @@ object Multimodal {
     StructField("payload", BinaryType, nullable = true),
   ))
 
-  /** STUB DECODER — deterministic fake in place of a real codec.
-    * A production build replaces the body with e.g. javax.imageio /
-    * ffmpeg-over-pipe; everything around it (batch iteration, skipping
-    * null/empty payloads, output schema) is the real contract. */
-  def decodeStub(payload: Array[Byte]): (Int, Int, Long, Long) = {
-    var h = 1125899906842597L
-    var i = 0
-    while (i < payload.length) { h = 31 * h + (payload(i) & 0xff); i += 1 }
-    val width = 1 + math.floorMod(h, 4096).toInt
-    val height = 1 + math.floorMod(h >> 12, 4096).toInt
-    val durationMs = math.floorMod(h >> 24, 600000L)
-    (width, height, durationMs, h)
+  /** Encode a real single-band grayscale PNG with pixel (x, y) =
+    * `(x + y*width + seed) mod 256`. Used by tests and the registry's
+    * decode query to manufacture genuine image payloads whose decoded
+    * content is arithmetically predictable (so an external oracle can
+    * verify the full encode → decode roundtrip without a codec). */
+  def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        raster.setSample(x, y, 0,
+          java.lang.Math.floorMod(x + y.toLong * width + seed, 256L).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
-  /** Partition-local decode: one decoder instance per partition (the real-
-    * codec pattern — amortizes native init), rows stream through without
-    * collecting. */
+  /** REAL image decode via JDK javax.imageio: true (width, height,
+    * pixel-sum-of-band-0). None if the payload is not a decodable image. */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Long)] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    Option(img).map { im =>
+      val (w, h) = (im.getWidth, im.getHeight)
+      val raster = im.getRaster
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      (w, h, sum)
+    }
+  }
+
+  /** Partition-local decode: rows stream through without collecting (the
+    * per-partition mapPartitions seam is where a native codec would be
+    * initialized once and amortized). Payloads ImageIO cannot decode are
+    * dropped — the quarantine-style split belongs to the caller's sniff
+    * step. `feature_hash` carries the band-0 pixel sum; `duration_ms` is 0
+    * for still images. */
   def decode(files: Dataset[MediaFile]): Dataset[MediaMeta] = {
     implicit val enc = Encoders.product[MediaMeta]
     files.mapPartitions { it =>
-      it.filter(f => f.payload != null && f.payload.nonEmpty).map { f =>
-        val (w, hgt, dur, hash) = decodeStub(f.payload)
-        MediaMeta(f.media_id, f.kind, f.payload.length.toLong, w, hgt, dur, hash)
+      it.filter(f => f.payload != null && f.payload.nonEmpty).flatMap { f =>
+        decodeImage(f.payload).map { case (w, hgt, pixSum) =>
+          MediaMeta(f.media_id, f.kind, f.payload.length.toLong, w, hgt, 0L, pixSum)
+        }
       }
     }
   }
 
-  /** Expression-only variant of the stub metadata (byte length + coarse
-    * fake dimensions) for pipelines that stay in pure SQL. */
+  /** Expression-only metadata for pipelines that stay in pure SQL: real
+    * byte length plus true PNG header dimensions (null for other formats —
+    * see [[pngDims]]); no pixel decode, no UDF. */
   def metaColumns(df: DataFrame, payloadCol: String): DataFrame =
     df.withColumn("byte_len", length(col(payloadCol)).cast("long"))
-      .withColumn("width", (pmod(xxhash64(col(payloadCol)), lit(4096L)) + 1L).cast("int"))
-      .withColumn("height", (pmod(shiftright(xxhash64(col(payloadCol)), 12), lit(4096L)) + 1L).cast("int"))
+      .withColumn("width", pngDims(col(payloadCol)).getField("width").cast("int"))
+      .withColumn("height", pngDims(col(payloadCol)).getField("height").cast("int"))
 
   /** REAL (non-stub) image header inspection: PNG IHDR width/height read
     * straight off the binary payload with pure Column ops — signature 8 B +

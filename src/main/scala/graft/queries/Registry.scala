@@ -1255,15 +1255,26 @@ object Registry {
       .select(col("doc_id"), length(col("payload")).cast("long").as("byte_len"))
       .orderBy("doc_id")
 
-  /** Typed Dataset decode path through the partition-local stub decoder
-    * (deterministic fake; rows-only check). */
+  /** Typed Dataset decode path through the REAL javax.imageio kernel: each
+    * document manufactures a genuine PNG payload (dims and grayscale fill
+    * derived from doc_id), and the partition-local decoder reads back true
+    * width/height plus the band-0 pixel sum. The fill rule
+    * `pixel(i) = (i + doc_id) mod 256` makes the decoded pixel sum
+    * arithmetically predictable, so DuckDB verifies the full
+    * encode → decode roundtrip without any codec. */
   private def mmDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val files = t(spark, dir, "documents")
-      .select(col("doc_id").as("media_id"), lit("image").as("kind"),
-        col("text").cast("binary").as("payload"))
-      .as[Multimodal.MediaFile]
-    Multimodal.decode(files).toDF().orderBy("media_id")
+      .select(col("doc_id").as("media_id"),
+        (col("doc_id") % 16 + 1).cast("int").as("w"),
+        (col("doc_id") % 12 + 1).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .map { case (id, w, h) =>
+        Multimodal.MediaFile(id, "image", Multimodal.encodePng(w, h, id)) }
+    Multimodal.decode(files).toDF()
+      .select(col("media_id"), col("width"), col("height"),
+        col("feature_hash").as("pixel_sum"))
+      .orderBy("media_id")
   }
 
   /** JSONB-analogue handling (reference ingestion_logs.details JSONB,
@@ -2305,6 +2316,18 @@ object Registry {
     "q_mm_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len
          FROM documents ORDER BY doc_id""",
+    // The engine encodes a real PNG per doc (w = 1 + id%16, h = 1 + id%12,
+    // gray pixel i = (i + id) mod 256) and decodes it with javax.imageio;
+    // the oracle recomputes the expected dims and pixel sum arithmetically.
+    "q_mm_decode" ->
+      """SELECT d.doc_id AS media_id,
+           CAST(1 + d.doc_id % 16 AS INT) AS width,
+           CAST(1 + d.doc_id % 12 AS INT) AS height,
+           CAST(SUM((s.i + d.doc_id) % 256) AS BIGINT) AS pixel_sum
+         FROM documents d
+         JOIN range(0, 192) AS s(i)
+           ON s.i < (1 + d.doc_id % 16) * (1 + d.doc_id % 12)
+         GROUP BY d.doc_id ORDER BY media_id""",
     "q_p6_status_filter" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0 ORDER BY o_orderkey""",

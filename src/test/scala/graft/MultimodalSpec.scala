@@ -41,6 +41,32 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out(2).isNullAt(1)) // null payload
   }
 
+  test("encodePng -> decodeImage roundtrips true dims and pixel sum") {
+    // 3x2 gray PNG, seed 7: pixels (i + 7) mod 256 for i in 0..5
+    val png = Multimodal.encodePng(3, 2, 7L)
+    assert(png.take(8).map(_ & 0xff).toSeq ==
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a), "not a real PNG")
+    val Some((w, h, sum)) = Multimodal.decodeImage(png)
+    assert(w == 3 && h == 2)
+    assert(sum == (0 until 6).map(i => (i + 7) % 256).sum)
+    // wrap-around: a seed near 256 exercises the mod
+    val Some((_, _, sum2)) = Multimodal.decodeImage(Multimodal.encodePng(2, 2, 254L))
+    assert(sum2 == Seq(254, 255, 0, 1).sum)
+  }
+
+  test("decode drops payloads ImageIO cannot read, keeps real images") {
+    import spark.implicits._
+    val files = Seq(
+      Multimodal.MediaFile(1L, "image", Multimodal.encodePng(4, 3, 1L)),
+      Multimodal.MediaFile(2L, "image", "not an image".getBytes),
+      Multimodal.MediaFile(3L, "image", null),
+      Multimodal.MediaFile(4L, "image", Array.empty[Byte])).toDS()
+    val out = Multimodal.decode(files).collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq == Seq(1L))
+    assert(out.head.width == 4 && out.head.height == 3 && out.head.duration_ms == 0L)
+    assert(out.head.feature_hash == (0 until 12).map(i => (i + 1) % 256).sum)
+  }
+
   test("sniffFormat dispatches by magic bytes") {
     val out = binDf((1L, pngHeader), (2L, jpegHeader), (3L, wavHeader),
         (4L, "plain text".getBytes))
