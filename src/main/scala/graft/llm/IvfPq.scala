@@ -22,7 +22,13 @@ import org.apache.spark.sql.functions._
 object IvfPq {
 
   final case class Index(encoded: DataFrame, coarse: Array[Array[Double]],
-                         pq: Pq.Model, idCol: String, dim: Int)
+                         pq: Pq.Model, idCol: String, dim: Int,
+                         private[llm] val cached: Option[DataFrame] = None) {
+    /** Unpersist the residual relation cached during build. Call when the
+      * index is no longer searched in this session; repeated builds in a
+      * long-lived session otherwise accumulate cached blocks. */
+    def release(): Unit = cached.foreach(_.unpersist())
+  }
 
   /** Build: coarse-assign (seeded Spark-ML k-means), subtract each row's
     * coarse centroid via a broadcast join on `_cluster` (the centroid
@@ -47,7 +53,7 @@ object IvfPq {
     val pq = Pq.fit(resid, "_resid", dim, m, kSub, seed, maxIter = pqIter)
     val encoded = Pq.encode(resid, "_resid", pq)
       .select(col(idCol), col("_cluster"), col("pq_codes"))
-    Index(encoded, coarse.centroids, pq, idCol, dim)
+    Index(encoded, coarse.centroids, pq, idCol, dim, cached = Some(resid))
   }
 
   /** Search: rank coarse centroids driver-side, keep the `nprobe`
@@ -56,7 +62,9 @@ object IvfPq {
     * branches of m lookups each. Returns (id, approx_dist). */
   def search(index: Index, query: Seq[Double], topK: Int,
              nprobe: Int): DataFrame = {
-    require(query.length == index.dim)
+    require(query.length == index.dim,
+      s"query dim ${query.length} != index dim ${index.dim}")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val probed = index.coarse.zipWithIndex
       .map { case (c, i) =>
         (i, c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum)

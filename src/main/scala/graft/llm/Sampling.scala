@@ -31,10 +31,14 @@ object Sampling {
   /** Deterministic hash split via md5 of the stringified id compared
     * LEXICOGRAPHICALLY against the fraction's hex expansion. md5 hex is
     * uniform and identical in every engine (unlike xxhash64/rand seeds), so
-    * the split is reproducible AND oracle-checkable. */
-  def splitLabel(id: Column, trainFrac: Double): Column =
-    when(md5(id.cast("string")) < lit(hexThreshold(trainFrac)), "train")
-      .otherwise("val")
+    * the split is reproducible AND oracle-checkable. trainFrac ≥ 1.0 uses
+    * the keep-everything sentinel ("g" sorts above every hex digit) instead
+    * of hexThreshold's [0,1) expansion, which at exactly 1.0 would emit
+    * "ffffffff" and silently send ~2^-32 of rows to "val". */
+  def splitLabel(id: Column, trainFrac: Double): Column = {
+    val threshold = if (trainFrac >= 1.0) "g" else hexThreshold(trainFrac)
+    when(md5(id.cast("string")) < lit(threshold), "train").otherwise("val")
+  }
 
   /** Deterministic Bernoulli membership at a per-row hex threshold (built
     * with [[hexThreshold]], or "g" for keep-everything since every md5 hex

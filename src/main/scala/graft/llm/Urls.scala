@@ -36,7 +36,11 @@ object Urls {
       array_sort(filter(split(rawQuery, "&"), p =>
         !(p.rlike("^(utm_[^=&]*|fbclid|gclid)(=|$)") || p === ""))),
       "&")
-    concat(scheme, lit("://"), host, path,
-      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+    // Schemeless input ("example.com/a") would make every extract above
+    // return "" and the concat emit garbage "://..." — pass it through
+    // untouched instead: not a canonicalizable absolute URL.
+    when(scheme === "", url)
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(kept === "", lit("")).otherwise(concat(lit("?"), kept))))
   }
 }

@@ -111,6 +111,10 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(labeled.except(again).isEmpty && again.except(labeled).isEmpty)
     assert(graft.llm.Sampling.hexThreshold(0.8) == "cccccccc")
     assert(graft.llm.Sampling.hexThreshold(0.5) == "80000000")
+    // trainFrac = 1.0 keeps EVERY row in train (no silent 2^-32 val leak)
+    val all = ids.select(graft.llm.Sampling.splitLabel(col("id"), 1.0).as("s"))
+      .filter(col("s") =!= "train").count()
+    assert(all == 0L)
   }
 
   test("quota sampling keeps at most N per group, lowest ids first") {

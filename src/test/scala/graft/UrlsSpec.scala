@@ -31,6 +31,11 @@ class UrlsSpec extends SparkSpecBase {
     assert(canon("http://site.com/p?utm_campaign=x") == "http://site.com/p")
   }
 
+  test("schemeless input passes through untouched, not as garbage '://'") {
+    assert(canon("example.com/a") == "example.com/a")
+    assert(canon("not a url at all") == "not a url at all")
+  }
+
   test("two spellings of the same page canonicalize identically") {
     val a = canon("HTTP://WWW.Example.org:80/news/?b=2&a=1&utm_source=rss#top")
     val b = canon("http://example.org/news?a=1&b=2")
