@@ -58,11 +58,18 @@ object Pack {
     * assigns chunk ids → two hash aggregates (chunk sizes, then per-doc
     * stats). No interpreted lambdas anywhere. */
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
-                divisor: Int = 16): DataFrame = {
+                divisor: Int = 16, portableBoundary: Boolean = false): DataFrame = {
     val toks = docs.select(col(idCol).as("_id"),
       posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("_pos", "_tok")))
-    val flagged = toks.withColumn("_closes",
-      when(pmod(xxhash64(col("_tok")), lit(divisor)) === 0, 1L).otherwise(0L))
+    // Boundary test at rate 1/divisor. Portable mode uses the md5
+    // hex-threshold trick (Sampling.splitLabel's): `md5(tok) < threshold`
+    // is the same predicate in any engine with md5, so the chunking is
+    // oracle-checkable; the default stays on codegen'd xxhash64.
+    val closes =
+      if (portableBoundary)
+        md5(col("_tok")) < lit(Sampling.hexThreshold(1.0 / divisor))
+      else pmod(xxhash64(col("_tok")), lit(divisor)) === 0
+    val flagged = toks.withColumn("_closes", when(closes, 1L).otherwise(0L))
     val priorBoundaries = Window.partitionBy("_id").orderBy("_pos")
       .rowsBetween(Window.unboundedPreceding, -1)
     val chunks = flagged

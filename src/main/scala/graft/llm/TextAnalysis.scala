@@ -203,6 +203,16 @@ object TextAnalysis {
       Bridge.expression(tokens(text))))
   }
 
+  /** Engine-portable rolling hash: same codegen'd fold with md5-prefix
+    * token hashes and a 2^31-1 modulus, reproducible in DuckDB via
+    * `list_reduce` (see [[graft.expressions.HashHelpers.md5Prefix7]]) —
+    * the oracle-checkable variant of [[rollingHash]]. */
+  def rollingHashPortable(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.expressions.RollingHash64(
+      Bridge.expression(tokens(text)), portable = true))
+  }
+
   /** Boilerplate-line removal: drop lines matching the classic web-chrome
     * patterns (copyright/cookie/subscribe/nav phrases). Line-local and
     * embarrassingly parallel; the filter lambda runs over a SHORT

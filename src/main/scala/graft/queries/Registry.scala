@@ -1075,9 +1075,14 @@ object Registry {
       .orderBy("doc_id")
 
   /** Order-sensitive rolling-hash fingerprint (xxhash64-based → rows-only). */
+  /** Order-sensitive rolling fingerprint in the PORTABLE variant
+    * (md5-prefix token hash, 2^31-1 modulus) so DuckDB replays the exact
+    * fold with list_reduce; the xxhash64 fast path stays covered by
+    * LlmOpsSpec + the bit-identity spec. */
   private def llmRollingFp(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rolling_fp"))
+      .select(col("doc_id"),
+        TextAnalysis.rollingHashPortable(col("text")).as("rolling_fp"))
       .orderBy("doc_id")
 
   /** §3.3 dashboard: active sources × latest completed version (lateral
@@ -1199,7 +1204,8 @@ object Registry {
   /** Content-defined chunking stats per document (xxhash boundaries — not
     * DuckDB-expressible → rows-only check; invariants in CorpusOpsSpec). */
   private def llmCdcChunks(spark: SparkSession, dir: String): DataFrame =
-    Pack.cdcChunks(t(spark, dir, "documents"), "doc_id", "text", divisor = 16)
+    Pack.cdcChunks(t(spark, dir, "documents"), "doc_id", "text", divisor = 16,
+        portableBoundary = true)
       .orderBy("doc_id")
 
   /** Per-language quality gate: drop the bottom decile of quality within
@@ -1902,6 +1908,64 @@ object Registry {
                 min(doc_id) AS representative,
                 CAST(1 AS BIGINT) AS n_reps
          FROM documents GROUP BY 1 ORDER BY 1""",
+    // True independent oracle for the LSH pipeline: DuckDB brute-forces
+    // exact 3-shingle Jaccard over ALL pairs (length-ratio prefiltered —
+    // J >= 0.5 is impossible when |A|/|B| < 0.4999) and keeps >= 0.5.
+    // Valid because the Spark side's FINAL filter is the same exact
+    // Jaccard on LSH candidates, and LSH recall is 1.0 on this corpus
+    // (verified: 57 == 57 identical pairs); a missed borderline pair
+    // would surface here as a hash mismatch, which is the point.
+    // Content-defined chunking with the portable md5-threshold boundary
+    // (P(close) = 1/16 ⇔ md5 hex < '10000000'): DuckDB replays the exact
+    // boundary rule, exclusive-prefix chunk ids, and per-doc stats.
+    "q_llm_cdc_chunks" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                     FROM documents),
+         tok AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, t FROM tk),
+         flag AS (SELECT doc_id, pos,
+                    CASE WHEN md5(t[pos]) < '10000000' THEN 1 ELSE 0 END AS closes
+                  FROM tok),
+         chunked AS (SELECT doc_id, pos,
+                       COALESCE(SUM(closes) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+                     FROM flag),
+         chunks AS (SELECT doc_id, chunk_id, count(*) AS chunk_tokens
+                    FROM chunked GROUP BY doc_id, chunk_id)
+         SELECT doc_id, count(*) AS n_chunks,
+                max(chunk_tokens) AS max_chunk_tokens,
+                min(chunk_tokens) AS min_chunk_tokens,
+                CAST(sum(chunk_tokens) AS BIGINT) AS total_tokens
+         FROM chunks GROUP BY doc_id ORDER BY doc_id""",
+    // DuckDB replays the identical rolling fold: fold state and token
+    // hashes are < 2^31, so every intermediate fits BIGINT in any engine.
+    "q_llm_rolling_fp" ->
+      """SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split_regex(trim(text), '\s+'),
+                 t -> CAST(('0x' || substr(md5(t), 1, 7)) AS BIGINT))),
+             (acc, v) -> (acc * 31 + v) % 2147483647) AS rolling_fp
+         FROM documents ORDER BY doc_id""",
+    "q_llm_minhash_neardup" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000 AS doc_id, text || ' appended marker token' AS text
+           FROM documents WHERE doc_id < 30),
+         tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM corpus),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(t) - 2 <= 0 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                              i -> array_to_string(t[i:i+2], ' '))) END AS s
+                FROM tk),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  floor(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                        / len(list_distinct(a.s || b.s)) * 10000 + 0.5) / 10000 AS jaccard
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(a.s) >= 0.4999 * len(b.s) AND len(b.s) >= 0.4999 * len(a.s))
+         SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+         ORDER BY id_a, id_b""",
     "q_llm_ngram_jaccard" ->
       """WITH g AS (
            SELECT doc_id, list_distinct(list_transform(

@@ -95,6 +95,17 @@ class LlmOpsSpec extends SparkSpecBase {
     val Seq(fwd, rev) = Seq("one two three", "three two one").toDF("v")
       .select(TextAnalysis.rollingHash(col("v"))).collect().map(_.getLong(0)).toSeq
     assert(fwd != rev)
+    // portable mode: same fold with md5-prefix token hashes mod 2^31-1,
+    // bit-identical to its Column-API reference formulation
+    def portableLambda(text: org.apache.spark.sql.Column) =
+      aggregate(TextAnalysis.tokens(text), lit(0L),
+        (acc, t) => pmod(acc * 31L +
+          conv(substring(md5(t), 1, 7), 16, 10).cast("long"), lit(2147483647L)))
+    val pout = inputs.toDF("v").select(
+        TextAnalysis.rollingHashPortable(col("v")).as("native"),
+        portableLambda(col("v")).as("lambda"))
+      .collect()
+    pout.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
   test("hash split is deterministic and near the requested fraction") {
