@@ -160,23 +160,23 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
-      val nbr = sym.join(labels.select(col("id").as("dst"),
-          col("component").as("_nbrComp")), "dst")
+      // Pointer jumping WITHOUT a separate label self-join: labels are node
+      // ids, so augmenting the edge list with each node's label edge
+      // (u → label(u)) makes the single neighbor-min aggregation deliver
+      // both the neighbors' labels AND the label-of-label — the round
+      // collapses from three joins to one join + one aggregate, and label
+      // distance still roughly doubles per round → O(log diameter) rounds.
+      // The fixpoint is unchanged (monotone min over component members).
+      val withLabelEdges = sym.unionByName(
+        labels.select(col("id").as("src"), col("component").as("dst")))
+      val nbr = withLabelEdges.join(
+          labels.select(col("id").as("dst"), col("component").as("_nbrComp")),
+          "dst")
         .groupBy(col("src").as("id")).agg(min("_nbrComp").as("_nbrMin"))
-      val prop = labels.join(nbr, Seq("id"), "left")
+      val next = labels.join(nbr, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("_nbrMin"), col("component")))
             .as("component"), col("component").as("_prev"))
-      // Pointer jump: also adopt the label OF the current label (labels are
-      // node ids, so it is a self-join on the label relation). Propagation
-      // alone needs diameter rounds on a path; with jumping the label
-      // distance roughly doubles per round → O(log diameter) rounds.
-      val next = prop.as("a").join(
-          prop.select(col("id").as("_lid"), col("component").as("_lcomp")),
-          col("a.component") === col("_lid"), "left")
-        .select(col("a.id").as("id"),
-          least(col("a.component"), coalesce(col("_lcomp"), col("a.component")))
-            .as("component"), col("a._prev").as("_prev"))
         .localCheckpoint()
       // Convergence check is a filter over the just-checkpointed rows (the
       // previous label rode along), not another join.

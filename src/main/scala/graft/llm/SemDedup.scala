@@ -46,23 +46,39 @@ object SemDedup {
     // clusterer tolerates loose convergence, not a broken partition.
     val assigned = Ivf.build(corpus, embCol, idCol, k, seed, maxIter).assigned
     val planes = Similarity.hyperplanes(8, dim)
+    // Per-row norm computed ONCE here (N sqrt-sums), not per pair (P >> N
+    // after the self-join) — the pair kernel below is then a pure dot
+    // product. Persisted: three consumers below (both self-join sides +
+    // the chain branch) would otherwise each re-run the k-means transform
+    // and both count windows.
+    def normOf(c: org.apache.spark.sql.Column) = sqrt((0 until dim).map { i =>
+      val x = element_at(c, i + 1).cast("double"); x * x
+    }.reduce(_ + _))
     val subKeyed = assigned
       .withColumn("_cn", count(lit(1)).over(Window.partitionBy("_cluster")))
       .withColumn("_sub", when(col("_cn") <= maxCluster, lit(0L))
         .otherwise(Similarity.lshBucket(col(embCol), planes)))
       .withColumn("_sn",
         count(lit(1)).over(Window.partitionBy("_cluster", "_sub")))
-    val cos = (ea: org.apache.spark.sql.Column, eb: org.apache.spark.sql.Column) =>
-      Similarity.cosineUnrolled(ea, eb, dim)
+      .withColumn("_norm", normOf(col(embCol)))
+      .drop("_cn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def cos(ea: org.apache.spark.sql.Column, eb: org.apache.spark.sql.Column,
+            na: org.apache.spark.sql.Column, nb: org.apache.spark.sql.Column) = {
+      val dot = (0 until dim).map(i =>
+        element_at(ea, i + 1).cast("double") *
+          element_at(eb, i + 1).cast("double")).reduce(_ + _)
+      when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
+    }
 
     val small = subKeyed.filter(col("_sn") <= maxCluster)
     val a = small.select(col("_cluster"), col("_sub"),
-      col(idCol).as("id_a"), col(embCol).as("_ea"))
+      col(idCol).as("id_a"), col(embCol).as("_ea"), col("_norm").as("_na"))
     val b = small.select(col("_cluster"), col("_sub"),
-      col(idCol).as("id_b"), col(embCol).as("_eb"))
+      col(idCol).as("id_b"), col(embCol).as("_eb"), col("_norm").as("_nb"))
     val allPairs = a.join(b, Seq("_cluster", "_sub"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cos(col("_ea"), col("_eb")))
+      .withColumn("cos", cos(col("_ea"), col("_eb"), col("_na"), col("_nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
 
@@ -70,8 +86,10 @@ object SemDedup {
     val chainPairs = subKeyed.filter(col("_sn") > maxCluster)
       .withColumn("_nid", lead(col(idCol), 1).over(chainOrd))
       .withColumn("_nemb", lead(col(embCol), 1).over(chainOrd))
+      .withColumn("_nnorm", lead(col("_norm"), 1).over(chainOrd))
       .filter(col("_nid").isNotNull)
-      .withColumn("cos", cos(col(embCol), col("_nemb")))
+      .withColumn("cos",
+        cos(col(embCol), col("_nemb"), col("_norm"), col("_nnorm")))
       .filter(col("cos") >= threshold)
       .select(col(idCol).as("id_a"), col("_nid").as("id_b"), col("cos"))
 
