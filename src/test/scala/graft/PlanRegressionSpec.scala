@@ -103,4 +103,35 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"),
       "the corpus must not shuffle to meet the benchmark grams")
   }
+
+  test("native expressions stay inside WholeStageCodegen, never fall back") {
+    // Each custom Catalyst expression must appear inside a codegen'd span
+    // (executedPlan.toString marks those operators with '*'); a future
+    // change that drops one to interpreted eval (CodegenFallback) or out
+    // of whole-stage codegen turns the hot path into per-row reflection
+    // and MUST fail here. The queries chosen exercise every native
+    // expression: word_ngrams (ngram_jaccard), rolling_hash64 portable
+    // (rolling_fp), top_ngram_chars (top_ngram), nfc_normalize (nfc),
+    // bloom_any_contain (bloom_decon), pq_encode (ann_pq).
+    val targets = Seq(
+      "q_llm_ngram_jaccard" -> "word_ngrams",
+      "q_llm_rolling_fp" -> "rolling_hash64",
+      "q_llm_top_ngram" -> "top_ngram_chars",
+      "q_llm_nfc" -> "nfc_normalize",
+      "q_llm_bloom_decon" -> "bloom_any_contain",
+      "q_llm_ann_pq" -> "pq_encode")
+    targets.foreach { case (query, exprName) =>
+      graft.queries.Registry.configure(spark)
+      val df = SparkEntry.queries(query)(spark, sfDir)
+      df.collect() // finalize the AQE plan so codegen spans are annotated
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CodegenFallback"),
+        s"$query: $exprName fell back to interpreted eval")
+      val inCodegenSpan = p.linesIterator.exists(l =>
+        l.contains(exprName) && l.trim.stripPrefix("+- ").stripPrefix(":- ")
+          .startsWith("*("))
+      assert(inCodegenSpan,
+        s"$query: no codegen'd operator contains $exprName; plan:\n$p")
+    }
+  }
 }
