@@ -179,6 +179,36 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(top.nonEmpty && top(0).getLong(0) == 0L && top(0).getDouble(1) == 1.0)
   }
 
+  test("cosine near-dup finds exactly the planted scaled copies") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val base = (0 until 30).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    // planted near-identical copies: same direction, scaled — cosine ≈ 1
+    val planted = base.take(10).map { case (id, v) =>
+      (id + 1000L, v.map(x => x * 1.001f)) }
+    val corpus = (base ++ planted).toDF("vec_id", "embedding")
+    val got = graft.llm.Similarity.cosineNearDuplicates(
+        corpus, "embedding", "vec_id", threshold = 0.999, dim = 8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 10L).map(i => (i, i + 1000L)).toSet
+    assert(got == expected,
+      s"missing=${expected.diff(got)} extra=${got.diff(expected)}")
+  }
+
+  test("simhash near-dup pairs the planted duplicate, skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog while rain " +
+      "falls gently on the quiet town and lights flicker in the distance"
+    val d = docs((1L, base), (2L, base),
+      (3L, "entirely unrelated content about spacecraft navigation systems " +
+        "and orbital mechanics calculations for deep space missions"))
+    val got = Dedup.simhashNearDuplicates(d, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)), s"got $got")
+  }
+
   test("langid picks the language with most stopword hits; und for none") {
     val r = docs(
       (1L, "the cat and the dog is in a house"),

@@ -15,9 +15,9 @@ class RegistrySpec extends AnyFunSuite {
 
   test("registry size and oracle coverage match COVERAGE.md") {
     assert(SparkEntry.queries.size == 109)
-    assert(SparkEntry.oracleSql.size == 97)
+    assert(SparkEntry.oracleSql.size == 101)
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
-    assert(rowsOnly.size == 12, s"rows-only set drifted: $rowsOnly")
+    assert(rowsOnly.size == 8, s"rows-only set drifted: $rowsOnly")
   }
 
   test("query names are unique after bench key compaction") {
