@@ -204,6 +204,42 @@ object Dedup {
           org.apache.spark.sql.expressions.Window.partitionBy("component")))
   }
 
+  /** Sub-document SPAN dedup (the C4 / RefinedWeb pattern at token-span
+    * granularity): cut every document into consecutive `spanTokens`-token
+    * spans, keep only each span's FIRST occurrence corpus-wide (ordered by
+    * doc id, then position), and reassemble what survives. This removes
+    * repeated boilerplate passages that whole-document dedup cannot see —
+    * two different pages sharing a copied paragraph keep one copy of it.
+    *
+    * Scale shape: one shuffle by span content for the first-occurrence
+    * window (rank-limit filter, so WindowGroupLimit prunes duplicate spans
+    * BEFORE the exchange — the hot-span/boilerplate key never ships more
+    * than its per-partition firsts), then one shuffle back by doc id for
+    * reassembly. Nothing quadratic, no driver state.
+    *
+    * Returns (idCol, n_spans_kept, dedup_text). A document whose every
+    * span already appeared elsewhere disappears (zero spans kept), which
+    * subsumes exact-duplicate removal. */
+  def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
+                 spanTokens: Int = 10): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    // At least one span even for short/empty docs (the whole token list).
+    val nSpans = greatest(
+      ceil(size(toks).cast("double") / spanTokens).cast("int"), lit(1))
+    val spans = docs.select(col(idCol).as("_id"),
+      posexplode(transform(sequence(lit(0), nSpans - 1),
+        i => array_join(slice(toks, i * spanTokens + 1, lit(spanTokens)), " ")))
+        .as(Seq("span_idx", "span")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("span").orderBy(col("_id"), col("span_idx"))
+    spans.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .groupBy(col("_id").as(idCol))
+      .agg(count(lit(1)).as("n_spans_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("span_idx"), col("span")))),
+            s => s.getField("span")), " ").as("dedup_text"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: per bit, sum ±1 weighted by
     * token-hash bit; sign → fingerprint bit. Near-dups = fingerprints equal
     * in some 16-bit band (Hamming-distance blocking), verified by popcount.

@@ -1,0 +1,74 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Statistical language-model quality scoring (the CCNet idea: rank
+  * documents by how well a simple LM trained on trusted text predicts
+  * them; low average log-probability ≈ gibberish / boilerplate / OCR
+  * noise). Here the LM is an add-one-smoothed token-bigram model — small
+  * enough to broadcast, rich enough to separate fluent from degenerate
+  * text — trained relationally and applied as one broadcast join.
+  *
+  * Scale shape: training is two explode → partial/final count aggregates
+  * (one shuffle each, keyed by gram — balanced by vocabulary cardinality);
+  * the model relations are vocabulary-sized (≪ corpus) and broadcast to
+  * the scorer, so SCORING never shuffles the corpus: explode → broadcast
+  * join → per-doc aggregate on the doc id the rows already carry. At
+  * 100 TB you train on a hash-sampled or trusted subset (CCNet uses
+  * Wikipedia) and score everything; the seams here are exactly that —
+  * `fit` takes whatever relation you hand it.
+  *
+  * Determinism: per-bigram log-probs are rounded to 8 decimals and summed
+  * as DECIMAL(28,8) — order-independent, so the score is bit-identical
+  * across partitionings AND replayable by an external SQL engine. */
+object NgramLm {
+
+  /** Trained model: bigram counts, unigram (context) counts, |vocabulary|.
+    * Both relations stay distributed until the scorer broadcasts them. */
+  final case class Model(bigrams: DataFrame, unigrams: DataFrame, vocabSize: Long)
+
+  /** Count bigrams/unigrams over the training relation. Documents with a
+    * single token contribute their token as its own "bigram" (the
+    * WordNGrams fewer-than-n contract), matching the scorer's gram
+    * construction so such docs still hit the model. */
+  def fit(train: DataFrame, textCol: String): Model = {
+    val bigrams = train
+      .select(explode(TextAnalysis.wordGrams(col(textCol), 2)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("c2"))
+    val unigrams = train
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    Model(bigrams, unigrams, unigrams.count())
+  }
+
+  /** Average add-one-smoothed bigram log-probability per document:
+    * avg over bigrams (w1 w2) of ln((c2 + 1) / (c1(w1) + V)).
+    * Higher = more model-like text. Returns (idCol, n_bigrams, avg_logp)
+    * with avg_logp rounded to 6 decimals. */
+  def scoreAvgLogProb(docs: DataFrame, idCol: String, textCol: String,
+                      model: Model): DataFrame = {
+    val grams = docs.select(col(idCol).as("_id"),
+        explode(TextAnalysis.wordGrams(col(textCol), 2)).as("gram"))
+      .withColumn("_w1", split(col("gram"), " ").getItem(0))
+    val scored = grams
+      .join(broadcast(model.bigrams), Seq("gram"), "left")
+      .join(broadcast(model.unigrams.withColumnRenamed("tok", "_w1")),
+        Seq("_w1"), "left")
+      .withColumn("_logp",
+        // round each term, then DECIMAL-sum: FP addition order never
+        // reaches the result, so the score survives repartitioning and
+        // external replay
+        (floor(log((coalesce(col("c2"), lit(0L)) + 1.0) /
+          (coalesce(col("c1"), lit(0L)) + model.vocabSize.toDouble))
+          * 1e8 + 0.5) / 1e8).cast(DecimalType(28, 8)))
+    scored.groupBy(col("_id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        // exact decimal sum → double → divide: every step is the same IEEE
+        // operation in any engine (decimal/long division is NOT — scale
+        // rules differ)
+        (floor(sum(col("_logp")).cast("double") / count(lit(1)) * 1e6 + 0.5) / 1e6)
+          .as("avg_logp"))
+  }
+}

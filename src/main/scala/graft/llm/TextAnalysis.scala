@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines: language
@@ -202,6 +202,25 @@ object TextAnalysis {
     Bridge.column(graft.expressions.RollingHash64(
       Bridge.expression(tokens(text))))
   }
+
+  /** EVERY sliding word n-gram in order (multiplicity preserved) — the
+    * counting variant of [[Dedup.shingles]], backed by the same native
+    * codegen'd kernel. Fewer than n tokens → one gram of all tokens. */
+  def wordGrams(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.expressions.WordNGrams(
+      Bridge.expression(tokens(text)), n, keepDuplicates = true))
+  }
+
+  /** Corpus-wide top-k vocabulary: token (or n-gram) frequencies with a
+    * deterministic tie-break — the counting pass a BPE/vocab builder runs
+    * first. Partial-aggregates map-side, shuffles once on the gram, and
+    * top-k's via TakeOrderedAndProject (no global sort materialized). */
+  def topVocabulary(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    docs.select(explode(wordGrams(col(textCol), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("gram").asc)
+      .limit(k)
 
   /** Engine-portable rolling hash: same codegen'd fold with md5-prefix
     * token hashes and a 2^31-1 modulus, reproducible in DuckDB via

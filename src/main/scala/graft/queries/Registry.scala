@@ -1074,7 +1074,28 @@ object Registry {
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
-  /** Order-sensitive rolling-hash fingerprint (xxhash64-based → rows-only). */
+  /** C4-style sub-document span dedup: 10-token spans, first occurrence
+    * corpus-wide wins, documents reassembled from surviving spans. */
+  private def llmSpanDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupSpans(t(spark, dir, "documents"), "doc_id", "text",
+        spanTokens = 10)
+      .orderBy("doc_id")
+
+  /** Corpus-wide top-100 token vocabulary (the BPE/vocab-builder counting
+    * pass), deterministic (freq desc, gram asc) tie-break. */
+  private def llmVocab(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topVocabulary(t(spark, dir, "documents"), "text", n = 1, k = 100)
+
+  /** CCNet-style LM quality score: add-one-smoothed token-bigram model
+    * trained on the corpus, every document scored by average bigram
+    * log-probability through a broadcast-joined model. */
+  private def llmLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val model = graft.llm.NgramLm.fit(docs, "text")
+    graft.llm.NgramLm.scoreAvgLogProb(docs, "doc_id", "text", model)
+      .orderBy("doc_id")
+  }
+
   /** Order-sensitive rolling fingerprint in the PORTABLE variant
     * (md5-prefix token hash, 2^31-1 modulus) so DuckDB replays the exact
     * fold with list_reduce; the xxhash64 fast path stays covered by
@@ -1585,6 +1606,9 @@ object Registry {
     "q_llm_funnel" -> q(llmFunnel),
     "q_llm_tokens" -> q(llmTokens),
     "q_llm_fingerprint" -> q(llmFingerprint),
+    "q_llm_span_dedup" -> q(llmSpanDedup),
+    "q_llm_vocab" -> q(llmVocab),
+    "q_llm_lm_score" -> q(llmLmScore),
     "q_llm_rolling_fp" -> q(llmRollingFp),
     "q_llm_decontaminate" -> q(llmDecontaminate),
     "q_llm_bloom_decon" -> q(llmBloomDecon),
@@ -1915,6 +1939,56 @@ object Registry {
     // Jaccard on LSH candidates, and LSH recall is 1.0 on this corpus
     // (verified: 57 == 57 identical pairs); a missed borderline pair
     // would surface here as a hash mismatch, which is the point.
+    // C4-style span dedup replayed exactly: same 10-token spans, same
+    // (doc_id, span_idx) first-occurrence order, same reassembly.
+    "q_llm_span_dedup" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                     FROM documents),
+         sp AS (SELECT doc_id, t,
+                  unnest(range(0, greatest(CAST(ceil(len(t) / 10.0) AS INT), 1)))
+                    AS span_idx
+                FROM tk),
+         spans AS (SELECT doc_id, span_idx,
+                     array_to_string(t[(span_idx*10+1):(span_idx*10+10)], ' ') AS span
+                   FROM sp),
+         ranked AS (SELECT doc_id, span_idx, span,
+                      row_number() OVER (PARTITION BY span
+                        ORDER BY doc_id, span_idx) AS rn
+                    FROM spans)
+         SELECT doc_id, count(*) AS n_spans_kept,
+                string_agg(span, ' ' ORDER BY span_idx) AS dedup_text
+         FROM ranked WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
+    "q_llm_vocab" ->
+      """SELECT gram, count(*) AS freq
+         FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS gram
+               FROM documents)
+         GROUP BY gram ORDER BY freq DESC, gram LIMIT 100""",
+    // Same relational LM both sides: add-one-smoothed bigram log-probs,
+    // rounded per term then DECIMAL-summed so FP order never matters.
+    "q_llm_lm_score" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                     FROM documents),
+         g AS (SELECT doc_id,
+                 CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                      ELSE list_transform(range(1, len(t)),
+                             i -> t[i] || ' ' || t[i+1]) END AS grams
+               FROM tk),
+         dg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         big AS (SELECT gram, count(*) AS c2 FROM dg GROUP BY gram),
+         unic AS (SELECT tok, count(*) AS c1
+                  FROM (SELECT unnest(t) AS tok FROM tk) GROUP BY tok),
+         v AS (SELECT count(*) AS vs FROM unic),
+         terms AS (SELECT d.doc_id,
+                     floor(ln((COALESCE(b.c2, 0) + 1.0)
+                       / (COALESCE(u.c1, 0) + v.vs)) * 1e8 + 0.5) / 1e8 AS logp
+                   FROM dg d
+                   LEFT JOIN big b USING (gram)
+                   LEFT JOIN unic u ON string_split(d.gram, ' ')[1] = u.tok
+                   CROSS JOIN v)
+         SELECT doc_id, count(*) AS n_bigrams,
+                floor(CAST(SUM(CAST(logp AS DECIMAL(28,8))) AS DOUBLE)
+                  / count(*) * 1e6 + 0.5) / 1e6 AS avg_logp
+         FROM terms GROUP BY doc_id ORDER BY doc_id""",
     // Content-defined chunking with the portable md5-threshold boundary
     // (P(close) = 1/16 ⇔ md5 hex < '10000000'): DuckDB replays the exact
     // boundary rule, exclusive-prefix chunk ids, and per-doc stats.

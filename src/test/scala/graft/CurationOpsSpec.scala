@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, NgramLm, TextAnalysis}
+
+/** Round-6 corpus-curation additions: span-level dedup, vocabulary top-k,
+  * bigram-LM quality scoring. */
+class CurationOpsSpec extends SparkSpecBase {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("span dedup keeps first occurrence, reassembles, drops all-dup docs") {
+    // span size 3: doc 1 = [a b c][d e f]; doc 2 repeats [a b c] then has
+    // its own tail; doc 3 is doc 1 verbatim (every span a dup -> vanishes)
+    val d = docs(
+      (1L, "a b c d e f"),
+      (2L, "a b c x y z"),
+      (3L, "a b c d e f"))
+    val out = Dedup.dedupSpans(d, "doc_id", "text", spanTokens = 3)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out(0).getAs[String]("dedup_text") == "a b c d e f")
+    assert(out(0).getAs[Long]("n_spans_kept") == 2L)
+    assert(out(1).getAs[String]("dedup_text") == "x y z") // shared span removed
+    assert(out(1).getAs[Long]("n_spans_kept") == 1L)
+  }
+
+  test("span dedup: a trailing partial span is its own unit") {
+    val d = docs((1L, "a b c d"), (2L, "d")) // doc 1 tail span = [d]
+    val out = Dedup.dedupSpans(d, "doc_id", "text", spanTokens = 3)
+      .orderBy("doc_id").collect()
+    // doc 1 keeps both spans; doc 2's single span "d" already appeared
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(out(0).getAs[String]("dedup_text") == "a b c d")
+  }
+
+  test("vocabulary top-k counts multiplicity with deterministic ties") {
+    val d = docs((1L, "b a b c"), (2L, "a b"))
+    val out = TextAnalysis.topVocabulary(d, "text", n = 1, k = 2).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("b", 3L), ("a", 2L))) // ties broken gram-ascending
+  }
+
+  test("bigram LM scores a seen document higher than an unseen-word one") {
+    val train = docs((1L, "the cat sat"), (2L, "the cat ran"))
+    val model = NgramLm.fit(train, "text")
+    assert(model.vocabSize == 4) // the cat sat ran
+    val scored = NgramLm.scoreAvgLogProb(
+        docs((1L, "the cat sat"), (2L, "zz qq vv")), "doc_id", "text", model)
+      .orderBy("doc_id").collect()
+    val seen = scored(0).getAs[Double]("avg_logp")
+    val unseen = scored(1).getAs[Double]("avg_logp")
+    assert(seen > unseen)
+    // hand check doc 1: bigrams "the cat" (c2=2), "cat sat" (c2=1);
+    // contexts "the" c1=2, "cat" c1=2; V=4 ->
+    // avg(ln(3/6), ln(2/6)) rounded per-term to 8dp then to 6dp
+    def r8(x: Double) = math.floor(x * 1e8 + 0.5) / 1e8
+    val expected = math.floor(
+      (r8(math.log(3.0 / 6)) + r8(math.log(2.0 / 6))) / 2 * 1e6 + 0.5) / 1e6
+    assert(seen == expected, s"got $seen expected $expected")
+  }
+
+  test("bigram LM score is invariant to repartitioning (decimal sum)") {
+    val train = docs((1L, "w x y z w x"), (2L, "x y w z"))
+    val model = NgramLm.fit(train, "text")
+    val base = NgramLm.scoreAvgLogProb(train, "doc_id", "text", model)
+      .orderBy("doc_id").collect().map(_.getAs[Double]("avg_logp")).toSeq
+    val repart = NgramLm.scoreAvgLogProb(
+        train.repartition(7), "doc_id", "text", model)
+      .orderBy("doc_id").collect().map(_.getAs[Double]("avg_logp")).toSeq
+    assert(base == repart)
+  }
+}
