@@ -104,6 +104,26 @@ class PlanRegressionSpec extends SparkSpecBase {
       "the corpus must not shuffle to meet the benchmark grams")
   }
 
+  test("span dedup prunes duplicate spans before the content shuffle") {
+    val p = plan("q_llm_span_dedup")
+    assert(p.contains("WindowGroupLimit"),
+      "first-occurrence filter must rank-limit partial (hot boilerplate " +
+        "spans ship only per-partition firsts)")
+  }
+
+  test("vocab top-k never materializes a global sort") {
+    val p = plan("q_llm_vocab")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k plan; got:\n$p")
+  }
+
+  test("LM scoring broadcasts the model; the corpus never shuffle-joins") {
+    val p = plan("q_llm_lm_score")
+    assert(!p.contains("SortMergeJoin"),
+      "model relations are vocabulary-sized and must broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both model joins must broadcast; got:\n$p")
+  }
+
   test("native expressions stay inside WholeStageCodegen, never fall back") {
     // Each custom Catalyst expression must appear inside a codegen'd span
     // (executedPlan.toString marks those operators with '*'); a future
