@@ -101,6 +101,25 @@ object ScaleSmoke {
         .agg(max(col("seq_id"))).head.getLong(0) + 1)
     println(s"[scale] packed sequences: $seqs")
 
+    // Round-6 curation ops. Span dedup is the deliberate hot-key stress:
+    // every replica of a base doc shares ALL its interior 10-token spans,
+    // so each span value appears ~factor times corpus-wide — the
+    // WindowGroupLimit partial rank-limit is what keeps those hot span
+    // keys from shipping more than per-partition firsts to the shuffle.
+    val spanKept = timed("span dedup (10-token spans, first-wins)")(
+      Dedup.dedupSpans(big, "doc_id", "text", spanTokens = 10)
+        .agg(sum(col("n_spans_kept"))).head.getLong(0))
+    println(s"[scale] spans kept: $spanKept")
+
+    val vocab = timed("vocabulary top-100")(
+      graft.llm.TextAnalysis.topVocabulary(big, "text", n = 1, k = 100).count())
+    println(s"[scale] vocab rows: $vocab")
+
+    val lmModel = timed("bigram LM fit")(graft.llm.NgramLm.fit(big, "text"))
+    val lmScored = timed("bigram LM score (broadcast model)")(
+      graft.llm.NgramLm.scoreAvgLogProb(big, "doc_id", "text", lmModel).count())
+    println(s"[scale] LM-scored docs: $lmScored (V=${lmModel.vocabSize})")
+
     spark.stop()
   }
 }
