@@ -31,6 +31,11 @@ object Ivf {
             initMode: String = "k-means||"): Index = {
     val withVec = corpus.withColumn("_features",
       array_to_vector(col(embCol).cast("array<double>")))
+      // Cached for the duration of the fit: every k-means|| init pass and
+      // Lloyd's iteration is an action over this relation — uncached, each
+      // re-runs the scan + array→vector conversion (Spark ML itself warns
+      // about exactly this).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
       .setInitMode(initMode)
       .setFeaturesCol("_features")
@@ -38,6 +43,11 @@ object Ivf {
     val assigned = model.transform(withVec)
       .withColumnRenamed("prediction", "_cluster")
       .drop("_features")
+      // Materialize the assignment (KB per row: id, cluster, embedding)
+      // then release the feature cache — downstream consumers re-scan the
+      // assignment, not the fit input.
+      .localCheckpoint()
+    withVec.unpersist()
     Index(assigned, model.clusterCenters.map(_.toArray), embCol, idCol)
   }
 
