@@ -15,6 +15,33 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("copies"))
 
+  /** Incremental exact dedup — the production shape for a growing corpus:
+    * dedup a NEW batch against the batch itself (first-wins by id) and
+    * against the hashes of everything ALREADY ingested, without ever
+    * re-reading historical text. `seen` is a relation of content hashes
+    * (md5 hex, as [[exactDuplicateGroups]] computes them) — at 100 TB it
+    * is the compact per-ingest artifact you maintain instead of re-hashing
+    * history; here it joins as a LEFT SEMI probe (broadcast when small,
+    * hash-co-partitioned when not — Catalyst picks by size).
+    *
+    * Returns every batch row with `content_hash`,
+    * `is_batch_representative` (first occurrence within the batch) and
+    * `is_new` (hash absent from `seen`); the rows to ingest are
+    * `is_batch_representative AND is_new`. */
+  def incrementalExact(batch: DataFrame, idCol: String, textCol: String,
+                       seen: DataFrame, seenHashCol: String): DataFrame = {
+    val hashed = batch.withColumn("content_hash", md5(col(textCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("content_hash").orderBy(col(idCol))
+    val seenSet = seen.select(col(seenHashCol).as("_seen_hash")).distinct()
+    hashed
+      .withColumn("is_batch_representative",
+        row_number().over(w) === 1)
+      .join(seenSet, col("content_hash") === col("_seen_hash"), "left")
+      .withColumn("is_new", col("_seen_hash").isNull)
+      .drop("_seen_hash")
+  }
+
   /** Word n-gram shingle set (distinct), the unit of Jaccard similarity.
     * Backed by the native codegen'd [[graft.expressions.WordNGrams]]
     * kernel; [[shinglesColumnApi]] keeps the original higher-order-function

@@ -1074,6 +1074,20 @@ object Registry {
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** Incremental exact dedup: docs with doc_id % 3 == 0 play the already-
+    * ingested corpus (only their hashes are consulted); the rest arrive as
+    * the new batch and are flagged within-batch-first and new-vs-history. */
+  private def llmIncrDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val seen = docs.filter(col("doc_id") % 3 === 0)
+      .select(md5(col("text")).as("content_hash"))
+    Dedup.incrementalExact(docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", seen, "content_hash")
+      .select(col("doc_id"), col("content_hash"),
+        col("is_batch_representative"), col("is_new"))
+      .orderBy("doc_id")
+  }
+
   /** C4-style sub-document span dedup: 10-token spans, first occurrence
     * corpus-wide wins, documents reassembled from surviving spans. */
   private def llmSpanDedup(spark: SparkSession, dir: String): DataFrame =
@@ -1607,6 +1621,7 @@ object Registry {
     "q_llm_tokens" -> q(llmTokens),
     "q_llm_fingerprint" -> q(llmFingerprint),
     "q_llm_span_dedup" -> q(llmSpanDedup),
+    "q_llm_incr_dedup" -> q(llmIncrDedup),
     "q_llm_vocab" -> q(llmVocab),
     "q_llm_lm_score" -> q(llmLmScore),
     "q_llm_rolling_fp" -> q(llmRollingFp),
@@ -1939,6 +1954,17 @@ object Registry {
     // Jaccard on LSH candidates, and LSH recall is 1.0 on this corpus
     // (verified: 57 == 57 identical pairs); a missed borderline pair
     // would surface here as a hash mismatch, which is the point.
+    "q_llm_incr_dedup" ->
+      """WITH seen AS (SELECT DISTINCT md5(text) AS h FROM documents
+                       WHERE doc_id % 3 = 0),
+         batch AS (SELECT doc_id, md5(text) AS content_hash FROM documents
+                   WHERE doc_id % 3 <> 0)
+         SELECT b.doc_id, b.content_hash,
+                row_number() OVER (PARTITION BY b.content_hash
+                  ORDER BY b.doc_id) = 1 AS is_batch_representative,
+                s.h IS NULL AS is_new
+         FROM batch b LEFT JOIN seen s ON b.content_hash = s.h
+         ORDER BY b.doc_id""",
     // C4-style span dedup replayed exactly: same 10-token spans, same
     // (doc_id, span_idx) first-occurrence order, same reassembly.
     "q_llm_span_dedup" ->

@@ -38,6 +38,25 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(out(0).getAs[String]("dedup_text") == "a b c d")
   }
 
+  test("incremental dedup: batch-first and new-vs-history flags") {
+    import spark.implicits._
+    val batch = docs(
+      (10L, "alpha beta"), (11L, "alpha beta"), // in-batch dup
+      (12L, "seen before"),                     // historical dup
+      (13L, "brand new"))
+    val seen = Seq("seen before", "other old").toDF("t")
+      .select(md5(col("t")).as("h"))
+    val out = Dedup.incrementalExact(batch, "doc_id", "text", seen, "h")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Boolean]("is_batch_representative"),
+        r.getAs[Boolean]("is_new")))
+    assert(out.toSeq == Seq(
+      (10L, true, true), (11L, false, true),
+      (12L, true, false), (13L, true, true)))
+    // the ingest set = representative AND new
+    assert(out.filter(r => r._2 && r._3).map(_._1).toSeq == Seq(10L, 13L))
+  }
+
   test("vocabulary top-k counts multiplicity with deterministic ties") {
     val d = docs((1L, "b a b c"), (2L, "a b"))
     val out = TextAnalysis.topVocabulary(d, "text", n = 1, k = 2).collect()
