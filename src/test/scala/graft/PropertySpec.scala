@@ -150,4 +150,56 @@ class PropertySpec extends SparkSpecBase {
       assert(r.getString(0) == r.getString(2))
     }
   }
+
+  test("span dedup: every surviving span value is globally unique, kept " +
+      "text is a subsequence of the original") {
+    import spark.implicits._
+    // random word soup with heavy cross-doc repetition (tiny vocabulary)
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val doc = Gen.listOfN(17, word).map(_.mkString(" "))
+    val corpus = sample(doc, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = graft.llm.Dedup.dedupSpans(corpus, "doc_id", "text", spanTokens = 4)
+    val kept = out.collect().map(r =>
+      r.getLong(0) -> r.getAs[String]("dedup_text")).toMap
+    // contract 1: re-spanning the SURVIVORS yields all-distinct spans
+    // (first-occurrence-wins means no span value can survive twice)
+    val allSpans = kept.values.flatMap(_.split(" ").grouped(4).map(_.mkString(" "))).toSeq
+    // regrouping survivors shifts boundaries, so check the operator's own
+    // accounting instead: total kept spans == distinct spans kept
+    val spanRows = out.agg(sum(col("n_spans_kept"))).head.getLong(0)
+    val originalSpans = corpus.collect().flatMap(
+      _.getString(1).split(" ").grouped(4).map(_.mkString(" ")))
+    assert(spanRows == originalSpans.distinct.length.toLong,
+      s"kept $spanRows spans but corpus has ${originalSpans.distinct.length} distinct")
+    // contract 2: each doc's kept text is a subsequence of its original spans
+    val originals = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    kept.foreach { case (id, text) =>
+      val origSpans = originals(id).split(" ").grouped(4).map(_.mkString(" ")).toSeq
+      val keptTokens = text.split(" ").toSeq
+      // kept text = concatenation of a subset of original spans, in order
+      var rest = keptTokens
+      origSpans.foreach { sp =>
+        val spToks = sp.split(" ").toSeq
+        if (rest.startsWith(spToks)) rest = rest.drop(spToks.length)
+      }
+      assert(rest.isEmpty, s"doc $id kept text is not an ordered span subset")
+    }
+    assert(allSpans.nonEmpty)
+  }
+
+  test("bigram LM: every score is strictly negative and total over input") {
+    import spark.implicits._
+    val word = Gen.oneOf("x", "y", "zz", "w w", "", "  ")
+    val doc = Gen.listOfN(6, word).map(_.mkString(" "))
+    val corpus = sample(doc, 40).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val model = graft.llm.NgramLm.fit(corpus, "text")
+    val out = graft.llm.NgramLm.scoreAvgLogProb(corpus, "doc_id", "text", model)
+      .collect()
+    assert(out.length == 40) // total: no doc dropped, nothing throws
+    // c2 <= c1(context) always, so (c2+1)/(c1+V) < 1 whenever V >= 2
+    if (model.vocabSize >= 2)
+      out.foreach(r => assert(r.getAs[Double]("avg_logp") < 0.0))
+  }
 }
