@@ -34,6 +34,39 @@ object Index {
     df.join(limited, Seq("term"))
   }
 
+  /** Top-k terms per document by Okapi BM25 (Lucene's non-negative idf
+    * variant: ln(1 + (N − df + 0.5)/(df + 0.5))), the retrieval-grade
+    * upgrade of [[tfIdfTopTerms]] with tf saturation (k1) and document-
+    * length normalization (b). Scores round half-up to 4 decimals for
+    * cross-engine hash comparison; ties break on the term.
+    *
+    * Plan shape matches tfIdfTopTerms — one token explode feeding three
+    * partial-aggregated groupBys (tf by doc+term, dl by doc, df by term),
+    * the corpus stats (N, avgdl) as a broadcast single-row aggregate, and
+    * the per-doc top-k as a rank-limit window that WindowGroupLimit prunes
+    * before the shuffle. The df join stays AQE-sized (vocabulary is
+    * corpus-dependent). Nothing here holds more than one doc's terms in
+    * memory at a time, so the shape survives a 100 TB corpus. */
+  def bm25TopTerms(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = docs.select(col(idCol).as("_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy("_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy("_id").agg(count(lit(1)).as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("_nd"), avg(col("dl")).as("_avgdl"))
+    val idf = log(lit(1.0) + (col("_nd") - col("df") + 0.5) / (col("df") + 0.5))
+    val norm = col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("_avgdl"))
+    val scored = tf.join(dl, "_id").join(df, Seq("term")).crossJoin(broadcast(stats))
+      .withColumn("bm25",
+        Similarity.roundHalfUp(idf * (col("tf") * lit(k1 + 1)) / norm, 4))
+    scored
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("_id").orderBy(col("bm25").desc, col("term"))))
+      .filter(col("_rn") <= k)
+      .select(col("_id").as(idCol), col("term"), col("tf"), col("bm25"))
+  }
+
   /** Top-k terms per document by TF-IDF (tf · ln(N/df)), the classic
     * relevance weighting. Scores are rounded half-up to 4 decimals so they
     * hash-compare across engines; ties break on the term itself.

@@ -1228,6 +1228,12 @@ object Registry {
     Index.tfIdfTopTerms(t(spark, dir, "documents"), "doc_id", "text", k = 3)
       .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
 
+  /** Top-3 BM25 terms per document (k1 = 1.2, b = 0.75, Lucene idf;
+    * 4-decimal rounded scores, term tie-break). */
+  private def llmBm25(spark: SparkSession, dir: String): DataFrame =
+    Index.bm25TopTerms(t(spark, dir, "documents"), "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("bm25").desc, col("term"))
+
   /** Concat-then-chop sequence packing at 128 tokens: global offsets via
     * the two-pass bucketed prefix sum (bucketSize deliberately smaller than
     * the corpus so the multi-bucket path is what's exercised). */
@@ -1629,6 +1635,7 @@ object Registry {
     "q_llm_bloom_decon" -> q(llmBloomDecon),
     "q_llm_postings" -> q(llmPostings),
     "q_llm_tfidf" -> q(llmTfIdf),
+    "q_llm_bm25" -> q(llmBm25),
     "q_llm_pack" -> q(llmPack),
     "q_llm_cdc_chunks" -> q(llmCdcChunks),
     "q_llm_quality_gate" -> q(llmQualityGate),
@@ -2114,6 +2121,24 @@ object Registry {
          QUALIFY row_number() OVER (PARTITION BY doc_id
                                     ORDER BY tfidf DESC, term) <= 3
          ORDER BY doc_id, tfidf DESC, term""",
+    "q_llm_bm25" ->
+      """WITH tk AS (SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS term
+                     FROM documents),
+           tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+           dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+           df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           st AS (SELECT CAST(count(*) AS DOUBLE) AS nd, avg(dl) AS avgdl FROM dl),
+           s AS (SELECT tf.doc_id, tf.term, tf.tf,
+                   floor(ln(1.0 + (nd - df + 0.5) / (df + 0.5))
+                         * (tf.tf * 2.2)
+                         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+                         * 10000 + 0.5) / 10000 AS bm25
+                 FROM tf JOIN dl USING (doc_id) JOIN df USING (term), st)
+         SELECT doc_id, term, tf, bm25 FROM s
+         QUALIFY row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY bm25 DESC, term) <= 3
+         ORDER BY doc_id, bm25 DESC, term""",
     "q_llm_pack" ->
       """WITH tk AS (SELECT doc_id,
                        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)

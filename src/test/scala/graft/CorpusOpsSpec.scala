@@ -102,6 +102,38 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(top.length == 1 && top.head.getString(1) == "alpha")
   }
 
+  // ------------------------------------------------------------------ bm25
+
+  test("bm25 matches hand computation: idf floor, tf saturation, dl norm") {
+    // 4 docs; "rare" only in doc 1 (tf 2, dl 3); "common" in all 4 docs.
+    val d = docs(
+      (1L, "rare rare common"), (2L, "common common alpha"),
+      (3L, "common beta beta"), (4L, "common gamma"))
+    val out = Index.bm25TopTerms(d, "doc_id", "text", k = 2)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val avgdl = (3.0 + 3.0 + 3.0 + 2.0) / 4.0
+    def score(tf: Long, df: Long, dl: Long): Double = {
+      val idf = math.log(1.0 + (4.0 - df + 0.5) / (df + 0.5))
+      val raw = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      math.floor(raw * 1e4 + 0.5) / 1e4
+    }
+    assert(rows((1L, "rare")) == ((2L, score(2, 1, 3))))
+    // Lucene idf never goes negative — "common" (df = N) still scores > 0.
+    assert(rows((4L, "common"))._2 == score(1, 4, 2))
+    assert(rows((4L, "common"))._2 > 0.0)
+    assert(out.groupBy("doc_id").count().collect().forall(_.getLong(1) <= 2))
+  }
+
+  test("bm25 ranks the rarer term above the saturated common term") {
+    val d = docs(
+      (1L, "needle common common common common"),
+      (2L, "common common"), (3L, "common"), (4L, "common"))
+    val top = Index.bm25TopTerms(d, "doc_id", "text", k = 1)
+      .filter(col("doc_id") === 1).collect()
+    assert(top.length == 1 && top.head.getString(1) == "needle")
+  }
+
   // ---------------------------------------------------------------- packing
 
   test("packing offsets are exact cumulative sums and bucket-invariant") {
