@@ -1324,6 +1324,36 @@ object Registry {
       .orderBy("media_id")
   }
 
+  /** Per-doc WAV payload for the audio queries: `50 + doc_id mod 100`
+    * unsigned-8-bit samples at 8 kHz, sample(i) = (i + doc_id) mod 256 —
+    * deterministic, so DuckDB can verify decode output arithmetically. */
+  private def wavFiles(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        (col("doc_id") % 100 + 50).cast("int").as("n"))
+      .as[(Long, Int)]
+      .map { case (id, n) =>
+        Multimodal.MediaFile(id, "audio", Multimodal.encodeWav(n, 8000, id)) }
+  }
+
+  /** Pure-Column RIFF/WAVE header parse (no decode, no UDF): sample rate,
+    * channels, bits, data length, duration — the metadata-only scan shape
+    * for 100 TB of audio. */
+  private def mmWavMeta(spark: SparkSession, dir: String): DataFrame =
+    wavFiles(spark, dir).toDF()
+      .select(col("media_id"), Multimodal.wavMeta(col("payload")).as("m"))
+      .select(col("media_id"), col("m.sample_rate"), col("m.channels"),
+        col("m.bits"), col("m.data_len"), col("m.duration_ms"))
+      .orderBy("media_id")
+
+  /** Typed Dataset decode through the REAL javax.sound.sampled kernel —
+    * the audio twin of [[mmDecode]]: true rate/channels/frame-count plus
+    * the unsigned sample sum, verified arithmetically by the oracle. */
+  private def mmAudioDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAudioFiles(wavFiles(spark, dir)).toDF()
+      .orderBy("media_id")
+
   /** JSONB-analogue handling (reference ingestion_logs.details JSONB,
     * init_db.py:149): extract a typed field from a JSON string column and
     * aggregate on it. */
@@ -1643,6 +1673,8 @@ object Registry {
     "q_e_sessions" -> q(eSessions),
     "q_mm_meta" -> q(mmMeta),
     "q_mm_decode" -> q(mmDecode),
+    "q_mm_wav_meta" -> q(mmWavMeta),
+    "q_mm_audio_decode" -> q(mmAudioDecode),
     "q_p6_status_filter" -> q(p6StatusFilter),
     "q_o2_latest_effective" -> q(o2LatestEffective),
     "q_o4_presentation_sort" -> q(o4PresentationSort),
@@ -2516,6 +2548,25 @@ object Registry {
          FROM documents d
          JOIN range(0, 192) AS s(i)
            ON s.i < (1 + d.doc_id % 16) * (1 + d.doc_id % 12)
+         GROUP BY d.doc_id ORDER BY media_id""",
+    // The engine writes a real canonical PCM WAV per doc (n = 50 + id%100
+    // 8-bit samples at 8 kHz, sample(i) = (i + id) mod 256); the header
+    // parse and the javax.sound decode are both verified arithmetically.
+    "q_mm_wav_meta" ->
+      """SELECT doc_id AS media_id,
+           CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+           CAST(8 AS INT) AS bits,
+           CAST(50 + doc_id % 100 AS BIGINT) AS data_len,
+           CAST(floor((50 + doc_id % 100) * 1000.0 / 8000) AS BIGINT)
+             AS duration_ms
+         FROM documents ORDER BY media_id""",
+    "q_mm_audio_decode" ->
+      """SELECT d.doc_id AS media_id,
+           CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+           CAST(50 + d.doc_id % 100 AS BIGINT) AS n_samples,
+           CAST(SUM((s.i + d.doc_id) % 256) AS BIGINT) AS sample_sum
+         FROM documents d
+         JOIN range(0, 150) AS s(i) ON s.i < 50 + d.doc_id % 100
          GROUP BY d.doc_id ORDER BY media_id""",
     "q_p6_status_filter" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

@@ -67,6 +67,45 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out.head.feature_hash == (0 until 12).map(i => (i + 1) % 256).sum)
   }
 
+  test("encodeWav -> decodeAudio roundtrips rate, channels, frames, sum") {
+    // 6 samples at 8 kHz, seed 5: samples (i + 5) mod 256 for i in 0..5
+    val wav = Multimodal.encodeWav(6, 8000, 5L)
+    assert(wav.length == 44 + 6)
+    val Some((rate, ch, frames, sum)) = Multimodal.decodeAudio(wav)
+    assert(rate == 8000 && ch == 1 && frames == 6L)
+    assert(sum == (0 until 6).map(i => (i + 5) % 256).sum)
+    // wrap-around: seed near 256 exercises the mod
+    val Some((_, _, _, sum2)) = Multimodal.decodeAudio(Multimodal.encodeWav(4, 8000, 254L))
+    assert(sum2 == Seq(254, 255, 0, 1).sum)
+    // non-audio payloads are None, not errors
+    assert(Multimodal.decodeAudio("not audio".getBytes).isEmpty)
+  }
+
+  test("decodeAudioFiles drops undecodable payloads, keeps real audio") {
+    import spark.implicits._
+    val files = Seq(
+      Multimodal.MediaFile(1L, "audio", Multimodal.encodeWav(10, 16000, 3L)),
+      Multimodal.MediaFile(2L, "audio", "static noise".getBytes),
+      Multimodal.MediaFile(3L, "audio", null)).toDS()
+    val out = Multimodal.decodeAudioFiles(files).collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq == Seq(1L))
+    assert(out.head.sample_rate == 16000 && out.head.channels == 1 &&
+      out.head.n_samples == 10L)
+    assert(out.head.sample_sum == (0 until 10).map(i => (i + 3) % 256).sum)
+  }
+
+  test("wavMeta reads the same header fields the JDK decoder reports") {
+    val wav = Multimodal.encodeWav(4000, 8000, 0L)
+    val out = binDf((1L, wav), (2L, pngHeader), (3L, null))
+      .select(col("id"), Multimodal.wavMeta(col("payload")).as("m"))
+      .orderBy("id").collect()
+    val m = out(0).getStruct(1)
+    assert(m.getInt(0) == 8000 && m.getInt(1) == 1 && m.getInt(2) == 8)
+    assert(m.getLong(3) == 4000L)      // data_len
+    assert(m.getLong(4) == 500L)       // 4000 B / 8000 B·s⁻¹ = 500 ms
+    assert(out(1).isNullAt(1) && out(2).isNullAt(1))
+  }
+
   test("sniffFormat dispatches by magic bytes") {
     val out = binDf((1L, pngHeader), (2L, jpegHeader), (3L, wavHeader),
         (4L, "plain text".getBytes))
