@@ -253,18 +253,44 @@ object Dedup {
     // At least one span even for short/empty docs (the whole token list).
     val nSpans = greatest(
       ceil(size(toks).cast("double") / spanTokens).cast("int"), lit(1))
-    val spans = docs.select(col(idCol).as("_id"),
-      posexplode(transform(sequence(lit(0), nSpans - 1),
-        i => array_join(slice(toks, i * spanTokens + 1, lit(spanTokens)), " ")))
-        .as(Seq("span_idx", "span")))
+    val spans = transform(sequence(lit(0), nSpans - 1),
+      i => array_join(slice(toks, i * spanTokens + 1, lit(spanTokens)), " "))
+    dedupUnits(docs, idCol, spans, joinWith = " ")
+  }
+
+  /** CCNet-style line-level dedup: the deduplication unit is the newline-
+    * separated line (the "paragraph" of web text), kept only at its first
+    * corpus-wide occurrence (by doc id, then position) and reassembled.
+    * This is the pass that strips cross-site boilerplate (cookie banners,
+    * nav footers) which neither whole-document nor fixed-token-span dedup
+    * targets directly. Same two-shuffle scale shape as [[dedupSpans]].
+    *
+    * Returns (idCol, n_lines_kept, dedup_text) — empty lines are dropped
+    * (CCNet discards them before hashing). */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    dedupUnits(docs, idCol,
+      filter(split(col(textCol), "\n"), l => trim(l) =!= ""),
+      joinWith = "\n")
+      .withColumnRenamed("n_spans_kept", "n_lines_kept")
+
+  /** Shared first-occurrence-wins unit dedup: explode an ordered unit
+    * array, keep each distinct unit's first (doc id, position) occurrence,
+    * reassemble per doc. One shuffle by unit content (rank-limit window, so
+    * WindowGroupLimit prunes duplicates BEFORE the exchange — a hot
+    * boilerplate unit never ships more than its per-partition firsts), one
+    * shuffle back by doc id. */
+  private def dedupUnits(docs: DataFrame, idCol: String, units: Column,
+                         joinWith: String): DataFrame = {
+    val exploded = docs.select(col(idCol).as("_id"),
+      posexplode(units).as(Seq("span_idx", "span")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("span").orderBy(col("_id"), col("span_idx"))
-    spans.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+    exploded.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
       .groupBy(col("_id").as(idCol))
       .agg(count(lit(1)).as("n_spans_kept"),
         array_join(
           transform(array_sort(collect_list(struct(col("span_idx"), col("span")))),
-            s => s.getField("span")), " ").as("dedup_text"))
+            s => s.getField("span")), joinWith).as("dedup_text"))
   }
 
   /** 64-bit SimHash over whitespace tokens: per bit, sum ±1 weighted by

@@ -1582,6 +1582,38 @@ object Registry {
          GROUP BY n_name ORDER BY n_name""")
   }
 
+  // ------------------------------------------------- round 6: graph / layout
+
+  /** CCNet-style line-level dedup over synthetic multi-line pages: every
+    * page = its own text, a boilerplate banner planted on ALL pages, and a
+    * footer planted on every 5th page. Line dedup must keep each planted
+    * line exactly once corpus-wide (on the lowest doc id) and leave the
+    * unique body lines alone. */
+  private def llmLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pages = docs.select(col("doc_id"),
+      concat_ws("\n", col("text"),
+        lit("all rights reserved cookie consent banner"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit("subscribe to our newsletter for updates"))
+          .otherwise(col("text"))).as("page_text"))
+    Dedup.dedupLines(pages, "doc_id", "page_text").orderBy("doc_id")
+  }
+
+  /** PageRank over the supplier–part incidence graph from lineitem
+    * (symmetrized, so no dangling mass): 10 power iterations in exact
+    * integer picorank units — bit-identical to the DuckDB unrolled-CTE
+    * oracle. The link-analysis pass a crawl-curation pipeline runs on the
+    * host graph. */
+  private def prPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select(
+      concat(lit("s"), col("l_suppkey")).as("src"),
+      concat(lit("p"), col("l_partkey")).as("dst"))
+    val edges = li.union(li.select(col("dst").as("src"), col("src").as("dst")))
+    graft.operators.PageRank.run(edges, "src", "dst", iterations = 10)
+      .orderBy("node")
+  }
+
   // ---------------------------------------------------------------- Registry
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -1701,6 +1733,8 @@ object Registry {
     "q_fee_opps_capped" -> q(feeOppsCapped),
     "q_ptp_bundle_check" -> q(ptpBundleCheck),
     "q_mue_lookup" -> q(mueLookup),
+    "q_llm_line_dedup" -> q(llmLineDedup),
+    "q_graph_pagerank" -> q(prPagerank),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -2744,5 +2778,31 @@ object Registry {
            ('A5500', 2, 1, 'Anatomic'),
            ('J1234', 0, 2, 'Not payable'))
          t(hcpcs_code, mue_value, mai_id, mue_rationale) ORDER BY hcpcs_code""",
+    "q_llm_line_dedup" ->
+      """WITH pages AS (SELECT doc_id,
+             text || chr(10) || 'all rights reserved cookie consent banner'
+                  || chr(10) ||
+             CASE WHEN doc_id % 5 = 0
+                  THEN 'subscribe to our newsletter for updates'
+                  ELSE text END AS page_text
+           FROM documents),
+         ls AS (SELECT doc_id, string_split(page_text, chr(10)) AS lns FROM pages),
+         ix AS (SELECT doc_id, lns, unnest(range(1, len(lns) + 1)) AS i FROM ls),
+         lines AS (SELECT doc_id, i AS line_idx, lns[i] AS line
+                   FROM ix WHERE trim(lns[i]) <> ''),
+         ranked AS (SELECT doc_id, line_idx, line,
+                      row_number() OVER (PARTITION BY line
+                        ORDER BY doc_id, line_idx) AS rn
+                    FROM lines)
+         SELECT doc_id, count(*) AS n_lines_kept,
+                string_agg(line, chr(10) ORDER BY line_idx) AS dedup_text
+         FROM ranked WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
+    "q_graph_pagerank" -> graft.operators.PageRank.oracleSql(
+      """SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                         'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem
+         UNION
+         SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                         's' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem""",
+      iterations = 10, damping = 0.85),
   )
 }

@@ -38,6 +38,27 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(out(0).getAs[String]("dedup_text") == "a b c d")
   }
 
+  test("line dedup strips repeated boilerplate lines, keeps first occurrence") {
+    val d = docs(
+      (1L, "unique one\nCOOKIE BANNER\nbody of page one"),
+      (2L, "COOKIE BANNER\nunique two"),
+      (3L, "COOKIE BANNER")) // nothing survives -> doc vanishes
+    val out = Dedup.dedupLines(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out(0).getAs[String]("dedup_text") ==
+      "unique one\nCOOKIE BANNER\nbody of page one")
+    assert(out(0).getAs[Long]("n_lines_kept") == 3L)
+    assert(out(1).getAs[String]("dedup_text") == "unique two")
+  }
+
+  test("line dedup drops blank lines and dedups within a single document") {
+    val d = docs((1L, "same line\n\n  \nsame line\nother"))
+    val out = Dedup.dedupLines(d, "doc_id", "text").collect()
+    assert(out(0).getAs[String]("dedup_text") == "same line\nother")
+    assert(out(0).getAs[Long]("n_lines_kept") == 2L)
+  }
+
   test("incremental dedup: batch-first and new-vs-history flags") {
     import spark.implicits._
     val batch = docs(
