@@ -1614,6 +1614,21 @@ object Registry {
       .orderBy("node")
   }
 
+  /** Morton z-values over normalized (part, supp) coordinates — the layout
+    * key [[graft.operators.ZOrder.layout]] clusters files by so parquet
+    * min/max pruning works on both dimensions. The oracle replays the
+    * generated bit-interleave SQL, pinning the curve itself. */
+  private def layoutZorder(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .filter(pmod(col("l_orderkey"), lit(37)) === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        pmod(col("l_partkey"), lit(1024)).as("x"),
+        pmod(col("l_suppkey"), lit(1024)).as("y"))
+    li.select(col("l_orderkey"), col("l_linenumber"), col("x"), col("y"),
+        graft.operators.ZOrder.zValue(col("x"), col("y"), 10).as("zval"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   // ---------------------------------------------------------------- Registry
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -1735,6 +1750,7 @@ object Registry {
     "q_mue_lookup" -> q(mueLookup),
     "q_llm_line_dedup" -> q(llmLineDedup),
     "q_graph_pagerank" -> q(prPagerank),
+    "q_layout_zorder" -> q(layoutZorder),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -2804,5 +2820,11 @@ object Registry {
          SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
                          's' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem""",
       iterations = 10, damping = 0.85),
+    "q_layout_zorder" -> s"""
+      SELECT l_orderkey, l_linenumber,
+             l_partkey % 1024 AS x, l_suppkey % 1024 AS y,
+             ${graft.operators.ZOrder.zValueSql("l_partkey % 1024", "l_suppkey % 1024", 10)} AS zval
+      FROM lineitem WHERE l_orderkey % 37 = 0
+      ORDER BY l_orderkey, l_linenumber""",
   )
 }
