@@ -1629,6 +1629,26 @@ object Registry {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Avro interop roundtrip: a deterministic lineitem slice goes out
+    * through [[graft.io.AvroIo.write]] and back through the sync-marker-
+    * splittable read, then aggregates; the oracle computes the same
+    * aggregate from the parquet directly — so the whole avro encode/decode
+    * path must be lossless to hash-match. */
+  private def sAvroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = t(spark, dir, "lineitem")
+      .filter(pmod(col("l_orderkey"), lit(101)) === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_returnflag"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-avro").toString
+    graft.io.AvroIo.write(src, tmp)
+    graft.io.AvroIo.read(spark, tmp)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(22, 6))).cast("double").as("sum_qty"),
+        max(col("l_orderkey")).as("max_key"))
+      .orderBy("l_returnflag")
+  }
+
   // ---------------------------------------------------------------- Registry
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -1751,6 +1771,7 @@ object Registry {
     "q_llm_line_dedup" -> q(llmLineDedup),
     "q_graph_pagerank" -> q(prPagerank),
     "q_layout_zorder" -> q(layoutZorder),
+    "q_s_avro_roundtrip" -> q(sAvroRoundtrip),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -2826,5 +2847,11 @@ object Registry {
              ${graft.operators.ZOrder.zValueSql("l_partkey % 1024", "l_suppkey % 1024", 10)} AS zval
       FROM lineitem WHERE l_orderkey % 37 = 0
       ORDER BY l_orderkey, l_linenumber""",
+    "q_s_avro_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS sum_qty,
+              MAX(l_orderkey) AS max_key
+         FROM lineitem WHERE l_orderkey % 101 = 0
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
   )
 }
