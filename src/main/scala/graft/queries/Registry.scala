@@ -1649,6 +1649,21 @@ object Registry {
       .orderBy("l_returnflag")
   }
 
+  /** BPE subword tokenization: 200 merges learned from the corpus' own
+    * word-frequency table, applied via the native codegen'd encoder.
+    * The iterative merge learning isn't SQL-expressible → rows-only
+    * driver check; BpeSpec pins the algorithm (hand-derived merges,
+    * losslessness, train/apply agreement, determinism). */
+  private def llmBpe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val merges = graft.llm.Bpe.train(docs, "text", numMerges = 200)
+    docs.select(col("doc_id"),
+        graft.llm.Bpe.encode(col("text"), merges).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_bpe_tokens"),
+        array_join(slice(col("toks"), 1, 12), " ").as("head_tokens"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- Registry
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -1772,6 +1787,7 @@ object Registry {
     "q_graph_pagerank" -> q(prPagerank),
     "q_layout_zorder" -> q(layoutZorder),
     "q_s_avro_roundtrip" -> q(sAvroRoundtrip),
+    "q_llm_bpe" -> q(llmBpe),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(

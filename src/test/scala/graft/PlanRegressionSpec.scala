@@ -139,7 +139,8 @@ class PlanRegressionSpec extends SparkSpecBase {
       "q_llm_top_ngram" -> "top_ngram_chars",
       "q_llm_nfc" -> "nfc_normalize",
       "q_llm_bloom_decon" -> "bloom_any_contain",
-      "q_llm_ann_pq" -> "pq_encode")
+      "q_llm_ann_pq" -> "pq_encode",
+      "q_llm_bpe" -> "bpe_encode")
     targets.foreach { case (query, exprName) =>
       graft.queries.Registry.configure(spark)
       val df = SparkEntry.queries(query)(spark, sfDir)
