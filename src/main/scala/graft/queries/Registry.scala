@@ -1664,6 +1664,27 @@ object Registry {
       .orderBy("doc_id")
   }
 
+  /** Model-based quality filter: logistic regression trained on
+    * clean-vs-corrupted weak labels, scored through the exported
+    * closed-form column expression. L-BFGS weights are float-order
+    * dependent → rows-only driver check; QualityClassifierSpec pins
+    * holdout accuracy ≥ 0.9 and scorer/model agreement. */
+  private def llmQualityClf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val model = graft.llm.QualityClassifier.train(docs, "text")
+    val clean = graft.llm.QualityClassifier.score(docs, "doc_id", "text", model)
+      .withColumn("cls", lit("clean"))
+    val dirty = graft.llm.QualityClassifier.score(
+      docs.select(col("doc_id"),
+        graft.llm.QualityClassifier.corrupt(col("text")).as("text")),
+      "doc_id", "text", model).withColumn("cls", lit("corrupted"))
+    clean.unionByName(dirty).groupBy("cls")
+      .agg(count(lit(1)).as("n"),
+        avg(col("quality_score")).as("mean_score"),
+        avg((col("quality_score") > 0.5).cast("double")).as("frac_pass"))
+      .orderBy("cls")
+  }
+
   // ---------------------------------------------------------------- Registry
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -1788,6 +1809,7 @@ object Registry {
     "q_layout_zorder" -> q(layoutZorder),
     "q_s_avro_roundtrip" -> q(sAvroRoundtrip),
     "q_llm_bpe" -> q(llmBpe),
+    "q_llm_quality_clf" -> q(llmQualityClf),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
