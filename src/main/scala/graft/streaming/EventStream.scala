@@ -50,6 +50,38 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join: correlate two live event feeds per user
+    * within a bounded event-time band (right side within [left.ts,
+    * left.ts + `band`]). BOTH sides carry watermarks and the join
+    * condition bounds event-time distance — the two requirements that let
+    * Spark age out join state instead of buffering either feed forever,
+    * which is what makes a stream-stream join runnable on unbounded
+    * input. Output: one row per qualifying pair with the event-time lag.
+    *
+    * The batch-mode analogue of this shape is [[graft.operators.AsOfJoin]];
+    * streaming cannot do "nearest" (it would need to wait forever), so the
+    * contract here is the banded correlation join. */
+  def bandJoin(left: DataFrame, right: DataFrame,
+               band: String = "1 minute",
+               watermark: String = "2 minutes"): DataFrame = {
+    val l = left.select(col("event_id").as("l_event_id"),
+        col("ts").as("l_ts"), col("user_id"),
+        col("event_type").as("l_type"), col("value").as("l_value"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("event_id").as("r_event_id"),
+        col("ts").as("r_ts"), col("user_id").as("r_user_id"),
+        col("event_type").as("r_type"), col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+        col("user_id") === col("r_user_id") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $band"))
+      .select(col("user_id"), col("l_event_id"), col("r_event_id"),
+        col("l_type"), col("r_type"),
+        (unix_millis(col("r_ts")) - unix_millis(col("l_ts"))).as("lag_ms"),
+        (col("l_value") + col("r_value")).as("pair_value"))
+  }
+
   final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Long,
                                   total_value: Double, session_end: Timestamp)

@@ -146,4 +146,40 @@ class EventStreamSpec extends SparkSpecBase {
     assert(out(0L) == ((6L, 12.0)))
     assert(out(1L) == ((6L, 12.0)))
   }
+
+  test("stream-stream band join equals the batch join within the band") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-ssj").toString
+    val base = 1700000000000L
+    def rows(typ: String, offsetSec: Int) = (0 until 12).map(i =>
+      (i.toLong + (if (typ == "imp") 0L else 100L),
+        new Timestamp(base + (i * 30 + offsetSec) * 1000L),
+        (i % 3).toLong, typ, 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    rows("imp", 0).repartition(2).write.parquet(s"$dir/left")
+    rows("click", 10).repartition(2).write.parquet(s"$dir/right")
+
+    val l = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/left")
+    val r = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/right")
+    val q = EventStream.bandJoin(l, r, band = "1 minute",
+        watermark = "2 minutes")
+      .writeStream.format("memory").queryName("ssj_sink")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("ssj_sink")
+      .select("l_event_id", "r_event_id", "lag_ms")
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1), r0.getLong(2))).toSet
+
+    val lb = spark.read.parquet(s"$dir/left")
+    val rb = spark.read.parquet(s"$dir/right")
+    val batch = EventStream.bandJoin(lb, rb, band = "1 minute")
+      .select("l_event_id", "r_event_id", "lag_ms")
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1), r0.getLong(2))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
 }
