@@ -1685,6 +1685,27 @@ object Registry {
       .orderBy("cls")
   }
 
+  /** Manifest-pruned range scan: lineitem re-laid into 8 orderkey-ranged
+    * files, min/max manifest built in one pass, then a selective range
+    * query reads ONLY the qualifying files (FileManifestSpec pins the
+    * pruning itself; the oracle pins exactness of the pruned answer). */
+  private def storeManifestPrune(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-manifest-q").toString
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"))
+      .repartitionByRange(8, col("l_orderkey"))
+      .write.mode("overwrite").parquet(tmp)
+    val manifest = graft.store.FileManifest.build(spark, tmp, Seq("l_orderkey"))
+    graft.store.FileManifest
+      .prunedRead(spark, tmp, manifest, "l_orderkey", 1000L, 2000L)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(22, 6))).cast("double").as("sum_qty"))
+      .filter(col("n") > 1)
+      .orderBy("l_partkey")
+  }
+
   // ---------------------------------------------------------------- Registry
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -1810,6 +1831,7 @@ object Registry {
     "q_s_avro_roundtrip" -> q(sAvroRoundtrip),
     "q_llm_bpe" -> q(llmBpe),
     "q_llm_quality_clf" -> q(llmQualityClf),
+    "q_store_manifest_prune" -> q(storeManifestPrune),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -2891,5 +2913,11 @@ object Registry {
               MAX(l_orderkey) AS max_key
          FROM lineitem WHERE l_orderkey % 101 = 0
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_store_manifest_prune" ->
+      """SELECT l_partkey, count(*) AS n,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         WHERE l_orderkey BETWEEN 1000 AND 2000
+         GROUP BY l_partkey HAVING count(*) > 1 ORDER BY l_partkey""",
   )
 }
