@@ -42,16 +42,21 @@ object PageRank {
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint() // tiny relation, reused every round
     val n = nodes.count()
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // Degree-annotated edge list, materialized ONCE: without this the
+    // scan + distinct + degree aggregation re-executes inside every
+    // iteration (the dominant cost — an extra shuffle over the edge set
+    // per round).
+    val eDeg = e.join(
+        e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .localCheckpoint()
 
     val base = lit((1.0 - damping) / n)
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (i <- 1 to iterations) {
-      // Integer picorank units: exact, order-independent summation.
+      // Integer picorank units: exact, order-independent summation. One
+      // shuffle join (ranks ⋈ edges on src) + one aggregation per round.
       val contribs = ranks
-        .join(outDeg, ranks("node") === outDeg("src"))
-        .join(e, "src")
+        .join(eDeg, ranks("node") === eDeg("src"))
         .select(col("dst"),
           floor(col("rank") / col("outdeg") * 1e12 + 0.5).cast("long").as("units"))
         .groupBy("dst").agg(sum("units").as("in_units"))
@@ -60,9 +65,13 @@ object PageRank {
         .select(col("node"),
           (base + lit(damping) *
             (coalesce(col("in_units"), lit(0L)).cast("double") / 1e12)).as("rank"))
-      // Truncate lineage every 3 rounds: keeps the plan O(1) deep. Recompute
-      // on executor loss is acceptable — each round is cheap relative to a
-      // full-lineage replay, which is what this prevents.
+      // Truncate lineage every 3 rounds: keeps the plan O(1) deep (and
+      // AQE re-plans each chunk with real sizes). Recompute on executor
+      // loss is acceptable — each round is cheap relative to the
+      // full-lineage replay this prevents. At bench scale the per-round
+      // wall time is scheduler-floor-bound (tasks are ~KB); the
+      // data-proportional costs — one co-partitioned join + one partial
+      // aggregation over the edge set per round — are what scale.
       if (i % 3 == 0 && i < iterations) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"),

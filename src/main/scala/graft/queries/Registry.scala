@@ -1606,9 +1606,11 @@ object Registry {
     * oracle. The link-analysis pass a crawl-curation pipeline runs on the
     * host graph. */
   private def prPagerank(spark: SparkSession, dir: String): DataFrame = {
+    // Numeric node ids (suppliers even, parts odd): long keys shuffle and
+    // join ~3× cheaper than concat'd string ids at edge-set scale.
     val li = t(spark, dir, "lineitem").select(
-      concat(lit("s"), col("l_suppkey")).as("src"),
-      concat(lit("p"), col("l_partkey")).as("dst"))
+      (col("l_suppkey") * 2).as("src"),
+      (col("l_partkey") * 2 + 1).as("dst"))
     val edges = li.union(li.select(col("dst").as("src"), col("src").as("dst")))
     graft.operators.PageRank.run(edges, "src", "dst", iterations = 10)
       .orderBy("node")
@@ -2895,11 +2897,11 @@ object Registry {
                 string_agg(line, chr(10) ORDER BY line_idx) AS dedup_text
          FROM ranked WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
     "q_graph_pagerank" -> graft.operators.PageRank.oracleSql(
-      """SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
-                         'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem
+      """SELECT DISTINCT l_suppkey * 2 AS src,
+                         l_partkey * 2 + 1 AS dst FROM lineitem
          UNION
-         SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
-                         's' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem""",
+         SELECT DISTINCT l_partkey * 2 + 1 AS src,
+                         l_suppkey * 2 AS dst FROM lineitem""",
       iterations = 10, damping = 0.85),
     "q_layout_zorder" -> s"""
       SELECT l_orderkey, l_linenumber,
