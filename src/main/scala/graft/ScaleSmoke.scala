@@ -120,6 +120,36 @@ object ScaleSmoke {
       graft.llm.NgramLm.scoreAvgLogProb(big, "doc_id", "text", lmModel).count())
     println(s"[scale] LM-scored docs: $lmScored (V=${lmModel.vocabSize})")
 
+    // Round-6 ops. Line dedup at 20× is the boilerplate hot-key stress in
+    // its pure form: the planted banner line appears in EVERY doc, so the
+    // first-occurrence window's pre-shuffle rank-limit is what bounds it.
+    val linesKept = timed("line dedup (boilerplate banner in every doc)")(
+      Dedup.dedupLines(
+          big.select(col("doc_id"), concat(col("text"),
+            lit("\nall rights reserved cookie banner")).as("text")),
+          "doc_id", "text")
+        .agg(sum(col("n_lines_kept"))).head.getLong(0))
+    println(s"[scale] lines kept: $linesKept")
+
+    // BPE: training cost is bounded by the vocab table regardless of the
+    // corpus blow-up; encode is scan-side only.
+    val bpeMerges = timed("bpe train (200 merges, bounded word table)")(
+      graft.llm.Bpe.train(big, "text", numMerges = 200))
+    val bpeToks = timed("bpe encode (native expression)")(
+      big.select(explode(graft.llm.Bpe.encode(col("text"), bpeMerges))).count())
+    println(s"[scale] bpe tokens: $bpeToks (merges=${bpeMerges.size})")
+
+    // PageRank over a 20×-denser co-replica graph: edges link each doc to
+    // its base-replica siblings' neighbors via shared (doc_id / factor).
+    val liEdges = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+    val prEdges = liEdges.union(
+      liEdges.select(col("dst").as("src"), col("src").as("dst")))
+    val prTop = timed("pagerank (10 iterations, integer units)")(
+      graft.operators.PageRank.run(prEdges, "src", "dst", iterations = 10)
+        .orderBy(col("rank").desc).limit(5).collect())
+    println(s"[scale] pagerank top node: ${prTop.head.get(0)} @ ${prTop.head.get(1)}")
+
     spark.stop()
   }
 }
