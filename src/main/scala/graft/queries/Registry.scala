@@ -1708,6 +1708,62 @@ object Registry {
       .orderBy("l_partkey")
   }
 
+  /** Time-series gap-fill + resample: events (bounded user slice) bucketed to 1-minute bins per user, the per-user span densified (every minute present), empty bins
+    * forward-filled with the last seen value. Bin index uses exact integer
+    * floor-division (`div` / DuckDB `//`) — double division of nanosecond
+    * epochs can misbin boundary timestamps. */
+  private def tsResample(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("bin_minute")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val e = t(spark, dir, "events").filter(col("user_id") < 5)
+      .select(col("user_id"), expr("ts div 60000000000").as("bin_minute"),
+        col("value"))
+    val binned = e.groupBy("user_id", "bin_minute")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(20, 4))).cast("double").as("bin_value"))
+    val grid = binned.groupBy("user_id")
+      .agg(min("bin_minute").as("lo"), max("bin_minute").as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"))).as("bin_minute"))
+    grid.join(binned, Seq("user_id", "bin_minute"), "left")
+      .select(col("user_id"), col("bin_minute"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("bin_value"), ignoreNulls = true).over(w).as("filled_value"))
+      .orderBy("user_id", "bin_minute")
+  }
+
+  /** Pivot: lineitem quantities cross-tabbed return-flag × line-status
+    * (explicit pivot values keep the schema static, the scalable form —
+    * dynamic pivot needs a driver-side distinct first). */
+  private def aggPivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(col("l_quantity").cast(DecimalType(22, 6))).cast("double"))
+      .orderBy("l_linestatus")
+
+  /** Rollup: hierarchical subtotals over (returnflag, linestatus) with the
+    * grouping-id bitmask — one shuffle computes all three levels. */
+  private def aggRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(22, 6))).cast("double").as("sum_qty"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  /** Anti join: customers with no orders at all, counted per market
+    * segment (the orphan-detection pass of any referential audit). */
+  private def jAntiOrphans(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders").filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orphans"),
+        sum(col("c_acctbal").cast(DecimalType(20, 4))).cast("double").as("sum_bal"))
+      .orderBy("c_mktsegment")
+
   // ---------------------------------------------------------------- Registry
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -1834,6 +1890,10 @@ object Registry {
     "q_llm_bpe" -> q(llmBpe),
     "q_llm_quality_clf" -> q(llmQualityClf),
     "q_store_manifest_prune" -> q(storeManifestPrune),
+    "q_ts_resample" -> q(tsResample),
+    "q_agg_pivot" -> q(aggPivot),
+    "q_agg_rollup" -> q(aggRollup),
+    "q_j_anti_orphans" -> q(jAntiOrphans),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -2921,5 +2981,41 @@ object Registry {
          FROM lineitem
          WHERE l_orderkey BETWEEN 1000 AND 2000
          GROUP BY l_partkey HAVING count(*) > 1 ORDER BY l_partkey""",
+    "q_ts_resample" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 60000000000 AS bin_minute, value
+                    FROM events WHERE user_id < 5),
+         binned AS (SELECT user_id, bin_minute, count(*) AS n_events,
+                      CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS bin_value
+                    FROM e GROUP BY user_id, bin_minute),
+         spans AS (SELECT user_id, min(bin_minute) AS lo, max(bin_minute) AS hi
+                   FROM binned GROUP BY user_id),
+         grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS bin_minute FROM spans)
+         SELECT g.user_id, g.bin_minute,
+                COALESCE(b.n_events, 0) AS n_events,
+                last_value(b.bin_value IGNORE NULLS) OVER (
+                  PARTITION BY g.user_id ORDER BY g.bin_minute
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+         FROM grid g LEFT JOIN binned b
+           ON g.user_id = b.user_id AND g.bin_minute = b.bin_minute
+         ORDER BY g.user_id, g.bin_minute""",
+    "q_agg_pivot" ->
+      """SELECT l_linestatus,
+              CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(22,6)) END) AS DOUBLE) AS "A",
+              CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(22,6)) END) AS DOUBLE) AS "N",
+              CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(22,6)) END) AS DOUBLE) AS "R"
+         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS sum_qty,
+              GROUPING(l_returnflag, l_linestatus) AS gid
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag, l_linestatus""",
+    "q_j_anti_orphans" ->
+      """SELECT c_mktsegment, count(*) AS n_orphans,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE) AS sum_bal
+         FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
   )
 }
