@@ -1764,6 +1764,38 @@ object Registry {
         sum(col("c_acctbal").cast(DecimalType(20, 4))).cast("double").as("sum_bal"))
       .orderBy("c_mktsegment")
 
+  /** The stream-stream band join's SEMANTICS run in batch mode against a
+    * DuckDB oracle (the streaming path itself is spec-verified for
+    * stream==batch equality, so this closes the loop: oracle → batch →
+    * stream). Views correlated to clicks by the same user within 1 hour. */
+  private def eBandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").filter(col("user_id") < 50)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.streaming.EventStream.bandJoin(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "click"),
+        band = "1 hour")
+      .orderBy("user_id", "l_event_id", "r_event_id")
+  }
+
+  /** Window-function suite: per-user event ordering with lag delta and a
+    * 3-row moving average — one shuffle computes all three windows. */
+  private def wLagMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wMa = w.rowsBetween(-2, 0)
+    t(spark, dir, "events").filter(col("user_id") < 10)
+      .select(col("user_id"), col("event_id"), col("value"),
+        row_number().over(w).as("rn"),
+        (floor((col("value") - coalesce(lag(col("value"), 1).over(w),
+          lit(0.0))) * 1e4 + 0.5) / 1e4).as("delta"),
+        // Decimal window sum (order-independent) / exact count, rounded:
+        // a raw double moving AVG can associate differently per engine.
+        (floor(sum(col("value").cast(DecimalType(20, 4))).over(wMa)
+          .cast("double") / count(lit(1)).over(wMa) * 1e4 + 0.5) / 1e4).as("ma3"))
+      .orderBy("user_id", "rn")
+  }
+
   // ---------------------------------------------------------------- Registry
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -1894,6 +1926,8 @@ object Registry {
     "q_agg_pivot" -> q(aggPivot),
     "q_agg_rollup" -> q(aggRollup),
     "q_j_anti_orphans" -> q(jAntiOrphans),
+    "q_e_band_join" -> q(eBandJoin),
+    "q_w_lag_ma" -> q(wLagMovingAvg),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -3017,5 +3051,29 @@ object Registry {
          WHERE NOT EXISTS (SELECT 1 FROM orders o
                            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_e_band_join" ->
+      """WITH ev AS (SELECT event_id, epoch_ns(ts) // 1000 AS us, user_id,
+                       event_type, value
+                     FROM events WHERE user_id < 50)
+         SELECT l.user_id, l.event_id AS l_event_id, r.event_id AS r_event_id,
+                l.event_type AS l_type, r.event_type AS r_type,
+                (r.us // 1000) - (l.us // 1000) AS lag_ms,
+                l.value + r.value AS pair_value
+         FROM ev l JOIN ev r
+           ON l.user_id = r.user_id
+          AND r.us >= l.us AND r.us <= l.us + 3600000000
+         WHERE l.event_type = 'view' AND r.event_type = 'click'
+         ORDER BY l.user_id, l_event_id, r_event_id""",
+    "q_w_lag_ma" ->
+      """SELECT user_id, event_id, value,
+              row_number() OVER w AS rn,
+              FLOOR((value - COALESCE(lag(value, 1) OVER w, 0)) * 1e4 + CAST(0.5 AS DOUBLE)) / 1e4 AS delta,
+              FLOOR(CAST(SUM(CAST(value AS DECIMAL(20,4))) OVER w3 AS DOUBLE)
+                / COUNT(*) OVER w3 * 1e4 + CAST(0.5 AS DOUBLE)) / 1e4 AS ma3
+         FROM events WHERE user_id < 10
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, rn""",
   )
 }
