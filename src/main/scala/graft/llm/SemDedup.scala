@@ -23,6 +23,13 @@ import org.apache.spark.sql.functions._
   * k-means fit, the same coarse quantizer as [[Ivf.build]]. */
 object SemDedup {
 
+  private def dot(a: org.apache.spark.sql.Column,
+                  b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.expressions.FloatDot(
+      Bridge.expression(a), Bridge.expression(b)))
+  }
+
   /** Within-cluster pairs with cosine ≥ threshold: (id_a, id_b, cos),
     * id_a < id_b.
     *
@@ -51,9 +58,7 @@ object SemDedup {
     // product. Persisted: three consumers below (both self-join sides +
     // the chain branch) would otherwise each re-run the k-means transform
     // and both count windows.
-    def normOf(c: org.apache.spark.sql.Column) = sqrt((0 until dim).map { i =>
-      val x = element_at(c, i + 1).cast("double"); x * x
-    }.reduce(_ + _))
+    def normOf(c: org.apache.spark.sql.Column) = sqrt(dot(c, c))
     val subKeyed = assigned
       .withColumn("_cn", count(lit(1)).over(Window.partitionBy("_cluster")))
       .withColumn("_sub", when(col("_cn") <= maxCluster, lit(0L))
@@ -63,13 +68,15 @@ object SemDedup {
       .withColumn("_norm", normOf(col(embCol)))
       .drop("_cn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Native loop kernel, NOT the unrolled 64-term Column reduce: a single
+    // expression tree cannot be method-split by codegen, and combined with
+    // the self-join's sort pipeline it blew Janino's 64 KB method limit —
+    // silently dropping the whole pair stage to interpreted eval. Same
+    // ascending-index accumulation, bit-identical results.
     def cos(ea: org.apache.spark.sql.Column, eb: org.apache.spark.sql.Column,
-            na: org.apache.spark.sql.Column, nb: org.apache.spark.sql.Column) = {
-      val dot = (0 until dim).map(i =>
-        element_at(ea, i + 1).cast("double") *
-          element_at(eb, i + 1).cast("double")).reduce(_ + _)
-      when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
-    }
+            na: org.apache.spark.sql.Column, nb: org.apache.spark.sql.Column) =
+      when(na === 0.0 || nb === 0.0, lit(0.0))
+        .otherwise(dot(ea, eb) / (na * nb))
 
     val small = subKeyed.filter(col("_sn") <= maxCluster)
     val a = small.select(col("_cluster"), col("_sub"),

@@ -123,16 +123,20 @@ object Similarity {
   }
 
   /** Sign-LSH bucket id: one bit per hyperplane (sign of the dot product).
-    * The plane dimension is statically known at every call site, so each dot
-    * product unrolls to `element_at` term sums — the same codegen-friendly
-    * shape as [[cosineUnrolled]] — instead of interpreted
-    * `aggregate(zip_with(...))` lambdas per corpus row. The unrolled sum
-    * left-folds in index order, exactly like the lambda fold it replaces,
-    * so bucket ids are bit-identical. */
+    * Each dot rides the native loop kernel
+    * ([[graft.expressions.FloatDot]] against a literal double-array plane)
+    * rather than an unrolled `element_at` term sum: the unrolled form is a
+    * single giant expression tree that codegen cannot method-split, and
+    * with 8 planes × 64 dims it blew Janino's 64 KB limit whenever a sort
+    * or join stage fused it (observed: the SemDeDup sub-bucket window
+    * dropped its whole stage to interpreted eval). The kernel accumulates
+    * in the same ascending index order, so bucket ids are bit-identical
+    * to both prior formulations. */
   def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column = {
-    def e(i: Int) = element_at(emb, i + 1).cast("double")
+    import org.apache.spark.sql.graftbridge.Bridge
     planes.zipWithIndex.map { case (p, i) =>
-      val dot = p.indices.map(j => e(j) * lit(p(j))).reduce(_ + _)
+      val dot = Bridge.column(graft.expressions.FloatDot(
+        Bridge.expression(emb), Bridge.expression(lit(p.toArray))))
       when(dot >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
