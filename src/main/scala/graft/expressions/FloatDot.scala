@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native dot product over two float/double arrays, accumulating in
   * ascending-index order (bit-identical to the unrolled
@@ -17,9 +17,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * any dimension, JIT-vectorizes, and keeps the stage inside whole-stage
   * codegen.
   *
-  * Contract: each input independently `array<float>` or `array<double>`
+  * Contract: each input independently `array<float|double|int|long>`
   * (mixed sides allowed — an embedding column against literal double
-  * hyperplanes is the common case); the shorter length bounds the loop
+  * hyperplanes, or int8-quantized codes against each other); the shorter length bounds the loop
   * (fixed-dim embeddings are equal-length by construction); a null array
   * or null element yields NULL. */
 case class FloatDot(left: Expression, right: Expression)
@@ -27,33 +27,41 @@ case class FloatDot(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      case (ArrayType(FloatType | DoubleType | IntegerType | LongType, _),
+            ArrayType(FloatType | DoubleType | IntegerType | LongType, _)) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"float_dot requires array<float|double> on both sides, got $other")
+          s"float_dot requires array<float|double|int|long> on both sides, got $other")
     }
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "float_dot"
 
-  private def isFloat(e: Expression) = e.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
+  private def getterOf(e: Expression): String = e.dataType match {
+    case ArrayType(FloatType, _) => "getFloat"
+    case ArrayType(IntegerType, _) => "getInt"
+    case ArrayType(LongType, _) => "getLong"
+    case _ => "getDouble"
   }
+
+  private def readAt(e: Expression, a: ArrayData, i: Int): Double =
+    e.dataType match {
+      case ArrayType(FloatType, _) => a.getFloat(i).toDouble
+      case ArrayType(IntegerType, _) => a.getInt(i).toDouble
+      case ArrayType(LongType, _) => a.getLong(i).toDouble
+      case _ => a.getDouble(i)
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    val (lf, rf) = (isFloat(left), isFloat(right))
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      acc +=
-        (if (lf) x.getFloat(i).toDouble else x.getDouble(i)) *
-          (if (rf) y.getFloat(i).toDouble else y.getDouble(i))
+      acc += readAt(left, x, i) * readAt(right, y, i)
       i += 1
     }
     acc
@@ -65,8 +73,8 @@ case class FloatDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val bad = ctx.freshName("bad")
-      val gl = if (isFloat(left)) "getFloat" else "getDouble"
-      val gr = if (isFloat(right)) "getFloat" else "getDouble"
+      val gl = getterOf(left)
+      val gr = getterOf(right)
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;

@@ -43,19 +43,24 @@ object Similarity {
     when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
   }
 
-  /** Cosine between two columns with a STATICALLY KNOWN dimension: the dot
-    * product and norms unroll to `element_at` term sums, which (unlike
-    * zip_with/aggregate lambdas, interpreted per element) stay inside
-    * whole-stage codegen. Prefer this on verification hot paths. */
+  /** Cosine between two columns on verification hot paths, via the native
+    * loop kernel [[graft.expressions.FloatDot]]. History: this was first a
+    * zip_with/aggregate lambda (interpreted per element), then an unrolled
+    * `element_at` term sum (codegen'd, but a single giant expression tree
+    * that cannot be method-split — fused with a sort/join stage at dim 64
+    * it blew Janino's 64 KB method limit and dropped the stage to
+    * interpreted eval). The loop kernel accumulates in the same ascending
+    * index order as both prior forms, so results are bit-identical; `dim`
+    * stays in the signature for call-site documentation and parity with
+    * the fixed-dimension contract, though the kernel reads the runtime
+    * length. */
   def cosineUnrolled(a: Column, b: Column, dim: Int): Column = {
-    def term(i: Int) = element_at(a, i + 1).cast("double") * element_at(b, i + 1).cast("double")
-    def sq(c: Column, i: Int) = {
-      val x = element_at(c, i + 1).cast("double"); x * x
-    }
-    val dot = (0 until dim).map(term).reduce(_ + _)
-    val na = sqrt((0 until dim).map(sq(a, _)).reduce(_ + _))
-    val nb = sqrt((0 until dim).map(sq(b, _)).reduce(_ + _))
-    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
+    import org.apache.spark.sql.graftbridge.Bridge
+    def dotK(x: Column, y: Column) = Bridge.column(graft.expressions.FloatDot(
+      Bridge.expression(x), Bridge.expression(y)))
+    val na = sqrt(dotK(a, a))
+    val nb = sqrt(dotK(b, b))
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dotK(a, b) / (na * nb))
   }
 
   /** Brute-force cosine top-k: scan → score → TakeOrderedAndProject.
@@ -160,24 +165,23 @@ object Similarity {
   def cosineNearDuplicates(corpus: DataFrame, embCol: String, idCol: String,
                            threshold: Double, numPlanes: Int = 12,
                            maxBucket: Int = 2000, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    def dotK(x: Column, y: Column) = Bridge.column(graft.expressions.FloatDot(
+      Bridge.expression(x), Bridge.expression(y)))
     val planes = hyperplanes(numPlanes, dim)
     // Norms are precomputed per ROW (2N sqrt-sums) rather than per pair
     // (2P, with P >> N after the self-join) — same bits, ~half the pair-
-    // verification cost at scale.
-    def normOf(c: Column) = sqrt((0 until dim).map { i =>
-      val x = element_at(c, i + 1).cast("double"); x * x
-    }.reduce(_ + _))
+    // verification cost at scale. Dot products ride the native loop kernel
+    // (see cosineUnrolled's history note — the unrolled tree blew codegen's
+    // method limit once fused into the self-join stage).
     val bucketed = corpus.select(col(idCol).as("id"), col(embCol).as("emb"),
-      normOf(col(embCol)).as("_norm"),
+      sqrt(dotK(col(embCol), col(embCol))).as("_norm"),
       lshBucket(col(embCol), planes).as("bucket"))
     val bounded = bucketed.withColumn("_n",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
       .filter(col("_n") <= maxBucket).drop("_n")
-    val dot = (0 until dim).map(i =>
-      element_at(col("l.emb"), i + 1).cast("double") *
-        element_at(col("r.emb"), i + 1).cast("double")).reduce(_ + _)
     val sim = when(col("l._norm") === 0.0 || col("r._norm") === 0.0, lit(0.0))
-      .otherwise(dot / (col("l._norm") * col("r._norm")))
+      .otherwise(dotK(col("l.emb"), col("r.emb")) / (col("l._norm") * col("r._norm")))
     bounded.as("l").join(bounded.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
