@@ -1796,6 +1796,23 @@ object Registry {
       .orderBy("user_id", "rn")
   }
 
+  /** Contrastive negative sampling: 3 hash-deterministic negatives per
+    * anchor from md5-bucketed candidate pools — the pair-generation pass
+    * of embedding/reranker training, fully replayable by the oracle. */
+  private def llmNegSample(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Contrastive.negativeSamples(
+        t(spark, dir, "documents").filter(col("doc_id") < 200), "doc_id", k = 3)
+      .orderBy("anchor_id", "pick_rank")
+
+  /** Curriculum ordering: quartile phases at exact percentile boundaries
+    * of document length, hash-shuffled within phase. */
+  private def llmCurriculum(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Contrastive.curriculum(
+        t(spark, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", phases = 4)
+      .select(col("doc_id"), col("n_chars"), col("phase"), col("phase_pos"))
+      .orderBy("phase", "phase_pos")
+
   // ---------------------------------------------------------------- Registry
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -1928,6 +1945,8 @@ object Registry {
     "q_j_anti_orphans" -> q(jAntiOrphans),
     "q_e_band_join" -> q(eBandJoin),
     "q_w_lag_ma" -> q(wLagMovingAvg),
+    "q_llm_neg_sample" -> q(llmNegSample),
+    "q_llm_curriculum" -> q(llmCurriculum),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -3075,5 +3094,30 @@ object Registry {
                 w3 AS (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
          ORDER BY user_id, rn""",
+    "q_llm_neg_sample" ->
+      """WITH d AS (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS pool
+                    FROM documents WHERE doc_id < 200),
+         pairs AS (SELECT a.doc_id AS anchor_id, b.doc_id AS neg_id,
+                     md5(CAST(a.doc_id AS VARCHAR) || ':' || CAST(b.doc_id AS VARCHAR)) AS h
+                   FROM d a JOIN d b ON a.pool = b.pool AND a.doc_id <> b.doc_id),
+         ranked AS (SELECT anchor_id, neg_id,
+                      row_number() OVER (PARTITION BY anchor_id
+                        ORDER BY h, neg_id) AS pick_rank
+                    FROM pairs)
+         SELECT anchor_id, neg_id, pick_rank FROM ranked
+         WHERE pick_rank <= 3 ORDER BY anchor_id, pick_rank""",
+    "q_llm_curriculum" ->
+      """WITH b AS (SELECT quantile_cont(n_chars, 0.25) AS c1,
+                      quantile_cont(n_chars, 0.50) AS c2,
+                      quantile_cont(n_chars, 0.75) AS c3
+                    FROM documents)
+         SELECT doc_id, n_chars,
+                1 + CAST(n_chars > c1 AS INT) + CAST(n_chars > c2 AS INT)
+                  + CAST(n_chars > c3 AS INT) AS phase,
+                row_number() OVER (PARTITION BY
+                    1 + CAST(n_chars > c1 AS INT) + CAST(n_chars > c2 AS INT)
+                      + CAST(n_chars > c3 AS INT)
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS phase_pos
+         FROM documents, b ORDER BY phase, phase_pos""",
   )
 }

@@ -14,8 +14,8 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size and oracle coverage match COVERAGE.md") {
-    assert(SparkEntry.queries.size == 129)
-    assert(SparkEntry.oracleSql.size == 119)
+    assert(SparkEntry.queries.size == 131)
+    assert(SparkEntry.oracleSql.size == 121)
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
     assert(rowsOnly.size == 10, s"rows-only set drifted: $rowsOnly")
   }
