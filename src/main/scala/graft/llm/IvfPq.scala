@@ -99,4 +99,32 @@ object IvfPq {
       .orderBy(col("approx_dist").asc, col(index.idCol).asc)
       .limit(topK)
   }
+
+  /** Refined search (FAISS `IndexRefine`): ADC-score a shortlist of
+    * `refineFactor × topK` candidates through [[search]], then re-rank
+    * the shortlist by EXACT squared L2 against the raw embeddings and
+    * keep topK. PQ distances are quantized estimates — the refine pass
+    * trades one bounded raw-vector fetch (the shortlist is topK·factor
+    * rows, broadcast back against the corpus as a semi-join; at cluster
+    * scale, a point-lookup) for exact final ordering. ||x−q||² expands to
+    * x·x − 2·x·q + q·q so both dots ride the native loop kernel.
+    * Returns (id, exact_dist). */
+  def searchRefined(index: Index, corpus: DataFrame, embCol: String,
+                    query: Seq[Double], topK: Int, nprobe: Int,
+                    refineFactor: Int = 4): DataFrame = {
+    require(refineFactor >= 1, s"refineFactor must be >= 1, got $refineFactor")
+    import org.apache.spark.sql.graftbridge.Bridge
+    def dotK(x: Column, y: Column) = Bridge.column(graft.expressions.FloatDot(
+      Bridge.expression(x), Bridge.expression(y)))
+    val shortlist = search(index, query, topK * refineFactor, nprobe)
+      .select(col(index.idCol))
+    val qLit = lit(query.toArray)
+    val qq = query.map(x => x * x).sum
+    val exact = dotK(col(embCol), col(embCol)) -
+      lit(2.0) * dotK(col(embCol), qLit) + lit(qq)
+    corpus.join(broadcast(shortlist), index.idCol)
+      .select(col(index.idCol), round(exact, 6).as("exact_dist"))
+      .orderBy(col("exact_dist").asc, col(index.idCol).asc)
+      .limit(topK)
+  }
 }

@@ -1172,6 +1172,18 @@ object Registry {
     graft.llm.IvfPq.search(idx, queryVector(spark, dir), topK = 5, nprobe = 4)
   }
 
+  /** IVF-PQ with exact re-rank (FAISS IndexRefine): ADC shortlist of 4×
+    * topK, re-ranked by true squared L2 against the raw embeddings.
+    * Rows-only (seeded k-means); IvfPqSpec pins refined order == brute
+    * force with hand-recomputed distances. */
+  private def llmAnnIvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val idx = graft.llm.IvfPq.build(emb, "embedding", "vec_id",
+      kCoarse = 16, m = 8, kSub = 16)
+    graft.llm.IvfPq.searchRefined(idx, emb, "embedding",
+      queryVector(spark, dir), topK = 5, nprobe = 4)
+  }
+
   /** Skew-safe salted aggregation — result must be exactly the plain
     * GROUP BY (two-stage decomposable combine), oracle-checked. */
   private def skewSaltedAgg(spark: SparkSession, dir: String): DataFrame =
@@ -1947,6 +1959,7 @@ object Registry {
     "q_w_lag_ma" -> q(wLagMovingAvg),
     "q_llm_neg_sample" -> q(llmNegSample),
     "q_llm_curriculum" -> q(llmCurriculum),
+    "q_llm_ann_ivfpq_rerank" -> q(llmAnnIvfPqRerank),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(

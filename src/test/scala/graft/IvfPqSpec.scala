@@ -71,4 +71,20 @@ class IvfPqSpec extends SparkSpecBase {
     }
     assert(run() == run())
   }
+
+  test("refined search returns the exact brute-force order and distances") {
+    val idx = IvfPq.build(df(), "embedding", "vec_id",
+      kCoarse = 2, m = 4, kSub = 4, dim = dim)
+    val q = Seq.fill(dim)(101.3)
+    val got = IvfPq.searchRefined(idx, df(), "embedding", q,
+        topK = 4, nprobe = 2, refineFactor = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(_._1) == bruteOrder(q).take(4))
+    // exact_dist is the TRUE squared L2, hand-recomputed
+    val byId = corpus().toMap
+    got.foreach { case (id, d) =>
+      val expect = byId(id).zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(math.abs(d - expect) < 1e-6, s"id $id: $d vs $expect")
+    }
+  }
 }
