@@ -1825,6 +1825,42 @@ object Registry {
       .select(col("doc_id"), col("n_chars"), col("phase"), col("phase_pos"))
       .orderBy("phase", "phase_pos")
 
+  /** Sharded dataset export — the pipeline's last mile: md5-deterministic
+    * train/val split, written as a hive-partitioned layout
+    * (`split=train/`, `split=val/`), read back per split. The oracle
+    * recomputes the same split labels arithmetically, so the partitioned
+    * write→read roundtrip must be lossless AND correctly routed. */
+  private def llmExportShards(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-export").toString
+    t(spark, dir, "documents")
+      .withColumn("split", graft.llm.Sampling.splitLabel(col("doc_id"), 0.9))
+      .write.mode("overwrite").partitionBy("split").parquet(out)
+    spark.read.parquet(out)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("split")
+  }
+
+  /** Behavioral funnel: per-user ordered conversion signup → click →
+    * purchase by event time; stage counts over the user base. */
+  private def eFunnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val firstTs = e.groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+    firstTs.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("t_signup").isNotNull, 1L).otherwise(0L)).as("n_signup"),
+      sum(when(col("t_signup").isNotNull && col("t_click") > col("t_signup"),
+        1L).otherwise(0L)).as("n_click_after_signup"),
+      sum(when(col("t_signup").isNotNull && col("t_click") > col("t_signup") &&
+        col("t_purchase") > col("t_click"), 1L).otherwise(0L))
+        .as("n_full_funnel"))
+  }
+
   // ---------------------------------------------------------------- Registry
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -1960,6 +1996,8 @@ object Registry {
     "q_llm_neg_sample" -> q(llmNegSample),
     "q_llm_curriculum" -> q(llmCurriculum),
     "q_llm_ann_ivfpq_rerank" -> q(llmAnnIvfPqRerank),
+    "q_llm_export_shards" -> q(llmExportShards),
+    "q_e_funnel_conversion" -> q(eFunnelConversion),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -3132,5 +3170,25 @@ object Registry {
                       + CAST(n_chars > c3 AS INT)
                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS phase_pos
          FROM documents, b ORDER BY phase, phase_pos""",
+    "q_llm_export_shards" -> s"""
+      SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '${graft.llm.Sampling.hexThreshold(0.9)}'
+                  THEN 'train' ELSE 'val' END AS split,
+             count(*) AS n_docs, SUM(n_chars) AS total_chars,
+             MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      FROM documents GROUP BY 1 ORDER BY split""",
+    "q_e_funnel_conversion" ->
+      """WITH f AS (SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+           FROM events GROUP BY user_id)
+         SELECT count(*) AS n_users,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after_signup,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                     AND t_purchase > t_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+         FROM f""",
   )
 }

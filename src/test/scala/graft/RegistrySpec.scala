@@ -14,8 +14,8 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size and oracle coverage match COVERAGE.md") {
-    assert(SparkEntry.queries.size == 132)
-    assert(SparkEntry.oracleSql.size == 121)
+    assert(SparkEntry.queries.size == 134)
+    assert(SparkEntry.oracleSql.size == 123)
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
     assert(rowsOnly.size == 11, s"rows-only set drifted: $rowsOnly")
   }
