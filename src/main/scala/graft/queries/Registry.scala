@@ -1861,6 +1861,26 @@ object Registry {
         .as("n_full_funnel"))
   }
 
+  /** Mergeable quantile sketch (custom typed Aggregator): per-flag p50/p99
+    * estimates next to the exact percentiles they approximate. The sketch
+    * is O(k·log n) memory with map-side partial aggregation — the 100 TB
+    * answer to sort-buffering exact percentiles. Estimates are merge-tree-
+    * dependent → rows-only; QuantileSketchSpec bounds rank error ≤ 5%. */
+  private def aggSketchQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val sk = udaf(graft.operators.QuantileSketch.SketchAgg(
+      k = 200, qs = Seq(0.5, 0.99)))
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(sk(col("l_extendedprice")).as("est"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+        expr("percentile(l_extendedprice, 0.99)").as("p99_exact"))
+      .select(col("l_returnflag"),
+        element_at(col("est"), 1).as("p50_sketch"),
+        element_at(col("est"), 2).as("p99_sketch"),
+        col("p50_exact"), col("p99_exact"))
+      .orderBy("l_returnflag")
+  }
+
   // ---------------------------------------------------------------- Registry
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -1998,6 +2018,7 @@ object Registry {
     "q_llm_ann_ivfpq_rerank" -> q(llmAnnIvfPqRerank),
     "q_llm_export_shards" -> q(llmExportShards),
     "q_e_funnel_conversion" -> q(eFunnelConversion),
+    "q_agg_sketch_quantiles" -> q(aggSketchQuantiles),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(

@@ -170,6 +170,43 @@ object EventStream {
       }
   }
 
+  /** Stream → versioned store: land each micro-batch as an appended part
+    * of one store version via foreachBatch, with REPLAY IDEMPOTENCE — the
+    * part ledger (`data_version_parts`) records the micro-batch id as the
+    * part number, and a re-delivered batch (Structured Streaming replays
+    * the last uncommitted batch after failure) is skipped when its part
+    * is already on the ledger. This is the standard exactly-once-to-a-
+    * transactional-sink recipe: at-least-once delivery × idempotent,
+    * batch-id-keyed commit = exactly-once landed data.
+    *
+    * Exposed seam: [[landBatch]] is the per-batch commit function, called
+    * directly by specs to prove the replay path without a failure
+    * harness. */
+  def sinkToStore(events: DataFrame, store: graft.store.VersionStore,
+                  table: String, versionId: Long): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        landBatch(store, table, versionId, batch, batchId)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Idempotent micro-batch commit (see [[sinkToStore]]). Skips a batch
+    * whose part number already appears on the version's part ledger. */
+  def landBatch(store: graft.store.VersionStore, table: String,
+                versionId: Long, batch: DataFrame, batchId: Long): Unit = {
+    val already = store.parts
+      .filter(col("data_version_id") === versionId &&
+        col("part_number") === batchId.toInt)
+      .limit(1).count() > 0
+    if (!already) {
+      val n = batch.count()
+      store.writeData(table, versionId, batch, append = true)
+      store.appendPart(versionId, batchId.toInt, s"stream-batch-$batchId",
+        s"stream:$batchId", n)
+    }
+  }
+
   /** Replay the batch events parquet as a bounded stream (one file per
     * micro-batch) — the standard harness for exercising streaming plans
     * against deterministic data. Returns the running query writing to an

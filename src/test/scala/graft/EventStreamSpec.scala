@@ -182,4 +182,32 @@ class EventStreamSpec extends SparkSpecBase {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("stream lands in the version store exactly once, replay-idempotent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-store").toString
+    val base = 1700000000000L
+    (0 until 30).map(i =>
+      (i.toLong, new Timestamp(base + i * 1000L), (i % 3).toLong, "click", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(3).write.parquet(s"$dir/stream")
+    val store = new graft.store.VersionStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-stream-vs").toString)
+    val vid = store.createVersion("EVENTS", "2024Q1",
+      java.sql.Date.valueOf("2024-01-01"), None, "h-stream", "stream")
+    val q = EventStream.sinkToStore(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/stream"),
+      store, "events_landed", vid)
+    q.awaitTermination(60000)
+    val landed = store.data("events_landed")
+    assert(landed.count() == 30)
+    val parts = store.parts.filter(col("data_version_id") === vid).count()
+    assert(parts >= 2, s"expected one part per micro-batch, got $parts")
+    // Replay the first batch verbatim (Structured Streaming re-delivers the
+    // last uncommitted batch after failure): the ledger must reject it.
+    val replay = spark.read.parquet(s"$dir/stream").limit(10)
+    EventStream.landBatch(store, "events_landed", vid, replay, batchId = 0L)
+    assert(store.data("events_landed").count() == 30, "replayed batch duplicated rows")
+  }
 }

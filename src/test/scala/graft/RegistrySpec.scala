@@ -14,10 +14,10 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size and oracle coverage match COVERAGE.md") {
-    assert(SparkEntry.queries.size == 134)
+    assert(SparkEntry.queries.size == 135)
     assert(SparkEntry.oracleSql.size == 123)
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
-    assert(rowsOnly.size == 11, s"rows-only set drifted: $rowsOnly")
+    assert(rowsOnly.size == 12, s"rows-only set drifted: $rowsOnly")
   }
 
   test("query names are unique after bench key compaction") {
