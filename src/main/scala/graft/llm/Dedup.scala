@@ -273,6 +273,50 @@ object Dedup {
       joinWith = "\n")
       .withColumnRenamed("n_spans_kept", "n_lines_kept")
 
+  /** Exact duplicated-substring REGIONS (the detection half of Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better"):
+    * every maximal token region of length ≥ `seedTokens` whose every
+    * `seedTokens`-gram also occurs elsewhere in the corpus (or again in
+    * the same document). Seeds are SLIDING windows (stride 1 — unlike
+    * [[dedupSpans]]' disjoint chop, so duplicates are found at ANY
+    * offset); adjacent duplicated seeds merge into maximal regions by the
+    * classic gaps-and-islands grouping (pos − rank is constant within a
+    * run of consecutive positions).
+    *
+    * Scale shape: one shuffle to count seed occurrences (groupBy span
+    * content, partial-agg'd — a boilerplate hot seed aggregates to one
+    * count row, it never fans out), one join back (co-partitioned on the
+    * same key), one shuffle to the per-doc window for region merging.
+    * Suffix-array exactness at every offset without a suffix array: the
+    * seed length is the minimum match length, exactly the role of the
+    * 50-token threshold in the paper.
+    *
+    * Returns per doc: n_dup_regions, dup_tokens (Σ region lengths in
+    * tokens), longest_region. Docs with no duplicated region are absent. */
+  def duplicatedSpanRegions(docs: DataFrame, idCol: String, textCol: String,
+                            seedTokens: Int = 5): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val nSeeds = size(toks) - (seedTokens - 1)
+    val seeds = docs
+      .filter(nSeeds > 0)
+      .select(col(idCol).as("_id"),
+        posexplode(transform(sequence(lit(0), nSeeds - 1),
+          i => array_join(slice(toks, i + 1, lit(seedTokens)), " ")))
+          .as(Seq("pos", "seed")))
+    val counts = seeds.groupBy("seed").agg(count(lit(1)).as("_n"))
+    val dup = seeds.join(counts, "seed").filter(col("_n") >= 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_id").orderBy("pos")
+    dup
+      .withColumn("_island", col("pos") - row_number().over(w))
+      .groupBy(col("_id"), col("_island"))
+      .agg(min(col("pos")).as("_start"), max(col("pos")).as("_end"))
+      .groupBy(col("_id").as(idCol))
+      .agg(count(lit(1)).as("n_dup_regions"),
+        sum(col("_end") - col("_start") + seedTokens).as("dup_tokens"),
+        max(col("_end") - col("_start") + seedTokens).as("longest_region"))
+  }
+
   /** Shared first-occurrence-wins unit dedup: explode an ordered unit
     * array, keep each distinct unit's first (doc id, position) occurrence,
     * reassemble per doc. One shuffle by unit content (rank-limit window, so

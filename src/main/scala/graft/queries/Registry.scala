@@ -1881,6 +1881,24 @@ object Registry {
       .orderBy("l_returnflag")
   }
 
+  /** Exact duplicated-substring regions over documents ∪ prefixed copies:
+    * the copies share every interior 5-gram with their originals, so both
+    * sides must report maximal duplicated regions covering the shared
+    * text. Sliding-window seeds + gaps-and-islands merge, replayed
+    * verbatim by the oracle. */
+  private def llmDupRegions(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val copies = docs.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(lit("prefix marker tokens added "), col("text")).as("text"))
+    graft.llm.Dedup.duplicatedSpanRegions(
+        docs.unionByName(copies), "doc_id", "text", seedTokens = 5)
+      .select(col("doc_id"), col("n_dup_regions"),
+        col("dup_tokens").cast("long").as("dup_tokens"),
+        col("longest_region").cast("long").as("longest_region"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- Registry
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -2019,6 +2037,7 @@ object Registry {
     "q_llm_export_shards" -> q(llmExportShards),
     "q_e_funnel_conversion" -> q(eFunnelConversion),
     "q_agg_sketch_quantiles" -> q(aggSketchQuantiles),
+    "q_llm_dup_regions" -> q(llmDupRegions),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -3211,5 +3230,34 @@ object Registry {
                      AND t_purchase > t_click
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
          FROM f""",
+    "q_llm_dup_regions" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000 AS doc_id,
+                  'prefix marker tokens added ' || text AS text
+           FROM documents WHERE doc_id < 40),
+         tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                FROM corpus),
+         sp AS (SELECT doc_id, t,
+                  unnest(range(0, greatest(len(t) - 4, 0))) AS pos
+                FROM tk),
+         seeds AS (SELECT doc_id, pos,
+                     array_to_string(t[(pos+1):(pos+5)], ' ') AS seed
+                   FROM sp),
+         counts AS (SELECT seed, count(*) AS n FROM seeds GROUP BY seed),
+         dup AS (SELECT s.doc_id, s.pos FROM seeds s
+                 JOIN counts c ON s.seed = c.seed WHERE c.n >= 2),
+         islands AS (SELECT doc_id, pos,
+                       pos - row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY pos) AS island
+                     FROM dup),
+         regions AS (SELECT doc_id, island,
+                       min(pos) AS s, max(pos) AS e
+                     FROM islands GROUP BY doc_id, island)
+         SELECT doc_id, count(*) AS n_dup_regions,
+                CAST(SUM(e - s + 5) AS BIGINT) AS dup_tokens,
+                CAST(MAX(e - s + 5) AS BIGINT) AS longest_region
+         FROM regions GROUP BY doc_id ORDER BY doc_id""",
   )
 }

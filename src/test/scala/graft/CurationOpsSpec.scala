@@ -59,6 +59,25 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(out(0).getAs[Long]("n_lines_kept") == 2L)
   }
 
+  test("duplicated regions: cross-doc run merges, same-doc repeat splits") {
+    val d = docs(
+      (1L, "a b c d e f g"),        // shares "a b c d e" with doc 2
+      (2L, "x x a b c d e y"),
+      (3L, "p q r p q r"))          // "p q r" twice WITHIN one doc
+    val out = Dedup.duplicatedSpanRegions(d, "doc_id", "text", seedTokens = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    // doc 1: dup seeds at pos 0,1,2 -> ONE maximal region of 5 tokens
+    // doc 2: dup seeds at pos 2,3,4 -> ONE region of 5 tokens
+    // doc 3: "p q r" at pos 0 and 3 -> TWO regions of 3 tokens, 6 total
+    assert(out == Seq((1L, 1L, 5L, 5), (2L, 1L, 5L, 5), (3L, 2L, 6L, 3)))
+  }
+
+  test("duplicated regions: unique corpus reports nothing") {
+    val d = docs((1L, "one two three four five"), (2L, "six seven eight nine ten"))
+    assert(Dedup.duplicatedSpanRegions(d, "doc_id", "text", 3).count() == 0)
+  }
+
   test("incremental dedup: batch-first and new-vs-history flags") {
     import spark.implicits._
     val batch = docs(
