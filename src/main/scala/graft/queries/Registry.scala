@@ -1899,6 +1899,33 @@ object Registry {
       .orderBy("doc_id")
   }
 
+  /** Full outer join: per-nation customer counts vs supplier counts —
+    * nations missing from either side survive with nulls. */
+  private def jFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_customers"))
+    val s = t(spark, dir, "supplier").groupBy(col("s_nationkey").as("nk2"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(s, col("nk") === col("nk2"), "full_outer")
+      .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
+        col("n_customers"), col("n_suppliers"))
+      .orderBy("nationkey")
+  }
+
+  /** Set operations: parts ordered vs the catalog — INTERSECT (ordered
+    * parts that exist) and EXCEPT in both directions, as one summary. */
+  private def setIntersectExcept(spark: SparkSession, dir: String): DataFrame = {
+    val ordered = t(spark, dir, "lineitem").select(col("l_partkey").as("pk"))
+    val catalog = t(spark, dir, "part").select(col("p_partkey").as("pk"))
+    val inter = ordered.intersect(catalog).count()
+    val neverOrdered = catalog.except(ordered).count()
+    val phantom = ordered.except(catalog).count()
+    import spark.implicits._
+    Seq(("intersect", inter), ("catalog_minus_ordered", neverOrdered),
+      ("ordered_minus_catalog", phantom))
+      .toDF("op", "n").orderBy("op")
+  }
+
   // ---------------------------------------------------------------- Registry
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -2038,6 +2065,8 @@ object Registry {
     "q_e_funnel_conversion" -> q(eFunnelConversion),
     "q_agg_sketch_quantiles" -> q(aggSketchQuantiles),
     "q_llm_dup_regions" -> q(llmDupRegions),
+    "q_j_full_outer" -> q(jFullOuter),
+    "q_set_intersect_except" -> q(setIntersectExcept),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -3259,5 +3288,24 @@ object Registry {
                 CAST(SUM(e - s + 5) AS BIGINT) AS dup_tokens,
                 CAST(MAX(e - s + 5) AS BIGINT) AS longest_region
          FROM regions GROUP BY doc_id ORDER BY doc_id""",
+    "q_j_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_customers
+                    FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers
+               FROM supplier GROUP BY 1)
+         SELECT COALESCE(c.nk, s.nk) AS nationkey, n_customers, n_suppliers
+         FROM c FULL OUTER JOIN s ON c.nk = s.nk
+         ORDER BY nationkey""",
+    "q_set_intersect_except" ->
+      """SELECT * FROM (
+           SELECT 'intersect' AS op, CAST(count(*) AS BIGINT) AS n FROM
+             (SELECT l_partkey FROM lineitem INTERSECT SELECT p_partkey FROM part)
+           UNION ALL
+           SELECT 'catalog_minus_ordered', count(*) FROM
+             (SELECT p_partkey FROM part EXCEPT SELECT l_partkey FROM lineitem)
+           UNION ALL
+           SELECT 'ordered_minus_catalog', count(*) FROM
+             (SELECT l_partkey FROM lineitem EXCEPT SELECT p_partkey FROM part))
+         ORDER BY op""",
   )
 }
