@@ -19,9 +19,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   *
   * Contract: each input independently `array<float|double|int|long>`
   * (mixed sides allowed — an embedding column against literal double
-  * hyperplanes, or int8-quantized codes against each other); the shorter length bounds the loop
-  * (fixed-dim embeddings are equal-length by construction); a null array
-  * or null element yields NULL. */
+  * hyperplanes, or int8-quantized codes against each other). A null
+  * array, a null element, or a LENGTH MISMATCH yields NULL — the unrolled
+  * formulation this replaces nulled out on short arrays via element_at,
+  * and a silent min-length dot would instead hand a truncated-but-
+  * plausible similarity to downstream dedup. */
 case class FloatDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -56,7 +58,8 @@ case class FloatDot(left: Expression, right: Expression)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -76,10 +79,10 @@ case class FloatDot(left: Expression, right: Expression)
       val gl = getterOf(left)
       val gr = getterOf(right)
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $acc = 0.0;
-         |boolean $bad = false;
-         |for (int $i = 0; $i < $n; $i++) {
+         |boolean $bad = $n != $b.numElements();
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
          |  $acc += (double) $a.$gl($i) * (double) $b.$gr($i);
          |}

@@ -58,9 +58,18 @@ object Bpe {
     * "aaa" contributes two "a a" pairs). */
   def trainFromWordFreq(wordFreq: IndexedSeq[(String, Long)],
                         numMerges: Int): Merges = {
-    // Each word as a mutable symbol buffer; freqs parallel array.
+    // Each word as a mutable symbol buffer (code points, matching the
+    // encoder — a char-level split would disagree on supplementary
+    // characters); freqs parallel array.
     val words = wordFreq.map { case (w, _) =>
-      mutable.ArrayBuffer(w.map(_.toString): _*)
+      val buf = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        buf += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      buf
     }
     val freqs = wordFreq.map(_._2)
     val merges = IndexedSeq.newBuilder[(String, String)]
@@ -128,8 +137,15 @@ object Bpe {
     def encodeWord(word: String): Array[String] = {
       if (word.isEmpty) return Array.empty
       val syms = new java.util.ArrayList[String](word.length)
+      // Iterate by CODE POINT, not UTF-16 unit: charAt would split a
+      // supplementary character (emoji etc.) into two unpaired surrogates
+      // that round-trip as '?' bytes — breaking losslessness.
       var i = 0
-      while (i < word.length) { syms.add(word.charAt(i).toString); i += 1 }
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        syms.add(new String(Character.toChars(cp)))
+        i += Character.charCount(cp)
+      }
       var done = false
       while (!done && syms.size > 1) {
         var bestRank = Int.MaxValue

@@ -113,15 +113,12 @@ object IvfPq {
                     query: Seq[Double], topK: Int, nprobe: Int,
                     refineFactor: Int = 4): DataFrame = {
     require(refineFactor >= 1, s"refineFactor must be >= 1, got $refineFactor")
-    import org.apache.spark.sql.graftbridge.Bridge
-    def dotK(x: Column, y: Column) = Bridge.column(graft.expressions.FloatDot(
-      Bridge.expression(x), Bridge.expression(y)))
     val shortlist = search(index, query, topK * refineFactor, nprobe)
       .select(col(index.idCol))
     val qLit = lit(query.toArray)
     val qq = query.map(x => x * x).sum
-    val exact = dotK(col(embCol), col(embCol)) -
-      lit(2.0) * dotK(col(embCol), qLit) + lit(qq)
+    val exact = Similarity.dot(col(embCol), col(embCol)) -
+      lit(2.0) * Similarity.dot(col(embCol), qLit) + lit(qq)
     corpus.join(broadcast(shortlist), index.idCol)
       .select(col(index.idCol), round(exact, 6).as("exact_dist"))
       .orderBy(col("exact_dist").asc, col(index.idCol).asc)

@@ -52,25 +52,42 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Maximum pixels a payload may declare before we refuse to allocate the
+    * BufferedImage (decompression-bomb guard: a 40-byte crafted header can
+    * declare 60000×60000 and OOM the executor before any decode error). */
+  val MaxDecodePixels: Long = 64L * 1024 * 1024
+
   /** REAL image decode via JDK javax.imageio: true (width, height,
-    * pixel-sum-of-band-0). None if the payload is not a decodable image. */
-  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Long)] = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
-    Option(img).map { im =>
-      val (w, h) = (im.getWidth, im.getHeight)
-      val raster = im.getRaster
-      var sum = 0L
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
-        y += 1
-      }
-      (w, h, sum)
-    }
-  }
+    * pixel-sum-of-band-0). None if the payload is not a decodable image —
+    * including payloads that make an imageio plugin throw a RuntimeException
+    * (malformed headers trigger IllegalArgument/IndexOutOfBounds in plugin
+    * parsers, not just IOException; a quarantine-style kernel must drop
+    * those rows, not abort the job) and payloads whose DECLARED dimensions
+    * exceed [[MaxDecodePixels]] (checked from the header, before
+    * allocation). */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Long)] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+        if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) return None
+        val im = reader.read(0)
+        val raster = im.getRaster
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        Some((w, h, sum))
+      } finally reader.dispose()
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Partition-local decode: rows stream through without collecting (the
     * per-partition mapPartitions seam is where a native codec would be

@@ -26,20 +26,28 @@ import org.apache.spark.sql.types.DecimalType
 object NgramLm {
 
   /** Trained model: bigram counts, unigram (context) counts, |vocabulary|.
-    * Both relations stay distributed until the scorer broadcasts them. */
-  final case class Model(bigrams: DataFrame, unigrams: DataFrame, vocabSize: Long)
+    * Both relations are vocabulary-sized and persisted at fit time —
+    * without that, the vocabSize count plus each scorer broadcast would
+    * re-run the full-corpus explode+groupBy from scratch (three corpus
+    * passes for one fit+score). Call [[Model.release]] when done. */
+  final case class Model(bigrams: DataFrame, unigrams: DataFrame, vocabSize: Long) {
+    def release(): Unit = { bigrams.unpersist(); unigrams.unpersist(): Unit }
+  }
 
   /** Count bigrams/unigrams over the training relation. Documents with a
     * single token contribute their token as its own "bigram" (the
     * WordNGrams fewer-than-n contract), matching the scorer's gram
     * construction so such docs still hit the model. */
   def fit(train: DataFrame, textCol: String): Model = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val bigrams = train
       .select(explode(TextAnalysis.wordGrams(col(textCol), 2)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("c2"))
+      .persist(lvl)
     val unigrams = train
       .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c1"))
+      .persist(lvl)
     Model(bigrams, unigrams, unigrams.count())
   }
 

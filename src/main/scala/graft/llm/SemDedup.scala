@@ -24,11 +24,7 @@ import org.apache.spark.sql.functions._
 object SemDedup {
 
   private def dot(a: org.apache.spark.sql.Column,
-                  b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.graftbridge.Bridge
-    Bridge.column(graft.expressions.FloatDot(
-      Bridge.expression(a), Bridge.expression(b)))
-  }
+                  b: org.apache.spark.sql.Column) = Similarity.dot(a, b)
 
   /** Within-cluster pairs with cosine ≥ threshold: (id_a, id_b, cos),
     * id_a < id_b.
@@ -100,7 +96,15 @@ object SemDedup {
       .filter(col("cos") >= threshold)
       .select(col(idCol).as("id_a"), col("_nid").as("id_b"), col("cos"))
 
-    allPairs.unionByName(chainPairs)
+    // Materialize the (small) pair set eagerly so the cached assignment
+    // relation can be released NOW rather than leaking until session end —
+    // the same lifecycle contract IvfPq.Index.release() provides. The
+    // pair relation is bounded (Σ|bucket|² post-threshold), so the
+    // localCheckpoint is cheap; downstream CC iterations re-read it
+    // without replaying the k-means transform.
+    val pairs = allPairs.unionByName(chainPairs).localCheckpoint()
+    subKeyed.unpersist()
+    pairs
   }
 
   /** Full SemDeDup decision: every document labeled with its semantic

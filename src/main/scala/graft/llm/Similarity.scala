@@ -55,12 +55,18 @@ object Similarity {
     * the fixed-dimension contract, though the kernel reads the runtime
     * length. */
   def cosineUnrolled(a: Column, b: Column, dim: Int): Column = {
+    val na = sqrt(dot(a, a))
+    val nb = sqrt(dot(b, b))
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
+  }
+
+  /** Native loop dot product (the single shared Column entry point for
+    * [[graft.expressions.FloatDot]] — every similarity kernel routes
+    * through here so a contract change lands in one place). */
+  def dot(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
-    def dotK(x: Column, y: Column) = Bridge.column(graft.expressions.FloatDot(
-      Bridge.expression(x), Bridge.expression(y)))
-    val na = sqrt(dotK(a, a))
-    val nb = sqrt(dotK(b, b))
-    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dotK(a, b) / (na * nb))
+    Bridge.column(graft.expressions.FloatDot(
+      Bridge.expression(a), Bridge.expression(b)))
   }
 
   /** Brute-force cosine top-k: scan → score → TakeOrderedAndProject.
@@ -137,14 +143,11 @@ object Similarity {
     * dropped its whole stage to interpreted eval). The kernel accumulates
     * in the same ascending index order, so bucket ids are bit-identical
     * to both prior formulations. */
-  def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column = {
-    import org.apache.spark.sql.graftbridge.Bridge
+  def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val dot = Bridge.column(graft.expressions.FloatDot(
-        Bridge.expression(emb), Bridge.expression(lit(p.toArray))))
-      when(dot >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      when(dot(emb, lit(p.toArray)) >= 0, shiftleft(lit(1L), i))
+        .otherwise(lit(0L))
     }.reduce(_ + _)
-  }
 
   /** LSH-bucketed ANN: score only rows whose bucket matches the query's.
     * Recall/latency tradeoff via numPlanes (fewer planes → bigger buckets). */
@@ -165,9 +168,6 @@ object Similarity {
   def cosineNearDuplicates(corpus: DataFrame, embCol: String, idCol: String,
                            threshold: Double, numPlanes: Int = 12,
                            maxBucket: Int = 2000, dim: Int = 64): DataFrame = {
-    import org.apache.spark.sql.graftbridge.Bridge
-    def dotK(x: Column, y: Column) = Bridge.column(graft.expressions.FloatDot(
-      Bridge.expression(x), Bridge.expression(y)))
     val planes = hyperplanes(numPlanes, dim)
     // Norms are precomputed per ROW (2N sqrt-sums) rather than per pair
     // (2P, with P >> N after the self-join) — same bits, ~half the pair-
@@ -175,13 +175,13 @@ object Similarity {
     // (see cosineUnrolled's history note — the unrolled tree blew codegen's
     // method limit once fused into the self-join stage).
     val bucketed = corpus.select(col(idCol).as("id"), col(embCol).as("emb"),
-      sqrt(dotK(col(embCol), col(embCol))).as("_norm"),
+      sqrt(dot(col(embCol), col(embCol))).as("_norm"),
       lshBucket(col(embCol), planes).as("bucket"))
     val bounded = bucketed.withColumn("_n",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
       .filter(col("_n") <= maxBucket).drop("_n")
     val sim = when(col("l._norm") === 0.0 || col("r._norm") === 0.0, lit(0.0))
-      .otherwise(dotK(col("l.emb"), col("r.emb")) / (col("l._norm") * col("r._norm")))
+      .otherwise(dot(col("l.emb"), col("r.emb")) / (col("l._norm") * col("r._norm")))
     bounded.as("l").join(bounded.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),

@@ -26,49 +26,49 @@ import org.apache.spark.sql.expressions.Aggregator
   * monitoring queries. */
 object QuantileSketch {
 
-  /** Sketch state: per-level value buffers; level i items carry weight
-    * 2^i. Kept as plain nested arrays for tungsten-friendly encoding. */
-  final case class Buf(levels: Array[Array[Double]], k: Int) {
+  /** Sketch state. `levels(0)` is a fixed-capacity-`k` scratch array whose
+    * first `n0` slots are valid — inserts write in place (the aggregation
+    * buffer is owned by its task), so the per-row cost is one store, not
+    * an O(k) array copy. Deeper levels (`levels(i)`, weight 2^i) are
+    * exact-length arrays touched only by compaction/merge. */
+  final case class Buf(levels: Array[Array[Double]], k: Int, n0: Int) {
+
     def insert(v: Double): Buf = {
-      // Copies the level spine + level 0 only (≤ k values); deeper levels
-      // are shared structurally. Compaction is amortized O(1) per insert.
-      val ls = levels.updated(0, levels(0) :+ v)
-      if (ls(0).length >= k) compact(Buf(ls, k)) else Buf(ls, k)
+      levels(0)(n0) = v
+      if (n0 + 1 >= k) compactAll(levelSeqWithScratch(n0 + 1), k)
+      else Buf(levels, k, n0 + 1)
     }
 
-    private def compact(b: Buf): Buf = {
-      var ls = b.levels
-      var i = 0
-      while (i < ls.length) {
-        if (ls(i).length >= b.k) {
-          val sorted = ls(i).sorted
-          // Even indices at doubled weight — deterministic halving.
-          val kept = sorted.indices.collect { case j if j % 2 == 0 => sorted(j) }
-          if (i + 1 == ls.length) ls = ls :+ Array.empty[Double]
-          ls = ls.updated(i, Array.empty[Double])
-            .updated(i + 1, ls(i + 1) ++ kept)
-        }
-        i += 1
-      }
-      Buf(ls, b.k)
+    /** Levels as exact-length arrays (scratch sliced to validity). */
+    private def levelSeqWithScratch(valid: Int): ArrayBuffer[Array[Double]] = {
+      val ls = ArrayBuffer.empty[Array[Double]]
+      ls += levels(0).take(valid)
+      var i = 1
+      while (i < levels.length) { ls += levels(i); i += 1 }
+      ls
     }
 
     def mergeWith(o: Buf): Buf = {
-      val n = math.max(levels.length, o.levels.length)
-      val ls = Array.tabulate(n) { i =>
-        val a = if (i < levels.length) levels(i) else Array.empty[Double]
-        val b = if (i < o.levels.length) o.levels(i) else Array.empty[Double]
-        a ++ b
+      val a = levelSeqWithScratch(n0)
+      val b = o.levelSeqWithScratch(o.n0)
+      val n = math.max(a.length, b.length)
+      val ls = ArrayBuffer.tabulate(n) { i =>
+        val x = if (i < a.length) a(i) else Array.empty[Double]
+        val y = if (i < b.length) b(i) else Array.empty[Double]
+        x ++ y
       }
-      compact(Buf(ls, k))
+      compactAll(ls, k)
     }
 
     /** Estimated quantile at fraction q ∈ [0,1]: weighted rank over the
       * sorted (value, weight) expansion. */
     def quantile(q: Double): Double = {
       val items = ArrayBuffer.empty[(Double, Long)]
-      levels.zipWithIndex.foreach { case (vs, i) =>
-        vs.foreach(v => items += ((v, 1L << i)))
+      levels(0).take(n0).foreach(v => items += ((v, 1L)))
+      var i = 1
+      while (i < levels.length) {
+        levels(i).foreach(v => items += ((v, 1L << i)))
+        i += 1
       }
       if (items.isEmpty) return Double.NaN
       val sorted = items.sortBy(x => (x._1, x._2))
@@ -84,10 +84,37 @@ object QuantileSketch {
     }
 
     def totalWeight: Long =
-      levels.zipWithIndex.map { case (vs, i) => vs.length.toLong << i }.sum
+      n0.toLong + levels.zipWithIndex.drop(1)
+        .map { case (vs, i) => vs.length.toLong << i }.sum
   }
 
-  def emptyBuf(k: Int): Buf = Buf(Array(Array.empty[Double]), k)
+  /** Cascade-compact exact-length level arrays, then restore the
+    * capacity-`k` scratch invariant on level 0. */
+  private def compactAll(ls0: ArrayBuffer[Array[Double]], k: Int): Buf = {
+    val ls = ls0
+    var i = 0
+    while (i < ls.length) {
+      if (ls(i).length >= k) {
+        val sorted = ls(i).sorted
+        // Even indices at doubled weight — deterministic halving.
+        val kept = sorted.indices.collect { case j if j % 2 == 0 => sorted(j) }
+        if (i + 1 == ls.length) ls += Array.empty[Double]
+        ls(i) = Array.empty[Double]
+        ls(i + 1) = ls(i + 1) ++ kept
+      }
+      i += 1
+    }
+    val scratch = Array.ofDim[Double](k)
+    val valid = ls(0).length // < k after compaction
+    System.arraycopy(ls(0), 0, scratch, 0, valid)
+    ls(0) = scratch
+    Buf(ls.toArray, k, valid)
+  }
+
+  def emptyBuf(k: Int): Buf = {
+    require(k >= 4, s"sketch capacity k must be >= 4, got $k")
+    Buf(Array(Array.ofDim[Double](k)), k, 0)
+  }
 
   /** Aggregator producing the quantile estimates for `qs`. Usable as a
     * DataFrame aggregate via `functions.udaf(...)` (see the registry) or

@@ -1410,9 +1410,15 @@ object Registry {
       // serialize ingests per session: IngestPipeline mutates store metadata
       st.synchronized {
         sources.foreach { case (source, csv, variant) =>
-          if (loaded.add((spark, source)))
+          // Mark loaded only AFTER the ingest succeeds — marking first
+          // would let one transient ingest failure permanently poison
+          // every later store-backed query in the session (they would
+          // skip the ingest and read an empty current view).
+          if (!loaded.contains((spark, source))) {
             graft.pipeline.IngestPipeline.ingestFile(
               spark, st, source, writeCsv(csv), "2026-Q1", qDate, variant)
+            loaded.add((spark, source)): Unit
+          }
         }
       }
       st
@@ -2528,8 +2534,12 @@ object Registry {
            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
            st AS (SELECT CAST(count(*) AS DOUBLE) AS nd, avg(dl) AS avgdl FROM dl),
            s AS (SELECT tf.doc_id, tf.term, tf.tf,
+                   -- CAST(2.2 AS DOUBLE): bare 2.2 is DECIMAL(2,1), and
+                   -- BIGINT*DECIMAL computes the decimal-exact product
+                   -- before converting — 1 ulp off Spark's double multiply,
+                   -- enough to flip a floor(x*1e4+0.5) boundary.
                    floor(ln(1.0 + (nd - df + 0.5) / (df + 0.5))
-                         * (tf.tf * 2.2)
+                         * (tf.tf * CAST(2.2 AS DOUBLE))
                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
                          * 10000 + 0.5) / 10000 AS bm25
                  FROM tf JOIN dl USING (doc_id) JOIN df USING (term), st)

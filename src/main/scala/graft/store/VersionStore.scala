@@ -174,6 +174,63 @@ final class VersionStore(val spark: SparkSession, val root: String) {
       .parquet(s"$dataDir/$table/data_version_id=$versionId")
   }
 
+  /** Part already committed to the ledger? (The exactly-once probe.) */
+  def hasPart(versionId: Long, partNumber: Int): Boolean =
+    parts.filter(org.apache.spark.sql.functions.col("data_version_id") === versionId &&
+        org.apache.spark.sql.functions.col("part_number") === partNumber)
+      .limit(1).count() > 0
+
+  /** Land one part EXACTLY ONCE even under crash/replay: skip if the part
+    * is on the ledger, otherwise [[stagePart]] (idempotent data move) then
+    * [[commitPart]] (ledger append — the commit point). Any crash before
+    * the ledger append leaves a state a replay repairs: re-staging
+    * deletes that part's previous files (deterministic `p<part>-<i>` names)
+    * before renaming the fresh ones in, so a half-moved earlier attempt
+    * can never leave extra rows behind. Returns rows landed (0 = skipped). */
+  def landPart(table: String, versionId: Long, partNumber: Int,
+               df: DataFrame, fileHash: String, fileName: String): Long = {
+    if (hasPart(versionId, partNumber)) return 0L
+    val n = stagePart(table, versionId, partNumber, df)
+    commitPart(versionId, partNumber, fileHash, fileName, n)
+    n
+  }
+
+  /** Idempotent data move for [[landPart]]: write the part to a staging
+    * dir, delete any `p<part>-*.parquet` files a previous (crashed)
+    * attempt moved, then rename the staged files to those deterministic
+    * names. Exposed separately so specs can exercise the
+    * crash-after-stage-before-commit window directly. */
+  private[graft] def stagePart(table: String, versionId: Long,
+                               partNumber: Int, df: DataFrame): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val staging = new org.apache.hadoop.fs.Path(
+      s"$dataDir/$table/.staging-v$versionId-p$partNumber")
+    val dest = new org.apache.hadoop.fs.Path(
+      s"$dataDir/$table/data_version_id=$versionId")
+    val fs = staging.getFileSystem(conf)
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    fs.mkdirs(dest)
+    // Sweep any earlier attempt's files for THIS part, then move.
+    fs.globStatus(new org.apache.hadoop.fs.Path(dest, s"p$partNumber-*.parquet"))
+      .foreach(st => fs.delete(st.getPath, false))
+    val n = spark.read.parquet(staging.toString).count()
+    val staged = fs.listStatus(staging)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    staged.zipWithIndex.foreach { case (st, i) =>
+      val target = new org.apache.hadoop.fs.Path(dest, s"p$partNumber-$i.parquet")
+      fs.rename(st.getPath, target): Unit
+    }
+    fs.delete(staging, true): Unit
+    n
+  }
+
+  /** Ledger append — the atomic commit point of [[landPart]]. */
+  private[graft] def commitPart(versionId: Long, partNumber: Int,
+                                fileHash: String, fileName: String,
+                                recordCount: Long): Unit =
+    appendPart(versionId, partNumber, fileHash, fileName, recordCount)
+
   /** S7's relational-sink sibling: write a version's rows to an external
     * RDBMS over JDBC in 1000-row insert batches — the same page size as the
     * reference's `execute_values(..., page_size=1000)` bulk insert

@@ -171,13 +171,16 @@ object EventStream {
   }
 
   /** Stream → versioned store: land each micro-batch as an appended part
-    * of one store version via foreachBatch, with REPLAY IDEMPOTENCE — the
-    * part ledger (`data_version_parts`) records the micro-batch id as the
-    * part number, and a re-delivered batch (Structured Streaming replays
-    * the last uncommitted batch after failure) is skipped when its part
-    * is already on the ledger. This is the standard exactly-once-to-a-
-    * transactional-sink recipe: at-least-once delivery × idempotent,
-    * batch-id-keyed commit = exactly-once landed data.
+    * of one store version via foreachBatch, with EXACTLY-ONCE landing —
+    * the part ledger (`data_version_parts`) records the micro-batch id as
+    * the part number and is appended only AFTER the batch's files sit at
+    * their deterministic names ([[graft.store.VersionStore.landPart]]).
+    * A re-delivered batch (Structured Streaming replays the last
+    * uncommitted batch after failure) is skipped when its part is on the
+    * ledger; a crash BETWEEN the data move and the ledger append is
+    * repaired on replay because re-staging sweeps that part's previous
+    * files before renaming the fresh ones in. At-least-once delivery ×
+    * idempotent batch-id-keyed commit = exactly-once landed data.
     *
     * Exposed seam: [[landBatch]] is the per-batch commit function, called
     * directly by specs to prove the replay path without a failure
@@ -191,21 +194,11 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
-  /** Idempotent micro-batch commit (see [[sinkToStore]]). Skips a batch
-    * whose part number already appears on the version's part ledger. */
+  /** Exactly-once micro-batch commit (see [[sinkToStore]]). */
   def landBatch(store: graft.store.VersionStore, table: String,
-                versionId: Long, batch: DataFrame, batchId: Long): Unit = {
-    val already = store.parts
-      .filter(col("data_version_id") === versionId &&
-        col("part_number") === batchId.toInt)
-      .limit(1).count() > 0
-    if (!already) {
-      val n = batch.count()
-      store.writeData(table, versionId, batch, append = true)
-      store.appendPart(versionId, batchId.toInt, s"stream-batch-$batchId",
-        s"stream:$batchId", n)
-    }
-  }
+                versionId: Long, batch: DataFrame, batchId: Long): Unit =
+    store.landPart(table, versionId, batchId.toInt, batch,
+      s"stream-batch-$batchId", s"stream:$batchId"): Unit
 
   /** Replay the batch events parquet as a bounded stream (one file per
     * micro-batch) — the standard harness for exercising streaming plans

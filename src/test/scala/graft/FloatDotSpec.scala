@@ -36,4 +36,12 @@ class FloatDotSpec extends SparkSpecBase {
     assert(out(1).isNullAt(0))
     assert(out(2).getDouble(0) == 0.0)
   }
+
+  test("length mismatch yields NULL, never a truncated partial dot") {
+    import spark.implicits._
+    // A corrupt short embedding must drop out of similarity (null), not
+    // score a plausible truncated cosine that could fabricate a near-dup.
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    assert(df.select(dot(col("a"), col("b"))).head.isNullAt(0))
+  }
 }
