@@ -40,6 +40,18 @@ class BpeSpec extends SparkSpecBase with TableDrivenPropertyChecks {
     forAll(words) { w => assert(enc.encodeWord(w).mkString == w) }
   }
 
+  test("supplementary characters stay whole code points (no surrogate split)") {
+    val emoji = "😀" // U+1F600, outside the BMP
+    val word = s"hi${emoji}yo"
+    val enc = Bpe.encoder(Bpe.Merges(IndexedSeq.empty))
+    val toks = enc.encodeWord(word)
+    assert(toks.toSeq == Seq("h", "i", emoji, "y", "o"))
+    assert(toks.mkString == word) // lossless through the pair
+    // training splits identically, so emoji-adjacent merges are learnable
+    val m = Bpe.trainFromWordFreq(IndexedSeq((s"$emoji$emoji", 5L)), 1)
+    assert(m.pairs == IndexedSeq((emoji, emoji)))
+  }
+
   test("distributed train matches driver-side learning on the same counts") {
     import spark.implicits._
     // 10x hug etc., one word per row, shuffled across partitions.

@@ -67,6 +67,21 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out.head.feature_hash == (0 until 12).map(i => (i + 1) % 256).sum)
   }
 
+  test("decode refuses a decompression-bomb header instead of allocating") {
+    // A REAL PNG whose IHDR declares 60000x60000 (~3.6 G pixels): the
+    // header parses fine, so only the declared-dims guard stands between
+    // the reader and a giant BufferedImage allocation.
+    val png = Multimodal.encodePng(4, 3, 1L)
+    val bomb = png.clone()
+    def put(off: Int, v: Int): Unit = {
+      bomb(off) = ((v >> 24) & 0xff).toByte; bomb(off + 1) = ((v >> 16) & 0xff).toByte
+      bomb(off + 2) = ((v >> 8) & 0xff).toByte; bomb(off + 3) = (v & 0xff).toByte
+    }
+    put(16, 60000); put(20, 60000) // IHDR width/height fields
+    assert(Multimodal.decodeImage(bomb).isEmpty)
+    assert(Multimodal.decodeImage(png).isDefined) // guard passes real images
+  }
+
   test("encodeWav -> decodeAudio roundtrips rate, channels, frames, sum") {
     // 6 samples at 8 kHz, seed 5: samples (i + 5) mod 256 for i in 0..5
     val wav = Multimodal.encodeWav(6, 8000, 5L)
