@@ -36,5 +36,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         WordNGrams(exprs.head, n)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "float_dot takes (array, array)")
+        FloatDot(exprs.head, exprs(1))
+      }))
   }
 }

@@ -30,4 +30,17 @@ class GraftExtensionsSpec extends SparkSpecBase {
     val exts = new org.apache.spark.sql.SparkSessionExtensions
     new graft.expressions.GraftExtensions().apply(exts) // must not throw
   }
+
+  test("float_dot is callable from SQL and matches Similarity.dot") {
+    import spark.implicits._
+    val s2 = spark.newSession()
+    Bridge.registerFunction(s2, "float_dot",
+      exprs => graft.expressions.FloatDot(exprs.head, exprs(1)))
+    val viaSql = s2.sql(
+      "SELECT float_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .head.getDouble(0)
+    val viaColumn = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+      .select(graft.llm.Similarity.dot(col("a"), col("b"))).head.getDouble(0)
+    assert(viaSql == 32.0 && viaColumn == 32.0)
+  }
 }
