@@ -189,6 +189,30 @@ object Bpe {
   def encoder(merges: Merges): Encoder =
     new Encoder(merges.pairs.flatMap(p => Seq(p._1, p._2)).toArray)
 
+  /** Persist a trained merge table as (rank, left, right) parquet — the
+    * train-once artifact a pipeline ships so every later ingest run (or
+    * another cluster) tokenizes identically without re-counting the
+    * corpus. Rank order is the whole contract; [[loadMerges]] restores it
+    * explicitly rather than trusting file order. */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession, merges: Merges,
+                 path: String): Unit = {
+    import spark.implicits._
+    merges.pairs.zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "left", "right")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Merges = {
+    val rows = spark.read.parquet(path)
+      .select("rank", "left", "right")
+      .collect()
+      .sortBy(_.getInt(0))
+    Merges(rows.map(r => (r.getString(1), r.getString(2))).toIndexedSeq)
+  }
+
   /** Column API: BPE token array for a string column via the native
     * codegen'd expression. */
   def encode(text: Column, merges: Merges): Column = {

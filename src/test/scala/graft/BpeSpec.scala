@@ -84,6 +84,17 @@ class BpeSpec extends SparkSpecBase with TableDrivenPropertyChecks {
     assert(out(1).isNullAt(0))
   }
 
+  test("merge table round-trips through parquet with rank order intact") {
+    val m = Bpe.trainFromWordFreq(corpus, numMerges = 5)
+    val path = java.nio.file.Files.createTempDirectory("graft-bpe").toString + "/merges"
+    Bpe.saveMerges(spark, m, path)
+    val back = Bpe.loadMerges(spark, path)
+    assert(back.pairs == m.pairs) // order IS the tokenizer
+    val enc = Bpe.encoder(back)
+    assert(enc.encodeWord("hugs").toSeq ==
+      Bpe.encoder(m).encodeWord("hugs").toSeq)
+  }
+
   test("maxWords truncation drops tail words from the statistics") {
     // With maxWords=1 only "pun" (freq 12) survives -> first merge is p+u
     // ... tie-break: pairs pu and un both count 12; lexicographic -> (p,u).
