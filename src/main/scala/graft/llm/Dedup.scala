@@ -297,12 +297,17 @@ object Dedup {
                             seedTokens: Int = 5): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
     val nSeeds = size(toks) - (seedTokens - 1)
+    // localCheckpoint: the seed relation feeds BOTH the occurrence count
+    // and the join-back probe — without materializing it, the text scan +
+    // sliding-window explode executes twice (and the count side becomes a
+    // full second pass over the corpus at scale).
     val seeds = docs
       .filter(nSeeds > 0)
       .select(col(idCol).as("_id"),
         posexplode(transform(sequence(lit(0), nSeeds - 1),
           i => array_join(slice(toks, i + 1, lit(seedTokens)), " ")))
           .as(Seq("pos", "seed")))
+      .localCheckpoint()
     val counts = seeds.groupBy("seed").agg(count(lit(1)).as("_n"))
     val dup = seeds.join(counts, "seed").filter(col("_n") >= 2)
     val w = org.apache.spark.sql.expressions.Window
