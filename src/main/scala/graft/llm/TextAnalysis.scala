@@ -266,4 +266,38 @@ object TextAnalysis {
     Bridge.column(graft.expressions.UnicodeNormalize(
       Bridge.expression(text), form))
   }
+
+  // ---- HTML → text extraction: the FIRST step of every web-corpus
+  // pipeline (CommonCrawl WARC → visible text). Row-local and shuffle-free;
+  // every pattern uses only syntax with identical semantics in Java regex
+  // (Spark codegen) and RE2 (the DuckDB oracle): `(?is)` flags, non-greedy
+  // `.*?`, char classes — no backrefs, no lookaround.
+
+  /** Visible text from an HTML document:
+    * 1. drop `<script>`/`<style>` subtrees (their text is never visible);
+    * 2. turn block-level tags into newlines so paragraph structure
+    *    survives for the downstream line-based filters (boilerplate
+    *    removal, Gopher bullet/ellipsis rules);
+    * 3. strip every remaining tag;
+    * 4. decode the entities that appear in practice (`&amp;` LAST, so
+    *    `&amp;lt;` decodes to the literal `&lt;` the author wrote, not
+    *    to `<`);
+    * 5. collapse whitespace: newline runs → one `\n`, space/tab runs →
+    *    one space, trim the ends. */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", "")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", "")
+    val blocks = regexp_replace(noStyle,
+      "(?i)</?(p|div|br|li|ul|ol|tr|table|h1|h2|h3|h4|h5|h6)[^>]*>", "\n")
+    val noTags = regexp_replace(blocks, "<[^>]*>", "")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&",
+    ).foldLeft(noTags) { case (c, (ent, ch)) =>
+      regexp_replace(c, ent, ch)
+    }
+    val oneNl = regexp_replace(decoded, "[ \\t]*\\n[ \\t\\n]*", "\n")
+    val oneSp = regexp_replace(oneNl, "[ \\t]+", " ")
+    trim(oneSp, " \n")
+  }
 }

@@ -918,6 +918,27 @@ object Registry {
       .agg(count(lit(1)).as("n"))
       .orderBy("detected_lang")
 
+  /** HTML → visible-text extraction (the CommonCrawl-style first step):
+    * wrap each document in a synthetic page (script/style subtrees, block
+    * tags, entities) and check the extractor recovers clean line-structured
+    * text. Row-local, shuffle-free; oracle mirrors every regex in RE2. */
+  private def llmHtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>T</title><style>p { color: red; }</style>" +
+        "<script>if (a < b && c > 0) { alert(\"x\"); }</script></head>" +
+        "<body>\n<h1 class=\"hd\">Doc "), col("doc_id"),
+      lit("</h1>\n<p>"), col("text"),
+      lit("</p><div>Tom &amp; Jerry &lt;3 &quot;quoted&quot;&nbsp;&#39;q&#39;</div>" +
+        "<ul><li>one</li><li>two</li></ul></body></html>"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.htmlToText(html).as("txt"))
+      .select(col("doc_id"),
+        length(col("txt")).as("n_chars"),
+        size(split(col("txt"), "\n")).as("n_lines"),
+        md5(col("txt")).as("txt_hash"))
+      .orderBy("doc_id")
+  }
+
   private def llmQuality(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
@@ -1099,6 +1120,22 @@ object Registry {
     * pass), deterministic (freq desc, gram asc) tie-break. */
   private def llmVocab(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.topVocabulary(t(spark, dir, "documents"), "text", n = 1, k = 100)
+
+  /** Top-20 corpus tokens via the mergeable Misra–Gries summary
+    * ([[graft.operators.HeavyHitters]]). Capacity exceeds the distinct
+    * count at test scale, so the summary is exact and oracle-checkable
+    * (the approximation contract is pinned in HeavyHittersSpec); the plan
+    * partial-aggregates the counter tables map-side before one shuffle —
+    * contrast with [[llmVocab]]'s full token groupBy. */
+  private def aggHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val hh = udaf(graft.operators.HeavyHitters.TopKAgg(cap = 4096, k = 20))
+    t(spark, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .agg(hh(col("token")).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.item").as("token"), col("h.cnt").as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+  }
 
   /** CCNet-style LM quality score: add-one-smoothed token-bigram model
     * trained on the corpus, every document scored by average bigram
@@ -2073,6 +2110,8 @@ object Registry {
     "q_llm_dup_regions" -> q(llmDupRegions),
     "q_j_full_outer" -> q(jFullOuter),
     "q_set_intersect_except" -> q(setIntersectExcept),
+    "q_llm_html_extract" -> q(llmHtmlExtract),
+    "q_agg_heavy_hitters" -> q(aggHeavyHitters),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -2400,6 +2439,12 @@ object Registry {
          FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS gram
                FROM documents)
          GROUP BY gram ORDER BY freq DESC, gram LIMIT 100""",
+    // Exact because cap=4096 > distinct tokens: no purge ever fires.
+    "q_agg_heavy_hitters" ->
+      """SELECT token, count(*) AS freq
+         FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+               FROM documents)
+         GROUP BY token ORDER BY freq DESC, token LIMIT 20""",
     // Same relational LM both sides: add-one-smoothed bigram log-probs,
     // rounded per term then DECIMAL-summed so FP order never matters.
     "q_llm_lm_score" ->
@@ -2862,6 +2907,35 @@ object Registry {
            len(string_split(clean, chr(10))) AS n_lines_kept,
            md5(clean) AS clean_hash
          FROM c ORDER BY doc_id""",
+    "q_llm_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+             '<html><head><title>T</title><style>p { color: red; }</style>'
+             || '<script>if (a < b && c > 0) { alert("x"); }</script></head>'
+             || '<body>' || chr(10) || '<h1 class="hd">Doc ' || doc_id
+             || '</h1>' || chr(10) || '<p>' || text
+             || '</p><div>Tom &amp; Jerry &lt;3 &quot;quoted&quot;&nbsp;&#39;q&#39;</div>'
+             || '<ul><li>one</li><li>two</li></ul></body></html>' AS html
+           FROM documents),
+         s1 AS (SELECT doc_id, regexp_replace(regexp_replace(html,
+             '(?is)<script[^>]*>.*?</script>', '', 'g'),
+             '(?is)<style[^>]*>.*?</style>', '', 'g') AS t FROM h),
+         s2 AS (SELECT doc_id, regexp_replace(regexp_replace(t,
+             '(?i)</?(p|div|br|li|ul|ol|tr|table|h1|h2|h3|h4|h5|h6)[^>]*>',
+             chr(10), 'g'),
+             '<[^>]*>', '', 'g') AS t FROM s1),
+         s3 AS (SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+               '&#39;', '''', 'g'), '&apos;', '''', 'g'), '&nbsp;', ' ', 'g'),
+               '&amp;', '&', 'g') AS t FROM s2),
+         s4 AS (SELECT doc_id, trim(regexp_replace(regexp_replace(t,
+             '[ \t]*\n[ \t\n]*', chr(10), 'g'), '[ \t]+', ' ', 'g'),
+             ' ' || chr(10)) AS txt FROM s3)
+         SELECT doc_id, length(txt) AS n_chars,
+           len(string_split(txt, chr(10))) AS n_lines,
+           md5(txt) AS txt_hash
+         FROM s4 ORDER BY doc_id""",
     "q_llm_url_canon" ->
       """WITH u AS (SELECT doc_id,
              (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.' ELSE 'https://www.' END)

@@ -227,4 +227,34 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(stats.getAs[Long]("n_chunks") == a.length.toLong)
     assert(stats.getAs[Long]("max_chunk_tokens") == a.map(_.length).max.toLong)
   }
+
+  // ------------------------------------------------------- html extraction
+
+  private def extract(html: String): String = {
+    import spark.implicits._
+    Seq(html).toDF("h").select(TextAnalysis.htmlToText(col("h"))).head.getString(0)
+  }
+
+  test("htmlToText drops script/style subtrees, keeps visible text") {
+    val out = extract(
+      "<html><head><style>body { x: 1 }</style>" +
+        "<script>if (a < b) { f(\"</p>\"); }</script></head>" +
+        "<body><p>Hello <b>world</b></p><p>Second</p></body></html>")
+    assert(out == "Hello world\nSecond")
+  }
+
+  test("htmlToText decodes entities with &amp; last (no double decode)") {
+    // `&amp;lt;` is the AUTHOR writing the literal text "&lt;" — it must
+    // decode to that literal, not cascade a second time into "<".
+    assert(extract("<p>A &amp;lt; B</p>") == "A &lt; B")
+    assert(extract("<p>Tom &amp; Jerry &lt;3 &quot;q&quot; &#39;s&#39;&nbsp;end</p>") ==
+      "Tom & Jerry <3 \"q\" 's' end")
+  }
+
+  test("htmlToText collapses whitespace and turns block tags into newlines") {
+    val out = extract(
+      "<div>  one   two </div>\n\n  <ul><li> a </li><li>b</li></ul><br>tail  ")
+    assert(out == "one two\na\nb\ntail")
+    assert(extract("<p></p><p></p>") == "")
+  }
 }

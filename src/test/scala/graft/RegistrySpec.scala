@@ -14,8 +14,8 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size and oracle coverage match COVERAGE.md") {
-    assert(SparkEntry.queries.size == 138)
-    assert(SparkEntry.oracleSql.size == 126)
+    assert(SparkEntry.queries.size == 140)
+    assert(SparkEntry.oracleSql.size == 128)
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
     assert(rowsOnly.size == 12, s"rows-only set drifted: $rowsOnly")
   }
