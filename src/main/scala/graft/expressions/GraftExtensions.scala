@@ -43,5 +43,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "float_dot takes (array, array)")
         FloatDot(exprs.head, exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("deflate_len"),
+      new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "deflate_len takes exactly one argument")
+        DeflateLen(exprs.head)
+      }))
   }
 }

@@ -267,6 +267,23 @@ object TextAnalysis {
       Bridge.expression(text), form))
   }
 
+  /** DEFLATE-compressed length of the text's UTF-8 bytes (native
+    * [[graft.expressions.DeflateLen]]). */
+  def deflateLen(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.expressions.DeflateLen(Bridge.expression(text)))
+  }
+
+  /** Compression-ratio quality signal: deflate bytes / raw bytes, rounded
+    * half-up to 4 dp. Template/machine-generated text compresses far
+    * better than natural prose — the Dolma/RedPajama pipelines gate on
+    * exactly this ratio (low = repetitive, suspiciously high = already
+    * compressed or random). Empty text → ratio 0. */
+  def compressionRatio(text: Column): Column = {
+    val raw = octet_length(text).cast("double")
+    when(raw > 0, r4(deflateLen(text).cast("double") / raw)).otherwise(lit(0.0))
+  }
+
   // ---- HTML → text extraction: the FIRST step of every web-corpus
   // pipeline (CommonCrawl WARC → visible text). Row-local and shuffle-free;
   // every pattern uses only syntax with identical semantics in Java regex

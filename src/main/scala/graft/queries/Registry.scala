@@ -918,6 +918,23 @@ object Registry {
       .agg(count(lit(1)).as("n"))
       .orderBy("detected_lang")
 
+  /** Compression-ratio quality signal (rows-only: no SQL engine exposes a
+    * compress() to replay DEFLATE): per-document deflate/raw byte ratio
+    * plus the same ratio on an 8×-repeated variant — the repeated column
+    * demonstrates on real data what the spec pins synthetically, that
+    * template spam collapses the ratio. Shuffle-free projection. */
+  private def llmCompressRatio(spark: SparkSession, dir: String): DataFrame = {
+    val rep = concat_ws("\n", Seq.fill(8)(col("text")): _*)
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        TextAnalysis.deflateLen(col("text")).as("deflate_bytes"),
+        TextAnalysis.compressionRatio(col("text")).as("ratio"),
+        TextAnalysis.compressionRatio(rep).as("ratio_repeated"),
+        (TextAnalysis.compressionRatio(col("text")) < 0.3).as("too_repetitive"))
+      .orderBy("doc_id")
+  }
+
   /** HTML → visible-text extraction (the CommonCrawl-style first step):
     * wrap each document in a synthetic page (script/style subtrees, block
     * tags, entities) and check the extractor recovers clean line-structured
@@ -2112,6 +2129,7 @@ object Registry {
     "q_set_intersect_except" -> q(setIntersectExcept),
     "q_llm_html_extract" -> q(llmHtmlExtract),
     "q_agg_heavy_hitters" -> q(aggHeavyHitters),
+    "q_llm_compress_ratio" -> q(llmCompressRatio),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(

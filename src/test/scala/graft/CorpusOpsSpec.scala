@@ -228,6 +228,31 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(stats.getAs[Long]("max_chunk_tokens") == a.map(_.length).max.toLong)
   }
 
+  // ------------------------------------------------- compression-ratio QA
+
+  test("compression ratio: repeated text collapses, varied text does not") {
+    import spark.implicits._
+    val varied = (1 to 200).map(i => s"tok$i payload${i * 37} x${i % 13}").mkString(" ")
+    val repeated = Seq.fill(200)("the same banner line again").mkString("\n")
+    val df = Seq(("v", varied), ("r", repeated), ("e", "")).toDF("k", "text")
+    def ratios = df
+      .select($"k", TextAnalysis.compressionRatio($"text").as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val m = ratios
+    assert(m("r") < 0.05, s"repeated text should collapse, got ${m("r")}")
+    assert(m("v") > 3 * m("r"), s"varied ${m("v")} vs repeated ${m("r")}")
+    assert(m("e") == 0.0)
+    assert(ratios == m, "ratio must be deterministic across evaluations")
+    // Kernel sanity: deflate length bounded by raw length + small overhead,
+    // and codegen'd DataFrame path equals the direct kernel call.
+    val direct = graft.expressions.DeflateLen.compressedLen(
+      org.apache.spark.unsafe.types.UTF8String.fromString(varied))
+    val viaDf = df.where($"k" === "v")
+      .select(TextAnalysis.deflateLen($"text")).head.getInt(0)
+    assert(direct == viaDf)
+    assert(direct <= varied.getBytes("UTF-8").length + 16)
+  }
+
   // ------------------------------------------------------- html extraction
 
   private def extract(html: String): String = {

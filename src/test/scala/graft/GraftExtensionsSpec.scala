@@ -31,6 +31,18 @@ class GraftExtensionsSpec extends SparkSpecBase {
     new graft.expressions.GraftExtensions().apply(exts) // must not throw
   }
 
+  test("deflate_len is callable from SQL and matches the Column API") {
+    import spark.implicits._
+    val s2 = spark.newSession()
+    Bridge.registerFunction(s2, "deflate_len",
+      exprs => graft.expressions.DeflateLen(exprs.head))
+    val viaSql = s2.sql(
+      "SELECT deflate_len('abcabcabcabcabcabc') AS n").head.getInt(0)
+    val viaColumn = Seq("abcabcabcabcabcabc").toDF("v")
+      .select(graft.llm.TextAnalysis.deflateLen(col("v"))).head.getInt(0)
+    assert(viaSql == viaColumn && viaSql > 0)
+  }
+
   test("float_dot is callable from SQL and matches Similarity.dot") {
     import spark.implicits._
     val s2 = spark.newSession()
