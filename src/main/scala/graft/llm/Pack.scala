@@ -46,6 +46,36 @@ object Pack {
         col("seq_id"), col("crosses_boundary"))
   }
 
+  /** Fixed-size token chunking with overlap — the standard RAG/embedding
+    * chunker (windows of `chunkSize` tokens every `chunkSize - overlap`
+    * tokens). Start positions are `0, stride, 2·stride, …` up to
+    * `n - overlap - 1`, which (a) covers every token (the last window
+    * always reaches the end because `chunkSize = stride + overlap`) and
+    * (b) never emits a tail window whose tokens were all seen by its
+    * predecessor. Documents shorter than one window yield exactly one
+    * (possibly short) chunk.
+    *
+    * Plan: one shuffle-free projection — `sequence` builds the start list,
+    * `posexplode` fans out, `slice`+`array_join`+`md5` fingerprint each
+    * window. All built-ins, all codegen'd; chunk count per row is
+    * ~n/stride so the explode is linear in corpus tokens. */
+  def fixedChunks(docs: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && chunkSize > overlap,
+      s"need chunkSize > overlap >= 0, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val window = slice(col("_t"), col("_start") + 1, lit(chunkSize))
+    docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_t"))
+      .withColumn("_starts",
+        sequence(lit(0), greatest(size(col("_t")) - overlap - 1, lit(0)), lit(stride)))
+      .select(col(idCol), col("_t"),
+        posexplode(col("_starts")).as(Seq("chunk_idx", "_start")))
+      .select(col(idCol), col("chunk_idx"),
+        col("_start").as("start_tok"),
+        size(window).as("n_tokens"),
+        md5(array_join(window, " ")).as("chunk_hash"))
+  }
+
   /** Content-defined chunking at token granularity: a token whose xxhash64
     * lands on `0 mod divisor` closes the current chunk (expected chunk
     * length = divisor tokens). Boundaries depend only on content, so an

@@ -83,6 +83,18 @@ object Sampling {
       .drop("_copies")
   }
 
+  /** Group-aware split: EVERY row of a group (source, domain, near-dup
+    * cluster id, …) lands in the same split, because the md5 is taken over
+    * the GROUP key instead of the row id. This is the leakage-safe
+    * variant of [[splitLabel]]: with near-duplicates or same-source
+    * documents scattered across train and validation, validation loss
+    * measures memorization, not generalization — standard practice is to
+    * split on the dedup-cluster or source key. Same engine-portable
+    * md5-threshold primitive, so equally oracle-checkable; the trainFrac
+    * is the expected fraction of GROUPS (not rows) in train. */
+  def splitLabelByGroup(group: Column, trainFrac: Double): Column =
+    splitLabel(group, trainFrac)
+
   /** Per-group quota: keep at most `quota` rows per group, chosen
     * deterministically by `orderCol` — the standard domain-balancing step
     * (cap any one source/domain's share of the corpus). One shuffle on the

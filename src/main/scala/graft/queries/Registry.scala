@@ -918,6 +918,34 @@ object Registry {
       .agg(count(lit(1)).as("n"))
       .orderBy("detected_lang")
 
+  /** Fixed-size token chunking with overlap (32-token windows, 8-token
+    * overlap — the standard RAG/embedding chunker), fingerprinting each
+    * window. Shuffle-free explode; see [[graft.llm.Pack.fixedChunks]]. */
+  private def llmChunkFixed(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Pack.fixedChunks(t(spark, dir, "documents"), "doc_id", "text",
+        chunkSize = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Leakage-safe split: documents sharing a canonical fingerprint
+    * (formatting-only variants) are split by the FINGERPRINT, so no
+    * near-identical pair straddles train/val — the output row carries the
+    * proof (`max_splits_per_group` must be 1, `n_leaky_groups` 0) next to
+    * the split sizes. */
+  private def llmGroupSplit(spark: SparkSession, dir: String): DataFrame = {
+    val lab = t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .withColumn("split", graft.llm.Sampling.splitLabelByGroup(col("fp"), 0.9))
+    lab.groupBy("fp")
+      .agg(countDistinct("split").as("n_splits"),
+        count(lit(1)).as("n_docs"),
+        max(when(col("split") === "train", 1).otherwise(0)).as("is_train"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum("n_docs").as("n_docs"),
+        max("n_splits").as("max_splits_per_group"),
+        sum(when(col("n_splits") > 1, 1L).otherwise(0L)).as("n_leaky_groups"),
+        sum(when(col("is_train") === 1, col("n_docs")).otherwise(0L)).as("n_train_docs"))
+  }
+
   /** Compression-ratio quality signal (rows-only: no SQL engine exposes a
     * compress() to replay DEFLATE): per-document deflate/raw byte ratio
     * plus the same ratio on an 8×-repeated variant — the repeated column
@@ -2130,6 +2158,8 @@ object Registry {
     "q_llm_html_extract" -> q(llmHtmlExtract),
     "q_agg_heavy_hitters" -> q(aggHeavyHitters),
     "q_llm_compress_ratio" -> q(llmCompressRatio),
+    "q_llm_chunk_fixed" -> q(llmChunkFixed),
+    "q_llm_group_split" -> q(llmGroupSplit),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -2457,6 +2487,42 @@ object Registry {
          FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS gram
                FROM documents)
          GROUP BY gram ORDER BY freq DESC, gram LIMIT 100""",
+    // Start positions 0..len-overlap-1 step stride, mirrored with range();
+    // the struct-unnest recovers the chunk index DuckDB's unnest drops.
+    "q_llm_chunk_fixed" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                     FROM documents),
+         st AS (SELECT doc_id, t,
+                  range(0, greatest(len(t) - 8 - 1, 0) + 1, 24) AS ss
+                FROM tk),
+         ex AS (SELECT doc_id, t,
+                  unnest(list_transform(range(0, len(ss)),
+                    i -> {'chunk_idx': i, 'start_tok': ss[i+1]}),
+                    recursive := true)
+                FROM st)
+         SELECT doc_id, chunk_idx, start_tok,
+           len(list_slice(t, start_tok + 1, start_tok + 32)) AS n_tokens,
+           md5(array_to_string(list_slice(t, start_tok + 1, start_tok + 32),
+               ' ')) AS chunk_hash
+         FROM ex ORDER BY doc_id, chunk_idx""",
+    // 'e6666666' = hexThreshold(0.9); fp = the canonical-form fingerprint.
+    "q_llm_group_split" ->
+      """WITH fp AS (SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+           FROM documents),
+         lab AS (SELECT fp,
+             CASE WHEN md5(fp) < 'e6666666' THEN 'train' ELSE 'val' END AS split
+           FROM fp),
+         g AS (SELECT fp, count(DISTINCT split) AS n_splits,
+             count(*) AS n_docs,
+             max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS is_train
+           FROM lab GROUP BY fp)
+         SELECT count(*) AS n_groups, sum(n_docs) AS n_docs,
+           max(n_splits) AS max_splits_per_group,
+           sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS n_leaky_groups,
+           sum(CASE WHEN is_train = 1 THEN n_docs ELSE 0 END) AS n_train_docs
+         FROM g""",
     // Exact because cap=4096 > distinct tokens: no purge ever fires.
     "q_agg_heavy_hitters" ->
       """SELECT token, count(*) AS freq

@@ -228,6 +228,46 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(stats.getAs[Long]("max_chunk_tokens") == a.map(_.length).max.toLong)
   }
 
+  // ------------------------------------------------- fixed-window chunking
+
+  test("fixedChunks: full coverage, overlap stride, no redundant tail") {
+    import spark.implicits._
+    val words = (0 until 23).map(i => s"w$i")
+    val df = docs((1L, words.mkString(" ")), (2L, "a b c"), (3L, "solo"))
+    val out = Pack.fixedChunks(df, "doc_id", "text", chunkSize = 8, overlap = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .groupBy(_._1)
+    // doc 1: n=23, stride=5 -> starts 0,5,10,15 (15+8=23 reaches the end;
+    // a start at 20 would add nothing new and must NOT be emitted).
+    assert(out(1L).map(c => (c._3, c._4)).toSeq.sorted ==
+      Seq((0, 8), (5, 8), (10, 8), (15, 8)))
+    // Coverage: max(start + n_tokens) == token count.
+    assert(out(1L).map(c => c._3 + c._4).max == 23)
+    // Short docs: exactly one chunk, full text.
+    assert(out(2L).toSeq == Seq((2L, 0, 0, 3)))
+    assert(out(3L).toSeq == Seq((3L, 0, 0, 1)))
+    // Adjacent chunks share exactly `overlap` token positions.
+    val starts1 = out(1L).map(_._3).sorted
+    starts1.sliding(2).foreach { case Array(a, b) => assert(b - a == 5) }
+  }
+
+  test("group split never leaks a fingerprint group across splits") {
+    import spark.implicits._
+    // 40 base texts, each in two formatting variants (same fingerprint).
+    val rows = (1 to 40).flatMap { i =>
+      val base = s"document number $i with shared content body $i"
+      Seq((i * 2L, base), (i * 2L + 1L, base.toUpperCase + "!!!"))
+    }
+    val lab = rows.toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+      .withColumn("split", graft.llm.Sampling.splitLabelByGroup($"fp", 0.5))
+    val perGroup = lab.groupBy("fp")
+      .agg(countDistinct("split").as("n")).collect()
+    assert(perGroup.forall(_.getLong(1) == 1L), "a group straddled the split")
+    val splits = lab.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(splits == Set("train", "val"), s"0.5 split should use both: $splits")
+  }
+
   // ------------------------------------------------- compression-ratio QA
 
   test("compression ratio: repeated text collapses, varied text does not") {
