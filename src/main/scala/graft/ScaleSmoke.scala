@@ -139,6 +139,34 @@ object ScaleSmoke {
       big.select(explode(graft.llm.Bpe.encode(col("text"), bpeMerges))).count())
     println(s"[scale] bpe tokens: $bpeToks (merges=${bpeMerges.size})")
 
+    // Round-6 additions. Heavy hitters: counter tables combine map-side,
+    // so the shuffle ships one O(cap) summary per partition no matter how
+    // far the corpus blows up. HTML extraction / compression ratio /
+    // fixed chunking are shuffle-free scans — their timings here pin the
+    // per-row kernel cost at 20×.
+    val hhAgg = udaf(graft.operators.HeavyHitters.TopKAgg(cap = 4096, k = 20))
+    val hhTop = timed("heavy hitters (MG summary, map-side combine)")(
+      big.select(explode(graft.llm.TextAnalysis.tokens(col("text"))).as("tok"))
+        .agg(hhAgg(col("tok"))).head.getSeq[Any](0).size)
+    println(s"[scale] heavy-hitter rows: $hhTop")
+
+    val htmlChars = timed("html extract (regex cascade)")(
+      big.select(sum(length(graft.llm.TextAnalysis.htmlToText(
+          concat(lit("<html><body><p>"), col("text"),
+            lit("</p><script>x &amp;= 1;</script></body></html>"))))))
+        .head.getLong(0))
+    println(s"[scale] extracted chars: $htmlChars")
+
+    val flagged = timed("compression ratio (deflate kernel)")(
+      big.filter(graft.llm.TextAnalysis.compressionRatio(col("text")) < 0.3)
+        .count())
+    println(s"[scale] low-ratio docs: $flagged")
+
+    val chunks = timed("fixed-window chunking (128/16 overlap)")(
+      graft.llm.Pack.fixedChunks(big, "doc_id", "text",
+        chunkSize = 128, overlap = 16).count())
+    println(s"[scale] fixed chunks: $chunks")
+
     // PageRank over a 20×-denser co-replica graph: edges link each doc to
     // its base-replica siblings' neighbors via shared (doc_id / factor).
     val liEdges = spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -946,6 +946,36 @@ object Registry {
         sum(when(col("is_train") === 1, col("n_docs")).otherwise(0L)).as("n_train_docs"))
   }
 
+  /** Temperature-scaled domain mixing (the PaLM/DoReMi recipe): flatten
+    * per-source token shares with share^α, renormalize, and report each
+    * source's epoch factor (adjusted share / natural share — what
+    * [[graft.llm.Sampling.upsampleEpochs]] would consume). α = 0.5 keeps
+    * the whole computation bit-identical across engines (IEEE sqrt is
+    * correctly rounded everywhere, unlike pow); the renormalizing sum runs
+    * in integer 1e-12 units so float order never matters. The relation
+    * under the windows is per-SOURCE (bounded metadata, ~10 rows), so the
+    * single-partition windows are not a scale hazard. */
+  private def llmTemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val winAll = Window.partitionBy(lit(0))
+    val bySrc = t(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens"))
+      .withColumn("total", sum(col("tokens")).over(winAll))
+      .withColumn("_qu",
+        floor(sqrt(col("tokens").cast("double") / col("total").cast("double"))
+          * 1e12 + 0.5).cast("long"))
+      .withColumn("_z", sum(col("_qu")).over(winAll))
+    bySrc.select(col("source"), col("n_docs"), col("tokens"),
+        (floor(col("tokens") * 10000.0 / col("total") + 0.5) / 10000).as("share"),
+        (floor(col("_qu") * 10000.0 / col("_z") + 0.5) / 10000).as("adj_share"),
+        (floor((col("_qu").cast("double") * col("total"))
+          / (col("_z").cast("double") * col("tokens")) * 10000.0 + 0.5) / 10000)
+          .as("epoch_factor"))
+      .orderBy("source")
+  }
+
   /** Compression-ratio quality signal (rows-only: no SQL engine exposes a
     * compress() to replay DEFLATE): per-document deflate/raw byte ratio
     * plus the same ratio on an 8×-repeated variant — the repeated column
@@ -2160,6 +2190,7 @@ object Registry {
     "q_llm_compress_ratio" -> q(llmCompressRatio),
     "q_llm_chunk_fixed" -> q(llmChunkFixed),
     "q_llm_group_split" -> q(llmGroupSplit),
+    "q_llm_temperature_mix" -> q(llmTemperatureMix),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -2505,6 +2536,26 @@ object Registry {
            md5(array_to_string(list_slice(t, start_tok + 1, start_tok + 32),
                ' ')) AS chunk_hash
          FROM ex ORDER BY doc_id, chunk_idx""",
+    // α=0.5 via sqrt (correctly-rounded IEEE both engines); renormalizing
+    // sum in integer 1e-12 units; every float expression mirrored
+    // operation-for-operation so rounding is bit-identical.
+    "q_llm_temperature_mix" ->
+      """WITH tk AS (SELECT source,
+             len(string_split_regex(trim(text), '\s+')) AS n
+           FROM documents),
+         s AS (SELECT source, count(*) AS n_docs, sum(n) AS tokens
+               FROM tk GROUP BY source),
+         t AS (SELECT *, sum(tokens) OVER () AS total FROM s),
+         qq AS (SELECT *, CAST(floor(
+                 sqrt(CAST(tokens AS DOUBLE) / CAST(total AS DOUBLE))
+                   * 1000000000000.0 + 0.5) AS BIGINT) AS qu FROM t),
+         zz AS (SELECT *, sum(qu) OVER () AS z FROM qq)
+         SELECT source, n_docs, tokens,
+           floor(tokens * 10000.0 / total + 0.5) / 10000 AS share,
+           floor(qu * 10000.0 / z + 0.5) / 10000 AS adj_share,
+           floor((CAST(qu AS DOUBLE) * total) / (CAST(z AS DOUBLE) * tokens)
+             * 10000.0 + 0.5) / 10000 AS epoch_factor
+         FROM zz ORDER BY source""",
     // 'e6666666' = hexThreshold(0.9); fp = the canonical-form fingerprint.
     "q_llm_group_split" ->
       """WITH fp AS (SELECT doc_id,
