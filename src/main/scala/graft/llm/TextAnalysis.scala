@@ -291,21 +291,36 @@ object TextAnalysis {
   // `.*?`, char classes — no backrefs, no lookaround.
 
   /** Visible text from an HTML document:
+    * 0. normalize CRLF/CR line endings to `\n` (CommonCrawl input is
+    *    routinely CRLF; without this, stray `\r` pollutes the line
+    *    structure every downstream filter depends on);
     * 1. drop `<script>`/`<style>` subtrees (their text is never visible);
-    * 2. turn block-level tags into newlines so paragraph structure
-    *    survives for the downstream line-based filters (boilerplate
-    *    removal, Gopher bullet/ellipsis rules);
+    * 2. turn block-level tags (including table cells) into newlines so
+    *    paragraph/cell structure survives for the downstream line-based
+    *    filters (boilerplate removal, Gopher bullet/ellipsis rules) and
+    *    adjacent cell text never concatenates into merged words;
     * 3. strip every remaining tag;
     * 4. decode the entities that appear in practice (`&amp;` LAST, so
     *    `&amp;lt;` decodes to the literal `&lt;` the author wrote, not
     *    to `<`);
     * 5. collapse whitespace: newline runs → one `\n`, space/tab runs →
-    *    one space, trim the ends. */
+    *    one space, trim the ends.
+    *
+    * Tag names are anchored by `(>|[\s/][^>]*>)` so `<pre>`/`<param>`/
+    * `<link>` don't match the `p`/`li` branches. Case-insensitivity is
+    * spelled `(?iu)` here but `(?i)` in the DuckDB oracle: Java's bare
+    * `(?i)` folds ASCII only, while RE2's `(?i)` always does Unicode
+    * simple folding — adding `u` (a Java-only flag; RE2 rejects it) makes
+    * Java fold `ſ`→`s`/`K`→`k` the same way RE2 does. */
   def htmlToText(html: Column): Column = {
-    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", "")
-    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", "")
+    val unixNl = regexp_replace(html, "\\r\\n?", "\n")
+    val noScript = regexp_replace(unixNl,
+      "(?ius)<script(>|[\\s/][^>]*>).*?</script>", "")
+    val noStyle = regexp_replace(noScript,
+      "(?ius)<style(>|[\\s/][^>]*>).*?</style>", "")
     val blocks = regexp_replace(noStyle,
-      "(?i)</?(p|div|br|li|ul|ol|tr|table|h1|h2|h3|h4|h5|h6)[^>]*>", "\n")
+      "(?iu)</?(p|div|br|li|ul|ol|tr|td|th|table|h1|h2|h3|h4|h5|h6)(>|[\\s/][^>]*>)",
+      "\n")
     val noTags = regexp_replace(blocks, "<[^>]*>", "")
     val decoded = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",

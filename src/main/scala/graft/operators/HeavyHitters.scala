@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
@@ -35,34 +37,39 @@ object HeavyHitters {
   /** One reported item. */
   final case class Hit(item: String, cnt: Long)
 
-  /** Counter state. `err` bounds the per-counter undercount. */
-  final case class Buf(counts: Map[String, Long], cap: Int, err: Long) {
+  /** Counter state. `err` bounds the per-counter undercount. The counter
+    * table is a MUTABLE HashMap updated in place: `reduce` runs once per
+    * corpus token, and the Aggregator contract explicitly allows mutating
+    * and returning the buffer — a persistent map here would allocate an
+    * update path per token. `copy(err = …)` after a purge shares the
+    * (already-purged) table; only the small wrapper is reallocated. */
+  final case class Buf(counts: mutable.HashMap[String, Long], cap: Int, err: Long) {
 
     def insert(item: String): Buf =
       counts.get(item) match {
-        case Some(c) => copy(counts = counts.updated(item, c + 1))
+        case Some(c) => counts.update(item, c + 1); this
         case None if counts.size < cap =>
-          copy(counts = counts.updated(item, 1L))
+          counts.update(item, 1L); this
         case None =>
           // Full + unseen: admit, then subtract the min from everyone.
-          val admitted = counts.updated(item, 1L)
-          val m = admitted.valuesIterator.min
-          Buf(
-            admitted.collect { case (k, v) if v > m => k -> (v - m) },
-            cap, err + m)
+          counts.update(item, 1L)
+          val m = counts.valuesIterator.min
+          counts.mapValuesInPlace((_, v) => v - m)
+          counts.filterInPlace((_, v) => v > 0)
+          copy(err = err + m)
       }
 
     def mergeWith(o: Buf): Buf = {
-      val summed = o.counts.foldLeft(counts) { case (acc, (k, v)) =>
-        acc.updated(k, acc.getOrElse(k, 0L) + v)
+      o.counts.foreach { case (k, v) =>
+        counts.update(k, counts.getOrElse(k, 0L) + v)
       }
-      if (summed.size <= cap) Buf(summed, cap, err + o.err)
+      if (counts.size <= cap) copy(err = err + o.err)
       else {
         // Subtract the (cap+1)-th largest value; keep strictly positive.
-        val t = summed.valuesIterator.toArray.sortBy(-_).apply(cap)
-        Buf(
-          summed.collect { case (k, v) if v > t => k -> (v - t) },
-          cap, err + o.err + t)
+        val t = counts.valuesIterator.toArray.sortBy(-_).apply(cap)
+        counts.mapValuesInPlace((_, v) => v - t)
+        counts.filterInPlace((_, v) => v > 0)
+        copy(err = err + o.err + t)
       }
     }
 
@@ -74,7 +81,7 @@ object HeavyHitters {
 
   def emptyBuf(cap: Int): Buf = {
     require(cap >= 1, s"heavy-hitters capacity must be >= 1, got $cap")
-    Buf(Map.empty, cap, 0L)
+    Buf(mutable.HashMap.empty, cap, 0L)
   }
 
   /** Aggregator reporting the top-`k` items. DataFrame use via

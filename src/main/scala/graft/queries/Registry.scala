@@ -2553,8 +2553,10 @@ object Registry {
     // Start positions 0..len-overlap-1 step stride, mirrored with range();
     // the struct-unnest recovers the chunk index DuckDB's unnest drops.
     "q_llm_chunk_fixed" ->
-      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-                     FROM documents),
+      """WITH tk AS (SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\s+') END AS t
+           FROM documents),
          st AS (SELECT doc_id, t,
                   range(0, greatest(len(t) - 8 - 1, 0) + 1, 24) AS ss
                 FROM tk),
@@ -2577,11 +2579,12 @@ object Registry {
              || '</p></div><p>Subscribe to our newsletter today!</p>'
              || '<script>track();</script></body></html>' AS html
            FROM documents),
-         s1 AS (SELECT doc_id, regexp_replace(regexp_replace(html,
-             '(?is)<script[^>]*>.*?</script>', '', 'g'),
-             '(?is)<style[^>]*>.*?</style>', '', 'g') AS t FROM h),
+         s1 AS (SELECT doc_id, regexp_replace(regexp_replace(
+             regexp_replace(html, '\r\n?', chr(10), 'g'),
+             '(?is)<script(>|[\s/][^>]*>).*?</script>', '', 'g'),
+             '(?is)<style(>|[\s/][^>]*>).*?</style>', '', 'g') AS t FROM h),
          s2 AS (SELECT doc_id, regexp_replace(regexp_replace(t,
-             '(?i)</?(p|div|br|li|ul|ol|tr|table|h1|h2|h3|h4|h5|h6)[^>]*>',
+             '(?i)</?(p|div|br|li|ul|ol|tr|td|th|table|h1|h2|h3|h4|h5|h6)(>|[\s/][^>]*>)',
              chr(10), 'g'),
              '<[^>]*>', '', 'g') AS t FROM s1),
          s3 AS (SELECT doc_id,
@@ -2599,13 +2602,16 @@ object Registry {
                '(all rights reserved|cookie|subscribe|sign up|click here|terms of service|privacy policy|copyright|©)')),
              chr(10)) AS clean FROM s4),
          m AS (SELECT doc_id, clean,
-             CAST(len(string_split_regex(trim(clean), '\s+')) AS BIGINT) AS wc,
-             string_split_regex(trim(clean), '\s+') AS toks FROM nb),
+             CASE WHEN trim(clean) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(clean), '\s+') END AS toks
+           FROM nb),
+         m2 AS (SELECT doc_id, clean, CAST(len(toks) AS BIGINT) AS wc, toks
+                FROM m),
          g AS (SELECT doc_id, clean, wc,
              CASE WHEN wc > 0 THEN
                floor(CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
                  / wc * 10000 + 0.5) / 10000 ELSE 0.0 END AS awf
-           FROM m),
+           FROM m2),
          f AS (SELECT doc_id, wc,
              md5(trim(regexp_replace(regexp_replace(lower(clean),
                '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
@@ -2622,7 +2628,8 @@ object Registry {
     // operation-for-operation so rounding is bit-identical.
     "q_llm_temperature_mix" ->
       """WITH tk AS (SELECT source,
-             len(string_split_regex(trim(text), '\s+')) AS n
+             len(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                 ELSE string_split_regex(trim(text), '\s+') END) AS n
            FROM documents),
          s AS (SELECT source, count(*) AS n_docs, sum(n) AS tokens
                FROM tk GROUP BY source),
@@ -2655,10 +2662,13 @@ object Registry {
            sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS n_leaky_groups,
            sum(CASE WHEN is_train = 1 THEN n_docs ELSE 0 END) AS n_train_docs
          FROM g""",
-    // Exact because cap=4096 > distinct tokens: no purge ever fires.
+    // Exact because cap=4096 > distinct tokens: no purge ever fires. The
+    // CASE mirrors tokens()'s empty-text -> empty-array contract (raw
+    // string_split_regex would emit a phantom '' token per empty doc).
     "q_agg_heavy_hitters" ->
       """SELECT token, count(*) AS freq
-         FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+         FROM (SELECT unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                 ELSE string_split_regex(trim(text), '\s+') END) AS token
                FROM documents)
          GROUP BY token ORDER BY freq DESC, token LIMIT 20""",
     // Same relational LM both sides: add-one-smoothed bigram log-probs,
@@ -3132,11 +3142,12 @@ object Registry {
              || '</p><div>Tom &amp; Jerry &lt;3 &quot;quoted&quot;&nbsp;&#39;q&#39;</div>'
              || '<ul><li>one</li><li>two</li></ul></body></html>' AS html
            FROM documents),
-         s1 AS (SELECT doc_id, regexp_replace(regexp_replace(html,
-             '(?is)<script[^>]*>.*?</script>', '', 'g'),
-             '(?is)<style[^>]*>.*?</style>', '', 'g') AS t FROM h),
+         s1 AS (SELECT doc_id, regexp_replace(regexp_replace(
+             regexp_replace(html, '\r\n?', chr(10), 'g'),
+             '(?is)<script(>|[\s/][^>]*>).*?</script>', '', 'g'),
+             '(?is)<style(>|[\s/][^>]*>).*?</style>', '', 'g') AS t FROM h),
          s2 AS (SELECT doc_id, regexp_replace(regexp_replace(t,
-             '(?i)</?(p|div|br|li|ul|ol|tr|table|h1|h2|h3|h4|h5|h6)[^>]*>',
+             '(?i)</?(p|div|br|li|ul|ol|tr|td|th|table|h1|h2|h3|h4|h5|h6)(>|[\s/][^>]*>)',
              chr(10), 'g'),
              '<[^>]*>', '', 'g') AS t FROM s1),
          s3 AS (SELECT doc_id,

@@ -316,6 +316,18 @@ class CorpusOpsSpec extends SparkSpecBase {
       "Tom & Jerry <3 \"q\" 's' end")
   }
 
+  test("htmlToText separates table cells, anchors tag names, eats CRLF") {
+    // td/th are block-level here: adjacent cell text must NOT merge.
+    assert(extract("<table><tr><td>2021</td><td>Revenue</td></tr></table>") ==
+      "2021\nRevenue")
+    // <pre>/<param>/<link> must not match the p/li branches (anchored names).
+    assert(extract("a<pre>b</pre>c") == "abc")
+    assert(extract("x<link rel=\"y\">z") == "xz")
+    // CRLF input leaves no stray \r lines.
+    val crlf = extract("<p>Hello</p>\r\n<p>World</p>\r\n")
+    assert(crlf == "Hello\nWorld" && !crlf.contains("\r"))
+  }
+
   test("htmlToText collapses whitespace and turns block tags into newlines") {
     val out = extract(
       "<div>  one   two </div>\n\n  <ul><li> a </li><li>b</li></ul><br>tail  ")

@@ -41,8 +41,12 @@ class HeavyHittersSpec extends SparkSpecBase {
   test("merge keeps the bounds and is deterministic for a given split") {
     val xs = Seq.fill(300)("hot") ++ Seq.tabulate(200)(i => s"t$i")
     val (l, r) = xs.splitAt(137)
-    val bl = l.foldLeft(HeavyHitters.emptyBuf(8))(_.insert(_))
-    val br = r.foldLeft(HeavyHitters.emptyBuf(8))(_.insert(_))
+    // mergeWith mutates its receiver (the Aggregator owns its buffer), so
+    // build fresh buffers per merge.
+    def build() = (
+      l.foldLeft(HeavyHitters.emptyBuf(8))(_.insert(_)),
+      r.foldLeft(HeavyHitters.emptyBuf(8))(_.insert(_)))
+    val (bl, br) = build()
     val m = bl.mergeWith(br)
     assert(m.counts.size <= 8)
     val truth = trueCounts(xs)
@@ -51,7 +55,8 @@ class HeavyHittersSpec extends SparkSpecBase {
     }
     assert(m.counts.contains("hot"))
     // Same inputs, same merge tree -> identical summary (engine contract).
-    assert(m == bl.mergeWith(br))
+    val (bl2, br2) = build()
+    assert(m == bl2.mergeWith(br2))
   }
 
   test("distributed udaf equals exact top-k when capacity covers distinct") {
