@@ -116,6 +116,36 @@ object EventStream {
       }
   }
 
+  final case class TopKRow(group: String, item: String)
+  final case class TopKReport(group: String, items: Seq[String],
+                              counts: Seq[Long], err: Long)
+
+  /** Streaming heavy hitters: maintain one mergeable Misra–Gries summary
+    * ([[graft.operators.HeavyHitters]]) per group as `mapGroupsWithState`
+    * state and emit the refreshed top-k each trigger — the standard
+    * "trending terms per channel" shape. Composes the batch sketch
+    * unchanged: each micro-batch's rows are inserted into the persisted
+    * `Buf`, so after any replay/pacing the state equals the sequential
+    * insertion over the concatenated feed (insertion is deterministic;
+    * spec pins batch == streamed). State is O(cap) per group FOREVER —
+    * the property that makes an unbounded feed safe — and `err` rides
+    * along in the report so consumers see the approximation bound. */
+  def streamingTopK(rows: Dataset[TopKRow], cap: Int = 1024,
+                    k: Int = 10): Dataset[TopKReport] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.group)
+      .mapGroupsWithState[graft.operators.HeavyHitters.Buf, TopKReport](
+        GroupStateTimeout.NoTimeout) {
+        case (group, batch, state: GroupState[graft.operators.HeavyHitters.Buf]) =>
+          val buf0 = state.getOption.getOrElse(
+            graft.operators.HeavyHitters.emptyBuf(cap))
+          val buf = batch.foldLeft(buf0)((b, r) => b.insert(r.item))
+          state.update(buf)
+          val top = buf.top(k)
+          TopKReport(group, top.map(_.item), top.map(_.cnt), buf.err)
+      }
+  }
+
   /** Event-time sessionization via flatMapGroupsWithState: sessions split on
     * event-time gaps and close either when a later event proves the gap
     * (emitted immediately) or when the WATERMARK passes end+gap

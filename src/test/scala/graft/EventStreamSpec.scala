@@ -219,4 +219,33 @@ class EventStreamSpec extends SparkSpecBase {
     assert(store.data("events_landed").count() == 40,
       "crashed-then-replayed batch must land its 10 rows exactly once")
   }
+
+  test("streaming top-k carries sketch state across micro-batches") {
+    import spark.implicits._
+    val tkSchema = StructType(Seq(
+      StructField("group", StringType), StructField("item", StringType)))
+    // Two bursts; counts only add up correctly if the second trigger's
+    // state starts from the first ('b' needs 2+3, 'c' needs 1+2).
+    val bursts = Seq(
+      Seq.fill(5)("a") ++ Seq.fill(2)("b") ++ Seq("c"),
+      Seq.fill(3)("b") ++ Seq.fill(2)("c") ++ Seq("d"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-topk").toString
+    bursts.foreach { b =>
+      b.map(i => ("ch1", i)).toDF("group", "item")
+        .coalesce(1).write.mode("append").parquet(s"$dir/stream")
+      Thread.sleep(1100) // distinct file mtimes => deterministic batch order
+    }
+    val q = EventStream.replayParquetAsStream(spark, s"$dir/stream", tkSchema,
+      d => EventStream.streamingTopK(d.as[EventStream.TopKRow],
+        cap = 64, k = 3).toDF(),
+      "topk_sink", org.apache.spark.sql.streaming.OutputMode.Update())
+    q.awaitTermination(60000)
+    // Update-mode memory sink appends one report per trigger; the final
+    // state is the report with the largest total.
+    val fin = spark.table("topk_sink").collect()
+      .maxBy(r => r.getSeq[Long](r.fieldIndex("counts")).sum)
+    assert(fin.getSeq[String](fin.fieldIndex("items")).toSeq == Seq("a", "b", "c"))
+    assert(fin.getSeq[Long](fin.fieldIndex("counts")).toSeq == Seq(5L, 5L, 3L))
+    assert(fin.getAs[Long]("err") == 0L, "cap=64 > distinct: exact")
+  }
 }
