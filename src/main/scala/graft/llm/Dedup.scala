@@ -231,6 +231,26 @@ object Dedup {
           org.apache.spark.sql.expressions.Window.partitionBy("component")))
   }
 
+  /** [[dedupByCluster]] with quality-aware representative selection: keep
+    * the HIGHEST-`scoreCol` member of each near-dup cluster (ties break to
+    * the smallest id) instead of the smallest id unconditionally — the
+    * production dedup policy (of N crawls of the same page, keep the
+    * cleanest extraction, not the one that happened to get the lowest id).
+    * Same shape: one rank window per component, prunable pre-shuffle by
+    * WindowGroupLimit. */
+  def dedupByClusterBest(docs: DataFrame, idCol: String, scoreCol: String,
+                         pairs: DataFrame,
+                         aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    val best = org.apache.spark.sql.expressions.Window
+      .partitionBy("component")
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    docs.join(comps, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .withColumn("is_representative", row_number().over(best) === 1)
+  }
+
   /** Sub-document SPAN dedup (the C4 / RefinedWeb pattern at token-span
     * granularity): cut every document into consecutive `spanTokens`-token
     * spans, keep only each span's FIRST occurrence corpus-wide (ordered by

@@ -745,6 +745,26 @@ object Registry {
       .orderBy("component")
   }
 
+  /** Quality-aware cluster dedup over the same deterministic 7-chain
+    * components as [[llmDedupClusters]]: the representative is the
+    * highest-quality member (tie → min id), not the min id — the policy a
+    * production pipeline uses to keep the cleanest of N crawls of one
+    * page. Quality is the 4dp-rounded score, so the oracle's ordering is
+    * bit-identical. */
+  private def llmClusterBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+    val ids = docs.select(col("doc_id"))
+    val edges = ids.filter(pmod(col("doc_id"), lit(7)) =!= 6)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"))
+    graft.llm.Dedup.dedupByClusterBest(docs, "doc_id", "quality", edges)
+      .filter(col("is_representative"))
+      .select(col("component"), col("doc_id").as("representative"),
+        col("quality").as("rep_quality"))
+      .orderBy("component")
+  }
+
   /** MinHash-LSH near-dups over documents ∪ lightly-mutated copies.
     * Deterministic seeds; verified against exact Jaccard. Not DuckDB-
     * expressible (xxhash64) → rows-only driver check. */
@@ -975,6 +995,29 @@ object Registry {
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"), sum(col("wc")).as("total_tokens"))
       .orderBy("split")
+  }
+
+  /** Length-bucketed batching report: assign each document to a
+    * power-of-two token-length bucket and report the padding waste of
+    * batching within buckets vs one global padded batch — the measurement
+    * behind dynamic batching for training/inference (padding to the batch
+    * max burns FLOPs proportional to n·max − Σlen). Integer comparisons
+    * and one rounded division per row — trivially oracle-mirrored. */
+  private def llmLengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val wc = TextAnalysis.tokenCount(col("text")).cast("long")
+    val bucket = when(wc <= 16, 16L).when(wc <= 32, 32L).when(wc <= 64, 64L)
+      .when(wc <= 128, 128L).when(wc <= 256, 256L).when(wc <= 512, 512L)
+      .otherwise(1024L)
+    t(spark, dir, "documents")
+      .select(wc.as("wc"), bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("wc")).as("max_tokens"),
+        sum(col("wc")).as("sum_tokens"))
+      .select(col("bucket"), col("n_docs"), col("max_tokens"), col("sum_tokens"),
+        (floor((col("n_docs") * col("max_tokens") - col("sum_tokens")) * 10000.0
+          / (col("n_docs") * col("max_tokens")) + 0.5) / 10000).as("padding_frac"))
+      .orderBy("bucket")
   }
 
   /** Temperature-scaled domain mixing (the PaLM/DoReMi recipe): flatten
@@ -2223,6 +2266,8 @@ object Registry {
     "q_llm_group_split" -> q(llmGroupSplit),
     "q_llm_temperature_mix" -> q(llmTemperatureMix),
     "q_llm_web_funnel" -> q(llmWebFunnel),
+    "q_llm_length_buckets" -> q(llmLengthBuckets),
+    "q_llm_cluster_best" -> q(llmClusterBest),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -2508,6 +2553,34 @@ object Registry {
                 min(doc_id) AS representative,
                 CAST(1 AS BIGINT) AS n_reps
          FROM documents GROUP BY 1 ORDER BY 1""",
+    // Same synthetic 7-chain components; representative = argmax quality
+    // (quality CTE identical to q_llm_quality's, 4dp-rounded so ordering
+    // is bit-identical), tie -> min doc_id.
+    "q_llm_cluster_best" ->
+      """WITH m AS (SELECT doc_id,
+           CAST(length(text) AS DOUBLE) AS nchars,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS ntok,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t IN ('the','a','of','and','to','in','is','that','it','for',
+                        'der','die','das','und','ist','von','zu','mit','auf','ein',
+                        'le','la','les','de','et','est','un','une','que','pour',
+                        'el','los','y','es','por'))) AS DOUBLE) AS sw
+           FROM documents),
+         q AS (SELECT doc_id, floor((
+             (CASE WHEN nchars >= 200 AND nchars <= 2000 THEN 1.0
+                   WHEN nchars >= 50 THEN 0.5 ELSE 0.0 END) * 0.3
+             + (CASE WHEN nchars > 0 THEN alpha / nchars ELSE 0.0 END) * 0.3
+             + least((CASE WHEN ntok > 0 THEN sw / ntok ELSE 0.0 END) * 5.0, 1.0) * 0.2
+             + (CASE WHEN ntok > 0 AND nchars / ntok >= 3 AND nchars / ntok <= 12
+                     THEN 1.0 ELSE 0.0 END) * 0.2) * 10000 + 0.5) / 10000 AS quality
+           FROM m),
+         c AS (SELECT doc_id, quality, (doc_id - doc_id % 7) AS component,
+                 row_number() OVER (PARTITION BY (doc_id - doc_id % 7)
+                                    ORDER BY quality DESC, doc_id ASC) AS rn
+               FROM q)
+         SELECT component, doc_id AS representative, quality AS rep_quality
+         FROM c WHERE rn = 1 ORDER BY component""",
     // True independent oracle for the LSH pipeline: DuckDB brute-forces
     // exact 3-shingle Jaccard over ALL pairs (length-ratio prefiltered —
     // J >= 0.5 is impossible when |A|/|B| < 0.4999) and keeps >= 0.5.
@@ -2570,6 +2643,24 @@ object Registry {
            md5(array_to_string(list_slice(t, start_tok + 1, start_tok + 32),
                ' ')) AS chunk_hash
          FROM ex ORDER BY doc_id, chunk_idx""",
+    "q_llm_length_buckets" ->
+      """WITH w AS (SELECT
+             len(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                 ELSE string_split_regex(trim(text), '\s+') END) AS wc
+           FROM documents),
+         b AS (SELECT wc,
+             CASE WHEN wc <= 16 THEN 16 WHEN wc <= 32 THEN 32
+                  WHEN wc <= 64 THEN 64 WHEN wc <= 128 THEN 128
+                  WHEN wc <= 256 THEN 256 WHEN wc <= 512 THEN 512
+                  ELSE 1024 END AS bucket
+           FROM w),
+         g AS (SELECT bucket, count(*) AS n_docs, max(wc) AS max_tokens,
+                 sum(wc) AS sum_tokens
+               FROM b GROUP BY bucket)
+         SELECT bucket, n_docs, max_tokens, sum_tokens,
+           floor((n_docs * max_tokens - sum_tokens) * 10000.0
+             / (n_docs * max_tokens) + 0.5) / 10000 AS padding_frac
+         FROM g ORDER BY bucket""",
     // Composes the proven fragments: html-extract chain, nfc, boilerplate
     // filter, alpha-word gate, fingerprint, md5 group split ('e6666666' =
     // hexThreshold(0.9)).

@@ -133,4 +133,21 @@ class CurationOpsSpec extends SparkSpecBase {
       .orderBy("doc_id").collect().map(_.getAs[Double]("avg_logp")).toSeq
     assert(base == repart)
   }
+
+  test("quality-aware cluster dedup keeps the argmax-score member") {
+    import spark.implicits._
+    // Cluster {1,2,3} via edges; doc 2 has the best score. Doc 9 is a
+    // singleton (no edges) and must be its own representative.
+    val docs = Seq((1L, 0.3), (2L, 0.9), (3L, 0.9), (9L, 0.1))
+      .toDF("doc_id", "score")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.dedupByClusterBest(docs, "doc_id", "score", edges)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("component"), r.getAs[Boolean]("is_representative")))).toMap
+    val comp = out(1L)._1
+    assert(out(2L) == ((comp, true)), "argmax score wins (tie -> min id)")
+    assert(out(3L) == ((comp, false)), "score tie must break to smaller id")
+    assert(!out(1L)._2)
+    assert(out(9L) == ((9L, true)), "singleton is its own representative")
+  }
 }
