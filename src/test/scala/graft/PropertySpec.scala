@@ -202,4 +202,57 @@ class PropertySpec extends SparkSpecBase {
     if (model.vocabSize >= 2)
       out.foreach(r => assert(r.getAs[Double]("avg_logp") < 0.0))
   }
+
+  test("fixed chunking: covering, stride-spaced, never a redundant tail") {
+    import spark.implicits._
+    // Random doc lengths including all the boundary shapes around one
+    // window (0, 1, overlap, size-1, size, size+1, multiples of stride).
+    val lens = sample(Gen.chooseNum(0, 90), 60).distinct
+    val docs = lens.zipWithIndex
+      .map { case (n, i) => (i.toLong, (0 until n).map(j => s"t$j").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val out = graft.llm.Pack.fixedChunks(docs, "doc_id", "text",
+        chunkSize = 16, overlap = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .groupBy(_._1)
+    lens.zipWithIndex.foreach { case (n, i) =>
+      val cs = out(i.toLong).sortBy(_._2)
+      // chunk_idx is dense from 0; starts are stride-spaced
+      assert(cs.map(_._2).toSeq == cs.indices.toSeq)
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 - a._3 == 12); case _ =>
+      }
+      if (n == 0) assert(cs.toSeq == Seq((i.toLong, 0, 0, 0)))
+      else {
+        // coverage: last chunk reaches exactly the end
+        assert(cs.map(c => c._3 + c._4).max == n)
+        // every chunk except possibly the last is full-size
+        cs.dropRight(1).foreach(c => assert(c._4 == 16))
+        // no redundant tail: a chunk must add at least one new token
+        cs.sliding(2).foreach {
+          case Array(a, b) => assert(b._3 + b._4 > a._3 + a._4); case _ =>
+        }
+      }
+    }
+  }
+
+  test("heavy hitters: error bound holds for arbitrary streams and caps") {
+    val item = Gen.frequency(3 -> Gen.const("hot"), 2 -> Gen.const("warm"),
+      5 -> Gen.chooseNum(0, 200).map(i => s"cold$i"))
+    (0 until 5).foreach { trial =>
+      val xs = (0 until 400).flatMap(i =>
+        item.apply(Gen.Parameters.default, Seed(trial * 1000L + i)))
+      val cap = 4 + trial * 3
+      val b = xs.foldLeft(graft.operators.HeavyHitters.emptyBuf(cap))(_.insert(_))
+      val truth = xs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      assert(b.counts.size <= cap)
+      b.counts.foreach { case (k, est) =>
+        assert(est <= truth(k) && truth(k) - est <= b.err)
+      }
+      truth.foreach { case (k, c) =>
+        if (c > b.err) assert(b.counts.contains(k))
+      }
+    }
+  }
 }
