@@ -997,6 +997,33 @@ object Registry {
       .orderBy("split")
   }
 
+  /** Robust (median/MAD) outlier detection per event type — the standard
+    * data-quality gate before a metric feeds training or dashboards
+    * (mean/stddev z-scores are themselves corrupted by the outliers they
+    * hunt; median ± k·MAD is not). Two exact-percentile passes with the
+    * tiny per-type medians BROADCAST back — no window over the full
+    * relation, so the shape survives any corpus size. 4.4478 = 3·1.4826
+    * (the normal-consistency constant), written folded on both sides. */
+  private def qcRobustOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").select(col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("absdev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(absdev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("med")).as("med"),
+        min(col("mad")).as("mad"),
+        sum(when(col("absdev") > col("mad") * 4.4478, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_frac",
+        floor(col("n_outliers") * 10000.0 / col("n_events") + 0.5) / 10000)
+      .orderBy("event_type")
+  }
+
   /** Length-bucketed batching report: assign each document to a
     * power-of-two token-length bucket and report the padding waste of
     * batching within buckets vs one global padded batch — the measurement
@@ -2268,6 +2295,7 @@ object Registry {
     "q_llm_web_funnel" -> q(llmWebFunnel),
     "q_llm_length_buckets" -> q(llmLengthBuckets),
     "q_llm_cluster_best" -> q(llmClusterBest),
+    "q_qc_robust_outliers" -> q(qcRobustOutliers),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -2643,6 +2671,26 @@ object Registry {
            md5(array_to_string(list_slice(t, start_tok + 1, start_tok + 32),
                ' ')) AS chunk_hash
          FROM ex ORDER BY doc_id, chunk_idx""",
+    // percentile <-> quantile_cont is the proven exact-interpolation
+    // pairing (q_agg_quantiles); med/absdev/mad are single deterministic
+    // float ops on identical multisets.
+    "q_qc_robust_outliers" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                      FROM events GROUP BY event_type),
+         dev AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS absdev
+                 FROM events e JOIN med m USING (event_type)),
+         mad AS (SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+                 FROM dev GROUP BY event_type),
+         j AS (SELECT d.event_type, d.med, mad.mad, d.absdev
+               FROM dev d JOIN mad USING (event_type)),
+         g AS (SELECT event_type, count(*) AS n_events, min(med) AS med,
+                 min(mad) AS mad,
+                 sum(CASE WHEN absdev > mad * 4.4478 THEN 1 ELSE 0 END)
+                   AS n_outliers
+               FROM j GROUP BY event_type)
+         SELECT event_type, n_events, med, mad, n_outliers,
+           floor(n_outliers * 10000.0 / n_events + 0.5) / 10000 AS outlier_frac
+         FROM g ORDER BY event_type""",
     "q_llm_length_buckets" ->
       """WITH w AS (SELECT
              len(CASE WHEN trim(text) = '' THEN []::VARCHAR[]

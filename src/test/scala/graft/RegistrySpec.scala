@@ -14,8 +14,8 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size and oracle coverage match COVERAGE.md") {
-    assert(SparkEntry.queries.size == 147)
-    assert(SparkEntry.oracleSql.size == 134)
+    assert(SparkEntry.queries.size == 148)
+    assert(SparkEntry.oracleSql.size == 135)
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
     assert(rowsOnly.size == 13, s"rows-only set drifted: $rowsOnly")
   }
