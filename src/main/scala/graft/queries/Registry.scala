@@ -997,6 +997,33 @@ object Registry {
       .orderBy("split")
   }
 
+  /** CCNet-style perplexity bucketing: score every document with the
+    * corpus bigram LM, then split head/middle/tail at the tercile
+    * THRESHOLDS (two percentiles broadcast back and compared) — the way
+    * CCNet actually partitions, and crucially NOT a global ntile window,
+    * which would collapse the corpus onto one partition. Threshold
+    * comparisons are safe cross-engine: avg_logp sits on the 1e-6 grid
+    * and interpolated terciles are interior points, so a final-ulp
+    * difference cannot flip a bucket. */
+  private def llmCcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val model = graft.llm.NgramLm.fit(docs, "text")
+    val scored = graft.llm.NgramLm.scoreAvgLogProb(docs, "doc_id", "text", model)
+    val th = scored.agg(
+      expr("percentile(avg_logp, 2.0/3)").as("t_high"),
+      expr("percentile(avg_logp, 1.0/3)").as("t_low"))
+    scored.crossJoin(broadcast(th))
+      .withColumn("bucket",
+        when(col("avg_logp") >= col("t_high"), "head")
+          .when(col("avg_logp") >= col("t_low"), "middle")
+          .otherwise("tail"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("avg_logp")).as("best_logp"),
+        min(col("avg_logp")).as("worst_logp"))
+      .orderBy("bucket")
+  }
+
   /** Robust (median/MAD) outlier detection per event type — the standard
     * data-quality gate before a metric feeds training or dashboards
     * (mean/stddev z-scores are themselves corrupted by the outliers they
@@ -2296,6 +2323,7 @@ object Registry {
     "q_llm_length_buckets" -> q(llmLengthBuckets),
     "q_llm_cluster_best" -> q(llmClusterBest),
     "q_qc_robust_outliers" -> q(qcRobustOutliers),
+    "q_llm_ccnet_buckets" -> q(llmCcnetBuckets),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -2671,6 +2699,41 @@ object Registry {
            md5(array_to_string(list_slice(t, start_tok + 1, start_tok + 32),
                ' ')) AS chunk_hash
          FROM ex ORDER BY doc_id, chunk_idx""",
+    // Same LM CTE chain as q_llm_lm_score, then tercile thresholds +
+    // bucket comparison (see the builder for why threshold ulps are safe).
+    "q_llm_ccnet_buckets" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                     FROM documents),
+         g AS (SELECT doc_id,
+                 CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                      ELSE list_transform(range(1, len(t)),
+                             i -> t[i] || ' ' || t[i+1]) END AS grams
+               FROM tk),
+         dg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         big AS (SELECT gram, count(*) AS c2 FROM dg GROUP BY gram),
+         unic AS (SELECT tok, count(*) AS c1
+                  FROM (SELECT unnest(t) AS tok FROM tk) GROUP BY tok),
+         v AS (SELECT count(*) AS vs FROM unic),
+         terms AS (SELECT d.doc_id,
+                     floor(ln((COALESCE(b.c2, 0) + 1.0)
+                       / (COALESCE(u.c1, 0) + v.vs)) * 1e8 + 0.5) / 1e8 AS logp
+                   FROM dg d
+                   LEFT JOIN big b USING (gram)
+                   LEFT JOIN unic u ON string_split(d.gram, ' ')[1] = u.tok
+                   CROSS JOIN v),
+         sc AS (SELECT doc_id,
+                  floor(CAST(SUM(CAST(logp AS DECIMAL(28,8))) AS DOUBLE)
+                    / count(*) * 1e6 + 0.5) / 1e6 AS avg_logp
+                FROM terms GROUP BY doc_id),
+         th AS (SELECT quantile_cont(avg_logp, 2.0/3) AS t_high,
+                       quantile_cont(avg_logp, 1.0/3) AS t_low FROM sc),
+         b AS (SELECT CASE WHEN avg_logp >= t_high THEN 'head'
+                           WHEN avg_logp >= t_low THEN 'middle'
+                           ELSE 'tail' END AS bucket, avg_logp
+               FROM sc CROSS JOIN th)
+         SELECT bucket, count(*) AS n_docs, max(avg_logp) AS best_logp,
+           min(avg_logp) AS worst_logp
+         FROM b GROUP BY bucket ORDER BY bucket""",
     // percentile <-> quantile_cont is the proven exact-interpolation
     // pairing (q_agg_quantiles); med/absdev/mad are single deterministic
     // float ops on identical multisets.

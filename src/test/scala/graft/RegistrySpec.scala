@@ -14,8 +14,8 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size and oracle coverage match COVERAGE.md") {
-    assert(SparkEntry.queries.size == 148)
-    assert(SparkEntry.oracleSql.size == 135)
+    assert(SparkEntry.queries.size == 149)
+    assert(SparkEntry.oracleSql.size == 136)
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
     assert(rowsOnly.size == 13, s"rows-only set drifted: $rowsOnly")
   }
