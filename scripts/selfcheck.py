@@ -59,6 +59,16 @@ def main():
             print(f"SCHEMA  {name}: spark={gcols} oracle={wcols}")
             n_fail += 1
             continue
+        # Driver hash is type-sensitive: DuckDB SUM(BIGINT)->DECIMAL(38,0)
+        # vs Spark int64 must FAIL here even though Python == would pass.
+        gtypes = {f.name: str(f.type) for f in got.schema}
+        wtypes = {f.name: str(f.type) for f in want.schema}
+        if gtypes != wtypes:
+            diff = {c: (gtypes[c], wtypes[c]) for c in gtypes
+                    if gtypes[c] != wtypes[c]}
+            print(f"TYPES   {name}: spark-vs-oracle {diff}")
+            n_fail += 1
+            continue
         if got.num_rows != want.num_rows:
             print(f"ROWS    {name}: spark={got.num_rows} oracle={want.num_rows}")
             n_fail += 1

@@ -79,10 +79,11 @@ object Bench {
     }
     // The harness that captures this output keeps only the final 2000
     // characters of the log (sbt's trailing "[success] Total time" line
-    // included), so the one parseable JSON line must fit with ALL query
-    // timings present: per-query values print at decisecond precision in
-    // minimal form ("0.5", "8.5", "2") — honest on a host whose bench noise
-    // is far larger — and full nanosecond precision goes to a sidecar file.
+    // included). At 149 queries a full per-query map (~1,900 chars) no
+    // longer fits — r6's BENCH line was truncated to `parsed: null`. The
+    // stdout line therefore carries only the headline total plus the 12
+    // slowest queries (the ones worth a glance); the FULL per-query map at
+    // nanosecond precision always goes to the bench_full.json sidecar.
     def compact(v: Double, scale: Int): String =
       if (v < 0) "-1"
       else new java.math.BigDecimal(v).setScale(scale, java.math.RoundingMode.HALF_UP)
@@ -90,7 +91,7 @@ object Bench {
     val keys = results.map { case (k, _) => benchKey(k) }
     require(keys.distinct.size == keys.size,
       s"bench compact keys collide: ${keys.diff(keys.distinct).mkString(",")}")
-    val qs = results.map { case (k, v) =>
+    val qs = results.sortBy(-_._2).take(12).map { case (k, v) =>
       "\"" + benchKey(k) + "\":" + compact(v, 1)
     }.mkString("{", ",", "}")
     val ok = results.filter(_._2 >= 0)
@@ -105,12 +106,16 @@ object Bench {
       .mkString("{", ",", "}")
     val failedField = if (failed > 0) s""","failed":$failed""" else ""
     val line =
-      s"""{"metric":"total","value":${compact(total, 2)},"unit":"sec","queries":$qs$failedField,"sf":$sfToken}"""
+      s"""{"metric":"total","value":${compact(total, 2)},"unit":"sec","n_queries":${results.size},"queries":$qs$failedField,"sf":$sfToken}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failed,"sf":"$sfDir"}""" + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
     System.err.println(s"[bench] line length: ${line.length} chars")
-    println(line)
+    require(line.length <= 1200,
+      s"bench line ${line.length} chars risks the 2000-char stdout tail")
     spark.stop()
+    // Printed AFTER spark.stop() so nothing can interleave below it; only
+    // sbt's short "[success]" trailer follows in the captured tail.
+    println(line)
   }
 }

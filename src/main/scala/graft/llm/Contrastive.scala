@@ -38,7 +38,8 @@ object Contrastive {
         col("neg_id").cast("string"))))
       .withColumn("pick_rank", row_number().over(w))
       .filter(col("pick_rank") <= k)
-      .select(col("anchor_id"), col("neg_id"), col("pick_rank"))
+      .select(col("anchor_id"), col("neg_id"),
+        col("pick_rank").cast("long").as("pick_rank"))
   }
 
   /** Curriculum ordering: phase documents easiest-first by a difficulty
@@ -65,7 +66,7 @@ object Contrastive {
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
     docs.crossJoin(broadcast(bounds))
       .withColumn("phase", phase)
-      .withColumn("phase_pos", row_number().over(inPhase))
+      .withColumn("phase_pos", row_number().over(inPhase).cast("long"))
       .drop((1 until phases).map(i => s"_c$i"): _*)
   }
 }

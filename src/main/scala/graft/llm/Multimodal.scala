@@ -67,26 +67,31 @@ object Multimodal {
     * allocation). */
   def decodeImage(payload: Array[Byte]): Option[(Int, Int, Long)] =
     try {
+      // createImageInputStream defaults to a FileCacheImageInputStream
+      // (open temp file + fd); it must close on EVERY exit path — early
+      // returns included — or a corpus-scale decode leaks one fd per row.
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) return None
-      val reader = readers.next()
       try {
-        reader.setInput(iis)
-        val (w, h) = (reader.getWidth(0), reader.getHeight(0))
-        if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) return None
-        val im = reader.read(0)
-        val raster = im.getRaster
-        var sum = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
-          y += 1
-        }
-        Some((w, h, sum))
-      } finally reader.dispose()
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) return None
+          val im = reader.read(0)
+          val raster = im.getRaster
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          Some((w, h, sum))
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Partition-local decode: rows stream through without collecting (the

@@ -70,9 +70,11 @@ object Pack {
         sequence(lit(0), greatest(size(col("_t")) - overlap - 1, lit(0)), lit(stride)))
       .select(col(idCol), col("_t"),
         posexplode(col("_starts")).as(Seq("chunk_idx", "_start")))
-      .select(col(idCol), col("chunk_idx"),
-        col("_start").as("start_tok"),
-        size(window).as("n_tokens"),
+      // int64 outputs: the engine-wide convention (oracle parity — DuckDB
+      // list positions/lengths are BIGINT, and the driver hash sees types).
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("_start").cast("long").as("start_tok"),
+        size(window).cast("long").as("n_tokens"),
         md5(array_join(window, " ")).as("chunk_hash"))
   }
 

@@ -50,14 +50,17 @@ object Similarity {
     * that cannot be method-split — fused with a sort/join stage at dim 64
     * it blew Janino's 64 KB method limit and dropped the stage to
     * interpreted eval). The loop kernel accumulates in the same ascending
-    * index order as both prior forms, so results are bit-identical; `dim`
-    * stays in the signature for call-site documentation and parity with
-    * the fixed-dimension contract, though the kernel reads the runtime
-    * length. */
+    * index order as both prior forms, so results are bit-identical. `dim`
+    * is ENFORCED, not documentation: the original element_at form returned
+    * NULL past the array end, so a shorter-than-declared array nulled out;
+    * the loop kernel alone would happily return a truncated-but-plausible
+    * cosine. The size guard restores the length-assertion semantics. */
   def cosineUnrolled(a: Column, b: Column, dim: Int): Column = {
     val na = sqrt(dot(a, a))
     val nb = sqrt(dot(b, b))
-    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
+    when(size(a) =!= dim || size(b) =!= dim, lit(null).cast("double"))
+      .when(na === 0.0 || nb === 0.0, lit(0.0))
+      .otherwise(dot(a, b) / (na * nb))
   }
 
   /** Native loop dot product (the single shared Column entry point for

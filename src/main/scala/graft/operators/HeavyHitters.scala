@@ -11,10 +11,13 @@ import org.apache.spark.sql.expressions.Aggregator
   *
   * Structure: Misra–Gries counters with a batched purge. At most `cap`
   * counters are kept; when an unseen item arrives with the table full, the
-  * MINIMUM counter value is subtracted from every counter and zeros are
-  * dropped (classic MG subtracts 1; subtracting the min clears the whole
-  * unit-count tail of a Zipf distribution in one O(cap) pass, so the purge
-  * amortizes over many subsequent misses instead of firing per miss).
+  * minimum counter value is subtracted from every counter and zeros are
+  * dropped. In `insert` that minimum is always exactly 1 (the just-admitted
+  * item enters with count 1), so the subtraction IS classic MG subtract-1 —
+  * err grows by 1 per purge, never faster. What the batching buys is purely
+  * the drop: one O(cap) pass clears the whole unit-count tail of a Zipf
+  * distribution, freeing many slots, so the purge amortizes over many
+  * subsequent misses instead of firing per miss.
   * Merging follows Agarwal et al., "Mergeable Summaries" (PODS 2012):
   * pointwise-sum the counter tables, then subtract the (cap+1)-th largest
   * value and keep strictly-positive counters.

@@ -883,9 +883,9 @@ object Registry {
     t(spark, dir, "documents")
       .select(col("doc_id"), dirty.as("dirty"))
       .select(col("doc_id"),
-        size(split(col("dirty"), "\n")).as("n_lines_in"),
+        size(split(col("dirty"), "\n")).cast("long").as("n_lines_in"),
         size(split(TextAnalysis.stripBoilerplate(col("dirty")), "\n"))
-          .as("n_lines_kept"),
+          .cast("long").as("n_lines_kept"),
         md5(TextAnalysis.stripBoilerplate(col("dirty"))).as("clean_hash"))
       .orderBy("doc_id")
   }
@@ -1136,8 +1136,8 @@ object Registry {
     t(spark, dir, "documents")
       .select(col("doc_id"), TextAnalysis.htmlToText(html).as("txt"))
       .select(col("doc_id"),
-        length(col("txt")).as("n_chars"),
-        size(split(col("txt"), "\n")).as("n_lines"),
+        length(col("txt")).cast("long").as("n_chars"),
+        size(split(col("txt"), "\n")).cast("long").as("n_lines"),
         md5(col("txt")).as("txt_hash"))
       .orderBy("doc_id")
   }
@@ -1156,7 +1156,7 @@ object Registry {
     val norm = TextAnalysis.unicodeNormalize(concat(col("text"), lit("e\u0301")))
     t(spark, dir, "documents")
       .select(col("doc_id"), md5(norm).as("norm_hash"),
-        length(norm).as("norm_chars"))
+        length(norm).cast("long").as("norm_chars"))
       .orderBy("doc_id")
   }
 
@@ -2044,7 +2044,7 @@ object Registry {
     val wMa = w.rowsBetween(-2, 0)
     t(spark, dir, "events").filter(col("user_id") < 10)
       .select(col("user_id"), col("event_id"), col("value"),
-        row_number().over(w).as("rn"),
+        row_number().over(w).cast("long").as("rn"),
         (floor((col("value") - coalesce(lag(col("value"), 1).over(w),
           lit(0.0))) * 1e4 + 0.5) / 1e4).as("delta"),
         // Decimal window sum (order-independent) / exact count, rounded:
@@ -2107,16 +2107,23 @@ object Registry {
         .as("n_full_funnel"))
   }
 
-  /** Mergeable quantile sketch (custom typed Aggregator): per-flag p50/p99
-    * estimates next to the exact percentiles they approximate. The sketch
-    * is O(k·log n) memory with map-side partial aggregation — the 100 TB
-    * answer to sort-buffering exact percentiles. Estimates are merge-tree-
-    * dependent → rows-only; QuantileSketchSpec bounds rank error ≤ 5%. */
+  /** Mergeable quantile sketch (custom typed Aggregator): O(k·log n)
+    * memory with map-side partial aggregation — the 100 TB answer to
+    * sort-buffering exact percentiles. The sketch's raw estimates are
+    * merge-tree-DEPENDENT (reduce-side combine follows shuffle fetch
+    * order), so surfacing them would break the engine's bit-identical
+    * reproducibility contract. The query therefore replays the sketch's
+    * ±5% rank-error contract in-plan — the empirical rank of each estimate
+    * within its group, checked against the bound — and surfaces only that
+    * merge-order-INVARIANT verdict beside the exact percentiles. That
+    * also makes the query oracle-checkable: DuckDB replays the exact
+    * percentiles and asserts the verdict columns are literally 1. */
   private def aggSketchQuantiles(spark: SparkSession, dir: String): DataFrame = {
     val sk = udaf(graft.operators.QuantileSketch.SketchAgg(
       k = 200, qs = Seq(0.5, 0.99)))
-    t(spark, dir, "lineitem")
-      .groupBy("l_returnflag")
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val est = li.groupBy("l_returnflag")
       .agg(sk(col("l_extendedprice")).as("est"),
         expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
         expr("percentile(l_extendedprice, 0.99)").as("p99_exact"))
@@ -2124,6 +2131,22 @@ object Registry {
         element_at(col("est"), 1).as("p50_sketch"),
         element_at(col("est"), 2).as("p99_sketch"),
         col("p50_exact"), col("p99_exact"))
+    li.join(broadcast(est), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        (sum(when(col("l_extendedprice") <= col("p50_sketch"), 1L)
+          .otherwise(0L)).cast("double") / count(lit(1))).as("r50"),
+        (sum(when(col("l_extendedprice") <= col("p99_sketch"), 1L)
+          .otherwise(0L)).cast("double") / count(lit(1))).as("r99"),
+        first(col("p50_exact")).as("p50x"),
+        first(col("p99_exact")).as("p99x"))
+      .select(col("l_returnflag"),
+        graft.llm.Similarity.roundHalfUp(col("p50x"), 4).as("p50_exact"),
+        graft.llm.Similarity.roundHalfUp(col("p99x"), 4).as("p99_exact"),
+        when(abs(col("r50") - 0.5) <= 0.05, 1L).otherwise(0L)
+          .as("p50_rank_ok"),
+        when(abs(col("r99") - 0.99) <= 0.05, 1L).otherwise(0L)
+          .as("p99_rank_ok"))
       .orderBy("l_returnflag")
   }
 
@@ -2327,6 +2350,17 @@ object Registry {
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
+    // Sketch estimates never surface (merge-tree-dependent); the query
+    // emits the exact percentiles (4dp half-up) plus in-plan rank-error
+    // verdicts the oracle asserts as literal 1 — see aggSketchQuantiles.
+    "q_agg_sketch_quantiles" ->
+      """SELECT l_returnflag,
+           floor(quantile_cont(l_extendedprice, 0.5) * 10000 + 0.5) / 10000
+             AS p50_exact,
+           floor(quantile_cont(l_extendedprice, 0.99) * 10000 + 0.5) / 10000
+             AS p99_exact,
+           CAST(1 AS BIGINT) AS p50_rank_ok, CAST(1 AS BIGINT) AS p99_rank_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_f1_parse_date" ->
       """SELECT o_orderkey,
          CASE o_orderkey % 6
@@ -2748,8 +2782,8 @@ object Registry {
                FROM dev d JOIN mad USING (event_type)),
          g AS (SELECT event_type, count(*) AS n_events, min(med) AS med,
                  min(mad) AS mad,
-                 sum(CASE WHEN absdev > mad * 4.4478 THEN 1 ELSE 0 END)
-                   AS n_outliers
+                 CAST(sum(CASE WHEN absdev > mad * 4.4478 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_outliers
                FROM j GROUP BY event_type)
          SELECT event_type, n_events, med, mad, n_outliers,
            floor(n_outliers * 10000.0 / n_events + 0.5) / 10000 AS outlier_frac
@@ -2760,13 +2794,13 @@ object Registry {
                  ELSE string_split_regex(trim(text), '\s+') END) AS wc
            FROM documents),
          b AS (SELECT wc,
-             CASE WHEN wc <= 16 THEN 16 WHEN wc <= 32 THEN 32
+             CAST(CASE WHEN wc <= 16 THEN 16 WHEN wc <= 32 THEN 32
                   WHEN wc <= 64 THEN 64 WHEN wc <= 128 THEN 128
                   WHEN wc <= 256 THEN 256 WHEN wc <= 512 THEN 512
-                  ELSE 1024 END AS bucket
+                  ELSE 1024 END AS BIGINT) AS bucket
            FROM w),
          g AS (SELECT bucket, count(*) AS n_docs, max(wc) AS max_tokens,
-                 sum(wc) AS sum_tokens
+                 CAST(sum(wc) AS BIGINT) AS sum_tokens
                FROM b GROUP BY bucket)
          SELECT bucket, n_docs, max_tokens, sum_tokens,
            floor((n_docs * max_tokens - sum_tokens) * 10000.0
@@ -2823,7 +2857,7 @@ object Registry {
          lab AS (SELECT CASE WHEN md5(fp) < 'e6666666' THEN 'train'
                              ELSE 'val' END AS split, wc
                  FROM d WHERE rn = 1)
-         SELECT split, count(*) AS n_docs, sum(wc) AS total_tokens
+         SELECT split, count(*) AS n_docs, CAST(sum(wc) AS BIGINT) AS total_tokens
          FROM lab GROUP BY split ORDER BY split""",
     // α=0.5 via sqrt (correctly-rounded IEEE both engines); renormalizing
     // sum in integer 1e-12 units; every float expression mirrored
@@ -2833,7 +2867,7 @@ object Registry {
              len(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
                  ELSE string_split_regex(trim(text), '\s+') END) AS n
            FROM documents),
-         s AS (SELECT source, count(*) AS n_docs, sum(n) AS tokens
+         s AS (SELECT source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS tokens
                FROM tk GROUP BY source),
          t AS (SELECT *, sum(tokens) OVER () AS total FROM s),
          qq AS (SELECT *, CAST(floor(
@@ -2859,10 +2893,10 @@ object Registry {
              count(*) AS n_docs,
              max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS is_train
            FROM lab GROUP BY fp)
-         SELECT count(*) AS n_groups, sum(n_docs) AS n_docs,
+         SELECT count(*) AS n_groups, CAST(sum(n_docs) AS BIGINT) AS n_docs,
            max(n_splits) AS max_splits_per_group,
-           sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS n_leaky_groups,
-           sum(CASE WHEN is_train = 1 THEN n_docs ELSE 0 END) AS n_train_docs
+           CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_groups,
+           CAST(sum(CASE WHEN is_train = 1 THEN n_docs ELSE 0 END) AS BIGINT) AS n_train_docs
          FROM g""",
     // Exact because cap=4096 > distinct tokens: no purge ever fires. The
     // CASE mirrors tokens()'s empty-text -> empty-array contract (raw
@@ -3755,7 +3789,7 @@ object Registry {
     "q_llm_export_shards" -> s"""
       SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '${graft.llm.Sampling.hexThreshold(0.9)}'
                   THEN 'train' ELSE 'val' END AS split,
-             count(*) AS n_docs, SUM(n_chars) AS total_chars,
+             count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
              MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
       FROM documents GROUP BY 1 ORDER BY split""",
     "q_e_funnel_conversion" ->

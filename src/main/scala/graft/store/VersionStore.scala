@@ -186,7 +186,15 @@ final class VersionStore(val spark: SparkSession, val root: String) {
     * the ledger append leaves a state a replay repairs: re-staging
     * deletes that part's previous files (deterministic `p<part>-<i>` names)
     * before renaming the fresh ones in, so a half-moved earlier attempt
-    * can never leave extra rows behind. Returns rows landed (0 = skipped). */
+    * can never leave extra rows behind. Returns rows landed (0 = skipped).
+    *
+    * Concurrency contract: ONE writer per store root. The metadata swap is
+    * a whole-file rename with a per-JVM cache, so two concurrent driver
+    * processes can interleave hasPart→stage→commit and double-append the
+    * ledger (data files stay deduplicated via the deterministic names; the
+    * part ledger and its counters would not). Within one JVM the re-probe
+    * inside the synchronized [[commitPart]] closes that window — a zombie
+    * foreachBatch replay on the same driver lands exactly once. */
   def landPart(table: String, versionId: Long, partNumber: Int,
                df: DataFrame, fileHash: String, fileName: String): Long = {
     if (hasPart(versionId, partNumber)) return 0L
@@ -225,11 +233,16 @@ final class VersionStore(val spark: SparkSession, val root: String) {
     n
   }
 
-  /** Ledger append — the atomic commit point of [[landPart]]. */
+  /** Ledger append — the atomic commit point of [[landPart]]. The
+    * uniqueness guard lives HERE, not only in the caller's earlier
+    * [[hasPart]] probe: re-probing under the lock turns landPart's
+    * check-then-act into a safe compare-and-commit for same-JVM replays. */
   private[graft] def commitPart(versionId: Long, partNumber: Int,
                                 fileHash: String, fileName: String,
-                                recordCount: Long): Unit =
-    appendPart(versionId, partNumber, fileHash, fileName, recordCount)
+                                recordCount: Long): Unit = synchronized {
+    if (!hasPart(versionId, partNumber))
+      appendPart(versionId, partNumber, fileHash, fileName, recordCount)
+  }
 
   /** S7's relational-sink sibling: write a version's rows to an external
     * RDBMS over JDBC in 1000-row insert batches — the same page size as the

@@ -18,7 +18,7 @@ class ContrastiveSpec extends SparkSpecBase {
     byAnchor.foreach { case (a, rows) =>
       assert(rows.length == 3, s"anchor $a got ${rows.length}")
       assert(!rows.exists(_.getLong(1) == a), s"anchor $a sampled itself")
-      assert(rows.map(_.getInt(2)).sorted.toSeq == Seq(1, 2, 3))
+      assert(rows.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L, 3L))
     }
     val again = Contrastive.negativeSamples(docs(300), "id", k = 3).collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet ==
@@ -45,7 +45,7 @@ class ContrastiveSpec extends SparkSpecBase {
     }
     // within-phase positions are 1..|phase| and the shuffle is deterministic
     out.groupBy(_.getInt(2)).foreach { case (_, rows) =>
-      assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to rows.length))
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1 to rows.length).map(_.toLong))
     }
   }
 }

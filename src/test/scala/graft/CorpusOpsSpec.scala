@@ -235,7 +235,7 @@ class CorpusOpsSpec extends SparkSpecBase {
     val words = (0 until 23).map(i => s"w$i")
     val df = docs((1L, words.mkString(" ")), (2L, "a b c"), (3L, "solo"))
     val out = Pack.fixedChunks(df, "doc_id", "text", chunkSize = 8, overlap = 3)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt, r.getLong(3).toInt))
       .groupBy(_._1)
     // doc 1: n=23, stride=5 -> starts 0,5,10,15 (15+8=23 reaches the end;
     // a start at 20 would add nothing new and must NOT be emitted).

@@ -214,7 +214,7 @@ class PropertySpec extends SparkSpecBase {
     val out = graft.llm.Pack.fixedChunks(docs, "doc_id", "text",
         chunkSize = 16, overlap = 4)
       .collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt, r.getLong(3).toInt))
       .groupBy(_._1)
     lens.zipWithIndex.foreach { case (n, i) =>
       val cs = out(i.toLong).sortBy(_._2)
