@@ -18,6 +18,7 @@ object ScaleSmoke {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.parquet
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -177,6 +178,72 @@ object ScaleSmoke {
       graft.operators.PageRank.run(prEdges, "src", "dst", iterations = 10)
         .orderBy(col("rank").desc).limit(5).collect())
     println(s"[scale] pagerank top node: ${prTop.head.get(0)} @ ${prTop.head.get(1)}")
+
+    // Round-6 aggregate reports at 20×: each one's scale contract is that
+    // the corpus relation is NEVER broadcast — only KB-scale summaries
+    // (per-source totals, per-type medians, tercile thresholds) are. The
+    // blown-up corpus is far past any broadcast threshold, so a plan that
+    // silently depended on the sf-sized table being broadcastable fails
+    // loudly here instead of at 100 TB.
+    val wc20 = graft.llm.TextAnalysis.tokenCount(col("text")).cast("long")
+    val bucket20 = when(wc20 <= 16, 16L).when(wc20 <= 32, 32L)
+      .when(wc20 <= 64, 64L).when(wc20 <= 128, 128L).when(wc20 <= 256, 256L)
+      .when(wc20 <= 512, 512L).otherwise(1024L)
+    val lbRows = timed("length buckets (groupBy over 20x corpus)")(
+      big.select(wc20.as("wc"), bucket20.as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), max("wc").as("max_tokens"),
+          sum("wc").as("sum_tokens")).count())
+    println(s"[scale] length buckets: $lbRows")
+
+    // Temperature mix: the window relation is per-SOURCE (~10 rows) even
+    // at 20× — the single-partition window stays a non-hazard by design.
+    val srcField = pmod(col("doc_id"), lit(20)).cast("string")
+    val tmRows = timed("temperature mix (per-source totals + unit renorm)")(
+      big.groupBy(srcField.as("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(wc20).as("tokens"))
+        .withColumn("total", sum(col("tokens")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(0))))
+        .withColumn("qu", floor(sqrt(col("tokens").cast("double")
+          / col("total").cast("double")) * 1e12 + 0.5).cast("long"))
+        .count())
+    println(s"[scale] temperature-mix sources: $tmRows")
+
+    // Robust outliers over 20× events: two exact-percentile passes with
+    // tiny per-type medians broadcast back — no window over the relation.
+    val ev20 = spark.read.parquet(s"$sfDir/events.parquet")
+      .crossJoin(spark.range(factor).withColumnRenamed("id", "rep"))
+      .select(col("event_type"),
+        (col("value") + col("rep").cast("double") * 1e-6).as("value"))
+    val med20 = ev20.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev20 = ev20.join(broadcast(med20), Seq("event_type"))
+      .withColumn("absdev", abs(col("value") - col("med")))
+    val mad20 = dev20.groupBy("event_type")
+      .agg(expr("percentile(absdev, 0.5)").as("mad"))
+    val outRows = timed("robust outliers (median/MAD, broadcast summaries)")(
+      dev20.join(broadcast(mad20), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("absdev") > col("mad") * 4.4478, 1L).otherwise(0L))
+            .as("n_outliers")).count())
+    println(s"[scale] outlier event types: $outRows")
+
+    // CCNet buckets: LM fit reads a bounded vocab relation; scoring is a
+    // broadcast-model scan; terciles are a 3-double broadcast.
+    val ccScored = graft.llm.NgramLm.scoreAvgLogProb(
+      big, "doc_id", "text", lmModel)
+    val ccTh = ccScored.agg(
+      expr("percentile(avg_logp, 2.0/3)").as("t_high"),
+      expr("percentile(avg_logp, 1.0/3)").as("t_low"))
+    val ccRows = timed("ccnet buckets (broadcast terciles over 20x)")(
+      ccScored.crossJoin(broadcast(ccTh))
+        .withColumn("bucket",
+          when(col("avg_logp") >= col("t_high"), "head")
+            .when(col("avg_logp") >= col("t_low"), "middle")
+            .otherwise("tail"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_docs")).count())
+    println(s"[scale] ccnet buckets: $ccRows")
 
     spark.stop()
   }

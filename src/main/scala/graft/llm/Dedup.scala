@@ -165,6 +165,15 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Pair-count gate below which [[connectedComponents]] solves the
+    * component fixpoint with a driver-side union-find instead of iterative
+    * Spark rounds. A near-dup pair list this small costs more in
+    * per-round scheduling (each label-propagation round is a join + agg +
+    * checkpoint + convergence count) than the whole problem costs in
+    * memory: ≤1M (long, long) pairs is ~16 MB — a bounded driver read of
+    * the same class as the BPE merge table or k-means centroids. */
+  val SmallGraphMaxPairs: Long = 1L << 20
+
   /** Connected components over an undirected near-dup pair list
     * (id_a, id_b): iterative min-label propagation — each round every node
     * takes the minimum label among itself and its neighbors, until no label
@@ -175,6 +184,12 @@ object Dedup {
     * it the iterated plan nests one join deeper per round and Catalyst
     * re-analysis, not execution, becomes the cost.
     *
+    * Below [[SmallGraphMaxPairs]] symmetrized pairs (with integral ids),
+    * the fixpoint is computed exactly by a driver union-find in ONE job —
+    * iterating a 32-way cluster schedule over a KB-scale graph is pure
+    * scheduler floor. The output is identical: component = min reachable
+    * id, which is precisely what the union-find's per-root minimum yields.
+    *
     * Returns (id, component) where component = min id reachable. */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 50): DataFrame = {
@@ -182,6 +197,36 @@ object Dedup {
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Long ids only: the driver path must reproduce the distributed
+    // path's output schema exactly (id/component keep their input type).
+    val longIds = sym.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && sym.count() <= SmallGraphMaxPairs) {
+      val spark = edges.sparkSession
+      val pairs = sym.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      sym.unpersist()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var root = x
+        while (parent.getOrElse(root, root) != root) root = parent(root)
+        var cur = x // path compression
+        while (parent.getOrElse(cur, cur) != cur) {
+          val nxt = parent(cur); parent(cur) = root; cur = nxt
+        }
+        root
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        // Union by MIN root: the smaller id becomes the root, so every
+        // root is already its component's minimum member.
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val nodes = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+      import spark.implicits._
+      return nodes.toSeq.sorted.map(id => (id, find(id)))
+        .toDF("id", "component")
+    }
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint()
     var changed = 1L

@@ -37,45 +37,70 @@ object PageRank {
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           iterations: Int = 10, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    // Scheduler-floor guard: an iterative query launches
+    // iterations × stages × partitions tasks, so at KB/MB edge scale the
+    // session-wide partition count costs more in task launches than it
+    // buys in parallelism. Size partitions to ~128k edges each (floor 1,
+    // cap the session default, which large graphs keep). The pre-distinct
+    // input count is a scan-only upper bound — no extra shuffle to learn
+    // it. Partitioning never changes results — unit sums are exact and
+    // order-independent.
+    val mUpper = edges.count()
+    val defaultParts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val parts =
+      math.max(1L, math.min(defaultParts.toLong, mUpper / 131072L + 1L)).toInt
+    // The distinct edge relation is checkpointed ONCE, already hash-
+    // partitioned by src at the chosen width; the degree aggregation and
+    // the degree join both reuse that partitioning (no further exchange),
+    // and nodes derive from the checkpoint instead of re-running the
+    // distinct.
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().repartition(parts, col("src")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint() // tiny relation, reused every round
     val n = nodes.count()
-    // Degree-annotated edge list, materialized ONCE: without this the
-    // scan + distinct + degree aggregation re-executes inside every
-    // iteration (the dominant cost — an extra shuffle over the edge set
-    // per round).
     val eDeg = e.join(
         e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .localCheckpoint()
 
     val base = lit((1.0 - damping) / n)
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    for (i <- 1 to iterations) {
-      // Integer picorank units: exact, order-independent summation. One
-      // shuffle join (ranks ⋈ edges on src) + one aggregation per round.
-      val contribs = ranks
-        .join(eDeg, ranks("node") === eDeg("src"))
+    // The rank update folds INLINE into the next round's contribution
+    // join, so the loop carries only the small per-destination unit sums
+    // (`contribs`, ≤ |nodes| rows) instead of materializing a full ranks
+    // relation each round. That halves the per-round stage count — one
+    // eDeg ⋈ contribs left join (AQE broadcasts the tiny contribs side:
+    // no shuffle) + one partial-then-final aggregation (the round's single
+    // exchange) — which is what dominates iterative wall time at the
+    // scheduler floor, while staying algebraically IDENTICAL to the
+    // rank-relation form round for round: a node missing from contribs
+    // has no in-edges and takes rank = base, exactly as the left join's
+    // coalesce encodes. Integer picorank units keep every sum exact and
+    // order-independent, so this restructuring cannot move a single bit.
+    def rankExpr: org.apache.spark.sql.Column =
+      base + lit(damping) * (coalesce(col("in_units"), lit(0L)).cast("double") / 1e12)
+    var contribs = eDeg
+      .select(col("dst"),
+        floor(lit(1.0 / n) / col("outdeg") * 1e12 + 0.5).cast("long").as("units"))
+      .groupBy("dst").agg(sum("units").as("in_units"))
+    for (i <- 2 to iterations) {
+      contribs = eDeg
+        .join(contribs.withColumnRenamed("dst", "_cdst"),
+          col("src") === col("_cdst"), "left")
         .select(col("dst"),
-          floor(col("rank") / col("outdeg") * 1e12 + 0.5).cast("long").as("units"))
+          floor(rankExpr / col("outdeg") * 1e12 + 0.5).cast("long").as("units"))
         .groupBy("dst").agg(sum("units").as("in_units"))
-      ranks = nodes
-        .join(contribs, nodes("node") === contribs("dst"), "left")
-        .select(col("node"),
-          (base + lit(damping) *
-            (coalesce(col("in_units"), lit(0L)).cast("double") / 1e12)).as("rank"))
       // Truncate lineage every 3 rounds: keeps the plan O(1) deep (and
       // AQE re-plans each chunk with real sizes). Recompute on executor
       // loss is acceptable — each round is cheap relative to the
-      // full-lineage replay this prevents. At bench scale the per-round
-      // wall time is scheduler-floor-bound (tasks are ~KB); the
-      // data-proportional costs — one co-partitioned join + one partial
-      // aggregation over the edge set per round — are what scale.
-      if (i % 3 == 0 && i < iterations) ranks = ranks.localCheckpoint()
+      // full-lineage replay this prevents.
+      if (i % 3 == 0 && i < iterations) contribs = contribs.localCheckpoint()
     }
-    ranks.select(col("node"),
-      (floor(col("rank") * 1e9 + 0.5) / 1e9).as("rank"))
+    // Only the FINAL round needs the full node set (dangling-in nodes
+    // surface with rank = base via the left join's coalesce).
+    nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+      .select(col("node"),
+        (floor(rankExpr * 1e9 + 0.5) / 1e9).as("rank"))
   }
 
   /** The matching DuckDB oracle: unrolled CTE chain replaying the exact

@@ -67,6 +67,19 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(got.forall(_._2 == 0L))
   }
 
+  test("distributed label propagation (non-long ids skip the driver gate)") {
+    import spark.implicits._
+    // String ids bypass the small-graph union-find, so this pins the
+    // ITERATIVE path on the same worst-case diameter: zero-padded ids
+    // make lexicographic min == numeric min, labels must all be "000".
+    val edges = (0 until 299).map(i => (f"$i%03d", f"${i + 1}%03d"))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    assert(got.length == 300)
+    assert(got.forall(_._2 == "000"))
+  }
+
   test("cluster dedup: singletons self-labeled, one representative per cluster") {
     import spark.implicits._
     val d = docs((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
