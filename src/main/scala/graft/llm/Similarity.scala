@@ -126,14 +126,22 @@ object Similarity {
     bruteForceTopK(corpus.filter(col(partitionCol) === partitionValue),
       embCol, idCol, query, k)
 
-  /** Deterministic random hyperplanes for sign-LSH (fixed LCG seed). */
+  /** Deterministic sign-LSH hyperplanes, derived per component from
+    * md5("plane:i:j"): the first 13 hex chars (52 bits) scale to [-1, 1).
+    * md5 — not an LCG — so an external SQL engine can replay the exact
+    * plane values (`('0x' || substr(md5(...), 1, 13))::BIGINT`), which is
+    * what upgrades the LSH-family queries from rows-only to oracle-checked.
+    * Uniform per-component values are all sign-LSH needs (the sign of a
+    * dot against a random direction); cryptographic md5 bits are as
+    * uniform as the LCG stream they replace. */
   def hyperplanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
-    var state = 7L
-    def next(): Double = {
-      state = state * 6364136223846793005L + 1442695040888963407L
-      (state >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def component(i: Int, j: Int): Double = {
+      val hex = md.digest(s"plane:$i:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0 * 2.0 - 1.0
     }
-    Seq.fill(numPlanes)(Seq.fill(dim)(next()))
+    Seq.tabulate(numPlanes)(i => Seq.tabulate(dim)(j => component(i, j)))
   }
 
   /** Sign-LSH bucket id: one bit per hyperplane (sign of the dot product).

@@ -2350,6 +2350,59 @@ object Registry {
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
+    // Brute-force replay of the LSH-bucketed near-dup pass: every planted
+    // scaled copy shares its original's bucket for ANY hyperplanes (same
+    // direction ⇒ same signs), and at this data scale no natural pair
+    // comes near the 0.999 threshold (widest natural cosine < 0.95), so
+    // bucketed output == exhaustive output. The float scaling and the
+    // ascending-order double dot mirror the engine op for op.
+    "q_llm_cosine_neardup" ->
+      """WITH u AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings
+           UNION ALL
+           SELECT vec_id + 10000,
+             list_transform(embedding,
+               x -> CAST(CAST(x * CAST(1.001 AS FLOAT) AS FLOAT) AS DOUBLE))
+           FROM embeddings WHERE vec_id < 20),
+         n AS (SELECT vec_id, e,
+                 sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM u)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           floor((CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE list_sum(list_transform(list_zip(a.e, b.e), p -> p[1]*p[2]))
+                / (a.nrm * b.nrm) END) * 1000000 + CAST(0.5 AS DOUBLE)) / 1000000
+             AS cosine_sim
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE cosine_sim >= 0.999 ORDER BY id_a, id_b""",
+    // Full replay of sign-LSH ANN: md5-derived hyperplane components
+    // (Similarity.hyperplanes), per-vector bucket bits, restriction to the
+    // query vector's bucket, exact cosine top-5. 4503599627370496 = 2^52
+    // (13 hex chars of md5).
+    "q_llm_ann_lsh" ->
+      """WITH c AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+         planes AS (SELECT i, list_transform(range(64), j ->
+               CAST(('0x' || substr(md5('plane:' || CAST(i AS VARCHAR) || ':'
+                   || CAST(j AS VARCHAR)), 1, 13)) AS BIGINT)
+                 / 4503599627370496.0 * 2.0 - 1.0) AS p
+             FROM (SELECT unnest(range(6)) AS i)),
+         bu AS (SELECT c.vec_id,
+               CAST(SUM(CASE WHEN list_sum(list_transform(
+                     list_zip(c.e, pl.p), z -> z[1]*z[2])) >= 0
+                   THEN (CAST(1 AS BIGINT) << pl.i) ELSE 0 END) AS BIGINT)
+                 AS bucket
+             FROM c, planes pl GROUP BY c.vec_id),
+         q AS (SELECT e AS qe FROM c WHERE vec_id = 0),
+         qb AS (SELECT bucket AS qbucket FROM bu WHERE vec_id = 0)
+         SELECT c.vec_id AS vec_id,
+           floor(list_sum(list_transform(list_zip(c.e, qe), z -> z[1]*z[2]))
+             / (sqrt(list_sum(list_transform(c.e, x -> x*x)))
+                * sqrt(list_sum(list_transform(qe, x -> x*x))))
+             * 1000000 + CAST(0.5 AS DOUBLE)) / 1000000 AS cosine_sim
+         FROM c JOIN bu ON c.vec_id = bu.vec_id, q, qb
+         WHERE bu.bucket = qbucket
+         ORDER BY cosine_sim DESC, c.vec_id LIMIT 5""",
     // Sketch estimates never surface (merge-tree-dependent); the query
     // emits the exact percentiles (4dp half-up) plus in-plan rank-error
     // verdicts the oracle asserts as literal 1 — see aggSketchQuantiles.
