@@ -411,14 +411,26 @@ object Dedup {
     * token-hash bit; sign → fingerprint bit. Near-dups = fingerprints equal
     * in some 16-bit band (Hamming-distance blocking), verified by popcount.
     *
+    * Token bits come from md5 — the high/low 8 hex chars parse as two
+    * NON-NEGATIVE 32-bit halves (bits 0-31 from the low half, 32-63 from
+    * the high), which both Spark's `conv` and DuckDB's `'0x'||substr` cast
+    * reproduce without 64-bit sign gymnastics. That is what makes the
+    * simhash queries fully oracle-replayable; md5 bits are as uniform as
+    * the xxhash64 stream they replaced.
+    *
     * Row-local Column form — fine for unit tests and narrow rows; bulk
     * relations should use [[simhashes]] (codegen'd explode+aggregate). */
   def simhash(text: Column): Column = {
     val toks = TextAnalysis.tokens(text)
-    val hashes = transform(toks, t => xxhash64(t))
+    val his = transform(toks, t =>
+      conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    val los = transform(toks, t =>
+      conv(substring(md5(t), 9, 8), 16, 10).cast("long"))
     val bits = (0 until 64).map { j =>
-      val contrib = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      val half = if (j < 32) los else his
+      val contrib = aggregate(half, lit(0L),
+        (acc, h) => acc +
+          when(shiftright(h, j % 32).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
       when(contrib > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -430,9 +442,14 @@ object Dedup {
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val exploded = df
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("_t"))
-      .select(col(idCol), xxhash64(col("_t")).as("h"))
-    val aggs = (0 until 64).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"_b$j"))
+      .select(col(idCol),
+        conv(substring(md5(col("_t")), 1, 8), 16, 10).cast("long").as("hi"),
+        conv(substring(md5(col("_t")), 9, 8), 16, 10).cast("long").as("lo"))
+    val aggs = (0 until 64).map { j =>
+      val half = if (j < 32) col("lo") else col("hi")
+      sum(when(shiftright(half, j % 32).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        .as(s"_b$j")
+    }
     exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
       .select(col(idCol),
         (0 until 64).map(j =>
@@ -462,7 +479,7 @@ object Dedup {
           col("l.band_val") === col("r.band_val") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        hamming(col("l.fp"), col("r.fp")).as("hamming_dist"))
+        hamming(col("l.fp"), col("r.fp")).cast("long").as("hamming_dist"))
       .distinct()
       .filter(col("hamming_dist") <= maxDist)
   }

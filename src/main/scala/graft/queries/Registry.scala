@@ -2150,6 +2150,34 @@ object Registry {
       .orderBy("l_returnflag")
   }
 
+  /** Mergeable HLL distinct-count sketch (Spark's built-in HyperLogLog++,
+    * Heule et al. 2013) beside the exact distinct count: at 100 TB the
+    * sketch (O(1) registers, max-merge — order- and partition-independent,
+    * hence deterministic) is what you run; the exact branch exists here to
+    * VERIFY the sketch's rsd contract in-plan. Same oracle pattern as the
+    * quantile sketch: the approx value never surfaces (DuckDB's HLL is a
+    * different implementation), only the exact counts plus the
+    * within-3·rsd verdict the oracle asserts as literal 1. */
+  private def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), 0.05).as("_approx"))
+      .select(col("event_type"), col("n_exact"),
+        when(abs(col("_approx").cast("double") / col("n_exact").cast("double")
+          - 1.0) <= 0.15, 1L).otherwise(0L).as("within_3rsd"))
+      .orderBy("event_type")
+
+  /** Token co-occurrence PMI over the corpus (collocation mining) — see
+    * [[graft.llm.Cooccur.pmi]] for the array-side pair generation that
+    * keeps this one shuffle-free explode + two hash aggs instead of a
+    * positions self-join. The oracle replays the counts via the
+    * independent positions-join derivation and the PMI formula op for op. */
+  private def llmCooccurPmi(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Cooccur.pmi(t(spark, dir, "documents"), "doc_id", "text",
+        span = 2, minCount = 5L)
+      .orderBy("tok_a", "tok_b")
+
   /** Exact duplicated-substring regions over documents ∪ prefixed copies:
     * the copies share every interior 5-gram with their originals, so both
     * sides must report maximal duplicated regions covering the shared
@@ -2333,6 +2361,8 @@ object Registry {
     "q_llm_export_shards" -> q(llmExportShards),
     "q_e_funnel_conversion" -> q(eFunnelConversion),
     "q_agg_sketch_quantiles" -> q(aggSketchQuantiles),
+    "q_agg_approx_distinct" -> q(aggApproxDistinct),
+    "q_llm_cooccur_pmi" -> q(llmCooccurPmi),
     "q_llm_dup_regions" -> q(llmDupRegions),
     "q_j_full_outer" -> q(jFullOuter),
     "q_set_intersect_except" -> q(setIntersectExcept),
@@ -2350,6 +2380,75 @@ object Registry {
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
+    // The HLL sketch value never surfaces (engine-specific registers);
+    // the oracle replays the exact counts and asserts the in-plan
+    // rsd-contract verdict is literally 1 — see aggApproxDistinct.
+    "q_agg_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+           CAST(1 AS BIGINT) AS within_3rsd
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // Independent derivation of the co-occurrence counts: positions table
+    // self-joined on window distance (exact, quadratic-ish — oracle scale
+    // only) vs the engine's array-side shifted zips; PMI mirrored op for op.
+    "q_llm_cooccur_pmi" ->
+      """WITH tokl AS (SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\s+') END AS ts
+             FROM documents),
+         tok AS (SELECT doc_id, i, ts[CAST(i + 1 AS INT)] AS tok
+                 FROM tokl, unnest(range(len(ts))) u(i)),
+         pr AS (SELECT a.tok AS tok_a, b.tok AS tok_b
+                FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+                  AND b.i - a.i BETWEEN 1 AND 2),
+         pc AS (SELECT tok_a, tok_b, count(*) AS n_pair FROM pr
+                GROUP BY tok_a, tok_b HAVING count(*) >= 5),
+         uni AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM tok),
+         totp AS (SELECT CAST(count(*) AS DOUBLE) AS np FROM pr)
+         SELECT tok_a, tok_b, CAST(n_pair AS BIGINT) AS n_pair,
+           floor(ln(CAST(n_pair AS DOUBLE) * nt * nt
+               / (np * CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE)))
+             * 10000 + CAST(0.5 AS DOUBLE)) / 10000 AS pmi
+         FROM pc JOIN uni ua ON pc.tok_a = ua.tok
+                 JOIN uni ub ON pc.tok_b = ub.tok, tot, totp
+         ORDER BY tok_a, tok_b""",
+    // Brute-force replay of the banded simhash near-dup pass: the 4×16-bit
+    // banding GUARANTEES recall at Hamming ≤ 3 (pigeonhole: 4 bands, ≤3
+    // differing bits ⇒ one band untouched), so bucketed output ==
+    // exhaustive output by construction, not by luck. Fingerprints replay
+    // exactly: md5 high/low 32-bit halves vote ±1 per bit; -9223372036854775807-1
+    // is bit 63 (1<<63 overflows DuckDB's checked shift).
+    "q_llm_simhash_neardup" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, text || ' appended marker token'
+           FROM documents WHERE doc_id < 30),
+         tok AS (SELECT doc_id,
+               unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                      ELSE string_split_regex(trim(text), '\s+') END) AS t
+             FROM corpus),
+         h AS (SELECT doc_id,
+                 ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
+                 ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo
+               FROM tok),
+         v AS (SELECT doc_id, j,
+                 SUM(CASE WHEN ((CASE WHEN j < 32 THEN lo ELSE hi END)
+                       >> CAST(j % 32 AS INT)) & 1 = 1
+                     THEN 1 ELSE -1 END) AS s
+               FROM h, (SELECT unnest(range(64)) AS j) bits
+               GROUP BY doc_id, j),
+         fp AS (SELECT doc_id,
+                  CAST(SUM(CASE WHEN s > 0 THEN
+                      CASE WHEN j = 63 THEN -9223372036854775807 - 1
+                           ELSE (CAST(1 AS BIGINT) << CAST(j AS INT)) END
+                      ELSE 0 END) AS BIGINT) AS fp
+                FROM v GROUP BY doc_id)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming_dist
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 3
+         ORDER BY id_a, id_b""",
     // Brute-force replay of the LSH-bucketed near-dup pass: every planted
     // scaled copy shares its original's bucket for ANY hyperplanes (same
     // direction ⇒ same signs), and at this data scale no natural pair

@@ -14,10 +14,10 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size and oracle coverage match COVERAGE.md") {
-    assert(SparkEntry.queries.size == 149)
-    assert(SparkEntry.oracleSql.size == 139)
+    assert(SparkEntry.queries.size == 151)
+    assert(SparkEntry.oracleSql.size == 142)
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
-    assert(rowsOnly.size == 10, s"rows-only set drifted: $rowsOnly")
+    assert(rowsOnly.size == 9, s"rows-only set drifted: $rowsOnly")
   }
 
   test("query names are unique after bench key compaction") {
