@@ -106,4 +106,29 @@ object Sampling {
         Window.partitionBy(groupCol).orderBy(col(orderCol))))
       .filter(col("_rn") <= quota)
       .drop("_rn")
+
+  /** Weighted sampling WITHOUT replacement via the exponential-race form
+    * of Efraimidis & Spirakis 2006 ("Weighted random sampling with a
+    * reservoir"): each row draws u ∈ (0, 1] and races with key
+    * -ln(u) / w — the k smallest keys win, and inclusion probability is
+    * proportional to weight. This is the quality-weighted corpus
+    * subsampling step (downsample a crawl to a token budget, biased
+    * toward high-quality documents) in its scale-correct shape: the key
+    * is a per-row projection and the top-k a TakeOrderedAndProject — no
+    * shuffle beyond the final k rows.
+    *
+    * Determinism: u derives from md5(id) (first 13 hex chars + 1, scaled
+    * by 2⁻⁵², so u is never 0 and ln is finite) — reproducible run to run
+    * AND replayable by an external SQL engine, which is what puts the
+    * query on the oracle gate. Rows with non-positive or null weight are
+    * excluded (their race key would be infinite or flip sign). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("double") + 1.0) / 4503599627370496.0
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("race_key", -log(u) / col(weightCol).cast("double"))
+      .orderBy(col("race_key"), col(idCol))
+      .limit(k)
+  }
 }

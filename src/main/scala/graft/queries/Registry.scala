@@ -2178,6 +2178,21 @@ object Registry {
         span = 2, minCount = 5L)
       .orderBy("tok_a", "tok_b")
 
+  /** Quality-weighted corpus subsample (Efraimidis–Spirakis exponential
+    * race, md5-derived uniforms — see [[graft.llm.Sampling.weightedSample]]).
+    * Output surfaces the deterministic pick ORDER, not the float race
+    * keys: ranks hash-compare exactly while the keys that produced them
+    * are mirrored op for op in the oracle. */
+  private def llmWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val picked = graft.llm.Sampling.weightedSample(
+      t(spark, dir, "documents").select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", k = 50)
+    picked.select(col("doc_id"), col("n_chars"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("race_key"), col("doc_id"))).cast("long").as("pick_rank"))
+      .orderBy("pick_rank")
+  }
+
   /** Exact duplicated-substring regions over documents ∪ prefixed copies:
     * the copies share every interior 5-gram with their originals, so both
     * sides must report maximal duplicated regions covering the shared
@@ -2363,6 +2378,7 @@ object Registry {
     "q_agg_sketch_quantiles" -> q(aggSketchQuantiles),
     "q_agg_approx_distinct" -> q(aggApproxDistinct),
     "q_llm_cooccur_pmi" -> q(llmCooccurPmi),
+    "q_llm_weighted_sample" -> q(llmWeightedSample),
     "q_llm_dup_regions" -> q(llmDupRegions),
     "q_j_full_outer" -> q(jFullOuter),
     "q_set_intersect_except" -> q(setIntersectExcept),
@@ -2380,6 +2396,21 @@ object Registry {
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
+    // Exponential-race weighted sampling, fully replayed: md5-derived
+    // uniform, -ln(u)/w race key, k smallest win; the oracle re-runs the
+    // race and must produce the identical pick order.
+    "q_llm_weighted_sample" ->
+      """WITH w AS (SELECT doc_id, n_chars,
+             -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                 + 1.0) / 4503599627370496.0)
+               / CAST(n_chars AS DOUBLE) AS key
+           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+         s AS (SELECT doc_id, n_chars, key FROM w
+               ORDER BY key, doc_id LIMIT 50)
+         SELECT doc_id, n_chars,
+           CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT)
+             AS pick_rank
+         FROM s ORDER BY pick_rank""",
     // The HLL sketch value never surfaces (engine-specific registers);
     // the oracle replays the exact counts and asserts the in-plan
     // rsd-contract verdict is literally 1 — see aggApproxDistinct.

@@ -174,6 +174,35 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(a > 400 && a < 600, s"~half expected, got $a")
   }
 
+  test("weightedSample: deterministic, scale-invariant, weight-biased") {
+    import spark.implicits._
+    import graft.llm.Sampling
+    // Weights 1 vs 100 split half/half over 400 ids.
+    val d = (0L until 400L)
+      .map(i => (i, if (i < 200) 1.0 else 100.0, "x"))
+      .toDF("doc_id", "w", "text")
+    val pick = Sampling.weightedSample(d, "doc_id", "w", k = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(pick.size == 50)
+    // Deterministic repeat.
+    val again = Sampling.weightedSample(d, "doc_id", "w", k = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(pick == again)
+    // Scaling every weight by a constant divides every race key by it —
+    // the pick ORDER cannot change.
+    val scaled = Sampling.weightedSample(
+        d.withColumn("w", col("w") * 7.0), "doc_id", "w", k = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(pick == scaled)
+    // 100× weight ⇒ the heavy half dominates the sample.
+    val heavy = pick.count(_ >= 200L)
+    assert(heavy > 40, s"heavy-weight ids should dominate, got $heavy/50")
+    // Non-positive and null weights are excluded.
+    val bad = (0L until 10L).map(i => (i, if (i % 2 == 0) -1.0 else 0.0, "x"))
+      .toDF("doc_id", "w", "text")
+    assert(Sampling.weightedSample(bad, "doc_id", "w", k = 5).count() == 0)
+  }
+
   // ------------------------------------------------------------ CDC chunks
 
   test("cdc chunks conserve tokens and match per-doc token counts") {
