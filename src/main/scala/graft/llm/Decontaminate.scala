@@ -72,4 +72,44 @@ object Decontaminate {
       Bridge.expression(Dedup.shingles(col(textCol), n)), bloom))
       .as("contaminated_bloom"))
   }
+
+  /** [[bloomContamination]] with an md5-derived filter
+    * ([[graft.expressions.MdBloom]]): same one-sided-error contract and
+    * the same distributed-build shape (per-partition bitsets OR-merged in
+    * a treeAggregate, exactly how `stat.bloomFilter` builds), but every
+    * bit position is `md5("j:gram")`-derived — so an external SQL engine
+    * can rebuild the identical bitset and replay membership INCLUDING the
+    * false positives. This is the oracle-checkable variant; the
+    * Murmur-based [[bloomContamination]] remains for callers that want
+    * `util.sketch.BloomFilter` interop. */
+  def mdBloomContamination(docs: DataFrame, idCol: String, textCol: String,
+                           bench: DataFrame, benchTextCol: String,
+                           n: Int = 5, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import graft.expressions.MdBloom
+    val benchGrams = bench
+      .select(explode(Dedup.shingles(col(benchTextCol), n)).as("gram"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nGrams = math.max(benchGrams.count(), 1L)
+    val m = MdBloom.optimalNumBits(nGrams, fpp)
+    val k = MdBloom.optimalNumHashes(nGrams, m)
+    val words = ((m + 63) / 64).toInt
+    // Positions computed with BUILTIN expressions (codegen'd md5/conv —
+    // the identical arithmetic MdBloom.position runs on the probe side),
+    // then OR-folded into per-partition bitsets and tree-merged. The
+    // aggregate is bounded by m bits regardless of gram count.
+    val posCols = (0 until k).map(j =>
+      conv(substring(md5(concat(lit(s"$j:"), col("gram"))), 1, 13), 16, 10)
+        .cast("long") % m)
+    val positions = benchGrams.select(explode(array(posCols: _*)).as("pos"))
+    val bits = positions.select(col("pos")).rdd.map(_.getLong(0))
+      .treeAggregate(new Array[Long](words))(
+        (arr, p) => { arr((p >> 6).toInt) |= 1L << (p & 63).toInt; arr },
+        (a, b) => { var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a })
+    benchGrams.unpersist()
+    docs.select(col(idCol), Bridge.column(graft.expressions.MdBloomAnyContain(
+      Bridge.expression(Dedup.shingles(col(textCol), n)), bits, m, k))
+      .as("contaminated_bloom"))
+  }
 }

@@ -1447,15 +1447,17 @@ object Registry {
   /** Bloom-filter decontamination vs the exact broadcast-semi variant on
     * the same benchmark split: one summary row proving the one-sided error
     * contract — `false_negatives` MUST be 0 (Bloom never misses real
-    * contamination); `false_positives` is the fpp-bounded price. Rows-only
-    * (the filter's bit layout isn't SQL-expressible). */
+    * contamination); `false_positives` is the fpp-bounded price. Uses the
+    * md5-derived filter ([[graft.llm.Decontaminate.mdBloomContamination]]),
+    * so the DuckDB oracle rebuilds the identical bitset and reproduces the
+    * summary EXACTLY — false positives included. */
   private def llmBloomDecon(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
     val exact = Decontaminate.contamination(docs, "doc_id", "text",
       bench, "text", n = 5)
     // fpp is per gram: 1e-4 × ~100 grams/doc ≈ 1% doc-level false positives
-    val bloom = Decontaminate.bloomContamination(docs, "doc_id", "text",
+    val bloom = Decontaminate.mdBloomContamination(docs, "doc_id", "text",
       bench, "text", n = 5, fpp = 1e-4)
     exact.join(bloom, "doc_id")
       .agg(count(lit(1)).as("n_docs"),
@@ -2396,6 +2398,51 @@ object Registry {
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
+    // Full replay of the md5-Bloom decontamination summary: DuckDB
+    // rebuilds the exact bitset (same sizing formulas, same md5 position
+    // arithmetic) and reproduces the membership answers INCLUDING the
+    // false positives — the summary counts must match bit for bit.
+    "q_llm_bloom_decon" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                     FROM documents),
+         g AS (SELECT doc_id,
+                 CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                      ELSE list_distinct(list_transform(range(1, len(t) - 3),
+                             i -> array_to_string(t[i:i+4], ' '))) END AS grams
+               FROM tk),
+         bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+         pr AS (SELECT CAST(greatest(cnt, 1) AS DOUBLE) AS ng,
+                  CAST(ceil(-CAST(greatest(cnt, 1) AS DOUBLE) * ln(0.0001)
+                    / (ln(2) * ln(2))) AS BIGINT) AS m
+                FROM (SELECT count(*) AS cnt FROM bg)),
+         kp AS (SELECT ng, m,
+                  greatest(1, CAST(floor(CAST(m AS DOUBLE) / ng * ln(2) + 0.5)
+                    AS BIGINT)) AS k
+                FROM pr),
+         pos AS (SELECT DISTINCT
+                   ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || gram), 1, 13))::BIGINT
+                     % m AS p
+                 FROM bg, kp, range(64) r(j) WHERE j < k),
+         dg AS (SELECT DISTINCT doc_id, unnest(grams) AS gram FROM g),
+         dp AS (SELECT doc_id, gram,
+                  ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || gram), 1, 13))::BIGINT
+                    % m AS p
+                FROM dg, kp, range(64) r(j) WHERE j < k),
+         bdoc AS (SELECT DISTINCT doc_id FROM (
+                    SELECT doc_id, gram FROM dp JOIN pos USING (p)
+                    GROUP BY doc_id, gram HAVING count(*) = (SELECT k FROM kp))),
+         hits AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bg USING (gram))
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS exact_hits,
+           CAST(SUM(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS bloom_hits,
+           CAST(SUM(CASE WHEN h.doc_id IS NOT NULL AND b.doc_id IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS false_negatives,
+           CAST(SUM(CASE WHEN h.doc_id IS NULL AND b.doc_id IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS false_positives
+         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+                          LEFT JOIN bdoc b ON d.doc_id = b.doc_id""",
     // Exponential-race weighted sampling, fully replayed: md5-derived
     // uniform, -ln(u)/w race key, k smallest win; the oracle re-runs the
     // race and must produce the identical pick order.

@@ -49,6 +49,34 @@ class CorpusOpsSpec extends SparkSpecBase {
       s"false negatives are forbidden: ${exact.diff(bloom)}")
   }
 
+  test("md5-bloom decontamination: one-sided error, deterministic, sane sizing") {
+    import graft.expressions.MdBloom
+    val corpus = docs((0L until 60L).map { i =>
+      if (i % 3 == 0) (i, s"filler$i the quick brown fox jumps tail$i")
+      else (i, s"unique$i words only in doc number$i nothing shared$i")
+    }: _*)
+    val bench = docs((999L, "prefix the quick brown fox jumps suffix"))
+    val exact = Decontaminate.contamination(corpus, "doc_id", "text", bench, "text", n = 5)
+      .filter(col("contaminated")).collect().map(_.getLong(0)).toSet
+    val bloom = Decontaminate.mdBloomContamination(corpus, "doc_id", "text", bench, "text", n = 5)
+      .filter(col("contaminated_bloom")).collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(bloom),
+      s"false negatives are forbidden: ${exact.diff(bloom)}")
+    // Deterministic across builds (no seed, no JVM hash salt).
+    val again = Decontaminate.mdBloomContamination(corpus, "doc_id", "text", bench, "text", n = 5)
+      .filter(col("contaminated_bloom")).collect().map(_.getLong(0)).toSet
+    assert(bloom == again)
+    // Standard Bloom sizing: ~9.6 bits/element and ~7 hashes at fpp 0.01.
+    assert(MdBloom.optimalNumBits(1000, 0.01) == 9586)
+    assert(MdBloom.optimalNumHashes(1000, 9586) == 7)
+    // Probe arithmetic matches the SQL form ('0x'||substr(md5(s),1,13)).
+    assert(MdBloom.position(0, "the quick brown fox jumps", 1L << 52) ==
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest("0:the quick brown fox jumps".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(13), 16))
+  }
+
   test("decontamination counts distinct shared grams, not occurrences") {
     // Doc repeats the planted gram twice, but shingles are per-doc distinct.
     val corpus = docs((1L, "a b c d e x a b c d e"))

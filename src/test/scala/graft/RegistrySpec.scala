@@ -15,9 +15,9 @@ class RegistrySpec extends AnyFunSuite {
 
   test("registry size and oracle coverage match COVERAGE.md") {
     assert(SparkEntry.queries.size == 152)
-    assert(SparkEntry.oracleSql.size == 143)
+    assert(SparkEntry.oracleSql.size == 144)
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
-    assert(rowsOnly.size == 9, s"rows-only set drifted: $rowsOnly")
+    assert(rowsOnly.size == 8, s"rows-only set drifted: $rowsOnly")
   }
 
   test("query names are unique after bench key compaction") {
