@@ -2240,6 +2240,48 @@ object Registry {
       .toDF("op", "n").orderBy("op")
   }
 
+  /** Phrase-blocklist report: per-pattern document counts (zero-hit
+    * patterns included) from ONE Aho–Corasick pass per document — the
+    * plan the per-pattern `contains` oracle exists to avoid. */
+  private def llmBlocklist(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Blocklist.report(t(spark, dir, "documents"), "text",
+      BlocklistPatterns)
+
+  private val BlocklistPatterns = Seq(
+    "slow query", "big table", "hash join", "merge batch", "fast scan",
+    "stream window", "customer line", "vector table", "data leak",
+    "gpu kernel")
+
+  /** Bounded edit-distance self-join (Ed-Join prefix filtering) over
+    * customer names: all pairs within Levenshtein distance 1, found via
+    * rarest-q-gram candidate buckets instead of all pairs. Numbered
+    * entity names differing in one digit are the classic fuzzy-dedup
+    * target. */
+  private def llmFuzzyJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EditDistanceJoin.selfJoin(
+        t(spark, dir, "customer").filter(col("c_custkey") <= 400),
+        "c_custkey", "c_name", maxDist = 1, q = 3)
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"),
+        col("str_a"), col("str_b"), col("dist"))
+      .orderBy("id_a", "id_b")
+
+  /** Source-pair vocabulary overlap from md5-MinHash signatures
+    * (Broder 1997): each source collapses to 64 longs in one aggregation
+    * pass; the DuckDB oracle rebuilds the identical signatures, so the
+    * ESTIMATE (collisions included) is hash-checked, not just bounded. */
+  private def llmCorpusOverlap(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.CorpusSim.overlapMatrix(
+      t(spark, dir, "documents"), "source", "text", n = 3, numPerms = 64)
+
+  /** Per-doc 5-gram novelty (share of grams occurring in no other doc) —
+    * the memorization-risk / boilerplate signal; two key-partitioned
+    * aggs, nothing quadratic. */
+  private def llmNovelty(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.CorpusSim.noveltyScores(t(spark, dir, "documents"),
+        "doc_id", "text", n = 5)
+      .orderBy("id")
+
   // ---------------------------------------------------------------- Registry
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -2395,9 +2437,79 @@ object Registry {
     "q_llm_cluster_best" -> q(llmClusterBest),
     "q_qc_robust_outliers" -> q(qcRobustOutliers),
     "q_llm_ccnet_buckets" -> q(llmCcnetBuckets),
+    "q_llm_blocklist" -> q(llmBlocklist),
+    "q_llm_fuzzy_join" -> q(llmFuzzyJoin),
+    "q_llm_corpus_overlap" -> q(llmCorpusOverlap),
+    "q_llm_novelty" -> q(llmNovelty),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
+    // Aho–Corasick substring semantics == per-pattern `contains`; the
+    // oracle runs the O(|text|·|patterns|) plan the automaton avoids.
+    "q_llm_blocklist" ->
+      """WITH p(pattern) AS (VALUES ('slow query'), ('big table'),
+           ('hash join'), ('merge batch'), ('fast scan'), ('stream window'),
+           ('customer line'), ('vector table'), ('data leak'), ('gpu kernel')),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+         c AS (SELECT pattern,
+                 CAST(SUM(CASE WHEN contains(d.text, p.pattern)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_matched
+               FROM p, documents d GROUP BY pattern)
+         SELECT pattern, n_docs_matched,
+           floor(n_docs_matched / (SELECT nd FROM n) * 10000 + 0.5) / 10000
+             AS doc_frac
+         FROM c ORDER BY pattern""",
+    // Deliberately BRUTE FORCE: the oracle is the ground truth the
+    // prefix filter must reproduce, so a filter that drops a true pair
+    // fails the hash — completeness is checked, not replayed.
+    "q_llm_fuzzy_join" ->
+      """WITH s AS (SELECT c_custkey AS id, c_name AS str FROM customer
+                    WHERE c_custkey <= 400)
+         SELECT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b,
+           a.str AS str_a, b.str AS str_b,
+           CAST(levenshtein(a.str, b.str) AS BIGINT) AS dist
+         FROM s a JOIN s b ON a.id < b.id
+         WHERE levenshtein(a.str, b.str) <= 1
+         ORDER BY id_a, id_b""",
+    // Novelty replay: per-doc distinct 5-grams (same short-doc joined-
+    // remainder contract), corpus df, df==1 share floor-rounded to 4dp.
+    "q_llm_novelty" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                     FROM documents),
+         g AS (SELECT DISTINCT doc_id AS id,
+                 unnest(CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                   ELSE list_distinct(list_transform(range(1, len(t) - 3),
+                          i -> array_to_string(t[i:i+4], ' '))) END) AS gram
+               FROM tk),
+         f AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+         SELECT id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           floor(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000 AS novelty
+         FROM g JOIN f USING (gram) GROUP BY id ORDER BY id""",
+    // Full md5-MinHash replay: identical 52-bit component hashes, so the
+    // signature minima — and therefore the overlap ESTIMATE, collisions
+    // included — must agree bit for bit.
+    "q_llm_corpus_overlap" ->
+      """WITH tk AS (SELECT source, string_split_regex(trim(text), '\s+') AS t
+                     FROM documents),
+         g AS (SELECT DISTINCT source AS grp,
+                 unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                   ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                          i -> array_to_string(t[i:i+2], ' '))) END) AS gram
+               FROM tk),
+         h AS (SELECT grp, j,
+                 min(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || gram),
+                   1, 13))::BIGINT) AS mh
+               FROM g, range(64) r(j) GROUP BY grp, j),
+         pr AS (SELECT a.grp AS src_a, b.grp AS src_b,
+                  CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_agree
+                FROM h a JOIN h b ON a.j = b.j AND a.grp < b.grp
+                GROUP BY 1, 2)
+         SELECT src_a, src_b, n_agree,
+           floor(n_agree / 64.0 * 10000 + 0.5) / 10000 AS jaccard_est
+         FROM pr ORDER BY src_a, src_b""",
     // Full replay of the md5-Bloom decontamination summary: DuckDB
     // rebuilds the exact bitset (same sizing formulas, same md5 position
     // arithmetic) and reproduces the membership answers INCLUDING the

@@ -14,8 +14,8 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size and oracle coverage match COVERAGE.md") {
-    assert(SparkEntry.queries.size == 152)
-    assert(SparkEntry.oracleSql.size == 144)
+    assert(SparkEntry.queries.size == 156)
+    assert(SparkEntry.oracleSql.size == 148)
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
     assert(rowsOnly.size == 8, s"rows-only set drifted: $rowsOnly")
   }
