@@ -124,6 +124,22 @@ class PlanRegressionSpec extends SparkSpecBase {
       s"both model joins must broadcast; got:\n$p")
   }
 
+  test("minhash signatures partial-aggregate map-side; pair join never SMJs") {
+    val p = plan("q_llm_corpus_overlap")
+    // The shuffle must carry one candidate min per partition per source,
+    // not the gram relation: partial + final HashAggregate around the
+    // exchange. The pair comparison is over tiny signature arrays — a
+    // sort-merge join there means the broadcast was lost.
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("ed-join candidate generation is equi-join + bounded NL, never cartesian") {
+    val p = plan("q_llm_fuzzy_join")
+    assert(!p.contains("CartesianProduct"),
+      "prefix filtering degenerated to an all-pairs product")
+  }
+
   test("native expressions stay inside WholeStageCodegen, never fall back") {
     // Each custom Catalyst expression must appear inside a codegen'd span
     // (executedPlan.toString marks those operators with '*'); a future
@@ -138,7 +154,8 @@ class PlanRegressionSpec extends SparkSpecBase {
       "q_llm_rolling_fp" -> "rolling_hash64",
       "q_llm_top_ngram" -> "top_ngram_chars",
       "q_llm_nfc" -> "nfc_normalize",
-      "q_llm_bloom_decon" -> "bloom_any_contain",
+      "q_llm_bloom_decon" -> "md_bloom_any_contain",
+      "q_llm_blocklist" -> "multi_pattern_matches",
       "q_llm_ann_pq" -> "pq_encode",
       "q_llm_bpe" -> "bpe_encode",
       "q_llm_cosine_neardup" -> "float_dot",
