@@ -245,6 +245,61 @@ object ScaleSmoke {
         .groupBy("bucket").agg(count(lit(1)).as("n_docs")).count())
     println(s"[scale] ccnet buckets: $ccRows")
 
+    // Round-7 ops. Blocklist: the automaton cost is O(|text|) per doc
+    // independent of pattern count — a 1000-phrase blocklist at 20× must
+    // time like the 10-phrase bench query scaled by corpus size only.
+    val bigPatterns = (0 until 1000).map(i => s"phrase$i never present") ++
+      Seq("replica token", "slow query")
+    val blRows = timed("blocklist (1002-phrase automaton, one pass)")(
+      graft.llm.Blocklist.report(big, "text", bigPatterns)
+        .filter(col("n_docs_matched") > 0).count())
+    println(s"[scale] blocklist patterns with hits: $blRows")
+
+    // Corpus overlap: 64 min-agg buffers partial-aggregate map-side, so
+    // the shuffle ships one candidate per partition per source even when
+    // the gram relation is 20× — and replica sources share base vocab, so
+    // estimates sit high (the interesting regime).
+    val bigSrc = big.withColumn("source",
+      pmod(col("doc_id"), lit(8)).cast("string"))
+    val ovRows = timed("corpus overlap (md5-minhash signatures at 20x)")(
+      graft.llm.CorpusSim.overlapMatrix(bigSrc, "source", "text",
+        n = 3, numPerms = 64).count())
+    println(s"[scale] overlap pairs: $ovRows")
+
+    // Novelty: replicas duplicate every base gram ~factor times, so the
+    // df relation is the hot-gram stress; the two-agg shape must stay
+    // key-partitioned with no broadcast of the corpus.
+    val nvLow = timed("novelty (share of corpus-unique 5-grams)")(
+      graft.llm.CorpusSim.noveltyScores(big, "doc_id", "text", n = 5)
+        .filter(col("novelty") < 0.1).count())
+    println(s"[scale] low-novelty docs: $nvLow")
+
+    // Edit-distance join at 40k near-identical strings: every replica
+    // family is a dense distance-1 clique on its suffix digit — the
+    // workload that degenerates q-gram filtering (shared rare grams at
+    // shared positions → family² candidates; measured 83.6 s before the
+    // deletion-neighborhood rewrite). Variant buckets only hold strings
+    // agreeing outside the deleted char, so candidates track true pairs.
+    val custNames = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter(col("c_custkey") <= 2000)
+      .crossJoin(spark.range(factor).withColumnRenamed("id", "rep"))
+      .select((col("c_custkey") * factor + col("rep")).as("id"),
+        concat(col("c_name"), lit("-"), pmod(col("rep"), lit(10)).cast("string"))
+          .as("s"))
+    val fjPairs = timed("ed-join (deletion-neighborhood variants, 40k strings)")(
+      graft.operators.EditDistanceJoin.selfJoin(custNames, "id", "s",
+        maxDist = 1).count())
+    println(s"[scale] distance-1 pairs: $fjPairs")
+
+    // Deterministic k-means at 100k vectors: per iteration one broadcast
+    // of k·64 longs, one row-local scoring pass, two partial/final agg
+    // pairs — the shuffle never carries the points.
+    val kmStats = timed("det k-means (k=8, 3 integer Lloyd rounds, 100k vecs)")(
+      graft.llm.DetKMeans.fit(bigEmb, "vec_id", "embedding",
+        k = 8, iters = 3, dim = 64)._1
+        .groupBy("cid").agg(count(lit(1))).count())
+    println(s"[scale] det k-means clusters: $kmStats")
+
     spark.stop()
   }
 }

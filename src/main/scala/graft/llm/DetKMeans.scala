@@ -1,0 +1,133 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic distributed k-means in exact integer units — Lloyd's
+  * algorithm (Lloyd 1982) made engine-portable the same way PageRank is
+  * ([[graft.operators.PageRank]]): every quantity that crosses a shuffle
+  * is an integer, so no float summation order can perturb the result,
+  * and every seed is md5-derived, so an external SQL engine can replay
+  * the ENTIRE training run — init, every assignment, every centroid
+  * update — and hash-match the fitted model. This is what converts
+  * "trained index" queries from rows-only to oracle-checked: the seeded
+  * Spark-ML k-means (`llm/SemDedup`, `llm/IvfPq`) stays for interop, but
+  * correctness claims ride on this variant.
+  *
+  * Determinism contract:
+  *  - coordinates quantize once: u_i = floor(x_i · 10⁶ + 0.5) as long;
+  *  - init = the k rows with smallest (md5(id), id) — a distributed
+  *    TakeOrdered, replayed by `ORDER BY md5(id), id LIMIT k`;
+  *  - distance = Σ (u_i − c_i)², an integer fold in index order
+  *    (|u| ≤ ~10⁷ units ⇒ Σ over 64 dims < 2⁶³ — no overflow);
+  *  - assignment ties break to the smallest centroid id;
+  *  - centroid update: per-dim integer sums (64 partial-aggregated sum
+  *    buffers, the MinHash-signature shape — no explode), then
+  *    floor(sum / n) with the division in double (exact: |sum| < 2⁵³).
+  *  Empty clusters drop out of the next round on both engines alike.
+  *
+  * Scale shape per iteration: one broadcast of k·dim longs, one
+  * crossJoin-with-broadcast scored row-locally, one partial/final
+  * aggregate pair for the argmin and one for the centroid sums. The
+  * shuffle carries k candidate rows per partition, never the points. */
+object DetKMeans {
+
+  /** floor(x·10⁶ + 0.5) per coordinate. */
+  def toUnits(emb: Column): Column =
+    transform(emb, x => floor(x.cast("double") * 1000000 + lit(0.5)).cast("long"))
+
+  /** Integer squared L2 between unit arrays (index-order fold). */
+  def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Points in unit space: (id, u). */
+  def unitPoints(df: DataFrame, idCol: String, embCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"), toUnits(col(embCol)).as("u"))
+
+  /** md5-seeded initial centroids: the k points with smallest
+    * (md5(id), id). TakeOrdered + a k·dim driver read (bounded, same
+    * class as the PQ codebooks). */
+  def seedCentroids(pts: DataFrame, k: Int): DataFrame = {
+    val spark = pts.sparkSession
+    val rows = pts.withColumn("h", md5(col("id").cast("string")))
+      .orderBy("h", "id").limit(k)
+      .select("u").collect()
+    val seeds = rows.zipWithIndex.map { case (r, i) =>
+      (i.toLong, r.getSeq[Long](0))
+    }
+    import spark.implicits._
+    seeds.toSeq.toDF("cid", "c")
+  }
+
+  /** Assign each point to its nearest centroid (ties → smallest cid).
+    * Returns (id, u, cid, d). */
+  def assignTo(pts: DataFrame, centroids: DataFrame): DataFrame =
+    pts.crossJoin(broadcast(centroids))
+      .select(col("id"), col("u"), col("cid"), dist2(col("u"), col("c")).as("d"))
+      .groupBy("id")
+      .agg(first(col("u")).as("u"), min(struct(col("d"), col("cid"))).as("m"))
+      .select(col("id"), col("u"),
+        col("m").getField("cid").as("cid"), col("m").getField("d").as("d"))
+
+  /** One Lloyd update: per-cluster per-dim integer mean. */
+  def updateCentroids(assign: DataFrame, dim: Int): DataFrame =
+    assign.groupBy("cid")
+      .agg(count(lit(1)).as("n"),
+        array((0 until dim).map(i => sum(element_at(col("u"), i + 1))): _*).as("s"))
+      .select(col("cid"),
+        transform(col("s"), s => floor(s.cast("double") / col("n")).cast("long"))
+          .as("c"))
+
+  /** Run `iters` Lloyd rounds. Returns (last assignment — made against
+    * the PRE-update centroids of the final round — and the final updated
+    * centroids). */
+  def fit(df: DataFrame, idCol: String, embCol: String,
+          k: Int, iters: Int, dim: Int): (DataFrame, DataFrame) = {
+    require(k >= 1 && iters >= 1)
+    val pts = unitPoints(df, idCol, embCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var centroids = seedCentroids(pts, k)
+    var assign: DataFrame = null
+    for (_ <- 1 to iters) {
+      assign = assignTo(pts, centroids)
+      centroids = updateCentroids(assign, dim)
+    }
+    (assign, centroids)
+  }
+
+  /** Generated DuckDB replay of [[fit]] — SQL kept in lockstep with the
+    * Scala by construction (the PageRank/ZOrder generated-oracle
+    * pattern). Emits CTEs u0, c0, a1, c1, …, a_iters, c_iters over
+    * `table`; the caller appends the final SELECT. */
+  def oracleCtes(table: String, idCol: String, embCol: String,
+                 k: Int, iters: Int, dim: Int): String = {
+    val d1 = dim + 1
+    def distSql(p: String, c: String): String =
+      s"list_sum(list_transform(range(1, $d1), i -> ($p.u[i] - $c.c[i]) * ($p.u[i] - $c.c[i])))"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH u0 AS (SELECT $idCol AS id,
+            list_transform($embCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT)) AS u FROM $table),
+          c0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1
+                   AS cid, u AS c
+                 FROM u0
+                 ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $k)""")
+    for (i <- 1 to iters) {
+      sb.append(
+        s""",
+          a$i AS (SELECT id, u, cid, d FROM (
+            SELECT id, u, cid, d,
+              row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rk
+            FROM (SELECT p.id, p.u, c.cid, ${distSql("p", "c")} AS d
+                  FROM u0 p, c${i - 1} c) x) y WHERE rk = 1),
+          c$i AS (SELECT cid,
+                    list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS c
+                  FROM (SELECT cid, dim, SUM(u[dim]) AS s, COUNT(*) AS n
+                        FROM a$i, range(1, $d1) r(dim) GROUP BY cid, dim)
+                  GROUP BY cid)""")
+    }
+    sb.toString
+  }
+}

@@ -2252,15 +2252,15 @@ object Registry {
     "stream window", "customer line", "vector table", "data leak",
     "gpu kernel")
 
-  /** Bounded edit-distance self-join (Ed-Join prefix filtering) over
-    * customer names: all pairs within Levenshtein distance 1, found via
-    * rarest-q-gram candidate buckets instead of all pairs. Numbered
+  /** Bounded edit-distance self-join (deletion-neighborhood / FastSS)
+    * over customer names: all pairs within Levenshtein distance 1, found
+    * via shared ≤1-deletion variants instead of all pairs. Numbered
     * entity names differing in one digit are the classic fuzzy-dedup
     * target. */
   private def llmFuzzyJoin(spark: SparkSession, dir: String): DataFrame =
     graft.operators.EditDistanceJoin.selfJoin(
         t(spark, dir, "customer").filter(col("c_custkey") <= 400),
-        "c_custkey", "c_name", maxDist = 1, q = 3)
+        "c_custkey", "c_name", maxDist = 1)
       .select(col("id_a").cast("long").as("id_a"),
         col("id_b").cast("long").as("id_b"),
         col("str_a"), col("str_b"), col("dist"))
@@ -2281,6 +2281,42 @@ object Registry {
     graft.llm.CorpusSim.noveltyScores(t(spark, dir, "documents"),
         "doc_id", "text", n = 5)
       .orderBy("id")
+
+  /** Deterministic integer-unit k-means (md5 seeds, 3 Lloyd rounds):
+    * per-cluster sizes, integer inertia, centroid checksum — the fitted
+    * MODEL is hash-checked against DuckDB replaying the whole training
+    * run, init included. */
+  private def llmKmeansDet(spark: SparkSession, dir: String): DataFrame = {
+    val (assign, centroids) = graft.llm.DetKMeans.fit(
+      t(spark, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 3, dim = 64)
+    val stats = assign.groupBy("cid")
+      .agg(count(lit(1)).as("n_points"), sum(col("d")).as("inertia"))
+    val csum = centroids.select(col("cid"),
+      aggregate(col("c"), lit(0L), (a, v) => a + v).as("centroid_sum"))
+    stats.join(csum, "cid").orderBy("cid")
+  }
+
+  /** IVF ANN over the deterministic k-means index: probe the 2 centroids
+    * nearest the query in unit space, exact-cosine re-rank inside the
+    * probed cells — the first TRAINED-index ANN query whose result is
+    * oracle-checked end to end (the seeded Spark-ML variants remain
+    * rows-only). */
+  private def llmAnnIvfDet(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val (_, centroids) = graft.llm.DetKMeans.fit(
+      emb, "vec_id", "embedding", k = 8, iters = 2, dim = 64)
+    val pts = graft.llm.DetKMeans.unitPoints(emb, "vec_id", "embedding")
+    val cells = graft.llm.DetKMeans.assignTo(pts, centroids)
+    val qUnits = pts.filter(col("id") === 0).select(col("u").as("qu"))
+    val probed = centroids.crossJoin(broadcast(qUnits))
+      .select(col("cid"), graft.llm.DetKMeans.dist2(col("c"), col("qu")).as("qd"))
+      .orderBy("qd", "cid").limit(2).select("cid")
+    val cand = cells.join(broadcast(probed), "cid")
+      .select(col("id").as("cand_id"))
+    graft.llm.Similarity.bruteForceTopK(
+      emb.join(broadcast(cand), col("vec_id") === col("cand_id")),
+      "embedding", "vec_id", queryVector(spark, dir), k = 10)
+  }
 
   // ---------------------------------------------------------------- Registry
 
@@ -2441,6 +2477,8 @@ object Registry {
     "q_llm_fuzzy_join" -> q(llmFuzzyJoin),
     "q_llm_corpus_overlap" -> q(llmCorpusOverlap),
     "q_llm_novelty" -> q(llmNovelty),
+    "q_llm_kmeans_det" -> q(llmKmeansDet),
+    "q_llm_ann_ivf_det" -> q(llmAnnIvfDet),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -2471,6 +2509,44 @@ object Registry {
          FROM s a JOIN s b ON a.id < b.id
          WHERE levenshtein(a.str, b.str) <= 1
          ORDER BY id_a, id_b""",
+    // GENERATED full-training replay (DetKMeans.oracleCtes keeps the SQL
+    // in lockstep with the Scala by construction): DuckDB re-runs init +
+    // all 3 Lloyd rounds in the same integer units and must reproduce
+    // the fitted model exactly.
+    "q_llm_kmeans_det" ->
+      (graft.llm.DetKMeans.oracleCtes("embeddings", "vec_id", "embedding",
+        k = 8, iters = 3, dim = 64) +
+      """
+         SELECT a.cid, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(a.d) AS BIGINT) AS inertia,
+           CAST(cs.csum AS BIGINT) AS centroid_sum
+         FROM a3 a JOIN (SELECT cid, list_sum(c) AS csum FROM c3) cs
+           USING (cid)
+         GROUP BY a.cid, cs.csum ORDER BY a.cid"""),
+    // Same generated CTEs at iters=2; a3 plays the index-assignment role
+    // (points vs the FINAL centroids c2), then probe + exact-cosine
+    // re-rank mirror the ann_brute formulation on the candidate set.
+    "q_llm_ann_ivf_det" ->
+      (graft.llm.DetKMeans.oracleCtes("embeddings", "vec_id", "embedding",
+        k = 8, iters = 3, dim = 64) +
+      """,
+         qu AS (SELECT u FROM u0 WHERE id = 0),
+         probed AS (SELECT cid FROM (
+             SELECT c.cid, list_sum(list_transform(range(1, 65),
+               i -> (c.c[i] - q.u[i]) * (c.c[i] - q.u[i]))) AS qd
+             FROM c2 c, qu q) x
+           ORDER BY qd, cid LIMIT 2),
+         cand AS (SELECT id FROM a3 WHERE cid IN (SELECT cid FROM probed)),
+         qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+                FROM embeddings WHERE vec_id = 0),
+         cv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings JOIN cand ON vec_id = cand.id)
+         SELECT vec_id,
+           floor(list_sum(list_transform(list_zip(e, qe), p -> p[1] * p[2])) /
+             (sqrt(list_sum(list_transform(e, x -> x*x)))
+              * sqrt(list_sum(list_transform(qe, x -> x*x)))) * 1000000 + 0.5)
+             / 1000000 AS cosine_sim
+         FROM cv, qv ORDER BY cosine_sim DESC, vec_id LIMIT 10"""),
     // Novelty replay: per-doc distinct 5-grams (same short-doc joined-
     // remainder contract), corpus df, df==1 share floor-rounded to 4dp.
     "q_llm_novelty" ->

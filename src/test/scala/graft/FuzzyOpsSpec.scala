@@ -55,7 +55,7 @@ class FuzzyOpsSpec extends SparkSpecBase {
     val names = Seq("widget-0001", "widget-0002", "widget-0011", "gadget-0001",
       "widget-00012", "sprocket-9", "sprocket-8", "completely different")
     val df = names.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
-    val got = EditDistanceJoin.selfJoin(df, "id", "s", maxDist = 1, q = 3)
+    val got = EditDistanceJoin.selfJoin(df, "id", "s", maxDist = 1)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = (for {
       i <- names.indices; j <- names.indices if i < j
@@ -65,11 +65,11 @@ class FuzzyOpsSpec extends SparkSpecBase {
     assert(brute.contains((0L, 1L)) && brute.contains((5L, 6L))) // non-trivial
   }
 
-  test("ed-join prefix filter never drops a pair (distance 2, short strings)") {
+  test("ed-join never drops a pair (distance 2, short strings)") {
     import spark.implicits._
     val names = Seq("abcdef", "abcxef", "abcxyf", "ab", "ax", "xy", "abcdefgh")
     val df = names.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
-    val got = EditDistanceJoin.selfJoin(df, "id", "s", maxDist = 2, q = 3)
+    val got = EditDistanceJoin.selfJoin(df, "id", "s", maxDist = 2)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = (for {
       i <- names.indices; j <- names.indices if i < j
@@ -93,6 +93,27 @@ class FuzzyOpsSpec extends SparkSpecBase {
     val again = CorpusSim.overlapMatrix(docs, "source", "text", n = 3, numPerms = 64)
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
     assert(m == again)
+  }
+
+  test("ed-join equals brute force on dense adversarial random strings") {
+    import spark.implicits._
+    // Small alphabet + short lengths = maximal gram collisions and many
+    // true pairs at k=2: the regime where an unsound prefix/position
+    // bound actually drops pairs.
+    val rnd = new scala.util.Random(42)
+    val names = Seq.fill(80)(
+      (3 + rnd.nextInt(10) to 0 by -1).map(_ => "abc"(rnd.nextInt(3))).mkString)
+    val df = names.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    for (k <- Seq(1, 2)) {
+      val got = EditDistanceJoin.selfJoin(df, "id", "s", maxDist = k)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = (for {
+        i <- names.indices; j <- names.indices if i < j
+        if levenshteinRef(names(i), names(j)) <= k
+      } yield (i.toLong, j.toLong)).toSet
+      assert(brute.nonEmpty && got == brute,
+        s"k=$k: missing=${brute.diff(got).take(5)} extra=${got.diff(brute).take(5)}")
+    }
   }
 
   test("minhash signatures obey the merge law: sig(A ∪ B) = min(sig(A), sig(B))") {
