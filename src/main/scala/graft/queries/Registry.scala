@@ -2318,6 +2318,38 @@ object Registry {
       "embedding", "vec_id", queryVector(spark, dir), k = 10)
   }
 
+  /** SemDeDup with the DETERMINISTIC k-means gate: cluster in integer
+    * units (DetKMeans), cosine-pair within cells, connected components,
+    * drop non-representatives. Planted exact copies (ids +10000) land in
+    * their original's cell by construction. The DuckDB oracle replays
+    * training, gating, pairing AND the component fixpoint (recursive
+    * CTE) — the first semantic-dedup query whose DROP SET is
+    * hash-checked, not just property-tested. */
+  private def llmSemDedupDet(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val planted = emb.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + 10000)
+    val all = emb.unionByName(planted)
+    val (_, cents) = graft.llm.DetKMeans.fit(
+      all, "vec_id", "embedding", k = 16, iters = 2, dim = 64)
+    val cells = graft.llm.DetKMeans.assignTo(
+        graft.llm.DetKMeans.unitPoints(all, "vec_id", "embedding"), cents)
+      .select(col("id"), col("cid"))
+    val e = all.select(col("vec_id").as("id"), col("embedding"))
+    val withCell = e.join(cells, "id")
+    val pairs = withCell.as("a").join(withCell.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        graft.llm.Similarity.roundHalfUp(graft.llm.Similarity.cosineUnrolled(
+          col("a.embedding"), col("b.embedding"), 64), 6).as("cos"))
+      .filter(col("cos") >= 0.999)
+      .select("id_a", "id_b")
+    graft.llm.Dedup.dedupByCluster(all.select(col("vec_id")), "vec_id", pairs)
+      .filter(!col("is_representative"))
+      .select(col("vec_id"), col("component"))
+      .orderBy("vec_id")
+  }
+
   // ---------------------------------------------------------------- Registry
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -2479,6 +2511,7 @@ object Registry {
     "q_llm_novelty" -> q(llmNovelty),
     "q_llm_kmeans_det" -> q(llmKmeansDet),
     "q_llm_ann_ivf_det" -> q(llmAnnIvfDet),
+    "q_llm_semdedup_det" -> q(llmSemDedupDet),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -2547,6 +2580,43 @@ object Registry {
               * sqrt(list_sum(list_transform(qe, x -> x*x)))) * 1000000 + 0.5)
              / 1000000 AS cosine_sim
          FROM cv, qv ORDER BY cosine_sim DESC, vec_id LIMIT 10"""),
+    // Full SemDeDup replay: generated k-means CTEs (a3 = assignment to
+    // the final round-2 centroids), within-cell cosine pairs at the
+    // engine's 6dp floor-rounded threshold, then the component fixpoint
+    // as a recursive min-label closure — non-representatives must match
+    // id for id, component for component.
+    "q_llm_semdedup_det" ->
+      (graft.llm.DetKMeans.oracleCtes(
+        "(SELECT vec_id, embedding FROM embeddings UNION ALL" +
+        " SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 20) un",
+        "vec_id", "embedding", k = 16, iters = 3, dim = 64)
+        .replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+         ev AS (SELECT vec_id + 10000 AS id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings WHERE vec_id < 20
+                UNION ALL
+                SELECT vec_id AS id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings),
+         pr AS (SELECT ca.id AS id_a, cb.id AS id_b
+                FROM a3 ca JOIN a3 cb ON ca.cid = cb.cid AND ca.id < cb.id
+                JOIN ev a ON a.id = ca.id JOIN ev b ON b.id = cb.id
+                WHERE floor(list_sum(list_transform(list_zip(a.e, b.e),
+                    p -> p[1] * p[2])) /
+                  (sqrt(list_sum(list_transform(a.e, x -> x*x)))
+                   * sqrt(list_sum(list_transform(b.e, x -> x*x))))
+                  * 1000000 + 0.5) / 1000000 >= 0.999),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pr
+                   UNION ALL SELECT id_b, id_a FROM pr),
+         nodes AS (SELECT DISTINCT a AS id FROM edges),
+         reach(id, lab) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.b AS id, r.lab FROM reach r JOIN edges e ON e.a = r.id),
+         labels AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
+         SELECT id AS vec_id, component FROM labels
+         WHERE component < id ORDER BY vec_id"""),
     // Novelty replay: per-doc distinct 5-grams (same short-doc joined-
     // remainder contract), corpus df, df==1 share floor-rounded to 4dp.
     "q_llm_novelty" ->
