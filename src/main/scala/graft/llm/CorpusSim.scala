@@ -30,6 +30,14 @@ object CorpusSim {
   private def mdHash52(j: Int, gram: Column): Column =
     conv(substring(md5(concat(lit(s"$j:"), gram)), 1, 13), 16, 10).cast("long")
 
+  /** One document's own MinHash signature as a scan-side column — the
+    * unit the streaming maintainer ([[graft.streaming.EventStream
+    * .streamingSignatures]]) folds with componentwise min. Empty gram
+    * arrays yield null components only for empty text; callers filter. */
+  def perDocSignature(text: Column, n: Int = 3, numPerms: Int = 64): Column =
+    array((0 until numPerms).map(j =>
+      array_min(transform(Dedup.shingles(text, n), g => mdHash52(j, g)))): _*)
+
   /** (group, signature array) — one row per group. */
   def signatures(df: DataFrame, groupCol: String, textCol: String,
                  n: Int = 3, numPerms: Int = 64): DataFrame = {

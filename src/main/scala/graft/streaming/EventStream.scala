@@ -146,6 +146,34 @@ object EventStream {
       }
   }
 
+  final case class SigRow(group: String, sig: Seq[Long])
+
+  /** Streaming MinHash-signature maintenance: one signature per group as
+    * `mapGroupsWithState` state, folded with componentwise min — the
+    * sig(A ∪ B) = min(sig(A), sig(B)) merge law
+    * ([[graft.llm.CorpusSim]]) is what makes the state CORRECT under any
+    * replay/pacing, not just bounded: after any sequence of micro-batches
+    * the state equals the batch signature of everything seen (spec pins
+    * batch == streamed). State is numPerms longs per group FOREVER — a
+    * corpus-overlap dashboard over an unbounded ingest feed costs KBs.
+    * Rows are per-DOCUMENT signatures
+    * ([[graft.llm.CorpusSim.perDocSignature]]), computed scan-side in the
+    * micro-batch. */
+  def streamingSignatures(rows: Dataset[SigRow],
+                          numPerms: Int = 64): Dataset[SigRow] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.group)
+      .mapGroupsWithState[Seq[Long], SigRow](GroupStateTimeout.NoTimeout) {
+        case (group, batch, state: GroupState[Seq[Long]]) =>
+          val init = state.getOption.getOrElse(Seq.fill(numPerms)(Long.MaxValue))
+          val merged = batch.foldLeft(init) { (acc, r) =>
+            acc.lazyZip(r.sig).map(math.min)
+          }
+          state.update(merged)
+          SigRow(group, merged)
+      }
+  }
+
   /** Event-time sessionization via flatMapGroupsWithState: sessions split on
     * event-time gaps and close either when a later event proves the gap
     * (emitted immediately) or when the WATERMARK passes end+gap

@@ -248,4 +248,47 @@ class EventStreamSpec extends SparkSpecBase {
     assert(fin.getSeq[Long](fin.fieldIndex("counts")).toSeq == Seq(5L, 5L, 3L))
     assert(fin.getAs[Long]("err") == 0L, "cap=64 > distinct: exact")
   }
+
+  test("streaming minhash signatures: state equals the batch signature") {
+    import spark.implicits._
+    val sigSchema = StructType(Seq(
+      StructField("source", StringType), StructField("text", StringType)))
+    // Two bursts per source; the merge law must make the final state
+    // identical to the batch signature over BOTH bursts together.
+    val bursts = Seq(
+      Seq(("x", "alpha beta gamma delta eps"), ("y", "one two three four five")),
+      Seq(("x", "zeta eta theta iota kappa"), ("y", "one two three four five six")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-sig").toString
+    bursts.foreach { b =>
+      b.toDF("source", "text")
+        .coalesce(1).write.mode("append").parquet(s"$dir/stream")
+      Thread.sleep(1100)
+    }
+    val perms = 16
+    val q = EventStream.replayParquetAsStream(spark, s"$dir/stream", sigSchema,
+      d => EventStream.streamingSignatures(
+        d.select(col("source").as("group"),
+          graft.llm.CorpusSim.perDocSignature(col("text"), n = 3,
+            numPerms = perms).as("sig")).as[EventStream.SigRow],
+        numPerms = perms).toDF(),
+      "sig_sink", org.apache.spark.sql.streaming.OutputMode.Update())
+    q.awaitTermination(60000)
+    // Update mode emits one row per group per trigger; signatures only
+    // decrease componentwise, so the final state per group is the
+    // componentwise min over its reports.
+    val streamed = spark.table("sig_sink").collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rows) =>
+        g -> rows.map(_.getSeq[Long](1)).reduce((a, b) =>
+          a.lazyZip(b).map(math.min).toSeq)
+      }
+    val batch = graft.llm.CorpusSim.signatures(
+        bursts.flatten.toDF("source", "text"), "source", "text",
+        n = 3, numPerms = perms)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (g, sig) =>
+      assert(sig == batch(g), s"group $g streamed != batch")
+    }
+  }
 }
