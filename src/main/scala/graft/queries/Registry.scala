@@ -2350,6 +2350,50 @@ object Registry {
       .orderBy("vec_id")
   }
 
+  /** TPC-H Q5 shape: revenue by nation inside one region through the
+    * co-located customer/supplier condition — the 6-relation join plan:
+    * fact-side equi-joins shuffle on their keys, the nation/region dims
+    * broadcast, revenue sums in DecimalType (order-independent). */
+  private def aggRegionalVolume(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem"); val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer"); val s = t(spark, dir, "supplier")
+    val n = t(spark, dir, "nation"); val r = t(spark, dir, "region")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(22, 6))).cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q7 shape: cross-border trade volume between customer and
+    * supplier nations — the nation dim joins TWICE under different
+    * aliases (both broadcast); output is the full flow matrix. */
+  private def aggTradeFlow(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem"); val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer"); val s = t(spark, dir, "supplier")
+    val n = t(spark, dir, "nation")
+    val cn = n.select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+    val sn = n.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .join(broadcast(cn), col("c_nationkey") === col("cnk"))
+      .join(broadcast(sn), col("s_nationkey") === col("snk"))
+      .groupBy("cust_nation", "supp_nation")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(22, 6))).cast("double").as("volume"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy("cust_nation", "supp_nation")
+  }
+
   // ---------------------------------------------------------------- Registry
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -2512,6 +2556,8 @@ object Registry {
     "q_llm_kmeans_det" -> q(llmKmeansDet),
     "q_llm_ann_ivf_det" -> q(llmAnnIvfDet),
     "q_llm_semdedup_det" -> q(llmSemDedupDet),
+    "q_agg_regional_volume" -> q(aggRegionalVolume),
+    "q_agg_trade_flow" -> q(aggTradeFlow),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -2580,6 +2626,32 @@ object Registry {
               * sqrt(list_sum(list_transform(qe, x -> x*x)))) * 1000000 + 0.5)
              / 1000000 AS cosine_sim
          FROM cv, qv ORDER BY cosine_sim DESC, vec_id LIMIT 10"""),
+    "q_agg_regional_volume" ->
+      """SELECT n_name,
+           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+             AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
+           count(*) AS n_lineitems
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q_agg_trade_flow" ->
+      """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+             AS DECIMAL(22,6))) AS DOUBLE) AS volume,
+           count(*) AS n_lineitems
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         WHERE c_nationkey <> s_nationkey
+         GROUP BY cn.n_name, sn.n_name ORDER BY cust_nation, supp_nation""",
     // Full SemDeDup replay: generated k-means CTEs (a3 = assignment to
     // the final round-2 centroids), within-cell cosine pairs at the
     // engine's 6dp floor-rounded threshold, then the component fixpoint

@@ -140,6 +140,16 @@ class PlanRegressionSpec extends SparkSpecBase {
       "prefix filtering degenerated to an all-pairs product")
   }
 
+  test("TPC-H Q5/Q7 shapes: dims broadcast (nation twice in Q7), no cartesian") {
+    val q5 = plan("q_agg_regional_volume")
+    assert(!q5.contains("CartesianProduct"))
+    assert(q5.contains("BroadcastHashJoin"))
+    val q7 = plan("q_agg_trade_flow")
+    assert(!q7.contains("CartesianProduct"))
+    assert("BroadcastHashJoin".r.findAllIn(q7).size >= 2,
+      "both nation aliases must broadcast")
+  }
+
   test("native expressions stay inside WholeStageCodegen, never fall back") {
     // Each custom Catalyst expression must appear inside a codegen'd span
     // (executedPlan.toString marks those operators with '*'); a future
