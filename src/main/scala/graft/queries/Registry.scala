@@ -2350,6 +2350,25 @@ object Registry {
       .orderBy("vec_id")
   }
 
+  /** Schema evolution on the lake: a v1 writer without `rev` and a v2
+    * writer with it land in the same dataset; `mergeSchema` reconciles
+    * at read time (v1 rows surface NULL rev) — the append-only column
+    * evolution contract a long-lived 100 TB table needs. Derived from
+    * the region table so the oracle can express the merged read as a
+    * UNION ALL over the base relation. */
+  private def sSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val p = java.nio.file.Files.createTempDirectory("graft-evo").toString
+    val r = t(spark, dir, "region")
+    r.select(col("r_regionkey").cast("long").as("k"), col("r_name").as("name"))
+      .write.mode("overwrite").parquet(s"$p/part=v1")
+    r.select((col("r_regionkey") + 100).cast("long").as("k"),
+        col("r_name").as("name"), lit("v2").as("rev"))
+      .write.mode("overwrite").parquet(s"$p/part=v2")
+    spark.read.option("mergeSchema", "true").parquet(p)
+      .select(col("k"), col("name"), col("rev"))
+      .orderBy("k")
+  }
+
   /** TPC-H Q5 shape: revenue by nation inside one region through the
     * co-located customer/supplier condition — the 6-relation join plan:
     * fact-side equi-joins shuffle on their keys, the nation/region dims
@@ -2558,6 +2577,7 @@ object Registry {
     "q_llm_semdedup_det" -> q(llmSemDedupDet),
     "q_agg_regional_volume" -> q(aggRegionalVolume),
     "q_agg_trade_flow" -> q(aggTradeFlow),
+    "q_s_schema_evolution" -> q(sSchemaEvolution),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -2626,6 +2646,14 @@ object Registry {
               * sqrt(list_sum(list_transform(qe, x -> x*x)))) * 1000000 + 0.5)
              / 1000000 AS cosine_sim
          FROM cv, qv ORDER BY cosine_sim DESC, vec_id LIMIT 10"""),
+    // The merged read must equal v1-rows-with-NULL-rev ∪ v2 rows.
+    "q_s_schema_evolution" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS k, r_name AS name,
+           CAST(NULL AS VARCHAR) AS rev FROM region
+         UNION ALL
+         SELECT CAST(r_regionkey + 100 AS BIGINT) AS k, r_name AS name,
+           'v2' AS rev FROM region
+         ORDER BY k""",
     "q_agg_regional_volume" ->
       """SELECT n_name,
            CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
