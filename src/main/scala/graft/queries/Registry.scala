@@ -2350,6 +2350,26 @@ object Registry {
       .orderBy("vec_id")
   }
 
+  /** Count-Min frequency estimates for a probe set (hits and misses)
+    * beside the exact counts and the overestimate-only guarantee — the
+    * md5-derived positions let DuckDB rebuild the identical counter
+    * relation and reproduce every estimate, collisions included. */
+  private def aggCountMin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = t(spark, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val counters = graft.operators.CountMinSketch.buildCounters(toks, "tok")
+    val probes = Seq("the", "spark", "scan", "gpu", "zzz").toDF("item")
+    val exact = toks.groupBy(col("tok").as("item")).agg(count(lit(1)).as("exact"))
+    graft.operators.CountMinSketch.estimates(counters, probes, "item")
+      .join(exact, Seq("item"), "left")
+      .select(col("item"), col("cm_estimate"),
+        coalesce(col("exact"), lit(0L)).as("exact"),
+        (col("cm_estimate") >= coalesce(col("exact"), lit(0L)))
+          .as("overestimate_ok"))
+      .orderBy("item")
+  }
+
   /** Schema evolution on the lake: a v1 writer without `rev` and a v2
     * writer with it land in the same dataset; `mergeSchema` reconciles
     * at read time (v1 rows surface NULL rev) — the append-only column
@@ -2578,6 +2598,7 @@ object Registry {
     "q_agg_regional_volume" -> q(aggRegionalVolume),
     "q_agg_trade_flow" -> q(aggTradeFlow),
     "q_s_schema_evolution" -> q(sSchemaEvolution),
+    "q_agg_countmin" -> q(aggCountMin),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -2646,6 +2667,31 @@ object Registry {
               * sqrt(list_sum(list_transform(qe, x -> x*x)))) * 1000000 + 0.5)
              / 1000000 AS cosine_sim
          FROM cv, qv ORDER BY cosine_sim DESC, vec_id LIMIT 10"""),
+    // Full Count-Min replay: identical md5 positions → identical counter
+    // relation → identical estimates, plus the exact counts and the
+    // est ≥ exact guarantee evaluated on both engines.
+    "q_agg_countmin" ->
+      """WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+                       FROM documents),
+         c AS (SELECT j AS row,
+                 ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 13))::BIGINT
+                   % 1024 AS pos,
+                 CAST(count(*) AS BIGINT) AS cnt
+               FROM toks, range(4) r(j) GROUP BY 1, 2),
+         q(item) AS (VALUES ('the'), ('spark'), ('scan'), ('gpu'), ('zzz')),
+         p AS (SELECT item, j AS row,
+                 ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || item), 1, 13))::BIGINT
+                   % 1024 AS pos
+               FROM q, range(4) r(j)),
+         est AS (SELECT item, min(coalesce(cnt, 0)) AS cm_estimate
+                 FROM p LEFT JOIN c USING (row, pos) GROUP BY item),
+         ex AS (SELECT tok AS item, CAST(count(*) AS BIGINT) AS exact
+                FROM toks GROUP BY tok)
+         SELECT q.item, CAST(est.cm_estimate AS BIGINT) AS cm_estimate,
+           CAST(coalesce(ex.exact, 0) AS BIGINT) AS exact,
+           est.cm_estimate >= coalesce(ex.exact, 0) AS overestimate_ok
+         FROM q JOIN est USING (item) LEFT JOIN ex ON q.item = ex.item
+         ORDER BY q.item""",
     // The merged read must equal v1-rows-with-NULL-rev ∪ v2 rows.
     "q_s_schema_evolution" ->
       """SELECT CAST(r_regionkey AS BIGINT) AS k, r_name AS name,
