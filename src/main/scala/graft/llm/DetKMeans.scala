@@ -98,34 +98,45 @@ object DetKMeans {
 
   /** Generated DuckDB replay of [[fit]] — SQL kept in lockstep with the
     * Scala by construction (the PageRank/ZOrder generated-oracle
-    * pattern). Emits CTEs u0, c0, a1, c1, …, a_iters, c_iters over
-    * `table`; the caller appends the final SELECT. */
+    * pattern). Emits CTEs {p}u0, {p}c0, {p}a1, {p}c1, …, {p}a_iters,
+    * {p}c_iters over `table`; the caller appends the final SELECT (and
+    * the leading `WITH `/`WITH RECURSIVE ` keyword via `lead` — pass ""
+    * to chain multiple generated blocks, e.g. one per PQ subspace, in a
+    * single WITH clause). `sliceFrom` trains on the 1-based inclusive
+    * sub-range [sliceFrom+1, sliceFrom+dim] of the embedding — the
+    * product-quantization subspace split. */
   def oracleCtes(table: String, idCol: String, embCol: String,
-                 k: Int, iters: Int, dim: Int): String = {
+                 k: Int, iters: Int, dim: Int,
+                 prefix: String = "", lead: String = "WITH ",
+                 sliceFrom: Int = 0): String = {
     val d1 = dim + 1
-    def distSql(p: String, c: String): String =
-      s"list_sum(list_transform(range(1, $d1), i -> ($p.u[i] - $c.c[i]) * ($p.u[i] - $c.c[i])))"
+    val p = prefix
+    val sliced =
+      if (sliceFrom == 0 && dim > 0) s"$embCol[1:$dim]"
+      else s"$embCol[${sliceFrom + 1}:${sliceFrom + dim}]"
+    def distSql(pt: String, c: String): String =
+      s"list_sum(list_transform(range(1, $d1), i -> ($pt.u[i] - $c.c[i]) * ($pt.u[i] - $c.c[i])))"
     val sb = new StringBuilder
     sb.append(
-      s"""WITH u0 AS (SELECT $idCol AS id,
-            list_transform($embCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+      s"""$lead${p}u0 AS (SELECT $idCol AS id,
+            list_transform($sliced, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
               AS BIGINT)) AS u FROM $table),
-          c0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1
+          ${p}c0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1
                    AS cid, u AS c
-                 FROM u0
+                 FROM ${p}u0
                  ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $k)""")
     for (i <- 1 to iters) {
       sb.append(
         s""",
-          a$i AS (SELECT id, u, cid, d FROM (
+          ${p}a$i AS (SELECT id, u, cid, d FROM (
             SELECT id, u, cid, d,
               row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rk
-            FROM (SELECT p.id, p.u, c.cid, ${distSql("p", "c")} AS d
-                  FROM u0 p, c${i - 1} c) x) y WHERE rk = 1),
-          c$i AS (SELECT cid,
+            FROM (SELECT pt.id, pt.u, c.cid, ${distSql("pt", "c")} AS d
+                  FROM ${p}u0 pt, ${p}c${i - 1} c) x) y WHERE rk = 1),
+          ${p}c$i AS (SELECT cid,
                     list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS c
                   FROM (SELECT cid, dim, SUM(u[dim]) AS s, COUNT(*) AS n
-                        FROM a$i, range(1, $d1) r(dim) GROUP BY cid, dim)
+                        FROM ${p}a$i, range(1, $d1) r(dim) GROUP BY cid, dim)
                   GROUP BY cid)""")
     }
     sb.toString

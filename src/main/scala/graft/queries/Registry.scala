@@ -2350,6 +2350,36 @@ object Registry {
       .orderBy("vec_id")
   }
 
+  /** Product quantization with DETERMINISTIC per-subspace codebooks
+    * (integer-unit k-means on each 8-dim slice) and fully-integer ADC
+    * search — the PQ twin of q_llm_kmeans_det: training, encoding and
+    * the asymmetric-distance ranking are all replayed by the generated
+    * oracle, so the TRAINED-index ANN answer is hash-checked (the
+    * float-codebook `q_llm_ann_pq` stays rows-only). */
+  private def llmAnnPqDet(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.DetKMeans
+    val emb = t(spark, dir, "embeddings")
+    val m = 8; val subDim = 8; val kCodes = 16; val iters = 2
+    val perSub = (0 until m).map { s =>
+      val sub = emb.select(col("vec_id"),
+        slice(col("embedding"), s * subDim + 1, subDim).as("sub"))
+      val (_, cents) = DetKMeans.fit(sub, "vec_id", "sub", kCodes, iters, subDim)
+      val cells = DetKMeans.assignTo(
+        DetKMeans.unitPoints(sub, "vec_id", "sub"), cents)
+      val qsub = DetKMeans.unitPoints(
+          sub.filter(col("vec_id") === 0), "vec_id", "sub")
+        .select(col("u").as("qu"))
+      val qd = cents.crossJoin(broadcast(qsub))
+        .select(col("cid"), DetKMeans.dist2(col("c"), col("qu")).as("qd"))
+      cells.select(col("id"), col("cid")).join(broadcast(qd), "cid")
+        .select(col("id"), col("qd"))
+    }
+    perSub.reduce(_ unionByName _)
+      .groupBy("id").agg(sum(col("qd")).as("adc_dist"))
+      .select(col("id").as("vec_id"), col("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id")).limit(10)
+  }
+
   /** Count-Min frequency estimates for a probe set (hits and misses)
     * beside the exact counts and the overestimate-only guarantee — the
     * md5-derived positions let DuckDB rebuild the identical counter
@@ -2599,6 +2629,7 @@ object Registry {
     "q_agg_trade_flow" -> q(aggTradeFlow),
     "q_s_schema_evolution" -> q(sSchemaEvolution),
     "q_agg_countmin" -> q(aggCountMin),
+    "q_llm_ann_pq_det" -> q(llmAnnPqDet),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -2667,6 +2698,32 @@ object Registry {
               * sqrt(list_sum(list_transform(qe, x -> x*x)))) * 1000000 + 0.5)
              / 1000000 AS cosine_sim
          FROM cv, qv ORDER BY cosine_sim DESC, vec_id LIMIT 10"""),
+    // Generated multi-subspace PQ replay: one integer k-means CTE chain
+    // per 8-dim slice (a3 = codes vs the final round-2 codebook c2),
+    // then per-subspace ADC lookup tables and the integer sum ranking.
+    "q_llm_ann_pq_det" -> {
+      val m = 8; val subDim = 8
+      val chains = (0 until m).map(s =>
+        graft.llm.DetKMeans.oracleCtes("embeddings", "vec_id", "embedding",
+          k = 16, iters = 3, dim = subDim, prefix = s"s${s}_",
+          lead = if (s == 0) "WITH " else "", sliceFrom = s * subDim))
+        .mkString(",\n")
+      val contribs = (0 until m).map { s =>
+        s"""
+         s${s}_qd AS (SELECT c.cid,
+             list_sum(list_transform(range(1, ${subDim + 1}),
+               i -> (c.c[i] - q.u[i]) * (c.c[i] - q.u[i]))) AS qd
+           FROM s${s}_c2 c, (SELECT u FROM s${s}_u0 WHERE id = 0) q),
+         s${s}_contrib AS (SELECT a.id, qd
+           FROM s${s}_a3 a JOIN s${s}_qd d ON a.cid = d.cid)"""
+      }.mkString(",")
+      val unionAll = (0 until m)
+        .map(s => s"SELECT id, qd FROM s${s}_contrib").mkString(" UNION ALL ")
+      chains + "," + contribs + s"""
+         SELECT id AS vec_id, CAST(SUM(qd) AS BIGINT) AS adc_dist
+         FROM ($unionAll) all_contribs
+         GROUP BY id ORDER BY adc_dist, vec_id LIMIT 10"""
+    },
     // Full Count-Min replay: identical md5 positions → identical counter
     // relation → identical estimates, plus the exact counts and the
     // est ≥ exact guarantee evaluated on both engines.
