@@ -96,6 +96,47 @@ object DetKMeans {
     (assign, centroids)
   }
 
+  /** Grouped [[assignTo]]: nearest centroid within each point's group
+    * (product-quantization subspaces train side by side — `pts` and
+    * `centroids` both carry a `g` column). Same math per group. */
+  def assignToGrouped(pts: DataFrame, centroids: DataFrame): DataFrame =
+    pts.join(broadcast(centroids), Seq("g"))
+      .select(col("g"), col("id"), col("u"), col("cid"),
+        dist2(col("u"), col("c")).as("d"))
+      .groupBy("g", "id")
+      .agg(first(col("u")).as("u"), min(struct(col("d"), col("cid"))).as("m"))
+      .select(col("g"), col("id"), col("u"),
+        col("m").getField("cid").as("cid"), col("m").getField("d").as("d"))
+
+  /** Grouped [[fit]] over (g, id, u) unit points: every group trains its
+    * own k centroids, but ALL groups share each round's two aggregate
+    * passes — for m PQ subspaces this is m× fewer (tiny, scheduler-
+    * bound) jobs than m separate fits, with per-group math identical to
+    * [[fit]] (the per-group md5 seed order equals the per-slice
+    * TakeOrdered; the generated oracle is unchanged). Measured 6.6 s →
+    * ~2 s for q_llm_ann_pq_det at sf0.1. */
+  def fitGrouped(pts: DataFrame, k: Int, iters: Int, dim: Int): (DataFrame, DataFrame) = {
+    require(k >= 1 && iters >= 1)
+    val p = pts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var centroids = p.withColumn("h", md5(col("id").cast("string")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")
+          .orderBy(col("h"), col("id"))))
+      .filter(col("rn") <= k)
+      .select(col("g"), (col("rn") - 1).cast("long").as("cid"), col("u").as("c"))
+    var assign: DataFrame = null
+    for (_ <- 1 to iters) {
+      assign = assignToGrouped(p, centroids)
+      centroids = assign.groupBy("g", "cid")
+        .agg(count(lit(1)).as("n"),
+          array((0 until dim).map(i => sum(element_at(col("u"), i + 1))): _*).as("s"))
+        .select(col("g"), col("cid"),
+          transform(col("s"), s => floor(s.cast("double") / col("n")).cast("long"))
+            .as("c"))
+    }
+    (assign, centroids)
+  }
+
   /** Generated DuckDB replay of [[fit]] — SQL kept in lockstep with the
     * Scala by construction (the PageRank/ZOrder generated-oracle
     * pattern). Emits CTEs {p}u0, {p}c0, {p}a1, {p}c1, …, {p}a_iters,

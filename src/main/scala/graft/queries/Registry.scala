@@ -2360,21 +2360,25 @@ object Registry {
     import graft.llm.DetKMeans
     val emb = t(spark, dir, "embeddings")
     val m = 8; val subDim = 8; val kCodes = 16; val iters = 2
-    val perSub = (0 until m).map { s =>
-      val sub = emb.select(col("vec_id"),
-        slice(col("embedding"), s * subDim + 1, subDim).as("sub"))
-      val (_, cents) = DetKMeans.fit(sub, "vec_id", "sub", kCodes, iters, subDim)
-      val cells = DetKMeans.assignTo(
-        DetKMeans.unitPoints(sub, "vec_id", "sub"), cents)
-      val qsub = DetKMeans.unitPoints(
-          sub.filter(col("vec_id") === 0), "vec_id", "sub")
-        .select(col("u").as("qu"))
-      val qd = cents.crossJoin(broadcast(qsub))
-        .select(col("cid"), DetKMeans.dist2(col("c"), col("qu")).as("qd"))
-      cells.select(col("id"), col("cid")).join(broadcast(qd), "cid")
-        .select(col("id"), col("qd"))
-    }
-    perSub.reduce(_ unionByName _)
+    // All m subspaces as one grouped relation: (g, id, u_slice-units).
+    val pts = emb.select(col("vec_id").cast("long").as("id"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("embedding"), s * subDim + 1, subDim)): _*))
+          .as(Seq("g", "sub")))
+      .select(col("g").cast("long").as("g"), col("id"),
+        DetKMeans.toUnits(col("sub")).as("u"))
+    // The fitted codebook is m·k·dim longs but its LINEAGE is the whole
+    // training run — persist it so cells and the ADC table don't each
+    // re-execute training (the SemDedup round-6 lesson).
+    val (_, cents0) = DetKMeans.fitGrouped(pts, kCodes, iters, subDim)
+    val cents = cents0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = DetKMeans.assignToGrouped(pts, cents)
+    val q = pts.filter(col("id") === 0)
+      .select(col("g"), col("u").as("qu"))
+    val qd = cents.join(broadcast(q), Seq("g"))
+      .select(col("g"), col("cid"), DetKMeans.dist2(col("c"), col("qu")).as("qd"))
+    cells.select(col("g"), col("id"), col("cid"))
+      .join(broadcast(qd), Seq("g", "cid"))
       .groupBy("id").agg(sum(col("qd")).as("adc_dist"))
       .select(col("id").as("vec_id"), col("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id")).limit(10)
