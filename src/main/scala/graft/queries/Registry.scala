@@ -2384,6 +2384,42 @@ object Registry {
       .orderBy(col("adc_dist"), col("vec_id")).limit(10)
   }
 
+  /** FAISS IndexRefine on the deterministic PQ index: ADC ranks a
+    * 50-candidate shortlist, exact integer L2 re-ranks it to the final
+    * top-10 — shortlist AND refinement both hash-checked. The exact
+    * distance reads only the shortlist's full vectors (broadcast semi),
+    * which is the whole point of refine at scale: full-precision I/O
+    * proportional to the shortlist, not the corpus. */
+  private def llmAnnPqDetRerank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.DetKMeans
+    val emb = t(spark, dir, "embeddings")
+    val m = 8; val subDim = 8; val kCodes = 16; val iters = 2
+    val pts = emb.select(col("vec_id").cast("long").as("id"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("embedding"), s * subDim + 1, subDim)): _*))
+          .as(Seq("g", "sub")))
+      .select(col("g").cast("long").as("g"), col("id"),
+        DetKMeans.toUnits(col("sub")).as("u"))
+    val (_, cents0) = DetKMeans.fitGrouped(pts, kCodes, iters, subDim)
+    val cents = cents0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = DetKMeans.assignToGrouped(pts, cents)
+    val q = pts.filter(col("id") === 0).select(col("g"), col("u").as("qu"))
+    val qd = cents.join(broadcast(q), Seq("g"))
+      .select(col("g"), col("cid"), DetKMeans.dist2(col("c"), col("qu")).as("qd"))
+    val shortlist = cells.select(col("g"), col("id"), col("cid"))
+      .join(broadcast(qd), Seq("g", "cid"))
+      .groupBy("id").agg(sum(col("qd")).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("id")).limit(50)
+    // Exact refine: full-precision integer L2 over the shortlist only.
+    val full = DetKMeans.unitPoints(emb, "vec_id", "embedding")
+    val qFull = full.filter(col("id") === 0).select(col("u").as("qu"))
+    full.join(broadcast(shortlist.select(col("id"))), Seq("id"))
+      .crossJoin(broadcast(qFull))
+      .select(col("id").as("vec_id"),
+        DetKMeans.dist2(col("u"), col("qu")).as("exact_dist"))
+      .orderBy(col("exact_dist"), col("vec_id")).limit(10)
+  }
+
   /** Count-Min frequency estimates for a probe set (hits and misses)
     * beside the exact counts and the overestimate-only guarantee — the
     * md5-derived positions let DuckDB rebuild the identical counter
@@ -2634,7 +2670,34 @@ object Registry {
     "q_s_schema_evolution" -> q(sSchemaEvolution),
     "q_agg_countmin" -> q(aggCountMin),
     "q_llm_ann_pq_det" -> q(llmAnnPqDet),
+    "q_llm_ann_pq_det_rerank" -> q(llmAnnPqDetRerank),
   )
+
+  /** Shared generated CTEs for the deterministic-PQ oracles: one
+    * integer k-means chain per subspace plus the per-subspace ADC
+    * lookup relations; [[pqDetUnionAll]] unions the contributions. */
+  private lazy val pqDetCtes: String = {
+    val m = 8; val subDim = 8
+    val chains = (0 until m).map(s =>
+      graft.llm.DetKMeans.oracleCtes("embeddings", "vec_id", "embedding",
+        k = 16, iters = 3, dim = subDim, prefix = s"s${s}_",
+        lead = if (s == 0) "WITH " else "", sliceFrom = s * subDim))
+      .mkString(",\n")
+    val contribs = (0 until m).map { s =>
+      s"""
+         s${s}_qd AS (SELECT c.cid,
+             list_sum(list_transform(range(1, ${subDim + 1}),
+               i -> (c.c[i] - q.u[i]) * (c.c[i] - q.u[i]))) AS qd
+           FROM s${s}_c2 c, (SELECT u FROM s${s}_u0 WHERE id = 0) q),
+         s${s}_contrib AS (SELECT a.id, qd
+           FROM s${s}_a3 a JOIN s${s}_qd d ON a.cid = d.cid)"""
+    }.mkString(",")
+    chains + "," + contribs
+  }
+
+  private lazy val pqDetUnionAll: String =
+    (0 until 8).map(s => s"SELECT id, qd FROM s${s}_contrib")
+      .mkString(" UNION ALL ")
 
   val oracleSql: ListMap[String, String] = ListMap(
     // Aho–Corasick substring semantics == per-pattern `contains`; the
@@ -2705,29 +2768,31 @@ object Registry {
     // Generated multi-subspace PQ replay: one integer k-means CTE chain
     // per 8-dim slice (a3 = codes vs the final round-2 codebook c2),
     // then per-subspace ADC lookup tables and the integer sum ranking.
-    "q_llm_ann_pq_det" -> {
-      val m = 8; val subDim = 8
-      val chains = (0 until m).map(s =>
-        graft.llm.DetKMeans.oracleCtes("embeddings", "vec_id", "embedding",
-          k = 16, iters = 3, dim = subDim, prefix = s"s${s}_",
-          lead = if (s == 0) "WITH " else "", sliceFrom = s * subDim))
-        .mkString(",\n")
-      val contribs = (0 until m).map { s =>
-        s"""
-         s${s}_qd AS (SELECT c.cid,
-             list_sum(list_transform(range(1, ${subDim + 1}),
-               i -> (c.c[i] - q.u[i]) * (c.c[i] - q.u[i]))) AS qd
-           FROM s${s}_c2 c, (SELECT u FROM s${s}_u0 WHERE id = 0) q),
-         s${s}_contrib AS (SELECT a.id, qd
-           FROM s${s}_a3 a JOIN s${s}_qd d ON a.cid = d.cid)"""
-      }.mkString(",")
-      val unionAll = (0 until m)
-        .map(s => s"SELECT id, qd FROM s${s}_contrib").mkString(" UNION ALL ")
-      chains + "," + contribs + s"""
+    "q_llm_ann_pq_det" -> (pqDetCtes +
+      s"""
          SELECT id AS vec_id, CAST(SUM(qd) AS BIGINT) AS adc_dist
-         FROM ($unionAll) all_contribs
-         GROUP BY id ORDER BY adc_dist, vec_id LIMIT 10"""
-    },
+         FROM ($pqDetUnionAll) all_contribs
+         GROUP BY id ORDER BY adc_dist, vec_id LIMIT 10"""),
+    // IndexRefine replay: the same generated PQ CTEs rank a
+    // 50-candidate ADC shortlist; the refine joins the shortlist back
+    // to full-precision integer vectors for the exact top-10.
+    "q_llm_ann_pq_det_rerank" -> (pqDetCtes +
+      s""",
+         adc AS (SELECT id, SUM(qd) AS adc_dist
+                 FROM ($pqDetUnionAll) all_contribs
+                 GROUP BY id ORDER BY adc_dist, id LIMIT 50),
+         fu AS (SELECT vec_id AS id,
+                  list_transform(embedding[1:64],
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                      AS BIGINT)) AS u
+                FROM embeddings),
+         qf AS (SELECT u FROM fu WHERE id = 0)
+         SELECT f.id AS vec_id,
+           CAST(list_sum(list_transform(range(1, 65),
+             i -> (f.u[i] - q.u[i]) * (f.u[i] - q.u[i]))) AS BIGINT)
+             AS exact_dist
+         FROM fu f JOIN adc ON f.id = adc.id, qf q
+         ORDER BY exact_dist, vec_id LIMIT 10"""),
     // Full Count-Min replay: identical md5 positions → identical counter
     // relation → identical estimates, plus the exact counts and the
     // est ≥ exact guarantee evaluated on both engines.
