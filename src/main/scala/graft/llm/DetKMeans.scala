@@ -149,19 +149,24 @@ object DetKMeans {
   def oracleCtes(table: String, idCol: String, embCol: String,
                  k: Int, iters: Int, dim: Int,
                  prefix: String = "", lead: String = "WITH ",
-                 sliceFrom: Int = 0): String = {
+                 sliceFrom: Int = 0, preQuantized: Boolean = false): String = {
     val d1 = dim + 1
     val p = prefix
     val sliced =
       if (sliceFrom == 0 && dim > 0) s"$embCol[1:$dim]"
       else s"$embCol[${sliceFrom + 1}:${sliceFrom + dim}]"
+    // preQuantized: the column already holds integer units (e.g. PQ
+    // residuals, which are exact integer differences) — no re-quantize.
+    val unitsSql =
+      if (preQuantized) sliced
+      else s"""list_transform($sliced, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT))"""
     def distSql(pt: String, c: String): String =
       s"list_sum(list_transform(range(1, $d1), i -> ($pt.u[i] - $c.c[i]) * ($pt.u[i] - $c.c[i])))"
     val sb = new StringBuilder
     sb.append(
       s"""$lead${p}u0 AS (SELECT $idCol AS id,
-            list_transform($sliced, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
-              AS BIGINT)) AS u FROM $table),
+            $unitsSql AS u FROM $table),
           ${p}c0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1
                    AS cid, u AS c
                  FROM ${p}u0

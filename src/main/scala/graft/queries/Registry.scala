@@ -2420,6 +2420,56 @@ object Registry {
       .orderBy(col("exact_dist"), col("vec_id")).limit(10)
   }
 
+  /** Deterministic IVF-PQ (FAISS IVFADC, fully hash-checked): coarse
+    * integer k-means partitions the corpus, PQ codebooks train on the
+    * integer RESIDUALS (exact subtractions — no quantization error
+    * between stages), search probes 2 cells and ranks by per-cell
+    * residual ADC. Completes the deterministic twin family: every stage
+    * of the float `q_llm_ann_ivfpq` now has a replayable counterpart. */
+  private def llmAnnIvfPqDet(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.DetKMeans
+    val emb = t(spark, dir, "embeddings")
+    val m = 8; val subDim = 8; val kCodes = 16; val kCoarse = 8
+    val (_, co0) = DetKMeans.fit(emb, "vec_id", "embedding",
+      kCoarse, iters = 2, dim = 64)
+    val coarse = co0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val full = DetKMeans.unitPoints(emb, "vec_id", "embedding")
+    val cells = DetKMeans.assignTo(full, coarse)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val res = cells.join(broadcast(coarse), "cid")
+      .select(col("id"), col("cid"),
+        zip_with(col("u"), col("c"), (a, b) => a - b).as("r"))
+    val pts = res.select(col("id"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("r"), s * subDim + 1, subDim)): _*)).as(Seq("g", "rs")))
+      .select(col("g").cast("long").as("g"), col("id"), col("rs").as("u"))
+    val (_, cb0) = DetKMeans.fitGrouped(pts, kCodes, iters = 2, subDim)
+    val codebooks = cb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = DetKMeans.assignToGrouped(pts, codebooks)
+      .select(col("g"), col("id"), col("cid").as("code"))
+    val qu = full.filter(col("id") === 0).select(col("u").as("qu"))
+    val probed = coarse.crossJoin(broadcast(qu))
+      .select(col("cid"), DetKMeans.dist2(col("c"), col("qu")).as("cqd"))
+      .orderBy("cqd", "cid").limit(2).select("cid")
+    val qres = probed.join(broadcast(coarse), "cid").crossJoin(broadcast(qu))
+      .select(col("cid"), zip_with(col("qu"), col("c"), (a, b) => a - b).as("qr"))
+    val adcTable = qres.select(col("cid"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("qr"), s * subDim + 1, subDim)): _*)).as(Seq("g", "qrs")))
+      .select(col("cid"), col("g").cast("long").as("g"), col("qrs"))
+      .join(broadcast(codebooks.select(col("g"), col("cid").as("code"), col("c"))),
+        Seq("g"))
+      .select(col("cid"), col("g"), col("code"),
+        DetKMeans.dist2(col("qrs"), col("c")).as("qd"))
+    cells.select(col("id"), col("cid"))
+      .join(broadcast(probed), "cid")
+      .join(codes, Seq("id"))
+      .join(broadcast(adcTable), Seq("cid", "g", "code"))
+      .groupBy("id").agg(sum(col("qd")).as("adc_dist"))
+      .select(col("id").as("vec_id"), col("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id")).limit(10)
+  }
+
   /** Count-Min frequency estimates for a probe set (hits and misses)
     * beside the exact counts and the overestimate-only guarantee — the
     * md5-derived positions let DuckDB rebuild the identical counter
@@ -2671,6 +2721,7 @@ object Registry {
     "q_agg_countmin" -> q(aggCountMin),
     "q_llm_ann_pq_det" -> q(llmAnnPqDet),
     "q_llm_ann_pq_det_rerank" -> q(llmAnnPqDetRerank),
+    "q_llm_ann_ivfpq_det" -> q(llmAnnIvfPqDet),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -2698,6 +2749,57 @@ object Registry {
   private lazy val pqDetUnionAll: String =
     (0 until 8).map(s => s"SELECT id, qd FROM s${s}_contrib")
       .mkString(" UNION ALL ")
+
+  /** Generated IVFADC replay: coarse chain (co_), exact integer
+    * residuals, one residual-PQ chain per subspace (rs{s}_,
+    * preQuantized), probe, per-cell residual ADC tables, integer sum. */
+  private lazy val ivfPqDetOracle: String = {
+    val m = 8; val subDim = 8
+    val coarse = graft.llm.DetKMeans.oracleCtes("embeddings", "vec_id",
+      "embedding", k = 8, iters = 3, dim = 64, prefix = "co_")
+    val resCte =
+      """
+         res AS (SELECT a.id,
+             list_transform(range(1, 65), i -> a.u[i] - c.c[i]) AS r
+           FROM co_a3 a JOIN co_c2 c USING (cid))"""
+    val rsChains = (0 until m).map(s =>
+      graft.llm.DetKMeans.oracleCtes("res", "id", "r",
+        k = 16, iters = 3, dim = subDim, prefix = s"rs${s}_",
+        lead = "", sliceFrom = s * subDim, preQuantized = true))
+      .mkString(",\n")
+    val probe =
+      """
+         qu AS (SELECT u FROM co_u0 WHERE id = 0),
+         probed AS (SELECT cid, c FROM (
+             SELECT c.cid, c.c,
+               list_sum(list_transform(range(1, 65),
+                 i -> (c.c[i] - q.u[i]) * (c.c[i] - q.u[i]))) AS cqd
+             FROM co_c2 c, qu q) x
+           ORDER BY cqd, cid LIMIT 2),
+         qres AS (SELECT p.cid,
+             list_transform(range(1, 65), i -> q.u[i] - p.c[i]) AS qr
+           FROM probed p, qu q)"""
+    val adcTables = (0 until m).map { s =>
+      val off = s * subDim
+      s"""
+         adc$s AS (SELECT r.cid, cb.cid AS code,
+             list_sum(list_transform(range(1, ${subDim + 1}),
+               i -> (r.qr[$off + i] - cb.c[i]) * (r.qr[$off + i] - cb.c[i])))
+               AS qd
+           FROM qres r, rs${s}_c2 cb)"""
+    }.mkString(",")
+    val contribs = (0 until m).map(s =>
+      s"""SELECT a.id, t.qd FROM co_a3 a
+          JOIN rs${s}_a3 cd ON a.id = cd.id
+          JOIN adc$s t ON t.cid = a.cid AND t.code = cd.cid
+          WHERE a.cid IN (SELECT cid FROM probed)""")
+      .mkString(" UNION ALL ")
+    coarse + "," + resCte + "," + rsChains + "," + probe + "," + adcTables +
+      s"""
+         SELECT id AS vec_id, CAST(SUM(qd) AS BIGINT) AS adc_dist
+         FROM ($contribs) all_contribs
+         GROUP BY id ORDER BY adc_dist, vec_id LIMIT 10"""
+  }
 
   val oracleSql: ListMap[String, String] = ListMap(
     // Aho–Corasick substring semantics == per-pattern `contains`; the
@@ -2793,6 +2895,7 @@ object Registry {
              AS exact_dist
          FROM fu f JOIN adc ON f.id = adc.id, qf q
          ORDER BY exact_dist, vec_id LIMIT 10"""),
+    "q_llm_ann_ivfpq_det" -> ivfPqDetOracle,
     // Full Count-Min replay: identical md5 positions → identical counter
     // relation → identical estimates, plus the exact counts and the
     // est ≥ exact guarantee evaluated on both engines.
