@@ -300,6 +300,19 @@ object ScaleSmoke {
         .groupBy("cid").agg(count(lit(1))).count())
     println(s"[scale] det k-means clusters: $kmStats")
 
+    // Grouped residual-PQ training at 320k (group, point) rows: all 8
+    // subspace codebooks share each round's two aggregate passes, and
+    // the shuffle still never carries the vectors.
+    val pqPts = bigEmb.select(col("vec_id").cast("long").as("id"),
+        posexplode(array((0 until 8).map(s =>
+          slice(col("embedding"), s * 8 + 1, 8)): _*)).as(Seq("g", "sub")))
+      .select(col("g").cast("long").as("g"), col("id"),
+        graft.llm.DetKMeans.toUnits(col("sub")).as("u"))
+    val pqCodebooks = timed("det grouped PQ fit (8 codebooks, 2 rounds, 320k rows)")(
+      graft.llm.DetKMeans.fitGrouped(pqPts, k = 16, iters = 2, dim = 8)
+        ._2.count())
+    println(s"[scale] det PQ codebook rows: $pqCodebooks")
+
     spark.stop()
   }
 }
