@@ -55,6 +55,30 @@ class DetKMeansSpec extends SparkSpecBase {
     assert(probe.getLong(3) == 1000000L * 1000000L)
   }
 
+  test("grouped fit equals separate per-slice fits (the PQ oracle's premise)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{posexplode, slice}
+    val rnd = new scala.util.Random(7)
+    val data = (0L until 40L).map(i => (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val df = data.toDF("vec_id", "embedding")
+    val pts = df.select(col("vec_id").as("id"),
+        posexplode(org.apache.spark.sql.functions.array(
+          slice(col("embedding"), 1, 4), slice(col("embedding"), 5, 4)))
+          .as(Seq("g", "sub")))
+      .select(col("g").cast("long").as("g"), col("id"),
+        DetKMeans.toUnits(col("sub")).as("u"))
+    val (_, grouped) = DetKMeans.fitGrouped(pts, k = 3, iters = 2, dim = 4)
+    val groupedSet = grouped.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toSeq)).toSet
+    val separateSet = (0 until 2).flatMap { s =>
+      val sub = df.select(col("vec_id"),
+        slice(col("embedding"), s * 4 + 1, 4).as("sub"))
+      DetKMeans.fit(sub, "vec_id", "sub", k = 3, iters = 2, dim = 4)._2
+        .collect().map(r => (s.toLong, r.getLong(0), r.getSeq[Long](1).toSeq))
+    }.toSet
+    assert(groupedSet == separateSet)
+  }
+
   test("centroid update is the floored integer mean; empty clusters drop") {
     import spark.implicits._
     val assign = Seq(
