@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Degree-oriented triangle counting (the compact-forward scheme of
+  * Latapy 2008 / the MapReduce variant of Suri & Vassilvitskii, WWW'11):
+  * orient every undirected edge from its lower-(degree, id) endpoint to
+  * the higher one, enumerate wedges only at each edge's SOURCE, and close
+  * each wedge against the oriented edge set.
+  *
+  * Why orientation and not the naive `a < b < c` three-way self-join:
+  * with id-ordering the wedge count at a hub of degree d is O(d²) — one
+  * celebrity node in a power-law graph (exactly what co-occurrence graphs
+  * over 100 TB of web data are) generates a quadratic intermediate on a
+  * single key and the join never finishes. Orienting by degree bounds
+  * every out-degree by O(√m), so the wedge relation is Σ d_out² ≤ O(m^1.5)
+  * spread evenly across keys — the best exact bound known, and the skew
+  * disappears because hubs become wedge *targets*, not wedge *centers*.
+  *
+  * Everything is DataFrame joins/aggregates (two shuffles to annotate
+  * degrees, one wedge self-join, one closing semi-join) — Catalyst and AQE
+  * handle the physical strategy; no driver-side state. */
+object Triangles {
+
+  /** Canonical undirected edge set: (lo, hi) with lo < hi, loops dropped,
+    * duplicates (including reversed duplicates) collapsed. */
+  def canonical(edges: DataFrame, aCol: String, bCol: String): DataFrame =
+    edges.select(
+        least(col(aCol), col(bCol)).as("lo"),
+        greatest(col(aCol), col(bCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+
+  /** Orient each canonical edge src→dst by ascending (degree, id); emits
+    * the orientation key of the DESTINATION so wedge enumeration can
+    * order out-neighbors without re-joining degrees. Keys pack as
+    * deg·2³² + id (both well under 2³¹ for any graph whose edge list fits
+    * a cluster: ids here are numeric node ids, degree ≤ n). */
+  def orient(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = canonical(edges, aCol, bCol)
+    val deg = e.select(col("lo").as("node"))
+      .unionAll(e.select(col("hi").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    def okey(degC: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column) =
+      shiftleft(degC, 32) + id
+    e.join(deg.select(col("node").as("lo"), col("deg").as("deg_lo")), Seq("lo"))
+      .join(deg.select(col("node").as("hi"), col("deg").as("deg_hi")), Seq("hi"))
+      .select(
+        when(okey(col("deg_lo"), col("lo")) < okey(col("deg_hi"), col("hi")),
+            col("lo")).otherwise(col("hi")).as("src"),
+        when(okey(col("deg_lo"), col("lo")) < okey(col("deg_hi"), col("hi")),
+            col("hi")).otherwise(col("lo")).as("dst"),
+        when(okey(col("deg_lo"), col("lo")) < okey(col("deg_hi"), col("hi")),
+            okey(col("deg_hi"), col("hi")))
+          .otherwise(okey(col("deg_lo"), col("lo"))).as("dst_okey"))
+  }
+
+  /** All triangles, one row each, as the unordered node triple
+    * (n1, n2, n3) = sorted ascending. Each triangle is produced exactly
+    * once: at its unique lowest-(deg, id) corner, by the unique ordered
+    * wedge pair. */
+  def triangles(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val o = orient(edges, aCol, bCol)
+    val w1 = o.select(col("src").as("u"), col("dst").as("v"),
+      col("dst_okey").as("v_okey"))
+    val w2 = o.select(col("src").as("u"), col("dst").as("w"),
+      col("dst_okey").as("w_okey"))
+    val wedges = w1.join(w2, Seq("u")).filter(col("v_okey") < col("w_okey"))
+    // okey(v) < okey(w) ⇒ if the undirected edge {v, w} exists it is
+    // oriented v→w, so one equi-join closes the wedge.
+    wedges
+      .join(o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .select(
+        least(col("u"), col("v"), col("w")).as("n1"),
+        (col("u") + col("v") + col("w")
+          - least(col("u"), col("v"), col("w"))
+          - greatest(col("u"), col("v"), col("w"))).as("n2"),
+        greatest(col("u"), col("v"), col("w")).as("n3"))
+  }
+}

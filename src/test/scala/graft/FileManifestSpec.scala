@@ -57,4 +57,37 @@ class FileManifestSpec extends SparkSpecBase {
     assert(out.columns.toSeq == Seq("k", "m", "payload"))
     assert(out.count() == 0)
   }
+
+  test("bloom prune: no false negatives, exact answer, and real pruning") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    // High-cardinality column `v` scattered so min/max intervals are
+    // useless per file — the case blooms exist for.
+    val df = (0 until 4000).map(i => (i.toLong, (i * 2654435761L) % 10000))
+      .toDF("k", "v")
+    df.repartitionByRange(8, col("k")).write.mode("overwrite").parquet(dir)
+    val blooms = FileManifest.buildBloom(spark, dir, "v")
+    assert(blooms.count() == 8)
+    val probe = ((123L * 2654435761L) % 10000).toString
+    val got = FileManifest.bloomPrunedRead(spark, dir, blooms, "v", probe)
+      .select("k").collect().map(_.getLong(0)).toSet
+    val want = df.filter(col("v").cast("string") === probe)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got == want, "bloom-pruned read must equal the exact filter")
+    assert(want.nonEmpty, "probe must actually hit")
+    // A value absent from the data prunes every file (up to fp noise:
+    // 8192 bits / ~500 distinct per file keeps fp rate well under 1%).
+    val gone = FileManifest.bloomPrunedRead(spark, dir, blooms, "v", "999999")
+    assert(gone.count() == 0)
+  }
+
+  test("bloom bitset stays fixed-size however many rows a file holds") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom-sz").toString
+    (0 until 20000).map(i => (i.toLong, i.toLong)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val blooms = FileManifest.buildBloom(spark, dir, "v").collect()
+    assert(blooms.length == 1)
+    assert(blooms.head.getAs[Array[Byte]]("bloom").length == FileManifest.BloomBits / 8)
+  }
 }
