@@ -313,6 +313,74 @@ object ScaleSmoke {
         ._2.count())
     println(s"[scale] det PQ codebook rows: $pqCodebooks")
 
+    // Round-8 ops. Triangles under power-law skew: the base co-purchase
+    // graph (1.2M edges) plus a planted HUB wired to every node — the
+    // worst case for id-ordered wedge joins (hub wedges = deg²/2 ≈ 20B).
+    // Degree orientation makes the hub a wedge TARGET (out-degree 0), so
+    // the hub run must time like the base run, not quadratically worse.
+    val li8 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val coEdges = li8.as("a").join(li8.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("x"), col("b.p").as("y"))
+      .persist()
+    val triBase = timed("triangles (1.2M-edge co-purchase graph)")(
+      graft.operators.Triangles.triangles(coEdges, "x", "y").count())
+    println(s"[scale] base triangles: $triBase")
+    val hubEdges = coEdges.select(col("x").as("node"))
+      .unionAll(coEdges.select(col("y").as("node"))).distinct()
+      .select(lit(-1L).as("x"), col("node").as("y"))
+    val triHub = timed("triangles (+hub wired to all 200k nodes)")(
+      graft.operators.Triangles.triangles(
+        coEdges.unionAll(hubEdges), "x", "y").count())
+    println(s"[scale] hub triangles: $triHub")
+
+    // HLL registers over 20× events (~10M items): the register file must
+    // stay ≤ 256 rows per group however many rows stream through — the
+    // shuffle carries per-partition partial maxima only.
+    val ev8 = spark.read.parquet(s"$sfDir/events.parquet")
+      .crossJoin(spark.range(factor).withColumnRenamed("id", "rep"))
+      .select(col("event_type"),
+        (col("user_id") * factor + col("rep")).as("user_id"))
+    val hllRows = timed("hll registers (10M items -> <=256 rows/group)")(
+      graft.operators.HllSketch.registers(ev8, "event_type", "user_id").count())
+    println(s"[scale] hll register rows: $hllRows")
+
+    // SCD2 over the FULL 20× event stream (~10M changes, every user):
+    // one hash shuffle by key + in-partition sorted windows — no
+    // self-join against history, so 20× data must time ~20×, not worse.
+    val ch8 = spark.read.parquet(s"$sfDir/events.parquet")
+      .crossJoin(spark.range(factor).withColumnRenamed("id", "rep"))
+      .select(col("user_id"),
+        (col("ts") + col("rep") * 1000000L).as("ts"),
+        (col("event_id") * factor + col("rep")).as("event_id"),
+        col("event_type"))
+    val scdRows = timed("scd2 build (10M changes, windowed, one shuffle)")(
+      graft.operators.Scd2.build(ch8, "user_id", "ts", "event_id",
+        "event_type").count())
+    println(s"[scale] scd2 dimension rows: $scdRows")
+
+    // Binary-quantized ANN at 100k vectors: the shortlist pass scans one
+    // packed BIGINT per row (TakeOrdered, no shuffle of the corpus) and
+    // full-precision reads stay proportional to the 50-row shortlist.
+    val queryVec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toSeq
+    val annBin = timed("binary ANN (100k codes scan + 50-row exact rerank)")(
+      graft.llm.BinaryQuant.searchTopK(bigEmb, "embedding", "vec_id",
+        queryVec, k = 10, shortlist = 50).count())
+    println(s"[scale] binary ANN rows: $annBin")
+
+    // Nearest-centroid classifier at 100k vectors: training shuffles 65
+    // aggregate buffers per label (never the points); inference is a
+    // broadcast-model row-local argmin.
+    val labEmb = bigEmb.withColumn("label", pmod(col("vec_id"), lit(8)))
+    val ccModel = timed("centroid fit (100k vecs, 65 buffers/label)")(
+      graft.llm.CentroidClassifier.fit(labEmb, "embedding", "label", 64))
+    val ccPred = timed("centroid classify (broadcast model, row-local argmin)")(
+      graft.llm.CentroidClassifier.classify(labEmb, ccModel, "vec_id",
+        "embedding").groupBy("pred").count().count())
+    println(s"[scale] centroid-classifier classes predicted: $ccPred")
+
     spark.stop()
   }
 }

@@ -39,6 +39,7 @@ object Triangles {
     * a cluster: ids here are numeric node ids, degree ≤ n). */
   def orient(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
     val e = canonical(edges, aCol, bCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.select(col("lo").as("node"))
       .unionAll(e.select(col("hi").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -58,24 +59,41 @@ object Triangles {
 
   /** All triangles, one row each, as the unordered node triple
     * (n1, n2, n3) = sorted ascending. Each triangle is produced exactly
-    * once: at its unique lowest-(deg, id) corner, by the unique ordered
-    * wedge pair. */
+    * once: at its unique lowest-(deg, id) corner.
+    *
+    * Formulation: edge iterator with adjacency intersection — for each
+    * oriented edge u→v, every w ∈ N⁺(u) ∩ N⁺(v) closes a triangle
+    * (w ∈ N⁺(v) implies okey(v) < okey(w), so this is exactly the
+    * ordered-wedge set). The naive alternative materializes and SHUFFLES
+    * the wedge relation (Σ d_out² rows — 41M for 1.2M edges on the
+    * sf0.1 co-purchase graph) into a closing join; intersecting bounded
+    * adjacency arrays (|N⁺| ≤ O(√m) by the orientation) emits only the
+    * actual triangles (1.9M here), computed row-locally by the codegen'd
+    * array_intersect — a 20× smaller intermediate that never hits an
+    * exchange.
+    *
+    * The oriented relation feeds two consumers (edge list + adjacency
+    * build) and the canonical edge set inside [[orient]] feeds three —
+    * both persist so the upstream edge derivation (often an expensive
+    * self-join) executes once; at cluster scale these are the relations
+    * you would land as bucketed tables between stages. */
   def triangles(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
     val o = orient(edges, aCol, bCol)
-    val w1 = o.select(col("src").as("u"), col("dst").as("v"),
-      col("dst_okey").as("v_okey"))
-    val w2 = o.select(col("src").as("u"), col("dst").as("w"),
-      col("dst_okey").as("w_okey"))
-    val wedges = w1.join(w2, Seq("u")).filter(col("v_okey") < col("w_okey"))
-    // okey(v) < okey(w) ⇒ if the undirected edge {v, w} exists it is
-    // oriented v→w, so one equi-join closes the wedge.
-    wedges
-      .join(o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
-      .select(
-        least(col("u"), col("v"), col("w")).as("n1"),
-        (col("u") + col("v") + col("w")
-          - least(col("u"), col("v"), col("w"))
-          - greatest(col("u"), col("v"), col("w"))).as("n2"),
-        greatest(col("u"), col("v"), col("w")).as("n3"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Out-adjacency as an array per node: element uniqueness comes from
+    // edge distinctness; intersection is order-independent, so the
+    // collect_list order (partition-dependent) never reaches the result.
+    val adj = o.groupBy(col("src")).agg(collect_list(col("dst")).as("nb"))
+    val tri = o.select(col("src").as("u"), col("dst").as("v"))
+      .join(adj.select(col("src").as("u"), col("nb").as("nb_u")), Seq("u"))
+      .join(adj.select(col("src").as("v"), col("nb").as("nb_v")), Seq("v"))
+      .select(col("u"), col("v"),
+        explode(array_intersect(col("nb_u"), col("nb_v"))).as("w"))
+    tri.select(
+      least(col("u"), col("v"), col("w")).as("n1"),
+      (col("u") + col("v") + col("w")
+        - least(col("u"), col("v"), col("w"))
+        - greatest(col("u"), col("v"), col("w"))).as("n2"),
+      greatest(col("u"), col("v"), col("w")).as("n3"))
   }
 }
