@@ -37,12 +37,18 @@ object HllSketch {
     when(v === 0, lit(33L)).otherwise(lit(33L) - length(bin(v)))
   }
 
+  /** Per-ITEM (grp, reg, rho) projection — the scan-side half of the
+    * sketch, shared by the batch aggregate below and the streaming state
+    * fold ([[graft.streaming.EventStream.streamingHllRegisters]]). */
+  def project(df: DataFrame, grpCol: String, itemCol: String): DataFrame =
+    df.select(col(grpCol).as("grp"), reg(col(itemCol)).as("reg"),
+      rho(col(itemCol)).as("rho"))
+
   /** (grp, reg, rho) register file over an item column: one groupBy with
     * map-side partial max — the shuffle carries at most m rows per
     * partition per group. */
   def registers(df: DataFrame, grpCol: String, itemCol: String): DataFrame =
-    df.select(col(grpCol).as("grp"), reg(col(itemCol)).as("reg"),
-        rho(col(itemCol)).as("rho"))
+    project(df, grpCol, itemCol)
       .groupBy("grp", "reg").agg(max("rho").as("rho"))
 
   /** Sketch union: elementwise register max across groups, surfaced under

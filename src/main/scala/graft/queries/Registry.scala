@@ -2687,6 +2687,51 @@ object Registry {
       .orderBy("l_orderkey")
   }
 
+  /** JL random projection 64 → 16 dims over the md5-derived hyperplane
+    * family — every matrix component replays in SQL, so the whole
+    * projection is hash-checked (a seeded Gaussian matrix never could
+    * be). Distance preservation is pinned statistically in RandProjSpec;
+    * here the projected coordinates themselves are the contract. */
+  private def llmRandProj(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.RandProj.project(
+        t(spark, dir, "embeddings").filter(col("vec_id") < 300),
+        "vec_id", "embedding", kOut = 16, dim = 64)
+      .orderBy("vec_id")
+
+  /** CUBE over (status, order year) with grouping_id — the all-margins
+    * dashboard aggregate (rollup's lattice completion). Decimal sums. */
+  private def aggCube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderstatus"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_totalprice"))
+      .cube("o_orderstatus", "o_year")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(22, 6))).cast("double")
+          .as("sum_price"),
+        grouping_id().as("gid"))
+      .orderBy("gid", "o_orderstatus", "o_year")
+
+  /** The ranking-window suite (rank / dense_rank / percent_rank /
+    * cume_dist / ntile) in one pass per status partition — one shuffle,
+    * one in-partition sort shared by all five functions. The (price,
+    * orderkey) tie-break makes every output, ntile included, a total
+    * function of the data. */
+  private def wRankSuite(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(97)) === 0)
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        (floor(percent_rank().over(w) * 1000000 + 0.5) / 1000000).as("prank"),
+        (floor(cume_dist().over(w) * 1000000 + 0.5) / 1000000).as("cdist"),
+        ntile(4).over(w).cast("long").as("tile"))
+      .orderBy("o_orderstatus", "rnk")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_f1_parse_date" -> q(f1ParseDate),
     "q_f2_parse_numeric" -> q(f2ParseNumeric),
@@ -2861,6 +2906,9 @@ object Registry {
     "q_llm_ann_binary" -> q(llmAnnBinary),
     "q_llm_centroid_clf" -> q(llmCentroidClf),
     "q_store_bloom_prune" -> q(storeBloomPrune),
+    "q_llm_rand_proj" -> q(llmRandProj),
+    "q_agg_cube" -> q(aggCube),
+    "q_w_rank_suite" -> q(wRankSuite),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -4985,5 +5033,48 @@ object Registry {
            CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS sum_qty
          FROM lineitem WHERE l_partkey = 500
          GROUP BY l_orderkey ORDER BY l_orderkey""",
+    // The projection matrix replays component-for-component (the
+    // ann_lsh plane family); each coordinate is the list_zip fold the
+    // FloatDot kernel is bit-identical to.
+    "q_llm_rand_proj" ->
+      """WITH c AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings WHERE vec_id < 300),
+         planes AS (SELECT i, list_transform(range(64), j ->
+               CAST(('0x' || substr(md5('plane:' || CAST(i AS VARCHAR) || ':'
+                   || CAST(j AS VARCHAR)), 1, 13)) AS BIGINT)
+                 / 4503599627370496.0 * 2.0 - 1.0) AS p
+             FROM (SELECT unnest(range(16)) AS i)),
+         d AS (SELECT c.vec_id, pl.i,
+                 floor(list_sum(list_transform(list_zip(c.e, pl.p),
+                     z -> z[1]*z[2])) * 1000000 + CAST(0.5 AS DOUBLE))
+                   / 1000000 AS v
+               FROM c, planes pl)
+         SELECT vec_id, list(v ORDER BY i) AS proj
+         FROM d GROUP BY vec_id ORDER BY vec_id""",
+    "q_agg_cube" ->
+      """WITH o AS (SELECT o_orderstatus,
+                      CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                      o_totalprice
+                    FROM orders)
+         SELECT o_orderstatus, o_year, count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,6))) AS DOUBLE)
+             AS sum_price,
+           GROUPING(o_orderstatus, o_year) AS gid
+         FROM o GROUP BY CUBE (o_orderstatus, o_year)
+         ORDER BY gid, o_orderstatus, o_year""",
+    "q_w_rank_suite" ->
+      """SELECT o_orderstatus, o_orderkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           floor(percent_rank() OVER w * 1000000 + CAST(0.5 AS DOUBLE))
+             / 1000000 AS prank,
+           floor(cume_dist() OVER w * 1000000 + CAST(0.5 AS DOUBLE))
+             / 1000000 AS cdist,
+           ntile(4) OVER w AS tile
+         FROM orders WHERE o_orderkey % 97 = 0
+         WINDOW w AS (PARTITION BY o_orderstatus
+                      ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderstatus, rnk""",
   )
 }

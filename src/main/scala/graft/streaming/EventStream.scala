@@ -174,6 +174,37 @@ object EventStream {
       }
   }
 
+  final case class HllReg(group: String, reg: Int, rho: Long)
+  final case class HllRow(group: String, regs: Seq[Long])
+
+  /** Streaming HLL distinct-count maintenance: one m-register file per
+    * group as `mapGroupsWithState` state, folded with elementwise MAX —
+    * the regs(A ∪ B) = max(regs(A), regs(B)) union law
+    * ([[graft.operators.HllSketch]]) makes the state correct under any
+    * replay or micro-batch pacing, not just bounded: after any batch
+    * sequence the state equals the batch register file of everything
+    * seen (spec pins streamed == batch). State is m longs per group
+    * FOREVER — a distinct-users dashboard over an unbounded feed costs
+    * 2 KB per group. Rows are the per-item (reg, rho) projections
+    * ([[graft.operators.HllSketch.project]]), computed scan-side in the
+    * micro-batch. */
+  def streamingHllRegisters(rows: Dataset[HllReg],
+                            m: Int = 256): Dataset[HllRow] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.group)
+      .mapGroupsWithState[Seq[Long], HllRow](GroupStateTimeout.NoTimeout) {
+        case (group, batch, state: GroupState[Seq[Long]]) =>
+          val regs = state.getOption.map(_.toArray)
+            .getOrElse(Array.fill(m)(0L))
+          batch.foreach { r =>
+            if (r.rho > regs(r.reg)) regs(r.reg) = r.rho
+          }
+          val out = regs.toSeq
+          state.update(out)
+          HllRow(group, out)
+      }
+  }
+
   /** Event-time sessionization via flatMapGroupsWithState: sessions split on
     * event-time gaps and close either when a later event proves the gap
     * (emitted immediately) or when the WATERMARK passes end+gap

@@ -291,4 +291,51 @@ class EventStreamSpec extends SparkSpecBase {
       assert(sig == batch(g), s"group $g streamed != batch")
     }
   }
+
+  test("streaming HLL registers: state equals the batch register file") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("grp", StringType), StructField("item", LongType)))
+    // Two bursts with overlapping items: the elementwise-max union law
+    // must make the final state identical to the batch sketch over both.
+    val bursts = Seq(
+      (1L to 400L).map(i => ("a", i)) ++ (1L to 150L).map(i => ("b", i)),
+      (200L to 700L).map(i => ("a", i)) ++ (100L to 160L).map(i => ("b", i)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll").toString
+    bursts.foreach { b =>
+      b.toDF("grp", "item")
+        .coalesce(1).write.mode("append").parquet(s"$dir/stream")
+      Thread.sleep(1100)
+    }
+    val q = EventStream.replayParquetAsStream(spark, s"$dir/stream", schema,
+      d => EventStream.streamingHllRegisters(
+        graft.operators.HllSketch.project(d, "grp", "item")
+          .select(col("grp").as("group"), col("reg").cast("int").as("reg"),
+            col("rho")).as[EventStream.HllReg]).toDF(),
+      "hll_sink", org.apache.spark.sql.streaming.OutputMode.Update())
+    q.awaitTermination(60000)
+    // Registers only grow; final state per group = elementwise max over
+    // its per-trigger reports.
+    val streamed = spark.table("hll_sink").collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rows) =>
+        g -> rows.map(_.getSeq[Long](1)).reduce((a, b) =>
+          a.lazyZip(b).map(math.max).toSeq)
+      }
+    val batch = graft.operators.HllSketch.registers(
+        bursts.flatten.toDF("grp", "item"), "grp", "item")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (g, rows) =>
+        val dense = Array.fill(256)(0L)
+        rows.foreach { case (_, reg, rho) => dense(reg.toInt) = rho }
+        g -> dense.toSeq
+      }
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (g, regs) =>
+      assert(regs == batch(g), s"group $g streamed registers != batch")
+    }
+  }
 }
