@@ -1,0 +1,48 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Robust winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+  * SIGMOD 2003 — the MOSS algorithm): hash every word k-gram, slide a
+  * w-hash window, and keep the MINIMUM hash of each window (ties → the
+  * RIGHTMOST minimum, the "robust" rule that makes selection stable
+  * under local edits). Guarantees: any shared substring of w+k−1 words
+  * between two documents shares at least one selected fingerprint, and
+  * the expected density is 2/(w+1) — a tunable, position-aware sketch
+  * between full shingling (Jaccard, everything kept) and MinHash (no
+  * positions at all). The plagiarism/near-dup primitive for pipelines
+  * that need to LOCATE overlaps, not just score them.
+  *
+  * Relational shape: gram hashes via posexplode (scan-side, codegen'd
+  * md5), then ONE per-document ordered window min over a packed
+  * (hash, reversed-position) integer — argmin with the rightmost tie
+  * rule as a plain `min`, no UDF, replayable in any SQL engine. The
+  * window partitions by document (bounded length), never the corpus. */
+object Winnow {
+
+  private val PosCap = 4096L // > max grams per doc; packs pos into 12 bits
+
+  /** Distinct selected fingerprints per document: (id, pos, fp) where
+    * `pos` is the 0-based gram position the fingerprint was taken at. */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3, w: Int = 4): DataFrame = {
+    val grams = df.select(col(idCol),
+      posexplode(TextAnalysis.wordGrams(col(textCol), k)).as(Seq("pos", "gram")))
+    // 28-bit md5-prefix hash; packed = hash·4096 + (4095 − pos) makes
+    // min() pick the smallest hash and, within it, the LARGEST position.
+    val h = conv(substring(md5(col("gram")), 1, 7), 16, 10).cast("long")
+    val packed = h * PosCap + (lit(PosCap - 1) - col("pos"))
+    val win = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(-(w - 1), 0)
+    grams.select(col(idCol), col("pos"), packed.as("packed"))
+      .withColumn("sel", min(col("packed")).over(win))
+      // Only full windows select (the first w−1 prefixes are partial).
+      .filter(col("pos") >= w - 1)
+      .select(col(idCol),
+        (lit(PosCap - 1) - pmod(col("sel"), lit(PosCap))).as("pos"),
+        expr(s"sel div $PosCap").as("fp"))
+      .distinct()
+  }
+}

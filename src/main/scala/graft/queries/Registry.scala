@@ -2732,6 +2732,39 @@ object Registry {
       .orderBy("o_orderstatus", "rnk")
   }
 
+  /** Hashing-trick signed n-gram features, k = 64 — vocabulary-free fixed-
+    * width vectors from one scan (see [[graft.llm.FeatureHash]]). The
+    * oracle rebuilds every hash and collision. */
+  private def llmFeatHash(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.FeatureHash.features(
+        t(spark, dir, "documents").filter(col("doc_id") < 300),
+        "doc_id", "text", n = 2, k = 64)
+      .orderBy("doc_id")
+
+  /** Robust winnowing fingerprints (MOSS), k-gram=3 / window=4, over a
+    * bounded doc slice — position-aware overlap sketch; the oracle
+    * replays the packed argmin window min-for-min. */
+  private def llmWinnow(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Winnow.fingerprints(
+        t(spark, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text", k = 3, w = 4)
+      .orderBy("doc_id", "pos", "fp")
+
+  /** k-core peeling on the part co-purchase graph: per-round survivor
+    * counts with the fixpoint visible in-row (last rounds equal). The
+    * oracle is GENERATED ([[graft.operators.KCore.oracleCtes]]) — DuckDB
+    * replays every peel round by construction. */
+  private def graphKcore(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("x"), col("b.p").as("y"))
+    val canon = graft.operators.Triangles.canonical(pairs, "x", "y")
+    graft.operators.KCore.peelSummary(canon, k = 8, rounds = 6)
+      .orderBy("round")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_f1_parse_date" -> q(f1ParseDate),
     "q_f2_parse_numeric" -> q(f2ParseNumeric),
@@ -2909,6 +2942,9 @@ object Registry {
     "q_llm_rand_proj" -> q(llmRandProj),
     "q_agg_cube" -> q(aggCube),
     "q_w_rank_suite" -> q(wRankSuite),
+    "q_llm_feat_hash" -> q(llmFeatHash),
+    "q_llm_winnow" -> q(llmWinnow),
+    "q_graph_kcore" -> q(graphKcore),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -5076,5 +5112,54 @@ object Registry {
          WINDOW w AS (PARTITION BY o_orderstatus
                       ORDER BY o_totalprice, o_orderkey)
          ORDER BY o_orderstatus, rnk""",
+    // Every hash and collision rebuilt: index = md5 hex-13 mod 64, sign =
+    // hex char 14 parity.
+    "q_llm_feat_hash" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                     FROM documents WHERE doc_id < 300),
+         g AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(t)),
+                   i -> t[i] || ' ' || t[i+1])) AS gram
+               FROM tk),
+         c AS (SELECT doc_id,
+                 ('0x' || substr(md5(gram), 1, 13))::BIGINT % 64 AS idx,
+                 CASE WHEN ('0x' || substr(md5(gram), 14, 1))::BIGINT % 2 = 0
+                      THEN 1 ELSE -1 END AS s
+               FROM g),
+         f AS (SELECT doc_id, j,
+                 CAST(COALESCE(SUM(CASE WHEN idx = j THEN s END), 0)
+                   AS BIGINT) AS v
+               FROM c, range(64) r(j) GROUP BY doc_id, j)
+         SELECT doc_id, list(v ORDER BY j) AS feat
+         FROM f GROUP BY doc_id ORDER BY doc_id""",
+    // The packed (hash·4096 + reversed-pos) argmin replayed as a plain
+    // window min; rightmost-minimum tie rule falls out of the packing.
+    "q_llm_winnow" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                     FROM documents WHERE doc_id < 100),
+         gr AS (SELECT doc_id, i,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+                FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+                      FROM tk)),
+         p AS (SELECT doc_id, i - 1 AS pos,
+                 ('0x' || substr(md5(gram), 1, 7))::BIGINT * 4096
+                   + (4095 - (i - 1)) AS packed
+               FROM gr),
+         s AS (SELECT doc_id, pos,
+                 min(packed) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+               FROM p)
+         SELECT DISTINCT doc_id,
+           CAST(4095 - (sel % 4096) AS BIGINT) AS pos,
+           sel // 4096 AS fp
+         FROM s WHERE s.pos >= 3 ORDER BY doc_id, pos, fp""",
+    // GENERATED peel replay (KCore.oracleCtes): DuckDB re-runs all six
+    // rounds over the same canonical co-purchase edges.
+    "q_graph_kcore" -> (graft.operators.KCore.oracleCtes(
+      """SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""",
+      k = 8, rounds = 6) + """
+      SELECT round, n_nodes, n_edges FROM summary ORDER BY round"""),
   )
 }

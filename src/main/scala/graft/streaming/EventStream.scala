@@ -205,6 +205,43 @@ object EventStream {
       }
   }
 
+  final case class Scd2Change(key: Long, ts: Long, id: Long, value: String)
+  final case class Scd2Closed(key: Long, value: String, valid_from: Long,
+                              valid_to: Long, version_n: Long)
+
+  /** Streaming SCD Type-2 maintenance: the open dimension row per key
+    * lives as `flatMapGroupsWithState` state (value, valid_from,
+    * version); each value CHANGE closes the open run — emitted
+    * immediately — and opens the next. The streaming twin of
+    * [[graft.operators.Scd2.build]]: after any micro-batch pacing the
+    * emitted closed rows equal the batch build's closed rows over the
+    * same changes (spec pins it), and the state is ONE row per key
+    * forever. Contract: arrivals are key-ordered across batches (a
+    * log-compacted/partitioned changelog's per-key guarantee); within a
+    * batch, changes sort by (ts, id) before folding. */
+  def streamingScd2(changes: Dataset[Scd2Change]): Dataset[Scd2Closed] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.key)
+      .flatMapGroupsWithState[(String, Long, Long), Scd2Closed](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (key, batch, state: GroupState[(String, Long, Long)]) =>
+          val sorted = batch.toSeq.sortBy(c => (c.ts, c.id))
+          var cur = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer.empty[Scd2Closed]
+          sorted.foreach { c =>
+            cur match {
+              case None => cur = Some((c.value, c.ts, 1L))
+              case Some((v, from, ver)) if v != c.value =>
+                closed += Scd2Closed(key, v, from, c.ts, ver)
+                cur = Some((c.value, c.ts, ver + 1))
+              case _ => // no-op change: same value continues the run
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+  }
+
   /** Event-time sessionization via flatMapGroupsWithState: sessions split on
     * event-time gaps and close either when a later event proves the gap
     * (emitted immediately) or when the WATERMARK passes end+gap

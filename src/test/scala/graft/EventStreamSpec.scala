@@ -338,4 +338,42 @@ class EventStreamSpec extends SparkSpecBase {
       assert(regs == batch(g), s"group $g streamed registers != batch")
     }
   }
+
+  test("streaming SCD2 closed rows equal the batch build's closed rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("key", LongType), StructField("ts", LongType),
+      StructField("id", LongType), StructField("value", StringType)))
+    // Key-ordered bursts (the changelog contract); runs split across
+    // bursts must close identically to the batch build. Key 1 changes
+    // across the burst boundary; key 2 has an in-burst no-op.
+    val bursts = Seq(
+      Seq((1L, 10L, 1L, "gold"), (1L, 20L, 2L, "silver"),
+        (2L, 10L, 3L, "basic"), (2L, 15L, 4L, "basic")),
+      Seq((1L, 30L, 5L, "gold"), (2L, 40L, 6L, "plus"),
+        (1L, 40L, 7L, "gold")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2s").toString
+    bursts.foreach { b =>
+      b.toDF("key", "ts", "id", "value")
+        .coalesce(1).write.mode("append").parquet(s"$dir/stream")
+      Thread.sleep(1100)
+    }
+    val q = EventStream.replayParquetAsStream(spark, s"$dir/stream", schema,
+      d => EventStream.streamingScd2(d.as[EventStream.Scd2Change]).toDF(),
+      "scd2_sink", org.apache.spark.sql.streaming.OutputMode.Append())
+    q.awaitTermination(60000)
+    val streamed = spark.table("scd2_sink")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val batch = graft.operators.Scd2.build(
+        bursts.flatten.toDF("key", "ts", "id", "value"),
+        "key", "ts", "id", "value")
+      .filter(!col("is_current"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(streamed == batch,
+      s"streamed closed rows != batch:\n$streamed\nvs\n$batch")
+  }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{FeatureHash, Winnow}
+
+/** Winnowing fingerprints (MOSS guarantees) + hashing-trick features. */
+class WinnowSpec extends SparkSpecBase {
+
+  test("shared substrings of w+k-1 words share at least one fingerprint") {
+    import spark.implicits._
+    val common = "alpha beta gamma delta epsilon zeta"   // 6 = w+k-1 words
+    val docs = Seq(
+      (1L, s"one two three $common four five six seven"),
+      (2L, s"nine ten $common eleven twelve thirteen fourteen"))
+      .toDF("id", "text")
+    val fps = Winnow.fingerprints(docs, "id", "text", k = 3, w = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(2)).toSet }
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "winnowing guarantee: shared window must share a fingerprint")
+  }
+
+  test("density lands near 2/(w+1) and selection is position-stable") {
+    import spark.implicits._
+    val words = (0 until 400).map(i => s"w${(i * 7919) % 1000}").mkString(" ")
+    val docs = Seq((1L, words)).toDF("id", "text")
+    val n = Winnow.fingerprints(docs, "id", "text", k = 3, w = 4).count()
+    val grams = 400 - 2
+    // expected density 2/(w+1) = 0.4; allow a wide band
+    assert(n > grams * 0.2 && n < grams * 0.6, s"density off: $n of $grams")
+    // A prefix edit shifts positions but downstream fingerprints stay
+    // selected at shifted positions with the same hashes.
+    val shifted = Seq((1L, "zz " + words)).toDF("id", "text")
+    val a = Winnow.fingerprints(docs, "id", "text", k = 3, w = 4)
+      .select("fp").collect().map(_.getLong(0)).toSet
+    val b = Winnow.fingerprints(shifted, "id", "text", k = 3, w = 4)
+      .select("fp").collect().map(_.getLong(0)).toSet
+    assert((a & b).size > a.size / 2, "local edit must not churn the sketch")
+  }
+
+  test("hashed features: signed counts match a driver-side replay") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b c"), (2L, "x y")).toDF("id", "text")
+    val got = FeatureHash.features(docs, "id", "text", n = 2, k = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def gramsOf(t: String) = t.split(" ").sliding(2).map(_.mkString(" ")).toSeq
+    def replay(t: String): Seq[Long] = {
+      val f = Array.fill(16)(0L)
+      gramsOf(t).foreach { g =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val idx = (java.lang.Long.parseLong(md.take(13), 16) % 16).toInt
+        val s = if (java.lang.Long.parseLong(md.substring(13, 14), 16) % 2 == 0)
+          1L else -1L
+        f(idx) += s
+      }
+      f.toSeq
+    }
+    assert(got(1L) == replay("a b a b c"))
+    assert(got(2L) == replay("x y"))
+    // feature vectors are fixed-width regardless of text length
+    assert(got.values.forall(_.size == 16))
+  }
+}
