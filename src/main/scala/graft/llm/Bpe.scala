@@ -220,4 +220,69 @@ object Bpe {
     Bridge.column(graft.expressions.BpeEncode(
       Bridge.expression(text), encoder(merges)))
   }
+
+  /** GENERATED DuckDB replay of [[trainFromWordFreq]] — the whole merge
+    * learning loop as SQL, keeping both engines in lockstep by
+    * construction (the DetKMeans/PageRank/KCore pattern, applied to the
+    * one trained artifact left without an oracle).
+    *
+    * Per round: pair counts from the chr(1)-separated word states
+    * (overlapping adjacent positions, freq-weighted), the argmax with
+    * the trainer's exact tie-break (count desc, then pair lexicographic —
+    * a radix argument makes ORDER BY a, b equal to tuple order), then
+    * merge application as a RECURSIVE CTE replacing the LEFTMOST
+    * occurrence one step at a time until none remains. Single-leftmost
+    * iteration — not SQL replace() — is load-bearing: replace() consumes
+    * the shared boundary separator between adjacent matches, which on
+    * odd runs ("aaa" merging (a,a)) leaves a RIGHT-aligned leftover where
+    * the trainer leaves it left-aligned, and later rounds diverge.
+    * A merged symbol can never re-form the pair being merged (that would
+    * need a == a+b), so leftmost-stepping is confluent with the trainer's
+    * scan. All non-recursive CTEs are MATERIALIZED (the KCore lesson:
+    * DuckDB inlines plain CTEs and each round references its parent
+    * several times — the expansion is exponential in rounds).
+    *
+    * Produces CTEs: wf, w0, and per round pc$r / b$r / m$r / w$r. */
+  def oracleCtes(docsWhere: String, numMerges: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH RECURSIVE
+      wf AS MATERIALIZED (
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+              FROM documents WHERE $docsWhere)
+        WHERE w <> '' GROUP BY w),
+      w0 AS MATERIALIZED (
+        SELECT word, freq,
+          chr(1) || array_to_string(string_split(word, ''), chr(1)) || chr(1)
+            AS state
+        FROM wf)""")
+    for (r <- 1 to numMerges) {
+      val p = r - 1
+      sb.append(s""",
+      pc$r AS MATERIALIZED (
+        SELECT s[i] AS a, s[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM (SELECT freq, s, unnest(range(1, len(s))) AS i
+              FROM (SELECT freq,
+                      list_filter(string_split(state, chr(1)), x -> x <> '')
+                        AS s
+                    FROM w$p))
+        GROUP BY 1, 2),
+      b$r AS MATERIALIZED (
+        SELECT a, b,
+          chr(1) || a || chr(1) || b || chr(1) AS pat,
+          chr(1) || a || b || chr(1) AS rep
+        FROM pc$r ORDER BY cnt DESC, a, b LIMIT 1),
+      m$r AS (
+        SELECT word, freq, state FROM w$p
+        UNION ALL
+        SELECT m.word, m.freq,
+          substr(m.state, 1, strpos(m.state, b.pat) - 1) || b.rep ||
+            substr(m.state, strpos(m.state, b.pat) + length(b.pat)) AS state
+        FROM m$r m, b$r b WHERE strpos(m.state, b.pat) > 0),
+      w$r AS MATERIALIZED (
+        SELECT m.word, m.freq, m.state FROM m$r m, b$r b
+        WHERE strpos(m.state, b.pat) = 0)""")
+    }
+    sb.toString
+  }
 }

@@ -2765,6 +2765,37 @@ object Registry {
       .orderBy("round")
   }
 
+  /** Deterministic BPE twin: 8 merges trained on a bounded doc slice
+    * (no maxWords truncation — the slice IS bounded), merge table AND
+    * the top-10 words' encodings surfaced. The oracle is GENERATED
+    * ([[graft.llm.Bpe.oracleCtes]]): DuckDB re-runs the entire merge-
+    * learning loop — pair counts, argmax tie-breaks, leftmost-stepping
+    * merge application — and must reproduce the table and the
+    * segmentations. Encoding rides the native codegen'd BpeEncode, whose
+    * rank-greedy apply provably reproduces training segmentation on
+    * training words. */
+  private def llmBpeDet(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(spark, dir, "documents").filter(col("doc_id") < 50)
+    val merges = graft.llm.Bpe.train(docs, "text", numMerges = 8,
+      maxWords = 1000000)
+    val mergeDf = merges.pairs.zipWithIndex
+      .map { case ((a, b), i) => ("merge", (i + 1).toLong, a, b) }
+      .toDF("kind", "ord", "s1", "s2")
+    // Top-10 window runs over a 10-row relation — not a scale hazard.
+    val top = docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(10)
+    val wordDf = top
+      .withColumn("ord", row_number()
+        .over(Window.orderBy(col("freq").desc, col("w"))).cast("long"))
+      .select(lit("word").as("kind"), col("ord"), col("w").as("s1"),
+        array_join(graft.llm.Bpe.encode(col("w"), merges), "\u0001").as("s2"))
+    mergeDf.unionByName(wordDf).orderBy("kind", "ord")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_f1_parse_date" -> q(f1ParseDate),
     "q_f2_parse_numeric" -> q(f2ParseNumeric),
@@ -2945,6 +2976,7 @@ object Registry {
     "q_llm_feat_hash" -> q(llmFeatHash),
     "q_llm_winnow" -> q(llmWinnow),
     "q_graph_kcore" -> q(graphKcore),
+    "q_llm_bpe_det" -> q(llmBpeDet),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -5161,5 +5193,24 @@ object Registry {
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""",
       k = 8, rounds = 6) + """
       SELECT round, n_nodes, n_edges FROM summary ORDER BY round"""),
+    // GENERATED full merge-learning replay (Bpe.oracleCtes): DuckDB
+    // re-runs all 8 rounds — pair counts, tie-broken argmax, recursive
+    // leftmost merge application — and must reproduce the merge table
+    // and the top-10 words' training segmentations.
+    "q_llm_bpe_det" -> (graft.llm.Bpe.oracleCtes("doc_id < 50",
+      numMerges = 8) + s""",
+      top AS MATERIALIZED (
+        SELECT word, row_number() OVER (ORDER BY freq DESC, word) AS ord
+        FROM wf ORDER BY freq DESC, word LIMIT 10)
+      SELECT kind, ord, s1, s2 FROM (
+        SELECT 'merge' AS kind, CAST(r AS BIGINT) AS ord, a AS s1, b AS s2
+        FROM (${(1 to 8).map(r =>
+          s"SELECT $r AS r, a, b FROM b$r").mkString(" UNION ALL ")})
+        UNION ALL
+        SELECT 'word', CAST(t.ord AS BIGINT), t.word,
+          array_to_string(list_filter(string_split(w8.state, chr(1)),
+            x -> x <> ''), chr(1))
+        FROM top t JOIN w8 ON w8.word = t.word)
+      ORDER BY kind, ord"""),
   )
 }

@@ -184,4 +184,48 @@ class PlanRegressionSpec extends SparkSpecBase {
         s"$query: no codegen'd operator contains $exprName; plan:\n$p")
     }
   }
+
+  test("binary ANN shortlist: TakeOrdered over the code scan, no corpus shuffle") {
+    val p = plan("q_llm_ann_binary")
+    assert(p.contains("TakeOrderedAndProject"))
+    // the re-rank join of the 50-row shortlist must broadcast
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("hashed features form in ONE aggregate pair around one exchange") {
+    val p = plan("q_llm_feat_hash")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final pair")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"gram stream must shuffle once (64 buffers), plan:\n$p")
+  }
+
+  test("winnowing runs one per-doc window sort, no corpus-wide window") {
+    val p = plan("q_llm_winnow")
+    assert(p.contains("Window"))
+    assert(!p.contains("Window operation! Moving all data to a single"),
+      "corpus-wide single-partition window")
+    // selection + distinct: at most the window exchange and the distinct
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2)
+  }
+
+  test("SCD2 build: one hash exchange by key, windows share one sort") {
+    val p = plan("q_scd2_dim")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"SCD2 must shuffle once by the dimension key; plan:\n$p")
+    assert("\\[Sort ".r.findAllIn(p).size <= 2)
+  }
+
+  test("centroid classifier: model broadcasts; points never shuffle-join") {
+    val p = plan("q_llm_centroid_clf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "model must broadcast to the scoring scan")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("incremental agg: both sides partial-aggregate before the merge") {
+    val p = plan("q_store_incr_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "state and delta must each carry a partial+final aggregate pair")
+  }
 }
