@@ -255,4 +255,68 @@ object Multimodal {
       .withColumn("chunk",
         expr(s"substring($payloadCol, chunk_idx * $chunkBytes + 1, $chunkBytes)"))
   }
+
+  /** REAL nearest-neighbor image resize via the decoded raster: source
+    * pixel for output (x, y) is (x·w div outW, y·h div outH) — exact
+    * integer floor sampling, so on the synthetic corpus an external
+    * oracle replays the resized pixel sum arithmetically. Returns
+    * (outW, outH, pixel-sum-of-band-0 of the RESIZED image); None on
+    * undecodable payloads (same quarantine contract as [[decodeImage]],
+    * same decompression-bomb guard, same fd hygiene). */
+  def resizeImage(payload: Array[Byte], outW: Int,
+                  outH: Int): Option[(Int, Int, Long)] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) return None
+          val raster = reader.read(0).getRaster
+          var sum = 0L
+          var y = 0
+          while (y < outH) {
+            val sy = y * h / outH
+            var x = 0
+            while (x < outW) {
+              sum += raster.getSample(x * w / outW, sy, 0)
+              x += 1
+            }
+            y += 1
+          }
+          Some((outW, outH, sum))
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-frame decoded metadata row. */
+  final case class FrameMeta(media_id: Long, frame_idx: Long, width: Int,
+                             height: Int, pixel_sum: Long)
+
+  /** REAL every-nth frame sampling over an array-of-frames column (the
+    * video shape: one row per media, frames as an `array<binary>`):
+    * posexplode → modulo filter BEFORE any decode (the sampler's whole
+    * point — decode cost scales with frames KEPT, not frames stored),
+    * then the genuine imageio decode per surviving frame. Undecodable
+    * frames drop, quarantine-style. */
+  def sampleFrames(df: DataFrame, idCol: String, framesCol: String,
+                   everyNth: Int): DataFrame = {
+    require(everyNth >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"),
+        posexplode(col(framesCol)).as(Seq("frame_idx", "payload")))
+      .filter(pmod(col("frame_idx"), lit(everyNth)) === 0)
+      .as[(Long, Int, Array[Byte])]
+      .flatMap { case (id, idx, p) =>
+        decodeImage(p).map { case (w, h, s) =>
+          FrameMeta(id, idx.toLong, w, h, s)
+        }
+      }
+      .toDF()
+  }
 }

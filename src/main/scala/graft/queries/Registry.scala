@@ -2796,6 +2796,43 @@ object Registry {
     mergeDf.unionByName(wordDf).orderBy("kind", "ord")
   }
 
+  /** REAL decode → nearest-neighbor resize to 8×6 over genuine PNG
+    * payloads; integer floor sampling makes the resized pixel sum
+    * arithmetically replayable (see [[graft.llm.Multimodal.resizeImage]]).
+    * The preprocessing step a vision-model pipeline runs on every image. */
+  private def mmResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        (col("doc_id") % 16 + 1).cast("int").as("w"),
+        (col("doc_id") % 12 + 1).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .map { case (id, w, h) =>
+        (id, Multimodal.encodePng(w, h, id)) }
+      .flatMap { case (id, png) =>
+        Multimodal.resizeImage(png, 8, 6).map { case (w2, h2, s) =>
+          (id, w2, h2, s) } }
+      .toDF("media_id", "width", "height", "pixel_sum")
+      .orderBy("media_id")
+  }
+
+  /** REAL every-2nd frame sampling over 5-frame synthetic videos
+    * (array<binary> of PNGs): modulo filter BEFORE decode, genuine
+    * imageio decode per kept frame. */
+  private def mmFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val videos = t(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        (col("doc_id") % 16 + 1).cast("int").as("w"),
+        (col("doc_id") % 12 + 1).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .map { case (id, w, h) =>
+        (id, (0 until 5).map(f => Multimodal.encodePng(w, h, id * 31 + f))) }
+      .toDF("media_id", "frames")
+    Multimodal.sampleFrames(videos, "media_id", "frames", everyNth = 2)
+      .orderBy("media_id", "frame_idx")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_f1_parse_date" -> q(f1ParseDate),
     "q_f2_parse_numeric" -> q(f2ParseNumeric),
@@ -2977,6 +3014,8 @@ object Registry {
     "q_llm_winnow" -> q(llmWinnow),
     "q_graph_kcore" -> q(graphKcore),
     "q_llm_bpe_det" -> q(llmBpeDet),
+    "q_mm_resize" -> q(mmResize),
+    "q_mm_frames" -> q(mmFrames),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -5212,5 +5251,29 @@ object Registry {
             x -> x <> ''), chr(1))
         FROM top t JOIN w8 ON w8.word = t.word)
       ORDER BY kind, ord"""),
+    // The full decode → resize roundtrip verified arithmetically:
+    // resized pixel (x, y) samples source (x·w div 8, y·h div 6), whose
+    // synthetic value is (sx + sy·w + id) mod 256.
+    "q_mm_resize" ->
+      """SELECT d.doc_id AS media_id, CAST(8 AS INT) AS width,
+           CAST(6 AS INT) AS height,
+           CAST(SUM(((x.i * (1 + d.doc_id % 16)) // 8
+             + ((y.j * (1 + d.doc_id % 12)) // 6) * (1 + d.doc_id % 16)
+             + d.doc_id) % 256) AS BIGINT) AS pixel_sum
+         FROM documents d, range(0, 8) x(i), range(0, 6) y(j)
+         GROUP BY d.doc_id ORDER BY media_id""",
+    // Kept frames f ∈ {0,2,4}; each frame's pixel (x,y) is
+    // (x + y·w + id·31 + f) mod 256, summed like q_mm_decode.
+    "q_mm_frames" ->
+      """SELECT d.doc_id AS media_id, CAST(f.f AS BIGINT) AS frame_idx,
+           CAST(1 + d.doc_id % 16 AS INT) AS width,
+           CAST(1 + d.doc_id % 12 AS INT) AS height,
+           CAST(SUM((s.i + d.doc_id * 31 + f.f) % 256) AS BIGINT)
+             AS pixel_sum
+         FROM documents d
+         JOIN (VALUES (0), (2), (4)) f(f) ON true
+         JOIN range(0, 192) AS s(i)
+           ON s.i < (1 + d.doc_id % 16) * (1 + d.doc_id % 12)
+         GROUP BY d.doc_id, f.f ORDER BY media_id, frame_idx""",
   )
 }

@@ -128,4 +128,29 @@ class MultimodalSpec extends SparkSpecBase {
       .orderBy("id").collect().map(_.getString(1)).toSeq
     assert(out == Seq("png", "jpeg", "wav", "unknown"))
   }
+
+  test("resizeImage samples nearest-neighbor with integer floor indices") {
+    // 4×2 image, pixel (x, y) = x + 4y (seed 0); resize to 2×1 samples
+    // source pixels (0,0) and (2,0) → sum 0 + 2 = 2.
+    val png = Multimodal.encodePng(4, 2, 0L)
+    assert(Multimodal.resizeImage(png, 2, 1).contains((2, 1, 2L)))
+    // identity resize reproduces the full pixel sum
+    val full = Multimodal.decodeImage(png).get._3
+    assert(Multimodal.resizeImage(png, 4, 2).contains((4, 2, full)))
+    // undecodable payload drops, not throws
+    assert(Multimodal.resizeImage("junk".getBytes, 2, 2).isEmpty)
+  }
+
+  test("sampleFrames keeps every nth frame and decodes only those") {
+    import spark.implicits._
+    val frames = (0 until 5).map(f => Multimodal.encodePng(3, 3, f.toLong))
+    val bad = frames.updated(1, "broken".getBytes) // dropped if ever decoded
+    val df = Seq((7L, bad)).toDF("media_id", "frames")
+    val out = Multimodal.sampleFrames(df, "media_id", "frames", everyNth = 2)
+      .orderBy("frame_idx").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 2L, 4L))
+    val expected = (f: Long) => (0 until 9).map(i => (i + f) % 256).sum
+    assert(out.map(_.getLong(4)).toSeq ==
+      Seq(expected(0L), expected(2L), expected(4L)))
+  }
 }
