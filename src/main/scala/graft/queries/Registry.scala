@@ -2833,6 +2833,51 @@ object Registry {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** Composition: hashed token features → integer nearest-centroid
+    * domain classifier — a complete vocabulary-free text classifier from
+    * two round-8 operators, trained and scored without a single float
+    * decision (signed counts L1-normalize to a fixed integer mass), so
+    * the WHOLE pipeline replays in SQL. The synthetic corpus shares one
+    * vocabulary across all label columns, so the class signal is PLANTED
+    * (five "domN" marker tokens per doc — the repetition/PII injection
+    * pattern); even doc_ids train, odd classify, and the confusion
+    * matrix's diagonal (≈0.9 at sf0.01) is the demo. */
+  private def llmHashClf(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val cls = (expr("doc_id div 2") % 4).cast("long")
+    val marker = concat(lit(" dom"), cls.cast("string"))
+    val injected = t(spark, dir, "documents")
+      .select(col("doc_id"), cls.as("cls"),
+        concat(col("text"), marker, marker, marker, marker, marker)
+          .as("text"))
+    val meta = injected.select(col("doc_id"), col("cls"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("ng"))
+    val feats = graft.llm.FeatureHash
+      .features(injected, "doc_id", "text", n = 1, k = k)
+      .join(meta, Seq("doc_id"))
+      .select(col("doc_id"), col("cls"),
+        transform(col("feat"),
+          v => floor(v * 10000.0 / col("ng")).cast("long")).as("feat"))
+    val train = feats.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val test = feats.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val model = train.groupBy("cls")
+      .agg(count(lit(1)).as("n"),
+        array((0 until k).map(j =>
+          sum(element_at(col("feat"), j + 1))): _*).as("s"))
+      .select(col("cls").as("c_cls"),
+        transform(col("s"), s => floor(s.cast("double") / col("n")).cast("long"))
+          .as("c"))
+    test.crossJoin(broadcast(model))
+      .select(col("doc_id"), col("cls"), col("c_cls"),
+        graft.llm.DetKMeans.dist2(col("feat"), col("c")).as("d"))
+      .groupBy("doc_id")
+      .agg(first(col("cls")).as("cls"),
+        min(struct(col("d"), col("c_cls"))).as("m"))
+      .groupBy(col("cls"), col("m").getField("c_cls").as("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("cls", "pred")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_f1_parse_date" -> q(f1ParseDate),
     "q_f2_parse_numeric" -> q(f2ParseNumeric),
@@ -3016,6 +3061,7 @@ object Registry {
     "q_llm_bpe_det" -> q(llmBpeDet),
     "q_mm_resize" -> q(mmResize),
     "q_mm_frames" -> q(mmFrames),
+    "q_llm_hash_clf" -> q(llmHashClf),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -5275,5 +5321,51 @@ object Registry {
          JOIN range(0, 192) AS s(i)
            ON s.i < (1 + d.doc_id % 16) * (1 + d.doc_id % 12)
          GROUP BY d.doc_id, f.f ORDER BY media_id, frame_idx""",
+    // Whole pipeline replay: injected markers, every hash + collision,
+    // integer L1 normalization, integer centroids, integer argmin.
+    "q_llm_hash_clf" ->
+      """WITH doc AS (SELECT doc_id,
+                 CAST((doc_id // 2) % 4 AS BIGINT) AS cls,
+                 text || repeat(' dom' || CAST((doc_id // 2) % 4 AS VARCHAR), 5)
+                   AS text
+               FROM documents),
+         tk AS (SELECT doc_id, cls,
+                  string_split_regex(trim(text), '\s+') AS t
+                FROM doc),
+         g AS (SELECT doc_id, cls, unnest(t) AS gram FROM tk),
+         c AS (SELECT doc_id, cls,
+                 ('0x' || substr(md5(gram), 1, 13))::BIGINT % 64 AS idx,
+                 CASE WHEN ('0x' || substr(md5(gram), 14, 1))::BIGINT % 2 = 0
+                      THEN 1 ELSE -1 END AS s
+               FROM g WHERE gram <> ''),
+         tot AS (SELECT doc_id, COUNT(*) AS ng FROM c GROUP BY doc_id),
+         f AS (SELECT c.doc_id, cls, j,
+                 CAST(COALESCE(SUM(CASE WHEN idx = j THEN s END), 0)
+                   AS BIGINT) AS v
+               FROM c, range(64) r(j) GROUP BY c.doc_id, cls, j),
+         fn AS (SELECT f.doc_id, cls, j,
+                  CAST(floor(CAST(v * 10000 AS DOUBLE) / ng) AS BIGINT) AS v
+                FROM f JOIN tot ON f.doc_id = tot.doc_id),
+         fv AS (SELECT doc_id, cls, list(v ORDER BY j) AS feat
+                FROM fn GROUP BY doc_id, cls),
+         ctr AS (SELECT cls AS c_cls, dim, SUM(feat[dim]) AS sm,
+                   COUNT(*) AS n
+                 FROM fv, range(1, 65) r(dim)
+                 WHERE doc_id % 2 = 0 GROUP BY cls, dim),
+         cl AS (SELECT c_cls,
+                  list(CAST(floor(CAST(sm AS DOUBLE) / n) AS BIGINT)
+                       ORDER BY dim) AS c
+                FROM ctr GROUP BY c_cls),
+         d AS (SELECT fv.doc_id, fv.cls, cl.c_cls,
+                 list_sum(list_transform(range(1, 65),
+                   i -> (fv.feat[i] - cl.c[i]) * (fv.feat[i] - cl.c[i])))
+                   AS d
+               FROM fv, cl WHERE fv.doc_id % 2 = 1),
+         a AS (SELECT doc_id, cls, c_cls,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY d, c_cls) AS rk
+               FROM d)
+         SELECT cls, c_cls AS pred, CAST(COUNT(*) AS BIGINT) AS n
+         FROM a WHERE rk = 1 GROUP BY 1, 2 ORDER BY cls, pred""",
   )
 }
