@@ -45,4 +45,29 @@ object Winnow {
         expr(s"sel div $PosCap").as("fp"))
       .distinct()
   }
+
+  /** The MOSS overlap report: document pairs sharing ≥ `minShared`
+    * winnowed fingerprints. Fingerprints occurring in more than `maxDf`
+    * documents are dropped BEFORE the pair join — corpus-wide boilerplate
+    * grams are the hot keys that would otherwise quadratically blow the
+    * join (the same stopword-fingerprint guard MOSS applies), and on a
+    * shared-vocabulary corpus they carry no overlap signal anyway. The
+    * join is bucketed by fingerprint with df ≤ maxDf, so candidate
+    * volume is Σ df² ≤ maxDf · Σ df — linear in the fingerprint
+    * relation. */
+  def overlapPairs(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3, w: Int = 4, maxDf: Int = 50,
+                   minShared: Int = 3): DataFrame = {
+    val fps = fingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("fp")).distinct()
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("fp")
+    val kept = fps.join(rare, Seq("fp"))
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
 }

@@ -2750,6 +2750,23 @@ object Registry {
         "doc_id", "text", k = 3, w = 4)
       .orderBy("doc_id", "pos", "fp")
 
+  /** MOSS overlap pairs over winnowed fingerprints (plus two planted
+    * plagiarized docs: each copies a 12-word midsection of a base doc,
+    * so real overlaps exist on the otherwise pairwise-distinct corpus).
+    * Hot fingerprints (df > 50) drop before the pair join. */
+  private def llmWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("text"))
+    val planted = base.filter(col("doc_id").isin(7L, 11L))
+      .select((col("doc_id") + 5000).as("doc_id"),
+        concat_ws(" ",
+          slice(split(trim(col("text")), "\\s+"), 5, 12),
+          lit("fresh tail content entirely new")).as("text"))
+    graft.llm.Winnow.overlapPairs(base.unionByName(planted),
+        "doc_id", "text", k = 3, w = 4, maxDf = 50, minShared = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** k-core peeling on the part co-purchase graph: per-round survivor
     * counts with the fixpoint visible in-row (last rounds equal). The
     * oracle is GENERATED ([[graft.operators.KCore.oracleCtes]]) — DuckDB
@@ -3057,6 +3074,7 @@ object Registry {
     "q_w_rank_suite" -> q(wRankSuite),
     "q_llm_feat_hash" -> q(llmFeatHash),
     "q_llm_winnow" -> q(llmWinnow),
+    "q_llm_winnow_pairs" -> q(llmWinnowPairs),
     "q_graph_kcore" -> q(graphKcore),
     "q_llm_bpe_det" -> q(llmBpeDet),
     "q_mm_resize" -> q(mmResize),
@@ -5270,6 +5288,38 @@ object Registry {
            CAST(4095 - (sel % 4096) AS BIGINT) AS pos,
            sel // 4096 AS fp
          FROM s WHERE s.pos >= 3 ORDER BY doc_id, pos, fp""",
+    // Same packed-argmin replay over base + planted docs, distinct
+    // (id, fp), df-capped bucket join, shared-count threshold.
+    "q_llm_winnow_pairs" ->
+      """WITH doc AS (SELECT doc_id, text FROM documents WHERE doc_id < 300
+                      UNION ALL
+                      SELECT doc_id + 5000,
+                        array_to_string(string_split_regex(trim(text), '\s+')[5:16], ' ')
+                          || ' fresh tail content entirely new'
+                      FROM documents WHERE doc_id IN (7, 11)),
+         tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                FROM doc),
+         gr AS (SELECT doc_id, i,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+                FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+                      FROM tk)),
+         p AS (SELECT doc_id, i - 1 AS pos,
+                 ('0x' || substr(md5(gram), 1, 7))::BIGINT * 4096
+                   + (4095 - (i - 1)) AS packed
+               FROM gr),
+         s AS (SELECT doc_id, pos,
+                 min(packed) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+               FROM p),
+         fp AS (SELECT DISTINCT doc_id AS id, sel // 4096 AS fp
+                FROM s WHERE s.pos >= 3),
+         rare AS (SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM fp GROUP BY fp)
+                  WHERE df <= 50),
+         kept AS (SELECT id, fp.fp FROM fp JOIN rare USING (fp))
+         SELECT a.id AS id_a, b.id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+         FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
+         GROUP BY 1, 2 HAVING COUNT(*) >= 3 ORDER BY id_a, id_b""",
     // GENERATED peel replay (KCore.oracleCtes): DuckDB re-runs all six
     // rounds over the same canonical co-purchase edges.
     "q_graph_kcore" -> (graft.operators.KCore.oracleCtes(

@@ -39,6 +39,26 @@ class WinnowSpec extends SparkSpecBase {
     assert((a & b).size > a.size / 2, "local edit must not churn the sketch")
   }
 
+  test("overlap pairs: plagiarized pair found; boilerplate fps capped out") {
+    import spark.implicits._
+    val shared = (0 until 20).map(i => s"s$i").mkString(" ")   // real overlap
+    val boiler = "the quick brown fox jumps again and again today" // in ALL docs
+    val docs = Seq(
+      (1L, s"$boiler alpha beta $shared gamma delta"),
+      (2L, s"$boiler nine ten $shared eleven twelve"),
+      (3L, s"$boiler unrelated words entirely different content here"),
+      (4L, s"$boiler other totally distinct tokens everywhere now"))
+      .toDF("id", "text")
+    val pairs = Winnow.overlapPairs(docs, "id", "text", k = 3, w = 4,
+        maxDf = 2, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "plagiarized pair must surface")
+    // the boilerplate prefix is in all 4 docs -> df=4 > maxDf=2, so it
+    // cannot create pairs among the unrelated docs
+    assert(!pairs.exists(p => p._1 >= 3L || p._2 >= 3L),
+      s"boilerplate fingerprints leaked pairs: $pairs")
+  }
+
   test("hashed features: signed counts match a driver-side replay") {
     import spark.implicits._
     val docs = Seq((1L, "a b a b c"), (2L, "x y")).toDF("id", "text")
