@@ -373,6 +373,26 @@ object ScaleSmoke {
     // Nearest-centroid classifier at 100k vectors: training shuffles 65
     // aggregate buffers per label (never the points); inference is a
     // broadcast-model row-local argmin.
+    // Winnow overlap pairs under pathological duplication: every replica
+    // family is a 20-doc clique sharing ~all fingerprints. With the df
+    // cap BELOW the family size the hot fingerprints drop pre-join and
+    // the pair join stays near-empty — the guard that keeps the MOSS
+    // report linear when a 100 TB corpus is full of boilerplate mirrors.
+    val wpPairs = timed("winnow overlap pairs (100k docs, df cap 10 < family 20)")(
+      graft.llm.Winnow.overlapPairs(big, "doc_id", "text",
+        k = 3, w = 4, maxDf = 10, minShared = 3).count())
+    println(s"[scale] winnow pairs under cap: $wpPairs")
+
+    // Hashed-feature classification at 100k docs: one 64-buffer agg for
+    // features, one for centroids, broadcast-model scoring.
+    val hcModel = graft.llm.FeatureHash.features(big, "doc_id", "text",
+        n = 1, k = 64)
+      .withColumn("label", pmod(col("doc_id"), lit(4)))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"))
+    val hcRows = timed("hashed features (100k docs, 64 buffers)")(hcModel.count())
+    println(s"[scale] hashed-feature label groups: $hcRows")
+
     val labEmb = bigEmb.withColumn("label", pmod(col("vec_id"), lit(8)))
     val ccModel = timed("centroid fit (100k vecs, 65 buffers/label)")(
       graft.llm.CentroidClassifier.fit(labEmb, "embedding", "label", 64))
