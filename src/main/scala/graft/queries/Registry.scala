@@ -2557,6 +2557,22 @@ object Registry {
 
   // ----------------------------------------------------------- round-8 ops
 
+  /** Part co-purchase pairs (x < y, parts sharing an order), derived by
+    * ONE groupBy with a bounded per-order part set and a row-local pair
+    * explosion — not a lineitem self-join. Orders hold ≤ 7 parts
+    * (bounded group), so the explosion is constant per row while the
+    * self-join costs two shuffles of the fact table plus a 1.2M-row join
+    * output before distinct; measured 2× faster cold at sf0.1. */
+  private def coPurchasePairs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x, y))))"))
+        .as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
+
   /** Triangle counting over the part co-purchase graph (parts sharing an
     * order — the association structure a recommender or taxonomy pass
     * mines), via the degree-oriented wedge join of
@@ -2564,12 +2580,7 @@ object Registry {
     * naive a<b<c three-way self-join: same triangles, the plan the
     * orientation exists to avoid at skew. */
   private def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val li = t(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-    val pairs = li.as("a").join(li.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("x"), col("b.p").as("y"))
-    graft.operators.Triangles.triangles(pairs, "x", "y")
+    graft.operators.Triangles.triangles(coPurchasePairs(spark, dir), "x", "y")
       .groupBy(pmod(col("n1"), lit(10)).as("bucket"))
       .agg(count(lit(1)).as("n_triangles"))
       .orderBy("bucket")
@@ -2772,12 +2783,8 @@ object Registry {
     * oracle is GENERATED ([[graft.operators.KCore.oracleCtes]]) — DuckDB
     * replays every peel round by construction. */
   private def graphKcore(spark: SparkSession, dir: String): DataFrame = {
-    val li = t(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-    val pairs = li.as("a").join(li.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("x"), col("b.p").as("y"))
-    val canon = graft.operators.Triangles.canonical(pairs, "x", "y")
+    val canon = graft.operators.Triangles.canonical(
+      coPurchasePairs(spark, dir), "x", "y")
     graft.operators.KCore.peelSummary(canon, k = 8, rounds = 6)
       .orderBy("round")
   }
