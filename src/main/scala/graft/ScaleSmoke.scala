@@ -349,7 +349,8 @@ object ScaleSmoke {
     // SCD2 over the FULL 20× event stream (~10M changes, every user):
     // one hash shuffle by key + in-partition sorted windows — no
     // self-join against history, so 20× data must time ~20×, not worse.
-    val ch8 = spark.read.parquet(s"$sfDir/events.parquet")
+    val ch8 = graft.queries.Registry.normalizeEventTs(
+        spark.read.parquet(s"$sfDir/events.parquet"))
       .crossJoin(spark.range(factor).withColumnRenamed("id", "rep"))
       .select(col("user_id"),
         (col("ts") + col("rep") * 1000000L).as("ts"),

@@ -25,16 +25,36 @@ import scala.collection.immutable.ListMap
   * sides. */
 object Registry {
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** events.parquet has shipped with two physical `ts` types across data
+    * generations: TIMESTAMP(NANOS) (surfaced as BIGINT nanos under
+    * nanosAsLong) and TIMESTAMP(MICROS) (surfaced as a timestamp).
+    * Normalize to BIGINT epoch-nanoseconds at the single load choke point
+    * so every downstream `ts div N` keeps a schema-stable contract —
+    * DuckDB's `epoch_ns(ts)` agrees with both generations. */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => df
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        // Session TZ is UTC, so an NTZ wall-clock reads as the same instant
+        // DuckDB's epoch_ns computes.
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case _ => df
+    }
 
   /** Runtime session setup: ANSI off (string→number casts must NULL on
     * garbage, like the reference), UTC, bounded shuffle width for local[32]. */
   def configure(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    // events.parquet carries TIMESTAMP(NANOS); read as long (we never
-    // surface the raw ts, only aggregate by other columns).
+    // Older events.parquet generations carry TIMESTAMP(NANOS); read those
+    // as long. Newer TIMESTAMP(MICROS) generations are normalized to the
+    // same BIGINT-nanos contract in [[normalizeEventTs]].
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
 
@@ -2707,6 +2727,13 @@ object Registry {
     graft.llm.RandProj.project(
         t(spark, dir, "embeddings").filter(col("vec_id") < 300),
         "vec_id", "embedding", kOut = 16, dim = 64)
+      // Surface the projection as a CSV of exact micro-units rather than
+      // array<double>: the correctness harness sorts result columns with
+      // pandas, which cannot hash array cells, and integer-in-string
+      // serialization sidesteps double-formatting drift between engines.
+      .select(col("vec_id"),
+        concat_ws(",", transform(col("proj"),
+          v => floor(v * 1e6 + 0.5).cast("long").cast("string"))).as("proj"))
       .orderBy("vec_id")
 
   /** CUBE over (status, order year) with grouping_id — the all-margins
@@ -2750,6 +2777,9 @@ object Registry {
     graft.llm.FeatureHash.features(
         t(spark, dir, "documents").filter(col("doc_id") < 300),
         "doc_id", "text", n = 2, k = 64)
+      // CSV-serialized (see llmRandProj): array cells break the harness sort.
+      .select(col("doc_id"),
+        concat_ws(",", transform(col("feat"), _.cast("string"))).as("feat"))
       .orderBy("doc_id")
 
   /** Robust winnowing fingerprints (MOSS), k-gram=3 / window=4, over a
@@ -5224,11 +5254,12 @@ object Registry {
                  / 4503599627370496.0 * 2.0 - 1.0) AS p
              FROM (SELECT unnest(range(16)) AS i)),
          d AS (SELECT c.vec_id, pl.i,
-                 floor(list_sum(list_transform(list_zip(c.e, pl.p),
+                 CAST(floor(list_sum(list_transform(list_zip(c.e, pl.p),
                      z -> z[1]*z[2])) * 1000000 + CAST(0.5 AS DOUBLE))
-                   / 1000000 AS v
+                   AS BIGINT) AS v
                FROM c, planes pl)
-         SELECT vec_id, list(v ORDER BY i) AS proj
+         SELECT vec_id,
+           string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS proj
          FROM d GROUP BY vec_id ORDER BY vec_id""",
     "q_agg_cube" ->
       """WITH o AS (SELECT o_orderstatus,
@@ -5272,7 +5303,8 @@ object Registry {
                  CAST(COALESCE(SUM(CASE WHEN idx = j THEN s END), 0)
                    AS BIGINT) AS v
                FROM c, range(64) r(j) GROUP BY doc_id, j)
-         SELECT doc_id, list(v ORDER BY j) AS feat
+         SELECT doc_id,
+           string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS feat
          FROM f GROUP BY doc_id ORDER BY doc_id""",
     // The packed (hash·4096 + reversed-pos) argmin replayed as a plain
     // window min; rightmost-minimum tie rule falls out of the packing.
