@@ -28,6 +28,13 @@ object Multimodal {
     StructField("payload", BinaryType, nullable = true),
   ))
 
+  // ImageIO's default ImageInput/OutputStream cache is a TEMP FILE per
+  // encode/decode call — for KB-scale in-memory payloads that is one disk
+  // round-trip per image and dominates the kernel (~10× on tiny frames).
+  // Executors touch this object before any codec call, so the JVM-wide
+  // switch applies wherever the kernels run.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Encode a real single-band grayscale PNG with pixel (x, y) =
     * `(x + y*width + seed) mod 256`. Used by tests and the registry's
     * decode query to manufacture genuine image payloads whose decoded
