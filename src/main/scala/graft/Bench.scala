@@ -32,7 +32,9 @@ object Bench {
     "fee_anesthesia" -> "fee_an", "fee_opps_capped" -> "fee_opps",
     "ptp_bundle_check" -> "ptp", "mue_lookup" -> "mue",
     "mm_decode" -> "mm_dec", "fingerprint" -> "fprint",
-    "repetition" -> "repet", "dashboard" -> "dash")
+    "repetition" -> "repet", "dashboard" -> "dash",
+    "e_retention" -> "reten", "stats_analyze" -> "stats",
+    "stats_histogram" -> "histo", "skyline_docs" -> "sky")
 
   private val idPrefix = "^([a-z]+[0-9]+)_.+".r
 

@@ -2932,6 +2932,114 @@ object Registry {
       .orderBy("cls", "pred")
   }
 
+  /** Weekly cohort retention matrix over the event stream: users cohorted
+    * by first-seen week, per-(cohort, weeks-since) distinct-active counts
+    * with the retention fraction against the cohort size. Shape: the first-
+    * seen aggregation and the activity join both hash-partition by user_id
+    * (the join reuses the aggregation's partitioning — no extra exchange),
+    * then one shuffle by (cohort, week); cohort sizes are a weeks-sized
+    * relation broadcast back. The canonical product-analytics report, and
+    * at 100 TB the shape survives because nothing ever materializes wider
+    * than (users × their active weeks). */
+  private def eRetention(spark: SparkSession, dir: String): DataFrame = {
+    val weekNs = 7L * 24 * 3600 * 1000 * 1000 * 1000
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), expr(s"ts div $weekNs").as("wk"))
+    val first = e.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    val active = e.join(first, Seq("user_id"))
+      .select(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_since"),
+        col("user_id"))
+      .distinct()
+    val cohortSizes = first.groupBy("cohort_wk")
+      .agg(count(lit(1)).as("cohort_n"))
+    active.groupBy("cohort_wk", "wk_since")
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(cohortSizes), Seq("cohort_wk"))
+      .select(col("cohort_wk"), col("wk_since"), col("n_active"),
+        (floor(col("n_active") * 10000.0 / col("cohort_n") + 0.5) / 10000)
+          .as("retention"))
+      .orderBy("cohort_wk", "wk_since")
+  }
+
+  /** ANALYZE-style per-column statistics — the relation-level metadata a
+    * cost-based optimizer feeds on (row count, NDV, null count, most-common
+    * value with its frequency). One scan: the column set unpivots via
+    * `stack` into (column, value) pairs, one shuffle builds per-value
+    * counts (the sufficient statistic), and a second keys-sized aggregation
+    * folds them into the report. The MCV tie-break is (count, value)-max —
+    * total, so the report is byte-stable. A nullable derived column
+    * exercises the null accounting. */
+  private def statsAnalyze(spark: SparkSession, dir: String): DataFrame = {
+    val un = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+      .select(expr(
+        """stack(4,
+           'l_returnflag', l_returnflag,
+           'l_linestatus', l_linestatus,
+           'l_quantity', cast(cast(floor(l_quantity) as bigint) as string),
+           'rf_nullable', nullif(l_returnflag, 'N')) as (col_name, v)"""))
+    val vc = un.groupBy("col_name", "v").agg(count(lit(1)).as("n"))
+    vc.groupBy("col_name")
+      .agg(sum("n").as("n_rows"),
+        count(when(col("v").isNotNull, lit(1))).as("ndv"),
+        coalesce(sum(when(col("v").isNull, col("n"))), lit(0L)).as("n_null"),
+        max(when(col("v").isNotNull, struct(col("n"), col("v")))).as("_m"))
+      .select(col("col_name"), col("n_rows"), col("ndv"), col("n_null"),
+        col("_m.v").as("mcv"), col("_m.n").as("mcv_n"))
+      .orderBy("col_name")
+  }
+
+  /** Equi-width 8-bin histogram of l_extendedprice — the other half of the
+    * ANALYZE surface. Two aggregation passes: a 1-row (min, max) relation
+    * broadcast back to the scan, then one shuffle by bin. No global sort,
+    * no single-partition window — the shape equi-DEPTH ntile would not
+    * give; bin edges derive from the broadcast extremes with the same IEEE
+    * expression on both engines. */
+  private def statsHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem").select(col("l_extendedprice").as("v"))
+    val mm = l.agg(min("v").as("lo"), max("v").as("hi"))
+    l.crossJoin(broadcast(mm))
+      .select(least(floor((col("v") - col("lo")) * 8.0 / (col("hi") - col("lo"))),
+        lit(7L)).cast("long").as("bin"), col("v"), col("lo"), col("hi"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(DecimalType(22, 6))).cast("double").as("sum_price"),
+        (floor((first(col("lo")) + col("bin") * (first(col("hi")) - first(col("lo"))) / 8.0)
+          * 100 + 0.5) / 100).as("edge_lo"))
+      .select(col("bin"), col("edge_lo"), col("n"), col("sum_price"))
+      .orderBy("bin")
+  }
+
+  /** Pareto-skyline of the corpus on (quality DESC, token count ASC) — the
+    * document-selection frontier "no other doc is both higher-quality and
+    * shorter". Scale shape: docs collapse to distinct (q4, tok) points
+    * (one hash shuffle), points collapse to the per-quality champion
+    * (min tok — second keys-sized agg, ≤ 10001 rows since quality is 4 dp
+    * in [0,1]), and only that bounded champion relation sees the ordered
+    * running-min window that decides dominance — the corpus itself never
+    * sorts globally. The oracle decides dominance with an independent
+    * NOT EXISTS formulation, so the window rewrite is cross-checked
+    * against the definition. */
+  private def skylineDocs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        floor(TextAnalysis.qualityScore(col("text")) * 10000 + 0.5)
+          .cast("long").as("q4"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+    val pts = m.groupBy("q4", "tok")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+    val champs = pts.join(
+      pts.groupBy("q4").agg(min("tok").as("tok")), Seq("q4", "tok"))
+    val w = Window.orderBy(col("q4").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    champs
+      .withColumn("_runmin", min(col("tok")).over(w))
+      .filter(col("_runmin").isNull || col("tok") < col("_runmin"))
+      .select(col("q4"), col("tok"), col("n_docs"), col("min_doc"))
+      .orderBy(col("q4").desc)
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_f1_parse_date" -> q(f1ParseDate),
     "q_f2_parse_numeric" -> q(f2ParseNumeric),
@@ -3117,6 +3225,10 @@ object Registry {
     "q_mm_resize" -> q(mmResize),
     "q_mm_frames" -> q(mmFrames),
     "q_llm_hash_clf" -> q(llmHashClf),
+    "q_e_retention" -> q(eRetention),
+    "q_stats_analyze" -> q(statsAnalyze),
+    "q_stats_histogram" -> q(statsHistogram),
+    "q_skyline_docs" -> q(skylineDocs),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -5456,5 +5568,89 @@ object Registry {
                FROM d)
          SELECT cls, c_cls AS pred, CAST(COUNT(*) AS BIGINT) AS n
          FROM a WHERE rk = 1 GROUP BY 1, 2 ORDER BY cls, pred""",
+    "q_e_retention" ->
+      """WITH e AS (SELECT user_id,
+                 epoch_ns(ts) // 604800000000000 AS wk FROM events),
+         f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id),
+         a AS (SELECT DISTINCT f.cohort_wk, e.wk - f.cohort_wk AS wk_since,
+                 e.user_id
+               FROM e JOIN f USING (user_id)),
+         cs AS (SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_n
+                FROM f GROUP BY cohort_wk),
+         r AS (SELECT cohort_wk, wk_since, CAST(count(*) AS BIGINT) AS n_active
+               FROM a GROUP BY cohort_wk, wk_since)
+         SELECT r.cohort_wk, r.wk_since, r.n_active,
+           floor(r.n_active * 10000.0 / cs.cohort_n + 0.5) / 10000 AS retention
+         FROM r JOIN cs USING (cohort_wk)
+         ORDER BY cohort_wk, wk_since""",
+    // Every statistic rebuilt from the same (column, value) unpivot; the
+    // MCV tie-break replays as a struct max on (count, value).
+    "q_stats_analyze" ->
+      """WITH u AS (
+           SELECT 'l_returnflag' AS col_name, l_returnflag AS v FROM lineitem
+           UNION ALL
+           SELECT 'l_linestatus', l_linestatus FROM lineitem
+           UNION ALL
+           SELECT 'l_quantity',
+             CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR) FROM lineitem
+           UNION ALL
+           SELECT 'rf_nullable', nullif(l_returnflag, 'N') FROM lineitem),
+         vc AS (SELECT col_name, v, CAST(count(*) AS BIGINT) AS n
+                FROM u GROUP BY col_name, v),
+         s AS (SELECT col_name,
+                 CAST(sum(n) AS BIGINT) AS n_rows,
+                 CAST(count(CASE WHEN v IS NOT NULL THEN 1 END) AS BIGINT)
+                   AS ndv,
+                 CAST(COALESCE(sum(CASE WHEN v IS NULL THEN n END), 0)
+                   AS BIGINT) AS n_null,
+                 max(CASE WHEN v IS NOT NULL
+                     THEN {'n': n, 'v': v} END) AS m
+               FROM vc GROUP BY col_name)
+         SELECT col_name, n_rows, ndv, n_null, m.v AS mcv, m.n AS mcv_n
+         FROM s ORDER BY col_name""",
+    "q_stats_histogram" ->
+      """WITH mm AS (SELECT min(l_extendedprice) AS lo,
+                 max(l_extendedprice) AS hi FROM lineitem),
+         b AS (SELECT CAST(least(floor((l.l_extendedprice - mm.lo) * 8.0
+                 / (mm.hi - mm.lo)), 7) AS BIGINT) AS bin,
+                 l.l_extendedprice AS v, mm.lo, mm.hi
+               FROM lineitem l, mm)
+         SELECT bin,
+           floor((min(lo) + bin * (min(hi) - min(lo)) / 8.0) * 100 + 0.5)
+             / 100 AS edge_lo,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(v AS DECIMAL(22,6))) AS DOUBLE) AS sum_price
+         FROM b GROUP BY bin ORDER BY bin""",
+    // Dominance decided by the DEFINITION (NOT EXISTS), independently of
+    // the engine's running-min window rewrite.
+    "q_skyline_docs" ->
+      """WITH m AS (SELECT doc_id,
+           CAST(length(text) AS DOUBLE) AS nchars,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS ntok,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t IN ('the','a','of','and','to','in','is','that','it','for',
+                        'der','die','das','und','ist','von','zu','mit','auf','ein',
+                        'le','la','les','de','et','est','un','une','que','pour',
+                        'el','los','y','es','por'))) AS DOUBLE) AS sw
+           FROM documents),
+         qd AS (SELECT doc_id, floor((
+             (CASE WHEN nchars >= 200 AND nchars <= 2000 THEN 1.0
+                   WHEN nchars >= 50 THEN 0.5 ELSE 0.0 END) * 0.3
+             + (CASE WHEN nchars > 0 THEN alpha / nchars ELSE 0.0 END) * 0.3
+             + least((CASE WHEN ntok > 0 THEN sw / ntok ELSE 0.0 END) * 5.0, 1.0) * 0.2
+             + (CASE WHEN ntok > 0 AND nchars / ntok >= 3 AND nchars / ntok <= 12
+                     THEN 1.0 ELSE 0.0 END) * 0.2) * 10000 + 0.5) / 10000 AS quality,
+           CAST(ntok AS BIGINT) AS tok
+           FROM m),
+         pts AS (SELECT CAST(floor(quality * 10000 + 0.5) AS BIGINT) AS q4,
+                 tok, CAST(count(*) AS BIGINT) AS n_docs,
+                 min(doc_id) AS min_doc
+               FROM qd GROUP BY 1, 2),
+         sky AS (SELECT * FROM pts p
+               WHERE NOT EXISTS (SELECT 1 FROM pts d
+                 WHERE d.q4 >= p.q4 AND d.tok <= p.tok
+                   AND (d.q4 > p.q4 OR d.tok < p.tok)))
+         SELECT q4, tok, n_docs, min_doc FROM sky ORDER BY q4 DESC""",
   )
 }

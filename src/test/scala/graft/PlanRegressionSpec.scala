@@ -228,4 +228,28 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert("HashAggregate".r.findAllIn(p).size >= 4,
       "state and delta must each carry a partial+final aggregate pair")
   }
+
+  test("retention: cohort sizes broadcast; activity join never sort-merges") {
+    val p = plan("q_e_retention")
+    assert(p.contains("BroadcastHashJoin"),
+      "the weeks-sized cohort relation must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("histogram: 1-row extremes broadcast back; corpus never shuffles wide") {
+    val p = plan("q_stats_histogram")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the (min, max) relation must broadcast to the binning scan")
+    assert(!p.contains("SortMergeJoin"))
+    // bin agg + the extremes agg: no global sort anywhere before the ORDER BY
+    assert("Exchange rangepartitioning".r.findAllIn(p).size <= 1,
+      "only the final presentation sort may range-partition")
+  }
+
+  test("skyline: only the bounded champion relation sees the global window") {
+    val p = plan("q_skyline_docs")
+    // the corpus aggregates twice (points, champions) before any window
+    assert("HashAggregate".r.findAllIn(p).size >= 4)
+    assert(p.contains("Window"))
+  }
 }
