@@ -34,7 +34,8 @@ object Bench {
     "mm_decode" -> "mm_dec", "fingerprint" -> "fprint",
     "repetition" -> "repet", "dashboard" -> "dash",
     "e_retention" -> "reten", "stats_analyze" -> "stats",
-    "stats_histogram" -> "histo", "skyline_docs" -> "sky")
+    "stats_histogram" -> "histo", "skyline_docs" -> "sky",
+    "store_bucketed_join" -> "bktjoin")
 
   private val idPrefix = "^([a-z]+[0-9]+)_.+".r
 

@@ -3040,6 +3040,35 @@ object Registry {
       .orderBy(col("q4").desc)
   }
 
+  /** Co-located join via bucketed table layout: both relations land
+    * `bucketBy(8, orderkey)` once (THE shuffle), then the join consumes
+    * the bucket files exchange-free — the scan itself satisfies the
+    * join's distribution requirement. The `merge` hints force the
+    * sort-merge path so the exchange-free property is what's exercised
+    * (a broadcast would trivially have no exchange); PlanRegressionSpec
+    * pins "exactly one hash exchange in the whole plan, and it is the
+    * post-join aggregation, not the join". The 100 TB pattern: the ETL
+    * write amortizes one shuffle across every downstream join on the
+    * key. */
+  private def storeBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.store.Bucketed.land(
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity")),
+      "graft_bkt_lineitem", "l_orderkey", nBuckets = 8)
+    graft.store.Bucketed.land(
+      t(spark, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
+      "graft_bkt_orders", "l_orderkey", nBuckets = 8)
+    graft.store.Bucketed.read(spark, "graft_bkt_lineitem").hint("merge")
+      .join(graft.store.Bucketed.read(spark, "graft_bkt_orders").hint("merge"),
+        Seq("l_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(22, 6))).cast("double")
+          .as("sum_qty"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_f1_parse_date" -> q(f1ParseDate),
     "q_f2_parse_numeric" -> q(f2ParseNumeric),
@@ -3229,6 +3258,7 @@ object Registry {
     "q_stats_analyze" -> q(statsAnalyze),
     "q_stats_histogram" -> q(statsHistogram),
     "q_skyline_docs" -> q(skylineDocs),
+    "q_store_bucketed_join" -> q(storeBucketedJoin),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -5652,5 +5682,12 @@ object Registry {
                  WHERE d.q4 >= p.q4 AND d.tok <= p.tok
                    AND (d.q4 > p.q4 OR d.tok < p.tok)))
          SELECT q4, tok, n_docs, min_doc FROM sky ORDER BY q4 DESC""",
+    // The bucketed layout changes the PLAN, not the answer: the oracle is
+    // the plain join the exchange-free plan must equal.
+    "q_store_bucketed_join" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
   )
 }

@@ -246,6 +246,16 @@ class PlanRegressionSpec extends SparkSpecBase {
       "only the final presentation sort may range-partition")
   }
 
+  test("bucketed join: the bucket layout satisfies the join distribution — " +
+    "exactly one hash exchange in the plan, and it is the aggregation") {
+    val p = plan("q_store_bucketed_join")
+    assert(p.contains("SortMergeJoin"), "merge hint must hold")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"bucketed scans must feed the join exchange-free (got $exchanges):\n$p")
+    assert(p.contains("SelectedBucketsCount"), "scan must be bucket-aware")
+  }
+
   test("skyline: only the bounded champion relation sees the global window") {
     val p = plan("q_skyline_docs")
     // the corpus aggregates twice (points, champions) before any window
