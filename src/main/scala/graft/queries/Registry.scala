@@ -2606,6 +2606,18 @@ object Registry {
       .orderBy("bucket")
   }
 
+  /** Multi-source BFS hop distances over the part co-purchase graph from
+    * the arithmetic seed set (part % 97 == 0): per-hop frontier counts
+    * with a sum-of-ids checksum, fixed 4-round unroll. The oracle is
+    * GENERATED ([[graft.operators.Bfs.oracleCtes]]) — DuckDB replays
+    * every expansion round by construction. */
+  private def graphBfs(spark: SparkSession, dir: String): DataFrame = {
+    val canon = graft.operators.Triangles.canonical(
+      coPurchasePairs(spark, dir), "x", "y")
+    graft.operators.Bfs.hopSummary(canon, seedsMod = 97, rounds = 4)
+      .orderBy("hop")
+  }
+
   /** Relational HLL distinct-count sketch per event type + the 'ALL' row
     * MERGED from the per-type registers (elementwise max — the sketch
     * union law; 'ALL' never rescans the data). Registers are md5-derived
@@ -3259,6 +3271,7 @@ object Registry {
     "q_stats_histogram" -> q(statsHistogram),
     "q_skyline_docs" -> q(skylineDocs),
     "q_store_bucketed_join" -> q(storeBucketedJoin),
+    "q_graph_bfs" -> q(graphBfs),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -5682,6 +5695,14 @@ object Registry {
                  WHERE d.q4 >= p.q4 AND d.tok <= p.tok
                    AND (d.q4 > p.q4 OR d.tok < p.tok)))
          SELECT q4, tok, n_docs, min_doc FROM sky ORDER BY q4 DESC""",
+    // GENERATED expansion replay (Bfs.oracleCtes): DuckDB re-runs all
+    // four frontier rounds over the same canonical co-purchase edges.
+    "q_graph_bfs" -> (graft.operators.Bfs.oracleCtes(
+      """SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""",
+      seedsMod = 97, rounds = 4) + """
+      SELECT hop, n_nodes, sum_id FROM summary ORDER BY hop"""),
     // The bucketed layout changes the PLAN, not the answer: the oracle is
     // the plain join the exchange-free plan must equal.
     "q_store_bucketed_join" ->
