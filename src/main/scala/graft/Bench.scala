@@ -35,7 +35,8 @@ object Bench {
     "repetition" -> "repet", "dashboard" -> "dash",
     "e_retention" -> "reten", "stats_analyze" -> "stats",
     "stats_histogram" -> "histo", "skyline_docs" -> "sky",
-    "store_bucketed_join" -> "bktjoin", "graph_bfs" -> "bfs")
+    "store_bucketed_join" -> "bktjoin", "graph_bfs" -> "bfs",
+    "store_incr_join" -> "ijoin")
 
   private val idPrefix = "^([a-z]+[0-9]+)_.+".r
 

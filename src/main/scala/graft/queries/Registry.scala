@@ -2680,6 +2680,33 @@ object Registry {
       .orderBy("status", "month")
   }
 
+  /** Incremental materialized-JOIN maintenance: lineitem and orders each
+    * split at 1997 into state + insert-only delta; the stored join grows
+    * by two delta-sized joins (ΔA ⋈ B_old and A_new ⋈ ΔB — see
+    * [[graft.store.IncrementalJoin]]) with the delta sides broadcast, and
+    * history is never re-joined. The oracle is the one-shot full join the
+    * maintained view must equal exactly. */
+  private def storeIncrJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"),
+        year(col("l_shipdate")).cast("long").as("ship_yr"))
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"),
+        year(col("o_orderdate")).as("o_yr"))
+    val (aOld, dA) = (l.filter(col("ship_yr") < 1997),
+      l.filter(col("ship_yr") >= 1997))
+    val (bOld, dB) = (o.filter(col("o_yr") < 1997).drop("o_yr"),
+      o.filter(col("o_yr") >= 1997).drop("o_yr"))
+    val jOld = aOld.join(bOld, Seq("l_orderkey"))
+    jOld.unionByName(graft.store.IncrementalJoin
+        .deltaJoin(aOld, bOld, dA, dB, Seq("l_orderkey")))
+      .groupBy("o_orderstatus", "ship_yr")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(22, 6))).cast("double")
+          .as("sum_qty"))
+      .orderBy("o_orderstatus", "ship_yr")
+  }
+
   /** Binary sign-quantized ANN: Hamming top-50 shortlist over packed
     * 8-byte codes (bit_count(xor), codegen'd) → exact-cosine re-rank of
     * the shortlist only. The cheapest rung of the quantization ladder
@@ -3272,6 +3299,7 @@ object Registry {
     "q_skyline_docs" -> q(skylineDocs),
     "q_store_bucketed_join" -> q(storeBucketedJoin),
     "q_graph_bfs" -> q(graphBfs),
+    "q_store_incr_join" -> q(storeIncrJoin),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -5703,6 +5731,14 @@ object Registry {
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""",
       seedsMod = 97, rounds = 4) + """
       SELECT hop, n_nodes, sum_id FROM summary ORDER BY hop"""),
+    // The maintained view must equal the one-shot full join exactly.
+    "q_store_incr_join" ->
+      """SELECT o_orderstatus, CAST(year(l_shipdate) AS BIGINT) AS ship_yr,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus, ship_yr
+         ORDER BY o_orderstatus, ship_yr""",
     // The bucketed layout changes the PLAN, not the answer: the oracle is
     // the plain join the exchange-free plan must equal.
     "q_store_bucketed_join" ->
