@@ -402,6 +402,63 @@ object ScaleSmoke {
         "embedding").groupBy("pred").count().count())
     println(s"[scale] centroid-classifier classes predicted: $ccPred")
 
+    // Cohort retention over 20× events (~2M rows, factor× the user base):
+    // the first-seen agg and activity join stay user-partitioned, cohort
+    // sizes broadcast — nothing materializes wider than (user, week).
+    val weekNs = 7L * 24 * 3600 * 1000 * 1000 * 1000
+    val ev20r = graft.queries.Registry.normalizeEventTs(
+        spark.read.parquet(s"$sfDir/events.parquet"))
+      .crossJoin(spark.range(factor).withColumnRenamed("id", "rep"))
+      .select((col("user_id") * factor + col("rep")).as("user_id"),
+        expr(s"ts div $weekNs").as("wk"))
+    val firstWk = ev20r.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    val retRows = timed("cohort retention (2M events, broadcast cohort sizes)")(
+      ev20r.join(firstWk, Seq("user_id"))
+        .select(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("since"),
+          col("user_id"))
+        .distinct()
+        .groupBy("cohort_wk", "since").agg(count(lit(1)).as("n"))
+        .count())
+    println(s"[scale] retention cells: $retRows")
+
+    // Skyline at 100k docs: the corpus still collapses to ≤ 10001
+    // per-quality champions before the only ordered window — corpus size
+    // changes the AGG input, never the window input.
+    val skyPts = timed("pareto skyline (100k docs -> bounded champion window)")({
+      val m = big.select(
+        floor(graft.llm.TextAnalysis.qualityScore(col("text")) * 10000 + 0.5)
+          .cast("long").as("q4"),
+        graft.llm.TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+      val champs = m.groupBy("q4").agg(min("tok").as("tok"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("q4").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      champs.withColumn("_rm", min(col("tok")).over(w))
+        .filter(col("_rm").isNull || col("tok") < col("_rm")).count()
+    })
+    println(s"[scale] skyline points: $skyPts")
+
+    // Bucketed landing + exchange-free join at 20× lineitem (~12M rows):
+    // the landing pays the one shuffle, the join runs off the bucket
+    // files (the plan property PlanRegressionSpec pins at sf0.001).
+    val li20 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .crossJoin(spark.range(factor).withColumnRenamed("id", "rep"))
+      .select((col("l_orderkey") * factor + col("rep")).as("l_orderkey"),
+        col("l_quantity"))
+    val or20 = spark.read.parquet(s"$sfDir/orders.parquet")
+      .crossJoin(spark.range(factor).withColumnRenamed("id", "rep"))
+      .select((col("o_orderkey") * factor + col("rep")).as("l_orderkey"),
+        col("o_orderstatus"))
+    timed("bucketed landing (12M + 3M rows, the one amortized shuffle)") {
+      graft.store.Bucketed.land(li20, "graft_scale_li", "l_orderkey", 32)
+      graft.store.Bucketed.land(or20, "graft_scale_or", "l_orderkey", 32)
+    }
+    val bktN = timed("bucketed join (exchange-free off the bucket files)")(
+      graft.store.Bucketed.read(spark, "graft_scale_li").hint("merge")
+        .join(graft.store.Bucketed.read(spark, "graft_scale_or").hint("merge"),
+          Seq("l_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n")).count())
+    println(s"[scale] bucketed join status groups: $bktN")
+
     spark.stop()
   }
 }

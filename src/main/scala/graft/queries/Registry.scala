@@ -2707,6 +2707,48 @@ object Registry {
       .orderBy("o_orderstatus", "ship_yr")
   }
 
+  /** The dataset card: the corpus-level summary a training-data pipeline
+    * publishes beside an exported dataset (docs, token volume, mean
+    * quality, language share, exact-dup rate, short-doc share). ONE scan
+    * and one aggregate row — every metric is a decomposable aggregate of
+    * already-proven per-doc expressions — then an unpivot to the tall
+    * (metric, value) shape. Ratios divide ONCE after exact integer/decimal
+    * accumulation (never per-row doubles), so merge order cannot drift the
+    * card. */
+  private def reportDatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select(
+      TextAnalysis.tokenCount(col("text")).cast("long").as("tok"),
+      TextAnalysis.qualityScore(col("text")).cast(DecimalType(20, 6)).as("q"),
+      md5(col("text")).as("h"),
+      TextAnalysis.langId(col("text")).as("lang"))
+    val a = d.agg(
+      count(lit(1)).as("n"),
+      sum(col("tok")).as("toks"),
+      countDistinct(col("h")).as("nd"),
+      sum(col("q")).as("qsum"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+      sum(when(col("tok") < 50, 1L).otherwise(0L)).as("n_short"))
+    // 10000.0 in Spark SQL text is a DECIMAL literal (ANSI exact-numeric
+    // rules), so every ratio branch casts through double explicitly to
+    // keep stack()'s value column one type — and to match the oracle's
+    // double arithmetic bit for bit.
+    a.select(expr(
+      """stack(7,
+         'n_docs', cast(n as double),
+         'total_tokens', cast(toks as double),
+         'mean_tokens',
+           cast(floor(toks * 10000.0D / n + 0.5D) / 10000 as double),
+         'mean_quality',
+           cast(floor(cast(qsum as double) * 10000.0D / n + 0.5D) / 10000 as double),
+         'pct_en', cast(floor(n_en * 10000.0D / n + 0.5D) / 10000 as double),
+         'exact_dup_rate',
+           cast(floor((n - nd) * 10000.0D / n + 0.5D) / 10000 as double),
+         'pct_short',
+           cast(floor(n_short * 10000.0D / n + 0.5D) / 10000 as double)
+         ) as (metric, value)"""))
+      .orderBy("metric")
+  }
+
   /** Binary sign-quantized ANN: Hamming top-50 shortlist over packed
     * 8-byte codes (bit_count(xor), codegen'd) → exact-cosine re-rank of
     * the shortlist only. The cheapest rung of the quantization ladder
@@ -3300,6 +3342,7 @@ object Registry {
     "q_store_bucketed_join" -> q(storeBucketedJoin),
     "q_graph_bfs" -> q(graphBfs),
     "q_store_incr_join" -> q(storeIncrJoin),
+    "q_report_dataset_card" -> q(reportDatasetCard),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -5731,6 +5774,65 @@ object Registry {
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""",
       seedsMod = 97, rounds = 4) + """
       SELECT hop, n_nodes, sum_id FROM summary ORDER BY hop"""),
+    // The card composes the proven per-doc fragments (quality, langid,
+    // token count, content hash) into one aggregate row, then unpivots.
+    "q_report_dataset_card" ->
+      """WITH m AS (SELECT text,
+           CAST(length(text) AS DOUBLE) AS nchars,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS ntok,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t IN ('the','a','of','and','to','in','is','that','it','for',
+                        'der','die','das','und','ist','von','zu','mit','auf','ein',
+                        'le','la','les','de','et','est','un','une','que','pour',
+                        'el','los','y','es','por'))) AS DOUBLE) AS sw,
+           len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS c_en,
+           len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t IN ('der','die','das','und','ist','von','zu','mit','auf','ein'))) AS c_de,
+           len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t IN ('le','la','les','de','et','est','un','une','que','pour'))) AS c_fr,
+           len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t IN ('el','la','los','de','y','es','un','una','que','por'))) AS c_es
+           FROM documents),
+         per AS (SELECT
+           CAST(ntok AS BIGINT) AS tok,
+           CAST(floor((
+             (CASE WHEN nchars >= 200 AND nchars <= 2000 THEN 1.0
+                   WHEN nchars >= 50 THEN 0.5 ELSE 0.0 END) * 0.3
+             + (CASE WHEN nchars > 0 THEN alpha / nchars ELSE 0.0 END) * 0.3
+             + least((CASE WHEN ntok > 0 THEN sw / ntok ELSE 0.0 END) * 5.0, 1.0) * 0.2
+             + (CASE WHEN ntok > 0 AND nchars / ntok >= 3 AND nchars / ntok <= 12
+                     THEN 1.0 ELSE 0.0 END) * 0.2) * 10000 + 0.5) / 10000
+             AS DECIMAL(20,6)) AS q,
+           md5(text) AS h,
+           CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+                WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+                WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+                WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+                ELSE 'es' END AS lang
+           FROM m),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(tok) AS BIGINT) AS toks,
+             CAST(count(DISTINCT h) AS BIGINT) AS nd,
+             sum(q) AS qsum,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+             CAST(sum(CASE WHEN tok < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+           FROM per)
+         SELECT metric, value FROM (
+           SELECT 'n_docs' AS metric, CAST(n AS DOUBLE) AS value FROM a
+           UNION ALL SELECT 'total_tokens', CAST(toks AS DOUBLE) FROM a
+           UNION ALL SELECT 'mean_tokens',
+             floor(toks * 10000.0 / n + 0.5) / 10000 FROM a
+           UNION ALL SELECT 'mean_quality',
+             floor(CAST(qsum AS DOUBLE) * 10000.0 / n + 0.5) / 10000 FROM a
+           UNION ALL SELECT 'pct_en',
+             floor(n_en * 10000.0 / n + 0.5) / 10000 FROM a
+           UNION ALL SELECT 'exact_dup_rate',
+             floor((n - nd) * 10000.0 / n + 0.5) / 10000 FROM a
+           UNION ALL SELECT 'pct_short',
+             floor(n_short * 10000.0 / n + 0.5) / 10000 FROM a)
+         ORDER BY metric""",
     // The maintained view must equal the one-shot full join exactly.
     "q_store_incr_join" ->
       """SELECT o_orderstatus, CAST(year(l_shipdate) AS BIGINT) AS ship_yr,
