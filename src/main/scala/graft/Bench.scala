@@ -36,7 +36,8 @@ object Bench {
     "e_retention" -> "reten", "stats_analyze" -> "stats",
     "stats_histogram" -> "histo", "skyline_docs" -> "sky",
     "store_bucketed_join" -> "bktjoin", "graph_bfs" -> "bfs",
-    "store_incr_join" -> "ijoin", "report_dataset_card" -> "card")
+    "store_incr_join" -> "ijoin", "report_dataset_card" -> "card",
+    "audit_checksums" -> "cksum")
 
   private val idPrefix = "^([a-z]+[0-9]+)_.+".r
 

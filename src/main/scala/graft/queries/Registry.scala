@@ -2749,6 +2749,32 @@ object Registry {
       .orderBy("metric")
   }
 
+  /** Cross-engine table-integrity audit: per-table row count plus an
+    * ORDER-INVARIANT content checksum (sum of a 40-bit md5-derived
+    * integer per row — 40 bits so a 600k-row sum stays far inside
+    * BIGINT). The "did both engines read the same bytes" primitive a
+    * migration or replication pipeline runs before trusting any result
+    * parity; checksummed columns are the integer/string keys whose string
+    * rendering is engine-identical. One aggregate per table, unioned. */
+  private def auditChecksums(spark: SparkSession, dir: String): DataFrame = {
+    val tables: Seq[(String, Seq[String])] = Seq(
+      "region" -> Seq("r_regionkey", "r_name"),
+      "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+      "customer" -> Seq("c_custkey", "c_mktsegment"),
+      "supplier" -> Seq("s_suppkey", "s_name"),
+      "part" -> Seq("p_partkey", "p_name"),
+      "orders" -> Seq("o_orderkey", "o_orderstatus"),
+      "lineitem" -> Seq("l_orderkey", "l_linenumber", "l_returnflag"))
+    tables.map { case (name, cols) =>
+      t(spark, dir, name)
+        .select(concat_ws("|", cols.map(col): _*).as("s"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(conv(substring(md5(col("s")), 1, 10), 16, 10).cast("long"))
+            .as("checksum"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
+    }.reduce(_ unionByName _).orderBy("table_name")
+  }
+
   /** Binary sign-quantized ANN: Hamming top-50 shortlist over packed
     * 8-byte codes (bit_count(xor), codegen'd) → exact-cosine re-rank of
     * the shortlist only. The cheapest rung of the quantization ladder
@@ -3343,6 +3369,7 @@ object Registry {
     "q_graph_bfs" -> q(graphBfs),
     "q_store_incr_join" -> q(storeIncrJoin),
     "q_report_dataset_card" -> q(reportDatasetCard),
+    "q_audit_checksums" -> q(auditChecksums),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -5774,6 +5801,24 @@ object Registry {
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""",
       seedsMod = 97, rounds = 4) + """
       SELECT hop, n_nodes, sum_id FROM summary ORDER BY hop"""),
+    // Identical 40-bit md5 fold per row on both engines; sum is
+    // order-invariant so partitioning/merge order cannot drift it.
+    "q_audit_checksums" -> (Seq(
+      ("region", "r_regionkey, r_name"),
+      ("nation", "n_nationkey, n_name, n_regionkey"),
+      ("customer", "c_custkey, c_mktsegment"),
+      ("supplier", "s_suppkey, s_name"),
+      ("part", "p_partkey, p_name"),
+      ("orders", "o_orderkey, o_orderstatus"),
+      ("lineitem", "l_orderkey, l_linenumber, l_returnflag")).map {
+        case (name, cols) =>
+          s"""SELECT '$name' AS table_name,
+            CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(sum(('0x' || substr(md5(concat_ws('|', $cols)), 1, 10))::BIGINT)
+              AS BIGINT) AS checksum
+          FROM $name"""
+      }.mkString("SELECT * FROM (", " UNION ALL ",
+        ") ORDER BY table_name")),
     // The card composes the proven per-doc fragments (quality, langid,
     // token count, content hash) into one aggregate row, then unpivots.
     "q_report_dataset_card" ->
