@@ -37,7 +37,7 @@ object Bench {
     "stats_histogram" -> "histo", "skyline_docs" -> "sky",
     "store_bucketed_join" -> "bktjoin", "graph_bfs" -> "bfs",
     "store_incr_join" -> "ijoin", "report_dataset_card" -> "card",
-    "audit_checksums" -> "cksum")
+    "audit_checksums" -> "cksum", "er_linkage" -> "erlink")
 
   private val idPrefix = "^([a-z]+[0-9]+)_.+".r
 

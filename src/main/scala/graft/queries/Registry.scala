@@ -2749,6 +2749,53 @@ object Registry {
       .orderBy("metric")
   }
 
+  /** Entity resolution, block-then-verify: deterministic typo variants of
+    * part names (adjacent-char swap at a key-derived position ≥ 2, so
+    * first char and length survive) resolve back against the entity
+    * catalog by joining on the (first char, length) BLOCK — candidate
+    * sets, never the cross product — and scoring candidates with the
+    * native integer [[graft.expressions.JaroWinkler]] kernel; top-1 by
+    * (score desc, name) is the linkage. The exact-integer score means the
+    * ranking cannot drift by an ulp; the oracle replays blocking and
+    * scoring with DuckDB's own jaro_winkler_similarity. */
+  private def llmErLinkage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    def jw(a: Column, b: Column): Column =
+      Bridge.column(graft.expressions.JaroWinkler(
+        Bridge.expression(a), Bridge.expression(b)))
+    val names = t(spark, dir, "part")
+      .select(col("p_name").as("name")).distinct()
+      .select(col("name"), substring(col("name"), 1, 1).as("blk"),
+        length(col("name")).as("len"))
+    val variants = t(spark, dir, "part")
+      .filter(col("p_partkey") < 500)
+      .select(col("p_partkey"), col("p_name").as("orig"),
+        (lit(2) + pmod(col("p_partkey"), length(col("p_name")) - 2))
+          .cast("int").as("i"))
+      .select(col("p_partkey"), col("orig"),
+        concat(
+          col("orig").substr(lit(1), col("i") - 1),
+          col("orig").substr(col("i") + 1, lit(1)),
+          col("orig").substr(col("i"), lit(1)),
+          col("orig").substr(col("i") + 2, length(col("orig"))))
+          .as("variant"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_partkey")
+      .orderBy(col("sim4").desc, col("name"))
+    variants
+      .select(col("p_partkey"), col("variant"),
+        substring(col("variant"), 1, 1).as("blk"),
+        length(col("variant")).as("len"))
+      .join(names, Seq("blk", "len"))
+      .select(col("p_partkey"), col("variant"), col("name"),
+        jw(col("variant"), col("name")).as("sim4"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("p_partkey"), col("variant"),
+        col("name").as("best_name"), col("sim4"))
+      .orderBy("p_partkey")
+  }
+
   /** Cross-engine table-integrity audit: per-table row count plus an
     * ORDER-INVARIANT content checksum (sum of a 40-bit md5-derived
     * integer per row — 40 bits so a 600k-row sum stays far inside
@@ -3370,6 +3417,7 @@ object Registry {
     "q_store_incr_join" -> q(storeIncrJoin),
     "q_report_dataset_card" -> q(reportDatasetCard),
     "q_audit_checksums" -> q(auditChecksums),
+    "q_llm_er_linkage" -> q(llmErLinkage),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -5801,6 +5849,30 @@ object Registry {
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""",
       seedsMod = 97, rounds = 4) + """
       SELECT hop, n_nodes, sum_id FROM summary ORDER BY hop"""),
+    // Blocking and typo construction replay verbatim; the score pairs the
+    // engine's exact-integer kernel against DuckDB's native
+    // jaro_winkler_similarity (same textbook definition incl. the 0.7
+    // boost threshold), floored to the same 4dp integer.
+    "q_llm_er_linkage" ->
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+         nb AS (SELECT name, substr(name, 1, 1) AS blk,
+                  length(name) AS len FROM names),
+         v AS (SELECT p_partkey, p_name AS orig,
+                 2 + (p_partkey % (length(p_name) - 2)) AS i
+               FROM part WHERE p_partkey < 500),
+         vv AS (SELECT p_partkey,
+                 substr(orig, 1, i - 1) || substr(orig, i + 1, 1)
+                   || substr(orig, i, 1) || substr(orig, i + 2) AS variant
+               FROM v),
+         cand AS (SELECT vv.p_partkey, vv.variant, nb.name,
+                 CAST(floor(jaro_winkler_similarity(vv.variant, nb.name)
+                   * 10000 + 0.5) AS BIGINT) AS sim4
+               FROM vv JOIN nb ON substr(vv.variant, 1, 1) = nb.blk
+                 AND length(vv.variant) = nb.len),
+         r AS (SELECT *, row_number() OVER (PARTITION BY p_partkey
+                 ORDER BY sim4 DESC, name) AS rk FROM cand)
+         SELECT p_partkey, variant, name AS best_name, sim4
+         FROM r WHERE rk = 1 ORDER BY p_partkey""",
     // Identical 40-bit md5 fold per row on both engines; sum is
     // order-invariant so partitioning/merge order cannot drift it.
     "q_audit_checksums" -> (Seq(
