@@ -345,4 +345,26 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Stream-maintained materialized join: right-side delta batches arrive
+    * as a stream against a static (or slowly-landed) left relation, and
+    * each micro-batch appends exactly its delta-join contribution through
+    * the SAME algebra the batch path uses
+    * ([[graft.store.IncrementalJoin.deltaJoin]] with an empty left
+    * delta) — so stream-ingested view maintenance and batch backfill are
+    * one code path, and the streamed union provably equals the one-shot
+    * join (spec-pinned). `sink` receives (ΔJ, batchId) — exactly-once
+    * landing is the sink's contract, same as [[sinkToStore]]. */
+  def streamingJoinMaintenance(deltas: DataFrame, staticLeft: DataFrame,
+                               keys: Seq[String],
+                               sink: (DataFrame, Long) => Unit): StreamingQuery =
+    deltas.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val noLeftDelta = staticLeft.limit(0)
+        val noPriorRight = batch.limit(0)
+        sink(graft.store.IncrementalJoin.deltaJoin(
+          staticLeft, noPriorRight, noLeftDelta, batch, keys), batchId)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

@@ -27,6 +27,32 @@ class IncrementalJoinSpec extends SparkSpecBase {
     assert(maintained.count(_ == ((3L, "a4", "b4"))) == 1)
   }
 
+  test("stream-maintained join equals the one-shot join across micro-batches") {
+    import spark.implicits._
+    val left = Seq((1L, "a1"), (2L, "a2"), (3L, "a3")).toDF("k", "av")
+    val b1 = Seq((1L, "b1"), (2L, "b2"))
+    val b2 = Seq((3L, "b3"), (1L, "b4"))
+    // One parquet file per micro-batch (the repo's replay harness shape).
+    val dir = java.nio.file.Files.createTempDirectory("graft-ijoin").toString
+    b1.toDF("k", "bv").coalesce(1).write.mode("append").parquet(dir)
+    b2.toDF("k", "bv").coalesce(1).write.mode("append").parquet(dir)
+    val deltas = spark.readStream
+      .schema(b1.toDF("k", "bv").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val landed = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    val q = graft.streaming.EventStream.streamingJoinMaintenance(
+      deltas, left, Seq("k"),
+      (dj, _) => landed.synchronized {
+        landed ++= dj.collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getString(2))): Unit
+      })
+    q.awaitTermination()
+    val oneShot = left.join((b1 ++ b2).toDF("k", "bv"), Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(landed.sorted.toSeq == oneShot.sorted.toSeq)
+  }
+
   test("empty deltas append nothing") {
     import spark.implicits._
     val a = Seq((1L, "a")).toDF("k", "av")
