@@ -37,7 +37,8 @@ object Bench {
     "stats_histogram" -> "histo", "skyline_docs" -> "sky",
     "store_bucketed_join" -> "bktjoin", "graph_bfs" -> "bfs",
     "store_incr_join" -> "ijoin", "report_dataset_card" -> "card",
-    "audit_checksums" -> "cksum", "er_linkage" -> "erlink")
+    "audit_checksums" -> "cksum", "er_linkage" -> "erlink",
+    "qc_winsorize" -> "winsor", "e_transitions" -> "trans")
 
   private val idPrefix = "^([a-z]+[0-9]+)_.+".r
 

@@ -1071,6 +1071,56 @@ object Registry {
       .orderBy("event_type")
   }
 
+  /** Winsorization — clip each event_type's values to its [p5, p95] band
+    * (the data-cleaning step before any mean-based feature at scale;
+    * Tukey's recommendation for heavy-tail robustness without dropping
+    * rows). All arithmetic runs in EXACT 4-dp integer units: values and
+    * band edges quantize once, clipping is integer least/greatest, and
+    * the winsorized mean divides an exact BIGINT sum once — merge order
+    * cannot drift any output. Two-pass broadcast shape (tiny per-type
+    * bands back to the scan), no window over the relation. */
+  private def qcWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").select(col("event_type"),
+      floor(col("value") * 10000 + 0.5).cast("long").as("v4"))
+    val bands = ev.groupBy("event_type")
+      .agg(floor(expr("percentile(v4, 0.05)") + 0.5).cast("long").as("lo4"),
+        floor(expr("percentile(v4, 0.95)") + 0.5).cast("long").as("hi4"))
+    ev.join(broadcast(bands), Seq("event_type"))
+      .select(col("event_type"), col("lo4"), col("hi4"), col("v4"),
+        least(greatest(col("v4"), col("lo4")), col("hi4")).as("c4"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        (min(col("lo4")) / 10000.0).as("lo"),
+        (min(col("hi4")) / 10000.0).as("hi"),
+        sum(when(col("v4") < col("lo4"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("v4") > col("hi4"), 1L).otherwise(0L)).as("n_clip_hi"),
+        (floor(sum(col("c4")).cast("double") / count(lit(1)) + 0.5) / 10000)
+          .as("mean_wins"))
+      .orderBy("event_type")
+  }
+
+  /** Event-type transition matrix (first-order Markov structure of the
+    * event stream — the path-analysis primitive behind "what do users do
+    * after X"). One shuffle by user, one in-partition sorted window for
+    * the lag pairing; the transition-count relation is |types|²-bounded
+    * (≤ 25 rows here), so the share-of-total window over IT is a
+    * KB-scale single partition by construction. */
+  private def eTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("frac", floor(col("n") * 10000.0
+        / sum(col("n")).over(Window.partitionBy()) + 0.5) / 10000)
+      .orderBy(col("n").desc, col("prev_type"), col("next_type"))
+      .limit(20)
+  }
+
   /** Length-bucketed batching report: assign each document to a
     * power-of-two token-length bucket and report the padding waste of
     * batching within buckets vs one global padded batch — the measurement
@@ -3418,6 +3468,8 @@ object Registry {
     "q_report_dataset_card" -> q(reportDatasetCard),
     "q_audit_checksums" -> q(auditChecksums),
     "q_llm_er_linkage" -> q(llmErLinkage),
+    "q_qc_winsorize" -> q(qcWinsorize),
+    "q_e_transitions" -> q(eTransitions),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -5849,6 +5901,39 @@ object Registry {
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""",
       seedsMod = 97, rounds = 4) + """
       SELECT hop, n_nodes, sum_id FROM summary ORDER BY hop"""),
+    // Exact 4dp-integer clipping on both engines; percentile pairs with
+    // quantile_cont (the qc_robust_outliers-proven equivalence).
+    "q_qc_winsorize" ->
+      """WITH e AS (SELECT event_type,
+           CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4 FROM events),
+         p AS (SELECT event_type,
+             CAST(floor(quantile_cont(v4, 0.05) + 0.5) AS BIGINT) AS lo4,
+             CAST(floor(quantile_cont(v4, 0.95) + 0.5) AS BIGINT) AS hi4
+           FROM e GROUP BY event_type),
+         c AS (SELECT e.event_type, v4, lo4, hi4,
+             least(greatest(v4, lo4), hi4) AS c4
+           FROM e JOIN p USING (event_type))
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           min(lo4) / 10000.0 AS lo,
+           min(hi4) / 10000.0 AS hi,
+           CAST(sum(CASE WHEN v4 < lo4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clip_lo,
+           CAST(sum(CASE WHEN v4 > hi4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clip_hi,
+           floor(CAST(sum(c4) AS DOUBLE) / count(*) + 0.5) / 10000
+             AS mean_wins
+         FROM c GROUP BY event_type ORDER BY event_type""",
+    "q_e_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_ns(ts), event_id) AS prev_type
+           FROM events),
+         t2 AS (SELECT prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS n
+           FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         SELECT prev_type, next_type, n,
+           floor(n * 10000.0 / sum(n) OVER () + 0.5) / 10000 AS frac
+         FROM t2 ORDER BY n DESC, prev_type, next_type LIMIT 20""",
     // Blocking and typo construction replay verbatim; the score pairs the
     // engine's exact-integer kernel against DuckDB's native
     // jaro_winkler_similarity (same textbook definition incl. the 0.7
