@@ -38,7 +38,8 @@ object Bench {
     "store_bucketed_join" -> "bktjoin", "graph_bfs" -> "bfs",
     "store_incr_join" -> "ijoin", "report_dataset_card" -> "card",
     "audit_checksums" -> "cksum", "er_linkage" -> "erlink",
-    "qc_winsorize" -> "winsor", "e_transitions" -> "trans")
+    "qc_winsorize" -> "winsor", "e_transitions" -> "trans",
+    "oov_rate" -> "oov")
 
   private val idPrefix = "^([a-z]+[0-9]+)_.+".r
 

@@ -1071,6 +1071,33 @@ object Registry {
       .orderBy("event_type")
   }
 
+  /** Vocabulary-coverage / OOV report: fix the top-50 token vocabulary
+    * (freq desc, token tie-break — deterministic), then measure what it
+    * covers: occurrence-level and type-level OOV rates, the go/no-go
+    * numbers behind sizing a tokenizer's vocab before training it. The
+    * vocab is a 50-row broadcast; coverage is one aggregate over the
+    * token stream — at 100 TB the stream never shuffles except for the
+    * type-distinct count. */
+  private def llmOovRate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val vocab = TextAnalysis.topVocabulary(
+        t(spark, dir, "documents"), "text", n = 1, k = 50)
+      .select(col("gram").as("token"), lit(1L).as("_in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .agg(count(lit(1)).as("n_occurrences"),
+        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+        countDistinct(col("token")).as("n_types"),
+        countDistinct(when(col("_in_vocab").isNull, col("token")))
+          .as("n_oov_types"))
+      .select(col("n_occurrences"), col("n_oov"),
+        (floor(col("n_oov") * 10000.0 / col("n_occurrences") + 0.5) / 10000)
+          .as("oov_rate"),
+        col("n_types"), col("n_oov_types"),
+        (floor(col("n_oov_types") * 10000.0 / col("n_types") + 0.5) / 10000)
+          .as("type_oov_rate"))
+  }
+
   /** Winsorization — clip each event_type's values to its [p5, p95] band
     * (the data-cleaning step before any mean-based feature at scale;
     * Tukey's recommendation for heavy-tail robustness without dropping
@@ -3470,6 +3497,7 @@ object Registry {
     "q_llm_er_linkage" -> q(llmErLinkage),
     "q_qc_winsorize" -> q(qcWinsorize),
     "q_e_transitions" -> q(eTransitions),
+    "q_llm_oov_rate" -> q(llmOovRate),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -5901,6 +5929,27 @@ object Registry {
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""",
       seedsMod = 97, rounds = 4) + """
       SELECT hop, n_nodes, sum_id FROM summary ORDER BY hop"""),
+    "q_llm_oov_rate" ->
+      """WITH tk AS (SELECT unnest(string_split_regex(trim(text), '\s+'))
+             AS token
+           FROM documents WHERE trim(text) <> ''),
+         v AS (SELECT gram AS token FROM (
+             SELECT gram, count(*) AS freq FROM (
+               SELECT unnest(string_split_regex(trim(text), '\s+')) AS gram
+               FROM documents WHERE trim(text) <> '') GROUP BY gram)
+           ORDER BY freq DESC, gram LIMIT 50),
+         j AS (SELECT tk.token,
+             CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+           FROM tk LEFT JOIN v ON tk.token = v.token)
+         SELECT CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           floor(sum(oov) * 10000.0 / count(*) + 0.5) / 10000 AS oov_rate,
+           CAST(count(DISTINCT token) AS BIGINT) AS n_types,
+           CAST(count(DISTINCT CASE WHEN oov = 1 THEN token END) AS BIGINT)
+             AS n_oov_types,
+           floor(count(DISTINCT CASE WHEN oov = 1 THEN token END) * 10000.0
+             / count(DISTINCT token) + 0.5) / 10000 AS type_oov_rate
+         FROM j""",
     // Exact 4dp-integer clipping on both engines; percentile pairs with
     // quantile_cont (the qc_robust_outliers-proven equivalence).
     "q_qc_winsorize" ->
