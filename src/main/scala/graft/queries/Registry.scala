@@ -1071,6 +1071,40 @@ object Registry {
       .orderBy("event_type")
   }
 
+  /** Join-key skew diagnosis — the numbers a planner (or an engineer
+    * deciding between plain, salted, and broadcast joins) needs per key
+    * column: distinct keys, max per-key share, and the
+    * Herfindahl–Hirschman concentration index Σ(n_k/N)². Both ratios are
+    * small-denominator rationals of exact integer sums, so the report is
+    * engine-exact (HHI·10⁸ and share·10⁴ computed by integer division) —
+    * no float forms. One (column, key) aggregate per diagnosed column,
+    * second keys-sized fold; nothing wider than the key-count relation
+    * shuffles. */
+  private def diagKeySkew(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val keyed = l.select(lit("l_orderkey").as("col_name"),
+        col("l_orderkey").cast("string").as("k"))
+      .unionByName(l.select(lit("l_partkey").as("col_name"),
+        col("l_partkey").cast("string").as("k")))
+      .unionByName(l.select(lit("l_returnflag").as("col_name"),
+        col("l_returnflag").as("k")))
+    keyed.groupBy("col_name", "k").agg(count(lit(1)).as("n"))
+      .groupBy("col_name")
+      .agg(sum(col("n")).as("total"),
+        count(lit(1)).as("n_keys"),
+        max(col("n")).as("max_n"),
+        sum(col("n") * col("n")).as("sum_sq"))
+      .select(col("col_name"), col("n_keys"),
+        // floor(max_n/N·10⁴ + ½) and floor(Σn²/N²·10⁶ + ½), both exact
+        // integer `div`s (Spark's `/` would go through double). 10⁶ (not
+        // 10⁸) keeps Σn²·2·10⁶ inside Long for a 3-key 600k-row column
+        // (n² ≈ 4·10¹⁰ per key at bench sf).
+        expr("(max_n * 20000 + total) div (2 * total)").as("max_share4"),
+        expr("(sum_sq * 2000000 + total * total) div (2 * total * total)")
+          .as("hhi6"))
+      .orderBy("col_name")
+  }
+
   /** Vocabulary-coverage / OOV report: fix the top-50 token vocabulary
     * (freq desc, token tie-break — deterministic), then measure what it
     * covers: occurrence-level and type-level OOV rates, the go/no-go
@@ -3498,6 +3532,7 @@ object Registry {
     "q_qc_winsorize" -> q(qcWinsorize),
     "q_e_transitions" -> q(eTransitions),
     "q_llm_oov_rate" -> q(llmOovRate),
+    "q_diag_key_skew" -> q(diagKeySkew),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -5929,6 +5964,27 @@ object Registry {
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""",
       seedsMod = 97, rounds = 4) + """
       SELECT hop, n_nodes, sum_id FROM summary ORDER BY hop"""),
+    // Same exact integer divisions; skew numbers cannot drift an ulp.
+    "q_diag_key_skew" ->
+      """WITH keyed AS (
+           SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS VARCHAR) AS k
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+           UNION ALL
+           SELECT 'l_returnflag', l_returnflag FROM lineitem),
+         kc AS (SELECT col_name, k, CAST(count(*) AS BIGINT) AS n
+                FROM keyed GROUP BY col_name, k),
+         s AS (SELECT col_name,
+                 CAST(sum(n) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(max(n) AS BIGINT) AS max_n,
+                 CAST(sum(n * n) AS BIGINT) AS sum_sq
+               FROM kc GROUP BY col_name)
+         SELECT col_name, n_keys,
+           (max_n * 20000 + total) // (2 * total) AS max_share4,
+           (sum_sq * 2000000 + total * total) // (2 * total * total) AS hhi6
+         FROM s ORDER BY col_name""",
     "q_llm_oov_rate" ->
       """WITH tk AS (SELECT unnest(string_split_regex(trim(text), '\s+'))
              AS token
