@@ -459,6 +459,74 @@ object ScaleSmoke {
         .groupBy("o_orderstatus").agg(count(lit(1)).as("n")).count())
     println(s"[scale] bucketed join status groups: $bktN")
 
+    // ER blocking at 20×: 10k typo'd variants against the (unchanged)
+    // distinct-name catalog — candidate volume scales with variants ×
+    // block density, never |variants|², and the Jaro-Winkler kernel is a
+    // row-local integer computation.
+    val partNames = spark.read.parquet(s"$sfDir/part.parquet")
+      .select(col("p_name").as("name")).distinct()
+      .select(col("name"), substring(col("name"), 1, 1).as("blk"),
+        length(col("name")).as("len"))
+    val erVars = spark.read.parquet(s"$sfDir/part.parquet")
+      .crossJoin(spark.range(factor.toLong).withColumnRenamed("id", "rep"))
+      .filter(col("p_partkey") < 500)
+      .select((col("p_partkey") * factor + col("rep")).as("vid"),
+        col("p_name").as("orig"),
+        // Length- and first-char-preserving adjacent swap (the registry
+        // query's typo model), position varied by replica.
+        (lit(2) + pmod(col("p_partkey") * factor + col("rep"),
+          length(col("p_name")) - 2)).cast("int").as("i"))
+      .select(col("vid"),
+        concat(
+          col("orig").substr(lit(1), col("i") - 1),
+          col("orig").substr(col("i") + 1, lit(1)),
+          col("orig").substr(col("i"), lit(1)),
+          col("orig").substr(col("i") + 2, length(col("orig"))))
+          .as("variant"))
+      .select(col("vid"), col("variant"),
+        substring(col("variant"), 1, 1).as("blk"),
+        length(col("variant")).as("len"))
+    val erPairs = timed("ER blocking + integer JW verify (10k variants)")({
+      import org.apache.spark.sql.graftbridge.Bridge
+      erVars.join(partNames, Seq("blk", "len"))
+        .select(Bridge.column(graft.expressions.JaroWinkler(
+          Bridge.expression(col("variant")),
+          Bridge.expression(col("name")))).as("s"))
+        .filter(col("s") >= 8500).count()
+    })
+    println(s"[scale] ER candidate pairs >= 0.85: $erPairs")
+
+    // Winsorize + transition matrix over 20× events (~2M rows): band
+    // computation and clip are the broadcast two-pass; transitions stay
+    // one per-user window + a 25-row share window.
+    val ev20b = graft.queries.Registry.normalizeEventTs(
+        spark.read.parquet(s"$sfDir/events.parquet"))
+      .crossJoin(spark.range(factor.toLong).withColumnRenamed("id", "rep"))
+      .select((col("user_id") * factor + col("rep")).as("user_id"),
+        col("ts"), (col("event_id") * factor + col("rep")).as("event_id"),
+        col("event_type"),
+        (col("value") + col("rep").cast("double") * 1e-4).as("value"))
+    val winsN = timed("winsorize (2M events, broadcast p5/p95 bands)")({
+      val e4 = ev20b.select(col("event_type"),
+        floor(col("value") * 10000 + 0.5).cast("long").as("v4"))
+      val bands = e4.groupBy("event_type")
+        .agg(floor(expr("percentile(v4, 0.05)") + 0.5).cast("long").as("lo4"),
+          floor(expr("percentile(v4, 0.95)") + 0.5).cast("long").as("hi4"))
+      e4.join(broadcast(bands), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(sum(least(greatest(col("v4"), col("lo4")), col("hi4"))).as("s"))
+        .count()
+    })
+    println(s"[scale] winsorized types: $winsN")
+    val transN = timed("transition matrix (2M events, per-user window)")({
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev20b.withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy("prev", "event_type").agg(count(lit(1)).as("n")).count()
+    })
+    println(s"[scale] transition cells: $transN")
+
     spark.stop()
   }
 }
