@@ -39,7 +39,8 @@ object Bench {
     "store_incr_join" -> "ijoin", "report_dataset_card" -> "card",
     "audit_checksums" -> "cksum", "er_linkage" -> "erlink",
     "qc_winsorize" -> "winsor", "e_transitions" -> "trans",
-    "oov_rate" -> "oov", "diag_key_skew" -> "skewdiag")
+    "oov_rate" -> "oov", "diag_key_skew" -> "skewdiag",
+    "sketch_hll_intersect" -> "hll_int")
 
   private val idPrefix = "^([a-z]+[0-9]+)_.+".r
 

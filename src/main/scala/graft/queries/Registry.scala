@@ -2753,6 +2753,39 @@ object Registry {
       .orderBy("grp")
   }
 
+  /** Sketch-space set intersection (audience overlap): |click ∩ view|
+    * estimated by inclusion–exclusion over three HLL estimates — the two
+    * group sketches plus their register-max union. The point at 100 TB:
+    * overlap between ANY two segments comes from KB-sized register files
+    * that were built once, with no re-scan and no join of the underlying
+    * sets; exactness is sanity-bounded in-row against the true overlap
+    * (inclusion–exclusion compounds the per-sketch rsd, hence the wider
+    * 3-term bound). */
+  private def sketchHllIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), col("user_id"))
+    val regs = graft.operators.HllSketch.registers(ev, "event_type", "user_id")
+    val withU = regs.unionByName(graft.operators.HllSketch.merged(regs, "U"))
+    val est = graft.operators.HllSketch.estimate(withU)
+      .groupBy()
+      .agg(
+        sum(when(col("grp") === "click", col("hll_estimate"))).as("est_a"),
+        sum(when(col("grp") === "view", col("hll_estimate"))).as("est_b"),
+        sum(when(col("grp") === "U", col("hll_estimate"))).as("est_union"))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_intersect"))
+    val exact = ev.groupBy("user_id")
+      .agg(countDistinct("event_type").as("nt"))
+      .agg(sum(when(col("nt") === 2, 1L).otherwise(0L)).as("exact_intersect"),
+        count(lit(1)).as("exact_union"))
+    est.crossJoin(broadcast(exact))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        col("est_intersect"), col("exact_intersect"),
+        (abs(col("est_intersect") - col("exact_intersect")) * 1000L
+          <= col("exact_union") * 585L + 48000L).as("within_bound"))
+  }
+
   /** SCD Type-2 dimension build from the event stream (bounded user
     * slice): per-user event_type change runs become effective-dated
     * dimension rows. One shuffle by the dimension key; see
@@ -3533,6 +3566,7 @@ object Registry {
     "q_e_transitions" -> q(eTransitions),
     "q_llm_oov_rate" -> q(llmOovRate),
     "q_diag_key_skew" -> q(diagKeySkew),
+    "q_sketch_hll_intersect" -> q(sketchHllIntersect),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -5580,6 +5614,53 @@ object Registry {
            abs(hll_estimate - exact_distinct) * 1000
              <= exact_distinct * 195 + 16000 AS within_3rsd
          FROM est JOIN ex USING (grp) ORDER BY grp""",
+    // Register building and estimate replay exactly as q_sketch_hll; the
+    // inclusion-exclusion is three replayed estimates and a subtraction.
+    "q_sketch_hll_intersect" ->
+      """WITH it AS (SELECT event_type AS grp, CAST(user_id AS VARCHAR) AS item,
+                  user_id
+               FROM events WHERE event_type IN ('click', 'view')),
+         h AS (SELECT grp,
+                 ('0x' || substr(md5(item), 1, 2))::BIGINT AS reg,
+                 ('0x' || substr(md5(item), 3, 8))::BIGINT AS v
+               FROM it),
+         r0 AS (SELECT grp, reg,
+                  CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END AS rho
+                FROM h),
+         regs AS (SELECT grp, reg, MAX(rho) AS rho FROM r0 GROUP BY grp, reg),
+         rr AS (SELECT * FROM regs
+                UNION ALL
+                SELECT 'U' AS grp, reg, MAX(rho) AS rho FROM regs GROUP BY reg),
+         est AS (SELECT grp,
+                   CAST(floor(
+                     CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+                       + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+                     * CAST(256.0 AS DOUBLE) * CAST(256.0 AS DOUBLE)
+                     * CAST(8589934592 AS DOUBLE)
+                     / CAST((256 - COUNT(*)) * 8589934592
+                         + SUM(CAST(power(2.0, 33 - rho) AS BIGINT)) AS DOUBLE))
+                     AS BIGINT) AS hll_estimate
+                 FROM rr GROUP BY grp),
+         e1 AS (SELECT
+             CAST(sum(CASE WHEN grp = 'click' THEN hll_estimate END) AS BIGINT)
+               AS est_a,
+             CAST(sum(CASE WHEN grp = 'view' THEN hll_estimate END) AS BIGINT)
+               AS est_b,
+             CAST(sum(CASE WHEN grp = 'U' THEN hll_estimate END) AS BIGINT)
+               AS est_union
+           FROM est),
+         ex AS (SELECT
+             CAST(sum(CASE WHEN nt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS exact_intersect,
+             CAST(count(*) AS BIGINT) AS exact_union
+           FROM (SELECT user_id, count(DISTINCT grp) AS nt
+                 FROM it GROUP BY user_id))
+         SELECT est_a, est_b, est_union,
+           est_a + est_b - est_union AS est_intersect,
+           exact_intersect,
+           abs(est_a + est_b - est_union - exact_intersect) * 1000
+             <= exact_union * 585 + 48000 AS within_bound
+         FROM e1, ex""",
     "q_scd2_dim" ->
       """WITH ch AS (SELECT user_id, epoch_us(ts) AS ts, event_id, event_type
                      FROM events WHERE user_id <= 200),
