@@ -2762,10 +2762,15 @@ object Registry {
     * (inclusion–exclusion compounds the per-sketch rsd, hence the wider
     * 3-term bound). */
   private def sketchHllIntersect(spark: SparkSession, dir: String): DataFrame = {
+    // Segments sized for the raw-estimate regime (n ≳ 2.5·m = 640; the
+    // registry's m = 256 sketches carry no small-range linear-counting
+    // correction, so sub-m sets would estimate poorly): the coarse
+    // event-id sets touched by clicks vs by views — ~1800 items each,
+    // heavily but not fully overlapping.
     val ev = t(spark, dir, "events")
       .filter(col("event_type").isin("click", "view"))
-      .select(col("event_type"), col("user_id"))
-    val regs = graft.operators.HllSketch.registers(ev, "event_type", "user_id")
+      .select(col("event_type"), expr("event_id div 3").as("item"))
+    val regs = graft.operators.HllSketch.registers(ev, "event_type", "item")
     val withU = regs.unionByName(graft.operators.HllSketch.merged(regs, "U"))
     val est = graft.operators.HllSketch.estimate(withU)
       .groupBy()
@@ -2775,7 +2780,7 @@ object Registry {
         sum(when(col("grp") === "U", col("hll_estimate"))).as("est_union"))
       .select(col("est_a"), col("est_b"), col("est_union"),
         (col("est_a") + col("est_b") - col("est_union")).as("est_intersect"))
-    val exact = ev.groupBy("user_id")
+    val exact = ev.groupBy("item")
       .agg(countDistinct("event_type").as("nt"))
       .agg(sum(when(col("nt") === 2, 1L).otherwise(0L)).as("exact_intersect"),
         count(lit(1)).as("exact_union"))
@@ -5617,8 +5622,8 @@ object Registry {
     // Register building and estimate replay exactly as q_sketch_hll; the
     // inclusion-exclusion is three replayed estimates and a subtraction.
     "q_sketch_hll_intersect" ->
-      """WITH it AS (SELECT event_type AS grp, CAST(user_id AS VARCHAR) AS item,
-                  user_id
+      """WITH it AS (SELECT event_type AS grp,
+                  CAST(event_id // 3 AS VARCHAR) AS item
                FROM events WHERE event_type IN ('click', 'view')),
          h AS (SELECT grp,
                  ('0x' || substr(md5(item), 1, 2))::BIGINT AS reg,
@@ -5653,8 +5658,8 @@ object Registry {
              CAST(sum(CASE WHEN nt = 2 THEN 1 ELSE 0 END) AS BIGINT)
                AS exact_intersect,
              CAST(count(*) AS BIGINT) AS exact_union
-           FROM (SELECT user_id, count(DISTINCT grp) AS nt
-                 FROM it GROUP BY user_id))
+           FROM (SELECT item, count(DISTINCT grp) AS nt
+                 FROM it GROUP BY item))
          SELECT est_a, est_b, est_union,
            est_a + est_b - est_union AS est_intersect,
            exact_intersect,
