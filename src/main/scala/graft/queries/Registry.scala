@@ -1071,6 +1071,44 @@ object Registry {
       .orderBy("event_type")
   }
 
+  /** Data-rule audit: functional-dependency and key-constraint checking,
+    * the profiling pass a pipeline runs before trusting joins (a
+    * violated FD silently fans out a "1:1" join). Each rule is one
+    * determinant-grouped aggregate counting groups where the dependent
+    * is not single-valued; rules share the tall (rule, n_groups,
+    * n_violating_groups, n_violating_rows) report. The last rule is a
+    * deliberately FALSE dependency, so the audit demonstrably finds
+    * violations rather than rubber-stamping. */
+  private def qcFdAudit(spark: SparkSession, dir: String): DataFrame = {
+    // A grouped (nd = distinct dependents, nr = rows) relation folds to
+    // the report row; violation = nd > 1 (FD) or nr > 1 (key rule, where
+    // the "dependent" is the group's row count itself).
+    def fold(name: String, grouped: DataFrame, violCol: String): DataFrame =
+      grouped.agg(count(lit(1)).as("n_groups"),
+        sum(when(col(violCol) > 1, 1L).otherwise(0L)).as("n_violating_groups"),
+        coalesce(sum(when(col(violCol) > 1, col("nr"))), lit(0L))
+          .as("n_violating_rows"))
+        .select(lit(name).as("rule"), col("n_groups"),
+          col("n_violating_groups"), col("n_violating_rows"))
+    def fdRule(name: String, df: DataFrame, det: String,
+               dep: String): DataFrame =
+      fold(name, df.groupBy(col(det))
+        .agg(countDistinct(col(dep)).as("nd"), count(lit(1)).as("nr")), "nd")
+    def keyRule(name: String, df: DataFrame, keys: Seq[String]): DataFrame =
+      fold(name, df.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("nr")), "nr")
+    val l = t(spark, dir, "lineitem")
+    keyRule("orderkey_unique_in_orders",
+        t(spark, dir, "orders"), Seq("o_orderkey"))
+      .unionByName(keyRule("order_line_is_key", l,
+        Seq("l_orderkey", "l_linenumber")))
+      .unionByName(fdRule("partkey_determines_name",
+        t(spark, dir, "part"), "p_partkey", "p_name"))
+      .unionByName(fdRule("partkey_determines_returnflag_FALSE",
+        l, "l_partkey", "l_returnflag"))
+      .orderBy("rule")
+  }
+
   /** Join-key skew diagnosis — the numbers a planner (or an engineer
     * deciding between plain, salted, and broadcast joins) needs per key
     * column: distinct keys, max per-key share, and the
@@ -3572,6 +3610,7 @@ object Registry {
     "q_llm_oov_rate" -> q(llmOovRate),
     "q_diag_key_skew" -> q(diagKeySkew),
     "q_sketch_hll_intersect" -> q(sketchHllIntersect),
+    "q_qc_fd_audit" -> q(qcFdAudit),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -6050,6 +6089,40 @@ object Registry {
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""",
       seedsMod = 97, rounds = 4) + """
       SELECT hop, n_nodes, sum_id FROM summary ORDER BY hop"""),
+    "q_qc_fd_audit" ->
+      """WITH r1 AS (SELECT 'orderkey_unique_in_orders' AS rule,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_groups,
+             CAST(COALESCE(sum(CASE WHEN nr > 1 THEN nr END), 0) AS BIGINT)
+               AS n_violating_rows
+           FROM (SELECT o_orderkey, CAST(count(*) AS BIGINT) AS nr
+                 FROM orders GROUP BY o_orderkey)),
+         r2 AS (SELECT 'order_line_is_key',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COALESCE(sum(CASE WHEN nr > 1 THEN nr END), 0) AS BIGINT)
+           FROM (SELECT l_orderkey, l_linenumber,
+                   CAST(count(*) AS BIGINT) AS nr
+                 FROM lineitem GROUP BY l_orderkey, l_linenumber)),
+         r3 AS (SELECT 'partkey_determines_name',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COALESCE(sum(CASE WHEN nd > 1 THEN nr END), 0) AS BIGINT)
+           FROM (SELECT p_partkey, count(DISTINCT p_name) AS nd,
+                   CAST(count(*) AS BIGINT) AS nr
+                 FROM part GROUP BY p_partkey)),
+         r4 AS (SELECT 'partkey_determines_returnflag_FALSE',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COALESCE(sum(CASE WHEN nd > 1 THEN nr END), 0) AS BIGINT)
+           FROM (SELECT l_partkey, count(DISTINCT l_returnflag) AS nd,
+                   CAST(count(*) AS BIGINT) AS nr
+                 FROM lineitem GROUP BY l_partkey))
+         SELECT * FROM (
+           SELECT * FROM r1 UNION ALL SELECT * FROM r2
+           UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4)
+         ORDER BY rule""",
     // Same exact integer divisions; skew numbers cannot drift an ulp.
     "q_diag_key_skew" ->
       """WITH keyed AS (
