@@ -40,7 +40,8 @@ object Bench {
     "audit_checksums" -> "cksum", "er_linkage" -> "erlink",
     "qc_winsorize" -> "winsor", "e_transitions" -> "trans",
     "oov_rate" -> "oov", "diag_key_skew" -> "skewdiag",
-    "sketch_hll_intersect" -> "hll_int", "qc_fd_audit" -> "fd")
+    "sketch_hll_intersect" -> "hll_int", "qc_fd_audit" -> "fd",
+    "export_jsonl" -> "jsonlx")
 
   private val idPrefix = "^([a-z]+[0-9]+)_.+".r
 

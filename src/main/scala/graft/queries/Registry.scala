@@ -1071,6 +1071,35 @@ object Registry {
       .orderBy("event_type")
   }
 
+  /** JSONL sharded export + readback — the standard interchange loop for
+    * training corpora (parquet-side curation, JSONL to the trainer).
+    * Docs serialize with an explicit field order (to_json of a struct is
+    * deterministic), land as N line-splittable shards, and read back
+    * through [[graft.io.JsonlReader]] with an explicit schema (no
+    * inference pre-pass). The query surfaces the roundtrip PROOF, not
+    * the payload: per-shard-count row counts, char volume, and an
+    * order-invariant content checksum that must equal the same fold
+    * computed on the source table — which is exactly what the oracle
+    * recomputes from `documents` directly. */
+  private def llmExportJsonl(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl-x").toString
+    t(spark, dir, "documents")
+      .select(to_json(struct(col("doc_id"), col("lang"), col("source"),
+        col("text"))).as("value"))
+      .repartition(4)
+      .write.mode("overwrite").text(tmp)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("text", StringType)))
+    graft.io.JsonlReader.read(spark, tmp, Some(schema))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        sum(conv(substring(md5(concat_ws("|", col("doc_id"), col("text"))),
+          1, 10), 16, 10).cast("long")).as("checksum"))
+      .orderBy("lang")
+  }
+
   /** Data-rule audit: functional-dependency and key-constraint checking,
     * the profiling pass a pipeline runs before trusting joins (a
     * violated FD silently fans out a "1:1" join). Each rule is one
@@ -3611,6 +3640,7 @@ object Registry {
     "q_diag_key_skew" -> q(diagKeySkew),
     "q_sketch_hll_intersect" -> q(sketchHllIntersect),
     "q_qc_fd_audit" -> q(qcFdAudit),
+    "q_llm_export_jsonl" -> q(llmExportJsonl),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -6089,6 +6119,14 @@ object Registry {
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""",
       seedsMod = 97, rounds = 4) + """
       SELECT hop, n_nodes, sum_id FROM summary ORDER BY hop"""),
+    // The export is lossless iff the readback aggregate equals this fold
+    // over the SOURCE table — JSON never touches the oracle side.
+    "q_llm_export_jsonl" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text),
+             1, 10))::BIGINT) AS BIGINT) AS checksum
+         FROM documents GROUP BY lang ORDER BY lang""",
     "q_qc_fd_audit" ->
       """WITH r1 AS (SELECT 'orderkey_unique_in_orders' AS rule,
              CAST(count(*) AS BIGINT) AS n_groups,
