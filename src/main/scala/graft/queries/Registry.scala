@@ -27,8 +27,23 @@ object Registry {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") normalizeEventTs(df) else df
+    name match {
+      case "events"     => normalizeEventTs(df)
+      case "embeddings" => normalizeEmbedding(df)
+      case _            => df
+    }
   }
+
+  /** Drift insurance for the vector column (the events.ts lesson): every
+    * ANN/PQ/projection kernel assumes `embedding: array<float>`; if a
+    * future data generation ships array<double>, normalize at the load
+    * choke point instead of failing 20 queries. */
+  private[graft] def normalizeEmbedding(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "embedding").map(_.dataType) match {
+      case Some(ArrayType(DoubleType, _)) =>
+        df.withColumn("embedding", col("embedding").cast("array<float>"))
+      case _ => df
+    }
 
   /** events.parquet has shipped with two physical `ts` types across data
     * generations: TIMESTAMP(NANOS) (surfaced as BIGINT nanos under
