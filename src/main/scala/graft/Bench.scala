@@ -41,7 +41,8 @@ object Bench {
     "qc_winsorize" -> "winsor", "e_transitions" -> "trans",
     "oov_rate" -> "oov", "diag_key_skew" -> "skewdiag",
     "sketch_hll_intersect" -> "hll_int", "qc_fd_audit" -> "fd",
-    "export_jsonl" -> "jsonlx")
+    "export_jsonl" -> "jsonlx", "w_time_range_sum" -> "wrange",
+    "scd2_temporal_join" -> "scd2tj")
 
   private val idPrefix = "^([a-z]+[0-9]+)_.+".r
 

@@ -1086,6 +1086,57 @@ object Registry {
       .orderBy("event_type")
   }
 
+  /** Time-RANGE sliding window: per-user sum/count of event values over
+    * the PRECEDING HOUR of event time (range frame on the ts axis, not a
+    * row count) — the "activity in the last hour at every event" feature
+    * a fraud/engagement model reads. One shuffle by user, one
+    * in-partition sort shared by both frame aggregates; decimal sums so
+    * frame-merge order cannot drift the doubles. */
+  private def wTimeRangeSum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val w = Window.partitionBy("user_id").orderBy(col("ts"))
+      .rangeBetween(-hourNs, 0)
+    t(spark, dir, "events").filter(col("user_id") < 20)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_last_hour"),
+        (floor(sum(col("value").cast(DecimalType(20, 4))).over(w)
+          .cast("double") * 1e4 + 0.5) / 1e4).as("sum_last_hour"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Temporal (validity-interval) join: events matched to THE dimension
+    * row that was current at their event time — the consumption side of
+    * SCD2, and the join every point-in-time-correct feature store runs.
+    * Equi-key on user + interval predicate: the join shuffles ONLY by the
+    * equi key, the interval check is a post-join filter inside the same
+    * task (no interval self-explosion). The in-row proof: every event
+    * matches exactly one validity interval (n_matches == 1 for all). */
+  private def scd2TemporalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ch = t(spark, dir, "events")
+      .filter(col("user_id") <= 60)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("event_type"))
+    // dim derives FROM ch, so alias both sides to keep the self-join's
+    // attribute references unambiguous.
+    val dim = graft.operators.Scd2.build(ch, "user_id", "ts_us", "event_id",
+        "event_type")
+      .select(col("user_id").as("d_user_id"), col("valid_from"),
+        col("valid_to"), col("version_n"))
+    ch.join(dim, col("user_id") === col("d_user_id")
+        && col("ts_us") >= col("valid_from")
+        && (col("valid_to").isNull || col("ts_us") < col("valid_to")))
+      .groupBy(col("user_id"), col("event_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("version_n")).as("version_n"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("n_matches") === 1, 1L).otherwise(0L)).as("n_exact_one"),
+        max(col("version_n")).as("max_version"))
+      .orderBy("user_id")
+  }
+
   /** JSONL sharded export + readback — the standard interchange loop for
     * training corpora (parquet-side curation, JSONL to the trainer).
     * Docs serialize with an explicit field order (to_json of a struct is
@@ -3656,6 +3707,8 @@ object Registry {
     "q_sketch_hll_intersect" -> q(sketchHllIntersect),
     "q_qc_fd_audit" -> q(qcFdAudit),
     "q_llm_export_jsonl" -> q(llmExportJsonl),
+    "q_w_time_range_sum" -> q(wTimeRangeSum),
+    "q_scd2_temporal_join" -> q(scd2TemporalJoin),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -6134,6 +6187,44 @@ object Registry {
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""",
       seedsMod = 97, rounds = 4) + """
       SELECT hop, n_nodes, sum_id FROM summary ORDER BY hop"""),
+    // RANGE frame on epoch-ns; decimal frame sums on both engines.
+    "q_w_time_range_sum" ->
+      """SELECT user_id, event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+           floor(CAST(sum(CAST(value AS DECIMAL(20,4))) OVER w AS DOUBLE)
+             * 10000 + CAST(0.5 AS DOUBLE)) / 10000 AS sum_last_hour
+         FROM (SELECT user_id, epoch_ns(ts) AS tsn, event_id, value
+               FROM events WHERE user_id < 20)
+         WINDOW w AS (PARTITION BY user_id ORDER BY tsn
+                      RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
+    // The dimension rebuild + interval match replay; the in-row proof is
+    // n_exact_one == n_events for every user.
+    "q_scd2_temporal_join" ->
+      """WITH ch AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us,
+                  event_id, event_type
+               FROM events WHERE user_id <= 60),
+         op AS (SELECT *, lag(event_type) OVER
+                  (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+                FROM ch),
+         runs AS (SELECT user_id, event_type, ts_us AS valid_from,
+                  lead(ts_us) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id) AS valid_to,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id) AS version_n
+                FROM op WHERE prev IS NULL OR prev <> event_type),
+         m AS (SELECT c.user_id, c.event_id,
+                 CAST(count(*) AS BIGINT) AS n_matches,
+                 min(r.version_n) AS version_n
+               FROM ch c JOIN runs r ON c.user_id = r.user_id
+                 AND c.ts_us >= r.valid_from
+                 AND (r.valid_to IS NULL OR c.ts_us < r.valid_to)
+               GROUP BY c.user_id, c.event_id)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN n_matches = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_one,
+           CAST(max(version_n) AS BIGINT) AS max_version
+         FROM m GROUP BY user_id ORDER BY user_id""",
     // The export is lossless iff the readback aggregate equals this fold
     // over the SOURCE table — JSON never touches the oracle side.
     "q_llm_export_jsonl" ->
