@@ -1086,6 +1086,55 @@ object Registry {
       .orderBy("event_type")
   }
 
+  /** Last-touch conversion attribution: for every purchase, the latest
+    * PRECEDING non-purchase event (the touch that gets the credit), via
+    * one per-user sorted window max over a struct-packed (ts, id, type)
+    * candidate — no self-join of conversions against history. Struct max
+    * ignores the NULL (purchase) candidates and breaks ties by the
+    * unique event id, so attribution is total and engine-replayable. */
+  private def eAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touched = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("_cand", when(col("event_type") =!= "purchase",
+        struct(col("ts"), col("event_id"), col("event_type"))))
+      .withColumn("_last", max(col("_cand")).over(w))
+    val conv = touched.filter(col("event_type") === "purchase")
+      .select(coalesce(col("_last.event_type"), lit("none"))
+        .as("last_touch"))
+    conv.groupBy("last_touch").agg(count(lit(1)).as("n_conversions"))
+      .withColumn("frac", floor(col("n_conversions") * 10000.0
+        / sum(col("n_conversions"))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy())
+        + 0.5) / 10000)
+      .orderBy("last_touch")
+  }
+
+  /** Equi-DEPTH histogram via broadcast percentile thresholds — the
+    * complement of [[statsHistogram]]'s equi-width bins, and the shape
+    * that avoids the global ntile sort: exact quartile boundaries compute
+    * in one aggregate (the proven percentile/quantile_cont pairing on
+    * integer cents), broadcast back, and binning is a row-local CASE.
+    * Counts land within ±ties of n/4 by construction. */
+  private def statsHistogramEqdepth(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+      .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("c"))
+    val qs = l.agg(
+      floor(expr("percentile(c, 0.25)") + 0.5).cast("long").as("q1"),
+      floor(expr("percentile(c, 0.5)") + 0.5).cast("long").as("q2"),
+      floor(expr("percentile(c, 0.75)") + 0.5).cast("long").as("q3"))
+    l.crossJoin(broadcast(qs))
+      .select(when(col("c") <= col("q1"), 0L)
+        .when(col("c") <= col("q2"), 1L)
+        .when(col("c") <= col("q3"), 2L).otherwise(3L).as("bin"), col("c"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), min("c").as("lo_cents"),
+        max("c").as("hi_cents"))
+      .orderBy("bin")
+  }
+
   /** Time-RANGE sliding window: per-user sum/count of event values over
     * the PRECEDING HOUR of event time (range frame on the ts axis, not a
     * row count) — the "activity in the last hour at every event" feature
@@ -3709,6 +3758,8 @@ object Registry {
     "q_llm_export_jsonl" -> q(llmExportJsonl),
     "q_w_time_range_sum" -> q(wTimeRangeSum),
     "q_scd2_temporal_join" -> q(scd2TemporalJoin),
+    "q_e_attribution" -> q(eAttribution),
+    "q_stats_histogram_eqdepth" -> q(statsHistogramEqdepth),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -6187,6 +6238,42 @@ object Registry {
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""",
       seedsMod = 97, rounds = 4) + """
       SELECT hop, n_nodes, sum_id FROM summary ORDER BY hop"""),
+    // Struct-max ordering (ts, id, type) replays field-for-field; max
+    // ignores the NULL purchase candidates on both engines.
+    "q_e_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id, event_type
+               FROM events),
+         tch AS (SELECT *,
+             max(CASE WHEN event_type <> 'purchase'
+                 THEN {'ts': tsn, 'event_id': event_id,
+                       'event_type': event_type} END)
+               OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_c
+           FROM e),
+         conv AS (SELECT COALESCE(last_c.event_type, 'none') AS last_touch
+               FROM tch WHERE event_type = 'purchase')
+         SELECT last_touch, CAST(count(*) AS BIGINT) AS n_conversions,
+           floor(count(*) * 10000.0 / sum(count(*)) OVER () + 0.5) / 10000
+             AS frac
+         FROM conv GROUP BY last_touch ORDER BY last_touch""",
+    // Quartile thresholds via the proven quantile_cont pairing on integer
+    // cents; binning is the same row-local CASE.
+    "q_stats_histogram_eqdepth" ->
+      """WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               AS c FROM lineitem),
+         q AS (SELECT
+             CAST(floor(quantile_cont(c, 0.25) + 0.5) AS BIGINT) AS q1,
+             CAST(floor(quantile_cont(c, 0.5) + 0.5) AS BIGINT) AS q2,
+             CAST(floor(quantile_cont(c, 0.75) + 0.5) AS BIGINT) AS q3
+           FROM c),
+         b AS (SELECT CASE WHEN c.c <= q.q1 THEN 0
+                 WHEN c.c <= q.q2 THEN 1
+                 WHEN c.c <= q.q3 THEN 2 ELSE 3 END AS bin, c.c
+               FROM c, q)
+         SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+           min(c) AS lo_cents, max(c) AS hi_cents
+         FROM b GROUP BY bin ORDER BY bin""",
     // RANGE frame on epoch-ns; decimal frame sums on both engines.
     "q_w_time_range_sum" ->
       """SELECT user_id, event_id,
