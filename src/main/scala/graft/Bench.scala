@@ -42,7 +42,7 @@ object Bench {
     "oov_rate" -> "oov", "diag_key_skew" -> "skewdiag",
     "sketch_hll_intersect" -> "hll_int", "qc_fd_audit" -> "fd",
     "export_jsonl" -> "jsonlx", "w_time_range_sum" -> "wrange",
-    "scd2_temporal_join" -> "scd2tj", "e_attribution" -> "attrib",
+    "temporal_join" -> "tjoin", "e_attribution" -> "attrib",
     "stats_histogram_eqdepth" -> "histeq")
 
   private val idPrefix = "^([a-z]+[0-9]+)_.+".r

@@ -3757,7 +3757,7 @@ object Registry {
     "q_qc_fd_audit" -> q(qcFdAudit),
     "q_llm_export_jsonl" -> q(llmExportJsonl),
     "q_w_time_range_sum" -> q(wTimeRangeSum),
-    "q_scd2_temporal_join" -> q(scd2TemporalJoin),
+    "q_temporal_join" -> q(scd2TemporalJoin),
     "q_e_attribution" -> q(eAttribution),
     "q_stats_histogram_eqdepth" -> q(statsHistogramEqdepth),
   )
@@ -6287,7 +6287,7 @@ object Registry {
          ORDER BY user_id, event_id""",
     // The dimension rebuild + interval match replay; the in-row proof is
     // n_exact_one == n_events for every user.
-    "q_scd2_temporal_join" ->
+    "q_temporal_join" ->
       """WITH ch AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us,
                   event_id, event_type
                FROM events WHERE user_id <= 60),
