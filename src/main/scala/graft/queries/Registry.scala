@@ -1121,10 +1121,12 @@ object Registry {
   private def statsHistogramEqdepth(spark: SparkSession, dir: String): DataFrame = {
     val l = t(spark, dir, "lineitem")
       .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("c"))
-    val qs = l.agg(
-      floor(expr("percentile(c, 0.25)") + 0.5).cast("long").as("q1"),
-      floor(expr("percentile(c, 0.5)") + 0.5).cast("long").as("q2"),
-      floor(expr("percentile(c, 0.75)") + 0.5).cast("long").as("q3"))
+    // ONE array-percentile aggregate (three scalar percentile() aggs each
+    // buffer the column independently — measured 3× the cost).
+    val qs = l.agg(expr("percentile(c, array(0.25D, 0.5D, 0.75D))").as("qa"))
+      .select(floor(element_at(col("qa"), 1) + 0.5).cast("long").as("q1"),
+        floor(element_at(col("qa"), 2) + 0.5).cast("long").as("q2"),
+        floor(element_at(col("qa"), 3) + 0.5).cast("long").as("q3"))
     l.crossJoin(broadcast(qs))
       .select(when(col("c") <= col("q1"), 0L)
         .when(col("c") <= col("q2"), 1L)
