@@ -257,6 +257,34 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(p.contains("SelectedBucketsCount"), "scan must be bucket-aware")
   }
 
+  test("winsorize: the per-type bands broadcast back; no relation-wide window") {
+    val p = plan("q_qc_winsorize")
+    assert(p.contains("BroadcastHashJoin"), "bands must broadcast to the scan")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("Window"), "no window over the event relation")
+  }
+
+  test("temporal join: equi-key join carries the interval as a post-join " +
+    "condition, never a cartesian") {
+    val p = plan("q_temporal_join")
+    assert(!p.contains("CartesianProduct"), s"interval must not explode:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "join must keep the user_id equi-key")
+  }
+
+  test("attribution: one window pass, no self-join of conversions") {
+    val p = plan("q_e_attribution")
+    assert("Window".r.findAllIn(p).size >= 1)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "attribution must not join conversions against history")
+  }
+
+  test("OOV: the vocabulary broadcasts; the token stream never sort-merges") {
+    val p = plan("q_llm_oov_rate")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("skyline: only the bounded champion relation sees the global window") {
     val p = plan("q_skyline_docs")
     // the corpus aggregates twice (points, champions) before any window
