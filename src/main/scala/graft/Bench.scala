@@ -43,7 +43,8 @@ object Bench {
     "sketch_hll_intersect" -> "hll_int", "qc_fd_audit" -> "fd",
     "export_jsonl" -> "jsonlx", "w_time_range_sum" -> "wrange",
     "temporal_join" -> "tjoin", "e_attribution" -> "attrib",
-    "stats_histogram_eqdepth" -> "histeq")
+    "stats_histogram_eqdepth" -> "histeq",
+    "diag_join_estimate" -> "joinest")
 
   private val idPrefix = "^([a-z]+[0-9]+)_.+".r
 

@@ -1255,6 +1255,32 @@ object Registry {
       .orderBy("rule")
   }
 
+  /** Join-cardinality estimation vs truth — the textbook uniform-key
+    * planner estimate |A⋈B| ≈ |A|·|B| / max(ndv_A, ndv_B) (System R /
+    * Selinger 1979) checked against the actual join count, with the
+    * error ratio in exact integer 4dp units. Completes the planner-stats
+    * trio (ANALYZE → skew → cardinality): the number that decides
+    * whether a join output can be broadcast downstream, and the check
+    * that tells you when uniformity is a lie (skewed keys). Inputs are
+    * two count aggregates and one exact join count — no estimation
+    * machinery needs floats. */
+  private def diagJoinEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem").select(col("l_orderkey"))
+    val o = t(spark, dir, "orders").select(col("o_orderkey"))
+    val sa = l.agg(count(lit(1)).as("n_a"),
+      countDistinct(col("l_orderkey")).as("ndv_a"))
+    val sb = o.agg(count(lit(1)).as("n_b"),
+      countDistinct(col("o_orderkey")).as("ndv_b"))
+    val actual = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .agg(count(lit(1)).as("actual"))
+    sa.crossJoin(broadcast(sb)).crossJoin(broadcast(actual))
+      .select(col("n_a"), col("ndv_a"), col("n_b"), col("ndv_b"),
+        expr("(n_a * n_b) div greatest(ndv_a, ndv_b)").as("estimated"),
+        col("actual"),
+        expr("((n_a * n_b) div greatest(ndv_a, ndv_b) * 20000 + actual) " +
+          "div (2 * actual)").as("est_over_actual4"))
+  }
+
   /** Join-key skew diagnosis — the numbers a planner (or an engineer
     * deciding between plain, salted, and broadcast joins) needs per key
     * column: distinct keys, max per-key share, and the
@@ -3762,6 +3788,7 @@ object Registry {
     "q_temporal_join" -> q(scd2TemporalJoin),
     "q_e_attribution" -> q(eAttribution),
     "q_stats_histogram_eqdepth" -> q(statsHistogramEqdepth),
+    "q_diag_join_estimate" -> q(diagJoinEstimate),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -6356,6 +6383,22 @@ object Registry {
            SELECT * FROM r1 UNION ALL SELECT * FROM r2
            UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4)
          ORDER BY rule""",
+    // The same integer Selinger estimate and exact division replay.
+    "q_diag_join_estimate" ->
+      """WITH sa AS (SELECT CAST(count(*) AS BIGINT) AS n_a,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv_a
+           FROM lineitem),
+         sb AS (SELECT CAST(count(*) AS BIGINT) AS n_b,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS ndv_b
+           FROM orders),
+         ac AS (SELECT CAST(count(*) AS BIGINT) AS actual
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         SELECT n_a, ndv_a, n_b, ndv_b,
+           (n_a * n_b) // greatest(ndv_a, ndv_b) AS estimated,
+           actual,
+           ((n_a * n_b) // greatest(ndv_a, ndv_b) * 20000 + actual)
+             // (2 * actual) AS est_over_actual4
+         FROM sa, sb, ac""",
     // Same exact integer divisions; skew numbers cannot drift an ulp.
     "q_diag_key_skew" ->
       """WITH keyed AS (

@@ -14,8 +14,8 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size and oracle coverage match COVERAGE.md") {
-    assert(SparkEntry.queries.size == 205)
-    assert(SparkEntry.oracleSql.size == 197)
+    assert(SparkEntry.queries.size == 206)
+    assert(SparkEntry.oracleSql.size == 198)
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
     assert(rowsOnly.size == 8, s"rows-only set drifted: $rowsOnly")
   }
