@@ -22,15 +22,27 @@ import org.apache.spark.sql.functions._
   * window partitions by document (bounded length), never the corpus. */
 object Winnow {
 
-  private val PosCap = 4096L // > max grams per doc; packs pos into 12 bits
+  /** Position-field width of the packed (hash, reversed-pos) long.
+    * The packing needs `pos < PosCap` or the reversed position underflows
+    * into the neighbouring hash's range — so the cap must exceed the max
+    * gram count of any single document. 2^24 grams ≈ a >100 MB text
+    * document (the reference's whole-FILE ceiling is 100 MB, see
+    * `app/services/file_processor.py` MAX_FILE_SIZE), so no legal input
+    * reaches it; grams at pos ≥ PosCap are dropped (documented
+    * truncation) rather than silently corrupting the sketch. The 28-bit
+    * md5-prefix hash × 24-bit position uses 52 of a long's 63 bits. */
+  val PosCap = 1L << 24
 
   /** Distinct selected fingerprints per document: (id, pos, fp) where
-    * `pos` is the 0-based gram position the fingerprint was taken at. */
+    * `pos` is the 0-based gram position the fingerprint was taken at.
+    * Documents longer than [[PosCap]] grams are truncated at the cap
+    * (fingerprints for the first 2^24 grams are still exact). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, w: Int = 4): DataFrame = {
     val grams = df.select(col(idCol),
-      posexplode(TextAnalysis.wordGrams(col(textCol), k)).as(Seq("pos", "gram")))
-    // 28-bit md5-prefix hash; packed = hash·4096 + (4095 − pos) makes
+        posexplode(TextAnalysis.wordGrams(col(textCol), k)).as(Seq("pos", "gram")))
+      .filter(col("pos") < PosCap) // enforce the packing invariant
+    // 28-bit md5-prefix hash; packed = hash·2^24 + (2^24−1 − pos) makes
     // min() pick the smallest hash and, within it, the LARGEST position.
     val h = conv(substring(md5(col("gram")), 1, 7), 16, 10).cast("long")
     val packed = h * PosCap + (lit(PosCap - 1) - col("pos"))

@@ -948,18 +948,39 @@ object Registry {
       .orderBy("source")
   }
 
-  /** SemDeDup semantic dedup: plant 20 scaled replicas (cosine ≈ 1 to
-    * their originals), cluster with seeded k-means, drop within-cluster
-    * near-dups. Output = the dropped documents (the replicas: min-id
-    * representatives win). Rows-only (seeded Spark-ML k-means is not
-    * DuckDB-expressible); SemDedupSpec pins pair-recall vs brute force. */
+  /** SemDeDup semantic dedup over NEAR-duplicates: plant 20 scaled
+    * replicas (×1.001 in double space — cosine ≈ 1 to their originals but
+    * bitwise distinct), cluster with the DETERMINISTIC integer-unit
+    * k-means gate ([[graft.llm.DetKMeans]]), cosine-pair within cells,
+    * drop non-representatives. Output = the dropped documents (the
+    * replicas: min-id representatives win). Scaling in double space keeps
+    * every arithmetic step IEEE-replayable, so the DuckDB oracle replays
+    * training, gating, pairing and the component fixpoint — the near-dup
+    * sibling of [[llmSemDedupDet]] (exact copies). The seeded Spark-ML
+    * k-means gate variant stays pinned in SemDedupSpec. */
   private def llmSemDedup(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
     val planted = emb.filter(col("vec_id") < 20)
       .withColumn("vec_id", col("vec_id") + 10000)
-      .withColumn("embedding", transform(col("embedding"), x => x * lit(1.001f)))
-    SemDedup.semDedup(emb.unionByName(planted), "embedding", "vec_id",
-        k = 16, threshold = 0.999)
+      .withColumn("embedding", transform(col("embedding"), x => x * lit(1.001)))
+    val all = emb.unionByName(planted)
+    val (_, cents) = graft.llm.DetKMeans.fit(
+      all, "vec_id", "embedding", k = 16, iters = 2, dim = 64)
+    val cells = graft.llm.DetKMeans.assignTo(
+        graft.llm.DetKMeans.unitPoints(all, "vec_id", "embedding"), cents)
+      .select(col("id"), col("cid"))
+    val withCell = all.select(col("vec_id").as("id"), col("embedding"))
+      .join(cells, "id")
+    val pairs = withCell.as("a").join(withCell.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        graft.llm.Similarity.roundHalfUp(graft.llm.Similarity.cosineUnrolled(
+          col("a.embedding"), col("b.embedding"), 64), 6).as("cos"))
+      .filter(col("cos") >= 0.999)
+      .select("id_a", "id_b")
+    graft.llm.Dedup.dedupByCluster(all.select(col("vec_id")), "vec_id", pairs)
       .filter(!col("is_representative"))
       .select(col("vec_id"), col("component"))
       .orderBy("vec_id")
@@ -1722,9 +1743,13 @@ object Registry {
     ReadQueries.dashboardRows(sources, versions)
   }
 
-  /** IVF with real k-means coarse quantization (seeded); searching all
-    * clusters must equal brute force — registered rows-only (k-means not
-    * expressible in the SQL oracle). */
+  /** IVF with real k-means coarse quantization (seeded). nprobe = k, so
+    * the probe set covers every cluster and the answer MUST equal exact
+    * brute force — which makes brute-force top-k SQL a legitimate oracle
+    * even though the k-means fit itself isn't SQL-expressible: the driver
+    * now hash-checks the all-probes==brute invariant (previously only
+    * pinned in IvfSpec) every round. The cluster assignment affects the
+    * physical pruning path, never the result. */
   private def llmAnnIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val idx = graft.llm.Ivf.build(emb, "embedding", "vec_id", k = 10)
@@ -2267,14 +2292,31 @@ object Registry {
       .orderBy("doc_id")
   }
 
-  /** Model-based quality filter: logistic regression trained on
-    * clean-vs-corrupted weak labels, scored through the exported
-    * closed-form column expression. L-BFGS weights are float-order
-    * dependent → rows-only driver check; QualityClassifierSpec pins
-    * holdout accuracy ≥ 0.9 and scorer/model agreement. */
+  /** Model-based quality filter, FROZEN-WEIGHT serving path: the
+    * logistic scorer with weights from an actual L-BFGS training run
+    * (sf0.01 corpus, deterministic corruption labels), rounded to 6dp
+    * and frozen as literals — exactly how a production pipeline ships a
+    * quality model (train offline, serve a constant linear scorer). With
+    * the weights literal, scoring is pure closed-form arithmetic and the
+    * DuckDB oracle replays features → sigmoid → aggregate end to end
+    * (previously rows-only: live L-BFGS weights are float-order
+    * dependent). Training determinism + holdout accuracy — and this
+    * frozen vector's agreement with a fresh fit — stay pinned in
+    * QualityClassifierSpec. Aggregates go through DECIMAL sums of the
+    * 6dp-rounded scores, so no float summation-order drift. */
+  private val QualityClfWeights =
+    Array(-0.388766, -2.123986, -7.057852, 14.115547, -0.015466, 0.0)
+  private val QualityClfIntercept = 1.079995
+
+  /** The frozen serving model of [[llmQualityClf]] (spec hook: the
+    * cross-SF holdout check in QualityClassifierSpec reads it). */
+  def frozenQualityModel: graft.llm.QualityClassifier.Model =
+    graft.llm.QualityClassifier.Model(QualityClfWeights.clone(), QualityClfIntercept)
+
   private def llmQualityClf(spark: SparkSession, dir: String): DataFrame = {
+    val model =
+      graft.llm.QualityClassifier.Model(QualityClfWeights, QualityClfIntercept)
     val docs = t(spark, dir, "documents")
-    val model = graft.llm.QualityClassifier.train(docs, "text")
     val clean = graft.llm.QualityClassifier.score(docs, "doc_id", "text", model)
       .withColumn("cls", lit("clean"))
     val dirty = graft.llm.QualityClassifier.score(
@@ -2283,8 +2325,10 @@ object Registry {
       "doc_id", "text", model).withColumn("cls", lit("corrupted"))
     clean.unionByName(dirty).groupBy("cls")
       .agg(count(lit(1)).as("n"),
-        avg(col("quality_score")).as("mean_score"),
-        avg((col("quality_score") > 0.5).cast("double")).as("frac_pass"))
+        (floor(sum(col("quality_score").cast(DecimalType(20, 6))).cast("double")
+          / count(lit(1)) * 1e6 + 0.5) / 1e6).as("mean_score"),
+        (floor(sum((col("quality_score") > 0.5).cast("long")).cast("double")
+          / count(lit(1)) * 1e6 + 0.5) / 1e6).as("frac_pass"))
       .orderBy("cls")
   }
 
@@ -4022,6 +4066,46 @@ object Registry {
          JOIN nation sn ON s_nationkey = sn.n_nationkey
          WHERE c_nationkey <> s_nationkey
          GROUP BY cn.n_name, sn.n_name ORDER BY cust_nation, supp_nation""",
+    // NEAR-dup SemDeDup replay: same generated k-means + pairing +
+    // component fixpoint as q_llm_semdedup_det below, but the planted
+    // replicas are ×1.001 in DOUBLE space (bitwise-distinct, cosine ≈ 1)
+    // — every step stays IEEE-double so the replay is exact.
+    "q_llm_semdedup" ->
+      (graft.llm.DetKMeans.oracleCtes(
+        "(SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding" +
+        " FROM embeddings UNION ALL" +
+        " SELECT vec_id + 10000, list_transform(embedding," +
+        "   x -> CAST(x AS DOUBLE) * CAST(1.001 AS DOUBLE))" +
+        " FROM embeddings WHERE vec_id < 20) un",
+        "vec_id", "embedding", k = 16, iters = 3, dim = 64)
+        .replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+         ev AS (SELECT vec_id + 10000 AS id,
+                  list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(1.001 AS DOUBLE)) AS e
+                FROM embeddings WHERE vec_id < 20
+                UNION ALL
+                SELECT vec_id AS id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings),
+         pr AS (SELECT ca.id AS id_a, cb.id AS id_b
+                FROM a3 ca JOIN a3 cb ON ca.cid = cb.cid AND ca.id < cb.id
+                JOIN ev a ON a.id = ca.id JOIN ev b ON b.id = cb.id
+                WHERE floor(list_sum(list_transform(list_zip(a.e, b.e),
+                    p -> p[1] * p[2])) /
+                  (sqrt(list_sum(list_transform(a.e, x -> x*x)))
+                   * sqrt(list_sum(list_transform(b.e, x -> x*x))))
+                  * 1000000 + 0.5) / 1000000 >= 0.999),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pr
+                   UNION ALL SELECT id_b, id_a FROM pr),
+         nodes AS (SELECT DISTINCT a AS id FROM edges),
+         reach(id, lab) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.b AS id, r.lab FROM reach r JOIN edges e ON e.a = r.id),
+         labels AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
+         SELECT id AS vec_id, component FROM labels
+         WHERE component < id ORDER BY vec_id"""),
     // Full SemDeDup replay: generated k-means CTEs (a3 = assignment to
     // the final round-2 centroids), within-cell cosine pairs at the
     // engine's 6dp floor-rounded threshold, then the component fixpoint
@@ -5063,6 +5147,20 @@ object Registry {
               * sqrt(list_sum(list_transform(qe, x -> x*x)))) * 1000000 + 0.5) / 1000000
              AS cosine_sim
          FROM c, q ORDER BY cosine_sim DESC, vec_id LIMIT 10""",
+    // nprobe = k probes every cluster, so the IVF answer is exact by
+    // construction: brute-force top-5 IS the oracle (the k-means fit only
+    // picks the pruning layout, which this query deliberately disables).
+    "q_llm_ann_ivf_kmeans" ->
+      """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+                    FROM embeddings WHERE vec_id = 0),
+           c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                 FROM embeddings)
+         SELECT vec_id,
+           floor(list_sum(list_transform(list_zip(e, qe), p -> p[1] * p[2])) /
+             (sqrt(list_sum(list_transform(e, x -> x*x)))
+              * sqrt(list_sum(list_transform(qe, x -> x*x)))) * 1000000 + 0.5) / 1000000
+             AS cosine_sim
+         FROM c, q ORDER BY cosine_sim DESC, vec_id LIMIT 5""",
     "q_llm_ann_quant" ->
       """WITH s AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
                     FROM embeddings),
@@ -5144,6 +5242,71 @@ object Registry {
              + (CASE WHEN ntok > 0 AND nchars / ntok >= 3 AND nchars / ntok <= 12
                      THEN 1.0 ELSE 0.0 END) * 0.2) * 10000 + 0.5) / 10000 AS quality
          FROM m ORDER BY doc_id""",
+    // Frozen-weight logistic scorer replay: deterministic corruption
+    // (position-mod token mangling), the six feature kernels, the
+    // closed-form sigmoid with the frozen literals (same add order as the
+    // Scala reduce), 6dp floor-round, DECIMAL-summed aggregates.
+    "q_llm_quality_clf" ->
+      s"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                      FROM documents),
+         base AS (SELECT doc_id, text, 'clean' AS cls FROM documents
+                  UNION ALL
+                  SELECT d.doc_id,
+                    CASE WHEN trim(d.text) = '' THEN ''
+                      ELSE array_to_string(list_transform(range(len(tk.t)),
+                        i -> CASE WHEN i % 3 = 0 THEN '##$$%@!'
+                          WHEN i % 4 = 0
+                            THEN tk.t[i+1] || ' ' || tk.t[i+1] || ' ' || tk.t[i+1]
+                          ELSE tk.t[i+1] END), ' ') END AS text,
+                    'corrupted' AS cls
+                  FROM documents d JOIN tk ON d.doc_id = tk.doc_id),
+         f AS (SELECT cls, doc_id, text,
+             CASE WHEN trim(text) = '' THEN CAST(0 AS DOUBLE)
+               ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+             END AS ntok,
+             string_split_regex(trim(text), '\\s+') AS toks,
+             string_split_regex(lower(trim(text)), '\\s+') AS ltoks,
+             CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) AS nonws,
+             CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) AS hashes,
+             CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE) AS ellipses,
+             string_split(text, chr(10)) AS ls
+           FROM base),
+         g AS (SELECT cls, doc_id,
+             ln(1 + ntok) AS f1,
+             CASE WHEN ntok > 0
+               THEN floor(nonws / ntok * 10000 + 0.5) / 10000
+               ELSE 0.0 END AS f2,
+             CASE WHEN ntok > 0
+               THEN floor((hashes + ellipses) / ntok * 10000 + 0.5) / 10000
+               ELSE 0.0 END AS f3,
+             CASE WHEN ntok > 0
+               THEN floor(CAST(len(list_filter(toks,
+                 t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+                 / ntok * 10000 + 0.5) / 10000
+               ELSE 0.0 END AS f4,
+             ln(1 + CAST(CASE WHEN ntok > 0 THEN len(list_filter(ltoks,
+               t -> t IN ('the','a','an','of','to','in','and','is','on','for')))
+               ELSE 0 END AS DOUBLE)) AS f5,
+             CASE WHEN list_sum(list_transform(ls, l -> length(l))) > 0
+               THEN floor((list_sum(list_transform(ls, l -> length(l)))
+                 - list_sum(list_transform(list_distinct(ls), l -> length(l))))
+                 / CAST(list_sum(list_transform(ls, l -> length(l))) AS DOUBLE)
+                 * 10000 + 0.5) / 10000
+               ELSE 0.0 END AS f6
+           FROM f),
+         s AS (SELECT cls,
+             floor(1.0 / (1.0 + exp(-(f1 * ${QualityClfWeights(0)}
+               + f2 * ${QualityClfWeights(1)} + f3 * ${QualityClfWeights(2)}
+               + f4 * ${QualityClfWeights(3)} + f5 * ${QualityClfWeights(4)}
+               + f6 * ${QualityClfWeights(5)} + $QualityClfIntercept)))
+               * 1000000 + 0.5) / 1000000 AS score
+           FROM g)
+         SELECT cls, CAST(count(*) AS BIGINT) AS n,
+           floor(CAST(sum(CAST(score AS DECIMAL(20,6))) AS DOUBLE)
+             / count(*) * 1000000 + 0.5) / 1000000 AS mean_score,
+           floor(CAST(sum(CASE WHEN score > 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 1000000 + 0.5) / 1000000 AS frac_pass
+         FROM s GROUP BY cls ORDER BY cls""",
     "q_llm_nfc" ->
       """SELECT doc_id,
            md5(nfc_normalize(text || 'e' || chr(769))) AS norm_hash,
@@ -6025,7 +6188,7 @@ object Registry {
          SELECT doc_id,
            string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS feat
          FROM f GROUP BY doc_id ORDER BY doc_id""",
-    // The packed (hash·4096 + reversed-pos) argmin replayed as a plain
+    // The packed (hash·2^24 + reversed-pos) argmin replayed as a plain
     // window min; rightmost-minimum tie rule falls out of the packing.
     "q_llm_winnow" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
@@ -6035,16 +6198,16 @@ object Registry {
                 FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
                       FROM tk)),
          p AS (SELECT doc_id, i - 1 AS pos,
-                 ('0x' || substr(md5(gram), 1, 7))::BIGINT * 4096
-                   + (4095 - (i - 1)) AS packed
+                 ('0x' || substr(md5(gram), 1, 7))::BIGINT * 16777216
+                   + (16777215 - (i - 1)) AS packed
                FROM gr),
          s AS (SELECT doc_id, pos,
                  min(packed) OVER (PARTITION BY doc_id ORDER BY pos
                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
                FROM p)
          SELECT DISTINCT doc_id,
-           CAST(4095 - (sel % 4096) AS BIGINT) AS pos,
-           sel // 4096 AS fp
+           CAST(16777215 - (sel % 16777216) AS BIGINT) AS pos,
+           sel // 16777216 AS fp
          FROM s WHERE s.pos >= 3 ORDER BY doc_id, pos, fp""",
     // Same packed-argmin replay over base + planted docs, distinct
     // (id, fp), df-capped bucket join, shared-count threshold.
@@ -6062,14 +6225,14 @@ object Registry {
                 FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
                       FROM tk)),
          p AS (SELECT doc_id, i - 1 AS pos,
-                 ('0x' || substr(md5(gram), 1, 7))::BIGINT * 4096
-                   + (4095 - (i - 1)) AS packed
+                 ('0x' || substr(md5(gram), 1, 7))::BIGINT * 16777216
+                   + (16777215 - (i - 1)) AS packed
                FROM gr),
          s AS (SELECT doc_id, pos,
                  min(packed) OVER (PARTITION BY doc_id ORDER BY pos
                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
                FROM p),
-         fp AS (SELECT DISTINCT doc_id AS id, sel // 4096 AS fp
+         fp AS (SELECT DISTINCT doc_id AS id, sel // 16777216 AS fp
                 FROM s WHERE s.pos >= 3),
          rare AS (SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM fp GROUP BY fp)
                   WHERE df <= 50),

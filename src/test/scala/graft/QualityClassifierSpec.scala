@@ -53,6 +53,26 @@ class QualityClassifierSpec extends SparkSpecBase {
     assert(viaColumn.toSeq == byHand.toSeq)
   }
 
+  test("frozen registry weights classify like a fresh fit (>= 0.9 both ways)") {
+    // q_llm_quality_clf serves a FROZEN weight vector (trained once on
+    // sf0.01, 6dp-rounded) so its oracle can replay the sigmoid in SQL.
+    // Freezing must not cost classification power: the frozen scorer has
+    // to separate clean from corrupted sf0.001 docs (cross-SF holdout —
+    // this corpus is not what the frozen weights were fitted on).
+    val frozen = graft.queries.Registry.frozenQualityModel
+    val clean = QualityClassifier.score(docs, "doc_id", "text", frozen)
+    val dirty = QualityClassifier.score(
+      docs.select(col("doc_id"),
+        QualityClassifier.corrupt(col("text")).as("text")),
+      "doc_id", "text", frozen)
+    val accClean = clean.agg(avg((col("quality_score") > 0.5).cast("double")))
+      .head.getDouble(0)
+    val accDirty = dirty.agg(avg((col("quality_score") < 0.5).cast("double")))
+      .head.getDouble(0)
+    assert(accClean >= 0.9, s"frozen clean accuracy $accClean")
+    assert(accDirty >= 0.9, s"frozen corrupted accuracy $accDirty")
+  }
+
   test("corruption is deterministic and actually degrades the features") {
     val c1 = docs.select(QualityClassifier.corrupt(col("text")).as("t"))
       .orderBy("t").collect().map(_.getString(0)).toSeq

@@ -15,9 +15,11 @@ class RegistrySpec extends AnyFunSuite {
 
   test("registry size and oracle coverage match COVERAGE.md") {
     assert(SparkEntry.queries.size == 206)
-    assert(SparkEntry.oracleSql.size == 198)
+    assert(SparkEntry.oracleSql.size == 201)
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
-    assert(rowsOnly.size == 8, s"rows-only set drifted: $rowsOnly")
+    assert(rowsOnly == Set("q_llm_ann_pq", "q_llm_ann_ivfpq",
+      "q_llm_ann_ivfpq_rerank", "q_llm_bpe", "q_llm_compress_ratio"),
+      s"rows-only set drifted: $rowsOnly")
   }
 
   test("query names are unique after bench key compaction") {

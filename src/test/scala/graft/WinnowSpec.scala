@@ -39,6 +39,37 @@ class WinnowSpec extends SparkSpecBase {
     assert((a & b).size > a.size / 2, "local edit must not churn the sketch")
   }
 
+  test("long documents (> 4096 grams) fingerprint exactly — no pos underflow") {
+    import spark.implicits._
+    // 5000 words -> 4998 word-3-grams: under the old 12-bit PosCap=4096
+    // packing, every gram past pos 4095 underflowed into the previous
+    // hash's range (silently wrong fp AND pos). Replay the selection
+    // driver-side and require exact (pos, fp) equality end to end.
+    val nWords = 5000
+    val words = (0 until nWords).map(i => s"w${(i * 104729) % 1500}")
+    val docs = Seq((1L, words.mkString(" "))).toDF("id", "text")
+    val got = Winnow.fingerprints(docs, "id", "text", k = 3, w = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+
+    def h28(g: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(7), 16)
+    }
+    val grams = words.sliding(3).map(_.mkString(" ")).toIndexedSeq
+    assert(grams.size > 4096, "test must exceed the old 12-bit cap")
+    val packed = grams.zipWithIndex.map { case (g, p) =>
+      h28(g) * Winnow.PosCap + (Winnow.PosCap - 1 - p)
+    }
+    val want = (3 until grams.size).map { p =>
+      val sel = packed.slice(p - 3, p + 1).min
+      (Winnow.PosCap - 1 - (sel % Winnow.PosCap), sel / Winnow.PosCap)
+    }.toSet
+    assert(got == want, "fingerprints must match the exact driver replay")
+    // every decoded position must be a real gram position
+    assert(got.forall { case (p, _) => p >= 0 && p < grams.size })
+  }
+
   test("overlap pairs: plagiarized pair found; boilerplate fps capped out") {
     import spark.implicits._
     val shared = (0 until 20).map(i => s"s$i").mkString(" ")   // real overlap
