@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query against
-  * SPARK_GRAFT_SF_DIR and prints one JSON line. A query that throws is
-  * recorded as -1 (failed) — never as its elapsed-time-until-crash — so
-  * BENCH output is auditable. */
+  * SPARK_GRAFT_SF_DIR (two passes, recording the per-query MIN — robust
+  * to one-sided host-load noise) and prints one JSON line. A query that
+  * throws is recorded as -1 (failed) — never as its
+  * elapsed-time-until-crash — so BENCH output is auditable. */
 object Bench {
 
   // Keys compress hard in the compact line only (the sidecar keeps full
@@ -75,19 +76,32 @@ object Bench {
     // fixture setup (Verify still runs the full ingest pipeline per round).
     try graft.queries.Registry.warmSharedStore(spark)
     catch { case _: Throwable => }
+    // Two timed passes per query, report the MIN: a transient host-load
+    // spike (CI neighbors, page-cache cold start) then taxes at most one
+    // pass instead of poisoning the recorded number — r8 and r9 both
+    // recorded phantom 2-3× "regressions" on whichever query block
+    // happened to share the spike window, and min-of-two is the cheapest
+    // estimator that is robust to one-sided noise (run time only ever
+    // ADDS noise). Queries with write side effects land overwrite-
+    // idempotent layouts, so the second pass is safe by construction.
     val results: Seq[(String, Double)] = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val elapsed =
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        // Cached frames (minhash/cosine/funnel persist intermediates) would
+        // otherwise accumulate across 200 queries and GC-tax later ones;
+        // each pass is measured from a clean cache, like a fresh session.
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           -1.0
-        }
-      // Cached frames (minhash/cosine/funnel persist intermediates) would
-      // otherwise accumulate across 90 queries and GC-tax later ones; each
-      // query is measured from a clean cache, like a fresh session would be.
-      spark.catalog.clearCache()
-      name -> elapsed
+        } finally spark.catalog.clearCache()
+      }
+      val first = once()
+      val best = if (first < 0) first else {
+        val second = once()
+        if (second < 0) -1.0 else math.min(first, second)
+      }
+      name -> best
     }
     // The harness that captures this output keeps only the final 2000
     // characters of the log (sbt's trailing "[success] Total time" line

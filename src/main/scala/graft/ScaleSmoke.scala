@@ -335,6 +335,18 @@ object ScaleSmoke {
         coEdges.unionAll(hubEdges), "x", "y").count())
     println(s"[scale] hub triangles: $triHub")
 
+    // Round-10: k-core peeling at the exact BENCH shape (k=8, rounds=6,
+    // the same co-purchase graph q_graph_kcore runs) — the one heavy
+    // bench query previously missing from this suite. Late rounds shrink
+    // to KB scale and coalesce below ~500k edges/partition, so the
+    // scheduler floor, not task count, bounds the tail.
+    val kcoreRows = timed("kcore peel (k=8, rounds=6, bench shape)")(
+      graft.operators.KCore.peelSummary(
+        graft.operators.Triangles.canonical(coEdges, "x", "y"),
+        k = 8, rounds = 6).collect())
+    println(s"[scale] kcore rounds: ${kcoreRows.map(r =>
+      s"${r.getLong(0)}:${r.getLong(1)}n/${r.getLong(2)}e").mkString(" ")}")
+
     // HLL registers over 20× events (~10M items): the register file must
     // stay ≤ 256 rows per group however many rows stream through — the
     // shuffle carries per-partition partial maxima only.

@@ -21,7 +21,7 @@ object SparkEntry {
     * S1→H1/H3→P2/P3→F2/F5/F6→P5→D1→U2/U3→J2→J5/F15 in one plan. */
   def entry(spark: SparkSession): DataFrame = {
     Registry.configure(spark)
-    val work = java.nio.file.Files.createTempDirectory("graft-flagship").toString
+    val work = graft.queries.Scratch.fresh("flagship")
 
     val rvuCsv = s"$work/pfs_rvu.csv"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(rvuCsv),

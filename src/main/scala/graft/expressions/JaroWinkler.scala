@@ -54,7 +54,19 @@ case class JaroWinkler(left: Expression, right: Expression)
 
 object JaroWinkler {
 
-  /** floor(jaro_winkler(a, b) · 10000 + 0.5) as an exact integer. */
+  /** Inputs whose longer side stays ≤ this many UTF-16 code units score
+    * entirely in Long arithmetic (num·20000 ≤ 1.2·10⁶·L³ < 2⁶³ holds
+    * with a wide margin at 10⁴); longer inputs take an exact BigInt
+    * path — same value, no silent overflow. */
+  val LongSafeLen = 10000
+
+  /** floor(jaro_winkler(a, b) · 10000 + 0.5) as an exact integer.
+    *
+    * Semantics note: lengths, match positions, and the prefix compare
+    * UTF-16 CODE UNITS (Java `String.charAt`), so a non-BMP character
+    * (surrogate pair) counts as two units — matching DuckDB/RapidFuzz
+    * only on BMP text; byte- or codepoint-based implementations diverge
+    * on astral-plane input. */
   def sim4(ua: UTF8String, ub: UTF8String): Long = {
     val a = ua.toString
     val b = ub.toString
@@ -95,19 +107,33 @@ object JaroWinkler {
       }
       i += 1
     }
-    // jaro = N / D exactly, with D = 6·m·la·lb.
-    val mL = m.toLong
-    val n = 2L * mL * mL * (la + lb) + (2L * mL - k) * la * lb
-    val d = 6L * mL * la.toLong * lb
     // Winkler boost only above the standard 0.7 threshold (N/D > 7/10).
     var prefix = 0
     while (prefix < math.min(4, math.min(la, lb)) &&
       a.charAt(prefix) == b.charAt(prefix)) prefix += 1
-    val (num, den) =
-      if (prefix > 0 && 10L * n > 7L * d)
-        ((10L - prefix) * n + prefix * d, 10L * d)
-      else (n, d)
-    // floor(num/den · 10⁴ + ½) in pure integer arithmetic.
-    (num * 20000L + den) / (2L * den)
+    val mL = m.toLong
+    if (math.max(la, lb) <= LongSafeLen) {
+      // jaro = N / D exactly, with D = 6·m·la·lb.
+      val n = 2L * mL * mL * (la + lb) + (2L * mL - k) * la * lb
+      val d = 6L * mL * la.toLong * lb
+      val (num, den) =
+        if (prefix > 0 && 10L * n > 7L * d)
+          ((10L - prefix) * n + prefix * d, 10L * d)
+        else (n, d)
+      // floor(num/den · 10⁴ + ½) in pure integer arithmetic.
+      (num * 20000L + den) / (2L * den)
+    } else {
+      // Long inputs: num·20000 grows as ~1.2e6·L³ and would overflow a
+      // Long past L ≈ 2·10⁴ code units — same formulas through BigInt
+      // (rare path: similarity scoring of book-length strings).
+      val n = BigInt(2) * mL * mL * (la + lb) +
+        (BigInt(2) * mL - k) * la * lb
+      val d = BigInt(6) * mL * la * lb
+      val (num, den) =
+        if (prefix > 0 && 10 * n > 7 * d)
+          (BigInt(10 - prefix) * n + BigInt(prefix) * d, 10 * d)
+        else (n, d)
+      ((num * 20000 + den) / (2 * den)).toLong
+    }
   }
 }

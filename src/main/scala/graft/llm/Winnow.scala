@@ -58,6 +58,35 @@ object Winnow {
       .distinct()
   }
 
+  /** The MOSS "locate the overlap" report: for every document pair
+    * sharing ≥ `minShared` winnowed fingerprints, the POSITION SPAN of
+    * the shared material in each document — (id_a, id_b, shared_fps,
+    * a_lo, a_hi, b_lo, b_hi), where lo/hi are the min/max gram positions
+    * at which a shared fingerprint was selected. [[overlapPairs]] says
+    * WHO overlaps; this says WHERE (the plagiarism-report half of
+    * Schleimer-Wilkerson-Aiken §5 — fingerprints carry positions
+    * precisely so matches can be located, not just counted). Same
+    * df ≤ maxDf hot-fingerprint guard, so candidate volume stays linear
+    * in the fingerprint relation. */
+  def overlapSpans(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3, w: Int = 4, maxDf: Int = 50,
+                   minShared: Int = 3): DataFrame = {
+    val fps = fingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("pos"), col("fp"))
+    val rare = fps.select("id", "fp").distinct()
+      .groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("fp")
+    val kept = fps.join(rare, Seq("fp"))
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(countDistinct(col("a.fp")).as("shared_fps"),
+        min(col("a.pos")).as("a_lo"), max(col("a.pos")).as("a_hi"),
+        min(col("b.pos")).as("b_lo"), max(col("b.pos")).as("b_hi"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** The MOSS overlap report: document pairs sharing ≥ `minShared`
     * winnowed fingerprints. Fingerprints occurring in more than `maxDf`
     * documents are dropped BEFORE the pair join — corpus-wide boilerplate

@@ -672,7 +672,7 @@ object Registry {
     * sink AND the scan. */
   private def sOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val p = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val p = Scratch.dir("orc")
     Seq(
       (1L, "alpha", 1.5, "2024-01-15"),
       (2L, "béta", -0.25, "2024-06-30"),
@@ -1220,7 +1220,7 @@ object Registry {
     * computed on the source table — which is exactly what the oracle
     * recomputes from `documents` directly. */
   private def llmExportJsonl(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl-x").toString
+    val tmp = Scratch.dir("jsonl-x")
     t(spark, dir, "documents")
       .select(to_json(struct(col("doc_id"), col("lang"), col("source"),
         col("text"))).as("value"))
@@ -1307,7 +1307,7 @@ object Registry {
     * column: distinct keys, max per-key share, and the
     * Herfindahl–Hirschman concentration index Σ(n_k/N)². Both ratios are
     * small-denominator rationals of exact integer sums, so the report is
-    * engine-exact (HHI·10⁸ and share·10⁴ computed by integer division) —
+    * engine-exact (HHI·10⁶ and share·10⁴ computed by integer division) —
     * no float forms. One (column, key) aggregate per diagnosed column,
     * second keys-sized fold; nothing wider than the key-count relation
     * shuffles. */
@@ -1988,10 +1988,11 @@ object Registry {
 
   private def tempStore(spark: SparkSession): graft.store.VersionStore =
     new graft.store.VersionStore(spark,
-      java.nio.file.Files.createTempDirectory("graft-q-store").toString)
+      Scratch.fresh("q-store"))
 
   private def writeCsv(content: String): String = {
-    val p = java.nio.file.Files.createTempFile("graft-q", ".csv")
+    val p = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(Scratch.dir("q-csv")), "graft-q", ".csv")
     java.nio.file.Files.writeString(p, content)
     p.toString
   }
@@ -2267,7 +2268,7 @@ object Registry {
       .filter(pmod(col("l_orderkey"), lit(101)) === 0)
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_quantity"), col("l_returnflag"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft-avro").toString
+    val tmp = Scratch.dir("avro")
     graft.io.AvroIo.write(src, tmp)
     graft.io.AvroIo.read(spark, tmp)
       .groupBy("l_returnflag")
@@ -2337,7 +2338,7 @@ object Registry {
     * query reads ONLY the qualifying files (FileManifestSpec pins the
     * pruning itself; the oracle pins exactness of the pruned answer). */
   private def storeManifestPrune(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-manifest-q").toString
+    val tmp = Scratch.dir("manifest-q")
     t(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
         col("l_extendedprice"))
@@ -2464,7 +2465,7 @@ object Registry {
     * recomputes the same split labels arithmetically, so the partitioned
     * write→read roundtrip must be lossless AND correctly routed. */
   private def llmExportShards(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft-export").toString
+    val out = Scratch.dir("export")
     t(spark, dir, "documents")
       .withColumn("split", graft.llm.Sampling.splitLabel(col("doc_id"), 0.9))
       .write.mode("overwrite").partitionBy("split").parquet(out)
@@ -2882,7 +2883,7 @@ object Registry {
     * the region table so the oracle can express the merged read as a
     * UNION ALL over the base relation. */
   private def sSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
-    val p = java.nio.file.Files.createTempDirectory("graft-evo").toString
+    val p = Scratch.dir("evo")
     val r = t(spark, dir, "region")
     r.select(col("r_regionkey").cast("long").as("k"), col("r_name").as("name"))
       .write.mode("overwrite").parquet(s"$p/part=v1")
@@ -3260,7 +3261,7 @@ object Registry {
     * exactness of the pruned answer (no false negatives by
     * construction). */
   private def storeBloomPrune(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-bloom-q").toString
+    val tmp = Scratch.dir("bloom-q")
     t(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
       .repartitionByRange(8, col("l_orderkey"))
@@ -3361,6 +3362,24 @@ object Registry {
           slice(split(trim(col("text")), "\\s+"), 5, 12),
           lit("fresh tail content entirely new")).as("text"))
     graft.llm.Winnow.overlapPairs(base.unionByName(planted),
+        "doc_id", "text", k = 3, w = 4, maxDf = 50, minShared = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** MOSS locate-the-overlap: for the winnow_pairs corpus (base docs +
+    * two planted plagiarized copies), WHERE the shared material sits in
+    * each document of an overlapping pair — min/max selected-fingerprint
+    * positions per side ([[graft.llm.Winnow.overlapSpans]]). Completes
+    * the plagiarism-detection story: pairs says who, this says where. */
+  private def llmWinnowLocate(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("text"))
+    val planted = base.filter(col("doc_id").isin(7L, 11L))
+      .select((col("doc_id") + 5000).as("doc_id"),
+        concat_ws(" ",
+          slice(split(trim(col("text")), "\\s+"), 5, 12),
+          lit("fresh tail content entirely new")).as("text"))
+    graft.llm.Winnow.overlapSpans(base.unionByName(planted),
         "doc_id", "text", k = 3, w = 4, maxDf = 50, minShared = 3)
       .orderBy("id_a", "id_b")
   }
@@ -3606,18 +3625,28 @@ object Registry {
     * pins "exactly one hash exchange in the whole plan, and it is the
     * post-join aggregation, not the join". The 100 TB pattern: the ETL
     * write amortizes one shuffle across every downstream join on the
-    * key. */
+    * key.
+    *
+    * WRITE SIDE EFFECT: this query lands two managed tables (and their
+    * warehouse directories) and drops any previous run's. The table
+    * names carry a per-PROCESS suffix so concurrent sessions sharing a
+    * warehouse dir (e.g. a bench and a verify run) land disjoint
+    * tables/paths instead of racing on one fixed name. */
+  private lazy val bktSuffix: String =
+    java.lang.Long.toHexString(ProcessHandle.current().pid())
+
   private def storeBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (tl, to) = (s"graft_bkt_lineitem_$bktSuffix", s"graft_bkt_orders_$bktSuffix")
     graft.store.Bucketed.land(
       t(spark, dir, "lineitem")
         .select(col("l_orderkey"), col("l_quantity")),
-      "graft_bkt_lineitem", "l_orderkey", nBuckets = 8)
+      tl, "l_orderkey", nBuckets = 8)
     graft.store.Bucketed.land(
       t(spark, dir, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
-      "graft_bkt_orders", "l_orderkey", nBuckets = 8)
-    graft.store.Bucketed.read(spark, "graft_bkt_lineitem").hint("merge")
-      .join(graft.store.Bucketed.read(spark, "graft_bkt_orders").hint("merge"),
+      to, "l_orderkey", nBuckets = 8)
+    graft.store.Bucketed.read(spark, tl).hint("merge")
+      .join(graft.store.Bucketed.read(spark, to).hint("merge"),
         Seq("l_orderkey"))
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"),
@@ -3806,6 +3835,7 @@ object Registry {
     "q_llm_feat_hash" -> q(llmFeatHash),
     "q_llm_winnow" -> q(llmWinnow),
     "q_llm_winnow_pairs" -> q(llmWinnowPairs),
+    "q_llm_winnow_locate" -> q(llmWinnowLocate),
     "q_graph_kcore" -> q(graphKcore),
     "q_llm_bpe_det" -> q(llmBpeDet),
     "q_mm_resize" -> q(mmResize),
@@ -6241,6 +6271,45 @@ object Registry {
            CAST(COUNT(*) AS BIGINT) AS shared_fps
          FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
          GROUP BY 1, 2 HAVING COUNT(*) >= 3 ORDER BY id_a, id_b""",
+    // Locate-the-overlap replay: the winnow_pairs pipeline but carrying
+    // selected POSITIONS through the pair join; spans = min/max selected
+    // position per side, shared count = distinct fingerprints.
+    "q_llm_winnow_locate" ->
+      """WITH doc AS (SELECT doc_id, text FROM documents WHERE doc_id < 300
+                      UNION ALL
+                      SELECT doc_id + 5000,
+                        array_to_string(string_split_regex(trim(text), '\s+')[5:16], ' ')
+                          || ' fresh tail content entirely new'
+                      FROM documents WHERE doc_id IN (7, 11)),
+         tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                FROM doc),
+         gr AS (SELECT doc_id, i,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+                FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+                      FROM tk)),
+         p AS (SELECT doc_id, i - 1 AS pos,
+                 ('0x' || substr(md5(gram), 1, 7))::BIGINT * 16777216
+                   + (16777215 - (i - 1)) AS packed
+               FROM gr),
+         s AS (SELECT doc_id, pos,
+                 min(packed) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+               FROM p),
+         fp AS (SELECT DISTINCT doc_id AS id,
+                  CAST(16777215 - (sel % 16777216) AS BIGINT) AS pos,
+                  sel // 16777216 AS fp
+                FROM s WHERE s.pos >= 3),
+         dfs AS (SELECT fp FROM (SELECT fp, COUNT(*) AS df
+                   FROM (SELECT DISTINCT id, fp FROM fp) GROUP BY fp)
+                 WHERE df <= 50),
+         kept AS (SELECT id, pos, fp.fp FROM fp JOIN dfs USING (fp))
+         SELECT a.id AS id_a, b.id AS id_b,
+           CAST(COUNT(DISTINCT a.fp) AS BIGINT) AS shared_fps,
+           min(a.pos) AS a_lo, max(a.pos) AS a_hi,
+           min(b.pos) AS b_lo, max(b.pos) AS b_hi
+         FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
+         GROUP BY 1, 2 HAVING COUNT(DISTINCT a.fp) >= 3
+         ORDER BY id_a, id_b""",
     // GENERATED peel replay (KCore.oracleCtes): DuckDB re-runs all six
     // rounds over the same canonical co-purchase edges.
     "q_graph_kcore" -> (graft.operators.KCore.oracleCtes(
@@ -6637,12 +6706,18 @@ object Registry {
          SELECT prev_type, next_type, n,
            floor(n * 10000.0 / sum(n) OVER () + 0.5) / 10000 AS frac
          FROM t2 ORDER BY n DESC, prev_type, next_type LIMIT 20""",
-    // Blocking and typo construction replay verbatim; the score pairs the
-    // engine's exact-integer kernel against DuckDB's native
-    // jaro_winkler_similarity (same textbook definition incl. the 0.7
-    // boost threshold), floored to the same 4dp integer.
+    // Blocking and typo construction replay verbatim; the score replays
+    // the engine's EXACT cleared-denominator integer kernel — the greedy
+    // Jaro match runs as a recursive CTE over character positions with
+    // bitmask match-flags (names are <= 12 chars, far under 63 bits), so
+    // m, k (half-transpositions) and the prefix are exact integers and
+    // sim4 = floor(jw*10^4 + 1/2) is decided by integer division on both
+    // engines. (The previous oracle floored DuckDB's double
+    // jaro_winkler_similarity: a score on a half-unit boundary could
+    // round to a different 4dp integer than the exact kernel and flip the
+    // top-1 best_name — a data-dependent flake this replay removes.)
     "q_llm_er_linkage" ->
-      """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+      """WITH RECURSIVE names AS (SELECT DISTINCT p_name AS name FROM part),
          nb AS (SELECT name, substr(name, 1, 1) AS blk,
                   length(name) AS len FROM names),
          v AS (SELECT p_partkey, p_name AS orig,
@@ -6652,14 +6727,67 @@ object Registry {
                  substr(orig, 1, i - 1) || substr(orig, i + 1, 1)
                    || substr(orig, i, 1) || substr(orig, i + 2) AS variant
                FROM v),
-         cand AS (SELECT vv.p_partkey, vv.variant, nb.name,
-                 CAST(floor(jaro_winkler_similarity(vv.variant, nb.name)
-                   * 10000 + 0.5) AS BIGINT) AS sim4
+         cand AS (SELECT vv.p_partkey, vv.variant, nb.name
                FROM vv JOIN nb ON substr(vv.variant, 1, 1) = nb.blk
                  AND length(vv.variant) = nb.len),
+         -- Greedy Jaro match: for each a-position i (in order), claim the
+         -- smallest unclaimed j within the window with an equal char.
+         mt AS (
+           SELECT p_partkey, variant AS a, name AS b, 0 AS i,
+             CAST(0 AS BIGINT) AS amask, CAST(0 AS BIGINT) AS bmask,
+             greatest(0, greatest(length(variant), length(name)) // 2 - 1) AS w
+           FROM cand
+           UNION ALL
+           SELECT p_partkey, a, b, i + 1,
+             CASE WHEN j IS NOT NULL THEN amask | (CAST(1 AS BIGINT) << i)
+                  ELSE amask END,
+             CASE WHEN j IS NOT NULL THEN bmask | (CAST(1 AS BIGINT) << j)
+                  ELSE bmask END,
+             w
+           FROM (SELECT p_partkey, a, b, i, amask, bmask, w,
+                   list_min(list_filter(
+                     range(greatest(0, i - w), least(length(b), i + w + 1)),
+                     jj -> substr(b, CAST(jj + 1 AS BIGINT), 1)
+                             = substr(a, i + 1, 1)
+                       AND ((bmask >> jj) & 1) = 0)) AS j
+                 FROM mt WHERE i < length(a)) step),
+         fin AS (SELECT p_partkey, a, b, amask, bmask,
+                   CAST(bit_count(amask) AS BIGINT) AS m
+                 FROM mt WHERE i = length(a)),
+         -- k = positions where the ordered matched subsequences disagree;
+         -- prefix = first mismatch index capped at 4.
+         sc AS (SELECT p_partkey, a, b, m,
+             CASE WHEN m = 0 THEN CAST(0 AS BIGINT) ELSE
+               list_sum(list_transform(list_zip(
+                 list_transform(list_filter(range(length(a)),
+                   i -> ((amask >> i) & 1) = 1), i -> substr(a, CAST(i + 1 AS BIGINT), 1)),
+                 list_transform(list_filter(range(length(b)),
+                   i -> ((bmask >> i) & 1) = 1), i -> substr(b, CAST(i + 1 AS BIGINT), 1))),
+                 p -> CASE WHEN p[1] <> p[2] THEN 1 ELSE 0 END)) END AS k,
+             coalesce(list_min(list_filter(range(least(length(a), length(b), 4)),
+               i -> substr(a, CAST(i + 1 AS BIGINT), 1)
+                      <> substr(b, CAST(i + 1 AS BIGINT), 1))),
+               least(length(a), length(b), 4)) AS pfx
+           FROM fin),
+         nd AS (SELECT p_partkey, a, b, m, pfx,
+             2 * m * m * (length(a) + length(b))
+               + (2 * m - k) * length(a) * length(b) AS n0,
+             6 * m * length(a) * length(b) AS d0
+           FROM sc),
+         bo AS (SELECT p_partkey, a, b, m,
+             CASE WHEN pfx > 0 AND 10 * n0 > 7 * d0
+               THEN (10 - pfx) * n0 + pfx * d0 ELSE n0 END AS num,
+             CASE WHEN pfx > 0 AND 10 * n0 > 7 * d0
+               THEN 10 * d0 ELSE d0 END AS den
+           FROM nd),
+         jw AS (SELECT p_partkey, a, b,
+             CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST((num * 20000 + den) // (2 * greatest(den, 1)) AS BIGINT)
+             END AS sim4
+           FROM bo),
          r AS (SELECT *, row_number() OVER (PARTITION BY p_partkey
-                 ORDER BY sim4 DESC, name) AS rk FROM cand)
-         SELECT p_partkey, variant, name AS best_name, sim4
+                 ORDER BY sim4 DESC, b) AS rk FROM jw)
+         SELECT p_partkey, a AS variant, b AS best_name, sim4
          FROM r WHERE rk = 1 ORDER BY p_partkey""",
     // Identical 40-bit md5 fold per row on both engines; sum is
     // order-invariant so partitioning/merge order cannot drift it.

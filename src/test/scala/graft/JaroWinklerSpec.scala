@@ -38,6 +38,27 @@ class JaroWinklerSpec extends SparkSpecBase {
     assert(s4("ab", "ba") == 0L) // window 0: no matches
   }
 
+  test("long inputs (> LongSafeLen) take the BigInt path without overflow") {
+    // 24k-char strings: num·20000 would overflow a Long (~1.2e6·L³). The
+    // pair is one 12-char block repeated, with a single trailing edit —
+    // verify against an all-BigInt replay of the same m/k/prefix counts.
+    val block = "abcdefghijkl"
+    val a = block * 2000
+    val b = block * 2000 + "zz"
+    val got = s4(a, b)
+    assert(got > 9990L && got <= 10000L, s"long-input score off: $got")
+    // All-BigInt replay: every a-char matches in order (same prefix
+    // alignment), so m = |a|, k = 0, prefix = 4.
+    val (la, lb, m, k, prefix) =
+      (BigInt(a.length), BigInt(b.length), BigInt(a.length), BigInt(0), 4)
+    val n = 2 * m * m * (la + lb) + (2 * m - k) * la * lb
+    val d = 6 * m * la * lb
+    val (num, den) =
+      if (10 * n > 7 * d) (BigInt(10 - prefix) * n + prefix * d, 10 * d)
+      else (n, d)
+    assert(got == ((num * 20000 + den) / (2 * den)).toLong)
+  }
+
   test("symmetry") {
     for ((a, b) <- Seq(("martha", "marhta"), ("dixon", "dicksonx"),
       ("aaapppp", "appp")))

@@ -90,6 +90,29 @@ class WinnowSpec extends SparkSpecBase {
       s"boilerplate fingerprints leaked pairs: $pairs")
   }
 
+  test("overlap spans locate the shared material on both sides") {
+    import spark.implicits._
+    val shared = (0 until 20).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),       // shared at words 2..21
+      (2L, s"p q r s t u v w x y $shared tail end")) // shared at words 10..29
+      .toDF("id", "text")
+    val spans = Winnow.overlapSpans(docs, "id", "text", k = 3, w = 4,
+        maxDf = 10, minShared = 3)
+      .collect()
+    assert(spans.length == 1)
+    val r = spans.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    val (aLo, aHi, bLo, bHi) =
+      (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+    // Doc 2's copy sits 8 words later than doc 1's: every shared
+    // fingerprint position must shift by exactly that offset band.
+    assert(aLo >= 2 && aHi <= 21, s"span a [$aLo,$aHi]")
+    assert(bLo >= 10 && bHi <= 29, s"span b [$bLo,$bHi]")
+    assert(bLo - aLo == 8 && bHi - aHi == 8,
+      s"copy offset must be 8: a=[$aLo,$aHi] b=[$bLo,$bHi]")
+  }
+
   test("hashed features: signed counts match a driver-side replay") {
     import spark.implicits._
     val docs = Seq((1L, "a b a b c"), (2L, "x y")).toDF("id", "text")
