@@ -67,6 +67,51 @@ object Index {
       .select(col("_id").as(idCol), col("term"), col("tf"), col("bm25"))
   }
 
+  /** Top-k DOCUMENTS for a multi-term query by summed Okapi BM25 — the
+    * retrieval direction of [[bm25TopTerms]]: instead of describing each
+    * document by its heaviest terms, rank the corpus against a fixed query
+    * (the "find me training examples about X" curation lookup, and the
+    * sparse half of a hybrid sparse+dense retrieval stack).
+    *
+    * Determinism across engines: the per-term contribution is floored to
+    * integer 1e-4 units BEFORE the per-document sum, so the document score
+    * is an exact integer sum (order-independent — summing raw doubles
+    * would make the score depend on Spark's partial-aggregation order) and
+    * only leaves integer space at the final /1e4 surface division.
+    *
+    * Plan shape: document length and corpus stats aggregate over ALL
+    * tokens (BM25's length normalization needs them), but the tf relation
+    * is filtered to the query's terms right at the explode — the join and
+    * scoring pipeline carries |query| rows per matching document, not the
+    * vocabulary. The final top-k is a global orderBy+limit, which Spark
+    * executes as TakeOrderedAndProject (per-partition heaps, no global
+    * sort). */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String], k: Int = 10,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Search needs at least one query term")
+    val terms = docs.select(col(idCol).as("_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val dl = terms.groupBy("_id").agg(count(lit(1)).as("dl"))
+    val qtf = terms.filter(col("term").isInCollection(queryTerms))
+      .groupBy("_id", "term").agg(count(lit(1)).as("tf"))
+    val df = qtf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("_nd"),
+      avg(col("dl")).as("_avgdl"))
+    val idf = log(lit(1.0) + (col("_nd") - col("df") + 0.5) / (col("df") + 0.5))
+    val norm = col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("_avgdl"))
+    qtf.join(dl, "_id").join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_c4",
+        floor(idf * (col("tf") * lit(k1 + 1)) / norm * 1e4 + 0.5).cast("long"))
+      .groupBy("_id")
+      .agg(count(lit(1)).as("n_terms_matched"),
+        (sum(col("_c4")) / 1e4).as("score"))
+      .orderBy(col("score").desc, col("_id"))
+      .limit(k)
+      .select(col("_id").as(idCol), col("n_terms_matched"), col("score"))
+  }
+
   /** Top-k terms per document by TF-IDF (tf · ln(N/df)), the classic
     * relevance weighting. Scores are rounded half-up to 4 decimals so they
     * hash-compare across engines; ties break on the term itself.

@@ -3655,6 +3655,120 @@ object Registry {
       .orderBy("o_orderstatus")
   }
 
+  // ---------------------------------------------------------- round-10 ops
+
+  /** Synchronous label-propagation communities on the part co-purchase
+    * graph (3 rounds, fully-ordered tie-breaks): per-round community count
+    * and largest-community size. The oracle is GENERATED
+    * ([[graft.operators.LabelProp.oracleCtes]]) — DuckDB replays every
+    * vote/argmax round in lockstep, exactly like PageRank and k-core. */
+  private def graphLabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val canon = graft.operators.Triangles.canonical(
+      coPurchasePairs(spark, dir), "x", "y")
+    graft.operators.LabelProp.propagateSummary(canon, rounds = 3)
+      .orderBy("round")
+  }
+
+  /** BM25 corpus search: top-10 documents for a three-term query — the
+    * "find me training examples about X" curation lookup. Per-term
+    * contributions floor to integer 1e-4 units before the per-doc sum, so
+    * the score is order-independent and hash-exact on both engines
+    * (see [[graft.llm.Index.bm25Search]]). */
+  private def llmSearchBm25(spark: SparkSession, dir: String): DataFrame =
+    Index.bm25Search(t(spark, dir, "documents"), "doc_id", "text",
+      queryTerms = Seq("spark", "join", "window"), k = 10)
+
+  /** Deterministic global training-order shuffle: documents ordered by
+    * md5(doc_id ‖ seed), assigned contiguous global ranks, and chopped
+    * into fixed 64-doc training batches — the reproducible epoch shuffle a
+    * training-data pipeline runs before sequence packing. Per-batch
+    * row counts, rank ranges (contiguity visible in-row), lead document
+    * hash, and token totals surface for the oracle.
+    *
+    * Scale shape: the global rank is NOT a global window — the md5 prefix
+    * buckets the corpus into 256 ranges, per-bucket counts aggregate
+    * small, the exclusive bucket prefix runs over that 256-row relation
+    * (the only single-partition window), and the broadcast-joined bucket
+    * base plus an in-bucket row_number yields exact global ranks with the
+    * corpus partitioned by bucket throughout — [[graft.llm.Pack]]'s
+    * two-pass prefix-sum pattern applied to a hash ordering. */
+  private def llmShuffleBatches(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(":shuf42"))).as("h"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+      .withColumn("_bucket", substring(col("h"), 1, 2))
+    val bucketCounts = h.groupBy("_bucket").agg(count(lit(1)).as("_bn"))
+    val exclusiveBuckets = Window.orderBy("_bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketCounts
+      .withColumn("_boff", coalesce(sum("_bn").over(exclusiveBuckets), lit(0L)))
+      .select("_bucket", "_boff")
+    h.join(broadcast(offsets), Seq("_bucket"))
+      .withColumn("rn", col("_boff") + row_number().over(
+        Window.partitionBy("_bucket").orderBy(col("h"), col("doc_id"))))
+      .withColumn("batch_id", expr("(rn - 1) div 64"))
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("rn")).as("rn_min"), max(col("rn")).as("rn_max"),
+        min(col("h")).as("first_hash"), sum(col("tok")).as("sum_tokens"))
+      .orderBy("batch_id")
+  }
+
+  /** Time-travel version diff (the lakehouse CDC read): land two versions
+    * of an orders slice in a versioned store — v2 deletes every 11th key,
+    * bumps every 5th key's price by 1.00, and appends a sparse new slice —
+    * then read BOTH historical versions back from the same table
+    * (partition-pruned by `data_version_id`, the store's time-travel
+    * axis) and classify every key as added / removed / changed /
+    * unchanged with exact-decimal price deltas. The oracle recomputes the
+    * diff from the raw orders table with the same derivations, so the
+    * store's versioned round-trip must be lossless for the hash to match.
+    *
+    * WRITE SIDE EFFECT: lands a fresh per-call store under Scratch (two
+    * metadata swaps + two data partitions), like the other store-lifecycle
+    * queries. */
+  private def storeTimeTravelDiff(spark: SparkSession, dir: String): DataFrame = {
+    val st = tempStore(spark)
+    val o = t(spark, dir, "orders")
+    val v1 = o.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("price"))
+    val adds = o.filter(col("o_orderkey") % 7 === 1 && col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("price"))
+    // Cast back to (12,2): decimal addition widens to (13,2), and two
+    // partitions of one table must share one physical schema.
+    val v2 = v1.filter(col("k") % 11 =!= 0)
+      .withColumn("price", when(col("k") % 5 === 0,
+        col("price") + lit(1).cast(DecimalType(12, 2)))
+        .otherwise(col("price")).cast(DecimalType(12, 2)))
+      .unionByName(adds)
+    val id1 = st.createVersion("SRC_TT", "2026-Q1", qDate, None, "h1", "tt1.csv")
+    st.writeData("tt", id1, v1)
+    st.completeVersion(id1, v1.count(), markCurrentFor = Some(("SRC_TT", None)))
+    val id2 = st.createVersion("SRC_TT", "2026-Q2", qDate, None, "h2", "tt2.csv")
+    st.writeData("tt", id2, v2)
+    st.completeVersion(id2, v2.count(), markCurrentFor = Some(("SRC_TT", None)))
+    val d1 = st.data("tt").filter(col("data_version_id") === id1)
+      .select(col("k"), col("price").as("p1"))
+    val d2 = st.data("tt").filter(col("data_version_id") === id2)
+      .select(col("k"), col("price").as("p2"))
+    d1.join(d2, Seq("k"), "full")
+      .select(
+        when(col("p1").isNull, "added")
+          .when(col("p2").isNull, "removed")
+          .when(col("p1") =!= col("p2"), "changed")
+          .otherwise("unchanged").as("change_type"),
+        col("p1"), col("p2"))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n_keys"),
+        coalesce(sum(abs(coalesce(col("p2"), lit(0)) - coalesce(col("p1"), lit(0)))),
+          lit(0)).cast("double").as("sum_abs_delta"))
+      .orderBy("change_type")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_f1_parse_date" -> q(f1ParseDate),
     "q_f2_parse_numeric" -> q(f2ParseNumeric),
@@ -3863,6 +3977,10 @@ object Registry {
     "q_e_attribution" -> q(eAttribution),
     "q_stats_histogram_eqdepth" -> q(statsHistogramEqdepth),
     "q_diag_join_estimate" -> q(diagJoinEstimate),
+    "q_graph_labelprop" -> q(graphLabelProp),
+    "q_llm_search_bm25" -> q(llmSearchBm25),
+    "q_llm_shuffle_batches" -> q(llmShuffleBatches),
+    "q_store_time_travel" -> q(storeTimeTravelDiff),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -6881,5 +6999,73 @@ object Registry {
            CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS sum_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // GENERATED lockstep replay of all 3 vote/argmax rounds (same edge
+    // derivation as the kcore oracle).
+    "q_graph_labelprop" -> (graft.operators.LabelProp.oracleCtes(
+      """SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""",
+      rounds = 3) + """
+      SELECT round, n_communities, largest FROM summary ORDER BY round"""),
+    // Same per-term floor(x·1e4+0.5) integer contributions, summed
+    // exactly, then one surface division — order-independent both sides.
+    "q_llm_search_bm25" ->
+      """WITH tk AS (SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS term
+                     FROM documents),
+           dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+           qt AS (SELECT doc_id, term, count(*) AS tf FROM tk
+                  WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2),
+           df AS (SELECT term, count(*) AS df FROM qt GROUP BY 1),
+           st AS (SELECT CAST(count(*) AS DOUBLE) AS nd, avg(dl) AS avgdl FROM dl),
+           s AS (SELECT qt.doc_id,
+                   CAST(floor(ln(1.0 + (nd - df + 0.5) / (df + 0.5))
+                         * (qt.tf * CAST(2.2 AS DOUBLE))
+                         / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+                         * 10000 + 0.5) AS BIGINT) AS c4
+                 FROM qt JOIN dl USING (doc_id) JOIN df USING (term), st)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+                CAST(SUM(c4) AS DOUBLE) / 10000.0 AS score
+         FROM s GROUP BY doc_id
+         ORDER BY score DESC, doc_id LIMIT 10""",
+    // The oracle may run the global window the Spark side deliberately
+    // avoids (two-pass bucketed prefix): same ranks by construction.
+    "q_llm_shuffle_batches" ->
+      """WITH h AS (SELECT doc_id,
+                      md5(CAST(doc_id AS VARCHAR) || ':shuf42') AS h,
+                      CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                        AS tok
+                    FROM documents),
+           r AS (SELECT doc_id, h, tok,
+                   CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS rn
+                 FROM h)
+         SELECT (rn - 1) // 64 AS batch_id, CAST(count(*) AS BIGINT) AS n_docs,
+                min(rn) AS rn_min, max(rn) AS rn_max,
+                min(h) AS first_hash, CAST(SUM(tok) AS BIGINT) AS sum_tokens
+         FROM r GROUP BY 1 ORDER BY 1""",
+    // Recomputes the version diff from raw orders with the same
+    // derivations — the store's versioned round-trip must be lossless
+    // for the hash to match.
+    "q_store_time_travel" ->
+      """WITH v1 AS (SELECT o_orderkey AS k,
+                       CAST(o_totalprice AS DECIMAL(12,2)) AS price
+                     FROM orders WHERE o_orderkey % 7 = 0),
+           v2 AS (SELECT k, CASE WHEN k % 5 = 0
+                       THEN price + CAST(1 AS DECIMAL(12,2)) ELSE price END AS price
+                  FROM v1 WHERE k % 11 <> 0
+                  UNION ALL
+                  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2))
+                  FROM orders
+                  WHERE o_orderkey % 7 = 1 AND o_orderkey % 13 = 0),
+           d AS (SELECT COALESCE(v1.k, v2.k) AS k, v1.price AS p1, v2.price AS p2
+                 FROM v1 FULL JOIN v2 ON v1.k = v2.k)
+         SELECT CASE WHEN p1 IS NULL THEN 'added'
+                     WHEN p2 IS NULL THEN 'removed'
+                     WHEN p1 <> p2 THEN 'changed'
+                     ELSE 'unchanged' END AS change_type,
+                CAST(count(*) AS BIGINT) AS n_keys,
+                CAST(COALESCE(SUM(ABS(COALESCE(p2, 0) - COALESCE(p1, 0))), 0)
+                  AS DOUBLE) AS sum_abs_delta
+         FROM d GROUP BY 1 ORDER BY 1""",
   )
 }

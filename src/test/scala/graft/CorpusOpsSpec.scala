@@ -391,4 +391,53 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(out == "one two\na\nb\ntail")
     assert(extract("<p></p><p></p>") == "")
   }
+
+  // ----------------------------------------------------------- bm25 search
+
+  test("bm25Search ranks by summed query-term relevance, hand-recomputed") {
+    val corpus = docs(
+      (1L, "spark spark spark join"),          // heavy on two query terms
+      (2L, "spark window"),                    // light on two
+      (3L, "nothing relevant here at all"),    // no query term -> absent
+      (4L, "join join window window window spark"))
+    val got = Index.bm25Search(corpus, "doc_id", "text",
+        Seq("spark", "join", "window"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    // Independent reimplementation in plain scala.math — same formula,
+    // same per-term floor-to-1e-4 units, same exact integer sum.
+    val texts = Map(1L -> "spark spark spark join", 2L -> "spark window",
+      4L -> "join join window window window spark")
+    val toks = (texts + (3L -> "nothing relevant here at all"))
+      .view.mapValues(_.split("\\s+").toSeq).toMap
+    val dl = toks.view.mapValues(_.size.toDouble).toMap
+    val nd = 4.0
+    val avgdl = dl.values.sum / nd
+    val query = Seq("spark", "join", "window")
+    def dfOf(t: String) = toks.values.count(_.contains(t)).toDouble
+    def score(id: Long): (Long, Double) = {
+      val cs = query.flatMap { term =>
+        val tf = toks(id).count(_ == term).toDouble
+        if (tf == 0) None
+        else {
+          val idf = math.log(1.0 + (nd - dfOf(term) + 0.5) / (dfOf(term) + 0.5))
+          val c = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl(id) / avgdl))
+          Some(math.floor(c * 1e4 + 0.5).toLong)
+        }
+      }
+      (cs.size.toLong, cs.sum / 1e4)
+    }
+    val expected = Seq(1L, 2L, 4L).map(id => (id, score(id)._1, score(id)._2))
+      .sortBy { case (id, _, s) => (-s, id) }
+    assert(got.toSeq == expected)
+    assert(!got.exists(_._1 == 3L), "no-match docs never surface")
+  }
+
+  test("bm25Search top-k truncates after the full ranking") {
+    val corpus = docs((1L, "a x"), (2L, "a a x"), (3L, "a a a x"), (4L, "x"))
+    val got = Index.bm25Search(corpus, "doc_id", "text", Seq("a"), k = 2)
+      .collect().map(_.getLong(0))
+    // More occurrences -> higher tf saturation but still monotone here.
+    assert(got.length == 2 && got.head == 3L)
+  }
 }

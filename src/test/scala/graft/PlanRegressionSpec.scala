@@ -291,4 +291,22 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert("HashAggregate".r.findAllIn(p).size >= 4)
     assert(p.contains("Window"))
   }
+
+  test("bm25 search: global top-k is TakeOrdered, never a global sort") {
+    val p = plan("q_llm_search_bm25")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "top-k must not plan as a full distributed sort")
+  }
+
+  test("epoch shuffle: 256-row bucket offsets broadcast; the corpus window " +
+      "stays bucket-partitioned") {
+    val p = plan("q_llm_shuffle_batches")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    // the only unpartitioned window runs over the 256-row bucket relation;
+    // the corpus-side row_number is partitioned by _bucket
+    assert(p.contains("windowspecdefinition(_bucket"),
+      "corpus ranks must window by bucket, not globally")
+  }
 }
