@@ -30,42 +30,79 @@ import org.apache.spark.sql.functions._
   */
 object LabelProp {
 
+  /** Broadcast the label snapshot into the vote join when the measured
+    * node count is at or below this (2M × 16-byte rows ≈ 32 MB — well
+    * inside executor broadcast budgets). The gate is a DRIVER-side
+    * decision on a MEASURED size, not a static hint: above it the join
+    * degrades to the ordinary key-partitioned shuffle join that a
+    * billion-node graph needs. Below it, combined with nbr's
+    * n-pre-partitioning, every round runs exchange-free. */
+  val BroadcastMaxLabels: Long = 2000000L
+
   /** Per-round community summary over canonical undirected edges
     * (lo < hi, distinct — [[Triangles.canonical]] produces exactly that):
     * one row per round r = 0..rounds with the number of distinct
     * communities and the largest community's size. Round 0 is the
     * all-singletons start. */
   def propagateSummary(canonEdges: DataFrame, rounds: Int): DataFrame = {
-    val spark = canonEdges.sparkSession
-    val edges = canonEdges.select(col("lo"), col("hi")).localCheckpoint(true)
     // Both directions once, reused every round (checkpointed so each
-    // round's join re-reads materialized blocks, not the edge lineage).
-    val nbr = edges.select(col("lo").as("n"), col("hi").as("m"))
-      .unionAll(edges.select(col("hi").as("n"), col("lo").as("m")))
+    // round's join re-reads materialized blocks, not the edge lineage —
+    // the one-sided edge relation has no other consumer, so only nbr
+    // materializes).
+    // Pre-partitioned by n: the vote join keys on m, but when the label
+    // side broadcasts (AQE decides; labels ≪ nbr on most graphs) the
+    // join PRESERVES this partitioning, and both downstream groupBys —
+    // (n, lbl) and (n) — are then satisfied by it (hash on a subset of
+    // the group keys clusters the superset), so a whole round runs with
+    // ZERO exchanges. If the label side is too big to broadcast, the
+    // planner falls back to the shuffle join and the rounds pay the
+    // ordinary key-partitioned exchanges — the declared plan degrades,
+    // never breaks. localCheckpoint preserves the partitioning.
+    val nbr = canonEdges.select(col("lo").as("n"), col("hi").as("m"))
+      .unionAll(canonEdges.select(col("hi").as("n"), col("lo").as("m")))
+      .repartition(col("n"))
       .localCheckpoint(true)
-    var labels = nbr.select(col("n")).distinct()
+    // The label snapshot is |V| rows against nbr's 2|E| — on a KB-scale
+    // tail it would otherwise carry the full shuffle-partition fan-out
+    // through every round's join. Size its partitioning once (~2M labels
+    // per partition, never fewer than 1); coalesce only ever REDUCES, so
+    // at cluster scale this is a no-op and the plan shape is unchanged.
+    val labels0 = nbr.select(col("n")).distinct()
       .select(col("n"), col("n").as("lbl"))
       .localCheckpoint(true)
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-    for (r <- 0 to rounds) {
-      val c = labels.groupBy("lbl").agg(count(lit(1)).as("sz"))
-        .agg(count(lit(1)).as("nc"), max(col("sz")).as("mx")).head()
-      out += ((r.toLong, c.getLong(0), c.getLong(1)))
-      if (r < rounds) {
-        // Each neighbor m contributes its previous-round label to n; the
-        // per-node winner is argmax by (count, then smallest label).
-        val votes = nbr
-          .join(labels.withColumnRenamed("n", "m"), Seq("m"))
-          .groupBy("n", "lbl").agg(count(lit(1)).as("c"))
-        labels = votes
-          .groupBy("n")
-          .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("w"))
-          .select(col("n"), (-col("w.neg")).as("lbl"))
-          .localCheckpoint(true)
-      }
+    val nV = labels0.count()
+    val lparts = math.max(1, math.min(nbr.rdd.getNumPartitions,
+      (nV / 2000000L).toInt + 1))
+    val bcast = nV <= BroadcastMaxLabels
+    // coalesce of an already-checkpointed snapshot: no new materialization.
+    var labels = labels0.coalesce(lparts)
+    val snapshots = scala.collection.mutable.ArrayBuffer(labels)
+    for (_ <- 1 to rounds) {
+      // Each neighbor m contributes its previous-round label to n; the
+      // per-node winner is argmax by (count, then smallest label).
+      val lbls = labels.withColumnRenamed("n", "m")
+      val votes = nbr
+        .join(if (bcast) broadcast(lbls) else lbls, Seq("m"))
+        .groupBy("n", "lbl").agg(count(lit(1)).as("c"))
+      labels = votes
+        .groupBy("n")
+        .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("w"))
+        .select(col("n"), (-col("w.neg")).as("lbl"))
+        .coalesce(lparts)
+        .localCheckpoint(true)
+      snapshots += labels
     }
-    import spark.implicits._
-    out.toSeq.toDF("round", "n_communities", "largest")
+    // Peeling never reads the summaries, so they all evaluate in ONE
+    // final job over the checkpointed snapshots instead of one collect
+    // per round — rounds+1 scheduler jobs collapse to 1 (the k-core
+    // lesson applied one step further; its per-round count can't defer
+    // because it also sizes the next round's coalesce — this one doesn't).
+    snapshots.zipWithIndex.map { case (l, r) =>
+      l.groupBy("lbl").agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_communities"), max(col("sz")).as("largest"))
+        .select(lit(r.toLong).as("round"), col("n_communities"),
+          col("largest"))
+    }.reduce(_ unionByName _)
   }
 
   /** Generated DuckDB replay of the same R rounds over a canonical edge

@@ -3769,6 +3769,86 @@ object Registry {
       .orderBy("change_type")
   }
 
+  /** Trailing-window anomaly detection on daily event volumes: per type,
+    * each day's count is z-scored against the previous 10 observed days,
+    * and the 5 most anomalous (type, day) cells surface with the |z| ≥ 3
+    * verdict in-row — the volume-spike monitor a pipeline runs on its
+    * ingest feeds. Determinism: the trailing stats are EXACT integer
+    * (n, Σ, Σ²) frame sums; mean/variance/z derive from them in one fixed
+    * double-arithmetic order (IEEE-identical both engines), and z floors
+    * to 4 dp.
+    *
+    * Scale shape: the event stream collapses to (type, day) bins in one
+    * shuffle; the trailing window runs over that bounded bins relation
+    * partitioned by type — the corpus itself never sees a window. */
+  private def eAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bins = t(spark, dir, "events")
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-10, -1)
+    bins
+      .withColumn("w_n", count(lit(1)).over(w))
+      .withColumn("w_sum", sum(col("cnt")).over(w))
+      .withColumn("w_sumsq", sum(col("cnt") * col("cnt")).over(w))
+      .filter(col("w_n") === 10)
+      .withColumn("mean", col("w_sum") / 10.0)
+      .withColumn("variance",
+        (col("w_sumsq") - col("w_sum") * col("w_sum") / 10.0) / 10.0)
+      .filter(col("variance") > 0)
+      .withColumn("z4",
+        floor((col("cnt") - col("mean")) / sqrt(col("variance")) * 1e4 + 0.5) / 1e4)
+      .select(col("event_type"), col("day"), col("cnt"), col("z4"),
+        (abs(col("z4")) >= 3.0).as("is_anomaly"))
+      .orderBy(abs(col("z4")).desc, col("event_type"), col("day"))
+      .limit(5)
+  }
+
+  /** Full MERGE/CDC-apply semantics (the I/U/D upgrade of U1's
+    * insert-update upsert): derive a changelog between two snapshot
+    * relations (full-outer diff → insert/update/delete ops), apply it
+    * back onto the old snapshot with one full-outer merge (deletes drop,
+    * updates override, inserts append), and prove the reconstruction
+    * equals the target snapshot via order-invariant md5-fold checksums —
+    * BOTH relations' (n_rows, checksum) surface in-row, so equality is
+    * visible, and the oracle recomputes the whole algebra independently
+    * in SQL. One shuffle per join, keys-sized relations throughout. */
+  private def u7CdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val v1 = o.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("price"))
+    val adds = o.filter(col("o_orderkey") % 7 === 1 && col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("price"))
+    val v2 = v1.filter(col("k") % 11 =!= 0)
+      .withColumn("price", when(col("k") % 5 === 0,
+        col("price") + lit(1).cast(DecimalType(12, 2)))
+        .otherwise(col("price")).cast(DecimalType(12, 2)))
+      .unionByName(adds)
+    val chg = v1.select(col("k"), col("price").as("p1"))
+      .join(v2.select(col("k"), col("price").as("p2")), Seq("k"), "full")
+      .select(col("k"),
+        when(col("p1").isNull, "I").when(col("p2").isNull, "D")
+          .when(col("p1") =!= col("p2"), "U").otherwise("N").as("op"),
+        col("p2"))
+      .filter(col("op") =!= "N")
+    val applied = v1.join(chg, Seq("k"), "full")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("k"),
+        when(col("op") === "U" || col("op") === "I", col("p2"))
+          .otherwise(col("price")).as("price"))
+    def fold(df: DataFrame, name: String): DataFrame = df
+      .select(concat_ws("|", col("k"), col("price")).as("s"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(conv(substring(md5(col("s")), 1, 10), 16, 10).cast("long"))
+          .as("checksum"))
+      .select(lit(name).as("relation"), col("n_rows"), col("checksum"))
+    fold(applied, "applied").unionByName(fold(v2, "target"))
+      .orderBy("relation")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_f1_parse_date" -> q(f1ParseDate),
     "q_f2_parse_numeric" -> q(f2ParseNumeric),
@@ -3981,6 +4061,8 @@ object Registry {
     "q_llm_search_bm25" -> q(llmSearchBm25),
     "q_llm_shuffle_batches" -> q(llmShuffleBatches),
     "q_store_time_travel" -> q(storeTimeTravelDiff),
+    "q_e_anomaly" -> q(eAnomaly),
+    "q_u7_cdc_merge" -> q(u7CdcMerge),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -7067,5 +7149,64 @@ object Registry {
                 CAST(COALESCE(SUM(ABS(COALESCE(p2, 0) - COALESCE(p1, 0))), 0)
                   AS DOUBLE) AS sum_abs_delta
          FROM d GROUP BY 1 ORDER BY 1""",
+    // Exact integer (n, Σ, Σ²) trailing frames; one fixed double-op order
+    // for mean/variance/z on both engines; z floors to 4 dp.
+    "q_e_anomaly" ->
+      """WITH b AS (SELECT event_type,
+                      epoch_ns(ts) // 86400000000000 AS day,
+                      CAST(count(*) AS BIGINT) AS cnt
+                    FROM events GROUP BY 1, 2),
+           w AS (SELECT event_type, day, cnt,
+                   count(*) OVER tw AS w_n,
+                   sum(cnt) OVER tw AS w_sum,
+                   sum(cnt * cnt) OVER tw AS w_sumsq
+                 FROM b WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+           s AS (SELECT event_type, day, cnt, w_sum / 10.0 AS mean,
+                   (w_sumsq - w_sum * w_sum / 10.0) / 10.0 AS variance
+                 FROM w WHERE w_n = 10),
+           z AS (SELECT event_type, day, cnt,
+                   floor((cnt - mean) / sqrt(variance) * 10000 + 0.5) / 10000
+                     AS z4
+                 FROM s WHERE variance > 0)
+         SELECT event_type, day, cnt, z4, abs(z4) >= 3.0 AS is_anomaly
+         FROM z ORDER BY abs(z4) DESC, event_type, day LIMIT 5""",
+    // Independent SQL implementation of the same changelog derivation and
+    // I/U/D merge; the fold strings render DECIMAL(12,2) identically.
+    "q_u7_cdc_merge" ->
+      """WITH v1 AS (SELECT o_orderkey AS k,
+                       CAST(o_totalprice AS DECIMAL(12,2)) AS price
+                     FROM orders WHERE o_orderkey % 7 = 0),
+           v2 AS (SELECT k, CASE WHEN k % 5 = 0
+                       THEN price + CAST(1 AS DECIMAL(12,2)) ELSE price END AS price
+                  FROM v1 WHERE k % 11 <> 0
+                  UNION ALL
+                  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2))
+                  FROM orders
+                  WHERE o_orderkey % 7 = 1 AND o_orderkey % 13 = 0),
+           chg AS (SELECT COALESCE(v1.k, v2.k) AS k,
+                     CASE WHEN v1.k IS NULL THEN 'I'
+                          WHEN v2.k IS NULL THEN 'D'
+                          WHEN v1.price <> v2.price THEN 'U'
+                          ELSE 'N' END AS op,
+                     v2.price AS p2
+                   FROM v1 FULL JOIN v2 ON v1.k = v2.k),
+           chg2 AS (SELECT * FROM chg WHERE op <> 'N'),
+           applied AS (SELECT COALESCE(v1.k, c.k) AS k,
+                         CASE WHEN c.op IN ('I', 'U') THEN c.p2
+                              ELSE v1.price END AS price
+                       FROM v1 FULL JOIN chg2 c ON v1.k = c.k
+                       WHERE c.op IS NULL OR c.op <> 'D'),
+           fa AS (SELECT 'applied' AS relation,
+                    CAST(count(*) AS BIGINT) AS n_rows,
+                    CAST(sum(('0x' || substr(md5(concat_ws('|', k, price)),
+                      1, 10))::BIGINT) AS BIGINT) AS checksum
+                  FROM applied),
+           ft AS (SELECT 'target' AS relation,
+                    CAST(count(*) AS BIGINT) AS n_rows,
+                    CAST(sum(('0x' || substr(md5(concat_ws('|', k, price)),
+                      1, 10))::BIGINT) AS BIGINT) AS checksum
+                  FROM v2)
+         SELECT * FROM fa UNION ALL SELECT * FROM ft ORDER BY relation""",
   )
 }

@@ -205,6 +205,36 @@ object EventStream {
       }
   }
 
+  final case class QRow(group: String, v: Double)
+  final case class QReport(group: String, n: Long, p50: Double, p95: Double)
+
+  /** Streaming quantile maintenance: one mergeable deterministic-
+    * compaction sketch ([[graft.operators.QuantileSketch.Buf]]) per group
+    * as `mapGroupsWithState` state; each trigger inserts the micro-batch's
+    * values and emits refreshed p50/p95 — the "latency percentiles per
+    * endpoint" dashboard over an unbounded feed. Each micro-batch's
+    * values insert in SORTED order: the shuffle into the state partition
+    * does not guarantee arrival order, and sketch compaction is
+    * order-sensitive, so the canonical in-batch order makes the state a
+    * pure function of (batch contents, pacing) — after any replay the
+    * state equals the driver-side fold over the same sorted bursts (spec
+    * pins exactly that, plus the sketch's rank-error contract vs the
+    * exact percentiles). State is O(k·log(n/k)) doubles per group — the
+    * sublinear-forever property that makes the unbounded feed safe. */
+  def streamingQuantiles(rows: Dataset[QRow], k: Int = 128): Dataset[QReport] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.group)
+      .mapGroupsWithState[graft.operators.QuantileSketch.Buf, QReport](
+        GroupStateTimeout.NoTimeout) {
+        case (group, batch, state: GroupState[graft.operators.QuantileSketch.Buf]) =>
+          val buf0 = state.getOption.getOrElse(
+            graft.operators.QuantileSketch.emptyBuf(k))
+          val buf = batch.toSeq.sortBy(_.v).foldLeft(buf0)((b, r) => b.insert(r.v))
+          state.update(buf)
+          QReport(group, buf.totalWeight, buf.quantile(0.5), buf.quantile(0.95))
+      }
+  }
+
   final case class Scd2Change(key: Long, ts: Long, id: Long, value: String)
   final case class Scd2Closed(key: Long, value: String, valid_from: Long,
                               valid_to: Long, version_n: Long)

@@ -339,6 +339,41 @@ class EventStreamSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming quantiles: state equals the sorted-burst fold, within " +
+      "rank error of exact") {
+    import spark.implicits._
+    val qSchema = StructType(Seq(
+      StructField("group", StringType), StructField("v", DoubleType)))
+    // Two bursts whose UNION has different percentiles than either alone —
+    // the second trigger's estimates are only right if its state started
+    // from the first burst's sketch.
+    val bursts = Seq(
+      (1 to 300).map(i => ("api", i.toDouble)),
+      (301 to 1000).map(i => ("api", i.toDouble)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-quant").toString
+    bursts.foreach { b =>
+      b.toDF("group", "v").coalesce(1).write.mode("append")
+        .parquet(s"$dir/stream")
+      Thread.sleep(1100) // distinct file mtimes => deterministic batch order
+    }
+    val q = EventStream.replayParquetAsStream(spark, s"$dir/stream", qSchema,
+      d => EventStream.streamingQuantiles(d.as[EventStream.QRow], k = 64).toDF(),
+      "quant_sink", org.apache.spark.sql.streaming.OutputMode.Update())
+    q.awaitTermination(60000)
+    val fin = spark.table("quant_sink").collect().maxBy(_.getAs[Long]("n"))
+    assert(fin.getAs[Long]("n") == 1000L, "state carried across triggers")
+    // The state is a pure fold over the sorted bursts in trigger order —
+    // replay it driver-side and demand exact equality.
+    val folded = bursts.foldLeft(graft.operators.QuantileSketch.emptyBuf(64)) {
+      (buf, b) => b.map(_._2).sorted.foldLeft(buf)((x, v) => x.insert(v))
+    }
+    assert(fin.getAs[Double]("p50") == folded.quantile(0.5))
+    assert(fin.getAs[Double]("p95") == folded.quantile(0.95))
+    // And the estimates honor the sketch's rank-error contract.
+    assert(math.abs(fin.getAs[Double]("p50") - 500.0) <= 60.0)
+    assert(math.abs(fin.getAs[Double]("p95") - 950.0) <= 60.0)
+  }
+
   test("streaming SCD2 closed rows equal the batch build's closed rows") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
