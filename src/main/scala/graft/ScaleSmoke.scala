@@ -347,6 +347,46 @@ object ScaleSmoke {
     println(s"[scale] kcore rounds: ${kcoreRows.map(r =>
       s"${r.getLong(0)}:${r.getLong(1)}n/${r.getLong(2)}e").mkString(" ")}")
 
+    // Round-10: label propagation at the exact BENCH shape (rounds=3,
+    // same co-purchase graph). 200k nodes sit under the 2M broadcast
+    // gate, so each round must run as broadcast-join + exchange-free
+    // aggregates over the n-pre-partitioned neighbor relation; the
+    // summaries evaluate in ONE deferred job.
+    val lpaRows = timed("label propagation (3 rounds, bench shape)")(
+      graft.operators.LabelProp.propagateSummary(
+        graft.operators.Triangles.canonical(coEdges, "x", "y"),
+        rounds = 3).collect())
+    println(s"[scale] lpa rounds: ${lpaRows.sortBy(_.getLong(0)).map(r =>
+      s"${r.getLong(0)}:${r.getLong(1)}c/${r.getLong(2)}max").mkString(" ")}")
+
+    // Round-10: deterministic epoch shuffle over the 100k-doc corpus —
+    // the 256-bucket two-pass prefix sum must keep every corpus-side
+    // window bucket-partitioned (the 256-row offsets relation is the only
+    // single-partition step) and the global ranks must be a contiguous
+    // 1..N permutation (min=1, max=N, N distinct).
+    val shufCheck = timed("epoch shuffle (100k docs, two-pass prefix ranks)") {
+      val wB = org.apache.spark.sql.expressions.Window.orderBy("_bucket")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy("_bucket").orderBy(col("h"), col("doc_id"))
+      val h = big.select(col("doc_id"), md5(
+          concat(col("doc_id").cast("string"), lit(":shuf42"))).as("h"))
+        .withColumn("_bucket", substring(col("h"), 1, 2))
+      val off = h.groupBy("_bucket").agg(count(lit(1)).as("_bn"))
+        .withColumn("_boff", coalesce(sum("_bn").over(wB), lit(0L)))
+        .select("_bucket", "_boff")
+      h.join(broadcast(off), Seq("_bucket"))
+        .withColumn("rn", col("_boff") + row_number().over(wIn))
+        .agg(count(lit(1)).as("n"), min("rn").as("lo"), max("rn").as("hi"),
+          countDistinct(col("rn")).as("nd")).head()
+    }
+    require(shufCheck.getLong(1) == 1L &&
+      shufCheck.getLong(2) == shufCheck.getLong(0) &&
+      shufCheck.getLong(3) == shufCheck.getLong(0),
+      s"epoch-shuffle ranks not a contiguous permutation: $shufCheck")
+    println(s"[scale] epoch shuffle ranks: 1..${shufCheck.getLong(2)} " +
+      s"over ${shufCheck.getLong(0)} docs")
+
     // HLL registers over 20× events (~10M items): the register file must
     // stay ≤ 256 rows per group however many rows stream through — the
     // shuffle carries per-partition partial maxima only.

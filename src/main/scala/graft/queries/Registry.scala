@@ -3745,11 +3745,13 @@ object Registry {
         col("price") + lit(1).cast(DecimalType(12, 2)))
         .otherwise(col("price")).cast(DecimalType(12, 2)))
       .unionByName(adds)
+    // coalesce(4): the slices are KB-scale — landing them at the scan's
+    // 32-task fan-out writes 64 tiny files the read-back then pays for.
     val id1 = st.createVersion("SRC_TT", "2026-Q1", qDate, None, "h1", "tt1.csv")
-    st.writeData("tt", id1, v1)
+    st.writeData("tt", id1, v1.coalesce(4))
     st.completeVersion(id1, v1.count(), markCurrentFor = Some(("SRC_TT", None)))
     val id2 = st.createVersion("SRC_TT", "2026-Q2", qDate, None, "h2", "tt2.csv")
-    st.writeData("tt", id2, v2)
+    st.writeData("tt", id2, v2.coalesce(4))
     st.completeVersion(id2, v2.count(), markCurrentFor = Some(("SRC_TT", None)))
     val d1 = st.data("tt").filter(col("data_version_id") === id1)
       .select(col("k"), col("price").as("p1"))

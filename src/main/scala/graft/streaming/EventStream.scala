@@ -235,6 +235,51 @@ object EventStream {
       }
   }
 
+  final case class DayCount(group: String, day: Long, cnt: Long)
+  final case class AnomalyReport(group: String, day: Long, cnt: Long,
+                                 z4: Double, is_anomaly: Boolean)
+
+  /** Streaming twin of the batch volume-anomaly query (`q_e_anomaly`):
+    * per-group trailing-window z-scores maintained across micro-batches.
+    * State is the last `window` observed (day, cnt) bins per group —
+    * O(window) FOREVER — and each arriving bin (processed in day order
+    * within the batch) z-scores against the EXACT integer (n, Σ, Σ²) of
+    * the state before it joins it, in the same fixed double-arithmetic
+    * order as the batch query, so a history split across any number of
+    * micro-batches scores identically to the one-shot computation (spec
+    * pins streamed == driver replay across a burst boundary). Bins with
+    * fewer than `window` predecessors or zero variance emit nothing,
+    * matching the batch query's w_n/variance filters. */
+  def streamingAnomalies(rows: Dataset[DayCount], window: Int = 10,
+                         zThresh: Double = 3.0): Dataset[AnomalyReport] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.group)
+      .flatMapGroupsWithState[Seq[(Long, Long)], AnomalyReport](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (group, batch, state: GroupState[Seq[(Long, Long)]]) =>
+          var hist = state.getOption.getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyReport]
+          batch.toSeq.sortBy(_.day).foreach { b =>
+            if (hist.size == window) {
+              val n = window.toDouble
+              val s = hist.map(_._2).sum
+              val sq = hist.map(c => c._2 * c._2).sum
+              val mean = s / n
+              val variance = (sq - s * s / n) / n
+              if (variance > 0) {
+                val z4 = math.floor(
+                  (b.cnt - mean) / math.sqrt(variance) * 1e4 + 0.5) / 1e4
+                out += AnomalyReport(group, b.day, b.cnt, z4,
+                  math.abs(z4) >= zThresh)
+              }
+            }
+            hist = (hist :+ (b.day, b.cnt)).takeRight(window)
+          }
+          state.update(hist)
+          out.iterator
+      }
+  }
+
   final case class Scd2Change(key: Long, ts: Long, id: Long, value: String)
   final case class Scd2Closed(key: Long, value: String, valid_from: Long,
                               valid_to: Long, version_n: Long)

@@ -374,6 +374,53 @@ class EventStreamSpec extends SparkSpecBase {
     assert(math.abs(fin.getAs[Double]("p95") - 950.0) <= 60.0)
   }
 
+  test("streaming anomalies: trailing-window z equals the batch replay " +
+      "across a burst boundary") {
+    import spark.implicits._
+    val aSchema = StructType(Seq(
+      StructField("group", StringType), StructField("day", LongType),
+      StructField("cnt", LongType)))
+    // 15 days, gentle drift plus a planted spike at day 13. The burst
+    // split lands mid-history, so days 11-15 can only score correctly if
+    // the trailing window carries across the trigger boundary.
+    val counts = (1L to 15L).map(d =>
+      ("api", d, if (d == 13) 400L else 100L + d))
+    val bursts = Seq(counts.take(8), counts.drop(8))
+    val dir = java.nio.file.Files.createTempDirectory("graft-anom").toString
+    bursts.foreach { b =>
+      b.toDF("group", "day", "cnt").coalesce(1).write.mode("append")
+        .parquet(s"$dir/stream")
+      Thread.sleep(1100)
+    }
+    val q = EventStream.replayParquetAsStream(spark, s"$dir/stream", aSchema,
+      d => EventStream.streamingAnomalies(d.as[EventStream.DayCount]).toDF(),
+      "anom_sink", org.apache.spark.sql.streaming.OutputMode.Append())
+    q.awaitTermination(60000)
+    val got = spark.table("anom_sink").collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("cnt"),
+        r.getAs[Double]("z4"), r.getAs[Boolean]("is_anomaly")))
+      .sortBy(_._1)
+    // Driver replay with the identical integer-sums-then-fixed-double-order
+    // arithmetic the operator (and the batch q_e_anomaly) uses.
+    val vals = counts.map(_._3)
+    val expected = counts.indices.drop(10).flatMap { i =>
+      val h = vals.slice(i - 10, i)
+      val n = 10.0
+      val s = h.sum
+      val sq = h.map(v => v * v).sum
+      val mean = s / n
+      val variance = (sq - s * s / n) / n
+      if (variance > 0) {
+        val z4 = math.floor((vals(i) - mean) / math.sqrt(variance) * 1e4 + 0.5) / 1e4
+        Some((counts(i)._2, vals(i), z4, math.abs(z4) >= 3.0))
+      } else None
+    }
+    assert(got.toSeq == expected)
+    assert(got.exists(r => r._1 == 13L && r._4), "planted spike flagged")
+    assert(got.count(_._4) >= 1 && got.length == 5,
+      "days 11-15 scored, earlier days lack a full window")
+  }
+
   test("streaming SCD2 closed rows equal the batch build's closed rows") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
