@@ -3851,6 +3851,16 @@ object Registry {
       .orderBy("relation")
   }
 
+  /** Top principal component of the embedding corpus by exact-integer
+    * power iteration ([[graft.llm.Pca]]): one distributed moment pass,
+    * KB-scale driver-side iteration, full generated SQL replay. The
+    * embedding-space anisotropy diagnostic (dominant-direction removal
+    * is the classic post-processing step for sentence embeddings). */
+  private def llmPca(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Pca.topComponent(t(spark, dir, "embeddings"), "vec_id",
+        "embedding", dim = 64, rounds = 8)
+      .orderBy("dim")
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_f1_parse_date" -> q(f1ParseDate),
     "q_f2_parse_numeric" -> q(f2ParseNumeric),
@@ -4065,6 +4075,7 @@ object Registry {
     "q_store_time_travel" -> q(storeTimeTravelDiff),
     "q_e_anomaly" -> q(eAnomaly),
     "q_u7_cdc_merge" -> q(u7CdcMerge),
+    "q_llm_pca" -> q(llmPca),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -7210,5 +7221,12 @@ object Registry {
                       1, 10))::BIGINT) AS BIGINT) AS checksum
                   FROM v2)
          SELECT * FROM fa UNION ALL SELECT * FROM ft ORDER BY relation""",
+    // GENERATED full replay: quantization, exact integer moments, the
+    // N²-scaled scatter matrix, and all 8 power rounds with truncating
+    // HUGEINT renormalization (matches BigInt / toward-zero).
+    "q_llm_pca" -> (graft.llm.Pca.oracleCtes(
+      "embeddings", "vec_id", "embedding", dim = 64, rounds = 8) + """
+      SELECT CAST(i AS BIGINT) AS dim, CAST(v AS BIGINT) AS pc1_unit
+      FROM v8 ORDER BY dim"""),
   )
 }
