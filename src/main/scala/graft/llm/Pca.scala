@@ -70,6 +70,52 @@ object Pca {
       .toSeq.toDF("dim", "pc1_unit")
   }
 
+  /** Variance explained by the top component — the number the anisotropy
+    * diagnostic actually reports (how dominant is the rogue direction).
+    * Computes [[topComponent]]'s vector, then ONE more distributed pass
+    * projects every row onto it (integer dot products; squares summed in
+    * DECIMAL(38,0) — p² reaches ~4·10¹⁷ per row, so Long sums would
+    * overflow past ~20 rows) and forms the Rayleigh-quotient ratio
+    *   var(proj) / (|v|² · tr(Cov))
+    * from exact integer ingredients with one fixed double-op order,
+    * floored to 6 dp. Output: one row
+    * (n_rows, trace_cn, var_ratio6). */
+  def varianceExplained(df: DataFrame, idCol: String, embCol: String,
+                        dim: Int, rounds: Int = 8): DataFrame = {
+    val pc = topComponent(df, idCol, embCol, dim, rounds)
+      .orderBy("dim").collect().map(_.getLong(1))
+    val e = df.select(
+      transform(col(embCol),
+        x => floor(x.cast("double") * 1000 + lit(0.5)).cast("long")).as("u"))
+    val vArr = array(pc.map(lit): _*)
+    val p = aggregate(zip_with(col("u"), vArr, (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    // Exact pieces, two bounded aggregates: (N, Σp, Σp²) over the
+    // projections and the per-dim (Σuᵢ, Σuᵢ²) sums behind the trace.
+    val pr = e.select(p.as("p"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"),
+        sum((col("p") * col("p"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("spp"))
+      .head()
+    val tr = e.select(posexplode(col("u")).as(Seq("i0", "ui")))
+      .groupBy("i0")
+      .agg(sum(col("ui")).as("m"), sum(col("ui") * col("ui")).as("s"))
+      .agg(sum(col("m") * col("m")).as("mm"), sum(col("s")).as("ss"))
+      .head()
+    val n = BigInt(pr.getLong(0))
+    val traceCn = n * tr.getLong(1) - tr.getLong(0)
+    val varP = n * pr.getDecimal(2).toBigInteger - BigInt(pr.getLong(1)).pow(2)
+    val v2 = pc.map(x => BigInt(x) * x).sum
+    // Correctly-rounded int→double conversions, then ONE division — the
+    // exact op sequence the oracle's CAST(… AS DOUBLE)/CAST(… AS DOUBLE)
+    // performs (BigDecimal division would round differently).
+    val ratio6 = math.floor(
+      varP.doubleValue / (v2 * traceCn).doubleValue * 1e6) / 1e6
+    import df.sparkSession.implicits._
+    Seq((pr.getLong(0), traceCn.toLong, ratio6))
+      .toDF("n_rows", "trace_cn", "var_ratio6")
+  }
+
   /** Generated DuckDB replay: quantization, exact moments, scatter
     * matrix, and all `rounds` power rounds with the same truncating
     * renormalization. Emits CTEs up to `v<rounds>`; the final SELECT is

@@ -3861,6 +3861,14 @@ object Registry {
         "embedding", dim = 64, rounds = 8)
       .orderBy("dim")
 
+  /** Variance explained by the top principal component — the anisotropy
+    * number itself (how dominant the rogue direction is). Exact integer
+    * projections and trace, one correctly-rounded double division,
+    * 6 dp floor ([[graft.llm.Pca.varianceExplained]]). */
+  private def llmPcaVar(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Pca.varianceExplained(t(spark, dir, "embeddings"), "vec_id",
+      "embedding", dim = 64, rounds = 8)
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_f1_parse_date" -> q(f1ParseDate),
     "q_f2_parse_numeric" -> q(f2ParseNumeric),
@@ -4076,6 +4084,7 @@ object Registry {
     "q_e_anomaly" -> q(eAnomaly),
     "q_u7_cdc_merge" -> q(u7CdcMerge),
     "q_llm_pca" -> q(llmPca),
+    "q_llm_pca_var" -> q(llmPcaVar),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -7228,5 +7237,29 @@ object Registry {
       "embeddings", "vec_id", "embedding", dim = 64, rounds = 8) + """
       SELECT CAST(i AS BIGINT) AS dim, CAST(v AS BIGINT) AS pc1_unit
       FROM v8 ORDER BY dim"""),
+    // Same generated replay plus the projection pass: exact HUGEINT
+    // N·Σp² − (Σp)², the scatter trace from the mm/ss moment CTEs, and
+    // the one correctly-rounded double division the engine performs.
+    "q_llm_pca_var" -> (graft.llm.Pca.oracleCtes(
+      "embeddings", "vec_id", "embedding", dim = 64, rounds = 8) + s""",
+      pcv AS (SELECT list(CAST(v AS BIGINT) ORDER BY i) AS vv FROM v8),
+      pj AS (SELECT list_sum(list_transform(range(1, 65),
+               i -> e.u[i] * vv[i])) AS p
+             FROM e, pcv),
+      prj AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                CAST(sum(p) AS HUGEINT) AS sp,
+                sum(CAST(p AS HUGEINT) * p) AS spp
+              FROM pj),
+      trc AS (SELECT (SELECT CAST(max(n) AS HUGEINT) FROM mm)
+                       * (SELECT sum(s) FROM ss WHERE i = j)
+                     - (SELECT sum(CAST(m AS HUGEINT) * m) FROM mm)
+                       AS trace_cn),
+      vsq AS (SELECT sum(CAST(v AS HUGEINT) * v) AS v2 FROM v8)
+      SELECT CAST(prj.n AS BIGINT) AS n_rows,
+             CAST(trc.trace_cn AS BIGINT) AS trace_cn,
+             floor(CAST(prj.n * prj.spp - prj.sp * prj.sp AS DOUBLE)
+                   / CAST(vsq.v2 * trc.trace_cn AS DOUBLE) * 1000000)
+               / 1000000 AS var_ratio6
+      FROM prj, trc, vsq"""),
   )
 }
