@@ -3869,6 +3869,48 @@ object Registry {
     graft.llm.Pca.varianceExplained(t(spark, dir, "embeddings"), "vec_id",
       "embedding", dim = 64, rounds = 8)
 
+  /** Pairwise Pearson correlations of the lineitem measures — the last
+    * planner-stats primitive (ANALYZE → skew → cardinality → histograms →
+    * correlation; a correlated-columns report is what justifies
+    * multi-column statistics / z-order layouts). Exactness: measures
+    * quantize to integer cents (⌊x·100+0.5⌋), every Σx/Σx²/Σxy
+    * accumulates in DECIMAL(38,0) (Σx² reaches ~10²¹ at sf1 — Long
+    * overflows), and each correlation forms driver-side from the exact
+    * integers with the fixed op order num→double / sqrt(a→double ·
+    * b→double), floored to 6 dp — the oracle replays the same HUGEINT
+    * sums and double ops. ONE aggregate pass over the fact table (15
+    * decimal sums + count); the 6-row report is driver-assembled like the
+    * PCA/centroid tables. */
+  private def statsCorr(spark: SparkSession, dir: String): DataFrame = {
+    val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val dec = DecimalType(38, 0)
+    val q = t(spark, dir, "lineitem").select(cs.map(c =>
+      floor(col(c) * 100 + 0.5).cast(dec).as(c)): _*)
+    val pairs = for { i <- cs.indices; j <- cs.indices if i < j } yield (i, j)
+    val aggCols =
+      cs.map(c => sum(col(c)).as(s"s_$c")) ++
+      cs.map(c => sum((col(c) * col(c)).cast(dec)).as(s"q_$c")) ++
+      pairs.map { case (i, j) =>
+        sum((col(cs(i)) * col(cs(j))).cast(dec)).as(s"p_${i}_$j") }
+    val r = q.agg(count(lit(1)).as("n"), aggCols: _*).head()
+    val n = BigInt(r.getLong(0))
+    def big(name: String): BigInt =
+      r.getDecimal(r.fieldIndex(name)).toBigInteger
+    val rows = pairs.map { case (i, j) =>
+      val (si, sj) = (big(s"s_${cs(i)}"), big(s"s_${cs(j)}"))
+      val num = n * big(s"p_${i}_$j") - si * sj
+      val di = n * big(s"q_${cs(i)}") - si * si
+      val dj = n * big(s"q_${cs(j)}") - sj * sj
+      val corr6 =
+        if (di == 0 || dj == 0) 0.0
+        else math.floor(num.doubleValue /
+          math.sqrt(di.doubleValue * dj.doubleValue) * 1e6) / 1e6
+      (cs(i), cs(j), corr6)
+    }
+    import spark.implicits._
+    rows.toDF("col_a", "col_b", "corr6").orderBy("col_a", "col_b")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_f1_parse_date" -> q(f1ParseDate),
     "q_f2_parse_numeric" -> q(f2ParseNumeric),
@@ -4085,6 +4127,7 @@ object Registry {
     "q_u7_cdc_merge" -> q(u7CdcMerge),
     "q_llm_pca" -> q(llmPca),
     "q_llm_pca_var" -> q(llmPcaVar),
+    "q_stats_corr" -> q(statsCorr),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -7261,5 +7304,29 @@ object Registry {
                    / CAST(vsq.v2 * trc.trace_cn AS DOUBLE) * 1000000)
                / 1000000 AS var_ratio6
       FROM prj, trc, vsq"""),
+    // GENERATED pairwise-corr replay: same cent quantization, HUGEINT
+    // sums, and fixed double-op order (num→dbl / sqrt(da→dbl · db→dbl)).
+    "q_stats_corr" -> {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val qCols = cs.zipWithIndex.map { case (c, i) =>
+        s"CAST(floor($c * 100 + 0.5) AS HUGEINT) AS c$i" }.mkString(", ")
+      val pairs = for { i <- cs.indices; j <- cs.indices if i < j } yield (i, j)
+      val sums = (cs.indices.map(i => s"sum(c$i) AS s$i") ++
+        cs.indices.map(i => s"sum(c$i * c$i) AS q$i") ++
+        pairs.map { case (i, j) => s"sum(c$i * c$j) AS p${i}_$j" })
+        .mkString(", ")
+      val rows = pairs.map { case (i, j) =>
+        s"""SELECT '${cs(i)}' AS col_a, '${cs(j)}' AS col_b,
+             CASE WHEN n * q$i - s$i * s$i = 0 OR n * q$j - s$j * s$j = 0
+               THEN 0.0
+               ELSE floor(CAST(n * p${i}_$j - s$i * s$j AS DOUBLE)
+                 / sqrt(CAST(n * q$i - s$i * s$i AS DOUBLE)
+                        * CAST(n * q$j - s$j * s$j AS DOUBLE))
+                 * 1000000) / 1000000 END AS corr6
+           FROM st""" }.mkString(" UNION ALL ")
+      s"""WITH qq AS (SELECT $qCols FROM lineitem),
+          st AS (SELECT CAST(count(*) AS HUGEINT) AS n, $sums FROM qq)
+        SELECT * FROM ($rows) ORDER BY col_a, col_b"""
+    },
   )
 }
