@@ -44,7 +44,8 @@ object LabelProp {
     * one row per round r = 0..rounds with the number of distinct
     * communities and the largest community's size. Round 0 is the
     * all-singletons start. */
-  def propagateSummary(canonEdges: DataFrame, rounds: Int): DataFrame = {
+  def propagateSummary(canonEdges: DataFrame, rounds: Int,
+                       broadcastMaxLabels: Long = BroadcastMaxLabels): DataFrame = {
     // Both directions once, reused every round (checkpointed so each
     // round's join re-reads materialized blocks, not the edge lineage —
     // the one-sided edge relation has no other consumer, so only nbr
@@ -73,7 +74,7 @@ object LabelProp {
     val nV = labels0.count()
     val lparts = math.max(1, math.min(nbr.rdd.getNumPartitions,
       (nV / 2000000L).toInt + 1))
-    val bcast = nV <= BroadcastMaxLabels
+    val bcast = nV <= broadcastMaxLabels
     // coalesce of an already-checkpointed snapshot: no new materialization.
     var labels = labels0.coalesce(lparts)
     val snapshots = scala.collection.mutable.ArrayBuffer(labels)

@@ -3911,6 +3911,30 @@ object Registry {
     rows.toDF("col_a", "col_b", "corr6").orderBy("col_a", "col_b")
   }
 
+  /** k-truss peeling (k=4, 3 rounds) on a 1/16 co-purchase subgraph —
+    * the community-backbone extractor (every surviving edge sits in ≥ 2
+    * triangles of the truss). Support counting is a full triangle pass
+    * per round, so the query runs on the modulus-restricted subgraph;
+    * the oracle ([[graft.operators.KTruss.oracleCtes]]) replays every
+    * round with naive a<b<c enumeration — same triangles, lockstep. */
+  private def graphKtruss(spark: SparkSession, dir: String): DataFrame = {
+    // The part filter pushes to the SCAN (¼ of lineitem rows feed the
+    // per-order pair build), not onto exploded pairs — "both endpoints
+    // ≡ 0 (mod 4)" ≡ "each lineitem row's part ≡ 0 (mod 4)".
+    val sub = t(spark, dir, "lineitem")
+      .filter(pmod(col("l_partkey"), lit(4)) === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x, y))))"))
+        .as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
+    graft.operators.KTruss.trussSummary(
+        graft.operators.Triangles.canonical(sub, "x", "y"), k = 4, rounds = 3)
+      .orderBy("round")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_f1_parse_date" -> q(f1ParseDate),
     "q_f2_parse_numeric" -> q(f2ParseNumeric),
@@ -4128,6 +4152,7 @@ object Registry {
     "q_llm_pca" -> q(llmPca),
     "q_llm_pca_var" -> q(llmPcaVar),
     "q_stats_corr" -> q(statsCorr),
+    "q_graph_ktruss" -> q(graphKtruss),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -7328,5 +7353,13 @@ object Registry {
           st AS (SELECT CAST(count(*) AS HUGEINT) AS n, $sums FROM qq)
         SELECT * FROM ($rows) ORDER BY col_a, col_b"""
     },
+    // GENERATED lockstep truss replay (naive a<b<c triangles per round).
+    "q_graph_ktruss" -> (graft.operators.KTruss.oracleCtes(
+      """SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0""",
+      k = 4, rounds = 3) + """
+      SELECT round, n_nodes, n_edges FROM summary ORDER BY round"""),
   )
 }

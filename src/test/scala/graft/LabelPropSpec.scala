@@ -48,6 +48,20 @@ class LabelPropSpec extends SparkSpecBase {
     assert(out.last._3 == 3L)
   }
 
+  test("shuffle-join fallback (broadcast gate off) gives identical rounds") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val canon = Triangles.canonical(edges.toDF("a", "b"), "a", "b")
+    val bcast = LabelProp.propagateSummary(canon, rounds = 3)
+      .orderBy("round").collect().map(_.toSeq)
+    val shuffled = LabelProp
+      .propagateSummary(canon, rounds = 3, broadcastMaxLabels = 0L)
+      .orderBy("round").collect().map(_.toSeq)
+    assert(bcast.toSeq == shuffled.toSeq,
+      "the gate changes the plan, never the labels")
+  }
+
   test("oracle CTEs replay the same rounds (text sanity)") {
     val sql = LabelProp.oracleCtes("SELECT 1 AS lo, 2 AS hi", rounds = 2)
     assert(sql.contains("l0 AS MATERIALIZED"))
