@@ -3935,6 +3935,65 @@ object Registry {
       .orderBy("round")
   }
 
+  /** Exact phrase search over a positional index — the retrieval op the
+    * doc-id-only inverted index (`q_llm_postings`) cannot answer: find
+    * documents containing the two-word phrase "data query" as ADJACENT
+    * tokens, ranked by occurrence count. Scale shape: the position
+    * explode filters to the phrase's terms immediately (only their
+    * positions shuffle — |phrase| rows per matching doc, not the token
+    * stream), adjacency is one equi-join on (doc, pos+1), and the top-k
+    * is TakeOrderedAndProject. */
+  private def llmPhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val (w1, w2) = ("data", "query")
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "term")))
+    val a = toks.filter(col("term") === w1)
+      .select(col("doc_id"), col("pos"))
+    val b = toks.filter(col("term") === w2)
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    a.join(b, Seq("doc_id", "pos"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance between the quality-score
+    * distributions of two sources — the drift/calibration test a curation
+    * pipeline runs before mixing corpora ("is src1's quality distribution
+    * the same as src0's?"). Exactness: quality floors to 4 dp integers,
+    * both empirical CDFs accumulate as integer counts, and the statistic
+    * keeps the cleared-denominator integer form max|c1·n2 − c2·n1| until
+    * ONE final division floored to 6 dp. The running-count window runs
+    * over the ≤ 10001-row distinct-quality relation (the skyline
+    * precedent), never the corpus. */
+  private def statsKsQuality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = t(spark, dir, "documents")
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"),
+        floor(TextAnalysis.qualityScore(col("text")) * 10000 + 0.5)
+          .cast("long").as("q4"))
+    val pts = m.groupBy("q4")
+      .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("a"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("b"))
+    val w = Window.orderBy("q4")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = pts
+      .withColumn("ca", sum(col("a")).over(w))
+      .withColumn("cb", sum(col("b")).over(w))
+    cum.crossJoin(broadcast(
+        m.groupBy().agg(
+          sum(when(col("source") === "src0", 1L).otherwise(0L)).as("n1"),
+          sum(when(col("source") === "src1", 1L).otherwise(0L)).as("n2"))))
+      .select(col("q4"), col("n1"), col("n2"),
+        abs(col("ca") * col("n2") - col("cb") * col("n1")).as("dnum"))
+      .orderBy(col("dnum").desc, col("q4"))
+      .limit(1)
+      .select(col("n1"), col("n2"), col("q4").as("ks_at_q4"),
+        (floor(col("dnum") * 1e6 / (col("n1") * col("n2"))) / 1e6).as("ks6"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_f1_parse_date" -> q(f1ParseDate),
     "q_f2_parse_numeric" -> q(f2ParseNumeric),
@@ -4153,6 +4212,8 @@ object Registry {
     "q_llm_pca_var" -> q(llmPcaVar),
     "q_stats_corr" -> q(statsCorr),
     "q_graph_ktruss" -> q(graphKtruss),
+    "q_llm_phrase_search" -> q(llmPhraseSearch),
+    "q_stats_ks_quality" -> q(statsKsQuality),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -7361,5 +7422,57 @@ object Registry {
          WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0""",
       k = 4, rounds = 3) + """
       SELECT round, n_nodes, n_edges FROM summary ORDER BY round"""),
+    // Positional replay via indexed list_transform (1-based i → pos i−1,
+    // matching posexplode); adjacency is the same (doc, pos+1) equi-join.
+    "q_llm_phrase_search" ->
+      """WITH tk AS (SELECT doc_id, s.u.pos - 1 AS pos, s.u.term AS term
+                     FROM (SELECT doc_id,
+                             unnest(list_transform(
+                               string_split_regex(trim(text), '\s+'),
+                               (x, i) -> {'term': x, 'pos': i})) AS u
+                           FROM documents) s),
+           a AS (SELECT doc_id, pos FROM tk WHERE term = 'data'),
+           b AS (SELECT doc_id, pos - 1 AS pos FROM tk WHERE term = 'query')
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+         FROM a JOIN b USING (doc_id, pos)
+         GROUP BY doc_id ORDER BY n_occurrences DESC, doc_id LIMIT 10""",
+    // Same 4dp quality replay as q_llm_quality, cleared-denominator
+    // integer CDF distance, one floored division at the end.
+    "q_stats_ks_quality" ->
+      """WITH m0 AS (SELECT source,
+           CAST(length(text) AS DOUBLE) AS nchars,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS ntok,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t IN ('the','a','of','and','to','in','is','that','it','for',
+                        'der','die','das','und','ist','von','zu','mit','auf','ein',
+                        'le','la','les','de','et','est','un','une','que','pour',
+                        'el','los','y','es','por'))) AS DOUBLE) AS sw
+           FROM documents WHERE source IN ('src0', 'src1')),
+         m AS (SELECT source, CAST(floor((
+             (CASE WHEN nchars >= 200 AND nchars <= 2000 THEN 1.0
+                   WHEN nchars >= 50 THEN 0.5 ELSE 0.0 END) * 0.3
+             + (CASE WHEN nchars > 0 THEN alpha / nchars ELSE 0.0 END) * 0.3
+             + least((CASE WHEN ntok > 0 THEN sw / ntok ELSE 0.0 END) * 5.0, 1.0) * 0.2
+             + (CASE WHEN ntok > 0 AND nchars / ntok >= 3 AND nchars / ntok <= 12
+                     THEN 1.0 ELSE 0.0 END) * 0.2) * 10000 + 0.5) AS BIGINT) AS q4
+           FROM m0),
+         pts AS (SELECT q4,
+             sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS b
+           FROM m GROUP BY q4),
+         cum AS (SELECT q4,
+             CAST(sum(a) OVER (ORDER BY q4
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+             CAST(sum(b) OVER (ORDER BY q4
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+           FROM pts),
+         nn AS (SELECT CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                       CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+                FROM m)
+         SELECT n1, n2, q4 AS ks_at_q4,
+           floor(abs(ca * n2 - cb * n1) * 1000000.0 / (n1 * n2)) / 1000000 AS ks6
+         FROM cum, nn
+         ORDER BY abs(ca * n2 - cb * n1) DESC, q4 LIMIT 1""",
   )
 }
