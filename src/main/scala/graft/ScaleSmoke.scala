@@ -359,6 +359,18 @@ object ScaleSmoke {
     println(s"[scale] lpa rounds: ${lpaRows.sortBy(_.getLong(0)).map(r =>
       s"${r.getLong(0)}:${r.getLong(1)}c/${r.getLong(2)}max").mkString(" ")}")
 
+    // Round-10: k-truss at the bench shape (k=4, rounds=3, the 1/16
+    // modulus subgraph) — each round is a full degree-oriented triangle
+    // pass, so the suite proves the per-round support computation holds
+    // no quadratic wedge cliff on the skewed co-purchase structure.
+    val trussRows = timed("ktruss peel (k=4, rounds=3, bench shape)")(
+      graft.operators.KTruss.trussSummary(
+        graft.operators.Triangles.canonical(
+          coEdges.filter(col("x") % 4 === 0 && col("y") % 4 === 0), "x", "y"),
+        k = 4, rounds = 3).collect())
+    println(s"[scale] ktruss rounds: ${trussRows.sortBy(_.getLong(0)).map(r =>
+      s"${r.getLong(0)}:${r.getLong(1)}n/${r.getLong(2)}e").mkString(" ")}")
+
     // Round-10: deterministic epoch shuffle over the 100k-doc corpus —
     // the 256-bucket two-pass prefix sum must keep every corpus-side
     // window bucket-partitioned (the 256-row offsets relation is the only

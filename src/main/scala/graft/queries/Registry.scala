@@ -3994,6 +3994,40 @@ object Registry {
         (floor(col("dnum") * 1e6 / (col("n1") * col("n2"))) / 1e6).as("ks6"))
   }
 
+  /** Top distinctive terms between two sources by chi-square over
+    * document frequencies — KS (`q_stats_ks_quality`) says WHETHER the
+    * corpora differ; this says WHICH terms carry the difference (the
+    * Monroe-et-al "fighting words" diagnostic, χ² flavor). Exactness:
+    * the 2×2 table is integer doc counts, N·(ad−bc)² accumulates in
+    * DECIMAL(38,0) (it reaches ~10²² — Long overflows), the marginal
+    * product stays in Long, and the statistic surfaces through two
+    * correctly-rounded double casts and one floored 4 dp division. */
+  private def llmTermDrift(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val docs = t(spark, dir, "documents")
+      .filter(col("source").isin("src0", "src1"))
+    val nn = docs.groupBy().agg(
+      sum(when(col("source") === "src0", 1L).otherwise(0L)).as("n1"),
+      sum(when(col("source") === "src1", 1L).otherwise(0L)).as("n2"))
+    val ab = docs.select(col("source"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("term"))
+      .groupBy("term").agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("a"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("b"))
+    val det = col("a") * col("d") - col("b") * col("c")
+    val num = (col("n1") + col("n2")).cast(dec) * det.cast(dec) * det.cast(dec)
+    val den = (col("a") + col("b")) * (col("c") + col("d")) * col("n1") * col("n2")
+    ab.crossJoin(broadcast(nn))
+      .withColumn("c", col("n1") - col("a"))
+      .withColumn("d", col("n2") - col("b"))
+      .filter((col("a") + col("b")) > 0 && (col("c") + col("d")) > 0)
+      .withColumn("chi4",
+        floor(num.cast("double") / den.cast("double") * 1e4) / 1e4)
+      .select(col("term"), col("a"), col("b"), col("chi4"))
+      .orderBy(col("chi4").desc, col("term"))
+      .limit(10)
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_f1_parse_date" -> q(f1ParseDate),
     "q_f2_parse_numeric" -> q(f2ParseNumeric),
@@ -4214,6 +4248,7 @@ object Registry {
     "q_graph_ktruss" -> q(graphKtruss),
     "q_llm_phrase_search" -> q(llmPhraseSearch),
     "q_stats_ks_quality" -> q(statsKsQuality),
+    "q_llm_term_drift" -> q(llmTermDrift),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -7474,5 +7509,30 @@ object Registry {
            floor(abs(ca * n2 - cb * n1) * 1000000.0 / (n1 * n2)) / 1000000 AS ks6
          FROM cum, nn
          ORDER BY abs(ca * n2 - cb * n1) DESC, q4 LIMIT 1""",
+    // Same 2×2 integer table; N·(ad−bc)² in HUGEINT; two double casts,
+    // one floored 4 dp division.
+    "q_llm_term_drift" ->
+      """WITH docs AS (SELECT source, doc_id, text FROM documents
+                       WHERE source IN ('src0', 'src1')),
+           nn AS (SELECT
+               CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+             FROM docs),
+           tk AS (SELECT DISTINCT source, doc_id, t.term
+                  FROM docs, unnest(string_split_regex(trim(text), '\s+')) AS t(term)),
+           ab AS (SELECT term,
+               CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS b
+             FROM tk GROUP BY term),
+           x AS (SELECT term, a, b, n1 - a AS c, n2 - b AS d, n1, n2
+                 FROM ab, nn)
+         SELECT term, a, b,
+           floor(CAST(CAST(n1 + n2 AS HUGEINT) * (a*d - b*c) * (a*d - b*c)
+                   AS DOUBLE)
+                 / CAST((a + b) * (c + d) * n1 * n2 AS DOUBLE) * 10000) / 10000
+             AS chi4
+         FROM x
+         WHERE (a + b) > 0 AND (c + d) > 0
+         ORDER BY chi4 DESC, term LIMIT 10""",
   )
 }
