@@ -4028,6 +4028,21 @@ object Registry {
       .limit(10)
   }
 
+  /** HITS on the bipartite customer→part purchase graph (3 rounds):
+    * top-10 authority parts (staples) and hub customers (broad baskets),
+    * in exact integer 1e6 units with a generated half-step-lockstep
+    * oracle ([[graft.operators.Hits]]). */
+  private def graphHits(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"),
+        col("o_custkey").cast("long").as("cust"))
+    val e = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey").cast("long").as("part"))
+      .join(o, Seq("l_orderkey"))
+    graft.operators.Hits.topHubsAuthorities(e, "cust", "part",
+      rounds = 3, k = 10)
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_f1_parse_date" -> q(f1ParseDate),
     "q_f2_parse_numeric" -> q(f2ParseNumeric),
@@ -4249,6 +4264,7 @@ object Registry {
     "q_llm_phrase_search" -> q(llmPhraseSearch),
     "q_stats_ks_quality" -> q(statsKsQuality),
     "q_llm_term_drift" -> q(llmTermDrift),
+    "q_graph_hits" -> q(graphHits),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -7534,5 +7550,20 @@ object Registry {
          FROM x
          WHERE (a + b) > 0 AND (c + d) > 0
          ORDER BY chi4 DESC, term LIMIT 10""",
+    // GENERATED half-step-lockstep HITS replay (HUGEINT sums, truncating
+    // renormalization — nonnegative, so // == div == floor).
+    "q_graph_hits" -> (graft.operators.Hits.oracleCtes(
+      """SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS c,
+                CAST(l.l_partkey AS BIGINT) AS p
+         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey""",
+      rounds = 3) + """
+      SELECT kind, id, score_unit FROM (
+        SELECT 'auth' AS kind, p AS id, a AS score_unit FROM a3
+        ORDER BY a DESC, p LIMIT 10)
+      UNION ALL
+      SELECT kind, id, score_unit FROM (
+        SELECT 'hub' AS kind, c AS id, h AS score_unit FROM h3
+        ORDER BY h DESC, c LIMIT 10)
+      ORDER BY kind, score_unit DESC, id"""),
   )
 }

@@ -48,6 +48,33 @@ class KTrussSpec extends SparkSpecBase {
     assert(truss(tri, k = 4, rounds = 2).last == (2L, 0L, 0L))
   }
 
+  test("containment law on seeded random graphs: the 4-truss sits inside " +
+      "the 3-core") {
+    // Theory: every node of a k-truss has ≥ k−1 truss-internal neighbors,
+    // so the k-truss is a subgraph of the (k−1)-core. Subgraph ⇒ both
+    // counts are bounded by the core's — check it on seeded random graphs
+    // (deterministic: fixed seeds).
+    for (seed <- Seq(7, 42, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(220) {
+        val a = rnd.nextInt(36).toLong; val b = rnd.nextInt(36).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val trussFix = truss(edges, k = 4, rounds = 6).last
+      val coreFix = {
+        import spark.implicits._
+        graft.operators.KCore.peelSummary(
+            Triangles.canonical(edges.toDF("a", "b"), "a", "b"),
+            k = 3, rounds = 8)
+          .orderBy("round").collect().last
+      }
+      assert(trussFix._2 <= coreFix.getLong(1),
+        s"seed $seed: truss nodes ${trussFix._2} > core nodes")
+      assert(trussFix._3 <= coreFix.getLong(2),
+        s"seed $seed: truss edges ${trussFix._3} > core edges")
+    }
+  }
+
   test("oracle CTEs unroll to the requested depth") {
     val sql = KTruss.oracleCtes("SELECT 1 AS lo, 2 AS hi", k = 4, rounds = 2)
     assert(sql.contains("t1 AS MATERIALIZED"))
