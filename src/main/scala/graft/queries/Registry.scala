@@ -4043,6 +4043,20 @@ object Registry {
       rounds = 3, k = 10)
   }
 
+  /** Personalized PageRank from the modulus-100 supplier seed set over
+    * the symmetrized supplier–part graph — the TrustRank-style seed
+    * expansion ([[graft.operators.Ppr]]); same picorank unit arithmetic
+    * and generated unrolled-CTE oracle as q_graph_pagerank. */
+  private def prPersonalized(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select(
+      (col("l_suppkey") * 2).as("src"),
+      (col("l_partkey") * 2 + 1).as("dst"))
+    val edges = li.union(li.select(col("dst").as("src"), col("src").as("dst")))
+    graft.operators.Ppr.run(edges, "src", "dst",
+        isSeed = n => n % 200 === 0, iterations = 10)
+      .orderBy("node")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_f1_parse_date" -> q(f1ParseDate),
     "q_f2_parse_numeric" -> q(f2ParseNumeric),
@@ -4265,6 +4279,7 @@ object Registry {
     "q_stats_ks_quality" -> q(statsKsQuality),
     "q_llm_term_drift" -> q(llmTermDrift),
     "q_graph_hits" -> q(graphHits),
+    "q_graph_ppr" -> q(prPersonalized),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -7565,5 +7580,13 @@ object Registry {
         SELECT 'hub' AS kind, c AS id, h AS score_unit FROM h3
         ORDER BY h DESC, c LIMIT 10)
       ORDER BY kind, score_unit DESC, id"""),
+    // GENERATED seed-personalized replay (same picorank arithmetic).
+    "q_graph_ppr" -> graft.operators.Ppr.oracleSql(
+      """SELECT DISTINCT l_suppkey * 2 AS src,
+                         l_partkey * 2 + 1 AS dst FROM lineitem
+         UNION
+         SELECT DISTINCT l_partkey * 2 + 1 AS src,
+                         l_suppkey * 2 AS dst FROM lineitem""",
+      seedPredSql = "node % 200 = 0", iterations = 10, damping = 0.85),
   )
 }

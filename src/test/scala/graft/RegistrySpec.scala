@@ -14,8 +14,8 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size and oracle coverage match COVERAGE.md") {
-    assert(SparkEntry.queries.size == 221)
-    assert(SparkEntry.oracleSql.size == 216)
+    assert(SparkEntry.queries.size == 222)
+    assert(SparkEntry.oracleSql.size == 217)
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
     assert(rowsOnly == Set("q_llm_ann_pq", "q_llm_ann_ivfpq",
       "q_llm_ann_ivfpq_rerank", "q_llm_bpe", "q_llm_compress_ratio"),
