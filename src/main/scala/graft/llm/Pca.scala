@@ -38,8 +38,10 @@ object Pca {
   def topComponent(df: DataFrame, idCol: String, embCol: String,
                    dim: Int, rounds: Int = 8): DataFrame = {
     val spark = df.sparkSession
+    // slice to dim mirrors the oracle's `emb[1:dim]` — an over-long array
+    // would otherwise index past dim (crash), a short one would null cn.
     val e = df.select(col(idCol).cast("long").as("id"),
-      transform(col(embCol),
+      transform(slice(col(embCol), 1, dim),
         x => floor(x.cast("double") * 1000 + lit(0.5)).cast("long")).as("u"))
     val ei = e.select(col("u"), posexplode(col("u")).as(Seq("i0", "ui")))
     val eij = ei.select(col("i0"), col("ui"),
@@ -85,7 +87,7 @@ object Pca {
     val pc = topComponent(df, idCol, embCol, dim, rounds)
       .orderBy("dim").collect().map(_.getLong(1))
     val e = df.select(
-      transform(col(embCol),
+      transform(slice(col(embCol), 1, dim),
         x => floor(x.cast("double") * 1000 + lit(0.5)).cast("long")).as("u"))
     val vArr = array(pc.map(lit): _*)
     val p = aggregate(zip_with(col("u"), vArr, (a, b) => a * b),
@@ -100,10 +102,13 @@ object Pca {
     val tr = e.select(posexplode(col("u")).as(Seq("i0", "ui")))
       .groupBy("i0")
       .agg(sum(col("ui")).as("m"), sum(col("ui") * col("ui")).as("s"))
-      .agg(sum(col("m") * col("m")).as("mm"), sum(col("s")).as("ss"))
+      .agg(sum(col("m")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("m"))
+          .as("mm"),
+        sum(col("s")).as("ss"))
       .head()
     val n = BigInt(pr.getLong(0))
-    val traceCn = n * tr.getLong(1) - tr.getLong(0)
+    val traceCn = n * tr.getLong(1) - tr.getDecimal(0).toBigInteger
     val varP = n * pr.getDecimal(2).toBigInteger - BigInt(pr.getLong(1)).pow(2)
     val v2 = pc.map(x => BigInt(x) * x).sum
     // Correctly-rounded int→double conversions, then ONE division — the

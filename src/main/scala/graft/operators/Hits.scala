@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   * max = 10⁶ with integer division (scores are nonnegative, so floor and
   * truncation coincide and DuckDB's HUGEINT `//` matches Spark's `div`
   * bit for bit). The generated oracle ([[oracleCtes]]) replays every
-  * half-step. Headroom: Σ ≤ |nodes|·10⁶ ≪ 2⁶³ up to ~10⁹-node sides.
+  * half-step. Headroom: the half-step sum Σ ≤ indeg·10⁶ stays in Long up
+  * to ~9·10¹²-in-degree nodes; the renormalization product s·10⁶ is
+  * computed in Decimal(38,0) (it would wrap Long past ~9·10⁶ in-degree),
+  * matching the oracle's HUGEINT arithmetic exactly.
   *
   * Scale shape: the edge relation checkpoints ONCE pre-partitioned by the
   * left key; score snapshots are node-sized and broadcast into the
@@ -41,6 +44,7 @@ object Hits {
   def topHubsAuthorities(edges: DataFrame, leftCol: String, rightCol: String,
                          rounds: Int, k: Int = 10,
                          broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val e = edges.select(col(leftCol).as("c"), col(rightCol).as("p"))
       .distinct().repartition(col("c")).localCheckpoint(true)
     var h = e.select(col("c")).distinct()
@@ -50,7 +54,8 @@ object Hits {
     def gated(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     def renorm(raw: DataFrame, keyCol: String, out: String): DataFrame =
       raw.crossJoin(broadcast(raw.agg(max(col("s")).as("mx"))))
-        .select(col(keyCol), expr(s"s * $Unit6 div mx").as(out))
+        .select(col(keyCol),
+          expr(s"CAST(s AS DECIMAL(38,0)) * $Unit6 div mx").as(out))
     var a: DataFrame = null
     for (_ <- 1 to rounds) {
       val aRaw = e.join(gated(h), Seq("c"))

@@ -38,7 +38,7 @@ object KTruss {
     var edges = canonEdges.select(col("lo"), col("hi")).localCheckpoint(true)
     val snapshots = scala.collection.mutable.ArrayBuffer(edges)
     for (_ <- 1 to rounds) {
-      val tri = Triangles.triangles(
+      val (tri, releaseTri) = Triangles.trianglesReleasable(
         edges.select(col("lo").as("x"), col("hi").as("y")), "x", "y")
       val sup = tri.select(explode(array(
           struct(col("n1").as("lo"), col("n2").as("hi")),
@@ -50,6 +50,10 @@ object KTruss {
         .join(sup.filter(col("sup") >= k - 2).select("lo", "hi"),
           Seq("lo", "hi"), "left_semi")
         .localCheckpoint(true)
+      // eager checkpoint above has materialized this round's support pass
+      // — release the triangle intermediates so cached blocks don't
+      // accumulate linearly with rounds.
+      releaseTri()
       snapshots += edges
     }
     snapshots.zipWithIndex.map { case (e, r) =>

@@ -37,9 +37,14 @@ object Triangles {
     * order out-neighbors without re-joining degrees. Keys pack as
     * deg·2³² + id (both well under 2³¹ for any graph whose edge list fits
     * a cluster: ids here are numeric node ids, degree ≤ n). */
-  def orient(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val e = canonical(edges, aCol, bCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def orient(edges: DataFrame, aCol: String, bCol: String): DataFrame =
+    orientCanonical(canonical(edges, aCol, bCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** [[orient]] over an already-canonical (and ideally cached) edge set —
+    * the relation feeds three consumers (degree count + two joins), so
+    * the caller owns its persistence lifecycle. */
+  private def orientCanonical(e: DataFrame): DataFrame = {
     val deg = e.select(col("lo").as("node"))
       .unionAll(e.select(col("hi").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -77,8 +82,19 @@ object Triangles {
     * both persist so the upstream edge derivation (often an expensive
     * self-join) executes once; at cluster scale these are the relations
     * you would land as bucketed tables between stages. */
-  def triangles(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val o = orient(edges, aCol, bCol)
+  def triangles(edges: DataFrame, aCol: String, bCol: String): DataFrame =
+    trianglesReleasable(edges, aCol, bCol)._1
+
+  /** [[triangles]] plus a release handle that unpersists the two cached
+    * intermediates (canonical edges, oriented edges) once the caller has
+    * materialized everything derived from the triangle set. Iterative
+    * consumers (k-truss peeling calls this once PER ROUND) must release
+    * each round's pair or cached blocks accumulate linearly with rounds. */
+  def trianglesReleasable(edges: DataFrame, aCol: String,
+                          bCol: String): (DataFrame, () => Unit) = {
+    val e = canonical(edges, aCol, bCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val o = orientCanonical(e)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Out-adjacency as an array per node: element uniqueness comes from
     // edge distinctness; intersection is order-independent, so the
@@ -89,11 +105,12 @@ object Triangles {
       .join(adj.select(col("src").as("v"), col("nb").as("nb_v")), Seq("v"))
       .select(col("u"), col("v"),
         explode(array_intersect(col("nb_u"), col("nb_v"))).as("w"))
-    tri.select(
+    val out = tri.select(
       least(col("u"), col("v"), col("w")).as("n1"),
       (col("u") + col("v") + col("w")
         - least(col("u"), col("v"), col("w"))
         - greatest(col("u"), col("v"), col("w"))).as("n2"),
       greatest(col("u"), col("v"), col("w")).as("n3"))
+    (out, () => { o.unpersist(false); e.unpersist(false); () })
   }
 }

@@ -3998,9 +3998,10 @@ object Registry {
     * document frequencies — KS (`q_stats_ks_quality`) says WHETHER the
     * corpora differ; this says WHICH terms carry the difference (the
     * Monroe-et-al "fighting words" diagnostic, χ² flavor). Exactness:
-    * the 2×2 table is integer doc counts, N·(ad−bc)² accumulates in
-    * DECIMAL(38,0) (it reaches ~10²² — Long overflows), the marginal
-    * product stays in Long, and the statistic surfaces through two
+    * the 2×2 table is integer doc counts, and BOTH sides of the ratio —
+    * N·(ad−bc)² (~10²²) and the marginal product (a+b)(c+d)·n1·n2
+    * (worst case N⁴/16, past Long once the corpus tops ~110k docs) —
+    * accumulate in DECIMAL(38,0); the statistic surfaces through two
     * correctly-rounded double casts and one floored 4 dp division. */
   private def llmTermDrift(spark: SparkSession, dir: String): DataFrame = {
     val dec = DecimalType(38, 0)
@@ -4016,7 +4017,8 @@ object Registry {
         sum(when(col("source") === "src1", 1L).otherwise(0L)).as("b"))
     val det = col("a") * col("d") - col("b") * col("c")
     val num = (col("n1") + col("n2")).cast(dec) * det.cast(dec) * det.cast(dec)
-    val den = (col("a") + col("b")) * (col("c") + col("d")) * col("n1") * col("n2")
+    val den = (col("a") + col("b")).cast(dec) * (col("c") + col("d")).cast(dec) *
+      col("n1").cast(dec) * col("n2").cast(dec)
     ab.crossJoin(broadcast(nn))
       .withColumn("c", col("n1") - col("a"))
       .withColumn("d", col("n2") - col("b"))

@@ -50,6 +50,10 @@ class HitsSpec extends SparkSpecBase {
     assert(out.forall(_._3 == 1000000L), s"uniform scores: $out")
   }
 
+  test("rounds = 0 is rejected up front (no null-score NPE)") {
+    assertThrows[IllegalArgumentException](run(g, rounds = 0))
+  }
+
   test("oracle CTEs unroll both half-steps per round") {
     val sql = Hits.oracleCtes("SELECT 1 AS c, 2 AS p", rounds = 2)
     assert(sql.contains("ar1 AS MATERIALIZED"))

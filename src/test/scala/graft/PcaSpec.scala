@@ -52,4 +52,21 @@ class PcaSpec extends SparkSpecBase {
     assert(pc1(pts).toSeq == pc1(pts.reverse).toSeq,
       "moments are order-independent integer sums")
   }
+
+  test("arrays longer than dim are sliced, mirroring the oracle's [1:dim]") {
+    // Same 2-D spread as the rank-1 test but with two junk trailing
+    // dims; dim = 2 must ignore them (the oracle slices emb[1:dim], and
+    // un-sliced Spark would crash indexing past dim).
+    import spark.implicits._
+    val base = Seq(Seq(0.3, 0.4), Seq(-0.3, -0.4), Seq(0.6, 0.8),
+      Seq(0.0, 0.0))
+    val padded = base.map(_ ++ Seq(9.9, -9.9))
+    val df = padded.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val v = Pca.topComponent(df, "vec_id", "embedding", dim = 2, rounds = 8)
+      .orderBy("dim").collect().map(_.getLong(1))
+    assert(v.length == 2 && math.abs(v(1)) == Pca.Scale && v(0) * 4 == v(1) * 3,
+      s"junk dims ignored: ${v.toSeq}")
+  }
 }
