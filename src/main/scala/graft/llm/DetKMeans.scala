@@ -114,7 +114,7 @@ object DetKMeans {
     * bound) jobs than m separate fits, with per-group math identical to
     * [[fit]] (the per-group md5 seed order equals the per-slice
     * TakeOrdered; the generated oracle is unchanged). Measured 6.6 s →
-    * ~2 s for q_llm_ann_pq_det at sf0.1. */
+    * ~2 s for q_llm_ann_pq at sf0.1. */
   def fitGrouped(pts: DataFrame, k: Int, iters: Int, dim: Int): (DataFrame, DataFrame) = {
     require(k >= 1 && iters >= 1)
     val p = pts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

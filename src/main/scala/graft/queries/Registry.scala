@@ -1756,40 +1756,6 @@ object Registry {
     graft.llm.Ivf.search(idx, queryVector(spark, dir), topK = 5, nprobe = 10)
   }
 
-  /** Product-quantization ANN (m=8 × k=16 codebooks over dim-64, ADC
-    * search). Seeded k-means training → rows-only driver check; recall and
-    * exactness invariants live in PqSpec. */
-  private def llmAnnPq(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-    val model = graft.llm.Pq.fit(emb, "embedding", dim = 64, m = 8, k = 16,
-      maxIter = 5)
-    graft.llm.Pq.search(graft.llm.Pq.encode(emb, "embedding", model),
-      "vec_id", model, queryVector(spark, dir), topK = 5)
-  }
-
-  /** IVF-PQ (FAISS IVFADC): coarse k-means prunes to nprobe=4 of 16
-    * clusters, PQ codes over residuals score with ADC lookups. Rows-only
-    * (two seeded k-means fits); IvfPqSpec pins residual-ADC exactness and
-    * recall. */
-  private def llmAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-    val idx = graft.llm.IvfPq.build(emb, "embedding", "vec_id",
-      kCoarse = 16, m = 8, kSub = 16)
-    graft.llm.IvfPq.search(idx, queryVector(spark, dir), topK = 5, nprobe = 4)
-  }
-
-  /** IVF-PQ with exact re-rank (FAISS IndexRefine): ADC shortlist of 4×
-    * topK, re-ranked by true squared L2 against the raw embeddings.
-    * Rows-only (seeded k-means); IvfPqSpec pins refined order == brute
-    * force with hand-recomputed distances. */
-  private def llmAnnIvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-    val idx = graft.llm.IvfPq.build(emb, "embedding", "vec_id",
-      kCoarse = 16, m = 8, kSub = 16)
-    graft.llm.IvfPq.searchRefined(idx, emb, "embedding",
-      queryVector(spark, dir), topK = 5, nprobe = 4)
-  }
-
   /** Skew-safe salted aggregation — result must be exactly the plain
     * GROUP BY (two-stage decomposable combine), oracle-checked. */
   private def skewSaltedAgg(spark: SparkSession, dir: String): DataFrame =
@@ -2740,8 +2706,9 @@ object Registry {
     * (integer-unit k-means on each 8-dim slice) and fully-integer ADC
     * search — the PQ twin of q_llm_kmeans_det: training, encoding and
     * the asymmetric-distance ranking are all replayed by the generated
-    * oracle, so the TRAINED-index ANN answer is hash-checked (the
-    * float-codebook `q_llm_ann_pq` stays rows-only). */
+    * oracle, so the TRAINED-index ANN answer is hash-checked. This IS
+    * the registered `q_llm_ann_pq` (the seeded float-codebook variant
+    * lives on as PqSpec coverage of graft.llm.Pq). */
   private def llmAnnPqDet(spark: SparkSession, dir: String): DataFrame = {
     import graft.llm.DetKMeans
     val emb = t(spark, dir, "embeddings")
@@ -2810,9 +2777,39 @@ object Registry {
     * integer k-means partitions the corpus, PQ codebooks train on the
     * integer RESIDUALS (exact subtractions — no quantization error
     * between stages), search probes 2 cells and ranks by per-cell
-    * residual ADC. Completes the deterministic twin family: every stage
-    * of the float `q_llm_ann_ivfpq` now has a replayable counterpart. */
+    * residual ADC. This IS the registered `q_llm_ann_ivfpq` since the
+    * seeded Spark-ML variant was demoted to IvfPqSpec. */
   private def llmAnnIvfPqDet(spark: SparkSession, dir: String): DataFrame = {
+    val (adcById, _) = ivfPqDetAdc(spark, dir)
+    adcById
+      .select(col("id").as("vec_id"), col("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id")).limit(10)
+  }
+
+  /** Deterministic IVF-PQ with exact re-rank (FAISS IndexRefine over
+    * IVFADC): the residual-ADC scores rank a 50-candidate shortlist,
+    * exact integer L2 against the full-precision vectors re-ranks it to
+    * the final top-10 — index, shortlist, and refinement all replayed by
+    * the generated oracle. Refine reads full vectors only for the
+    * shortlist (broadcast semi-join), the property that makes it viable
+    * when the corpus is 100 TB and the PQ codes are 64× smaller. */
+  private def llmAnnIvfPqDetRerank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.DetKMeans
+    val (adcById, full) = ivfPqDetAdc(spark, dir)
+    val shortlist = adcById.orderBy(col("adc_dist"), col("id")).limit(50)
+    val qFull = full.filter(col("id") === 0).select(col("u").as("qu"))
+    full.join(broadcast(shortlist.select(col("id"))), Seq("id"))
+      .crossJoin(broadcast(qFull))
+      .select(col("id").as("vec_id"),
+        DetKMeans.dist2(col("u"), col("qu")).as("exact_dist"))
+      .orderBy(col("exact_dist"), col("vec_id")).limit(10)
+  }
+
+  /** Shared IVFADC pipeline behind `q_llm_ann_ivfpq` and its re-rank:
+    * returns (per-id summed residual-ADC distances over the 2 probed
+    * cells, full-precision unit vectors). */
+  private def ivfPqDetAdc(spark: SparkSession,
+                          dir: String): (DataFrame, DataFrame) = {
     import graft.llm.DetKMeans
     val emb = t(spark, dir, "embeddings")
     val m = 8; val subDim = 8; val kCodes = 16; val kCoarse = 8
@@ -2847,13 +2844,12 @@ object Registry {
         Seq("g"))
       .select(col("cid"), col("g"), col("code"),
         DetKMeans.dist2(col("qrs"), col("c")).as("qd"))
-    cells.select(col("id"), col("cid"))
+    val adcById = cells.select(col("id"), col("cid"))
       .join(broadcast(probed), "cid")
       .join(codes, Seq("id"))
       .join(broadcast(adcTable), Seq("cid", "g", "code"))
       .groupBy("id").agg(sum(col("qd")).as("adc_dist"))
-      .select(col("id").as("vec_id"), col("adc_dist"))
-      .orderBy(col("adc_dist"), col("vec_id")).limit(10)
+    (adcById, full)
   }
 
   /** Count-Min frequency estimates for a probe set (hits and misses)
@@ -4111,8 +4107,8 @@ object Registry {
     "q_llm_ann_lsh" -> q(llmAnnLsh),
     "q_dashboard" -> q(dashboardQuery),
     "q_llm_ann_ivf_kmeans" -> q(llmAnnIvfKmeans),
-    "q_llm_ann_pq" -> q(llmAnnPq),
-    "q_llm_ann_ivfpq" -> q(llmAnnIvfPq),
+    "q_llm_ann_pq" -> q(llmAnnPqDet),
+    "q_llm_ann_ivfpq" -> q(llmAnnIvfPqDet),
     "q_skew_salted_agg" -> q(skewSaltedAgg),
     "q_llm_cosine_neardup" -> q(llmCosineNearDup),
     "q_llm_semdedup" -> q(llmSemDedup),
@@ -4191,7 +4187,7 @@ object Registry {
     "q_w_lag_ma" -> q(wLagMovingAvg),
     "q_llm_neg_sample" -> q(llmNegSample),
     "q_llm_curriculum" -> q(llmCurriculum),
-    "q_llm_ann_ivfpq_rerank" -> q(llmAnnIvfPqRerank),
+    "q_llm_ann_ivfpq_rerank" -> q(llmAnnIvfPqDetRerank),
     "q_llm_export_shards" -> q(llmExportShards),
     "q_e_funnel_conversion" -> q(eFunnelConversion),
     "q_agg_sketch_quantiles" -> q(aggSketchQuantiles),
@@ -4223,9 +4219,7 @@ object Registry {
     "q_agg_trade_flow" -> q(aggTradeFlow),
     "q_s_schema_evolution" -> q(sSchemaEvolution),
     "q_agg_countmin" -> q(aggCountMin),
-    "q_llm_ann_pq_det" -> q(llmAnnPqDet),
-    "q_llm_ann_pq_det_rerank" -> q(llmAnnPqDetRerank),
-    "q_llm_ann_ivfpq_det" -> q(llmAnnIvfPqDet),
+    "q_llm_ann_pq_rerank" -> q(llmAnnPqDetRerank),
     "q_graph_triangles" -> q(graphTriangles),
     "q_sketch_hll" -> q(sketchHll),
     "q_scd2_dim" -> q(scd2Dim),
@@ -4312,8 +4306,11 @@ object Registry {
 
   /** Generated IVFADC replay: coarse chain (co_), exact integer
     * residuals, one residual-PQ chain per subspace (rs{s}_,
-    * preQuantized), probe, per-cell residual ADC tables, integer sum. */
-  private lazy val ivfPqDetOracle: String = {
+    * preQuantized), probe, per-cell residual ADC tables, integer sum.
+    * [[ivfPqDetCtes]]/[[ivfPqDetContribs]] are the shared prefix;
+    * [[ivfPqDetOracle]] ranks by ADC, [[ivfPqDetRerankOracle]] refines a
+    * 50-candidate ADC shortlist with exact integer L2. */
+  private lazy val ivfPqDetParts: (String, String) = {
     val m = 8; val subDim = 8
     val coarse = graft.llm.DetKMeans.oracleCtes("embeddings", "vec_id",
       "embedding", k = 8, iters = 3, dim = 64, prefix = "co_")
@@ -4354,12 +4351,38 @@ object Registry {
           JOIN adc$s t ON t.cid = a.cid AND t.code = cd.cid
           WHERE a.cid IN (SELECT cid FROM probed)""")
       .mkString(" UNION ALL ")
-    coarse + "," + resCte + "," + rsChains + "," + probe + "," + adcTables +
-      s"""
-         SELECT id AS vec_id, CAST(SUM(qd) AS BIGINT) AS adc_dist
-         FROM ($contribs) all_contribs
-         GROUP BY id ORDER BY adc_dist, vec_id LIMIT 10"""
+    (coarse + "," + resCte + "," + rsChains + "," + probe + "," + adcTables,
+      contribs)
   }
+  private def ivfPqDetCtes: String = ivfPqDetParts._1
+  private def ivfPqDetContribs: String = ivfPqDetParts._2
+
+  private lazy val ivfPqDetOracle: String = ivfPqDetCtes +
+    s"""
+       SELECT id AS vec_id, CAST(SUM(qd) AS BIGINT) AS adc_dist
+       FROM ($ivfPqDetContribs) all_contribs
+       GROUP BY id ORDER BY adc_dist, vec_id LIMIT 10"""
+
+  // IndexRefine over IVFADC: the same generated CTEs rank a 50-candidate
+  // shortlist, then exact integer L2 over full-precision unit vectors
+  // (the pq_rerank fu/qf formulation) picks the final top-10.
+  private lazy val ivfPqDetRerankOracle: String = ivfPqDetCtes +
+    s""",
+       adc AS (SELECT id, SUM(qd) AS adc_dist
+               FROM ($ivfPqDetContribs) all_contribs
+               GROUP BY id ORDER BY adc_dist, id LIMIT 50),
+       fu AS (SELECT vec_id AS id,
+                list_transform(embedding[1:64],
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT)) AS u
+              FROM embeddings),
+       qf AS (SELECT u FROM fu WHERE id = 0)
+       SELECT f.id AS vec_id,
+         CAST(list_sum(list_transform(range(1, 65),
+           i -> (f.u[i] - q.u[i]) * (f.u[i] - q.u[i]))) AS BIGINT)
+           AS exact_dist
+       FROM fu f JOIN adc ON f.id = adc.id, qf q
+       ORDER BY exact_dist, vec_id LIMIT 10"""
 
   val oracleSql: ListMap[String, String] = ListMap(
     // Aho–Corasick substring semantics == per-pattern `contains`; the
@@ -4430,7 +4453,7 @@ object Registry {
     // Generated multi-subspace PQ replay: one integer k-means CTE chain
     // per 8-dim slice (a3 = codes vs the final round-2 codebook c2),
     // then per-subspace ADC lookup tables and the integer sum ranking.
-    "q_llm_ann_pq_det" -> (pqDetCtes +
+    "q_llm_ann_pq" -> (pqDetCtes +
       s"""
          SELECT id AS vec_id, CAST(SUM(qd) AS BIGINT) AS adc_dist
          FROM ($pqDetUnionAll) all_contribs
@@ -4438,7 +4461,7 @@ object Registry {
     // IndexRefine replay: the same generated PQ CTEs rank a
     // 50-candidate ADC shortlist; the refine joins the shortlist back
     // to full-precision integer vectors for the exact top-10.
-    "q_llm_ann_pq_det_rerank" -> (pqDetCtes +
+    "q_llm_ann_pq_rerank" -> (pqDetCtes +
       s""",
          adc AS (SELECT id, SUM(qd) AS adc_dist
                  FROM ($pqDetUnionAll) all_contribs
@@ -4455,7 +4478,8 @@ object Registry {
              AS exact_dist
          FROM fu f JOIN adc ON f.id = adc.id, qf q
          ORDER BY exact_dist, vec_id LIMIT 10"""),
-    "q_llm_ann_ivfpq_det" -> ivfPqDetOracle,
+    "q_llm_ann_ivfpq" -> ivfPqDetOracle,
+    "q_llm_ann_ivfpq_rerank" -> ivfPqDetRerankOracle,
     // Full Count-Min replay: identical md5 positions → identical counter
     // relation → identical estimates, plus the exact counts and the
     // est ≥ exact guarantee evaluated on both engines.

@@ -14,11 +14,13 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size and oracle coverage match COVERAGE.md") {
-    assert(SparkEntry.queries.size == 222)
-    assert(SparkEntry.oracleSql.size == 217)
+    assert(SparkEntry.queries.size == 220)
+    assert(SparkEntry.oracleSql.size == 218)
+    // The irreducible two: q_llm_bpe's production word table is capped at
+    // 65536 rows (its _det twin replays the full merge loop under oracle),
+    // and DuckDB has no DEFLATE for q_llm_compress_ratio.
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
-    assert(rowsOnly == Set("q_llm_ann_pq", "q_llm_ann_ivfpq",
-      "q_llm_ann_ivfpq_rerank", "q_llm_bpe", "q_llm_compress_ratio"),
+    assert(rowsOnly == Set("q_llm_bpe", "q_llm_compress_ratio"),
       s"rows-only set drifted: $rowsOnly")
   }
 
