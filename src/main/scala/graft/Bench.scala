@@ -3,9 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query against
-  * SPARK_GRAFT_SF_DIR (two passes, recording the per-query MIN — robust
-  * to one-sided host-load noise) and prints one JSON line. A query that
-  * throws is recorded as -1 (failed) — never as its
+  * SPARK_GRAFT_SF_DIR (two suite-interleaved passes minutes apart,
+  * recording the per-query MIN plus the host 1-min loadavg — robust to
+  * one-sided host-load noise, and self-describing when a sustained load
+  * window inflates the artifact anyway) and prints one JSON line. A
+  * query that throws is recorded as -1 (failed) — never as its
   * elapsed-time-until-crash — so BENCH output is auditable. */
 object Bench {
 
@@ -76,33 +78,42 @@ object Bench {
     // fixture setup (Verify still runs the full ingest pipeline per round).
     try graft.queries.Registry.warmSharedStore(spark)
     catch { case _: Throwable => }
-    // Two timed passes per query, report the MIN: a transient host-load
-    // spike (CI neighbors, page-cache cold start) then taxes at most one
-    // pass instead of poisoning the recorded number — r8 and r9 both
-    // recorded phantom 2-3× "regressions" on whichever query block
-    // happened to share the spike window, and min-of-two is the cheapest
-    // estimator that is robust to one-sided noise (run time only ever
-    // ADDS noise). Queries with write side effects land overwrite-
-    // idempotent layouts, so the second pass is safe by construction.
-    val results: Seq[(String, Double)] = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        // Cached frames (minhash/cosine/funnel persist intermediates) would
-        // otherwise accumulate across 200 queries and GC-tax later ones;
-        // each pass is measured from a clean cache, like a fresh session.
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1.0
-        } finally spark.catalog.clearCache()
-      }
-      val first = once()
-      val best = if (first < 0) first else {
-        val second = once()
-        if (second < 0) -1.0 else math.min(first, second)
-      }
-      name -> best
+    // Two timed passes per query, report the MIN — and the passes are
+    // INTERLEAVED at suite level (pass 1 over ALL queries, then pass 2
+    // over all), not back to back per query: a transient host-load spike
+    // then taxes at most one of a query's two samples because they run
+    // minutes apart, where back-to-back samples both sat inside the same
+    // sustained-load window (r10's artifact recorded 295 s against a
+    // 164–191 s quiet-host band that way). min-of-two is the cheapest
+    // estimator robust to one-sided noise (load only ever ADDS time).
+    // Queries with write side effects land overwrite-idempotent layouts,
+    // so the second pass is safe by construction.
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      // Cached frames (minhash/cosine/funnel persist intermediates) would
+      // otherwise accumulate across 200 queries and GC-tax later ones;
+      // each pass is measured from a clean cache, like a fresh session.
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        -1.0
+      } finally spark.catalog.clearCache()
     }
+    def loadavg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val qseq = SparkEntry.queries.toSeq
+    val load0 = loadavg()
+    val pass1 = qseq.map { case (name, fn) => name -> once(name, fn) }.toMap
+    val load1 = loadavg()
+    val results: Seq[(String, Double)] = qseq.map { case (name, fn) =>
+      val a = pass1(name)
+      name -> (if (a < 0) a else {
+        val b = once(name, fn)
+        if (b < 0) -1.0 else math.min(a, b)
+      })
+    }
+    val load2 = loadavg()
     // The harness that captures this output keeps only the final 2000
     // characters of the log (sbt's trailing "[success] Total time" line
     // included). At 149 queries a full per-query map (~1,900 chars) no
@@ -131,10 +142,15 @@ object Bench {
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedField = if (failed > 0) s""","failed":$failed""" else ""
+    // 1-min system loadavg sampled before pass 1 / between passes / after
+    // pass 2: an artifact inflated by neighbor load now self-describes
+    // (quiet host ≈ the worker count; competing load shows >> that).
+    val loadField =
+      s""","loadavg":[${compact(load0, 1)},${compact(load1, 1)},${compact(load2, 1)}]"""
     val line =
-      s"""{"metric":"total","value":${compact(total, 2)},"unit":"sec","n_queries":${results.size},"queries":$qs$failedField,"sf":$sfToken}"""
+      s"""{"metric":"total","value":${compact(total, 2)},"unit":"sec","n_queries":${results.size},"queries":$qs$failedField$loadField,"sf":$sfToken}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failed,"sf":"$sfDir"}""" + "\n")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failed,"loadavg":[$load0,$load1,$load2],"sf":"$sfDir"}""" + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
     System.err.println(s"[bench] line length: ${line.length} chars")
     require(line.length <= 1200,

@@ -1,23 +1,52 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Dev utility: exercise the FULL ingestion pipeline at the reference's
   * operating-envelope ceiling — a ~100 MB upload (the reference rejects
-  * anything larger; `file_processor.py` MAX_FILE_SIZE). Generates an
-  * NCCI_PTP-shaped CSV of ~1.7M rows with realistic dirt (title row above
-  * the header, empty rows, ~1% duplicate unique keys, ~0.5% rows missing a
-  * required field), runs parse → header-detect → project → transform →
-  * validate/quarantine → dedup → versioned land, and prints per-stage
-  * wall times + counter reconciliation. Findings recorded in PLANS.md
-  * ("100 MB ingestion exercise"). Run:
-  * `sbt "runMain graft.IngestScale [/tmp/outdir]"`. */
+  * anything larger; `file_processor.py` MAX_FILE_SIZE) — in each upload
+  * format the reference accepts. Generates an NCCI_PTP-shaped file with
+  * realistic dirt (title row above the header, empty rows, ~1% duplicate
+  * unique keys, ~0.5% rows missing a required field), runs parse →
+  * header-detect → project → transform → validate/quarantine → dedup →
+  * versioned land, and prints per-stage wall times, peak driver heap,
+  * and counter reconciliation. Formats:
+  *  - csv: ~100 MB, 1.7M rows (the envelope ceiling proper)
+  *  - xlsx: ~100 MB zip, 2.6M rows — the driver-side zip+StAX bridge's
+  *    worst case (the sheet XML inflates to ~700 MB)
+  *  - xls: BIFF8's own format ceiling, 65,536 rows (the sheet cannot be
+  *    larger; size is bounded by the format, not the 100 MB cap)
+  * Findings recorded in PLANS.md ("100 MB ingestion exercise"). Run:
+  * `sbt "runMain graft.IngestScale [/tmp/outdir] [csv,xlsx,xls]"`. */
 object IngestScale {
 
+  private def timed[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[ingest100] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+
+  private def heapPools =
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asInstanceOf[
+      java.util.List[java.lang.management.MemoryPoolMXBean]]
+
+  private def resetPeakHeap(): Unit =
+    heapPools.forEach(p =>
+      if (p.getType == java.lang.management.MemoryType.HEAP) p.resetPeakUsage())
+
+  private def peakHeapMb: Long = {
+    var sum = 0L
+    heapPools.forEach(p =>
+      if (p.getType == java.lang.management.MemoryType.HEAP)
+        sum += p.getPeakUsage.getUsed)
+    sum / (1024 * 1024)
+  }
+
   def main(args: Array[String]): Unit = {
-    val work = if (args.nonEmpty) args(0)
+    val work = if (args.nonEmpty && args(0) != "-") args(0)
       else java.nio.file.Files.createTempDirectory("graft-ingest100").toString
+    val formats = if (args.length > 1) args(1).split(",").toSeq else Seq("csv")
     new java.io.File(work).mkdirs()
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -27,17 +56,28 @@ object IngestScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.queries.Registry.configure(spark)
-
-    def timed[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[ingest100] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
+    formats.foreach {
+      case "csv" => runOne(spark, work, "csv", generateCsv(work, 1700000))
+      case "xlsx" => runOne(spark, work, "xlsx",
+        timed("generate 2,600,000-row XLSX") {
+          val p = s"$work/ncci_ptp_100mb.xlsx"
+          graft.io.SyntheticXlsx.writeNcciPtp(p, 2600000)
+          p
+        })
+      case "xls" => runOne(spark, work, "xls",
+        timed("generate 65,536-row BIFF8 XLS (format ceiling)") {
+          val p = s"$work/ncci_ptp_ceiling.xls"
+          graft.io.SyntheticXls.ncciPtpCeiling(p)
+          p
+        })
+      case other => println(s"[ingest100] unknown format '$other' (csv,xlsx,xls)")
     }
+    spark.stop()
+  }
 
-    // ---- Generate the ~100 MB upload (driver-side, like a real upload).
+  /** Generate the ~100 MB CSV upload (driver-side, like a real upload). */
+  private def generateCsv(work: String, nRows: Int): String = {
     val path = s"$work/ncci_ptp_100mb.csv"
-    val nRows = 1700000
     timed(f"generate $nRows%,d-row CSV") {
       val w = new java.io.BufferedWriter(
         new java.io.FileWriter(path), 1 << 20)
@@ -67,34 +107,36 @@ object IngestScale {
         i += 1
       }
       w.close()
-      println(f"[ingest100] file size: ${new java.io.File(path).length() / 1e6}%.1f MB")
     }
+    path
+  }
 
-    // ---- Full pipeline, one call — the same path the flagship exercises.
-    // Fresh store per run: NCCI_PTP is multi-part, so re-ingesting into an
-    // existing store under the same version label APPENDS (by design) and
-    // the reconciliation below would see both runs' rows.
+  /** Full pipeline + read-back reconciliation over one generated upload.
+    * Fresh store per run: NCCI_PTP is multi-part, so re-ingesting into an
+    * existing store under the same version label APPENDS (by design) and
+    * the reconciliation below would see both runs' rows. */
+  private def runOne(spark: SparkSession, work: String, label: String,
+                     path: String): Unit = {
+    println(f"[ingest100] ($label) file size: ${new java.io.File(path).length() / 1e6}%.1f MB")
+    resetPeakHeap()
     val store = new graft.store.VersionStore(spark,
-      s"$work/store-${java.lang.Long.toHexString(System.nanoTime())}")
-    val result = timed("full ingest (parse->detect->transform->quarantine->dedup->land)") {
+      s"$work/store-$label-${java.lang.Long.toHexString(System.nanoTime())}")
+    val result = timed(s"($label) full ingest (parse->detect->transform->quarantine->dedup->land)") {
       graft.pipeline.IngestPipeline.ingestFile(spark, store, "NCCI_PTP", path,
         "2026-Q1", java.sql.Date.valueOf("2026-01-01"), Some("PRACTITIONER"))
     }
-    println(s"[ingest100] status=${result.status} processed=${result.processed} " +
+    println(s"[ingest100] ($label) status=${result.status} processed=${result.processed} " +
       s"inserted=${result.inserted} invalid=${result.invalid} " +
-      s"duplicates=${result.duplicates}")
-
-    // ---- Read-back checks: landed rows queryable + counters reconcile.
-    timed("current-view read-back + counter reconciliation") {
+      s"duplicates=${result.duplicates} peakHeap=${peakHeapMb}MB")
+    timed(s"($label) current-view read-back + counter reconciliation") {
       val cur = store.currentView("cms.ncci_ptp", "NCCI_PTP", Some("PRACTITIONER"))
       val n = cur.count()
-      println(s"[ingest100] current view rows: $n")
+      println(s"[ingest100] ($label) current view rows: $n")
       require(n == result.inserted, s"view rows $n != inserted ${result.inserted}")
       val mods = cur.groupBy("modifier_indicator").count()
         .orderBy("modifier_indicator").collect()
-      println("[ingest100] modifier histogram: " +
+      println(s"[ingest100] ($label) modifier histogram: " +
         mods.map(r => s"${r.get(0)}:${r.getLong(1)}").mkString(" "))
     }
-    spark.stop()
   }
 }
