@@ -371,6 +371,73 @@ object ScaleSmoke {
     println(s"[scale] ktruss rounds: ${trussRows.sortBy(_.getLong(0)).map(r =>
       s"${r.getLong(0)}:${r.getLong(1)}n/${r.getLong(2)}e").mkString(" ")}")
 
+    // Round-11: BFS at the bench shape (seedsMod=97, 4 hops, same
+    // co-purchase graph) — per hop one frontier join + one min-agg over
+    // the adjacency, frontier never wider than the node set.
+    val bfsRows = timed("bfs hops (seedsMod=97, 4 rounds, bench shape)")(
+      graft.operators.Bfs.hopSummary(
+        graft.operators.Triangles.canonical(coEdges, "x", "y"),
+        seedsMod = 97, rounds = 4).collect())
+    println(s"[scale] bfs hops: ${bfsRows.sortBy(_.getLong(0)).map(r =>
+      s"${r.getLong(0)}:${r.getLong(1)}").mkString(" ")}")
+
+    // Round-11: HITS on the 20× bipartite purchase graph (~12M edges,
+    // disjoint id spaces per replica). The score snapshots stay under the
+    // broadcast gate per side, so both half-steps must run broadcast-join
+    // + exchange-free aggregate — 20× edges ⇒ ~20× time, no cliff.
+    val ordKey = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+    val bip20 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(ordKey, Seq("l_orderkey"))
+      .crossJoin(spark.range(factor.toLong).withColumnRenamed("id", "rep"))
+      .select((col("o_custkey") + col("rep") * 100000000L).as("cust"),
+        (col("l_partkey") + col("rep") * 100000000L).as("part"))
+    val hitsRows = timed("hits (12M-edge bipartite, 2 rounds)")(
+      graft.operators.Hits.topHubsAuthorities(bip20, "cust", "part",
+        rounds = 2, k = 10).count())
+    println(s"[scale] hits top rows: $hitsRows")
+
+    // Round-11: personalized PageRank over 20 disjoint replicas of the
+    // bench's symmetrized supplier-part graph (~24M directed edges, 5
+    // rounds). Per round: ONE equi-join + one aggregate on the
+    // pre-partitioned edge relation; disjoint copies ⇒ linear scaling.
+    val li11 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .crossJoin(spark.range(factor.toLong).withColumnRenamed("id", "rep"))
+      .select((col("l_suppkey") * 2 + col("rep") * 100000000L).as("src"),
+        (col("l_partkey") * 2 + 1 + col("rep") * 100000000L).as("dst"))
+    val pprEdges = li11.unionAll(
+      li11.select(col("dst").as("src"), col("src").as("dst")))
+    val pprRows = timed("personalized pagerank (24M edges, 5 rounds)")(
+      graft.operators.Ppr.run(pprEdges, "src", "dst",
+        isSeed = n => n % 200 === 0, iterations = 5).count())
+    println(s"[scale] ppr ranked nodes: $pprRows")
+
+    // Round-11: PCA top component over the 100k-vector corpus — the only
+    // corpus-sized work is the single dim² moment aggregate (row-local
+    // 64×64 explosion → ≤4096 groups); the 8 power rounds are driver-side
+    // BigInt on the KB-scale scatter, so 20× data ⇒ one ~20× aggregate.
+    val pcaRows = timed("pca top component (100k vecs, dim 64, 8 rounds)")(
+      graft.llm.Pca.topComponent(bigEmb, "vec_id", "embedding",
+        dim = 64, rounds = 8).count())
+    println(s"[scale] pca component dims: $pcaRows")
+
+    // Round-11: connected components ABOVE the driver union-find gate —
+    // 2M chain edges in 64-node blocks symmetrize to ~4M pairs (gate is
+    // 1M), forcing the distributed pointer-jumping loop; diameter 63 must
+    // converge in O(log d) ≈ 6-7 label rounds, not 63.
+    val ccNodes = 2100000L
+    val chain = spark.range(ccNodes - 1)
+      .filter((col("id") + 1) % 64 =!= 0)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val ccComponents = timed("connected components (4M pairs, distributed pointer jumping)")(
+      graft.llm.Dedup.connectedComponents(chain, "id_a", "id_b")
+        .select(col("component")).distinct().count())
+    val ccExpected = (ccNodes + 63) / 64
+    require(ccComponents == ccExpected,
+      s"chain components $ccComponents != expected $ccExpected")
+    println(s"[scale] chain components: $ccComponents (expected $ccExpected)")
+
     // Round-10: deterministic epoch shuffle over the 100k-doc corpus —
     // the 256-bucket two-pass prefix sum must keep every corpus-side
     // window bucket-partitioned (the 256-row offsets relation is the only
