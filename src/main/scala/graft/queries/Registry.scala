@@ -4045,6 +4045,21 @@ object Registry {
     * the symmetrized supplier–part graph — the TrustRank-style seed
     * expansion ([[graft.operators.Ppr]]); same picorank unit arithmetic
     * and generated unrolled-CTE oracle as q_graph_pagerank. */
+  /** Weighted shortest paths from the modulus-200 supplier seed set over
+    * the symmetrized supplier-part graph, edge cost `l_linenumber % 5 + 1`
+    * — the Bellman-Ford companion to q_graph_bfs (cheapest cost, not hop
+    * count; [[graft.operators.Sssp]]) with a generated lockstep oracle. */
+  private def graphSssp(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select(
+      (col("l_suppkey") * 2).cast("long").as("src"),
+      (col("l_partkey") * 2 + 1).cast("long").as("dst"),
+      (pmod(col("l_linenumber"), lit(5)) + 1).cast("long").as("w"))
+    val edges = li.unionAll(
+      li.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    graft.operators.Sssp.distanceSummary(edges, seedsMod = 200, rounds = 4)
+      .orderBy("round")
+  }
+
   private def prPersonalized(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem").select(
       (col("l_suppkey") * 2).as("src"),
@@ -4276,6 +4291,7 @@ object Registry {
     "q_llm_term_drift" -> q(llmTermDrift),
     "q_graph_hits" -> q(graphHits),
     "q_graph_ppr" -> q(prPersonalized),
+    "q_graph_sssp" -> q(graphSssp),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -7614,5 +7630,19 @@ object Registry {
          SELECT DISTINCT l_partkey * 2 + 1 AS src,
                          l_suppkey * 2 AS dst FROM lineitem""",
       seedPredSql = "node % 200 = 0", iterations = 10, damping = 0.85),
+    // Generated Bellman-Ford replay: min-collapse + 4 relax rounds in
+    // lockstep, summary checksums the whole distance vector per round.
+    "q_graph_sssp" -> (graft.operators.Sssp.oracleCtes(
+      """SELECT CAST(l_suppkey * 2 AS BIGINT) AS src,
+                CAST(l_partkey * 2 + 1 AS BIGINT) AS dst,
+                CAST(l_linenumber % 5 + 1 AS BIGINT) AS w FROM lineitem
+         UNION ALL
+         SELECT CAST(l_partkey * 2 + 1 AS BIGINT) AS src,
+                CAST(l_suppkey * 2 AS BIGINT) AS dst,
+                CAST(l_linenumber % 5 + 1 AS BIGINT) AS w FROM lineitem""",
+      seedsMod = 200, rounds = 4) +
+      """
+         SELECT round, n_reached, sum_dist, max_dist
+         FROM summary ORDER BY round"""),
   )
 }
