@@ -4045,6 +4045,31 @@ object Registry {
     * the symmetrized supplier–part graph — the TrustRank-style seed
     * expansion ([[graft.operators.Ppr]]); same picorank unit arithmetic
     * and generated unrolled-CTE oracle as q_graph_pagerank. */
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004) over the
+    * documents corpus: adjacent-token co-occurrence graph (self-loops
+    * dropped, symmetrized, weight = adjacency count) ranked by weighted
+    * PageRank ([[graft.operators.WeightedPageRank]], 6 rounds), top-20
+    * keywords. The corpus-sized work is ONE windowed lead + ONE count
+    * aggregate building the ≤|vocab|² edge relation; every rank round
+    * then runs on that vocabulary-sized graph. Generated lockstep
+    * oracle replays tokenization, graph build, and all 6 rounds. */
+  private def llmKeywordsTextrank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = t(spark, dir, "documents").select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull && col("nxt") =!= col("tok"))
+    val edges = toks.select(col("tok").as("src"), col("nxt").as("dst"))
+      .unionAll(toks.select(col("nxt").as("src"), col("tok").as("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    graft.operators.WeightedPageRank.run(edges, "src", "dst", "w",
+        iterations = 6)
+      .orderBy(col("rank").desc, col("node"))
+      .limit(20)
+      .select(col("node").as("keyword"), col("rank"))
+  }
+
   /** Weighted shortest paths from the modulus-200 supplier seed set over
     * the symmetrized supplier-part graph, edge cost `l_linenumber % 5 + 1`
     * — the Bellman-Ford companion to q_graph_bfs (cheapest cost, not hop
@@ -4292,6 +4317,7 @@ object Registry {
     "q_graph_hits" -> q(graphHits),
     "q_graph_ppr" -> q(prPersonalized),
     "q_graph_sssp" -> q(graphSssp),
+    "q_llm_keywords" -> q(llmKeywordsTextrank),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -7644,5 +7670,24 @@ object Registry {
       """
          SELECT round, n_reached, sum_dist, max_dist
          FROM summary ORDER BY round"""),
+    // TextRank replay: same tokenization as q_llm_vocab; adjacency via
+    // list_zip(ts, ts[2:]) (the ann_brute pairing idiom — DuckDB's range()
+    // can't take lateral column bounds), NULL-padded tail dropped like
+    // Spark's lead() null.
+    "q_llm_keywords" -> (graft.operators.WeightedPageRank.oracleCtes(
+      """WITH adjp AS (
+           SELECT p[1] AS x, p[2] AS y FROM (
+             SELECT unnest(list_zip(ts, ts[2:])) AS p
+             FROM (SELECT string_split_regex(trim(text), '\s+') AS ts
+                   FROM documents))
+           WHERE p[2] IS NOT NULL AND p[1] <> p[2])
+         SELECT x AS src, y AS dst, 1 AS w FROM adjp
+         UNION ALL
+         SELECT y, x, 1 FROM adjp""",
+      iterations = 6) +
+      """
+         SELECT node AS keyword,
+           FLOOR(rank * 1e9 + CAST(0.5 AS DOUBLE)) / 1e9 AS rank
+         FROM r6 ORDER BY rank DESC, node LIMIT 20"""),
   )
 }
