@@ -4070,6 +4070,22 @@ object Registry {
       .select(col("node").as("keyword"), col("rank"))
   }
 
+  /** Deterministic uniform random walks (DeepWalk corpus generation) over
+    * the symmetrized supplier-part graph: one 8-step walk per
+    * modulus-40 node, md5-pick at every step, per-step position
+    * checksums ([[graft.operators.RandomWalk]]) with a generated
+    * lockstep oracle replaying every pick. */
+  private def graphRandomWalk(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select(
+      (col("l_suppkey") * 2).cast("long").as("src"),
+      (col("l_partkey") * 2 + 1).cast("long").as("dst"))
+    val edges = li.unionAll(
+      li.select(col("dst").as("src"), col("src").as("dst")))
+    graft.operators.RandomWalk.walkSummary(edges, "src", "dst",
+        seedsMod = 40, steps = 8)
+      .orderBy("step")
+  }
+
   /** Weighted shortest paths from the modulus-200 supplier seed set over
     * the symmetrized supplier-part graph, edge cost `l_linenumber % 5 + 1`
     * — the Bellman-Ford companion to q_graph_bfs (cheapest cost, not hop
@@ -4318,6 +4334,7 @@ object Registry {
     "q_graph_ppr" -> q(prPersonalized),
     "q_graph_sssp" -> q(graphSssp),
     "q_llm_keywords" -> q(llmKeywordsTextrank),
+    "q_graph_rwalk" -> q(graphRandomWalk),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -7689,5 +7706,16 @@ object Registry {
          SELECT node AS keyword,
            FLOOR(rank * 1e9 + CAST(0.5 AS DOUBLE)) / 1e9 AS rank
          FROM r6 ORDER BY rank DESC, node LIMIT 20"""),
+    // Generated walk replay: dense neighbor ranks + the same md5 pick at
+    // every step; summary checksums every walk position per step.
+    "q_graph_rwalk" -> (graft.operators.RandomWalk.oracleCtes(
+      """SELECT CAST(l_suppkey * 2 AS BIGINT) AS src,
+                CAST(l_partkey * 2 + 1 AS BIGINT) AS dst FROM lineitem
+         UNION ALL
+         SELECT CAST(l_partkey * 2 + 1 AS BIGINT) AS src,
+                CAST(l_suppkey * 2 AS BIGINT) AS dst FROM lineitem""",
+      seedsMod = 40, steps = 8) +
+      """
+         SELECT step, n_walks, sum_cur FROM summary ORDER BY step"""),
   )
 }
