@@ -413,6 +413,47 @@ object ScaleSmoke {
         isSeed = n => n % 200 === 0, iterations = 5).count())
     println(s"[scale] ppr ranked nodes: $pprRows")
 
+    // Round-11: weighted SSSP over the same 24M-edge replicated graph —
+    // per round one src-partitioned join + one min-agg; the reached
+    // relation grows with the frontier closure, never the node set.
+    val ssspEdges = li11.select(col("src"), col("dst"),
+        (pmod(col("src") + col("dst"), lit(5)) + 1).as("w"))
+      .unionAll(li11.select(col("dst").as("src"), col("src").as("dst"),
+        (pmod(col("src") + col("dst"), lit(5)) + 1).as("w")))
+    val ssspRows = timed("weighted sssp (24M edges, 4 rounds)")(
+      graft.operators.Sssp.distanceSummary(ssspEdges, seedsMod = 200,
+        rounds = 4).collect())
+    println(s"[scale] sssp rounds: ${ssspRows.sortBy(_.getLong(0)).map(r =>
+      s"${r.getLong(0)}:${r.getLong(1)}n").mkString(" ")}")
+
+    // Round-11: deterministic random walks on the 24M-edge graph — each
+    // step exchanges only the walk relation (seed-set-sized); the one
+    // edge-relation window runs once up front.
+    val rwalkRows = timed("random walks (24M edges, 8 steps)")(
+      graft.operators.RandomWalk.walkSummary(pprEdges, "src", "dst",
+        seedsMod = 40, steps = 8).collect())
+    println(s"[scale] rwalk steps: ${rwalkRows.sortBy(_.getLong(0)).map(r =>
+      s"${r.getLong(0)}:${r.getLong(1)}w").mkString(" ")}")
+
+    // Round-11: TextRank keywords over the 100k-doc corpus — the window
+    // + count build the vocabulary-sized co-occurrence graph (the 20×
+    // replica token inflates the vocab by `factor` nodes only), and all
+    // 6 weighted-PageRank rounds run on that KB-scale relation.
+    val kwWin = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val kwToks = big.select(col("doc_id"),
+        posexplode(graft.llm.TextAnalysis.tokens(col("text")))
+          .as(Seq("pos", "tok")))
+      .withColumn("nxt", lead(col("tok"), 1).over(kwWin))
+      .filter(col("nxt").isNotNull && col("nxt") =!= col("tok"))
+    val kwEdges = kwToks.select(col("tok").as("src"), col("nxt").as("dst"))
+      .unionAll(kwToks.select(col("nxt").as("src"), col("tok").as("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val kwRows = timed("textrank keywords (100k docs -> vocab-sized graph, 6 rounds)")(
+      graft.operators.WeightedPageRank.run(kwEdges, "src", "dst", "w",
+        iterations = 6).count())
+    println(s"[scale] textrank vocab nodes ranked: $kwRows")
+
     // Round-11: PCA top component over the 100k-vector corpus — the only
     // corpus-sized work is the single dim² moment aggregate (row-local
     // 64×64 explosion → ≤4096 groups); the 8 power rounds are driver-side

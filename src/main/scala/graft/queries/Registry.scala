@@ -4045,6 +4045,45 @@ object Registry {
     * the symmetrized supplier–part graph — the TrustRank-style seed
     * expansion ([[graft.operators.Ppr]]); same picorank unit arithmetic
     * and generated unrolled-CTE oracle as q_graph_pagerank. */
+  /** BERT-style masked-LM corruption plan (Devlin et al. 2019: select
+    * 15% of tokens; of those 80% → [MASK], 10% → swap with a token drawn
+    * from the same document, 10% → keep) — fully DETERMINISTIC: the
+    * select / branch / pick draws are independent md5 channels keyed by
+    * (doc_id, position), so the corruption is reproducible across runs
+    * and engines and the oracle replays every decision. Per sampled doc:
+    * branch counts, an order-invariant (pos+1)·(op+1) decision checksum,
+    * and the summed length of swap replacements (pins the picks). All
+    * row-local except ONE doc-grouped aggregate. */
+  private def llmMaskTokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(37)) === 0)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+    val tok = docs.select(col("doc_id"), col("ts"),
+      posexplode(col("ts")).as(Seq("pos", "tok")))
+    def h(tag: String) = conv(substring(md5(concat(
+        col("doc_id").cast("string"), lit(":"),
+        col("pos").cast("string"), lit(":" + tag))), 1, 8), 16, 10)
+      .cast("long")
+    val sel = tok
+      .withColumn("h1", pmod(h("sel"), lit(100)))
+      .withColumn("op",
+        when(col("h1") < 15, pmod(h("op"), lit(10))).otherwise(lit(-1L)))
+      .withColumn("swap_tok", when(col("op") === 8,
+        element_at(col("ts"),
+          (pmod(h("pick"), size(col("ts"))) + 1).cast("int"))))
+    sel.groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("op") >= 0, 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("op").between(0, 7), 1L).otherwise(0L)).as("n_masked"),
+        sum(when(col("op") === 8, 1L).otherwise(0L)).as("n_swapped"),
+        sum(when(col("op") === 9, 1L).otherwise(0L)).as("n_kept"),
+        coalesce(sum(when(col("op") === 8, length(col("swap_tok")))), lit(0L))
+          .cast("long").as("swap_len_sum"),
+        sum(when(col("op") >= 0, (col("pos") + 1) * (col("op") + 1))
+          .otherwise(0L)).as("decision_checksum"))
+      .orderBy("doc_id")
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004) over the
     * documents corpus: adjacent-token co-occurrence graph (self-loops
     * dropped, symmetrized, weight = adjacency count) ranked by weighted
@@ -4335,6 +4374,7 @@ object Registry {
     "q_graph_sssp" -> q(graphSssp),
     "q_llm_keywords" -> q(llmKeywordsTextrank),
     "q_graph_rwalk" -> q(graphRandomWalk),
+    "q_llm_mask_tokens" -> q(llmMaskTokens),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -7717,5 +7757,41 @@ object Registry {
       seedsMod = 40, steps = 8) +
       """
          SELECT step, n_walks, sum_cur FROM summary ORDER BY step"""),
+    // Full masking replay: scalar range(0, len) + list_zip gives each
+    // token its 0-based position, then the same three md5 channels drive
+    // select/branch/pick identically.
+    "q_llm_mask_tokens" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+                    FROM documents WHERE doc_id % 37 = 0),
+         tok AS (SELECT doc_id, ts, p[1] AS tok, p[2] AS pos FROM (
+                   SELECT doc_id, ts,
+                          unnest(list_zip(ts, range(0, len(ts)))) AS p
+                   FROM d)),
+         sel0 AS (SELECT doc_id, ts, tok, pos,
+                    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                       CAST(pos AS VARCHAR) || ':sel'), 1, 8))::BIGINT % 100
+                      AS h1
+                  FROM tok),
+         sel AS (SELECT doc_id, ts, tok, pos,
+                   CASE WHEN h1 < 15 THEN
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                        CAST(pos AS VARCHAR) || ':op'), 1, 8))::BIGINT % 10
+                   ELSE -1 END AS op
+                 FROM sel0),
+         sw AS (SELECT doc_id, tok, pos, op,
+                  CASE WHEN op = 8 THEN ts[CAST(
+                    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                       CAST(pos AS VARCHAR) || ':pick'), 1, 8))::BIGINT
+                      % len(ts) + 1 AS BIGINT)]
+                  END AS swap_tok
+                FROM sel)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN op >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+           CAST(SUM(CASE WHEN op BETWEEN 0 AND 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+           CAST(SUM(CASE WHEN op = 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_swapped,
+           CAST(SUM(CASE WHEN op = 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(COALESCE(SUM(CASE WHEN op = 8 THEN length(swap_tok) END), 0) AS BIGINT) AS swap_len_sum,
+           CAST(SUM(CASE WHEN op >= 0 THEN (pos + 1) * (op + 1) ELSE 0 END) AS BIGINT) AS decision_checksum
+         FROM sw GROUP BY doc_id ORDER BY doc_id""",
   )
 }
