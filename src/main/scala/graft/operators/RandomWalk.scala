@@ -45,15 +45,7 @@ object RandomWalk {
       .localCheckpoint(true)
     val snapshots = scala.collection.mutable.ArrayBuffer(walks)
     for (s <- 1 to steps) {
-      // h in [0, 2^32): the md5 prefix both engines parse identically.
-      val h = conv(substring(
-        md5(concat(col("walk").cast("string"), lit(s":$salt:$s"))), 1, 8),
-        16, 10).cast("long")
-      walks = walks
-        .join(nbr, walks("cur") === nbr("src") &&
-          nbr("idx") === pmod(h, nbr("outdeg")))
-        .select(col("walk"), col("dst").as("cur"))
-        .localCheckpoint(true)
+      walks = step(walks, nbr, s, salt).localCheckpoint(true)
       snapshots += walks
     }
     snapshots.zipWithIndex.map { case (w, s) =>
@@ -61,6 +53,20 @@ object RandomWalk {
           coalesce(sum(col("cur")), lit(0L)).as("sum_cur"))
         .select(lit(s.toLong).as("step"), col("n_walks"), col("sum_cur"))
     }.reduce(_ unionByName _)
+  }
+
+  /** One walk step: the (cur = src) EQUI-join against the ranked
+    * neighbor relation with the md5 pick — h in [0, 2³²), the prefix
+    * both engines parse identically — as a residual predicate riding it
+    * (never a cartesian). Exposed for plan pinning. */
+  private[graft] def step(walks: DataFrame, nbr: DataFrame, s: Int,
+                          salt: String): DataFrame = {
+    val h = conv(substring(
+      md5(concat(col("walk").cast("string"), lit(s":$salt:$s"))), 1, 8),
+      16, 10).cast("long")
+    walks.join(nbr, walks("cur") === nbr("src") &&
+        nbr("idx") === pmod(h, nbr("outdeg")))
+      .select(col("walk"), col("dst").as("cur"))
   }
 
   /** Generated DuckDB replay over an edge CTE `edgesSql` (columns src,

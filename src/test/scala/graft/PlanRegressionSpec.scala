@@ -166,7 +166,6 @@ class PlanRegressionSpec extends SparkSpecBase {
       "q_llm_nfc" -> "nfc_normalize",
       "q_llm_bloom_decon" -> "md_bloom_any_contain",
       "q_llm_blocklist" -> "multi_pattern_matches",
-      "q_llm_ann_pq" -> "pq_encode",
       "q_llm_bpe" -> "bpe_encode",
       "q_llm_cosine_neardup" -> "float_dot",
       "q_llm_compress_ratio" -> "deflate_len",
@@ -184,6 +183,20 @@ class PlanRegressionSpec extends SparkSpecBase {
       assert(inCodegenSpan,
         s"$query: no codegen'd operator contains $exprName; plan:\n$p")
     }
+    // pq_encode's registry carrier became the DetKMeans twin in r11, so
+    // probe the expression directly: seeded fit + encode over sf0.001.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val model = graft.llm.Pq.fit(emb, "embedding", dim = 64, m = 4, k = 4,
+      seed = 7)
+    val enc = graft.llm.Pq.encode(emb, "embedding", model)
+    enc.collect()
+    val pe = enc.queryExecution.executedPlan.toString
+    assert(!pe.contains("CodegenFallback"),
+      "pq_encode fell back to interpreted eval")
+    assert(pe.linesIterator.exists(l =>
+      l.contains("pq_encode") && l.trim.stripPrefix("+- ").stripPrefix(":- ")
+        .startsWith("*(")),
+      s"no codegen'd operator contains pq_encode; plan:\n$pe")
   }
 
   test("binary ANN shortlist: TakeOrdered over the code scan, no corpus shuffle") {
@@ -308,5 +321,34 @@ class PlanRegressionSpec extends SparkSpecBase {
     // the corpus-side row_number is partitioned by _bucket
     assert(p.contains("windowspecdefinition(_bucket"),
       "corpus ranks must window by bucket, not globally")
+  }
+
+  test("textrank keywords: top-20 is TakeOrdered, never a global sort") {
+    // (the co-occurrence window and rank rounds sit behind the operator's
+    // localCheckpoints — only the final rank/top-k plan is visible here)
+    val p = plan("q_llm_keywords")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "top-k must not plan as a full distributed sort")
+  }
+
+  test("random walk step: the md5 pick rides the cur=src equi-join, " +
+      "no cartesian") {
+    import spark.implicits._
+    val nbr = Seq((1L, 2L, 0L, 2L), (1L, 3L, 1L, 2L), (2L, 1L, 0L, 1L))
+      .toDF("src", "dst", "idx", "outdeg")
+    val walks = Seq((1L, 1L), (2L, 2L)).toDF("walk", "cur")
+    val p = graft.operators.RandomWalk.step(walks, nbr, s = 1, salt = "t")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"pick predicate must be residual on the equi-join, got:\n$p")
+  }
+
+  test("masked-LM corruption: row-local channels, ONE doc-grouped exchange") {
+    val p = plan("q_llm_mask_tokens")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "masking derives from md5 channels in-row — no join anywhere")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "doc aggregate partial-aggregates before its exchange")
   }
 }
