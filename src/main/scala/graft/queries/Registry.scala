@@ -4084,6 +4084,50 @@ object Registry {
       .orderBy("doc_id")
   }
 
+  /** T5-style span-corruption plan (Raffel et al. 2020: mask contiguous
+    * spans, one sentinel per span — input length = tokens − masked +
+    * sentinels): deterministic md5 channels pick ~5% span STARTS and a
+    * 1–3 token length each; overlapping/adjacent spans merge into
+    * islands via a BOUNDED 2-preceding running-max window (span ends
+    * can't reach further) + a lag edge-detect — per-doc windows only,
+    * nothing corpus-wide. Output per sampled doc: token/span/masked
+    * counts, the resulting input length, and an order-invariant
+    * coverage checksum the oracle replays position for position. */
+  private def llmMaskSpans(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = t(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(41)) === 0)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+    def h(tag: String) = conv(substring(md5(concat(
+        col("doc_id").cast("string"), lit(":"),
+        col("pos").cast("string"), lit(":" + tag))), 1, 8), 16, 10)
+      .cast("long")
+    val st = tok.withColumn("slen",
+      when(pmod(h("spanstart"), lit(20)) === 0,
+        pmod(h("spanlen"), lit(3)) + 1).otherwise(lit(0L)))
+    val wCov = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-2, Window.currentRow)
+    val wLag = Window.partitionBy("doc_id").orderBy("pos")
+    val cov = st.withColumn("covered",
+      when(max(when(col("slen") > 0, col("pos") + col("slen") - 1)
+          .otherwise(lit(-1L))).over(wCov) >= col("pos"), 1L)
+        .otherwise(0L))
+    val isl = cov.withColumn("is_start",
+      when(col("covered") === 1 &&
+        coalesce(lag(col("covered"), 1).over(wLag), lit(0L)) === 0, 1L)
+        .otherwise(0L))
+    isl.groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("is_start")).as("n_spans"),
+        sum(col("covered")).as("n_masked"),
+        (count(lit(1)) - sum(col("covered")) + sum(col("is_start")))
+          .as("input_len"),
+        sum(when(col("covered") === 1, col("pos") + 1).otherwise(0L))
+          .as("cover_checksum"))
+      .orderBy("doc_id")
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004) over the
     * documents corpus: adjacent-token co-occurrence graph (self-loops
     * dropped, symmetrized, weight = adjacency count) ranked by weighted
@@ -4375,6 +4419,7 @@ object Registry {
     "q_llm_keywords" -> q(llmKeywordsTextrank),
     "q_graph_rwalk" -> q(graphRandomWalk),
     "q_llm_mask_tokens" -> q(llmMaskTokens),
+    "q_llm_mask_spans" -> q(llmMaskSpans),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -7793,5 +7838,44 @@ object Registry {
            CAST(COALESCE(SUM(CASE WHEN op = 8 THEN length(swap_tok) END), 0) AS BIGINT) AS swap_len_sum,
            CAST(SUM(CASE WHEN op >= 0 THEN (pos + 1) * (op + 1) ELSE 0 END) AS BIGINT) AS decision_checksum
          FROM sw GROUP BY doc_id ORDER BY doc_id""",
+    // Span replay: same start/length channels, the same bounded
+    // 2-preceding running-max coverage window, lag edge-detect islands.
+    "q_llm_mask_spans" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+                    FROM documents WHERE doc_id % 41 = 0),
+         tok AS (SELECT doc_id, p[2] AS pos FROM (
+                   SELECT doc_id,
+                          unnest(list_zip(ts, range(0, len(ts)))) AS p
+                   FROM d)),
+         st AS (SELECT doc_id, pos,
+                  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                         CAST(pos AS VARCHAR) || ':spanstart'), 1, 8))::BIGINT
+                         % 20 = 0
+                       THEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                         CAST(pos AS VARCHAR) || ':spanlen'), 1, 8))::BIGINT
+                         % 3 + 1
+                       ELSE 0 END AS slen
+                FROM tok),
+         cov AS (SELECT doc_id, pos,
+                   CASE WHEN max(CASE WHEN slen > 0 THEN pos + slen - 1
+                                      ELSE -1 END)
+                          OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                          >= pos
+                        THEN 1 ELSE 0 END AS covered
+                 FROM st),
+         isl AS (SELECT doc_id, pos, covered,
+                   CASE WHEN covered = 1 AND COALESCE(
+                          lag(covered) OVER (PARTITION BY doc_id ORDER BY pos),
+                          0) = 0
+                        THEN 1 ELSE 0 END AS is_start
+                 FROM cov)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(is_start) AS BIGINT) AS n_spans,
+           CAST(SUM(covered) AS BIGINT) AS n_masked,
+           CAST(count(*) - SUM(covered) + SUM(is_start) AS BIGINT) AS input_len,
+           CAST(SUM(CASE WHEN covered = 1 THEN pos + 1 ELSE 0 END) AS BIGINT)
+             AS cover_checksum
+         FROM isl GROUP BY doc_id ORDER BY doc_id""",
   )
 }
