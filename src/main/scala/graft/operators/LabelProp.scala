@@ -46,6 +46,28 @@ object LabelProp {
     * all-singletons start. */
   def propagateSummary(canonEdges: DataFrame, rounds: Int,
                        broadcastMaxLabels: Long = BroadcastMaxLabels): DataFrame = {
+    val snapshots = snapshotsOf(canonEdges, rounds, broadcastMaxLabels)
+    // Peeling never reads the summaries, so they all evaluate in ONE
+    // final job over the checkpointed snapshots instead of one collect
+    // per round — rounds+1 scheduler jobs collapse to 1 (the k-core
+    // lesson applied one step further; its per-round count can't defer
+    // because it also sizes the next round's coalesce — this one doesn't).
+    snapshots.zipWithIndex.map { case (l, r) =>
+      l.groupBy("lbl").agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_communities"), max(col("sz")).as("largest"))
+        .select(lit(r.toLong).as("round"), col("n_communities"),
+          col("largest"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The converged (n, lbl) assignment after `rounds` — the relation
+    * downstream analytics (modularity scoring, community joins) consume. */
+  def finalLabels(canonEdges: DataFrame, rounds: Int,
+                  broadcastMaxLabels: Long = BroadcastMaxLabels): DataFrame =
+    snapshotsOf(canonEdges, rounds, broadcastMaxLabels).last
+
+  private def snapshotsOf(canonEdges: DataFrame, rounds: Int,
+                          broadcastMaxLabels: Long): Seq[DataFrame] = {
     // Both directions once, reused every round (checkpointed so each
     // round's join re-reads materialized blocks, not the edge lineage —
     // the one-sided edge relation has no other consumer, so only nbr
@@ -93,17 +115,7 @@ object LabelProp {
         .localCheckpoint(true)
       snapshots += labels
     }
-    // Peeling never reads the summaries, so they all evaluate in ONE
-    // final job over the checkpointed snapshots instead of one collect
-    // per round — rounds+1 scheduler jobs collapse to 1 (the k-core
-    // lesson applied one step further; its per-round count can't defer
-    // because it also sizes the next round's coalesce — this one doesn't).
-    snapshots.zipWithIndex.map { case (l, r) =>
-      l.groupBy("lbl").agg(count(lit(1)).as("sz"))
-        .agg(count(lit(1)).as("n_communities"), max(col("sz")).as("largest"))
-        .select(lit(r.toLong).as("round"), col("n_communities"),
-          col("largest"))
-    }.reduce(_ unionByName _)
+    snapshots.toSeq
   }
 
   /** Generated DuckDB replay of the same R rounds over a canonical edge

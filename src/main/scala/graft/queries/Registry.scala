@@ -4084,6 +4084,44 @@ object Registry {
       .orderBy("doc_id")
   }
 
+  /** Newman modularity of the LabelProp communities on the modulus-4
+    * co-purchase subgraph — the "are these communities real" score that
+    * closes the loop on q_graph_labelprop (Newman & Girvan 2004).
+    * Exactness: Q = e_within/m − Σ(d_c/2m)² rescales to the all-integer
+    *   Q·4m² = 4m·e_within − Σd_c²
+    * accumulated in DECIMAL(38,0)/HUGEINT (d_c² wraps Long once a
+    * community holds ~2³¹ edge-endpoints), with ONE double division and
+    * a 6 dp floor at the surface. All relations are joins/aggregates of
+    * the label assignment against the edge list — no per-community
+    * iteration. */
+  private def graphModularity(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val sub = coPurchasePairs(spark, dir)
+      .filter(col("x") % 4 === 0 && col("y") % 4 === 0)
+    val canon = graft.operators.Triangles.canonical(sub, "x", "y")
+      .localCheckpoint(true)
+    val labels = graft.operators.LabelProp.finalLabels(canon, rounds = 3)
+    val mDf = canon.agg(count(lit(1)).as("m"))
+    val deg = canon.select(col("lo").as("n"))
+      .unionAll(canon.select(col("hi").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val within = canon
+      .join(labels.select(col("n").as("lo"), col("lbl").as("la")), Seq("lo"))
+      .join(labels.select(col("n").as("hi"), col("lbl").as("lb")), Seq("hi"))
+      .filter(col("la") === col("lb"))
+      .agg(count(lit(1)).as("ew"))
+    val agg = labels.join(deg, Seq("n"))
+      .groupBy("lbl").agg(sum(col("deg")).as("d"))
+      .agg(sum(col("d").cast(dec) * col("d")).as("dd"),
+        count(lit(1)).as("n_communities"))
+    agg.crossJoin(broadcast(mDf)).crossJoin(broadcast(within))
+      .select(col("m").as("m_edges"), col("n_communities"),
+        (floor(
+          (lit(4).cast(dec) * col("m") * col("ew") - col("dd")).cast("double")
+            / (lit(4).cast(dec) * col("m") * col("m")).cast("double")
+            * 1e6) / 1e6).as("q6"))
+  }
+
   /** T5-style span-corruption plan (Raffel et al. 2020: mask contiguous
     * spans, one sentinel per span — input length = tokens − masked +
     * sentinels): deterministic md5 channels pick ~5% span STARTS and a
@@ -4420,6 +4458,7 @@ object Registry {
     "q_graph_rwalk" -> q(graphRandomWalk),
     "q_llm_mask_tokens" -> q(llmMaskTokens),
     "q_llm_mask_spans" -> q(llmMaskSpans),
+    "q_graph_modularity" -> q(graphModularity),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -7877,5 +7916,29 @@ object Registry {
            CAST(SUM(CASE WHEN covered = 1 THEN pos + 1 ELSE 0 END) AS BIGINT)
              AS cover_checksum
          FROM isl GROUP BY doc_id ORDER BY doc_id""",
+    // Modularity replay: the generated LabelProp round chain gives l3;
+    // within-edges, weighted-degree squares, and the 4m·ew − Σd² rescale
+    // run in HUGEINT with the same one-division 6dp-floor surface.
+    "q_graph_modularity" -> (graft.operators.LabelProp.oracleCtes(
+      """SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0""",
+      rounds = 3) + """,
+      mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+      deg AS (SELECT n, count(*) AS deg FROM nbr GROUP BY n),
+      within AS (SELECT CAST(count(*) AS BIGINT) AS ew
+                 FROM e0 JOIN l3 a ON a.n = e0.lo JOIN l3 b ON b.n = e0.hi
+                 WHERE a.lbl = b.lbl),
+      dc AS (SELECT l.lbl, SUM(d2.deg) AS d
+             FROM l3 l JOIN deg d2 USING (n) GROUP BY l.lbl),
+      agg AS (SELECT CAST(SUM(CAST(d AS HUGEINT) * d) AS HUGEINT) AS dd,
+                CAST(count(*) AS BIGINT) AS n_communities FROM dc)
+      SELECT (SELECT m FROM mm) AS m_edges,
+        (SELECT n_communities FROM agg) AS n_communities,
+        FLOOR(CAST(CAST(4 AS HUGEINT) * (SELECT m FROM mm) * (SELECT ew FROM within)
+                - (SELECT dd FROM agg) AS DOUBLE)
+          / CAST(CAST(4 AS HUGEINT) * (SELECT m FROM mm) * (SELECT m FROM mm) AS DOUBLE)
+          * 1e6) / 1e6 AS q6"""),
   )
 }

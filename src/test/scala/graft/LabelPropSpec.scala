@@ -69,4 +69,18 @@ class LabelPropSpec extends SparkSpecBase {
     assert(sql.contains("summary AS"))
     assert(!sql.contains("l3 "), "unroll depth matches the request")
   }
+  test("finalLabels: converged assignment matches the summary's story") {
+    import spark.implicits._
+    // Two disjoint triangles: after 3 rounds each collapses to its min
+    // label (hand-walked: round 1 mixes via min-ties, round 2 settles).
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+    val l = LabelProp.finalLabels(
+        Triangles.canonical(edges.toDF("a", "b"), "a", "b"), rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(l.keySet == Set(1L, 2L, 3L, 10L, 11L, 12L))
+    assert(Set(l(1L), l(2L), l(3L)).size == 1, s"left clique uniform: $l")
+    assert(Set(l(10L), l(11L), l(12L)).size == 1, s"right clique uniform: $l")
+    assert(l(1L) != l(10L), "cliques keep distinct communities")
+  }
 }
