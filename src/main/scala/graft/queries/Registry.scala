@@ -4084,6 +4084,43 @@ object Registry {
       .orderBy("doc_id")
   }
 
+  /** Degree assortativity of the co-purchase graph (Newman 2002: Pearson
+    * correlation of endpoint degrees over directed edge stubs) — do
+    * similar-degree products co-occur, the structural question behind
+    * hub-vs-mesh graph shapes. Both orientations double-count each edge,
+    * which makes the j and k marginals IDENTICAL, so the usual
+    * sqrt·sqrt denominator collapses to n·Σj² − (Σj)² and the whole
+    * statistic is exact-integer (DECIMAL(38,0)/HUGEINT — n·Σjk tops
+    * Long immediately on power-law graphs) with ONE double division and
+    * a 6 dp floor. One degree aggregate + two joins + one moment
+    * aggregate; nothing iterates. */
+  private def graphAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val canon = graft.operators.Triangles.canonical(
+        coPurchasePairs(spark, dir), "x", "y")
+      .localCheckpoint(true)
+    val deg = canon.select(col("lo").as("n"))
+      .unionAll(canon.select(col("hi").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val e2 = canon.select(col("lo").as("s"), col("hi").as("t"))
+      .unionAll(canon.select(col("hi").as("s"), col("lo").as("t")))
+    val jk = e2
+      .join(deg.select(col("n").as("s"), col("deg").as("j")), Seq("s"))
+      .join(deg.select(col("n").as("t"), col("deg").as("k")), Seq("t"))
+    jk.agg(
+        count(lit(1)).as("n2"),
+        sum(col("j").cast(dec) * col("k")).as("sjk"),
+        sum(col("j").cast(dec)).as("sj"),
+        sum(col("j").cast(dec) * col("j")).as("sjj"))
+      .select(col("n2").as("n_directed_edges"),
+        (floor(
+          (col("n2").cast(dec) * col("sjk") - col("sj") * col("sj"))
+            .cast("double")
+          / (col("n2").cast(dec) * col("sjj") - col("sj") * col("sj"))
+            .cast("double")
+          * 1e6) / 1e6).as("r6"))
+  }
+
   /** Newman modularity of the LabelProp communities on the modulus-4
     * co-purchase subgraph — the "are these communities real" score that
     * closes the loop on q_graph_labelprop (Newman & Girvan 2004).
@@ -4459,6 +4496,7 @@ object Registry {
     "q_llm_mask_tokens" -> q(llmMaskTokens),
     "q_llm_mask_spans" -> q(llmMaskSpans),
     "q_graph_modularity" -> q(graphModularity),
+    "q_graph_assortativity" -> q(graphAssortativity),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -7940,5 +7978,30 @@ object Registry {
                 - (SELECT dd FROM agg) AS DOUBLE)
           / CAST(CAST(4 AS HUGEINT) * (SELECT m FROM mm) * (SELECT m FROM mm) AS DOUBLE)
           * 1e6) / 1e6 AS q6"""),
+    // Assortativity replay: same double-counted stubs, same collapsed
+    // denominator, HUGEINT moments, one division, 6dp floor.
+    "q_graph_assortativity" ->
+      """WITH e0 AS MATERIALIZED (
+           SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         deg AS (SELECT n, count(*) AS deg FROM (
+                   SELECT lo AS n FROM e0 UNION ALL SELECT hi FROM e0)
+                 GROUP BY n),
+         e2 AS (SELECT lo AS s, hi AS t FROM e0
+                UNION ALL SELECT hi, lo FROM e0),
+         jk AS (SELECT dj.deg AS j, dk.deg AS k
+                FROM e2 JOIN deg dj ON dj.n = e2.s
+                        JOIN deg dk ON dk.n = e2.t),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n2,
+                 CAST(SUM(CAST(j AS HUGEINT) * k) AS HUGEINT) AS sjk,
+                 CAST(SUM(CAST(j AS HUGEINT)) AS HUGEINT) AS sj,
+                 CAST(SUM(CAST(j AS HUGEINT) * j) AS HUGEINT) AS sjj
+               FROM jk)
+         SELECT n2 AS n_directed_edges,
+           FLOOR(CAST(CAST(n2 AS HUGEINT) * sjk - sj * sj AS DOUBLE)
+             / CAST(CAST(n2 AS HUGEINT) * sjj - sj * sj AS DOUBLE)
+             * 1e6) / 1e6 AS r6
+         FROM m""",
   )
 }
