@@ -4084,6 +4084,55 @@ object Registry {
       .orderBy("doc_id")
   }
 
+  /** Heaps'-law vocabulary-growth curve (Heaps 1978): distinct-term
+    * count vs cumulative token volume at doc-id milestones — the curve
+    * that sizes a tokenizer's vocab and says when a corpus stops
+    * yielding new types. Scale shape: ONE term→min(first_doc) aggregate
+    * over the corpus and ONE token-count scan; the milestone fan-out is
+    * a 6-row broadcast nested loop against those BOUNDED relations
+    * (vocab-sized / doc-count-sized), never against the token stream. */
+  private def llmHeaps(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val first = docs.select(
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("term"),
+        col("doc_id"))
+      .groupBy("term").agg(min("doc_id").as("first_doc"))
+    val ntok = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"))
+    import spark.implicits._
+    val ms = Seq(64L, 256L, 1024L, 4096L, 16384L, 65536L).toDF("m")
+    val vocab = broadcast(ms)
+      .join(first, col("first_doc") < col("m"), "left")
+      .groupBy("m").agg(count(col("term")).as("vocab"))
+    val vol = broadcast(ms)
+      .join(ntok, col("doc_id") < col("m"), "left")
+      .groupBy("m").agg(coalesce(sum(col("ntok")), lit(0L)).as("corpus_tokens"))
+    vocab.join(vol, Seq("m")).orderBy("m")
+      .select(col("m").as("milestone_doc"), col("corpus_tokens"), col("vocab"))
+  }
+
+  /** Zipf rank-frequency diagnostic (Zipf 1949): the top-50 terms with
+    * their rank·frequency product — near-constant on natural language,
+    * and the sibling curve to [[llmHeaps]] (vocab growth) in the
+    * corpus-health report. Exactness: counts are integers and the rank
+    * product stays integer, so there is nothing to round. The ranking
+    * window runs over the ALREADY top-50-limited relation (TakeOrdered
+    * cuts the vocab-sized counts first — the window never sees the
+    * corpus or the vocabulary). */
+  private def llmZipf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = t(spark, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term")).limit(50)
+    freq.withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("term")))
+          .cast("long"))
+      .select(col("rank"), col("term"), col("freq"),
+        (col("rank") * col("freq")).as("rank_freq"))
+      .orderBy("rank")
+  }
+
   /** Degree assortativity of the co-purchase graph (Newman 2002: Pearson
     * correlation of endpoint degrees over directed edge stubs) — do
     * similar-degree products co-occur, the structural question behind
@@ -4497,6 +4546,8 @@ object Registry {
     "q_llm_mask_spans" -> q(llmMaskSpans),
     "q_graph_modularity" -> q(graphModularity),
     "q_graph_assortativity" -> q(graphAssortativity),
+    "q_llm_heaps" -> q(llmHeaps),
+    "q_llm_zipf" -> q(llmZipf),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -8003,5 +8054,36 @@ object Registry {
              / CAST(CAST(n2 AS HUGEINT) * sjj - sj * sj AS DOUBLE)
              * 1e6) / 1e6 AS r6
          FROM m""",
+    // Heaps replay: same first-occurrence aggregate + milestone fan-out.
+    "q_llm_heaps" ->
+      """WITH first AS (
+           SELECT term, min(doc_id) AS first_doc FROM (
+             SELECT DISTINCT doc_id,
+               unnest(list_distinct(string_split_regex(trim(text), '\s+')))
+                 AS term
+             FROM documents)
+           GROUP BY term),
+         ntok AS (SELECT doc_id,
+                    len(string_split_regex(trim(text), '\s+')) AS ntok
+                  FROM documents),
+         ms(m) AS (VALUES (64), (256), (1024), (4096), (16384), (65536))
+         SELECT CAST(ms.m AS BIGINT) AS milestone_doc,
+           (SELECT CAST(COALESCE(sum(ntok), 0) AS BIGINT) FROM ntok
+            WHERE doc_id < ms.m) AS corpus_tokens,
+           (SELECT CAST(count(*) AS BIGINT) FROM first
+            WHERE first_doc < ms.m) AS vocab
+         FROM ms ORDER BY milestone_doc""",
+    "q_llm_zipf" ->
+      """WITH freq AS (
+           SELECT term, CAST(count(*) AS BIGINT) AS freq FROM (
+             SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+             FROM documents)
+           GROUP BY term ORDER BY freq DESC, term LIMIT 50)
+         SELECT CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT)
+             AS rank,
+           term, freq,
+           CAST(row_number() OVER (ORDER BY freq DESC, term) * freq AS BIGINT)
+             AS rank_freq
+         FROM freq ORDER BY rank""",
   )
 }
