@@ -4084,6 +4084,34 @@ object Registry {
       .orderBy("doc_id")
   }
 
+  /** Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009):
+    * the BM25 lexical top-20 and the brute-force-cosine semantic top-20
+    * (doc_id ≙ vec_id in the corpus) fuse by Σ 10⁹ div (60 + rank) —
+    * integer division, so the fused score is EXACT and order-independent
+    * — and the top-10 hybrid hits surface with their list count. The
+    * RAG-retrieval shape: lexical recall catches what embeddings miss
+    * and vice versa. Rank windows run over the two 20-row lists only. */
+  private def llmSearchHybrid(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bm = Index.bm25Search(t(spark, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("spark", "join", "window"), k = 20)
+      .withColumn("r", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id").as("id"),
+        expr("1000000000 div (r + 60)").as("c"))
+    val ann = Similarity.bruteForceTopK(t(spark, dir, "embeddings"),
+        "embedding", "vec_id", queryVector(spark, dir), k = 20)
+      .withColumn("r", row_number()
+        .over(Window.orderBy(col("cosine_sim").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("id"),
+        expr("1000000000 div (r + 60)").as("c"))
+    bm.unionByName(ann)
+      .groupBy("id").agg(sum(col("c")).as("rrf_units"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_units").desc, col("id")).limit(10)
+      .select(col("id").as("doc_id"), col("n_lists"), col("rrf_units"))
+  }
+
   /** Heaps'-law vocabulary-growth curve (Heaps 1978): distinct-term
     * count vs cumulative token volume at doc-id milestones — the curve
     * that sizes a tokenizer's vocab and says when a corpus stops
@@ -4548,6 +4576,7 @@ object Registry {
     "q_graph_assortativity" -> q(graphAssortativity),
     "q_llm_heaps" -> q(llmHeaps),
     "q_llm_zipf" -> q(llmZipf),
+    "q_llm_search_hybrid" -> q(llmSearchHybrid),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -8085,5 +8114,47 @@ object Registry {
            CAST(row_number() OVER (ORDER BY freq DESC, term) * freq AS BIGINT)
              AS rank_freq
          FROM freq ORDER BY rank""",
+    // RRF replay: the proven BM25 and brute-cosine formulations at k=20,
+    // ranked, fused with the same 10⁹ // (60 + rank) integer units.
+    "q_llm_search_hybrid" ->
+      """WITH tk AS (SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS term
+                     FROM documents),
+           dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+           qt AS (SELECT doc_id, term, count(*) AS tf FROM tk
+                  WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2),
+           df AS (SELECT term, count(*) AS df FROM qt GROUP BY 1),
+           st AS (SELECT CAST(count(*) AS DOUBLE) AS nd, avg(dl) AS avgdl FROM dl),
+           s AS (SELECT qt.doc_id,
+                   CAST(floor(ln(1.0 + (nd - df + 0.5) / (df + 0.5))
+                         * (qt.tf * CAST(2.2 AS DOUBLE))
+                         / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+                         * 10000 + 0.5) AS BIGINT) AS c4
+                 FROM qt JOIN dl USING (doc_id) JOIN df USING (term), st),
+           bm AS (SELECT doc_id, CAST(SUM(c4) AS DOUBLE) / 10000.0 AS score
+                  FROM s GROUP BY doc_id
+                  ORDER BY score DESC, doc_id LIMIT 20),
+           bmr AS (SELECT doc_id AS id,
+                     1000000000 // (row_number() OVER
+                       (ORDER BY score DESC, doc_id) + 60) AS c
+                   FROM bm),
+           q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+                 FROM embeddings WHERE vec_id = 0),
+           cv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                  FROM embeddings),
+           annl AS (SELECT vec_id,
+                      floor(list_sum(list_transform(list_zip(e, qe), p -> p[1] * p[2])) /
+                        (sqrt(list_sum(list_transform(e, x -> x*x)))
+                         * sqrt(list_sum(list_transform(qe, x -> x*x)))) * 1000000 + 0.5) / 1000000
+                        AS cosine_sim
+                    FROM cv, q ORDER BY cosine_sim DESC, vec_id LIMIT 20),
+           annr AS (SELECT vec_id AS id,
+                      1000000000 // (row_number() OVER
+                        (ORDER BY cosine_sim DESC, vec_id) + 60) AS c
+                    FROM annl)
+         SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+           CAST(SUM(c) AS BIGINT) AS rrf_units
+         FROM (SELECT * FROM bmr UNION ALL SELECT * FROM annr)
+         GROUP BY id ORDER BY rrf_units DESC, doc_id LIMIT 10""",
   )
 }
