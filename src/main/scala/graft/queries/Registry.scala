@@ -3907,6 +3907,209 @@ object Registry {
     rows.toDF("col_a", "col_b", "corr6").orderBy("col_a", "col_b")
   }
 
+  /** Benford first-digit audit of the money column — the fabricated-data /
+    * corrupted-feed detector a data-quality pass runs over any monetary
+    * field (Benford 1938; Nigrini's forensic-accounting practice).
+    * Exactness: cents are exact integers, the leading digit is a STRING
+    * head (no log applied to data), and the expected shares log10(1+1/d)
+    * enter as 6 dp pre-floored INTEGER CONSTANTS identical on both
+    * engines — the only double is one cast-and-divide per digit for the
+    * chi² contribution (cleared-denominator integer numerator in
+    * DECIMAL(38,0), single division, 6 dp floor). Scale shape: one scan +
+    * one 9-group aggregate; the 9-row expected table broadcasts. */
+  private def statsBenford(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val digits = t(spark, dir, "lineitem")
+      .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("c"))
+      .filter(col("c") > 0)
+      .select(substring(col("c").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    import spark.implicits._
+    val exp = Seq(1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L,
+      5 -> 79181L, 6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+      .toDF("digit", "c6")
+    val nDf = digits.agg(sum(col("n_obs")).as("n"))
+    val num = col("n_obs").cast(dec) * 1000000 - col("n").cast(dec) * col("c6")
+    digits.join(broadcast(exp), Seq("digit"))
+      .crossJoin(broadcast(nDf))
+      .select(col("digit"), col("n_obs"),
+        (col("n").cast(dec) * col("c6")).cast("long").as("expected_micro"),
+        (floor((num * num).cast("double")
+          / (col("n").cast(dec) * col("c6") * 1000000).cast("double")
+          * 1e6) / 1e6).as("contrib6"))
+      .orderBy("digit")
+  }
+
+  /** Cramér's V association between order status and priority — the
+    * categorical-dependence scan a feature-selection / leakage audit runs
+    * over every column pair (Cramér 1946). Exactness: the contingency
+    * table is exact integer counts; each cell's χ² contribution clears
+    * denominators to the all-integer (n·o_ij − r_i·c_j)² over n·r_i·c_j in
+    * DECIMAL(38,0) with ONE double division floored to 6 dp micro-units,
+    * so the χ² sum is again exact-integer; V takes one IEEE sqrt (correctly
+    * rounded everywhere) at the surface. Scale shape: one groupBy to the
+    * |S|×|P| cell relation (15 rows here), margins/total are aggregates of
+    * THAT, everything downstream is broadcast-sized. */
+  private def statsCramersV(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus").as("s"), col("o_orderpriority").as("p"))
+      .agg(count(lit(1)).as("o_ij"))
+      .localCheckpoint(true) // |S|×|P| rows feeding four consumers
+    val rm = cells.groupBy("s").agg(sum(col("o_ij")).as("r"))
+    val cm = cells.groupBy("p").agg(sum(col("o_ij")).as("c"))
+    val tot = cells.agg(sum(col("o_ij")).as("n"),
+      countDistinct(col("s")).as("nr"), countDistinct(col("p")).as("nc"))
+    val num = col("n").cast(dec) * col("o_ij") - col("r").cast(dec) * col("c")
+    cells.join(rm, Seq("s")).join(cm, Seq("p"))
+      .crossJoin(broadcast(tot))
+      .select(floor((num * num).cast("double")
+          / (col("n").cast(dec) * col("r") * col("c")).cast("double")
+          * 1e6).cast("long").as("contrib6"),
+        col("n"), col("nr"), col("nc"))
+      .groupBy("n", "nr", "nc")
+      .agg(sum(col("contrib6")).as("chi2_micro"), count(lit(1)).as("n_cells"))
+      .select(col("n").cast("long").as("n_rows"), col("n_cells"),
+        col("chi2_micro"),
+        (floor(sqrt(col("chi2_micro").cast("double") / 1e6
+          / (col("n").cast("double")
+            * least(col("nr") - 1, col("nc") - 1).cast("double")))
+          * 1e6) / 1e6).as("v6"))
+  }
+
+  /** Mann–Whitney rank-sum test: does l_quantity distribute identically
+    * between returned (R) and accepted (A) lines? The nonparametric
+    * two-sample location test (Mann & Whitney 1947) a drift monitor
+    * prefers over the t-test on non-normal columns. Exactness: the
+    * statistic works entirely on the DISTINCT-VALUE relation (≤ 50 rows
+    * here — ties collapse) with integer group counts; doubling U clears
+    * the ½-tie term (u2 = 2·U₁ = Σ 2·n1(v)·cum2(v) + n1(v)·n2(v), exact
+    * in DECIMAL(38,0)), and the tie-corrected variance stays the exact
+    * rational n1·n2·((n+1)·n·(n−1) − Σ(t³−t)) / (12·n·(n−1)) until ONE
+    * sqrt + division floored to 6 dp. The running-count window runs over
+    * the bounded distinct-value relation, never the corpus. */
+  private def statsRanksum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    val vals = t(spark, dir, "lineitem")
+      .filter(col("l_returnflag").isin("A", "R"))
+      .select(floor(col("l_quantity") * 100 + 0.5).cast("long").as("v"),
+        col("l_returnflag").as("g"))
+      .groupBy("v").agg(
+        sum(when(col("g") === "A", 1L).otherwise(0L)).as("n1v"),
+        sum(when(col("g") === "R", 1L).otherwise(0L)).as("n2v"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val tc = (col("n1v") + col("n2v")).cast(dec)
+    val agg = vals
+      .withColumn("cum2", coalesce(sum(col("n2v")).over(w), lit(0L)))
+      .agg(sum(col("n1v")).as("n1"), sum(col("n2v")).as("n2"),
+        sum(col("n1v").cast(dec) * 2 * col("cum2")
+          + col("n1v").cast(dec) * col("n2v")).as("u2"),
+        sum(tc * tc * tc - tc).as("ties"))
+    val n = col("n1").cast(dec) + col("n2")
+    val a = (col("n1").cast(dec) * col("n2")
+      * ((n + 1) * n * (n - 1) - col("ties"))).cast("double")
+    val b = (lit(12).cast(dec) * n * (n - 1)).cast("double")
+    agg.select(col("n1"), col("n2"), col("u2").cast("double").as("u2"),
+      (floor((col("u2") - col("n1").cast(dec) * col("n2")).cast("double")
+        / (lit(2.0) * sqrt(a / b)) * 1e6) / 1e6).as("z6"))
+  }
+
+  /** Clustering-coefficient profile of the co-purchase graph (Watts &
+    * Strogatz 1998 local coefficient; Newman 2003 transitivity) — the
+    * "how cliquish is this graph" diagnostic that calibrates community /
+    * near-dup expectations before running LabelProp or k-truss. FULLY
+    * integer: per-node lcc micro-units are (2·tri_v·10⁶) div (d·(d−1)),
+    * transitivity is (2·Σtri_v·10⁶) div Σd(d−1) — truncating integral
+    * division on DECIMAL(38,0), zero doubles anywhere. Scale shape: the
+    * triangle set comes from the degree-oriented O(m^1.5) enumeration
+    * ([[graft.operators.Triangles]]), per-node counts are one explode +
+    * aggregate of the TRIANGLE relation, degrees one aggregate of edges;
+    * the oracle replays with naive a<b<c enumeration — same triangles. */
+  private def graphClusteringCoef(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val canon = graft.operators.Triangles.canonical(
+        coPurchasePairs(spark, dir), "x", "y")
+      .localCheckpoint(true)
+    val (tri, release) =
+      graft.operators.Triangles.trianglesReleasable(canon, "lo", "hi")
+    val triN = tri
+      .select(explode(array(col("n1"), col("n2"), col("n3"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("t"))
+    val deg = canon.select(col("lo").as("n"))
+      .unionAll(canon.select(col("hi").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val per = deg.filter(col("d") >= 2)
+      .join(triN, Seq("n"), "left")
+      .select(col("d"), coalesce(col("t"), lit(0L)).as("t"))
+      .withColumn("lcc6", expr(
+        "(CAST(t AS DECIMAL(38,0)) * 2000000) div (CAST(d AS DECIMAL(38,0)) * (d - 1))"))
+    val out = per.agg(
+        count(lit(1)).as("n_nodes"),
+        sum(col("t")).as("t3"),
+        sum((col("d").cast(dec) * (col("d") - 1))).as("w2"),
+        sum(col("lcc6")).as("slcc"))
+      .select(col("n_nodes"),
+        expr("t3 div 3").as("n_triangles"),
+        expr("w2 div 2").cast("long").as("n_wedges"),
+        expr("(CAST(t3 AS DECIMAL(38,0)) * 2000000) div w2")
+          .as("transitivity_micro"),
+        expr("slcc div n_nodes").as("avg_lcc_micro"))
+    // Materialize the 1-row summary, then release the cached triangle
+    // inputs (the KTruss discipline): the returned relation re-reads the
+    // checkpoint, never the unpersisted intermediates.
+    val outM = out.localCheckpoint(true)
+    release()
+    outM
+  }
+
+  /** Link prediction on the co-purchase graph: rank non-adjacent node
+    * pairs by common-neighbor count with Adamic–Adar (2003) tie strength —
+    * the "what belongs together next" recommender / knowledge-graph
+    * completion primitive. Determinism: the AA term 1/ln(deg) floors to
+    * integer micro-units PER CENTER on the degree relation (one double ln
+    * each, the BM25 precedent), so pair scores are exact integer SUMS;
+    * ranking ties break on the pair itself. Scale shape: wedges enumerate
+    * from per-center sorted neighbor arrays with a DEGREE CAP (2..256) —
+    * the hot-bucket cap every candidate generator here carries; super-hub
+    * centers contribute O(d²) noise pairs and are excluded BY CONTRACT on
+    * both engines. Non-adjacency is one left-anti join against the edge
+    * set. Runs on the modulus-4 subgraph (the k-truss precedent: the
+    * filter pushes to the lineitem SCAN). */
+  private def graphLinkPred(spark: SparkSession, dir: String): DataFrame = {
+    val sub = t(spark, dir, "lineitem")
+      .filter(pmod(col("l_partkey"), lit(4)) === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x, y))))"))
+        .as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
+    val canon = graft.operators.Triangles.canonical(sub, "x", "y")
+      .localCheckpoint(true)
+    val nbr = canon.select(col("lo").as("w"), col("hi").as("n"))
+      .unionAll(canon.select(col("hi").as("w"), col("lo").as("n")))
+    val aa = nbr.groupBy("w").agg(count(lit(1)).as("d"))
+      .filter(col("d").between(2, 256))
+      .select(col("w"), floor(lit(1e6) / log(col("d").cast("double"))).as("aa6"))
+    val wedges = nbr.groupBy("w")
+      .agg(sort_array(collect_set(col("n"))).as("ns"))
+      .join(aa, Seq("w"))
+      .select(col("aa6"), explode(expr(
+        "flatten(transform(ns, (x, i) -> " +
+          "transform(slice(ns, i + 2, size(ns)), y -> struct(x, y))))"))
+        .as("e"))
+      .select(col("e.x").as("a"), col("e.y").as("b"), col("aa6"))
+    val scored = wedges.groupBy("a", "b").agg(
+      count(lit(1)).as("cn"), sum(col("aa6")).as("aa_micro"))
+    scored.join(canon,
+        scored("a") === canon("lo") && scored("b") === canon("hi"),
+        "left_anti")
+      .orderBy(col("cn").desc, col("aa_micro").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   /** k-truss peeling (k=4, 3 rounds) on a 1/16 co-purchase subgraph —
     * the community-backbone extractor (every surviving edge sits in ≥ 2
     * triangles of the truss). Support counting is a full triangle pass
@@ -4577,6 +4780,11 @@ object Registry {
     "q_llm_heaps" -> q(llmHeaps),
     "q_llm_zipf" -> q(llmZipf),
     "q_llm_search_hybrid" -> q(llmSearchHybrid),
+    "q_stats_benford" -> q(statsBenford),
+    "q_stats_cramers_v" -> q(statsCramersV),
+    "q_stats_ranksum" -> q(statsRanksum),
+    "q_graph_clustering_coef" -> q(graphClusteringCoef),
+    "q_graph_link_pred" -> q(graphLinkPred),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -8156,5 +8364,144 @@ object Registry {
            CAST(SUM(c) AS BIGINT) AS rrf_units
          FROM (SELECT * FROM bmr UNION ALL SELECT * FROM annr)
          GROUP BY id ORDER BY rrf_units DESC, doc_id LIMIT 10""",
+    // Benford replay: same integer cents, string-head digit, and the same
+    // 6 dp pre-floored log10(1+1/d) constants; HUGEINT numerator, one
+    // division per digit.
+    "q_stats_benford" ->
+      """WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             AS c FROM lineitem),
+         d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER)
+                 AS digit, CAST(count(*) AS BIGINT) AS n_obs
+               FROM c WHERE c > 0 GROUP BY 1),
+         n AS (SELECT CAST(sum(n_obs) AS HUGEINT) AS n FROM d),
+         e(digit, c6) AS (VALUES (1, 301029), (2, 176091), (3, 124938),
+           (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152),
+           (9, 45757))
+         SELECT d.digit, d.n_obs,
+           CAST(n.n * e.c6 AS BIGINT) AS expected_micro,
+           FLOOR(CAST((CAST(d.n_obs AS HUGEINT) * 1000000 - n.n * e.c6)
+                   * (CAST(d.n_obs AS HUGEINT) * 1000000 - n.n * e.c6)
+                 AS DOUBLE)
+             / CAST(n.n * e.c6 * 1000000 AS DOUBLE) * 1e6) / 1e6 AS contrib6
+         FROM d JOIN e ON e.digit = d.digit, n ORDER BY d.digit""",
+    // Cramér's V replay: same cell/margin relations, same cleared-
+    // denominator per-cell floor, same single sqrt.
+    "q_stats_cramers_v" ->
+      """WITH cells AS (SELECT o_orderstatus AS s, o_orderpriority AS p,
+                CAST(count(*) AS BIGINT) AS o_ij FROM orders GROUP BY 1, 2),
+         rm AS (SELECT s, CAST(sum(o_ij) AS BIGINT) AS r FROM cells
+                GROUP BY 1),
+         cm AS (SELECT p, CAST(sum(o_ij) AS BIGINT) AS c FROM cells
+                GROUP BY 1),
+         tot AS (SELECT CAST(sum(o_ij) AS BIGINT) AS n,
+                   count(DISTINCT s) AS nr, count(DISTINCT p) AS nc
+                 FROM cells),
+         contrib AS (SELECT
+             CAST(FLOOR(CAST(
+                 (CAST(n AS HUGEINT) * o_ij - CAST(r AS HUGEINT) * c)
+                 * (CAST(n AS HUGEINT) * o_ij - CAST(r AS HUGEINT) * c)
+               AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * r * c AS DOUBLE) * 1e6)
+               AS BIGINT) AS contrib6,
+             n, nr, nc
+           FROM cells JOIN rm USING (s) JOIN cm USING (p), tot)
+         SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(contrib6) AS BIGINT) AS chi2_micro,
+           FLOOR(sqrt(CAST(sum(contrib6) AS DOUBLE) / 1e6
+             / (CAST(n AS DOUBLE) * least(nr - 1, nc - 1))) * 1e6) / 1e6
+             AS v6
+         FROM contrib GROUP BY n, nr, nc""",
+    // Mann–Whitney replay: same distinct-value relation, doubled-U integer
+    // form, exact tie-corrected variance, one sqrt + division.
+    "q_stats_ranksum" ->
+      """WITH vals AS (SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+             AS v,
+             CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n1v,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n2v
+           FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
+         st AS (SELECT v, n1v, n2v,
+                  COALESCE(CAST(sum(n2v) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT), 0) AS cum2
+                FROM vals),
+         agg AS (SELECT CAST(sum(n1v) AS BIGINT) AS n1,
+                   CAST(sum(n2v) AS BIGINT) AS n2,
+                   CAST(sum(CAST(n1v AS HUGEINT) * 2 * cum2
+                     + CAST(n1v AS HUGEINT) * n2v) AS HUGEINT) AS u2,
+                   CAST(sum(CAST(n1v + n2v AS HUGEINT) * (n1v + n2v)
+                     * (n1v + n2v) - (n1v + n2v)) AS HUGEINT) AS ties
+                 FROM st)
+         SELECT n1, n2, CAST(u2 AS DOUBLE) AS u2,
+           FLOOR(CAST(u2 - CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
+             / (2 * sqrt(
+                 CAST(CAST(n1 AS HUGEINT) * n2
+                   * ((CAST(n1 AS HUGEINT) + n2 + 1)
+                      * (CAST(n1 AS HUGEINT) + n2)
+                      * (CAST(n1 AS HUGEINT) + n2 - 1) - ties) AS DOUBLE)
+               / CAST(12 * (CAST(n1 AS HUGEINT) + n2)
+                   * (CAST(n1 AS HUGEINT) + n2 - 1) AS DOUBLE)))
+             * 1e6) / 1e6 AS z6
+         FROM agg""",
+    // Clustering-coefficient replay: naive a<b<c triangle enumeration
+    // (the oracle-side luxury), same integer micro-unit divisions.
+    "q_graph_clustering_coef" ->
+      """WITH pc AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+                     FROM lineitem a JOIN lineitem b
+                       ON a.l_orderkey = b.l_orderkey
+                      AND a.l_partkey < b.l_partkey),
+         tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+                 FROM pc e1
+                 JOIN pc e2 ON e2.x = e1.y
+                 JOIN pc e3 ON e3.x = e1.x AND e3.y = e2.y),
+         tn AS (SELECT n, CAST(count(*) AS BIGINT) AS t FROM (
+                  SELECT a AS n FROM tri
+                  UNION ALL SELECT b FROM tri
+                  UNION ALL SELECT c FROM tri)
+                GROUP BY n),
+         deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+                   SELECT x AS n FROM pc UNION ALL SELECT y FROM pc)
+                 GROUP BY n),
+         per AS (SELECT deg.d, COALESCE(tn.t, 0) AS t,
+                   (CAST(COALESCE(tn.t, 0) AS HUGEINT) * 2000000)
+                     // (CAST(deg.d AS HUGEINT) * (deg.d - 1)) AS lcc6
+                 FROM deg LEFT JOIN tn USING (n) WHERE deg.d >= 2)
+         SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(t) // 3 AS BIGINT) AS n_triangles,
+           CAST(sum(CAST(d AS HUGEINT) * (d - 1)) // 2 AS BIGINT)
+             AS n_wedges,
+           CAST((CAST(sum(t) AS HUGEINT) * 2000000)
+             // sum(CAST(d AS HUGEINT) * (d - 1)) AS BIGINT)
+             AS transitivity_micro,
+           CAST(sum(lcc6) // count(*) AS BIGINT) AS avg_lcc_micro
+         FROM per""",
+    // Link-prediction replay: same mod-4 subgraph, same per-center
+    // floored AA micro-units and 2..256 degree cap, naive wedge self-join.
+    "q_graph_link_pred" ->
+      """WITH e0 AS MATERIALIZED (
+           SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0),
+         nbr AS (SELECT lo AS w, hi AS n FROM e0
+                 UNION ALL SELECT hi, lo FROM e0),
+         aa AS (SELECT w,
+                  CAST(FLOOR(1e6 / ln(CAST(count(*) AS DOUBLE))) AS BIGINT)
+                    AS aa6
+                FROM nbr GROUP BY w
+                HAVING count(*) BETWEEN 2 AND 256),
+         wedges AS (SELECT n1.n AS a, n2.n AS b, aa.aa6
+                    FROM nbr n1 JOIN nbr n2
+                      ON n1.w = n2.w AND n1.n < n2.n
+                    JOIN aa ON aa.w = n1.w),
+         scored AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cn,
+                      CAST(sum(aa6) AS BIGINT) AS aa_micro
+                    FROM wedges GROUP BY 1, 2)
+         SELECT a, b, cn, aa_micro FROM scored s
+         WHERE NOT EXISTS (SELECT 1 FROM e0
+                           WHERE e0.lo = s.a AND e0.hi = s.b)
+         ORDER BY cn DESC, aa_micro DESC, a, b LIMIT 20""",
   )
 }
