@@ -4110,6 +4110,16 @@ object Registry {
       .limit(20)
   }
 
+  /** Harmonic closeness centrality from the mod-97 seed set over the
+    * co-purchase graph — "which catalog anchors sit closest to
+    * everything" (see [[graft.operators.Closeness]] for the integer
+    * micro-unit arithmetic and the (seed, node)-pair frontier shape). */
+  private def graphCloseness(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Closeness.harmonicSummary(
+      graft.operators.Triangles.canonical(
+        coPurchasePairs(spark, dir), "x", "y"),
+      seedsMod = 97, rounds = 4)
+
   /** k-truss peeling (k=4, 3 rounds) on a 1/16 co-purchase subgraph —
     * the community-backbone extractor (every surviving edge sits in ≥ 2
     * triangles of the truss). Support counting is a full triangle pass
@@ -4785,6 +4795,7 @@ object Registry {
     "q_stats_ranksum" -> q(statsRanksum),
     "q_graph_clustering_coef" -> q(graphClusteringCoef),
     "q_graph_link_pred" -> q(graphLinkPred),
+    "q_graph_closeness" -> q(graphCloseness),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -8503,5 +8514,15 @@ object Registry {
          WHERE NOT EXISTS (SELECT 1 FROM e0
                            WHERE e0.lo = s.a AND e0.hi = s.b)
          ORDER BY cn DESC, aa_micro DESC, a, b LIMIT 20""",
+    // Harmonic closeness: GENERATED (seed, node)-pair BFS replay, same
+    // integer 10⁶ div r hop units, zero-reach seeds kept via left join.
+    "q_graph_closeness" -> (graft.operators.Closeness.oracleCtes(
+      """SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""",
+      seedsMod = 97, rounds = 4) + """
+      SELECT s0.s AS seed, COALESCE(agg.n_reached, 0) AS n_reached,
+        COALESCE(agg.harmonic_micro, 0) AS harmonic_micro
+      FROM s0 LEFT JOIN agg USING (s) ORDER BY seed"""),
   )
 }
