@@ -2224,6 +2224,30 @@ object Registry {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Hilbert-curve values over the same normalized (part, supp)
+    * coordinates as [[layoutZorder]] — the stronger locality key (no
+    * Morton seam jumps → ~25% tighter per-file bounding boxes on range
+    * predicates; the Delta liquid-clustering choice). The sequential
+    * xy2d state machine runs as the native codegen'd
+    * [[graft.expressions.HilbertIndex]] kernel; the oracle replays it
+    * as one generated CTE per bit level. */
+  private def layoutHilbert(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .filter(pmod(col("l_orderkey"), lit(37)) === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        pmod(col("l_partkey"), lit(1024)).as("x"),
+        pmod(col("l_suppkey"), lit(1024)).as("y"))
+    li.select(col("l_orderkey"), col("l_linenumber"), col("x"), col("y"),
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.expressions.HilbertIndex(
+            org.apache.spark.sql.graftbridge.Bridge.expression(
+              col("x").cast("long")),
+            org.apache.spark.sql.graftbridge.Bridge.expression(
+              col("y").cast("long")),
+            bits = 10)).as("hval"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** Avro interop roundtrip: a deterministic lineitem slice goes out
     * through [[graft.io.AvroIo.write]] and back through the sync-marker-
     * splittable read, then aggregates; the oracle computes the same
@@ -4796,6 +4820,7 @@ object Registry {
     "q_graph_clustering_coef" -> q(graphClusteringCoef),
     "q_graph_link_pred" -> q(graphLinkPred),
     "q_graph_closeness" -> q(graphCloseness),
+    "q_layout_hilbert" -> q(layoutHilbert),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -8524,5 +8549,17 @@ object Registry {
       SELECT s0.s AS seed, COALESCE(agg.n_reached, 0) AS n_reached,
         COALESCE(agg.harmonic_micro, 0) AS harmonic_micro
       FROM s0 LEFT JOIN agg USING (s) ORDER BY seed"""),
+    // Hilbert replay: GENERATED per-bit-level CTE chain carrying the
+    // rotated coordinates as named columns — same state machine as the
+    // codegen'd kernel, bit-identical by construction.
+    "q_layout_hilbert" -> (graft.expressions.HilbertIndex.oracleCtes(
+      """SELECT l_orderkey, l_linenumber,
+           l_partkey % 1024 AS x, l_suppkey % 1024 AS y,
+           CAST(l_partkey % 1024 AS BIGINT) AS hx,
+           CAST(l_suppkey % 1024 AS BIGINT) AS hy
+         FROM lineitem WHERE l_orderkey % 37 = 0""",
+      bits = 10, carry = Seq("l_orderkey", "l_linenumber", "x", "y")) + """
+      SELECT l_orderkey, l_linenumber, x, y, hd AS hval
+      FROM h10 ORDER BY l_orderkey, l_linenumber"""),
   )
 }

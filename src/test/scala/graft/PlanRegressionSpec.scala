@@ -169,7 +169,8 @@ class PlanRegressionSpec extends SparkSpecBase {
       "q_llm_bpe" -> "bpe_encode",
       "q_llm_cosine_neardup" -> "float_dot",
       "q_llm_compress_ratio" -> "deflate_len",
-      "q_llm_er_linkage" -> "jaro_winkler4")
+      "q_llm_er_linkage" -> "jaro_winkler4",
+      "q_layout_hilbert" -> "hilbert_index")
     targets.foreach { case (query, exprName) =>
       graft.queries.Registry.configure(spark)
       val df = SparkEntry.queries(query)(spark, sfDir)
