@@ -4039,6 +4039,33 @@ object Registry {
         / (lit(2.0) * sqrt(a / b)) * 1e6) / 1e6).as("z6"))
   }
 
+  /** Shannon entropy profile of the categorical columns — the
+    * information-content scan a planner (cardinality/skew modelling) and
+    * a feature audit both want: near-zero entropy flags constant/leaky
+    * columns, near-ln(k) flags uniform ones. Exactness: per distinct
+    * value the term is floor(ln(c)·10⁶)·c — ONE double ln per distinct
+    * value floored to integer micro-units BEFORE any cross-row sum (the
+    * BM25 discipline: float sums are order-dependent, integer sums are
+    * not), so H·n = L(n)·n − Σ L(c)·c is exact-integer in DECIMAL(38,0)
+    * with one truncating division at the surface. Scale: one groupBy per
+    * column, aggregates of the distinct-value relation. */
+  private def statsEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def one(table: String, c: String): DataFrame =
+      t(spark, dir, table).groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_distinct"),
+          sum(floor(log(col("cnt").cast("double")) * 1e6).cast(dec)
+            * col("cnt")).as("se"))
+        .select(lit(table + "." + c).as("col_name"),
+          col("n").cast("long").as("n"), col("n_distinct"),
+          expr("(CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6) AS DECIMAL(38,0))" +
+            " * n - se) div n").as("h_micro"))
+    one("orders", "o_orderstatus")
+      .unionAll(one("orders", "o_orderpriority"))
+      .unionAll(one("lineitem", "l_returnflag"))
+      .orderBy("col_name")
+  }
+
   /** Clustering-coefficient profile of the co-purchase graph (Watts &
     * Strogatz 1998 local coefficient; Newman 2003 transitivity) — the
     * "how cliquish is this graph" diagnostic that calibrates community /
@@ -4473,6 +4500,35 @@ object Registry {
             * 1e6) / 1e6).as("q6"))
   }
 
+  /** Flesch reading-ease scoring (Flesch 1948; the readability gate a
+    * curation pipeline pairs with Gopher/CCNet quality rules) over the
+    * mod-31 document sample. Components are pure integer counts —
+    * whitespace tokens, [.!?]+ sentence runs, [aeiouy]+ vowel-group
+    * syllables with a 1-per-word floor — and the score keeps Flesch's
+    * coefficients in milli-units with truncating integer division at
+    * every step (all operands positive, so Spark's div ≡ DuckDB's //).
+    * Row-local regex work; one orderBy at the surface. */
+  private def llmReadability(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    t(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(31)) === 0)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_words"),
+        greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"),
+          lit(0))), lit(1)).cast("long").as("n_sentences"),
+        aggregate(
+          transform(toks, w => greatest(size(regexp_extract_all(lower(w),
+            lit("[aeiouy]+"), lit(0))), lit(1)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        expr("206835 - (1015 * ((1000 * n_words) div n_sentences)) div 1000" +
+          " - (84600 * ((1000 * n_syllables) div n_words)) div 1000")
+          .as("flesch_milli"))
+      .orderBy("doc_id")
+  }
+
   /** T5-style span-corruption plan (Raffel et al. 2020: mask contiguous
     * spans, one sentinel per span — input length = tokens − masked +
     * sentinels): deterministic md5 channels pick ~5% span STARTS and a
@@ -4821,6 +4877,8 @@ object Registry {
     "q_graph_link_pred" -> q(graphLinkPred),
     "q_graph_closeness" -> q(graphCloseness),
     "q_layout_hilbert" -> q(layoutHilbert),
+    "q_stats_entropy" -> q(statsEntropy),
+    "q_llm_readability" -> q(llmReadability),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -8561,5 +8619,58 @@ object Registry {
       bits = 10, carry = Seq("l_orderkey", "l_linenumber", "x", "y")) + """
       SELECT l_orderkey, l_linenumber, x, y, hd AS hval
       FROM h10 ORDER BY l_orderkey, l_linenumber"""),
+    // Entropy replay: same per-distinct-value floor-then-sum integer
+    // micro-units, same truncating division.
+    "q_stats_entropy" ->
+      """WITH os AS (SELECT count(*) AS cnt FROM orders
+                     GROUP BY o_orderstatus),
+         op AS (SELECT count(*) AS cnt FROM orders
+                GROUP BY o_orderpriority),
+         lr AS (SELECT count(*) AS cnt FROM lineitem
+                GROUP BY l_returnflag),
+         u AS (
+           SELECT 'orders.o_orderstatus' AS col_name,
+             CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(CAST(FLOOR(ln(CAST(cnt AS DOUBLE)) * 1e6) AS HUGEINT)
+               * cnt) AS HUGEINT) AS se
+           FROM os
+           UNION ALL
+           SELECT 'orders.o_orderpriority',
+             CAST(sum(cnt) AS BIGINT), CAST(count(*) AS BIGINT),
+             CAST(sum(CAST(FLOOR(ln(CAST(cnt AS DOUBLE)) * 1e6) AS HUGEINT)
+               * cnt) AS HUGEINT)
+           FROM op
+           UNION ALL
+           SELECT 'lineitem.l_returnflag',
+             CAST(sum(cnt) AS BIGINT), CAST(count(*) AS BIGINT),
+             CAST(sum(CAST(FLOOR(ln(CAST(cnt AS DOUBLE)) * 1e6) AS HUGEINT)
+               * cnt) AS HUGEINT)
+           FROM lr)
+         SELECT col_name, n, n_distinct,
+           CAST((CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 1e6) AS HUGEINT) * n
+             - se) // n AS BIGINT) AS h_micro
+         FROM u ORDER BY col_name""",
+    // Readability replay: same tokenization pairing, same regex counts,
+    // same milli-unit truncating divisions (all operands positive).
+    "q_llm_readability" ->
+      """WITH d AS (SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(text), '\s+') END AS tk
+           FROM documents WHERE doc_id % 31 = 0),
+         m AS (SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS BIGINT) AS n_sentences,
+             CAST(COALESCE(list_sum(list_transform(tk, w ->
+               greatest(len(regexp_extract_all(lower(w), '[aeiouy]+')), 1))),
+               0) AS BIGINT) AS n_syllables
+           FROM d)
+         SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST(206835
+             - (1015 * ((1000 * n_words) // n_sentences)) // 1000
+             - (84600 * ((1000 * n_syllables) // n_words)) // 1000
+             AS BIGINT) AS flesch_milli
+         FROM m WHERE n_words > 0 ORDER BY doc_id""",
   )
 }
