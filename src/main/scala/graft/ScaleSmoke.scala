@@ -381,6 +381,33 @@ object ScaleSmoke {
     println(s"[scale] bfs hops: ${bfsRows.sortBy(_.getLong(0)).map(r =>
       s"${r.getLong(0)}:${r.getLong(1)}").mkString(" ")}")
 
+    // Round-11: harmonic closeness at the bench shape (mod-97 seeds,
+    // 4 rounds) — the (seed, node)-pair frontier is |S|×reach; with ~200
+    // seeds over the 200k-node graph the pair relation peaks in the
+    // tens of millions and must stream through the per-round join +
+    // distinct + anti-join without a cliff.
+    val closeRows = timed("harmonic closeness (mod-97 seeds, 4 rounds)")(
+      graft.operators.Closeness.harmonicSummary(
+        graft.operators.Triangles.canonical(coEdges, "x", "y"),
+        seedsMod = 97, rounds = 4).count())
+    println(s"[scale] closeness seeds scored: $closeRows")
+
+    // Round-11: clustering coefficient at the bench shape — one extra
+    // explode+agg of the triangle relation on top of the already-timed
+    // degree-oriented enumeration; must track the triangle pass, not
+    // add a second cliff.
+    val ccoefRow = timed("clustering coefficient (full co-purchase)")(
+      SparkEntry.queries("q_graph_clustering_coef")(spark, sfDir).collect())
+    println(s"[scale] clustering coef: ${ccoefRow.map(r =>
+      s"${r.getLong(0)}n tr=${r.getLong(1)} t6=${r.getLong(3)}").mkString}")
+
+    // Round-11: link prediction at the bench shape (mod-4 subgraph,
+    // degree cap 256) — the wedge relation is Σ min(d,256)² and the cap
+    // is exactly what keeps the hub quadratic bounded; timing proves it.
+    val lpRows = timed("link prediction (mod-4, cap 256)")(
+      SparkEntry.queries("q_graph_link_pred")(spark, sfDir).count())
+    println(s"[scale] link-pred candidates ranked: $lpRows")
+
     // Round-11: HITS on the 20× bipartite purchase graph (~12M edges,
     // disjoint id spaces per replica). The score snapshots stay under the
     // broadcast gate per side, so both half-steps must run broadcast-join

@@ -2672,6 +2672,26 @@ object Registry {
     stats.join(csum, "cid").orderBy("cid")
   }
 
+  /** k-means elbow curve: total integer inertia of the deterministic
+    * k-means at k = 2, 4, 8 — the model-selection sweep ("where does
+    * adding clusters stop paying") a clustering-gated pipeline (SemDeDup,
+    * IVF) runs before fixing k. Each fit is the oracle-proven
+    * [[graft.llm.DetKMeans]] chain; inertia sums the exact integer d in
+    * DECIMAL(38,0) and surfaces as double. Three bounded fits over the
+    * same cached unit points — corpus passes scale linearly in |ks|. */
+  private def llmKmeansElbow(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val emb = t(spark, dir, "embeddings")
+    Seq(2, 4, 8).map { k =>
+      val (assign, _) = graft.llm.DetKMeans.fit(
+        emb, "vec_id", "embedding", k = k, iters = 2, dim = 64)
+      assign.agg(count(lit(1)).as("n_points"),
+          sum(col("d").cast(dec)).as("si"))
+        .select(lit(k.toLong).as("k"), col("n_points"),
+          col("si").cast("double").as("inertia"))
+    }.reduce(_ unionAll _).orderBy("k")
+  }
+
   /** IVF ANN over the deterministic k-means index: probe the 2 centroids
     * nearest the query in unit space, exact-cosine re-rank inside the
     * probed cells — the first TRAINED-index ANN query whose result is
@@ -4879,6 +4899,7 @@ object Registry {
     "q_layout_hilbert" -> q(layoutHilbert),
     "q_stats_entropy" -> q(statsEntropy),
     "q_llm_readability" -> q(llmReadability),
+    "q_llm_kmeans_elbow" -> q(llmKmeansElbow),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -8672,5 +8693,24 @@ object Registry {
              - (84600 * ((1000 * n_syllables) // n_words)) // 1000
              AS BIGINT) AS flesch_milli
          FROM m WHERE n_words > 0 ORDER BY doc_id""",
+    // Elbow replay: one GENERATED DetKMeans chain per k, same exact
+    // integer inertia summed per chain.
+    "q_llm_kmeans_elbow" -> (
+      graft.llm.DetKMeans.oracleCtes("embeddings", "vec_id", "embedding",
+        k = 2, iters = 2, dim = 64, prefix = "k2_", lead = "WITH ") + "," +
+      graft.llm.DetKMeans.oracleCtes("embeddings", "vec_id", "embedding",
+        k = 4, iters = 2, dim = 64, prefix = "k4_", lead = "") + "," +
+      graft.llm.DetKMeans.oracleCtes("embeddings", "vec_id", "embedding",
+        k = 8, iters = 2, dim = 64, prefix = "k8_", lead = "") + """
+      SELECT * FROM (
+        SELECT CAST(2 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_points,
+          CAST(CAST(sum(d) AS HUGEINT) AS DOUBLE) AS inertia FROM k2_a2
+        UNION ALL
+        SELECT CAST(4 AS BIGINT), CAST(count(*) AS BIGINT),
+          CAST(CAST(sum(d) AS HUGEINT) AS DOUBLE) FROM k4_a2
+        UNION ALL
+        SELECT CAST(8 AS BIGINT), CAST(count(*) AS BIGINT),
+          CAST(CAST(sum(d) AS HUGEINT) AS DOUBLE) FROM k8_a2)
+      ORDER BY k"""),
   )
 }
