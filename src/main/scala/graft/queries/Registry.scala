@@ -2344,6 +2344,36 @@ object Registry {
       .orderBy("l_partkey")
   }
 
+  /** Exponential smoothing (EWMA, α = 1/4) of the per-user minute-bin
+    * value series — the trailing-baseline a monitoring pipeline keeps
+    * per key ("is the current bin off-trend"), companion to
+    * [[tsResample]]. Exactness: bin values are exact integer 10⁴ units;
+    * the recurrence s_t = (v_t + 3·s_{t−1}) div 4 runs as ONE fold
+    * inside a higher-order function on the SORTED per-user series
+    * (Spark `aggregate(slice(...), first, ...)` ≡ DuckDB `list_reduce`)
+    * — all operands positive, so truncating div matches // step for
+    * step. Scale shape: one groupBy to bins, one groupBy to per-key
+    * series; the fold is row-local over each key's bounded series — the
+    * state never crosses an exchange (what mapGroupsWithState does in
+    * the streaming surface, done here in batch). */
+  private def tsEwma(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events").filter(col("user_id") < 5)
+      .select(col("user_id"), expr("ts div 60000000000").as("bin"),
+        floor(col("value") * 10000 + 0.5).cast("long").as("u"))
+    e.groupBy("user_id", "bin").agg(sum(col("u")).as("bu"))
+      .groupBy("user_id").agg(
+        count(lit(1)).as("n_bins"),
+        expr("transform(sort_array(collect_list(struct(bin, bu))), " +
+          "p -> p.bu)").as("vals"))
+      .select(col("user_id"), col("n_bins"),
+        expr("element_at(vals, 1)").as("first_units"),
+        expr("element_at(vals, -1)").as("last_units"),
+        expr("aggregate(slice(vals, 2, size(vals) - 1), " +
+          "element_at(vals, 1), (acc, x) -> (x + 3 * acc) div 4)")
+          .as("ewma_units"))
+      .orderBy("user_id")
+  }
+
   /** Time-series gap-fill + resample: events (bounded user slice) bucketed to 1-minute bins per user, the per-user span densified (every minute present), empty bins
     * forward-filled with the last seen value. Bin index uses exact integer
     * floor-division (`div` / DuckDB `//`) — double division of nanosecond
@@ -4900,6 +4930,7 @@ object Registry {
     "q_stats_entropy" -> q(statsEntropy),
     "q_llm_readability" -> q(llmReadability),
     "q_llm_kmeans_elbow" -> q(llmKmeansElbow),
+    "q_ts_ewma" -> q(tsEwma),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -8712,5 +8743,21 @@ object Registry {
         SELECT CAST(8 AS BIGINT), CAST(count(*) AS BIGINT),
           CAST(CAST(sum(d) AS HUGEINT) AS DOUBLE) FROM k8_a2)
       ORDER BY k"""),
+    // EWMA replay: same integer bin units, list_reduce runs the same
+    // (v + 3s) // 4 recurrence over the same bin-sorted series.
+    "q_ts_ewma" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 60000000000 AS bin,
+             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS u
+           FROM events WHERE user_id < 5),
+         b AS (SELECT user_id, bin, CAST(sum(u) AS BIGINT) AS bu
+               FROM e GROUP BY 1, 2),
+         s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_bins,
+                 list(bu ORDER BY bin) AS vals
+               FROM b GROUP BY 1)
+         SELECT user_id, n_bins, vals[1] AS first_units,
+           vals[-1] AS last_units,
+           CAST(list_reduce(vals, (acc, x) -> (x + 3 * acc) // 4)
+             AS BIGINT) AS ewma_units
+         FROM s ORDER BY user_id""",
   )
 }
