@@ -4550,6 +4550,24 @@ object Registry {
             * 1e6) / 1e6).as("q6"))
   }
 
+  /** Pivot-SCC probe of the DIRECTED token-adjacency graph ("does the
+    * corpus language cycle through its hub word, and how big is the
+    * mutually-reachable core") — the forward-backward intersection step
+    * every divide-and-conquer SCC algorithm iterates, run once from the
+    * highest-degree pivot at radius 3; see [[graft.operators.Scc]]. */
+  private def graphSccPivot(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val tk = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+    graft.operators.Scc.pivotSccSummary(
+      tk.select(col("tok").as("src"), col("nxt").as("dst")),
+      "src", "dst", rounds = 3)
+  }
+
   /** Flesch reading-ease scoring (Flesch 1948; the readability gate a
     * curation pipeline pairs with Gopher/CCNet quality rules) over the
     * mod-31 document sample. Components are pure integer counts —
@@ -4931,6 +4949,7 @@ object Registry {
     "q_llm_readability" -> q(llmReadability),
     "q_llm_kmeans_elbow" -> q(llmKmeansElbow),
     "q_ts_ewma" -> q(tsEwma),
+    "q_graph_scc_pivot" -> q(graphSccPivot),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -8759,5 +8778,29 @@ object Registry {
            CAST(list_reduce(vals, (acc, x) -> (x + 3 * acc) // 4)
              AS BIGINT) AS ewma_units
          FROM s ORDER BY user_id""",
+    // Pivot-SCC replay: GENERATED forward/backward frontier chains from
+    // the same degree-ranked pivot, same md5-prefix checksums.
+    "q_graph_scc_pivot" -> (graft.operators.Scc.oracleCtes(
+      """SELECT DISTINCT p[1] AS src, p[2] AS dst FROM (
+           SELECT unnest(list_zip(ts, ts[2:])) AS p
+           FROM (SELECT string_split_regex(trim(text), '\s+') AS ts
+                 FROM documents))
+         WHERE p[2] IS NOT NULL AND p[1] <> p[2]""",
+      rounds = 3) + s"""
+      SELECT * FROM (
+        SELECT 'backward' AS relation, (SELECT n FROM pv) AS pivot,
+          CAST(count(*) AS BIGINT) AS n_nodes,
+          CAST(sum(${graft.operators.Scc.chkSql("n")}) AS BIGINT)
+            AS checksum
+        FROM bv3
+        UNION ALL
+        SELECT 'core', (SELECT n FROM pv), CAST(count(*) AS BIGINT),
+          CAST(sum(${graft.operators.Scc.chkSql("n")}) AS BIGINT)
+        FROM core
+        UNION ALL
+        SELECT 'forward', (SELECT n FROM pv), CAST(count(*) AS BIGINT),
+          CAST(sum(${graft.operators.Scc.chkSql("n")}) AS BIGINT)
+        FROM fv3)
+      ORDER BY relation"""),
   )
 }
