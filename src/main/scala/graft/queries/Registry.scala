@@ -4219,7 +4219,7 @@ object Registry {
     graft.operators.Closeness.harmonicSummary(
       graft.operators.Triangles.canonical(
         coPurchasePairs(spark, dir), "x", "y"),
-      seedsMod = 97, rounds = 4)
+      seedsMod = 797, rounds = 3)
 
   /** k-truss peeling (k=4, 3 rounds) on a 1/16 co-purchase subgraph —
     * the community-backbone extractor (every surviving edge sits in ≥ 2
@@ -8674,7 +8674,7 @@ object Registry {
       """SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
          FROM lineitem a JOIN lineitem b
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""",
-      seedsMod = 97, rounds = 4) + """
+      seedsMod = 797, rounds = 3) + """
       SELECT s0.s AS seed, COALESCE(agg.n_reached, 0) AS n_reached,
         COALESCE(agg.harmonic_micro, 0) AS harmonic_micro
       FROM s0 LEFT JOIN agg USING (s) ORDER BY seed"""),

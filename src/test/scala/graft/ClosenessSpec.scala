@@ -48,4 +48,25 @@ class ClosenessSpec extends SparkSpecBase {
       run(Seq((10L, 11L)), seedsMod = 10, rounds = 0)
     }
   }
+
+  test("seed sets wider than one 63-bit mask word chunk correctly") {
+    // 80-node path, EVERY node a seed (mod 1) -> two mask chunks. Check
+    // all 80 rows against a plain-Scala BFS reference.
+    val n = 80
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1))
+    val out = run(edges, seedsMod = 1, rounds = 3).toMap2
+    def ref(s: Long): (Long, Long) = {
+      val ds = (0L until n.toLong)
+        .map(v => math.abs(v - s)).filter(d => d >= 1 && d <= 3)
+      (ds.size.toLong, ds.map(d => 1000000L / d).sum)
+    }
+    (0L until n.toLong).foreach { s =>
+      assert(out(s) == ref(s), s"seed $s drifted")
+    }
+  }
+
+  private implicit class Rows(rows: Seq[(Long, Long, Long)]) {
+    def toMap2: Map[Long, (Long, Long)] =
+      rows.map(r => r._1 -> (r._2, r._3)).toMap
+  }
 }
