@@ -4550,6 +4550,65 @@ object Registry {
             * 1e6) / 1e6).as("q6"))
   }
 
+  /** Lag-1 autocorrelation of the per-minute event-volume series — the
+    * "is traffic self-similar minute to minute" diagnostic that
+    * calibrates anomaly thresholds (a high r₁ means volume alarms need
+    * trend-aware baselines like [[tsEwma]], not static bands).
+    * Exactness: the series is integer COUNTS, adjacent-minute pairs come
+    * from one lead window over the bounded bin relation, all six moments
+    * accumulate in DECIMAL(38,0), and Pearson takes one double division
+    * + sqrt floored to 6 dp (the statsCorr discipline). */
+  private def statsAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    val bins = t(spark, dir, "events")
+      .groupBy(expr("ts div 60000000000").as("bin"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.orderBy("bin")
+    val pairs = bins
+      .withColumn("nb", lead(col("bin"), 1).over(w))
+      .withColumn("y", lead(col("x"), 1).over(w))
+      .filter(col("nb") === col("bin") + 1)
+    pairs.agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("y")).as("sxy"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"),
+        sum(col("y").cast(dec) * col("y")).as("syy"))
+      .select(col("n"),
+        (floor((col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+          / sqrt((col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
+              .cast("double")
+            * (col("n").cast(dec) * col("syy") - col("sy") * col("sy"))
+              .cast("double"))
+          * 1e6) / 1e6).as("r1_6"))
+  }
+
+  /** Compaction planning over a (simulated) small-file manifest — the
+    * maintenance pass a 100 TB table runs to decide how many rewrite
+    * tasks a small-files sweep needs: next-fit-decreasing bin packing
+    * (the one-pass greedy whose bound NFD ≤ 2·OPT is classic) against a
+    * target file size, compared to the ⌈total/cap⌉ lower bound.
+    * Exactness: the whole plan is ONE integer fold over the size-sorted
+    * manifest (bins and current fill pack into a single long,
+    * bins·10¹² + fill), identical in Spark `aggregate` and DuckDB
+    * `list_reduce`; equal sizes are interchangeable under next-fit, so
+    * the desc sort needs no tie-break. */
+  private def storeCompactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 65536L
+    val files = t(spark, dir, "documents")
+      .groupBy(expr("doc_id div 32").as("shard"))
+      .agg(sum(length(col("text"))).as("sz"))
+    files.agg(count(lit(1)).as("n_files"), sum(col("sz")).as("total_chars"),
+        expr("sort_array(collect_list(sz), false)").as("vals"))
+      .select(col("n_files"), col("total_chars"), lit(cap).as("cap"),
+        expr(s"aggregate(vals, CAST(1000000000000 AS BIGINT), (acc, x) -> " +
+          s"CASE WHEN acc % 1000000000000 + x > $cap " +
+          s"THEN (acc div 1000000000000 + 1) * 1000000000000 + x " +
+          s"ELSE acc + x END) div 1000000000000").as("bins_nfd"),
+        expr(s"(total_chars + $cap - 1) div $cap").as("lower_bound"))
+  }
+
   /** Pivot-SCC probe of the DIRECTED token-adjacency graph ("does the
     * corpus language cycle through its hub word, and how big is the
     * mutually-reachable core") — the forward-backward intersection step
@@ -4950,6 +5009,8 @@ object Registry {
     "q_llm_kmeans_elbow" -> q(llmKmeansElbow),
     "q_ts_ewma" -> q(tsEwma),
     "q_graph_scc_pivot" -> q(graphSccPivot),
+    "q_stats_autocorr" -> q(statsAutocorr),
+    "q_store_compaction_plan" -> q(storeCompactionPlan),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -8802,5 +8863,48 @@ object Registry {
           CAST(sum(${graft.operators.Scc.chkSql("n")}) AS BIGINT)
         FROM fv3)
       ORDER BY relation"""),
+    // Autocorrelation replay: same integer count series, same adjacent-
+    // minute pairing, same HUGEINT moments and single division + sqrt.
+    "q_stats_autocorr" ->
+      """WITH bins AS (SELECT epoch_ns(ts) // 60000000000 AS bin,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         p0 AS (SELECT bin, x,
+                  lead(bin) OVER (ORDER BY bin) AS nb,
+                  lead(x) OVER (ORDER BY bin) AS y
+                FROM bins),
+         pr AS (SELECT x, y FROM p0 WHERE nb = bin + 1),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                 CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+                 CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                 CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+               FROM pr)
+         SELECT n,
+           FLOOR(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                  * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE))
+             * 1e6) / 1e6 AS r1_6
+         FROM m""",
+    // Compaction-plan replay: list_prepend supplies Spark aggregate's
+    // init, then the identical packed-long next-fit fold.
+    "q_store_compaction_plan" ->
+      """WITH f AS (SELECT doc_id // 32 AS shard,
+             CAST(sum(length(text)) AS BIGINT) AS sz
+           FROM documents GROUP BY 1),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_files,
+                 CAST(sum(sz) AS BIGINT) AS total_chars,
+                 list(sz ORDER BY sz DESC) AS vals
+               FROM f)
+         SELECT n_files, total_chars, CAST(65536 AS BIGINT) AS cap,
+           CAST(list_reduce(
+             list_prepend(CAST(1000000000000 AS BIGINT), vals),
+             (acc, x) -> CASE WHEN acc % 1000000000000 + x > 65536
+               THEN (acc // 1000000000000 + 1) * 1000000000000 + x
+               ELSE acc + x END) // 1000000000000 AS BIGINT) AS bins_nfd,
+           CAST((total_chars + 65536 - 1) // 65536 AS BIGINT)
+             AS lower_bound
+         FROM a""",
   )
 }
