@@ -1413,6 +1413,77 @@ object Registry {
       .limit(20)
   }
 
+  /** Per-state transition entropy of the user-behavior Markov chain —
+    * "how predictable is the next event given the current one" (the
+    * session-model diagnostic that decides whether next-event prediction
+    * is worth building; pairs with [[eTransitions]]' raw counts).
+    * Exactness: transition counts are exact integers from the same
+    * (ts, event_id)-ordered lag; entropy uses the floor-then-sum
+    * per-distinct-value micro-unit discipline of `q_stats_entropy`, so
+    * H·n is exact-integer with ONE truncating division per state. */
+  private def eMarkovEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("prev_type").agg(
+        sum(col("c")).as("n_out"),
+        count(lit(1)).as("n_next"),
+        sum(floor(log(col("c").cast("double")) * 1e6).cast(dec) * col("c"))
+          .as("se"))
+      .select(col("prev_type"), col("n_out").cast("long").as("n_out"),
+        col("n_next"),
+        expr("(CAST(floor(ln(CAST(n_out AS DOUBLE)) * 1e6)" +
+          " AS DECIMAL(38,0)) * n_out - se) div n_out").as("h_micro"))
+      .orderBy("prev_type")
+  }
+
+  /** Neighborhood Jaccard similarity (item-item collaborative filtering
+    * over the mod-4 co-purchase graph): pairs sharing wedge centers are
+    * scored |N∩|·10⁶ div |N∪| — FULLY integer. The wedge generator
+    * carries the same 2..256 center degree cap as [[graphLinkPred]]
+    * (capped centers bound the candidate set BY CONTRACT on both
+    * engines); endpoint degrees stay uncapped. Unlike link prediction,
+    * adjacent pairs stay in — this ranks substitutes/complements, not
+    * missing edges. */
+  private def graphJaccardSim(spark: SparkSession, dir: String): DataFrame = {
+    val sub = t(spark, dir, "lineitem")
+      .filter(pmod(col("l_partkey"), lit(4)) === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x, y))))"))
+        .as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
+    val canon = graft.operators.Triangles.canonical(sub, "x", "y")
+      .localCheckpoint(true)
+    val nbr = canon.select(col("lo").as("w"), col("hi").as("n"))
+      .unionAll(canon.select(col("hi").as("w"), col("lo").as("n")))
+    val deg = nbr.groupBy("w").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val wedges = nbr
+      .join(deg.filter(col("d").between(2, 256)).select("w"), Seq("w"))
+      .groupBy("w").agg(sort_array(collect_set(col("n"))).as("ns"))
+      .select(explode(expr(
+        "flatten(transform(ns, (x, i) -> " +
+          "transform(slice(ns, i + 2, size(ns)), y -> struct(x, y))))"))
+        .as("e"))
+      .select(col("e.x").as("a"), col("e.y").as("b"))
+    wedges.groupBy("a", "b").agg(count(lit(1)).as("cn"))
+      .join(deg.select(col("w").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("w").as("b"), col("d").as("db")), Seq("b"))
+      .select(col("a"), col("b"), col("cn"), col("da"), col("db"),
+        expr("(cn * 1000000) div (da + db - cn)").as("j6"))
+      .orderBy(col("j6").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   /** Length-bucketed batching report: assign each document to a
     * power-of-two token-length bucket and report the padding waste of
     * batching within buckets vs one global padded batch — the measurement
@@ -5011,6 +5082,8 @@ object Registry {
     "q_graph_scc_pivot" -> q(graphSccPivot),
     "q_stats_autocorr" -> q(statsAutocorr),
     "q_store_compaction_plan" -> q(storeCompactionPlan),
+    "q_e_markov_entropy" -> q(eMarkovEntropy),
+    "q_graph_jaccard_sim" -> q(graphJaccardSim),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -8906,5 +8979,46 @@ object Registry {
            CAST((total_chars + 65536 - 1) // 65536 AS BIGINT)
              AS lower_bound
          FROM a""",
+    // Markov-entropy replay: same ordered lag, same floor-then-sum
+    // micro-units, same truncating division per state.
+    "q_e_markov_entropy" ->
+      """WITH s AS (SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_ns(ts), event_id) AS prev_type
+           FROM events),
+         t2 AS (SELECT prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS c
+           FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         SELECT prev_type,
+           CAST(sum(c) AS BIGINT) AS n_out,
+           CAST(count(*) AS BIGINT) AS n_next,
+           CAST((CAST(FLOOR(ln(CAST(sum(c) AS DOUBLE)) * 1e6) AS HUGEINT)
+               * sum(c)
+             - sum(CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1e6) AS HUGEINT) * c))
+             // sum(c) AS BIGINT) AS h_micro
+         FROM t2 GROUP BY prev_type ORDER BY prev_type""",
+    // Jaccard-similarity replay: same capped wedge centers, uncapped
+    // endpoint degrees, same integer division.
+    "q_graph_jaccard_sim" ->
+      """WITH e0 AS MATERIALIZED (
+           SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0),
+         nbr AS (SELECT lo AS w, hi AS n FROM e0
+                 UNION ALL SELECT hi, lo FROM e0),
+         deg AS (SELECT w, CAST(count(*) AS BIGINT) AS d FROM nbr
+                 GROUP BY 1),
+         wedges AS (SELECT n1.n AS a, n2.n AS b
+                    FROM nbr n1 JOIN nbr n2
+                      ON n1.w = n2.w AND n1.n < n2.n
+                    JOIN deg ON deg.w = n1.w
+                    WHERE deg.d BETWEEN 2 AND 256),
+         cn AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cn
+                FROM wedges GROUP BY 1, 2)
+         SELECT cn.a, cn.b, cn.cn, da.d AS da, db.d AS db,
+           CAST((cn.cn * 1000000) // (da.d + db.d - cn.cn) AS BIGINT) AS j6
+         FROM cn JOIN deg da ON da.w = cn.a JOIN deg db ON db.w = cn.b
+         ORDER BY j6 DESC, cn.a, cn.b LIMIT 20""",
   )
 }

@@ -280,6 +280,38 @@ object EventStream {
       }
   }
 
+  final case class BinValue(key: Long, bin: Long, units: Long)
+  final case class EwmaReport(key: Long, bin: Long, units: Long,
+                              ewma_units: Long, n_bins: Long)
+
+  /** Streaming twin of the batch EWMA (`q_ts_ewma`): the per-key α = 1/4
+    * trailing baseline maintained across micro-batches. State is ONE
+    * (n_bins, s) pair per key FOREVER; each arriving bin (processed in
+    * bin order within the batch) emits its smoothed value from the
+    * identical integer recurrence s = (v + 3·s) div 4 the batch fold
+    * runs, so a series split across any number of micro-batches scores
+    * identically to the one-shot computation (spec pins streamed ==
+    * plain fold across a burst boundary). Contract: per-key bin-ordered
+    * arrivals across batches — the same per-key changelog guarantee as
+    * [[streamingScd2]]. */
+  def streamingEwma(rows: Dataset[BinValue]): Dataset[EwmaReport] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Long), EwmaReport](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (key, batch, state: GroupState[(Long, Long)]) =>
+          var (n, s) = state.getOption.getOrElse((0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[EwmaReport]
+          batch.toSeq.sortBy(_.bin).foreach { b =>
+            s = if (n == 0) b.units else (b.units + 3 * s) / 4
+            n += 1
+            out += EwmaReport(key, b.bin, b.units, s, n)
+          }
+          state.update((n, s))
+          out.iterator
+      }
+  }
+
   final case class Scd2Change(key: Long, ts: Long, id: Long, value: String)
   final case class Scd2Closed(key: Long, value: String, valid_from: Long,
                               valid_to: Long, version_n: Long)

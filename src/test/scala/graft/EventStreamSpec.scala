@@ -421,6 +421,42 @@ class EventStreamSpec extends SparkSpecBase {
       "days 11-15 scored, earlier days lack a full window")
   }
 
+  test("streaming EWMA equals the batch fold across a burst boundary") {
+    import spark.implicits._
+    val eSchema = StructType(Seq(
+      StructField("key", LongType), StructField("bin", LongType),
+      StructField("units", LongType)))
+    // Two keys, 9 bins each; the burst split lands mid-series, so bins
+    // 5-9 smooth correctly only if (n, s) carries across the trigger.
+    def series(k: Long) = (1L to 9L).map(b => (k, b, 100L * b + k * 7))
+    val all = series(1) ++ series(2)
+    val bursts = Seq(all.filter(_._2 <= 4), all.filter(_._2 > 4))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ewma").toString
+    bursts.foreach { b =>
+      b.toDF("key", "bin", "units").coalesce(1).write.mode("append")
+        .parquet(s"$dir/stream")
+      Thread.sleep(1100)
+    }
+    val q = EventStream.replayParquetAsStream(spark, s"$dir/stream", eSchema,
+      d => EventStream.streamingEwma(d.as[EventStream.BinValue]).toDF(),
+      "ewma_sink", org.apache.spark.sql.streaming.OutputMode.Append())
+    q.awaitTermination(60000)
+    val got = spark.table("ewma_sink").collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Long]("bin"),
+        r.getAs[Long]("ewma_units"), r.getAs[Long]("n_bins")))
+      .sortBy(x => (x._1, x._2))
+    // Plain fold of the identical recurrence — the batch q_ts_ewma math.
+    val expected = Seq(1L, 2L).flatMap { k =>
+      val vs = series(k).map(_._3)
+      vs.indices.map { i =>
+        val s = vs.drop(1).take(i)
+          .foldLeft(vs.head)((acc, v) => (v + 3 * acc) / 4)
+        (k, (i + 1).toLong, s, (i + 1).toLong)
+      }
+    }.sortBy(x => (x._1, x._2))
+    assert(got.toSeq == expected)
+  }
+
   test("streaming SCD2 closed rows equal the batch build's closed rows") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
