@@ -1413,6 +1413,66 @@ object Registry {
       .limit(20)
   }
 
+  /** Gini coefficient of customer revenue concentration — the inequality
+    * summary a sampling/quota design consults before stratifying ("do 1%
+    * of customers carry half the spend"). Exactness: revenues are exact
+    * integer cents; G·n·Σx clears to 2·Σrᵢxᵢ − (n+1)·Σx in
+    * DECIMAL(38,0) with ONE double division floored to 6 dp. The global
+    * sort rank uses NO corpus-wide window: rows range-shard by the
+    * value's high bits (v div 2²⁰), ranks compose a within-bucket
+    * row_number (unique (v, custkey) order) with a prefix offset over
+    * the BOUNDED per-bucket count relation — the epoch-shuffle two-pass
+    * pattern applied to a value ordering. */
+  private def statsGini(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    val rev = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("v"))
+      .withColumn("bk", expr("v div 1048576"))
+    val offs = rev.groupBy("bk").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(
+        Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val ranked = rev
+      .withColumn("ri", row_number().over(
+        Window.partitionBy("bk").orderBy(col("v"), col("o_custkey"))))
+      .join(offs.select(col("bk"), col("off")), Seq("bk"))
+      .select(col("v"), (col("off") + col("ri")).as("r"))
+    ranked.agg(count(lit(1)).as("n"), sum(col("v").cast(dec)).as("sx"),
+        sum(col("r").cast(dec) * col("v")).as("srx"))
+      .select(col("n"),
+        (col("sx").cast("double") / 100).as("total_revenue"),
+        (floor((lit(2).cast(dec) * col("srx")
+            - (col("n").cast(dec) + 1) * col("sx")).cast("double")
+          / (col("n").cast(dec) * col("sx")).cast("double")
+          * 1e6) / 1e6).as("gini6"))
+  }
+
+  /** Statistical-watermark bias probe (the Kirchenbauer 2023 green-list
+    * detector generalized to a fixed keyed partition): tokens split
+    * green/red by their md5 head nibble (p = ½ by construction), and
+    * each document's green excess z-scores as (2g − n)/√n — synthetic
+    * text stamped with a green-list watermark surfaces at |z| ≫ 0, a
+    * contamination check a training-data pipeline runs over scraped
+    * corpora. Integer numerator, ONE sqrt per doc, 4 dp floor; flags at
+    * |z| ≥ 4. Row-local token work, one top-k. */
+  private def llmWatermark(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        aggregate(transform(toks,
+            w => when(substring(md5(w), 1, 1).isin(
+              "0", "1", "2", "3", "4", "5", "6", "7"), 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).as("n_green"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("n_green"),
+        (floor((col("n_green") * 2 - col("n_tokens")).cast("double")
+          / sqrt(col("n_tokens").cast("double")) * 1e4) / 1e4).as("z4"))
+      .orderBy(abs(col("z4")).desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** Per-state transition entropy of the user-behavior Markov chain —
     * "how predictable is the next event given the current one" (the
     * session-model diagnostic that decides whether next-event prediction
@@ -5084,6 +5144,8 @@ object Registry {
     "q_store_compaction_plan" -> q(storeCompactionPlan),
     "q_e_markov_entropy" -> q(eMarkovEntropy),
     "q_graph_jaccard_sim" -> q(graphJaccardSim),
+    "q_stats_gini" -> q(statsGini),
+    "q_llm_watermark" -> q(llmWatermark),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -9020,5 +9082,45 @@ object Registry {
            CAST((cn.cn * 1000000) // (da.d + db.d - cn.cn) AS BIGINT) AS j6
          FROM cn JOIN deg da ON da.w = cn.a JOIN deg db ON db.w = cn.b
          ORDER BY j6 DESC, cn.a, cn.b LIMIT 20""",
+    // Gini replay: the oracle takes the global-window luxury (plain
+    // row_number over the full order); the engine's bucketed two-pass
+    // rank composes to the identical total order (v, custkey).
+    "q_stats_gini" ->
+      """WITH rev AS (SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS v
+           FROM orders GROUP BY 1),
+         rk AS (SELECT v, CAST(row_number() OVER (ORDER BY v, o_custkey)
+                  AS BIGINT) AS r
+                FROM rev),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS sx,
+                 CAST(sum(CAST(r AS HUGEINT) * v) AS HUGEINT) AS srx
+               FROM rk)
+         SELECT n, CAST(sx AS DOUBLE) / 100 AS total_revenue,
+           FLOOR(CAST(2 * srx - (CAST(n AS HUGEINT) + 1) * sx AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * sx AS DOUBLE) * 1e6) / 1e6
+             AS gini6
+         FROM m""",
+    // Watermark replay: same md5 head-nibble green list, same integer
+    // numerator and single sqrt per doc.
+    "q_llm_watermark" ->
+      """WITH d AS (SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(text), '\s+') END AS tk
+           FROM documents),
+         m AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(list_sum(list_transform(tk, w ->
+               CASE WHEN substr(md5(w), 1, 1) IN
+                 ('0','1','2','3','4','5','6','7') THEN 1 ELSE 0 END)), 0)
+               AS BIGINT) AS n_green
+           FROM d)
+         SELECT doc_id, n_tokens, n_green,
+           FLOOR(CAST(n_green * 2 - n_tokens AS DOUBLE)
+             / sqrt(CAST(n_tokens AS DOUBLE)) * 1e4) / 1e4 AS z4
+         FROM m WHERE n_tokens > 0
+         ORDER BY abs(FLOOR(CAST(n_green * 2 - n_tokens AS DOUBLE)
+           / sqrt(CAST(n_tokens AS DOUBLE)) * 1e4) / 1e4) DESC, doc_id
+         LIMIT 20""",
   )
 }
