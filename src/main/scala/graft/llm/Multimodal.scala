@@ -300,6 +300,47 @@ object Multimodal {
       } finally if (iis != null) iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Difference-hash perceptual fingerprint (dHash — the standard
+    * near-duplicate key for images; Krawetz's 2013 popularization of the
+    * row-gradient hash): nearest-neighbor resample the REAL decoded
+    * raster to a (gw+1)×gh grid with the same x·w/outW sampling rule as
+    * [[resizeImage]], then one bit per horizontally adjacent pair
+    * (left < right). gw·gh must stay ≤ 62 so the packed key is a
+    * positive long on every engine (the oracle rebuilds it with BIGINT
+    * shifts). None on undecodable payloads, quarantine-style. */
+  def dhashImage(payload: Array[Byte], gw: Int, gh: Int): Option[Long] = {
+    require(gw >= 1 && gh >= 1 && gw * gh <= 62, "dhash needs gw*gh <= 62")
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) return None
+          val raster = reader.read(0).getRaster
+          var bits = 0L
+          var y = 0
+          while (y < gh) {
+            val sy = y * h / gh
+            var x = 0
+            while (x < gw) {
+              val a = raster.getSample(x * w / (gw + 1), sy, 0)
+              val b = raster.getSample((x + 1) * w / (gw + 1), sy, 0)
+              if (b > a) bits |= 1L << (y * gw + x)
+              x += 1
+            }
+            y += 1
+          }
+          Some(bits)
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Per-frame decoded metadata row. */
   final case class FrameMeta(media_id: Long, frame_idx: Long, width: Int,
                              height: Int, pixel_sum: Long)

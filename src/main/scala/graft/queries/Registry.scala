@@ -3647,6 +3647,27 @@ object Registry {
       .orderBy("media_id")
   }
 
+  /** Perceptual dHash fingerprints over REAL PNG decodes — the image
+    * near-dup key (hamming-close dhash ⇒ visually-near-duplicate; the
+    * image-side sibling of SimHash): 7×8 row-gradient bits off the
+    * genuine imageio raster, packed ≤ 55 bits so the key stays a
+    * positive BIGINT on both engines. The oracle rebuilds every bit
+    * arithmetically from the synthetic pixel formula. */
+  private def mmDhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        (col("doc_id") % 16 + 1).cast("int").as("w"),
+        (col("doc_id") % 12 + 1).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .map { case (id, w, h) => (id, Multimodal.encodePng(w, h, id)) }
+      .flatMap { case (id, png) =>
+        Multimodal.dhashImage(png, gw = 7, gh = 8).map { bits =>
+          (id, bits, java.lang.Long.bitCount(bits).toLong) } }
+      .toDF("media_id", "dhash", "n_bits")
+      .orderBy("media_id")
+  }
+
   /** REAL every-2nd frame sampling over 5-frame synthetic videos
     * (array<binary> of PNGs): modulo filter BEFORE decode, genuine
     * imageio decode per kept frame. */
@@ -5146,6 +5167,7 @@ object Registry {
     "q_graph_jaccard_sim" -> q(graphJaccardSim),
     "q_stats_gini" -> q(statsGini),
     "q_llm_watermark" -> q(llmWatermark),
+    "q_mm_dhash" -> q(mmDhash),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -9122,5 +9144,29 @@ object Registry {
          ORDER BY abs(FLOOR(CAST(n_green * 2 - n_tokens AS DOUBLE)
            / sqrt(CAST(n_tokens AS DOUBLE)) * 1e4) / 1e4) DESC, doc_id
          LIMIT 20""",
+    // dHash replay: pixel(x,y) = (x + y·w + id) mod 256 rebuilt
+    // arithmetically; same x·w/outW nearest-neighbor sampling, same
+    // (left < right) gradient bits, same ≤55-bit BIGINT packing.
+    "q_mm_dhash" ->
+      """SELECT d.doc_id AS media_id,
+           CAST(SUM(CASE WHEN
+               ((((x.i + 1) * (1 + d.doc_id % 16)) // 8
+                 + ((y.j * (1 + d.doc_id % 12)) // 8)
+                   * (1 + d.doc_id % 16) + d.doc_id) % 256)
+             > (((x.i * (1 + d.doc_id % 16)) // 8
+                 + ((y.j * (1 + d.doc_id % 12)) // 8)
+                   * (1 + d.doc_id % 16) + d.doc_id) % 256)
+             THEN CAST(1 AS BIGINT) << (y.j * 7 + x.i) ELSE 0 END)
+             AS BIGINT) AS dhash,
+           CAST(SUM(CASE WHEN
+               ((((x.i + 1) * (1 + d.doc_id % 16)) // 8
+                 + ((y.j * (1 + d.doc_id % 12)) // 8)
+                   * (1 + d.doc_id % 16) + d.doc_id) % 256)
+             > (((x.i * (1 + d.doc_id % 16)) // 8
+                 + ((y.j * (1 + d.doc_id % 12)) // 8)
+                   * (1 + d.doc_id % 16) + d.doc_id) % 256)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_bits
+         FROM documents d, range(0, 7) x(i), range(0, 8) y(j)
+         GROUP BY d.doc_id ORDER BY media_id""",
   )
 }
