@@ -3653,7 +3653,9 @@ object Registry {
     * genuine imageio raster, packed ≤ 55 bits so the key stays a
     * positive BIGINT on both engines. The oracle rebuilds every bit
     * arithmetically from the synthetic pixel formula. */
-  private def mmDhash(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared (media_id, dhash) relation off real PNG decodes — feeds
+    * [[mmDhash]] and [[mmDhashNeardup]]. */
+  private def mmDhashes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     t(spark, dir, "documents")
       .select(col("doc_id").as("media_id"),
@@ -3662,10 +3664,48 @@ object Registry {
       .as[(Long, Int, Int)]
       .map { case (id, w, h) => (id, Multimodal.encodePng(w, h, id)) }
       .flatMap { case (id, png) =>
-        Multimodal.dhashImage(png, gw = 7, gh = 8).map { bits =>
-          (id, bits, java.lang.Long.bitCount(bits).toLong) } }
-      .toDF("media_id", "dhash", "n_bits")
+        Multimodal.dhashImage(png, gw = 7, gh = 8).map(bits => (id, bits)) }
+      .toDF("media_id", "dhash")
+  }
+
+  private def mmDhash(spark: SparkSession, dir: String): DataFrame =
+    mmDhashes(spark, dir)
+      .select(col("media_id"), col("dhash"),
+        expr("CAST(bit_count(dhash) AS BIGINT)").as("n_bits"))
       .orderBy("media_id")
+
+  /** Image near-duplicate FINGERPRINT pairs end to end: REAL decode →
+    * dHash → collapse to distinct fingerprints (exact-dup clusters fall
+    * out of the groupBy — on this corpus 500 images share 61 hashes) →
+    * band-bucketed candidate join over the DISTINCT-hash relation →
+    * exact Hamming verify. Pairing fingerprints instead of images keeps
+    * the output |distinct|²-bounded, never corpus²-bounded (the raw
+    * image-pair form produced 42k rows from 500 images — quadratic
+    * blowup by construction on self-similar corpora). Banding is
+    * LOSSLESS by pigeonhole (7 bands of 8 bits, threshold 6 < 7), so
+    * the oracle checks the exact answer, not a recall bound. */
+  private def mmDhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val cl = mmDhashes(spark, dir)
+      .groupBy("dhash")
+      .agg(count(lit(1)).as("n"), min(col("media_id")).as("rep"))
+      .localCheckpoint(true)
+    val banded = cl.select(col("dhash"), col("n"), col("rep"),
+        explode(array((0 until 7).map(b => struct(lit(b).as("band"),
+          shiftright(col("dhash"), b * 8).bitwiseAND(255L).as("key"))): _*))
+          .as("bk"))
+      .select(col("dhash"), col("n"), col("rep"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.dhash") < col("b.dhash"))
+      .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+      .distinct()
+      .select(col("rep_a"), col("rep_b"), col("n_a"), col("n_b"),
+        expr("CAST(bit_count(ha ^ hb) AS INT)").as("dist"))
+      .filter(col("dist") <= 6)
+      .orderBy("rep_a", "rep_b")
   }
 
   /** REAL every-2nd frame sampling over 5-frame synthetic videos
@@ -5168,6 +5208,7 @@ object Registry {
     "q_stats_gini" -> q(statsGini),
     "q_llm_watermark" -> q(llmWatermark),
     "q_mm_dhash" -> q(mmDhash),
+    "q_mm_dhash_neardup" -> q(mmDhashNeardup),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -9168,5 +9209,29 @@ object Registry {
              THEN 1 ELSE 0 END) AS BIGINT) AS n_bits
          FROM documents d, range(0, 7) x(i), range(0, 8) y(j)
          GROUP BY d.doc_id ORDER BY media_id""",
+    // dHash near-dup replay over distinct fingerprints: banding is
+    // lossless at threshold 6 < 7 bands, so the oracle checks the EXACT
+    // fingerprint-pair Hamming answer.
+    "q_mm_dhash_neardup" ->
+      """WITH h AS (SELECT d.doc_id AS media_id,
+           CAST(SUM(CASE WHEN
+               ((((x.i + 1) * (1 + d.doc_id % 16)) // 8
+                 + ((y.j * (1 + d.doc_id % 12)) // 8)
+                   * (1 + d.doc_id % 16) + d.doc_id) % 256)
+             > (((x.i * (1 + d.doc_id % 16)) // 8
+                 + ((y.j * (1 + d.doc_id % 12)) // 8)
+                   * (1 + d.doc_id % 16) + d.doc_id) % 256)
+             THEN CAST(1 AS BIGINT) << (y.j * 7 + x.i) ELSE 0 END)
+             AS BIGINT) AS dhash
+         FROM documents d, range(0, 7) x(i), range(0, 8) y(j)
+         GROUP BY d.doc_id),
+         cl AS (SELECT dhash, CAST(count(*) AS BIGINT) AS n,
+                  CAST(min(media_id) AS BIGINT) AS rep
+                FROM h GROUP BY 1)
+         SELECT a.rep AS rep_a, b.rep AS rep_b, a.n AS n_a, b.n AS n_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS dist
+         FROM cl a JOIN cl b ON a.dhash < b.dhash
+         WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+         ORDER BY rep_a, rep_b""",
   )
 }
