@@ -2875,6 +2875,47 @@ object Registry {
       "embedding", "vec_id", queryVector(spark, dir), k = 10)
   }
 
+  /** ANN recall@10 evaluation — the index-quality loop a vector-search
+    * deployment runs before trusting an ANN index: for every mod-97
+    * query vector, compare the IVF probe-2 top-10 against the exact
+    * brute-force top-10 (self excluded) and report the overlap as
+    * integer recall micro-units. Composes the oracle-proven DetKMeans
+    * index, probe, and brute kernels; the driver loop is |Q|-bounded
+    * (the kmeans-elbow precedent), every per-query job is a broadcast
+    * probe + one corpus scan. */
+  private def llmAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = t(spark, dir, "embeddings")
+    val (_, centroids) = graft.llm.DetKMeans.fit(
+      emb, "vec_id", "embedding", k = 8, iters = 2, dim = 64)
+    val pts = graft.llm.DetKMeans.unitPoints(emb, "vec_id", "embedding")
+    val cells = graft.llm.DetKMeans.assignTo(pts, centroids)
+      .localCheckpoint(true)
+    val qids = pts.filter(pmod(col("id"), lit(97)) === 0)
+      .select("id").orderBy("id").collect().map(_.getLong(0))
+    val rows = qids.map { qid =>
+      val qv = emb.filter(col("vec_id").cast("long") === qid)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val qu = pts.filter(col("id") === qid).select(col("u").as("qu"))
+      val probed = centroids.crossJoin(broadcast(qu))
+        .select(col("cid"),
+          graft.llm.DetKMeans.dist2(col("c"), col("qu")).as("qd"))
+        .orderBy("qd", "cid").limit(2).select("cid")
+      val cand = cells.join(broadcast(probed), Seq("cid"))
+        .filter(col("id") =!= qid).select(col("id").as("cand_id"))
+      val ivfTop = graft.llm.Similarity.bruteForceTopK(
+        emb.join(broadcast(cand), col("vec_id") === col("cand_id")),
+        "embedding", "vec_id", qv, 10).select(col("vec_id"))
+      val bruteTop = graft.llm.Similarity.bruteForceTopK(
+        emb.filter(col("vec_id").cast("long") =!= qid),
+        "embedding", "vec_id", qv, 10).select(col("vec_id"))
+      val overlap = bruteTop.join(ivfTop, Seq("vec_id")).count()
+      (qid, overlap, overlap * 1000000L / 10)
+    }
+    rows.toSeq.toDF("query_id", "n_overlap", "recall_micro")
+      .orderBy("query_id")
+  }
+
   /** SemDeDup with the DETERMINISTIC k-means gate: cluster in integer
     * units (DetKMeans), cosine-pair within cells, connected components,
     * drop non-representatives. Planted exact copies (ids +10000) land in
@@ -5209,6 +5250,7 @@ object Registry {
     "q_llm_watermark" -> q(llmWatermark),
     "q_mm_dhash" -> q(mmDhash),
     "q_mm_dhash_neardup" -> q(mmDhashNeardup),
+    "q_llm_ann_recall" -> q(llmAnnRecall),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -9233,5 +9275,52 @@ object Registry {
          FROM cl a JOIN cl b ON a.dhash < b.dhash
          WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
          ORDER BY rep_a, rep_b""",
+    // Recall replay: the generated DetKMeans chain indexes, per-query
+    // windows rank both the brute and IVF top-10s, one join counts the
+    // overlap; zero-overlap queries kept via left join.
+    "q_llm_ann_recall" ->
+      (graft.llm.DetKMeans.oracleCtes("embeddings", "vec_id", "embedding",
+        k = 8, iters = 3, dim = 64) +
+      """,
+         qs AS (SELECT id AS qid, u FROM u0 WHERE id % 97 = 0),
+         probed AS (SELECT qid, cid FROM (
+             SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+               ORDER BY list_sum(list_transform(range(1, 65),
+                 i -> (c.c[i] - q.u[i]) * (c.c[i] - q.u[i]))), c.cid) AS rk
+             FROM c2 c, qs q) x WHERE rk <= 2),
+         qv AS (SELECT CAST(vec_id AS BIGINT) AS qid,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+                FROM embeddings WHERE vec_id % 97 = 0),
+         cv AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings),
+         sc AS (SELECT q.qid, v.vec_id,
+                  floor(list_sum(list_transform(list_zip(v.e, q.qe),
+                      p -> p[1] * p[2]))
+                    / (sqrt(list_sum(list_transform(v.e, x -> x * x)))
+                       * sqrt(list_sum(list_transform(q.qe, x -> x * x))))
+                    * 1000000 + 0.5) / 1000000 AS c
+                FROM qv q, cv v WHERE v.vec_id <> q.qid),
+         brute AS (SELECT qid, vec_id FROM (
+             SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+               ORDER BY c DESC, vec_id) AS rk
+             FROM sc) x WHERE rk <= 10),
+         cand AS (SELECT p.qid, a.id FROM probed p
+                  JOIN a3 a ON a.cid = p.cid WHERE a.id <> p.qid),
+         ivf AS (SELECT qid, vec_id FROM (
+             SELECT s.qid, s.vec_id, row_number() OVER (PARTITION BY s.qid
+               ORDER BY s.c DESC, s.vec_id) AS rk
+             FROM sc s JOIN cand ON cand.qid = s.qid
+               AND cand.id = s.vec_id) x WHERE rk <= 10),
+         ov AS (SELECT b.qid, CAST(count(*) AS BIGINT) AS n
+                FROM brute b JOIN ivf ON ivf.qid = b.qid
+                  AND ivf.vec_id = b.vec_id
+                GROUP BY 1)
+         SELECT CAST(q.qid AS BIGINT) AS query_id,
+           CAST(COALESCE(ov.n, 0) AS BIGINT) AS n_overlap,
+           CAST(COALESCE(ov.n, 0) * 1000000 // 10 AS BIGINT)
+             AS recall_micro
+         FROM (SELECT DISTINCT qid FROM qs) q
+         LEFT JOIN ov USING (qid) ORDER BY query_id"""),
   )
 }
