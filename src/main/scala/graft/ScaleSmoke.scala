@@ -481,6 +481,39 @@ object ScaleSmoke {
         iterations = 6).count())
     println(s"[scale] textrank vocab nodes ranked: $kwRows")
 
+    // Round-11: pivot-SCC probe over the 20×-corpus directed token graph
+    // — the edge distinct + both radius-3 closures run on the
+    // vocabulary-sized relation (the replica token adds `factor` nodes),
+    // so 20× docs must cost ~one distinct more, not 20× traversals.
+    val sccToks = big.select(col("doc_id"),
+        posexplode(graft.llm.TextAnalysis.tokens(col("text")))
+          .as(Seq("pos", "tok")))
+      .withColumn("nxt", lead(col("tok"), 1).over(kwWin))
+      .filter(col("nxt").isNotNull)
+    val sccRows = timed("pivot-scc probe (100k docs, radius 3)")(
+      graft.operators.Scc.pivotSccSummary(
+        sccToks.select(col("tok").as("src"), col("nxt").as("dst")),
+        "src", "dst", rounds = 3).collect())
+    println(s"[scale] scc probe: ${sccRows.map(r =>
+      s"${r.getString(0)}=${r.getLong(2)}").mkString(" ")}")
+
+    // Round-11: banded dHash near-dup at sf0.1 (5000 real PNG decodes →
+    // distinct-fingerprint pairing) — decode cost linear in images, the
+    // pair join bounded by distinct fingerprints, never corpus².
+    val dhashPairs = timed("dhash near-dup (5000 decodes, banded)")(
+      SparkEntry.queries("q_mm_dhash_neardup")(spark, sfDir).count())
+    println(s"[scale] dhash fingerprint near-pairs: $dhashPairs")
+
+    // Round-11: ANN recall eval (bounded query loop over the full-corpus
+    // index) and Gini (bucketed two-pass global rank, no corpus window).
+    val recallRows = timed("ann recall@10 eval (mod-97 queries)")(
+      SparkEntry.queries("q_llm_ann_recall")(spark, sfDir).collect())
+    println(s"[scale] ann recall rows: ${recallRows.length}, min=${
+      if (recallRows.isEmpty) -1L else recallRows.map(_.getLong(2)).min}")
+    val gini = timed("gini (range-sharded two-pass rank)")(
+      SparkEntry.queries("q_stats_gini")(spark, sfDir).collect().head)
+    println(s"[scale] gini over ${gini.getLong(0)} customers: ${gini.getDouble(2)}")
+
     // Round-11: PCA top component over the 100k-vector corpus — the only
     // corpus-sized work is the single dim² moment aggregate (row-local
     // 64×64 explosion → ≤4096 groups); the 8 power rounds are driver-side

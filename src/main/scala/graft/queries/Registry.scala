@@ -2306,6 +2306,26 @@ object Registry {
          GROUP BY n_name ORDER BY n_name""")
   }
 
+  /** GROUPING SETS completes the multi-level-aggregate family beside
+    * cube/rollup: the IRREGULAR set list ((flag, status), (flag), ())
+    * that a reporting layer actually asks for (cube would compute the
+    * unwanted (status) level too — at 100 TB that is a whole extra
+    * shuffle's worth of groups). grouping_id disambiguates levels;
+    * money sums go through DECIMAL (exact, order-independent). */
+  private def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+             AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS sum_qty
+         FROM v_lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+           (l_returnflag), ())
+         ORDER BY gid, l_returnflag, l_linestatus""")
+  }
+
   // ------------------------------------------------- round 6: graph / layout
 
   /** CCNet-style line-level dedup over synthetic multi-line pages: every
@@ -5251,6 +5271,7 @@ object Registry {
     "q_mm_dhash" -> q(mmDhash),
     "q_mm_dhash_neardup" -> q(mmDhashNeardup),
     "q_llm_ann_recall" -> q(llmAnnRecall),
+    "q_agg_grouping_sets" -> q(aggGroupingSets),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -9322,5 +9343,18 @@ object Registry {
              AS recall_micro
          FROM (SELECT DISTINCT qid FROM qs) q
          LEFT JOIN ov USING (qid) ORDER BY query_id"""),
+    // Grouping-sets replay: same irregular level list, same explicit
+    // grouping() bit composition (engine-neutral, unlike GROUPING_ID
+    // whose bit order is dialect-defined).
+    "q_agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+             AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+           (l_returnflag), ())
+         ORDER BY gid, l_returnflag, l_linestatus""",
   )
 }
