@@ -2306,6 +2306,49 @@ object Registry {
          GROUP BY n_name ORDER BY n_name""")
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much its hashed-unigram distribution looks like the
+    * TARGET domain (src0) versus the raw corpus — the domain-upsampling
+    * selector a pretraining mix is built with. Exactness: bucket
+    * log-likelihoods L(b) = floor(ln((c_b+1)/(T+B))·10⁶) floor to
+    * integer micro-units on the BOUNDED 1024-bucket table before any
+    * per-doc sum (the floor-then-sum discipline), so document scores are
+    * exact integer sums of a broadcast lookup. Scale shape: two bucket
+    * aggregates + one broadcast join over the token stream; nothing
+    * corpus-quadratic anywhere. */
+  private def llmDsir(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .withColumn("b", pmod(
+        conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long"),
+        lit(1024)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val raw = toks.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgt = toks.filter(col("source") === "src0")
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val tot = raw.agg(sum(col("cr")).as("tr")).crossJoin(
+      tgt.agg(sum(col("ct")).as("tt")))
+    val lut = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        (floor(log((coalesce(col("ct"), lit(0L)) + 1).cast("double")
+            / (col("tt") + 1024).cast("double")) * 1e6)
+          - floor(log((col("cr") + 1).cast("double")
+            / (col("tr") + 1024).cast("double")) * 1e6)).as("wb"))
+    val out = toks.join(broadcast(lut), Seq("b"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("wb").cast(dec)).cast("long").as("dsir_micro"))
+      .orderBy(col("dsir_micro").desc, col("doc_id"))
+      .limit(20)
+      .localCheckpoint(true)
+    toks.unpersist(false)
+    out
+  }
+
   /** GROUPING SETS completes the multi-level-aggregate family beside
     * cube/rollup: the IRREGULAR set list ((flag, status), (flag), ())
     * that a reporting layer actually asks for (cube would compute the
@@ -5272,6 +5315,7 @@ object Registry {
     "q_mm_dhash_neardup" -> q(mmDhashNeardup),
     "q_llm_ann_recall" -> q(llmAnnRecall),
     "q_agg_grouping_sets" -> q(aggGroupingSets),
+    "q_llm_dsir" -> q(llmDsir),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -9356,5 +9400,30 @@ object Registry {
          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
            (l_returnflag), ())
          ORDER BY gid, l_returnflag, l_linestatus""",
+    // DSIR replay: same md5 buckets, same floor-then-sum bucket
+    // log-likelihood deltas, same broadcast-lookup document sums.
+    "q_llm_dsir" ->
+      """WITH toks AS (SELECT doc_id, source,
+             CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) % 1024 AS b
+           FROM (SELECT doc_id, source,
+                   unnest(string_split_regex(trim(text), '\s+')) AS tok
+                 FROM documents WHERE trim(text) <> '')),
+         raw AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM toks
+                 GROUP BY 1),
+         tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM toks
+                 WHERE source = 'src0' GROUP BY 1),
+         tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS tr,
+                   (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS tt),
+         lut AS (SELECT raw.b,
+             CAST(FLOOR(ln(CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE)
+                 / CAST(tot.tt + 1024 AS DOUBLE)) * 1e6)
+               - FLOOR(ln(CAST(raw.cr + 1 AS DOUBLE)
+                 / CAST(tot.tr + 1024 AS DOUBLE)) * 1e6) AS BIGINT) AS wb
+           FROM raw LEFT JOIN tgt ON tgt.b = raw.b, tot)
+         SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CAST(wb AS HUGEINT)) AS BIGINT) AS dsir_micro
+         FROM toks JOIN lut USING (b)
+         GROUP BY doc_id, source
+         ORDER BY dsir_micro DESC, doc_id LIMIT 20""",
   )
 }
