@@ -2306,6 +2306,44 @@ object Registry {
          GROUP BY n_name ORDER BY n_name""")
   }
 
+  /** Spearman rank correlation between discount and tax — the monotone-
+    * association companion to Pearson [[statsCorr]] (what a drift audit
+    * uses when the relationship is nonlinear but ordered). Exactness:
+    * tie-averaged ranks double to integers (2r̄(v) = 2·cum_before + cnt
+    * + 1, the rank-sum trick — the ½ clears, the 2 cancels in the
+    * correlation), computed on the ≤ dozen-row DISTINCT-VALUE relations;
+    * per-row rank pairs come from two broadcast value→rank joins; all
+    * six moments accumulate in DECIMAL(38,0) with ONE double
+    * division + sqrt floored to 6 dp. */
+  private def statsSpearman(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    val base = t(spark, dir, "lineitem").select(
+      floor(col("l_discount") * 100 + 0.5).cast("long").as("x"),
+      floor(col("l_tax") * 100 + 0.5).cast("long").as("y"))
+    def ranks(c: String): DataFrame = {
+      val w = Window.orderBy(c).rowsBetween(Window.unboundedPreceding, -1)
+      base.groupBy(c).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        .select(col(c), (col("cum") * 2 + col("cnt") + 1).as(s"r$c"))
+    }
+    base.join(broadcast(ranks("x")), Seq("x"))
+      .join(broadcast(ranks("y")), Seq("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx").cast(dec)).as("sx"), sum(col("ry").cast(dec)).as("sy"),
+        sum(col("rx").cast(dec) * col("ry")).as("sxy"),
+        sum(col("rx").cast(dec) * col("rx")).as("sxx"),
+        sum(col("ry").cast(dec) * col("ry")).as("syy"))
+      .select(col("n"),
+        (floor((col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+          / sqrt((col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
+              .cast("double")
+            * (col("n").cast(dec) * col("syy") - col("sy") * col("sy"))
+              .cast("double"))
+          * 1e6) / 1e6).as("rho6"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every
     * document by how much its hashed-unigram distribution looks like the
@@ -5316,6 +5354,7 @@ object Registry {
     "q_llm_ann_recall" -> q(llmAnnRecall),
     "q_agg_grouping_sets" -> q(aggGroupingSets),
     "q_llm_dsir" -> q(llmDsir),
+    "q_stats_spearman" -> q(statsSpearman),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -9425,5 +9464,37 @@ object Registry {
          FROM toks JOIN lut USING (b)
          GROUP BY doc_id, source
          ORDER BY dsir_micro DESC, doc_id LIMIT 20""",
+    // Spearman replay: same doubled tie-averaged ranks from the
+    // distinct-value relations, same HUGEINT moments, single division.
+    "q_stats_spearman" ->
+      """WITH base AS (SELECT
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x,
+             CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS y
+           FROM lineitem),
+         rx AS (SELECT x, (2 * COALESCE(CAST(sum(cnt) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) + cnt + 1) AS rx
+           FROM (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM base
+                 GROUP BY 1)),
+         ry AS (SELECT y, (2 * COALESCE(CAST(sum(cnt) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) + cnt + 1) AS ry
+           FROM (SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM base
+                 GROUP BY 1)),
+         j AS (SELECT rx.rx, ry.ry FROM base
+               JOIN rx USING (x) JOIN ry USING (y)),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(rx AS HUGEINT)) AS HUGEINT) AS sx,
+                 CAST(sum(CAST(ry AS HUGEINT)) AS HUGEINT) AS sy,
+                 CAST(sum(CAST(rx AS HUGEINT) * ry) AS HUGEINT) AS sxy,
+                 CAST(sum(CAST(rx AS HUGEINT) * rx) AS HUGEINT) AS sxx,
+                 CAST(sum(CAST(ry AS HUGEINT) * ry) AS HUGEINT) AS syy
+               FROM j)
+         SELECT n,
+           FLOOR(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                  * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE))
+             * 1e6) / 1e6 AS rho6
+         FROM m""",
   )
 }
