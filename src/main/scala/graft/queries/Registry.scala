@@ -2306,6 +2306,35 @@ object Registry {
          GROUP BY n_name ORDER BY n_name""")
   }
 
+  /** Power-law tail exponent of the co-purchase degree distribution —
+    * the Hill / discrete-MLE estimator α̂ = 1 + n·10⁶ / Σ ln(d/(dmin−½))
+    * (Clauset, Shalizi & Newman 2009, eq. 3.7) that tells a capacity
+    * planner HOW skewed the hubs are (α < 2 ⇒ unbounded mean degree ⇒
+    * salting mandatory). Pairs with [[graphAssortativity]] and the
+    * Zipf/Heaps corpus curves. Exactness: per-node terms floor(ln(2d /
+    * (2·dmin−1))·10⁶) floor to integer micro-units BEFORE the sum (the
+    * doubled argument keeps dmin−½ rational), so the estimator is one
+    * integer division over two exact sums; tail membership (d ≥ dmin)
+    * is an integer predicate. One degree aggregate + one tail
+    * aggregate. */
+  private def graphPowerlaw(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val dmin = 64L
+    val canon = graft.operators.Triangles.canonical(
+      coPurchasePairs(spark, dir), "x", "y")
+    val deg = canon.select(col("lo").as("n"))
+      .unionAll(canon.select(col("hi").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    deg.filter(col("d") >= dmin)
+      .select(floor(log((col("d") * 2).cast("double")
+        / (2 * dmin - 1).toDouble) * 1e6).cast("long").as("t"))
+      .agg(count(lit(1)).as("n_tail"), sum(col("t").cast(dec)).as("st"))
+      .select(col("n_tail"), lit(dmin).as("d_min"),
+        (lit(1000000L) +
+          expr("CAST(n_tail AS DECIMAL(38,0)) * 1000000000000 div st")
+            .cast("long")).as("alpha_micro"))
+  }
+
   /** Spearman rank correlation between discount and tax — the monotone-
     * association companion to Pearson [[statsCorr]] (what a drift audit
     * uses when the relationship is nonlinear but ordered). Exactness:
@@ -5355,6 +5384,7 @@ object Registry {
     "q_agg_grouping_sets" -> q(aggGroupingSets),
     "q_llm_dsir" -> q(llmDsir),
     "q_stats_spearman" -> q(statsSpearman),
+    "q_graph_powerlaw" -> q(graphPowerlaw),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -9496,5 +9526,23 @@ object Registry {
                   * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE))
              * 1e6) / 1e6 AS rho6
          FROM m""",
+    // Hill-estimator replay: same degree relation, same per-node
+    // floored doubled-argument ln terms, same integer division.
+    "q_graph_powerlaw" ->
+      """WITH e0 AS (SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+                   SELECT lo AS n FROM e0 UNION ALL SELECT hi FROM e0)
+                 GROUP BY n),
+         tail AS (SELECT CAST(FLOOR(ln(CAST(d * 2 AS DOUBLE) / 127.0)
+             * 1e6) AS BIGINT) AS t
+           FROM deg WHERE d >= 64)
+         SELECT CAST(count(*) AS BIGINT) AS n_tail,
+           CAST(64 AS BIGINT) AS d_min,
+           CAST(1000000 + CAST(count(*) AS HUGEINT) * 1000000000000
+             // CAST(sum(CAST(t AS HUGEINT)) AS HUGEINT) AS BIGINT)
+             AS alpha_micro
+         FROM tail""",
   )
 }
