@@ -3014,35 +3014,61 @@ object Registry {
     * (the kmeans-elbow precedent), every per-query job is a broadcast
     * probe + one corpus scan. */
   private def llmAnnRecall(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val emb = t(spark, dir, "embeddings")
     val (_, centroids) = graft.llm.DetKMeans.fit(
       emb, "vec_id", "embedding", k = 8, iters = 2, dim = 64)
     val pts = graft.llm.DetKMeans.unitPoints(emb, "vec_id", "embedding")
     val cells = graft.llm.DetKMeans.assignTo(pts, centroids)
+    val queries = emb
+      .filter(pmod(col("vec_id").cast("long"), lit(97)) === 0)
+      .select(col("vec_id").cast("long").as("query_id"),
+        col("embedding").as("q_emb"))
       .localCheckpoint(true)
-    val qids = pts.filter(pmod(col("id"), lit(97)) === 0)
-      .select("id").orderBy("id").collect().map(_.getLong(0))
-    val rows = qids.map { qid =>
-      val qv = emb.filter(col("vec_id").cast("long") === qid)
-        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
-      val qu = pts.filter(col("id") === qid).select(col("u").as("qu"))
-      val probed = centroids.crossJoin(broadcast(qu))
-        .select(col("cid"),
-          graft.llm.DetKMeans.dist2(col("c"), col("qu")).as("qd"))
-        .orderBy("qd", "cid").limit(2).select("cid")
-      val cand = cells.join(broadcast(probed), Seq("cid"))
-        .filter(col("id") =!= qid).select(col("id").as("cand_id"))
-      val ivfTop = graft.llm.Similarity.bruteForceTopK(
-        emb.join(broadcast(cand), col("vec_id") === col("cand_id")),
-        "embedding", "vec_id", qv, 10).select(col("vec_id"))
-      val bruteTop = graft.llm.Similarity.bruteForceTopK(
-        emb.filter(col("vec_id").cast("long") =!= qid),
-        "embedding", "vec_id", qv, 10).select(col("vec_id"))
-      val overlap = bruteTop.join(ivfTop, Seq("vec_id")).count()
-      (qid, overlap, overlap * 1000000L / 10)
-    }
-    rows.toSeq.toDF("query_id", "n_overlap", "recall_micro")
+    // ALL queries traverse together — one probe pass, one brute pass,
+    // one candidate re-rank pass, independent of |Q| (the first, driver-
+    // looped formulation cost |Q|×5 scheduler round-trips: 46.7 s for 21
+    // queries at sf0.1; this shape is 3 corpus-touching jobs total).
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("vid"))
+    val probed = pts
+      .filter(pmod(col("id"), lit(97)) === 0)
+      .select(col("id").as("query_id"), col("u").as("qu"))
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("cid"),
+        graft.llm.DetKMeans.dist2(col("c"), col("qu")).as("qd"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy("qd", "cid")))
+      .filter(col("rk") <= 2).select("query_id", "cid")
+    // Brute top-10 excluding self: rank top-11 WITH self (one window),
+    // drop self, re-rank — top-10-excluding-self ⊆ top-11-including-self
+    // even under rounded cosine ties at 1.0.
+    val brute = graft.llm.Similarity.topKPerQuery(emb, "embedding",
+        "vec_id", queries, "query_id", "q_emb", k = 11, dim = 64)
+      .select(col("query_id"), col("vec_id").cast("long").as("vid"),
+        col("cosine_sim"))
+      .filter(col("vid") =!= col("query_id"))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= 10).select("query_id", "vid")
+    val ivf = cells.join(broadcast(probed), Seq("cid"))
+      .select(col("query_id"), col("id").as("vid"))
+      .filter(col("vid") =!= col("query_id"))
+      .join(emb.select(col("vec_id").cast("long").as("vid"),
+        col("embedding")), Seq("vid"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vid"),
+        graft.llm.Similarity.roundHalfUp(graft.llm.Similarity
+          .cosineUnrolled(col("embedding"), col("q_emb"), 64), 6)
+          .as("cosine_sim"))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= 10).select("query_id", "vid")
+    val ov = brute.join(ivf, Seq("query_id", "vid"))
+      .groupBy("query_id").agg(count(lit(1)).as("n"))
+    queries.select("query_id").join(ov, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n"), lit(0L)) * 1000000L / 10).cast("long")
+          .as("recall_micro"))
       .orderBy("query_id")
   }
 
