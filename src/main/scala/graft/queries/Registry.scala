@@ -2306,6 +2306,40 @@ object Registry {
          GROUP BY n_name ORDER BY n_name""")
   }
 
+  /** Day-of-week seasonality of event volume — the variance-explained
+    * decomposition (η² = SSB/SST, one-way ANOVA over weekday groups)
+    * that decides whether a forecast/anomaly baseline needs a weekly
+    * profile or a flat trend. Exactness: daily counts are integers, the
+    * day-of-week is pure integer epoch arithmetic ((day+4) mod 7 — no
+    * timezone/date functions to drift between engines), and both sums
+    * of squares clear to integer micro-units via per-group
+    * floor(S_g²·10⁶ div c_g) BEFORE differencing — one double division
+    * at the surface. Per-dow means are exact integer divisions. */
+  private def tsSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val days = t(spark, dir, "events")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("dow", expr("(day + 4) % 7"))
+    val g = days.groupBy("dow").agg(count(lit(1)).as("c"),
+        sum(col("x")).as("s"),
+        sum(col("x").cast(dec) * col("x")).as("q"))
+      .withColumn("gb", expr(
+        "(CAST(s AS DECIMAL(38,0)) * s * 1000000) div c"))
+    val tot = g.agg(sum(col("c")).as("n"), sum(col("s")).as("st"),
+        sum(col("q")).as("qt"), sum(col("gb").cast(dec)).as("sgb"))
+      .select(col("n"), col("st"), col("qt"), col("sgb"),
+        expr("(CAST(st AS DECIMAL(38,0)) * st * 1000000) div n").as("cf"))
+      .select(col("n").cast("long").as("n_days"),
+        (floor((col("sgb") - col("cf")).cast("double")
+          / (col("qt") * 1000000 - col("cf")).cast("double")
+          * 1e6) / 1e6).as("eta6"))
+    g.select(col("dow").cast("long").as("dow"), col("c").as("n_days_dow"),
+        expr("(CAST(s AS DECIMAL(38,0)) * 1000000) div c").as("mean_micro"))
+      .crossJoin(broadcast(tot))
+      .orderBy("dow")
+  }
+
   /** Power-law tail exponent of the co-purchase degree distribution —
     * the Hill / discrete-MLE estimator α̂ = 1 + n·10⁶ / Σ ln(d/(dmin−½))
     * (Clauset, Shalizi & Newman 2009, eq. 3.7) that tells a capacity
@@ -5411,6 +5445,7 @@ object Registry {
     "q_llm_dsir" -> q(llmDsir),
     "q_stats_spearman" -> q(statsSpearman),
     "q_graph_powerlaw" -> q(graphPowerlaw),
+    "q_ts_seasonality" -> q(tsSeasonality),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -9570,5 +9605,33 @@ object Registry {
              // CAST(sum(CAST(t AS HUGEINT)) AS HUGEINT) AS BIGINT)
              AS alpha_micro
          FROM tail""",
+    // Seasonality replay: same integer epoch day-of-week, same cleared
+    // per-group floor(S²·10⁶ // c) sums of squares, same single division.
+    "q_ts_seasonality" ->
+      """WITH days AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         d2 AS (SELECT (day + 4) % 7 AS dow, x FROM days),
+         g AS (SELECT dow, CAST(count(*) AS BIGINT) AS c,
+                 CAST(sum(x) AS BIGINT) AS s,
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q,
+                 (CAST(sum(x) AS HUGEINT) * CAST(sum(x) AS HUGEINT)
+                   * 1000000) // CAST(count(*) AS HUGEINT) AS gb
+               FROM d2 GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                   CAST(sum(s) AS HUGEINT) AS st,
+                   CAST(sum(q) AS HUGEINT) AS qt,
+                   CAST(sum(gb) AS HUGEINT) AS sgb
+                 FROM g),
+         eta AS (SELECT CAST(n AS BIGINT) AS n_days,
+                   FLOOR(CAST(sgb - (st * st * 1000000) // n AS DOUBLE)
+                     / CAST(qt * 1000000 - (st * st * 1000000) // n
+                       AS DOUBLE) * 1e6) / 1e6 AS eta6
+                 FROM tot)
+         SELECT CAST(g.dow AS BIGINT) AS dow, g.c AS n_days_dow,
+           CAST((CAST(g.s AS HUGEINT) * 1000000) // g.c AS BIGINT)
+             AS mean_micro,
+           eta.n_days, eta.eta6
+         FROM g, eta ORDER BY dow""",
   )
 }
