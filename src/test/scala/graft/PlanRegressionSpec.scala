@@ -59,6 +59,28 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(!p.contains("l_shipdate"), "unneeded column not pruned from scan")
   }
 
+  test("Benford: the 9-row expected table and the total broadcast") {
+    val p = plan("q_stats_benford")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("BroadcastNestedLoopJoin")) // the 1-row total
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("Spearman: both value->rank lookups broadcast, no sort-merge join") {
+    val p = plan("q_stats_spearman")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  // (q_llm_dsir's lut broadcast is not pinnable here: the query returns a
+  // localCheckpoint so the released token cache can't be re-read, and the
+  // executed plan collapses to the checkpoint scan.)
+
+  test("ANN recall: probe list and query set broadcast to the scans") {
+    val p = plan("q_llm_ann_recall")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+  }
+
   test("batch ANN: broadcast queries, rank-limit pruned before the shuffle") {
     val p = plan("q_llm_ann_batch")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
