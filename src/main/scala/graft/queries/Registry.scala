@@ -2306,6 +2306,44 @@ object Registry {
          GROUP BY n_name ORDER BY n_name""")
   }
 
+  /** Sentence-boundary-aware chunking plan (the RAG splitter: pack whole
+    * sentences greedily into ≤ 64-token chunks instead of cutting
+    * mid-sentence like [[llmChunkFixed]]'s fixed windows). The whole
+    * per-doc plan is ONE row-local integer fold over the sentence-token
+    * list — (chunks, max_fill, fill) pack into a single long as
+    * c·10¹² + m·10⁶ + f, the compaction-planner trick — so Spark
+    * `aggregate` and DuckDB `list_reduce` replay it step for step;
+    * sentences longer than the cap open their own (overflowing) chunk,
+    * the next-fit rule. Row-local regex work, zero shuffles before the
+    * surface orderBy. */
+  private def llmChunkSentences(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 64
+    val sentToks = transform(split(trim(col("text")), "[.!?]+"),
+      s => when(trim(s) === "", lit(0))
+        .otherwise(size(split(trim(s), "\\s+"))))
+    val step = s"""CASE WHEN acc % 1000000 + t > $cap
+         THEN (acc div 1000000000000 + 1) * 1000000000000
+              + greatest((acc div 1000000) % 1000000, t) * 1000000 + t
+         ELSE (acc div 1000000000000) * 1000000000000
+              + greatest((acc div 1000000) % 1000000,
+                  acc % 1000000 + t) * 1000000
+              + (acc % 1000000 + t)
+       END"""
+    t(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(13)) === 0)
+      .withColumn("stoks", filter(sentToks, t => t > 0))
+      .filter(size(col("stoks")) > 0)
+      .withColumn("packed", expr(
+        s"aggregate(stoks, CAST(1000000000000 AS BIGINT), (acc, t) -> $step)"))
+      .select(col("doc_id"),
+        size(col("stoks")).cast("long").as("n_sentences"),
+        expr("aggregate(stoks, CAST(0 AS BIGINT), (a, t) -> a + t)")
+          .as("n_tokens"),
+        expr("packed div 1000000000000").as("n_chunks"),
+        expr("(packed div 1000000) % 1000000").as("max_chunk_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Day-of-week seasonality of event volume — the variance-explained
     * decomposition (η² = SSB/SST, one-way ANOVA over weekday groups)
     * that decides whether a forecast/anomaly baseline needs a weekly
@@ -5446,6 +5484,7 @@ object Registry {
     "q_stats_spearman" -> q(statsSpearman),
     "q_graph_powerlaw" -> q(graphPowerlaw),
     "q_ts_seasonality" -> q(tsSeasonality),
+    "q_llm_chunk_sentences" -> q(llmChunkSentences),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -9633,5 +9672,34 @@ object Registry {
              AS mean_micro,
            eta.n_days, eta.eta6
          FROM g, eta ORDER BY dow""",
+    // Sentence-chunking replay: same regex splits, same packed-long
+    // next-fit fold via list_reduce with list_prepend's init.
+    "q_llm_chunk_sentences" ->
+      """WITH d AS (SELECT doc_id,
+             list_filter(list_transform(
+               string_split_regex(trim(text), '[.!?]+'), s ->
+                 CASE WHEN trim(s) = '' THEN 0
+                      ELSE len(string_split_regex(trim(s), '\s+')) END),
+               t -> t > 0) AS stoks
+           FROM documents WHERE doc_id % 13 = 0),
+         f AS (SELECT doc_id, stoks,
+             list_reduce(list_prepend(CAST(1000000000000 AS BIGINT),
+               list_transform(stoks, t -> CAST(t AS BIGINT))),
+               (acc, t) -> CASE WHEN acc % 1000000 + t > 64
+                 THEN (acc // 1000000000000 + 1) * 1000000000000
+                      + greatest((acc // 1000000) % 1000000, t) * 1000000
+                      + t
+                 ELSE (acc // 1000000000000) * 1000000000000
+                      + greatest((acc // 1000000) % 1000000,
+                          acc % 1000000 + t) * 1000000
+                      + (acc % 1000000 + t)
+               END) AS packed
+           FROM d WHERE len(stoks) > 0)
+         SELECT doc_id, CAST(len(stoks) AS BIGINT) AS n_sentences,
+           CAST(list_sum(stoks) AS BIGINT) AS n_tokens,
+           CAST(packed // 1000000000000 AS BIGINT) AS n_chunks,
+           CAST((packed // 1000000) % 1000000 AS BIGINT)
+             AS max_chunk_tokens
+         FROM f ORDER BY doc_id""",
   )
 }
