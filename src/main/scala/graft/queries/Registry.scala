@@ -834,6 +834,50 @@ object Registry {
       .orderBy("doc_a")
   }
 
+  /** Asymmetric containment detection — the quote/excerpt finder exact
+    * Jaccard misses (a paragraph lifted into a long document scores low
+    * Jaccard but containment ≈ 1; Broder 1997 distinguishes resemblance
+    * from containment for exactly this). Planted mod-17 half-excerpts
+    * make the target pairs known. Scale shape: candidates come from
+    * shared 5-grams under a df ∈ [2, 8] hot-gram cap (the bucketed
+    * contract — boilerplate grams never explode the pair set); the
+    * verify step is one array-intersect join; the score
+    * (|A∩B|·10⁴) div min(|A|,|B|) is FULLY integer. */
+  private def llmContainment(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val excerpts = base.filter(pmod(col("doc_id"), lit(17)) === 0)
+      .withColumn("tk", TextAnalysis.tokens(col("text")))
+      .filter(size(col("tk")) >= 10)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat_ws(" ", expr("slice(tk, 1, greatest(size(tk) div 2, 5))"))
+          .as("text"))
+    val corpus = base.unionAll(excerpts)
+      .select(col("doc_id"), Dedup.shingles(col("text"), 5).as("grams"))
+      .localCheckpoint(true) // feeds the bucket explode AND the verify join
+    val gd = corpus.select(col("doc_id"), explode(col("grams")).as("gr"))
+    val buckets = gd.groupBy("gr")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, 8))
+    val pairs = buckets.select(explode(expr(
+        "flatten(transform(ds, (x, i) -> " +
+          "transform(slice(ds, i + 2, size(ds)), y -> struct(x, y))))"))
+        .as("e"))
+      .select(col("e.x").as("da"), col("e.y").as("db")).distinct()
+    pairs
+      .join(corpus.select(col("doc_id").as("da"), col("grams").as("ga")),
+        Seq("da"))
+      .join(corpus.select(col("doc_id").as("db"), col("grams").as("gb")),
+        Seq("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long")
+          .as("n_common"),
+        expr("(size(array_intersect(ga, gb)) * 10000)" +
+          " div least(size(ga), size(gb))").as("containment4"))
+      .filter(col("containment4") >= 8000)
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ------------------------------------------------ LLM-pipeline: similarity
 
   private def queryVector(spark: SparkSession, dir: String): Seq[Double] =
@@ -5485,6 +5529,7 @@ object Registry {
     "q_graph_powerlaw" -> q(graphPowerlaw),
     "q_ts_seasonality" -> q(tsSeasonality),
     "q_llm_chunk_sentences" -> q(llmChunkSentences),
+    "q_llm_containment" -> q(llmContainment),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -9701,5 +9746,41 @@ object Registry {
            CAST((packed // 1000000) % 1000000 AS BIGINT)
              AS max_chunk_tokens
          FROM f ORDER BY doc_id""",
+    // Containment replay: same planted excerpts, same 5-gram sets and
+    // df cap, same integer (|∩|·10⁴) // min score.
+    "q_llm_containment" ->
+      """WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+             FROM documents),
+         exc AS (SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(tk[1:greatest(len(tk) // 2, 5)], ' ') AS text
+           FROM (SELECT doc_id,
+                   string_split_regex(trim(text), '\s+') AS tk
+                 FROM base WHERE doc_id % 17 = 0) s
+           WHERE len(tk) >= 10),
+         corpus AS (SELECT * FROM base UNION ALL SELECT * FROM exc),
+         g AS (SELECT doc_id,
+             CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(t) - 3),
+                    i -> array_to_string(t[i:i+4], ' '))) END AS grams
+           FROM (SELECT doc_id,
+                   string_split_regex(trim(text), '\s+') AS t
+                 FROM corpus) tt),
+         gd AS (SELECT doc_id, unnest(grams) AS gr FROM g),
+         bcap AS (SELECT gr FROM gd GROUP BY gr
+                  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 8),
+         pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                   FROM gd a JOIN gd b
+                     ON a.gr = b.gr AND a.doc_id < b.doc_id
+                   JOIN bcap ON bcap.gr = a.gr),
+         res AS (SELECT p.da AS doc_a, p.db AS doc_b,
+             CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT)
+               AS n_common,
+             CAST((len(list_intersect(ga.grams, gb.grams)) * 10000)
+               // least(len(ga.grams), len(gb.grams)) AS BIGINT)
+               AS containment4
+           FROM pairs p JOIN g ga ON ga.doc_id = p.da
+           JOIN g gb ON gb.doc_id = p.db)
+         SELECT * FROM res WHERE containment4 >= 8000
+         ORDER BY doc_a, doc_b""",
   )
 }
