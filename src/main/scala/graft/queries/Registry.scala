@@ -2451,6 +2451,48 @@ object Registry {
             .cast("long")).as("alpha_micro"))
   }
 
+  /** Kendall's τ-b between discount and tax — completes the correlation
+    * trio (Pearson [[statsCorr]] / Spearman [[statsSpearman]] / Kendall):
+    * the concordance statistic that is exactly computable from the JOINT
+    * DISTRIBUTION when both columns have bounded distinct values.
+    * Concordant/discordant pair counts come from one broadcast non-equi
+    * self-join of the ~99-cell contingency relation (never the corpus);
+    * tie corrections from the margins; everything exact in
+    * DECIMAL(38,0) until ONE sqrt + division floored to 6 dp. */
+  private def statsKendall(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = t(spark, dir, "lineitem").select(
+        floor(col("l_discount") * 100 + 0.5).cast("long").as("x"),
+        floor(col("l_tax") * 100 + 0.5).cast("long").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // bounded cell relation, four consumers
+    val cd = cells.as("a")
+      .join(broadcast(cells.as("b")), col("a.x") < col("b.x"))
+      .agg(
+        sum(when(col("a.y") < col("b.y"),
+          col("a.c").cast(dec) * col("b.c")).otherwise(lit(0).cast(dec)))
+          .as("cc"),
+        sum(when(col("a.y") > col("b.y"),
+          col("a.c").cast(dec) * col("b.c")).otherwise(lit(0).cast(dec)))
+          .as("dd"))
+    val tx = cells.groupBy("x").agg(sum(col("c")).as("r"))
+      .agg(sum(col("r").cast(dec) * (col("r") - 1)).as("tx2"))
+    val ty = cells.groupBy("y").agg(sum(col("c")).as("r"))
+      .agg(sum(col("r").cast(dec) * (col("r") - 1)).as("ty2"))
+    val n = cells.agg(sum(col("c")).as("n"))
+    cd.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .crossJoin(broadcast(n))
+      .select(col("n").cast("long").as("n"),
+        col("cc").cast("double").as("concordant"),
+        col("dd").cast("double").as("discordant"),
+        (floor((col("cc") - col("dd")).cast("double")
+          / sqrt((col("n").cast(dec) * (col("n") - 1) - col("tx2"))
+              .cast("double")
+            * (col("n").cast(dec) * (col("n") - 1) - col("ty2"))
+              .cast("double"))
+          * 2e6) / 1e6).as("tau6"))
+  }
+
   /** Spearman rank correlation between discount and tax — the monotone-
     * association companion to Pearson [[statsCorr]] (what a drift audit
     * uses when the relationship is nonlinear but ordered). Exactness:
@@ -5530,6 +5572,7 @@ object Registry {
     "q_ts_seasonality" -> q(tsSeasonality),
     "q_llm_chunk_sentences" -> q(llmChunkSentences),
     "q_llm_containment" -> q(llmContainment),
+    "q_stats_kendall" -> q(statsKendall),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -9782,5 +9825,37 @@ object Registry {
            JOIN g gb ON gb.doc_id = p.db)
          SELECT * FROM res WHERE containment4 >= 8000
          ORDER BY doc_a, doc_b""",
+    // Kendall replay: same contingency cells, same doubled tie-corrected
+    // denominators (the ×2e6 factor restores the halved n0/T terms).
+    "q_stats_kendall" ->
+      """WITH cells AS (SELECT
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x,
+             CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS y,
+             CAST(count(*) AS BIGINT) AS c
+           FROM lineitem GROUP BY 1, 2),
+         cd AS (SELECT
+             CAST(COALESCE(sum(CASE WHEN a.y < b.y
+               THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END), 0) AS HUGEINT)
+               AS cc,
+             CAST(COALESCE(sum(CASE WHEN a.y > b.y
+               THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END), 0) AS HUGEINT)
+               AS dd
+           FROM cells a JOIN cells b ON a.x < b.x),
+         tx AS (SELECT CAST(sum(CAST(r AS HUGEINT) * (r - 1)) AS HUGEINT)
+                  AS tx2
+                FROM (SELECT CAST(sum(c) AS BIGINT) AS r FROM cells
+                      GROUP BY x)),
+         ty AS (SELECT CAST(sum(CAST(r AS HUGEINT) * (r - 1)) AS HUGEINT)
+                  AS ty2
+                FROM (SELECT CAST(sum(c) AS BIGINT) AS r FROM cells
+                      GROUP BY y)),
+         nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells)
+         SELECT n, CAST(cc AS DOUBLE) AS concordant,
+           CAST(dd AS DOUBLE) AS discordant,
+           FLOOR(CAST(cc - dd AS DOUBLE)
+             / sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) - tx2 AS DOUBLE)
+                  * CAST(CAST(n AS HUGEINT) * (n - 1) - ty2 AS DOUBLE))
+             * 2000000) / 1e6 AS tau6
+         FROM cd, tx, ty, nn""",
   )
 }
