@@ -55,22 +55,26 @@ object NgramLm {
     * avg over bigrams (w1 w2) of ln((c2 + 1) / (c1(w1) + V)).
     * Higher = more model-like text. Returns (idCol, n_bigrams, avg_logp)
     * with avg_logp rounded to 6 decimals. */
-  def scoreAvgLogProb(docs: DataFrame, idCol: String, textCol: String,
-                      model: Model): DataFrame = {
-    val grams = docs.select(col(idCol).as("_id"),
+  /** Per-bigram smoothed log-prob relation (_id, gram, _logp): the shared
+    * scoring core of [[scoreAvgLogProb]] and [[minKScore]]. Each term is
+    * rounded to 8 dp THEN decimal-typed, so downstream sums are exact and
+    * FP addition order never reaches a result. */
+  private def gramLogProbs(docs: DataFrame, idCol: String, textCol: String,
+                           model: Model): DataFrame =
+    docs.select(col(idCol).as("_id"),
         explode(TextAnalysis.wordGrams(col(textCol), 2)).as("gram"))
       .withColumn("_w1", split(col("gram"), " ").getItem(0))
-    val scored = grams
       .join(broadcast(model.bigrams), Seq("gram"), "left")
       .join(broadcast(model.unigrams.withColumnRenamed("tok", "_w1")),
         Seq("_w1"), "left")
       .withColumn("_logp",
-        // round each term, then DECIMAL-sum: FP addition order never
-        // reaches the result, so the score survives repartitioning and
-        // external replay
         (floor(log((coalesce(col("c2"), lit(0L)) + 1.0) /
           (coalesce(col("c1"), lit(0L)) + model.vocabSize.toDouble))
           * 1e8 + 0.5) / 1e8).cast(DecimalType(28, 8)))
+
+  def scoreAvgLogProb(docs: DataFrame, idCol: String, textCol: String,
+                      model: Model): DataFrame = {
+    val scored = gramLogProbs(docs, idCol, textCol, model)
     scored.groupBy(col("_id").as(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         // exact decimal sum → double → divide: every step is the same IEEE
@@ -79,4 +83,27 @@ object NgramLm {
         (floor(sum(col("_logp")).cast("double") / count(lit(1)) * 1e6 + 0.5) / 1e6)
           .as("avg_logp"))
   }
+
+  /** Min-K% probability membership signal (Shi et al., ICLR 2024,
+    * "Detecting Pretraining Data from Large Language Models"): the mean
+    * of each document's LOWEST 20% per-bigram log-probs — member text has
+    * few surprising grams, so its worst-k mean sits high; the
+    * memorization/contamination probe run against a reference model.
+    * Determinism: per-gram terms are the 8 dp-rounded decimals of
+    * [[gramLogProbs]]; the per-doc sort is over VALUES (ties
+    * interchangeable under a sum), k = ⌈n/5⌉ by integer arithmetic, and
+    * the k-smallest sum folds in exact decimal. Row-local after one
+    * doc-grouped collect of the per-doc gram list. */
+  def minKScore(docs: DataFrame, idCol: String, textCol: String,
+                model: Model): DataFrame =
+    gramLogProbs(docs, idCol, textCol, model)
+      .groupBy(col("_id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sort_array(collect_list(col("_logp"))).as("_lp"))
+      .withColumn("k_lowest", expr("(n_bigrams + 4) div 5"))
+      .select(col(idCol), col("n_bigrams"), col("k_lowest"),
+        expr("floor(CAST(aggregate(slice(_lp, 1, CAST(k_lowest AS INT)), " +
+          "CAST(0 AS DECIMAL(28,8)), " +
+          "(a, x) -> CAST(a + x AS DECIMAL(28,8))) AS DOUBLE) " +
+          "/ k_lowest * 1e6 + 0.5) / 1e6").as("mink_logp"))
 }

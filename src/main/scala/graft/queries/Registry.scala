@@ -1887,6 +1887,17 @@ object Registry {
       .orderBy("doc_id")
   }
 
+  /** Min-K% probability membership probe over the corpus-fit bigram LM —
+    * see [[graft.llm.NgramLm.minKScore]]; ranked ascending (the most
+    * "surprising" documents first — the contamination review queue). */
+  private def llmMinK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val model = graft.llm.NgramLm.fit(docs, "text")
+    graft.llm.NgramLm.minKScore(docs, "doc_id", "text", model)
+      .orderBy(col("mink_logp"), col("doc_id"))
+      .limit(20)
+  }
+
   /** Order-sensitive rolling fingerprint in the PORTABLE variant
     * (md5-prefix token hash, 2^31-1 modulus) so DuckDB replays the exact
     * fold with list_reduce; the xxhash64 fast path stays covered by
@@ -5573,6 +5584,7 @@ object Registry {
     "q_llm_chunk_sentences" -> q(llmChunkSentences),
     "q_llm_containment" -> q(llmContainment),
     "q_stats_kendall" -> q(statsKendall),
+    "q_llm_mink" -> q(llmMinK),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -9857,5 +9869,39 @@ object Registry {
                   * CAST(CAST(n AS HUGEINT) * (n - 1) - ty2 AS DOUBLE))
              * 2000000) / 1e6 AS tau6
          FROM cd, tx, ty, nn""",
+    // Min-K% replay: the lm_score scored relation, per-doc value sort,
+    // exact decimal k-smallest sum, same ceil(n/5).
+    "q_llm_mink" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+')
+             AS t FROM documents),
+         g AS (SELECT doc_id,
+                 CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                      ELSE list_transform(range(1, len(t)),
+                             i -> t[i] || ' ' || t[i+1]) END AS grams
+               FROM tk),
+         dg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         big AS (SELECT gram, count(*) AS c2 FROM dg GROUP BY gram),
+         unic AS (SELECT tok, count(*) AS c1
+                  FROM (SELECT unnest(t) AS tok FROM tk) GROUP BY tok),
+         v AS (SELECT count(*) AS vs FROM unic),
+         terms AS (SELECT d.doc_id,
+                     CAST(floor(ln((COALESCE(b.c2, 0) + 1.0)
+                       / (COALESCE(u.c1, 0) + v.vs)) * 1e8 + 0.5) / 1e8
+                       AS DECIMAL(28,8)) AS logp
+                   FROM dg d
+                   LEFT JOIN big b USING (gram)
+                   LEFT JOIN unic u ON string_split(d.gram, ' ')[1] = u.tok
+                   CROSS JOIN v),
+         per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST((count(*) + 4) // 5 AS BIGINT) AS k_lowest,
+                   list_sort(list(logp)) AS lp
+                 FROM terms GROUP BY doc_id)
+         SELECT doc_id, n_bigrams, k_lowest,
+           floor(CAST(list_reduce(
+               list_prepend(CAST(0 AS DECIMAL(28,8)),
+                 lp[1:CAST(k_lowest AS INT)]),
+               (a, x) -> CAST(a + x AS DECIMAL(28,8))) AS DOUBLE)
+             / k_lowest * 1e6 + 0.5) / 1e6 AS mink_logp
+         FROM per ORDER BY mink_logp, doc_id LIMIT 20""",
   )
 }
