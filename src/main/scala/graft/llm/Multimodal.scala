@@ -199,6 +199,50 @@ object Multimodal {
     }
   }
 
+  /** Frame-energy profile off a REAL audio decode — the
+    * silence-detection / loudness-segmentation kernel an audio-corpus
+    * pass runs before clipping or captioning: stream the decoded 8-bit
+    * samples once, accumulate per-frame energy Σ|s − 128|, and report
+    * (n_frames incl. the partial tail, total_energy, max_energy,
+    * argmax_frame — FIRST frame on ties, the deterministic tie-break the
+    * oracle mirrors as min-frame-with-max). None on undecodable
+    * payloads, quarantine-style. */
+  def audioEnergyFrames(payload: Array[Byte],
+                        frameLen: Int): Option[(Long, Long, Long, Long)] = {
+    require(frameLen >= 1)
+    import javax.sound.sampled.AudioSystem
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        var frame = 0L; var inFrame = 0; var e = 0L
+        var total = 0L; var maxE = -1L; var argmax = -1L; var nFrames = 0L
+        def closeFrame(): Unit = {
+          nFrames += 1; total += e
+          if (e > maxE) { maxE = e; argmax = frame }
+          frame += 1; inFrame = 0; e = 0
+        }
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n > 0) {
+          var i = 0
+          while (i < n) {
+            e += math.abs(java.lang.Byte.toUnsignedInt(buf(i)) - 128)
+            inFrame += 1
+            if (inFrame == frameLen) closeFrame()
+            i += 1
+          }
+          n = in.read(buf)
+        }
+        if (inFrame > 0) closeFrame()
+        Some((nFrames, total, maxE, argmax))
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+  }
+
   /** Partition-local audio decode, the audio twin of [[decode]]: payloads
     * the JDK cannot parse are dropped, everything else streams through
     * without collecting. */

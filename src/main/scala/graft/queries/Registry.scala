@@ -4034,6 +4034,26 @@ object Registry {
       .toDF("media_id", "dhash")
   }
 
+  /** Audio frame-energy segmentation over REAL WAV decodes — 10-sample
+    * frames, per-frame Σ|s−128| energy, first-max argmax; the
+    * silence/loudness profile (see
+    * [[graft.llm.Multimodal.audioEnergyFrames]]). The oracle rebuilds
+    * every frame arithmetically from the synthetic sample formula. */
+  private def mmAudioEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        (col("doc_id") % 100 + 50).cast("int").as("n"))
+      .as[(Long, Int)]
+      .map { case (id, n) => (id, Multimodal.encodeWav(n, 8000, id)) }
+      .flatMap { case (id, wav) =>
+        Multimodal.audioEnergyFrames(wav, frameLen = 10).map {
+          case (nf, tot, mx, am) => (id, nf, tot, mx, am) } }
+      .toDF("media_id", "n_frames", "total_energy", "max_energy",
+        "argmax_frame")
+      .orderBy("media_id")
+  }
+
   private def mmDhash(spark: SparkSession, dir: String): DataFrame =
     mmDhashes(spark, dir)
       .select(col("media_id"), col("dhash"),
@@ -5585,6 +5605,7 @@ object Registry {
     "q_llm_containment" -> q(llmContainment),
     "q_stats_kendall" -> q(statsKendall),
     "q_llm_mink" -> q(llmMinK),
+    "q_mm_audio_energy" -> q(mmAudioEnergy),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -9903,5 +9924,22 @@ object Registry {
                (a, x) -> CAST(a + x AS DECIMAL(28,8))) AS DOUBLE)
              / k_lowest * 1e6 + 0.5) / 1e6 AS mink_logp
          FROM per ORDER BY mink_logp, doc_id LIMIT 20""",
+    // Audio-energy replay: same sample formula, same 10-sample frames,
+    // first-max argmax as min-frame-with-max.
+    "q_mm_audio_energy" ->
+      """WITH f AS (SELECT d.doc_id AS media_id, s.i // 10 AS fr,
+             CAST(SUM(abs(((s.i + d.doc_id) % 256) - 128)) AS BIGINT) AS e
+           FROM documents d
+           JOIN range(0, 150) s(i) ON s.i < 50 + d.doc_id % 100
+           GROUP BY 1, 2),
+         g AS (SELECT media_id, fr, e,
+                 max(e) OVER (PARTITION BY media_id) AS me
+               FROM f)
+         SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(e) AS BIGINT) AS total_energy,
+           CAST(max(e) AS BIGINT) AS max_energy,
+           CAST(min(CASE WHEN e = me THEN fr END) AS BIGINT)
+             AS argmax_frame
+         FROM g GROUP BY media_id ORDER BY media_id""",
   )
 }
