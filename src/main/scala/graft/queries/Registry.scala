@@ -1887,6 +1887,34 @@ object Registry {
       .orderBy("doc_id")
   }
 
+  /** Proportional sample allocation with largest-remainder rounding
+    * (Hamilton's method — the apportionment rule that makes a fixed
+    * budget of B = 1000 sample slots sum EXACTLY to B across sources,
+    * where naive rounding drifts): base = B·n_s div N per stratum, the
+    * B − Σbase leftovers go to the largest remainders (B·n_s mod N,
+    * ties → source asc). The complement of [[llmQuotaSample]]'s caps —
+    * allocation, not truncation. Fully integer; the rank window runs
+    * over the ~20-row stratum relation only. */
+  private def llmAllocSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = 1000L
+    val strata = t(spark, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tot = strata.agg(sum(col("n_docs")).as("nn"))
+    val based = strata.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        expr(s"($b * n_docs) div nn").as("base"),
+        expr(s"($b * n_docs) % nn").as("rem"))
+    val leftDf = based.agg((lit(b) - sum(col("base"))).as("leftover"))
+    based.crossJoin(broadcast(leftDf))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))))
+      .select(col("source"), col("n_docs"), col("base"),
+        when(col("rk") <= col("leftover"), 1L).otherwise(0L).as("extra"))
+      .withColumn("quota", col("base") + col("extra"))
+      .orderBy("source")
+  }
+
   /** Min-K% probability membership probe over the corpus-fit bigram LM —
     * see [[graft.llm.NgramLm.minKScore]]; ranked ascending (the most
     * "surprising" documents first — the contamination review queue). */
@@ -5606,6 +5634,7 @@ object Registry {
     "q_stats_kendall" -> q(statsKendall),
     "q_llm_mink" -> q(llmMinK),
     "q_mm_audio_energy" -> q(mmAudioEnergy),
+    "q_llm_alloc_sample" -> q(llmAllocSample),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -9941,5 +9970,25 @@ object Registry {
            CAST(min(CASE WHEN e = me THEN fr END) AS BIGINT)
              AS argmax_frame
          FROM g GROUP BY media_id ORDER BY media_id""",
+    // Largest-remainder replay: same integer base/remainder split, same
+    // (rem desc, source) leftover ranking over the stratum relation.
+    "q_llm_alloc_sample" ->
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                    FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn FROM s),
+         b AS (SELECT source, n_docs,
+                 CAST((1000 * n_docs) // nn AS BIGINT) AS base,
+                 CAST((1000 * n_docs) % nn AS BIGINT) AS rem
+               FROM s, tot),
+         lo AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS leftover FROM b),
+         r AS (SELECT b.*, lo.leftover,
+                 row_number() OVER (ORDER BY rem DESC, source) AS rk
+               FROM b, lo)
+         SELECT source, n_docs, base,
+           CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS extra,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+             AS BIGINT) AS quota
+         FROM r ORDER BY source""",
   )
 }
