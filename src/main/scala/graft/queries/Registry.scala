@@ -2461,6 +2461,38 @@ object Registry {
       .orderBy("dow")
   }
 
+  /** Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k − 1)) at k ∈
+    * {32, 64, 128} — do the hubs preferentially wire to each other
+    * (Colizza 2006)? The structural companion to [[graphAssortativity]]
+    * (assortativity says "similar degrees attract", rich-club says "the
+    * top tier forms its own clique-ish core" — they can disagree).
+    * FULLY integer: degree thresholds are predicates, E_k is one
+    * semi-filtered edge count, φ scales to micro-units by integer
+    * division. One degree aggregate + one filtered edge count per k over
+    * the SAME cached relations. */
+  private def graphRichClub(spark: SparkSession, dir: String): DataFrame = {
+    val canon = graft.operators.Triangles.canonical(
+        coPurchasePairs(spark, dir), "x", "y")
+      .localCheckpoint(true)
+    val deg = canon.select(col("lo").as("n"))
+      .unionAll(canon.select(col("hi").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    Seq(32L, 64L, 128L).map { k =>
+      val club = deg.filter(col("d") > k).select("n")
+      val nk = club.agg(count(lit(1)).as("nk"))
+      val ek = canon
+        .join(club.select(col("n").as("lo")), Seq("lo"), "left_semi")
+        .join(club.select(col("n").as("hi")), Seq("hi"), "left_semi")
+        .agg(count(lit(1)).as("ek"))
+      nk.crossJoin(ek)
+        .select(lit(k).as("k"), col("nk").as("n_club"),
+          col("ek").as("e_club"),
+          expr("CASE WHEN nk >= 2 THEN (2 * ek * 1000000)" +
+            " div (nk * (nk - 1)) ELSE 0 END").as("phi_micro"))
+    }.reduce(_ unionAll _).orderBy("k")
+  }
+
   /** Power-law tail exponent of the co-purchase degree distribution —
     * the Hill / discrete-MLE estimator α̂ = 1 + n·10⁶ / Σ ln(d/(dmin−½))
     * (Clauset, Shalizi & Newman 2009, eq. 3.7) that tells a capacity
@@ -5635,6 +5667,7 @@ object Registry {
     "q_llm_mink" -> q(llmMinK),
     "q_mm_audio_energy" -> q(mmAudioEnergy),
     "q_llm_alloc_sample" -> q(llmAllocSample),
+    "q_graph_rich_club" -> q(graphRichClub),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -9990,5 +10023,28 @@ object Registry {
            CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
              AS BIGINT) AS quota
          FROM r ORDER BY source""",
+    // Rich-club replay: same degree thresholds, same club-restricted
+    // edge counts, same integer micro division.
+    "q_graph_rich_club" ->
+      """WITH e0 AS MATERIALIZED (
+           SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+                   SELECT lo AS n FROM e0 UNION ALL SELECT hi FROM e0)
+                 GROUP BY n),
+         ks(k) AS (VALUES (CAST(32 AS BIGINT)), (64), (128)),
+         r AS (SELECT ks.k,
+             (SELECT CAST(count(*) AS BIGINT) FROM deg WHERE d > ks.k)
+               AS n_club,
+             (SELECT CAST(count(*) AS BIGINT) FROM e0
+               WHERE lo IN (SELECT n FROM deg WHERE d > ks.k)
+                 AND hi IN (SELECT n FROM deg WHERE d > ks.k)) AS e_club
+           FROM ks)
+         SELECT k, n_club, e_club,
+           CAST(CASE WHEN n_club >= 2
+             THEN (2 * e_club * 1000000) // (n_club * (n_club - 1))
+             ELSE 0 END AS BIGINT) AS phi_micro
+         FROM r ORDER BY k""",
   )
 }
