@@ -5188,6 +5188,45 @@ object Registry {
             * 1e6) / 1e6).as("q6"))
   }
 
+  /** Pareto concentration point — the smallest user cohort carrying 80%
+    * of event volume (the "80/20" capacity/abuse-planning number; pairs
+    * with [[statsGini]]'s scalar inequality). FULLY integer: the 80%
+    * test clears to 5·cum ≥ 4·N. The descending global rank AND the
+    * running event total both avoid corpus-wide windows: rows range-
+    * shard by the count's high bits (c div 64), within-bucket
+    * row_number/running-sum compose with per-bucket prefix offsets over
+    * the bounded bucket relation — the Gini two-pass pattern with a
+    * second (sum) prefix layer. */
+  private def ePowerUsers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = t(spark, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .withColumn("bk", expr("c div 64"))
+    val wOff = Window.orderBy(col("bk").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bks = u.groupBy("bk")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+      .withColumn("offn", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .withColumn("offs", coalesce(sum(col("s")).over(wOff), lit(0L)))
+    val wIn = Window.partitionBy("bk")
+      .orderBy(col("c").desc, col("user_id"))
+    val ranked = u
+      .withColumn("ri", row_number().over(wIn))
+      .withColumn("cumin", sum(col("c")).over(
+        wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(bks.select("bk", "offn", "offs"), Seq("bk"))
+      .select((col("offn") + col("ri")).as("r"),
+        (col("offs") + col("cumin")).as("cum"))
+    val tot = u.agg(count(lit(1)).as("nu"), sum(col("c")).as("ne"))
+    ranked.crossJoin(broadcast(tot))
+      .filter(col("cum") * 5 >= col("ne") * 4)
+      .agg(min(col("r")).as("users_for_80pct"))
+      .crossJoin(broadcast(tot))
+      .select(col("nu").as("n_users"), col("ne").cast("long").as("n_events"),
+        col("users_for_80pct"),
+        expr("(users_for_80pct * 1000000) div nu").as("user_share_micro"))
+  }
+
   /** Lag-1 autocorrelation of the per-minute event-volume series — the
     * "is traffic self-similar minute to minute" diagnostic that
     * calibrates anomaly thresholds (a high r₁ means volume alarms need
@@ -5668,6 +5707,7 @@ object Registry {
     "q_mm_audio_energy" -> q(mmAudioEnergy),
     "q_llm_alloc_sample" -> q(llmAllocSample),
     "q_graph_rich_club" -> q(graphRichClub),
+    "q_e_power_users" -> q(ePowerUsers),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -10046,5 +10086,26 @@ object Registry {
              THEN (2 * e_club * 1000000) // (n_club * (n_club - 1))
              ELSE 0 END AS BIGINT) AS phi_micro
          FROM r ORDER BY k""",
+    // Pareto replay: the oracle takes the global-window luxury; the
+    // engine's two-layer bucketed prefix ranks compose to the identical
+    // (c desc, user_id) total order.
+    "q_e_power_users" ->
+      """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+                    FROM events GROUP BY 1),
+         rk AS (SELECT c,
+                  CAST(row_number() OVER (ORDER BY c DESC, user_id)
+                    AS BIGINT) AS r,
+                  CAST(sum(c) OVER (ORDER BY c DESC, user_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+                FROM u),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+                   CAST(sum(c) AS BIGINT) AS ne FROM u)
+         SELECT tot.nu AS n_users, tot.ne AS n_events,
+           (SELECT CAST(min(r) AS BIGINT) FROM rk, tot
+            WHERE cum * 5 >= ne * 4) AS users_for_80pct,
+           CAST(((SELECT min(r) FROM rk, tot WHERE cum * 5 >= ne * 4)
+             * 1000000) // tot.nu AS BIGINT) AS user_share_micro
+         FROM tot""",
   )
 }
