@@ -5188,6 +5188,40 @@ object Registry {
             * 1e6) / 1e6).as("q6"))
   }
 
+  /** Interval-union coverage — each event opens a 5-minute activity
+    * window; how much wall-clock does each user actually cover once
+    * overlaps merge? The classic sweep-line union (billable-time /
+    * uptime / exposure dedup) as pure windows: islands form where a
+    * start exceeds the running max of prior ends (the mask_spans
+    * edge-detect generalized to arbitrary intervals), island bounds are
+    * one groupBy. All integer nanoseconds; per-user windows only. */
+  private def wIntervalUnion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val span = 300000000000L // 5 min in ns
+    val iv = t(spark, dir, "events")
+      .filter(col("user_id") < 40)
+      .select(col("user_id"), col("ts").as("s"),
+        (col("ts") + span).as("e"))
+    val wPrev = Window.partitionBy("user_id").orderBy("s", "e")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isl = iv
+      .withColumn("pmax", max(col("e")).over(wPrev))
+      .withColumn("new_isl",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum(col("new_isl")).over(
+        Window.partitionBy("user_id").orderBy("s", "e")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    isl.groupBy("user_id", "isl")
+      .agg(min(col("s")).as("s0"), max(col("e")).as("e1"),
+        count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(sum(col("n")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("e1") - col("s0")).as("covered_ns"))
+      .orderBy("user_id")
+  }
+
   /** Pareto concentration point — the smallest user cohort carrying 80%
     * of event volume (the "80/20" capacity/abuse-planning number; pairs
     * with [[statsGini]]'s scalar inequality). FULLY integer: the 80%
@@ -5708,6 +5742,7 @@ object Registry {
     "q_llm_alloc_sample" -> q(llmAllocSample),
     "q_graph_rich_club" -> q(graphRichClub),
     "q_e_power_users" -> q(ePowerUsers),
+    "q_w_interval_union" -> q(wIntervalUnion),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -10107,5 +10142,30 @@ object Registry {
            CAST(((SELECT min(r) FROM rk, tot WHERE cum * 5 >= ne * 4)
              * 1000000) // tot.nu AS BIGINT) AS user_share_micro
          FROM tot""",
+    // Interval-union replay: same running-max island edge-detect, same
+    // integer nanosecond bounds.
+    "q_w_interval_union" ->
+      """WITH iv AS (SELECT user_id, epoch_ns(ts) AS s,
+             epoch_ns(ts) + 300000000000 AS e
+           FROM events WHERE user_id < 40),
+         m AS (SELECT user_id, s, e,
+                 max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS pmax
+               FROM iv),
+         isl AS (SELECT user_id, s, e,
+                  CAST(sum(CASE WHEN pmax IS NULL OR s > pmax
+                    THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+                    ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS isl
+                 FROM m),
+         g AS (SELECT user_id, isl, CAST(min(s) AS BIGINT) AS s0,
+                 CAST(max(e) AS BIGINT) AS e1,
+                 CAST(count(*) AS BIGINT) AS n
+               FROM isl GROUP BY 1, 2)
+         SELECT user_id, CAST(sum(n) AS BIGINT) AS n_intervals,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(e1 - s0) AS BIGINT) AS covered_ns
+         FROM g GROUP BY user_id ORDER BY user_id""",
   )
 }
