@@ -514,6 +514,32 @@ object ScaleSmoke {
       SparkEntry.queries("q_stats_gini")(spark, sfDir).collect().head)
     println(s"[scale] gini over ${gini.getLong(0)} customers: ${gini.getDouble(2)}")
 
+    // Round-11: Min-K% membership scoring at 20× — the LM fit is two
+    // bucket aggregates, per-doc scoring one broadcast join + a
+    // row-local sorted-prefix fold; 20× docs ⇒ ~20× one scan, no cliff.
+    val minkModel = graft.llm.NgramLm.fit(big, "text")
+    val minkRows = timed("min-k% scoring (100k docs, corpus-fit LM)")(
+      graft.llm.NgramLm.minKScore(big, "doc_id", "text", minkModel).count())
+    println(s"[scale] min-k scored docs: $minkRows")
+    minkModel.release()
+
+    // Round-11: containment candidate generation at 20× — the df∈[2,8]
+    // hot-gram cap is what bounds the pair set when every replica family
+    // shares most of its 5-grams (df ≈ factor ⇒ the planted families
+    // stay in-cap; corpus-wide boilerplate grams blow past it and drop).
+    val contGrams = big
+      .select(col("doc_id"), graft.llm.Dedup.shingles(col("text"), 5).as("grams"))
+    val contPairs = timed("containment candidates (100k docs, df-capped)")(
+      contGrams.select(col("doc_id"), explode(col("grams")).as("gr"))
+        .groupBy("gr").agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")).between(2, 8))
+        .select(explode(expr(
+          "flatten(transform(ds, (x, i) -> " +
+            "transform(slice(ds, i + 2, size(ds)), y -> struct(x, y))))"))
+          .as("e"))
+        .select(col("e.x"), col("e.y")).distinct().count())
+    println(s"[scale] containment candidate pairs: $contPairs")
+
     // Round-11: PCA top component over the 100k-vector corpus — the only
     // corpus-sized work is the single dim² moment aggregate (row-local
     // 64×64 explosion → ≤4096 groups); the 8 power rounds are driver-side
