@@ -2522,6 +2522,39 @@ object Registry {
             .cast("long")).as("alpha_micro"))
   }
 
+  /** Block-jackknife standard error of the mean — the cheap distributed
+    * uncertainty estimate (delete-one-block jackknife over 32 md5
+    * buckets; the one-pass cousin of the Poisson bootstrap Chamandy's
+    * "Estimating Uncertainty for Massive Data Streams" popularized at
+    * scale): every leave-one-block-out mean is the exact integer
+    * ((S−S_i)·10⁶) div (N−n_i), and SE clears denominators to
+    * √(31·(32·Σm_i² − (Σm_i)²)) / 32 — exact DECIMAL(38,0) under ONE
+    * sqrt. One md5-bucketed aggregate pass; the 32-row combine is
+    * broadcast-sized. */
+  private def statsJackknife(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val b = 32
+    val rows = t(spark, dir, "lineitem").select(
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("x"),
+      pmod(conv(substring(md5(concat(col("l_orderkey").cast("string"),
+        lit(":"), col("l_linenumber").cast("string"))), 1, 8), 16, 10)
+        .cast("long"), lit(b.toLong)).as("bk"))
+    val per = rows.groupBy("bk")
+      .agg(count(lit(1)).as("ni"), sum(col("x")).as("si"))
+    val tot = per.agg(sum(col("ni")).as("n"), sum(col("si")).as("s"))
+    val loo = per.crossJoin(broadcast(tot))
+      .select(expr("(CAST(s - si AS DECIMAL(38,0)) * 1000000)" +
+        " div (n - ni)").as("m"), col("n"), col("s"))
+    loo.groupBy("n", "s")
+      .agg(count(lit(1)).as("nb"), sum(col("m").cast(dec)).as("sm"),
+        sum(col("m").cast(dec) * col("m")).as("sm2"))
+      .select(col("n").cast("long").as("n_rows"), col("nb").as("n_blocks"),
+        expr("(CAST(s AS DECIMAL(38,0)) * 1000000) div n").as("mean_micro"),
+        floor(sqrt((lit(b - 1).cast(dec)
+            * (lit(b).cast(dec) * col("sm2") - col("sm") * col("sm")))
+          .cast("double")) / b).cast("long").as("se_jk_micro"))
+  }
+
   /** Kendall's τ-b between discount and tax — completes the correlation
     * trio (Pearson [[statsCorr]] / Spearman [[statsSpearman]] / Kendall):
     * the concordance statistic that is exactly computable from the JOINT
@@ -5743,6 +5776,7 @@ object Registry {
     "q_graph_rich_club" -> q(graphRichClub),
     "q_e_power_users" -> q(ePowerUsers),
     "q_w_interval_union" -> q(wIntervalUnion),
+    "q_stats_jackknife" -> q(statsJackknife),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -10167,5 +10201,32 @@ object Registry {
            CAST(count(*) AS BIGINT) AS n_islands,
            CAST(sum(e1 - s0) AS BIGINT) AS covered_ns
          FROM g GROUP BY user_id ORDER BY user_id""",
+    // Jackknife replay: same md5 buckets, same integer leave-one-out
+    // means, same cleared-denominator variance under one sqrt.
+    "q_stats_jackknife" ->
+      """WITH r AS (SELECT
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x,
+             CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+               || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT) % 32
+               AS bk
+           FROM lineitem),
+         per AS (SELECT bk, CAST(count(*) AS BIGINT) AS ni,
+                   CAST(sum(x) AS BIGINT) AS si
+                 FROM r GROUP BY 1),
+         tot AS (SELECT CAST(sum(ni) AS BIGINT) AS n,
+                   CAST(sum(si) AS BIGINT) AS s FROM per),
+         loo AS (SELECT (CAST(s - si AS HUGEINT) * 1000000) // (n - ni)
+                   AS m, n, s
+                 FROM per, tot),
+         agg AS (SELECT n, s, CAST(count(*) AS BIGINT) AS nb,
+                   CAST(sum(CAST(m AS HUGEINT)) AS HUGEINT) AS sm,
+                   CAST(sum(CAST(m AS HUGEINT) * m) AS HUGEINT) AS sm2
+                 FROM loo GROUP BY n, s)
+         SELECT CAST(n AS BIGINT) AS n_rows, nb AS n_blocks,
+           CAST((CAST(s AS HUGEINT) * 1000000) // n AS BIGINT)
+             AS mean_micro,
+           CAST(FLOOR(sqrt(CAST(31 * (32 * sm2 - sm * sm) AS DOUBLE))
+             / 32) AS BIGINT) AS se_jk_micro
+         FROM agg""",
   )
 }
