@@ -5221,6 +5221,37 @@ object Registry {
             * 1e6) / 1e6).as("q6"))
   }
 
+  /** Burstiness index of inter-event gaps (Goh & Barabási 2008,
+    * B = (σ−μ)/(σ+μ) per user: −1 metronome, 0 Poisson, →1 bursty) —
+    * the temporal-pattern diagnostic that separates bots (periodic)
+    * from humans (bursty) and calibrates session-gap thresholds.
+    * Exactness: gaps are integer nanoseconds from the same ordered lag
+    * as the transition family; B reduces to
+    * (√(n·Σg²−(Σg)²) − Σg) / (√(n·Σg²−(Σg)²) + Σg) — moments exact in
+    * DECIMAL(38,0), ONE sqrt per user, 4 dp floor. */
+  private def eBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gaps = t(spark, dir, "events")
+      .filter(col("user_id") < 40)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"), (col("ts") - col("prev")).as("g"))
+    val s2n = col("n").cast(dec) * col("sg2") - col("sg") * col("sg")
+    gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("g").cast(dec)).as("sg"),
+        sum(col("g").cast(dec) * col("g")).as("sg2"))
+      .filter(col("n") >= 2)
+      .select(col("user_id"), col("n").as("n_gaps"),
+        expr("sg div n").as("mean_gap_ns"),
+        (floor((sqrt(s2n.cast("double")) - col("sg").cast("double"))
+          / (sqrt(s2n.cast("double")) + col("sg").cast("double"))
+          * 1e4) / 1e4).as("b4"))
+      .orderBy("user_id")
+  }
+
   /** Interval-union coverage — each event opens a 5-minute activity
     * window; how much wall-clock does each user actually cover once
     * overlaps merge? The classic sweep-line union (billable-time /
@@ -5777,6 +5808,7 @@ object Registry {
     "q_e_power_users" -> q(ePowerUsers),
     "q_w_interval_union" -> q(wIntervalUnion),
     "q_stats_jackknife" -> q(statsJackknife),
+    "q_e_burstiness" -> q(eBurstiness),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -10228,5 +10260,26 @@ object Registry {
            CAST(FLOOR(sqrt(CAST(31 * (32 * sm2 - sm * sm) AS DOUBLE))
              / 32) AS BIGINT) AS se_jk_micro
          FROM agg""",
+    // Burstiness replay: same ordered-lag gaps, same cleared moments,
+    // one sqrt per user.
+    "q_e_burstiness" ->
+      """WITH s AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id
+           FROM events WHERE user_id < 40),
+         g AS (SELECT user_id,
+                 tsn - lag(tsn) OVER (PARTITION BY user_id
+                   ORDER BY tsn, event_id) AS g
+               FROM s),
+         m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(g AS HUGEINT)) AS HUGEINT) AS sg,
+                 CAST(sum(CAST(g AS HUGEINT) * g) AS HUGEINT) AS sg2
+               FROM g WHERE g IS NOT NULL GROUP BY 1)
+         SELECT user_id, n AS n_gaps,
+           CAST(sg // n AS BIGINT) AS mean_gap_ns,
+           FLOOR((sqrt(CAST(CAST(n AS HUGEINT) * sg2 - sg * sg AS DOUBLE))
+               - CAST(sg AS DOUBLE))
+             / (sqrt(CAST(CAST(n AS HUGEINT) * sg2 - sg * sg AS DOUBLE))
+               + CAST(sg AS DOUBLE))
+             * 1e4) / 1e4 AS b4
+         FROM m WHERE n >= 2 ORDER BY user_id""",
   )
 }
