@@ -5221,6 +5221,50 @@ object Registry {
             * 1e6) / 1e6).as("q6"))
   }
 
+  /** Wald–Wolfowitz runs test on daily volume — "is traffic randomly
+    * scattered around its median, or does it trend/cluster?" (the
+    * randomness check an anomaly baseline assumes; a trending series
+    * has FEW long runs, an oscillating one too many). Exactness: the
+    * lower median picks by integer rank over the bounded day relation,
+    * ties to the median drop (the standard rule), runs count via one
+    * lag edge-detect, and z clears to (n·(R−1) − 2n₁n₂) over
+    * √(2n₁n₂(2n₁n₂−n)/(n−1)) — exact integers under ONE sqrt, 4 dp
+    * floor. All windows run over the bounded daily series. */
+  private def statsRunsTest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    val days = t(spark, dir, "events")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val med = days
+      .withColumn("rk", row_number().over(Window.orderBy(col("x"), col("day"))))
+      .crossJoin(broadcast(days.agg(count(lit(1)).as("nd"))))
+      .filter(col("rk") === expr("(nd + 1) div 2"))
+      .select(col("x").as("med"))
+    val signed = days.crossJoin(broadcast(med))
+      .filter(col("x") =!= col("med"))
+      .withColumn("above", when(col("x") > col("med"), 1L).otherwise(0L))
+      .withColumn("chg", when(coalesce(lag(col("above"), 1)
+        .over(Window.orderBy("day")), col("above")) =!= col("above"), 1L)
+        .otherwise(0L))
+    val agg = signed.agg(count(lit(1)).as("n"),
+      sum(col("above")).as("n1"), sum(lit(1L) - col("above")).as("n2"),
+      (sum(col("chg")) + 1).as("runs"), first(col("med")).as("med"))
+    // Parenthesized across lines: a leading `-` on a continuation line
+    // would otherwise parse as a discarded unary statement.
+    val a = (col("n").cast(dec) * (col("runs") - 1)
+      - lit(2).cast(dec) * col("n1") * col("n2"))
+    val bb = (lit(2).cast(dec) * col("n1") * col("n2")
+      * (lit(2).cast(dec) * col("n1") * col("n2") - col("n")))
+    agg.select(col("n").cast("long").as("n_days"),
+        col("med").as("median_volume"),
+        col("n1").as("n_above"), col("n2").as("n_below"),
+        col("runs").as("n_runs"),
+        (floor(a.cast("double")
+          / sqrt(bb.cast("double") / (col("n").cast("double") - 1))
+          * 1e4) / 1e4).as("z4"))
+  }
+
   /** Burstiness index of inter-event gaps (Goh & Barabási 2008,
     * B = (σ−μ)/(σ+μ) per user: −1 metronome, 0 Poisson, →1 bursty) —
     * the temporal-pattern diagnostic that separates bots (periodic)
@@ -5809,6 +5853,7 @@ object Registry {
     "q_w_interval_union" -> q(wIntervalUnion),
     "q_stats_jackknife" -> q(statsJackknife),
     "q_e_burstiness" -> q(eBurstiness),
+    "q_stats_runs_test" -> q(statsRunsTest),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -10281,5 +10326,37 @@ object Registry {
                + CAST(sg AS DOUBLE))
              * 1e4) / 1e4 AS b4
          FROM m WHERE n >= 2 ORDER BY user_id""",
+    // Runs-test replay: same lower median, same tie-drop, same
+    // edge-detect run count, same cleared z under one sqrt.
+    "q_stats_runs_test" ->
+      """WITH days AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         med AS (SELECT x AS med FROM (
+             SELECT x, row_number() OVER (ORDER BY x, day) AS rk FROM days)
+           WHERE rk = (SELECT (count(*) + 1) // 2 FROM days)),
+         sg AS (SELECT day, x,
+                  CASE WHEN x > med THEN 1 ELSE 0 END AS above
+                FROM days, med WHERE x <> med),
+         ch AS (SELECT above,
+                  CASE WHEN COALESCE(lag(above) OVER (ORDER BY day),
+                    above) <> above THEN 1 ELSE 0 END AS chg,
+                  med
+                FROM sg, med),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(above) AS BIGINT) AS n1,
+                   CAST(sum(1 - above) AS BIGINT) AS n2,
+                   CAST(sum(chg) + 1 AS BIGINT) AS runs,
+                   CAST(min(med) AS BIGINT) AS med
+                 FROM ch)
+         SELECT n AS n_days, med AS median_volume, n1 AS n_above,
+           n2 AS n_below, runs AS n_runs,
+           FLOOR(CAST(CAST(n AS HUGEINT) * (runs - 1)
+               - 2 * CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
+             / sqrt(CAST(2 * CAST(n1 AS HUGEINT) * n2
+                 * (2 * CAST(n1 AS HUGEINT) * n2 - n) AS DOUBLE)
+               / (CAST(n AS DOUBLE) - 1))
+             * 1e4) / 1e4 AS z4
+         FROM agg""",
   )
 }
