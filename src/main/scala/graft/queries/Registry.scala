@@ -5221,6 +5221,39 @@ object Registry {
             * 1e6) / 1e6).as("q6"))
   }
 
+  /** Language-ID confusion matrix — the classifier-quality eval the
+    * labeled corpus makes possible (actual `lang` column × detected
+    * [[TextAnalysis.langId]]): which languages the stopword heuristic
+    * confuses, and where its 'und'/zh blind spot lands. The eval-loop
+    * sibling of [[llmAnnRecall]] — measure the operator, don't trust
+    * it. Pure counts; one groupBy. */
+  private def llmLangidEval(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("lang").as("actual_lang"),
+        TextAnalysis.langId(col("text")).as("detected_lang"))
+      .groupBy("actual_lang", "detected_lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("is_match", col("actual_lang") === col("detected_lang"))
+      .orderBy("actual_lang", "detected_lang")
+
+  /** Sliding-window distinct users (10-minute windows hopping every 5)
+    * — the overlap-window metric a dashboard wants where tumbling bins
+    * jitter; sliding DISTINCT is the one aggregate that cannot pre-agg,
+    * so the scale shape is assign-then-dedup: each event fans out to
+    * exactly its TWO covering windows, distinct (window, user) pairs,
+    * one count per window — fan-out 2×, no window function over the
+    * corpus at all. */
+  private def wSlidingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val hop = 300000000000L // 5 min
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), expr(s"ts div $hop").as("h"))
+    ev.select(col("user_id"), explode(array(col("h") - 1, col("h")))
+        .as("win"))
+      .distinct()
+      .groupBy("win").agg(count(lit(1)).as("n_distinct_users"))
+      .orderBy("win")
+  }
+
   /** Wald–Wolfowitz runs test on daily volume — "is traffic randomly
     * scattered around its median, or does it trend/cluster?" (the
     * randomness check an anomaly baseline assumes; a trending series
@@ -5854,6 +5887,8 @@ object Registry {
     "q_stats_jackknife" -> q(statsJackknife),
     "q_e_burstiness" -> q(eBurstiness),
     "q_stats_runs_test" -> q(statsRunsTest),
+    "q_llm_langid_eval" -> q(llmLangidEval),
+    "q_w_sliding_distinct" -> q(wSlidingDistinct),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -10358,5 +10393,37 @@ object Registry {
                / (CAST(n AS DOUBLE) - 1))
              * 1e4) / 1e4 AS z4
          FROM agg""",
+    // Langid-eval replay: the q_llm_langid detector with the actual
+    // label carried through.
+    "q_llm_langid_eval" ->
+      """WITH hits AS (SELECT lang AS actual_lang,
+           len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS en,
+           len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t IN ('der','die','das','und','ist','von','zu','mit','auf','ein'))) AS de,
+           len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t IN ('le','la','les','de','et','est','un','une','que','pour'))) AS fr,
+           len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t IN ('el','la','los','de','y','es','un','una','que','por'))) AS es
+           FROM documents),
+         det AS (SELECT actual_lang, CASE
+             WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+             WHEN en = greatest(en, de, fr, es) THEN 'en'
+             WHEN de = greatest(en, de, fr, es) THEN 'de'
+             WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+             ELSE 'es' END AS detected_lang FROM hits)
+         SELECT actual_lang, detected_lang, CAST(count(*) AS BIGINT) AS n,
+           actual_lang = detected_lang AS is_match
+         FROM det GROUP BY 1, 2 ORDER BY actual_lang, detected_lang""",
+    // Sliding-distinct replay: same two-window fan-out and dedup.
+    "q_w_sliding_distinct" ->
+      """WITH ev AS (SELECT user_id,
+             epoch_ns(ts) // 300000000000 AS h
+           FROM events),
+         w AS (SELECT DISTINCT user_id, win FROM (
+             SELECT user_id, h - 1 AS win FROM ev
+             UNION ALL SELECT user_id, h FROM ev))
+         SELECT win, CAST(count(*) AS BIGINT) AS n_distinct_users
+         FROM w GROUP BY win ORDER BY win""",
   )
 }
