@@ -2597,6 +2597,32 @@ object Registry {
           * 2e6) / 1e6).as("tau6"))
   }
 
+  /** Theil T inequality index of customer revenue — the ENTROPY-based
+    * complement to [[statsGini]] (Theil is additively decomposable
+    * across subgroups, which is why inequality audits carry both):
+    * T = (1/n)·Σ (xᵢ/μ)·ln(xᵢ/μ). Exactness: with S = Σx the per-row
+    * term is xᵢ·floor(ln(xᵢ·n / S)·10⁶) — ONE double ln per row floored
+    * to micro-units BEFORE the weighted sum (the floor-then-sum
+    * discipline; ln args are the same two exact-integer-cast doubles on
+    * both engines), so the corpus sum is exact DECIMAL and T takes one
+    * final integer division against n·S. One aggregate for (n, S), one
+    * broadcast, one scan. */
+  private def statsTheil(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val rev = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("v"))
+    val tot = rev.agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    rev.crossJoin(broadcast(tot))
+      .select(col("n"), col("s"),
+        (col("v").cast(dec) * floor(log(
+          (col("v").cast(dec) * col("n")).cast("double")
+            / col("s").cast("double")) * 1e6).cast(dec)).as("t"))
+      .groupBy("n", "s").agg(sum(col("t")).as("st"))
+      .select(col("n").cast("long").as("n_customers"),
+        expr("st div (CAST(n AS DECIMAL(38,0)) * s)").as("theil_micro"))
+  }
+
   /** Spearman rank correlation between discount and tax — the monotone-
     * association companion to Pearson [[statsCorr]] (what a drift audit
     * uses when the relationship is nonlinear but ordered). Exactness:
@@ -5889,6 +5915,7 @@ object Registry {
     "q_stats_runs_test" -> q(statsRunsTest),
     "q_llm_langid_eval" -> q(llmLangidEval),
     "q_w_sliding_distinct" -> q(wSlidingDistinct),
+    "q_stats_theil" -> q(statsTheil),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -10425,5 +10452,23 @@ object Registry {
              UNION ALL SELECT user_id, h FROM ev))
          SELECT win, CAST(count(*) AS BIGINT) AS n_distinct_users
          FROM w GROUP BY win ORDER BY win""",
+    // Theil replay: same per-row floored ln micro-units (identical
+    // exact-integer-cast double args), same single division.
+    "q_stats_theil" ->
+      """WITH rev AS (SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS v
+           FROM orders GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(v) AS BIGINT) AS s FROM rev),
+         terms AS (SELECT n, s,
+             CAST(v AS HUGEINT)
+               * CAST(FLOOR(ln(CAST(CAST(v AS HUGEINT) * n AS DOUBLE)
+                 / CAST(s AS DOUBLE)) * 1e6) AS HUGEINT) AS t
+           FROM rev, tot)
+         SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(CAST(sum(t) AS HUGEINT)
+             // (CAST(n AS HUGEINT) * s) AS BIGINT) AS theil_micro
+         FROM terms GROUP BY n, s""",
   )
 }
