@@ -4230,6 +4230,37 @@ object Registry {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** Scene-cut detection over the 5-frame synthetic videos — the shot-
+    * boundary pass a video-curation pipeline runs before frame sampling
+    * (sample per SHOT, not per second): decode EVERY frame for real
+    * (everyNth = 1 through the same [[graft.llm.Multimodal.sampleFrames]]
+    * kernel), lag the per-frame pixel sums inside each video (5-row
+    * windows), flag |Δ| above a threshold. The synthetic pixel ramp
+    * (+1 per frame with mod-256 wraps) makes expected deltas exactly
+    * computable — the oracle rebuilds every frame sum arithmetically.
+    * Integer throughout. */
+  private def mmSceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val videos = t(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        (col("doc_id") % 16 + 1).cast("int").as("w"),
+        (col("doc_id") % 12 + 1).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .map { case (id, w, h) =>
+        (id, (0 until 5).map(f => Multimodal.encodePng(w, h, id * 31 + f))) }
+      .toDF("media_id", "frames")
+    val w = Window.partitionBy("media_id").orderBy("frame_idx")
+    Multimodal.sampleFrames(videos, "media_id", "frames", everyNth = 1)
+      .withColumn("prev", lag(col("pixel_sum"), 1).over(w))
+      .withColumn("delta", abs(col("pixel_sum") - col("prev")))
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("delta") > 200, 1L).otherwise(0L)).as("n_cuts"),
+        max(col("delta")).as("max_delta"))
+      .orderBy("media_id")
+  }
+
   /** Composition: hashed token features → integer nearest-centroid
     * domain classifier — a complete vocabulary-free text classifier from
     * two round-8 operators, trained and scored without a single float
@@ -5916,6 +5947,7 @@ object Registry {
     "q_llm_langid_eval" -> q(llmLangidEval),
     "q_w_sliding_distinct" -> q(wSlidingDistinct),
     "q_stats_theil" -> q(statsTheil),
+    "q_mm_scene_cuts" -> q(mmSceneCuts),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -10470,5 +10502,24 @@ object Registry {
            CAST(CAST(sum(t) AS HUGEINT)
              // (CAST(n AS HUGEINT) * s) AS BIGINT) AS theil_micro
          FROM terms GROUP BY n, s""",
+    // Scene-cut replay: every frame's pixel sum rebuilt arithmetically
+    // (the q_mm_frames formula over ALL five frames), same lag deltas.
+    "q_mm_scene_cuts" ->
+      """WITH fs AS (SELECT d.doc_id AS media_id, f.f AS fr,
+             CAST(SUM((s.i + d.doc_id * 31 + f.f) % 256) AS BIGINT) AS ps
+           FROM documents d
+           JOIN (VALUES (0), (1), (2), (3), (4)) f(f) ON true
+           JOIN range(0, 192) AS s(i)
+             ON s.i < (1 + d.doc_id % 16) * (1 + d.doc_id % 12)
+           GROUP BY 1, 2),
+         dl AS (SELECT media_id, fr, ps,
+                  abs(ps - lag(ps) OVER (PARTITION BY media_id
+                    ORDER BY fr)) AS delta
+                FROM fs)
+         SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(CASE WHEN delta > 200 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cuts,
+           CAST(max(delta) AS BIGINT) AS max_delta
+         FROM dl GROUP BY media_id ORDER BY media_id""",
   )
 }
