@@ -3293,6 +3293,34 @@ object Registry {
       "embedding", "vec_id", queryVector(spark, dir), k = 10)
   }
 
+  /** Cluster purity of the deterministic k-means against the language
+    * labels (doc_id ≙ vec_id, the hybrid-search identification):
+    * purity = Σ_c max_lang |c ∩ lang| / n — "do the embedding clusters
+    * recover a known partition", the third eval-loop query beside ANN
+    * recall and the langid confusion matrix. FULLY integer: per-cell
+    * counts, one struct-max per cluster, one micro division. */
+  private def llmClusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val (assign, _) = graft.llm.DetKMeans.fit(
+      t(spark, dir, "embeddings"), "vec_id", "embedding",
+      k = 8, iters = 2, dim = 64)
+    val labeled = assign.select(col("id"), col("cid"))
+      .join(t(spark, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"), col("lang")), Seq("id"))
+    val cells = labeled.groupBy("cid", "lang").agg(count(lit(1)).as("c"))
+    val perCluster = cells.groupBy("cid")
+      .agg(sum(col("c")).as("n_c"),
+        max(struct(col("c"), col("lang"))).as("m"))
+      .select(col("cid"), col("n_c"), col("m.c").as("n_majority"),
+        col("m.lang").as("majority_lang"))
+    val tot = perCluster.agg(sum(col("n_c")).as("n"),
+      sum(col("n_majority")).as("nm"))
+    perCluster.crossJoin(broadcast(tot))
+      .select(col("cid"), col("n_c"), col("majority_lang"),
+        col("n_majority"),
+        expr("(nm * 1000000) div n").as("purity_micro"))
+      .orderBy("cid")
+  }
+
   /** ANN recall@10 evaluation — the index-quality loop a vector-search
     * deployment runs before trusting an ANN index: for every mod-97
     * query vector, compare the IVF probe-2 top-10 against the exact
@@ -5948,6 +5976,7 @@ object Registry {
     "q_w_sliding_distinct" -> q(wSlidingDistinct),
     "q_stats_theil" -> q(statsTheil),
     "q_mm_scene_cuts" -> q(mmSceneCuts),
+    "q_llm_cluster_purity" -> q(llmClusterPurity),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -10521,5 +10550,29 @@ object Registry {
              AS n_cuts,
            CAST(max(delta) AS BIGINT) AS max_delta
          FROM dl GROUP BY media_id ORDER BY media_id""",
+    // Purity replay: the generated k-means chain's final assignment (a2
+    // for iters=2), label join, window-max majority (c desc, lang desc
+    // — the struct-max tie order), one micro division.
+    "q_llm_cluster_purity" ->
+      (graft.llm.DetKMeans.oracleCtes("embeddings", "vec_id", "embedding",
+        k = 8, iters = 2, dim = 64) +
+      """,
+         lab AS (SELECT a.id, a.cid, d.lang FROM a2 a
+                 JOIN documents d ON CAST(d.doc_id AS BIGINT) = a.id),
+         cells AS (SELECT cid, lang, CAST(count(*) AS BIGINT) AS c
+                   FROM lab GROUP BY 1, 2),
+         pc AS (SELECT cid, c AS n_majority, lang AS majority_lang,
+                  row_number() OVER (PARTITION BY cid
+                    ORDER BY c DESC, lang DESC) AS rk
+                FROM cells),
+         nc AS (SELECT cid, CAST(sum(c) AS BIGINT) AS n_c FROM cells
+                GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_c) AS BIGINT) AS n FROM nc),
+         tm AS (SELECT CAST(sum(n_majority) AS BIGINT) AS nm FROM pc
+                WHERE rk = 1)
+         SELECT pc.cid, nc.n_c, pc.majority_lang, pc.n_majority,
+           CAST((tm.nm * 1000000) // tot.n AS BIGINT) AS purity_micro
+         FROM pc JOIN nc USING (cid), tot, tm
+         WHERE pc.rk = 1 ORDER BY pc.cid"""),
   )
 }
