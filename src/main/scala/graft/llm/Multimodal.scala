@@ -205,8 +205,8 @@ object Multimodal {
     * samples once, accumulate per-frame energy Σ|s − 128|, and report
     * (n_frames incl. the partial tail, total_energy, max_energy,
     * argmax_frame — FIRST frame on ties, the deterministic tie-break the
-    * oracle mirrors as min-frame-with-max). None on undecodable
-    * payloads, quarantine-style. */
+    * oracle mirrors as min-frame-with-max). None on undecodable OR
+    * zero-sample payloads, quarantine-style — never -1 sentinels. */
   def audioEnergyFrames(payload: Array[Byte],
                         frameLen: Int): Option[(Long, Long, Long, Long)] = {
     require(frameLen >= 1)
@@ -235,7 +235,8 @@ object Multimodal {
           n = in.read(buf)
         }
         if (inFrame > 0) closeFrame()
-        Some((nFrames, total, maxE, argmax))
+        if (nFrames == 0) None // zero-sample stream: quarantine, no sentinels
+        else Some((nFrames, total, maxE, argmax))
       } finally in.close()
     } catch {
       case _: javax.sound.sampled.UnsupportedAudioFileException => None

@@ -51,10 +51,6 @@ object NgramLm {
     Model(bigrams, unigrams, unigrams.count())
   }
 
-  /** Average add-one-smoothed bigram log-probability per document:
-    * avg over bigrams (w1 w2) of ln((c2 + 1) / (c1(w1) + V)).
-    * Higher = more model-like text. Returns (idCol, n_bigrams, avg_logp)
-    * with avg_logp rounded to 6 decimals. */
   /** Per-bigram smoothed log-prob relation (_id, gram, _logp): the shared
     * scoring core of [[scoreAvgLogProb]] and [[minKScore]]. Each term is
     * rounded to 8 dp THEN decimal-typed, so downstream sums are exact and
@@ -72,6 +68,10 @@ object NgramLm {
           (coalesce(col("c1"), lit(0L)) + model.vocabSize.toDouble))
           * 1e8 + 0.5) / 1e8).cast(DecimalType(28, 8)))
 
+  /** Average add-one-smoothed bigram log-probability per document:
+    * avg over bigrams (w1 w2) of ln((c2 + 1) / (c1(w1) + V)).
+    * Higher = more model-like text. Returns (idCol, n_bigrams, avg_logp)
+    * with avg_logp rounded to 6 decimals. */
   def scoreAvgLogProb(docs: DataFrame, idCol: String, textCol: String,
                       model: Model): DataFrame = {
     val scored = gramLogProbs(docs, idCol, textCol, model)

@@ -29,8 +29,9 @@ object Closeness {
     * rounds from the seed set {n : n % seedsMod == 0}. Edges must be
     * canonical (lo < hi, distinct) — [[Triangles.canonical]] output. */
   def harmonicSummary(canonEdges: DataFrame, seedsMod: Long,
-                      rounds: Int): DataFrame = {
+                      rounds: Int, maxSeeds: Int = 65536): DataFrame = {
     require(rounds >= 1, "closeness needs at least one expansion round")
+    require(maxSeeds >= 1, "closeness needs a positive seed-count bound")
     val spark = canonEdges.sparkSession
     import spark.implicits._
     val edges = canonEdges.select(col("lo"), col("hi")).localCheckpoint(true)
@@ -38,11 +39,20 @@ object Closeness {
       .unionAll(edges.select(col("hi").as("src"), col("lo").as("dst")))
       .repartition(col("src"))
       .localCheckpoint(true)
+    // The per-seed accumulator lives on the driver (two longs per seed),
+    // so the seed count must be bounded: collect at most maxSeeds+1 ids
+    // (one extra as the overflow witness) and fail loud rather than let a
+    // small modulus on a billion-node graph build a driver map of
+    // millions of entries.
     val seedIds = edges.select(col("lo").as("n"))
       .unionAll(edges.select(col("hi").as("n")))
       .distinct()
       .filter(pmod(col("n"), lit(seedsMod)) === 0)
-      .orderBy("n").collect().map(_.getLong(0))
+      .orderBy("n").limit(maxSeeds + 1).collect().map(_.getLong(0))
+    require(seedIds.length <= maxSeeds,
+      s"closeness seed set exceeds maxSeeds=$maxSeeds for seedsMod=" +
+        s"$seedsMod — raise seedsMod (fewer seeds) or pass a larger " +
+        "explicit bound; the per-seed accumulator is driver-resident")
     val acc = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, Long)]
     seedIds.foreach(s => acc(s) = (0L, 0L))
     // 63 seeds per mask word (bit 63 stays clear: masks remain positive

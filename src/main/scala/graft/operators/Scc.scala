@@ -37,11 +37,18 @@ object Scc {
         col(dstCol).cast("string").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint(true)
-    val pivot = e.select(col("src").as("n"))
+    // An edge relation that is empty after self-loop/duplicate filtering
+    // has no pivot to probe from: return the empty summary, don't throw.
+    val pivotRow = e.select(col("src").as("n"))
       .unionAll(e.select(col("dst").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("n")).limit(1)
-      .head().getString(0)
+      .collect().headOption
+    if (pivotRow.isEmpty)
+      return spark.range(0).select(
+        lit("").as("relation"), lit("").as("pivot"),
+        lit(0L).as("n_nodes"), lit(0L).as("checksum"))
+    val pivot = pivotRow.get.getString(0)
     def closure(adj: DataFrame): DataFrame = {
       var frontier = Seq(pivot).toDF("n").localCheckpoint(true)
       var visited = frontier

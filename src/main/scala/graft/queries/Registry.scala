@@ -838,7 +838,10 @@ object Registry {
     * Jaccard misses (a paragraph lifted into a long document scores low
     * Jaccard but containment ≈ 1; Broder 1997 distinguishes resemblance
     * from containment for exactly this). Planted mod-17 half-excerpts
-    * make the target pairs known. Scale shape: candidates come from
+    * make the target pairs known; excerpt ids live in the NEGATIVE
+    * namespace (-doc_id - 1), disjoint from any real doc_id at ANY
+    * corpus scale — an additive offset would collide past the offset's
+    * magnitude. Scale shape: candidates come from
     * shared 5-grams under a df ∈ [2, 8] hot-gram cap (the bucketed
     * contract — boilerplate grams never explode the pair set); the
     * verify step is one array-intersect join; the score
@@ -849,7 +852,7 @@ object Registry {
     val excerpts = base.filter(pmod(col("doc_id"), lit(17)) === 0)
       .withColumn("tk", TextAnalysis.tokens(col("text")))
       .filter(size(col("tk")) >= 10)
-      .select((col("doc_id") + 1000000).as("doc_id"),
+      .select((-col("doc_id") - 1).as("doc_id"),
         concat_ws(" ", expr("slice(tk, 1, greatest(size(tk) div 2, 5))"))
           .as("text"))
     val corpus = base.unionAll(excerpts)
@@ -2397,14 +2400,16 @@ object Registry {
     * c·10¹² + m·10⁶ + f, the compaction-planner trick — so Spark
     * `aggregate` and DuckDB `list_reduce` replay it step for step;
     * sentences longer than the cap open their own (overflowing) chunk,
-    * the next-fit rule. Row-local regex work, zero shuffles before the
-    * surface orderBy. */
+    * the next-fit rule — except that an EMPTY current chunk (fill 0,
+    * i.e. the very first sentence) is always filled in place, so the
+    * count never reports a phantom empty first chunk. Row-local regex
+    * work, zero shuffles before the surface orderBy. */
   private def llmChunkSentences(spark: SparkSession, dir: String): DataFrame = {
     val cap = 64
     val sentToks = transform(split(trim(col("text")), "[.!?]+"),
       s => when(trim(s) === "", lit(0))
         .otherwise(size(split(trim(s), "\\s+"))))
-    val step = s"""CASE WHEN acc % 1000000 + t > $cap
+    val step = s"""CASE WHEN acc % 1000000 + t > $cap AND acc % 1000000 > 0
          THEN (acc div 1000000000000 + 1) * 1000000000000
               + greatest((acc div 1000000) % 1000000, t) * 1000000 + t
          ELSE (acc div 1000000000000) * 1000000000000
@@ -5529,8 +5534,11 @@ object Registry {
     * Exactness: the whole plan is ONE integer fold over the size-sorted
     * manifest (bins and current fill pack into a single long,
     * bins·10¹² + fill), identical in Spark `aggregate` and DuckDB
-    * `list_reduce`; equal sizes are interchangeable under next-fit, so
-    * the desc sort needs no tie-break. */
+    * `list_reduce`; an empty current bin (fill 0 — the initial state)
+    * always takes the next file even when it overflows the cap, so a
+    * first file larger than the cap cannot phantom-count an empty bin;
+    * equal sizes are interchangeable under next-fit, so the desc sort
+    * needs no tie-break. */
   private def storeCompactionPlan(spark: SparkSession, dir: String): DataFrame = {
     val cap = 65536L
     val files = t(spark, dir, "documents")
@@ -5541,6 +5549,7 @@ object Registry {
       .select(col("n_files"), col("total_chars"), lit(cap).as("cap"),
         expr(s"aggregate(vals, CAST(1000000000000 AS BIGINT), (acc, x) -> " +
           s"CASE WHEN acc % 1000000000000 + x > $cap " +
+          s"AND acc % 1000000000000 > 0 " +
           s"THEN (acc div 1000000000000 + 1) * 1000000000000 + x " +
           s"ELSE acc + x END) div 1000000000000").as("bins_nfd"),
         expr(s"(total_chars + $cap - 1) div $cap").as("lower_bound"))
@@ -9867,6 +9876,7 @@ object Registry {
            CAST(list_reduce(
              list_prepend(CAST(1000000000000 AS BIGINT), vals),
              (acc, x) -> CASE WHEN acc % 1000000000000 + x > 65536
+                 AND acc % 1000000000000 > 0
                THEN (acc // 1000000000000 + 1) * 1000000000000 + x
                ELSE acc + x END) // 1000000000000 AS BIGINT) AS bins_nfd,
            CAST((total_chars + 65536 - 1) // 65536 AS BIGINT)
@@ -10178,6 +10188,7 @@ object Registry {
              list_reduce(list_prepend(CAST(1000000000000 AS BIGINT),
                list_transform(stoks, t -> CAST(t AS BIGINT))),
                (acc, t) -> CASE WHEN acc % 1000000 + t > 64
+                   AND acc % 1000000 > 0
                  THEN (acc // 1000000000000 + 1) * 1000000000000
                       + greatest((acc // 1000000) % 1000000, t) * 1000000
                       + t
@@ -10198,7 +10209,7 @@ object Registry {
     "q_llm_containment" ->
       """WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text
              FROM documents),
-         exc AS (SELECT doc_id + 1000000 AS doc_id,
+         exc AS (SELECT -(doc_id) - 1 AS doc_id,
              array_to_string(tk[1:greatest(len(tk) // 2, 5)], ' ') AS text
            FROM (SELECT doc_id,
                    string_split_regex(trim(text), '\s+') AS tk

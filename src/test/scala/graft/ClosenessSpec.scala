@@ -49,6 +49,23 @@ class ClosenessSpec extends SparkSpecBase {
     }
   }
 
+  test("seed count past maxSeeds fails loud instead of building an " +
+      "unbounded driver accumulator") {
+    import spark.implicits._
+    val canon = graft.operators.Triangles.canonical(
+      (0L until 9L).map(i => (i, i + 1)).toDF("a", "b"), "a", "b")
+    // mod 1 → 10 seeds; bound of 4 must reject, and the error must name
+    // the knob so misuse on a huge graph is self-diagnosing.
+    val ex = intercept[IllegalArgumentException] {
+      Closeness.harmonicSummary(canon, seedsMod = 1, rounds = 1,
+        maxSeeds = 4)
+    }
+    assert(ex.getMessage.contains("maxSeeds"))
+    // At the bound exactly, the run proceeds.
+    assert(Closeness.harmonicSummary(canon, seedsMod = 1, rounds = 1,
+      maxSeeds = 10).count() == 10)
+  }
+
   test("seed sets wider than one 63-bit mask word chunk correctly") {
     // 80-node path, EVERY node a seed (mod 1) -> two mask chunks. Check
     // all 80 rows against a plain-Scala BFS reference.

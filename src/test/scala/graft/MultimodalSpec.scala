@@ -96,6 +96,16 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Multimodal.decodeAudio("not audio".getBytes).isEmpty)
   }
 
+  test("audioEnergyFrames quarantines a zero-sample stream (None, " +
+      "never -1 sentinels)") {
+    assert(Multimodal.audioEnergyFrames(
+      Multimodal.encodeWav(0, 8000, 0L), frameLen = 10).isEmpty)
+    // One sample still yields a real (partial-tail) frame profile.
+    assert(Multimodal.audioEnergyFrames(
+      Multimodal.encodeWav(1, 8000, 128L), frameLen = 10)
+      .contains((1L, 0L, 0L, 0L)))
+  }
+
   test("decodeAudioFiles drops undecodable payloads, keeps real audio") {
     import spark.implicits._
     val files = Seq(

@@ -29,6 +29,12 @@ class SccSpec extends SparkSpecBase {
       ("forward", "c", 3L)))
   }
 
+  test("edges empty after self-loop filtering return an empty summary, " +
+      "not NoSuchElementException") {
+    assert(run(Seq.empty, rounds = 2).isEmpty)
+    assert(run(Seq(("a", "a"), ("b", "b")), rounds = 2).isEmpty)
+  }
+
   test("self-loops and duplicate edges do not change the probe") {
     val noisy = g ++ Seq(("c", "c"), ("a", "b"), ("a", "b"))
     assert(run(noisy, rounds = 3) == run(g, rounds = 3))
