@@ -67,4 +67,32 @@ class SyntheticCeilingSpec extends SparkSpecBase {
     val df = FileReader.readXlsx(spark, p)
     assert(df.count() == 5002)
   }
+
+  test("distributed XLSX path produces the exact driver-parsed grid, " +
+      "in order, across many chunks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-xlsxd").toString
+    val p = s"$dir/dist.xlsx"
+    SyntheticXlsx.writeNcciPtp(p, nRows = 5000)
+    val expected = FileReader.readXlsxRows(p) // driver parse = ground truth
+    spark.conf.set("graft.xlsx.distributedThresholdBytes", "0")
+    spark.conf.set("graft.xlsx.chunkBytes", "65536") // force ~dozens of chunks
+    try {
+      val df = FileReader.readXlsx(spark, p)
+      val n = expected.map(_.length).max
+      val got = df.collect().map(_.toSeq.map(_.toString))
+      assert(got.length == expected.length)
+      // cell-for-cell, order preserved (row numbering rides on this)
+      expected.zip(got).zipWithIndex.foreach { case ((e, g), i) =>
+        assert(g == e.padTo(n, ""), s"row $i differs")
+      }
+      // the .xls PK-magic fallthrough rides the same dispatch
+      val px = s"$dir/renamed.xls"
+      java.nio.file.Files.copy(java.nio.file.Paths.get(p),
+        java.nio.file.Paths.get(px))
+      assert(FileReader.readXls(spark, px).count() == expected.length)
+    } finally {
+      spark.conf.unset("graft.xlsx.distributedThresholdBytes")
+      spark.conf.unset("graft.xlsx.chunkBytes")
+    }
+  }
 }
