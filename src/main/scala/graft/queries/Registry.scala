@@ -1661,6 +1661,47 @@ object Registry {
       .orderBy("doc_id")
   }
 
+  /** Constant-corpus determinism twin of [[llmCompressRatio]] — the
+    * conversion that moves DEFLATE from rows-only to oracle-checked:
+    * DuckDB has no compress(), so the oracle carries PRECOMPUTED
+    * deflate lengths (computed once with the JDK zlib at the kernel's
+    * exact parameters — level 6, raw/nowrap, single finish pass) for a
+    * fixed 10-doc corpus spanning the interesting shapes (empty, single
+    * byte, pangram, single-char run, prose, word spam, digit cycle,
+    * multi-byte UTF-8, long prose, repeated JSON keys). The engine
+    * recomputes deflate_bytes through the native [[graft.expressions
+    * .DeflateLen]] expression; the hash gate then pins the kernel
+    * against the constants — any drift in level/strategy/dictionary
+    * handling fails the gate. ratio4 is integer-replayed on BOTH sides
+    * from each side's own deflate_bytes. Shuffle-free projection. */
+  private def llmCompressRatioDet(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = Seq(
+      0L -> "",
+      1L -> "a",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "a" * 60,
+      4L -> ("Lorem ipsum dolor sit amet, consectetur adipiscing elit, " +
+        "sed do eiusmod tempor incididunt ut labore et dolore magna aliqua."),
+      5L -> (("spam " * 16).trim),
+      6L -> ("0123456789" * 4),
+      7L -> ("naive cafe resume éèê " +
+        "中文文本 üöä"),
+      8L -> ("Call me Ishmael. Some years ago-never mind how long " +
+        "precisely-having little or no money in my purse, and nothing " +
+        "particular to interest me on shore, I thought I would sail " +
+        "about a little and see the watery part of the world."),
+      9L -> """{"k": 1, "k": 2, "k": 3, "k": 4, "k": 5, "k": 6, "k": 7, "k": 8}""")
+    corpus.toDF("doc", "text")
+      .select(col("doc"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        TextAnalysis.deflateLen(col("text")).cast("long").as("deflate_bytes"))
+      .withColumn("ratio4", expr(
+        "CASE WHEN n_bytes = 0 THEN NULL" +
+          " ELSE deflate_bytes * 10000 div n_bytes END"))
+      .orderBy("doc")
+  }
+
   /** HTML → visible-text extraction (the CommonCrawl-style first step):
     * wrap each document in a synthetic page (script/style subtrees, block
     * tags, entities) and check the extractor recovers clean line-structured
@@ -5857,6 +5898,7 @@ object Registry {
     "q_llm_html_extract" -> q(llmHtmlExtract),
     "q_agg_heavy_hitters" -> q(aggHeavyHitters),
     "q_llm_compress_ratio" -> q(llmCompressRatio),
+    "q_llm_compress_ratio_det" -> q(llmCompressRatioDet),
     "q_llm_chunk_fixed" -> q(llmChunkFixed),
     "q_llm_group_split" -> q(llmGroupSplit),
     "q_llm_temperature_mix" -> q(llmTemperatureMix),
@@ -10176,6 +10218,23 @@ object Registry {
          FROM g, eta ORDER BY dow""",
     // Sentence-chunking replay: same regex splits, same packed-long
     // next-fit fold via list_reduce with list_prepend's init.
+    // DEFLATE constants: precomputed once with the JDK zlib at the
+    // kernel's exact parameters (level 6, raw, single pass) over the
+    // fixed 10-doc corpus in llmCompressRatioDet; the engine recomputes
+    // through DeflateLen, so a hash match pins the kernel. ratio4 is
+    // replayed from each side's own deflate_bytes.
+    "q_llm_compress_ratio_det" ->
+      """SELECT CAST(doc AS BIGINT) AS doc,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(deflate_bytes AS BIGINT) AS deflate_bytes,
+           CAST(CASE WHEN n_bytes = 0 THEN NULL
+                ELSE deflate_bytes * 10000 // n_bytes END AS BIGINT)
+             AS ratio4
+         FROM (VALUES (0, 0, 2), (1, 1, 3), (2, 43, 44), (3, 60, 6),
+                      (4, 123, 92), (5, 79, 10), (6, 40, 15), (7, 44, 46),
+                      (8, 224, 152), (9, 64, 30))
+           AS t(doc, n_bytes, deflate_bytes)
+         ORDER BY doc""",
     "q_llm_chunk_sentences" ->
       """WITH d AS (SELECT doc_id,
              list_filter(list_transform(

@@ -14,11 +14,12 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size and oracle coverage match COVERAGE.md") {
-    assert(SparkEntry.queries.size == 273)
-    assert(SparkEntry.oracleSql.size == 271)
+    assert(SparkEntry.queries.size == 274)
+    assert(SparkEntry.oracleSql.size == 272)
     // The irreducible two: q_llm_bpe's production word table is capped at
     // 65536 rows (its _det twin replays the full merge loop under oracle),
-    // and DuckDB has no DEFLATE for q_llm_compress_ratio.
+    // and DuckDB has no DEFLATE for q_llm_compress_ratio — though its
+    // _det twin pins the DeflateLen kernel against precomputed constants.
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
     assert(rowsOnly == Set("q_llm_bpe", "q_llm_compress_ratio"),
       s"rows-only set drifted: $rowsOnly")
