@@ -785,6 +785,84 @@ object ScaleSmoke {
     })
     println(s"[scale] transition cells: $transN")
 
+    // Round-12: mechanical scale witnesses for the post-wave-2 r11
+    // operators (VERDICT r11 item 3). They ride relations this suite
+    // already smokes (co-purchase graph, events, documents, embeddings)
+    // at their registered shapes — the point is a [scale] line per
+    // operator so the suite's completeness claim stays mechanical.
+    for (qn <- Seq("q_graph_modularity", "q_graph_assortativity",
+        "q_graph_rich_club", "q_stats_theil", "q_stats_runs_test",
+        "q_w_interval_union", "q_w_sliding_distinct", "q_mm_scene_cuts",
+        "q_llm_cluster_purity")) {
+      val n = timed(s"$qn (registered shape)")(
+        SparkEntry.queries(qn)(spark, sfDir).count())
+      println(s"[scale] $qn rows: $n")
+    }
+
+    // Round-12: the two event-window shapes additionally at a TRUE 20×
+    // (~2M events) — both are per-user window / bounded fan-out plans
+    // whose cost must scale with events, never events².
+    val iuIslands = timed("interval union (2M events, per-user sweep-line)")({
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev20b.select(col("user_id"), col("ts"), col("event_id"),
+          (col("ts") + 300L * 1000000000L).as("e"))
+        .withColumn("maxe", max(col("e")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+        .filter(col("maxe").isNull || col("ts") > col("maxe"))
+        .count()
+    })
+    println(s"[scale] interval-union islands: $iuIslands")
+    val sdCells = timed("sliding distinct users (2M events, 2x fan-out)")({
+      val hop = 300L * 1000000000L
+      ev20b.select(col("user_id"), expr(s"ts div $hop").as("h"))
+        .select(col("user_id"), explode(array(col("h"), col("h") + 1)).as("w"))
+        .distinct().groupBy("w").agg(count(lit(1)).as("n")).count()
+    })
+    println(s"[scale] sliding-distinct window cells: $sdCells")
+
+    // Round-12: streaming at scale (VERDICT r11 item 7) — 1.05M events
+    // with 50k planted replays through the production file-source dedup
+    // path (dropDuplicatesWithinWatermark), one micro-batch per file,
+    // throughput recorded. Every timestamp sits inside the 10-minute
+    // watermark horizon, so the ONLY rows the stream may drop are the
+    // planted duplicates — the unique count is exact, not best-effort.
+    val sdir = java.nio.file.Files
+      .createTempDirectory("graft-scale-stream").toString
+    val nUnique = 1000000L
+    val nTotal = nUnique + 50000L
+    spark.range(nTotal)
+      .select(
+        when(col("id") < nUnique, col("id"))
+          .otherwise((col("id") - nUnique) * 20L).as("event_id"),
+        timestamp_millis(lit(1700000000000L) +
+          pmod(col("id") * 37L, lit(300000L))).as("ts"),
+        pmod(col("id"), lit(1000L)).as("user_id"),
+        lit("click").as("event_type"),
+        (col("id") % 100L).cast("double").as("value"))
+      .repartition(8).write.parquet(s"$sdir/stream")
+    val evSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val st0 = System.nanoTime()
+    val sq = graft.streaming.EventStream.replayParquetAsStream(
+      spark, s"$sdir/stream", evSchema,
+      df => graft.streaming.EventStream.dedupStream(df), "scale_dedup_sink")
+    sq.awaitTermination(600000)
+    val sWall = (System.nanoTime() - st0) / 1e9
+    val sGot = spark.table("scale_dedup_sink").count()
+    println(f"[scale] streaming dedup: $nTotal%,d events -> $sGot%,d unique " +
+      f"(expected $nUnique%,d) in $sWall%.1fs " +
+      f"(${nTotal / sWall}%,.0f events/s, 8 micro-batches)")
+
     spark.stop()
   }
 }
