@@ -80,7 +80,7 @@ object IngestPipeline {
   def ingestFile(spark: SparkSession, store: VersionStore, sourceCode: String,
                  path: String, versionLabel: String,
                  effectiveDate: java.sql.Date, variant: Option[String] = None,
-                 markAsCurrent: Boolean = true): IngestResult = {
+                 markAsCurrent: Boolean = true): IngestResult = try {
     val source = Catalog(sourceCode)
     val fileHash = VersionStore.sha256File(path)
     val fileName = path.substring(path.lastIndexOf('/') + 1)
@@ -146,6 +146,11 @@ object IngestPipeline {
     toWrite.unpersist()
     typed.unpersist()
     result
+  } finally {
+    // The eager localCheckpoint in prepare() materialized the grid, so no
+    // frame re-reads the upload — any XLSX scratch XML can go now instead
+    // of parking ~10× the upload size on disk until JVM exit.
+    FileReader.releaseScratch()
   }
 
   /** Dry-run validation preview (upload.py:196-416 + validator.py:13-87):
@@ -177,6 +182,7 @@ object IngestPipeline {
     val fileHash = VersionStore.sha256File(path)
     val isDup = store.isDuplicateFile(source.sourceCode, fileHash)
 
+    try {
     val (raw, _) = FileReader.parseFile(spark, path)
     val head = FileReader.firstRows(raw, HeaderDetector.MaxScanRows)
     val det = HeaderDetector.detectHeaderRow(head, mappingsOf(source))
@@ -221,5 +227,8 @@ object IngestPipeline {
     ValidationReport(errors.isEmpty && !isDup, nData, Some(hdrIdx),
       det.columnMap, det.unmappedColumns, errors,
       driftWarnings ++ typeWarnings, isDup, willAppend)
+    // All report fields are computed values; nothing re-reads the upload
+    // after this point, so the dry run cleans up its scratch XML too.
+    } finally FileReader.releaseScratch()
   }
 }

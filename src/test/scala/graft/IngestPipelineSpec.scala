@@ -44,6 +44,30 @@ class IngestPipelineSpec extends SparkSpecBase {
       .getAs[Double]("opps_cap_amount") == 120.50)
   }
 
+  test("distributed-XLSX ingest releases its scratch XML after landing") {
+    val store = newStore()
+    val scratch = Files.createTempDirectory("graft-scratch").toString
+    val dir = Files.createTempDirectory("graft-ip-xlsx").toString
+    val p = s"$dir/ncci.xlsx"
+    graft.io.SyntheticXlsx.writeNcciPtp(p, nRows = 2000)
+    spark.conf.set("graft.xlsx.distributedThresholdBytes", "0")
+    spark.conf.set("graft.xlsx.chunkBytes", "65536")
+    spark.conf.set("graft.xlsx.scratchDir", scratch)
+    try {
+      val r = IngestPipeline.ingestFile(spark, store, "NCCI_PTP", p,
+        "2026-Q1", d, Some("PRACTITIONER"))
+      assert(r.status == "completed" && r.inserted > 0)
+      // the inflated sheet XML must not park on disk until JVM exit
+      val leftovers = new java.io.File(scratch).listFiles()
+      assert(leftovers == null || leftovers.isEmpty,
+        s"scratch not released: ${leftovers.mkString(",")}")
+    } finally {
+      spark.conf.unset("graft.xlsx.distributedThresholdBytes")
+      spark.conf.unset("graft.xlsx.chunkBytes")
+      spark.conf.unset("graft.xlsx.scratchDir")
+    }
+  }
+
   test("all rows invalid -> status failed with first-5 error summary") {
     val store = newStore()
     val path = csv(
