@@ -3751,6 +3751,45 @@ object Registry {
     * last bit; the 3·rsd accuracy verdict is pure-integer
     * (1000·|est−exact| ≤ 195·exact + 16000) so no float compare sits on
     * a boundary. */
+  /** KMV (k-minimum-values) distinct sketch per event type (Bar-Yossef
+    * et al. 2002; the bottom-k sibling of [[sketchHll]] — mergeable by
+    * taking the k smallest of a union, and unlike HLL it supports
+    * set-intersection estimates natively). Estimate: with h the k-th
+    * smallest of the distinct 32-bit md5-prefix hashes,
+    * D̂ = (k−1)·2³² div h — fully integer. Scale shape: the per-group
+    * bottom-k is row_number over an ORDERED partition + rank filter,
+    * which Spark prunes map-side via WindowGroupLimit (plan-pinned for
+    * the dedup family) — only ~k candidates per group cross the
+    * shuffle, never the distinct-hash relation. Accuracy sanity-bounded
+    * in-row against the exact distinct (rsd ≈ 1/√(k−2) ≈ 12.6% at
+    * k=64; the pinned bound is 3 rsd). */
+  private def sketchKmv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 64
+    val ev = t(spark, dir, "events").select(col("event_type"), col("user_id"))
+    val hashed = ev
+      .select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .distinct() // one slot per distinct hash (collisions collapse here)
+    val kth = hashed
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy("h")))
+      .filter(col("rk") === k)
+      .select(col("event_type"), col("h").as("kth_hash"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact_distinct"))
+    kth.join(exact, Seq("event_type"))
+      .select(col("event_type"), lit(k.toLong).as("k"), col("kth_hash"),
+        expr(s"CAST(${k - 1} AS BIGINT) * 4294967296 div kth_hash")
+          .as("kmv_estimate"),
+        col("exact_distinct"),
+        (abs(expr(s"CAST(${k - 1} AS BIGINT) * 4294967296 div kth_hash")
+          - col("exact_distinct")) * 1000L
+          <= col("exact_distinct") * 381L).as("within_3rsd"))
+      .orderBy("event_type")
+  }
+
   private def sketchHll(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events").select(col("event_type"), col("user_id"))
     val regs = graft.operators.HllSketch.registers(ev, "event_type", "user_id")
@@ -5106,6 +5145,51 @@ object Registry {
         (floor(col("dnum") * 1e6 / (col("n1") * col("n2"))) / 1e6).as("ks6"))
   }
 
+  /** Jensen–Shannon divergence between the token distributions of the
+    * even- and odd-numbered source shards (Lin 1991) — the symmetric,
+    * bounded [0, ln 2] corpus-mix drift metric a training pipeline
+    * tracks across recrawls/resamples where KL explodes on unseen
+    * tokens. Exactness: with integer token counts a_i (A = Σa) and b_i
+    * (B = Σb), each log-ratio reduces to ln(2·a_i·B / (a_i·B + b_i·A))
+    * — an exact-integer ratio whose ln both engines evaluate on
+    * IDENTICAL doubles — floored to 1e-8 micro-units BEFORE the
+    * count-weighted sum (the markov-entropy/Theil discipline), so
+    * addition order never reaches the result; one division per side at
+    * the surface, 6 dp floor. Vocabulary-sized relations only after the
+    * one token-count aggregate. */
+  private def llmJsd(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val toks = t(spark, dir, "documents")
+      .select((expr("CAST(substring(source, 4, 8) AS INT)") % 2 === 0)
+        .as("even"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val counts = toks.groupBy("tok")
+      .agg(sum(when(col("even"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("even"), 0L).otherwise(1L)).as("b"))
+    val tot = counts.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+    val terms = counts.crossJoin(broadcast(tot))
+      .select(col("a"), col("b"),
+        when(col("a") > 0, col("a").cast(dec) * floor(
+          log((lit(2.0) * col("a") * col("tb"))
+            / (col("a").cast("double") * col("tb")
+              + col("b").cast("double") * col("ta"))) * 1e8))
+          .otherwise(lit(0).cast(dec)).as("la"),
+        when(col("b") > 0, col("b").cast(dec) * floor(
+          log((lit(2.0) * col("b") * col("ta"))
+            / (col("a").cast("double") * col("tb")
+              + col("b").cast("double") * col("ta"))) * 1e8))
+          .otherwise(lit(0).cast(dec)).as("lb"),
+        col("ta"), col("tb"))
+    terms.groupBy("ta", "tb")
+      .agg(count(lit(1)).as("n_vocab"), sum(col("la")).as("sa"),
+        sum(col("lb")).as("sb"))
+      .select(col("n_vocab"), col("ta").as("tokens_even"),
+        col("tb").as("tokens_odd"),
+        (floor((col("sa").cast("double") / col("ta")
+          + col("sb").cast("double") / col("tb")) / 2.0 / 1e8 * 1e6) / 1e6)
+          .as("jsd6"))
+  }
+
   /** Top distinctive terms between two sources by chi-square over
     * document frequencies — KS (`q_stats_ks_quality`) says WHETHER the
     * corpora differ; this says WHICH terms carry the difference (the
@@ -5426,6 +5510,74 @@ object Registry {
         col("runs").as("n_runs"),
         (floor(a.cast("double")
           / sqrt(bb.cast("double") / (col("n").cast("double") - 1))
+          * 1e4) / 1e4).as("z4"))
+  }
+
+  /** CUSUM changepoint probe on daily volume (Page 1954 — "did the level
+    * shift, and when?"): the drift detector a monitoring pipeline runs
+    * before trusting week-over-week comparisons. Exactness: the
+    * cumulative statistic is the INTEGER S_i = Σ_{j≤i} (n·x_j − T)
+    * (each term scaled by n so the mean subtraction never leaves the
+    * integers; S_n ≡ 0 by construction), the changepoint is argmax |S|
+    * with the earliest day breaking ties, and the before/after level
+    * means are integer micro-unit divisions. All windows run over the
+    * bounded daily relation. */
+  private def tsChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = t(spark, dir, "events")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val tot = days.agg(count(lit(1)).as("n"), sum(col("x")).as("tt"))
+    val cus = days.crossJoin(broadcast(tot))
+      .withColumn("s", sum(col("x") * col("n") - col("tt")).over(
+        Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val cp = cus.orderBy(abs(col("s")).desc, col("day")).limit(1)
+      .select(col("day").as("cp_day"), abs(col("s")).as("s_abs"))
+    days.crossJoin(broadcast(cp))
+      .groupBy("cp_day", "s_abs")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("day") <= col("cp_day"), col("x"))).as("sb"),
+        sum(when(col("day") <= col("cp_day"), 1L).otherwise(0L)).as("nb"),
+        sum(when(col("day") > col("cp_day"), col("x"))).as("sa"),
+        sum(when(col("day") > col("cp_day"), 1L).otherwise(0L)).as("na"))
+      .select(col("n_days"), col("cp_day"), col("s_abs"),
+        expr("sb * 1000000 div nb").as("mean_before_micro"),
+        expr("CASE WHEN na = 0 THEN NULL ELSE sa * 1000000 div na END")
+          .as("mean_after_micro"))
+  }
+
+  /** Mann–Kendall trend test on daily volume (Mann 1945; Kendall 1975)
+    * — the monotone-trend sibling of [[statsRunsTest]]'s randomness
+    * check: S = Σ_{i<j} sgn(x_j − x_i) over the bounded daily series,
+    * variance with the tie-group correction
+    * (n(n−1)(2n+5) − Σ t(t−1)(2t+5))/18, and the ±1-continuity-corrected
+    * z. Exactness: S and both variance terms are exact integers (the
+    * pair sweep is a broadcast self-join over ~30 daily rows — never a
+    * corpus join), one division and one sqrt in double at the surface,
+    * 4 dp floor. */
+  private def statsMannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val days = t(spark, dir, "events")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val s = days.as("a").join(broadcast(days.as("b")),
+        col("a.day") < col("b.day"))
+      .agg(coalesce(sum(signum(col("b.x") - col("a.x")).cast("long")), lit(0L))
+        .as("s"))
+    val ties = days.groupBy("x").agg(count(lit(1)).as("tcount"))
+      .agg(coalesce(sum(col("tcount").cast(dec) * (col("tcount") - 1)
+        * (lit(2).cast(dec) * col("tcount") + 5)), lit(0).cast(dec))
+        .as("tie_term"),
+        sum(col("tcount")).as("n"))
+    s.crossJoin(broadcast(ties))
+      .select(col("n").cast("long").as("n_days"), col("s"),
+        (floor((when(col("s") > 0, col("s") - 1)
+            .when(col("s") < 0, col("s") + 1).otherwise(lit(0L)))
+            .cast("double")
+          / sqrt((col("n").cast(dec) * (col("n") - 1)
+              * (lit(2).cast(dec) * col("n") + 5) - col("tie_term"))
+            .cast("double") / 18.0)
           * 1e4) / 1e4).as("z4"))
   }
 
@@ -5921,6 +6073,7 @@ object Registry {
     "q_llm_ann_pq_rerank" -> q(llmAnnPqDetRerank),
     "q_graph_triangles" -> q(graphTriangles),
     "q_sketch_hll" -> q(sketchHll),
+    "q_sketch_kmv" -> q(sketchKmv),
     "q_scd2_dim" -> q(scd2Dim),
     "q_store_incr_agg" -> q(storeIncrAgg),
     "q_llm_ann_binary" -> q(llmAnnBinary),
@@ -5973,6 +6126,7 @@ object Registry {
     "q_llm_phrase_search" -> q(llmPhraseSearch),
     "q_stats_ks_quality" -> q(statsKsQuality),
     "q_llm_term_drift" -> q(llmTermDrift),
+    "q_llm_jsd" -> q(llmJsd),
     "q_graph_hits" -> q(graphHits),
     "q_graph_ppr" -> q(prPersonalized),
     "q_graph_sssp" -> q(graphSssp),
@@ -6011,6 +6165,7 @@ object Registry {
     "q_stats_spearman" -> q(statsSpearman),
     "q_graph_powerlaw" -> q(graphPowerlaw),
     "q_ts_seasonality" -> q(tsSeasonality),
+    "q_ts_changepoint" -> q(tsChangepoint),
     "q_llm_chunk_sentences" -> q(llmChunkSentences),
     "q_llm_containment" -> q(llmContainment),
     "q_stats_kendall" -> q(statsKendall),
@@ -6023,6 +6178,7 @@ object Registry {
     "q_stats_jackknife" -> q(statsJackknife),
     "q_e_burstiness" -> q(eBurstiness),
     "q_stats_runs_test" -> q(statsRunsTest),
+    "q_stats_mann_kendall" -> q(statsMannKendall),
     "q_llm_langid_eval" -> q(llmLangidEval),
     "q_w_sliding_distinct" -> q(wSlidingDistinct),
     "q_stats_theil" -> q(statsTheil),
@@ -10551,6 +10707,104 @@ object Registry {
                / (CAST(n AS DOUBLE) - 1))
              * 1e4) / 1e4 AS z4
          FROM agg""",
+    // CUSUM replay: same n-scaled integer cumulative statistic, same
+    // earliest-day argmax tie-break, same micro-unit level means.
+    "q_ts_changepoint" ->
+      """WITH days AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS tt FROM days),
+         cus AS (SELECT day, x,
+                   CAST(sum(x * n - tt) OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS s
+                 FROM days, tot),
+         cp AS (SELECT day AS cp_day, abs(s) AS s_abs
+                FROM cus ORDER BY abs(s) DESC, day LIMIT 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_days, cp_day, s_abs,
+           CAST(sum(CASE WHEN day <= cp_day THEN x END) * 1000000
+             // sum(CASE WHEN day <= cp_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS mean_before_micro,
+           CAST(CASE WHEN sum(CASE WHEN day > cp_day THEN 1 ELSE 0 END) = 0
+             THEN NULL
+             ELSE sum(CASE WHEN day > cp_day THEN x END) * 1000000
+               // sum(CASE WHEN day > cp_day THEN 1 ELSE 0 END) END
+             AS BIGINT) AS mean_after_micro
+         FROM days, cp GROUP BY cp_day, s_abs""",
+    // Mann–Kendall replay: same integer S over the bounded pair sweep,
+    // same tie-corrected variance, same ±1 continuity correction.
+    "q_stats_mann_kendall" ->
+      """WITH days AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         sv AS (SELECT CAST(COALESCE(sum(CASE WHEN b.x > a.x THEN 1
+                    WHEN b.x < a.x THEN -1 ELSE 0 END), 0) AS BIGINT) AS s
+                FROM days a JOIN days b ON a.day < b.day),
+         ties AS (SELECT CAST(COALESCE(sum(CAST(tcount AS HUGEINT)
+                    * (tcount - 1) * (2 * CAST(tcount AS HUGEINT) + 5)), 0)
+                    AS HUGEINT) AS tie_term,
+                    CAST(sum(tcount) AS BIGINT) AS n
+                  FROM (SELECT x, CAST(count(*) AS BIGINT) AS tcount
+                        FROM days GROUP BY x))
+         SELECT n AS n_days, s,
+           FLOOR(CAST(CASE WHEN s > 0 THEN s - 1 WHEN s < 0 THEN s + 1
+               ELSE 0 END AS DOUBLE)
+             / sqrt(CAST(CAST(n AS HUGEINT) * (n - 1)
+                 * (2 * CAST(n AS HUGEINT) + 5) - tie_term AS DOUBLE) / 18.0)
+             * 1e4) / 1e4 AS z4
+         FROM sv, ties""",
+    // KMV replay: same distinct md5-prefix slots, same k-th rank pick,
+    // same integer estimate and 3-rsd sanity bound.
+    "q_sketch_kmv" ->
+      """WITH hashed AS (SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               AS h
+           FROM events),
+         kth AS (SELECT event_type, h AS kth_hash FROM (
+             SELECT event_type, h, row_number() OVER (
+               PARTITION BY event_type ORDER BY h) AS rk FROM hashed)
+           WHERE rk = 64),
+         ex AS (SELECT event_type,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+                FROM events GROUP BY 1)
+         SELECT kth.event_type, CAST(64 AS BIGINT) AS k, kth_hash,
+           CAST(63 * 4294967296 // kth_hash AS BIGINT) AS kmv_estimate,
+           exact_distinct,
+           abs(63 * 4294967296 // kth_hash - exact_distinct) * 1000
+             <= exact_distinct * 381 AS within_3rsd
+         FROM kth JOIN ex ON kth.event_type = ex.event_type
+         ORDER BY kth.event_type""",
+    // JSD replay: same integer token counts, same per-term
+    // floor-to-1e-8 of ln on identical doubles, same surface division.
+    "q_llm_jsd" ->
+      """WITH toks AS (SELECT
+             CAST(substr(source, 4, 8) AS INT) % 2 = 0 AS even,
+             unnest(string_split_regex(trim(text), '\s+')) AS tok
+           FROM documents),
+         counts AS (SELECT tok,
+             CAST(sum(CASE WHEN even THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN even THEN 0 ELSE 1 END) AS BIGINT) AS b
+           FROM toks GROUP BY tok),
+         tot AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+                   CAST(sum(b) AS BIGINT) AS tb FROM counts),
+         terms AS (SELECT
+             CASE WHEN a > 0 THEN CAST(a AS HUGEINT) * CAST(FLOOR(
+               ln((2.0 * a * tb) / (CAST(a AS DOUBLE) * tb
+                 + CAST(b AS DOUBLE) * ta)) * 1e8) AS HUGEINT)
+               ELSE 0 END AS la,
+             CASE WHEN b > 0 THEN CAST(b AS HUGEINT) * CAST(FLOOR(
+               ln((2.0 * b * ta) / (CAST(a AS DOUBLE) * tb
+                 + CAST(b AS DOUBLE) * ta)) * 1e8) AS HUGEINT)
+               ELSE 0 END AS lb,
+             ta, tb
+           FROM counts, tot)
+         SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+           ta AS tokens_even, tb AS tokens_odd,
+           FLOOR((CAST(sum(la) AS DOUBLE) / ta
+             + CAST(sum(lb) AS DOUBLE) / tb) / 2.0 / 1e8 * 1e6) / 1e6
+             AS jsd6
+         FROM terms GROUP BY ta, tb""",
     // Langid-eval replay: the q_llm_langid detector with the actual
     // label carried through.
     "q_llm_langid_eval" ->
