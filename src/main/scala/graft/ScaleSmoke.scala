@@ -793,7 +793,10 @@ object ScaleSmoke {
     for (qn <- Seq("q_graph_modularity", "q_graph_assortativity",
         "q_graph_rich_club", "q_stats_theil", "q_stats_runs_test",
         "q_w_interval_union", "q_w_sliding_distinct", "q_mm_scene_cuts",
-        "q_llm_cluster_purity")) {
+        "q_llm_cluster_purity",
+        // round-12 additions ride the same smoked relations
+        "q_ts_changepoint", "q_stats_mann_kendall", "q_sketch_kmv",
+        "q_llm_jsd")) {
       val n = timed(s"$qn (registered shape)")(
         SparkEntry.queries(qn)(spark, sfDir).count())
       println(s"[scale] $qn rows: $n")

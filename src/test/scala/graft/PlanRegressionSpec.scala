@@ -33,6 +33,18 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("KMV sketch: the per-group k-th-smallest rank filter prunes " +
+      "map-side via WindowGroupLimit") {
+    val p = plan("q_sketch_kmv")
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("Mann-Kendall pair sweep broadcasts the bounded daily relation") {
+    val p = plan("q_stats_mann_kendall")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("ANN brute force is scan + TakeOrdered, no shuffle exchange") {
     val p = plan("q_llm_ann_brute")
     assert(p.contains("TakeOrderedAndProject"))
