@@ -37,11 +37,12 @@ class XlsxScanSpec extends SparkSpecBase {
     p
   }
 
-  private def bothPaths(sheetXml: String): (Seq[Seq[String]], Seq[Seq[String]]) = {
+  private def bothPaths(sheetXml: String, chunkBytes: String = "64")
+      : (Seq[Seq[String]], Seq[Seq[String]]) = {
     val p = writeXlsx(sheetXml)
     val driver = FileReader.readXlsxRows(p).map(_.toSeq)
     spark.conf.set("graft.xlsx.distributedThresholdBytes", "0")
-    spark.conf.set("graft.xlsx.chunkBytes", "64") // force a cut at every row
+    spark.conf.set("graft.xlsx.chunkBytes", chunkBytes)
     try {
       val n = if (driver.isEmpty) 0 else driver.map(_.length).max
       val dist = FileReader.readXlsx(spark, p).collect()
@@ -91,6 +92,39 @@ class XlsxScanSpec extends SparkSpecBase {
       Seq("", "3.5"),       // r="B3" places the cell at column 1
       Seq("True", "")))
     assert(dist == driver)
+  }
+
+  test("property: random grids with markup-looking cell text parse " +
+      "identically on both paths at several chunk sizes") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val cellGen: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.oneOf("", " ", "<row>", "</sheetData>", "a<b&c>d", "\"quoted\"",
+        "r=\"A1\"", "<c t=\"s\">", "1.5", "-7", "tab\tchar"))
+    def esc(s: String) =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    for (trial <- 0 until 4) {
+      val nRows = 5 + trial * 7
+      val rows = (0 until nRows).map { r =>
+        (0 until 1 + (r + trial) % 4).map(c =>
+          sample(cellGen, trial * 1000L + r * 10L + c))
+      }
+      val sheet =
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+          rows.map(r => "<row>" + r.map(c =>
+            s"""<c t="inlineStr"><is><t>${esc(c)}</t></is></c>""").mkString +
+            "</row>").mkString +
+          """</sheetData></worksheet>"""
+      for (chunk <- Seq("1", "64", "100000")) {
+        val (driver, dist) = bothPaths(sheet, chunk)
+        assert(dist == driver,
+          s"trial=$trial chunkBytes=$chunk: distributed != driver")
+      }
+    }
   }
 
   test("a sheet with zero rows yields the empty grid on both paths") {
