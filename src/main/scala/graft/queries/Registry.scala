@@ -3762,7 +3762,11 @@ object Registry {
     * the dedup family) — only ~k candidates per group cross the
     * shuffle, never the distinct-hash relation. Accuracy sanity-bounded
     * in-row against the exact distinct (rsd ≈ 1/√(k−2) ≈ 12.6% at
-    * k=64; the pinned bound is 3 rsd). */
+    * k=64; the pinned bound is 3 rsd). Groups with fewer than k distinct
+    * slots have no k-th value and DROP from the output (the inner join)
+    * — KMV has no estimate below its own k; both engines drop
+    * identically, and PartitionInvarianceSpec pins the semantics at a
+    * sub-k scale factor. */
   private def sketchKmv(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = 64
