@@ -94,6 +94,24 @@ class XlsxScanSpec extends SparkSpecBase {
     assert(dist == driver)
   }
 
+  test("comments, CDATA, and processing instructions carrying raw <row " +
+      "markup are skipped whole, not treated as boundaries") {
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+      """<!-- prolog comment with <sheetData> inside --><sheetData>""" +
+      """<row><c t="inlineStr"><is><t><![CDATA[literal <row> & </sheetData> here]]></t></is></c></row>""" +
+      """<!-- comment between rows: <row><c><v>99</v></c></row> -->""" +
+      """<?pi with <row inside?>""" +
+      """<row><c><v>42</v></c></row>""" +
+      """</sheetData></worksheet>"""
+    val (driver, dist) = bothPaths(sheet, "1") // cut at every candidate
+    assert(driver == Seq(
+      Seq("literal <row> & </sheetData> here"),
+      Seq("42")))
+    assert(dist == driver)
+  }
+
   test("property: random grids with markup-looking cell text parse " +
       "identically on both paths at several chunk sizes") {
     import org.scalacheck.Gen
