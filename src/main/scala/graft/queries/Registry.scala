@@ -5552,29 +5552,43 @@ object Registry {
   }
 
   /** Mann–Kendall trend test on daily volume (Mann 1945; Kendall 1975)
-    * — the monotone-trend sibling of [[statsRunsTest]]'s randomness
-    * check: S = Σ_{i<j} sgn(x_j − x_i) over the bounded daily series,
-    * variance with the tie-group correction
-    * (n(n−1)(2n+5) − Σ t(t−1)(2t+5))/18, and the ±1-continuity-corrected
-    * z. Exactness: S and both variance terms are exact integers (the
-    * pair sweep is a broadcast self-join over ~30 daily rows — never a
-    * corpus join), one division and one sqrt in double at the surface,
-    * 4 dp floor. */
+    * with Sen's slope (Sen 1968) — the monotone-trend sibling of
+    * [[statsRunsTest]]'s randomness check plus the magnitude estimator
+    * that makes it actionable: S = Σ_{i<j} sgn(x_j − x_i) over the
+    * bounded daily series, variance with the tie-group correction
+    * (n(n−1)(2n+5) − Σ t(t−1)(2t+5))/18, the ±1-continuity-corrected z,
+    * and the lower-median of the pairwise slopes. Exactness: S and both
+    * variance terms are exact integers (the pair sweep is a broadcast
+    * self-join over ~30 daily rows — never a corpus join); each slope is
+    * floor((x_j−x_i)·10⁶ / (day_j−day_i)) — the double division is exact
+    * below 2⁵³ and EXPLICIT floor sidesteps the Spark-div-truncates vs
+    * DuckDB-//-floors mismatch on negative slopes; the median picks the
+    * k-th smallest VALUE, which tie order cannot move. One division and
+    * one sqrt in double at the surface, 4 dp floor. */
   private def statsMannKendall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dec = DecimalType(38, 0)
     val days = t(spark, dir, "events")
       .groupBy(expr("ts div 86400000000000").as("day"))
       .agg(count(lit(1)).as("x"))
-    val s = days.as("a").join(broadcast(days.as("b")),
+    val pairs = days.as("a").join(broadcast(days.as("b")),
         col("a.day") < col("b.day"))
-      .agg(coalesce(sum(signum(col("b.x") - col("a.x")).cast("long")), lit(0L))
-        .as("s"))
+      .select(signum(col("b.x") - col("a.x")).cast("long").as("sgn"),
+        floor((col("b.x") - col("a.x")).cast("double") * 1e6
+          / (col("b.day") - col("a.day"))).cast("long").as("slope6"))
+    val s = pairs.agg(coalesce(sum(col("sgn")), lit(0L)).as("s"),
+      count(lit(1)).as("p"))
+    val sen = pairs
+      .withColumn("rk", row_number().over(Window.orderBy("slope6")))
+      .crossJoin(broadcast(s.select(col("p"))))
+      .filter(col("rk") === expr("(p + 1) div 2"))
+      .select(col("slope6").as("sen_slope_micro"))
     val ties = days.groupBy("x").agg(count(lit(1)).as("tcount"))
       .agg(coalesce(sum(col("tcount").cast(dec) * (col("tcount") - 1)
         * (lit(2).cast(dec) * col("tcount") + 5)), lit(0).cast(dec))
         .as("tie_term"),
         sum(col("tcount")).as("n"))
-    s.crossJoin(broadcast(ties))
+    s.crossJoin(broadcast(ties)).crossJoin(broadcast(sen))
       .select(col("n").cast("long").as("n_days"), col("s"),
         (floor((when(col("s") > 0, col("s") - 1)
             .when(col("s") < 0, col("s") + 1).otherwise(lit(0L)))
@@ -5582,7 +5596,8 @@ object Registry {
           / sqrt((col("n").cast(dec) * (col("n") - 1)
               * (lit(2).cast(dec) * col("n") + 5) - col("tie_term"))
             .cast("double") / 18.0)
-          * 1e4) / 1e4).as("z4"))
+          * 1e4) / 1e4).as("z4"),
+        col("sen_slope_micro"))
   }
 
   /** Burstiness index of inter-event gaps (Goh & Barabási 2008,
@@ -10742,9 +10757,19 @@ object Registry {
       """WITH days AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
              CAST(count(*) AS BIGINT) AS x
            FROM events GROUP BY 1),
-         sv AS (SELECT CAST(COALESCE(sum(CASE WHEN b.x > a.x THEN 1
-                    WHEN b.x < a.x THEN -1 ELSE 0 END), 0) AS BIGINT) AS s
-                FROM days a JOIN days b ON a.day < b.day),
+         pairs AS (SELECT
+             CASE WHEN b.x > a.x THEN 1
+                  WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn,
+             CAST(FLOOR(CAST(b.x - a.x AS DOUBLE) * 1e6
+               / (b.day - a.day)) AS BIGINT) AS slope6
+           FROM days a JOIN days b ON a.day < b.day),
+         sv AS (SELECT CAST(COALESCE(sum(sgn), 0) AS BIGINT) AS s,
+                  CAST(count(*) AS BIGINT) AS p
+                FROM pairs),
+         sen AS (SELECT slope6 AS sen_slope_micro FROM (
+             SELECT slope6, row_number() OVER (ORDER BY slope6) AS rk
+             FROM pairs)
+           WHERE rk = (SELECT (p + 1) // 2 FROM sv)),
          ties AS (SELECT CAST(COALESCE(sum(CAST(tcount AS HUGEINT)
                     * (tcount - 1) * (2 * CAST(tcount AS HUGEINT) + 5)), 0)
                     AS HUGEINT) AS tie_term,
@@ -10756,8 +10781,9 @@ object Registry {
                ELSE 0 END AS DOUBLE)
              / sqrt(CAST(CAST(n AS HUGEINT) * (n - 1)
                  * (2 * CAST(n AS HUGEINT) + 5) - tie_term AS DOUBLE) / 18.0)
-             * 1e4) / 1e4 AS z4
-         FROM sv, ties""",
+             * 1e4) / 1e4 AS z4,
+           sen_slope_micro
+         FROM sv, ties, sen""",
     // KMV replay: same distinct md5-prefix slots, same k-th rank pick,
     // same integer estimate and 3-rsd sanity bound.
     "q_sketch_kmv" ->
