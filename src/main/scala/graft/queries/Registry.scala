@@ -3794,6 +3794,69 @@ object Registry {
       .orderBy("event_type")
   }
 
+  /** Theta-sketch set operations (Dasgupta, Lang, Rhodes & Thaler 2016;
+    * the KMV estimator is Bar-Yossef et al. 2002) over the (user, day)
+    * activity sets of two event types: union and intersection distinct
+    * estimates from two bottom-64 sketches ALONE — the composable
+    * audience-overlap math a 100 TB profile store runs on sketches it
+    * never re-scans. Union: the bottom-64 of the two sketches' merged
+    * hash set is exactly the bottom-64 of the underlying set union, so
+    * D̂ᵤ = 63·2³² div θᵤ. Intersection: with θᵢ = min(θₐ, θᵦ), the
+    * sketch-intersection hashes below θᵢ are a uniform sample of A∩B at
+    * rate θᵢ/2³², so D̂ᵢ = c·2³² div θᵢ. Fully integer; md5-prefix
+    * hashes rebuild identically in DuckDB; both estimates sit beside
+    * their exact counts in-row. The per-set bottom-k is the
+    * WindowGroupLimit-pruned rank filter of [[sketchKmv]]. */
+  private def sketchTheta(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 64
+    def pairsOf(tp: String): DataFrame =
+      t(spark, dir, "events").filter(col("event_type") === tp)
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+        .distinct()
+    def sketchOf(p: DataFrame): DataFrame = p
+      .select(conv(substring(md5(concat(col("user_id").cast("string"),
+          lit(":"), col("day").cast("string"))), 1, 8), 16, 10)
+        .cast("long").as("h"))
+      .distinct()
+      .withColumn("rk", row_number().over(Window.orderBy("h")))
+      .filter(col("rk") <= k)
+      .select(col("h"))
+    val pa = pairsOf("view").localCheckpoint(true)
+    val pb = pairsOf("purchase").localCheckpoint(true)
+    val ska = sketchOf(pa).localCheckpoint(true)
+    val skb = sketchOf(pb).localCheckpoint(true)
+    def kth(s: DataFrame): DataFrame = s
+      .withColumn("rk", row_number().over(Window.orderBy("h")))
+      .filter(col("rk") === k).select(col("h"))
+    val thA = kth(ska).select(col("h").as("theta_a"))
+    val thB = kth(skb).select(col("h").as("theta_b"))
+    val thU = kth(ska.unionAll(skb).distinct())
+      .select(col("h").as("theta_union"))
+    val thI = thA.crossJoin(thB)
+      .select(least(col("theta_a"), col("theta_b")).as("theta_inter"))
+    // global agg (never a groupBy): an empty sketch intersection still
+    // yields the one summary row with inter_count = 0
+    val interCnt = ska.join(skb, Seq("h")).crossJoin(broadcast(thI))
+      .agg(coalesce(sum(when(col("h") < col("theta_inter"), 1L)
+        .otherwise(0L)), lit(0L)).as("inter_count"))
+    val exactU = pa.unionAll(pb).distinct().agg(count(lit(1)).as("exact_union"))
+    val exactI = pa.join(pb, Seq("user_id", "day"))
+      .agg(count(lit(1)).as("exact_inter"))
+    thA.crossJoin(thB).crossJoin(thU)
+      .crossJoin(broadcast(interCnt)).crossJoin(broadcast(exactU))
+      .crossJoin(broadcast(exactI))
+      .withColumn("theta_inter", least(col("theta_a"), col("theta_b")))
+      .select(lit(k.toLong).as("k"), col("theta_a"), col("theta_b"),
+        col("theta_union"),
+        expr(s"CAST(${k - 1} AS BIGINT) * 4294967296 div theta_union")
+          .as("union_est"),
+        col("exact_union"), col("theta_inter"), col("inter_count"),
+        expr("CAST(inter_count * 4294967296 div theta_inter AS BIGINT)")
+          .as("inter_est"),
+        col("exact_inter"))
+  }
+
   private def sketchHll(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events").select(col("event_type"), col("user_id"))
     val regs = graft.operators.HllSketch.registers(ev, "event_type", "user_id")
@@ -5066,6 +5129,31 @@ object Registry {
         coPurchasePairs(spark, dir), "x", "y"),
       seedsMod = 797, rounds = 3)
 
+  /** Per-seed eccentricity + diameter lower bound within a 3-hop BFS
+    * horizon on the 1/16 co-purchase subgraph (the [[graphKtruss]]
+    * modulus restriction — a full-graph horizon sweep is the closeness
+    * query's job; this one answers "how deep is the neighborhood"). See
+    * [[graft.operators.Eccentricity]] for the bit-parallel frontier
+    * shape; the diameter lower bound is max ecc over the seed set,
+    * broadcast back onto the bounded per-seed relation. */
+  private def graphEccentricity(spark: SparkSession, dir: String): DataFrame = {
+    val sub = t(spark, dir, "lineitem")
+      .filter(pmod(col("l_partkey"), lit(4)) === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x, y))))"))
+        .as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
+    val per = graft.operators.Eccentricity.summary(
+      graft.operators.Triangles.canonical(sub, "x", "y"),
+      seedsMod = 932, rounds = 3)
+    per.crossJoin(broadcast(per.agg(max(col("ecc")).as("diameter_lb"))))
+      .select(col("seed"), col("ecc"), col("n_reached"), col("diameter_lb"))
+      .orderBy("seed")
+  }
+
   /** k-truss peeling (k=4, 3 rounds) on a 1/16 co-purchase subgraph —
     * the community-backbone extractor (every surviving edge sits in ≥ 2
     * triangles of the truss). Support counting is a full triangle pass
@@ -5598,6 +5686,206 @@ object Registry {
             .cast("double") / 18.0)
           * 1e4) / 1e4).as("z4"),
         col("sen_slope_micro"))
+  }
+
+  /** Per-return-flag ordinary least squares of extended price on
+    * quantity (Legendre 1805 / Gauss — the oldest drift detector there
+    * is: "does the unit-price relationship hold per cohort, and how
+    * much variance does the line explain"). Exactness: x is centi-
+    * quantity, y is cents; the five moments are exact DECIMAL(38,0);
+    * the centered pieces Sxx = n·Σx²−(Σx)², Sxy, Syy stay exact; the
+    * slope is the exact truncating division Sxy·10⁶ div Sxx (Spark div
+    * and DuckDB // BOTH truncate toward zero — verified, not assumed —
+    * so a negative numerator quantizes identically), the intercept
+    * replays from the TRUNCATED slope, and r² is one
+    * fixed-order double expression over the exact decimals, 4 dp floor.
+    * Scale: one groupBy over the corpus; everything after is 3 rows. */
+  private def statsOls(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val li = t(spark, dir, "lineitem").select(
+      col("l_returnflag").as("flag"),
+      floor(col("l_quantity") * 100 + 0.5).cast("long").as("x"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"))
+    li.groupBy("flag").agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"),
+        sum(col("x").cast(dec) * col("y")).as("sxy"),
+        sum(col("y").cast(dec) * col("y")).as("syy"))
+      .withColumn("dxx", col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dxy", col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
+      .withColumn("dyy", col("n").cast(dec) * col("syy") - col("sy") * col("sy"))
+      .withColumn("num", col("dxy") * lit(1000000L).cast(dec))
+      .withColumn("slope6", expr("num div dxx"))
+      .withColumn("inum", col("sy") * lit(1000000L).cast(dec)
+        - col("slope6").cast(dec) * col("sx"))
+      .select(col("flag"), col("n"), col("slope6"),
+        expr("inum div CAST(n AS DECIMAL(38,0))").as("intercept6"),
+        (floor(col("dxy").cast("double") * col("dxy").cast("double")
+          / (col("dxx").cast("double") * col("dyy").cast("double"))
+          * 1e4) / 1e4).as("r2_4"))
+      .orderBy("flag")
+  }
+
+  /** Kruskal–Wallis H across the three return-flag cohorts on quantity
+    * (Kruskal & Wallis 1952) — the k-group generalization of
+    * [[statsRanksum]]'s two-sample location test. Exactness: the same
+    * DISTINCT-VALUE relation trick (≤ 50 quantity slots; the running-
+    * count window never touches the corpus); 2-scaled midranks
+    * r2(v) = 2·cum(v) + t(v) + 1 clear the ½-tie term so the per-group
+    * rank sums R2_g are exact integers; H and the tie-corrected H_c are
+    * each ONE fixed-order double expression over the exact pieces
+    * (three explicit per-group terms — no cross-row double sum), 4 dp
+    * floor. */
+  private def statsKruskal(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    val vals = t(spark, dir, "lineitem")
+      .select(floor(col("l_quantity") * 100 + 0.5).cast("long").as("v"),
+        col("l_returnflag").as("g"))
+      .groupBy("v").agg(
+        sum(when(col("g") === "A", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === "N", 1L).otherwise(0L)).as("cn"),
+        sum(when(col("g") === "R", 1L).otherwise(0L)).as("cr"))
+      .withColumn("t", col("ca") + col("cn") + col("cr"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val agg = vals
+      .withColumn("cum", coalesce(sum(col("t")).over(w), lit(0L)))
+      .withColumn("r2", lit(2L) * col("cum") + col("t") + lit(1L))
+      .agg(sum(col("ca")).as("n1"), sum(col("cn")).as("n2"),
+        sum(col("cr")).as("n3"),
+        sum(col("ca").cast(dec) * col("r2")).cast("long").as("r2a"),
+        sum(col("cn").cast(dec) * col("r2")).cast("long").as("r2b"),
+        sum(col("cr").cast(dec) * col("r2")).cast("long").as("r2c"),
+        sum(col("t").cast(dec) * col("t") * col("t")
+          - col("t").cast(dec)).as("ties"))
+    // H = 3·Σ_g R2_g²/n_g / (N(N+1)) − 3(N+1)   (R_g = R2_g/2, 12/4 = 3)
+    val st = (col("r2a").cast("double") * col("r2a").cast("double") /
+      col("n1").cast("double")) +
+      (col("r2b").cast("double") * col("r2b").cast("double") /
+        col("n2").cast("double")) +
+      (col("r2c").cast("double") * col("r2c").cast("double") /
+        col("n3").cast("double"))
+    val nTot = col("n1") + col("n2") + col("n3")
+    val nD = nTot.cast("double")
+    val h = lit(3.0) * st / (nD * (nD + 1.0)) - lit(3.0) * (nD + 1.0)
+    val dBig = nTot.cast(dec) * nTot * nTot - nTot.cast(dec)
+    val hc = h * dBig.cast("double") / (dBig - col("ties")).cast("double")
+    agg.select(nTot.as("n"), col("n1"), col("n2"), col("n3"),
+      col("r2a"), col("r2b"), col("r2c"),
+      (floor(h * 1e4) / 1e4).as("h4"),
+      (floor(hc * 1e4) / 1e4).as("hc4"))
+  }
+
+  /** Welch's unequal-variance t-test (Welch 1947) between the BUILDING
+    * and AUTOMOBILE segments on account balance, with the Welch–
+    * Satterthwaite df — the two-cohort mean comparison that does not
+    * assume pooled variance (the A/B-test workhorse). Exactness:
+    * balances are exact integer cents (can be negative); per-group
+    * n/Σv/Σv² are exact DECIMAL(38,0) from ONE conditional aggregate
+    * (one corpus pass, single-row result); group means are exact
+    * truncating divisions (Spark div ≡ DuckDB //, both toward zero, so
+    * negative balances quantize identically); t and df are each one fixed-order
+    * double expression over the exact moments, 4 dp / 2 dp floor. */
+  private def statsWelch(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val v = floor(col("c_acctbal") * 100 + 0.5).cast("long")
+    val agg = t(spark, dir, "customer")
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+      .select(col("c_mktsegment").as("g"), v.as("v"))
+      .agg(
+        sum(when(col("g") === "BUILDING", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g") === "BUILDING", col("v")).otherwise(0L)
+          .cast(dec)).as("s1"),
+        sum(when(col("g") === "BUILDING", col("v").cast(dec) * col("v"))
+          .otherwise(lit(0).cast(dec))).as("q1"),
+        sum(when(col("g") === "AUTOMOBILE", 1L).otherwise(0L)).as("n2"),
+        sum(when(col("g") === "AUTOMOBILE", col("v")).otherwise(0L)
+          .cast(dec)).as("s2"),
+        sum(when(col("g") === "AUTOMOBILE", col("v").cast(dec) * col("v"))
+          .otherwise(lit(0).cast(dec))).as("q2"))
+    // sample variance over n: (n·Σv² − (Σv)²) / (n(n−1)); vn_g = var/n
+    val vn1 = (col("n1").cast(dec) * col("q1") - col("s1") * col("s1"))
+      .cast("double") / (col("n1").cast("double") * col("n1").cast("double")
+        * (col("n1").cast("double") - 1.0))
+    val vn2 = (col("n2").cast(dec) * col("q2") - col("s2") * col("s2"))
+      .cast("double") / (col("n2").cast("double") * col("n2").cast("double")
+        * (col("n2").cast("double") - 1.0))
+    val tStat = (col("s1").cast("double") / col("n1").cast("double")
+      - col("s2").cast("double") / col("n2").cast("double")) / sqrt(vn1 + vn2)
+    val df = (vn1 + vn2) * (vn1 + vn2) /
+      (vn1 * vn1 / (col("n1").cast("double") - 1.0)
+        + vn2 * vn2 / (col("n2").cast("double") - 1.0))
+    agg
+      .withColumn("m1num", col("s1") * lit(1000000L).cast(dec))
+      .withColumn("m2num", col("s2") * lit(1000000L).cast(dec))
+      .select(col("n1"), col("n2"),
+        expr("m1num div CAST(n1 AS DECIMAL(38,0))").as("mean1_micro"),
+        expr("m2num div CAST(n2 AS DECIMAL(38,0))").as("mean2_micro"),
+        (floor(tStat * 1e4) / 1e4).as("t4"),
+        (floor(df * 1e2) / 1e2).as("df2"))
+  }
+
+  /** Hampel filter on the daily volume series (Hampel 1974; Pearson
+    * 2002 on its use as the standard despiking filter): a day is an
+    * outlier when it sits more than 3 rolling MADs from the rolling
+    * ±3-day median — the robust alternative to z-score despiking that a
+    * volume monitor runs before trend tests like [[statsMannKendall]].
+    * FULLY integer: counts are integers, a 7-slot window has an odd
+    * length so median and MAD are exact integers (edge days with
+    * partial windows are excluded — no ½ midpoints), the flag is the
+    * integer compare |x−med| > 3·MAD (MAD = 0 degenerates to "any
+    * deviation flags", the documented Hampel edge). The ±3-row window
+    * runs over the bounded daily relation, never the corpus. */
+  private def tsHampel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = t(spark, dir, "events")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.orderBy("day").rowsBetween(-3, 3)
+    days.withColumn("lst", collect_list(col("x")).over(w))
+      .filter(size(col("lst")) === 7)
+      .withColumn("med", expr("element_at(array_sort(lst), 4)"))
+      .withColumn("mad",
+        expr("element_at(array_sort(transform(lst, e -> abs(e - med))), 4)"))
+      .select(col("day"), col("x"), col("med"), col("mad"),
+        (abs(col("x") - col("med")) > lit(3L) * col("mad")).as("is_outlier"))
+      .orderBy("day")
+  }
+
+  /** Population stability index between the even- and odd-user cohorts
+    * over (event_type × day-of-week) cells — the scorecard-monitoring
+    * drift metric (Siddiqi 2006) a feature pipeline tracks release over
+    * release; companion to [[llmJsd]]'s corpus-mix divergence.
+    * Exactness: cell counts get Laplace +1 smoothing (PSI is undefined
+    * on empty cells; both engines smooth identically), the per-cell
+    * term is the exact integer (a·tb − b·ta) · floor(ln(a·tb/(b·ta))·10⁸)
+    * — same-sign factors, so every term is ≥ 0 and the one truncating
+    * division at the surface is a floor. One groupBy over the corpus;
+    * the term sum runs over the bounded cell relation. */
+  private def statsPsi(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = t(spark, dir, "events")
+      .select(concat(col("event_type"), lit(":"),
+          pmod(expr("ts div 86400000000000"), lit(7L))).as("cat"),
+        pmod(col("user_id"), lit(2L)).as("par"))
+      .groupBy("cat").agg(
+        (sum(when(col("par") === 0L, 1L).otherwise(0L)) + 1L).as("a"),
+        (sum(when(col("par") === 1L, 1L).otherwise(0L)) + 1L).as("b"))
+    val tot = cells.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"),
+      count(lit(1)).as("n_cells"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("n_cells"), col("ta"), col("tb"),
+        ((col("a").cast(dec) * col("tb") - col("b").cast(dec) * col("ta"))
+          * floor(log(col("a").cast("double") * col("tb").cast("double")
+              / (col("b").cast("double") * col("ta").cast("double")))
+            * 1e8).cast(dec)).as("term"))
+      .groupBy("n_cells", "ta", "tb")
+      .agg(sum(col("term")).as("numer"))
+      .withColumn("den", col("ta").cast(dec) * col("tb"))
+      .select(col("n_cells"), col("ta").cast("long").as("ta"),
+        col("tb").cast("long").as("tb"),
+        expr("CAST(numer div den AS BIGINT)").as("psi8"))
   }
 
   /** Burstiness index of inter-event gaps (Goh & Barabási 2008,
@@ -6203,6 +6491,13 @@ object Registry {
     "q_stats_theil" -> q(statsTheil),
     "q_mm_scene_cuts" -> q(mmSceneCuts),
     "q_llm_cluster_purity" -> q(llmClusterPurity),
+    "q_stats_ols" -> q(statsOls),
+    "q_stats_kruskal" -> q(statsKruskal),
+    "q_stats_welch" -> q(statsWelch),
+    "q_ts_hampel" -> q(tsHampel),
+    "q_stats_psi" -> q(statsPsi),
+    "q_sketch_theta" -> q(sketchTheta),
+    "q_graph_eccentricity" -> q(graphEccentricity),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -10928,5 +11223,224 @@ object Registry {
            CAST((tm.nm * 1000000) // tot.n AS BIGINT) AS purity_micro
          FROM pc JOIN nc USING (cid), tot, tm
          WHERE pc.rk = 1 ORDER BY pc.cid"""),
+    // OLS replay: same exact HUGEINT moments and centered pieces, same
+    // truncating slope/intercept division, same fixed-order r² doubles.
+    "q_stats_ols" ->
+      """WITH li AS (SELECT l_returnflag AS flag,
+             CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+           FROM lineitem),
+         m AS (SELECT flag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+           FROM li GROUP BY flag),
+         d AS (SELECT flag, n, sx, sy,
+             CAST(n AS HUGEINT) * sxx - sx * sx AS dxx,
+             CAST(n AS HUGEINT) * sxy - sx * sy AS dxy,
+             CAST(n AS HUGEINT) * syy - sy * sy AS dyy
+           FROM m),
+         s AS (SELECT flag, n, sx, sy, dxx, dxy, dyy,
+             CAST((dxy * 1000000) // dxx AS BIGINT) AS slope6 FROM d)
+         SELECT flag, n, slope6,
+           CAST((sy * 1000000 - CAST(slope6 AS HUGEINT) * sx) // n
+             AS BIGINT) AS intercept6,
+           FLOOR(CAST(dxy AS DOUBLE) * CAST(dxy AS DOUBLE)
+             / (CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE)) * 1e4) / 1e4
+             AS r2_4
+         FROM s ORDER BY flag""",
+    // Kruskal–Wallis replay: same distinct-value 2-scaled midranks, same
+    // exact rank sums and tie term, same fixed-order H / H_c doubles.
+    "q_stats_kruskal" ->
+      """WITH vals AS (SELECT
+             CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS v,
+             CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+               AS BIGINT) AS cn,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS cr
+           FROM lineitem GROUP BY 1),
+         r AS (SELECT ca, cn, cr, ca + cn + cr AS t,
+             COALESCE(CAST(sum(ca + cn + cr) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS cum
+           FROM vals),
+         agg AS (SELECT CAST(sum(ca) AS BIGINT) AS n1,
+             CAST(sum(cn) AS BIGINT) AS n2, CAST(sum(cr) AS BIGINT) AS n3,
+             CAST(sum(CAST(ca AS HUGEINT) * (2 * cum + t + 1)) AS BIGINT)
+               AS r2a,
+             CAST(sum(CAST(cn AS HUGEINT) * (2 * cum + t + 1)) AS BIGINT)
+               AS r2b,
+             CAST(sum(CAST(cr AS HUGEINT) * (2 * cum + t + 1)) AS BIGINT)
+               AS r2c,
+             CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS ties
+           FROM r),
+         fin AS (SELECT n1, n2, n3, r2a, r2b, r2c, ties,
+             n1 + n2 + n3 AS nt,
+             CAST(n1 + n2 + n3 AS HUGEINT) * (n1 + n2 + n3)
+               * (n1 + n2 + n3) - (n1 + n2 + n3) AS dbig,
+             3.0 * (CAST(r2a AS DOUBLE) * CAST(r2a AS DOUBLE)
+                 / CAST(n1 AS DOUBLE)
+               + CAST(r2b AS DOUBLE) * CAST(r2b AS DOUBLE)
+                 / CAST(n2 AS DOUBLE)
+               + CAST(r2c AS DOUBLE) * CAST(r2c AS DOUBLE)
+                 / CAST(n3 AS DOUBLE))
+               / (CAST(n1 + n2 + n3 AS DOUBLE)
+                 * (CAST(n1 + n2 + n3 AS DOUBLE) + 1.0))
+               - 3.0 * (CAST(n1 + n2 + n3 AS DOUBLE) + 1.0) AS h
+           FROM agg)
+         SELECT nt AS n, n1, n2, n3, r2a, r2b, r2c,
+           FLOOR(h * 1e4) / 1e4 AS h4,
+           FLOOR(h * CAST(dbig AS DOUBLE) / CAST(dbig - ties AS DOUBLE)
+             * 1e4) / 1e4 AS hc4
+         FROM fin""",
+    // Welch replay: same exact cent moments from one conditional pass,
+    // same truncating micro means, same fixed-order t / df doubles.
+    "q_stats_welch" ->
+      """WITH c AS (SELECT c_mktsegment AS g,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS v
+           FROM customer
+           WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+         agg AS (SELECT
+             CAST(sum(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN g = 'BUILDING' THEN CAST(v AS HUGEINT)
+               ELSE 0 END) AS HUGEINT) AS s1,
+             CAST(sum(CASE WHEN g = 'BUILDING' THEN CAST(v AS HUGEINT) * v
+               ELSE 0 END) AS HUGEINT) AS q1,
+             CAST(sum(CASE WHEN g = 'AUTOMOBILE' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN g = 'AUTOMOBILE' THEN CAST(v AS HUGEINT)
+               ELSE 0 END) AS HUGEINT) AS s2,
+             CAST(sum(CASE WHEN g = 'AUTOMOBILE' THEN CAST(v AS HUGEINT) * v
+               ELSE 0 END) AS HUGEINT) AS q2
+           FROM c),
+         fin AS (SELECT n1, n2, s1, s2,
+             CAST(CAST(n1 AS HUGEINT) * q1 - s1 * s1 AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                 * (CAST(n1 AS DOUBLE) - 1.0)) AS vn1,
+             CAST(CAST(n2 AS HUGEINT) * q2 - s2 * s2 AS DOUBLE)
+               / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                 * (CAST(n2 AS DOUBLE) - 1.0)) AS vn2
+           FROM agg)
+         SELECT n1, n2,
+           CAST((s1 * 1000000) // n1 AS BIGINT) AS mean1_micro,
+           CAST((s2 * 1000000) // n2 AS BIGINT) AS mean2_micro,
+           FLOOR((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             / sqrt(vn1 + vn2) * 1e4) / 1e4 AS t4,
+           FLOOR((vn1 + vn2) * (vn1 + vn2)
+             / (vn1 * vn1 / (CAST(n1 AS DOUBLE) - 1.0)
+               + vn2 * vn2 / (CAST(n2 AS DOUBLE) - 1.0)) * 1e2) / 1e2
+             AS df2
+         FROM fin""",
+    // Hampel replay: same 7-slot rolling list, same integer median/MAD
+    // picks, same 3-MAD integer compare.
+    "q_ts_hampel" ->
+      """WITH days AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         win AS (SELECT day, x, list(x) OVER (ORDER BY day
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS lst
+           FROM days),
+         f7 AS (SELECT day, x, lst, list_sort(lst)[4] AS med
+                FROM win WHERE len(lst) = 7),
+         m AS (SELECT day, x, med,
+                 list_sort(list_transform(lst, e -> abs(e - med)))[4] AS mad
+               FROM f7)
+         SELECT day, x, med, mad, abs(x - med) > 3 * mad AS is_outlier
+         FROM m ORDER BY day""",
+    // PSI replay: same Laplace-smoothed cell counts, same exact integer
+    // (a·tb − b·ta) · floor-1e8-ln terms, same truncating division.
+    "q_stats_psi" ->
+      """WITH cells AS (SELECT event_type || ':' ||
+             CAST((epoch_ns(ts) // 86400000000000) % 7 AS VARCHAR) AS cat,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) + 1
+               AS BIGINT) AS a,
+             CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) + 1
+               AS BIGINT) AS b
+           FROM events GROUP BY 1),
+         tot AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+             CAST(sum(b) AS BIGINT) AS tb,
+             CAST(count(*) AS BIGINT) AS n_cells FROM cells),
+         terms AS (SELECT n_cells, ta, tb,
+             (CAST(a AS HUGEINT) * tb - CAST(b AS HUGEINT) * ta)
+               * CAST(FLOOR(ln(CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)
+                   / (CAST(b AS DOUBLE) * CAST(ta AS DOUBLE))) * 1e8)
+                 AS HUGEINT) AS term
+           FROM cells, tot)
+         SELECT n_cells, ta, tb,
+           CAST(sum(term) // (CAST(ta AS HUGEINT) * tb) AS BIGINT) AS psi8
+         FROM terms GROUP BY n_cells, ta, tb""",
+    // Theta replay: same distinct (user, day) sets, same md5-prefix
+    // bottom-64 sketches, same θ picks and integer estimates.
+    "q_sketch_theta" ->
+      """WITH pa AS (SELECT DISTINCT user_id,
+             epoch_ns(ts) // 86400000000000 AS day
+           FROM events WHERE event_type = 'view'),
+         pb AS (SELECT DISTINCT user_id,
+             epoch_ns(ts) // 86400000000000 AS day
+           FROM events WHERE event_type = 'purchase'),
+         ha AS (SELECT DISTINCT ('0x' || substr(md5(
+             CAST(user_id AS VARCHAR) || ':' || CAST(day AS VARCHAR)),
+             1, 8))::BIGINT AS h FROM pa),
+         hb AS (SELECT DISTINCT ('0x' || substr(md5(
+             CAST(user_id AS VARCHAR) || ':' || CAST(day AS VARCHAR)),
+             1, 8))::BIGINT AS h FROM pb),
+         ska AS (SELECT h FROM (SELECT h,
+             row_number() OVER (ORDER BY h) AS rk FROM ha) WHERE rk <= 64),
+         skb AS (SELECT h FROM (SELECT h,
+             row_number() OVER (ORDER BY h) AS rk FROM hb) WHERE rk <= 64),
+         tha AS (SELECT h AS theta_a FROM (SELECT h,
+             row_number() OVER (ORDER BY h) AS rk FROM ska) WHERE rk = 64),
+         thb AS (SELECT h AS theta_b FROM (SELECT h,
+             row_number() OVER (ORDER BY h) AS rk FROM skb) WHERE rk = 64),
+         thu AS (SELECT h AS theta_union FROM (SELECT h,
+             row_number() OVER (ORDER BY h) AS rk FROM (
+               SELECT DISTINCT h FROM (SELECT h FROM ska
+                 UNION ALL SELECT h FROM skb))) WHERE rk = 64),
+         ic AS (SELECT CAST(COALESCE(sum(CASE
+                 WHEN s.h < LEAST(theta_a, theta_b) THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS inter_count
+             FROM ska s JOIN skb USING (h), tha, thb),
+         eu AS (SELECT CAST(count(*) AS BIGINT) AS exact_union FROM (
+             SELECT DISTINCT user_id, day FROM (
+               SELECT * FROM pa UNION ALL SELECT * FROM pb))),
+         ei AS (SELECT CAST(count(*) AS BIGINT) AS exact_inter
+                FROM pa JOIN pb USING (user_id, day))
+         SELECT CAST(64 AS BIGINT) AS k, theta_a, theta_b, theta_union,
+           CAST(63 * 4294967296 // theta_union AS BIGINT) AS union_est,
+           exact_union, LEAST(theta_a, theta_b) AS theta_inter,
+           inter_count,
+           CAST(inter_count * 4294967296 // LEAST(theta_a, theta_b)
+             AS BIGINT) AS inter_est,
+           exact_inter
+         FROM tha, thb, thu, ic, eu, ei""",
+    // Eccentricity replay: GENERATED (seed, node)-pair BFS chain (the
+    // closeness CTEs), ecc = last round with a fresh node, window max
+    // over the bounded seed relation for the diameter bound.
+    "q_graph_eccentricity" -> (graft.operators.Closeness.oracleCtes(
+      """SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0""",
+      seedsMod = 932, rounds = 3) + """,
+      pr AS (SELECT s, 1 AS r, CAST(count(*) AS BIGINT) AS c
+               FROM f1 GROUP BY s
+             UNION ALL SELECT s, 2, CAST(count(*) AS BIGINT)
+               FROM f2 GROUP BY s
+             UNION ALL SELECT s, 3, CAST(count(*) AS BIGINT)
+               FROM f3 GROUP BY s),
+      ec AS (SELECT s, CAST(max(r) AS BIGINT) AS ecc,
+               CAST(sum(c) AS BIGINT) AS n_reached FROM pr GROUP BY s),
+      per AS (SELECT s0.s AS seed, CAST(COALESCE(ec.ecc, 0) AS BIGINT)
+                AS ecc,
+                CAST(COALESCE(ec.n_reached, 0) AS BIGINT) AS n_reached
+              FROM s0 LEFT JOIN ec USING (s))
+      SELECT seed, ecc, n_reached, max(ecc) OVER () AS diameter_lb
+      FROM per ORDER BY seed"""),
   )
 }

@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+
+/** Formula pins for the round-12 statistical-test queries. The DuckDB
+  * oracle replays the same arithmetic, so (the NextFitSpec lesson) a
+  * WRONG formula implemented identically on both sides would still
+  * hash-match — these unit fixtures pin each statistic against values
+  * computed by hand from the textbook definitions. */
+class StatTestsSpec extends SparkSpecBase {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def lineitemDir(rows: Seq[(String, Double, Double)]): String = {
+    import spark.implicits._
+    val dir = tmp("graft-stattests")
+    rows.toDF("l_returnflag", "l_quantity", "l_extendedprice")
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  private def eventsDir(rows: Seq[(Long, Long, String)]): String = {
+    // (user_id, epoch-nano ts, event_type)
+    import spark.implicits._
+    val dir = tmp("graft-stattests")
+    rows.toDF("user_id", "ts", "event_type")
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("OLS: a perfect line y = 2x + 3 dollars recovers slope 2, " +
+      "intercept 300 cents, r² = 1") {
+    // y cents = 200·q + 300 = 2·(100·q) + 300 → slope (per centi-qty) 2.
+    val dir = lineitemDir(Seq(
+      ("A", 1.0, 5.0), ("A", 2.0, 7.0), ("A", 3.0, 9.0), ("A", 4.0, 11.0)))
+    val r = SparkEntry.queries("q_stats_ols")(spark, dir).collect().head
+    assert(r.getString(0) == "A")
+    assert(r.getLong(1) == 4L)
+    assert(r.getLong(2) == 2000000L, "slope6")
+    assert(r.getLong(3) == 300000000L, "intercept6")
+    assert(r.getDouble(4) == 1.0, "r2_4")
+  }
+
+  test("Kruskal–Wallis: groups {1,2} {3,4} {5,6} give H = 4.5714 " +
+      "(12/42·179/2 − 21, hand-computed), no tie correction") {
+    val dir = lineitemDir(Seq(
+      ("A", 1.0, 1.0), ("A", 2.0, 1.0), ("N", 3.0, 1.0), ("N", 4.0, 1.0),
+      ("R", 5.0, 1.0), ("R", 6.0, 1.0)))
+    val r = SparkEntry.queries("q_stats_kruskal")(spark, dir).collect().head
+    assert(r.getLong(0) == 6L) // n
+    // 2-scaled rank sums: A ranks {1,2}→6, N {3,4}→14, R {5,6}→22.
+    assert((r.getLong(4), r.getLong(5), r.getLong(6)) == ((6L, 14L, 22L)))
+    assert(r.getDouble(7) == 4.5714, "h4")
+    assert(r.getDouble(8) == 4.5714, "hc4 (no ties -> identical)")
+  }
+
+  test("Welch: equal means give t = 0; df is Welch–Satterthwaite " +
+      "16/5 on the {10,20,30} vs {10,10,40} fixture") {
+    import spark.implicits._
+    val dir = tmp("graft-stattests")
+    Seq(("BUILDING", 10.0), ("BUILDING", 20.0), ("BUILDING", 30.0),
+      ("AUTOMOBILE", 10.0), ("AUTOMOBILE", 10.0), ("AUTOMOBILE", 40.0))
+      .toDF("c_mktsegment", "c_acctbal")
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"$dir/customer.parquet")
+    val r = SparkEntry.queries("q_stats_welch")(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 3L)))
+    assert(r.getLong(2) == 2000000000L, "mean1_micro (2000 cents)")
+    assert(r.getLong(3) == 2000000000L, "mean2_micro")
+    assert(r.getDouble(4) == 0.0, "t4")
+    // Exact rational df = 16/5 = 3.2; allow the 2 dp floor to land on
+    // 3.19 if the double dips below.
+    assert(math.abs(r.getDouble(5) - 3.2) <= 0.011, s"df2 ${r.getDouble(5)}")
+  }
+
+  test("Hampel: a spike inside a full 7-day window flags (MAD=0 " +
+      "degenerate), edge days with partial windows are excluded") {
+    val day = 86400000000000L
+    // Days 0..8, 1 event/day except day 4 with 10 events.
+    val rows = (0 to 8).flatMap { d =>
+      val n = if (d == 4) 10 else 1
+      (0 until n).map(i => (1L, d * day + i, "view"))
+    }
+    val out = SparkEntry.queries("q_ts_hampel")(spark, eventsDir(rows))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    // Only days 3..5 carry full windows; med 1, MAD 0 everywhere.
+    assert(out == Seq(
+      (3L, 1L, 1L, 0L, false),
+      (4L, 10L, 1L, 0L, true),
+      (5L, 1L, 1L, 0L, false)))
+  }
+
+  test("PSI: identical even/odd cohorts score exactly 0") {
+    val day = 86400000000000L
+    // Users 0 (even) and 1 (odd) replay the same event stream.
+    val rows = (0 until 20).flatMap { i =>
+      Seq((0L, i * day, if (i % 2 == 0) "view" else "click"),
+        (1L, i * day, if (i % 2 == 0) "view" else "click"))
+    }
+    val r = SparkEntry.queries("q_stats_psi")(spark, eventsDir(rows))
+      .collect().head
+    assert(r.getLong(3) == 0L, "psi8")
+  }
+
+  test("theta sketch: identical sets make union and intersection " +
+      "estimates coincide, with 63 sketch hashes under theta") {
+    val day = 86400000000000L
+    // 80 distinct (user, day0) pairs in BOTH sets (>= k = 64).
+    val rows = (0L until 80L).flatMap(u =>
+      Seq((u, day + u, "view"), (u, day + u, "purchase")))
+    val r = SparkEntry.queries("q_sketch_theta")(spark, eventsDir(rows))
+      .collect().head
+    val (ta, tb, tu) = (r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(ta == tb && tb == tu, "identical sets -> identical thetas")
+    assert(r.getLong(7) == 63L, "inter_count: all sketch hashes below k-th")
+    assert(r.getLong(4) == r.getLong(8), "union_est == inter_est")
+    assert(r.getLong(5) == 80L && r.getLong(9) == 80L, "exact counts")
+  }
+}
