@@ -5282,6 +5282,87 @@ object Registry {
           .as("jsd6"))
   }
 
+  /** Multi-reference self-BLEU (Papineni et al. 2002 BLEU; Zhu et al.
+    * 2018 use self-BLEU as the corpus-diversity metric — high scores
+    * flag mode collapse / template spam in generated training data):
+    * every document scored BLEU-2 against a fixed 20-document reference
+    * panel (bottom-20 by md5(doc_id) — deterministic, excluded from
+    * scoring). Exactness: clipped n-gram matches are exact integers
+    * (min(count, max-over-refs count) — the standard multi-reference
+    * clip), the brevity-penalty reference length is the closest ref
+    * length with ties to the shorter via an integer-packed argmin
+    * (|r−c|·10⁹ + r), and the BLEU surface is ONE fixed-order double
+    * expression exp(bp + ½ln p₁ + ½ln p₂) per doc, 4 dp floor; zero
+    * matches at either order short-circuit to 0 before any ln. Scale
+    * shape: the panel relations (lengths, per-gram max counts) are tiny
+    * and broadcast; the corpus sees one explode → per-doc count pass
+    * per order — no doc×doc pair join anywhere, unlike naive self-BLEU
+    * (which is quadratic by definition; the fixed panel is the
+    * documented estimator trade). */
+  private def llmSelfBleu(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), trim(col("text")).as("text"))
+      .filter(size(TextAnalysis.tokens(col("text"))) >= 2)
+    val refs = docs
+      .withColumn("hk", md5(col("doc_id").cast("string")))
+      .withColumn("rk", row_number().over(Window.orderBy("hk")))
+      .filter(col("rk") <= 20)
+      .select(col("doc_id").as("ref_id"), col("text"))
+      .localCheckpoint(true)
+    val refLens = refs
+      .select(col("ref_id"), size(TextAnalysis.tokens(col("text"))).as("r"))
+    val refUni = refs
+      .select(col("ref_id"), explode(TextAnalysis.tokens(col("text")))
+        .as("tok"))
+      .groupBy("ref_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("tok").agg(max(col("c")).as("rmax"))
+    val refBi = refs
+      .select(col("ref_id"), explode(TextAnalysis.wordGrams(col("text"), 2))
+        .as("gram"))
+      .groupBy("ref_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("gram").agg(max(col("c")).as("rmax"))
+    val cand = docs
+      .join(broadcast(refs.select(col("ref_id").as("doc_id"))),
+        Seq("doc_id"), "left_anti")
+    val base = cand
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("c1"))
+      .crossJoin(broadcast(refLens))
+      .groupBy("doc_id", "c1")
+      .agg(min(abs(col("r") - col("c1")) * 1000000000L + col("r"))
+        .as("rkey"))
+      .select(col("doc_id"), col("c1"), (col("c1") - 1L).as("c2"),
+        pmod(col("rkey"), lit(1000000000L)).as("r"))
+    val m1 = cand
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text")))
+        .as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(refUni), Seq("tok"))
+      .groupBy("doc_id").agg(sum(least(col("cnt"), col("rmax"))).as("m1"))
+    val m2 = cand
+      .select(col("doc_id"), explode(TextAnalysis.wordGrams(col("text"), 2))
+        .as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(refBi), Seq("gram"))
+      .groupBy("doc_id").agg(sum(least(col("cnt"), col("rmax"))).as("m2"))
+    val bp = when(col("c1") >= col("r"), lit(0.0))
+      .otherwise(lit(1.0) - col("r").cast("double") / col("c1").cast("double"))
+    base.join(m1, Seq("doc_id"), "left").join(m2, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("c1"), col("r"),
+        coalesce(col("m1"), lit(0L)).as("m1"),
+        coalesce(col("m2"), lit(0L)).as("m2"),
+        when(coalesce(col("m1"), lit(0L)) === 0L
+          || coalesce(col("m2"), lit(0L)) === 0L, lit(0L))
+          .otherwise(floor(exp(bp
+            + lit(0.5) * log(col("m1").cast("double")
+              / col("c1").cast("double"))
+            + lit(0.5) * log(col("m2").cast("double")
+              / col("c2").cast("double"))) * 1e4).cast("long"))
+          .as("bleu4"))
+      .orderBy("doc_id")
+  }
+
   /** Top distinctive terms between two sources by chi-square over
     * document frequencies — KS (`q_stats_ks_quality`) says WHETHER the
     * corpora differ; this says WHICH terms carry the difference (the
@@ -5851,6 +5932,41 @@ object Registry {
       .select(col("day"), col("x"), col("med"), col("mad"),
         (abs(col("x") - col("med")) > lit(3L) * col("mad")).as("is_outlier"))
       .orderBy("day")
+  }
+
+  /** Holt linear (double) exponential smoothing of daily volume
+    * (Holt 1957/2004 reprint) with α = β = 1/4 — the trend-aware
+    * successor of [[tsEwma]]'s level-only baseline: keeps (level,
+    * trend) state so a steadily growing series forecasts ahead instead
+    * of lagging. Exactness: daily counts in exact 10⁴ units; the
+    * coupled recurrence l' = (x + 3(l+b)) div 4, b' = (l'−l+3b) div 4
+    * runs as ONE struct-accumulator fold over the sorted bounded daily
+    * series (initialized l₂=x₂, b₂=x₂−x₁) — all integer, and div ≡ //
+    * (both truncate) keeps a negative trend in lockstep. The ORACLE
+    * replays the recurrence with a recursive CTE rather than
+    * list_reduce: DuckDB 1.0.0's list_reduce mis-accumulates STRUCT
+    * accumulators (measured: two chained steps drop the trend field —
+    * each single step is correct), so the replay mechanism differs
+    * while the arithmetic stays identical. */
+  private def tsHolt(spark: SparkSession, dir: String): DataFrame = {
+    val days = t(spark, dir, "events")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg((count(lit(1)) * 10000L).as("x"))
+    days.agg(count(lit(1)).as("n_days"),
+        expr("transform(sort_array(collect_list(struct(day, x))), " +
+          "p -> p.x)").as("vals"))
+      .filter(col("n_days") >= 2)
+      .withColumn("st", expr(
+        "aggregate(slice(vals, 3, greatest(size(vals) - 2, 0)), " +
+          "named_struct('l', element_at(vals, 2), " +
+          "'b', element_at(vals, 2) - element_at(vals, 1)), " +
+          "(acc, x) -> named_struct(" +
+          "'l', (x + 3 * (acc.l + acc.b)) div 4, " +
+          "'b', ((x + 3 * (acc.l + acc.b)) div 4 - acc.l + 3 * acc.b) " +
+          "div 4))"))
+      .select(col("n_days"), col("st.l").as("level_units"),
+        col("st.b").as("trend_units"),
+        (col("st.l") + col("st.b")).as("forecast_units"))
   }
 
   /** Population stability index between the even- and odd-user cohorts
@@ -6498,6 +6614,8 @@ object Registry {
     "q_stats_psi" -> q(statsPsi),
     "q_sketch_theta" -> q(sketchTheta),
     "q_graph_eccentricity" -> q(graphEccentricity),
+    "q_ts_holt" -> q(tsHolt),
+    "q_llm_self_bleu" -> q(llmSelfBleu),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -11442,5 +11560,80 @@ object Registry {
               FROM s0 LEFT JOIN ec USING (s))
       SELECT seed, ecc, n_reached, max(ecc) OVER () AS diameter_lb
       FROM per ORDER BY seed"""),
+    // Holt replay: a RECURSIVE CTE carries the identical (level, trend)
+    // integer recurrence (DuckDB 1.0.0 list_reduce mis-accumulates
+    // struct accumulators, so the fold mechanism differs; the
+    // arithmetic is step-identical).
+    "q_ts_holt" ->
+      """WITH RECURSIVE days AS (SELECT
+             epoch_ns(ts) // 86400000000000 AS day,
+             CAST(count(*) * 10000 AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 list(x ORDER BY day) AS vals FROM days),
+         r AS (SELECT 2 AS i, vals[2] AS l, vals[2] - vals[1] AS b FROM s
+               UNION ALL
+               SELECT i + 1, (s.vals[i + 1] + 3 * (l + b)) // 4,
+                 ((s.vals[i + 1] + 3 * (l + b)) // 4 - l + 3 * b) // 4
+               FROM r, s WHERE i < s.n)
+         SELECT s.n AS n_days, r.l AS level_units, r.b AS trend_units,
+           r.l + r.b AS forecast_units
+         FROM r, s WHERE r.i = s.n AND s.n >= 2""",
+    // Self-BLEU replay: same md5-ranked 20-doc panel, same clipped
+    // max-count matches, same packed-argmin BP length, same fixed-order
+    // exp/ln surface.
+    "q_llm_self_bleu" ->
+      """WITH base0 AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS t FROM documents),
+         docs AS (SELECT doc_id, t FROM base0 WHERE len(t) >= 2),
+         refs AS (SELECT doc_id AS ref_id, t FROM (
+             SELECT doc_id, t, row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+             FROM docs) WHERE rk <= 20),
+         reflens AS (SELECT ref_id, CAST(len(t) AS BIGINT) AS r FROM refs),
+         refuni AS (SELECT tok, CAST(max(c) AS BIGINT) AS rmax FROM (
+             SELECT ref_id, tok, count(*) AS c FROM (
+               SELECT ref_id, unnest(t) AS tok FROM refs)
+             GROUP BY ref_id, tok) GROUP BY tok),
+         refbi AS (SELECT gram, CAST(max(c) AS BIGINT) AS rmax FROM (
+             SELECT ref_id, gram, count(*) AS c FROM (
+               SELECT ref_id, unnest(list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i+1])) AS gram FROM refs)
+             GROUP BY ref_id, gram) GROUP BY gram),
+         cand AS (SELECT doc_id, t FROM docs
+                  WHERE doc_id NOT IN (SELECT ref_id FROM refs)),
+         base AS (SELECT doc_id, c1, c1 - 1 AS c2,
+             rkey % 1000000000 AS r FROM (
+             SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS c1,
+               CAST(min(abs(l.r - len(d.t)) * 1000000000 + l.r)
+                 AS BIGINT) AS rkey
+             FROM cand d, reflens l GROUP BY 1, 2)),
+         mm1 AS (SELECT doc_id, CAST(sum(LEAST(cnt, rmax)) AS BIGINT)
+               AS m1 FROM (
+             SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+               SELECT doc_id, unnest(t) AS tok FROM cand)
+             GROUP BY doc_id, tok) c
+           JOIN refuni USING (tok) GROUP BY doc_id),
+         mm2 AS (SELECT doc_id, CAST(sum(LEAST(cnt, rmax)) AS BIGINT)
+               AS m2 FROM (
+             SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt FROM (
+               SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i+1])) AS gram FROM cand)
+             GROUP BY doc_id, gram) c
+           JOIN refbi USING (gram) GROUP BY doc_id)
+         SELECT b.doc_id, b.c1, b.r,
+           CAST(COALESCE(mm1.m1, 0) AS BIGINT) AS m1,
+           CAST(COALESCE(mm2.m2, 0) AS BIGINT) AS m2,
+           CASE WHEN COALESCE(mm1.m1, 0) = 0 OR COALESCE(mm2.m2, 0) = 0
+             THEN CAST(0 AS BIGINT)
+             ELSE CAST(FLOOR(exp(
+               (CASE WHEN b.c1 >= b.r THEN 0.0
+                ELSE 1.0 - CAST(b.r AS DOUBLE) / CAST(b.c1 AS DOUBLE) END)
+               + 0.5 * ln(CAST(mm1.m1 AS DOUBLE) / CAST(b.c1 AS DOUBLE))
+               + 0.5 * ln(CAST(mm2.m2 AS DOUBLE) / CAST(b.c2 AS DOUBLE)))
+               * 1e4) AS BIGINT) END AS bleu4
+         FROM base b LEFT JOIN mm1 USING (doc_id)
+           LEFT JOIN mm2 USING (doc_id)
+         ORDER BY b.doc_id""",
   )
 }

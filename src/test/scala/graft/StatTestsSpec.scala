@@ -106,6 +106,45 @@ class StatTestsSpec extends SparkSpecBase {
     assert(r.getLong(3) == 0L, "psi8")
   }
 
+  test("Holt: a perfectly linear series settles on its own slope and " +
+      "forecasts one step ahead exactly") {
+    val day = 86400000000000L
+    // Counts 1,2,3,4,5 per day -> units 10000..50000, slope 10000/day.
+    val rows = (0 until 5).flatMap(d =>
+      (0 to d).map(i => (1L, d * day + i, "view")))
+    val r = SparkEntry.queries("q_ts_holt")(spark, eventsDir(rows))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((5L, 50000L, 10000L, 60000L)))
+  }
+
+  test("self-BLEU: clones of the panel text score 10000, disjoint " +
+      "vocabulary scores 0") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // Panel membership depends ONLY on md5(doc_id) — compute the one
+    // non-panel id to plant the disjoint-vocabulary document there.
+    val ids = (0L until 25L).toSeq
+    val refIds = ids.sortBy(id => md5hex(id.toString)).take(20).toSet
+    val oddOut = ids.filterNot(refIds).head
+    import spark.implicits._
+    val dir = tmp("graft-stattests")
+    ids.map(id => (id,
+        if (id == oddOut) "x y z" else "a b c d"))
+      .toDF("doc_id", "text").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_llm_self_bleu")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out.size == 5)
+    // The disjoint doc: no unigram matches -> short-circuit to 0.
+    assert(out(oddOut) == ((3L, 0L, 0L, 0L)))
+    // Every clone: full clipped matches, c == r -> BP 0, p1 = p2 = 1.
+    (out - oddOut).values.foreach(v => assert(v == ((4L, 4L, 3L, 10000L))))
+  }
+
   test("theta sketch: identical sets make union and intersection " +
       "estimates coincide, with 63 sketch hashes under theta") {
     val day = 86400000000000L
