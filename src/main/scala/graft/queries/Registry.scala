@@ -3367,6 +3367,54 @@ object Registry {
       .orderBy("cid")
   }
 
+  /** Squared-distance simplified silhouette per cluster (Rousseeuw 1987
+    * silhouettes; the centroid-based "simplified" variant is Hruschka et
+    * al. 2004 — O(n·k) instead of O(n²)) — the fourth cluster-eval
+    * metric beside ANN recall, langid confusion, and purity: how tight
+    * is each cluster relative to its nearest competitor? FULLY integer:
+    * distances are the DetKMeans integer squared-L2 units, a² = the
+    * final assignment's own distance, b² = min distance to any OTHER
+    * pre-update centroid (b² ≥ a² by argmin, so scores live in
+    * [0, 10⁶]), s = (b²−a²)·10⁶ div max(a²,b²) in DECIMAL (the ×10⁶
+    * can top Long at unit scale), per-cluster mean is one truncating
+    * division. Same k=8/iters=2 chain as [[llmClusterPurity]], so the
+    * generated oracle replays the identical training run. */
+  private def llmSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    val pts = graft.llm.DetKMeans.unitPoints(
+      t(spark, dir, "embeddings"), "vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c0 = graft.llm.DetKMeans.seedCentroids(pts, 8)
+    val a1 = graft.llm.DetKMeans.assignTo(pts, c0)
+    val c1 = graft.llm.DetKMeans.updateCentroids(a1, 64)
+      .localCheckpoint(true)
+    // ONE scoring crossJoin feeds both the final assignment (same
+    // min(struct(d, cid)) tie rule as DetKMeans.assignTo) and the
+    // second-nearest pass — assignTo here would score the corpus twice.
+    val scored = pts.crossJoin(broadcast(c1))
+      .select(col("id"), col("cid"),
+        graft.llm.DetKMeans.dist2(col("u"), col("c")).as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a2 = scored.groupBy("id")
+      .agg(min(struct(col("d"), col("cid"))).as("m"))
+      .select(col("id"), col("m.cid").as("cid"), col("m.d").as("d"))
+    val b = scored
+      .join(a2.select(col("id"), col("cid").as("best_cid")), Seq("id"))
+      .filter(col("cid") =!= col("best_cid"))
+      .groupBy("id").agg(min(col("d")).as("b2"))
+    a2.select(col("id"), col("cid"), col("d").as("a2d"))
+      .join(b, Seq("id"))
+      .select(col("cid"),
+        when(greatest(col("a2d"), col("b2")) === 0L, lit(0L))
+          .otherwise(expr("CAST((CAST(b2 AS DECIMAL(38,0)) - a2d) " +
+            "* 1000000 div greatest(a2d, b2) AS BIGINT)"))
+          .as("s6"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_points"), sum(col("s6")).as("ssum"))
+      .select(col("cid"), col("n_points"),
+        expr("ssum div n_points").as("mean_s6"))
+      .orderBy("cid")
+  }
+
   /** ANN recall@10 evaluation — the index-quality loop a vector-search
     * deployment runs before trusting an ANN index: for every mod-97
     * query vector, compare the IVF probe-2 top-10 against the exact
@@ -5154,6 +5202,37 @@ object Registry {
       .orderBy("seed")
   }
 
+  /** Weakly-connected-component size profile of the 1/16 co-purchase
+    * subgraph — THE graph-shape diagnostic ("one giant component or
+    * fragmented shards?") that calibrates every iterative operator's
+    * round budget; rides [[graft.llm.Dedup.connectedComponents]]
+    * (min-label convention), which auto-selects the one-job driver
+    * union-find below `SmallGraphMaxPairs` symmetrized pairs and the
+    * distributed O(log d) pointer-jumping loop above it — this
+    * subgraph crosses that threshold between sf0.1 and sf1, so both
+    * physical paths serve the same registered query across the bench
+    * scales. Output is the bounded size histogram with an exact
+    * component-id checksum (integer sum of min-member ids). */
+  private def graphWcc(spark: SparkSession, dir: String): DataFrame = {
+    val sub = t(spark, dir, "lineitem")
+      .filter(pmod(col("l_partkey"), lit(4)) === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x, y))))"))
+        .as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
+    val canon = graft.operators.Triangles.canonical(sub, "x", "y")
+    val cc = graft.llm.Dedup.connectedComponents(canon, "lo", "hi")
+    cc.groupBy("component").agg(count(lit(1)).as("component_size"))
+      .groupBy("component_size")
+      .agg(count(lit(1)).as("n_components"),
+        sum(col("component").cast(DecimalType(38, 0))).cast("long")
+          .as("comp_checksum"))
+      .orderBy("component_size")
+  }
+
   /** k-truss peeling (k=4, 3 rounds) on a 1/16 co-purchase subgraph —
     * the community-backbone extractor (every surviving edge sits in ≥ 2
     * triangles of the truss). Support counting is a full triangle pass
@@ -6616,6 +6695,8 @@ object Registry {
     "q_graph_eccentricity" -> q(graphEccentricity),
     "q_ts_holt" -> q(tsHolt),
     "q_llm_self_bleu" -> q(llmSelfBleu),
+    "q_llm_silhouette" -> q(llmSilhouette),
+    "q_graph_wcc" -> q(graphWcc),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -11635,5 +11716,53 @@ object Registry {
          FROM base b LEFT JOIN mm1 USING (doc_id)
            LEFT JOIN mm2 USING (doc_id)
          ORDER BY b.doc_id""",
+    // Silhouette replay: the same generated k=8/iters=2 chain; b² from
+    // the c1 centroids with the assigned cid excluded, same DECIMAL
+    // scaled ratio, same truncating per-cluster mean.
+    "q_llm_silhouette" -> (graft.llm.DetKMeans.oracleCtes(
+      "embeddings", "vec_id", "embedding", k = 8, iters = 2, dim = 64) +
+      """,
+         sc AS (SELECT pt.id, c.cid,
+                  list_sum(list_transform(range(1, 65),
+                    i -> (pt.u[i] - c.c[i]) * (pt.u[i] - c.c[i]))) AS d
+                FROM u0 pt, c1 c),
+         bb AS (SELECT sc.id, CAST(min(sc.d) AS BIGINT) AS b2
+                FROM sc JOIN a2 ON sc.id = a2.id AND sc.cid <> a2.cid
+                GROUP BY sc.id),
+         sil AS (SELECT a2.cid,
+                   CASE WHEN greatest(a2.d, bb.b2) = 0
+                     THEN CAST(0 AS BIGINT)
+                     ELSE CAST((CAST(bb.b2 AS HUGEINT) - a2.d) * 1000000
+                       // greatest(a2.d, bb.b2) AS BIGINT) END AS s6
+                 FROM a2 JOIN bb ON a2.id = bb.id)
+         SELECT cid, CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(s6) // count(*) AS BIGINT) AS mean_s6
+         FROM sil GROUP BY cid ORDER BY cid"""),
+    // WCC replay: recursive min-label closure (a label walks only onto
+    // larger-id nodes, and the component minimum reaches everything),
+    // then the same size histogram + id checksum.
+    "q_graph_wcc" ->
+      """WITH RECURSIVE e0 AS (
+             SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+             FROM lineitem a JOIN lineitem b
+               ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+             WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0),
+         adj AS (SELECT lo AS src, hi AS dst FROM e0
+                 UNION ALL SELECT hi, lo FROM e0),
+         r AS (SELECT src AS node, src AS lbl
+               FROM (SELECT DISTINCT src FROM adj)
+               UNION
+               SELECT adj.dst, r.lbl FROM r JOIN adj ON adj.src = r.node
+               WHERE r.lbl < adj.dst),
+         comp AS (SELECT node, CAST(min(lbl) AS BIGINT) AS component
+                  FROM r GROUP BY node),
+         sizes AS (SELECT component,
+                     CAST(count(*) AS BIGINT) AS component_size
+                   FROM comp GROUP BY component)
+         SELECT component_size, CAST(count(*) AS BIGINT) AS n_components,
+           CAST(sum(CAST(component AS HUGEINT)) AS BIGINT)
+             AS comp_checksum
+         FROM sizes GROUP BY component_size ORDER BY component_size""",
   )
 }

@@ -145,6 +145,47 @@ class StatTestsSpec extends SparkSpecBase {
     (out - oddOut).values.foreach(v => assert(v == ((4L, 4L, 3L, 10000L))))
   }
 
+  test("WCC histogram: two crafted co-purchase components land in the " +
+      "right size buckets with min-id checksums") {
+    import spark.implicits._
+    val dir = tmp("graft-stattests")
+    // Orders 1:{4,8}, 2:{8,12} chain into component {4,8,12} (min 4);
+    // order 3:{16,20} is its own pair component (min 16).
+    Seq((1L, 4L), (1L, 8L), (2L, 8L), (2L, 12L), (3L, 16L), (3L, 20L))
+      .toDF("l_orderkey", "l_partkey").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q_graph_wcc")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((2L, 1L, 16L), (3L, 1L, 4L)))
+  }
+
+  test("silhouette: two tight far-apart groups (both holding seed " +
+      "slots) score a perfect 10^6 in both clusters") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // Split by md5 rank parity so the bottom-8 seed slots are shared
+    // 4/4 between the groups (rank 1 -> group A => cluster cid 0 is A,
+    // rank 2 -> B => cid 1), making the output cids deterministic.
+    val ids = (0L until 60L).toSeq
+    val ranked = ids.sortBy(id => md5hex(id.toString))
+    val groupA = ranked.zipWithIndex.collect {
+      case (id, i) if i % 2 == 0 => id
+    }.toSet
+    import spark.implicits._
+    val dir = tmp("graft-stattests")
+    ids.map { id =>
+      val v = if (groupA(id)) 0.0f else 1.0f
+      (id, Seq.fill(64)(v))
+    }.toDF("vec_id", "embedding").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q_llm_silhouette")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // Intra-cluster distance 0, inter 64·(10^6)² -> s = 10^6 exactly.
+    assert(out == Seq((0L, 30L, 1000000L), (1L, 30L, 1000000L)))
+  }
+
   test("theta sketch: identical sets make union and intersection " +
       "estimates coincide, with 63 sketch hashes under theta") {
     val day = 86400000000000L
