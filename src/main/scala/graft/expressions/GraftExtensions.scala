@@ -44,6 +44,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FloatDot(exprs.head, exprs(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("long_sq_dist"),
+      new ExpressionInfo(classOf[LongSqDist].getName, "long_sq_dist"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "long_sq_dist takes (array, array)")
+        LongSqDist(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("deflate_len"),
       new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
       (exprs: Seq[Expression]) => {

@@ -36,8 +36,21 @@ object DetKMeans {
   def toUnits(emb: Column): Column =
     transform(emb, x => floor(x.cast("double") * 1000000 + lit(0.5)).cast("long"))
 
-  /** Integer squared L2 between unit arrays (index-order fold). */
-  def dist2(a: Column, b: Column): Column =
+  /** Integer squared L2 between unit arrays — the native codegen'd loop
+    * kernel ([[graft.expressions.LongSqDist]]); bit-identical to the
+    * `aggregate(zip_with(...))` fold it replaced (exact Long adds in
+    * index order, null/length-mismatch poisoning), but stays inside
+    * whole-stage codegen instead of interpreted lambda dispatch —
+    * LongSqDistSpec pins the equivalence. */
+  def dist2(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.expressions.LongSqDist(
+      Bridge.expression(a), Bridge.expression(b)))
+  }
+
+  /** The pre-native lambda formulation, kept as the spec's reference
+    * semantics ([[dist2]] must stay bit-identical to this). */
+  private[graft] def dist2Lambda(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)
 

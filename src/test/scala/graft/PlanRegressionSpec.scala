@@ -204,7 +204,8 @@ class PlanRegressionSpec extends SparkSpecBase {
       "q_llm_cosine_neardup" -> "float_dot",
       "q_llm_compress_ratio" -> "deflate_len",
       "q_llm_er_linkage" -> "jaro_winkler4",
-      "q_layout_hilbert" -> "hilbert_index")
+      "q_layout_hilbert" -> "hilbert_index",
+      "q_llm_kmeans_det" -> "long_sq_dist")
     targets.foreach { case (query, exprName) =>
       graft.queries.Registry.configure(spark)
       val df = SparkEntry.queries(query)(spark, sfDir)
