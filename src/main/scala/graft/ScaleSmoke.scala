@@ -796,7 +796,12 @@ object ScaleSmoke {
         "q_llm_cluster_purity",
         // round-12 additions ride the same smoked relations
         "q_ts_changepoint", "q_stats_mann_kendall", "q_sketch_kmv",
-        "q_llm_jsd")) {
+        "q_llm_jsd",
+        // round-12 continuation waves (stats/sketch/graph/eval)
+        "q_stats_ols", "q_stats_kruskal", "q_stats_welch", "q_ts_hampel",
+        "q_stats_psi", "q_sketch_theta", "q_graph_eccentricity",
+        "q_ts_holt", "q_llm_self_bleu", "q_llm_silhouette",
+        "q_graph_wcc")) {
       val n = timed(s"$qn (registered shape)")(
         SparkEntry.queries(qn)(spark, sfDir).count())
       println(s"[scale] $qn rows: $n")

@@ -312,6 +312,43 @@ object EventStream {
       }
   }
 
+  final case class HoltReport(key: Long, bin: Long, units: Long,
+                              level: Long, trend: Long, n: Long)
+
+  /** Streaming twin of the batch Holt smoother (`q_ts_holt`): the
+    * per-key (level, trend) state maintained across micro-batches with
+    * the identical integer recurrence l' = (x + 3(l+b)) div 4,
+    * b' = (l'−l+3b) div 4 (Scala `/` on Long truncates toward zero —
+    * the same quantization as Spark div / DuckDB //). Initialization
+    * matches the batch fold: the first bin arms the state silently
+    * (l₂ = x₂, b₂ = x₂ − x₁ fire on the SECOND bin), so a series split
+    * across any number of micro-batches reports exactly the batch
+    * fold's state at every prefix from bin 2 onward. Same per-key
+    * bin-ordered changelog contract as [[streamingEwma]]. */
+  def streamingHolt(rows: Dataset[BinValue]): Dataset[HoltReport] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Long, Long), HoltReport](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (key, batch, state: GroupState[(Long, Long, Long)]) =>
+          var (n, l, b) = state.getOption.getOrElse((0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[HoltReport]
+          batch.toSeq.sortBy(_.bin).foreach { r =>
+            if (n == 0L) { l = r.units; b = 0L }
+            else if (n == 1L) { b = r.units - l; l = r.units }
+            else {
+              val l2 = (r.units + 3 * (l + b)) / 4
+              b = (l2 - l + 3 * b) / 4
+              l = l2
+            }
+            n += 1
+            if (n >= 2L) out += HoltReport(key, r.bin, r.units, l, b, n)
+          }
+          state.update((n, l, b))
+          out.iterator
+      }
+  }
+
   final case class Scd2Change(key: Long, ts: Long, id: Long, value: String)
   final case class Scd2Closed(key: Long, value: String, valid_from: Long,
                               valid_to: Long, version_n: Long)

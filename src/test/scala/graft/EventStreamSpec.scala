@@ -457,6 +457,49 @@ class EventStreamSpec extends SparkSpecBase {
     assert(got.toSeq == expected)
   }
 
+  test("streaming Holt equals the batch fold across a burst boundary") {
+    import spark.implicits._
+    val eSchema = StructType(Seq(
+      StructField("key", LongType), StructField("bin", LongType),
+      StructField("units", LongType)))
+    // Quadratic series: the trend state changes every bin, so a carry
+    // bug across the burst boundary cannot cancel out.
+    def series(k: Long) = (1L to 9L).map(b => (k, b, 100L * b * b + k * 7))
+    val all = series(1) ++ series(2)
+    val bursts = Seq(all.filter(_._2 <= 4), all.filter(_._2 > 4))
+    val dir = java.nio.file.Files.createTempDirectory("graft-holt").toString
+    bursts.foreach { b =>
+      b.toDF("key", "bin", "units").coalesce(1).write.mode("append")
+        .parquet(s"$dir/stream")
+      Thread.sleep(1100)
+    }
+    val q = EventStream.replayParquetAsStream(spark, s"$dir/stream", eSchema,
+      d => EventStream.streamingHolt(d.as[EventStream.BinValue]).toDF(),
+      "holt_sink", org.apache.spark.sql.streaming.OutputMode.Append())
+    q.awaitTermination(60000)
+    val got = spark.table("holt_sink").collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Long]("bin"),
+        r.getAs[Long]("level"), r.getAs[Long]("trend"), r.getAs[Long]("n")))
+      .sortBy(x => (x._1, x._2))
+    // Plain fold of the identical recurrence — the batch q_ts_holt math
+    // (l₂ = x₂, b₂ = x₂ − x₁, then the coupled div-4 updates).
+    val expected = Seq(1L, 2L).flatMap { k =>
+      val vs = series(k).map(_._3)
+      var l = vs.head
+      var b = 0L
+      vs.zipWithIndex.drop(1).map { case (v, i) =>
+        if (i == 1) { b = v - l; l = v }
+        else {
+          val l2 = (v + 3 * (l + b)) / 4
+          b = (l2 - l + 3 * b) / 4
+          l = l2
+        }
+        (k, (i + 1).toLong, l, b, (i + 1).toLong)
+      }
+    }.sortBy(x => (x._1, x._2))
+    assert(got.toSeq == expected)
+  }
+
   test("streaming SCD2 closed rows equal the batch build's closed rows") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
