@@ -5937,6 +5937,121 @@ object Registry {
       (floor(hc * 1e4) / 1e4).as("hc4"))
   }
 
+  /** One-way ANOVA F across the three return-flag cohorts on quantity
+    * (Fisher 1925) — the parametric sibling of [[statsKruskal]]: same
+    * question, mean-based instead of rank-based, so the pair documents
+    * how much the rank transform costs/buys on this data. Exactness:
+    * per-group n/Σv/Σv² from ONE conditional aggregate pass are exact
+    * DECIMAL(38,0); SSB = Σ s_g²/n_g − S²/N and SSW = Σq − Σ s_g²/n_g
+    * assemble in ONE fixed-order double expression (three explicit
+    * per-group terms, no cross-row double sum) and
+    * F = (SSB/(k−1))/(SSW/(N−k)) floors at 4 dp. */
+  private def statsAnova(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val agg = t(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("g"),
+        floor(col("l_quantity") * 100 + 0.5).cast("long").as("v"))
+      .agg(
+        sum(when(col("g") === "A", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g") === "A", col("v")).otherwise(0L).cast(dec)).as("s1"),
+        sum(when(col("g") === "A", col("v").cast(dec) * col("v"))
+          .otherwise(lit(0).cast(dec))).as("q1"),
+        sum(when(col("g") === "N", 1L).otherwise(0L)).as("n2"),
+        sum(when(col("g") === "N", col("v")).otherwise(0L).cast(dec)).as("s2"),
+        sum(when(col("g") === "N", col("v").cast(dec) * col("v"))
+          .otherwise(lit(0).cast(dec))).as("q2"),
+        sum(when(col("g") === "R", 1L).otherwise(0L)).as("n3"),
+        sum(when(col("g") === "R", col("v")).otherwise(0L).cast(dec)).as("s3"),
+        sum(when(col("g") === "R", col("v").cast(dec) * col("v"))
+          .otherwise(lit(0).cast(dec))).as("q3"))
+    def d(c: Column): Column = c.cast("double")
+    val bet = d(col("s1")) * d(col("s1")) / d(col("n1")) +
+      d(col("s2")) * d(col("s2")) / d(col("n2")) +
+      d(col("s3")) * d(col("s3")) / d(col("n3"))
+    val nTot = col("n1") + col("n2") + col("n3")
+    val sTot = d(col("s1")) + d(col("s2")) + d(col("s3"))
+    val qTot = d(col("q1")) + d(col("q2")) + d(col("q3"))
+    val ssb = bet - sTot * sTot / d(nTot)
+    val ssw = qTot - bet
+    val f = (ssb / 2.0) / (ssw / (d(nTot) - 3.0))
+    agg.select(nTot.as("n"), col("n1"), col("n2"), col("n3"),
+      (floor(ssb * 1e2) / 1e2).as("ssb2"),
+      (floor(ssw * 1e2) / 1e2).as("ssw2"),
+      (floor(f * 1e4) / 1e4).as("f4"))
+  }
+
+  /** Brown–Forsythe variance-equality test (Levene 1960 test with the
+    * Brown & Forsythe 1974 median centering) across the return-flag
+    * cohorts on quantity — the guard one runs BEFORE trusting a pooled
+    * test: are the spreads even comparable? FULLY exact pieces: group
+    * medians come from the distinct-value relation as 2-SCALED sums of
+    * the lower+upper middle order statistics (so even-count medians
+    * stay integer), per-row deviations |2v − med2| are exact integers,
+    * and the one-way F on the deviations assembles from exact
+    * DECIMAL(38,0) moments through the same fixed-order
+    * three-explicit-terms surface as [[statsAnova]], 4 dp floor. */
+  private def statsLevene(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    val vals = t(spark, dir, "lineitem")
+      .select(floor(col("l_quantity") * 100 + 0.5).cast("long").as("v"),
+        col("l_returnflag").as("g"))
+      .groupBy("v").agg(
+        sum(when(col("g") === "A", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === "N", 1L).otherwise(0L)).as("cn"),
+        sum(when(col("g") === "R", 1L).otherwise(0L)).as("cr"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = vals
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumn", sum(col("cn")).over(w))
+      .withColumn("cumr", sum(col("cr")).over(w))
+    val tot = vals.agg(sum(col("ca")).as("na"), sum(col("cn")).as("nb"),
+      sum(col("cr")).as("nc"))
+    // med2_g = v[(n+1) div 2] + v[(n+2) div 2] (1-based kth smallest
+    // via the cumulative counts on the bounded distinct-value relation).
+    val med = cum.crossJoin(broadcast(tot)).agg(
+      (min(when(col("cuma") >= expr("(na + 1) div 2"), col("v"))) +
+        min(when(col("cuma") >= expr("(na + 2) div 2"), col("v"))))
+        .as("medA2"),
+      (min(when(col("cumn") >= expr("(nb + 1) div 2"), col("v"))) +
+        min(when(col("cumn") >= expr("(nb + 2) div 2"), col("v"))))
+        .as("medN2"),
+      (min(when(col("cumr") >= expr("(nc + 1) div 2"), col("v"))) +
+        min(when(col("cumr") >= expr("(nc + 2) div 2"), col("v"))))
+        .as("medR2"))
+    val agg = vals.crossJoin(broadcast(med)).agg(
+      sum(col("ca")).as("n1"),
+      sum(col("ca").cast(dec) * abs(lit(2L) * col("v") - col("medA2")))
+        .as("s1"),
+      sum(col("ca").cast(dec) * abs(lit(2L) * col("v") - col("medA2"))
+        * abs(lit(2L) * col("v") - col("medA2"))).as("q1"),
+      sum(col("cn")).as("n2"),
+      sum(col("cn").cast(dec) * abs(lit(2L) * col("v") - col("medN2")))
+        .as("s2"),
+      sum(col("cn").cast(dec) * abs(lit(2L) * col("v") - col("medN2"))
+        * abs(lit(2L) * col("v") - col("medN2"))).as("q2"),
+      sum(col("cr")).as("n3"),
+      sum(col("cr").cast(dec) * abs(lit(2L) * col("v") - col("medR2")))
+        .as("s3"),
+      sum(col("cr").cast(dec) * abs(lit(2L) * col("v") - col("medR2"))
+        * abs(lit(2L) * col("v") - col("medR2"))).as("q3"))
+    def d(c: Column): Column = c.cast("double")
+    val bet = d(col("s1")) * d(col("s1")) / d(col("n1")) +
+      d(col("s2")) * d(col("s2")) / d(col("n2")) +
+      d(col("s3")) * d(col("s3")) / d(col("n3"))
+    val nTot = col("n1") + col("n2") + col("n3")
+    val sTot = d(col("s1")) + d(col("s2")) + d(col("s3"))
+    val qTot = d(col("q1")) + d(col("q2")) + d(col("q3"))
+    val ssb = bet - sTot * sTot / d(nTot)
+    val ssw = qTot - bet
+    val f = (ssb / 2.0) / (ssw / (d(nTot) - 3.0))
+    agg.select(nTot.as("n"), col("n1"), col("n2"), col("n3"),
+      col("s1").cast("long").as("dev2_sum_a"),
+      col("s2").cast("long").as("dev2_sum_n"),
+      col("s3").cast("long").as("dev2_sum_r"),
+      (floor(f * 1e4) / 1e4).as("f4"))
+  }
+
   /** Welch's unequal-variance t-test (Welch 1947) between the BUILDING
     * and AUTOMOBILE segments on account balance, with the Welch–
     * Satterthwaite df — the two-cohort mean comparison that does not
@@ -6697,6 +6812,8 @@ object Registry {
     "q_llm_self_bleu" -> q(llmSelfBleu),
     "q_llm_silhouette" -> q(llmSilhouette),
     "q_graph_wcc" -> q(graphWcc),
+    "q_stats_anova" -> q(statsAnova),
+    "q_stats_levene" -> q(statsLevene),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -11764,5 +11881,119 @@ object Registry {
            CAST(sum(CAST(component AS HUGEINT)) AS BIGINT)
              AS comp_checksum
          FROM sizes GROUP BY component_size ORDER BY component_size""",
+    // ANOVA replay: same exact conditional moments, same fixed-order
+    // three-term SSB/SSW doubles, same 2 dp / 4 dp floors.
+    "q_stats_anova" ->
+      """WITH c AS (SELECT l_returnflag AS g,
+             CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS v
+           FROM lineitem),
+         agg AS (SELECT
+             CAST(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(sum(CASE WHEN g = 'A' THEN CAST(v AS HUGEINT)
+               ELSE 0 END) AS HUGEINT) AS s1,
+             CAST(sum(CASE WHEN g = 'A' THEN CAST(v AS HUGEINT) * v
+               ELSE 0 END) AS HUGEINT) AS q1,
+             CAST(sum(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2,
+             CAST(sum(CASE WHEN g = 'N' THEN CAST(v AS HUGEINT)
+               ELSE 0 END) AS HUGEINT) AS s2,
+             CAST(sum(CASE WHEN g = 'N' THEN CAST(v AS HUGEINT) * v
+               ELSE 0 END) AS HUGEINT) AS q2,
+             CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n3,
+             CAST(sum(CASE WHEN g = 'R' THEN CAST(v AS HUGEINT)
+               ELSE 0 END) AS HUGEINT) AS s3,
+             CAST(sum(CASE WHEN g = 'R' THEN CAST(v AS HUGEINT) * v
+               ELSE 0 END) AS HUGEINT) AS q3
+           FROM c),
+         fin AS (SELECT n1, n2, n3,
+             CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                 / CAST(n2 AS DOUBLE)
+               + CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE)
+                 / CAST(n3 AS DOUBLE) AS bet,
+             CAST(s1 AS DOUBLE) + CAST(s2 AS DOUBLE) + CAST(s3 AS DOUBLE)
+               AS stot,
+             CAST(q1 AS DOUBLE) + CAST(q2 AS DOUBLE) + CAST(q3 AS DOUBLE)
+               AS qtot,
+             CAST(n1 + n2 + n3 AS DOUBLE) AS ntd
+           FROM agg)
+         SELECT n1 + n2 + n3 AS n, n1, n2, n3,
+           FLOOR((bet - stot * stot / ntd) * 1e2) / 1e2 AS ssb2,
+           FLOOR((qtot - bet) * 1e2) / 1e2 AS ssw2,
+           FLOOR(((bet - stot * stot / ntd) / 2.0)
+             / ((qtot - bet) / (ntd - 3.0)) * 1e4) / 1e4 AS f4
+         FROM fin""",
+    // Brown–Forsythe replay: same distinct-value 2-scaled medians, same
+    // exact deviation moments, same fixed-order F surface.
+    "q_stats_levene" ->
+      """WITH vals AS (SELECT
+             CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS v,
+             CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+               AS BIGINT) AS cn,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS cr
+           FROM lineitem GROUP BY 1),
+         cum AS (SELECT v, ca, cn, cr,
+             CAST(sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma,
+             CAST(sum(cn) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS cumn,
+             CAST(sum(cr) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS cumr
+           FROM vals),
+         tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+             CAST(sum(cn) AS BIGINT) AS nb,
+             CAST(sum(cr) AS BIGINT) AS nc FROM vals),
+         med AS (SELECT
+             CAST(min(CASE WHEN cuma >= (na + 1) // 2 THEN v END)
+               + min(CASE WHEN cuma >= (na + 2) // 2 THEN v END)
+               AS BIGINT) AS meda2,
+             CAST(min(CASE WHEN cumn >= (nb + 1) // 2 THEN v END)
+               + min(CASE WHEN cumn >= (nb + 2) // 2 THEN v END)
+               AS BIGINT) AS medn2,
+             CAST(min(CASE WHEN cumr >= (nc + 1) // 2 THEN v END)
+               + min(CASE WHEN cumr >= (nc + 2) // 2 THEN v END)
+               AS BIGINT) AS medr2
+           FROM cum, tot),
+         agg AS (SELECT
+             CAST(sum(ca) AS BIGINT) AS n1,
+             CAST(sum(CAST(ca AS HUGEINT) * abs(2 * v - meda2))
+               AS HUGEINT) AS s1,
+             CAST(sum(CAST(ca AS HUGEINT) * abs(2 * v - meda2)
+               * abs(2 * v - meda2)) AS HUGEINT) AS q1,
+             CAST(sum(cn) AS BIGINT) AS n2,
+             CAST(sum(CAST(cn AS HUGEINT) * abs(2 * v - medn2))
+               AS HUGEINT) AS s2,
+             CAST(sum(CAST(cn AS HUGEINT) * abs(2 * v - medn2)
+               * abs(2 * v - medn2)) AS HUGEINT) AS q2,
+             CAST(sum(cr) AS BIGINT) AS n3,
+             CAST(sum(CAST(cr AS HUGEINT) * abs(2 * v - medr2))
+               AS HUGEINT) AS s3,
+             CAST(sum(CAST(cr AS HUGEINT) * abs(2 * v - medr2)
+               * abs(2 * v - medr2)) AS HUGEINT) AS q3
+           FROM vals, med),
+         fin AS (SELECT n1, n2, n3, s1, s2, s3,
+             CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                 / CAST(n2 AS DOUBLE)
+               + CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE)
+                 / CAST(n3 AS DOUBLE) AS bet,
+             CAST(s1 AS DOUBLE) + CAST(s2 AS DOUBLE) + CAST(s3 AS DOUBLE)
+               AS stot,
+             CAST(q1 AS DOUBLE) + CAST(q2 AS DOUBLE) + CAST(q3 AS DOUBLE)
+               AS qtot,
+             CAST(n1 + n2 + n3 AS DOUBLE) AS ntd
+           FROM agg)
+         SELECT n1 + n2 + n3 AS n, n1, n2, n3,
+           CAST(s1 AS BIGINT) AS dev2_sum_a,
+           CAST(s2 AS BIGINT) AS dev2_sum_n,
+           CAST(s3 AS BIGINT) AS dev2_sum_r,
+           FLOOR(((bet - stot * stot / ntd) / 2.0)
+             / ((qtot - bet) / (ntd - 3.0)) * 1e4) / 1e4 AS f4
+         FROM fin""",
   )
 }

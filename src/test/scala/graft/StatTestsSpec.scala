@@ -57,6 +57,32 @@ class StatTestsSpec extends SparkSpecBase {
     assert(r.getDouble(8) == 4.5714, "hc4 (no ties -> identical)")
   }
 
+  test("ANOVA: groups {1,2,3} {4,5,6} {7,8,9} give F = 27 exactly " +
+      "(SSB 54, SSW 6 in quantity units — hand-computed)") {
+    val dir = lineitemDir(Seq(
+      ("A", 1.0, 1.0), ("A", 2.0, 1.0), ("A", 3.0, 1.0),
+      ("N", 4.0, 1.0), ("N", 5.0, 1.0), ("N", 6.0, 1.0),
+      ("R", 7.0, 1.0), ("R", 8.0, 1.0), ("R", 9.0, 1.0)))
+    val r = SparkEntry.queries("q_stats_anova")(spark, dir).collect().head
+    assert(r.getLong(0) == 9L)
+    // centi² units: SSB = 54·10⁴, SSW = 6·10⁴; F is scale-free.
+    assert(r.getDouble(4) == 540000.0, "ssb2")
+    assert(r.getDouble(5) == 60000.0, "ssw2")
+    assert(r.getDouble(6) == 27.0, "f4")
+  }
+
+  test("Levene/Brown–Forsythe: mirror-shaped groups have identical " +
+      "deviation profiles -> F = 0, dev2 sums 400 centi each") {
+    val dir = lineitemDir(Seq(
+      ("A", 1.0, 1.0), ("A", 2.0, 1.0), ("A", 3.0, 1.0),
+      ("N", 4.0, 1.0), ("N", 5.0, 1.0), ("N", 6.0, 1.0),
+      ("R", 7.0, 1.0), ("R", 8.0, 1.0), ("R", 9.0, 1.0)))
+    val r = SparkEntry.queries("q_stats_levene")(spark, dir).collect().head
+    // |2v − med2| per group: 200, 0, 200 (centi) -> sum 400 each.
+    assert((r.getLong(4), r.getLong(5), r.getLong(6)) == ((400L, 400L, 400L)))
+    assert(r.getDouble(7) == 0.0, "f4")
+  }
+
   test("Welch: equal means give t = 0; df is Welch–Satterthwaite " +
       "16/5 on the {10,20,30} vs {10,10,40} fixture") {
     import spark.implicits._
