@@ -6163,6 +6163,60 @@ object Registry {
         (col("st.l") + col("st.b")).as("forecast_units"))
   }
 
+  /** Holt–Winters additive seasonal smoothing of daily volume (Winters
+    * 1960; α = β = γ = 1/4, period 7) — the weekly-seasonality-aware
+    * completion of the [[tsEwma]] → [[tsHolt]] ladder: level, trend,
+    * AND a 7-slot day-of-week profile maintained together, so the
+    * one-step forecast stops mistaking Sunday dips for trend breaks.
+    * Exactness: 10⁴-unit integer state throughout — init l₀ = (Σ first
+    * week) div 7, b₀ = 0, sᵢ = xᵢ − l₀; each step updates
+    * l' = (x − s_pos + 3(l+b)) div 4, b' = (l'−l+3b) div 4,
+    * s'_pos = (x − l' + 3·s_pos) div 4 inside ONE struct{l, b,
+    * array}-accumulator fold over the index-tagged tail (div ≡ //
+    * truncation carries the negative seasonal offsets in lockstep).
+    * The oracle replays with a recursive CTE carrying the seasonal
+    * LIST column (the [[tsHolt]] mechanism — DuckDB 1.0.0 list_reduce
+    * cannot hold struct state). Series shorter than 8 days yield no
+    * row on either engine. */
+  private def tsHoltWinters(spark: SparkSession, dir: String): DataFrame = {
+    val l2 = "(e.v - element_at(acc.se, CAST((e.t - 1) % 7 + 1 AS INT))" +
+      " + 3 * (acc.l + acc.b)) div 4"
+    val days = t(spark, dir, "events")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg((count(lit(1)) * 10000L).as("x"))
+    days.agg(count(lit(1)).as("n_days"),
+        expr("transform(sort_array(collect_list(struct(day, x))), " +
+          "p -> p.x)").as("vals"))
+      .filter(col("n_days") >= 8)
+      .withColumn("l0",
+        expr("aggregate(slice(vals, 1, 7), CAST(0 AS BIGINT), " +
+          "(a, x) -> a + x) div 7"))
+      .withColumn("st", expr(
+        "aggregate(" +
+          "transform(slice(vals, 8, greatest(size(vals) - 7, 0)), " +
+          "(v, k) -> named_struct('v', v, 't', CAST(k AS BIGINT) + 8)), " +
+          "named_struct('l', l0, 'b', CAST(0 AS BIGINT), " +
+          "'se', transform(slice(vals, 1, 7), x -> x - l0)), " +
+          "(acc, e) -> named_struct(" +
+          s"'l', $l2, " +
+          s"'b', ($l2 - acc.l + 3 * acc.b) div 4, " +
+          "'se', transform(acc.se, (s0, j) -> " +
+          "IF(CAST(j AS BIGINT) + 1 = (e.t - 1) % 7 + 1, " +
+          s"(e.v - ($l2) + 3 * s0) div 4, s0)))" +
+          ")"))
+      .select(col("n_days"), col("st.l").as("level_units"),
+        col("st.b").as("trend_units"),
+        expr("element_at(st.se, CAST(n_days % 7 + 1 AS INT))")
+          .as("next_seasonal_units"),
+        (col("st.l") + col("st.b") +
+          expr("element_at(st.se, CAST(n_days % 7 + 1 AS INT))"))
+          .as("forecast_units"),
+        expr("st.se[0]").as("seas1"), expr("st.se[1]").as("seas2"),
+        expr("st.se[2]").as("seas3"), expr("st.se[3]").as("seas4"),
+        expr("st.se[4]").as("seas5"), expr("st.se[5]").as("seas6"),
+        expr("st.se[6]").as("seas7"))
+  }
+
   /** Population stability index between the even- and odd-user cohorts
     * over (event_type × day-of-week) cells — the scorecard-monitoring
     * drift metric (Siddiqi 2006) a feature pipeline tracks release over
@@ -6814,6 +6868,7 @@ object Registry {
     "q_graph_wcc" -> q(graphWcc),
     "q_stats_anova" -> q(statsAnova),
     "q_stats_levene" -> q(statsLevene),
+    "q_ts_holt_winters" -> q(tsHoltWinters),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -11995,5 +12050,44 @@ object Registry {
            FLOOR(((bet - stot * stot / ntd) / 2.0)
              / ((qtot - bet) / (ntd - 3.0)) * 1e4) / 1e4 AS f4
          FROM fin""",
+    // Holt–Winters replay: recursive CTE carrying (l, b, seasonal LIST)
+    // through the identical integer recurrence; the l' expression is
+    // inlined into b' and s' exactly as the Spark fold does.
+    "q_ts_holt_winters" ->
+      """WITH RECURSIVE days AS (SELECT
+             epoch_ns(ts) // 86400000000000 AS day,
+             CAST(count(*) * 10000 AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 list(x ORDER BY day) AS vals FROM days),
+         init AS (SELECT n, vals,
+             CAST((vals[1] + vals[2] + vals[3] + vals[4] + vals[5]
+               + vals[6] + vals[7]) // 7 AS BIGINT) AS l0
+           FROM s WHERE n >= 8),
+         r AS (SELECT 7 AS i, l0 AS l, CAST(0 AS BIGINT) AS b,
+                 list_transform(range(1, 8), j -> vals[j] - l0) AS se,
+                 n, vals
+               FROM init
+               UNION ALL
+               SELECT i + 1,
+                 (vals[i + 1] - se[(i % 7) + 1] + 3 * (l + b)) // 4,
+                 (((vals[i + 1] - se[(i % 7) + 1] + 3 * (l + b)) // 4)
+                   - l + 3 * b) // 4,
+                 list_transform(range(1, 8), j ->
+                   CASE WHEN j = (i % 7) + 1
+                     THEN (vals[i + 1]
+                       - ((vals[i + 1] - se[(i % 7) + 1]
+                         + 3 * (l + b)) // 4)
+                       + 3 * se[(i % 7) + 1]) // 4
+                     ELSE se[j] END),
+                 n, vals
+               FROM r WHERE i < n)
+         SELECT n AS n_days, l AS level_units, b AS trend_units,
+           se[(n % 7) + 1] AS next_seasonal_units,
+           l + b + se[(n % 7) + 1] AS forecast_units,
+           se[1] AS seas1, se[2] AS seas2, se[3] AS seas3,
+           se[4] AS seas4, se[5] AS seas5, se[6] AS seas6,
+           se[7] AS seas7
+         FROM r WHERE i = n""",
   )
 }

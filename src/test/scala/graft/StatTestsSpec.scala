@@ -120,6 +120,38 @@ class StatTestsSpec extends SparkSpecBase {
       (5L, 1L, 1L, 0L, false)))
   }
 
+  test("Holt–Winters: the query state equals a scalar reference fold " +
+      "of the textbook recurrence (incl. negative seasonal offsets)") {
+    val day = 86400000000000L
+    val counts = Seq(1, 9, 5, 3, 7, 2, 6, 4, 10, 5, 8)
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i => (1L, d * day + i, "view"))
+    }
+    val r = SparkEntry.queries("q_ts_holt_winters")(spark, eventsDir(rows))
+      .collect().head
+    // Scalar reference: the same init + coupled truncating updates.
+    def tdiv(a: Long, b: Long): Long = a / b // JVM Long / truncates
+    val vals = counts.map(_ * 10000L)
+    val l0 = tdiv(vals.take(7).sum, 7)
+    var (l, b) = (l0, 0L)
+    val se = vals.take(7).map(_ - l0).toArray
+    for (t <- 8 to vals.length) {
+      val x = vals(t - 1); val pos = (t - 1) % 7
+      val l2 = tdiv(x - se(pos) + 3 * (l + b), 4)
+      b = tdiv(l2 - l + 3 * b, 4)
+      se(pos) = tdiv(x - l2 + 3 * se(pos), 4)
+      l = l2
+    }
+    val n = vals.length.toLong
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == l, "level")
+    assert(r.getLong(2) == b, "trend")
+    assert(r.getLong(3) == se((n % 7).toInt), "next seasonal")
+    assert(r.getLong(4) == l + b + se((n % 7).toInt), "forecast")
+    (0 until 7).foreach(i =>
+      assert(r.getLong(5 + i) == se(i), s"seasonal slot ${i + 1}"))
+  }
+
   test("PSI: identical even/odd cohorts score exactly 0") {
     val day = 86400000000000L
     // Users 0 (even) and 1 (odd) replay the same event stream.
