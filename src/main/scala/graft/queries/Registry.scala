@@ -1728,6 +1728,40 @@ object Registry {
       .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
+  /** McNemar's paired test (McNemar 1947, continuity-corrected) between
+    * the engine's own two document-quality classifiers — the Gopher
+    * format gate and the heuristic score at its 0.5 threshold — on the
+    * SAME documents: do they disagree more than chance in one
+    * direction, i.e. is one systematically stricter? (The
+    * classifier-comparison question an eval loop asks before swapping
+    * filters; unpaired tests waste the pairing.) FULLY integer: the
+    * 2×2 discordant cells b (gopher-only) and c (quality-only) are
+    * exact counts from ONE corpus pass (both classifiers evaluated in
+    * the same projection — no self-join), χ² = (max(|b−c|−1, 0))²·10⁶
+    * div (b+c) and the agreement rate are micro divisions; b+c = 0
+    * degenerates to 0 on both engines. */
+  private def llmMcnemar(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .select(TextAnalysis.gopherPass(col("text")).as("gp"),
+        (TextAnalysis.qualityScore(col("text")) >= 0.5).as("qp"))
+    d.agg(count(lit(1)).as("n"),
+        sum(when(col("gp") && col("qp"), 1L).otherwise(0L)).as("both_pass"),
+        sum(when(col("gp") && !col("qp"), 1L).otherwise(0L))
+          .as("gopher_only"),
+        sum(when(!col("gp") && col("qp"), 1L).otherwise(0L))
+          .as("quality_only"),
+        sum(when(!col("gp") && !col("qp"), 1L).otherwise(0L))
+          .as("neither"))
+      .select(col("n"), col("both_pass"), col("gopher_only"),
+        col("quality_only"), col("neither"),
+        expr("(both_pass + neither) * 1000000 div n").as("agree_micro"),
+        expr("CASE WHEN gopher_only + quality_only = 0 THEN 0 ELSE " +
+          "greatest(abs(gopher_only - quality_only) - 1, 0) " +
+          "* greatest(abs(gopher_only - quality_only) - 1, 0) " +
+          "* 1000000 div (gopher_only + quality_only) END")
+          .as("mcnemar_micro"))
+  }
+
   /** NFC unicode normalization (native UnicodeNormalize expression). The
     * corpus text is already NFC, so the query appends a DECOMPOSED
     * "e"+U+0301 suffix — normalization must compose it to "é", shortening
@@ -6869,6 +6903,7 @@ object Registry {
     "q_stats_anova" -> q(statsAnova),
     "q_stats_levene" -> q(statsLevene),
     "q_ts_holt_winters" -> q(tsHoltWinters),
+    "q_llm_mcnemar" -> q(llmMcnemar),
   )
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
@@ -12050,6 +12085,78 @@ object Registry {
            FLOOR(((bet - stot * stot / ntd) / 2.0)
              / ((qtot - bet) / (ntd - 3.0)) * 1e4) / 1e4 AS f4
          FROM fin""",
+    // McNemar replay: the gopher-gate CTE (q_llm_gopher's) and the
+    // quality CTE (q_llm_quality's, as reused by cluster_best) joined
+    // per doc, same exact 2×2 cells, same continuity-corrected micro χ².
+    "q_llm_mcnemar" ->
+      """WITH gm AS (SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS wc,
+           CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS nonws,
+           CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) AS hashes,
+           CAST(len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) AS ellipses,
+           string_split(text, chr(10)) AS ls,
+           string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         gr AS (SELECT doc_id, wc,
+           CASE WHEN wc > 0 THEN floor(nonws / wc * 10000 + 0.5) / 10000
+                ELSE 0.0 END AS mean_word_len,
+           CASE WHEN wc > 0 THEN floor((hashes + ellipses) / wc * 10000 + 0.5) / 10000
+                ELSE 0.0 END AS symbol_word_ratio,
+           floor(CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*]'))) AS DOUBLE)
+             / len(ls) * 10000 + 0.5) / 10000 AS bullet_line_frac,
+           floor(CAST(len(list_filter(ls, l -> trim(l) LIKE '%...')) AS DOUBLE)
+             / len(ls) * 10000 + 0.5) / 10000 AS ellipsis_line_frac,
+           CASE WHEN wc > 0 THEN
+             floor(CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+               / wc * 10000 + 0.5) / 10000 ELSE 0.0 END AS alpha_word_frac,
+           len(list_filter(toks, t -> lower(t) IN
+             ('the','a','of','and','to','in','is','that','it','for'))) AS stops
+           FROM gm),
+         gp AS (SELECT doc_id,
+           (wc BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+             AND symbol_word_ratio < 0.1 AND bullet_line_frac < 0.9
+             AND ellipsis_line_frac < 0.3 AND alpha_word_frac > 0.8
+             AND stops >= 2 AS gp
+           FROM gr),
+         qm AS (SELECT doc_id,
+           CAST(length(text) AS DOUBLE) AS nchars,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS ntok,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t IN ('the','a','of','and','to','in','is','that','it','for',
+                        'der','die','das','und','ist','von','zu','mit','auf','ein',
+                        'le','la','les','de','et','est','un','une','que','pour',
+                        'el','los','y','es','por'))) AS DOUBLE) AS sw
+           FROM documents),
+         qq AS (SELECT doc_id, floor((
+             (CASE WHEN nchars >= 200 AND nchars <= 2000 THEN 1.0
+                   WHEN nchars >= 50 THEN 0.5 ELSE 0.0 END) * 0.3
+             + (CASE WHEN nchars > 0 THEN alpha / nchars ELSE 0.0 END) * 0.3
+             + least((CASE WHEN ntok > 0 THEN sw / ntok ELSE 0.0 END) * 5.0, 1.0) * 0.2
+             + (CASE WHEN ntok > 0 AND nchars / ntok >= 3 AND nchars / ntok <= 12
+                     THEN 1.0 ELSE 0.0 END) * 0.2) * 10000 + 0.5) / 10000 AS quality
+           FROM qm),
+         j AS (SELECT gp.gp AS gp, qq.quality >= 0.5 AS qp
+               FROM gp JOIN qq USING (doc_id)),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN gp AND qp THEN 1 ELSE 0 END) AS BIGINT)
+               AS both_pass,
+             CAST(sum(CASE WHEN gp AND NOT qp THEN 1 ELSE 0 END) AS BIGINT)
+               AS gopher_only,
+             CAST(sum(CASE WHEN NOT gp AND qp THEN 1 ELSE 0 END) AS BIGINT)
+               AS quality_only,
+             CAST(sum(CASE WHEN NOT gp AND NOT qp THEN 1 ELSE 0 END)
+               AS BIGINT) AS neither
+           FROM j)
+         SELECT n, both_pass, gopher_only, quality_only, neither,
+           CAST((both_pass + neither) * 1000000 // n AS BIGINT)
+             AS agree_micro,
+           CAST(CASE WHEN gopher_only + quality_only = 0 THEN 0 ELSE
+             greatest(abs(gopher_only - quality_only) - 1, 0)
+             * greatest(abs(gopher_only - quality_only) - 1, 0)
+             * 1000000 // (gopher_only + quality_only) END AS BIGINT)
+             AS mcnemar_micro
+         FROM a""",
     // Holt–Winters replay: recursive CTE carrying (l, b, seasonal LIST)
     // through the identical integer recurrence; the l' expression is
     // inlined into b' and s' exactly as the Spark fold does.

@@ -120,6 +120,24 @@ class StatTestsSpec extends SparkSpecBase {
       (5L, 1L, 1L, 0L, false)))
   }
 
+  test("McNemar: unanimous classifiers put every doc in the concordant " +
+      "cells — zero discordance, zero statistic, full agreement") {
+    import spark.implicits._
+    val dir = tmp("graft-stattests")
+    val good = ("the quick brown fox jumps over the lazy dog and " +
+      "it is a fine day for running in the field with friends ") * 4
+    val bad = "### ### ### ###"
+    val docs = (0L until 5L).map(i => (i, good)) ++
+      (5L until 8L).map(i => (i, bad))
+    docs.toDF("doc_id", "text").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q_llm_mcnemar")(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((8L, 5L, 0L, 0L, 3L)))
+    assert(r.getLong(5) == 1000000L, "agree_micro")
+    assert(r.getLong(6) == 0L, "mcnemar_micro")
+  }
+
   test("Holt–Winters: the query state equals a scalar reference fold " +
       "of the textbook recurrence (incl. negative seasonal offsets)") {
     val day = 86400000000000L
