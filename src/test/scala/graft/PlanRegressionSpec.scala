@@ -45,6 +45,31 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("theta sketch: the unpartitioned bottom-k rank filters rewrite " +
+      "to TakeOrderedAndProject(64) — map-side top-k, no full sort") {
+    val p = plan("q_sketch_theta")
+    // Stronger than WindowGroupLimit: Spark turns the global
+    // row_number-then-filter into a distributed TakeOrdered.
+    assert(p.contains("TakeOrderedAndProject(limit=64"), s"plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+  }
+
+  test("self-BLEU: the panel relations broadcast — the corpus n-gram " +
+      "passes never sort-merge-join") {
+    val p = plan("q_llm_self_bleu")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("OLS/ANOVA/Welch: single-pass conditional aggregates — no join, " +
+      "no window, one exchange per aggregate") {
+    for (q <- Seq("q_stats_ols", "q_stats_anova", "q_stats_welch")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+      assert(!p.contains("WindowExec"), s"$q grew a window:\n$p")
+    }
+  }
+
   test("ANN brute force is scan + TakeOrdered, no shuffle exchange") {
     val p = plan("q_llm_ann_brute")
     assert(p.contains("TakeOrderedAndProject"))
