@@ -1762,6 +1762,47 @@ object Registry {
           .as("mcnemar_micro"))
   }
 
+  /** Cohen's κ (Cohen 1960) between the SAME two in-engine document
+    * classifiers McNemar compares — the Gopher format gate and the
+    * heuristic quality score at 0.5 — answering the complementary
+    * question: McNemar asks "is one systematically stricter?", κ asks
+    * "how much do they agree beyond chance?" (the inter-rater number a
+    * labeling pipeline reports before trusting either filter alone).
+    * FULLY integer: with n docs, g_pos/q_pos positive counts and
+    * `agree` concordant pairs, p_o = agree/n and
+    * p_e = (g_pos·q_pos + g_neg·q_neg)/n², so
+    * κ = (agree·n − pe_num) / (n² − pe_num) with
+    * pe_num = g_pos·q_pos + (n−g_pos)·(n−q_pos) — one corpus pass, one
+    * micro division, n² = pe_num (a constant classifier) degenerates to
+    * 0 on both engines. */
+  private def statsKappa(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .select(TextAnalysis.gopherPass(col("text")).as("gp"),
+        (TextAnalysis.qualityScore(col("text")) >= 0.5).as("qp"))
+    d.agg(count(lit(1)).as("n"),
+        sum(when(col("gp"), 1L).otherwise(0L)).as("g_pos"),
+        sum(when(col("qp"), 1L).otherwise(0L)).as("q_pos"),
+        sum(when(col("gp") === col("qp"), 1L).otherwise(0L)).as("agree"))
+      .select(col("n"), col("g_pos"), col("q_pos"), col("agree"),
+        expr("agree * 1000000 div n").as("po_micro"),
+        expr("(g_pos * q_pos + (n - g_pos) * (n - q_pos)) * 1000000" +
+          " div (n * n)").as("pe_micro"),
+        expr("CASE WHEN n * n = g_pos * q_pos + (n - g_pos) * (n - q_pos)" +
+          " THEN 0 ELSE (agree * n - (g_pos * q_pos + (n - g_pos)" +
+          " * (n - q_pos))) * 1000000 div (n * n - (g_pos * q_pos" +
+          " + (n - g_pos) * (n - q_pos))) END").as("kappa_micro"))
+  }
+
+  /** Dunning G² collocations over adjacent bigrams
+    * ([[graft.llm.Cooccur.dunningG2]]) — the likelihood-ratio companion
+    * to [[llmCooccurPmi]]: PMI over-ranks rare pairs, G² weights each
+    * cell by its count, so the two queries together give the
+    * surprise/support view a phrase-vocabulary induction pass needs. */
+  private def llmCollocations(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Cooccur.dunningG2(t(spark, dir, "documents"), "text",
+        minCount = 5L)
+      .orderBy("tok_a", "tok_b")
+
   /** NFC unicode normalization (native UnicodeNormalize expression). The
     * corpus text is already NFC, so the query appends a DECOMPOSED
     * "e"+U+0301 suffix — normalization must compose it to "é", shortening
@@ -6904,7 +6945,63 @@ object Registry {
     "q_stats_levene" -> q(statsLevene),
     "q_ts_holt_winters" -> q(tsHoltWinters),
     "q_llm_mcnemar" -> q(llmMcnemar),
+    "q_stats_kappa" -> q(statsKappa),
+    "q_llm_collocations" -> q(llmCollocations),
   )
+
+  /** Shared oracle prefix for the classifier-pair statistics
+    * (q_llm_mcnemar / q_stats_kappa): the gopher-gate CTE chain
+    * (q_llm_gopher's) and the quality CTE (q_llm_quality's, as reused by
+    * cluster_best), ending at the per-doc gp / qq relations the
+    * per-query `j` join composes. */
+  private lazy val gopherQualityCtes: String =
+    """WITH gm AS (SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS wc,
+           CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS nonws,
+           CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) AS hashes,
+           CAST(len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) AS ellipses,
+           string_split(text, chr(10)) AS ls,
+           string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         gr AS (SELECT doc_id, wc,
+           CASE WHEN wc > 0 THEN floor(nonws / wc * 10000 + 0.5) / 10000
+                ELSE 0.0 END AS mean_word_len,
+           CASE WHEN wc > 0 THEN floor((hashes + ellipses) / wc * 10000 + 0.5) / 10000
+                ELSE 0.0 END AS symbol_word_ratio,
+           floor(CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*]'))) AS DOUBLE)
+             / len(ls) * 10000 + 0.5) / 10000 AS bullet_line_frac,
+           floor(CAST(len(list_filter(ls, l -> trim(l) LIKE '%...')) AS DOUBLE)
+             / len(ls) * 10000 + 0.5) / 10000 AS ellipsis_line_frac,
+           CASE WHEN wc > 0 THEN
+             floor(CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+               / wc * 10000 + 0.5) / 10000 ELSE 0.0 END AS alpha_word_frac,
+           len(list_filter(toks, t -> lower(t) IN
+             ('the','a','of','and','to','in','is','that','it','for'))) AS stops
+           FROM gm),
+         gp AS (SELECT doc_id,
+           (wc BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+             AND symbol_word_ratio < 0.1 AND bullet_line_frac < 0.9
+             AND ellipsis_line_frac < 0.3 AND alpha_word_frac > 0.8
+             AND stops >= 2 AS gp
+           FROM gr),
+         qm AS (SELECT doc_id,
+           CAST(length(text) AS DOUBLE) AS nchars,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS ntok,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t IN ('the','a','of','and','to','in','is','that','it','for',
+                        'der','die','das','und','ist','von','zu','mit','auf','ein',
+                        'le','la','les','de','et','est','un','une','que','pour',
+                        'el','los','y','es','por'))) AS DOUBLE) AS sw
+           FROM documents),
+         qq AS (SELECT doc_id, floor((
+             (CASE WHEN nchars >= 200 AND nchars <= 2000 THEN 1.0
+                   WHEN nchars >= 50 THEN 0.5 ELSE 0.0 END) * 0.3
+             + (CASE WHEN nchars > 0 THEN alpha / nchars ELSE 0.0 END) * 0.3
+             + least((CASE WHEN ntok > 0 THEN sw / ntok ELSE 0.0 END) * 5.0, 1.0) * 0.2
+             + (CASE WHEN ntok > 0 AND nchars / ntok >= 3 AND nchars / ntok <= 12
+                     THEN 1.0 ELSE 0.0 END) * 0.2) * 10000 + 0.5) / 10000 AS quality
+           FROM qm)"""
 
   /** Shared generated CTEs for the deterministic-PQ oracles: one
     * integer k-means chain per subspace plus the per-subspace ADC
@@ -12089,53 +12186,7 @@ object Registry {
     // quality CTE (q_llm_quality's, as reused by cluster_best) joined
     // per doc, same exact 2×2 cells, same continuity-corrected micro χ².
     "q_llm_mcnemar" ->
-      """WITH gm AS (SELECT doc_id,
-           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS wc,
-           CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS nonws,
-           CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) AS hashes,
-           CAST(len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) AS ellipses,
-           string_split(text, chr(10)) AS ls,
-           string_split_regex(trim(text), '\s+') AS toks
-           FROM documents),
-         gr AS (SELECT doc_id, wc,
-           CASE WHEN wc > 0 THEN floor(nonws / wc * 10000 + 0.5) / 10000
-                ELSE 0.0 END AS mean_word_len,
-           CASE WHEN wc > 0 THEN floor((hashes + ellipses) / wc * 10000 + 0.5) / 10000
-                ELSE 0.0 END AS symbol_word_ratio,
-           floor(CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*]'))) AS DOUBLE)
-             / len(ls) * 10000 + 0.5) / 10000 AS bullet_line_frac,
-           floor(CAST(len(list_filter(ls, l -> trim(l) LIKE '%...')) AS DOUBLE)
-             / len(ls) * 10000 + 0.5) / 10000 AS ellipsis_line_frac,
-           CASE WHEN wc > 0 THEN
-             floor(CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
-               / wc * 10000 + 0.5) / 10000 ELSE 0.0 END AS alpha_word_frac,
-           len(list_filter(toks, t -> lower(t) IN
-             ('the','a','of','and','to','in','is','that','it','for'))) AS stops
-           FROM gm),
-         gp AS (SELECT doc_id,
-           (wc BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
-             AND symbol_word_ratio < 0.1 AND bullet_line_frac < 0.9
-             AND ellipsis_line_frac < 0.3 AND alpha_word_frac > 0.8
-             AND stops >= 2 AS gp
-           FROM gr),
-         qm AS (SELECT doc_id,
-           CAST(length(text) AS DOUBLE) AS nchars,
-           CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS ntok,
-           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
-           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-             t -> t IN ('the','a','of','and','to','in','is','that','it','for',
-                        'der','die','das','und','ist','von','zu','mit','auf','ein',
-                        'le','la','les','de','et','est','un','une','que','pour',
-                        'el','los','y','es','por'))) AS DOUBLE) AS sw
-           FROM documents),
-         qq AS (SELECT doc_id, floor((
-             (CASE WHEN nchars >= 200 AND nchars <= 2000 THEN 1.0
-                   WHEN nchars >= 50 THEN 0.5 ELSE 0.0 END) * 0.3
-             + (CASE WHEN nchars > 0 THEN alpha / nchars ELSE 0.0 END) * 0.3
-             + least((CASE WHEN ntok > 0 THEN sw / ntok ELSE 0.0 END) * 5.0, 1.0) * 0.2
-             + (CASE WHEN ntok > 0 AND nchars / ntok >= 3 AND nchars / ntok <= 12
-                     THEN 1.0 ELSE 0.0 END) * 0.2) * 10000 + 0.5) / 10000 AS quality
-           FROM qm),
+      (gopherQualityCtes + """,
          j AS (SELECT gp.gp AS gp, qq.quality >= 0.5 AS qp
                FROM gp JOIN qq USING (doc_id)),
          a AS (SELECT CAST(count(*) AS BIGINT) AS n,
@@ -12156,7 +12207,71 @@ object Registry {
              * greatest(abs(gopher_only - quality_only) - 1, 0)
              * 1000000 // (gopher_only + quality_only) END AS BIGINT)
              AS mcnemar_micro
-         FROM a""",
+         FROM a"""),
+    // Cohen's kappa replay: the same gp/qq prefix, the same per-doc join,
+    // then the marginal-based chance-agreement arithmetic in lockstep
+    // integer form (agree*n - pe_num over n^2 - pe_num, micro-scaled).
+    "q_stats_kappa" ->
+      (gopherQualityCtes + """,
+         j AS (SELECT gp.gp AS gp, qq.quality >= 0.5 AS qp
+               FROM gp JOIN qq USING (doc_id)),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN gp THEN 1 ELSE 0 END) AS BIGINT) AS g_pos,
+             CAST(sum(CASE WHEN qp THEN 1 ELSE 0 END) AS BIGINT) AS q_pos,
+             CAST(sum(CASE WHEN gp = qp THEN 1 ELSE 0 END) AS BIGINT)
+               AS agree
+           FROM j)
+         SELECT n, g_pos, q_pos, agree,
+           CAST(agree * 1000000 // n AS BIGINT) AS po_micro,
+           CAST((g_pos * q_pos + (n - g_pos) * (n - q_pos)) * 1000000
+             // (n * n) AS BIGINT) AS pe_micro,
+           CAST(CASE WHEN n * n = g_pos * q_pos + (n - g_pos) * (n - q_pos)
+             THEN 0 ELSE (agree * n - (g_pos * q_pos + (n - g_pos)
+             * (n - q_pos))) * 1000000 // (n * n - (g_pos * q_pos
+             + (n - g_pos) * (n - q_pos))) END AS BIGINT) AS kappa_micro
+         FROM a"""),
+    // Dunning G2 replay: positions table self-joined at distance exactly 1
+    // (independent derivation of the adjacent-bigram counts vs the
+    // engine's shifted zip), positional left/right marginals, then the
+    // four 0*ln0-guarded cells summed in the engine's term order.
+    "q_llm_collocations" ->
+      """WITH tokl AS (SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\s+') END AS ts
+             FROM documents),
+         tok AS (SELECT doc_id, i, ts[CAST(i + 1 AS INT)] AS tok
+                 FROM tokl, unnest(range(len(ts))) u(i)),
+         pr AS (SELECT a.tok AS tok_a, b.tok AS tok_b
+                FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+                  AND b.i - a.i = 1),
+         pc AS (SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n_pair
+                FROM pr GROUP BY tok_a, tok_b HAVING count(*) >= 5),
+         lm AS (SELECT tok_a, CAST(count(*) AS BIGINT) AS n_a
+                FROM pr GROUP BY tok_a),
+         rm AS (SELECT tok_b, CAST(count(*) AS BIGINT) AS n_b
+                FROM pr GROUP BY tok_b),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM pr),
+         cells AS (SELECT tok_a, tok_b, n_pair, n_a, n_b, n_total,
+             n_pair AS k11, n_a - n_pair AS k12, n_b - n_pair AS k21,
+             n_total - n_a - n_b + n_pair AS k22,
+             n_total - n_a AS r2, n_total - n_b AS c2
+           FROM pc JOIN lm USING (tok_a) JOIN rm USING (tok_b), tot)
+         SELECT tok_a, tok_b, n_pair, n_a, n_b,
+           floor((
+             (CASE WHEN k11 = 0 THEN 0.0 ELSE CAST(k11 AS DOUBLE)
+               * ln(CAST(k11 AS DOUBLE) * CAST(n_total AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) END)
+             + (CASE WHEN k12 = 0 THEN 0.0 ELSE CAST(k12 AS DOUBLE)
+               * ln(CAST(k12 AS DOUBLE) * CAST(n_total AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(c2 AS DOUBLE))) END)
+             + (CASE WHEN k21 = 0 THEN 0.0 ELSE CAST(k21 AS DOUBLE)
+               * ln(CAST(k21 AS DOUBLE) * CAST(n_total AS DOUBLE)
+                 / (CAST(r2 AS DOUBLE) * CAST(n_b AS DOUBLE))) END)
+             + (CASE WHEN k22 = 0 THEN 0.0 ELSE CAST(k22 AS DOUBLE)
+               * ln(CAST(k22 AS DOUBLE) * CAST(n_total AS DOUBLE)
+                 / (CAST(r2 AS DOUBLE) * CAST(c2 AS DOUBLE))) END))
+             * 2 * 10000 + CAST(0.5 AS DOUBLE)) / 10000 AS g2
+         FROM cells ORDER BY tok_a, tok_b""",
     // Holt–Winters replay: recursive CTE carrying (l, b, seasonal LIST)
     // through the identical integer recurrence; the l' expression is
     // inlined into b' and s' exactly as the Spark fold does.

@@ -138,6 +138,33 @@ class StatTestsSpec extends SparkSpecBase {
     assert(r.getLong(6) == 0L, "mcnemar_micro")
   }
 
+  test("Cohen's kappa: a quality-only disagreeing block yields the " +
+      "hand-computed marginal arithmetic (kappa = 30/50)") {
+    import spark.implicits._
+    val dir = tmp("graft-stattests")
+    val good = ("the quick brown fox jumps over the lazy dog and " +
+      "it is a fine day for running in the field with friends ") * 4
+    val bad = "### ### ### ###"
+    // 47 words (< 50 ⇒ gopher fails) but 206 clean chars in [200, 2000]
+    // with heavy stopwords ⇒ quality ≈ 0.93 passes: a quality-only doc.
+    val shortClean =
+      ("the quick brown fox jumps over the lazy dog and it is a fine day " * 3)
+        .trim + " sunny skies"
+    val docs = (0L until 5L).map(i => (i, good)) ++
+      (5L until 8L).map(i => (i, bad)) ++
+      (8L until 10L).map(i => (i, shortClean))
+    docs.toDF("doc_id", "text").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q_stats_kappa")(spark, dir).collect().head
+    // n=10, g_pos=5, q_pos=7, agree=8 → p_o = 0.8;
+    // pe_num = 5·7 + 5·3 = 50 → p_e = 0.5; κ = (80−50)/(100−50) = 0.6.
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((10L, 5L, 7L, 8L)))
+    assert(r.getLong(4) == 800000L, "po_micro")
+    assert(r.getLong(5) == 500000L, "pe_micro")
+    assert(r.getLong(6) == 600000L, "kappa_micro")
+  }
+
   test("Holt–Winters: the query state equals a scalar reference fold " +
       "of the textbook recurrence (incl. negative seasonal offsets)") {
     val day = 86400000000000L
