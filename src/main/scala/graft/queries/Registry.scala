@@ -1793,6 +1793,48 @@ object Registry {
           " + (n - g_pos) * (n - q_pos))) END").as("kappa_micro"))
   }
 
+  /** Cross-correlation function (CCF) between the daily view and
+    * purchase series at lags 0..7 — the lead/lag diagnostic a
+    * marketing/ops analyst runs before claiming "views convert to
+    * purchases k days later" (Box & Jenkins 1970 ch. 11's sample CCF,
+    * on the two series the events table actually carries). Exactness:
+    * both series are integer daily counts from ONE events pass; lag
+    * pairs come from a self-join of the tiny day-grain aggregate
+    * (≤ one row per day — broadcastable at any corpus scale, the same
+    * reduce-then-pair shape as seasonality); per-lag Pearson moments
+    * are exact DECIMAL(38,0), and the only double surface is the final
+    * num/sqrt(dx·dy) division, floored to 4 dp with zero-variance
+    * lags degenerating to 0. */
+  private def tsCcf(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val days = t(spark, dir, "events")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .cast(dec).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .cast(dec).as("y"))
+    val a = days.select(col("day").as("a_day"), col("x"))
+    val b = days.select(col("day").as("b_day"), col("y"))
+    a.join(broadcast(b),
+        col("b_day") - col("a_day") >= 0 && col("b_day") - col("a_day") <= 7)
+      .select((col("b_day") - col("a_day")).as("lag"), col("x"), col("y"))
+      .groupBy("lag")
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"))
+      .select(col("lag").cast("long").as("lag"),
+        col("n").cast("long").as("n_days"),
+        expr("""CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+          THEN CAST(0.0 AS DOUBLE)
+          ELSE floor(CAST(n * sxy - sx * sy AS DOUBLE)
+            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+              * CAST(n * syy - sy * sy AS DOUBLE)) * 10000) / 10000
+          END""").as("r4"))
+      .orderBy("lag")
+  }
+
   /** Dunning G² collocations over adjacent bigrams
     * ([[graft.llm.Cooccur.dunningG2]]) — the likelihood-ratio companion
     * to [[llmCooccurPmi]]: PMI over-ranks rare pairs, G² weights each
@@ -6947,6 +6989,7 @@ object Registry {
     "q_llm_mcnemar" -> q(llmMcnemar),
     "q_stats_kappa" -> q(statsKappa),
     "q_llm_collocations" -> q(llmCollocations),
+    "q_ts_ccf" -> q(tsCcf),
   )
 
   /** Shared oracle prefix for the classifier-pair statistics
@@ -12272,6 +12315,31 @@ object Registry {
                  / (CAST(r2 AS DOUBLE) * CAST(c2 AS DOUBLE))) END))
              * 2 * 10000 + CAST(0.5 AS DOUBLE)) / 10000 AS g2
          FROM cells ORDER BY tok_a, tok_b""",
+    // CCF replay: same day-grain conditional counts, same 0..7-lag
+    // banded self-join of the tiny day aggregate, HUGEINT exact moments
+    // (DuckDB's 128-bit integer = the engine's DECIMAL(38,0) discipline),
+    // one num/sqrt double surface floored 4dp, zero-variance lag -> 0.
+    "q_ts_ccf" ->
+      """WITH d AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS HUGEINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS HUGEINT) AS y
+           FROM events GROUP BY 1),
+         p AS (SELECT b.day - a.day AS lag, a.x AS x, b.y AS y
+               FROM d a JOIN d b ON b.day - a.day BETWEEN 0 AND 7),
+         m AS (SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+           FROM p GROUP BY lag)
+         SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_days,
+           CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+           THEN CAST(0.0 AS DOUBLE)
+           ELSE floor(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+               * CAST(n * syy - sy * sy AS DOUBLE)) * 10000) / 10000
+           END AS r4
+         FROM m ORDER BY lag""",
     // Holt–Winters replay: recursive CTE carrying (l, b, seasonal LIST)
     // through the identical integer recurrence; the l' expression is
     // inlined into b' and s' exactly as the Spark fold does.

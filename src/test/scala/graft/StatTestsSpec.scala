@@ -165,6 +165,26 @@ class StatTestsSpec extends SparkSpecBase {
     assert(r.getLong(6) == 600000L, "kappa_micro")
   }
 
+  test("CCF: purchases planted as views shifted 2 days give r(2) = 1 " +
+      "exactly; off lags match an independent Python fold") {
+    val day = 86400000000000L
+    val views = Seq(1, 2, 4, 8, 5, 3, 7, 6, 9)
+    // views on days 0..8; purchases on day d = views(d-2) for d = 2..10.
+    val rows =
+      views.zipWithIndex.flatMap { case (v, d) =>
+        (0 until v).map(i => (1L, d * day + i, "view")) } ++
+      views.zipWithIndex.flatMap { case (v, d) =>
+        (0 until v).map(i => (1L, (d + 2) * day + i, "purchase")) }
+    val out = SparkEntry.queries("q_ts_ccf")(spark, eventsDir(rows))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // lag → (n overlapping days, floored-4dp Pearson); lag 4 is an exact
+    // zero-variance-free 0, lag 2 the planted perfect alignment.
+    assert(out.toSeq == Seq(
+      (0L, 11L, -0.0406), (1L, 10L, 0.1393), (2L, 9L, 1.0),
+      (3L, 8L, 0.3809), (4L, 7L, 0.0), (5L, 6L, -0.0995),
+      (6L, 5L, 0.4898), (7L, 4L, 0.8291)))
+  }
+
   test("Holt–Winters: the query state equals a scalar reference fold " +
       "of the textbook recurrence (incl. negative seasonal offsets)") {
     val day = 86400000000000L
