@@ -1835,6 +1835,66 @@ object Registry {
       .orderBy("lag")
   }
 
+  /** Kaplan–Meier product-limit survival curve for time-to-first-purchase
+    * (Kaplan & Meier 1958) — the funnel-latency statistic that handles
+    * users who have not converted YET: T = first purchase day − first
+    * active day for converters (event), and T = last active day − first
+    * active day for never-purchasers (right-CENSORED at the end of their
+    * observed follow-up — they were at risk that long without
+    * converting; dropping them would bias conversion optimistically).
+    * S(t) steps only at conversion times: S = Π (1 − d/n_risk) with
+    * events ordered before censorings at ties (the textbook convention).
+    * Exactness: FULLY integer — s_micro carries the product as
+    * s' = s·(n_risk−d) div n_risk (truncating), replayed by a
+    * recursive-CTE in the oracle (the [[tsHolt]] mechanism). Scale
+    * shape: one events pass to per-user (first, last, first-purchase),
+    * one tiny day-grain aggregate; the suffix-sum window and the fold
+    * run over ≤ day-span rows (bounded by the calendar, not the
+    * corpus), so the single-partition window is safe at any scale. */
+  private def eSurvival(spark: SparkSession, dir: String): DataFrame = {
+    val users = t(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(expr("min(ts div 86400000000000)").as("first_day"),
+        expr("max(ts div 86400000000000)").as("last_day"),
+        expr("min(CASE WHEN event_type = 'purchase' " +
+          "THEN ts div 86400000000000 END)").as("purch_day"))
+    val byT = users
+      .select(when(col("purch_day").isNotNull,
+          col("purch_day") - col("first_day"))
+        .otherwise(col("last_day") - col("first_day")).as("t"),
+        when(col("purch_day").isNotNull, 1L).otherwise(0L).as("ev"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n_at"), sum(col("ev")).as("d"),
+        sum(lit(1L) - col("ev")).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("t").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    byT.withColumn("n_risk", sum(col("n_at")).over(w))
+      .agg(expr("sort_array(collect_list(struct(t, n_risk, d, c)))")
+        .as("rows"))
+      .select(explode(expr(
+        """aggregate(rows,
+             named_struct('s', CAST(1000000 AS BIGINT),
+               'out', CAST(array() AS ARRAY<STRUCT<t: BIGINT,
+                 n_risk: BIGINT, n_events: BIGINT, n_censored: BIGINT,
+                 s_micro: BIGINT>>)),
+             (acc, e) -> named_struct(
+               's', CASE WHEN e.d > 0
+                 THEN acc.s * (e.n_risk - e.d) div e.n_risk
+                 ELSE acc.s END,
+               'out', concat(acc.out, array(named_struct(
+                 't', e.t, 'n_risk', e.n_risk, 'n_events', e.d,
+                 'n_censored', e.c,
+                 's_micro', CASE WHEN e.d > 0
+                   THEN acc.s * (e.n_risk - e.d) div e.n_risk
+                   ELSE acc.s END)))),
+             acc -> acc.out)""")).as("r"))
+      .select(col("r.t"), col("r.n_risk"), col("r.n_events"),
+        col("r.n_censored"), col("r.s_micro"))
+      .filter(col("n_events") > 0)
+      .orderBy("t")
+  }
+
   /** Dunning G² collocations over adjacent bigrams
     * ([[graft.llm.Cooccur.dunningG2]]) — the likelihood-ratio companion
     * to [[llmCooccurPmi]]: PMI over-ranks rare pairs, G² weights each
@@ -6990,6 +7050,7 @@ object Registry {
     "q_stats_kappa" -> q(statsKappa),
     "q_llm_collocations" -> q(llmCollocations),
     "q_ts_ccf" -> q(tsCcf),
+    "q_e_survival" -> q(eSurvival),
   )
 
   /** Shared oracle prefix for the classifier-pair statistics
@@ -12340,6 +12401,41 @@ object Registry {
                * CAST(n * syy - sy * sy AS DOUBLE)) * 10000) / 10000
            END AS r4
          FROM m ORDER BY lag""",
+    // Kaplan-Meier replay: per-user (first, last, first-purchase) pass,
+    // day-grain aggregate with a DESC-ordered suffix-sum risk set, then a
+    // recursive CTE carrying s_micro through the identical truncating
+    // (s * (n_risk - d)) // n_risk product, deaths-before-censorings.
+    "q_e_survival" ->
+      """WITH RECURSIVE u AS (SELECT user_id,
+             min(epoch_ns(ts) // 86400000000000) AS fd,
+             max(epoch_ns(ts) // 86400000000000) AS ld,
+             min(CASE WHEN event_type = 'purchase'
+               THEN epoch_ns(ts) // 86400000000000 END) AS pd
+           FROM events GROUP BY user_id),
+         lt AS (SELECT CASE WHEN pd IS NOT NULL THEN pd - fd
+                            ELSE ld - fd END AS t,
+             CASE WHEN pd IS NOT NULL THEN 1 ELSE 0 END AS ev FROM u),
+         bt AS (SELECT t, CAST(count(*) AS BIGINT) AS n_at,
+             CAST(sum(ev) AS BIGINT) AS d,
+             CAST(sum(1 - ev) AS BIGINT) AS c
+           FROM lt GROUP BY t),
+         rk AS (SELECT t, n_at, d, c,
+             CAST(sum(n_at) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk,
+             CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i
+           FROM bt),
+         km AS (
+           SELECT i, t, n_risk, d, c,
+             CASE WHEN d > 0 THEN (1000000 * (n_risk - d)) // n_risk
+                  ELSE CAST(1000000 AS BIGINT) END AS s
+           FROM rk WHERE i = 1
+           UNION ALL
+           SELECT rk.i, rk.t, rk.n_risk, rk.d, rk.c,
+             CASE WHEN rk.d > 0 THEN (km.s * (rk.n_risk - rk.d)) // rk.n_risk
+                  ELSE km.s END
+           FROM km JOIN rk ON rk.i = km.i + 1)
+         SELECT t, n_risk, d AS n_events, c AS n_censored,
+           CAST(s AS BIGINT) AS s_micro
+         FROM km WHERE d > 0 ORDER BY t""",
     // Holt–Winters replay: recursive CTE carrying (l, b, seasonal LIST)
     // through the identical integer recurrence; the l' expression is
     // inlined into b' and s' exactly as the Spark fold does.

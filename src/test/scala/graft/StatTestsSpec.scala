@@ -165,6 +165,31 @@ class StatTestsSpec extends SparkSpecBase {
     assert(r.getLong(6) == 600000L, "kappa_micro")
   }
 
+  test("Kaplan-Meier: censored users shrink the risk set without " +
+      "stepping S; hand-computed truncating product-limit curve") {
+    val day = 86400000000000L
+    // (user, first..events): u1/u2 convert at T=2, u4 at T=4, u6 at T=0;
+    // u3 (followed 5 days) and u5 (1 day) never purchase -> censored.
+    val rows = Seq(
+      (1L, 0L * day, "view"), (1L, 2L * day, "purchase"),
+      (2L, 0L * day, "view"), (2L, 2L * day, "purchase"),
+      (2L, 5L * day, "purchase"),
+      (3L, 1L * day, "view"), (3L, 6L * day, "view"),
+      (4L, 0L * day, "view"), (4L, 4L * day, "purchase"),
+      (5L, 2L * day, "view"), (5L, 3L * day, "view"),
+      (6L, 0L * day + 1L, "purchase"))
+    val out = SparkEntry.queries("q_e_survival")(spark, eventsDir(rows))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // t=0: 6 at risk, 1 event -> 1e6·5//6 = 833333; t=1 censor-only (u5,
+    // no row, risk 6->4 via n_at at t=0,1); t=2: 4 at risk, 2 events ->
+    // 833333·2//4 = 416666; t=4: 2 at risk, 1 event -> 208333.
+    assert(out == Seq(
+      (0L, 6L, 1L, 0L, 833333L),
+      (2L, 4L, 2L, 0L, 416666L),
+      (4L, 2L, 1L, 0L, 208333L)))
+  }
+
   test("CCF: purchases planted as views shifted 2 days give r(2) = 1 " +
       "exactly; off lags match an independent Python fold") {
     val day = 86400000000000L
