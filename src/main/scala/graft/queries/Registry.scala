@@ -1895,6 +1895,22 @@ object Registry {
       .orderBy("t")
   }
 
+  /** Deterministic DBSCAN over the embedding corpus
+    * ([[graft.llm.Dbscan]]): ε² = 1.3·10¹² micro-units² (≈ the 5th
+    * percentile of nearest-neighbor distance — sparse enough that
+    * density survives), minPts = 4. The density-based complement to
+    * the DetKMeans clustering family with an explicit noise verdict
+    * per vector; border points attach to their minimum-id core
+    * neighbor and labels are component-minimum core ids, so the
+    * assignment is order-free on both engines. */
+  private def llmDbscan(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Dbscan.assign(
+        graft.llm.DetKMeans.unitPoints(t(spark, dir, "embeddings"),
+          "vec_id", "embedding"),
+        "id", "u", eps2 = 1300000000000L, minPts = 4)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id")
+
   /** Dunning G² collocations over adjacent bigrams
     * ([[graft.llm.Cooccur.dunningG2]]) — the likelihood-ratio companion
     * to [[llmCooccurPmi]]: PMI over-ranks rare pairs, G² weights each
@@ -7051,6 +7067,7 @@ object Registry {
     "q_llm_collocations" -> q(llmCollocations),
     "q_ts_ccf" -> q(tsCcf),
     "q_e_survival" -> q(eSurvival),
+    "q_llm_dbscan" -> q(llmDbscan),
   )
 
   /** Shared oracle prefix for the classifier-pair statistics
@@ -12436,6 +12453,50 @@ object Registry {
          SELECT t, n_risk, d AS n_events, c AS n_censored,
            CAST(s AS BIGINT) AS s_micro
          FROM km WHERE d > 0 ORDER BY t""",
+    // DBSCAN replay: same micro-unit quantization, exhaustive pair join,
+    // degree >= minPts-1 core rule, min-label closure over the core-core
+    // subgraph (the q_graph_wcc mechanism), min-core-neighbor border
+    // attach, and the noise fall-through.
+    "q_llm_dbscan" ->
+      """WITH RECURSIVE q AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+               * 1000000 + 0.5) AS BIGINT)) AS v
+           FROM embeddings),
+         pr AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+                FROM q a JOIN q b ON a.vec_id < b.vec_id
+                  AND list_sum(list_transform(range(1, 65),
+                    k -> (a.v[k] - b.v[k]) * (a.v[k] - b.v[k])))
+                    <= 1300000000000),
+         nb AS (SELECT ia AS id, ib AS nb FROM pr
+                UNION ALL SELECT ib, ia FROM pr),
+         core AS (SELECT id FROM nb GROUP BY id HAVING count(*) >= 3),
+         ce AS (SELECT ia, ib FROM pr
+                WHERE ia IN (SELECT id FROM core)
+                  AND ib IN (SELECT id FROM core)),
+         adj AS (SELECT ia AS src, ib AS dst FROM ce
+                 UNION ALL SELECT ib, ia FROM ce),
+         r AS (SELECT src AS node, src AS lbl
+               FROM (SELECT DISTINCT src FROM adj)
+               UNION
+               SELECT adj.dst, r.lbl FROM r JOIN adj ON adj.src = r.node
+               WHERE r.lbl < adj.dst),
+         comp AS (SELECT node, min(lbl) AS component FROM r GROUP BY node),
+         ca AS (SELECT core.id, COALESCE(comp.component, core.id) AS cluster
+                FROM core LEFT JOIN comp ON comp.node = core.id),
+         ba AS (SELECT nb.id, min(nb.nb) AS mnb
+                FROM nb JOIN ca ON ca.id = nb.nb
+                WHERE nb.id NOT IN (SELECT id FROM core)
+                GROUP BY nb.id),
+         bd AS (SELECT ba.id, ca.cluster FROM ba JOIN ca ON ca.id = ba.mnb),
+         asg AS (SELECT id, 'core' AS role, cluster FROM ca
+                 UNION ALL SELECT id, 'border', cluster FROM bd),
+         ns AS (SELECT vec_id AS id, 'noise' AS role,
+                  CAST(-1 AS BIGINT) AS cluster
+                FROM q WHERE vec_id NOT IN (SELECT id FROM asg))
+         SELECT CAST(id AS BIGINT) AS vec_id, role,
+           CAST(cluster AS BIGINT) AS cluster_id
+         FROM (SELECT * FROM asg UNION ALL SELECT * FROM ns)
+         ORDER BY vec_id""",
     // Holt–Winters replay: recursive CTE carrying (l, b, seasonal LIST)
     // through the identical integer recurrence; the l' expression is
     // inlined into b' and s' exactly as the Spark fold does.
