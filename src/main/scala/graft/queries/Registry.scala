@@ -1911,6 +1911,89 @@ object Registry {
       .withColumnRenamed("id", "vec_id")
       .orderBy("vec_id")
 
+  /** Per-document lexical diversity: type–token ratio, Guiraud's root
+    * TTR R = V/√N (the length-robust variant TTR lacks — TTR decays
+    * mechanically with doc length, R doesn't), and the hapax-legomenon
+    * fraction (Zipf's tail mass — a high hapax share flags
+    * boilerplate-free natural prose, a low one flags template spam).
+    * The per-doc companion to the corpus-level [[llmHeaps]]/[[llmZipf]]
+    * curves. Scale shape: one explode → (doc, token) count → per-doc
+    * aggregate (two hash shuffles, linear in corpus tokens); empty docs
+    * keep a zero row via the left join so the relation stays total.
+    * ttr/hapax are micro integer divisions; Guiraud is the single
+    * V/√N double surface floored 4 dp. */
+  private def llmLexdiv(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val counts = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+    docs.select(col("doc_id")).join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("CASE WHEN n_tokens = 0 THEN 0" +
+          " ELSE n_types * 1000000 div n_tokens END").as("ttr_micro"),
+        expr("CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE)" +
+          " ELSE floor(CAST(n_types AS DOUBLE)" +
+          " / sqrt(CAST(n_tokens AS DOUBLE)) * 10000) / 10000 END")
+          .as("guiraud4"),
+        expr("CASE WHEN n_tokens = 0 THEN 0" +
+          " ELSE n_hapax * 1000000 div n_tokens END").as("hapax_micro"))
+      .orderBy("doc_id")
+  }
+
+  /** Top-20 bivariate Mahalanobis outliers over (quantity, price) —
+    * the correlation-aware outlier score a univariate z-test cannot
+    * give (a cheap-but-huge order is normal on each axis separately,
+    * anomalous jointly; Mahalanobis 1936). Exactness: centi-unit
+    * integers; the scatter terms A = nΣxx−(Σx)², B = nΣxy−ΣxΣy,
+    * C = nΣyy−(Σy)² and the cleared-denominator residuals
+    * u = nx−Σx, v = ny−Σy are EXACT DECIMAL(38,0); d² = (n−1)·
+    * (Cu² − 2Buv + Av²) / (n·(AC−B²)), assembled on ONE double
+    * surface in fixed op order, floored 4 dp (the C·u² products pass
+    * 10³⁸, so the final assembly is mirrored doubles — the
+    * [[statsCorr]] discipline). Scale shape: one scan for the moment
+    * aggregate (broadcast back), one scan for scoring, TakeOrdered
+    * top-20 with (d² desc, orderkey, linenumber) total tiebreak. */
+  private def statsMahalanobis(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_quantity") * 100 + 0.5).cast(dec).as("x"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast(dec).as("y"))
+    val m = li.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"),
+      sum((col("y") * col("y")).cast(dec)).as("syy"),
+      sum((col("x") * col("y")).cast(dec)).as("sxy"))
+    li.crossJoin(broadcast(m))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("x").cast("long").as("x_centi"),
+        col("y").cast("long").as("y_centi"),
+        expr("""floor(
+          (CAST(n AS DOUBLE) - 1.0) * (
+              CAST(n * syy - sy * sy AS DOUBLE)
+                * CAST(n * x - sx AS DOUBLE) * CAST(n * x - sx AS DOUBLE)
+            - 2.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+                * CAST(n * x - sx AS DOUBLE) * CAST(n * y - sy AS DOUBLE)
+            + CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * y - sy AS DOUBLE) * CAST(n * y - sy AS DOUBLE))
+          / (CAST(n AS DOUBLE)
+             * ((CAST(n * sxx - sx * sx AS DOUBLE)
+                 * CAST(n * syy - sy * sy AS DOUBLE))
+                - CAST(n * sxy - sx * sy AS DOUBLE)
+                  * CAST(n * sxy - sx * sy AS DOUBLE)))
+          * 10000) / 10000""").as("md2_4dp"))
+      .orderBy(col("md2_4dp").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+  }
+
   /** Dunning G² collocations over adjacent bigrams
     * ([[graft.llm.Cooccur.dunningG2]]) — the likelihood-ratio companion
     * to [[llmCooccurPmi]]: PMI over-ranks rare pairs, G² weights each
@@ -7068,6 +7151,8 @@ object Registry {
     "q_ts_ccf" -> q(tsCcf),
     "q_e_survival" -> q(eSurvival),
     "q_llm_dbscan" -> q(llmDbscan),
+    "q_llm_lexdiv" -> q(llmLexdiv),
+    "q_stats_mahalanobis" -> q(statsMahalanobis),
   )
 
   /** Shared oracle prefix for the classifier-pair statistics
@@ -12497,6 +12582,66 @@ object Registry {
            CAST(cluster AS BIGINT) AS cluster_id
          FROM (SELECT * FROM asg UNION ALL SELECT * FROM ns)
          ORDER BY vec_id""",
+    // Lexical-diversity replay: same tokenizer, same (doc, token) counts,
+    // left join keeps empty docs as zero rows, micro divisions + the one
+    // V/sqrt(N) double surface floored 4dp.
+    "q_llm_lexdiv" ->
+      """WITH tok AS (SELECT doc_id,
+             unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\s+') END) AS tok
+           FROM documents),
+         tc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+                FROM tok GROUP BY doc_id, tok),
+         agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+           FROM tc GROUP BY doc_id),
+         tot AS (SELECT d.doc_id,
+             COALESCE(n_tokens, 0) AS n_tokens,
+             COALESCE(n_types, 0) AS n_types,
+             COALESCE(n_hapax, 0) AS n_hapax
+           FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id)
+         SELECT doc_id, n_tokens, n_types, n_hapax,
+           CAST(CASE WHEN n_tokens = 0 THEN 0
+             ELSE n_types * 1000000 // n_tokens END AS BIGINT) AS ttr_micro,
+           CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+             ELSE floor(CAST(n_types AS DOUBLE)
+               / sqrt(CAST(n_tokens AS DOUBLE)) * 10000) / 10000 END
+             AS guiraud4,
+           CAST(CASE WHEN n_tokens = 0 THEN 0
+             ELSE n_hapax * 1000000 // n_tokens END AS BIGINT) AS hapax_micro
+         FROM tot ORDER BY doc_id""",
+    // Mahalanobis replay: HUGEINT exact moments/scatter/residuals, the
+    // identical fixed-order double assembly, same (d2 desc, orderkey,
+    // linenumber) top-20.
+    "q_stats_mahalanobis" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+             CAST(floor(l_quantity * 100 + 0.5) AS HUGEINT) AS x,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) AS y
+           FROM lineitem),
+         m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+           FROM li)
+         SELECT l_orderkey, l_linenumber,
+           CAST(x AS BIGINT) AS x_centi, CAST(y AS BIGINT) AS y_centi,
+           floor(
+             (CAST(n AS DOUBLE) - 1.0) * (
+                 CAST(n * syy - sy * sy AS DOUBLE)
+                   * CAST(n * x - sx AS DOUBLE) * CAST(n * x - sx AS DOUBLE)
+               - 2.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+                   * CAST(n * x - sx AS DOUBLE) * CAST(n * y - sy AS DOUBLE)
+               + CAST(n * sxx - sx * sx AS DOUBLE)
+                   * CAST(n * y - sy AS DOUBLE) * CAST(n * y - sy AS DOUBLE))
+             / (CAST(n AS DOUBLE)
+                * ((CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE))
+                   - CAST(n * sxy - sx * sy AS DOUBLE)
+                     * CAST(n * sxy - sx * sy AS DOUBLE)))
+             * 10000) / 10000 AS md2_4dp
+         FROM li, m
+         ORDER BY md2_4dp DESC, l_orderkey, l_linenumber LIMIT 20""",
     // Holt–Winters replay: recursive CTE carrying (l, b, seasonal LIST)
     // through the identical integer recurrence; the l' expression is
     // inlined into b' and s' exactly as the Spark fold does.

@@ -13,6 +13,24 @@ class LlmOpsSpec extends SparkSpecBase {
     rows.toSeq.toDF("doc_id", "text")
   }
 
+  test("lexical diversity: hand-counted types/hapax, Guiraud floor, " +
+      "and a zero row for the empty doc") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lexdiv").toString
+    docs((1L, "a b b a c"), (2L, ""), (3L, "x x x x"))
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_llm_lexdiv")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getLong(6)))
+    // doc 1: 5 tokens, 3 types, 1 hapax ("c"); Guiraud 3/sqrt(5) -> 1.3416.
+    // doc 2: empty -> total zero row. doc 3: 4 tokens, 1 type, 0 hapax.
+    assert(out.toSeq == Seq(
+      (1L, 5L, 3L, 1L, 600000L, 1.3416, 200000L),
+      (2L, 0L, 0L, 0L, 0L, 0.0, 0L),
+      (3L, 4L, 1L, 0L, 250000L, 0.5, 0L)))
+  }
+
   test("exact dedup groups identical texts, keeps lowest id") {
     val d = docs((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma"))
     val groups = Dedup.exactDuplicateGroups(d, "doc_id", "text")

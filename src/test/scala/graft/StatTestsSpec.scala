@@ -165,6 +165,24 @@ class StatTestsSpec extends SparkSpecBase {
     assert(r.getLong(6) == 600000L, "kappa_micro")
   }
 
+  test("Mahalanobis: the joint outlier on a correlated cloud outranks " +
+      "both marginal extremes; hand-computed 4dp scores") {
+    import spark.implicits._
+    val dir = tmp("graft-stattests")
+    // Four points on the y = x diagonal plus (5, 1): normal on each
+    // axis alone, anomalous jointly.
+    Seq((1L, 1, 1.0, 1.0), (2L, 1, 2.0, 2.0), (3L, 1, 3.0, 3.0),
+        (4L, 1, 4.0, 4.0), (5L, 1, 5.0, 1.0))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q_stats_mahalanobis")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (5L, 100L, 3.2), (1L, 100L, 2.0), (4L, 400L, 2.0),
+      (2L, 200L, 0.4), (3L, 300L, 0.4)))
+  }
+
   test("Kaplan-Meier: censored users shrink the risk set without " +
       "stepping S; hand-computed truncating product-limit curve") {
     val day = 86400000000000L
