@@ -1994,6 +1994,111 @@ object Registry {
       .limit(20)
   }
 
+  /** ROC-AUC of the heuristic quality score against the Gopher gate
+    * (Hanley & McNeil 1982's U-statistic identity) — the THRESHOLD-FREE
+    * member of the classifier-pair family: McNemar fixes quality at 0.5
+    * and asks about strictness, κ asks about agreement at that cut; AUC
+    * asks whether the score RANKS gopher-passing docs above failing
+    * ones at every cut simultaneously. FULLY integer: AUC = U/(n₁n₀)
+    * computed from 2-scaled mid-ranks (the [[statsKruskal]] tie
+    * discipline — group by distinct score, suffix the cumulative count,
+    * rank2 = 2·cum + t + 1), so ties contribute exactly ½;
+    * auc_micro = (R2₁ − n₁(n₁+1))·10⁶ div (2n₁n₀), degenerate single-
+    * class corpus → 0. Scale shape: one corpus pass → ≤ 10001 distinct
+    * 4dp score rows; the rank window runs over that bounded relation. */
+  private def llmAuc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    val d = t(spark, dir, "documents")
+      .select(TextAnalysis.qualityScore(col("text")).as("s"),
+        TextAnalysis.gopherPass(col("text")).as("y"))
+    val byS = d.groupBy("s")
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("p"),
+        sum(when(!col("y"), 1L).otherwise(0L)).as("q"))
+      .withColumn("t", col("p") + col("q"))
+    val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    byS.withColumn("cum", coalesce(sum(col("t")).over(w), lit(0L)))
+      .withColumn("r2", lit(2L) * col("cum") + col("t") + lit(1L))
+      .agg(sum(col("p")).as("n_pos"), sum(col("q")).as("n_neg"),
+        sum(col("p").cast(dec) * col("r2")).cast("long").as("r2_pos"))
+      .select((col("n_pos") + col("n_neg")).as("n"),
+        col("n_pos"), col("n_neg"), col("r2_pos"),
+        expr("CASE WHEN n_pos * n_neg = 0 THEN 0" +
+          " ELSE (r2_pos - n_pos * (n_pos + 1)) * 1000000" +
+          " div (2 * n_pos * n_neg) END").as("auc_micro"))
+  }
+
+  /** Multi-reference ROUGE-2 against the fixed md5-ranked 20-doc panel
+    * (Lin 2004) — the recall side of the corpus-diversity pair:
+    * [[llmSelfBleu]] is precision-oriented (how much of the candidate
+    * is in the panel), ROUGE-2 recall asks how much of a panel
+    * reference the candidate covers, and multi-ref ROUGE takes the
+    * best reference by F1 = 2·o/(n_d+n_r) (the exact rational the P/R
+    * harmonic mean collapses to). FULLY integer: clipped bigram
+    * overlaps are exact counts, all three surfaces are micro
+    * divisions, best-ref selection compares truncated f1_micro with
+    * min-ref_id tiebreak among refs WITH overlap (no-overlap docs fall
+    * back to the min-id panel ref at zero) — deterministic on both
+    * engines. Scale shape: panel side is 20 rows broadcast everywhere;
+    * overlap flows through one gram join and one max-struct aggregate,
+    * linear in corpus bigrams. */
+  private def llmRouge2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), trim(col("text")).as("text"))
+      .filter(size(TextAnalysis.tokens(col("text"))) >= 2)
+    val refs = docs
+      .withColumn("hk", md5(col("doc_id").cast("string")))
+      .withColumn("rk", row_number().over(Window.orderBy("hk")))
+      .filter(col("rk") <= 20)
+      .select(col("doc_id").as("ref_id"), col("text"))
+      .localCheckpoint(true)
+    val refBi = refs
+      .select(col("ref_id"), explode(TextAnalysis.wordGrams(col("text"), 2))
+        .as("gram"))
+      .groupBy("ref_id", "gram").agg(count(lit(1)).as("rc"))
+    val refTot = refBi.groupBy("ref_id").agg(sum(col("rc")).as("nr"))
+    val cand = docs
+      .join(broadcast(refs.select(col("ref_id").as("doc_id"))),
+        Seq("doc_id"), "left_anti")
+    val candBi = cand
+      .select(col("doc_id"), explode(TextAnalysis.wordGrams(col("text"), 2))
+        .as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+    // nd = tokens − 1 directly off the candidate scan: no second pass
+    // over the exploded bigram relation.
+    val candTot = cand.select(col("doc_id"),
+      (size(TextAnalysis.tokens(col("text"))) - 1).cast("long").as("nd"))
+    val ov = candBi.join(broadcast(refBi), Seq("gram"))
+      .groupBy("doc_id", "ref_id")
+      .agg(sum(least(col("cnt"), col("rc"))).as("o"))
+    // Best ref = argmax truncated-F1 over refs WITH overlap, min-ref_id
+    // tiebreak, as ONE max-struct aggregate (a doc × panel grid + rank
+    // window computes the same thing at 20× the rows); docs overlapping
+    // no ref at all fall back to the min-id panel ref with o = 0.
+    val best = ov.join(broadcast(refTot), Seq("ref_id"))
+      .join(candTot, Seq("doc_id"))
+      .withColumn("f1_micro", expr("2 * o * 1000000 div (nd + nr)"))
+      .groupBy("doc_id")
+      .agg(max(struct(col("f1_micro"), (-col("ref_id")).as("nref"),
+        col("ref_id"), col("o"), col("nr"))).as("b"))
+    val fallback = broadcast(refTot.agg(
+      min_by(struct(col("ref_id"), col("nr")), col("ref_id")).as("fb")))
+    candTot.join(best, Seq("doc_id"), "left").crossJoin(fallback)
+      .select(col("doc_id"),
+        coalesce(col("b.ref_id"), col("fb.ref_id")).as("best_ref"),
+        coalesce(col("b.o"), lit(0L)).as("overlap"),
+        col("nd"),
+        coalesce(col("b.nr"), col("fb.nr")).as("nr"),
+        coalesce(col("b.f1_micro"), lit(0L)).as("f1_micro"))
+      .select(col("doc_id"), col("best_ref"), col("overlap"),
+        col("nd"), col("nr"),
+        expr("overlap * 1000000 div nr").as("recall_micro"),
+        expr("overlap * 1000000 div nd").as("precision_micro"),
+        col("f1_micro"))
+      .orderBy("doc_id")
+  }
+
   /** Dunning G² collocations over adjacent bigrams
     * ([[graft.llm.Cooccur.dunningG2]]) — the likelihood-ratio companion
     * to [[llmCooccurPmi]]: PMI over-ranks rare pairs, G² weights each
@@ -7153,6 +7258,8 @@ object Registry {
     "q_llm_dbscan" -> q(llmDbscan),
     "q_llm_lexdiv" -> q(llmLexdiv),
     "q_stats_mahalanobis" -> q(statsMahalanobis),
+    "q_llm_auc" -> q(llmAuc),
+    "q_llm_rouge2" -> q(llmRouge2),
   )
 
   /** Shared oracle prefix for the classifier-pair statistics
@@ -12642,6 +12749,81 @@ object Registry {
              * 10000) / 10000 AS md2_4dp
          FROM li, m
          ORDER BY md2_4dp DESC, l_orderkey, l_linenumber LIMIT 20""",
+    // AUC replay: the shared gopher+quality prefix, distinct-score
+    // grouping, the same 2-scaled mid-rank suffix window, and the
+    // integer U-statistic identity.
+    "q_llm_auc" ->
+      (gopherQualityCtes + """,
+         j AS (SELECT qq.quality AS s, gp.gp AS y
+               FROM gp JOIN qq USING (doc_id)),
+         bys AS (SELECT s,
+             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+             CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS q
+           FROM j GROUP BY s),
+         rk AS (SELECT p, q,
+             2 * COALESCE(sum(p + q) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (p + q) + 1 AS r2
+           FROM bys),
+         a AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+             CAST(sum(q) AS BIGINT) AS n_neg,
+             CAST(sum(CAST(p AS HUGEINT) * r2) AS HUGEINT) AS r2p
+           FROM rk)
+         SELECT n_pos + n_neg AS n, n_pos, n_neg,
+           CAST(r2p AS BIGINT) AS r2_pos,
+           CAST(CASE WHEN n_pos * n_neg = 0 THEN 0
+             ELSE (r2p - n_pos * (n_pos + 1)) * 1000000
+               // (2 * n_pos * n_neg) END AS BIGINT) AS auc_micro
+         FROM a"""),
+    // ROUGE-2 replay: the self-BLEU panel CTEs, per-(cand, ref) clipped
+    // bigram overlaps, the full 20-wide grid with zero-overlap rows, and
+    // the same truncated-f1/min-ref_id best pick.
+    "q_llm_rouge2" ->
+      """WITH base0 AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS t FROM documents),
+         docs AS (SELECT doc_id, t FROM base0 WHERE len(t) >= 2),
+         refs AS (SELECT doc_id AS ref_id, t FROM (
+             SELECT doc_id, t, row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+             FROM docs) WHERE rk <= 20),
+         refbi AS (SELECT ref_id, gram, CAST(count(*) AS BIGINT) AS rc
+           FROM (SELECT ref_id, unnest(list_transform(range(1, len(t)),
+             i -> t[i] || ' ' || t[i+1])) AS gram FROM refs)
+           GROUP BY ref_id, gram),
+         reftot AS (SELECT ref_id, CAST(sum(rc) AS BIGINT) AS nr
+           FROM refbi GROUP BY ref_id),
+         cand AS (SELECT doc_id, t FROM docs
+                  WHERE doc_id NOT IN (SELECT ref_id FROM refs)),
+         candbi AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt
+           FROM (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+             i -> t[i] || ' ' || t[i+1])) AS gram FROM cand)
+           GROUP BY doc_id, gram),
+         candtot AS (SELECT doc_id, CAST(len(t) - 1 AS BIGINT) AS nd
+           FROM cand),
+         ov AS (SELECT doc_id, ref_id,
+             CAST(sum(LEAST(cnt, rc)) AS BIGINT) AS o
+           FROM candbi JOIN refbi USING (gram)
+           GROUP BY doc_id, ref_id),
+         ovf AS (SELECT ov.doc_id, ov.ref_id, ov.o, r.nr, c.nd,
+             2 * ov.o * 1000000 // (c.nd + r.nr) AS f1_micro
+           FROM ov JOIN reftot r USING (ref_id)
+             JOIN candtot c USING (doc_id)),
+         best AS (SELECT doc_id, ref_id, o, nr, f1_micro FROM (
+             SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY f1_micro DESC, ref_id) AS rn FROM ovf)
+           WHERE rn = 1),
+         fb AS (SELECT ref_id, nr FROM reftot ORDER BY ref_id LIMIT 1)
+         SELECT c.doc_id,
+           COALESCE(b.ref_id, fb.ref_id) AS best_ref,
+           COALESCE(b.o, 0) AS overlap, c.nd,
+           COALESCE(b.nr, fb.nr) AS nr,
+           CAST(COALESCE(b.o, 0) * 1000000 // COALESCE(b.nr, fb.nr)
+             AS BIGINT) AS recall_micro,
+           CAST(COALESCE(b.o, 0) * 1000000 // c.nd AS BIGINT)
+             AS precision_micro,
+           CAST(COALESCE(b.f1_micro, 0) AS BIGINT) AS f1_micro
+         FROM candtot c LEFT JOIN best b USING (doc_id), fb
+         ORDER BY doc_id""",
     // Holt–Winters replay: recursive CTE carrying (l, b, seasonal LIST)
     // through the identical integer recurrence; the l' expression is
     // inlined into b' and s' exactly as the Spark fold does.

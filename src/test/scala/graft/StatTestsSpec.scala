@@ -311,6 +311,60 @@ class StatTestsSpec extends SparkSpecBase {
     (out - oddOut).values.foreach(v => assert(v == ((4L, 4L, 3L, 10000L))))
   }
 
+  test("AUC: perfectly separating scores give exactly 10^6 via the " +
+      "2-scaled mid-rank U identity") {
+    import spark.implicits._
+    val dir = tmp("graft-stattests")
+    val good = ("the quick brown fox jumps over the lazy dog and " +
+      "it is a fine day for running in the field with friends ") * 4
+    val bad = "### ### ### ###"
+    val docs = (0L until 5L).map(i => (i, good)) ++
+      (5L until 8L).map(i => (i, bad))
+    docs.toDF("doc_id", "text").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q_llm_auc")(spark, dir).collect().head
+    // All 5 positives share one (high) score, all 3 negatives one (low)
+    // score: mid-ranks 2·(4+..+8) = 60 → U = 15 = n₁n₀ → AUC = 1.
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((8L, 5L, 3L, 60L)))
+    assert(r.getLong(4) == 1000000L, "auc_micro")
+  }
+
+  test("ROUGE-2: clone candidates score full F1 against the panel, a " +
+      "partial overlap lands on exact rational micro scores") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val ids = (0L until 25L).toSeq
+    val refIds = ids.sortBy(id => md5hex(id.toString)).take(20).toSet
+    val nonPanel = ids.filterNot(refIds)
+    val (disjoint, partial) = (nonPanel.head, nonPanel(1))
+    val minRef = refIds.min
+    import spark.implicits._
+    val dir = tmp("graft-stattests")
+    ids.map(id => (id,
+        if (id == disjoint) "x y z"
+        else if (id == partial) "a b x"
+        else "a b c d"))
+      .toDF("doc_id", "text").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_llm_rouge2")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toMap
+    assert(out.size == 5)
+    // Disjoint: zero overlap everywhere, best ref falls back to min id.
+    assert(out(disjoint) == ((minRef, 0L, 2L, 3L, 0L, 0L, 0L)))
+    // Partial "a b x": 1 of 2 cand bigrams, 1 of 3 ref bigrams →
+    // R = 1/3, P = 1/2, F1 = 2/5 exactly.
+    assert(out(partial) == ((minRef, 1L, 2L, 3L, 333333L, 500000L,
+      400000L)))
+    // Clones: all 3 bigrams clip fully → R = P = F1 = 1.
+    (out - disjoint - partial).values.foreach(v =>
+      assert(v == ((minRef, 3L, 3L, 3L, 1000000L, 1000000L, 1000000L))))
+  }
+
   test("WCC histogram: two crafted co-purchase components land in the " +
       "right size buckets with min-id checksums") {
     import spark.implicits._
