@@ -805,7 +805,8 @@ object ScaleSmoke {
         "q_ts_holt_winters", "q_llm_mcnemar",
         "q_stats_kappa", "q_llm_collocations", "q_ts_ccf",
         "q_e_survival", "q_llm_dbscan", "q_llm_lexdiv",
-        "q_stats_mahalanobis", "q_llm_auc", "q_llm_rouge2")) {
+        "q_stats_mahalanobis", "q_llm_auc", "q_llm_rouge2",
+        "q_ts_pacf")) {
       val n = timed(s"$qn (registered shape)")(
         SparkEntry.queries(qn)(spark, sfDir).count())
       println(s"[scale] $qn rows: $n")

@@ -2099,6 +2099,62 @@ object Registry {
       .orderBy("doc_id")
   }
 
+  /** Partial autocorrelation function at lags 1..7 via Durbin–Levinson
+    * (Box & Jenkins 1970 §3.2; Durbin 1960) — the AR-order diagnostic
+    * [[statsAutocorr]] cannot give: ACF at lag k mixes the direct
+    * effect with everything propagated through lags < k, PACF isolates
+    * it (the "does yesterday STILL matter given the week?" question).
+    * Determinism: the day-grain series is collected ORDERED and every
+    * double op — mean, the ascending-t autocovariance folds, the DL
+    * recursion — is mirrored op-for-op by the oracle's recursive CTE
+    * carrying the φ row as a LIST<DOUBLE> (prototyped standalone: CTE
+    * output == an independent Python fold on a 15-value series).
+    * Guards match: series shorter than 8 days or with zero variance
+    * yield no rows. Scale shape: one events pass to the day grain;
+    * the collected series is bounded by the CALENDAR (≤ a few
+    * thousand doubles at any corpus size), so driver-side DL is the
+    * [[statsCorr]] moment-collect discipline, not a data collect. */
+  private def tsPacf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val xs: Array[Long] = t(spark, dir, "events")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .orderBy("day").select("x").collect().map(_.getLong(0))
+    val n = xs.length
+    val empty = Seq.empty[(Long, Double)].toDF("lag", "pacf4")
+    if (n < 8) return empty
+    val s = xs.foldLeft(0L)(_ + _)
+    val mean = s.toDouble / n.toDouble
+    def gamma(k: Int): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < n - k) {
+        acc = acc + (xs(i) - mean) * (xs(i + k) - mean)
+        i += 1
+      }
+      acc / n.toDouble
+    }
+    val g = (0 to 7).map(gamma).toArray
+    if (g(0) == 0.0) return empty
+    val pacf = new Array[Double](8)
+    pacf(1) = g(1) / g(0)
+    var phi = Array(g(1) / g(0))
+    var v = g(0) * (1.0 - (g(1) / g(0)) * (g(1) / g(0)))
+    for (k <- 1 until 7) {
+      var acc = 0.0
+      for (j2 <- 1 to k) acc = acc + phi(j2 - 1) * g(k + 1 - j2)
+      val pkk = (g(k + 1) - acc) / v
+      val next = new Array[Double](k + 1)
+      for (j <- 1 to k) next(j - 1) = phi(j - 1) - pkk * phi(k - j)
+      next(k) = pkk
+      v = v * (1.0 - pkk * pkk)
+      phi = next
+      pacf(k + 1) = pkk
+    }
+    (1 to 7).map(k => (k.toLong, math.floor(pacf(k) * 10000) / 10000))
+      .toDF("lag", "pacf4")
+  }
+
   /** Dunning G² collocations over adjacent bigrams
     * ([[graft.llm.Cooccur.dunningG2]]) — the likelihood-ratio companion
     * to [[llmCooccurPmi]]: PMI over-ranks rare pairs, G² weights each
@@ -7260,6 +7316,7 @@ object Registry {
     "q_stats_mahalanobis" -> q(statsMahalanobis),
     "q_llm_auc" -> q(llmAuc),
     "q_llm_rouge2" -> q(llmRouge2),
+    "q_ts_pacf" -> q(tsPacf),
   )
 
   /** Shared oracle prefix for the classifier-pair statistics
@@ -12824,6 +12881,62 @@ object Registry {
            CAST(COALESCE(b.f1_micro, 0) AS BIGINT) AS f1_micro
          FROM candtot c LEFT JOIN best b USING (doc_id), fb
          ORDER BY doc_id""",
+    // PACF replay: day-grain list ordered by day, ascending-t
+    // autocovariance folds (explicit list_reduce with a 0.0 seed — order
+    // pinned), then the Durbin-Levinson recursion carrying the phi row
+    // as LIST<DOUBLE>; prototyped standalone against a Python fold.
+    "q_ts_pacf" ->
+      """WITH RECURSIVE days AS (SELECT
+             epoch_ns(ts) // 86400000000000 AS day,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+         xs AS (SELECT list(c ORDER BY day) AS x FROM days),
+         st AS (SELECT x, CAST(len(x) AS BIGINT) AS n,
+             CAST(list_reduce(x, (a, b) -> a + b) AS BIGINT) AS s
+           FROM xs WHERE len(x) >= 8),
+         mn AS (SELECT x, n,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m FROM st),
+         gam AS (SELECT
+             list_transform(range(0, 8), k ->
+               list_reduce(
+                 list_concat([CAST(0.0 AS DOUBLE)],
+                   list_transform(range(1, CAST(n AS INT) - CAST(k AS INT) + 1),
+                     t -> (x[t] - m) * (x[t + k] - m))),
+                 (a, b) -> a + b) / CAST(n AS DOUBLE)) AS g
+           FROM mn),
+         dl AS (
+           SELECT 1 AS k, [g[2] / g[1]] AS phi,
+             g[1] * (1.0 - (g[2] / g[1]) * (g[2] / g[1])) AS v, g
+           FROM gam WHERE g[1] <> 0
+           UNION ALL
+           SELECT k + 1,
+             list_concat(
+               list_transform(range(1, k + 1), j -> phi[j] -
+                 ((g[k + 2] - list_reduce(
+                     list_concat([CAST(0.0 AS DOUBLE)],
+                       list_transform(range(1, k + 1),
+                         j2 -> phi[j2] * g[k + 2 - j2])),
+                     (a, b) -> a + b)) / v) * phi[k + 1 - j]),
+               [(g[k + 2] - list_reduce(
+                   list_concat([CAST(0.0 AS DOUBLE)],
+                     list_transform(range(1, k + 1),
+                       j2 -> phi[j2] * g[k + 2 - j2])),
+                   (a, b) -> a + b)) / v]) AS phi,
+             v * (1.0 - ((g[k + 2] - list_reduce(
+                   list_concat([CAST(0.0 AS DOUBLE)],
+                     list_transform(range(1, k + 1),
+                       j2 -> phi[j2] * g[k + 2 - j2])),
+                   (a, b) -> a + b)) / v)
+                 * ((g[k + 2] - list_reduce(
+                   list_concat([CAST(0.0 AS DOUBLE)],
+                     list_transform(range(1, k + 1),
+                       j2 -> phi[j2] * g[k + 2 - j2])),
+                   (a, b) -> a + b)) / v)) AS v,
+             g
+           FROM dl WHERE k < 7)
+         SELECT CAST(k AS BIGINT) AS lag,
+           floor(phi[k] * 10000) / 10000 AS pacf4
+         FROM dl ORDER BY k""",
     // Holt–Winters replay: recursive CTE carrying (l, b, seasonal LIST)
     // through the identical integer recurrence; the l' expression is
     // inlined into b' and s' exactly as the Spark fold does.

@@ -311,6 +311,29 @@ class StatTestsSpec extends SparkSpecBase {
     (out - oddOut).values.foreach(v => assert(v == ((4L, 4L, 3L, 10000L))))
   }
 
+  test("PACF: Durbin-Levinson on a crafted 15-day series matches the " +
+      "independent Python reference fold at all 7 lags") {
+    val day = 86400000000000L
+    val counts = Seq(5, 9, 3, 7, 6, 2, 8, 4, 10, 6, 7, 3, 9, 5, 8)
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i => (1L, d * day + i, "view")) }
+    val out = SparkEntry.queries("q_ts_pacf")(spark, eventsDir(rows))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out == Seq(
+      (1L, -0.6229), (2L, 0.0315), (3L, -0.0334), (4L, -0.2882),
+      (5L, -0.141), (6L, 0.1706), (7L, 0.0692)))
+  }
+
+  test("PACF: sub-8-day and constant series yield no rows") {
+    val day = 86400000000000L
+    val short = (0 until 7).map(d => (1L, d * day, "view"))
+    assert(SparkEntry.queries("q_ts_pacf")(spark, eventsDir(short))
+      .count() == 0)
+    val const = (0 until 10).map(d => (1L, d * day, "view"))
+    assert(SparkEntry.queries("q_ts_pacf")(spark, eventsDir(const))
+      .count() == 0)
+  }
+
   test("AUC: perfectly separating scores give exactly 10^6 via the " +
       "2-scaled mid-rank U identity") {
     import spark.implicits._
