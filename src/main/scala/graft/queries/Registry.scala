@@ -2155,6 +2155,70 @@ object Registry {
       .toDF("lag", "pacf4")
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998)
+    * of the top-20 BM25 candidates for the fixed engine query, λ = 0.7:
+    * greedily pick 10 docs maximizing 7·rel − 3·max-sim-to-selected —
+    * the diversification pass a retrieval stack runs so near-duplicate
+    * hits don't crowd the result page. FULLY integer greedy: relevance
+    * is the exact BM25 c4-sum normalized to 10⁴ by integer division
+    * against the top score; similarity is embedding cosine in 4dp
+    * (exact Long dot/norms, one mirrored sqrt surface per pair,
+    * floored); every pick compares Long keys with doc_id tiebreak.
+    * Scale shape: BM25 candidate generation is the distributed
+    * [[Index.bm25Search]] plan; the greedy runs driver-side over the
+    * k=20 candidate set and its 20×20 sim matrix — bounded by k, not
+    * the corpus (the [[statsCorr]] collect discipline). The oracle
+    * replays the greedy as 10 generated argmax CTEs. */
+  private def llmMmr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val cands = Index.bm25Search(docs, "doc_id", "text",
+        queryTerms = Seq("spark", "join", "window"), k = 20)
+      .select(col("doc_id"),
+        floor(col("score") * 1e4 + 0.5).cast("long").as("rel4"))
+    val withVec = cands.join(
+        graft.llm.DetKMeans.unitPoints(t(spark, dir, "embeddings"),
+          "vec_id", "embedding"),
+        cands("doc_id") === col("id"))
+      .select(col("doc_id"), col("rel4"), col("u"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+      .sortBy(_._1)
+    if (withVec.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("pick_order", "doc_id", "rel_norm4", "max_sim4", "mmr_key")
+    val maxRel = withVec.map(_._2).max
+    val ids = withVec.map(_._1)
+    val relNorm = withVec.map(c => c._1 -> c._2 * 10000L / maxRel).toMap
+    val vecs = withVec.map(c => c._1 -> c._3).toMap
+    val n2 = vecs.map { case (id, v) =>
+      id -> v.foldLeft(0L)((a, x) => a + x * x) }
+    def cos4(a: Long, b: Long): Long = {
+      val dot = vecs(a).zip(vecs(b)).foldLeft(0L) {
+        case (acc, (x, y)) => acc + x * y }
+      math.floor(dot.toDouble
+        / (math.sqrt(n2(a).toDouble) * math.sqrt(n2(b).toDouble))
+        * 10000).toLong
+    }
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long)]
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (picked.length < 10 && selected.length < ids.length) {
+      val remaining = ids.filterNot(selected.contains)
+      val scored = remaining.map { c =>
+        val msim =
+          if (selected.isEmpty) 0L else selected.map(s => cos4(c, s)).max
+        val key = 7L * relNorm(c) - (if (selected.isEmpty) 0L else 3L * msim)
+        (c, relNorm(c), msim, key)
+      }
+      val best = scored.minBy { case (c, _, _, key) => (-key, c) }
+      selected += best._1
+      picked += ((picked.length + 1L, best._1, best._2, best._3, best._4))
+    }
+    picked.toSeq
+      .toDF("pick_order", "doc_id", "rel_norm4", "max_sim4", "mmr_key")
+  }
+
   /** Dunning G² collocations over adjacent bigrams
     * ([[graft.llm.Cooccur.dunningG2]]) — the likelihood-ratio companion
     * to [[llmCooccurPmi]]: PMI over-ranks rare pairs, G² weights each
@@ -7317,7 +7381,74 @@ object Registry {
     "q_llm_auc" -> q(llmAuc),
     "q_llm_rouge2" -> q(llmRouge2),
     "q_ts_pacf" -> q(tsPacf),
+    "q_llm_mmr" -> q(llmMmr),
   )
+
+  /** Generated MMR oracle: the BM25 candidate CTEs (lifted from
+    * q_llm_search_bm25's), integer relevance normalization, the exact
+    * cosine matrix, then TEN generated argmax CTEs replaying the greedy
+    * pick-by-pick (the [[graft.llm.DetKMeans.oracleCtes]] generated-
+    * iteration mechanism applied to a greedy instead of k-means). */
+  private lazy val mmrOracle: String = {
+    val base = """WITH tk AS MATERIALIZED (SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS term
+             FROM documents),
+         dl AS MATERIALIZED (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+         qt AS (SELECT doc_id, term, count(*) AS tf FROM tk
+                WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM qt GROUP BY 1),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS nd, avg(dl) AS avgdl
+                FROM dl),
+         sc AS (SELECT qt.doc_id,
+                  CAST(floor(ln(1.0 + (nd - df + 0.5) / (df + 0.5))
+                        * (qt.tf * CAST(2.2 AS DOUBLE))
+                        / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+                        * 10000 + 0.5) AS BIGINT) AS c4
+                FROM qt JOIN dl USING (doc_id) JOIN df USING (term), st),
+         cand AS MATERIALIZED (SELECT doc_id, CAST(sum(c4) AS BIGINT) AS rel4
+                  FROM sc GROUP BY doc_id
+                  ORDER BY sum(c4) DESC, doc_id LIMIT 20),
+         cm AS (SELECT max(rel4) AS mrel FROM cand),
+         cn AS (SELECT doc_id, rel4 * 10000 // mrel AS rel_norm4
+                FROM cand, cm),
+         qv AS (SELECT vec_id, list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT)) AS v
+                FROM embeddings),
+         nrm AS MATERIALIZED (SELECT cn.doc_id, cn.rel_norm4, qv.v,
+                   CAST(list_sum(list_transform(range(1, 65),
+                     i -> qv.v[i] * qv.v[i])) AS BIGINT) AS n2
+                 FROM cn JOIN qv ON qv.vec_id = cn.doc_id),
+         p AS MATERIALIZED (SELECT a.doc_id AS ia, b.doc_id AS ib,
+                 CAST(floor(CAST(list_sum(list_transform(range(1, 65),
+                     i -> a.v[i] * b.v[i])) AS DOUBLE)
+                   / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+                   * 10000) AS BIGINT) AS cos4
+               FROM nrm a, nrm b WHERE a.doc_id <> b.doc_id),
+         s1 AS MATERIALIZED (SELECT [doc_id] AS sel, doc_id AS picked,
+                  rel_norm4, CAST(0 AS BIGINT) AS msim,
+                  CAST(7 * rel_norm4 AS BIGINT) AS key
+                FROM nrm ORDER BY rel_norm4 DESC, doc_id LIMIT 1)"""
+    val steps = (2 to 10).map { k =>
+      s""",
+         e$k AS MATERIALIZED (SELECT c.doc_id, c.rel_norm4,
+             (SELECT max(cos4) FROM p, s${k - 1} WHERE p.ia = c.doc_id
+                AND list_contains(s${k - 1}.sel, p.ib)) AS msim
+           FROM nrm c, s${k - 1}
+           WHERE NOT list_contains(s${k - 1}.sel, c.doc_id)),
+         s$k AS MATERIALIZED (SELECT list_append(s${k - 1}.sel, e.doc_id) AS sel,
+             e.doc_id AS picked, e.rel_norm4, e.msim,
+             7 * e.rel_norm4 - 3 * e.msim AS key
+           FROM s${k - 1}, e$k e
+           ORDER BY 7 * e.rel_norm4 - 3 * e.msim DESC, e.doc_id LIMIT 1)"""
+    }.mkString
+    val finals = (1 to 10).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS pick_order, picked AS doc_id,
+           rel_norm4, msim AS max_sim4, CAST(key AS BIGINT) AS mmr_key
+         FROM s$k""").mkString("\n         UNION ALL ")
+    base + steps + "\n         SELECT * FROM (" + finals +
+      ") ORDER BY pick_order"
+  }
 
   /** Shared oracle prefix for the classifier-pair statistics
     * (q_llm_mcnemar / q_stats_kappa): the gopher-gate CTE chain
@@ -12937,6 +13068,8 @@ object Registry {
          SELECT CAST(k AS BIGINT) AS lag,
            floor(phi[k] * 10000) / 10000 AS pacf4
          FROM dl ORDER BY k""",
+    // Generated greedy replay — see [[mmrOracle]].
+    "q_llm_mmr" -> mmrOracle,
     // Holt–Winters replay: recursive CTE carrying (l, b, seasonal LIST)
     // through the identical integer recurrence; the l' expression is
     // inlined into b' and s' exactly as the Spark fold does.
