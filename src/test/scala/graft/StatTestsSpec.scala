@@ -429,6 +429,45 @@ class StatTestsSpec extends SparkSpecBase {
     assert(out == Seq((0L, 30L, 1000000L), (1L, 30L, 1000000L)))
   }
 
+  test("calibration: bin/conf/acc/gap/ECE arithmetic matches an " +
+      "independent fold over the per-doc kernel scores") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, floor}
+    val dir = tmp("graft-stattests")
+    val good = ("the quick brown fox jumps over the lazy dog and " +
+      "it is a fine day for running in the field with friends ") * 4
+    val bad = "### ### ### ###"
+    val shortClean =
+      ("the quick brown fox jumps over the lazy dog and it is a fine day " * 3)
+        .trim + " sunny skies"
+    val docs = (0L until 5L).map(i => (i, good)) ++
+      (5L until 8L).map(i => (i, bad)) ++
+      (8L until 10L).map(i => (i, shortClean))
+    docs.toDF("doc_id", "text").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // Independent per-doc scores straight off the kernels (pinned
+    // elsewhere), folded by the textbook ECE definition in plain Scala.
+    val perDoc = docs.toDF("doc_id", "text").select(
+        floor(graft.llm.TextAnalysis.qualityScore(col("text")) * 10000
+          + 0.5).cast("long"),
+        graft.llm.TextAnalysis.gopherPass(col("text")))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val expected = perDoc.groupBy { case (s4, _) => math.min(s4 / 1000, 9L) }
+      .map { case (bin, xs) =>
+        val n = xs.length.toLong
+        val conf4 = xs.map(_._1).sum / n
+        val acc4 = xs.count(_._2) * 10000L / n
+        (bin, n, conf4, acc4, math.abs(acc4 - conf4))
+      }.toSeq.sortBy(_._1)
+    val ece4 = expected.map(e => e._2 * e._5).sum / expected.map(_._2).sum
+    val out = SparkEntry.queries("q_llm_calibration")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(out == expected.map(e => (e._1, e._2, e._3, e._4, e._5, ece4)))
+    assert(out.map(_._2).sum == 10L, "every doc lands in exactly one bin")
+    assert(perDoc.count(_._2) == 5L, "fixture: exactly the good docs pass")
+  }
+
   test("theta sketch: identical sets make union and intersection " +
       "estimates coincide, with 63 sketch hashes under theta") {
     val day = 86400000000000L
