@@ -808,8 +808,9 @@ object ScaleSmoke {
         "q_stats_mahalanobis", "q_llm_auc", "q_llm_rouge2",
         "q_ts_pacf",
         // round-12 continuation: retail rules, retrieval diversification,
-        // classifier calibration
-        "q_mb_assoc_rules", "q_llm_mmr", "q_llm_calibration")) {
+        // classifier calibration, brokerage centrality
+        "q_mb_assoc_rules", "q_llm_mmr", "q_llm_calibration",
+        "q_graph_betweenness")) {
       val n = timed(s"$qn (registered shape)")(
         SparkEntry.queries(qn)(spark, sfDir).count())
       println(s"[scale] $qn rows: $n")

@@ -5794,6 +5794,30 @@ object Registry {
       .orderBy("seed")
   }
 
+  /** Horizon-3 Brandes betweenness over the 1/16 co-purchase subgraph
+    * from the mod-932 seed set — the BROKERAGE member of the
+    * centrality family: closeness asks who sits near everything,
+    * eccentricity how deep the neighborhood runs; betweenness asks
+    * which parts the co-purchase paths flow THROUGH. See
+    * [[graft.operators.Betweenness]] for the integer two-phase
+    * dependency accumulation and the (seed, node, σ) frontier shape
+    * (σ is numeric per-seed state, so the closeness bit-mask trick
+    * cannot apply). */
+  private def graphBetweenness(spark: SparkSession, dir: String): DataFrame = {
+    val sub = t(spark, dir, "lineitem")
+      .filter(pmod(col("l_partkey"), lit(4)) === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x, y))))"))
+        .as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
+    graft.operators.Betweenness.topK(
+      graft.operators.Triangles.canonical(sub, "x", "y"),
+      seedsMod = 932, rounds = 3, k = 20)
+  }
+
   /** Weakly-connected-component size profile of the 1/16 co-purchase
     * subgraph — THE graph-shape diagnostic ("one giant component or
     * fragmented shards?") that calibrates every iterative operator's
@@ -7475,6 +7499,7 @@ object Registry {
     "q_llm_mmr" -> q(llmMmr),
     "q_mb_assoc_rules" -> q(mbAssocRules),
     "q_llm_calibration" -> q(llmCalibration),
+    "q_graph_betweenness" -> q(graphBetweenness),
   )
 
   /** Generated MMR oracle: the BM25 candidate CTEs (lifted from
@@ -13208,6 +13233,16 @@ object Registry {
                 FROM pb2)
          SELECT bin, n, conf4, acc4, gap4, ece4
          FROM pb2, ec ORDER BY bin"""),
+    // Brandes replay: GENERATED forward (seed, node, sigma) BFS rounds +
+    // backward dependency levels with the identical per-DAG-edge integer
+    // flooring — see [[graft.operators.Betweenness.oracleCtes]].
+    "q_graph_betweenness" -> (graft.operators.Betweenness.oracleCtes(
+      """SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0""",
+      seedsMod = 932, rounds = 3) + """
+      SELECT n, bc_micro FROM bc ORDER BY bc_micro DESC, n LIMIT 20"""),
     // Holt–Winters replay: recursive CTE carrying (l, b, seasonal LIST)
     // through the identical integer recurrence; the l' expression is
     // inlined into b' and s' exactly as the Spark fold does.
