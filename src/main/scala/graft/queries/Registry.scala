@@ -5818,6 +5818,29 @@ object Registry {
       seedsMod = 932, rounds = 3, k = 20)
   }
 
+  /** Sampled neighborhood function + effective diameter (Palmer et al.
+    * 2002 ANF) over the 1/16 co-purchase subgraph from the mod-932
+    * seed sample — the radius profile ("how much of the graph is
+    * within r hops") that calibrates every iterative operator's round
+    * budget; eccentricity reports the same expansion per seed, ANF
+    * reports the graph-level curve and its 90% effective diameter.
+    * See [[graft.operators.Anf]] for the bit-parallel popcount
+    * accumulation. */
+  private def graphAnf(spark: SparkSession, dir: String): DataFrame = {
+    val sub = t(spark, dir, "lineitem")
+      .filter(pmod(col("l_partkey"), lit(4)) === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x, y))))"))
+        .as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
+    graft.operators.Anf.profile(
+      graft.operators.Triangles.canonical(sub, "x", "y"),
+      seedsMod = 932, rounds = 3)
+  }
+
   /** Weakly-connected-component size profile of the 1/16 co-purchase
     * subgraph — THE graph-shape diagnostic ("one giant component or
     * fragmented shards?") that calibrates every iterative operator's
@@ -7500,6 +7523,7 @@ object Registry {
     "q_mb_assoc_rules" -> q(mbAssocRules),
     "q_llm_calibration" -> q(llmCalibration),
     "q_graph_betweenness" -> q(graphBetweenness),
+    "q_graph_anf" -> q(graphAnf),
   )
 
   /** Generated MMR oracle: the BM25 candidate CTEs (lifted from
@@ -13243,6 +13267,31 @@ object Registry {
          WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0""",
       seedsMod = 932, rounds = 3) + """
       SELECT n, bc_micro FROM bc ORDER BY bc_micro DESC, n LIMIT 20"""),
+    // ANF replay: the Closeness pair-frontier CTEs give the per-round
+    // set-semantics reach counts; cum/frac/eff-diameter arithmetic in
+    // the same integer units.
+    "q_graph_anf" -> (graft.operators.Closeness.oracleCtes(
+      """SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0""",
+      seedsMod = 932, rounds = 3) + """,
+      pr AS (SELECT 1 AS r, CAST(count(*) AS BIGINT) AS c FROM f1
+             UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM f2
+             UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM f3),
+      cm AS (SELECT r, c, CAST(sum(c) OVER (ORDER BY r) AS BIGINT) AS cum
+             FROM pr),
+      tt AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM pr),
+      ed AS (SELECT CAST(CASE WHEN total = 0 THEN 0 ELSE
+               (SELECT min(r) FROM cm, tt t2
+                WHERE cm.cum * 10 >= 9 * t2.total) END AS BIGINT)
+               AS eff_diam
+             FROM tt)
+      SELECT CAST(r AS BIGINT) AS r, c AS reached, cum,
+        CAST(CASE WHEN total = 0 THEN 0
+             ELSE cum * 1000000 // total END AS BIGINT) AS frac_micro,
+        eff_diam
+      FROM cm, tt, ed ORDER BY r"""),
     // Holt–Winters replay: recursive CTE carrying (l, b, seasonal LIST)
     // through the identical integer recurrence; the l' expression is
     // inlined into b' and s' exactly as the Spark fold does.
