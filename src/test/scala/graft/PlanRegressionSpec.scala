@@ -412,4 +412,32 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       "doc aggregate partial-aggregates before its exchange")
   }
+
+  test("basket rules: dimension + brand-count joins all broadcast, " +
+      "top-20 is TakeOrdered, pair fan-out never self-joins") {
+    val p = plan("q_mb_assoc_rules")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert("Generate explode".r.findAllIn(p).size >= 2,
+      "pairs come from the double explode, not a join")
+  }
+
+  test("calibration: one corpus aggregate; the 1-row ECE broadcasts " +
+      "back onto the bins") {
+    val p = plan("q_llm_calibration")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"))
+  }
+
+  test("betweenness: the final accumulation is TakeOrdered, never a " +
+      "global sort, and no cartesian shape leaks from the seed join") {
+    // The lazy last backward level's (s, n)-keyed joins may legitimately
+    // sort-merge (co-partitioned equi-joins — the right shape at scale);
+    // what must never appear is a cartesian/unkeyed product.
+    val p = plan("q_graph_betweenness")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
