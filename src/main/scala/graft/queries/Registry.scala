@@ -5841,6 +5841,28 @@ object Registry {
       seedsMod = 932, rounds = 3)
   }
 
+  /** Six-step truncated Katz centrality (α = 1/20) over the 1/16
+    * co-purchase subgraph — the walk-counting member of the centrality
+    * family: PageRank normalizes by out-degree (mass conservation),
+    * HITS reinforces hubs/authorities, Katz counts ALL attenuated
+    * walks — high for parts embedded in dense co-purchase
+    * neighborhoods even when their direct degree is modest. See
+    * [[graft.operators.Katz]] for the integer per-edge attenuation. */
+  private def graphKatz(spark: SparkSession, dir: String): DataFrame = {
+    val sub = t(spark, dir, "lineitem")
+      .filter(pmod(col("l_partkey"), lit(4)) === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x, y))))"))
+        .as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
+    graft.operators.Katz.topK(
+      graft.operators.Triangles.canonical(sub, "x", "y"),
+      alphaDen = 20, iterations = 6, k = 20)
+  }
+
   /** Weakly-connected-component size profile of the 1/16 co-purchase
     * subgraph — THE graph-shape diagnostic ("one giant component or
     * fragmented shards?") that calibrates every iterative operator's
@@ -7524,6 +7546,7 @@ object Registry {
     "q_llm_calibration" -> q(llmCalibration),
     "q_graph_betweenness" -> q(graphBetweenness),
     "q_graph_anf" -> q(graphAnf),
+    "q_graph_katz" -> q(graphKatz),
   )
 
   /** Generated MMR oracle: the BM25 candidate CTEs (lifted from
@@ -13292,6 +13315,16 @@ object Registry {
              ELSE cum * 1000000 // total END AS BIGINT) AS frac_micro,
         eff_diam
       FROM cm, tt, ed ORDER BY r"""),
+    // Katz replay: GENERATED per-round (contribution, update) CTE pairs
+    // with the identical per-edge truncating attenuation.
+    "q_graph_katz" -> (graft.operators.Katz.oracleCtes(
+      """SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0""",
+      alphaDen = 20, iterations = 6) + """
+      SELECT node, xu AS katz_micro FROM x6
+      ORDER BY katz_micro DESC, node LIMIT 20"""),
     // Holt–Winters replay: recursive CTE carrying (l, b, seasonal LIST)
     // through the identical integer recurrence; the l' expression is
     // inlined into b' and s' exactly as the Spark fold does.
