@@ -810,7 +810,8 @@ object ScaleSmoke {
         // round-12 continuation: retail rules, retrieval diversification,
         // classifier calibration, brokerage centrality
         "q_mb_assoc_rules", "q_llm_mmr", "q_llm_calibration",
-        "q_graph_betweenness", "q_graph_anf", "q_graph_katz")) {
+        "q_graph_betweenness", "q_graph_anf", "q_graph_katz",
+        "q_ts_backtest")) {
       val n = timed(s"$qn (registered shape)")(
         SparkEntry.queries(qn)(spark, sfDir).count())
       println(s"[scale] $qn rows: $n")

@@ -6824,6 +6824,53 @@ object Registry {
         (col("st.l") + col("st.b")).as("forecast_units"))
   }
 
+  /** In-sample one-step-ahead backtest of the [[tsHolt]] smoother —
+    * sMAPE (Makridakis 1993's symmetric percentage error) and MASE
+    * (Hyndman & Koehler 2006's scale-free error against the naive
+    * x_{t-1} forecast): the engine measuring its OWN forecaster, the
+    * time-series member of the self-eval family (ANN recall, langid
+    * confusion, purity, McNemar, calibration). At each step t ≥ 3 the
+    * forecast is l+b BEFORE the Holt update sees x_t, so errors are
+    * honest one-step-ahead. FULLY integer: e = |x − (l+b)| in 10⁴
+    * units, per-step smape₄ = 2e·10⁴ div (|x|+|l+b|) (x > 0 always —
+    * day rows exist only with ≥1 event — so the denominator never
+    * vanishes; Long-safe to ~4·10⁸ events/day), reported smape₄ is
+    * the truncating mean, mase₄ = Σe·10⁴ div Σ|x_t − x_{t-1}| over
+    * the same window (0 on a constant series). ONE struct fold over
+    * the sorted bounded daily series; oracle = the [[tsHolt]]
+    * recursive-CTE mechanism with the (sae, ssm) state carried
+    * alongside (l, b). */
+  private def tsBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val days = t(spark, dir, "events")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg((count(lit(1)) * 10000L).as("x"))
+    days.agg(count(lit(1)).as("n_days"),
+        expr("transform(sort_array(collect_list(struct(day, x))), " +
+          "p -> p.x)").as("vals"))
+      .filter(col("n_days") >= 3)
+      .withColumn("st", expr(
+        "aggregate(slice(vals, 3, size(vals) - 2), " +
+          "named_struct('l', element_at(vals, 2), " +
+          "'b', element_at(vals, 2) - element_at(vals, 1), " +
+          "'sae', CAST(0 AS BIGINT), 'ssm', CAST(0 AS BIGINT)), " +
+          "(acc, x) -> named_struct(" +
+          "'l', (x + 3 * (acc.l + acc.b)) div 4, " +
+          "'b', ((x + 3 * (acc.l + acc.b)) div 4 - acc.l + 3 * acc.b) " +
+          "div 4, " +
+          "'sae', acc.sae + abs(x - acc.l - acc.b), " +
+          "'ssm', acc.ssm + 2 * abs(x - acc.l - acc.b) * 10000 " +
+          "div (abs(x) + abs(acc.l + acc.b))))"))
+      .withColumn("naive", expr(
+        "aggregate(sequence(3, CAST(size(vals) AS INT)), " +
+          "CAST(0 AS BIGINT), " +
+          "(a, i) -> a + abs(element_at(vals, i) - element_at(vals, i - 1)))"))
+      .select(col("n_days"), (col("n_days") - 2).as("n_eval"),
+        col("st.sae").as("sae_units"),
+        expr("st.ssm div (n_days - 2)").as("smape4"),
+        expr("CASE WHEN naive = 0 THEN 0 " +
+          "ELSE st.sae * 10000 div naive END").as("mase4"))
+  }
+
   /** Holt–Winters additive seasonal smoothing of daily volume (Winters
     * 1960; α = β = γ = 1/4, period 7) — the weekly-seasonality-aware
     * completion of the [[tsEwma]] → [[tsHolt]] ladder: level, trend,
@@ -7547,6 +7594,7 @@ object Registry {
     "q_graph_betweenness" -> q(graphBetweenness),
     "q_graph_anf" -> q(graphAnf),
     "q_graph_katz" -> q(graphKatz),
+    "q_ts_backtest" -> q(tsBacktest),
   )
 
   /** Generated MMR oracle: the BM25 candidate CTEs (lifted from
@@ -13325,6 +13373,36 @@ object Registry {
       alphaDen = 20, iterations = 6) + """
       SELECT node, xu AS katz_micro FROM x6
       ORDER BY katz_micro DESC, node LIMIT 20"""),
+    // Backtest replay: the q_ts_holt recursive CTE with (sae, ssm)
+    // carried beside (l, b) — forecasts read the PRE-update state —
+    // plus the naive |x_t − x_{t-1}| window for MASE.
+    "q_ts_backtest" ->
+      """WITH RECURSIVE days AS (SELECT
+             epoch_ns(ts) // 86400000000000 AS day,
+             CAST(count(*) * 10000 AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 list(x ORDER BY day) AS vals FROM days),
+         r AS (SELECT 2 AS i, vals[2] AS l, vals[2] - vals[1] AS b,
+                 CAST(0 AS BIGINT) AS sae, CAST(0 AS BIGINT) AS ssm
+               FROM s
+               UNION ALL
+               SELECT i + 1, (s.vals[i + 1] + 3 * (l + b)) // 4,
+                 ((s.vals[i + 1] + 3 * (l + b)) // 4 - l + 3 * b) // 4,
+                 sae + abs(s.vals[i + 1] - l - b),
+                 ssm + 2 * abs(s.vals[i + 1] - l - b) * 10000
+                   // (abs(s.vals[i + 1]) + abs(l + b))
+               FROM r, s WHERE i < s.n),
+         nv AS (SELECT CAST(coalesce(list_sum(list_transform(
+                   range(3, CAST(n AS INT) + 1),
+                   i -> abs(vals[i] - vals[i - 1]))), 0) AS BIGINT)
+                  AS naive
+                FROM s)
+         SELECT s.n AS n_days, s.n - 2 AS n_eval, r.sae AS sae_units,
+           r.ssm // (s.n - 2) AS smape4,
+           CASE WHEN nv.naive = 0 THEN 0
+                ELSE r.sae * 10000 // nv.naive END AS mase4
+         FROM r, s, nv WHERE r.i = s.n AND s.n >= 3""",
     // Holt–Winters replay: recursive CTE carrying (l, b, seasonal LIST)
     // through the identical integer recurrence; the l' expression is
     // inlined into b' and s' exactly as the Spark fold does.

@@ -429,6 +429,27 @@ class StatTestsSpec extends SparkSpecBase {
     assert(out == Seq((0L, 30L, 1000000L), (1L, 30L, 1000000L)))
   }
 
+  test("Holt backtest: hand-walked one-step errors — sMAPE uses the " +
+      "PRE-update forecast, MASE the same-window naive denominator") {
+    // Daily counts 1,2,3,5 -> units 10000,20000,30000,50000.
+    // Init l=20000, b=10000. t=3: fc=30000, e=0; update -> l=30000,
+    // b=10000. t=4: fc=40000, e=10000; smape step = 2*10000*10^4 //
+    // 90000 = 2222. sae=10000, smape4 = 2222//2 = 1111,
+    // naive = 10000+20000 = 30000 -> mase4 = 10^8 // 30000 = 3333.
+    val day = 86400000000000L
+    val rows = Seq((1L, 0L, "view"),
+      (2L, day, "view"), (3L, day + 1, "view"),
+      (4L, 2 * day, "view"), (5L, 2 * day + 1, "view"),
+      (6L, 2 * day + 2, "view"),
+      (7L, 3 * day, "view"), (8L, 3 * day + 1, "view"),
+      (9L, 3 * day + 2, "view"), (10L, 3 * day + 3, "view"),
+      (11L, 3 * day + 4, "view"))
+    val r = SparkEntry.queries("q_ts_backtest")(spark, eventsDir(rows))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((4L, 2L, 10000L, 1111L, 3333L)))
+  }
+
   test("calibration: bin/conf/acc/gap/ECE arithmetic matches an " +
       "independent fold over the per-doc kernel scores") {
     import spark.implicits._
