@@ -6871,6 +6871,52 @@ object Registry {
           "ELSE st.sae * 10000 div naive END").as("mase4"))
   }
 
+  /** Split-conformal prediction interval for the [[tsHolt]] forecaster
+    * (Vovk et al. 2005; Lei et al. 2018's split-conformal recipe) with
+    * honest held-out coverage — the uncertainty member of the
+    * self-eval family: [[tsBacktest]] scores point accuracy, this
+    * query asks whether ±q̂ covers the stated 90%. The one-step
+    * |residual| sequence (PRE-update forecasts, the backtest
+    * discipline) splits chronologically — first ⌊2m/3⌋ steps
+    * calibrate, the rest test; q̂ is the k-th smallest calibration
+    * residual with k = min(⌈0.9·(c+1)⌉, c) (the finite-sample
+    * conformal rank), and coverage₄ = |{test : r ≤ q̂}|·10⁴ div
+    * n_test. FULLY integer over the bounded daily series — one struct
+    * fold carrying (l, b, residual list), array_sort + element_at for
+    * the order statistic (tie values make rank-k deterministic);
+    * oracle = the recursive-CTE replay with a rank window. */
+  private def tsConformal(spark: SparkSession, dir: String): DataFrame = {
+    val days = t(spark, dir, "events")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg((count(lit(1)) * 10000L).as("x"))
+    days.agg(count(lit(1)).as("n_days"),
+        expr("transform(sort_array(collect_list(struct(day, x))), " +
+          "p -> p.x)").as("vals"))
+      .filter(col("n_days") >= 4)
+      .withColumn("st", expr(
+        "aggregate(slice(vals, 3, size(vals) - 2), " +
+          "named_struct('l', element_at(vals, 2), " +
+          "'b', element_at(vals, 2) - element_at(vals, 1), " +
+          "'rs', CAST(array() AS ARRAY<BIGINT>)), " +
+          "(acc, x) -> named_struct(" +
+          "'l', (x + 3 * (acc.l + acc.b)) div 4, " +
+          "'b', ((x + 3 * (acc.l + acc.b)) div 4 - acc.l + 3 * acc.b) " +
+          "div 4, " +
+          "'rs', concat(acc.rs, array(abs(x - acc.l - acc.b)))))"))
+      .withColumn("m", expr("CAST(size(st.rs) AS BIGINT)"))
+      .withColumn("c", expr("2 * m div 3"))
+      .withColumn("k", expr("least((9 * c + 18) div 10, c)"))
+      .withColumn("qhat", expr(
+        "element_at(array_sort(slice(st.rs, 1, CAST(c AS INT))), " +
+          "CAST(k AS INT))"))
+      .select(col("n_days"), col("c").as("n_cal"),
+        (col("m") - col("c")).as("n_test"),
+        col("qhat").as("qhat_units"),
+        expr("CAST(size(filter(slice(st.rs, CAST(c + 1 AS INT), " +
+          "CAST(m - c AS INT)), r -> r <= qhat)) AS BIGINT) " +
+          "* 10000 div (m - c)").as("coverage4"))
+  }
+
   /** Holt–Winters additive seasonal smoothing of daily volume (Winters
     * 1960; α = β = γ = 1/4, period 7) — the weekly-seasonality-aware
     * completion of the [[tsEwma]] → [[tsHolt]] ladder: level, trend,
@@ -7595,6 +7641,7 @@ object Registry {
     "q_graph_anf" -> q(graphAnf),
     "q_graph_katz" -> q(graphKatz),
     "q_ts_backtest" -> q(tsBacktest),
+    "q_ts_conformal" -> q(tsConformal),
   )
 
   /** Generated MMR oracle: the BM25 candidate CTEs (lifted from
@@ -13403,6 +13450,42 @@ object Registry {
            CASE WHEN nv.naive = 0 THEN 0
                 ELSE r.sae * 10000 // nv.naive END AS mase4
          FROM r, s, nv WHERE r.i = s.n AND s.n >= 3""",
+    // Conformal replay: the same recursive Holt CTE emitting each
+    // step's PRE-update |residual| as a row, chronological 2/3 split,
+    // rank window for the k-th smallest calibration residual, coverage
+    // on the tail.
+    "q_ts_conformal" ->
+      """WITH RECURSIVE days AS (SELECT
+             epoch_ns(ts) // 86400000000000 AS day,
+             CAST(count(*) * 10000 AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 list(x ORDER BY day) AS vals FROM days),
+         r AS (SELECT 2 AS i, vals[2] AS l, vals[2] - vals[1] AS b,
+                 CAST(NULL AS BIGINT) AS res
+               FROM s
+               UNION ALL
+               SELECT i + 1, (s.vals[i + 1] + 3 * (l + b)) // 4,
+                 ((s.vals[i + 1] + 3 * (l + b)) // 4 - l + 3 * b) // 4,
+                 abs(s.vals[i + 1] - l - b)
+               FROM r, s WHERE i < s.n),
+         resid AS (SELECT i - 2 AS step, res FROM r WHERE i >= 3),
+         kq AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                  2 * CAST(count(*) AS BIGINT) // 3 AS c,
+                  least((9 * (2 * CAST(count(*) AS BIGINT) // 3) + 18)
+                    // 10, 2 * CAST(count(*) AS BIGINT) // 3) AS k
+                FROM resid),
+         qh AS (SELECT res AS qhat FROM (
+                  SELECT res, row_number() OVER (ORDER BY res) AS rn
+                  FROM resid, kq WHERE step <= c), kq
+                WHERE rn = k),
+         cv AS (SELECT CAST(sum(CASE WHEN t.res <= qh.qhat
+                    THEN 1 ELSE 0 END) AS BIGINT) AS hits
+                FROM resid t, kq, qh WHERE t.step > kq.c)
+         SELECT s.n AS n_days, kq.c AS n_cal, kq.m - kq.c AS n_test,
+           qh.qhat AS qhat_units,
+           cv.hits * 10000 // (kq.m - kq.c) AS coverage4
+         FROM s, kq, qh, cv WHERE s.n >= 4""",
     // Holt–Winters replay: recursive CTE carrying (l, b, seasonal LIST)
     // through the identical integer recurrence; the l' expression is
     // inlined into b' and s' exactly as the Spark fold does.

@@ -450,6 +450,23 @@ class StatTestsSpec extends SparkSpecBase {
       r.getLong(4)) == ((4L, 2L, 10000L, 1111L, 3333L)))
   }
 
+  test("conformal: hand-walked residual sequence — chronological 2/3 " +
+      "split, rank-3 calibration quantile, held-out coverage") {
+    // Daily counts 1,2,3,5,3,2,4 -> one-step |residuals| (PRE-update
+    // forecasts) = [0, 10000, 23125, 36522, 14287]. m=5, c=3,
+    // k=min(ceil(0.9*4),3)=3 -> qhat = 3rd smallest of [0,10000,23125]
+    // = 23125; test [36522, 14287] -> 1 of 2 covered -> 5000.
+    val day = 86400000000000L
+    val counts = Seq(1, 2, 3, 5, 3, 2, 4)
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(j => (d * 100L + j, d * day + j, "view"))
+    }.map { case (u, ts, t) => (u, ts, t) }
+    val r = SparkEntry.queries("q_ts_conformal")(spark, eventsDir(rows))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((7L, 3L, 2L, 23125L, 5000L)))
+  }
+
   test("calibration: bin/conf/acc/gap/ECE arithmetic matches an " +
       "independent fold over the per-doc kernel scores") {
     import spark.implicits._
