@@ -2246,6 +2246,47 @@ object Registry {
       .orderBy("bin")
   }
 
+  /** Cumulative gains / lift table of the quality score against the
+    * Gopher gate — the TARGETING member of the classifier-pair eval
+    * family: calibration asks whether the score means what it says,
+    * gains asks how much of the positive mass the top score bands
+    * capture ("read only the top 20% by score → get what % of the
+    * good docs?") and lift how much better than random that is.
+    * FULLY integer over the ≤10 band rows (the calibration bins,
+    * cumulated from the TOP band down — the unpartitioned window runs
+    * over the bounded band relation only): depth₄ = cumN·10⁴ div N,
+    * capture₄ = cumPos·10⁴ div totPos (0 on a positive-free corpus),
+    * lift₄ = capture₄·10⁴ div depth₄ — the nested truncating
+    * discipline. */
+  private def llmGains(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(spark, dir, "documents").select(
+      floor(TextAnalysis.qualityScore(col("text")) * 10000 + 0.5)
+        .cast("long").as("s4"),
+      TextAnalysis.gopherPass(col("text")).as("y"))
+    val bands = d
+      .select(least(expr("s4 div 1000"), lit(9L)).as("band"), col("y"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("pos_n"))
+    val w = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bands
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_pos", sum(col("pos_n")).over(w))
+      .crossJoin(broadcast(bands.agg(sum(col("n")).as("tot_n"),
+        sum(col("pos_n")).as("tot_pos"))))
+      .select(col("band"), col("n"), col("pos_n"), col("cum_n"),
+        col("cum_pos"),
+        expr("cum_n * 10000 div tot_n").as("depth4"),
+        expr("CASE WHEN tot_pos = 0 THEN 0 " +
+          "ELSE cum_pos * 10000 div tot_pos END").as("capture4"))
+      .withColumn("lift4",
+        expr("CASE WHEN capture4 = 0 THEN 0 " +
+          "ELSE capture4 * 10000 div depth4 END"))
+      .orderBy(col("band").desc)
+  }
+
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998)
     * of the top-20 BM25 candidates for the fixed engine query, λ = 0.7:
     * greedily pick 10 docs maximizing 7·rel − 3·max-sim-to-selected —
@@ -6762,6 +6803,44 @@ object Registry {
         (floor(df * 1e2) / 1e2).as("df2"))
   }
 
+  /** Wilcoxon signed-rank test between the paired daily view and
+    * purchase counts (Wilcoxon 1945) — the PAIRED-location member of
+    * the nonparametric family: ranksum compares two independent
+    * groups, this asks whether the per-day (view − purchase)
+    * differences are symmetric around zero, respecting the pairing.
+    * FULLY integer until one mirrored sqrt surface: zero differences
+    * drop (the classic convention), |d| gets 2-scaled mid-ranks over
+    * the bounded distinct-|d| relation (the [[statsKruskal]]/[[llmAuc]]
+    * tie discipline — group, cumulate, rank2 = 2·cum + t + 1), W₂⁺
+    * sums positive-d ranks exactly, and z₄ = floor((2W₂⁺ − n(n+1))·10⁴
+    * / √(2n(n+1)(2n+1)/3)) — the ×4-cleared normal approximation
+    * (no tie-correction term, documented classic form). */
+  private def statsSignedRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = t(spark, dir, "events")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("v"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("p"))
+    val dd = days.select((col("v") - col("p")).as("d"))
+      .filter(col("d") =!= 0)
+      .select(abs(col("d")).as("ad"), (col("d") > 0).as("pos"))
+    val grp = dd.groupBy("ad")
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("tp"))
+    val w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    grp.withColumn("cum", coalesce(sum(col("t")).over(w), lit(0L)))
+      .withColumn("r2", lit(2L) * col("cum") + col("t") + lit(1L))
+      .agg(sum(col("t")).as("n"),
+        sum(col("tp") * col("r2")).as("w2"))
+      .filter(col("n") >= 1)
+      .select(col("n"), col("w2").as("w2_plus"),
+        expr("CAST(floor((2 * w2 - n * (n + 1)) * 10000 / " +
+          "sqrt(CAST(2 * n AS DOUBLE) * (n + 1) * (2 * n + 1) / " +
+          "CAST(3 AS DOUBLE))) AS BIGINT)").as("z4"))
+  }
+
   /** Hampel filter on the daily volume series (Hampel 1974; Pearson
     * 2002 on its use as the standard despiking filter): a day is an
     * outlier when it sits more than 3 rolling MADs from the rolling
@@ -7642,6 +7721,8 @@ object Registry {
     "q_graph_katz" -> q(graphKatz),
     "q_ts_backtest" -> q(tsBacktest),
     "q_ts_conformal" -> q(tsConformal),
+    "q_llm_gains" -> q(llmGains),
+    "q_stats_signed_rank" -> q(statsSignedRank),
   )
 
   /** Generated MMR oracle: the BM25 candidate CTEs (lifted from
@@ -13375,6 +13456,66 @@ object Registry {
                 FROM pb2)
          SELECT bin, n, conf4, acc4, gap4, ece4
          FROM pb2, ec ORDER BY bin"""),
+    // Gains replay: the shared prefix, the same bands, top-down
+    // cumulative window over the bounded band relation, nested
+    // truncating depth/capture/lift surfaces.
+    "q_llm_gains" ->
+      (gopherQualityCtes + """,
+         db AS (SELECT least(CAST(floor(qq.quality * 10000 + 0.5)
+                  AS BIGINT) // 1000, 9) AS band, gp.gp AS y
+           FROM qq JOIN gp USING (doc_id)),
+         bb AS (SELECT band, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                    AS pos_n
+                FROM db GROUP BY 1),
+         cm AS (SELECT band, n, pos_n,
+                  CAST(sum(n) OVER (ORDER BY band DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_n,
+                  CAST(sum(pos_n) OVER (ORDER BY band DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_pos
+                FROM bb),
+         tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot_n,
+                  CAST(sum(pos_n) AS BIGINT) AS tot_pos FROM bb),
+         g AS (SELECT band, n, pos_n, cum_n, cum_pos,
+                 cum_n * 10000 // tot_n AS depth4,
+                 CASE WHEN tot_pos = 0 THEN 0
+                      ELSE cum_pos * 10000 // tot_pos END AS capture4
+               FROM cm, tt)
+         SELECT band, n, pos_n, cum_n, cum_pos, depth4, capture4,
+           CASE WHEN capture4 = 0 THEN 0
+                ELSE capture4 * 10000 // depth4 END AS lift4
+         FROM g ORDER BY band DESC"""),
+    // Signed-rank replay: same day pairing, zero-difference drop,
+    // 2-scaled mid-ranks over distinct |d|, identical cleared-x4
+    // normal-approximation surface.
+    "q_stats_signed_rank" ->
+      """WITH days AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS BIGINT) AS v,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+               END) AS BIGINT) AS p
+           FROM events GROUP BY 1),
+         dd AS (SELECT abs(v - p) AS ad, v - p > 0 AS pos
+                FROM days WHERE v - p <> 0),
+         grp AS (SELECT ad, CAST(count(*) AS BIGINT) AS t,
+                   CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+                     AS tp
+                 FROM dd GROUP BY 1),
+         rk AS (SELECT ad, t, tp,
+                  COALESCE(CAST(sum(t) OVER (ORDER BY ad
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT), 0) AS cum
+                FROM grp),
+         ag AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+                  CAST(sum(tp * (2 * cum + t + 1)) AS BIGINT) AS w2
+                FROM rk)
+         SELECT n, w2 AS w2_plus,
+           CAST(floor((2 * w2 - n * (n + 1)) * 10000 /
+             sqrt(CAST(2 * n AS DOUBLE) * (n + 1) * (2 * n + 1) /
+             CAST(3 AS DOUBLE))) AS BIGINT) AS z4
+         FROM ag WHERE n >= 1""",
     // Brandes replay: GENERATED forward (seed, node, sigma) BFS rounds +
     // backward dependency levels with the identical per-DAG-edge integer
     // flooring — see [[graft.operators.Betweenness.oracleCtes]].

@@ -506,6 +506,63 @@ class StatTestsSpec extends SparkSpecBase {
     assert(perDoc.count(_._2) == 5L, "fixture: exactly the good docs pass")
   }
 
+  test("signed-rank: hand-computed mid-ranks over a tied series with " +
+      "a dropped zero difference") {
+    // Per-day (views, purchases): d = [2, 2, -1, 3, 0] -> zero drops,
+    // n=4; |d| mid-ranks: 1 -> 1, {2, 2} -> 2.5 each, 3 -> 4.
+    // W+ = 2.5 + 2.5 + 4 = 9 (W2 = 18); z = (9 - 5)/sqrt(7.5) =
+    // 1.46059... -> z4 = 14605.
+    val day = 86400000000000L
+    def mk(d: Int, v: Int, p: Int) =
+      (0 until v).map(j => (d * 100L + j, d * day + j, "view")) ++
+        (0 until p).map(j => (d * 100L + 50 + j, d * day + 50 + j,
+          "purchase"))
+    val rows = mk(0, 3, 1) ++ mk(1, 4, 2) ++ mk(2, 1, 2) ++
+      mk(3, 5, 2) ++ mk(4, 2, 2)
+    val r = SparkEntry.queries("q_stats_signed_rank")(
+      spark, eventsDir(rows)).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2))
+      == ((4L, 18L, 14605L)))
+  }
+
+  test("gains: cumulative capture and lift match an independent fold " +
+      "over the per-doc kernel scores") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, floor}
+    val dir = tmp("graft-stattests")
+    val good = ("the quick brown fox jumps over the lazy dog and " +
+      "it is a fine day for running in the field with friends ") * 4
+    val bad = "### ### ### ###"
+    val docs = (0L until 5L).map(i => (i, good)) ++
+      (5L until 8L).map(i => (i, bad))
+    docs.toDF("doc_id", "text").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val perDoc = docs.toDF("doc_id", "text").select(
+        floor(graft.llm.TextAnalysis.qualityScore(col("text")) * 10000
+          + 0.5).cast("long"),
+        graft.llm.TextAnalysis.gopherPass(col("text")))
+      .collect().map(r => (math.min(r.getLong(0) / 1000, 9L),
+        r.getBoolean(1)))
+    val byBand = perDoc.groupBy(_._1).map { case (b, xs) =>
+      (b, xs.length.toLong, xs.count(_._2).toLong)
+    }.toSeq.sortBy(-_._1)
+    val (totN, totPos) = (byBand.map(_._2).sum, byBand.map(_._3).sum)
+    var (cn, cp) = (0L, 0L)
+    val expected = byBand.map { case (b, n, pos) =>
+      cn += n; cp += pos
+      val depth4 = cn * 10000 / totN
+      val capture4 = if (totPos == 0) 0L else cp * 10000 / totPos
+      val lift4 = if (capture4 == 0) 0L else capture4 * 10000 / depth4
+      (b, n, pos, cn, cp, depth4, capture4, lift4)
+    }
+    val out = SparkEntry.queries("q_llm_gains")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toSeq
+    assert(out == expected)
+    assert(out.last._7 == 10000L, "full depth captures all positives")
+  }
+
   test("theta sketch: identical sets make union and intersection " +
       "estimates coincide, with 63 sketch hashes under theta") {
     val day = 86400000000000L
