@@ -2287,6 +2287,51 @@ object Registry {
       .orderBy(col("band").desc)
   }
 
+  /** Isotonic (pool-adjacent-violators) recalibration of the quality
+    * score against the Gopher gate (Ayer et al. 1955's PAV;
+    * Zadrozny & Elkan 2002 apply it to classifier calibration) — the
+    * FIX for what [[llmCalibration]] diagnoses: the monotone step
+    * function closest (L2, count-weighted) to the per-band pass
+    * rates. EXACT arithmetic: violations compare pools by
+    * cross-multiplication (pos_i·n_j vs pos_j·n_i — no division until
+    * the final iso₄ = pos·10⁴ div n), and the merge order is pinned
+    * (always the FIRST adjacent violation), so both engines walk the
+    * identical ≤9-step merge sequence. Scale shape: one corpus pass
+    * builds the ≤10 band rows; PAV itself runs driver-side over that
+    * bounded relation (the statsCorr collect discipline) — the oracle
+    * replays it as 9 unrolled list-merge CTEs. */
+  private def llmIsotonic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bins = t(spark, dir, "documents").select(
+        floor(TextAnalysis.qualityScore(col("text")) * 10000 + 0.5)
+          .cast("long").as("s4"),
+        TextAnalysis.gopherPass(col("text")).as("y"))
+      .select(least(expr("s4 div 1000"), lit(9L)).as("band"), col("y"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("pos"))
+      .orderBy("band")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pools = scala.collection.mutable.ArrayBuffer(bins: _*)
+    var merged = true
+    while (merged) {
+      merged = false
+      val j = pools.indices.dropRight(1).find(i =>
+        pools(i)._4 * pools(i + 1)._3 > pools(i + 1)._4 * pools(i)._3)
+      j.foreach { i =>
+        val (lo, _, n1, p1) = pools(i)
+        val (_, hi, n2, p2) = pools(i + 1)
+        pools(i) = (lo, hi, n1 + n2, p1 + p2)
+        pools.remove(i + 1)
+        merged = true
+      }
+    }
+    pools.toSeq.zipWithIndex.map { case ((lo, hi, n, pos), i) =>
+      (i + 1L, lo, hi, n, pos, pos * 10000L / n)
+    }.toDF("pool_idx", "band_lo", "band_hi", "n", "pos", "iso4")
+  }
+
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998)
     * of the top-20 BM25 candidates for the fixed engine query, λ = 0.7:
     * greedily pick 10 docs maximizing 7·rel − 3·max-sim-to-selected —
@@ -7723,7 +7768,51 @@ object Registry {
     "q_ts_conformal" -> q(tsConformal),
     "q_llm_gains" -> q(llmGains),
     "q_stats_signed_rank" -> q(statsSignedRank),
+    "q_llm_isotonic" -> q(llmIsotonic),
   )
+
+  /** Generated PAV oracle: the shared gopher+quality prefix, the
+    * calibration bands, then NINE unrolled merge CTEs over four
+    * parallel lists — each step locates the FIRST adjacent violation
+    * by cross-multiplication and pools it; converged steps pass the
+    * lists through unchanged (v IS NULL), so nine steps suffice for
+    * ≤10 bands by construction. */
+  private lazy val isotonicOracle: String = {
+    def step(i: Int): String = s""",
+         p$i AS (SELECT
+             CASE WHEN v IS NULL THEN lo
+                  ELSE lo[1:v-1] || [lo[v]] || lo[v+2:len(lo)] END AS lo,
+             CASE WHEN v IS NULL THEN hi
+                  ELSE hi[1:v-1] || [hi[v+1]] || hi[v+2:len(hi)] END AS hi,
+             CASE WHEN v IS NULL THEN ns
+                  ELSE ns[1:v-1] || [ns[v] + ns[v+1]] || ns[v+2:len(ns)]
+                  END AS ns,
+             CASE WHEN v IS NULL THEN ps
+                  ELSE ps[1:v-1] || [ps[v] + ps[v+1]] || ps[v+2:len(ps)]
+                  END AS ps
+           FROM (SELECT lo, hi, ns, ps,
+               NULLIF(list_position(list_transform(range(1, len(ns)),
+                 j -> ps[j] * ns[j+1] > ps[j+1] * ns[j]), true), 0) AS v
+             FROM p${i - 1}))"""
+    gopherQualityCtes + """,
+         db AS (SELECT least(CAST(floor(qq.quality * 10000 + 0.5)
+                  AS BIGINT) // 1000, 9) AS band, gp.gp AS y
+           FROM qq JOIN gp USING (doc_id)),
+         bb AS (SELECT band, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                    AS pos
+                FROM db GROUP BY 1),
+         p0 AS (SELECT list(band ORDER BY band) AS lo,
+                  list(band ORDER BY band) AS hi,
+                  list(n ORDER BY band) AS ns,
+                  list(pos ORDER BY band) AS ps FROM bb)""" +
+      (1 to 9).map(step).mkString + """
+         SELECT CAST(u.i AS BIGINT) AS pool_idx, lo[u.i] AS band_lo,
+           hi[u.i] AS band_hi, ns[u.i] AS n, ps[u.i] AS pos,
+           ps[u.i] * 10000 // ns[u.i] AS iso4
+         FROM p9, UNNEST(range(1, len(ns) + 1)) AS u(i)
+         ORDER BY pool_idx"""
+  }
 
   /** Generated MMR oracle: the BM25 candidate CTEs (lifted from
     * q_llm_search_bm25's), integer relevance normalization, the exact
@@ -13516,6 +13605,8 @@ object Registry {
              sqrt(CAST(2 * n AS DOUBLE) * (n + 1) * (2 * n + 1) /
              CAST(3 AS DOUBLE))) AS BIGINT) AS z4
          FROM ag WHERE n >= 1""",
+    // Generated PAV replay — see [[isotonicOracle]].
+    "q_llm_isotonic" -> isotonicOracle,
     // Brandes replay: GENERATED forward (seed, node, sigma) BFS rounds +
     // backward dependency levels with the identical per-DAG-edge integer
     // flooring — see [[graft.operators.Betweenness.oracleCtes]].

@@ -563,6 +563,62 @@ class StatTestsSpec extends SparkSpecBase {
     assert(out.last._7 == 10000L, "full depth captures all positives")
   }
 
+  test("isotonic: a planted violation (high-band gopher-failures above " +
+      "a passing mid band) forces a PAV merge that matches an " +
+      "independent fold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, floor}
+    val dir = tmp("graft-stattests")
+    // Mid-quality text that PASSES gopher (300 words, clean, stopworded)
+    // but scores below the shortClean docs (chars > 2000 + digit chars
+    // drag the quality factors), so a higher band holds a LOWER pass
+    // rate -> adjacent violation -> merge.
+    val midQuality = (1 to 300).map(i =>
+      if (i % 10 == 0) "the" else s"wordy$i").mkString(" ")
+    val shortClean =
+      ("the quick brown fox jumps over the lazy dog and it is a fine day " * 3)
+        .trim + " sunny skies"
+    val bad = "### ### ### ###"
+    val docs = (0L until 5L).map(i => (i, midQuality)) ++
+      (5L until 7L).map(i => (i, shortClean)) ++
+      (7L until 10L).map(i => (i, bad))
+    docs.toDF("doc_id", "text").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val perDoc = docs.toDF("doc_id", "text").select(
+        floor(graft.llm.TextAnalysis.qualityScore(col("text")) * 10000
+          + 0.5).cast("long"),
+        graft.llm.TextAnalysis.gopherPass(col("text")))
+      .collect().map(r => (math.min(r.getLong(0) / 1000, 9L),
+        r.getBoolean(1)))
+    val bands = perDoc.groupBy(_._1).map { case (b, xs) =>
+      (b, b, xs.length.toLong, xs.count(_._2).toLong)
+    }.toSeq.sortBy(_._1)
+    assert(bands.indices.dropRight(1).exists(i =>
+        bands(i)._4 * bands(i + 1)._3 > bands(i + 1)._4 * bands(i)._3),
+      "fixture must plant an adjacent violation")
+    // Independent PAV fold (first-violation merge order).
+    val pools = scala.collection.mutable.ArrayBuffer(bands: _*)
+    var go = true
+    while (go) {
+      go = false
+      pools.indices.dropRight(1).find(i =>
+        pools(i)._4 * pools(i + 1)._3 > pools(i + 1)._4 * pools(i)._3)
+        .foreach { i =>
+          pools(i) = (pools(i)._1, pools(i + 1)._2,
+            pools(i)._3 + pools(i + 1)._3, pools(i)._4 + pools(i + 1)._4)
+          pools.remove(i + 1); go = true
+        }
+    }
+    val expected = pools.toSeq.zipWithIndex.map { case ((lo, hi, n, p), i) =>
+      (i + 1L, lo, hi, n, p, p * 10000L / n) }
+    val out = SparkEntry.queries("q_llm_isotonic")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(out == expected)
+    assert(out.size < bands.size, "the violation must merge pools")
+    assert(out.map(_._6) == out.map(_._6).sorted, "fit is monotone")
+  }
+
   test("theta sketch: identical sets make union and intersection " +
       "estimates coincide, with 63 sketch hashes under theta") {
     val day = 86400000000000L
