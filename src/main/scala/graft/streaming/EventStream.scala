@@ -349,6 +349,48 @@ object EventStream {
       }
   }
 
+  final case class BacktestReport(key: Long, bin: Long, units: Long,
+                                  forecast: Long, abs_err: Long,
+                                  sae: Long, ssm: Long, n: Long)
+
+  /** Streaming twin of the batch backtest (`q_ts_backtest`): beside the
+    * [[streamingHolt]] (level, trend) state, each key carries running
+    * (Σ|e|, Σ smape₄-steps) where the error is taken against the
+    * PRE-update forecast l+b — the identical honest one-step-ahead
+    * discipline, so a series split across any number of micro-batches
+    * reports exactly the batch fold's accumulators at every prefix
+    * from bin 3 onward. Same per-key bin-ordered changelog contract as
+    * [[streamingEwma]]. */
+  def streamingBacktest(rows: Dataset[BinValue]): Dataset[BacktestReport] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Long, Long, Long, Long), BacktestReport](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (key, batch, state: GroupState[(Long, Long, Long, Long, Long)]) =>
+          var (n, l, b, sae, ssm) =
+            state.getOption.getOrElse((0L, 0L, 0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[BacktestReport]
+          batch.toSeq.sortBy(_.bin).foreach { r =>
+            if (n == 0L) { l = r.units; b = 0L }
+            else if (n == 1L) { b = r.units - l; l = r.units }
+            else {
+              val fc = l + b
+              val e = math.abs(r.units - fc)
+              sae += e
+              ssm += 2 * e * 10000 / (math.abs(r.units) + math.abs(fc))
+              val l2 = (r.units + 3 * (l + b)) / 4
+              b = (l2 - l + 3 * b) / 4
+              l = l2
+              out += BacktestReport(key, r.bin, r.units, fc, e, sae, ssm,
+                n + 1)
+            }
+            n += 1
+          }
+          state.update((n, l, b, sae, ssm))
+          out.iterator
+      }
+  }
+
   final case class Scd2Change(key: Long, ts: Long, id: Long, value: String)
   final case class Scd2Closed(key: Long, value: String, valid_from: Long,
                               valid_to: Long, version_n: Long)

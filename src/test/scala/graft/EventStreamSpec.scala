@@ -500,6 +500,48 @@ class EventStreamSpec extends SparkSpecBase {
     assert(got.toSeq == expected)
   }
 
+  test("streaming backtest accumulators equal the batch fold across a " +
+      "burst boundary") {
+    import spark.implicits._
+    val eSchema = StructType(Seq(
+      StructField("key", LongType), StructField("bin", LongType),
+      StructField("units", LongType)))
+    // Quadratic series again: a one-step forecast is wrong every bin,
+    // so (sae, ssm) strictly grow and a state-carry bug cannot hide.
+    def series(k: Long) = (1L to 9L).map(b => (k, b, 100L * b * b + k * 7))
+    val all = series(1) ++ series(2)
+    val bursts = Seq(all.filter(_._2 <= 5), all.filter(_._2 > 5))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bt").toString
+    bursts.foreach { b =>
+      b.toDF("key", "bin", "units").coalesce(1).write.mode("append")
+        .parquet(s"$dir/stream")
+      Thread.sleep(1100)
+    }
+    val q = EventStream.replayParquetAsStream(spark, s"$dir/stream", eSchema,
+      d => EventStream.streamingBacktest(d.as[EventStream.BinValue]).toDF(),
+      "bt_sink", org.apache.spark.sql.streaming.OutputMode.Append())
+    q.awaitTermination(60000)
+    val got = spark.table("bt_sink").collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Long]("bin"),
+        r.getAs[Long]("forecast"), r.getAs[Long]("abs_err"),
+        r.getAs[Long]("sae"), r.getAs[Long]("ssm")))
+      .sortBy(x => (x._1, x._2))
+    // The q_ts_backtest fold: PRE-update forecasts from bin 3 onward.
+    val expected = Seq(1L, 2L).flatMap { k =>
+      val vs = series(k).map(_._3)
+      var l = vs(1); var b = vs(1) - vs(0); var sae = 0L; var ssm = 0L
+      vs.zipWithIndex.drop(2).map { case (v, i) =>
+        val fc = l + b
+        val e = math.abs(v - fc)
+        sae += e; ssm += 2 * e * 10000 / (math.abs(v) + math.abs(fc))
+        val l2 = (v + 3 * (l + b)) / 4
+        b = (l2 - l + 3 * b) / 4; l = l2
+        (k, (i + 1).toLong, fc, e, sae, ssm)
+      }
+    }.sortBy(x => (x._1, x._2))
+    assert(got.toSeq == expected)
+  }
+
   test("streaming SCD2 closed rows equal the batch build's closed rows") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
