@@ -812,7 +812,8 @@ object ScaleSmoke {
         "q_mb_assoc_rules", "q_llm_mmr", "q_llm_calibration",
         "q_graph_betweenness", "q_graph_anf", "q_graph_katz",
         "q_ts_backtest", "q_ts_conformal", "q_llm_gains",
-        "q_stats_signed_rank", "q_llm_isotonic")) {
+        "q_stats_signed_rank", "q_llm_isotonic",
+        "q_llm_split_leakage")) {
       val n = timed(s"$qn (registered shape)")(
         SparkEntry.queries(qn)(spark, sfDir).count())
       println(s"[scale] $qn rows: $n")

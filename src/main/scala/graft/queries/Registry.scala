@@ -2536,6 +2536,45 @@ object Registry {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
       .orderBy("split", "lang")
 
+  /** Train/val split LEAKAGE audit — the splitter measuring itself
+    * (the self-eval family applied to [[llmTrainSplit]]'s own md5
+    * split): how many validation documents share a 5-gram with the
+    * training side, and how many distinct grams cross the boundary.
+    * This is [[llmDecontaminate]]'s question turned inward —
+    * benchmark decontamination protects OTHER people's eval sets;
+    * this audits the engine's own. FULLY integer: gram sets are
+    * [[graft.llm.Dedup.shingles]] (set semantics, whole-doc fallback
+    * under 5 tokens), leak_frac₄ = leaked·10⁴ div n_val. Scale shape:
+    * distinct train grams via one gram-keyed aggregate; the val
+    * (doc, gram) relation LEFT-SEMI joins it — linear in corpus
+    * grams, no pair explosion (a boilerplate gram costs one hash
+    * probe per val occurrence, never a cross product). */
+  private def llmSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.llm.Sampling.splitLabel(col("doc_id"), 0.8).as("split"),
+        Dedup.shingles(col("text"), 5).as("grams"))
+    val trGrams = docs.filter(col("split") === "train")
+      .select(explode(col("grams")).as("gr")).distinct()
+    val vaGram = docs.filter(col("split") === "val")
+      .select(col("doc_id"), explode(col("grams")).as("gr"))
+    val leakedRows = vaGram.join(trGrams, Seq("gr"), "left_semi")
+      .localCheckpoint(true)
+    val counts = docs.groupBy("split").agg(count(lit(1)).as("n"))
+    val nTrain = counts.filter(col("split") === "train")
+      .select(col("n").as("n_train"))
+    val nVal = counts.filter(col("split") === "val")
+      .select(col("n").as("n_val"))
+    leakedRows
+      .agg(countDistinct("gr").as("shared_grams"),
+        countDistinct("doc_id").as("leaked_val_docs"))
+      .crossJoin(broadcast(nTrain)).crossJoin(broadcast(nVal))
+      .select(col("n_train"), col("n_val"), col("shared_grams"),
+        col("leaked_val_docs"),
+        expr("CASE WHEN n_val = 0 THEN 0 " +
+          "ELSE leaked_val_docs * 10000 div n_val END").as("leak_frac4"))
+  }
+
   /** Per-source quota sampling: cap every source's share at 30 docs,
     * deterministic by doc_id order. */
   private def llmQuotaSample(spark: SparkSession, dir: String): DataFrame =
@@ -7769,6 +7808,7 @@ object Registry {
     "q_llm_gains" -> q(llmGains),
     "q_stats_signed_rank" -> q(statsSignedRank),
     "q_llm_isotonic" -> q(llmIsotonic),
+    "q_llm_split_leakage" -> q(llmSplitLeakage),
   )
 
   /** Generated PAV oracle: the shared gopher+quality prefix, the
@@ -13607,6 +13647,38 @@ object Registry {
          FROM ag WHERE n >= 1""",
     // Generated PAV replay — see [[isotonicOracle]].
     "q_llm_isotonic" -> isotonicOracle,
+    // Leakage replay: same md5 split threshold, same 5-gram sets with
+    // the whole-doc fallback, distinct-gram semi-join arithmetic.
+    "q_llm_split_leakage" ->
+      """WITH sp AS (SELECT doc_id,
+             CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccccccc'
+                  THEN 'train' ELSE 'val' END AS split,
+             string_split_regex(trim(text), '\s+') AS t
+           FROM documents),
+         g AS (SELECT doc_id, split,
+             CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(t) - 3),
+                    i -> array_to_string(t[i:i+4], ' '))) END AS grams
+           FROM sp),
+         tg AS (SELECT DISTINCT unnest(grams) AS gr FROM g
+                WHERE split = 'train'),
+         vg AS (SELECT doc_id, unnest(grams) AS gr FROM g
+                WHERE split = 'val'),
+         lk AS (SELECT vg.doc_id, vg.gr FROM vg
+                WHERE EXISTS (SELECT 1 FROM tg WHERE tg.gr = vg.gr)),
+         ag AS (SELECT CAST(count(DISTINCT gr) AS BIGINT) AS shared_grams,
+                  CAST(count(DISTINCT doc_id) AS BIGINT) AS leaked_val_docs
+                FROM lk),
+         cn AS (SELECT
+             CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_train,
+             CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_val
+           FROM sp)
+         SELECT n_train, n_val, shared_grams, leaked_val_docs,
+           CASE WHEN n_val = 0 THEN 0
+                ELSE leaked_val_docs * 10000 // n_val END AS leak_frac4
+         FROM ag, cn""",
     // Brandes replay: GENERATED forward (seed, node, sigma) BFS rounds +
     // backward dependency levels with the identical per-DAG-edge integer
     // flooring — see [[graft.operators.Betweenness.oracleCtes]].

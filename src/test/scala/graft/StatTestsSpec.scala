@@ -619,6 +619,33 @@ class StatTestsSpec extends SparkSpecBase {
     assert(out.map(_._6) == out.map(_._6).sorted, "fit is monotone")
   }
 
+  test("split leakage: a planted train->val clone is the only leak; " +
+      "counts and frac are exact") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def isTrain(id: Long): Boolean = md5hex(id.toString) < "cccccccc"
+    val ids = (0L until 40L)
+    val train = ids.filter(isTrain).take(2)
+    val vals = ids.filterNot(isTrain).take(2)
+    assert(train.size == 2 && vals.size == 2, "fixture needs both splits")
+    // Exactly 5 tokens -> exactly ONE 5-gram per doc; the clone is the
+    // only cross-split gram.
+    val dir = tmp("graft-stattests")
+    Seq((train(0), "alpha beta gamma delta epsilon"),
+        (train(1), "zeta eta theta iota kappa"),
+        (vals(0), "alpha beta gamma delta epsilon"),   // clone -> leaks
+        (vals(1), "lambda mu nu xi omicron"))
+      .toDF("doc_id", "text").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q_llm_split_leakage")(spark, dir)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((2L, 2L, 1L, 1L, 5000L)))
+  }
+
   test("theta sketch: identical sets make union and intersection " +
       "estimates coincide, with 63 sketch hashes under theta") {
     val day = 86400000000000L
