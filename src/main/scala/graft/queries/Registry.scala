@@ -4424,6 +4424,61 @@ object Registry {
     * co-located customer/supplier condition — the 6-relation join plan:
     * fact-side equi-joins shuffle on their keys, the nation/region dims
     * broadcast, revenue sums in DecimalType (order-independent). */
+  /** ABC / Pareto classification of brands by revenue (the 80/20
+    * inventory-analysis classic, here at 70/90 cuts): brands ranked by
+    * exact cent revenue, cumulative share computed over the BOUNDED
+    * brand relation (the gains-table window discipline — the corpus
+    * never sees a global sort), class A = cum ≤ 70%, B ≤ 90%, C rest.
+    * FULLY integer: per-row cents = floor(price·100 + 0.5) summed
+    * exactly, share₄ and cum-share₄ truncating; rank ties break by
+    * brand for a total order. */
+  private def aggAbc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+    val p = t(spark, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val rev = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sum(col("cents")).as("revenue_cents"))
+    val w = Window.orderBy(col("revenue_cents").desc, col("brand"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rev
+      .crossJoin(broadcast(rev.agg(sum(col("revenue_cents")).as("tot"))))
+      .withColumn("cum_cents", sum(col("revenue_cents")).over(w))
+      .select(col("brand"), col("revenue_cents"),
+        expr("revenue_cents * 10000 div tot").as("share4"),
+        expr("cum_cents * 10000 div tot").as("cum_share4"))
+      .withColumn("abc_class",
+        expr("CASE WHEN cum_share4 <= 7000 THEN 'A' " +
+          "WHEN cum_share4 <= 9000 THEN 'B' ELSE 'C' END"))
+      .orderBy(col("revenue_cents").desc, col("brand"))
+  }
+
+  /** Exact per-group median at scale via the DOMAIN-BOUNDED value
+    * histogram (the third quantile mechanism beside approx_percentile
+    * and the mergeable sketch): prices live on a bounded cent grid, so
+    * grouping by (flag, cents) yields a relation bounded by
+    * |flags|·|price domain| REGARDLESS of corpus size, and the exact
+    * lower median is the smallest value whose doubled cumulative count
+    * reaches n — no global sort, no corpus-wide window. */
+  private def aggExactMedian(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vc = t(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("flag", "cents").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("flag").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    vc.withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(vc.groupBy("flag").agg(sum(col("c")).as("n"))
+        .withColumnRenamed("flag", "f2")))
+      .filter(col("flag") === col("f2") && lit(2L) * col("cum") >= col("n"))
+      .groupBy(col("flag"))
+      .agg(max(col("n")).as("n"), min(col("cents")).as("median_cents"))
+      .orderBy("flag")
+  }
+
   private def aggRegionalVolume(spark: SparkSession, dir: String): DataFrame = {
     val l = t(spark, dir, "lineitem"); val o = t(spark, dir, "orders")
     val c = t(spark, dir, "customer"); val s = t(spark, dir, "supplier")
@@ -7809,6 +7864,8 @@ object Registry {
     "q_stats_signed_rank" -> q(statsSignedRank),
     "q_llm_isotonic" -> q(llmIsotonic),
     "q_llm_split_leakage" -> q(llmSplitLeakage),
+    "q_agg_abc" -> q(aggAbc),
+    "q_agg_exact_median" -> q(aggExactMedian),
   )
 
   /** Generated PAV oracle: the shared gopher+quality prefix, the
@@ -13679,6 +13736,46 @@ object Registry {
            CASE WHEN n_val = 0 THEN 0
                 ELSE leaked_val_docs * 10000 // n_val END AS leak_frac4
          FROM ag, cn""",
+    // ABC replay: exact cent revenue, the same bounded-brand cumulative
+    // window, truncating shares, 70/90 class cuts.
+    "q_agg_abc" ->
+      """WITH rev AS (SELECT p.p_brand AS brand,
+             CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5)
+               AS BIGINT)) AS BIGINT) AS revenue_cents
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           GROUP BY 1),
+         tt AS (SELECT CAST(sum(revenue_cents) AS BIGINT) AS tot
+                FROM rev),
+         cm AS (SELECT brand, revenue_cents,
+             CAST(sum(revenue_cents) OVER (
+               ORDER BY revenue_cents DESC, brand
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_cents
+           FROM rev)
+         SELECT brand, revenue_cents,
+           revenue_cents * 10000 // tot AS share4,
+           cum_cents * 10000 // tot AS cum_share4,
+           CASE WHEN cum_cents * 10000 // tot <= 7000 THEN 'A'
+                WHEN cum_cents * 10000 // tot <= 9000 THEN 'B'
+                ELSE 'C' END AS abc_class
+         FROM cm, tt ORDER BY revenue_cents DESC, brand""",
+    // Exact-median replay: the identical domain-bounded cent histogram,
+    // per-flag cumulative, smallest value with doubled cum >= n.
+    "q_agg_exact_median" ->
+      """WITH vc AS (SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS c
+           FROM lineitem GROUP BY 1, 2),
+         cm AS (SELECT flag, cents, c,
+             CAST(sum(c) OVER (PARTITION BY flag ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM vc),
+         nn AS (SELECT flag, CAST(sum(c) AS BIGINT) AS n FROM vc
+                GROUP BY 1)
+         SELECT cm.flag, max(nn.n) AS n, min(cents) AS median_cents
+         FROM cm JOIN nn ON cm.flag = nn.flag
+         WHERE 2 * cum >= n GROUP BY cm.flag ORDER BY cm.flag""",
     // Brandes replay: GENERATED forward (seed, node, sigma) BFS rounds +
     // backward dependency levels with the identical per-DAG-edge integer
     // flooring — see [[graft.operators.Betweenness.oracleCtes]].

@@ -646,6 +646,39 @@ class StatTestsSpec extends SparkSpecBase {
       r.getLong(4)) == ((2L, 2L, 1L, 1L, 5000L)))
   }
 
+  test("ABC classification: hand-computed 70/20/10 revenue split lands " +
+      "exactly on the A/B/C boundaries") {
+    import spark.implicits._
+    val dir = tmp("graft-stattests")
+    Seq((1L, "Brand#A"), (2L, "Brand#B"), (3L, "Brand#C"))
+      .toDF("p_partkey", "p_brand").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq((1L, 70.0), (2L, 20.0), (3L, 10.0))
+      .toDF("l_partkey", "l_extendedprice").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q_agg_abc")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    assert(out == Seq(
+      ("Brand#A", 7000L, 7000L, 7000L, "A"),
+      ("Brand#B", 2000L, 2000L, 9000L, "B"),
+      ("Brand#C", 1000L, 1000L, 10000L, "C")))
+  }
+
+  test("exact median: lower-median convention on even counts and " +
+      "duplicate values") {
+    import spark.implicits._
+    val dir = tmp("graft-stattests")
+    Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 4.0),
+        ("B", 5.0), ("B", 5.0), ("B", 7.0))
+      .toDF("l_returnflag", "l_extendedprice").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q_agg_exact_median")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(out == Seq(("A", 4L, 200L), ("B", 3L, 500L)))
+  }
+
   test("theta sketch: identical sets make union and intersection " +
       "estimates coincide, with 63 sketch hashes under theta") {
     val day = 86400000000000L
