@@ -1460,6 +1460,54 @@ object Registry {
       .limit(20)
   }
 
+  /** Stationary distribution of the event-type Markov chain (the
+    * power-iteration steady state over [[eTransitions]]' matrix) —
+    * "where does user behavior settle": transitions give the one-step
+    * dynamics, [[eMarkovEntropy]] their uncertainty, this the
+    * long-run occupancy. FULLY integer: row-stochastic entries are
+    * P₆ = cnt·10⁶ div rowΣ (truncating), eight iterations of
+    * π'_j = Σ_i π_i·P₆(i,j) div 10⁶ from the uniform 10⁶ div k — one
+    * flooring per matrix cell per round, replayed by eight unrolled
+    * matrix-vector CTEs. Dangling types (no outgoing transitions)
+    * evaporate mass, the simplified-PageRank convention. Scale shape:
+    * ONE corpus pass builds the ≤k² transition matrix (k = event-type
+    * universe, data-independent); the iteration runs driver-side over
+    * that bounded relation (the statsCorr collect discipline). */
+  private def eMarkovStationary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val cells = trans
+      .withColumn("rt", sum(col("n")).over(
+        Window.partitionBy("prev_type")))
+      .select(col("prev_type"), col("next_type"),
+        expr("n * 1000000 div rt").as("p6"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val types = t(spark, dir, "events")
+      .select(col("event_type")).distinct()
+      .orderBy("event_type").collect().map(_.getString(0))
+    if (types.isEmpty)
+      return Seq.empty[(String, Long)].toDF("event_type", "pi_micro")
+    var pi = types.map(t => t -> 1000000L / types.length).toMap
+    for (_ <- 1 to 8) {
+      val next = scala.collection.mutable.Map(
+        types.map(t => t -> 0L): _*)
+      cells.foreach { case (i, j, p6) =>
+        next(j) += pi(i) * p6 / 1000000L
+      }
+      pi = next.toMap
+    }
+    types.map(t => (t, pi(t))).toSeq
+      .toDF("event_type", "pi_micro").orderBy("event_type")
+  }
+
   /** Gini coefficient of customer revenue concentration — the inequality
     * summary a sampling/quota design consults before stratifying ("do 1%
     * of customers carry half the spend"). Exactness: revenues are exact
@@ -7866,7 +7914,40 @@ object Registry {
     "q_llm_split_leakage" -> q(llmSplitLeakage),
     "q_agg_abc" -> q(aggAbc),
     "q_agg_exact_median" -> q(aggExactMedian),
+    "q_e_markov_stationary" -> q(eMarkovStationary),
   )
+
+  /** Generated stationary-distribution oracle: the transitions CTE,
+    * truncating row-stochastic entries, then eight unrolled
+    * matrix-vector CTEs with the identical per-cell flooring. */
+  private lazy val markovStationaryOracle: String = {
+    val base = """WITH s AS (SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_ns(ts), event_id) AS prev_type
+           FROM events),
+         tr AS (SELECT prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS n
+           FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         mat AS (SELECT prev_type AS i, next_type AS j,
+             n * 1000000 // CAST(sum(n) OVER (PARTITION BY prev_type)
+               AS BIGINT) AS p6
+           FROM tr),
+         ty AS (SELECT DISTINCT event_type AS t FROM events),
+         kc AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ty),
+         pi0 AS (SELECT t, CAST(1000000 // k AS BIGINT) AS pi
+                 FROM ty, kc)"""
+    val steps = (1 to 8).map { r =>
+      s""",
+         pi$r AS (SELECT ty.t, CAST(COALESCE((
+               SELECT sum(p.pi * m.p6 // 1000000)
+               FROM pi${r - 1} p JOIN mat m
+                 ON m.i = p.t AND m.j = ty.t), 0) AS BIGINT) AS pi
+           FROM ty)"""
+    }.mkString
+    base + steps + """
+         SELECT t AS event_type, pi AS pi_micro FROM pi8
+         ORDER BY event_type"""
+  }
 
   /** Generated PAV oracle: the shared gopher+quality prefix, the
     * calibration bands, then NINE unrolled merge CTEs over four
@@ -13776,6 +13857,8 @@ object Registry {
          SELECT cm.flag, max(nn.n) AS n, min(cents) AS median_cents
          FROM cm JOIN nn ON cm.flag = nn.flag
          WHERE 2 * cum >= n GROUP BY cm.flag ORDER BY cm.flag""",
+    // Generated matrix-vector replay — see [[markovStationaryOracle]].
+    "q_e_markov_stationary" -> markovStationaryOracle,
     // Brandes replay: GENERATED forward (seed, node, sigma) BFS rounds +
     // backward dependency levels with the identical per-DAG-edge integer
     // flooring — see [[graft.operators.Betweenness.oracleCtes]].

@@ -679,6 +679,26 @@ class StatTestsSpec extends SparkSpecBase {
     assert(out == Seq(("A", 4L, 200L), ("B", 3L, 500L)))
   }
 
+  test("markov stationary: two-state chain hand-walked through all " +
+      "eight truncating iterations") {
+    // view->purchase always; purchase->view / purchase->purchase split
+    // 1:1. True stationary is (1/3, 2/3); the 8-round truncating
+    // iteration from uniform lands at (333984, 666015) exactly.
+    import spark.implicits._
+    val day = 86400000000000L
+    val rows = Seq(
+      (1L, 0L, "view"), (1L, 1L, "purchase"), (1L, 2L, "view"),
+      (2L, day, "view"), (2L, day + 1, "purchase"),
+      (2L, day + 2, "purchase"))
+    val dir = tmp("graft-stattests")
+    rows.zipWithIndex.map { case ((u, ts, t), i) => (i.toLong, u, ts, t) }
+      .toDF("event_id", "user_id", "ts", "event_type").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_e_markov_stationary")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("purchase", 666015L), ("view", 333984L)))
+  }
+
   test("theta sketch: identical sets make union and intersection " +
       "estimates coincide, with 63 sketch hashes under theta") {
     val day = 86400000000000L
