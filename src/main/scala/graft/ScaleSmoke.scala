@@ -814,7 +814,8 @@ object ScaleSmoke {
         "q_ts_backtest", "q_ts_conformal", "q_llm_gains",
         "q_stats_signed_rank", "q_llm_isotonic",
         "q_llm_split_leakage", "q_agg_abc", "q_agg_exact_median",
-        "q_e_markov_stationary")) {
+        "q_e_markov_stationary", "q_e_trigrams",
+        "q_e_cohort_revenue")) {
       val n = timed(s"$qn (registered shape)")(
         SparkEntry.queries(qn)(spark, sfDir).count())
       println(s"[scale] $qn rows: $n")

@@ -1460,6 +1460,57 @@ object Registry {
       .limit(20)
   }
 
+  /** Top event-type trigram paths (the order-2 extension of
+    * [[eTransitions]]' bigrams — "view→view→purchase vs
+    * view→purchase→purchase" is where funnel shape lives; the Markov
+    * queries assume order-1, this measures what order-1 misses):
+    * per-user time-ordered lag×2 window, global top-20 by count with
+    * (path, count) total order, frac₄ = n·10⁴ div total trigrams —
+    * integer. Scale shape: the per-user window is the sessionization
+    * shape (partitioned, never corpus-wide); top-20 is a
+    * TakeOrderedAndProject. */
+  private def eTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tri = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t1", lag(col("event_type"), 2).over(w))
+      .withColumn("t2", lag(col("event_type"), 1).over(w))
+      .filter(col("t1").isNotNull && col("t2").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("event_type").as("t3"))
+      .agg(count(lit(1)).as("n"))
+    tri.crossJoin(broadcast(tri.agg(sum(col("n")).as("tot"))))
+      .select(col("t1"), col("t2"), col("t3"), col("n"),
+        expr("n * 10000 div tot").as("frac4"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(20)
+  }
+
+  /** Cohort revenue / ARPU matrix (the MONETARY companion of
+    * [[eRetention]]'s activity matrix): users cohorted by first-event
+    * week, purchase value in exact cents summed per (cohort, weeks
+    * since), arpu₄ = cents div cohort_n (cents-per-user, truncating).
+    * Scale shape: identical to retention — one cohort join, the
+    * cohort-size relation broadcasts back. */
+  private def eCohortRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val weekNs = 7L * 24 * 3600 * 1000 * 1000 * 1000
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), expr(s"ts div $weekNs").as("wk"),
+        col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val first = e.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    val cohortSizes = first.groupBy("cohort_wk")
+      .agg(count(lit(1)).as("cohort_n"))
+    e.filter(col("event_type") === "purchase")
+      .join(first, Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_since"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents"))
+      .join(broadcast(cohortSizes), Seq("cohort_wk"))
+      .select(col("cohort_wk"), col("wk_since"), col("n_purchases"),
+        col("cents"), expr("cents div cohort_n").as("arpu_cents"))
+      .orderBy("cohort_wk", "wk_since")
+  }
+
   /** Stationary distribution of the event-type Markov chain (the
     * power-iteration steady state over [[eTransitions]]' matrix) —
     * "where does user behavior settle": transitions give the one-step
@@ -7915,6 +7966,8 @@ object Registry {
     "q_agg_abc" -> q(aggAbc),
     "q_agg_exact_median" -> q(aggExactMedian),
     "q_e_markov_stationary" -> q(eMarkovStationary),
+    "q_e_trigrams" -> q(eTrigrams),
+    "q_e_cohort_revenue" -> q(eCohortRevenue),
   )
 
   /** Generated stationary-distribution oracle: the transitions CTE,
@@ -13859,6 +13912,40 @@ object Registry {
          WHERE 2 * cum >= n GROUP BY cm.flag ORDER BY cm.flag""",
     // Generated matrix-vector replay — see [[markovStationaryOracle]].
     "q_e_markov_stationary" -> markovStationaryOracle,
+    // Trigram replay: the same per-user lag x2 window and top-20 order.
+    "q_e_trigrams" ->
+      """WITH s AS (SELECT user_id, event_type,
+             lag(event_type, 2) OVER (PARTITION BY user_id
+               ORDER BY epoch_ns(ts), event_id) AS t1,
+             lag(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY epoch_ns(ts), event_id) AS t2
+           FROM events),
+         tri AS (SELECT t1, t2, event_type AS t3,
+             CAST(count(*) AS BIGINT) AS n
+           FROM s WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+           GROUP BY 1, 2, 3),
+         tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM tri)
+         SELECT t1, t2, t3, n, n * 10000 // tot AS frac4
+         FROM tri, tt ORDER BY n DESC, t1, t2, t3 LIMIT 20""",
+    // Cohort-revenue replay: same week grain, cent floor, cohort join,
+    // truncating ARPU.
+    "q_e_cohort_revenue" ->
+      """WITH e AS (SELECT user_id,
+             epoch_ns(ts) // 604800000000000 AS wk, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+         f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
+         cs AS (SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_n
+                FROM f GROUP BY 1),
+         r AS (SELECT f.cohort_wk, e.wk - f.cohort_wk AS wk_since,
+             CAST(count(*) AS BIGINT) AS n_purchases,
+             CAST(sum(e.cents) AS BIGINT) AS cents
+           FROM e JOIN f USING (user_id)
+           WHERE e.event_type = 'purchase' GROUP BY 1, 2)
+         SELECT r.cohort_wk, r.wk_since, r.n_purchases, r.cents,
+           r.cents // cs.cohort_n AS arpu_cents
+         FROM r JOIN cs ON r.cohort_wk = cs.cohort_wk
+         ORDER BY r.cohort_wk, r.wk_since""",
     // Brandes replay: GENERATED forward (seed, node, sigma) BFS rounds +
     // backward dependency levels with the identical per-DAG-edge integer
     // flooring — see [[graft.operators.Betweenness.oracleCtes]].

@@ -699,6 +699,51 @@ class StatTestsSpec extends SparkSpecBase {
     assert(out == Seq(("purchase", 666015L), ("view", 333984L)))
   }
 
+  test("trigram paths: hand-counted order-2 sequences with exact fracs") {
+    import spark.implicits._
+    val day = 86400000000000L
+    // u1: v,v,p,v -> (v,v,p),(v,p,v); u2: v,v,p -> (v,v,p).
+    val rows = Seq(
+      (1L, 0L, "view"), (1L, 1L, "view"), (1L, 2L, "purchase"),
+      (1L, 3L, "view"),
+      (2L, day, "view"), (2L, day + 1, "view"), (2L, day + 2, "purchase"))
+    val dir = tmp("graft-stattests")
+    rows.zipWithIndex.map { case ((u, ts, t), i) => (i.toLong, u, ts, t) }
+      .toDF("event_id", "user_id", "ts", "event_type").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_e_trigrams")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq(
+      ("view", "view", "purchase", 2L, 6666L),
+      ("view", "purchase", "view", 1L, 3333L)))
+  }
+
+  test("cohort revenue: purchases land in (cohort, weeks-since) cells " +
+      "with exact cents and truncating ARPU") {
+    import spark.implicits._
+    val wk = 604800000000000L
+    // Cohort wk0 = {u1, u2} (u2 never buys); wk1 = {u3}.
+    val rows = Seq(
+      (1L, 0L, "view", 0.0), (1L, 1L, "purchase", 10.0),
+      (1L, wk + 2, "purchase", 5.5),
+      (2L, 3L, "view", 0.0),
+      (3L, wk, "view", 0.0), (3L, wk + 1, "purchase", 3.25))
+    val dir = tmp("graft-stattests")
+    rows.zipWithIndex.map { case ((u, ts, t, v), i) =>
+        (i.toLong, u, ts, t, v) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_e_cohort_revenue")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq(
+      (0L, 0L, 1L, 1000L, 500L),   // 10.00 over cohort of 2
+      (0L, 1L, 1L, 550L, 275L),
+      (1L, 0L, 1L, 325L, 325L)))
+  }
+
   test("theta sketch: identical sets make union and intersection " +
       "estimates coincide, with 63 sketch hashes under theta") {
     val day = 86400000000000L
