@@ -815,7 +815,7 @@ object ScaleSmoke {
         "q_stats_signed_rank", "q_llm_isotonic",
         "q_llm_split_leakage", "q_agg_abc", "q_agg_exact_median",
         "q_e_markov_stationary", "q_e_trigrams",
-        "q_e_cohort_revenue")) {
+        "q_e_cohort_revenue", "q_graph_degree_dist")) {
       val n = timed(s"$qn (registered shape)")(
         SparkEntry.queries(qn)(spark, sfDir).count())
       println(s"[scale] $qn rows: $n")

@@ -6073,6 +6073,34 @@ object Registry {
       .orderBy("seed")
   }
 
+  /** Degree distribution of the co-purchase graph — the zeroth graph
+    * diagnostic (every other graph query's cost model starts from it;
+    * [[graphPowerlaw]] fits its tail, this reports the histogram
+    * itself): node degree over canonical edges, then degree → node
+    * count with frac₄ and the cumulative-from-the-top count (the
+    * "how many hubs above d" curve). Scale shape: two aggregates —
+    * degrees (one shuffle on node), histogram (one shuffle on degree,
+    * bounded by max degree, sub-linear in nodes); the top-down
+    * cumulative window runs over the bounded histogram only. */
+  private def graphDegreeDist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val canon = graft.operators.Triangles.canonical(
+      coPurchasePairs(spark, dir), "x", "y")
+    val deg = canon.select(col("lo").as("n"))
+      .unionAll(canon.select(col("hi").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val hist = deg.groupBy("d").agg(count(lit(1)).as("n_nodes"))
+    val w = Window.orderBy(col("d").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist
+      .crossJoin(broadcast(hist.agg(sum(col("n_nodes")).as("tot"))))
+      .withColumn("n_at_least", sum(col("n_nodes")).over(w))
+      .select(col("d").as("degree"), col("n_nodes"),
+        expr("n_nodes * 10000 div tot").as("frac4"), col("n_at_least"))
+      .orderBy(col("degree").desc)
+      .limit(50)
+  }
+
   /** Horizon-3 Brandes betweenness over the 1/16 co-purchase subgraph
     * from the mod-932 seed set — the BROKERAGE member of the
     * centrality family: closeness asks who sits near everything,
@@ -7968,6 +7996,7 @@ object Registry {
     "q_e_markov_stationary" -> q(eMarkovStationary),
     "q_e_trigrams" -> q(eTrigrams),
     "q_e_cohort_revenue" -> q(eCohortRevenue),
+    "q_graph_degree_dist" -> q(graphDegreeDist),
   )
 
   /** Generated stationary-distribution oracle: the transitions CTE,
@@ -13729,6 +13758,27 @@ object Registry {
          SELECT CAST(k AS BIGINT) AS lag,
            floor(phi[k] * 10000) / 10000 AS pacf4
          FROM dl ORDER BY k""",
+    // Degree-histogram replay: canonical edges, two aggregates, the
+    // same bounded top-down cumulative window.
+    "q_graph_degree_dist" ->
+      """WITH e0 AS MATERIALIZED (
+           SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM
+             (SELECT lo AS n FROM e0 UNION ALL SELECT hi FROM e0)
+           GROUP BY 1),
+         hist AS (SELECT d, CAST(count(*) AS BIGINT) AS n_nodes
+                  FROM deg GROUP BY 1),
+         tt AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS tot FROM hist),
+         cm AS (SELECT d, n_nodes,
+             CAST(sum(n_nodes) OVER (ORDER BY d DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_at_least
+           FROM hist)
+         SELECT d AS degree, n_nodes, n_nodes * 10000 // tot AS frac4,
+           n_at_least
+         FROM cm, tt ORDER BY degree DESC LIMIT 50""",
     // Generated greedy replay — see [[mmrOracle]].
     "q_llm_mmr" -> mmrOracle,
     // Basket rules replay: distinct (order, brand) membership, the

@@ -744,6 +744,22 @@ class StatTestsSpec extends SparkSpecBase {
       (1L, 0L, 1L, 325L, 325L)))
   }
 
+  test("degree distribution: hand-computed histogram with top-down " +
+      "cumulative hub counts") {
+    import spark.implicits._
+    val dir = tmp("graft-stattests")
+    // Baskets {1,2}, {1,3}, {2,3,4} -> edges (1,2),(1,3),(2,3),(2,4),
+    // (3,4); degrees 1:2, 2:3, 3:3, 4:2 -> hist d3:2 nodes, d2:2.
+    Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 3L),
+        (12L, 2L), (12L, 3L), (12L, 4L))
+      .toDF("l_orderkey", "l_partkey").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q_graph_degree_dist")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(out == Seq((3L, 2L, 5000L, 2L), (2L, 2L, 5000L, 4L)))
+  }
+
   test("theta sketch: identical sets make union and intersection " +
       "estimates coincide, with 63 sketch hashes under theta") {
     val day = 86400000000000L
