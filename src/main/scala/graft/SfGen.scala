@@ -93,7 +93,7 @@ object SfGen {
         s"""concat_ws(' ', transform(sequence(0, ntok - 1), d ->
               element_at(_vocab,
                 CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':',
-                  CAST(d AS STRING))), 1, 8), 16, 10) AS INT)
+                  CAST(d AS STRING))), 1, 8), 16, 10) AS BIGINT)
                 % ${vocab.length} + 1)))"""))
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         length(col("text")).cast("long").as("n_chars"))

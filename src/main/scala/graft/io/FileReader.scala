@@ -371,7 +371,11 @@ object FileReader {
         else 0
 
       // Phase 1: find <worksheet …> and capture the open tag verbatim.
-      val tag = new StringBuilder
+      // Bytes, not chars: the tag may carry multi-byte UTF-8 attribute
+      // content; decode ONCE at the end (a per-byte toChar would mojibake
+      // the executor-side re-wrapped XML head).
+      val tagBytes = new java.io.ByteArrayOutputStream(256)
+      def tagStr: String = new String(tagBytes.toByteArray, StandardCharsets.UTF_8)
       var foundWs = false
       while (!foundWs && ensure(1)) {
         if (buf(i) == '<') skipSpecial() match {
@@ -382,7 +386,7 @@ object FileReader {
               foundWs = true
               var closed = false
               while (!closed && ensure(1)) {
-                val b = buf(i); tag.append(b.toChar); i += 1
+                val b = buf(i); tagBytes.write(b.toInt); i += 1
                 if (b == '>') closed = true
               }
               if (!closed) return None
@@ -390,8 +394,8 @@ object FileReader {
         } else i += 1
       }
       if (!foundWs) return None
-      if (tag.toString().endsWith("/>"))
-        return Some(SheetLayout(tag.toString(), Nil))
+      if (tagStr.endsWith("/>"))
+        return Some(SheetLayout(tagStr, Nil))
 
       // Phase 2: find <sheetData> (or <sheetData/> = empty sheet).
       var inData = false
@@ -402,7 +406,7 @@ object FileReader {
           case _ =>
             if (matches("<sheetData") && ensure(11) && isDelim(buf(i + 10))) {
               if (buf(i + 10) == '/')
-                return Some(SheetLayout(tag.toString(), Nil))
+                return Some(SheetLayout(tagStr, Nil))
               i += 11 // past "<sheetData>"
               inData = true
             } else i += 1
@@ -435,7 +439,7 @@ object FileReader {
         } else i += 1
       }
       if (!done) return None // truncated: no </sheetData>
-      Some(SheetLayout(tag.toString(), ranges.toSeq))
+      Some(SheetLayout(tagStr, ranges.toSeq))
     } finally in.close()
   }
 

@@ -42,6 +42,13 @@ object Dbscan {
   def assign(pts: DataFrame, idCol: String, vecCol: String,
              eps2: Long, minPts: Int,
              maxDriverPairs: Long = Dedup.SmallGraphMaxPairs): DataFrame = {
+    // minPts = 1 would make EVERY point core in textbook DBSCAN, but the
+    // ε-pair relation below carries no self-pairs, so a neighbor-less
+    // point would land as noise instead — refuse the degenerate setting
+    // rather than silently deviate (minPts = 1 clustering is just
+    // connectedComponents anyway).
+    require(minPts >= 2, s"minPts must be >= 2 (got $minPts); " +
+      "minPts = 1 degenerates to connected components over the ε-graph")
     // The streamed side of the broadcast pair join arrives as one parquet
     // split at sf scale — spread it or the O(n²) distance filter runs on
     // a single thread.
@@ -55,7 +62,13 @@ object Dbscan {
           DetKMeans.dist2(col("va"), col("vb")) <= lit(eps2))
       .select(col("ia"), col("ib"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (pairs.count() <= maxDriverPairs) return assignDriver(pts, idCol, pairs, minPts)
+    if (pairs.count() <= maxDriverPairs) {
+      // assignDriver collects the pair list eagerly; the returned plan no
+      // longer references `pairs`, so release the cache before returning.
+      val out = assignDriver(pts, idCol, pairs, minPts)
+      pairs.unpersist()
+      return out
+    }
     val nbrs = pairs.select(col("ia").as("id"), col("ib").as("nb"))
       .union(pairs.select(col("ib").as("id"), col("ia").as("nb")))
     val core = nbrs.groupBy("id")
@@ -90,8 +103,15 @@ object Dbscan {
     val noise = pts.select(col(idCol).cast("long").as("id"))
       .join(broadcast(assigned.select(col("id"))), Seq("id"), "left_anti")
       .select(col("id"), lit("noise").as("role"), lit(-1L).as("cluster"))
-    assigned.union(noise)
+    // Materialize (one row per point, lineage truncated) so the two
+    // upstream persists can be released before returning — otherwise
+    // repeated assign() calls in a long session accumulate cache blocks.
+    val result = assigned.union(noise)
       .select(col("id"), col("role"), col("cluster").as("cluster_id"))
+      .localCheckpoint(true)
+    pairs.unpersist()
+    coreAssign.unpersist()
+    result
   }
 
   /** Driver fast path: identical semantics over the collected ε-pair

@@ -377,7 +377,13 @@ object EventStream {
               val fc = l + b
               val e = math.abs(r.units - fc)
               sae += e
-              ssm += 2 * e * 10000 / (math.abs(r.units) + math.abs(fc))
+              // sMAPE convention for the 0-vs-0 step: a zero forecast of a
+              // zero actual is a perfect step — contribute 0 rather than
+              // divide by zero (Scala Long '/' would throw and kill the
+              // query; the batch twin never hits this edge because its
+              // per-day series is count(*)*10000 >= 10000).
+              val den = math.abs(r.units) + math.abs(fc)
+              if (den != 0L) ssm += 2 * e * 10000 / den
               val l2 = (r.units + 3 * (l + b)) / 4
               b = (l2 - l + 3 * b) / 4
               l = l2

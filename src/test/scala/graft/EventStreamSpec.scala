@@ -542,6 +542,31 @@ class EventStreamSpec extends SparkSpecBase {
     assert(got.toSeq == expected)
   }
 
+  test("streaming backtest survives an all-zero series (0-vs-0 step " +
+      "contributes 0 to ssm instead of dividing by zero)") {
+    import spark.implicits._
+    val eSchema = StructType(Seq(
+      StructField("key", LongType), StructField("bin", LongType),
+      StructField("units", LongType)))
+    // All-zero series: l = b = 0, so every forecast is 0 against an
+    // actual of 0 — the denominator |units|+|fc| is 0 at every eval step.
+    // Before the guard, Scala Long '/' threw ArithmeticException here and
+    // killed the query.
+    val rows = (1L to 5L).map(b => (9L, b, 0L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-btz").toString
+    rows.toDF("key", "bin", "units").coalesce(1).write.mode("append")
+      .parquet(s"$dir/stream")
+    val q = EventStream.replayParquetAsStream(spark, s"$dir/stream", eSchema,
+      d => EventStream.streamingBacktest(d.as[EventStream.BinValue]).toDF(),
+      "btz_sink", org.apache.spark.sql.streaming.OutputMode.Append())
+    q.awaitTermination(60000)
+    val got = spark.table("btz_sink").collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("forecast"),
+        r.getAs[Long]("sae"), r.getAs[Long]("ssm")))
+      .sortBy(_._1)
+    assert(got.toSeq == (3L to 5L).map(b => (b, 0L, 0L, 0L)))
+  }
+
   test("streaming SCD2 closed rows equal the batch build's closed rows") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

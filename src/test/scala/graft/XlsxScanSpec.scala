@@ -71,6 +71,19 @@ class XlsxScanSpec extends SparkSpecBase {
     assert(dist == driver)
   }
 
+  test("non-ASCII attribute content in the <worksheet> open tag survives " +
+      "the byte-level capture (single UTF-8 decode, no per-byte mojibake)") {
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" dataDescr="日本語-ü-héllo"><sheetData>""" +
+      """<row><c t="inlineStr"><is><t>a</t></is></c><c><v>1</v></c></row>""" +
+      """<row><c t="inlineStr"><is><t>b</t></is></c><c><v>2</v></c></row>""" +
+      """</sheetData></worksheet>"""
+    val (driver, dist) = bothPaths(sheet)
+    assert(driver == Seq(Seq("a", "1"), Seq("b", "2")))
+    assert(dist == driver)
+  }
+
   test("self-closed rows, row/sheetData attributes, rowBreaks, and CRLF " +
       "survive the split identically") {
     val sheet =
