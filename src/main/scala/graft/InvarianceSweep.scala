@@ -11,15 +11,18 @@ import org.apache.spark.sql.SparkSession
   * class the DuckDB oracle can miss when both engines happen to add in
   * the same order at one width.
   *
-  * Run: `sbt "runMain graft.InvarianceSweep [sfDir] [widthA] [widthB]"`
-  * (defaults /root/testdata/sf0.001, 3, 32). Prints per-query PASS/DIFF
-  * and exits nonzero on any DIFF. */
+  * Run: `sbt "runMain graft.InvarianceSweep [sfDir] [widthA] [widthB]
+  * [q_name ...]"` (defaults /root/testdata/sf0.001, 3, 32; extra args
+  * restrict to the named queries — the per-wave gate runs new queries
+  * subset-mode, the round close runs the full registry). Prints per-query
+  * PASS/DIFF and exits nonzero on any DIFF. */
 object InvarianceSweep {
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val wA = if (args.length > 1) args(1).toInt else 3
     val wB = if (args.length > 2) args(2).toInt else 32
+    val only = args.drop(3).toSet
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -40,7 +43,9 @@ object InvarianceSweep {
     var diffs = 0
     var errs = 0
     val t0 = System.nanoTime()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, _) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+    selected.foreach { case (name, _) =>
       (runAt(name, wA), runAt(name, wB)) match {
         case (Right(a), Right(b)) if a == b =>
           println(s"[inv] PASS $name (${a.size} rows)")
@@ -54,7 +59,7 @@ object InvarianceSweep {
           println(s"[inv] ERR  $name ${l.left.toOption.orElse(r.left.toOption).get}")
       }
     }
-    println(f"[inv] done: ${SparkEntry.queries.size} queries, $diffs diffs, " +
+    println(f"[inv] done: ${selected.size} queries, $diffs diffs, " +
       f"$errs errors, widths $wA vs $wB, ${(System.nanoTime() - t0) / 1e9}%.0f s")
     spark.stop()
     if (diffs + errs > 0) sys.exit(1)

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The two rows-only queries (`q_llm_bpe`, `q_llm_compress_ratio`) are
+  * oracle-covered by their `_det` twins ONLY IF production and twin run
+  * the same kernel — the twin pins `Bpe.train`/`Bpe.encode` (full merge
+  * loop replayed in DuckDB recursive CTEs) and `TextAnalysis.deflateLen`
+  * (hash-matched against precomputed JDK-zlib constants), so the claim
+  * "the oracle on the twin covers the production query" rests on both
+  * invoking those exact entry points, just with different bounds. This
+  * spec makes that source-level contract mechanical: if someone forks the
+  * production query onto a parallel implementation, the twin's oracle
+  * silently stops covering it — and this spec fails by name. */
+class KernelSharingSpec extends AnyFunSuite {
+
+  /** Body of `private def <name>(` up to the next `private def` /
+    * `val queries` boundary, searched across every queries/ source file
+    * (survives the Registry split). */
+  private def defBody(name: String): String = {
+    val dir = new java.io.File("src/main/scala/graft/queries")
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".scala"))
+    val bodies = files.flatMap { f =>
+      val src = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val start = src.indexOf(s"def $name(")
+      if (start < 0) None
+      else {
+        val restStart = start + s"def $name(".length
+        val nextDef = src.indexOf(" def ", restStart)
+        val end = if (nextDef < 0) src.length else nextDef
+        Some(src.substring(start, end))
+      }
+    }
+    assert(bodies.length == 1,
+      s"expected exactly one definition of $name across queries/, " +
+        s"found ${bodies.length}")
+    bodies.head
+  }
+
+  test("q_llm_bpe and q_llm_bpe_det share the Bpe.train + Bpe.encode " +
+      "kernel (twin oracle covers the production trainer)") {
+    for (d <- Seq("llmBpe", "llmBpeDet")) {
+      val body = defBody(d)
+      assert(body.contains("Bpe.train("), s"$d no longer calls Bpe.train")
+      assert(body.contains("Bpe.encode("), s"$d no longer calls Bpe.encode")
+    }
+  }
+
+  test("q_llm_compress_ratio and its det twin share the " +
+      "TextAnalysis.deflateLen kernel (twin constants cover production)") {
+    for (d <- Seq("llmCompressRatio", "llmCompressRatioDet")) {
+      val body = defBody(d)
+      assert(body.contains("TextAnalysis.deflateLen("),
+        s"$d no longer calls TextAnalysis.deflateLen")
+    }
+  }
+}
