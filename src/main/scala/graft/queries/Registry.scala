@@ -7477,20 +7477,23 @@ object Registry {
     * calibrates anomaly thresholds (a high r₁ means volume alarms need
     * trend-aware baselines like [[tsEwma]], not static bands).
     * Exactness: the series is integer COUNTS, adjacent-minute pairs come
-    * from one lead window over the bounded bin relation, all six moments
-    * accumulate in DECIMAL(38,0), and Pearson takes one double division
-    * + sqrt floored to 6 dp (the statsCorr discipline). */
+    * from a distributed self-equi-join of the bin relation on bin+1, all
+    * six moments accumulate in DECIMAL(38,0), and Pearson takes one
+    * double division + sqrt floored to 6 dp (the statsCorr discipline). */
   private def statsAutocorr(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dec = DecimalType(38, 0)
     val bins = t(spark, dir, "events")
       .groupBy(expr("ts div 60000000000").as("bin"))
       .agg(count(lit(1)).as("x"))
-    val w = Window.orderBy("bin")
-    val pairs = bins
-      .withColumn("nb", lead(col("bin"), 1).over(w))
-      .withColumn("y", lead(col("x"), 1).over(w))
-      .filter(col("nb") === col("bin") + 1)
+    // Lag-1 pairs via a self-equi-join on bin+1 — NOT a global lead()
+    // window (WindowSweep's one catch): the minute-bin relation is
+    // span-bounded, but a years-long corpus still has millions of minutes
+    // and a global window funnels them through ONE task; the join
+    // shuffles on bin and scales with the span. Same pair set: lead(bin)
+    // filtered to nb == bin+1 ≡ join where bin+1 is occupied.
+    val pairs = bins.join(
+      bins.select((col("bin") - 1).as("pbin"), col("x").as("y")),
+      col("bin") === col("pbin"))
     pairs.agg(count(lit(1)).as("n"),
         sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
         sum(col("x").cast(dec) * col("y")).as("sxy"),
