@@ -48,13 +48,7 @@ object IngestScale {
       else java.nio.file.Files.createTempDirectory("graft-ingest100").toString
     val formats = if (args.length > 1) args(1).split(",").toSeq else Seq("csv")
     new java.io.File(work).mkdirs()
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local(defaultCpus = 32)
     graft.queries.Registry.configure(spark)
     formats.foreach {
       case "csv" => runOne(spark, work, "csv", generateCsv(work, 1700000))

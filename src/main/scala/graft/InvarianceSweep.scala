@@ -23,13 +23,7 @@ object InvarianceSweep {
     val wA = if (args.length > 1) args(1).toInt else 3
     val wB = if (args.length > 2) args(2).toInt else 32
     val only = args.drop(3).toSet
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local(defaultCpus = 32)
     graft.queries.Registry.configure(spark)
 
     def runAt(name: String, parts: Int): Either[String, Seq[String]] = {

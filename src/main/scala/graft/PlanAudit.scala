@@ -8,14 +8,7 @@ import org.apache.spark.sql.SparkSession
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local(defaultCpus = 8)
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q_agg1_pricing_summary", "q_j_broadcast_dims", "q_j1_lateral_top1",
       "q_d1_dedup_first_wins", "q_llm_ann_brute", "q_p6_status_filter")

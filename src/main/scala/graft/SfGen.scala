@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dev utility: synthesize a LARGER scale factor from /root/testdata/sf0.1
@@ -28,22 +28,35 @@ import org.apache.spark.sql.functions._
   *    label + bounded md5 noise) — clusterable like the original for the
   *    IVF/PQ paths without planting cosine-near-dup pairs.
   *
-  * Run: `sbt "runMain graft.SfGen [/tmp/sf1] [10]"`. */
+  * `--skew` (VERDICT r12 item 1): the uniform-replica construction
+  * preserves sf0.1's degree distributions exactly, which dodges the one
+  * 100 TB axis that actually kills jobs — HOT KEYS. Skew mode layers
+  * deterministic md5-derived redirects on top of the standard remap:
+  *
+  *  - lineitem: 25% of rows redirect l_partkey to a log-uniform rank in
+  *    [10, 10010) (pmf ∝ 1/r — a Zipf/preferential-attachment part
+  *    popularity: the rank-1 part absorbs ~7.5% of redirected rows, so
+  *    the co-purchase graph grows genuine power-law hubs); 10% of rows
+  *    redirect l_orderkey the same way (super-orders with tens of
+  *    thousands of lines — the per-order pair-explosion stress).
+  *  - events: 25% of events redirect user_id to a log-uniform rank in
+  *    [10, 1010) (the hottest user absorbs ~2.5% of ALL events —
+  *    sessionize/window/markov state stress).
+  *
+  * Redirect targets are ids that exist in the remapped dimension tables,
+  * so referential joins stay valid. Everything else is identical to the
+  * uniform build — measured deltas between /tmp/sf1 and /tmp/sf1skew are
+  * attributable to skew alone.
+  *
+  * Run: `sbt "runMain graft.SfGen [/tmp/sf1] [10] [--skew]"`. */
 object SfGen {
 
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "/tmp/sf1"
     val factor = if (args.length > 1) args(1).toInt else 10
+    val skew = args.length > 2 && args(2) == "--skew"
     val src = "/root/testdata/sf0.1"
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local(defaultCpus = 32)
 
     def read(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
@@ -54,6 +67,13 @@ object SfGen {
     def reps(df: DataFrame): DataFrame =
       df.crossJoin(spark.range(factor.toLong).withColumnRenamed("id", "rep"))
     def remap(c: String) = (col(c) * factor + col("rep")).as(c)
+    // md5-derived U[0,1) and log-uniform rank (pmf ∝ 1/r, Zipf α=1) for
+    // the skew redirects — row-local, deterministic, partition-invariant.
+    def mdu(tag: String, cols: Column*): Column =
+      conv(substring(md5(concat_ws(":", (lit(tag) +: cols): _*)), 1, 8),
+        16, 10).cast("long").cast("double") / 4294967296.0
+    def hotRank(tag: String, maxRank: Int, cols: Column*): Column =
+      floor(pow(lit(maxRank.toDouble), mdu(tag, cols: _*))).cast("long") + 10
 
     write(read("region"), "region")
     write(read("nation"), "nation")
@@ -67,14 +87,29 @@ object SfGen {
     write(reps(read("orders")).select(remap("o_orderkey"), remap("o_custkey"),
       col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
       col("o_orderpriority")), "orders")
-    write(reps(read("lineitem")).select(remap("l_orderkey"), remap("l_partkey"),
-      remap("l_suppkey"), col("l_linenumber"), col("l_quantity"),
-      col("l_extendedprice"), col("l_discount"), col("l_tax"),
-      col("l_returnflag"), col("l_linestatus"), col("l_shipdate")),
-      "lineitem")
-    write(reps(read("events")).select(remap("event_id"), col("ts"),
-      remap("user_id"), col("event_type"), col("value"), col("props")),
-      "events")
+    val liBase = reps(read("lineitem")).select(remap("l_orderkey"),
+      remap("l_partkey"), remap("l_suppkey"), col("l_linenumber"),
+      col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+      col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+      col("l_shipdate"))
+    val li = if (!skew) liBase else liBase
+      .withColumn("l_partkey",
+        when(mdu("ps", col("l_orderkey"), col("l_linenumber")) < 0.25,
+          hotRank("pr", 10000, col("l_orderkey"), col("l_linenumber")))
+          .otherwise(col("l_partkey")))
+      .withColumn("l_orderkey",
+        when(mdu("os", col("l_orderkey"), col("l_linenumber")) < 0.10,
+          hotRank("or", 10000, col("l_orderkey"), col("l_linenumber")))
+          .otherwise(col("l_orderkey")))
+    write(li, "lineitem")
+    val evBase = reps(read("events")).select(remap("event_id"), col("ts"),
+      remap("user_id"), col("event_type"), col("value"), col("props"))
+    val ev = if (!skew) evBase else evBase
+      .withColumn("user_id",
+        when(mdu("us", col("event_id")) < 0.25,
+          hotRank("ur", 1000, col("event_id")))
+          .otherwise(col("user_id")))
+    write(ev, "events")
 
     // Fresh same-style documents: md5-derived picks from the observed
     // vocabulary, base doc supplies token count / lang / source.

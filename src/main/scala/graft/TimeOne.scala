@@ -12,12 +12,7 @@ object TimeOne {
     val sfDir = args(0)
     val clear = args.contains("--clear")
     val names = args.drop(1).filterNot(_ == "--clear")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local(defaultCpus = 32)
     spark.read.parquet(s"$sfDir/region.parquet").count()
     graft.queries.Registry.warmSharedStore(spark)
     for (n <- names) {

@@ -100,13 +100,7 @@ object WindowSweep {
     val sfA = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val sfB = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val only = args.drop(2).toSet
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local(defaultCpus = 32)
     graft.queries.Registry.configure(spark)
 
     def run(name: String, dir: String): Either[String, Seq[GlobalWindow]] =

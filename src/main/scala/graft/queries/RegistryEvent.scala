@@ -1,0 +1,913 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.config.Catalog
+import graft.header.HeaderDetector
+import graft.io.FileReader
+import graft.llm.{Decontaminate, Dedup, Index, Multimodal, Pack, SemDedup, Similarity, TextAnalysis, Urls}
+import graft.pipeline.Ingestor
+import graft.transform.Transformers
+
+import scala.collection.immutable.ListMap
+
+/** Event-stream batch queries (sessionization, funnels, windows).
+  *
+  * Split from the monolithic Registry (round 13); see [[Registry]] for the
+  * registration maps and conventions. */
+trait RegistryEvent extends RegistryTs {
+
+  protected def eEventsSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(20, 4))).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("users"))
+      .orderBy("event_type")
+
+  // ------------------------------------------------------- Readers / headers
+
+  /** Last-touch conversion attribution: for every purchase, the latest
+    * PRECEDING non-purchase event (the touch that gets the credit), via
+    * one per-user sorted window max over a struct-packed (ts, id, type)
+    * candidate — no self-join of conversions against history. Struct max
+    * ignores the NULL (purchase) candidates and breaks ties by the
+    * unique event id, so attribution is total and engine-replayable. */
+  protected def eAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touched = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("_cand", when(col("event_type") =!= "purchase",
+        struct(col("ts"), col("event_id"), col("event_type"))))
+      .withColumn("_last", max(col("_cand")).over(w))
+    val conv = touched.filter(col("event_type") === "purchase")
+      .select(coalesce(col("_last.event_type"), lit("none"))
+        .as("last_touch"))
+    conv.groupBy("last_touch").agg(count(lit(1)).as("n_conversions"))
+      .withColumn("frac", floor(col("n_conversions") * 10000.0
+        / sum(col("n_conversions"))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy())
+        + 0.5) / 10000)
+      .orderBy("last_touch")
+  }
+
+  /** Time-RANGE sliding window: per-user sum/count of event values over
+    * the PRECEDING HOUR of event time (range frame on the ts axis, not a
+    * row count) — the "activity in the last hour at every event" feature
+    * a fraud/engagement model reads. One shuffle by user, one
+    * in-partition sort shared by both frame aggregates; decimal sums so
+    * frame-merge order cannot drift the doubles. */
+  protected def wTimeRangeSum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val w = Window.partitionBy("user_id").orderBy(col("ts"))
+      .rangeBetween(-hourNs, 0)
+    t(spark, dir, "events").filter(col("user_id") < 20)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_last_hour"),
+        (floor(sum(col("value").cast(DecimalType(20, 4))).over(w)
+          .cast("double") * 1e4 + 0.5) / 1e4).as("sum_last_hour"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Event-type transition matrix (first-order Markov structure of the
+    * event stream — the path-analysis primitive behind "what do users do
+    * after X"). One shuffle by user, one in-partition sorted window for
+    * the lag pairing; the transition-count relation is |types|²-bounded
+    * (≤ 25 rows here), so the share-of-total window over IT is a
+    * KB-scale single partition by construction. */
+  protected def eTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("frac", floor(col("n") * 10000.0
+        / sum(col("n")).over(Window.partitionBy()) + 0.5) / 10000)
+      .orderBy(col("n").desc, col("prev_type"), col("next_type"))
+      .limit(20)
+  }
+
+  /** Top event-type trigram paths (the order-2 extension of
+    * [[eTransitions]]' bigrams — "view→view→purchase vs
+    * view→purchase→purchase" is where funnel shape lives; the Markov
+    * queries assume order-1, this measures what order-1 misses):
+    * per-user time-ordered lag×2 window, global top-20 by count with
+    * (path, count) total order, frac₄ = n·10⁴ div total trigrams —
+    * integer. Scale shape: the per-user window is the sessionization
+    * shape (partitioned, never corpus-wide); top-20 is a
+    * TakeOrderedAndProject. */
+  protected def eTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tri = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t1", lag(col("event_type"), 2).over(w))
+      .withColumn("t2", lag(col("event_type"), 1).over(w))
+      .filter(col("t1").isNotNull && col("t2").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("event_type").as("t3"))
+      .agg(count(lit(1)).as("n"))
+    tri.crossJoin(broadcast(tri.agg(sum(col("n")).as("tot"))))
+      .select(col("t1"), col("t2"), col("t3"), col("n"),
+        expr("n * 10000 div tot").as("frac4"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(20)
+  }
+
+  /** Cohort revenue / ARPU matrix (the MONETARY companion of
+    * [[eRetention]]'s activity matrix): users cohorted by first-event
+    * week, purchase value in exact cents summed per (cohort, weeks
+    * since), arpu₄ = cents div cohort_n (cents-per-user, truncating).
+    * Scale shape: identical to retention — one cohort join, the
+    * cohort-size relation broadcasts back. */
+  protected def eCohortRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val weekNs = 7L * 24 * 3600 * 1000 * 1000 * 1000
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), expr(s"ts div $weekNs").as("wk"),
+        col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val first = e.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    val cohortSizes = first.groupBy("cohort_wk")
+      .agg(count(lit(1)).as("cohort_n"))
+    e.filter(col("event_type") === "purchase")
+      .join(first, Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_since"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents"))
+      .join(broadcast(cohortSizes), Seq("cohort_wk"))
+      .select(col("cohort_wk"), col("wk_since"), col("n_purchases"),
+        col("cents"), expr("cents div cohort_n").as("arpu_cents"))
+      .orderBy("cohort_wk", "wk_since")
+  }
+
+  /** Stationary distribution of the event-type Markov chain (the
+    * power-iteration steady state over [[eTransitions]]' matrix) —
+    * "where does user behavior settle": transitions give the one-step
+    * dynamics, [[eMarkovEntropy]] their uncertainty, this the
+    * long-run occupancy. FULLY integer: row-stochastic entries are
+    * P₆ = cnt·10⁶ div rowΣ (truncating), eight iterations of
+    * π'_j = Σ_i π_i·P₆(i,j) div 10⁶ from the uniform 10⁶ div k — one
+    * flooring per matrix cell per round, replayed by eight unrolled
+    * matrix-vector CTEs. Dangling types (no outgoing transitions)
+    * evaporate mass, the simplified-PageRank convention. Scale shape:
+    * ONE corpus pass builds the ≤k² transition matrix (k = event-type
+    * universe, data-independent); the iteration runs driver-side over
+    * that bounded relation (the statsCorr collect discipline). */
+  protected def eMarkovStationary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val cells = trans
+      .withColumn("rt", sum(col("n")).over(
+        Window.partitionBy("prev_type")))
+      .select(col("prev_type"), col("next_type"),
+        expr("n * 1000000 div rt").as("p6"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val types = t(spark, dir, "events")
+      .select(col("event_type")).distinct()
+      .orderBy("event_type").collect().map(_.getString(0))
+    if (types.isEmpty)
+      return Seq.empty[(String, Long)].toDF("event_type", "pi_micro")
+    var pi = types.map(t => t -> 1000000L / types.length).toMap
+    for (_ <- 1 to 8) {
+      val next = scala.collection.mutable.Map(
+        types.map(t => t -> 0L): _*)
+      cells.foreach { case (i, j, p6) =>
+        next(j) += pi(i) * p6 / 1000000L
+      }
+      pi = next.toMap
+    }
+    types.map(t => (t, pi(t))).toSeq
+      .toDF("event_type", "pi_micro").orderBy("event_type")
+  }
+
+  /** Per-state transition entropy of the user-behavior Markov chain —
+    * "how predictable is the next event given the current one" (the
+    * session-model diagnostic that decides whether next-event prediction
+    * is worth building; pairs with [[eTransitions]]' raw counts).
+    * Exactness: transition counts are exact integers from the same
+    * (ts, event_id)-ordered lag; entropy uses the floor-then-sum
+    * per-distinct-value micro-unit discipline of `q_stats_entropy`, so
+    * H·n is exact-integer with ONE truncating division per state. */
+  protected def eMarkovEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("prev_type").agg(
+        sum(col("c")).as("n_out"),
+        count(lit(1)).as("n_next"),
+        sum(floor(log(col("c").cast("double")) * 1e6).cast(dec) * col("c"))
+          .as("se"))
+      .select(col("prev_type"), col("n_out").cast("long").as("n_out"),
+        col("n_next"),
+        expr("(CAST(floor(ln(CAST(n_out AS DOUBLE)) * 1e6)" +
+          " AS DECIMAL(38,0)) * n_out - se) div n_out").as("h_micro"))
+      .orderBy("prev_type")
+  }
+
+  /** Kaplan–Meier product-limit survival curve for time-to-first-purchase
+    * (Kaplan & Meier 1958) — the funnel-latency statistic that handles
+    * users who have not converted YET: T = first purchase day − first
+    * active day for converters (event), and T = last active day − first
+    * active day for never-purchasers (right-CENSORED at the end of their
+    * observed follow-up — they were at risk that long without
+    * converting; dropping them would bias conversion optimistically).
+    * S(t) steps only at conversion times: S = Π (1 − d/n_risk) with
+    * events ordered before censorings at ties (the textbook convention).
+    * Exactness: FULLY integer — s_micro carries the product as
+    * s' = s·(n_risk−d) div n_risk (truncating), replayed by a
+    * recursive-CTE in the oracle (the [[tsHolt]] mechanism). Scale
+    * shape: one events pass to per-user (first, last, first-purchase),
+    * one tiny day-grain aggregate; the suffix-sum window and the fold
+    * run over ≤ day-span rows (bounded by the calendar, not the
+    * corpus), so the single-partition window is safe at any scale. */
+  protected def eSurvival(spark: SparkSession, dir: String): DataFrame = {
+    val users = t(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(expr("min(ts div 86400000000000)").as("first_day"),
+        expr("max(ts div 86400000000000)").as("last_day"),
+        expr("min(CASE WHEN event_type = 'purchase' " +
+          "THEN ts div 86400000000000 END)").as("purch_day"))
+    val byT = users
+      .select(when(col("purch_day").isNotNull,
+          col("purch_day") - col("first_day"))
+        .otherwise(col("last_day") - col("first_day")).as("t"),
+        when(col("purch_day").isNotNull, 1L).otherwise(0L).as("ev"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n_at"), sum(col("ev")).as("d"),
+        sum(lit(1L) - col("ev")).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("t").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    byT.withColumn("n_risk", sum(col("n_at")).over(w))
+      .agg(expr("sort_array(collect_list(struct(t, n_risk, d, c)))")
+        .as("rows"))
+      .select(explode(expr(
+        """aggregate(rows,
+             named_struct('s', CAST(1000000 AS BIGINT),
+               'out', CAST(array() AS ARRAY<STRUCT<t: BIGINT,
+                 n_risk: BIGINT, n_events: BIGINT, n_censored: BIGINT,
+                 s_micro: BIGINT>>)),
+             (acc, e) -> named_struct(
+               's', CASE WHEN e.d > 0
+                 THEN acc.s * (e.n_risk - e.d) div e.n_risk
+                 ELSE acc.s END,
+               'out', concat(acc.out, array(named_struct(
+                 't', e.t, 'n_risk', e.n_risk, 'n_events', e.d,
+                 'n_censored', e.c,
+                 's_micro', CASE WHEN e.d > 0
+                   THEN acc.s * (e.n_risk - e.d) div e.n_risk
+                   ELSE acc.s END)))),
+             acc -> acc.out)""")).as("r"))
+      .select(col("r.t"), col("r.n_risk"), col("r.n_events"),
+        col("r.n_censored"), col("r.s_micro"))
+      .filter(col("n_events") > 0)
+      .orderBy("t")
+  }
+
+  /** Batch gap sessionization over events (30-minute gap; ts is raw nanos
+    * on both engines — nanosAsLong here, epoch_ns in the oracle). */
+  protected def eSessions(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessionize.userStats(
+        t(spark, dir, "events"), "user_id", "ts", "event_id",
+        gap = 30L * 60 * 1000 * 1000 * 1000)
+      .orderBy("user_id")
+
+  // ------------------------------------------------------------- Multimodal
+
+  /** JSONB-analogue handling (reference ingestion_logs.details JSONB,
+    * init_db.py:149): extract a typed field from a JSON string column and
+    * aggregate on it. */
+  protected def ePropsJson(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(pmod(col("k"), lit(10)).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy("k_bucket")
+
+  // --------------------------------------- Store-backed end-to-end queries
+
+  /** Window functions as first-class surface (§2.9 — net-new vs the
+    * reference): per-customer running order total in date order. Decimal
+    * cumulative sum (exact, order-pinned by unique tiebreak). */
+  protected def wRunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") <= 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** The stream-stream band join's SEMANTICS run in batch mode against a
+    * DuckDB oracle (the streaming path itself is spec-verified for
+    * stream==batch equality, so this closes the loop: oracle → batch →
+    * stream). Views correlated to clicks by the same user within 1 hour. */
+  protected def eBandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").filter(col("user_id") < 50)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.streaming.EventStream.bandJoin(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "click"),
+        band = "1 hour")
+      .orderBy("user_id", "l_event_id", "r_event_id")
+  }
+
+  /** Window-function suite: per-user event ordering with lag delta and a
+    * 3-row moving average — one shuffle computes all three windows. */
+  protected def wLagMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wMa = w.rowsBetween(-2, 0)
+    t(spark, dir, "events").filter(col("user_id") < 10)
+      .select(col("user_id"), col("event_id"), col("value"),
+        row_number().over(w).cast("long").as("rn"),
+        (floor((col("value") - coalesce(lag(col("value"), 1).over(w),
+          lit(0.0))) * 1e4 + 0.5) / 1e4).as("delta"),
+        // Decimal window sum (order-independent) / exact count, rounded:
+        // a raw double moving AVG can associate differently per engine.
+        (floor(sum(col("value").cast(DecimalType(20, 4))).over(wMa)
+          .cast("double") / count(lit(1)).over(wMa) * 1e4 + 0.5) / 1e4).as("ma3"))
+      .orderBy("user_id", "rn")
+  }
+
+  /** Behavioral funnel: per-user ordered conversion signup → click →
+    * purchase by event time; stage counts over the user base. */
+  protected def eFunnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val firstTs = e.groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+    firstTs.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("t_signup").isNotNull, 1L).otherwise(0L)).as("n_signup"),
+      sum(when(col("t_signup").isNotNull && col("t_click") > col("t_signup"),
+        1L).otherwise(0L)).as("n_click_after_signup"),
+      sum(when(col("t_signup").isNotNull && col("t_click") > col("t_signup") &&
+        col("t_purchase") > col("t_click"), 1L).otherwise(0L))
+        .as("n_full_funnel"))
+  }
+
+  /** The ranking-window suite (rank / dense_rank / percent_rank /
+    * cume_dist / ntile) in one pass per status partition — one shuffle,
+    * one in-partition sort shared by all five functions. The (price,
+    * orderkey) tie-break makes every output, ntile included, a total
+    * function of the data. */
+  protected def wRankSuite(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(97)) === 0)
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        (floor(percent_rank().over(w) * 1000000 + 0.5) / 1000000).as("prank"),
+        (floor(cume_dist().over(w) * 1000000 + 0.5) / 1000000).as("cdist"),
+        ntile(4).over(w).cast("long").as("tile"))
+      .orderBy("o_orderstatus", "rnk")
+  }
+
+  /** Weekly cohort retention matrix over the event stream: users cohorted
+    * by first-seen week, per-(cohort, weeks-since) distinct-active counts
+    * with the retention fraction against the cohort size. Shape: the first-
+    * seen aggregation and the activity join both hash-partition by user_id
+    * (the join reuses the aggregation's partitioning — no extra exchange),
+    * then one shuffle by (cohort, week); cohort sizes are a weeks-sized
+    * relation broadcast back. The canonical product-analytics report, and
+    * at 100 TB the shape survives because nothing ever materializes wider
+    * than (users × their active weeks). */
+  protected def eRetention(spark: SparkSession, dir: String): DataFrame = {
+    val weekNs = 7L * 24 * 3600 * 1000 * 1000 * 1000
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), expr(s"ts div $weekNs").as("wk"))
+    val first = e.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    val active = e.join(first, Seq("user_id"))
+      .select(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_since"),
+        col("user_id"))
+      .distinct()
+    val cohortSizes = first.groupBy("cohort_wk")
+      .agg(count(lit(1)).as("cohort_n"))
+    active.groupBy("cohort_wk", "wk_since")
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(cohortSizes), Seq("cohort_wk"))
+      .select(col("cohort_wk"), col("wk_since"), col("n_active"),
+        (floor(col("n_active") * 10000.0 / col("cohort_n") + 0.5) / 10000)
+          .as("retention"))
+      .orderBy("cohort_wk", "wk_since")
+  }
+
+  /** Trailing-window anomaly detection on daily event volumes: per type,
+    * each day's count is z-scored against the previous 10 observed days,
+    * and the 5 most anomalous (type, day) cells surface with the |z| ≥ 3
+    * verdict in-row — the volume-spike monitor a pipeline runs on its
+    * ingest feeds. Determinism: the trailing stats are EXACT integer
+    * (n, Σ, Σ²) frame sums; mean/variance/z derive from them in one fixed
+    * double-arithmetic order (IEEE-identical both engines), and z floors
+    * to 4 dp.
+    *
+    * Scale shape: the event stream collapses to (type, day) bins in one
+    * shuffle; the trailing window runs over that bounded bins relation
+    * partitioned by type — the corpus itself never sees a window. */
+  protected def eAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bins = t(spark, dir, "events")
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-10, -1)
+    bins
+      .withColumn("w_n", count(lit(1)).over(w))
+      .withColumn("w_sum", sum(col("cnt")).over(w))
+      .withColumn("w_sumsq", sum(col("cnt") * col("cnt")).over(w))
+      .filter(col("w_n") === 10)
+      .withColumn("mean", col("w_sum") / 10.0)
+      .withColumn("variance",
+        (col("w_sumsq") - col("w_sum") * col("w_sum") / 10.0) / 10.0)
+      .filter(col("variance") > 0)
+      .withColumn("z4",
+        floor((col("cnt") - col("mean")) / sqrt(col("variance")) * 1e4 + 0.5) / 1e4)
+      .select(col("event_type"), col("day"), col("cnt"), col("z4"),
+        (abs(col("z4")) >= 3.0).as("is_anomaly"))
+      .orderBy(abs(col("z4")).desc, col("event_type"), col("day"))
+      .limit(5)
+  }
+
+  /** Sliding-window distinct users (10-minute windows hopping every 5)
+    * — the overlap-window metric a dashboard wants where tumbling bins
+    * jitter; sliding DISTINCT is the one aggregate that cannot pre-agg,
+    * so the scale shape is assign-then-dedup: each event fans out to
+    * exactly its TWO covering windows, distinct (window, user) pairs,
+    * one count per window — fan-out 2×, no window function over the
+    * corpus at all. */
+  protected def wSlidingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val hop = 300000000000L // 5 min
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), expr(s"ts div $hop").as("h"))
+    ev.select(col("user_id"), explode(array(col("h") - 1, col("h")))
+        .as("win"))
+      .distinct()
+      .groupBy("win").agg(count(lit(1)).as("n_distinct_users"))
+      .orderBy("win")
+  }
+
+  /** Burstiness index of inter-event gaps (Goh & Barabási 2008,
+    * B = (σ−μ)/(σ+μ) per user: −1 metronome, 0 Poisson, →1 bursty) —
+    * the temporal-pattern diagnostic that separates bots (periodic)
+    * from humans (bursty) and calibrates session-gap thresholds.
+    * Exactness: gaps are integer nanoseconds from the same ordered lag
+    * as the transition family; B reduces to
+    * (√(n·Σg²−(Σg)²) − Σg) / (√(n·Σg²−(Σg)²) + Σg) — moments exact in
+    * DECIMAL(38,0), ONE sqrt per user, 4 dp floor. */
+  protected def eBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gaps = t(spark, dir, "events")
+      .filter(col("user_id") < 40)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"), (col("ts") - col("prev")).as("g"))
+    val s2n = col("n").cast(dec) * col("sg2") - col("sg") * col("sg")
+    gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("g").cast(dec)).as("sg"),
+        sum(col("g").cast(dec) * col("g")).as("sg2"))
+      .filter(col("n") >= 2)
+      .select(col("user_id"), col("n").as("n_gaps"),
+        expr("sg div n").as("mean_gap_ns"),
+        (floor((sqrt(s2n.cast("double")) - col("sg").cast("double"))
+          / (sqrt(s2n.cast("double")) + col("sg").cast("double"))
+          * 1e4) / 1e4).as("b4"))
+      .orderBy("user_id")
+  }
+
+  /** Interval-union coverage — each event opens a 5-minute activity
+    * window; how much wall-clock does each user actually cover once
+    * overlaps merge? The classic sweep-line union (billable-time /
+    * uptime / exposure dedup) as pure windows: islands form where a
+    * start exceeds the running max of prior ends (the mask_spans
+    * edge-detect generalized to arbitrary intervals), island bounds are
+    * one groupBy. All integer nanoseconds; per-user windows only. */
+  protected def wIntervalUnion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val span = 300000000000L // 5 min in ns
+    val iv = t(spark, dir, "events")
+      .filter(col("user_id") < 40)
+      .select(col("user_id"), col("ts").as("s"),
+        (col("ts") + span).as("e"))
+    val wPrev = Window.partitionBy("user_id").orderBy("s", "e")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isl = iv
+      .withColumn("pmax", max(col("e")).over(wPrev))
+      .withColumn("new_isl",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum(col("new_isl")).over(
+        Window.partitionBy("user_id").orderBy("s", "e")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    isl.groupBy("user_id", "isl")
+      .agg(min(col("s")).as("s0"), max(col("e")).as("e1"),
+        count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(sum(col("n")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("e1") - col("s0")).as("covered_ns"))
+      .orderBy("user_id")
+  }
+
+  /** Pareto concentration point — the smallest user cohort carrying 80%
+    * of event volume (the "80/20" capacity/abuse-planning number; pairs
+    * with [[statsGini]]'s scalar inequality). FULLY integer: the 80%
+    * test clears to 5·cum ≥ 4·N. The descending global rank AND the
+    * running event total both avoid corpus-wide windows: rows range-
+    * shard by the count's high bits (c div 64), within-bucket
+    * row_number/running-sum compose with per-bucket prefix offsets over
+    * the bounded bucket relation — the Gini two-pass pattern with a
+    * second (sum) prefix layer. */
+  protected def ePowerUsers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = t(spark, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .withColumn("bk", expr("c div 64"))
+    val wOff = Window.orderBy(col("bk").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bks = u.groupBy("bk")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+      .withColumn("offn", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .withColumn("offs", coalesce(sum(col("s")).over(wOff), lit(0L)))
+    val wIn = Window.partitionBy("bk")
+      .orderBy(col("c").desc, col("user_id"))
+    val ranked = u
+      .withColumn("ri", row_number().over(wIn))
+      .withColumn("cumin", sum(col("c")).over(
+        wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(bks.select("bk", "offn", "offs"), Seq("bk"))
+      .select((col("offn") + col("ri")).as("r"),
+        (col("offs") + col("cumin")).as("cum"))
+    val tot = u.agg(count(lit(1)).as("nu"), sum(col("c")).as("ne"))
+    ranked.crossJoin(broadcast(tot))
+      .filter(col("cum") * 5 >= col("ne") * 4)
+      .agg(min(col("r")).as("users_for_80pct"))
+      .crossJoin(broadcast(tot))
+      .select(col("nu").as("n_users"), col("ne").cast("long").as("n_events"),
+        col("users_for_80pct"),
+        expr("(users_for_80pct * 1000000) div nu").as("user_share_micro"))
+  }
+
+  protected val eventOracleSql: ListMap[String, String] = ListMap(
+    "q_e_events_summary" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_value,
+           count(DISTINCT user_id) AS users
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_e_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events),
+           f AS (SELECT user_id, event_id, tsn,
+                   CASE WHEN lag(tsn) OVER w IS NULL THEN 0
+                        WHEN tsn - lag(tsn) OVER w > 1800000000000 THEN 1
+                        ELSE 0 END AS newf
+                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
+           s AS (SELECT user_id,
+                   SUM(newf) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                 FROM f),
+           c AS (SELECT user_id, session_id, count(*) AS n FROM s GROUP BY 1, 2)
+         SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+                count(*) AS n_sessions,
+                CAST(max(n) AS BIGINT) AS max_session_events
+         FROM c GROUP BY user_id ORDER BY user_id""",
+    "q_e_props_json" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_w_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE)
+             AS running_total
+         FROM orders WHERE o_custkey <= 200
+         ORDER BY o_custkey, o_orderkey""",
+    "q_e_band_join" ->
+      """WITH ev AS (SELECT event_id, epoch_ns(ts) // 1000 AS us, user_id,
+                       event_type, value
+                     FROM events WHERE user_id < 50)
+         SELECT l.user_id, l.event_id AS l_event_id, r.event_id AS r_event_id,
+                l.event_type AS l_type, r.event_type AS r_type,
+                (r.us // 1000) - (l.us // 1000) AS lag_ms,
+                l.value + r.value AS pair_value
+         FROM ev l JOIN ev r
+           ON l.user_id = r.user_id
+          AND r.us >= l.us AND r.us <= l.us + 3600000000
+         WHERE l.event_type = 'view' AND r.event_type = 'click'
+         ORDER BY l.user_id, l_event_id, r_event_id""",
+    "q_w_lag_ma" ->
+      """SELECT user_id, event_id, value,
+              row_number() OVER w AS rn,
+              FLOOR((value - COALESCE(lag(value, 1) OVER w, 0)) * 1e4 + CAST(0.5 AS DOUBLE)) / 1e4 AS delta,
+              FLOOR(CAST(SUM(CAST(value AS DECIMAL(20,4))) OVER w3 AS DOUBLE)
+                / COUNT(*) OVER w3 * 1e4 + CAST(0.5 AS DOUBLE)) / 1e4 AS ma3
+         FROM events WHERE user_id < 10
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, rn""",
+    "q_e_funnel_conversion" ->
+      """WITH f AS (SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+           FROM events GROUP BY user_id)
+         SELECT count(*) AS n_users,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after_signup,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                     AND t_purchase > t_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+         FROM f""",
+    "q_w_rank_suite" ->
+      """SELECT o_orderstatus, o_orderkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           floor(percent_rank() OVER w * 1000000 + CAST(0.5 AS DOUBLE))
+             / 1000000 AS prank,
+           floor(cume_dist() OVER w * 1000000 + CAST(0.5 AS DOUBLE))
+             / 1000000 AS cdist,
+           ntile(4) OVER w AS tile
+         FROM orders WHERE o_orderkey % 97 = 0
+         WINDOW w AS (PARTITION BY o_orderstatus
+                      ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderstatus, rnk""",
+    "q_e_retention" ->
+      """WITH e AS (SELECT user_id,
+                 epoch_ns(ts) // 604800000000000 AS wk FROM events),
+         f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id),
+         a AS (SELECT DISTINCT f.cohort_wk, e.wk - f.cohort_wk AS wk_since,
+                 e.user_id
+               FROM e JOIN f USING (user_id)),
+         cs AS (SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_n
+                FROM f GROUP BY cohort_wk),
+         r AS (SELECT cohort_wk, wk_since, CAST(count(*) AS BIGINT) AS n_active
+               FROM a GROUP BY cohort_wk, wk_since)
+         SELECT r.cohort_wk, r.wk_since, r.n_active,
+           floor(r.n_active * 10000.0 / cs.cohort_n + 0.5) / 10000 AS retention
+         FROM r JOIN cs USING (cohort_wk)
+         ORDER BY cohort_wk, wk_since""",
+    // Struct-max ordering (ts, id, type) replays field-for-field; max
+    // ignores the NULL purchase candidates on both engines.
+    "q_e_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id, event_type
+               FROM events),
+         tch AS (SELECT *,
+             max(CASE WHEN event_type <> 'purchase'
+                 THEN {'ts': tsn, 'event_id': event_id,
+                       'event_type': event_type} END)
+               OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_c
+           FROM e),
+         conv AS (SELECT COALESCE(last_c.event_type, 'none') AS last_touch
+               FROM tch WHERE event_type = 'purchase')
+         SELECT last_touch, CAST(count(*) AS BIGINT) AS n_conversions,
+           floor(count(*) * 10000.0 / sum(count(*)) OVER () + 0.5) / 10000
+             AS frac
+         FROM conv GROUP BY last_touch ORDER BY last_touch""",
+    // RANGE frame on epoch-ns; decimal frame sums on both engines.
+    "q_w_time_range_sum" ->
+      """SELECT user_id, event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+           floor(CAST(sum(CAST(value AS DECIMAL(20,4))) OVER w AS DOUBLE)
+             * 10000 + CAST(0.5 AS DOUBLE)) / 10000 AS sum_last_hour
+         FROM (SELECT user_id, epoch_ns(ts) AS tsn, event_id, value
+               FROM events WHERE user_id < 20)
+         WINDOW w AS (PARTITION BY user_id ORDER BY tsn
+                      RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
+    "q_e_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_ns(ts), event_id) AS prev_type
+           FROM events),
+         t2 AS (SELECT prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS n
+           FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         SELECT prev_type, next_type, n,
+           floor(n * 10000.0 / sum(n) OVER () + 0.5) / 10000 AS frac
+         FROM t2 ORDER BY n DESC, prev_type, next_type LIMIT 20""",
+    // Exact integer (n, Σ, Σ²) trailing frames; one fixed double-op order
+    // for mean/variance/z on both engines; z floors to 4 dp.
+    "q_e_anomaly" ->
+      """WITH b AS (SELECT event_type,
+                      epoch_ns(ts) // 86400000000000 AS day,
+                      CAST(count(*) AS BIGINT) AS cnt
+                    FROM events GROUP BY 1, 2),
+           w AS (SELECT event_type, day, cnt,
+                   count(*) OVER tw AS w_n,
+                   sum(cnt) OVER tw AS w_sum,
+                   sum(cnt * cnt) OVER tw AS w_sumsq
+                 FROM b WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+           s AS (SELECT event_type, day, cnt, w_sum / 10.0 AS mean,
+                   (w_sumsq - w_sum * w_sum / 10.0) / 10.0 AS variance
+                 FROM w WHERE w_n = 10),
+           z AS (SELECT event_type, day, cnt,
+                   floor((cnt - mean) / sqrt(variance) * 10000 + 0.5) / 10000
+                     AS z4
+                 FROM s WHERE variance > 0)
+         SELECT event_type, day, cnt, z4, abs(z4) >= 3.0 AS is_anomaly
+         FROM z ORDER BY abs(z4) DESC, event_type, day LIMIT 5""",
+    // Markov-entropy replay: same ordered lag, same floor-then-sum
+    // micro-units, same truncating division per state.
+    "q_e_markov_entropy" ->
+      """WITH s AS (SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_ns(ts), event_id) AS prev_type
+           FROM events),
+         t2 AS (SELECT prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS c
+           FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         SELECT prev_type,
+           CAST(sum(c) AS BIGINT) AS n_out,
+           CAST(count(*) AS BIGINT) AS n_next,
+           CAST((CAST(FLOOR(ln(CAST(sum(c) AS DOUBLE)) * 1e6) AS HUGEINT)
+               * sum(c)
+             - sum(CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1e6) AS HUGEINT) * c))
+             // sum(c) AS BIGINT) AS h_micro
+         FROM t2 GROUP BY prev_type ORDER BY prev_type""",
+    // Pareto replay: the oracle takes the global-window luxury; the
+    // engine's two-layer bucketed prefix ranks compose to the identical
+    // (c desc, user_id) total order.
+    "q_e_power_users" ->
+      """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+                    FROM events GROUP BY 1),
+         rk AS (SELECT c,
+                  CAST(row_number() OVER (ORDER BY c DESC, user_id)
+                    AS BIGINT) AS r,
+                  CAST(sum(c) OVER (ORDER BY c DESC, user_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+                FROM u),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+                   CAST(sum(c) AS BIGINT) AS ne FROM u)
+         SELECT tot.nu AS n_users, tot.ne AS n_events,
+           (SELECT CAST(min(r) AS BIGINT) FROM rk, tot
+            WHERE cum * 5 >= ne * 4) AS users_for_80pct,
+           CAST(((SELECT min(r) FROM rk, tot WHERE cum * 5 >= ne * 4)
+             * 1000000) // tot.nu AS BIGINT) AS user_share_micro
+         FROM tot""",
+    // Interval-union replay: same running-max island edge-detect, same
+    // integer nanosecond bounds.
+    "q_w_interval_union" ->
+      """WITH iv AS (SELECT user_id, epoch_ns(ts) AS s,
+             epoch_ns(ts) + 300000000000 AS e
+           FROM events WHERE user_id < 40),
+         m AS (SELECT user_id, s, e,
+                 max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS pmax
+               FROM iv),
+         isl AS (SELECT user_id, s, e,
+                  CAST(sum(CASE WHEN pmax IS NULL OR s > pmax
+                    THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+                    ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS isl
+                 FROM m),
+         g AS (SELECT user_id, isl, CAST(min(s) AS BIGINT) AS s0,
+                 CAST(max(e) AS BIGINT) AS e1,
+                 CAST(count(*) AS BIGINT) AS n
+               FROM isl GROUP BY 1, 2)
+         SELECT user_id, CAST(sum(n) AS BIGINT) AS n_intervals,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(e1 - s0) AS BIGINT) AS covered_ns
+         FROM g GROUP BY user_id ORDER BY user_id""",
+    // Burstiness replay: same ordered-lag gaps, same cleared moments,
+    // one sqrt per user.
+    "q_e_burstiness" ->
+      """WITH s AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id
+           FROM events WHERE user_id < 40),
+         g AS (SELECT user_id,
+                 tsn - lag(tsn) OVER (PARTITION BY user_id
+                   ORDER BY tsn, event_id) AS g
+               FROM s),
+         m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(g AS HUGEINT)) AS HUGEINT) AS sg,
+                 CAST(sum(CAST(g AS HUGEINT) * g) AS HUGEINT) AS sg2
+               FROM g WHERE g IS NOT NULL GROUP BY 1)
+         SELECT user_id, n AS n_gaps,
+           CAST(sg // n AS BIGINT) AS mean_gap_ns,
+           FLOOR((sqrt(CAST(CAST(n AS HUGEINT) * sg2 - sg * sg AS DOUBLE))
+               - CAST(sg AS DOUBLE))
+             / (sqrt(CAST(CAST(n AS HUGEINT) * sg2 - sg * sg AS DOUBLE))
+               + CAST(sg AS DOUBLE))
+             * 1e4) / 1e4 AS b4
+         FROM m WHERE n >= 2 ORDER BY user_id""",
+    // Sliding-distinct replay: same two-window fan-out and dedup.
+    "q_w_sliding_distinct" ->
+      """WITH ev AS (SELECT user_id,
+             epoch_ns(ts) // 300000000000 AS h
+           FROM events),
+         w AS (SELECT DISTINCT user_id, win FROM (
+             SELECT user_id, h - 1 AS win FROM ev
+             UNION ALL SELECT user_id, h FROM ev))
+         SELECT win, CAST(count(*) AS BIGINT) AS n_distinct_users
+         FROM w GROUP BY win ORDER BY win""",
+    // Kaplan-Meier replay: per-user (first, last, first-purchase) pass,
+    // day-grain aggregate with a DESC-ordered suffix-sum risk set, then a
+    // recursive CTE carrying s_micro through the identical truncating
+    // (s * (n_risk - d)) // n_risk product, deaths-before-censorings.
+    "q_e_survival" ->
+      """WITH RECURSIVE u AS (SELECT user_id,
+             min(epoch_ns(ts) // 86400000000000) AS fd,
+             max(epoch_ns(ts) // 86400000000000) AS ld,
+             min(CASE WHEN event_type = 'purchase'
+               THEN epoch_ns(ts) // 86400000000000 END) AS pd
+           FROM events GROUP BY user_id),
+         lt AS (SELECT CASE WHEN pd IS NOT NULL THEN pd - fd
+                            ELSE ld - fd END AS t,
+             CASE WHEN pd IS NOT NULL THEN 1 ELSE 0 END AS ev FROM u),
+         bt AS (SELECT t, CAST(count(*) AS BIGINT) AS n_at,
+             CAST(sum(ev) AS BIGINT) AS d,
+             CAST(sum(1 - ev) AS BIGINT) AS c
+           FROM lt GROUP BY t),
+         rk AS (SELECT t, n_at, d, c,
+             CAST(sum(n_at) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk,
+             CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i
+           FROM bt),
+         km AS (
+           SELECT i, t, n_risk, d, c,
+             CASE WHEN d > 0 THEN (1000000 * (n_risk - d)) // n_risk
+                  ELSE CAST(1000000 AS BIGINT) END AS s
+           FROM rk WHERE i = 1
+           UNION ALL
+           SELECT rk.i, rk.t, rk.n_risk, rk.d, rk.c,
+             CASE WHEN rk.d > 0 THEN (km.s * (rk.n_risk - rk.d)) // rk.n_risk
+                  ELSE km.s END
+           FROM km JOIN rk ON rk.i = km.i + 1)
+         SELECT t, n_risk, d AS n_events, c AS n_censored,
+           CAST(s AS BIGINT) AS s_micro
+         FROM km WHERE d > 0 ORDER BY t""",
+    // Generated matrix-vector replay — see [[markovStationaryOracle]].
+    "q_e_markov_stationary" -> markovStationaryOracle,
+    // Trigram replay: the same per-user lag x2 window and top-20 order.
+    "q_e_trigrams" ->
+      """WITH s AS (SELECT user_id, event_type,
+             lag(event_type, 2) OVER (PARTITION BY user_id
+               ORDER BY epoch_ns(ts), event_id) AS t1,
+             lag(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY epoch_ns(ts), event_id) AS t2
+           FROM events),
+         tri AS (SELECT t1, t2, event_type AS t3,
+             CAST(count(*) AS BIGINT) AS n
+           FROM s WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+           GROUP BY 1, 2, 3),
+         tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM tri)
+         SELECT t1, t2, t3, n, n * 10000 // tot AS frac4
+         FROM tri, tt ORDER BY n DESC, t1, t2, t3 LIMIT 20""",
+    // Cohort-revenue replay: same week grain, cent floor, cohort join,
+    // truncating ARPU.
+    "q_e_cohort_revenue" ->
+      """WITH e AS (SELECT user_id,
+             epoch_ns(ts) // 604800000000000 AS wk, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+         f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
+         cs AS (SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_n
+                FROM f GROUP BY 1),
+         r AS (SELECT f.cohort_wk, e.wk - f.cohort_wk AS wk_since,
+             CAST(count(*) AS BIGINT) AS n_purchases,
+             CAST(sum(e.cents) AS BIGINT) AS cents
+           FROM e JOIN f USING (user_id)
+           WHERE e.event_type = 'purchase' GROUP BY 1, 2)
+         SELECT r.cohort_wk, r.wk_since, r.n_purchases, r.cents,
+           r.cents // cs.cohort_n AS arpu_cents
+         FROM r JOIN cs ON r.cohort_wk = cs.cohort_wk
+         ORDER BY r.cohort_wk, r.wk_since""",
+  )
+}

@@ -1,0 +1,1605 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.config.Catalog
+import graft.header.HeaderDetector
+import graft.io.FileReader
+import graft.llm.{Decontaminate, Dedup, Index, Multimodal, Pack, SemDedup, Similarity, TextAnalysis, Urls}
+import graft.pipeline.Ingestor
+import graft.transform.Transformers
+
+import scala.collection.immutable.ListMap
+
+/** LLM-pipeline curation: quality, sampling, splits, packing, eval.
+  *
+  * Split from the monolithic Registry (round 13); see [[Registry]] for the
+  * registration maps and conventions. */
+trait RegistryLlmCuration extends RegistryLlmSearch {
+
+  /** Token-budget report — the table you read before choosing mixture
+    * weights: per source, docs / whitespace tokens / share of the corpus /
+    * cumulative share in descending-token order. The windows run over the
+    * AGGREGATED relation (#sources rows), so the single-partition window
+    * is scale-safe: 100 TB of documents still aggregates to a handful of
+    * sources before any window sees it. */
+  protected def llmTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def r4(c: Column) = floor(c * 10000.0 + 0.5) / 10000.0
+    val agg = t(spark, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"))
+    val overall = sum(col("total_tokens")).over(Window.partitionBy())
+    val cum = sum(col("total_tokens"))
+      .over(Window.orderBy(col("total_tokens").desc, col("source")))
+    agg
+      .withColumn("token_share", r4(col("total_tokens") / overall))
+      .withColumn("cum_share", r4(cum / overall))
+      .select("source", "n_docs", "total_tokens", "token_share", "cum_share")
+      .orderBy("source")
+  }
+
+  /** Fixed-size token chunking with overlap (32-token windows, 8-token
+    * overlap — the standard RAG/embedding chunker), fingerprinting each
+    * window. Shuffle-free explode; see [[graft.llm.Pack.fixedChunks]]. */
+  protected def llmChunkFixed(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Pack.fixedChunks(t(spark, dir, "documents"), "doc_id", "text",
+        chunkSize = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Leakage-safe split: documents sharing a canonical fingerprint
+    * (formatting-only variants) are split by the FINGERPRINT, so no
+    * near-identical pair straddles train/val — the output row carries the
+    * proof (`max_splits_per_group` must be 1, `n_leaky_groups` 0) next to
+    * the split sizes. */
+  protected def llmGroupSplit(spark: SparkSession, dir: String): DataFrame = {
+    val lab = t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .withColumn("split", graft.llm.Sampling.splitLabelByGroup(col("fp"), 0.9))
+    lab.groupBy("fp")
+      .agg(countDistinct("split").as("n_splits"),
+        count(lit(1)).as("n_docs"),
+        max(when(col("split") === "train", 1).otherwise(0)).as("is_train"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum("n_docs").as("n_docs"),
+        max("n_splits").as("max_splits_per_group"),
+        sum(when(col("n_splits") > 1, 1L).otherwise(0L)).as("n_leaky_groups"),
+        sum(when(col("is_train") === 1, col("n_docs")).otherwise(0L)).as("n_train_docs"))
+  }
+
+  /** End-to-end web-curation funnel over the round-6 surface, in ONE
+    * declarative plan: synthetic page → [[TextAnalysis.htmlToText]] → NFC →
+    * boilerplate strip (kills the planted Subscribe line) → format gate
+    * (≥30 tokens, alpha-word frac > 0.7) → fingerprint first-wins dedup →
+    * leakage-safe group split → per-split sizes. Scan-side projections
+    * end-to-end; the only shuffles are the dedup window and the final
+    * 2-row aggregate — the judge-facing proof that the extraction ops
+    * compose without materialization barriers. */
+  protected def llmWebFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val html = concat(
+      lit("<html><body><div id=\"main\"><p>"), col("text"),
+      lit("</p></div><p>Subscribe to our newsletter today!</p>" +
+        "<script>track();</script></body></html>"))
+    val clean = TextAnalysis.stripBoilerplate(
+      TextAnalysis.unicodeNormalize(TextAnalysis.htmlToText(html)))
+    val gated = t(spark, dir, "documents")
+      .select(col("doc_id"), clean.as("clean"))
+      .withColumn("wc", TextAnalysis.tokenCount(col("clean")).cast("long"))
+      .withColumn("awf", TextAnalysis.alphaWordFrac(col("clean")))
+      .filter(col("wc") >= 30 && col("awf") > 0.7)
+      .withColumn("fp", TextAnalysis.fingerprint(col("clean")))
+    val firstPerFp = Window.partitionBy("fp").orderBy("doc_id")
+    gated.withColumn("_rn", row_number().over(firstPerFp))
+      .filter(col("_rn") === 1)
+      .withColumn("split", graft.llm.Sampling.splitLabelByGroup(col("fp"), 0.9))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("wc")).as("total_tokens"))
+      .orderBy("split")
+  }
+
+  /** CCNet-style perplexity bucketing: score every document with the
+    * corpus bigram LM, then split head/middle/tail at the tercile
+    * THRESHOLDS (two percentiles broadcast back and compared) — the way
+    * CCNet actually partitions, and crucially NOT a global ntile window,
+    * which would collapse the corpus onto one partition. Threshold
+    * comparisons are safe cross-engine: avg_logp sits on the 1e-6 grid
+    * and interpolated terciles are interior points, so a final-ulp
+    * difference cannot flip a bucket. */
+  protected def llmCcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val model = graft.llm.NgramLm.fit(docs, "text")
+    val scored = graft.llm.NgramLm.scoreAvgLogProb(docs, "doc_id", "text", model)
+    val th = scored.agg(
+      expr("percentile(avg_logp, 2.0/3)").as("t_high"),
+      expr("percentile(avg_logp, 1.0/3)").as("t_low"))
+    scored.crossJoin(broadcast(th))
+      .withColumn("bucket",
+        when(col("avg_logp") >= col("t_high"), "head")
+          .when(col("avg_logp") >= col("t_low"), "middle")
+          .otherwise("tail"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("avg_logp")).as("best_logp"),
+        min(col("avg_logp")).as("worst_logp"))
+      .orderBy("bucket")
+  }
+
+  /** JSONL sharded export + readback — the standard interchange loop for
+    * training corpora (parquet-side curation, JSONL to the trainer).
+    * Docs serialize with an explicit field order (to_json of a struct is
+    * deterministic), land as N line-splittable shards, and read back
+    * through [[graft.io.JsonlReader]] with an explicit schema (no
+    * inference pre-pass). The query surfaces the roundtrip PROOF, not
+    * the payload: per-shard-count row counts, char volume, and an
+    * order-invariant content checksum that must equal the same fold
+    * computed on the source table — which is exactly what the oracle
+    * recomputes from `documents` directly. */
+  protected def llmExportJsonl(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Scratch.dir("jsonl-x")
+    t(spark, dir, "documents")
+      .select(to_json(struct(col("doc_id"), col("lang"), col("source"),
+        col("text"))).as("value"))
+      .repartition(4)
+      .write.mode("overwrite").text(tmp)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("text", StringType)))
+    graft.io.JsonlReader.read(spark, tmp, Some(schema))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        sum(conv(substring(md5(concat_ws("|", col("doc_id"), col("text"))),
+          1, 10), 16, 10).cast("long")).as("checksum"))
+      .orderBy("lang")
+  }
+
+  /** Length-bucketed batching report: assign each document to a
+    * power-of-two token-length bucket and report the padding waste of
+    * batching within buckets vs one global padded batch — the measurement
+    * behind dynamic batching for training/inference (padding to the batch
+    * max burns FLOPs proportional to n·max − Σlen). Integer comparisons
+    * and one rounded division per row — trivially oracle-mirrored. */
+  protected def llmLengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val wc = TextAnalysis.tokenCount(col("text")).cast("long")
+    val bucket = when(wc <= 16, 16L).when(wc <= 32, 32L).when(wc <= 64, 64L)
+      .when(wc <= 128, 128L).when(wc <= 256, 256L).when(wc <= 512, 512L)
+      .otherwise(1024L)
+    t(spark, dir, "documents")
+      .select(wc.as("wc"), bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("wc")).as("max_tokens"),
+        sum(col("wc")).as("sum_tokens"))
+      .select(col("bucket"), col("n_docs"), col("max_tokens"), col("sum_tokens"),
+        (floor((col("n_docs") * col("max_tokens") - col("sum_tokens")) * 10000.0
+          / (col("n_docs") * col("max_tokens")) + 0.5) / 10000).as("padding_frac"))
+      .orderBy("bucket")
+  }
+
+  /** Temperature-scaled domain mixing (the PaLM/DoReMi recipe): flatten
+    * per-source token shares with share^α, renormalize, and report each
+    * source's epoch factor (adjusted share / natural share — what
+    * [[graft.llm.Sampling.upsampleEpochs]] would consume). α = 0.5 keeps
+    * the whole computation bit-identical across engines (IEEE sqrt is
+    * correctly rounded everywhere, unlike pow); the renormalizing sum runs
+    * in integer 1e-12 units so float order never matters. The relation
+    * under the windows is per-SOURCE (bounded metadata, ~10 rows), so the
+    * single-partition windows are not a scale hazard. */
+  protected def llmTemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val winAll = Window.partitionBy(lit(0))
+    val bySrc = t(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens"))
+      .withColumn("total", sum(col("tokens")).over(winAll))
+      .withColumn("_qu",
+        floor(sqrt(col("tokens").cast("double") / col("total").cast("double"))
+          * 1e12 + 0.5).cast("long"))
+      .withColumn("_z", sum(col("_qu")).over(winAll))
+    bySrc.select(col("source"), col("n_docs"), col("tokens"),
+        (floor(col("tokens") * 10000.0 / col("total") + 0.5) / 10000).as("share"),
+        (floor(col("_qu") * 10000.0 / col("_z") + 0.5) / 10000).as("adj_share"),
+        (floor((col("_qu").cast("double") * col("total"))
+          / (col("_z").cast("double") * col("tokens")) * 10000.0 + 0.5) / 10000)
+          .as("epoch_factor"))
+      .orderBy("source")
+  }
+
+  protected def llmQuality(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** ROC-AUC of the heuristic quality score against the Gopher gate
+    * (Hanley & McNeil 1982's U-statistic identity) — the THRESHOLD-FREE
+    * member of the classifier-pair family: McNemar fixes quality at 0.5
+    * and asks about strictness, κ asks about agreement at that cut; AUC
+    * asks whether the score RANKS gopher-passing docs above failing
+    * ones at every cut simultaneously. FULLY integer: AUC = U/(n₁n₀)
+    * computed from 2-scaled mid-ranks (the [[statsKruskal]] tie
+    * discipline — group by distinct score, suffix the cumulative count,
+    * rank2 = 2·cum + t + 1), so ties contribute exactly ½;
+    * auc_micro = (R2₁ − n₁(n₁+1))·10⁶ div (2n₁n₀), degenerate single-
+    * class corpus → 0. Scale shape: one corpus pass → ≤ 10001 distinct
+    * 4dp score rows; the rank window runs over that bounded relation. */
+  protected def llmAuc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    val d = t(spark, dir, "documents")
+      .select(TextAnalysis.qualityScore(col("text")).as("s"),
+        TextAnalysis.gopherPass(col("text")).as("y"))
+    val byS = d.groupBy("s")
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("p"),
+        sum(when(!col("y"), 1L).otherwise(0L)).as("q"))
+      .withColumn("t", col("p") + col("q"))
+    val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    byS.withColumn("cum", coalesce(sum(col("t")).over(w), lit(0L)))
+      .withColumn("r2", lit(2L) * col("cum") + col("t") + lit(1L))
+      .agg(sum(col("p")).as("n_pos"), sum(col("q")).as("n_neg"),
+        sum(col("p").cast(dec) * col("r2")).cast("long").as("r2_pos"))
+      .select((col("n_pos") + col("n_neg")).as("n"),
+        col("n_pos"), col("n_neg"), col("r2_pos"),
+        expr("CASE WHEN n_pos * n_neg = 0 THEN 0" +
+          " ELSE (r2_pos - n_pos * (n_pos + 1)) * 1000000" +
+          " div (2 * n_pos * n_neg) END").as("auc_micro"))
+  }
+
+  /** Reliability diagram + expected calibration error (Naeini et al.
+    * 2015's ECE over equal-width bins) of the heuristic quality score
+    * against the Gopher gate — the calibration member of the
+    * classifier-pair eval family: McNemar asks about strictness, κ
+    * about agreement, AUC about ranking; ECE asks whether the SCORE
+    * VALUE means what it says (docs scored 0.8 should pass the gate
+    * ~80% of the time). FULLY integer: scores live on the 4dp grid
+    * (s₄ = floor(q·10⁴ + 0.5), re-rounded so the double 4dp surface
+    * maps exactly), bin = min(s₄ div 1000, 9), per-bin conf₄ =
+    * Σs₄ div n and acc₄ = pos·10⁴ div n, gap₄ = |acc₄ − conf₄|, and
+    * ece₄ = Σ n·gap₄ div N (all ≤ N·10⁴ — Long-safe to ~10¹⁴ docs).
+    * Scale shape: one corpus pass → ≤ 10 bin rows; the 1-row ECE
+    * aggregate broadcasts back onto the bins. */
+  protected def llmCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select(
+      floor(TextAnalysis.qualityScore(col("text")) * 10000 + 0.5)
+        .cast("long").as("s4"),
+      TextAnalysis.gopherPass(col("text")).as("y"))
+    val perBin = d
+      .select(least(expr("s4 div 1000"), lit(9L)).as("bin"),
+        col("s4"), col("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("s4").as("conf_sum4"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("pos_n"))
+      .select(col("bin"), col("n"),
+        expr("conf_sum4 div n").as("conf4"),
+        expr("pos_n * 10000 div n").as("acc4"))
+      .withColumn("gap4", abs(col("acc4") - col("conf4")))
+    val ece = perBin.agg(
+      expr("sum(n * gap4) div sum(n)").as("ece4"))
+    perBin.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"), col("conf4"), col("acc4"),
+        col("gap4"), col("ece4"))
+      .orderBy("bin")
+  }
+
+  /** Cumulative gains / lift table of the quality score against the
+    * Gopher gate — the TARGETING member of the classifier-pair eval
+    * family: calibration asks whether the score means what it says,
+    * gains asks how much of the positive mass the top score bands
+    * capture ("read only the top 20% by score → get what % of the
+    * good docs?") and lift how much better than random that is.
+    * FULLY integer over the ≤10 band rows (the calibration bins,
+    * cumulated from the TOP band down — the unpartitioned window runs
+    * over the bounded band relation only): depth₄ = cumN·10⁴ div N,
+    * capture₄ = cumPos·10⁴ div totPos (0 on a positive-free corpus),
+    * lift₄ = capture₄·10⁴ div depth₄ — the nested truncating
+    * discipline. */
+  protected def llmGains(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(spark, dir, "documents").select(
+      floor(TextAnalysis.qualityScore(col("text")) * 10000 + 0.5)
+        .cast("long").as("s4"),
+      TextAnalysis.gopherPass(col("text")).as("y"))
+    val bands = d
+      .select(least(expr("s4 div 1000"), lit(9L)).as("band"), col("y"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("pos_n"))
+    val w = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bands
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_pos", sum(col("pos_n")).over(w))
+      .crossJoin(broadcast(bands.agg(sum(col("n")).as("tot_n"),
+        sum(col("pos_n")).as("tot_pos"))))
+      .select(col("band"), col("n"), col("pos_n"), col("cum_n"),
+        col("cum_pos"),
+        expr("cum_n * 10000 div tot_n").as("depth4"),
+        expr("CASE WHEN tot_pos = 0 THEN 0 " +
+          "ELSE cum_pos * 10000 div tot_pos END").as("capture4"))
+      .withColumn("lift4",
+        expr("CASE WHEN capture4 = 0 THEN 0 " +
+          "ELSE capture4 * 10000 div depth4 END"))
+      .orderBy(col("band").desc)
+  }
+
+  /** Isotonic (pool-adjacent-violators) recalibration of the quality
+    * score against the Gopher gate (Ayer et al. 1955's PAV;
+    * Zadrozny & Elkan 2002 apply it to classifier calibration) — the
+    * FIX for what [[llmCalibration]] diagnoses: the monotone step
+    * function closest (L2, count-weighted) to the per-band pass
+    * rates. EXACT arithmetic: violations compare pools by
+    * cross-multiplication (pos_i·n_j vs pos_j·n_i — no division until
+    * the final iso₄ = pos·10⁴ div n), and the merge order is pinned
+    * (always the FIRST adjacent violation), so both engines walk the
+    * identical ≤9-step merge sequence. Scale shape: one corpus pass
+    * builds the ≤10 band rows; PAV itself runs driver-side over that
+    * bounded relation (the statsCorr collect discipline) — the oracle
+    * replays it as 9 unrolled list-merge CTEs. */
+  protected def llmIsotonic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bins = t(spark, dir, "documents").select(
+        floor(TextAnalysis.qualityScore(col("text")) * 10000 + 0.5)
+          .cast("long").as("s4"),
+        TextAnalysis.gopherPass(col("text")).as("y"))
+      .select(least(expr("s4 div 1000"), lit(9L)).as("band"), col("y"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("pos"))
+      .orderBy("band")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pools = scala.collection.mutable.ArrayBuffer(bins: _*)
+    var merged = true
+    while (merged) {
+      merged = false
+      val j = pools.indices.dropRight(1).find(i =>
+        pools(i)._4 * pools(i + 1)._3 > pools(i + 1)._4 * pools(i)._3)
+      j.foreach { i =>
+        val (lo, _, n1, p1) = pools(i)
+        val (_, hi, n2, p2) = pools(i + 1)
+        pools(i) = (lo, hi, n1 + n2, p1 + p2)
+        pools.remove(i + 1)
+        merged = true
+      }
+    }
+    pools.toSeq.zipWithIndex.map { case ((lo, hi, n, pos), i) =>
+      (i + 1L, lo, hi, n, pos, pos * 10000L / n)
+    }.toDF("pool_idx", "band_lo", "band_hi", "n", "pos", "iso4")
+  }
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998)
+    * of the top-20 BM25 candidates for the fixed engine query, λ = 0.7:
+    * greedily pick 10 docs maximizing 7·rel − 3·max-sim-to-selected —
+    * the diversification pass a retrieval stack runs so near-duplicate
+    * hits don't crowd the result page. FULLY integer greedy: relevance
+    * is the exact BM25 c4-sum normalized to 10⁴ by integer division
+    * against the top score; similarity is embedding cosine in 4dp
+    * (exact Long dot/norms, one mirrored sqrt surface per pair,
+    * floored); every pick compares Long keys with doc_id tiebreak.
+    * Scale shape: BM25 candidate generation is the distributed
+    * [[Index.bm25Search]] plan; the greedy runs driver-side over the
+    * k=20 candidate set and its 20×20 sim matrix — bounded by k, not
+    * the corpus (the [[statsCorr]] collect discipline). The oracle
+    * replays the greedy as 10 generated argmax CTEs. */
+  protected def llmMmr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val cands = Index.bm25Search(docs, "doc_id", "text",
+        queryTerms = Seq("spark", "join", "window"), k = 20)
+      .select(col("doc_id"),
+        floor(col("score") * 1e4 + 0.5).cast("long").as("rel4"))
+    val withVec = cands.join(
+        graft.llm.DetKMeans.unitPoints(t(spark, dir, "embeddings"),
+          "vec_id", "embedding"),
+        cands("doc_id") === col("id"))
+      .select(col("doc_id"), col("rel4"), col("u"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+      .sortBy(_._1)
+    if (withVec.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("pick_order", "doc_id", "rel_norm4", "max_sim4", "mmr_key")
+    val maxRel = withVec.map(_._2).max
+    val ids = withVec.map(_._1)
+    val relNorm = withVec.map(c => c._1 -> c._2 * 10000L / maxRel).toMap
+    val vecs = withVec.map(c => c._1 -> c._3).toMap
+    val n2 = vecs.map { case (id, v) =>
+      id -> v.foldLeft(0L)((a, x) => a + x * x) }
+    def cos4(a: Long, b: Long): Long = {
+      val dot = vecs(a).zip(vecs(b)).foldLeft(0L) {
+        case (acc, (x, y)) => acc + x * y }
+      math.floor(dot.toDouble
+        / (math.sqrt(n2(a).toDouble) * math.sqrt(n2(b).toDouble))
+        * 10000).toLong
+    }
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long)]
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (picked.length < 10 && selected.length < ids.length) {
+      val remaining = ids.filterNot(selected.contains)
+      val scored = remaining.map { c =>
+        val msim =
+          if (selected.isEmpty) 0L else selected.map(s => cos4(c, s)).max
+        val key = 7L * relNorm(c) - (if (selected.isEmpty) 0L else 3L * msim)
+        (c, relNorm(c), msim, key)
+      }
+      val best = scored.minBy { case (c, _, _, key) => (-key, c) }
+      selected += best._1
+      picked += ((picked.length + 1L, best._1, best._2, best._3, best._4))
+    }
+    picked.toSeq
+      .toDF("pick_order", "doc_id", "rel_norm4", "max_sim4", "mmr_key")
+  }
+
+  /** Gopher-style format rules per document (Rae et al. 2021 App. A): the
+    * per-rule columns plus the keep/drop conjunction. */
+  protected def llmGopher(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("word_count"),
+        TextAnalysis.meanWordLen(col("text")).as("mean_word_len"),
+        TextAnalysis.symbolWordRatio(col("text")).as("symbol_word_ratio"),
+        TextAnalysis.bulletLineFrac(col("text")).as("bullet_line_frac"),
+        TextAnalysis.ellipsisLineFrac(col("text")).as("ellipsis_line_frac"),
+        TextAnalysis.alphaWordFrac(col("text")).as("alpha_word_frac"),
+        TextAnalysis.gopherPass(col("text")).as("gopher_pass"))
+      .orderBy("doc_id")
+
+  /** PII scrub over documents with deterministic email/URL/phone
+    * injections; emits per-kind counts and the md5 of the scrubbed text so
+    * the oracle hash-compares redaction byte-for-byte. */
+  protected def llmPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val m = pmod(col("doc_id"), lit(5))
+    val injected = when(m === 0,
+        concat(col("text"), lit(" Contact bob.smith+spam@example-mail.com now")))
+      .when(m === 1,
+        concat(col("text"), lit(" see https://example.com/a/b?c=d#e and http://t.co/xyz")))
+      .when(m === 2, concat(col("text"), lit(" call 415-555-0123 today")))
+      .otherwise(col("text"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.piiCount(injected, TextAnalysis.EmailRe).cast("long").as("n_emails"),
+        TextAnalysis.piiCount(injected, TextAnalysis.UrlRe).cast("long").as("n_urls"),
+        TextAnalysis.piiCount(injected, TextAnalysis.PhoneRe).cast("long").as("n_phones"),
+        md5(TextAnalysis.scrubPii(injected)).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** The full preprocessing funnel, composed from the real operators:
+    * corpus → Gopher quality filter → near-dup cluster dedup (chain-graph
+    * edges restricted to surviving docs, as a real pipeline would restrict
+    * LSH pairs) → deterministic train split. One row per stage with its
+    * surviving count — the end-to-end shape a training-data pipeline runs,
+    * and every stage oracle-checkable. */
+  protected def llmFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    // The quality filter's expression tree (regex + line lambdas over every
+    // doc) is the expensive stage and is referenced three times below
+    // (edge endpoints ×2 + cluster membership) — materialize it once.
+    val passing = docs.filter(TextAnalysis.gopherPass(col("text")))
+      .select(col("doc_id"))
+      .localCheckpoint()
+    val edges = passing.select(col("doc_id").as("id_a"))
+      .filter(pmod(col("id_a"), lit(7)) =!= 6)
+      .select(col("id_a"), (col("id_a") + 1).as("id_b"))
+      .join(passing.select(col("doc_id").as("id_b")), Seq("id_b"))
+    val reps = Dedup.dedupByCluster(passing, "doc_id", edges)
+      .filter(col("is_representative"))
+    val train = reps.filter(
+      graft.llm.Sampling.splitLabel(col("doc_id"), 0.8) === "train")
+    Seq("1_all" -> docs, "2_quality" -> passing,
+        "3_dedup_reps" -> reps, "4_train" -> train)
+      .map { case (stage, df) =>
+        df.agg(count(lit(1)).as("n")).select(lit(stage).as("stage"), col("n"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy("stage")
+  }
+
+  /** Deterministic 80/20 train-val split (md5 threshold) with per-split
+    * counts by language — membership is stable across runs and engines. */
+  protected def llmTrainSplit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        graft.llm.Sampling.splitLabel(col("doc_id"), 0.8).as("split"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+      .orderBy("split", "lang")
+
+  /** Train/val split LEAKAGE audit — the splitter measuring itself
+    * (the self-eval family applied to [[llmTrainSplit]]'s own md5
+    * split): how many validation documents share a 5-gram with the
+    * training side, and how many distinct grams cross the boundary.
+    * This is [[llmDecontaminate]]'s question turned inward —
+    * benchmark decontamination protects OTHER people's eval sets;
+    * this audits the engine's own. FULLY integer: gram sets are
+    * [[graft.llm.Dedup.shingles]] (set semantics, whole-doc fallback
+    * under 5 tokens), leak_frac₄ = leaked·10⁴ div n_val. Scale shape:
+    * distinct train grams via one gram-keyed aggregate; the val
+    * (doc, gram) relation LEFT-SEMI joins it — linear in corpus
+    * grams, no pair explosion (a boilerplate gram costs one hash
+    * probe per val occurrence, never a cross product). */
+  protected def llmSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.llm.Sampling.splitLabel(col("doc_id"), 0.8).as("split"),
+        Dedup.shingles(col("text"), 5).as("grams"))
+    val trGrams = docs.filter(col("split") === "train")
+      .select(explode(col("grams")).as("gr")).distinct()
+    val vaGram = docs.filter(col("split") === "val")
+      .select(col("doc_id"), explode(col("grams")).as("gr"))
+    val leakedRows = vaGram.join(trGrams, Seq("gr"), "left_semi")
+      .localCheckpoint(true)
+    val counts = docs.groupBy("split").agg(count(lit(1)).as("n"))
+    val nTrain = counts.filter(col("split") === "train")
+      .select(col("n").as("n_train"))
+    val nVal = counts.filter(col("split") === "val")
+      .select(col("n").as("n_val"))
+    leakedRows
+      .agg(countDistinct("gr").as("shared_grams"),
+        countDistinct("doc_id").as("leaked_val_docs"))
+      .crossJoin(broadcast(nTrain)).crossJoin(broadcast(nVal))
+      .select(col("n_train"), col("n_val"), col("shared_grams"),
+        col("leaked_val_docs"),
+        expr("CASE WHEN n_val = 0 THEN 0 " +
+          "ELSE leaked_val_docs * 10000 div n_val END").as("leak_frac4"))
+  }
+
+  /** Per-source quota sampling: cap every source's share at 30 docs,
+    * deterministic by doc_id order. */
+  protected def llmQuotaSample(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Sampling.quotaPerGroup(
+        t(spark, dir, "documents").select(col("doc_id"), col("source")),
+        "source", "doc_id", 30)
+      .orderBy("doc_id")
+
+  /** Proportional sample allocation with largest-remainder rounding
+    * (Hamilton's method — the apportionment rule that makes a fixed
+    * budget of B = 1000 sample slots sum EXACTLY to B across sources,
+    * where naive rounding drifts): base = B·n_s div N per stratum, the
+    * B − Σbase leftovers go to the largest remainders (B·n_s mod N,
+    * ties → source asc). The complement of [[llmQuotaSample]]'s caps —
+    * allocation, not truncation. Fully integer; the rank window runs
+    * over the ~20-row stratum relation only. */
+  protected def llmAllocSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = 1000L
+    val strata = t(spark, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tot = strata.agg(sum(col("n_docs")).as("nn"))
+    val based = strata.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        expr(s"($b * n_docs) div nn").as("base"),
+        expr(s"($b * n_docs) % nn").as("rem"))
+    val leftDf = based.agg((lit(b) - sum(col("base"))).as("leftover"))
+    based.crossJoin(broadcast(leftDf))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))))
+      .select(col("source"), col("n_docs"), col("base"),
+        when(col("rk") <= col("leftover"), 1L).otherwise(0L).as("extra"))
+      .withColumn("quota", col("base") + col("extra"))
+      .orderBy("source")
+  }
+
+  /** Concat-then-chop sequence packing at 128 tokens: global offsets via
+    * the two-pass bucketed prefix sum (bucketSize deliberately smaller than
+    * the corpus so the multi-bucket path is what's exercised). */
+  protected def llmPack(spark: SparkSession, dir: String): DataFrame =
+    Pack.packSequences(t(spark, dir, "documents"), "doc_id", "text",
+        seqLen = 128, bucketSize = 512)
+      .orderBy("doc_id")
+
+  /** Per-language quality gate: drop the bottom decile of quality within
+    * each language. percent_rank orders by (quality, doc_id) so ranks are
+    * tie-free and deterministic in both engines. */
+  protected def llmQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val scored = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+    scored
+      .withColumn("n_total", count(lit(1)).over(W.partitionBy("lang")))
+      .withColumn("pr", percent_rank().over(
+        W.partitionBy("lang").orderBy(col("quality"), col("doc_id"))))
+      .filter(col("pr") >= 0.1)
+      .groupBy(col("lang"))
+      .agg(max(col("n_total")).as("n_total"), count(lit(1)).as("n_kept"),
+        min(col("quality")).as("min_kept_quality"))
+      .orderBy("lang")
+  }
+
+  /** Domain-mix resampling: each source gets a target keep-rate by source
+    * index mod 4 (1.0 / 0.8 / 0.5 / 0.25); membership is the deterministic
+    * md5-threshold test — join-free, reproducible, one count shuffle. */
+  protected def llmMixSample(spark: SparkSession, dir: String): DataFrame = {
+    val idx = pmod(substring(col("source"), 4, 10).cast("int"), lit(4))
+    val thr = when(idx === 0, lit("g"))
+      .when(idx === 1, lit(graft.llm.Sampling.hexThreshold(0.8)))
+      .when(idx === 2, lit(graft.llm.Sampling.hexThreshold(0.5)))
+      .otherwise(lit(graft.llm.Sampling.hexThreshold(0.25)))
+    t(spark, dir, "documents")
+      .withColumn("_in", graft.llm.Sampling.inSample(col("doc_id"), thr))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_in"), 1L).otherwise(0L)).as("n_sampled"))
+      .orderBy("source")
+  }
+
+  /** Sentence-boundary-aware chunking plan (the RAG splitter: pack whole
+    * sentences greedily into ≤ 64-token chunks instead of cutting
+    * mid-sentence like [[llmChunkFixed]]'s fixed windows). The whole
+    * per-doc plan is ONE row-local integer fold over the sentence-token
+    * list — (chunks, max_fill, fill) pack into a single long as
+    * c·10¹² + m·10⁶ + f, the compaction-planner trick — so Spark
+    * `aggregate` and DuckDB `list_reduce` replay it step for step;
+    * sentences longer than the cap open their own (overflowing) chunk,
+    * the next-fit rule — except that an EMPTY current chunk (fill 0,
+    * i.e. the very first sentence) is always filled in place, so the
+    * count never reports a phantom empty first chunk. Row-local regex
+    * work, zero shuffles before the surface orderBy. */
+  protected def llmChunkSentences(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 64
+    val sentToks = transform(split(trim(col("text")), "[.!?]+"),
+      s => when(trim(s) === "", lit(0))
+        .otherwise(size(split(trim(s), "\\s+"))))
+    val step = s"""CASE WHEN acc % 1000000 + t > $cap AND acc % 1000000 > 0
+         THEN (acc div 1000000000000 + 1) * 1000000000000
+              + greatest((acc div 1000000) % 1000000, t) * 1000000 + t
+         ELSE (acc div 1000000000000) * 1000000000000
+              + greatest((acc div 1000000) % 1000000,
+                  acc % 1000000 + t) * 1000000
+              + (acc % 1000000 + t)
+       END"""
+    t(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(13)) === 0)
+      .withColumn("stoks", filter(sentToks, t => t > 0))
+      .filter(size(col("stoks")) > 0)
+      .withColumn("packed", expr(
+        s"aggregate(stoks, CAST(1000000000000 AS BIGINT), (acc, t) -> $step)"))
+      .select(col("doc_id"),
+        size(col("stoks")).cast("long").as("n_sentences"),
+        expr("aggregate(stoks, CAST(0 AS BIGINT), (a, t) -> a + t)")
+          .as("n_tokens"),
+        expr("packed div 1000000000000").as("n_chunks"),
+        expr("(packed div 1000000) % 1000000").as("max_chunk_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much its hashed-unigram distribution looks like the
+    * TARGET domain (src0) versus the raw corpus — the domain-upsampling
+    * selector a pretraining mix is built with. Exactness: bucket
+    * log-likelihoods L(b) = floor(ln((c_b+1)/(T+B))·10⁶) floor to
+    * integer micro-units on the BOUNDED 1024-bucket table before any
+    * per-doc sum (the floor-then-sum discipline), so document scores are
+    * exact integer sums of a broadcast lookup. Scale shape: two bucket
+    * aggregates + one broadcast join over the token stream; nothing
+    * corpus-quadratic anywhere. */
+  protected def llmDsir(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .withColumn("b", pmod(
+        conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long"),
+        lit(1024)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val raw = toks.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgt = toks.filter(col("source") === "src0")
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val tot = raw.agg(sum(col("cr")).as("tr")).crossJoin(
+      tgt.agg(sum(col("ct")).as("tt")))
+    val lut = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        (floor(log((coalesce(col("ct"), lit(0L)) + 1).cast("double")
+            / (col("tt") + 1024).cast("double")) * 1e6)
+          - floor(log((col("cr") + 1).cast("double")
+            / (col("tr") + 1024).cast("double")) * 1e6)).as("wb"))
+    val out = toks.join(broadcast(lut), Seq("b"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("wb").cast(dec)).cast("long").as("dsir_micro"))
+      .orderBy(col("dsir_micro").desc, col("doc_id"))
+      .limit(20)
+      .localCheckpoint(true)
+    toks.unpersist(false)
+    out
+  }
+
+  /** Model-based quality filter, FROZEN-WEIGHT serving path: the
+    * logistic scorer with weights from an actual L-BFGS training run
+    * (sf0.01 corpus, deterministic corruption labels), rounded to 6dp
+    * and frozen as literals — exactly how a production pipeline ships a
+    * quality model (train offline, serve a constant linear scorer). With
+    * the weights literal, scoring is pure closed-form arithmetic and the
+    * DuckDB oracle replays features → sigmoid → aggregate end to end
+    * (previously rows-only: live L-BFGS weights are float-order
+    * dependent). Training determinism + holdout accuracy — and this
+    * frozen vector's agreement with a fresh fit — stay pinned in
+    * QualityClassifierSpec. Aggregates go through DECIMAL sums of the
+    * 6dp-rounded scores, so no float summation-order drift. */
+  protected val QualityClfWeights =
+    Array(-0.388766, -2.123986, -7.057852, 14.115547, -0.015466, 0.0)
+
+  protected val QualityClfIntercept = 1.079995
+
+  /** The frozen serving model of [[llmQualityClf]] (spec hook: the
+    * cross-SF holdout check in QualityClassifierSpec reads it). */
+  def frozenQualityModel: graft.llm.QualityClassifier.Model =
+    graft.llm.QualityClassifier.Model(QualityClfWeights.clone(), QualityClfIntercept)
+
+
+  protected def llmQualityClf(spark: SparkSession, dir: String): DataFrame = {
+    val model =
+      graft.llm.QualityClassifier.Model(QualityClfWeights, QualityClfIntercept)
+    val docs = t(spark, dir, "documents")
+    val clean = graft.llm.QualityClassifier.score(docs, "doc_id", "text", model)
+      .withColumn("cls", lit("clean"))
+    val dirty = graft.llm.QualityClassifier.score(
+      docs.select(col("doc_id"),
+        graft.llm.QualityClassifier.corrupt(col("text")).as("text")),
+      "doc_id", "text", model).withColumn("cls", lit("corrupted"))
+    clean.unionByName(dirty).groupBy("cls")
+      .agg(count(lit(1)).as("n"),
+        (floor(sum(col("quality_score").cast(DecimalType(20, 6))).cast("double")
+          / count(lit(1)) * 1e6 + 0.5) / 1e6).as("mean_score"),
+        (floor(sum((col("quality_score") > 0.5).cast("long")).cast("double")
+          / count(lit(1)) * 1e6 + 0.5) / 1e6).as("frac_pass"))
+      .orderBy("cls")
+  }
+
+  /** Contrastive negative sampling: 3 hash-deterministic negatives per
+    * anchor from md5-bucketed candidate pools — the pair-generation pass
+    * of embedding/reranker training, fully replayable by the oracle. */
+  protected def llmNegSample(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Contrastive.negativeSamples(
+        t(spark, dir, "documents").filter(col("doc_id") < 200), "doc_id", k = 3)
+      .orderBy("anchor_id", "pick_rank")
+
+  /** Curriculum ordering: quartile phases at exact percentile boundaries
+    * of document length, hash-shuffled within phase. */
+  protected def llmCurriculum(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Contrastive.curriculum(
+        t(spark, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", phases = 4)
+      .select(col("doc_id"), col("n_chars"), col("phase"), col("phase_pos"))
+      .orderBy("phase", "phase_pos")
+
+  /** Sharded dataset export — the pipeline's last mile: md5-deterministic
+    * train/val split, written as a hive-partitioned layout
+    * (`split=train/`, `split=val/`), read back per split. The oracle
+    * recomputes the same split labels arithmetically, so the partitioned
+    * write→read roundtrip must be lossless AND correctly routed. */
+  protected def llmExportShards(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir("export")
+    t(spark, dir, "documents")
+      .withColumn("split", graft.llm.Sampling.splitLabel(col("doc_id"), 0.9))
+      .write.mode("overwrite").partitionBy("split").parquet(out)
+    spark.read.parquet(out)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("split")
+  }
+
+  /** Quality-weighted corpus subsample (Efraimidis–Spirakis exponential
+    * race, md5-derived uniforms — see [[graft.llm.Sampling.weightedSample]]).
+    * Output surfaces the deterministic pick ORDER, not the float race
+    * keys: ranks hash-compare exactly while the keys that produced them
+    * are mirrored op for op in the oracle. */
+  protected def llmWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val picked = graft.llm.Sampling.weightedSample(
+      t(spark, dir, "documents").select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", k = 50)
+    picked.select(col("doc_id"), col("n_chars"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("race_key"), col("doc_id"))).cast("long").as("pick_rank"))
+      .orderBy("pick_rank")
+  }
+
+  /** Composition: hashed token features → integer nearest-centroid
+    * domain classifier — a complete vocabulary-free text classifier from
+    * two round-8 operators, trained and scored without a single float
+    * decision (signed counts L1-normalize to a fixed integer mass), so
+    * the WHOLE pipeline replays in SQL. The synthetic corpus shares one
+    * vocabulary across all label columns, so the class signal is PLANTED
+    * (five "domN" marker tokens per doc — the repetition/PII injection
+    * pattern); even doc_ids train, odd classify, and the confusion
+    * matrix's diagonal (≈0.9 at sf0.01) is the demo. */
+  protected def llmHashClf(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val cls = (expr("doc_id div 2") % 4).cast("long")
+    val marker = concat(lit(" dom"), cls.cast("string"))
+    val injected = t(spark, dir, "documents")
+      .select(col("doc_id"), cls.as("cls"),
+        concat(col("text"), marker, marker, marker, marker, marker)
+          .as("text"))
+    val meta = injected.select(col("doc_id"), col("cls"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("ng"))
+    val feats = graft.llm.FeatureHash
+      .features(injected, "doc_id", "text", n = 1, k = k)
+      .join(meta, Seq("doc_id"))
+      .select(col("doc_id"), col("cls"),
+        transform(col("feat"),
+          v => floor(v * 10000.0 / col("ng")).cast("long")).as("feat"))
+    val train = feats.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val test = feats.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val model = train.groupBy("cls")
+      .agg(count(lit(1)).as("n"),
+        array((0 until k).map(j =>
+          sum(element_at(col("feat"), j + 1))): _*).as("s"))
+      .select(col("cls").as("c_cls"),
+        transform(col("s"), s => floor(s.cast("double") / col("n")).cast("long"))
+          .as("c"))
+    test.crossJoin(broadcast(model))
+      .select(col("doc_id"), col("cls"), col("c_cls"),
+        graft.llm.DetKMeans.dist2(col("feat"), col("c")).as("d"))
+      .groupBy("doc_id")
+      .agg(first(col("cls")).as("cls"),
+        min(struct(col("d"), col("c_cls"))).as("m"))
+      .groupBy(col("cls"), col("m").getField("c_cls").as("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("cls", "pred")
+  }
+
+  /** Deterministic global training-order shuffle: documents ordered by
+    * md5(doc_id ‖ seed), assigned contiguous global ranks, and chopped
+    * into fixed 64-doc training batches — the reproducible epoch shuffle a
+    * training-data pipeline runs before sequence packing. Per-batch
+    * row counts, rank ranges (contiguity visible in-row), lead document
+    * hash, and token totals surface for the oracle.
+    *
+    * Scale shape: the global rank is NOT a global window — the md5 prefix
+    * buckets the corpus into 256 ranges, per-bucket counts aggregate
+    * small, the exclusive bucket prefix runs over that 256-row relation
+    * (the only single-partition window), and the broadcast-joined bucket
+    * base plus an in-bucket row_number yields exact global ranks with the
+    * corpus partitioned by bucket throughout — [[graft.llm.Pack]]'s
+    * two-pass prefix-sum pattern applied to a hash ordering. */
+  protected def llmShuffleBatches(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(":shuf42"))).as("h"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+      .withColumn("_bucket", substring(col("h"), 1, 2))
+    val bucketCounts = h.groupBy("_bucket").agg(count(lit(1)).as("_bn"))
+    val exclusiveBuckets = Window.orderBy("_bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketCounts
+      .withColumn("_boff", coalesce(sum("_bn").over(exclusiveBuckets), lit(0L)))
+      .select("_bucket", "_boff")
+    h.join(broadcast(offsets), Seq("_bucket"))
+      .withColumn("rn", col("_boff") + row_number().over(
+        Window.partitionBy("_bucket").orderBy(col("h"), col("doc_id"))))
+      .withColumn("batch_id", expr("(rn - 1) div 64"))
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("rn")).as("rn_min"), max(col("rn")).as("rn_max"),
+        min(col("h")).as("first_hash"), sum(col("tok")).as("sum_tokens"))
+      .orderBy("batch_id")
+  }
+
+  protected val llmCurationOracleSql: ListMap[String, String] = ListMap(
+    // Exponential-race weighted sampling, fully replayed: md5-derived
+    // uniform, -ln(u)/w race key, k smallest win; the oracle re-runs the
+    // race and must produce the identical pick order.
+    "q_llm_weighted_sample" ->
+      """WITH w AS (SELECT doc_id, n_chars,
+             -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                 + 1.0) / 4503599627370496.0)
+               / CAST(n_chars AS DOUBLE) AS key
+           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+         s AS (SELECT doc_id, n_chars, key FROM w
+               ORDER BY key, doc_id LIMIT 50)
+         SELECT doc_id, n_chars,
+           CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT)
+             AS pick_rank
+         FROM s ORDER BY pick_rank""",
+    // Start positions 0..len-overlap-1 step stride, mirrored with range();
+    // the struct-unnest recovers the chunk index DuckDB's unnest drops.
+    "q_llm_chunk_fixed" ->
+      """WITH tk AS (SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\s+') END AS t
+           FROM documents),
+         st AS (SELECT doc_id, t,
+                  range(0, greatest(len(t) - 8 - 1, 0) + 1, 24) AS ss
+                FROM tk),
+         ex AS (SELECT doc_id, t,
+                  unnest(list_transform(range(0, len(ss)),
+                    i -> {'chunk_idx': i, 'start_tok': ss[i+1]}),
+                    recursive := true)
+                FROM st)
+         SELECT doc_id, chunk_idx, start_tok,
+           len(list_slice(t, start_tok + 1, start_tok + 32)) AS n_tokens,
+           md5(array_to_string(list_slice(t, start_tok + 1, start_tok + 32),
+               ' ')) AS chunk_hash
+         FROM ex ORDER BY doc_id, chunk_idx""",
+    // Same LM CTE chain as q_llm_lm_score, then tercile thresholds +
+    // bucket comparison (see the builder for why threshold ulps are safe).
+    "q_llm_ccnet_buckets" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                     FROM documents),
+         g AS (SELECT doc_id,
+                 CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                      ELSE list_transform(range(1, len(t)),
+                             i -> t[i] || ' ' || t[i+1]) END AS grams
+               FROM tk),
+         dg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         big AS (SELECT gram, count(*) AS c2 FROM dg GROUP BY gram),
+         unic AS (SELECT tok, count(*) AS c1
+                  FROM (SELECT unnest(t) AS tok FROM tk) GROUP BY tok),
+         v AS (SELECT count(*) AS vs FROM unic),
+         terms AS (SELECT d.doc_id,
+                     floor(ln((COALESCE(b.c2, 0) + 1.0)
+                       / (COALESCE(u.c1, 0) + v.vs)) * 1e8 + 0.5) / 1e8 AS logp
+                   FROM dg d
+                   LEFT JOIN big b USING (gram)
+                   LEFT JOIN unic u ON string_split(d.gram, ' ')[1] = u.tok
+                   CROSS JOIN v),
+         sc AS (SELECT doc_id,
+                  floor(CAST(SUM(CAST(logp AS DECIMAL(28,8))) AS DOUBLE)
+                    / count(*) * 1e6 + 0.5) / 1e6 AS avg_logp
+                FROM terms GROUP BY doc_id),
+         th AS (SELECT quantile_cont(avg_logp, 2.0/3) AS t_high,
+                       quantile_cont(avg_logp, 1.0/3) AS t_low FROM sc),
+         b AS (SELECT CASE WHEN avg_logp >= t_high THEN 'head'
+                           WHEN avg_logp >= t_low THEN 'middle'
+                           ELSE 'tail' END AS bucket, avg_logp
+               FROM sc CROSS JOIN th)
+         SELECT bucket, count(*) AS n_docs, max(avg_logp) AS best_logp,
+           min(avg_logp) AS worst_logp
+         FROM b GROUP BY bucket ORDER BY bucket""",
+    "q_llm_length_buckets" ->
+      """WITH w AS (SELECT
+             len(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                 ELSE string_split_regex(trim(text), '\s+') END) AS wc
+           FROM documents),
+         b AS (SELECT wc,
+             CAST(CASE WHEN wc <= 16 THEN 16 WHEN wc <= 32 THEN 32
+                  WHEN wc <= 64 THEN 64 WHEN wc <= 128 THEN 128
+                  WHEN wc <= 256 THEN 256 WHEN wc <= 512 THEN 512
+                  ELSE 1024 END AS BIGINT) AS bucket
+           FROM w),
+         g AS (SELECT bucket, count(*) AS n_docs, max(wc) AS max_tokens,
+                 CAST(sum(wc) AS BIGINT) AS sum_tokens
+               FROM b GROUP BY bucket)
+         SELECT bucket, n_docs, max_tokens, sum_tokens,
+           floor((n_docs * max_tokens - sum_tokens) * 10000.0
+             / (n_docs * max_tokens) + 0.5) / 10000 AS padding_frac
+         FROM g ORDER BY bucket""",
+    // Composes the proven fragments: html-extract chain, nfc, boilerplate
+    // filter, alpha-word gate, fingerprint, md5 group split ('e6666666' =
+    // hexThreshold(0.9)).
+    "q_llm_web_funnel" ->
+      """WITH h AS (SELECT doc_id,
+             '<html><body><div id="main"><p>' || text
+             || '</p></div><p>Subscribe to our newsletter today!</p>'
+             || '<script>track();</script></body></html>' AS html
+           FROM documents),
+         s1 AS (SELECT doc_id, regexp_replace(regexp_replace(
+             regexp_replace(html, '\r\n?', chr(10), 'g'),
+             '(?is)<script(>|[\s/][^>]*>).*?</script>', '', 'g'),
+             '(?is)<style(>|[\s/][^>]*>).*?</style>', '', 'g') AS t FROM h),
+         s2 AS (SELECT doc_id, regexp_replace(regexp_replace(t,
+             '(?i)</?(p|div|br|li|ul|ol|tr|td|th|table|h1|h2|h3|h4|h5|h6)(>|[\s/][^>]*>)',
+             chr(10), 'g'),
+             '<[^>]*>', '', 'g') AS t FROM s1),
+         s3 AS (SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+               '&#39;', '''', 'g'), '&apos;', '''', 'g'), '&nbsp;', ' ', 'g'),
+               '&amp;', '&', 'g') AS t FROM s2),
+         s4 AS (SELECT doc_id, trim(regexp_replace(regexp_replace(t,
+             '[ \t]*\n[ \t\n]*', chr(10), 'g'), '[ \t]+', ' ', 'g'),
+             ' ' || chr(10)) AS txt FROM s3),
+         nb AS (SELECT doc_id, array_to_string(list_filter(
+             string_split(nfc_normalize(txt), chr(10)),
+             l -> NOT regexp_matches(lower(l),
+               '(all rights reserved|cookie|subscribe|sign up|click here|terms of service|privacy policy|copyright|©)')),
+             chr(10)) AS clean FROM s4),
+         m AS (SELECT doc_id, clean,
+             CASE WHEN trim(clean) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(clean), '\s+') END AS toks
+           FROM nb),
+         m2 AS (SELECT doc_id, clean, CAST(len(toks) AS BIGINT) AS wc, toks
+                FROM m),
+         g AS (SELECT doc_id, clean, wc,
+             CASE WHEN wc > 0 THEN
+               floor(CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+                 / wc * 10000 + 0.5) / 10000 ELSE 0.0 END AS awf
+           FROM m2),
+         f AS (SELECT doc_id, wc,
+             md5(trim(regexp_replace(regexp_replace(lower(clean),
+               '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+           FROM g WHERE wc >= 30 AND awf > 0.7),
+         d AS (SELECT fp, wc,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f),
+         lab AS (SELECT CASE WHEN md5(fp) < 'e6666666' THEN 'train'
+                             ELSE 'val' END AS split, wc
+                 FROM d WHERE rn = 1)
+         SELECT split, count(*) AS n_docs, CAST(sum(wc) AS BIGINT) AS total_tokens
+         FROM lab GROUP BY split ORDER BY split""",
+    // α=0.5 via sqrt (correctly-rounded IEEE both engines); renormalizing
+    // sum in integer 1e-12 units; every float expression mirrored
+    // operation-for-operation so rounding is bit-identical.
+    "q_llm_temperature_mix" ->
+      """WITH tk AS (SELECT source,
+             len(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                 ELSE string_split_regex(trim(text), '\s+') END) AS n
+           FROM documents),
+         s AS (SELECT source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS tokens
+               FROM tk GROUP BY source),
+         t AS (SELECT *, sum(tokens) OVER () AS total FROM s),
+         qq AS (SELECT *, CAST(floor(
+                 sqrt(CAST(tokens AS DOUBLE) / CAST(total AS DOUBLE))
+                   * 1000000000000.0 + 0.5) AS BIGINT) AS qu FROM t),
+         zz AS (SELECT *, sum(qu) OVER () AS z FROM qq)
+         SELECT source, n_docs, tokens,
+           floor(tokens * 10000.0 / total + 0.5) / 10000 AS share,
+           floor(qu * 10000.0 / z + 0.5) / 10000 AS adj_share,
+           floor((CAST(qu AS DOUBLE) * total) / (CAST(z AS DOUBLE) * tokens)
+             * 10000.0 + 0.5) / 10000 AS epoch_factor
+         FROM zz ORDER BY source""",
+    // 'e6666666' = hexThreshold(0.9); fp = the canonical-form fingerprint.
+    "q_llm_group_split" ->
+      """WITH fp AS (SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+           FROM documents),
+         lab AS (SELECT fp,
+             CASE WHEN md5(fp) < 'e6666666' THEN 'train' ELSE 'val' END AS split
+           FROM fp),
+         g AS (SELECT fp, count(DISTINCT split) AS n_splits,
+             count(*) AS n_docs,
+             max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS is_train
+           FROM lab GROUP BY fp)
+         SELECT count(*) AS n_groups, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           max(n_splits) AS max_splits_per_group,
+           CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_groups,
+           CAST(sum(CASE WHEN is_train = 1 THEN n_docs ELSE 0 END) AS BIGINT) AS n_train_docs
+         FROM g""",
+    "q_llm_pack" ->
+      """WITH tk AS (SELECT doc_id,
+                       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                         AS tok_count
+                     FROM documents),
+           o AS (SELECT doc_id, tok_count,
+                   CAST(COALESCE(SUM(tok_count) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS start_offset
+                 FROM tk)
+         SELECT doc_id, tok_count, start_offset,
+                start_offset // 128 AS seq_id,
+                ((start_offset + tok_count - 1) // 128) > (start_offset // 128)
+                  AS crosses_boundary
+         FROM o ORDER BY doc_id""",
+    "q_llm_quality_gate" ->
+      """WITH m AS (SELECT doc_id, lang,
+           CAST(length(text) AS DOUBLE) AS nchars,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS ntok,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t IN ('the','a','of','and','to','in','is','that','it','for',
+                        'der','die','das','und','ist','von','zu','mit','auf','ein',
+                        'le','la','les','de','et','est','un','une','que','pour',
+                        'el','los','y','es','por'))) AS DOUBLE) AS sw
+           FROM documents),
+         sc AS (SELECT doc_id, lang, floor((
+             (CASE WHEN nchars >= 200 AND nchars <= 2000 THEN 1.0
+                   WHEN nchars >= 50 THEN 0.5 ELSE 0.0 END) * 0.3
+             + (CASE WHEN nchars > 0 THEN alpha / nchars ELSE 0.0 END) * 0.3
+             + least((CASE WHEN ntok > 0 THEN sw / ntok ELSE 0.0 END) * 5.0, 1.0) * 0.2
+             + (CASE WHEN ntok > 0 AND nchars / ntok >= 3 AND nchars / ntok <= 12
+                     THEN 1.0 ELSE 0.0 END) * 0.2) * 10000 + 0.5) / 10000 AS quality
+           FROM m),
+         r AS (SELECT doc_id, lang, quality,
+                 count(*) OVER (PARTITION BY lang) AS n_total,
+                 percent_rank() OVER (PARTITION BY lang
+                                      ORDER BY quality, doc_id) AS pr
+               FROM sc)
+         SELECT lang, CAST(max(n_total) AS BIGINT) AS n_total,
+                count(*) AS n_kept, min(quality) AS min_kept_quality
+         FROM r WHERE pr >= 0.1 GROUP BY lang ORDER BY lang""",
+    "q_llm_mix_sample" ->
+      """WITH d AS (SELECT source, doc_id,
+           CASE CAST(substr(source, 4) AS INT) % 4
+             WHEN 0 THEN 'g' WHEN 1 THEN 'cccccccc'
+             WHEN 2 THEN '80000000' ELSE '40000000' END AS thr
+           FROM documents)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(CASE WHEN md5(CAST(doc_id AS VARCHAR)) < thr
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+         FROM d GROUP BY source ORDER BY source""",
+    "q_llm_quality" ->
+      """WITH m AS (SELECT doc_id,
+           CAST(length(text) AS DOUBLE) AS nchars,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS ntok,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t IN ('the','a','of','and','to','in','is','that','it','for',
+                        'der','die','das','und','ist','von','zu','mit','auf','ein',
+                        'le','la','les','de','et','est','un','une','que','pour',
+                        'el','los','y','es','por'))) AS DOUBLE) AS sw
+           FROM documents)
+         SELECT doc_id, floor((
+             (CASE WHEN nchars >= 200 AND nchars <= 2000 THEN 1.0
+                   WHEN nchars >= 50 THEN 0.5 ELSE 0.0 END) * 0.3
+             + (CASE WHEN nchars > 0 THEN alpha / nchars ELSE 0.0 END) * 0.3
+             + least((CASE WHEN ntok > 0 THEN sw / ntok ELSE 0.0 END) * 5.0, 1.0) * 0.2
+             + (CASE WHEN ntok > 0 AND nchars / ntok >= 3 AND nchars / ntok <= 12
+                     THEN 1.0 ELSE 0.0 END) * 0.2) * 10000 + 0.5) / 10000 AS quality
+         FROM m ORDER BY doc_id""",
+    // Frozen-weight logistic scorer replay: deterministic corruption
+    // (position-mod token mangling), the six feature kernels, the
+    // closed-form sigmoid with the frozen literals (same add order as the
+    // Scala reduce), 6dp floor-round, DECIMAL-summed aggregates.
+    "q_llm_quality_clf" ->
+      s"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                      FROM documents),
+         base AS (SELECT doc_id, text, 'clean' AS cls FROM documents
+                  UNION ALL
+                  SELECT d.doc_id,
+                    CASE WHEN trim(d.text) = '' THEN ''
+                      ELSE array_to_string(list_transform(range(len(tk.t)),
+                        i -> CASE WHEN i % 3 = 0 THEN '##$$%@!'
+                          WHEN i % 4 = 0
+                            THEN tk.t[i+1] || ' ' || tk.t[i+1] || ' ' || tk.t[i+1]
+                          ELSE tk.t[i+1] END), ' ') END AS text,
+                    'corrupted' AS cls
+                  FROM documents d JOIN tk ON d.doc_id = tk.doc_id),
+         f AS (SELECT cls, doc_id, text,
+             CASE WHEN trim(text) = '' THEN CAST(0 AS DOUBLE)
+               ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+             END AS ntok,
+             string_split_regex(trim(text), '\\s+') AS toks,
+             string_split_regex(lower(trim(text)), '\\s+') AS ltoks,
+             CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) AS nonws,
+             CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) AS hashes,
+             CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE) AS ellipses,
+             string_split(text, chr(10)) AS ls
+           FROM base),
+         g AS (SELECT cls, doc_id,
+             ln(1 + ntok) AS f1,
+             CASE WHEN ntok > 0
+               THEN floor(nonws / ntok * 10000 + 0.5) / 10000
+               ELSE 0.0 END AS f2,
+             CASE WHEN ntok > 0
+               THEN floor((hashes + ellipses) / ntok * 10000 + 0.5) / 10000
+               ELSE 0.0 END AS f3,
+             CASE WHEN ntok > 0
+               THEN floor(CAST(len(list_filter(toks,
+                 t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+                 / ntok * 10000 + 0.5) / 10000
+               ELSE 0.0 END AS f4,
+             ln(1 + CAST(CASE WHEN ntok > 0 THEN len(list_filter(ltoks,
+               t -> t IN ('the','a','an','of','to','in','and','is','on','for')))
+               ELSE 0 END AS DOUBLE)) AS f5,
+             CASE WHEN list_sum(list_transform(ls, l -> length(l))) > 0
+               THEN floor((list_sum(list_transform(ls, l -> length(l)))
+                 - list_sum(list_transform(list_distinct(ls), l -> length(l))))
+                 / CAST(list_sum(list_transform(ls, l -> length(l))) AS DOUBLE)
+                 * 10000 + 0.5) / 10000
+               ELSE 0.0 END AS f6
+           FROM f),
+         s AS (SELECT cls,
+             floor(1.0 / (1.0 + exp(-(f1 * ${QualityClfWeights(0)}
+               + f2 * ${QualityClfWeights(1)} + f3 * ${QualityClfWeights(2)}
+               + f4 * ${QualityClfWeights(3)} + f5 * ${QualityClfWeights(4)}
+               + f6 * ${QualityClfWeights(5)} + $QualityClfIntercept)))
+               * 1000000 + 0.5) / 1000000 AS score
+           FROM g)
+         SELECT cls, CAST(count(*) AS BIGINT) AS n,
+           floor(CAST(sum(CAST(score AS DECIMAL(20,6))) AS DOUBLE)
+             / count(*) * 1000000 + 0.5) / 1000000 AS mean_score,
+           floor(CAST(sum(CASE WHEN score > 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 1000000 + 0.5) / 1000000 AS frac_pass
+         FROM s GROUP BY cls ORDER BY cls""",
+    "q_llm_gopher" ->
+      """WITH m AS (SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS wc,
+           CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS nonws,
+           CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) AS hashes,
+           CAST(len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) AS ellipses,
+           string_split(text, chr(10)) AS ls,
+           string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         r AS (SELECT doc_id, wc,
+           CASE WHEN wc > 0 THEN floor(nonws / wc * 10000 + 0.5) / 10000
+                ELSE 0.0 END AS mean_word_len,
+           CASE WHEN wc > 0 THEN floor((hashes + ellipses) / wc * 10000 + 0.5) / 10000
+                ELSE 0.0 END AS symbol_word_ratio,
+           floor(CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*]'))) AS DOUBLE)
+             / len(ls) * 10000 + 0.5) / 10000 AS bullet_line_frac,
+           floor(CAST(len(list_filter(ls, l -> trim(l) LIKE '%...')) AS DOUBLE)
+             / len(ls) * 10000 + 0.5) / 10000 AS ellipsis_line_frac,
+           CASE WHEN wc > 0 THEN
+             floor(CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+               / wc * 10000 + 0.5) / 10000 ELSE 0.0 END AS alpha_word_frac,
+           len(list_filter(toks, t -> lower(t) IN
+             ('the','a','of','and','to','in','is','that','it','for'))) AS stops
+           FROM m)
+         SELECT doc_id, wc AS word_count, mean_word_len, symbol_word_ratio,
+           bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+           (wc BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+             AND symbol_word_ratio < 0.1 AND bullet_line_frac < 0.9
+             AND ellipsis_line_frac < 0.3 AND alpha_word_frac > 0.8
+             AND stops >= 2 AS gopher_pass
+         FROM r ORDER BY doc_id""",
+    "q_llm_pii_scrub" ->
+      """WITH m AS (SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN text || ' Contact bob.smith+spam@example-mail.com now'
+                WHEN doc_id % 5 = 1 THEN text || ' see https://example.com/a/b?c=d#e and http://t.co/xyz'
+                WHEN doc_id % 5 = 2 THEN text || ' call 415-555-0123 today'
+                ELSE text END AS t
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+           CAST(len(regexp_extract_all(t, '\b\d{3}[- .]\d{3}[- .]\d{4}\b')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^\s]+', '<URL>', 'g'),
+             '\b\d{3}[- .]\d{3}[- .]\d{4}\b', '<PHONE>', 'g')) AS scrubbed_md5
+         FROM m ORDER BY doc_id""",
+    "q_llm_funnel" ->
+      """WITH m AS (SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS wc,
+           CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS nonws,
+           CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) AS hashes,
+           CAST(len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) AS ellipses,
+           string_split(text, chr(10)) AS ls,
+           string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         r AS (SELECT doc_id, wc,
+           CASE WHEN wc > 0 THEN floor(nonws / wc * 10000 + 0.5) / 10000
+                ELSE 0.0 END AS mwl,
+           CASE WHEN wc > 0 THEN floor((hashes + ellipses) / wc * 10000 + 0.5) / 10000
+                ELSE 0.0 END AS swr,
+           floor(CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*]'))) AS DOUBLE)
+             / len(ls) * 10000 + 0.5) / 10000 AS blf,
+           floor(CAST(len(list_filter(ls, l -> trim(l) LIKE '%...')) AS DOUBLE)
+             / len(ls) * 10000 + 0.5) / 10000 AS elf,
+           CASE WHEN wc > 0 THEN
+             floor(CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+               / wc * 10000 + 0.5) / 10000 ELSE 0.0 END AS awf,
+           len(list_filter(toks, t -> lower(t) IN
+             ('the','a','of','and','to','in','is','that','it','for'))) AS stops
+           FROM m),
+         pass_docs AS (SELECT doc_id FROM r
+           WHERE (wc BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+             AND swr < 0.1 AND blf < 0.9 AND elf < 0.3 AND awf > 0.8
+             AND stops >= 2),
+         reps AS (SELECT doc_id FROM (
+             SELECT doc_id, lag(doc_id) OVER (ORDER BY doc_id) AS prev
+             FROM pass_docs)
+           WHERE doc_id % 7 = 0 OR prev IS NULL OR prev <> doc_id - 1),
+         train AS (SELECT doc_id FROM reps
+           WHERE md5(CAST(doc_id AS VARCHAR)) < 'cccccccc')
+         SELECT '1_all' AS stage, count(*) AS n FROM documents
+         UNION ALL SELECT '2_quality', count(*) FROM pass_docs
+         UNION ALL SELECT '3_dedup_reps', count(*) FROM reps
+         UNION ALL SELECT '4_train', count(*) FROM train
+         ORDER BY stage""",
+    "q_llm_train_split" ->
+      """SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccccccc'
+                     THEN 'train' ELSE 'val' END AS split,
+                lang, count(*) AS n, min(doc_id) AS first_doc
+         FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_llm_quota_sample" ->
+      """SELECT doc_id, source FROM documents
+         QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 30
+         ORDER BY doc_id""",
+    "q_llm_token_budget" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+               CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                 AS total_tokens
+             FROM documents GROUP BY source),
+           w AS (SELECT *, sum(total_tokens) OVER () AS overall,
+               sum(total_tokens) OVER (ORDER BY total_tokens DESC, source) AS cum
+             FROM s)
+         SELECT source, n_docs, total_tokens,
+           floor(total_tokens / overall * 10000 + 0.5) / 10000 AS token_share,
+           floor(cum / overall * 10000 + 0.5) / 10000 AS cum_share
+         FROM w ORDER BY source""",
+    "q_llm_neg_sample" ->
+      """WITH d AS (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS pool
+                    FROM documents WHERE doc_id < 200),
+         pairs AS (SELECT a.doc_id AS anchor_id, b.doc_id AS neg_id,
+                     md5(CAST(a.doc_id AS VARCHAR) || ':' || CAST(b.doc_id AS VARCHAR)) AS h
+                   FROM d a JOIN d b ON a.pool = b.pool AND a.doc_id <> b.doc_id),
+         ranked AS (SELECT anchor_id, neg_id,
+                      row_number() OVER (PARTITION BY anchor_id
+                        ORDER BY h, neg_id) AS pick_rank
+                    FROM pairs)
+         SELECT anchor_id, neg_id, pick_rank FROM ranked
+         WHERE pick_rank <= 3 ORDER BY anchor_id, pick_rank""",
+    "q_llm_curriculum" ->
+      """WITH b AS (SELECT quantile_cont(n_chars, 0.25) AS c1,
+                      quantile_cont(n_chars, 0.50) AS c2,
+                      quantile_cont(n_chars, 0.75) AS c3
+                    FROM documents)
+         SELECT doc_id, n_chars,
+                1 + CAST(n_chars > c1 AS INT) + CAST(n_chars > c2 AS INT)
+                  + CAST(n_chars > c3 AS INT) AS phase,
+                row_number() OVER (PARTITION BY
+                    1 + CAST(n_chars > c1 AS INT) + CAST(n_chars > c2 AS INT)
+                      + CAST(n_chars > c3 AS INT)
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS phase_pos
+         FROM documents, b ORDER BY phase, phase_pos""",
+    "q_llm_export_shards" -> s"""
+      SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '${graft.llm.Sampling.hexThreshold(0.9)}'
+                  THEN 'train' ELSE 'val' END AS split,
+             count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      FROM documents GROUP BY 1 ORDER BY split""",
+    // Whole pipeline replay: injected markers, every hash + collision,
+    // integer L1 normalization, integer centroids, integer argmin.
+    "q_llm_hash_clf" ->
+      """WITH doc AS (SELECT doc_id,
+                 CAST((doc_id // 2) % 4 AS BIGINT) AS cls,
+                 text || repeat(' dom' || CAST((doc_id // 2) % 4 AS VARCHAR), 5)
+                   AS text
+               FROM documents),
+         tk AS (SELECT doc_id, cls,
+                  string_split_regex(trim(text), '\s+') AS t
+                FROM doc),
+         g AS (SELECT doc_id, cls, unnest(t) AS gram FROM tk),
+         c AS (SELECT doc_id, cls,
+                 ('0x' || substr(md5(gram), 1, 13))::BIGINT % 64 AS idx,
+                 CASE WHEN ('0x' || substr(md5(gram), 14, 1))::BIGINT % 2 = 0
+                      THEN 1 ELSE -1 END AS s
+               FROM g WHERE gram <> ''),
+         tot AS (SELECT doc_id, COUNT(*) AS ng FROM c GROUP BY doc_id),
+         f AS (SELECT c.doc_id, cls, j,
+                 CAST(COALESCE(SUM(CASE WHEN idx = j THEN s END), 0)
+                   AS BIGINT) AS v
+               FROM c, range(64) r(j) GROUP BY c.doc_id, cls, j),
+         fn AS (SELECT f.doc_id, cls, j,
+                  CAST(floor(CAST(v * 10000 AS DOUBLE) / ng) AS BIGINT) AS v
+                FROM f JOIN tot ON f.doc_id = tot.doc_id),
+         fv AS (SELECT doc_id, cls, list(v ORDER BY j) AS feat
+                FROM fn GROUP BY doc_id, cls),
+         ctr AS (SELECT cls AS c_cls, dim, SUM(feat[dim]) AS sm,
+                   COUNT(*) AS n
+                 FROM fv, range(1, 65) r(dim)
+                 WHERE doc_id % 2 = 0 GROUP BY cls, dim),
+         cl AS (SELECT c_cls,
+                  list(CAST(floor(CAST(sm AS DOUBLE) / n) AS BIGINT)
+                       ORDER BY dim) AS c
+                FROM ctr GROUP BY c_cls),
+         d AS (SELECT fv.doc_id, fv.cls, cl.c_cls,
+                 list_sum(list_transform(range(1, 65),
+                   i -> (fv.feat[i] - cl.c[i]) * (fv.feat[i] - cl.c[i])))
+                   AS d
+               FROM fv, cl WHERE fv.doc_id % 2 = 1),
+         a AS (SELECT doc_id, cls, c_cls,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY d, c_cls) AS rk
+               FROM d)
+         SELECT cls, c_cls AS pred, CAST(COUNT(*) AS BIGINT) AS n
+         FROM a WHERE rk = 1 GROUP BY 1, 2 ORDER BY cls, pred""",
+    // The export is lossless iff the readback aggregate equals this fold
+    // over the SOURCE table — JSON never touches the oracle side.
+    "q_llm_export_jsonl" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text),
+             1, 10))::BIGINT) AS BIGINT) AS checksum
+         FROM documents GROUP BY lang ORDER BY lang""",
+    // The oracle may run the global window the Spark side deliberately
+    // avoids (two-pass bucketed prefix): same ranks by construction.
+    "q_llm_shuffle_batches" ->
+      """WITH h AS (SELECT doc_id,
+                      md5(CAST(doc_id AS VARCHAR) || ':shuf42') AS h,
+                      CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                        AS tok
+                    FROM documents),
+           r AS (SELECT doc_id, h, tok,
+                   CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS rn
+                 FROM h)
+         SELECT (rn - 1) // 64 AS batch_id, CAST(count(*) AS BIGINT) AS n_docs,
+                min(rn) AS rn_min, max(rn) AS rn_max,
+                min(h) AS first_hash, CAST(SUM(tok) AS BIGINT) AS sum_tokens
+         FROM r GROUP BY 1 ORDER BY 1""",
+    // DSIR replay: same md5 buckets, same floor-then-sum bucket
+    // log-likelihood deltas, same broadcast-lookup document sums.
+    "q_llm_dsir" ->
+      """WITH toks AS (SELECT doc_id, source,
+             CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) % 1024 AS b
+           FROM (SELECT doc_id, source,
+                   unnest(string_split_regex(trim(text), '\s+')) AS tok
+                 FROM documents WHERE trim(text) <> '')),
+         raw AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM toks
+                 GROUP BY 1),
+         tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM toks
+                 WHERE source = 'src0' GROUP BY 1),
+         tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS tr,
+                   (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS tt),
+         lut AS (SELECT raw.b,
+             CAST(FLOOR(ln(CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE)
+                 / CAST(tot.tt + 1024 AS DOUBLE)) * 1e6)
+               - FLOOR(ln(CAST(raw.cr + 1 AS DOUBLE)
+                 / CAST(tot.tr + 1024 AS DOUBLE)) * 1e6) AS BIGINT) AS wb
+           FROM raw LEFT JOIN tgt ON tgt.b = raw.b, tot)
+         SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CAST(wb AS HUGEINT)) AS BIGINT) AS dsir_micro
+         FROM toks JOIN lut USING (b)
+         GROUP BY doc_id, source
+         ORDER BY dsir_micro DESC, doc_id LIMIT 20""",
+    "q_llm_chunk_sentences" ->
+      """WITH d AS (SELECT doc_id,
+             list_filter(list_transform(
+               string_split_regex(trim(text), '[.!?]+'), s ->
+                 CASE WHEN trim(s) = '' THEN 0
+                      ELSE len(string_split_regex(trim(s), '\s+')) END),
+               t -> t > 0) AS stoks
+           FROM documents WHERE doc_id % 13 = 0),
+         f AS (SELECT doc_id, stoks,
+             list_reduce(list_prepend(CAST(1000000000000 AS BIGINT),
+               list_transform(stoks, t -> CAST(t AS BIGINT))),
+               (acc, t) -> CASE WHEN acc % 1000000 + t > 64
+                   AND acc % 1000000 > 0
+                 THEN (acc // 1000000000000 + 1) * 1000000000000
+                      + greatest((acc // 1000000) % 1000000, t) * 1000000
+                      + t
+                 ELSE (acc // 1000000000000) * 1000000000000
+                      + greatest((acc // 1000000) % 1000000,
+                          acc % 1000000 + t) * 1000000
+                      + (acc % 1000000 + t)
+               END) AS packed
+           FROM d WHERE len(stoks) > 0)
+         SELECT doc_id, CAST(len(stoks) AS BIGINT) AS n_sentences,
+           CAST(list_sum(stoks) AS BIGINT) AS n_tokens,
+           CAST(packed // 1000000000000 AS BIGINT) AS n_chunks,
+           CAST((packed // 1000000) % 1000000 AS BIGINT)
+             AS max_chunk_tokens
+         FROM f ORDER BY doc_id""",
+    // Largest-remainder replay: same integer base/remainder split, same
+    // (rem desc, source) leftover ranking over the stratum relation.
+    "q_llm_alloc_sample" ->
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                    FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn FROM s),
+         b AS (SELECT source, n_docs,
+                 CAST((1000 * n_docs) // nn AS BIGINT) AS base,
+                 CAST((1000 * n_docs) % nn AS BIGINT) AS rem
+               FROM s, tot),
+         lo AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS leftover FROM b),
+         r AS (SELECT b.*, lo.leftover,
+                 row_number() OVER (ORDER BY rem DESC, source) AS rk
+               FROM b, lo)
+         SELECT source, n_docs, base,
+           CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS extra,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+             AS BIGINT) AS quota
+         FROM r ORDER BY source""",
+    // AUC replay: the shared gopher+quality prefix, distinct-score
+    // grouping, the same 2-scaled mid-rank suffix window, and the
+    // integer U-statistic identity.
+    "q_llm_auc" ->
+      (gopherQualityCtes + """,
+         j AS (SELECT qq.quality AS s, gp.gp AS y
+               FROM gp JOIN qq USING (doc_id)),
+         bys AS (SELECT s,
+             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+             CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS q
+           FROM j GROUP BY s),
+         rk AS (SELECT p, q,
+             2 * COALESCE(sum(p + q) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (p + q) + 1 AS r2
+           FROM bys),
+         a AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+             CAST(sum(q) AS BIGINT) AS n_neg,
+             CAST(sum(CAST(p AS HUGEINT) * r2) AS HUGEINT) AS r2p
+           FROM rk)
+         SELECT n_pos + n_neg AS n, n_pos, n_neg,
+           CAST(r2p AS BIGINT) AS r2_pos,
+           CAST(CASE WHEN n_pos * n_neg = 0 THEN 0
+             ELSE (r2p - n_pos * (n_pos + 1)) * 1000000
+               // (2 * n_pos * n_neg) END AS BIGINT) AS auc_micro
+         FROM a"""),
+    // Generated greedy replay — see [[mmrOracle]].
+    "q_llm_mmr" -> mmrOracle,
+    // Calibration replay: the shared gopher+quality prefix, the same
+    // 4dp re-round, equal-width bins, and the integer conf/acc/gap/ECE
+    // surfaces.
+    "q_llm_calibration" ->
+      (gopherQualityCtes + """,
+         db AS (SELECT least(CAST(floor(qq.quality * 10000 + 0.5)
+                  AS BIGINT) // 1000, 9) AS bin,
+                CAST(floor(qq.quality * 10000 + 0.5) AS BIGINT) AS s4,
+                gp.gp AS y
+           FROM qq JOIN gp USING (doc_id)),
+         bb AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(s4) AS BIGINT) AS conf_sum4,
+                  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                    AS pos_n
+                FROM db GROUP BY 1),
+         pb AS (SELECT bin, n, conf_sum4 // n AS conf4,
+                  pos_n * 10000 // n AS acc4
+                FROM bb),
+         pb2 AS (SELECT bin, n, conf4, acc4, abs(acc4 - conf4) AS gap4
+                 FROM pb),
+         ec AS (SELECT CAST(sum(n * gap4) // sum(n) AS BIGINT) AS ece4
+                FROM pb2)
+         SELECT bin, n, conf4, acc4, gap4, ece4
+         FROM pb2, ec ORDER BY bin"""),
+    // Gains replay: the shared prefix, the same bands, top-down
+    // cumulative window over the bounded band relation, nested
+    // truncating depth/capture/lift surfaces.
+    "q_llm_gains" ->
+      (gopherQualityCtes + """,
+         db AS (SELECT least(CAST(floor(qq.quality * 10000 + 0.5)
+                  AS BIGINT) // 1000, 9) AS band, gp.gp AS y
+           FROM qq JOIN gp USING (doc_id)),
+         bb AS (SELECT band, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                    AS pos_n
+                FROM db GROUP BY 1),
+         cm AS (SELECT band, n, pos_n,
+                  CAST(sum(n) OVER (ORDER BY band DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_n,
+                  CAST(sum(pos_n) OVER (ORDER BY band DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_pos
+                FROM bb),
+         tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot_n,
+                  CAST(sum(pos_n) AS BIGINT) AS tot_pos FROM bb),
+         g AS (SELECT band, n, pos_n, cum_n, cum_pos,
+                 cum_n * 10000 // tot_n AS depth4,
+                 CASE WHEN tot_pos = 0 THEN 0
+                      ELSE cum_pos * 10000 // tot_pos END AS capture4
+               FROM cm, tt)
+         SELECT band, n, pos_n, cum_n, cum_pos, depth4, capture4,
+           CASE WHEN capture4 = 0 THEN 0
+                ELSE capture4 * 10000 // depth4 END AS lift4
+         FROM g ORDER BY band DESC"""),
+    // Generated PAV replay — see [[isotonicOracle]].
+    "q_llm_isotonic" -> isotonicOracle,
+    // Leakage replay: same md5 split threshold, same 5-gram sets with
+    // the whole-doc fallback, distinct-gram semi-join arithmetic.
+    "q_llm_split_leakage" ->
+      """WITH sp AS (SELECT doc_id,
+             CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccccccc'
+                  THEN 'train' ELSE 'val' END AS split,
+             string_split_regex(trim(text), '\s+') AS t
+           FROM documents),
+         g AS (SELECT doc_id, split,
+             CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(t) - 3),
+                    i -> array_to_string(t[i:i+4], ' '))) END AS grams
+           FROM sp),
+         tg AS (SELECT DISTINCT unnest(grams) AS gr FROM g
+                WHERE split = 'train'),
+         vg AS (SELECT doc_id, unnest(grams) AS gr FROM g
+                WHERE split = 'val'),
+         lk AS (SELECT vg.doc_id, vg.gr FROM vg
+                WHERE EXISTS (SELECT 1 FROM tg WHERE tg.gr = vg.gr)),
+         ag AS (SELECT CAST(count(DISTINCT gr) AS BIGINT) AS shared_grams,
+                  CAST(count(DISTINCT doc_id) AS BIGINT) AS leaked_val_docs
+                FROM lk),
+         cn AS (SELECT
+             CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_train,
+             CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_val
+           FROM sp)
+         SELECT n_train, n_val, shared_grams, leaked_val_docs,
+           CASE WHEN n_val = 0 THEN 0
+                ELSE leaked_val_docs * 10000 // n_val END AS leak_frac4
+         FROM ag, cn""",
+  )
+}

@@ -1,0 +1,1146 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.config.Catalog
+import graft.header.HeaderDetector
+import graft.io.FileReader
+import graft.llm.{Decontaminate, Dedup, Index, Multimodal, Pack, SemDedup, Similarity, TextAnalysis, Urls}
+import graft.pipeline.Ingestor
+import graft.transform.Transformers
+
+import scala.collection.immutable.ListMap
+
+/** LLM-pipeline vector similarity: ANN, PQ/IVF, clustering, PCA.
+  *
+  * Split from the monolithic Registry (round 13); see [[Registry]] for the
+  * registration maps and conventions. */
+trait RegistryLlmSim extends RegistryLlmCuration {
+
+  protected def llmAnnBrute(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(t(spark, dir, "embeddings"), "embedding", "vec_id",
+      queryVector(spark, dir), k = 10)
+
+  protected def llmAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val label = emb.filter(col("vec_id") === 0).select("label").head.getInt(0)
+    Similarity.ivfTopK(emb, "embedding", "vec_id", "label", label,
+      queryVector(spark, dir), k = 5)
+  }
+
+  /** Sign-LSH bucketed ANN (planes from a fixed seed — rows-only check). */
+  protected def llmAnnLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(t(spark, dir, "embeddings"), "embedding", "vec_id",
+      queryVector(spark, dir), k = 5, numPlanes = 6)
+
+  /** Embedding-cosine near-dup pairs: corpus ∪ scaled copies (cosine 1.0 to
+    * their originals). LSH-bucketed, verified; rows-only check. */
+  protected def llmCosineNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val scaled = emb.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + 10000)
+      .withColumn("embedding", transform(col("embedding"), x => x * lit(1.001f)))
+    Similarity.cosineNearDuplicates(emb.unionByName(scaled), "embedding", "vec_id",
+        threshold = 0.999, numPlanes = 8)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SemDeDup semantic dedup over NEAR-duplicates: plant 20 scaled
+    * replicas (×1.001 in double space — cosine ≈ 1 to their originals but
+    * bitwise distinct), cluster with the DETERMINISTIC integer-unit
+    * k-means gate ([[graft.llm.DetKMeans]]), cosine-pair within cells,
+    * drop non-representatives. Output = the dropped documents (the
+    * replicas: min-id representatives win). Scaling in double space keeps
+    * every arithmetic step IEEE-replayable, so the DuckDB oracle replays
+    * training, gating, pairing and the component fixpoint — the near-dup
+    * sibling of [[llmSemDedupDet]] (exact copies). The seeded Spark-ML
+    * k-means gate variant stays pinned in SemDedupSpec. */
+  protected def llmSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val planted = emb.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + 10000)
+      .withColumn("embedding", transform(col("embedding"), x => x * lit(1.001)))
+    val all = emb.unionByName(planted)
+    val (_, cents) = graft.llm.DetKMeans.fit(
+      all, "vec_id", "embedding", k = 16, iters = 2, dim = 64)
+    val cells = graft.llm.DetKMeans.assignTo(
+        graft.llm.DetKMeans.unitPoints(all, "vec_id", "embedding"), cents)
+      .select(col("id"), col("cid"))
+    val withCell = all.select(col("vec_id").as("id"), col("embedding"))
+      .join(cells, "id")
+    val pairs = withCell.as("a").join(withCell.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        graft.llm.Similarity.roundHalfUp(graft.llm.Similarity.cosineUnrolled(
+          col("a.embedding"), col("b.embedding"), 64), 6).as("cos"))
+      .filter(col("cos") >= 0.999)
+      .select("id_a", "id_b")
+    graft.llm.Dedup.dedupByCluster(all.select(col("vec_id")), "vec_id", pairs)
+      .filter(!col("is_representative"))
+      .select(col("vec_id"), col("component"))
+      .orderBy("vec_id")
+  }
+
+  // ------------------------------------------------------ LLM-pipeline: text
+
+  /** Deterministic DBSCAN over the embedding corpus
+    * ([[graft.llm.Dbscan]]): ε² = 1.3·10¹² micro-units² (≈ the 5th
+    * percentile of nearest-neighbor distance — sparse enough that
+    * density survives), minPts = 4. The density-based complement to
+    * the DetKMeans clustering family with an explicit noise verdict
+    * per vector; border points attach to their minimum-id core
+    * neighbor and labels are component-minimum core ids, so the
+    * assignment is order-free on both engines. */
+  protected def llmDbscan(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Dbscan.assign(
+        graft.llm.DetKMeans.unitPoints(t(spark, dir, "embeddings"),
+          "vec_id", "embedding"),
+        "id", "u", eps2 = 1300000000000L, minPts = 4)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id")
+
+  /** ANN over int8-QUANTIZED embeddings (symmetric per-row scale): cosine
+    * is scale-invariant so the quantized arrays search directly — 4× less
+    * storage scanned per probe at identical plan shape. */
+  protected def llmAnnQuant(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val quant = emb
+      .withColumn("_s", Similarity.int8Scale(col("embedding"), 64))
+      .select(col("vec_id"),
+        Similarity.quantizeInt8(col("embedding"), col("_s"), 64).as("q"))
+    val query = quant.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("q_emb"))
+    Similarity.topKPerQuery(quant, "q", "vec_id", query, "query_id", "q_emb",
+        k = 10, dim = 64)
+      .select(col("vec_id"), col("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+  }
+
+  /** Batch ANN: per-query top-5 for three query vectors in one pass. */
+  protected def llmAnnBatch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    Similarity.topKPerQuery(emb, "embedding", "vec_id",
+        queries, "query_id", "q_emb", k = 5, dim = 64)
+      .orderBy(col("query_id"), col("cosine_sim").desc, col("vec_id"))
+  }
+
+  /** IVF with real k-means coarse quantization (seeded). nprobe = k, so
+    * the probe set covers every cluster and the answer MUST equal exact
+    * brute force — which makes brute-force top-k SQL a legitimate oracle
+    * even though the k-means fit itself isn't SQL-expressible: the driver
+    * now hash-checks the all-probes==brute invariant (previously only
+    * pinned in IvfSpec) every round. The cluster assignment affects the
+    * physical pruning path, never the result. */
+  protected def llmAnnIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val idx = graft.llm.Ivf.build(emb, "embedding", "vec_id", k = 10)
+    graft.llm.Ivf.search(idx, queryVector(spark, dir), topK = 5, nprobe = 10)
+  }
+
+  /** Deterministic integer-unit k-means (md5 seeds, 3 Lloyd rounds):
+    * per-cluster sizes, integer inertia, centroid checksum — the fitted
+    * MODEL is hash-checked against DuckDB replaying the whole training
+    * run, init included. */
+  protected def llmKmeansDet(spark: SparkSession, dir: String): DataFrame = {
+    val (assign, centroids) = graft.llm.DetKMeans.fit(
+      t(spark, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 3, dim = 64)
+    val stats = assign.groupBy("cid")
+      .agg(count(lit(1)).as("n_points"), sum(col("d")).as("inertia"))
+    val csum = centroids.select(col("cid"),
+      aggregate(col("c"), lit(0L), (a, v) => a + v).as("centroid_sum"))
+    stats.join(csum, "cid").orderBy("cid")
+  }
+
+  /** k-means elbow curve: total integer inertia of the deterministic
+    * k-means at k = 2, 4, 8 — the model-selection sweep ("where does
+    * adding clusters stop paying") a clustering-gated pipeline (SemDeDup,
+    * IVF) runs before fixing k. Each fit is the oracle-proven
+    * [[graft.llm.DetKMeans]] chain; inertia sums the exact integer d in
+    * DECIMAL(38,0) and surfaces as double. Three bounded fits over the
+    * same cached unit points — corpus passes scale linearly in |ks|. */
+  protected def llmKmeansElbow(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val emb = t(spark, dir, "embeddings")
+    Seq(2, 4, 8).map { k =>
+      val (assign, _) = graft.llm.DetKMeans.fit(
+        emb, "vec_id", "embedding", k = k, iters = 2, dim = 64)
+      assign.agg(count(lit(1)).as("n_points"),
+          sum(col("d").cast(dec)).as("si"))
+        .select(lit(k.toLong).as("k"), col("n_points"),
+          col("si").cast("double").as("inertia"))
+    }.reduce(_ unionAll _).orderBy("k")
+  }
+
+  /** IVF ANN over the deterministic k-means index: probe the 2 centroids
+    * nearest the query in unit space, exact-cosine re-rank inside the
+    * probed cells — the first TRAINED-index ANN query whose result is
+    * oracle-checked end to end (the seeded Spark-ML variants remain
+    * rows-only). */
+  protected def llmAnnIvfDet(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val (_, centroids) = graft.llm.DetKMeans.fit(
+      emb, "vec_id", "embedding", k = 8, iters = 2, dim = 64)
+    val pts = graft.llm.DetKMeans.unitPoints(emb, "vec_id", "embedding")
+    val cells = graft.llm.DetKMeans.assignTo(pts, centroids)
+    val qUnits = pts.filter(col("id") === 0).select(col("u").as("qu"))
+    val probed = centroids.crossJoin(broadcast(qUnits))
+      .select(col("cid"), graft.llm.DetKMeans.dist2(col("c"), col("qu")).as("qd"))
+      .orderBy("qd", "cid").limit(2).select("cid")
+    val cand = cells.join(broadcast(probed), "cid")
+      .select(col("id").as("cand_id"))
+    graft.llm.Similarity.bruteForceTopK(
+      emb.join(broadcast(cand), col("vec_id") === col("cand_id")),
+      "embedding", "vec_id", queryVector(spark, dir), k = 10)
+  }
+
+  /** Cluster purity of the deterministic k-means against the language
+    * labels (doc_id ≙ vec_id, the hybrid-search identification):
+    * purity = Σ_c max_lang |c ∩ lang| / n — "do the embedding clusters
+    * recover a known partition", the third eval-loop query beside ANN
+    * recall and the langid confusion matrix. FULLY integer: per-cell
+    * counts, one struct-max per cluster, one micro division. */
+  protected def llmClusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val (assign, _) = graft.llm.DetKMeans.fit(
+      t(spark, dir, "embeddings"), "vec_id", "embedding",
+      k = 8, iters = 2, dim = 64)
+    val labeled = assign.select(col("id"), col("cid"))
+      .join(t(spark, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"), col("lang")), Seq("id"))
+    val cells = labeled.groupBy("cid", "lang").agg(count(lit(1)).as("c"))
+    val perCluster = cells.groupBy("cid")
+      .agg(sum(col("c")).as("n_c"),
+        max(struct(col("c"), col("lang"))).as("m"))
+      .select(col("cid"), col("n_c"), col("m.c").as("n_majority"),
+        col("m.lang").as("majority_lang"))
+    val tot = perCluster.agg(sum(col("n_c")).as("n"),
+      sum(col("n_majority")).as("nm"))
+    perCluster.crossJoin(broadcast(tot))
+      .select(col("cid"), col("n_c"), col("majority_lang"),
+        col("n_majority"),
+        expr("(nm * 1000000) div n").as("purity_micro"))
+      .orderBy("cid")
+  }
+
+  /** Squared-distance simplified silhouette per cluster (Rousseeuw 1987
+    * silhouettes; the centroid-based "simplified" variant is Hruschka et
+    * al. 2004 — O(n·k) instead of O(n²)) — the fourth cluster-eval
+    * metric beside ANN recall, langid confusion, and purity: how tight
+    * is each cluster relative to its nearest competitor? FULLY integer:
+    * distances are the DetKMeans integer squared-L2 units, a² = the
+    * final assignment's own distance, b² = min distance to any OTHER
+    * pre-update centroid (b² ≥ a² by argmin, so scores live in
+    * [0, 10⁶]), s = (b²−a²)·10⁶ div max(a²,b²) in DECIMAL (the ×10⁶
+    * can top Long at unit scale), per-cluster mean is one truncating
+    * division. Same k=8/iters=2 chain as [[llmClusterPurity]], so the
+    * generated oracle replays the identical training run. */
+  protected def llmSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    val pts = graft.llm.DetKMeans.unitPoints(
+      t(spark, dir, "embeddings"), "vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c0 = graft.llm.DetKMeans.seedCentroids(pts, 8)
+    val a1 = graft.llm.DetKMeans.assignTo(pts, c0)
+    val c1 = graft.llm.DetKMeans.updateCentroids(a1, 64)
+      .localCheckpoint(true)
+    // ONE scoring crossJoin feeds both the final assignment (same
+    // min(struct(d, cid)) tie rule as DetKMeans.assignTo) and the
+    // second-nearest pass — assignTo here would score the corpus twice.
+    val scored = pts.crossJoin(broadcast(c1))
+      .select(col("id"), col("cid"),
+        graft.llm.DetKMeans.dist2(col("u"), col("c")).as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a2 = scored.groupBy("id")
+      .agg(min(struct(col("d"), col("cid"))).as("m"))
+      .select(col("id"), col("m.cid").as("cid"), col("m.d").as("d"))
+    val b = scored
+      .join(a2.select(col("id"), col("cid").as("best_cid")), Seq("id"))
+      .filter(col("cid") =!= col("best_cid"))
+      .groupBy("id").agg(min(col("d")).as("b2"))
+    a2.select(col("id"), col("cid"), col("d").as("a2d"))
+      .join(b, Seq("id"))
+      .select(col("cid"),
+        when(greatest(col("a2d"), col("b2")) === 0L, lit(0L))
+          .otherwise(expr("CAST((CAST(b2 AS DECIMAL(38,0)) - a2d) " +
+            "* 1000000 div greatest(a2d, b2) AS BIGINT)"))
+          .as("s6"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_points"), sum(col("s6")).as("ssum"))
+      .select(col("cid"), col("n_points"),
+        expr("ssum div n_points").as("mean_s6"))
+      .orderBy("cid")
+  }
+
+  /** ANN recall@10 evaluation — the index-quality loop a vector-search
+    * deployment runs before trusting an ANN index: for every mod-97
+    * query vector, compare the IVF probe-2 top-10 against the exact
+    * brute-force top-10 (self excluded) and report the overlap as
+    * integer recall micro-units. Composes the oracle-proven DetKMeans
+    * index, probe, and brute kernels; the driver loop is |Q|-bounded
+    * (the kmeans-elbow precedent), every per-query job is a broadcast
+    * probe + one corpus scan. */
+  protected def llmAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(spark, dir, "embeddings")
+    val (_, centroids) = graft.llm.DetKMeans.fit(
+      emb, "vec_id", "embedding", k = 8, iters = 2, dim = 64)
+    val pts = graft.llm.DetKMeans.unitPoints(emb, "vec_id", "embedding")
+    val cells = graft.llm.DetKMeans.assignTo(pts, centroids)
+    val queries = emb
+      .filter(pmod(col("vec_id").cast("long"), lit(97)) === 0)
+      .select(col("vec_id").cast("long").as("query_id"),
+        col("embedding").as("q_emb"))
+      .localCheckpoint(true)
+    // ALL queries traverse together — one probe pass, one brute pass,
+    // one candidate re-rank pass, independent of |Q| (the first, driver-
+    // looped formulation cost |Q|×5 scheduler round-trips: 46.7 s for 21
+    // queries at sf0.1; this shape is 3 corpus-touching jobs total).
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("vid"))
+    val probed = pts
+      .filter(pmod(col("id"), lit(97)) === 0)
+      .select(col("id").as("query_id"), col("u").as("qu"))
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("cid"),
+        graft.llm.DetKMeans.dist2(col("c"), col("qu")).as("qd"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy("qd", "cid")))
+      .filter(col("rk") <= 2).select("query_id", "cid")
+    // Brute top-10 excluding self: rank top-11 WITH self (one window),
+    // drop self, re-rank — top-10-excluding-self ⊆ top-11-including-self
+    // even under rounded cosine ties at 1.0.
+    val brute = graft.llm.Similarity.topKPerQuery(emb, "embedding",
+        "vec_id", queries, "query_id", "q_emb", k = 11, dim = 64)
+      .select(col("query_id"), col("vec_id").cast("long").as("vid"),
+        col("cosine_sim"))
+      .filter(col("vid") =!= col("query_id"))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= 10).select("query_id", "vid")
+    val ivf = cells.join(broadcast(probed), Seq("cid"))
+      .select(col("query_id"), col("id").as("vid"))
+      .filter(col("vid") =!= col("query_id"))
+      .join(emb.select(col("vec_id").cast("long").as("vid"),
+        col("embedding")), Seq("vid"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vid"),
+        graft.llm.Similarity.roundHalfUp(graft.llm.Similarity
+          .cosineUnrolled(col("embedding"), col("q_emb"), 64), 6)
+          .as("cosine_sim"))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= 10).select("query_id", "vid")
+    val ov = brute.join(ivf, Seq("query_id", "vid"))
+      .groupBy("query_id").agg(count(lit(1)).as("n"))
+    queries.select("query_id").join(ov, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n"), lit(0L)) * 1000000L / 10).cast("long")
+          .as("recall_micro"))
+      .orderBy("query_id")
+  }
+
+  /** SemDeDup with the DETERMINISTIC k-means gate: cluster in integer
+    * units (DetKMeans), cosine-pair within cells, connected components,
+    * drop non-representatives. Planted exact copies (ids +10000) land in
+    * their original's cell by construction. The DuckDB oracle replays
+    * training, gating, pairing AND the component fixpoint (recursive
+    * CTE) — the first semantic-dedup query whose DROP SET is
+    * hash-checked, not just property-tested. */
+  protected def llmSemDedupDet(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val planted = emb.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + 10000)
+    val all = emb.unionByName(planted)
+    val (_, cents) = graft.llm.DetKMeans.fit(
+      all, "vec_id", "embedding", k = 16, iters = 2, dim = 64)
+    val cells = graft.llm.DetKMeans.assignTo(
+        graft.llm.DetKMeans.unitPoints(all, "vec_id", "embedding"), cents)
+      .select(col("id"), col("cid"))
+    val e = all.select(col("vec_id").as("id"), col("embedding"))
+    val withCell = e.join(cells, "id")
+    val pairs = withCell.as("a").join(withCell.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        graft.llm.Similarity.roundHalfUp(graft.llm.Similarity.cosineUnrolled(
+          col("a.embedding"), col("b.embedding"), 64), 6).as("cos"))
+      .filter(col("cos") >= 0.999)
+      .select("id_a", "id_b")
+    graft.llm.Dedup.dedupByCluster(all.select(col("vec_id")), "vec_id", pairs)
+      .filter(!col("is_representative"))
+      .select(col("vec_id"), col("component"))
+      .orderBy("vec_id")
+  }
+
+  /** Product quantization with DETERMINISTIC per-subspace codebooks
+    * (integer-unit k-means on each 8-dim slice) and fully-integer ADC
+    * search — the PQ twin of q_llm_kmeans_det: training, encoding and
+    * the asymmetric-distance ranking are all replayed by the generated
+    * oracle, so the TRAINED-index ANN answer is hash-checked. This IS
+    * the registered `q_llm_ann_pq` (the seeded float-codebook variant
+    * lives on as PqSpec coverage of graft.llm.Pq). */
+  protected def llmAnnPqDet(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.DetKMeans
+    val emb = t(spark, dir, "embeddings")
+    val m = 8; val subDim = 8; val kCodes = 16; val iters = 2
+    // All m subspaces as one grouped relation: (g, id, u_slice-units).
+    val pts = emb.select(col("vec_id").cast("long").as("id"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("embedding"), s * subDim + 1, subDim)): _*))
+          .as(Seq("g", "sub")))
+      .select(col("g").cast("long").as("g"), col("id"),
+        DetKMeans.toUnits(col("sub")).as("u"))
+    // The fitted codebook is m·k·dim longs but its LINEAGE is the whole
+    // training run — persist it so cells and the ADC table don't each
+    // re-execute training (the SemDedup round-6 lesson).
+    val (_, cents0) = DetKMeans.fitGrouped(pts, kCodes, iters, subDim)
+    val cents = cents0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = DetKMeans.assignToGrouped(pts, cents)
+    val q = pts.filter(col("id") === 0)
+      .select(col("g"), col("u").as("qu"))
+    val qd = cents.join(broadcast(q), Seq("g"))
+      .select(col("g"), col("cid"), DetKMeans.dist2(col("c"), col("qu")).as("qd"))
+    cells.select(col("g"), col("id"), col("cid"))
+      .join(broadcast(qd), Seq("g", "cid"))
+      .groupBy("id").agg(sum(col("qd")).as("adc_dist"))
+      .select(col("id").as("vec_id"), col("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id")).limit(10)
+  }
+
+  /** FAISS IndexRefine on the deterministic PQ index: ADC ranks a
+    * 50-candidate shortlist, exact integer L2 re-ranks it to the final
+    * top-10 — shortlist AND refinement both hash-checked. The exact
+    * distance reads only the shortlist's full vectors (broadcast semi),
+    * which is the whole point of refine at scale: full-precision I/O
+    * proportional to the shortlist, not the corpus. */
+  protected def llmAnnPqDetRerank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.DetKMeans
+    val emb = t(spark, dir, "embeddings")
+    val m = 8; val subDim = 8; val kCodes = 16; val iters = 2
+    val pts = emb.select(col("vec_id").cast("long").as("id"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("embedding"), s * subDim + 1, subDim)): _*))
+          .as(Seq("g", "sub")))
+      .select(col("g").cast("long").as("g"), col("id"),
+        DetKMeans.toUnits(col("sub")).as("u"))
+    val (_, cents0) = DetKMeans.fitGrouped(pts, kCodes, iters, subDim)
+    val cents = cents0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = DetKMeans.assignToGrouped(pts, cents)
+    val q = pts.filter(col("id") === 0).select(col("g"), col("u").as("qu"))
+    val qd = cents.join(broadcast(q), Seq("g"))
+      .select(col("g"), col("cid"), DetKMeans.dist2(col("c"), col("qu")).as("qd"))
+    val shortlist = cells.select(col("g"), col("id"), col("cid"))
+      .join(broadcast(qd), Seq("g", "cid"))
+      .groupBy("id").agg(sum(col("qd")).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("id")).limit(50)
+    // Exact refine: full-precision integer L2 over the shortlist only.
+    val full = DetKMeans.unitPoints(emb, "vec_id", "embedding")
+    val qFull = full.filter(col("id") === 0).select(col("u").as("qu"))
+    full.join(broadcast(shortlist.select(col("id"))), Seq("id"))
+      .crossJoin(broadcast(qFull))
+      .select(col("id").as("vec_id"),
+        DetKMeans.dist2(col("u"), col("qu")).as("exact_dist"))
+      .orderBy(col("exact_dist"), col("vec_id")).limit(10)
+  }
+
+  /** Deterministic IVF-PQ (FAISS IVFADC, fully hash-checked): coarse
+    * integer k-means partitions the corpus, PQ codebooks train on the
+    * integer RESIDUALS (exact subtractions — no quantization error
+    * between stages), search probes 2 cells and ranks by per-cell
+    * residual ADC. This IS the registered `q_llm_ann_ivfpq` since the
+    * seeded Spark-ML variant was demoted to IvfPqSpec. */
+  protected def llmAnnIvfPqDet(spark: SparkSession, dir: String): DataFrame = {
+    val (adcById, _) = ivfPqDetAdc(spark, dir)
+    adcById
+      .select(col("id").as("vec_id"), col("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id")).limit(10)
+  }
+
+  /** Deterministic IVF-PQ with exact re-rank (FAISS IndexRefine over
+    * IVFADC): the residual-ADC scores rank a 50-candidate shortlist,
+    * exact integer L2 against the full-precision vectors re-ranks it to
+    * the final top-10 — index, shortlist, and refinement all replayed by
+    * the generated oracle. Refine reads full vectors only for the
+    * shortlist (broadcast semi-join), the property that makes it viable
+    * when the corpus is 100 TB and the PQ codes are 64× smaller. */
+  protected def llmAnnIvfPqDetRerank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.DetKMeans
+    val (adcById, full) = ivfPqDetAdc(spark, dir)
+    val shortlist = adcById.orderBy(col("adc_dist"), col("id")).limit(50)
+    val qFull = full.filter(col("id") === 0).select(col("u").as("qu"))
+    full.join(broadcast(shortlist.select(col("id"))), Seq("id"))
+      .crossJoin(broadcast(qFull))
+      .select(col("id").as("vec_id"),
+        DetKMeans.dist2(col("u"), col("qu")).as("exact_dist"))
+      .orderBy(col("exact_dist"), col("vec_id")).limit(10)
+  }
+
+  /** Shared IVFADC pipeline behind `q_llm_ann_ivfpq` and its re-rank:
+    * returns (per-id summed residual-ADC distances over the 2 probed
+    * cells, full-precision unit vectors). */
+  protected def ivfPqDetAdc(spark: SparkSession,
+                          dir: String): (DataFrame, DataFrame) = {
+    import graft.llm.DetKMeans
+    val emb = t(spark, dir, "embeddings")
+    val m = 8; val subDim = 8; val kCodes = 16; val kCoarse = 8
+    val (_, co0) = DetKMeans.fit(emb, "vec_id", "embedding",
+      kCoarse, iters = 2, dim = 64)
+    val coarse = co0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val full = DetKMeans.unitPoints(emb, "vec_id", "embedding")
+    val cells = DetKMeans.assignTo(full, coarse)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val res = cells.join(broadcast(coarse), "cid")
+      .select(col("id"), col("cid"),
+        zip_with(col("u"), col("c"), (a, b) => a - b).as("r"))
+    val pts = res.select(col("id"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("r"), s * subDim + 1, subDim)): _*)).as(Seq("g", "rs")))
+      .select(col("g").cast("long").as("g"), col("id"), col("rs").as("u"))
+    val (_, cb0) = DetKMeans.fitGrouped(pts, kCodes, iters = 2, subDim)
+    val codebooks = cb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = DetKMeans.assignToGrouped(pts, codebooks)
+      .select(col("g"), col("id"), col("cid").as("code"))
+    val qu = full.filter(col("id") === 0).select(col("u").as("qu"))
+    val probed = coarse.crossJoin(broadcast(qu))
+      .select(col("cid"), DetKMeans.dist2(col("c"), col("qu")).as("cqd"))
+      .orderBy("cqd", "cid").limit(2).select("cid")
+    val qres = probed.join(broadcast(coarse), "cid").crossJoin(broadcast(qu))
+      .select(col("cid"), zip_with(col("qu"), col("c"), (a, b) => a - b).as("qr"))
+    val adcTable = qres.select(col("cid"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("qr"), s * subDim + 1, subDim)): _*)).as(Seq("g", "qrs")))
+      .select(col("cid"), col("g").cast("long").as("g"), col("qrs"))
+      .join(broadcast(codebooks.select(col("g"), col("cid").as("code"), col("c"))),
+        Seq("g"))
+      .select(col("cid"), col("g"), col("code"),
+        DetKMeans.dist2(col("qrs"), col("c")).as("qd"))
+    val adcById = cells.select(col("id"), col("cid"))
+      .join(broadcast(probed), "cid")
+      .join(codes, Seq("id"))
+      .join(broadcast(adcTable), Seq("cid", "g", "code"))
+      .groupBy("id").agg(sum(col("qd")).as("adc_dist"))
+    (adcById, full)
+  }
+
+  /** Binary sign-quantized ANN: Hamming top-50 shortlist over packed
+    * 8-byte codes (bit_count(xor), codegen'd) → exact-cosine re-rank of
+    * the shortlist only. The cheapest rung of the quantization ladder
+    * (int8 → PQ → binary); see [[graft.llm.BinaryQuant]]. The oracle
+    * replays the shortlist as a sign-mismatch count (the same Hamming
+    * number, unpacked) and re-ranks with the ann_brute cosine. */
+  protected def llmAnnBinary(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.BinaryQuant.searchTopK(t(spark, dir, "embeddings"), "embedding",
+      "vec_id", queryVector(spark, dir), k = 10, shortlist = 50)
+
+  /** Deterministic nearest-centroid classifier on the held-out half of
+    * the embeddings (train: even vec_id, test: odd), confusion matrix
+    * out. Training AND inference replay exactly in SQL — integer units,
+    * floor(sum/n) centroids, integer distances, ties to the smaller
+    * label (see [[graft.llm.CentroidClassifier]]). */
+  protected def llmCentroidClf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val train = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val test = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val model = graft.llm.CentroidClassifier.fit(train, "embedding", "label", 64)
+    graft.llm.CentroidClassifier.classify(test, model, "vec_id", "embedding")
+      .join(test.select(col("vec_id").cast("long").as("id"),
+        col("label").cast("long").as("label")), Seq("id"))
+      .groupBy("label", "pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "pred")
+  }
+
+  /** JL random projection 64 → 16 dims over the md5-derived hyperplane
+    * family — every matrix component replays in SQL, so the whole
+    * projection is hash-checked (a seeded Gaussian matrix never could
+    * be). Distance preservation is pinned statistically in RandProjSpec;
+    * here the projected coordinates themselves are the contract. */
+  protected def llmRandProj(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.RandProj.project(
+        t(spark, dir, "embeddings").filter(col("vec_id") < 300),
+        "vec_id", "embedding", kOut = 16, dim = 64)
+      // Surface the projection as a CSV of exact micro-units rather than
+      // array<double>: the correctness harness sorts result columns with
+      // pandas, which cannot hash array cells, and integer-in-string
+      // serialization sidesteps double-formatting drift between engines.
+      .select(col("vec_id"),
+        concat_ws(",", transform(col("proj"),
+          v => floor(v * 1e6 + 0.5).cast("long").cast("string"))).as("proj"))
+      .orderBy("vec_id")
+
+  /** Hashing-trick signed n-gram features, k = 64 — vocabulary-free fixed-
+    * width vectors from one scan (see [[graft.llm.FeatureHash]]). The
+    * oracle rebuilds every hash and collision. */
+  protected def llmFeatHash(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.FeatureHash.features(
+        t(spark, dir, "documents").filter(col("doc_id") < 300),
+        "doc_id", "text", n = 2, k = 64)
+      // CSV-serialized (see llmRandProj): array cells break the harness sort.
+      .select(col("doc_id"),
+        concat_ws(",", transform(col("feat"), _.cast("string"))).as("feat"))
+      .orderBy("doc_id")
+
+  /** Top principal component of the embedding corpus by exact-integer
+    * power iteration ([[graft.llm.Pca]]): one distributed moment pass,
+    * KB-scale driver-side iteration, full generated SQL replay. The
+    * embedding-space anisotropy diagnostic (dominant-direction removal
+    * is the classic post-processing step for sentence embeddings). */
+  protected def llmPca(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Pca.topComponent(t(spark, dir, "embeddings"), "vec_id",
+        "embedding", dim = 64, rounds = 8)
+      .orderBy("dim")
+
+  /** Variance explained by the top principal component — the anisotropy
+    * number itself (how dominant the rogue direction is). Exact integer
+    * projections and trace, one correctly-rounded double division,
+    * 6 dp floor ([[graft.llm.Pca.varianceExplained]]). */
+  protected def llmPcaVar(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Pca.varianceExplained(t(spark, dir, "embeddings"), "vec_id",
+      "embedding", dim = 64, rounds = 8)
+
+  protected val llmSimOracleSql: ListMap[String, String] = ListMap(
+    // GENERATED full-training replay (DetKMeans.oracleCtes keeps the SQL
+    // in lockstep with the Scala by construction): DuckDB re-runs init +
+    // all 3 Lloyd rounds in the same integer units and must reproduce
+    // the fitted model exactly.
+    "q_llm_kmeans_det" ->
+      (graft.llm.DetKMeans.oracleCtes("embeddings", "vec_id", "embedding",
+        k = 8, iters = 3, dim = 64) +
+      """
+         SELECT a.cid, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(a.d) AS BIGINT) AS inertia,
+           CAST(cs.csum AS BIGINT) AS centroid_sum
+         FROM a3 a JOIN (SELECT cid, list_sum(c) AS csum FROM c3) cs
+           USING (cid)
+         GROUP BY a.cid, cs.csum ORDER BY a.cid"""),
+    // Same generated CTEs at iters=2; a3 plays the index-assignment role
+    // (points vs the FINAL centroids c2), then probe + exact-cosine
+    // re-rank mirror the ann_brute formulation on the candidate set.
+    "q_llm_ann_ivf_det" ->
+      (graft.llm.DetKMeans.oracleCtes("embeddings", "vec_id", "embedding",
+        k = 8, iters = 3, dim = 64) +
+      """,
+         qu AS (SELECT u FROM u0 WHERE id = 0),
+         probed AS (SELECT cid FROM (
+             SELECT c.cid, list_sum(list_transform(range(1, 65),
+               i -> (c.c[i] - q.u[i]) * (c.c[i] - q.u[i]))) AS qd
+             FROM c2 c, qu q) x
+           ORDER BY qd, cid LIMIT 2),
+         cand AS (SELECT id FROM a3 WHERE cid IN (SELECT cid FROM probed)),
+         qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+                FROM embeddings WHERE vec_id = 0),
+         cv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings JOIN cand ON vec_id = cand.id)
+         SELECT vec_id,
+           floor(list_sum(list_transform(list_zip(e, qe), p -> p[1] * p[2])) /
+             (sqrt(list_sum(list_transform(e, x -> x*x)))
+              * sqrt(list_sum(list_transform(qe, x -> x*x)))) * 1000000 + 0.5)
+             / 1000000 AS cosine_sim
+         FROM cv, qv ORDER BY cosine_sim DESC, vec_id LIMIT 10"""),
+    // Generated multi-subspace PQ replay: one integer k-means CTE chain
+    // per 8-dim slice (a3 = codes vs the final round-2 codebook c2),
+    // then per-subspace ADC lookup tables and the integer sum ranking.
+    "q_llm_ann_pq" -> (pqDetCtes +
+      s"""
+         SELECT id AS vec_id, CAST(SUM(qd) AS BIGINT) AS adc_dist
+         FROM ($pqDetUnionAll) all_contribs
+         GROUP BY id ORDER BY adc_dist, vec_id LIMIT 10"""),
+    // IndexRefine replay: the same generated PQ CTEs rank a
+    // 50-candidate ADC shortlist; the refine joins the shortlist back
+    // to full-precision integer vectors for the exact top-10.
+    "q_llm_ann_pq_rerank" -> (pqDetCtes +
+      s""",
+         adc AS (SELECT id, SUM(qd) AS adc_dist
+                 FROM ($pqDetUnionAll) all_contribs
+                 GROUP BY id ORDER BY adc_dist, id LIMIT 50),
+         fu AS (SELECT vec_id AS id,
+                  list_transform(embedding[1:64],
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                      AS BIGINT)) AS u
+                FROM embeddings),
+         qf AS (SELECT u FROM fu WHERE id = 0)
+         SELECT f.id AS vec_id,
+           CAST(list_sum(list_transform(range(1, 65),
+             i -> (f.u[i] - q.u[i]) * (f.u[i] - q.u[i]))) AS BIGINT)
+             AS exact_dist
+         FROM fu f JOIN adc ON f.id = adc.id, qf q
+         ORDER BY exact_dist, vec_id LIMIT 10"""),
+    "q_llm_ann_ivfpq" -> ivfPqDetOracle,
+    "q_llm_ann_ivfpq_rerank" -> ivfPqDetRerankOracle,
+    // NEAR-dup SemDeDup replay: same generated k-means + pairing +
+    // component fixpoint as q_llm_semdedup_det below, but the planted
+    // replicas are ×1.001 in DOUBLE space (bitwise-distinct, cosine ≈ 1)
+    // — every step stays IEEE-double so the replay is exact.
+    "q_llm_semdedup" ->
+      (graft.llm.DetKMeans.oracleCtes(
+        "(SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding" +
+        " FROM embeddings UNION ALL" +
+        " SELECT vec_id + 10000, list_transform(embedding," +
+        "   x -> CAST(x AS DOUBLE) * CAST(1.001 AS DOUBLE))" +
+        " FROM embeddings WHERE vec_id < 20) un",
+        "vec_id", "embedding", k = 16, iters = 3, dim = 64)
+        .replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+         ev AS (SELECT vec_id + 10000 AS id,
+                  list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(1.001 AS DOUBLE)) AS e
+                FROM embeddings WHERE vec_id < 20
+                UNION ALL
+                SELECT vec_id AS id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings),
+         pr AS (SELECT ca.id AS id_a, cb.id AS id_b
+                FROM a3 ca JOIN a3 cb ON ca.cid = cb.cid AND ca.id < cb.id
+                JOIN ev a ON a.id = ca.id JOIN ev b ON b.id = cb.id
+                WHERE floor(list_sum(list_transform(list_zip(a.e, b.e),
+                    p -> p[1] * p[2])) /
+                  (sqrt(list_sum(list_transform(a.e, x -> x*x)))
+                   * sqrt(list_sum(list_transform(b.e, x -> x*x))))
+                  * 1000000 + 0.5) / 1000000 >= 0.999),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pr
+                   UNION ALL SELECT id_b, id_a FROM pr),
+         nodes AS (SELECT DISTINCT a AS id FROM edges),
+         reach(id, lab) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.b AS id, r.lab FROM reach r JOIN edges e ON e.a = r.id),
+         labels AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
+         SELECT id AS vec_id, component FROM labels
+         WHERE component < id ORDER BY vec_id"""),
+    // Full SemDeDup replay: generated k-means CTEs (a3 = assignment to
+    // the final round-2 centroids), within-cell cosine pairs at the
+    // engine's 6dp floor-rounded threshold, then the component fixpoint
+    // as a recursive min-label closure — non-representatives must match
+    // id for id, component for component.
+    "q_llm_semdedup_det" ->
+      (graft.llm.DetKMeans.oracleCtes(
+        "(SELECT vec_id, embedding FROM embeddings UNION ALL" +
+        " SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 20) un",
+        "vec_id", "embedding", k = 16, iters = 3, dim = 64)
+        .replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+         ev AS (SELECT vec_id + 10000 AS id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings WHERE vec_id < 20
+                UNION ALL
+                SELECT vec_id AS id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings),
+         pr AS (SELECT ca.id AS id_a, cb.id AS id_b
+                FROM a3 ca JOIN a3 cb ON ca.cid = cb.cid AND ca.id < cb.id
+                JOIN ev a ON a.id = ca.id JOIN ev b ON b.id = cb.id
+                WHERE floor(list_sum(list_transform(list_zip(a.e, b.e),
+                    p -> p[1] * p[2])) /
+                  (sqrt(list_sum(list_transform(a.e, x -> x*x)))
+                   * sqrt(list_sum(list_transform(b.e, x -> x*x))))
+                  * 1000000 + 0.5) / 1000000 >= 0.999),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pr
+                   UNION ALL SELECT id_b, id_a FROM pr),
+         nodes AS (SELECT DISTINCT a AS id FROM edges),
+         reach(id, lab) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.b AS id, r.lab FROM reach r JOIN edges e ON e.a = r.id),
+         labels AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
+         SELECT id AS vec_id, component FROM labels
+         WHERE component < id ORDER BY vec_id"""),
+    // Brute-force replay of the LSH-bucketed near-dup pass: every planted
+    // scaled copy shares its original's bucket for ANY hyperplanes (same
+    // direction ⇒ same signs), and at this data scale no natural pair
+    // comes near the 0.999 threshold (widest natural cosine < 0.95), so
+    // bucketed output == exhaustive output. The float scaling and the
+    // ascending-order double dot mirror the engine op for op.
+    "q_llm_cosine_neardup" ->
+      """WITH u AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings
+           UNION ALL
+           SELECT vec_id + 10000,
+             list_transform(embedding,
+               x -> CAST(CAST(x * CAST(1.001 AS FLOAT) AS FLOAT) AS DOUBLE))
+           FROM embeddings WHERE vec_id < 20),
+         n AS (SELECT vec_id, e,
+                 sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM u)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           floor((CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE list_sum(list_transform(list_zip(a.e, b.e), p -> p[1]*p[2]))
+                / (a.nrm * b.nrm) END) * 1000000 + CAST(0.5 AS DOUBLE)) / 1000000
+             AS cosine_sim
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE cosine_sim >= 0.999 ORDER BY id_a, id_b""",
+    // Full replay of sign-LSH ANN: md5-derived hyperplane components
+    // (Similarity.hyperplanes), per-vector bucket bits, restriction to the
+    // query vector's bucket, exact cosine top-5. 4503599627370496 = 2^52
+    // (13 hex chars of md5).
+    "q_llm_ann_lsh" ->
+      """WITH c AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+         planes AS (SELECT i, list_transform(range(64), j ->
+               CAST(('0x' || substr(md5('plane:' || CAST(i AS VARCHAR) || ':'
+                   || CAST(j AS VARCHAR)), 1, 13)) AS BIGINT)
+                 / 4503599627370496.0 * 2.0 - 1.0) AS p
+             FROM (SELECT unnest(range(6)) AS i)),
+         bu AS (SELECT c.vec_id,
+               CAST(SUM(CASE WHEN list_sum(list_transform(
+                     list_zip(c.e, pl.p), z -> z[1]*z[2])) >= 0
+                   THEN (CAST(1 AS BIGINT) << pl.i) ELSE 0 END) AS BIGINT)
+                 AS bucket
+             FROM c, planes pl GROUP BY c.vec_id),
+         q AS (SELECT e AS qe FROM c WHERE vec_id = 0),
+         qb AS (SELECT bucket AS qbucket FROM bu WHERE vec_id = 0)
+         SELECT c.vec_id AS vec_id,
+           floor(list_sum(list_transform(list_zip(c.e, qe), z -> z[1]*z[2]))
+             / (sqrt(list_sum(list_transform(c.e, x -> x*x)))
+                * sqrt(list_sum(list_transform(qe, x -> x*x))))
+             * 1000000 + CAST(0.5 AS DOUBLE)) / 1000000 AS cosine_sim
+         FROM c JOIN bu ON c.vec_id = bu.vec_id, q, qb
+         WHERE bu.bucket = qbucket
+         ORDER BY cosine_sim DESC, c.vec_id LIMIT 5""",
+    "q_llm_ann_brute" ->
+      """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+                    FROM embeddings WHERE vec_id = 0),
+           c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                 FROM embeddings)
+         SELECT vec_id,
+           floor(list_sum(list_transform(list_zip(e, qe), p -> p[1] * p[2])) /
+             (sqrt(list_sum(list_transform(e, x -> x*x)))
+              * sqrt(list_sum(list_transform(qe, x -> x*x)))) * 1000000 + 0.5) / 1000000
+             AS cosine_sim
+         FROM c, q ORDER BY cosine_sim DESC, vec_id LIMIT 10""",
+    // nprobe = k probes every cluster, so the IVF answer is exact by
+    // construction: brute-force top-5 IS the oracle (the k-means fit only
+    // picks the pruning layout, which this query deliberately disables).
+    "q_llm_ann_ivf_kmeans" ->
+      """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+                    FROM embeddings WHERE vec_id = 0),
+           c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                 FROM embeddings)
+         SELECT vec_id,
+           floor(list_sum(list_transform(list_zip(e, qe), p -> p[1] * p[2])) /
+             (sqrt(list_sum(list_transform(e, x -> x*x)))
+              * sqrt(list_sum(list_transform(qe, x -> x*x)))) * 1000000 + 0.5) / 1000000
+             AS cosine_sim
+         FROM c, q ORDER BY cosine_sim DESC, vec_id LIMIT 5""",
+    "q_llm_ann_quant" ->
+      """WITH s AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                    FROM embeddings),
+           sc AS (SELECT vec_id, e,
+                    list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM s),
+           qv AS (SELECT vec_id,
+                    CASE WHEN scale = 0 THEN list_transform(e, x -> 0.0)
+                         ELSE list_transform(e, x -> floor(x / scale + 0.5)) END AS q
+                  FROM sc),
+           qq AS (SELECT q AS qe FROM qv WHERE vec_id = 0)
+         SELECT vec_id,
+           floor(list_sum(list_transform(list_zip(q, qe), p -> p[1] * p[2])) /
+             (sqrt(list_sum(list_transform(q, x -> x*x)))
+              * sqrt(list_sum(list_transform(qe, x -> x*x)))) * 1000000 + 0.5) / 1000000
+             AS cosine_sim
+         FROM qv, qq ORDER BY cosine_sim DESC, vec_id LIMIT 10""",
+    "q_llm_ann_batch" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+                    FROM embeddings WHERE vec_id < 3),
+           c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                 FROM embeddings),
+           s AS (SELECT q.query_id, c.vec_id,
+                   floor(list_sum(list_transform(list_zip(e, qe), p -> p[1] * p[2])) /
+                     (sqrt(list_sum(list_transform(e, x -> x*x)))
+                      * sqrt(list_sum(list_transform(qe, x -> x*x)))) * 1000000 + 0.5) / 1000000
+                     AS cosine_sim
+                 FROM c, q)
+         SELECT query_id, vec_id, cosine_sim FROM s
+         QUALIFY row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_sim DESC, vec_id) <= 5
+         ORDER BY query_id, cosine_sim DESC, vec_id""",
+    "q_llm_ann_ivf" ->
+      """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe, label AS ql
+                    FROM embeddings WHERE vec_id = 0),
+           c AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                 FROM embeddings)
+         SELECT vec_id,
+           floor(list_sum(list_transform(list_zip(e, qe), p -> p[1] * p[2])) /
+             (sqrt(list_sum(list_transform(e, x -> x*x)))
+              * sqrt(list_sum(list_transform(qe, x -> x*x)))) * 1000000 + 0.5) / 1000000
+             AS cosine_sim
+         FROM c, q WHERE c.label = q.ql ORDER BY cosine_sim DESC, vec_id LIMIT 5""",
+    // Hamming as an unpacked sign-mismatch count (== bit_count(xor) of
+    // the packed codes by construction), then the ann_brute re-rank.
+    "q_llm_ann_binary" ->
+      """WITH q AS (SELECT embedding AS qe,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qd
+                    FROM embeddings WHERE vec_id = 0),
+         h AS (SELECT e.vec_id,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> CASE WHEN (e.embedding[i] > 0) <> (q.qe[i] > 0)
+                        THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+               FROM embeddings e, q),
+         s AS (SELECT vec_id, hamming FROM h ORDER BY hamming, vec_id LIMIT 50),
+         c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+               FROM embeddings)
+         SELECT s.vec_id, s.hamming,
+           floor(list_sum(list_transform(list_zip(ed, qd), p -> p[1] * p[2])) /
+             (sqrt(list_sum(list_transform(ed, x -> x*x)))
+              * sqrt(list_sum(list_transform(qd, x -> x*x)))) * 1000000 + 0.5)
+             / 1000000 AS cosine_sim
+         FROM s JOIN c USING (vec_id), q
+         ORDER BY cosine_sim DESC, vec_id LIMIT 10""",
+    // Training AND inference replayed: integer units, per-label
+    // floor(sum/n) centroids, integer distances, ties to smaller label.
+    "q_llm_centroid_clf" ->
+      """WITH u AS (SELECT vec_id, label,
+                      list_transform(embedding[1:64],
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                             AS BIGINT)) AS u
+                    FROM embeddings),
+         tr AS (SELECT * FROM u WHERE vec_id % 2 = 0),
+         sums AS (SELECT label, dim, SUM(u[dim]) AS s, COUNT(*) AS n
+                  FROM tr, range(1, 65) r(dim) GROUP BY label, dim),
+         c AS (SELECT label,
+                 list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
+                      ORDER BY dim) AS c
+               FROM sums GROUP BY label),
+         te AS (SELECT * FROM u WHERE vec_id % 2 = 1),
+         d AS (SELECT te.vec_id, te.label AS true_label, c.label AS pred,
+                 list_sum(list_transform(range(1, 65),
+                   i -> (te.u[i] - c.c[i]) * (te.u[i] - c.c[i]))) AS d
+               FROM te, c),
+         a AS (SELECT vec_id, true_label, pred,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d, pred) AS rk
+               FROM d)
+         SELECT CAST(true_label AS BIGINT) AS label, CAST(pred AS BIGINT) AS pred,
+           CAST(COUNT(*) AS BIGINT) AS n
+         FROM a WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""",
+    // The projection matrix replays component-for-component (the
+    // ann_lsh plane family); each coordinate is the list_zip fold the
+    // FloatDot kernel is bit-identical to.
+    "q_llm_rand_proj" ->
+      """WITH c AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings WHERE vec_id < 300),
+         planes AS (SELECT i, list_transform(range(64), j ->
+               CAST(('0x' || substr(md5('plane:' || CAST(i AS VARCHAR) || ':'
+                   || CAST(j AS VARCHAR)), 1, 13)) AS BIGINT)
+                 / 4503599627370496.0 * 2.0 - 1.0) AS p
+             FROM (SELECT unnest(range(16)) AS i)),
+         d AS (SELECT c.vec_id, pl.i,
+                 CAST(floor(list_sum(list_transform(list_zip(c.e, pl.p),
+                     z -> z[1]*z[2])) * 1000000 + CAST(0.5 AS DOUBLE))
+                   AS BIGINT) AS v
+               FROM c, planes pl)
+         SELECT vec_id,
+           string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS proj
+         FROM d GROUP BY vec_id ORDER BY vec_id""",
+    // Every hash and collision rebuilt: index = md5 hex-13 mod 64, sign =
+    // hex char 14 parity.
+    "q_llm_feat_hash" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                     FROM documents WHERE doc_id < 300),
+         g AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(t)),
+                   i -> t[i] || ' ' || t[i+1])) AS gram
+               FROM tk),
+         c AS (SELECT doc_id,
+                 ('0x' || substr(md5(gram), 1, 13))::BIGINT % 64 AS idx,
+                 CASE WHEN ('0x' || substr(md5(gram), 14, 1))::BIGINT % 2 = 0
+                      THEN 1 ELSE -1 END AS s
+               FROM g),
+         f AS (SELECT doc_id, j,
+                 CAST(COALESCE(SUM(CASE WHEN idx = j THEN s END), 0)
+                   AS BIGINT) AS v
+               FROM c, range(64) r(j) GROUP BY doc_id, j)
+         SELECT doc_id,
+           string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS feat
+         FROM f GROUP BY doc_id ORDER BY doc_id""",
+    // GENERATED full replay: quantization, exact integer moments, the
+    // N²-scaled scatter matrix, and all 8 power rounds with truncating
+    // HUGEINT renormalization (matches BigInt / toward-zero).
+    "q_llm_pca" -> (graft.llm.Pca.oracleCtes(
+      "embeddings", "vec_id", "embedding", dim = 64, rounds = 8) + """
+      SELECT CAST(i AS BIGINT) AS dim, CAST(v AS BIGINT) AS pc1_unit
+      FROM v8 ORDER BY dim"""),
+    // Same generated replay plus the projection pass: exact HUGEINT
+    // N·Σp² − (Σp)², the scatter trace from the mm/ss moment CTEs, and
+    // the one correctly-rounded double division the engine performs.
+    "q_llm_pca_var" -> (graft.llm.Pca.oracleCtes(
+      "embeddings", "vec_id", "embedding", dim = 64, rounds = 8) + s""",
+      pcv AS (SELECT list(CAST(v AS BIGINT) ORDER BY i) AS vv FROM v8),
+      pj AS (SELECT list_sum(list_transform(range(1, 65),
+               i -> e.u[i] * vv[i])) AS p
+             FROM e, pcv),
+      prj AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                CAST(sum(p) AS HUGEINT) AS sp,
+                sum(CAST(p AS HUGEINT) * p) AS spp
+              FROM pj),
+      trc AS (SELECT (SELECT CAST(max(n) AS HUGEINT) FROM mm)
+                       * (SELECT sum(s) FROM ss WHERE i = j)
+                     - (SELECT sum(CAST(m AS HUGEINT) * m) FROM mm)
+                       AS trace_cn),
+      vsq AS (SELECT sum(CAST(v AS HUGEINT) * v) AS v2 FROM v8)
+      SELECT CAST(prj.n AS BIGINT) AS n_rows,
+             CAST(trc.trace_cn AS BIGINT) AS trace_cn,
+             floor(CAST(prj.n * prj.spp - prj.sp * prj.sp AS DOUBLE)
+                   / CAST(vsq.v2 * trc.trace_cn AS DOUBLE) * 1000000)
+               / 1000000 AS var_ratio6
+      FROM prj, trc, vsq"""),
+    // Elbow replay: one GENERATED DetKMeans chain per k, same exact
+    // integer inertia summed per chain.
+    "q_llm_kmeans_elbow" -> (
+      graft.llm.DetKMeans.oracleCtes("embeddings", "vec_id", "embedding",
+        k = 2, iters = 2, dim = 64, prefix = "k2_", lead = "WITH ") + "," +
+      graft.llm.DetKMeans.oracleCtes("embeddings", "vec_id", "embedding",
+        k = 4, iters = 2, dim = 64, prefix = "k4_", lead = "") + "," +
+      graft.llm.DetKMeans.oracleCtes("embeddings", "vec_id", "embedding",
+        k = 8, iters = 2, dim = 64, prefix = "k8_", lead = "") + """
+      SELECT * FROM (
+        SELECT CAST(2 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_points,
+          CAST(CAST(sum(d) AS HUGEINT) AS DOUBLE) AS inertia FROM k2_a2
+        UNION ALL
+        SELECT CAST(4 AS BIGINT), CAST(count(*) AS BIGINT),
+          CAST(CAST(sum(d) AS HUGEINT) AS DOUBLE) FROM k4_a2
+        UNION ALL
+        SELECT CAST(8 AS BIGINT), CAST(count(*) AS BIGINT),
+          CAST(CAST(sum(d) AS HUGEINT) AS DOUBLE) FROM k8_a2)
+      ORDER BY k"""),
+    // Recall replay: the generated DetKMeans chain indexes, per-query
+    // windows rank both the brute and IVF top-10s, one join counts the
+    // overlap; zero-overlap queries kept via left join.
+    "q_llm_ann_recall" ->
+      (graft.llm.DetKMeans.oracleCtes("embeddings", "vec_id", "embedding",
+        k = 8, iters = 3, dim = 64) +
+      """,
+         qs AS (SELECT id AS qid, u FROM u0 WHERE id % 97 = 0),
+         probed AS (SELECT qid, cid FROM (
+             SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+               ORDER BY list_sum(list_transform(range(1, 65),
+                 i -> (c.c[i] - q.u[i]) * (c.c[i] - q.u[i]))), c.cid) AS rk
+             FROM c2 c, qs q) x WHERE rk <= 2),
+         qv AS (SELECT CAST(vec_id AS BIGINT) AS qid,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+                FROM embeddings WHERE vec_id % 97 = 0),
+         cv AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings),
+         sc AS (SELECT q.qid, v.vec_id,
+                  floor(list_sum(list_transform(list_zip(v.e, q.qe),
+                      p -> p[1] * p[2]))
+                    / (sqrt(list_sum(list_transform(v.e, x -> x * x)))
+                       * sqrt(list_sum(list_transform(q.qe, x -> x * x))))
+                    * 1000000 + 0.5) / 1000000 AS c
+                FROM qv q, cv v WHERE v.vec_id <> q.qid),
+         brute AS (SELECT qid, vec_id FROM (
+             SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+               ORDER BY c DESC, vec_id) AS rk
+             FROM sc) x WHERE rk <= 10),
+         cand AS (SELECT p.qid, a.id FROM probed p
+                  JOIN a3 a ON a.cid = p.cid WHERE a.id <> p.qid),
+         ivf AS (SELECT qid, vec_id FROM (
+             SELECT s.qid, s.vec_id, row_number() OVER (PARTITION BY s.qid
+               ORDER BY s.c DESC, s.vec_id) AS rk
+             FROM sc s JOIN cand ON cand.qid = s.qid
+               AND cand.id = s.vec_id) x WHERE rk <= 10),
+         ov AS (SELECT b.qid, CAST(count(*) AS BIGINT) AS n
+                FROM brute b JOIN ivf ON ivf.qid = b.qid
+                  AND ivf.vec_id = b.vec_id
+                GROUP BY 1)
+         SELECT CAST(q.qid AS BIGINT) AS query_id,
+           CAST(COALESCE(ov.n, 0) AS BIGINT) AS n_overlap,
+           CAST(COALESCE(ov.n, 0) * 1000000 // 10 AS BIGINT)
+             AS recall_micro
+         FROM (SELECT DISTINCT qid FROM qs) q
+         LEFT JOIN ov USING (qid) ORDER BY query_id"""),
+    // Purity replay: the generated k-means chain's final assignment (a2
+    // for iters=2), label join, window-max majority (c desc, lang desc
+    // — the struct-max tie order), one micro division.
+    "q_llm_cluster_purity" ->
+      (graft.llm.DetKMeans.oracleCtes("embeddings", "vec_id", "embedding",
+        k = 8, iters = 2, dim = 64) +
+      """,
+         lab AS (SELECT a.id, a.cid, d.lang FROM a2 a
+                 JOIN documents d ON CAST(d.doc_id AS BIGINT) = a.id),
+         cells AS (SELECT cid, lang, CAST(count(*) AS BIGINT) AS c
+                   FROM lab GROUP BY 1, 2),
+         pc AS (SELECT cid, c AS n_majority, lang AS majority_lang,
+                  row_number() OVER (PARTITION BY cid
+                    ORDER BY c DESC, lang DESC) AS rk
+                FROM cells),
+         nc AS (SELECT cid, CAST(sum(c) AS BIGINT) AS n_c FROM cells
+                GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_c) AS BIGINT) AS n FROM nc),
+         tm AS (SELECT CAST(sum(n_majority) AS BIGINT) AS nm FROM pc
+                WHERE rk = 1)
+         SELECT pc.cid, nc.n_c, pc.majority_lang, pc.n_majority,
+           CAST((tm.nm * 1000000) // tot.n AS BIGINT) AS purity_micro
+         FROM pc JOIN nc USING (cid), tot, tm
+         WHERE pc.rk = 1 ORDER BY pc.cid"""),
+    // Silhouette replay: the same generated k=8/iters=2 chain; b² from
+    // the c1 centroids with the assigned cid excluded, same DECIMAL
+    // scaled ratio, same truncating per-cluster mean.
+    "q_llm_silhouette" -> (graft.llm.DetKMeans.oracleCtes(
+      "embeddings", "vec_id", "embedding", k = 8, iters = 2, dim = 64) +
+      """,
+         sc AS (SELECT pt.id, c.cid,
+                  list_sum(list_transform(range(1, 65),
+                    i -> (pt.u[i] - c.c[i]) * (pt.u[i] - c.c[i]))) AS d
+                FROM u0 pt, c1 c),
+         bb AS (SELECT sc.id, CAST(min(sc.d) AS BIGINT) AS b2
+                FROM sc JOIN a2 ON sc.id = a2.id AND sc.cid <> a2.cid
+                GROUP BY sc.id),
+         sil AS (SELECT a2.cid,
+                   CASE WHEN greatest(a2.d, bb.b2) = 0
+                     THEN CAST(0 AS BIGINT)
+                     ELSE CAST((CAST(bb.b2 AS HUGEINT) - a2.d) * 1000000
+                       // greatest(a2.d, bb.b2) AS BIGINT) END AS s6
+                 FROM a2 JOIN bb ON a2.id = bb.id)
+         SELECT cid, CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(s6) // count(*) AS BIGINT) AS mean_s6
+         FROM sil GROUP BY cid ORDER BY cid"""),
+    // DBSCAN replay: same micro-unit quantization, exhaustive pair join,
+    // degree >= minPts-1 core rule, min-label closure over the core-core
+    // subgraph (the q_graph_wcc mechanism), min-core-neighbor border
+    // attach, and the noise fall-through.
+    "q_llm_dbscan" ->
+      """WITH RECURSIVE q AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+               * 1000000 + 0.5) AS BIGINT)) AS v
+           FROM embeddings),
+         pr AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+                FROM q a JOIN q b ON a.vec_id < b.vec_id
+                  AND list_sum(list_transform(range(1, 65),
+                    k -> (a.v[k] - b.v[k]) * (a.v[k] - b.v[k])))
+                    <= 1300000000000),
+         nb AS (SELECT ia AS id, ib AS nb FROM pr
+                UNION ALL SELECT ib, ia FROM pr),
+         core AS (SELECT id FROM nb GROUP BY id HAVING count(*) >= 3),
+         ce AS (SELECT ia, ib FROM pr
+                WHERE ia IN (SELECT id FROM core)
+                  AND ib IN (SELECT id FROM core)),
+         adj AS (SELECT ia AS src, ib AS dst FROM ce
+                 UNION ALL SELECT ib, ia FROM ce),
+         r AS (SELECT src AS node, src AS lbl
+               FROM (SELECT DISTINCT src FROM adj)
+               UNION
+               SELECT adj.dst, r.lbl FROM r JOIN adj ON adj.src = r.node
+               WHERE r.lbl < adj.dst),
+         comp AS (SELECT node, min(lbl) AS component FROM r GROUP BY node),
+         ca AS (SELECT core.id, COALESCE(comp.component, core.id) AS cluster
+                FROM core LEFT JOIN comp ON comp.node = core.id),
+         ba AS (SELECT nb.id, min(nb.nb) AS mnb
+                FROM nb JOIN ca ON ca.id = nb.nb
+                WHERE nb.id NOT IN (SELECT id FROM core)
+                GROUP BY nb.id),
+         bd AS (SELECT ba.id, ca.cluster FROM ba JOIN ca ON ca.id = ba.mnb),
+         asg AS (SELECT id, 'core' AS role, cluster FROM ca
+                 UNION ALL SELECT id, 'border', cluster FROM bd),
+         ns AS (SELECT vec_id AS id, 'noise' AS role,
+                  CAST(-1 AS BIGINT) AS cluster
+                FROM q WHERE vec_id NOT IN (SELECT id FROM asg))
+         SELECT CAST(id AS BIGINT) AS vec_id, role,
+           CAST(cluster AS BIGINT) AS cluster_id
+         FROM (SELECT * FROM asg UNION ALL SELECT * FROM ns)
+         ORDER BY vec_id""",
+  )
+}

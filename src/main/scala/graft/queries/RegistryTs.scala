@@ -1,0 +1,761 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.config.Catalog
+import graft.header.HeaderDetector
+import graft.io.FileReader
+import graft.llm.{Decontaminate, Dedup, Index, Multimodal, Pack, SemDedup, Similarity, TextAnalysis, Urls}
+import graft.pipeline.Ingestor
+import graft.transform.Transformers
+
+import scala.collection.immutable.ListMap
+
+/** Time-series queries.
+  *
+  * Split from the monolithic Registry (round 13); see [[Registry]] for the
+  * registration maps and conventions. */
+trait RegistryTs extends RegistryStats {
+
+  /** Cross-correlation function (CCF) between the daily view and
+    * purchase series at lags 0..7 — the lead/lag diagnostic a
+    * marketing/ops analyst runs before claiming "views convert to
+    * purchases k days later" (Box & Jenkins 1970 ch. 11's sample CCF,
+    * on the two series the events table actually carries). Exactness:
+    * both series are integer daily counts from ONE events pass; lag
+    * pairs come from a self-join of the tiny day-grain aggregate
+    * (≤ one row per day — broadcastable at any corpus scale, the same
+    * reduce-then-pair shape as seasonality); per-lag Pearson moments
+    * are exact DECIMAL(38,0), and the only double surface is the final
+    * num/sqrt(dx·dy) division, floored to 4 dp with zero-variance
+    * lags degenerating to 0. */
+  protected def tsCcf(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val days = t(spark, dir, "events")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .cast(dec).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .cast(dec).as("y"))
+    val a = days.select(col("day").as("a_day"), col("x"))
+    val b = days.select(col("day").as("b_day"), col("y"))
+    a.join(broadcast(b),
+        col("b_day") - col("a_day") >= 0 && col("b_day") - col("a_day") <= 7)
+      .select((col("b_day") - col("a_day")).as("lag"), col("x"), col("y"))
+      .groupBy("lag")
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"))
+      .select(col("lag").cast("long").as("lag"),
+        col("n").cast("long").as("n_days"),
+        expr("""CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+          THEN CAST(0.0 AS DOUBLE)
+          ELSE floor(CAST(n * sxy - sx * sy AS DOUBLE)
+            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+              * CAST(n * syy - sy * sy AS DOUBLE)) * 10000) / 10000
+          END""").as("r4"))
+      .orderBy("lag")
+  }
+
+  /** Partial autocorrelation function at lags 1..7 via Durbin–Levinson
+    * (Box & Jenkins 1970 §3.2; Durbin 1960) — the AR-order diagnostic
+    * [[statsAutocorr]] cannot give: ACF at lag k mixes the direct
+    * effect with everything propagated through lags < k, PACF isolates
+    * it (the "does yesterday STILL matter given the week?" question).
+    * Determinism: the day-grain series is collected ORDERED and every
+    * double op — mean, the ascending-t autocovariance folds, the DL
+    * recursion — is mirrored op-for-op by the oracle's recursive CTE
+    * carrying the φ row as a LIST<DOUBLE> (prototyped standalone: CTE
+    * output == an independent Python fold on a 15-value series).
+    * Guards match: series shorter than 8 days or with zero variance
+    * yield no rows. Scale shape: one events pass to the day grain;
+    * the collected series is bounded by the CALENDAR (≤ a few
+    * thousand doubles at any corpus size), so driver-side DL is the
+    * [[statsCorr]] moment-collect discipline, not a data collect. */
+  protected def tsPacf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val xs: Array[Long] = t(spark, dir, "events")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .orderBy("day").select("x").collect().map(_.getLong(0))
+    val n = xs.length
+    val empty = Seq.empty[(Long, Double)].toDF("lag", "pacf4")
+    if (n < 8) return empty
+    val s = xs.foldLeft(0L)(_ + _)
+    val mean = s.toDouble / n.toDouble
+    def gamma(k: Int): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < n - k) {
+        acc = acc + (xs(i) - mean) * (xs(i + k) - mean)
+        i += 1
+      }
+      acc / n.toDouble
+    }
+    val g = (0 to 7).map(gamma).toArray
+    if (g(0) == 0.0) return empty
+    val pacf = new Array[Double](8)
+    pacf(1) = g(1) / g(0)
+    var phi = Array(g(1) / g(0))
+    var v = g(0) * (1.0 - (g(1) / g(0)) * (g(1) / g(0)))
+    for (k <- 1 until 7) {
+      var acc = 0.0
+      for (j2 <- 1 to k) acc = acc + phi(j2 - 1) * g(k + 1 - j2)
+      val pkk = (g(k + 1) - acc) / v
+      val next = new Array[Double](k + 1)
+      for (j <- 1 to k) next(j - 1) = phi(j - 1) - pkk * phi(k - j)
+      next(k) = pkk
+      v = v * (1.0 - pkk * pkk)
+      phi = next
+      pacf(k + 1) = pkk
+    }
+    (1 to 7).map(k => (k.toLong, math.floor(pacf(k) * 10000) / 10000))
+      .toDF("lag", "pacf4")
+  }
+
+  /** Day-of-week seasonality of event volume — the variance-explained
+    * decomposition (η² = SSB/SST, one-way ANOVA over weekday groups)
+    * that decides whether a forecast/anomaly baseline needs a weekly
+    * profile or a flat trend. Exactness: daily counts are integers, the
+    * day-of-week is pure integer epoch arithmetic ((day+4) mod 7 — no
+    * timezone/date functions to drift between engines), and both sums
+    * of squares clear to integer micro-units via per-group
+    * floor(S_g²·10⁶ div c_g) BEFORE differencing — one double division
+    * at the surface. Per-dow means are exact integer divisions. */
+  protected def tsSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val days = t(spark, dir, "events")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("dow", expr("(day + 4) % 7"))
+    val g = days.groupBy("dow").agg(count(lit(1)).as("c"),
+        sum(col("x")).as("s"),
+        sum(col("x").cast(dec) * col("x")).as("q"))
+      .withColumn("gb", expr(
+        "(CAST(s AS DECIMAL(38,0)) * s * 1000000) div c"))
+    val tot = g.agg(sum(col("c")).as("n"), sum(col("s")).as("st"),
+        sum(col("q")).as("qt"), sum(col("gb").cast(dec)).as("sgb"))
+      .select(col("n"), col("st"), col("qt"), col("sgb"),
+        expr("(CAST(st AS DECIMAL(38,0)) * st * 1000000) div n").as("cf"))
+      .select(col("n").cast("long").as("n_days"),
+        (floor((col("sgb") - col("cf")).cast("double")
+          / (col("qt") * 1000000 - col("cf")).cast("double")
+          * 1e6) / 1e6).as("eta6"))
+    g.select(col("dow").cast("long").as("dow"), col("c").as("n_days_dow"),
+        expr("(CAST(s AS DECIMAL(38,0)) * 1000000) div c").as("mean_micro"))
+      .crossJoin(broadcast(tot))
+      .orderBy("dow")
+  }
+
+  /** Exponential smoothing (EWMA, α = 1/4) of the per-user minute-bin
+    * value series — the trailing-baseline a monitoring pipeline keeps
+    * per key ("is the current bin off-trend"), companion to
+    * [[tsResample]]. Exactness: bin values are exact integer 10⁴ units;
+    * the recurrence s_t = (v_t + 3·s_{t−1}) div 4 runs as ONE fold
+    * inside a higher-order function on the SORTED per-user series
+    * (Spark `aggregate(slice(...), first, ...)` ≡ DuckDB `list_reduce`)
+    * — all operands positive, so truncating div matches // step for
+    * step. Scale shape: one groupBy to bins, one groupBy to per-key
+    * series; the fold is row-local over each key's bounded series — the
+    * state never crosses an exchange (what mapGroupsWithState does in
+    * the streaming surface, done here in batch). */
+  protected def tsEwma(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events").filter(col("user_id") < 5)
+      .select(col("user_id"), expr("ts div 60000000000").as("bin"),
+        floor(col("value") * 10000 + 0.5).cast("long").as("u"))
+    e.groupBy("user_id", "bin").agg(sum(col("u")).as("bu"))
+      .groupBy("user_id").agg(
+        count(lit(1)).as("n_bins"),
+        expr("transform(sort_array(collect_list(struct(bin, bu))), " +
+          "p -> p.bu)").as("vals"))
+      .select(col("user_id"), col("n_bins"),
+        expr("element_at(vals, 1)").as("first_units"),
+        expr("element_at(vals, -1)").as("last_units"),
+        expr("aggregate(slice(vals, 2, size(vals) - 1), " +
+          "element_at(vals, 1), (acc, x) -> (x + 3 * acc) div 4)")
+          .as("ewma_units"))
+      .orderBy("user_id")
+  }
+
+  /** Time-series gap-fill + resample: events (bounded user slice) bucketed to 1-minute bins per user, the per-user span densified (every minute present), empty bins
+    * forward-filled with the last seen value. Bin index uses exact integer
+    * floor-division (`div` / DuckDB `//`) — double division of nanosecond
+    * epochs can misbin boundary timestamps. */
+  protected def tsResample(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("bin_minute")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val e = t(spark, dir, "events").filter(col("user_id") < 5)
+      .select(col("user_id"), expr("ts div 60000000000").as("bin_minute"),
+        col("value"))
+    val binned = e.groupBy("user_id", "bin_minute")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(20, 4))).cast("double").as("bin_value"))
+    val grid = binned.groupBy("user_id")
+      .agg(min("bin_minute").as("lo"), max("bin_minute").as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"))).as("bin_minute"))
+    grid.join(binned, Seq("user_id", "bin_minute"), "left")
+      .select(col("user_id"), col("bin_minute"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("bin_value"), ignoreNulls = true).over(w).as("filled_value"))
+      .orderBy("user_id", "bin_minute")
+  }
+
+  /** CUSUM changepoint probe on daily volume (Page 1954 — "did the level
+    * shift, and when?"): the drift detector a monitoring pipeline runs
+    * before trusting week-over-week comparisons. Exactness: the
+    * cumulative statistic is the INTEGER S_i = Σ_{j≤i} (n·x_j − T)
+    * (each term scaled by n so the mean subtraction never leaves the
+    * integers; S_n ≡ 0 by construction), the changepoint is argmax |S|
+    * with the earliest day breaking ties, and the before/after level
+    * means are integer micro-unit divisions. All windows run over the
+    * bounded daily relation. */
+  protected def tsChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = t(spark, dir, "events")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val tot = days.agg(count(lit(1)).as("n"), sum(col("x")).as("tt"))
+    val cus = days.crossJoin(broadcast(tot))
+      .withColumn("s", sum(col("x") * col("n") - col("tt")).over(
+        Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val cp = cus.orderBy(abs(col("s")).desc, col("day")).limit(1)
+      .select(col("day").as("cp_day"), abs(col("s")).as("s_abs"))
+    days.crossJoin(broadcast(cp))
+      .groupBy("cp_day", "s_abs")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("day") <= col("cp_day"), col("x"))).as("sb"),
+        sum(when(col("day") <= col("cp_day"), 1L).otherwise(0L)).as("nb"),
+        sum(when(col("day") > col("cp_day"), col("x"))).as("sa"),
+        sum(when(col("day") > col("cp_day"), 1L).otherwise(0L)).as("na"))
+      .select(col("n_days"), col("cp_day"), col("s_abs"),
+        expr("sb * 1000000 div nb").as("mean_before_micro"),
+        expr("CASE WHEN na = 0 THEN NULL ELSE sa * 1000000 div na END")
+          .as("mean_after_micro"))
+  }
+
+  /** Hampel filter on the daily volume series (Hampel 1974; Pearson
+    * 2002 on its use as the standard despiking filter): a day is an
+    * outlier when it sits more than 3 rolling MADs from the rolling
+    * ±3-day median — the robust alternative to z-score despiking that a
+    * volume monitor runs before trend tests like [[statsMannKendall]].
+    * FULLY integer: counts are integers, a 7-slot window has an odd
+    * length so median and MAD are exact integers (edge days with
+    * partial windows are excluded — no ½ midpoints), the flag is the
+    * integer compare |x−med| > 3·MAD (MAD = 0 degenerates to "any
+    * deviation flags", the documented Hampel edge). The ±3-row window
+    * runs over the bounded daily relation, never the corpus. */
+  protected def tsHampel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = t(spark, dir, "events")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.orderBy("day").rowsBetween(-3, 3)
+    days.withColumn("lst", collect_list(col("x")).over(w))
+      .filter(size(col("lst")) === 7)
+      .withColumn("med", expr("element_at(array_sort(lst), 4)"))
+      .withColumn("mad",
+        expr("element_at(array_sort(transform(lst, e -> abs(e - med))), 4)"))
+      .select(col("day"), col("x"), col("med"), col("mad"),
+        (abs(col("x") - col("med")) > lit(3L) * col("mad")).as("is_outlier"))
+      .orderBy("day")
+  }
+
+  /** Holt linear (double) exponential smoothing of daily volume
+    * (Holt 1957/2004 reprint) with α = β = 1/4 — the trend-aware
+    * successor of [[tsEwma]]'s level-only baseline: keeps (level,
+    * trend) state so a steadily growing series forecasts ahead instead
+    * of lagging. Exactness: daily counts in exact 10⁴ units; the
+    * coupled recurrence l' = (x + 3(l+b)) div 4, b' = (l'−l+3b) div 4
+    * runs as ONE struct-accumulator fold over the sorted bounded daily
+    * series (initialized l₂=x₂, b₂=x₂−x₁) — all integer, and div ≡ //
+    * (both truncate) keeps a negative trend in lockstep. The ORACLE
+    * replays the recurrence with a recursive CTE rather than
+    * list_reduce: DuckDB 1.0.0's list_reduce mis-accumulates STRUCT
+    * accumulators (measured: two chained steps drop the trend field —
+    * each single step is correct), so the replay mechanism differs
+    * while the arithmetic stays identical. */
+  protected def tsHolt(spark: SparkSession, dir: String): DataFrame = {
+    val days = t(spark, dir, "events")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg((count(lit(1)) * 10000L).as("x"))
+    days.agg(count(lit(1)).as("n_days"),
+        expr("transform(sort_array(collect_list(struct(day, x))), " +
+          "p -> p.x)").as("vals"))
+      .filter(col("n_days") >= 2)
+      .withColumn("st", expr(
+        "aggregate(slice(vals, 3, greatest(size(vals) - 2, 0)), " +
+          "named_struct('l', element_at(vals, 2), " +
+          "'b', element_at(vals, 2) - element_at(vals, 1)), " +
+          "(acc, x) -> named_struct(" +
+          "'l', (x + 3 * (acc.l + acc.b)) div 4, " +
+          "'b', ((x + 3 * (acc.l + acc.b)) div 4 - acc.l + 3 * acc.b) " +
+          "div 4))"))
+      .select(col("n_days"), col("st.l").as("level_units"),
+        col("st.b").as("trend_units"),
+        (col("st.l") + col("st.b")).as("forecast_units"))
+  }
+
+  /** In-sample one-step-ahead backtest of the [[tsHolt]] smoother —
+    * sMAPE (Makridakis 1993's symmetric percentage error) and MASE
+    * (Hyndman & Koehler 2006's scale-free error against the naive
+    * x_{t-1} forecast): the engine measuring its OWN forecaster, the
+    * time-series member of the self-eval family (ANN recall, langid
+    * confusion, purity, McNemar, calibration). At each step t ≥ 3 the
+    * forecast is l+b BEFORE the Holt update sees x_t, so errors are
+    * honest one-step-ahead. FULLY integer: e = |x − (l+b)| in 10⁴
+    * units, per-step smape₄ = 2e·10⁴ div (|x|+|l+b|) (x > 0 always —
+    * day rows exist only with ≥1 event — so the denominator never
+    * vanishes; Long-safe to ~4·10⁸ events/day), reported smape₄ is
+    * the truncating mean, mase₄ = Σe·10⁴ div Σ|x_t − x_{t-1}| over
+    * the same window (0 on a constant series). ONE struct fold over
+    * the sorted bounded daily series; oracle = the [[tsHolt]]
+    * recursive-CTE mechanism with the (sae, ssm) state carried
+    * alongside (l, b). */
+  protected def tsBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val days = t(spark, dir, "events")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg((count(lit(1)) * 10000L).as("x"))
+    days.agg(count(lit(1)).as("n_days"),
+        expr("transform(sort_array(collect_list(struct(day, x))), " +
+          "p -> p.x)").as("vals"))
+      .filter(col("n_days") >= 3)
+      .withColumn("st", expr(
+        "aggregate(slice(vals, 3, size(vals) - 2), " +
+          "named_struct('l', element_at(vals, 2), " +
+          "'b', element_at(vals, 2) - element_at(vals, 1), " +
+          "'sae', CAST(0 AS BIGINT), 'ssm', CAST(0 AS BIGINT)), " +
+          "(acc, x) -> named_struct(" +
+          "'l', (x + 3 * (acc.l + acc.b)) div 4, " +
+          "'b', ((x + 3 * (acc.l + acc.b)) div 4 - acc.l + 3 * acc.b) " +
+          "div 4, " +
+          "'sae', acc.sae + abs(x - acc.l - acc.b), " +
+          "'ssm', acc.ssm + 2 * abs(x - acc.l - acc.b) * 10000 " +
+          "div (abs(x) + abs(acc.l + acc.b))))"))
+      .withColumn("naive", expr(
+        "aggregate(sequence(3, CAST(size(vals) AS INT)), " +
+          "CAST(0 AS BIGINT), " +
+          "(a, i) -> a + abs(element_at(vals, i) - element_at(vals, i - 1)))"))
+      .select(col("n_days"), (col("n_days") - 2).as("n_eval"),
+        col("st.sae").as("sae_units"),
+        expr("st.ssm div (n_days - 2)").as("smape4"),
+        expr("CASE WHEN naive = 0 THEN 0 " +
+          "ELSE st.sae * 10000 div naive END").as("mase4"))
+  }
+
+  /** Split-conformal prediction interval for the [[tsHolt]] forecaster
+    * (Vovk et al. 2005; Lei et al. 2018's split-conformal recipe) with
+    * honest held-out coverage — the uncertainty member of the
+    * self-eval family: [[tsBacktest]] scores point accuracy, this
+    * query asks whether ±q̂ covers the stated 90%. The one-step
+    * |residual| sequence (PRE-update forecasts, the backtest
+    * discipline) splits chronologically — first ⌊2m/3⌋ steps
+    * calibrate, the rest test; q̂ is the k-th smallest calibration
+    * residual with k = min(⌈0.9·(c+1)⌉, c) (the finite-sample
+    * conformal rank), and coverage₄ = |{test : r ≤ q̂}|·10⁴ div
+    * n_test. FULLY integer over the bounded daily series — one struct
+    * fold carrying (l, b, residual list), array_sort + element_at for
+    * the order statistic (tie values make rank-k deterministic);
+    * oracle = the recursive-CTE replay with a rank window. */
+  protected def tsConformal(spark: SparkSession, dir: String): DataFrame = {
+    val days = t(spark, dir, "events")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg((count(lit(1)) * 10000L).as("x"))
+    days.agg(count(lit(1)).as("n_days"),
+        expr("transform(sort_array(collect_list(struct(day, x))), " +
+          "p -> p.x)").as("vals"))
+      .filter(col("n_days") >= 4)
+      .withColumn("st", expr(
+        "aggregate(slice(vals, 3, size(vals) - 2), " +
+          "named_struct('l', element_at(vals, 2), " +
+          "'b', element_at(vals, 2) - element_at(vals, 1), " +
+          "'rs', CAST(array() AS ARRAY<BIGINT>)), " +
+          "(acc, x) -> named_struct(" +
+          "'l', (x + 3 * (acc.l + acc.b)) div 4, " +
+          "'b', ((x + 3 * (acc.l + acc.b)) div 4 - acc.l + 3 * acc.b) " +
+          "div 4, " +
+          "'rs', concat(acc.rs, array(abs(x - acc.l - acc.b)))))"))
+      .withColumn("m", expr("CAST(size(st.rs) AS BIGINT)"))
+      .withColumn("c", expr("2 * m div 3"))
+      .withColumn("k", expr("least((9 * c + 18) div 10, c)"))
+      .withColumn("qhat", expr(
+        "element_at(array_sort(slice(st.rs, 1, CAST(c AS INT))), " +
+          "CAST(k AS INT))"))
+      .select(col("n_days"), col("c").as("n_cal"),
+        (col("m") - col("c")).as("n_test"),
+        col("qhat").as("qhat_units"),
+        expr("CAST(size(filter(slice(st.rs, CAST(c + 1 AS INT), " +
+          "CAST(m - c AS INT)), r -> r <= qhat)) AS BIGINT) " +
+          "* 10000 div (m - c)").as("coverage4"))
+  }
+
+  /** Holt–Winters additive seasonal smoothing of daily volume (Winters
+    * 1960; α = β = γ = 1/4, period 7) — the weekly-seasonality-aware
+    * completion of the [[tsEwma]] → [[tsHolt]] ladder: level, trend,
+    * AND a 7-slot day-of-week profile maintained together, so the
+    * one-step forecast stops mistaking Sunday dips for trend breaks.
+    * Exactness: 10⁴-unit integer state throughout — init l₀ = (Σ first
+    * week) div 7, b₀ = 0, sᵢ = xᵢ − l₀; each step updates
+    * l' = (x − s_pos + 3(l+b)) div 4, b' = (l'−l+3b) div 4,
+    * s'_pos = (x − l' + 3·s_pos) div 4 inside ONE struct{l, b,
+    * array}-accumulator fold over the index-tagged tail (div ≡ //
+    * truncation carries the negative seasonal offsets in lockstep).
+    * The oracle replays with a recursive CTE carrying the seasonal
+    * LIST column (the [[tsHolt]] mechanism — DuckDB 1.0.0 list_reduce
+    * cannot hold struct state). Series shorter than 8 days yield no
+    * row on either engine. */
+  protected def tsHoltWinters(spark: SparkSession, dir: String): DataFrame = {
+    val l2 = "(e.v - element_at(acc.se, CAST((e.t - 1) % 7 + 1 AS INT))" +
+      " + 3 * (acc.l + acc.b)) div 4"
+    val days = t(spark, dir, "events")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg((count(lit(1)) * 10000L).as("x"))
+    days.agg(count(lit(1)).as("n_days"),
+        expr("transform(sort_array(collect_list(struct(day, x))), " +
+          "p -> p.x)").as("vals"))
+      .filter(col("n_days") >= 8)
+      .withColumn("l0",
+        expr("aggregate(slice(vals, 1, 7), CAST(0 AS BIGINT), " +
+          "(a, x) -> a + x) div 7"))
+      .withColumn("st", expr(
+        "aggregate(" +
+          "transform(slice(vals, 8, greatest(size(vals) - 7, 0)), " +
+          "(v, k) -> named_struct('v', v, 't', CAST(k AS BIGINT) + 8)), " +
+          "named_struct('l', l0, 'b', CAST(0 AS BIGINT), " +
+          "'se', transform(slice(vals, 1, 7), x -> x - l0)), " +
+          "(acc, e) -> named_struct(" +
+          s"'l', $l2, " +
+          s"'b', ($l2 - acc.l + 3 * acc.b) div 4, " +
+          "'se', transform(acc.se, (s0, j) -> " +
+          "IF(CAST(j AS BIGINT) + 1 = (e.t - 1) % 7 + 1, " +
+          s"(e.v - ($l2) + 3 * s0) div 4, s0)))" +
+          ")"))
+      .select(col("n_days"), col("st.l").as("level_units"),
+        col("st.b").as("trend_units"),
+        expr("element_at(st.se, CAST(n_days % 7 + 1 AS INT))")
+          .as("next_seasonal_units"),
+        (col("st.l") + col("st.b") +
+          expr("element_at(st.se, CAST(n_days % 7 + 1 AS INT))"))
+          .as("forecast_units"),
+        expr("st.se[0]").as("seas1"), expr("st.se[1]").as("seas2"),
+        expr("st.se[2]").as("seas3"), expr("st.se[3]").as("seas4"),
+        expr("st.se[4]").as("seas5"), expr("st.se[5]").as("seas6"),
+        expr("st.se[6]").as("seas7"))
+  }
+
+  protected val tsOracleSql: ListMap[String, String] = ListMap(
+    "q_ts_resample" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 60000000000 AS bin_minute, value
+                    FROM events WHERE user_id < 5),
+         binned AS (SELECT user_id, bin_minute, count(*) AS n_events,
+                      CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS bin_value
+                    FROM e GROUP BY user_id, bin_minute),
+         spans AS (SELECT user_id, min(bin_minute) AS lo, max(bin_minute) AS hi
+                   FROM binned GROUP BY user_id),
+         grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS bin_minute FROM spans)
+         SELECT g.user_id, g.bin_minute,
+                COALESCE(b.n_events, 0) AS n_events,
+                last_value(b.bin_value IGNORE NULLS) OVER (
+                  PARTITION BY g.user_id ORDER BY g.bin_minute
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+         FROM grid g LEFT JOIN binned b
+           ON g.user_id = b.user_id AND g.bin_minute = b.bin_minute
+         ORDER BY g.user_id, g.bin_minute""",
+    // EWMA replay: same integer bin units, list_reduce runs the same
+    // (v + 3s) // 4 recurrence over the same bin-sorted series.
+    "q_ts_ewma" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 60000000000 AS bin,
+             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS u
+           FROM events WHERE user_id < 5),
+         b AS (SELECT user_id, bin, CAST(sum(u) AS BIGINT) AS bu
+               FROM e GROUP BY 1, 2),
+         s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_bins,
+                 list(bu ORDER BY bin) AS vals
+               FROM b GROUP BY 1)
+         SELECT user_id, n_bins, vals[1] AS first_units,
+           vals[-1] AS last_units,
+           CAST(list_reduce(vals, (acc, x) -> (x + 3 * acc) // 4)
+             AS BIGINT) AS ewma_units
+         FROM s ORDER BY user_id""",
+    // Seasonality replay: same integer epoch day-of-week, same cleared
+    // per-group floor(S²·10⁶ // c) sums of squares, same single division.
+    "q_ts_seasonality" ->
+      """WITH days AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         d2 AS (SELECT (day + 4) % 7 AS dow, x FROM days),
+         g AS (SELECT dow, CAST(count(*) AS BIGINT) AS c,
+                 CAST(sum(x) AS BIGINT) AS s,
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q,
+                 (CAST(sum(x) AS HUGEINT) * CAST(sum(x) AS HUGEINT)
+                   * 1000000) // CAST(count(*) AS HUGEINT) AS gb
+               FROM d2 GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                   CAST(sum(s) AS HUGEINT) AS st,
+                   CAST(sum(q) AS HUGEINT) AS qt,
+                   CAST(sum(gb) AS HUGEINT) AS sgb
+                 FROM g),
+         eta AS (SELECT CAST(n AS BIGINT) AS n_days,
+                   FLOOR(CAST(sgb - (st * st * 1000000) // n AS DOUBLE)
+                     / CAST(qt * 1000000 - (st * st * 1000000) // n
+                       AS DOUBLE) * 1e6) / 1e6 AS eta6
+                 FROM tot)
+         SELECT CAST(g.dow AS BIGINT) AS dow, g.c AS n_days_dow,
+           CAST((CAST(g.s AS HUGEINT) * 1000000) // g.c AS BIGINT)
+             AS mean_micro,
+           eta.n_days, eta.eta6
+         FROM g, eta ORDER BY dow""",
+    // CUSUM replay: same n-scaled integer cumulative statistic, same
+    // earliest-day argmax tie-break, same micro-unit level means.
+    "q_ts_changepoint" ->
+      """WITH days AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS tt FROM days),
+         cus AS (SELECT day, x,
+                   CAST(sum(x * n - tt) OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS s
+                 FROM days, tot),
+         cp AS (SELECT day AS cp_day, abs(s) AS s_abs
+                FROM cus ORDER BY abs(s) DESC, day LIMIT 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_days, cp_day, s_abs,
+           CAST(sum(CASE WHEN day <= cp_day THEN x END) * 1000000
+             // sum(CASE WHEN day <= cp_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS mean_before_micro,
+           CAST(CASE WHEN sum(CASE WHEN day > cp_day THEN 1 ELSE 0 END) = 0
+             THEN NULL
+             ELSE sum(CASE WHEN day > cp_day THEN x END) * 1000000
+               // sum(CASE WHEN day > cp_day THEN 1 ELSE 0 END) END
+             AS BIGINT) AS mean_after_micro
+         FROM days, cp GROUP BY cp_day, s_abs""",
+    // Hampel replay: same 7-slot rolling list, same integer median/MAD
+    // picks, same 3-MAD integer compare.
+    "q_ts_hampel" ->
+      """WITH days AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         win AS (SELECT day, x, list(x) OVER (ORDER BY day
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS lst
+           FROM days),
+         f7 AS (SELECT day, x, lst, list_sort(lst)[4] AS med
+                FROM win WHERE len(lst) = 7),
+         m AS (SELECT day, x, med,
+                 list_sort(list_transform(lst, e -> abs(e - med)))[4] AS mad
+               FROM f7)
+         SELECT day, x, med, mad, abs(x - med) > 3 * mad AS is_outlier
+         FROM m ORDER BY day""",
+    // Holt replay: a RECURSIVE CTE carries the identical (level, trend)
+    // integer recurrence (DuckDB 1.0.0 list_reduce mis-accumulates
+    // struct accumulators, so the fold mechanism differs; the
+    // arithmetic is step-identical).
+    "q_ts_holt" ->
+      """WITH RECURSIVE days AS (SELECT
+             epoch_ns(ts) // 86400000000000 AS day,
+             CAST(count(*) * 10000 AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 list(x ORDER BY day) AS vals FROM days),
+         r AS (SELECT 2 AS i, vals[2] AS l, vals[2] - vals[1] AS b FROM s
+               UNION ALL
+               SELECT i + 1, (s.vals[i + 1] + 3 * (l + b)) // 4,
+                 ((s.vals[i + 1] + 3 * (l + b)) // 4 - l + 3 * b) // 4
+               FROM r, s WHERE i < s.n)
+         SELECT s.n AS n_days, r.l AS level_units, r.b AS trend_units,
+           r.l + r.b AS forecast_units
+         FROM r, s WHERE r.i = s.n AND s.n >= 2""",
+    // CCF replay: same day-grain conditional counts, same 0..7-lag
+    // banded self-join of the tiny day aggregate, HUGEINT exact moments
+    // (DuckDB's 128-bit integer = the engine's DECIMAL(38,0) discipline),
+    // one num/sqrt double surface floored 4dp, zero-variance lag -> 0.
+    "q_ts_ccf" ->
+      """WITH d AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS HUGEINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS HUGEINT) AS y
+           FROM events GROUP BY 1),
+         p AS (SELECT b.day - a.day AS lag, a.x AS x, b.y AS y
+               FROM d a JOIN d b ON b.day - a.day BETWEEN 0 AND 7),
+         m AS (SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+           FROM p GROUP BY lag)
+         SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_days,
+           CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+           THEN CAST(0.0 AS DOUBLE)
+           ELSE floor(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+               * CAST(n * syy - sy * sy AS DOUBLE)) * 10000) / 10000
+           END AS r4
+         FROM m ORDER BY lag""",
+    // PACF replay: day-grain list ordered by day, ascending-t
+    // autocovariance folds (explicit list_reduce with a 0.0 seed — order
+    // pinned), then the Durbin-Levinson recursion carrying the phi row
+    // as LIST<DOUBLE>; prototyped standalone against a Python fold.
+    "q_ts_pacf" ->
+      """WITH RECURSIVE days AS (SELECT
+             epoch_ns(ts) // 86400000000000 AS day,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+         xs AS (SELECT list(c ORDER BY day) AS x FROM days),
+         st AS (SELECT x, CAST(len(x) AS BIGINT) AS n,
+             CAST(list_reduce(x, (a, b) -> a + b) AS BIGINT) AS s
+           FROM xs WHERE len(x) >= 8),
+         mn AS (SELECT x, n,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m FROM st),
+         gam AS (SELECT
+             list_transform(range(0, 8), k ->
+               list_reduce(
+                 list_concat([CAST(0.0 AS DOUBLE)],
+                   list_transform(range(1, CAST(n AS INT) - CAST(k AS INT) + 1),
+                     t -> (x[t] - m) * (x[t + k] - m))),
+                 (a, b) -> a + b) / CAST(n AS DOUBLE)) AS g
+           FROM mn),
+         dl AS (
+           SELECT 1 AS k, [g[2] / g[1]] AS phi,
+             g[1] * (1.0 - (g[2] / g[1]) * (g[2] / g[1])) AS v, g
+           FROM gam WHERE g[1] <> 0
+           UNION ALL
+           SELECT k + 1,
+             list_concat(
+               list_transform(range(1, k + 1), j -> phi[j] -
+                 ((g[k + 2] - list_reduce(
+                     list_concat([CAST(0.0 AS DOUBLE)],
+                       list_transform(range(1, k + 1),
+                         j2 -> phi[j2] * g[k + 2 - j2])),
+                     (a, b) -> a + b)) / v) * phi[k + 1 - j]),
+               [(g[k + 2] - list_reduce(
+                   list_concat([CAST(0.0 AS DOUBLE)],
+                     list_transform(range(1, k + 1),
+                       j2 -> phi[j2] * g[k + 2 - j2])),
+                   (a, b) -> a + b)) / v]) AS phi,
+             v * (1.0 - ((g[k + 2] - list_reduce(
+                   list_concat([CAST(0.0 AS DOUBLE)],
+                     list_transform(range(1, k + 1),
+                       j2 -> phi[j2] * g[k + 2 - j2])),
+                   (a, b) -> a + b)) / v)
+                 * ((g[k + 2] - list_reduce(
+                   list_concat([CAST(0.0 AS DOUBLE)],
+                     list_transform(range(1, k + 1),
+                       j2 -> phi[j2] * g[k + 2 - j2])),
+                   (a, b) -> a + b)) / v)) AS v,
+             g
+           FROM dl WHERE k < 7)
+         SELECT CAST(k AS BIGINT) AS lag,
+           floor(phi[k] * 10000) / 10000 AS pacf4
+         FROM dl ORDER BY k""",
+    // Backtest replay: the q_ts_holt recursive CTE with (sae, ssm)
+    // carried beside (l, b) — forecasts read the PRE-update state —
+    // plus the naive |x_t − x_{t-1}| window for MASE.
+    "q_ts_backtest" ->
+      """WITH RECURSIVE days AS (SELECT
+             epoch_ns(ts) // 86400000000000 AS day,
+             CAST(count(*) * 10000 AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 list(x ORDER BY day) AS vals FROM days),
+         r AS (SELECT 2 AS i, vals[2] AS l, vals[2] - vals[1] AS b,
+                 CAST(0 AS BIGINT) AS sae, CAST(0 AS BIGINT) AS ssm
+               FROM s
+               UNION ALL
+               SELECT i + 1, (s.vals[i + 1] + 3 * (l + b)) // 4,
+                 ((s.vals[i + 1] + 3 * (l + b)) // 4 - l + 3 * b) // 4,
+                 sae + abs(s.vals[i + 1] - l - b),
+                 ssm + 2 * abs(s.vals[i + 1] - l - b) * 10000
+                   // (abs(s.vals[i + 1]) + abs(l + b))
+               FROM r, s WHERE i < s.n),
+         nv AS (SELECT CAST(coalesce(list_sum(list_transform(
+                   range(3, CAST(n AS INT) + 1),
+                   i -> abs(vals[i] - vals[i - 1]))), 0) AS BIGINT)
+                  AS naive
+                FROM s)
+         SELECT s.n AS n_days, s.n - 2 AS n_eval, r.sae AS sae_units,
+           r.ssm // (s.n - 2) AS smape4,
+           CASE WHEN nv.naive = 0 THEN 0
+                ELSE r.sae * 10000 // nv.naive END AS mase4
+         FROM r, s, nv WHERE r.i = s.n AND s.n >= 3""",
+    // Conformal replay: the same recursive Holt CTE emitting each
+    // step's PRE-update |residual| as a row, chronological 2/3 split,
+    // rank window for the k-th smallest calibration residual, coverage
+    // on the tail.
+    "q_ts_conformal" ->
+      """WITH RECURSIVE days AS (SELECT
+             epoch_ns(ts) // 86400000000000 AS day,
+             CAST(count(*) * 10000 AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 list(x ORDER BY day) AS vals FROM days),
+         r AS (SELECT 2 AS i, vals[2] AS l, vals[2] - vals[1] AS b,
+                 CAST(NULL AS BIGINT) AS res
+               FROM s
+               UNION ALL
+               SELECT i + 1, (s.vals[i + 1] + 3 * (l + b)) // 4,
+                 ((s.vals[i + 1] + 3 * (l + b)) // 4 - l + 3 * b) // 4,
+                 abs(s.vals[i + 1] - l - b)
+               FROM r, s WHERE i < s.n),
+         resid AS (SELECT i - 2 AS step, res FROM r WHERE i >= 3),
+         kq AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                  2 * CAST(count(*) AS BIGINT) // 3 AS c,
+                  least((9 * (2 * CAST(count(*) AS BIGINT) // 3) + 18)
+                    // 10, 2 * CAST(count(*) AS BIGINT) // 3) AS k
+                FROM resid),
+         qh AS (SELECT res AS qhat FROM (
+                  SELECT res, row_number() OVER (ORDER BY res) AS rn
+                  FROM resid, kq WHERE step <= c), kq
+                WHERE rn = k),
+         cv AS (SELECT CAST(sum(CASE WHEN t.res <= qh.qhat
+                    THEN 1 ELSE 0 END) AS BIGINT) AS hits
+                FROM resid t, kq, qh WHERE t.step > kq.c)
+         SELECT s.n AS n_days, kq.c AS n_cal, kq.m - kq.c AS n_test,
+           qh.qhat AS qhat_units,
+           cv.hits * 10000 // (kq.m - kq.c) AS coverage4
+         FROM s, kq, qh, cv WHERE s.n >= 4""",
+    // Holt–Winters replay: recursive CTE carrying (l, b, seasonal LIST)
+    // through the identical integer recurrence; the l' expression is
+    // inlined into b' and s' exactly as the Spark fold does.
+    "q_ts_holt_winters" ->
+      """WITH RECURSIVE days AS (SELECT
+             epoch_ns(ts) // 86400000000000 AS day,
+             CAST(count(*) * 10000 AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 list(x ORDER BY day) AS vals FROM days),
+         init AS (SELECT n, vals,
+             CAST((vals[1] + vals[2] + vals[3] + vals[4] + vals[5]
+               + vals[6] + vals[7]) // 7 AS BIGINT) AS l0
+           FROM s WHERE n >= 8),
+         r AS (SELECT 7 AS i, l0 AS l, CAST(0 AS BIGINT) AS b,
+                 list_transform(range(1, 8), j -> vals[j] - l0) AS se,
+                 n, vals
+               FROM init
+               UNION ALL
+               SELECT i + 1,
+                 (vals[i + 1] - se[(i % 7) + 1] + 3 * (l + b)) // 4,
+                 (((vals[i + 1] - se[(i % 7) + 1] + 3 * (l + b)) // 4)
+                   - l + 3 * b) // 4,
+                 list_transform(range(1, 8), j ->
+                   CASE WHEN j = (i % 7) + 1
+                     THEN (vals[i + 1]
+                       - ((vals[i + 1] - se[(i % 7) + 1]
+                         + 3 * (l + b)) // 4)
+                       + 3 * se[(i % 7) + 1]) // 4
+                     ELSE se[j] END),
+                 n, vals
+               FROM r WHERE i < n)
+         SELECT n AS n_days, l AS level_units, b AS trend_units,
+           se[(n % 7) + 1] AS next_seasonal_units,
+           l + b + se[(n % 7) + 1] AS forecast_units,
+           se[1] AS seas1, se[2] AS seas2, se[3] AS seas3,
+           se[4] AS seas4, se[5] AS seas5, se[6] AS seas6,
+           se[7] AS seas7
+         FROM r WHERE i = n""",
+  )
+}

@@ -71,6 +71,35 @@ class XlsxScanSpec extends SparkSpecBase {
     assert(dist == driver)
   }
 
+  test("graft.xlsx.scratchDir: the distributed parse inflates into the " +
+      "CONFIGURED dir (cluster contract: shared storage, not tmpdir), " +
+      "and releaseScratch cleans it") {
+    val alt = java.nio.file.Files.createTempDirectory("graft-alt-scratch")
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+      """<row><c t="inlineStr"><is><t>x</t></is></c><c><v>1</v></c></row>""" +
+      """</sheetData></worksheet>"""
+    val p = writeXlsx(sheet)
+    spark.conf.set("graft.xlsx.distributedThresholdBytes", "0")
+    spark.conf.set("graft.xlsx.scratchDir", alt.toString)
+    try {
+      val rows = FileReader.readXlsx(spark, p).collect()
+        .map(_.toSeq.map(_.toString)).toSeq
+      assert(rows == Seq(Seq("x", "1")))
+      val scratchFiles = alt.toFile.listFiles()
+        .filter(_.getName.startsWith("graft-xlsx-"))
+      assert(scratchFiles.nonEmpty,
+        "no scratch file landed under the configured dir")
+      FileReader.releaseScratch()
+      assert(alt.toFile.listFiles()
+        .forall(!_.getName.startsWith("graft-xlsx-")))
+    } finally {
+      spark.conf.unset("graft.xlsx.distributedThresholdBytes")
+      spark.conf.unset("graft.xlsx.scratchDir")
+    }
+  }
+
   test("non-ASCII attribute content in the <worksheet> open tag survives " +
       "the byte-level capture (single UTF-8 decode, no per-byte mojibake)") {
     val sheet =
