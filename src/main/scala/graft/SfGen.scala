@@ -126,10 +126,10 @@ object SfGen {
       .withColumn("_vocab", vlit)
       .withColumn("text", expr(
         s"""concat_ws(' ', transform(sequence(0, ntok - 1), d ->
-              element_at(_vocab,
+              element_at(_vocab, CAST(
                 CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':',
                   CAST(d AS STRING))), 1, 8), 16, 10) AS BIGINT)
-                % ${vocab.length} + 1)))"""))
+                % ${vocab.length} + 1 AS INT))))"""))
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         length(col("text")).cast("long").as("n_chars"))
     write(docsBound, "documents")
