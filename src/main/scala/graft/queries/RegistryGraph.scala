@@ -174,10 +174,26 @@ trait RegistryGraph extends RegistryEvent {
     * (bounded group), so the explosion is constant per row while the
     * self-join costs two shuffles of the fact table plus a 1.2M-row join
     * output before distinct; measured 2× faster cold at sf0.1. */
+  /** Per-order contribution cap (applied to the SORTED distinct part set,
+    * lowest ids win — deterministic on both engines): an order of p parts
+    * emits p·(p−1)/2 pairs, so one 33k-part super-order (measured on the
+    * r13 Zipf-skewed sf1: rank-1 order = 33,377 distinct parts) alone
+    * emits ~557M pairs and the skewed corpus >1.1B — the quadratic
+    * density cliff the uniform-replica data never shows (orders hold ≤ 7
+    * parts there, where the cap is the identity and every oracle hash is
+    * unchanged). 256 matches the link-pred degree-cap precedent: a
+    * super-order is boilerplate-like co-occurrence noise, excluded BY
+    * CONTRACT. Bounded-buffer note: collect_set holds one order's
+    * distinct parts in the agg buffer (33k longs ≈ 260 KB — fine);
+    * if adversarial orders beyond ~10M parts ever appear, swap to a
+    * pre-shuffle rank filter (row_number over (o, p) ≤ cap). */
+  protected val MaxOrderParts = 256
+
   protected def coPurchasePairsInline(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
+      .groupBy("o").agg(
+        slice(sort_array(collect_set(col("p"))), 1, MaxOrderParts).as("ps"))
       .select(explode(expr(
         "flatten(transform(ps, (x, i) -> " +
           "transform(slice(ps, i + 2, size(ps)), y -> struct(x, y))))"))
@@ -185,8 +201,9 @@ trait RegistryGraph extends RegistryEvent {
       .select(col("e.x").as("x"), col("e.y").as("y"))
 
   /** Bumping this invalidates every materialized edge side-table (change
-    * it whenever [[coPurchasePairsInline]]'s semantics change). */
-  protected val EdgeTableVersion = 1
+    * it whenever [[coPurchasePairsInline]]'s semantics change).
+    * v2 = the [[MaxOrderParts]] cap. */
+  protected val EdgeTableVersion = 2
 
   protected val edgeBuildLock = new Object
 
@@ -1133,8 +1150,14 @@ trait RegistryGraph extends RegistryEvent {
     // the oracle recomputes each stat from base lineitem, so a stale or
     // lossy materialization hash-mismatches at the driver gate.
     "q_graph_edge_table" ->
-      """WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-                     FROM lineitem),
+      // The rn <= 256 rank filter replays MaxOrderParts (identity on the
+      // reference data's <= 7-part orders; binding on skewed corpora).
+      """WITH ps0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                      FROM lineitem),
+         ps AS (SELECT o, p FROM
+                  (SELECT o, p, row_number()
+                     OVER (PARTITION BY o ORDER BY p) AS rn FROM ps0)
+                WHERE rn <= 256),
          e AS (SELECT a.p AS x, b.p AS y
                FROM ps a JOIN ps b ON a.o = b.o AND a.p < b.p),
          mult AS (SELECT x, y, count(*) AS m FROM e GROUP BY x, y),
