@@ -104,6 +104,29 @@ trait RegistryAgg extends RegistryCore {
       .agg(sum(col("l_quantity").cast(DecimalType(22, 6))).cast("double"))
       .orderBy("l_linestatus")
 
+  /** Unpivot (melt) — the INVERSE of [[aggPivot]]: the four lineitem
+    * measures stack into (measure, cents) rows via the row-local
+    * `stack` generator, then a per-measure profile (n / sum / min /
+    * max on exact integer cents). The scalable melt shape: stack is a
+    * codegen'd 4-way projection inside the scan stage — no join, no
+    * map-explode, no shuffle until the 4-group aggregate (which
+    * map-side combines to 4 rows per partition). Wide-to-long is the
+    * first move of most feature-audit pipelines, so the profile doubles
+    * as a cross-measure QC sweep in one pass. */
+  protected def aggUnpivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(expr(
+        """stack(4,
+             'discount',      CAST(floor(l_discount * 100 + 0.5) AS BIGINT),
+             'extendedprice', CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT),
+             'quantity',      CAST(floor(l_quantity * 100 + 0.5) AS BIGINT),
+             'tax',           CAST(floor(l_tax * 100 + 0.5) AS BIGINT))
+           AS (measure, cents)"""))
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      .orderBy("measure")
+
   /** Rollup: hierarchical subtotals over (returnflag, linestatus) with the
     * grouping-id bitmask — one shuffle computes all three levels. */
   protected def aggRollup(spark: SparkSession, dir: String): DataFrame =
@@ -587,6 +610,24 @@ trait RegistryAgg extends RegistryCore {
               CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(22,6)) END) AS DOUBLE) AS "N",
               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(22,6)) END) AS DOUBLE) AS "R"
          FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q_agg_unpivot" ->
+      """WITH m AS (
+           SELECT 'discount' AS measure,
+                  CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS cents
+           FROM lineitem
+           UNION ALL SELECT 'extendedprice',
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           FROM lineitem
+           UNION ALL SELECT 'quantity',
+                  CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+           FROM lineitem
+           UNION ALL SELECT 'tax',
+                  CAST(floor(l_tax * 100 + 0.5) AS BIGINT)
+           FROM lineitem)
+         SELECT measure, count(*) AS n,
+                CAST(sum(cents) AS BIGINT) AS sum_cents,
+                min(cents) AS min_cents, max(cents) AS max_cents
+         FROM m GROUP BY measure ORDER BY measure""",
     "q_agg_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
               CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS sum_qty,

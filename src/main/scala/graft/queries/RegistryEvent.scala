@@ -148,6 +148,63 @@ trait RegistryEvent extends RegistryTs {
       .orderBy("cohort_wk", "wk_since")
   }
 
+  /** RFM segmentation (Hughes 1994's Recency/Frequency/Monetary triple,
+    * the canonical CRM user-value cube): per-user recency (days since
+    * last purchase, against the corpus max purchase day), frequency
+    * (purchase count), and monetary (exact cents), each scored into
+    * quintiles via BROADCAST percentile thresholds — the
+    * [[RegistryStats]] equi-depth pattern: ONE aggregate computes the
+    * four boundaries per dimension (Spark `percentile` buffers
+    * value→count, bounded by the DISTINCT day/count/cent universes, not
+    * row count), boundaries round to integers, and scoring is a
+    * row-local CASE. No corpus-wide ntile window anywhere — the usual
+    * RFM recipe's global sort is exactly what dies at 10⁹ users. The
+    * 5×5×5 score cube then rolls up under the classic marketing labels
+    * (champions / loyal / new / at_risk / hibernating / regular).
+    * Recency scores INVERT (low days = good): r_score = 6 − bin. */
+  protected def eRfm(spark: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val per = t(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr(s"ts div $dayNs").as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(max("day").as("last_day"), count(lit(1)).as("freq"),
+        sum("cents").as("cents"))
+    val rfm = per
+      .crossJoin(broadcast(per.agg(max("last_day").as("max_day"))))
+      .select(col("user_id"), (col("max_day") - col("last_day")).as("rec_days"),
+        col("freq"), col("cents"))
+    val th = rfm.agg(
+        expr("percentile(rec_days, array(0.2D, 0.4D, 0.6D, 0.8D))").as("rq"),
+        expr("percentile(freq, array(0.2D, 0.4D, 0.6D, 0.8D))").as("fq"),
+        expr("percentile(cents, array(0.2D, 0.4D, 0.6D, 0.8D))").as("mq"))
+      .select((1 to 4).flatMap(i => Seq(
+        floor(element_at(col("rq"), i) + 0.5).cast("long").as(s"r$i"),
+        floor(element_at(col("fq"), i) + 0.5).cast("long").as(s"f$i"),
+        floor(element_at(col("mq"), i) + 0.5).cast("long").as(s"m$i"))): _*)
+    def bin(c: Column, p: String) =
+      when(c <= col(s"${p}1"), 1L).when(c <= col(s"${p}2"), 2L)
+        .when(c <= col(s"${p}3"), 3L).when(c <= col(s"${p}4"), 4L)
+        .otherwise(5L)
+    rfm.crossJoin(broadcast(th))
+      .select(col("cents"),
+        (lit(6L) - bin(col("rec_days"), "r")).as("r_score"),
+        bin(col("freq"), "f").as("f_score"),
+        bin(col("cents"), "m").as("m_score"))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4, "champions")
+          .when(col("f_score") >= 4, "loyal")
+          .when(col("r_score") >= 4 && col("f_score") <= 2, "new")
+          .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+          .when(col("r_score") <= 2, "hibernating")
+          .otherwise("regular"))
+      .groupBy("r_score", "f_score", "m_score", "segment")
+      .agg(count(lit(1)).as("n_users"), sum("cents").as("cents"))
+      .withColumn("arpu_cents", expr("cents div n_users"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   /** Stationary distribution of the event-type Markov chain (the
     * power-iteration steady state over [[eTransitions]]' matrix) —
     * "where does user behavior settle": transitions give the one-step
@@ -909,5 +966,62 @@ trait RegistryEvent extends RegistryTs {
            r.cents // cs.cohort_n AS arpu_cents
          FROM r JOIN cs ON r.cohort_wk = cs.cohort_wk
          ORDER BY r.cohort_wk, r.wk_since""",
+    // quantile_cont pairs with Spark's interpolating percentile() (the
+    // proven equi-depth pairing); thresholds round to integers on both
+    // sides so quintile binning never compares raw doubles.
+    "q_e_rfm" ->
+      """WITH p AS (SELECT user_id,
+             epoch_ns(ts) // 86400000000000 AS day,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+         per AS (SELECT user_id, max(day) AS last_day,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(cents) AS BIGINT) AS cents
+           FROM p GROUP BY 1),
+         rfm AS (SELECT user_id,
+             (SELECT max(last_day) FROM per) - last_day AS rec_days,
+             freq, cents FROM per),
+         th AS (SELECT
+             CAST(floor(quantile_cont(rec_days, 0.2) + 0.5) AS BIGINT) AS r1,
+             CAST(floor(quantile_cont(rec_days, 0.4) + 0.5) AS BIGINT) AS r2,
+             CAST(floor(quantile_cont(rec_days, 0.6) + 0.5) AS BIGINT) AS r3,
+             CAST(floor(quantile_cont(rec_days, 0.8) + 0.5) AS BIGINT) AS r4,
+             CAST(floor(quantile_cont(freq, 0.2) + 0.5) AS BIGINT) AS f1,
+             CAST(floor(quantile_cont(freq, 0.4) + 0.5) AS BIGINT) AS f2,
+             CAST(floor(quantile_cont(freq, 0.6) + 0.5) AS BIGINT) AS f3,
+             CAST(floor(quantile_cont(freq, 0.8) + 0.5) AS BIGINT) AS f4,
+             CAST(floor(quantile_cont(cents, 0.2) + 0.5) AS BIGINT) AS m1,
+             CAST(floor(quantile_cont(cents, 0.4) + 0.5) AS BIGINT) AS m2,
+             CAST(floor(quantile_cont(cents, 0.6) + 0.5) AS BIGINT) AS m3,
+             CAST(floor(quantile_cont(cents, 0.8) + 0.5) AS BIGINT) AS m4
+           FROM rfm),
+         sc AS (SELECT cents,
+             CAST(6 - (CASE WHEN rec_days <= r1 THEN 1
+                            WHEN rec_days <= r2 THEN 2
+                            WHEN rec_days <= r3 THEN 3
+                            WHEN rec_days <= r4 THEN 4 ELSE 5 END)
+               AS BIGINT) AS r_score,
+             CAST(CASE WHEN freq <= f1 THEN 1 WHEN freq <= f2 THEN 2
+                       WHEN freq <= f3 THEN 3 WHEN freq <= f4 THEN 4
+                       ELSE 5 END AS BIGINT) AS f_score,
+             CAST(CASE WHEN cents <= m1 THEN 1 WHEN cents <= m2 THEN 2
+                       WHEN cents <= m3 THEN 3 WHEN cents <= m4 THEN 4
+                       ELSE 5 END AS BIGINT) AS m_score
+           FROM rfm, th),
+         seg AS (SELECT *,
+             CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champions'
+                  WHEN f_score >= 4 THEN 'loyal'
+                  WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+                  WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                  WHEN r_score <= 2 THEN 'hibernating'
+                  ELSE 'regular' END AS segment
+           FROM sc)
+         SELECT r_score, f_score, m_score, segment,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           CAST(sum(cents) AS BIGINT) // CAST(count(*) AS BIGINT)
+             AS arpu_cents
+         FROM seg GROUP BY 1, 2, 3, 4
+         ORDER BY r_score, f_score, m_score""",
   )
 }
