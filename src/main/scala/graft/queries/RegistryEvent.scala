@@ -148,6 +148,37 @@ trait RegistryEvent extends RegistryTs {
       .orderBy("cohort_wk", "wk_since")
   }
 
+  /** Signup→purchase conversion-lag histogram — the funnel-TIMING
+    * diagnostic between funnel conversion (does the user convert) and
+    * survival (when does activity stop): per signed-up user, days from
+    * first signup to the first purchase AT OR AFTER it, bucketed
+    * (0/1/2/3_6/7_13/14_plus/none) with each bucket's share frac4
+    * against all signed-up users. Scale shape: one equi-join on
+    * user_id (purchases reduce per-user inside the join's aggregate),
+    * bounded bucket relation, total broadcasts back. */
+  protected def eLagToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr(s"ts div $dayNs").as("day"))
+    val s = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("day").as("sd"))
+    val conv = e.filter(col("event_type") === "purchase")
+      .join(s, Seq("user_id"))
+      .filter(col("day") >= col("sd"))
+      .groupBy("user_id").agg(min(col("day") - col("sd")).as("lag"))
+    val buckets = s.join(conv, Seq("user_id"), "left")
+      .select(when(col("lag").isNull, "none")
+        .when(col("lag") === 0, "0").when(col("lag") === 1, "1")
+        .when(col("lag") === 2, "2").when(col("lag") <= 6, "3_6")
+        .when(col("lag") <= 13, "7_13").otherwise("14_plus").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_users"))
+    buckets.crossJoin(broadcast(s.agg(count(lit(1)).as("total"))))
+      .select(col("bucket"), col("n_users"),
+        expr("n_users * 10000 div total").as("frac4"))
+      .orderBy("bucket")
+  }
+
   /** RFM segmentation (Hughes 1994's Recency/Frequency/Monetary triple,
     * the canonical CRM user-value cube): per-user recency (days since
     * last purchase, against the corpus max purchase day), frequency
@@ -966,6 +997,26 @@ trait RegistryEvent extends RegistryTs {
            r.cents // cs.cohort_n AS arpu_cents
          FROM r JOIN cs ON r.cohort_wk = cs.cohort_wk
          ORDER BY r.cohort_wk, r.wk_since""",
+    "q_e_lag_to_convert" ->
+      """WITH e AS (SELECT user_id, event_type,
+             epoch_ns(ts) // 86400000000000 AS day FROM events),
+         s AS (SELECT user_id, min(day) AS sd FROM e
+               WHERE event_type = 'signup' GROUP BY 1),
+         conv AS (SELECT e.user_id, min(e.day - s.sd) AS lag
+           FROM e JOIN s ON e.user_id = s.user_id
+           WHERE e.event_type = 'purchase' AND e.day >= s.sd GROUP BY 1),
+         b AS (SELECT CASE WHEN conv.lag IS NULL THEN 'none'
+               WHEN conv.lag = 0 THEN '0' WHEN conv.lag = 1 THEN '1'
+               WHEN conv.lag = 2 THEN '2' WHEN conv.lag <= 6 THEN '3_6'
+               WHEN conv.lag <= 13 THEN '7_13' ELSE '14_plus' END
+                 AS bucket
+           FROM s LEFT JOIN conv ON s.user_id = conv.user_id),
+         g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_users
+               FROM b GROUP BY 1)
+         SELECT bucket, n_users,
+           n_users * 10000 // (SELECT CAST(count(*) AS BIGINT) FROM s)
+             AS frac4
+         FROM g ORDER BY bucket""",
     // quantile_cont pairs with Spark's interpolating percentile() (the
     // proven equi-depth pairing); thresholds round to integers on both
     // sides so quintile binning never compares raw doubles.

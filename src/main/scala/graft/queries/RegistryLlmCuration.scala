@@ -887,7 +887,91 @@ trait RegistryLlmCuration extends RegistryLlmSearch {
       .orderBy("batch_id")
   }
 
+  /** Cumulative Poisson(1) CDF as 12-hexdigit md5-space thresholds
+    * (floor(CDF·16¹²) in hex, computed offline at 40-digit precision):
+    * a uniform md5 prefix h lands in replicate weight k when
+    * t_{k-1} ≤ h < t_k, by LEXICOGRAPHIC string compare — no float
+    * arithmetic on either engine. Tail above t₉ (≈1.1e-7 mass) maps
+    * to w = 10. The identical literals appear in the oracle SQL. */
+  private val PoissonHexCdf: IndexedSeq[String] = IndexedSeq(
+    "5e2d58d8b3bc", "bc5ab1b16779", "eb715e1dc158", "fb23979734a2",
+    "ff1025f59174", "ffd90f3ba405", "fffa8b71fc72", "ffff540c0914",
+    "ffffed1f4aa8", "fffffe216e64")
+
+  /** Poisson-bootstrap confidence interval for the corpus mean doc
+    * length (Chamandy et al. 2012, "Estimating uncertainty for massive
+    * data streams" — the bootstrap that actually scales: instead of
+    * materializing B n-row resamples, each row draws its B replicate
+    * multiplicities w ~ Poisson(1) row-locally in ONE pass, and
+    * replicate b's resample mean is Σwx div Σw). Determinism: w is
+    * md5-derived — the first 12 hex digits of md5("doc_id:b") compare
+    * lexicographically against [[PoissonHexCdf]] (the
+    * [[graft.llm.Sampling]] threshold idiom — string compare, no float
+    * anywhere in the weight draw); replicate means are integer 4dp
+    * divisions; the CI is the exact 2.5/97.5 percentile pair over the
+    * BOUNDED B-row replicate relation. Complements q_stats_jackknife
+    * (leave-one-out variance) with a distribution-free interval whose
+    * cost is a ×B row-local expansion, not B shuffles. */
+  protected def llmBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val B = 100
+    val d = t(spark, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val w = d
+      .select(col("doc_id"), col("n_chars"),
+        explode(expr(s"sequence(0, ${B - 1})")).as("b"))
+      .withColumn("h", substring(md5(concat(col("doc_id").cast("string"),
+        lit(":"), col("b").cast("string"))), 1, 12))
+      .withColumn("w", PoissonHexCdf.zipWithIndex.foldRight(lit(10L)) {
+        case ((thr, k), other) => when(col("h") < lit(thr), k.toLong)
+          .otherwise(other)
+      })
+    val reps = w.groupBy("b")
+      .agg(sum(col("w")).as("nb"), sum(col("w") * col("n_chars")).as("sb"))
+      .filter(col("nb") > 0)
+      .select(expr("sb * 10000 div nb").as("mean4"))
+    val full = d.agg(count(lit(1)).as("n_docs"),
+      expr("sum(n_chars) * 10000 div count(1)").as("mean4_full"))
+    val ci = reps.agg(count(lit(1)).as("b_used"),
+      floor(expr("percentile(mean4, 0.025D)") + 0.5).cast("long").as("ci_lo4"),
+      floor(expr("percentile(mean4, 0.975D)") + 0.5).cast("long").as("ci_hi4"))
+    full.crossJoin(ci)
+  }
+
   protected val llmCurationOracleSql: ListMap[String, String] = ListMap(
+    // Full Poisson-weight replay: same md5 prefixes, same hex CDF
+    // literals, same integer 4dp means and quantile_cont CI.
+    "q_llm_bootstrap_ci" ->
+      """WITH d AS (SELECT doc_id, n_chars FROM documents),
+         wb AS (SELECT d.n_chars, b.b,
+             substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+               || CAST(b.b AS VARCHAR)), 1, 12) AS h
+           FROM d, (SELECT unnest(generate_series(0, 99)) AS b) b),
+         w AS (SELECT b, n_chars,
+             CASE WHEN h < '5e2d58d8b3bc' THEN 0
+                  WHEN h < 'bc5ab1b16779' THEN 1
+                  WHEN h < 'eb715e1dc158' THEN 2
+                  WHEN h < 'fb23979734a2' THEN 3
+                  WHEN h < 'ff1025f59174' THEN 4
+                  WHEN h < 'ffd90f3ba405' THEN 5
+                  WHEN h < 'fffa8b71fc72' THEN 6
+                  WHEN h < 'ffff540c0914' THEN 7
+                  WHEN h < 'ffffed1f4aa8' THEN 8
+                  WHEN h < 'fffffe216e64' THEN 9 ELSE 10 END AS w
+           FROM wb),
+         reps AS (SELECT b, CAST(sum(w) AS BIGINT) AS nb,
+             CAST(sum(w * n_chars) AS BIGINT) AS sb
+           FROM w GROUP BY b),
+         m4 AS (SELECT sb * 10000 // nb AS mean4 FROM reps WHERE nb > 0),
+         f AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) * 10000
+               // CAST(count(*) AS BIGINT) AS mean4_full
+           FROM d),
+         ci AS (SELECT CAST(count(*) AS BIGINT) AS b_used,
+             CAST(floor(quantile_cont(mean4, 0.025) + 0.5) AS BIGINT)
+               AS ci_lo4,
+             CAST(floor(quantile_cont(mean4, 0.975) + 0.5) AS BIGINT)
+               AS ci_hi4
+           FROM m4)
+         SELECT n_docs, mean4_full, b_used, ci_lo4, ci_hi4 FROM f, ci""",
     // Exponential-race weighted sampling, fully replayed: md5-derived
     // uniform, -ln(u)/w race key, k smallest win; the oracle re-runs the
     // race and must produce the identical pick order.

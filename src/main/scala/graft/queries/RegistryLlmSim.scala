@@ -600,7 +600,80 @@ trait RegistryLlmSim extends RegistryLlmCuration {
     graft.llm.Pca.varianceExplained(t(spark, dir, "embeddings"), "vec_id",
       "embedding", dim = 64, rounds = 8)
 
+  /** Sampled mutual-kNN graph diagnostic over the embedding space — the
+    * manifold health check behind every near-dup/ANN threshold:
+    * reciprocity (is a in b's top-k when b is in a's?) collapses under
+    * hubness, and the per-rank mean-cosine curve is the distance scale
+    * the IVF/LSH recipes calibrate against. EXACT kNN over the mod-10
+    * node sample — the sample modulus fixes |S| and the |S|² blocked
+    * [[graft.expressions.FloatDot]] pair mass, so this is a
+    * fixed-budget diagnostic (production full-corpus kNN goes through
+    * the IVF/LSH family; this is the exact yardstick they compare
+    * against, the q_llm_ann_recall contract). cos6 floors per pair so
+    * every aggregate is integer; the per-rank mean shifts by +10⁶
+    * before the truncating division because Spark `div` truncates
+    * toward zero while DuckDB `//` floors — they agree only on
+    * non-negative operands. Windows partition by source node. */
+  protected def llmKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 5
+    val s = t(spark, dir, "embeddings")
+      .filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select(col("vec_id"), col("embedding"))
+    val edges = s.as("a").crossJoin(s.as("b"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        floor(Similarity.cosineUnrolled(col("a.embedding"),
+          col("b.embedding"), 64) * 1e6 + 0.5).cast("long").as("cos6"))
+      .withColumn("rk", row_number().over(Window.partitionBy("src")
+        .orderBy(col("cos6").desc, col("dst"))).cast("long"))
+      .filter(col("rk") <= k)
+    val rev = edges.select(col("src").as("r_dst"), col("dst").as("r_src"),
+      lit(1L).as("rec"))
+    edges
+      .join(rev, col("src") === col("r_src") && col("dst") === col("r_dst"),
+        "left")
+      .groupBy("rk")
+      .agg(count(lit(1)).as("n_edges"),
+        (expr("sum(cos6 + 1000000) div count(1)") - 1000000L)
+          .as("mean_cos6"),
+        sum(coalesce(col("rec"), lit(0L))).as("n_recip"))
+      .withColumn("recip_frac4", expr("n_recip * 10000 div n_edges"))
+      .orderBy("rk")
+  }
+
   protected val llmSimOracleSql: ListMap[String, String] = ListMap(
+    // Quadratic exact replay on the sampled nodes: same double cosine,
+    // same 6dp floor, same rank window, same +10⁶ shift before the
+    // floor/truncate division (non-negative operands make // and div
+    // agree).
+    "q_llm_knn_graph" ->
+      """WITH s AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings WHERE vec_id % 10 = 0),
+         p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+             CAST(floor(
+               list_sum(list_transform(list_zip(a.e, b.e),
+                 q -> q[1] * q[2])) /
+               (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.e, x -> x * x))))
+               * 1000000 + 0.5) AS BIGINT) AS cos6
+           FROM s a, s b WHERE a.vec_id <> b.vec_id),
+         e AS (SELECT src, dst, cos6,
+             CAST(row_number() OVER (PARTITION BY src
+               ORDER BY cos6 DESC, dst) AS BIGINT) AS rk
+           FROM p QUALIFY rk <= 5),
+         f AS (SELECT e.rk, e.cos6,
+             CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS rec
+           FROM e LEFT JOIN e r ON e.src = r.dst AND e.dst = r.src),
+         g AS (SELECT rk, CAST(count(*) AS BIGINT) AS n_edges,
+             (CAST(sum(cos6 + 1000000) AS BIGINT)
+               // CAST(count(*) AS BIGINT)) - 1000000 AS mean_cos6,
+             CAST(sum(rec) AS BIGINT) AS n_recip
+           FROM f GROUP BY 1)
+         SELECT rk, n_edges, mean_cos6, n_recip,
+           n_recip * 10000 // n_edges AS recip_frac4
+         FROM g ORDER BY rk""",
     // GENERATED full-training replay (DetKMeans.oracleCtes keeps the SQL
     // in lockstep with the Scala by construction): DuckDB re-runs init +
     // all 3 Lloyd rounds in the same integer units and must reproduce

