@@ -44,6 +44,74 @@ trait RegistryStats extends RegistryAgg {
       .orderBy("bin")
   }
 
+  /** Exact binomial sign tests with Benjamini–Hochberg FDR control
+    * (Benjamini & Hochberg 1995) — the multiple-testing layer the
+    * single-test family (Welch, ranksum, signed-rank…) needs before
+    * anyone reads k simultaneous p-values: per event type, a two-sided
+    * SIGN test of morning-vs-evening asymmetry (per 31-phase day fold:
+    * positive when hours 0–11 out-count hours 12–23, ties dropped;
+    * the fold keeps n ≤ 31 data-INDEPENDENTLY, so 2ⁿ stays in BIGINT
+    * at any corpus size), then BH at α = 0.05 across the type universe.
+    * EVERYTHING is exact integer arithmetic: p = 2·Σ_{j≤min(k,n−k)}
+    * C(n,j) / 2ⁿ with the binomial prefix sums folded by the integer
+    * recurrence C(n,j) = C(n,j−1)(n−j+1)/j (each prefix product IS a
+    * binomial, so the in-order `div` never truncates); cross-test
+    * p-value comparison clears denominators to the common 2³¹ scale,
+    * and the BH condition p ≤ i·α/M becomes 20·M·p_scaled ≤ i·2³¹ —
+    * no float p-value anywhere, so the oracle replays bit-for-bit
+    * (via HUGEINT factorials instead of the recurrence — same exact
+    * integers by a different route). The rank window runs over the
+    * ≤|event-type-universe| test relation (bounded builder). */
+  protected def statsSignBh(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val dayNs = 24L * hourNs
+    val pairs = t(spark, dir, "events")
+      .select(col("event_type"),
+        expr(s"(ts div $dayNs) % 31").as("ph"),
+        (expr(s"(ts div $hourNs) % 24") < 12).as("am"))
+      .groupBy("event_type", "ph")
+      .agg(sum(when(col("am"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("am"), 1L).otherwise(0L)).as("b"))
+    // Ties contribute nothing, but an ALL-ties type must still occupy a
+    // BH slot with p = 1 (dropping it would shrink M and loosen every
+    // other test's threshold) — so count informative pairs inside the
+    // aggregate instead of filtering rows away first.
+    val tests = pairs.groupBy("event_type")
+      .agg(sum(when(col("a") =!= col("b"), 1L).otherwise(0L)).as("n"),
+        sum(when(col("a") > col("b"), 1L).otherwise(0L)).as("k"))
+    val withP = tests
+      .withColumn("m", least(col("k"), col("n") - col("k")))
+      .withColumn("s_m", expr(
+        """CASE WHEN m = 0 THEN CAST(1 AS BIGINT) ELSE aggregate(
+             sequence(1, CAST(m AS INT)),
+             named_struct('c', CAST(1 AS BIGINT), 's', CAST(1 AS BIGINT)),
+             (acc, j) -> named_struct(
+               'c', acc.c * (n - j + 1) div j,
+               's', acc.s + acc.c * (n - j + 1) div j),
+             acc -> acc.s) END"""))
+      .withColumn("den", expr("shiftleft(CAST(1 AS BIGINT), CAST(n AS INT))"))
+      .withColumn("pn", least(lit(2L) * col("s_m"), col("den")))
+      .withColumn("p_scaled",
+        expr("pn * shiftleft(CAST(1 AS BIGINT), CAST(31 - n AS INT))"))
+    val ranked = withP
+      .crossJoin(broadcast(withP.agg(count(lit(1)).as("mt"))))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("p_scaled"), col("event_type"))).cast("long"))
+      .withColumn("cond", lit(20L) * col("mt") * col("p_scaled") <=
+        col("rk") * expr("shiftleft(CAST(1 AS BIGINT), 31)"))
+    ranked
+      .crossJoin(broadcast(
+        ranked.agg(max(when(col("cond"), col("rk"))).as("cut"))))
+      .select(col("event_type"), col("n"), col("k"), col("pn"), col("den"),
+        expr("p_scaled * 1000000 div shiftleft(CAST(1 AS BIGINT), 31)")
+          .as("p6"),
+        col("rk").as("bh_rank"),
+        when(col("rk") <= coalesce(col("cut"), lit(0L)), 1L).otherwise(0L)
+          .as("reject"))
+      .orderBy("bh_rank")
+  }
+
   /** Gini coefficient of customer revenue concentration — the inequality
     * summary a sampling/quota design consults before stratifying ("do 1%
     * of customers carry half the spend"). Exactness: revenues are exact
@@ -1070,6 +1138,51 @@ trait RegistryStats extends RegistryAgg {
   }
 
   protected val statsOracleSql: ListMap[String, String] = ListMap(
+    // Exact-integer replay: HUGEINT factorials give the same binomial
+    // prefix sums the Spark fold's integer recurrence produces; the
+    // static 0..31 series stands in for the correlated generate_series
+    // DuckDB rejects.
+    "q_stats_sign_bh" ->
+      """WITH e AS (SELECT event_type,
+             (epoch_ns(ts) // 86400000000000) % 31 AS ph,
+             (epoch_ns(ts) // 3600000000000) % 24 < 12 AS am
+           FROM events),
+         pr AS (SELECT event_type, ph,
+             CAST(sum(CASE WHEN am THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN am THEN 0 ELSE 1 END) AS BIGINT) AS b
+           FROM e GROUP BY 1, 2),
+         tst AS (SELECT event_type,
+             CAST(sum(CASE WHEN a <> b THEN 1 ELSE 0 END) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a > b THEN 1 ELSE 0 END) AS BIGINT) AS k
+           FROM pr GROUP BY 1),
+         sm AS (SELECT w.event_type, w.n, w.k,
+             CAST(sum(factorial(w.n::INT) //
+               (factorial(j.j::INT) * factorial((w.n - j.j)::INT)))
+               AS BIGINT) AS s_m
+           FROM (SELECT event_type, n, k, least(k, n - k) AS m FROM tst) w,
+             generate_series(0, 31) j(j)
+           WHERE j.j <= w.m GROUP BY 1, 2, 3),
+         p AS (SELECT event_type, n, k,
+             least(2 * s_m, 1::BIGINT << n::INT) AS pn,
+             (1::BIGINT << n::INT) AS den,
+             least(2 * s_m, 1::BIGINT << n::INT)
+               * (1::BIGINT << (31 - n)::INT) AS p_scaled
+           FROM sm),
+         rkd AS (SELECT *,
+             CAST(row_number() OVER (ORDER BY p_scaled, event_type)
+               AS BIGINT) AS rk,
+             (SELECT CAST(count(*) AS BIGINT) FROM p) AS mt
+           FROM p),
+         cond AS (SELECT *,
+             20 * mt * p_scaled <= rk * (1::BIGINT << 31) AS c
+           FROM rkd),
+         cut AS (SELECT max(CASE WHEN c THEN rk END) AS cut FROM cond)
+         SELECT event_type, n, k, pn, den,
+           p_scaled * 1000000 // (1::BIGINT << 31) AS p6,
+           rk AS bh_rank,
+           CAST(CASE WHEN rk <= coalesce((SELECT cut FROM cut), 0)
+                THEN 1 ELSE 0 END AS BIGINT) AS reject
+         FROM cond ORDER BY bh_rank""",
     // Every statistic rebuilt from the same (column, value) unpivot; the
     // MCV tie-break replays as a struct max on (count, value).
     "q_stats_analyze" ->
