@@ -70,6 +70,109 @@ trait RegistryLlmDedup extends RegistryMm {
       .orderBy("component")
   }
 
+  /** MinHash-LSH quality evaluation — the recipe-tuning loop the
+    * production near-dup pipeline needs before anyone trusts a
+    * (perms, bands, τ) choice at corpus scale: an md5-space MinHash
+    * (min over the 16-hex-prefix of md5("gram|perm"), 32 perms in
+    * 8 bands × 4 rows — md5 so the ENTIRE sketch replays in DuckDB,
+    * unlike the xxhash64 production kernel) runs over the same planted
+    * corpus as q_llm_minhash_neardup, and the query scores it:
+    * precision4 = exact-Jaccard-verified fraction of LSH candidates,
+    * recall4 = found fraction of the PLANTED truth pairs (recall
+    * against planted ground truth is the honest scalable contract —
+    * full-corpus truth is quadratic by definition; the q_llm_ann_recall
+    * precedent), mae_est4 = mean |signature-estimated − exact| Jaccard
+    * over verified candidates (the sketch-accuracy curve). Every score
+    * is integer (inter·10⁴ div union; agree·10⁴ div 32). Scale shape:
+    * signatures are ONE row-local md5 pass over exploded (doc, gram,
+    * perm) — no shuffle until the per-(doc, perm) min; band keys are 4
+    * conditional mins (no collect_list ordering hazard); the bucket
+    * join is the banded-candidate contract. */
+  protected def llmMinhashEval(spark: SparkSession, dir: String): DataFrame = {
+    val perms = 32
+    val rowsPerBand = 4
+    // The eval runs on the mod-2 doc sample: recipe tuning is a
+    // diagnostic, and a fixed-rate sample prices it independently of
+    // corpus growth (the q_llm_knn_graph sample-modulus contract).
+    val docs = t(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(2)) === 0)
+    val mutated = docs.filter(col("doc_id") < 30)
+      .withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("text", concat(col("text"), lit(" appended marker token")))
+    val grams = docs.unionByName(mutated)
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("grams"))
+      .localCheckpoint(true) // feeds signatures AND both exact-verify joins
+    // The 32 per-gram hashes are 32 CODEGEN'D md5 column expressions
+    // aggregated by 32 mins in ONE pass (no (doc, gram, perm) row
+    // explosion — that shape shuffled 19M rows at sf0.1 and cost 12 s;
+    // and no transform() lambda — higher-order functions evaluate their
+    // lambda INTERPRETED per element, which measured ~2.5× the codegen
+    // path on the same 15M-hash workload).
+    val minCols = (0 until perms).map(p =>
+      min(substring(md5(concat(col("gram"), lit(s"|$p"))), 1, 16))
+        .as(s"h$p"))
+    val sig = grams
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until perms).map(p => col(s"h$p")): _*).as("sig"))
+      .localCheckpoint(true) // feeds band keys AND the per-pair agreement
+    // Band key = the band's 4 signature values comma-joined (hex is
+    // fixed-width and comma-free, so key equality == tuple equality —
+    // the oracle joins on the 4 columns directly).
+    val bands = sig.select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, ${perms / rowsPerBand - 1}), b ->
+              struct(b AS band,
+                concat_ws(',', slice(sig, b * $rowsPerBand + 1,
+                  $rowsPerBand)) AS key))""")).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    val cand = bands.as("x")
+      .join(bands.as("y"), Seq("band", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    // exact Jaccard on a pair relation: attach both gram sets, integer 4dp
+    def exact(pairs: DataFrame): DataFrame = pairs
+      .join(grams.select(col("doc_id").as("id_a"), col("grams").as("ga")),
+        Seq("id_a"))
+      .join(grams.select(col("doc_id").as("id_b"), col("grams").as("gb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("size(array_intersect(ga, gb)) * CAST(10000 AS BIGINT) " +
+          "div size(array_union(ga, gb))").as("j4"))
+    val candExact = exact(cand)
+    val est = cand
+      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sa")),
+        Seq("id_a"))
+      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), expr(
+        s"""aggregate(zip_with(sa, sb, (u, v) -> IF(u = v, 1L, 0L)),
+              CAST(0 AS BIGINT), (acc, x) -> acc + x)
+            * CAST(10000 AS BIGINT) div $perms""").as("est4"))
+    val scored = candExact.join(est, Seq("id_a", "id_b"))
+    val planted = docs.filter(col("doc_id") < 30)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 10000).as("id_b"))
+    val truth = exact(planted).filter(col("j4") >= 5000)
+    val hits = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+    val candAgg = scored.agg(count(lit(1)).as("n_cand"),
+      sum(when(col("j4") >= 5000, 1L).otherwise(0L)).as("n_verified"),
+      sum(when(col("j4") >= 5000, abs(col("est4") - col("j4")))).as("errsum"))
+    val truthAgg = truth.agg(count(lit(1)).as("n_truth"))
+    val hitAgg = hits.agg(count(lit(1)).as("n_hits"))
+    candAgg.crossJoin(truthAgg).crossJoin(hitAgg)
+      .select(col("n_cand"), col("n_verified"),
+        expr("CASE WHEN n_cand = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE n_verified * 10000 div n_cand END").as("precision4"),
+        col("n_truth"), col("n_hits"),
+        expr("CASE WHEN n_truth = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE n_hits * 10000 div n_truth END").as("recall4"),
+        expr("CASE WHEN n_verified = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE errsum div n_verified END").as("mae_est4"))
+  }
+
   /** MinHash-LSH near-dups over documents ∪ lightly-mutated copies.
     * Deterministic seeds; verified against exact Jaccard. Not DuckDB-
     * expressible (xxhash64) → rows-only driver check. */
@@ -422,6 +525,81 @@ trait RegistryLlmDedup extends RegistryMm {
   }
 
   protected val llmDedupOracleSql: ListMap[String, String] = ListMap(
+    // Full sketch replay: same md5-space minhash (16-hex prefix, string
+    // min), same 8×4 banding via conditional mins, same integer Jaccard
+    // and agreement scores.
+    "q_llm_minhash_eval" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT doc_id + 10000, text || ' appended marker token'
+           FROM documents WHERE doc_id < 30 AND doc_id % 2 = 0),
+         tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                FROM corpus),
+         g AS (SELECT doc_id,
+                 CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                      ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                             i -> array_to_string(t[i:i+2], ' '))) END
+                   AS grams
+               FROM tk),
+         sig AS (SELECT doc_id, p.p,
+             min(substr(md5(gram || '|' || CAST(p.p AS VARCHAR)), 1, 16))
+               AS mh
+           FROM (SELECT doc_id, unnest(grams) AS gram FROM g) eg,
+             (SELECT unnest(generate_series(0, 31)) AS p) p
+           GROUP BY 1, 2),
+         bands AS (SELECT doc_id, p // 4 AS band,
+             min(CASE WHEN p % 4 = 0 THEN mh END) AS m0,
+             min(CASE WHEN p % 4 = 1 THEN mh END) AS m1,
+             min(CASE WHEN p % 4 = 2 THEN mh END) AS m2,
+             min(CASE WHEN p % 4 = 3 THEN mh END) AS m3
+           FROM sig GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           FROM bands x JOIN bands y
+             ON x.band = y.band AND x.m0 = y.m0 AND x.m1 = y.m1
+               AND x.m2 = y.m2 AND x.m3 = y.m3
+           WHERE x.doc_id < y.doc_id),
+         ce AS (SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) * 10000
+               // CAST(len(list_distinct(list_concat(a.grams, b.grams)))
+                    AS BIGINT) AS j4
+           FROM cand c JOIN g a ON c.id_a = a.doc_id
+             JOIN g b ON c.id_b = b.doc_id),
+         est AS (SELECT c.id_a, c.id_b,
+             CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)
+               AS BIGINT) * 10000 // 32 AS est4
+           FROM cand c JOIN sig sa ON c.id_a = sa.doc_id
+             JOIN sig sb ON c.id_b = sb.doc_id AND sa.p = sb.p
+           GROUP BY 1, 2),
+         scored AS (SELECT ce.j4, est.est4 FROM ce
+           JOIN est ON ce.id_a = est.id_a AND ce.id_b = est.id_b),
+         planted AS (SELECT doc_id AS id_a, doc_id + 10000 AS id_b
+           FROM documents WHERE doc_id < 30 AND doc_id % 2 = 0),
+         truth AS (SELECT p.id_a, p.id_b
+           FROM planted p JOIN g a ON p.id_a = a.doc_id
+             JOIN g b ON p.id_b = b.doc_id
+           WHERE CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT)
+             * 10000 // CAST(len(list_distinct(list_concat(a.grams,
+                 b.grams))) AS BIGINT) >= 5000),
+         ca AS (SELECT CAST(count(*) AS BIGINT) AS n_cand,
+             CAST(sum(CASE WHEN j4 >= 5000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_verified,
+             CAST(sum(CASE WHEN j4 >= 5000 THEN abs(est4 - j4) END)
+               AS BIGINT) AS errsum
+           FROM scored),
+         ta AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+         ha AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+           FROM truth t SEMI JOIN cand c
+             ON t.id_a = c.id_a AND t.id_b = c.id_b)
+         SELECT n_cand, n_verified,
+           CASE WHEN n_cand = 0 THEN CAST(NULL AS BIGINT)
+                ELSE n_verified * 10000 // n_cand END AS precision4,
+           n_truth, n_hits,
+           CASE WHEN n_truth = 0 THEN CAST(NULL AS BIGINT)
+                ELSE n_hits * 10000 // n_truth END AS recall4,
+           CASE WHEN n_verified = 0 THEN CAST(NULL AS BIGINT)
+                ELSE errsum // n_verified END AS mae_est4
+         FROM ca, ta, ha""",
     // Aho–Corasick substring semantics == per-pattern `contains`; the
     // oracle runs the O(|text|·|patterns|) plan the automaton avoids.
     "q_llm_blocklist" ->
@@ -541,10 +719,10 @@ trait RegistryLlmDedup extends RegistryMm {
     // is bit 63 (1<<63 overflows DuckDB's checked shift).
     "q_llm_simhash_neardup" ->
       """WITH corpus AS (
-           SELECT doc_id, text FROM documents
+           SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
            UNION ALL
            SELECT doc_id + 10000, text || ' appended marker token'
-           FROM documents WHERE doc_id < 30),
+           FROM documents WHERE doc_id < 30 AND doc_id % 2 = 0),
          tok AS (SELECT doc_id,
                unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
                       ELSE string_split_regex(trim(text), '\s+') END) AS t
