@@ -30,6 +30,36 @@ trait RegistryLlmDedup extends RegistryMm {
       .orderBy("content_hash")
   }
 
+  /** Token-weighted duplication inflation — the compute-cost headline a
+    * dedup recipe is judged by ("how many training tokens is the corpus
+    * pretending to have"): exact-duplicate clusters over the same
+    * planted corpus as q_llm_exact_dedup, total vs unique token mass
+    * (one representative per cluster; texts in an exact cluster are
+    * identical so any member's count is the cluster's), inflation4 =
+    * total·10⁴ div unique. One hash-group pass + a scalar combine —
+    * the cheapest number that justifies (or kills) a dedup run before
+    * anyone prices the LSH pass. */
+  protected def llmDupInflation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val dupes = docs.filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 10000)
+    val toks = docs.unionByName(dupes)
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("ntok"))
+    val clusters = toks.groupBy("h")
+      .agg(count(lit(1)).as("copies"), sum(col("ntok")).as("tok_total"),
+        min(col("ntok")).as("tok_unique"))
+    clusters.agg(count(lit(1)).as("n_clusters"),
+        sum(col("copies")).as("n_docs"),
+        sum(when(col("copies") > 1, col("copies") - 1).otherwise(0L))
+          .as("dup_docs"),
+        sum(col("tok_total")).as("total_tokens"),
+        sum(col("tok_unique")).as("unique_tokens"))
+      .select(col("n_docs"), col("n_clusters"), col("dup_docs"),
+        col("total_tokens"), col("unique_tokens"),
+        expr("total_tokens * 10000 div unique_tokens").as("inflation4"))
+  }
+
   /** Connected components + cluster dedup over a deterministic pair graph:
     * chain edges doc i → i+1 except across i%7==6 boundaries give
     * components of size 7 (last one truncated), so the min-label
@@ -525,6 +555,28 @@ trait RegistryLlmDedup extends RegistryMm {
   }
 
   protected val llmDedupOracleSql: ListMap[String, String] = ListMap(
+    "q_llm_dup_inflation" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50),
+         tks AS (SELECT sha256(text) AS h,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS ntok
+           FROM corpus),
+         cl AS (SELECT h, CAST(count(*) AS BIGINT) AS copies,
+             CAST(sum(ntok) AS BIGINT) AS tok_total,
+             min(ntok) AS tok_unique
+           FROM tks GROUP BY h)
+         SELECT CAST(sum(copies) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(CASE WHEN copies > 1 THEN copies - 1 ELSE 0 END)
+             AS BIGINT) AS dup_docs,
+           CAST(sum(tok_total) AS BIGINT) AS total_tokens,
+           CAST(sum(tok_unique) AS BIGINT) AS unique_tokens,
+           CAST(sum(tok_total) AS BIGINT) * 10000
+             // CAST(sum(tok_unique) AS BIGINT) AS inflation4
+         FROM cl""",
     // Full sketch replay: same md5-space minhash (16-hex prefix, string
     // min), same 8×4 banding via conditional mins, same integer Jaccard
     // and agreement scores.

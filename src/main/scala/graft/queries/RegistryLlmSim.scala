@@ -642,7 +642,89 @@ trait RegistryLlmSim extends RegistryLlmCuration {
       .orderBy("rk")
   }
 
+  /** Embedding centroid drift between corpus halves — the cheapest
+    * embedding-space drift monitor a training pipeline runs per ingest
+    * batch (a new crawler/encoder version shifts the centroid long
+    * before any downstream metric moves): vectors split by vec_id
+    * parity, per-dimension sums on floor(e·2²⁰) longs (order-free
+    * EXACT integer sums — a naive float mean is merge-order-dependent
+    * and breaks partition invariance), then (a) cos6 between the two
+    * sum vectors (scale-invariant, so sums stand in for means), via
+    * DECIMAL(38,0) dot/norms with ONE double division, and (b) the
+    * max / L1 per-dimension mean shift in 2²⁰-scaled micro-units
+    * (integer divisions per dim). The per-dim relation is bounded
+    * (2 × dim rows), everything before it is one aggregate pass. */
+  protected def llmCentroidShift(spark: SparkSession, dir: String): DataFrame = {
+    val dims = t(spark, dir, "embeddings")
+      .select(pmod(col("vec_id"), lit(2)).as("side"),
+        posexplode(col("embedding")).as(Seq("d0", "v")))
+      .select(col("side"), col("d0").cast("long").as("d"), col("v"))
+      .groupBy("side", "d")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("v").cast("double") * 1048576).cast("long")).as("s"))
+    val ab = dims.filter(col("side") === 0)
+      .select(col("d"), col("n").as("na"), col("s").as("sa"))
+      .join(dims.filter(col("side") === 1)
+        .select(col("d"), col("n").as("nb"), col("s").as("sb")), Seq("d"))
+    val perDim = ab.select(col("d"), col("na"), col("nb"),
+      abs(expr("sa div na") - expr("sb div nb")).as("shift"))
+    val dot = ab.agg(
+      sum(expr("CAST(sa AS DECIMAL(38,0)) * CAST(sb AS DECIMAL(38,0))"))
+        .as("dp"),
+      sum(expr("CAST(sa AS DECIMAL(38,0)) * CAST(sa AS DECIMAL(38,0))"))
+        .as("n2a"),
+      sum(expr("CAST(sb AS DECIMAL(38,0)) * CAST(sb AS DECIMAL(38,0))"))
+        .as("n2b"),
+      max(col("na")).as("n_a"), max(col("nb")).as("n_b"))
+    val shifts = perDim.agg(max(col("shift")).as("max_shift"),
+      sum(col("shift")).as("l1_shift"),
+      max(struct(col("shift"), col("d"))).as("am"))
+    dot.crossJoin(shifts)
+      .select(col("n_a"), col("n_b"),
+        floor(expr("CAST(dp AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) " +
+          "* sqrt(CAST(n2b AS DOUBLE)))") * 1e6 + 0.5).cast("long")
+          .as("cos6"),
+        col("max_shift"), col("am.d").as("argmax_dim"),
+        col("l1_shift"))
+  }
+
   protected val llmSimOracleSql: ListMap[String, String] = ListMap(
+    // Same parity split, same 2²⁰ integer scaling, same DECIMAL dot and
+    // per-dim integer divisions; argmax via the same (shift, dim)
+    // lexicographic max.
+    "q_llm_centroid_shift" ->
+      """WITH ex AS (SELECT vec_id % 2 AS side,
+             generate_subscripts(embedding, 1) - 1 AS d,
+             unnest(embedding) AS v
+           FROM embeddings),
+         dims AS (SELECT side, d, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT))
+               AS BIGINT) AS s
+           FROM ex GROUP BY 1, 2),
+         ab AS (SELECT a.d, a.n AS na, a.s AS sa, b.n AS nb, b.s AS sb
+           FROM dims a JOIN dims b ON a.d = b.d
+           WHERE a.side = 0 AND b.side = 1),
+         pd AS (SELECT d, na, nb, abs(sa // na - sb // nb) AS shift
+           FROM ab),
+         dt AS (SELECT
+             sum(CAST(sa AS DECIMAL(38,0)) * CAST(sb AS DECIMAL(38,0)))
+               AS dp,
+             sum(CAST(sa AS DECIMAL(38,0)) * CAST(sa AS DECIMAL(38,0)))
+               AS n2a,
+             sum(CAST(sb AS DECIMAL(38,0)) * CAST(sb AS DECIMAL(38,0)))
+               AS n2b,
+             max(na) AS n_a, max(nb) AS n_b
+           FROM ab),
+         sh AS (SELECT max(shift) AS max_shift,
+             CAST(sum(shift) AS BIGINT) AS l1_shift,
+             max(struct_pack(shift := shift, d := d)) AS am
+           FROM pd)
+         SELECT n_a, n_b,
+           CAST(floor(CAST(dp AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE))
+             * sqrt(CAST(n2b AS DOUBLE))) * 1000000 + 0.5) AS BIGINT)
+             AS cos6,
+           max_shift, am.d AS argmax_dim, l1_shift
+         FROM dt, sh""",
     // Quadratic exact replay on the sampled nodes: same double cosine,
     // same 6dp floor, same rank window, same +10⁶ shift before the
     // floor/truncate division (non-negative operands make // and div
