@@ -564,6 +564,37 @@ trait RegistryEvent extends RegistryTs {
       .orderBy("win")
   }
 
+  /** DAU / WAU / MAU activity ratios + stickiness (avg-DAU ÷ avg-MAU,
+    * the product-analytics headline every event pipeline reports): the
+    * distinct (user, day) pair relation reduces ONCE, then re-coarsens
+    * to epoch-week/epoch-month grains (div-7 / div-30 folds of the
+    * epoch day — grain arithmetic, no calendar lookups) for the weekly
+    * and monthly actives. All ratios are truncating integer divisions
+    * of exact sums. Scale shape: the pair distinct is the only
+    * corpus-sized shuffle; the three grain aggregates run over the
+    * bounded (user, day) relation and combine to one row. */
+  protected def eDauWauMau(spark: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val ud = t(spark, dir, "events")
+      .select(col("user_id"), expr(s"ts div $dayNs").as("day"))
+      .distinct()
+      .localCheckpoint(true) // three grain consumers
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_days"), sum("c").as("sum_dau"))
+    val wau = ud.select(col("user_id"), expr("day div 7").as("wk"))
+      .distinct().groupBy("wk").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_weeks"), sum("c").as("sum_wau"))
+    val mau = ud.select(col("user_id"), expr("day div 30").as("mo"))
+      .distinct().groupBy("mo").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_months"), sum("c").as("sum_mau"))
+    dau.crossJoin(wau).crossJoin(mau)
+      .select(col("n_days"), expr("sum_dau div n_days").as("avg_dau"),
+        col("n_weeks"), expr("sum_wau div n_weeks").as("avg_wau"),
+        col("n_months"), expr("sum_mau div n_months").as("avg_mau"),
+        expr("(sum_dau div n_days) * 10000 div (sum_mau div n_months)")
+          .as("stickiness4"))
+  }
+
   /** Burstiness index of inter-event gaps (Goh & Barabási 2008,
     * B = (σ−μ)/(σ+μ) per user: −1 metronome, 0 Poisson, →1 bursty) —
     * the temporal-pattern diagnostic that separates bots (periodic)
@@ -997,6 +1028,29 @@ trait RegistryEvent extends RegistryTs {
            r.cents // cs.cohort_n AS arpu_cents
          FROM r JOIN cs ON r.cohort_wk = cs.cohort_wk
          ORDER BY r.cohort_wk, r.wk_since""",
+    "q_e_dau_wau_mau" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+             epoch_ns(ts) // 86400000000000 AS day FROM events),
+         dau AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(c) AS BIGINT) AS sum_dau
+           FROM (SELECT day, CAST(count(*) AS BIGINT) AS c FROM ud
+                 GROUP BY day)),
+         wau AS (SELECT CAST(count(*) AS BIGINT) AS n_weeks,
+             CAST(sum(c) AS BIGINT) AS sum_wau
+           FROM (SELECT wk, CAST(count(*) AS BIGINT) AS c
+                 FROM (SELECT DISTINCT user_id, day // 7 AS wk FROM ud)
+                 GROUP BY wk)),
+         mau AS (SELECT CAST(count(*) AS BIGINT) AS n_months,
+             CAST(sum(c) AS BIGINT) AS sum_mau
+           FROM (SELECT mo, CAST(count(*) AS BIGINT) AS c
+                 FROM (SELECT DISTINCT user_id, day // 30 AS mo FROM ud)
+                 GROUP BY mo))
+         SELECT n_days, sum_dau // n_days AS avg_dau,
+           n_weeks, sum_wau // n_weeks AS avg_wau,
+           n_months, sum_mau // n_months AS avg_mau,
+           (sum_dau // n_days) * 10000 // (sum_mau // n_months)
+             AS stickiness4
+         FROM dau, wau, mau""",
     "q_e_lag_to_convert" ->
       """WITH e AS (SELECT user_id, event_type,
              epoch_ns(ts) // 86400000000000 AS day FROM events),

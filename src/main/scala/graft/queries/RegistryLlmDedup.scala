@@ -771,10 +771,10 @@ trait RegistryLlmDedup extends RegistryMm {
     // is bit 63 (1<<63 overflows DuckDB's checked shift).
     "q_llm_simhash_neardup" ->
       """WITH corpus AS (
-           SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+           SELECT doc_id, text FROM documents
            UNION ALL
            SELECT doc_id + 10000, text || ' appended marker token'
-           FROM documents WHERE doc_id < 30 AND doc_id % 2 = 0),
+           FROM documents WHERE doc_id < 30),
          tok AS (SELECT doc_id,
                unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
                       ELSE string_split_regex(trim(text), '\s+') END) AS t

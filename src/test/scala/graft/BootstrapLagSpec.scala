@@ -88,4 +88,23 @@ class BootstrapLagSpec extends SparkSpecBase {
       ("0", 1L, 2000L), ("14_plus", 1L, 2000L), ("2", 1L, 2000L),
       ("7_13", 1L, 2000L), ("none", 1L, 2000L)))
   }
+
+  test("DAU/WAU/MAU: constructed pair relation yields the hand ratios") {
+    import spark.implicits._
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    // day0: users {1,2}; day1: {1}; day7: {2} → DAU avg = 4 div 3 = 1;
+    // weeks: wk0 {1,2}, wk1 {2} → avg 1; month0 {1,2} → avg 2;
+    // stickiness = 1·10⁴ div 2 = 5000. Duplicate same-day events must
+    // not double-count.
+    val rows = Seq((1L, 0L), (1L, 0L), (2L, 0L), (1L, 1L), (2L, 7L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-dau").toString
+    rows.zipWithIndex.map { case ((u, d), i) =>
+      (i.toLong, d * dayNs + i, u, "view")
+    }.toDF("event_id", "ts", "user_id", "event_type")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q_e_dau_wau_mau")(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      (3L, 1L, 2L, 1L, 1L, 2L, 5000L))
+  }
 }
