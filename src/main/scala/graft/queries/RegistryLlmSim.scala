@@ -642,6 +642,28 @@ trait RegistryLlmSim extends RegistryLlmCuration {
       .orderBy("rk")
   }
 
+  /** IVF index balance diagnostic — the index-health companion of
+    * q_llm_ann_recall (recall says whether probing finds neighbors;
+    * balance says whether probing is CHEAP): cell-size spread of the
+    * deterministic k-means coarse quantizer. imbalance4 = max cell ·10⁴
+    * div mean cell — the worst-probe cost multiplier, the number an IVF
+    * deployment alarms on before hot cells serialize the shortlist
+    * scans. One bounded aggregate over the assignment relation; the
+    * training chain replays via the generated [[graft.llm.DetKMeans]]
+    * CTEs. */
+  protected def llmIvfBalance(spark: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val (assign, _) = graft.llm.DetKMeans.fit(
+      t(spark, dir, "embeddings"), "vec_id", "embedding",
+      k = k, iters = 2, dim = 64)
+    assign.groupBy("cid").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_cells"), sum("n").as("n_points"),
+        max("n").as("max_cell"), min("n").as("min_cell"))
+      .select(lit(k.toLong).as("k"), col("n_points"), col("n_cells"),
+        col("max_cell"), col("min_cell"),
+        expr(s"max_cell * 10000 div (n_points div $k)").as("imbalance4"))
+  }
+
   /** Embedding centroid drift between corpus halves — the cheapest
     * embedding-space drift monitor a training pipeline runs per ingest
     * batch (a new crawler/encoder version shifts the centroid long
@@ -689,6 +711,18 @@ trait RegistryLlmSim extends RegistryLlmCuration {
   }
 
   protected val llmSimOracleSql: ListMap[String, String] = ListMap(
+    // Generated training replay; a2 is the final assignment (iters=2).
+    "q_llm_ivf_balance" ->
+      (graft.llm.DetKMeans.oracleCtes("embeddings", "vec_id", "embedding",
+        k = 16, iters = 2, dim = 64) +
+      """
+         SELECT CAST(16 AS BIGINT) AS k,
+           CAST(sum(n) AS BIGINT) AS n_points,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           max(n) AS max_cell, min(n) AS min_cell,
+           max(n) * 10000 // (CAST(sum(n) AS BIGINT) // 16) AS imbalance4
+         FROM (SELECT cid, CAST(count(*) AS BIGINT) AS n
+               FROM a2 GROUP BY cid)"""),
     // Same parity split, same 2²⁰ integer scaling, same DECIMAL dot and
     // per-dim integer divisions; argmax via the same (shift, dim)
     // lexicographic max.

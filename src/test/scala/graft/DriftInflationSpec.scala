@@ -63,4 +63,25 @@ class DriftInflationSpec extends SparkSpecBase {
     assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
       (-1000000L, 1048576L, 0L, 1048576L))
   }
+
+  test("IVF balance: cell accounting is exact and internally consistent") {
+    // 40 vectors in two tight directions (e0-heavy, e1-heavy): whatever
+    // cells the deterministic seeding lands on, the ACCOUNTING contract
+    // holds exactly — points conserve, the max cell bounds the mean,
+    // and imbalance4 is the max/mean ratio the query claims.
+    val rows = (0 until 40).map { i =>
+      val d = i % 2
+      (i.toLong, (0 until 64).map(j =>
+        if (j == d) 1.0f else if (j == 63) 0.01f * (i % 5) else 0.0f))
+    }
+    val dir = embDir(rows)
+    val r = SparkEntry.queries("q_llm_ivf_balance")(spark, dir)
+      .collect().head
+    val (k, nPts, nCells, maxC, minC, imb) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(k == 16L && nPts == 40L)
+    assert(nCells >= 1L && nCells <= 16L)
+    assert(maxC >= (nPts + nCells - 1) / nCells && minC >= 1L)
+    assert(imb == maxC * 10000L / (nPts / 16L), "imbalance arithmetic")
+  }
 }
