@@ -699,6 +699,142 @@ trait RegistryEvent extends RegistryTs {
         expr("(users_for_80pct * 1000000) div nu").as("user_share_micro"))
   }
 
+  /** Sample-ratio-mismatch audit across 8 synthetic assignment layers —
+    * the first gate any experimentation platform runs before reading a
+    * metric (Fabijan et al. 2019, "Diagnosing SRM"): each layer hashes
+    * every distinct user into two arms (md5-space, so assignment replays
+    * in any engine), and the 1-df Pearson χ² against the 50/50 design
+    * collapses to (a−b)²/n — FULLY integer at 10⁻⁶ scale, flagged at
+    * the exact χ²₀.₀₅,₁ = 3.841459 threshold cleared of its division
+    * ((a−b)²·10⁶ ≥ 3841459·n). Scale shape: ONE distinct over users
+    * (the only corpus-sized shuffle), an 8-way explode, one 8-group
+    * aggregate — assignment is row-local hashing, never a join. */
+  protected def eExpSrm(spark: SparkSession, dir: String): DataFrame = {
+    val users = t(spark, dir, "events").select(col("user_id")).distinct()
+    users
+      .select(col("user_id"),
+        explode(expr("sequence(0L, 7L)")).as("layer"))
+      .select(col("layer"),
+        (conv(substring(md5(concat_ws("|", col("layer"), col("user_id"))),
+          1, 8), 16, 10).cast("long") % 2).as("arm"))
+      .groupBy("layer")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_arm0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_arm1"))
+      .select(col("layer"), col("n_arm0"), col("n_arm1"),
+        expr("(n_arm0 - n_arm1) * (n_arm0 - n_arm1) * 1000000" +
+          " div (n_arm0 + n_arm1)").as("chi2_6"),
+        when(expr("(n_arm0 - n_arm1) * (n_arm0 - n_arm1) * 1000000" +
+            " >= 3841459 * (n_arm0 + n_arm1)"), 1L).otherwise(0L)
+          .as("srm_flag"))
+      .orderBy("layer")
+  }
+
+  /** Two-proportion conversion test between the layer-0 md5 arms — the
+    * read-out that pairs with [[eExpSrm]]'s design check: conversion =
+    * "user has ≥ 1 purchase event", and the 2×2 Pearson χ² is the
+    * margin-cleared exact form (ad−bc)²·n / (r₁r₂c₁c₂), DECIMAL(38,0)
+    * throughout ((ad−bc)²·n·10⁶ tops ~10³⁶ at million-user scale —
+    * inside 38 digits / HUGEINT), ONE truncating division at 10⁻⁶
+    * scale. A/A by construction (assignment is independent of
+    * behavior), so the expected read is "not significant" — which is
+    * exactly what the threshold column audits. Scale shape: two
+    * user-keyed distincts + a left-semi-shaped join, one global
+    * 4-cell aggregate; no window, no corpus pair. */
+  protected def eExpTwoProp(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val users = ev.select(col("user_id")).distinct()
+    val converted = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().withColumn("conv", lit(1L))
+    val cells = users.join(converted, Seq("user_id"), "left")
+      .select((conv(substring(md5(concat_ws("|", lit(0L), col("user_id"))),
+          1, 8), 16, 10).cast("long") % 2).as("arm"),
+        coalesce(col("conv"), lit(0L)).as("conv"))
+      .agg(
+        sum(when(col("arm") === 0 && col("conv") === 1, 1L).otherwise(0L))
+          .cast(DecimalType(38, 0)).as("a"),
+        sum(when(col("arm") === 0 && col("conv") === 0, 1L).otherwise(0L))
+          .cast(DecimalType(38, 0)).as("b"),
+        sum(when(col("arm") === 1 && col("conv") === 1, 1L).otherwise(0L))
+          .cast(DecimalType(38, 0)).as("c"),
+        sum(when(col("arm") === 1 && col("conv") === 0, 1L).otherwise(0L))
+          .cast(DecimalType(38, 0)).as("d"))
+    cells.select(
+      expr("CAST(a + b AS BIGINT)").as("n_arm0"),
+      expr("CAST(c + d AS BIGINT)").as("n_arm1"),
+      expr("CAST(a AS BIGINT)").as("conv0"),
+      expr("CAST(c AS BIGINT)").as("conv1"),
+      expr("CASE WHEN a + b = 0 THEN 0 ELSE a * 1000000 div (a + b) END")
+        .as("rate0_6"),
+      expr("CASE WHEN c + d = 0 THEN 0 ELSE c * 1000000 div (c + d) END")
+        .as("rate1_6"),
+      expr("""CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0 THEN 0
+              ELSE (a * d - b * c) * (a * d - b * c)
+                * (a + b + c + d) * 1000000
+                div ((a + b) * (c + d) * (a + c) * (b + d)) END""")
+        .as("chi2_6"),
+      expr("""CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0 THEN 0
+              WHEN (a * d - b * c) * (a * d - b * c)
+                * (a + b + c + d) * 1000000
+                >= 3841459 * ((a + b) * (c + d) * (a + c) * (b + d))
+              THEN 1 ELSE 0 END""").cast("long").as("sig_flag"))
+  }
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013) — the
+    * pre-experiment covariate adjustment every mature A/B platform
+    * applies before the t-test: per user, X = pre-period purchase
+    * cents, Y = post-period purchase cents (the period split is the
+    * midpoint of the observed day range), θ = cov(X,Y)/var(X), and the
+    * achievable variance reduction is ρ² (in basis points). FULLY
+    * integer: the cleared moments n·Σxy−ΣxΣy, n·Σx²−(Σx)²,
+    * n·Σy²−(Σy)² are exact DECIMAL(38,0); θ₆ is one truncating
+    * division with the sign split out (Spark div truncates, DuckDB //
+    * floors — abs first, re-sign after); ρ²·10⁴ composes two
+    * non-negative truncating divisions so both engines replay it
+    * bit-for-bit. Scale shape: one user-keyed aggregate over purchase
+    * rows + one distinct-user left join, then a single 6-moment
+    * reduce to one row — no window anywhere. */
+  protected def eExpCuped(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr(s"ts div $dayNs").as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val mid = ev.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    val per = ev.filter(col("event_type") === "purchase")
+      .crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(sum(when(col("day") < col("mid"), col("cents")).otherwise(0L))
+          .as("x"),
+        sum(when(col("day") >= col("mid"), col("cents")).otherwise(0L))
+          .as("y"))
+    val xy = ev.select("user_id").distinct()
+      .join(per, Seq("user_id"), "left")
+      .select(coalesce(col("x"), lit(0L)).cast(dec).as("x"),
+        coalesce(col("y"), lit(0L)).cast(dec).as("y"))
+    xy.agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").cast("long").as("n_users"),
+        col("sx").cast("long").as("pre_cents"),
+        col("sy").cast("long").as("post_cents"),
+        expr("""CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                WHEN n * sxy - sx * sy < 0
+                THEN -((-(n * sxy - sx * sy)) * 1000000
+                       div (n * sxx - sx * sx))
+                ELSE (n * sxy - sx * sy) * 1000000
+                     div (n * sxx - sx * sx) END""").as("theta6"),
+        expr("""CASE WHEN n * sxx - sx * sx = 0
+                       OR n * syy - sy * sy = 0 THEN 0
+                ELSE (abs(n * sxy - sx * sy) * 10000
+                       div (n * sxx - sx * sx))
+                   * (abs(n * sxy - sx * sy) * 10000
+                       div (n * syy - sy * sy)) div 10000 END""")
+          .as("var_red_bp"))
+  }
+
   protected val eventOracleSql: ListMap[String, String] = ListMap(
     "q_e_events_summary" ->
       """SELECT event_type, count(*) AS n,
@@ -1128,5 +1264,99 @@ trait RegistryEvent extends RegistryTs {
              AS arpu_cents
          FROM seg GROUP BY 1, 2, 3, 4
          ORDER BY r_score, f_score, m_score""",
+    "q_exp_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         l AS (SELECT g.layer, u.user_id FROM u CROSS JOIN
+               (SELECT unnest(range(0, 8)) AS layer) g),
+         a AS (SELECT layer,
+             ('0x' || substr(md5(CAST(layer AS VARCHAR) || '|'
+                || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm
+           FROM l),
+         g2 AS (SELECT layer,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_arm0,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_arm1
+           FROM a GROUP BY layer)
+         SELECT layer, n_arm0, n_arm1,
+           (n_arm0 - n_arm1) * (n_arm0 - n_arm1) * 1000000
+             // (n_arm0 + n_arm1) AS chi2_6,
+           CAST(CASE WHEN (n_arm0 - n_arm1) * (n_arm0 - n_arm1) * 1000000
+                >= 3841459 * (n_arm0 + n_arm1) THEN 1 ELSE 0 END AS BIGINT)
+             AS srm_flag
+         FROM g2 ORDER BY layer""",
+    "q_exp_two_prop" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         cv AS (SELECT DISTINCT user_id FROM events
+                WHERE event_type = 'purchase'),
+         asg AS (SELECT ('0x' || substr(md5('0|'
+               || CAST(u.user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm,
+             CASE WHEN cv.user_id IS NULL THEN 0 ELSE 1 END AS conv
+           FROM u LEFT JOIN cv ON u.user_id = cv.user_id),
+         cells AS (SELECT
+             CAST(sum(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END)
+               AS HUGEINT) AS a,
+             CAST(sum(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0 END)
+               AS HUGEINT) AS b,
+             CAST(sum(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0 END)
+               AS HUGEINT) AS c,
+             CAST(sum(CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0 END)
+               AS HUGEINT) AS d
+           FROM asg)
+         SELECT CAST(a + b AS BIGINT) AS n_arm0,
+           CAST(c + d AS BIGINT) AS n_arm1,
+           CAST(a AS BIGINT) AS conv0, CAST(c AS BIGINT) AS conv1,
+           CAST(CASE WHEN a + b = 0 THEN 0
+                ELSE a * 1000000 // (a + b) END AS BIGINT) AS rate0_6,
+           CAST(CASE WHEN c + d = 0 THEN 0
+                ELSE c * 1000000 // (c + d) END AS BIGINT) AS rate1_6,
+           CAST(CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0 THEN 0
+                ELSE (a * d - b * c) * (a * d - b * c)
+                  * (a + b + c + d) * 1000000
+                  // ((a + b) * (c + d) * (a + c) * (b + d)) END AS BIGINT)
+             AS chi2_6,
+           CAST(CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0 THEN 0
+                WHEN (a * d - b * c) * (a * d - b * c)
+                  * (a + b + c + d) * 1000000
+                  >= 3841459 * ((a + b) * (c + d) * (a + c) * (b + d))
+                THEN 1 ELSE 0 END AS BIGINT) AS sig_flag
+         FROM cells""",
+    "q_exp_cuped" ->
+      """WITH ev AS (SELECT user_id, event_type,
+             epoch_ns(ts) // 86400000000000 AS day,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+         mid AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM ev),
+         per AS (SELECT user_id,
+             CAST(sum(CASE WHEN day < mid THEN cents ELSE 0 END) AS BIGINT)
+               AS x,
+             CAST(sum(CASE WHEN day >= mid THEN cents ELSE 0 END) AS BIGINT)
+               AS y
+           FROM ev, mid WHERE event_type = 'purchase' GROUP BY user_id),
+         xy AS (SELECT CAST(coalesce(per.x, 0) AS HUGEINT) AS x,
+             CAST(coalesce(per.y, 0) AS HUGEINT) AS y
+           FROM (SELECT DISTINCT user_id FROM ev) u
+           LEFT JOIN per ON u.user_id = per.user_id),
+         m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(sum(x * y) AS HUGEINT) AS sxy,
+             CAST(sum(y * y) AS HUGEINT) AS syy FROM xy)
+         SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(sx AS BIGINT) AS pre_cents,
+           CAST(sy AS BIGINT) AS post_cents,
+           CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                WHEN n * sxy - sx * sy < 0
+                THEN -((-(n * sxy - sx * sy)) * 1000000
+                       // (n * sxx - sx * sx))
+                ELSE (n * sxy - sx * sy) * 1000000
+                     // (n * sxx - sx * sx) END AS BIGINT) AS theta6,
+           CAST(CASE WHEN n * sxx - sx * sx = 0
+                       OR n * syy - sy * sy = 0 THEN 0
+                ELSE (abs(n * sxy - sx * sy) * 10000
+                       // (n * sxx - sx * sx))
+                   * (abs(n * sxy - sx * sy) * 10000
+                       // (n * syy - sy * sy)) // 10000
+                END AS BIGINT) AS var_red_bp
+         FROM m""",
   )
 }
