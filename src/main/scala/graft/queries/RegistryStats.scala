@@ -1137,7 +1137,118 @@ trait RegistryStats extends RegistryAgg {
           * 1e6) / 1e6).as("r1_6"))
   }
 
+  /** Exact two-sided Fisher test per event type (Fisher 1935) — the
+    * small-table independence test the χ² family cannot honestly run
+    * when cells are sparse: is a phase's am-majority independent of the
+    * early/late fold? The 2×2 is built from the 31-phase day fold (the
+    * [[statsSignBh]] bounding trick — n ≤ 31 data-INDEPENDENTLY), so
+    * the hypergeometric weights w(x) = C(r₁,x)·C(n−r₁,c₁−x) stay below
+    * C(31,15)² ≈ 9·10¹⁶ in plain BIGINT. EVERYTHING is exact integers:
+    * binomials fold by the in-order recurrence C(m,j) =
+    * C(m,j−1)(m−j+1)/j (each prefix product IS a binomial, so `div`
+    * never truncates), the two-sided p sums every support point with
+    * w(x) ≤ w(a) against the Vandermonde total Σw(x) = C(n,c₁) — the
+    * denominator is SUMMED, not re-derived, so a wrong weight breaks
+    * the identity and the oracle hash. One division at 10⁻⁶ scale,
+    * both operands non-negative (truncate == floor in both engines).
+    * Scale shape: one phase-keyed aggregate (bounded 31·|types|), a
+    * broadcast ≤32-row support explode — no corpus-sized anything
+    * past the first groupBy. */
+  protected def statsFisherExact(spark: SparkSession, dir: String): DataFrame = {
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val dayNs = 24L * hourNs
+    val ph = t(spark, dir, "events")
+      .select(col("event_type"),
+        expr(s"(ts div $dayNs) % 31").as("ph"),
+        (expr(s"(ts div $hourNs) % 24") < 12).as("am"))
+      .groupBy("event_type", "ph")
+      .agg(sum(when(col("am"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("am"), 1L).otherwise(0L)).as("np"))
+      .select(col("event_type"), (col("ph") < 16).as("early"),
+        (col("na") > col("np")).as("ammaj"))
+    val cells = ph.groupBy("event_type")
+      .agg(sum(when(col("early") && col("ammaj"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("early") && !col("ammaj"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("early") && col("ammaj"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("early") && !col("ammaj"), 1L).otherwise(0L)).as("d"))
+      .withColumn("n", expr("a + b + c + d"))
+      .withColumn("r1", expr("a + b"))
+      .withColumn("c1", expr("a + c"))
+    def binom(m: String, j: String): String =
+      s"""CASE WHEN $j = 0 THEN CAST(1 AS BIGINT)
+          ELSE aggregate(sequence(1, CAST($j AS INT)), CAST(1 AS BIGINT),
+            (acc, i) -> acc * ($m - i + 1) div i) END"""
+    val xs = spark.range(0, 32).select(col("id").as("x"))
+    cells.crossJoin(broadcast(xs))
+      .filter(expr("x >= greatest(CAST(0 AS BIGINT), c1 - (n - r1))" +
+        " AND x <= least(r1, c1)"))
+      .withColumn("wx",
+        expr(s"${binom("r1", "x")} * ${binom("(n - r1)", "(c1 - x)")}"))
+      .withColumn("wa",
+        expr(s"${binom("r1", "a")} * ${binom("(n - r1)", "(c1 - a)")}"))
+      .groupBy("event_type", "a", "b", "c", "d")
+      .agg(sum(when(col("wx") <= col("wa"), col("wx")).otherwise(0L))
+          .as("num"),
+        sum(col("wx")).as("den"))
+      .select(col("event_type"), col("a"), col("b"), col("c"), col("d"),
+        col("num"), col("den"),
+        expr("num * 1000000 div den").as("p6"),
+        expr("CASE WHEN b * c = 0 THEN CAST(-1 AS BIGINT)" +
+          " ELSE a * d * 10000 div (b * c) END").as("odds4"))
+      .orderBy("event_type")
+  }
+
   protected val statsOracleSql: ListMap[String, String] = ListMap(
+    "q_stats_fisher_exact" ->
+      """WITH e AS (SELECT event_type,
+             (epoch_ns(ts) // 86400000000000) % 31 AS ph,
+             (epoch_ns(ts) // 3600000000000) % 24 < 12 AS am
+           FROM events),
+         pr AS (SELECT event_type, ph,
+             CAST(sum(CASE WHEN am THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN am THEN 0 ELSE 1 END) AS BIGINT) AS np
+           FROM e GROUP BY 1, 2),
+         fl AS (SELECT event_type, ph < 16 AS early, na > np AS ammaj
+           FROM pr),
+         cells AS (SELECT event_type,
+             CAST(sum(CASE WHEN early AND ammaj THEN 1 ELSE 0 END)
+               AS BIGINT) AS a,
+             CAST(sum(CASE WHEN early AND NOT ammaj THEN 1 ELSE 0 END)
+               AS BIGINT) AS b,
+             CAST(sum(CASE WHEN NOT early AND ammaj THEN 1 ELSE 0 END)
+               AS BIGINT) AS c,
+             CAST(sum(CASE WHEN NOT early AND NOT ammaj THEN 1 ELSE 0 END)
+               AS BIGINT) AS d
+           FROM fl GROUP BY 1),
+         mg AS (SELECT *, a + b + c + d AS n, a + b AS r1, a + c AS c1
+           FROM cells),
+         sup AS (SELECT mg.*, j.j AS x
+           FROM mg, generate_series(0, 31) j(j)
+           WHERE j.j >= greatest(0, c1 - (n - r1))
+             AND j.j <= least(r1, c1)),
+         w AS (SELECT *,
+             CAST(factorial(r1::INT)
+                 // (factorial(x::INT) * factorial((r1 - x)::INT))
+               * (factorial((n - r1)::INT)
+                 // (factorial((c1 - x)::INT)
+                    * factorial((n - r1 - (c1 - x))::INT))) AS BIGINT)
+               AS wx,
+             CAST(factorial(r1::INT)
+                 // (factorial(a::INT) * factorial((r1 - a)::INT))
+               * (factorial((n - r1)::INT)
+                 // (factorial((c1 - a)::INT)
+                    * factorial((n - r1 - (c1 - a))::INT))) AS BIGINT)
+               AS wa
+           FROM sup)
+         SELECT event_type, a, b, c, d,
+           CAST(sum(CASE WHEN wx <= wa THEN wx ELSE 0 END) AS BIGINT)
+             AS num,
+           CAST(sum(wx) AS BIGINT) AS den,
+           CAST(sum(CASE WHEN wx <= wa THEN wx ELSE 0 END) AS BIGINT)
+             * 1000000 // CAST(sum(wx) AS BIGINT) AS p6,
+           CAST(CASE WHEN b * c = 0 THEN -1
+                ELSE a * d * 10000 // (b * c) END AS BIGINT) AS odds4
+         FROM w GROUP BY event_type, a, b, c, d ORDER BY event_type""",
     // Exact-integer replay: HUGEINT factorials give the same binomial
     // prefix sums the Spark fold's integer recurrence produces; the
     // static 0..31 series stands in for the correlated generate_series
