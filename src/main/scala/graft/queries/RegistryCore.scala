@@ -732,6 +732,48 @@ trait RegistryCore extends RegistryBase {
       .orderBy("user_id")
   }
 
+  /** k-anonymity / l-diversity release audit (Sweeney 2002; Machanavajjhala
+    * et al. 2007) — the privacy gate a training-data or analytics export
+    * runs before shipping a table with quasi-identifiers: group customers
+    * by the QI tuple (nation, segment, $2000 balance band), report the
+    * worst-case re-identification class size k, the risk mass in classes
+    * below k = 5, and the homogeneity-attack surface (classes whose
+    * customers' order priorities are single-valued — distinct-l-diversity
+    * via the orders join). The balance band shifts cents by +$1000 before
+    * the truncating division so the operand is non-negative (Spark div
+    * truncates, DuckDB // floors — they agree only above zero). Scale
+    * shape: one QI groupBy over the dimension table + one key-partitioned
+    * customer⋈orders with a per-class distinct — no window, no pair
+    * blowup; at 100 TB the orders side shuffles once on its join key. */
+  protected def govKAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nat"),
+        col("c_mktsegment").as("seg"),
+        expr("(floor(c_acctbal * 100 + 0.5) + 100000) div 200000")
+          .as("bal_band"))
+    val classes = cust.groupBy("nat", "seg", "bal_band")
+      .agg(count(lit(1)).as("k"))
+    val kstats = classes.agg(count(lit(1)).as("n_classes"),
+      sum(col("k")).as("n_rows"), min(col("k")).as("k_anon"),
+      sum(when(col("k") < 5, 1L).otherwise(0L)).as("classes_lt5"),
+      sum(when(col("k") < 5, col("k")).otherwise(0L)).as("rows_lt5"))
+    val lstats = cust
+      .join(t(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderpriority")),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy("nat", "seg", "bal_band")
+      .agg(countDistinct("o_orderpriority").as("l"))
+      .agg(count(lit(1)).as("classes_with_orders"),
+        min(col("l")).as("min_l"),
+        sum(when(col("l") === 1, 1L).otherwise(0L)).as("classes_l1"))
+    kstats.crossJoin(lstats)
+      .select(col("n_rows").cast("long").as("n_rows"), col("n_classes"),
+        col("k_anon"), col("classes_lt5"),
+        col("rows_lt5").cast("long").as("rows_lt5"),
+        expr("rows_lt5 * 10000 div n_rows").as("risk_bp"),
+        col("classes_with_orders"), col("min_l"), col("classes_l1"))
+  }
+
   /** Data-rule audit: functional-dependency and key-constraint checking,
     * the profiling pass a pipeline runs before trusting joins (a
     * violated FD silently fans out a "1:1" join). Each rule is one
@@ -1530,6 +1572,35 @@ trait RegistryCore extends RegistryBase {
   }
 
   protected val coreOracleSql: ListMap[String, String] = ListMap(
+    "q_gov_k_anonymity" ->
+      """WITH cust AS (SELECT c_custkey,
+             CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+             (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000)
+               // 200000 AS bal_band
+           FROM customer),
+         cls AS (SELECT nat, seg, bal_band,
+             CAST(count(*) AS BIGINT) AS k
+           FROM cust GROUP BY 1, 2, 3),
+         ks AS (SELECT CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(sum(k) AS BIGINT) AS n_rows, min(k) AS k_anon,
+             CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_lt5,
+             CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+               AS rows_lt5
+           FROM cls),
+         ld AS (SELECT nat, seg, bal_band,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS l
+           FROM cust JOIN orders ON c_custkey = o_custkey
+           GROUP BY 1, 2, 3),
+         ls AS (SELECT CAST(count(*) AS BIGINT) AS classes_with_orders,
+             min(l) AS min_l,
+             CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_l1
+           FROM ld)
+         SELECT n_rows, n_classes, k_anon, classes_lt5, rows_lt5,
+           rows_lt5 * 10000 // n_rows AS risk_bp,
+           classes_with_orders, min_l, classes_l1
+         FROM ks, ls""",
     // The merged read must equal v1-rows-with-NULL-rev ∪ v2 rows.
     "q_s_schema_evolution" ->
       """SELECT CAST(r_regionkey AS BIGINT) AS k, r_name AS name,
