@@ -699,6 +699,33 @@ trait RegistryEvent extends RegistryTs {
         expr("(users_for_80pct * 1000000) div nu").as("user_share_micro"))
   }
 
+  /** Gaps-and-islands consecutive-day activity streaks — the canonical
+    * SQL pattern ([[eSessions]]'s discrete-grain sibling: sessions split
+    * on elapsed time, streaks split on missing CALENDAR days): the
+    * distinct (user, day) relation islands by the day − row_number()
+    * constant-group trick, then reduces to a streak-length histogram
+    * (engagement/retention's "current streak" backbone). All integers;
+    * windows are per-user only (no corpus-wide ordering); the distinct
+    * is the single corpus-sized shuffle and the histogram runs over the
+    * ≤|days|-bounded island relation. */
+  protected def wGapIslands(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val ud = t(spark, dir, "events")
+      .select(col("user_id"), expr(s"ts div $dayNs").as("day"))
+      .distinct()
+    ud.withColumn("grp", col("day") - row_number().over(
+        Window.partitionBy("user_id").orderBy("day")))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("len")
+      .agg(count(lit(1)).as("n_islands"),
+        countDistinct("user_id").as("n_users"))
+      .select(col("len").as("streak_days"), col("n_islands"),
+        col("n_users"))
+      .orderBy("streak_days")
+  }
+
   /** Sample-ratio-mismatch audit across 8 synthetic assignment layers —
     * the first gate any experimentation platform runs before reading a
     * metric (Fabijan et al. 2019, "Diagnosing SRM"): each layer hashes
@@ -1264,6 +1291,18 @@ trait RegistryEvent extends RegistryTs {
              AS arpu_cents
          FROM seg GROUP BY 1, 2, 3, 4
          ORDER BY r_score, f_score, m_score""",
+    "q_w_gap_islands" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+             epoch_ns(ts) // 86400000000000 AS day FROM events),
+         g AS (SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS grp
+           FROM ud),
+         isl AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+           FROM g GROUP BY 1, 2)
+         SELECT len AS streak_days, CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM isl GROUP BY 1 ORDER BY 1""",
     "q_exp_srm" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
          l AS (SELECT g.layer, u.user_id FROM u CROSS JOIN

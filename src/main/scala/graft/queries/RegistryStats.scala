@@ -1137,6 +1137,58 @@ trait RegistryStats extends RegistryAgg {
           * 1e6) / 1e6).as("r1_6"))
   }
 
+  /** Effect sizes per event type — the magnitude layer the p-value
+    * family ([[statsWelch]], [[statsRanksum]]) deliberately omits:
+    * Cohen's d (pooled-SD standardized mean difference, Cohen 1988)
+    * and Cliff's delta (the rank-robust dominance probability,
+    * Cliff 1993) between the am and pm daily revenue samples. The
+    * samples are day-grain totals (≤ 31 per side per type), so
+    * Cliff's Σ sgn pair sweep is a broadcast self-join over bounded
+    * relations — the [[statsMannKendall]] shape, never a corpus
+    * pair. Exactness: moments are exact integer cents; delta₄ uses
+    * the explicit-floor double division (exact below 2⁵³, and floor
+    * sidesteps Spark-div-truncates vs DuckDB-//-floors on negative
+    * dominance); d₄ is ONE textually-identical double expression
+    * floored to 4 dp on both engines. */
+  protected def statsEffectSize(spark: SparkSession, dir: String): DataFrame = {
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val dayNs = 24L * hourNs
+    val daily = t(spark, dir, "events")
+      .select(col("event_type"), expr(s"ts div $dayNs").as("day"),
+        (expr(s"(ts div $hourNs) % 24") < 12).as("am"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("event_type", "day", "am")
+      .agg(sum(col("cents")).as("v"))
+    val x = daily.filter(col("am")).select(col("event_type"), col("v"))
+    val y = daily.filter(!col("am")).select(col("event_type"), col("v"))
+    val mx = x.groupBy("event_type").agg(count(lit(1)).as("n"),
+      sum(col("v")).as("sx"), sum(col("v") * col("v")).as("sxx"))
+    val my = y.groupBy("event_type").agg(count(lit(1)).as("m"),
+      sum(col("v")).as("sy"), sum(col("v") * col("v")).as("syy"))
+    val pairs = x.as("a")
+      .join(broadcast(y.as("b")), "event_type")
+      .groupBy("event_type")
+      .agg(sum(when(col("a.v") > col("b.v"), 1L).otherwise(0L)).as("gt"),
+        sum(when(col("a.v") < col("b.v"), 1L).otherwise(0L)).as("lt"),
+        count(lit(1)).as("nm"))
+    mx.join(my, "event_type").join(pairs, "event_type")
+      .select(col("event_type"), col("n").as("n_am"), col("m").as("n_pm"),
+        expr("sx div n").as("mean_am_cents"),
+        expr("sy div m").as("mean_pm_cents"),
+        expr("""CASE WHEN n + m - 2 <= 0
+                  OR (sxx - CAST(sx AS DOUBLE) * sx / n)
+                   + (syy - CAST(sy AS DOUBLE) * sy / m) <= 0 THEN 0
+                ELSE CAST(floor(
+                  (CAST(sx AS DOUBLE) / n - CAST(sy AS DOUBLE) / m)
+                  / sqrt(((sxx - CAST(sx AS DOUBLE) * sx / n)
+                        + (syy - CAST(sy AS DOUBLE) * sy / m))
+                        / (n + m - 2)) * 10000) AS BIGINT) END""")
+          .as("cohen_d4"),
+        expr("CAST(floor(CAST(gt - lt AS DOUBLE) * 10000 / nm) AS BIGINT)")
+          .as("cliff_delta4"))
+      .orderBy("event_type")
+  }
+
   /** Exact two-sided Fisher test per event type (Fisher 1935) — the
     * small-table independence test the χ² family cannot honestly run
     * when cells are sparse: is a phase's am-majority independent of the
@@ -1199,6 +1251,46 @@ trait RegistryStats extends RegistryAgg {
   }
 
   protected val statsOracleSql: ListMap[String, String] = ListMap(
+    "q_stats_effect_size" ->
+      """WITH daily AS (SELECT event_type,
+             epoch_ns(ts) // 86400000000000 AS day,
+             (epoch_ns(ts) // 3600000000000) % 24 < 12 AS am,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS v
+           FROM events GROUP BY 1, 2, 3),
+         x AS (SELECT event_type, v FROM daily WHERE am),
+         y AS (SELECT event_type, v FROM daily WHERE NOT am),
+         mx AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS sx,
+             CAST(sum(v * v) AS BIGINT) AS sxx
+           FROM x GROUP BY 1),
+         my AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(v) AS BIGINT) AS sy,
+             CAST(sum(v * v) AS BIGINT) AS syy
+           FROM y GROUP BY 1),
+         pr AS (SELECT a.event_type,
+             CAST(sum(CASE WHEN a.v > b.v THEN 1 ELSE 0 END) AS BIGINT)
+               AS gt,
+             CAST(sum(CASE WHEN a.v < b.v THEN 1 ELSE 0 END) AS BIGINT)
+               AS lt,
+             CAST(count(*) AS BIGINT) AS nm
+           FROM x a JOIN y b ON a.event_type = b.event_type GROUP BY 1)
+         SELECT mx.event_type, n AS n_am, m AS n_pm,
+           sx // n AS mean_am_cents, sy // m AS mean_pm_cents,
+           CAST(CASE WHEN n + m - 2 <= 0
+                  OR (sxx - CAST(sx AS DOUBLE) * sx / n)
+                   + (syy - CAST(sy AS DOUBLE) * sy / m) <= 0 THEN 0
+                ELSE CAST(floor(
+                  (CAST(sx AS DOUBLE) / n - CAST(sy AS DOUBLE) / m)
+                  / sqrt(((sxx - CAST(sx AS DOUBLE) * sx / n)
+                        + (syy - CAST(sy AS DOUBLE) * sy / m))
+                        / (n + m - 2)) * 10000) AS BIGINT) END AS BIGINT)
+             AS cohen_d4,
+           CAST(floor(CAST(gt - lt AS DOUBLE) * 10000 / nm) AS BIGINT)
+             AS cliff_delta4
+         FROM mx JOIN my ON mx.event_type = my.event_type
+           JOIN pr ON mx.event_type = pr.event_type
+         ORDER BY mx.event_type""",
     "q_stats_fisher_exact" ->
       """WITH e AS (SELECT event_type,
              (epoch_ns(ts) // 86400000000000) % 31 AS ph,
