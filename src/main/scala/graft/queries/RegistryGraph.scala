@@ -544,6 +544,40 @@ trait RegistryGraph extends RegistryEvent {
       .orderBy("component_size")
   }
 
+  /** Maximum-similarity spanning forest of the 1/16 co-purchase subgraph
+    * — Borůvka on d = −multiplicity ([[graft.operators.Boruvka]]): the
+    * single-linkage dendrogram skeleton over the co-purchase similarity
+    * graph, i.e. the strongest-link backbone a dedup/clustering pipeline
+    * extracts from its pair graph. The (d, lo, hi) total order makes the
+    * forest UNIQUE, so the per-tree-size histogram (trees, Σ multiplicity
+    * weight, edge count — witnessing n_edges = n_nodes − 1 per tree —
+    * and the min-node root checksum) is hash-stable. Tree membership
+    * reuses [[graft.llm.Dedup.connectedComponents]] over the chosen
+    * edges (min-id labels, the wcc contract). */
+  protected def graphMsf(spark: SparkSession, dir: String): DataFrame = {
+    val weighted = coPurchaseSubPairs(spark, dir)
+      .groupBy(col("x").as("lo"), col("y").as("hi"))
+      .agg(count(lit(1)).as("w"))
+      .select(col("lo"), col("hi"), (-col("w")).cast("long").as("d"))
+    val msf = graft.operators.Boruvka.msfEdges(weighted)
+      .localCheckpoint(true)
+    val tcomp = graft.llm.Dedup.connectedComponents(msf, "lo", "hi")
+    val tsize = tcomp.groupBy("component").agg(count(lit(1)).as("n_nodes"))
+    val tweight = msf
+      .join(tcomp.select(col("id").as("lo"), col("component")), Seq("lo"))
+      .groupBy("component")
+      .agg((-sum(col("d"))).as("wsum"), count(lit(1)).as("n_edges"))
+    tsize.join(tweight, Seq("component"))
+      .groupBy("n_nodes")
+      .agg(count(lit(1)).as("n_trees"),
+        sum(col("wsum")).cast("long").as("weight_sum"),
+        sum(col("n_edges")).cast("long").as("edge_sum"),
+        sum(col("component")).cast("long").as("root_checksum"))
+      .select(col("n_nodes").as("tree_size"), col("n_trees"),
+        col("weight_sum"), col("edge_sum"), col("root_checksum"))
+      .orderBy("tree_size")
+  }
+
   /** k-truss peeling (k=4, 3 rounds) on a 1/16 co-purchase subgraph —
     * the community-backbone extractor (every surviving edge sits in ≥ 2
     * triangles of the truss). Support counting is a full triangle pass
@@ -1057,6 +1091,38 @@ trait RegistryGraph extends RegistryEvent {
     // WCC replay: recursive min-label closure (a label walks only onto
     // larger-id nodes, and the component minimum reaches everything),
     // then the same size histogram + id checksum.
+    // Borůvka replay: 12 generated rounds (components ≤ 500 at sf0.01 →
+    // ≤ 9 needed; extras are no-ops), then min-id tree labels over the
+    // chosen edges via the wcc-style recursive label spread.
+    "q_graph_msf" -> (graft.operators.Boruvka.oracleCtes(
+      """SELECT lo, hi, -CAST(count(*) AS BIGINT) AS d FROM (
+           SELECT DISTINCT a.l_orderkey, a.l_partkey AS lo,
+             b.l_partkey AS hi
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+           WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0)
+         GROUP BY lo, hi""", rounds = 12) + """,
+      adj AS (SELECT lo AS src, hi AS dst FROM msf
+              UNION ALL SELECT hi, lo FROM msf),
+      rr AS (SELECT src AS node, src AS lbl
+             FROM (SELECT DISTINCT src FROM adj)
+             UNION
+             SELECT adj.dst, rr.lbl FROM rr JOIN adj ON adj.src = rr.node
+             WHERE rr.lbl < adj.dst),
+      tc AS (SELECT node, CAST(min(lbl) AS BIGINT) AS component
+             FROM rr GROUP BY node),
+      ts AS (SELECT component, CAST(count(*) AS BIGINT) AS n_nodes
+             FROM tc GROUP BY component),
+      tw AS (SELECT t.component, CAST(sum(-m.d) AS BIGINT) AS wsum,
+               CAST(count(*) AS BIGINT) AS n_edges
+             FROM msf m JOIN tc t ON m.lo = t.node GROUP BY t.component)
+      SELECT ts.n_nodes AS tree_size, CAST(count(*) AS BIGINT) AS n_trees,
+        CAST(sum(tw.wsum) AS BIGINT) AS weight_sum,
+        CAST(sum(tw.n_edges) AS BIGINT) AS edge_sum,
+        CAST(sum(ts.component) AS BIGINT) AS root_checksum
+      FROM ts JOIN tw ON ts.component = tw.component
+      GROUP BY ts.n_nodes ORDER BY tree_size"""),
     "q_graph_wcc" ->
       """WITH RECURSIVE e0 AS (
              SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
