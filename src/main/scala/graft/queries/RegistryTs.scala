@@ -449,7 +449,120 @@ trait RegistryTs extends RegistryStats {
         expr("st.se[6]").as("seas7"))
   }
 
+  /** Dynamic time warping with a Sakoe–Chiba band (Sakoe & Chiba 1978,
+    * |i−j| ≤ 5) between every pair of event-type daily-activity
+    * profiles — the shape-similarity measure that survives phase shifts
+    * where [[tsCcf]]'s fixed-lag correlation does not. Profiles fold to
+    * the 31-phase day grid (data-INDEPENDENT length, the statsSignBh
+    * bounding trick), so the DP is a fixed 961-cell fold: ONE
+    * row-local `aggregate` per pair whose accumulator is the dp array
+    * in cell order (banded cells pin to a 10¹⁵ sentinel; the
+    * min-of-three recurrence never adds onto the sentinel, so costs
+    * stay exact Longs). The DuckDB oracle replays the identical fold
+    * via list_reduce with a list accumulator — bit-for-bit, no floats
+    * anywhere. Scale shape: one phase aggregate is the only
+    * corpus-sized pass; the pair relation is |types|²-bounded and the
+    * DP is row-local compute (at 100 TB this parallelizes per pair
+    * with zero extra shuffle). `l1` is the no-warp diagonal cost, so
+    * gain_bp = how much alignment the band buys, and dtw ≤ l1 is a
+    * per-row invariant the oracle hash enforces. */
+  protected def tsDtw(spark: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val L = 31; val W = 5; val INF = 1000000000000000L
+    val cnt = t(spark, dir, "events")
+      .groupBy(col("event_type"), expr(s"(ts div $dayNs) % $L").as("ph"))
+      .agg(count(lit(1)).as("c"))
+    val vecs = cnt.groupBy("event_type")
+      .agg(map_from_entries(collect_list(struct(col("ph"), col("c"))))
+        .as("m"))
+      .select(col("event_type"),
+        expr(s"transform(sequence(0, ${L - 1}), i -> " +
+          "coalesce(m[CAST(i AS BIGINT)], CAST(0 AS BIGINT)))").as("v"))
+    val pairs = vecs.as("a")
+      .join(broadcast(vecs.as("b")),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        col("a.v").as("av"), col("b.v").as("bv"))
+    val inf = s"CAST($INF AS BIGINT)"
+    val least3 =
+      s"""least(
+          CASE WHEN t % $L > 0 THEN element_at(acc, t) ELSE $inf END,
+          CASE WHEN t div $L > 0 THEN element_at(acc, t - ${L - 1})
+               ELSE $inf END,
+          CASE WHEN t div $L > 0 AND t % $L > 0
+               THEN element_at(acc, t - $L) ELSE $inf END)"""
+    val dpExpr =
+      s"""element_at(aggregate(sequence(1, ${L * L - 1}),
+          array(CAST(abs(element_at(av, 1) - element_at(bv, 1)) AS BIGINT)),
+          (acc, t) -> concat(acc, array(
+            CASE WHEN abs(t div $L - t % $L) > $W THEN $inf
+            ELSE CASE WHEN $least3 >= $inf THEN $inf
+            ELSE abs(element_at(av, CAST(t div $L AS INT) + 1)
+                   - element_at(bv, t % $L + 1)) + $least3
+            END END))), ${L * L})"""
+    pairs
+      .select(col("type_a"), col("type_b"),
+        expr(dpExpr).as("dtw"),
+        expr(s"aggregate(sequence(0, ${L - 1}), CAST(0 AS BIGINT), " +
+          "(s, i) -> s + abs(element_at(av, i + 1) - element_at(bv, i + 1)))")
+          .as("l1"))
+      .withColumn("gain_bp",
+        expr("CASE WHEN l1 = 0 THEN CAST(0 AS BIGINT)" +
+          " ELSE (l1 - dtw) * 10000 div l1 END"))
+      .orderBy("type_a", "type_b")
+  }
+
   protected val tsOracleSql: ListMap[String, String] = ListMap(
+    "q_ts_dtw" ->
+      """WITH cnt AS (SELECT event_type,
+             (epoch_ns(ts) // 86400000000000) % 31 AS ph,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         types AS (SELECT DISTINCT event_type FROM cnt),
+         grid AS (SELECT event_type, g.i FROM types, range(0, 31) g(i)),
+         dense AS (SELECT grid.event_type, grid.i,
+             coalesce(cnt.c, 0) AS c
+           FROM grid LEFT JOIN cnt
+             ON grid.event_type = cnt.event_type AND grid.i = cnt.ph),
+         vecs AS (SELECT event_type, list(c ORDER BY i) AS v
+           FROM dense GROUP BY 1),
+         pairs AS (SELECT a.event_type AS ta, b.event_type AS tb,
+             a.v AS av, b.v AS bv
+           FROM vecs a JOIN vecs b ON a.event_type < b.event_type),
+         dp AS (SELECT ta, tb,
+             (list_reduce(
+               [[CAST(abs(av[1] - bv[1]) AS BIGINT)]] ||
+               list_transform(range(1, 961), t -> [CAST(t AS BIGINT)]),
+               (acc, x) -> acc || [
+                 CASE WHEN abs(x[1] // 31 - x[1] % 31) > 5
+                   THEN CAST(1000000000000000 AS BIGINT)
+                 ELSE CASE WHEN least(
+                     CASE WHEN x[1] % 31 > 0 THEN acc[x[1]]
+                          ELSE CAST(1000000000000000 AS BIGINT) END,
+                     CASE WHEN x[1] // 31 > 0 THEN acc[x[1] - 30]
+                          ELSE CAST(1000000000000000 AS BIGINT) END,
+                     CASE WHEN x[1] // 31 > 0 AND x[1] % 31 > 0
+                          THEN acc[x[1] - 31]
+                          ELSE CAST(1000000000000000 AS BIGINT) END)
+                     >= 1000000000000000
+                   THEN CAST(1000000000000000 AS BIGINT)
+                 ELSE abs(av[x[1] // 31 + 1] - bv[x[1] % 31 + 1]) + least(
+                     CASE WHEN x[1] % 31 > 0 THEN acc[x[1]]
+                          ELSE CAST(1000000000000000 AS BIGINT) END,
+                     CASE WHEN x[1] // 31 > 0 THEN acc[x[1] - 30]
+                          ELSE CAST(1000000000000000 AS BIGINT) END,
+                     CASE WHEN x[1] // 31 > 0 AND x[1] % 31 > 0
+                          THEN acc[x[1] - 31]
+                          ELSE CAST(1000000000000000 AS BIGINT) END)
+                 END END]))[961] AS dtw,
+             CAST(list_sum(list_transform(range(0, 31),
+               i -> abs(av[i + 1] - bv[i + 1]))) AS BIGINT) AS l1
+           FROM pairs)
+         SELECT ta AS type_a, tb AS type_b, dtw, l1,
+           CASE WHEN l1 = 0 THEN CAST(0 AS BIGINT)
+                ELSE (l1 - dtw) * 10000 // l1 END AS gain_bp
+         FROM dp ORDER BY type_a, type_b""",
     "q_ts_resample" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 60000000000 AS bin_minute, value
                     FROM events WHERE user_id < 5),
