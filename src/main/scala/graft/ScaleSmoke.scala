@@ -171,6 +171,25 @@ object ScaleSmoke {
         .orderBy(col("rank").desc).limit(5).collect())
     println(s"[scale] pagerank top node: ${prTop.head.get(0)} @ ${prTop.head.get(1)}")
 
+    // Borůvka MSF with the driver-Kruskal path DISABLED: the 100 TB
+    // contract is the distributed component-merge rounds (hook +
+    // pointer-jumping), and this is the only gate that runs them at a
+    // corpus-sized edge relation (the sf0.01 oracle and sf0.1 bench both
+    // sit under the 2²⁰ Kruskal threshold by design). Weights are a
+    // deterministic residue so the (d, lo, hi) order still uniquely pins
+    // the forest; the node/edge/weight line is the reproducibility
+    // witness.
+    val msfEdgesIn = liEdges
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .filter(col("lo") < col("hi")).distinct()
+      .select(col("lo"), col("hi"),
+        pmod(col("lo") * 31 + col("hi"), lit(997L)).as("d"))
+    val msfStats = timed("boruvka msf (distributed rounds, no Kruskal)")(
+      graft.operators.Boruvka.msfEdges(msfEdgesIn, maxDriverEdges = 0L)
+        .agg(count(lit(1)), sum(col("d"))).collect().head)
+    println(s"[scale] msf edges: ${msfStats.get(0)} weight ${msfStats.get(1)}")
+
     // Round-6 aggregate reports at 20×: each one's scale contract is that
     // the corpus relation is NEVER broadcast — only KB-scale summaries
     // (per-source totals, per-type medians, tercile thresholds) are. The

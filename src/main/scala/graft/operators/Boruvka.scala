@@ -95,31 +95,20 @@ object Boruvka {
         chosen =
           if (chosen == null) newEdges.localCheckpoint(true)
           else chosen.unionByName(newEdges).localCheckpoint(true)
-        // Hook with 2-cycle break: a mutual min-edge pair keeps its
-        // smaller component id as the (self-looped) root.
-        val mutual = sel.as("a")
-          .join(sel.as("b"),
-            col("a.pt") === col("b.c") && col("b.pt") === col("a.c"))
-          .select(col("a.c").as("c"), lit(1).as("m"))
-        var par = sel.select(col("c"), col("pt"))
-          .join(mutual, Seq("c"), "left")
-          .select(col("c"),
-            when(col("m") === 1 && col("c") < col("pt"), col("c"))
-              .otherwise(col("pt")).as("p"))
-          .localCheckpoint(true)
-        // Pointer jumping to the self-looped roots.
-        var jumping = true
-        while (jumping) {
-          val pj = par.as("a")
-            .join(par.select(col("c").as("p"), col("p").as("gp")).as("b"),
-              Seq("p"), "left")
-            .select(col("c"), col("p"), coalesce(col("gp"), col("p")).as("p2"))
-            .localCheckpoint(true)
-          jumping = !pj.filter(col("p2") =!= col("p")).isEmpty
-          par = pj.select(col("c"), col("p2").as("p"))
-        }
-        comp = comp.join(par, Seq("c"), "left")
-          .select(col("node"), coalesce(col("p"), col("c")).as("c"))
+        // Contraction: the merge groups are EXACTLY the connected
+        // components of the selected-edge graph in component space, so
+        // reuse the battle-tested dual-path CC (min-id labels; any
+        // consistent relabeling picks the same edges next round, since
+        // labels only feed cu ≠ cv tests and grouping — the original
+        // hand-rolled hook + pointer-jump contraction spent ~20
+        // driver-blocking micro-jobs per round on the same answer and
+        // stalled ScaleSmoke's 590k-edge witness for 15+ minutes).
+        val groups = graft.llm.Dedup.connectedComponents(
+          sel.select(col("c").as("ga"), col("pt").as("gb")), "ga", "gb")
+        comp = comp
+          .join(groups.select(col("id").as("c"), col("component")),
+            Seq("c"), "left")
+          .select(col("node"), coalesce(col("component"), col("c")).as("c"))
           .localCheckpoint(true)
       }
     }

@@ -503,7 +503,64 @@ trait RegistryAgg extends RegistryCore {
         grouping_id().as("gid"))
       .orderBy("gid", "o_orderstatus", "o_year")
 
+  /** Herfindahl–Hirschman supplier concentration per nation (the
+    * antitrust/market-structure summary; HHI = Σ shareᵢ², 10000 =
+    * monopoly) — the per-market companion of [[statsGini]]'s global
+    * inequality scalar and [[aggAbc]]'s rank classes: which nations'
+    * supply is one-firm fragile? FULLY integer: revenue is exact cents,
+    * HHI₄ clears to Σsᵢ²·10⁴ div (Σsᵢ)² — one non-negative truncating
+    * division per nation in DECIMAL(38,0)/HUGEINT (sᵢ² tops Long at
+    * ~$10M suppliers). The DOJ 2500-point threshold flags concentrated
+    * markets. Scale shape: one supplier-keyed revenue aggregate (the
+    * only corpus-sized shuffle), one |nations|-bounded reduce. */
+  protected def aggHhi(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val rev = t(spark, dir, "lineitem")
+      .select(col("l_suppkey"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("l_suppkey").agg(sum(col("cents")).as("s"))
+    val bySupp = rev
+      .join(t(spark, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"),
+          col("s_nationkey").cast("long").as("nat")), Seq("l_suppkey"))
+    bySupp.groupBy("nat")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("s").cast(dec)).as("tot"),
+        sum(col("s").cast(dec) * col("s")).as("sq"))
+      .join(t(spark, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("nat"),
+          col("n_name")), Seq("nat"))
+      .select(col("n_name"), col("n_suppliers"),
+        col("tot").cast("long").as("total_cents"),
+        expr("CASE WHEN tot = 0 THEN CAST(0 AS BIGINT)" +
+          " ELSE CAST(sq * 10000 div (tot * tot) AS BIGINT) END")
+          .as("hhi4"),
+        expr("CASE WHEN tot > 0 AND sq * 10000 >= 2500 * tot * tot" +
+          " THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+          .as("concentrated"))
+      .orderBy("n_name")
+  }
+
   protected val aggOracleSql: ListMap[String, String] = ListMap(
+    "q_agg_hhi" ->
+      """WITH rev AS (SELECT l_suppkey,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS s
+           FROM lineitem GROUP BY 1),
+         bs AS (SELECT CAST(s_nationkey AS BIGINT) AS nat,
+             CAST(rev.s AS HUGEINT) AS s
+           FROM rev JOIN supplier ON rev.l_suppkey = s_suppkey),
+         agg AS (SELECT nat, CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(sum(s) AS HUGEINT) AS tot,
+             CAST(sum(s * s) AS HUGEINT) AS sq
+           FROM bs GROUP BY 1)
+         SELECT n_name, n_suppliers, CAST(tot AS BIGINT) AS total_cents,
+           CAST(CASE WHEN tot = 0 THEN 0
+                ELSE sq * 10000 // (tot * tot) END AS BIGINT) AS hhi4,
+           CAST(CASE WHEN tot > 0 AND sq * 10000 >= 2500 * tot * tot
+                THEN 1 ELSE 0 END AS BIGINT) AS concentrated
+         FROM agg JOIN nation ON agg.nat = CAST(n_nationkey AS BIGINT)
+         ORDER BY n_name""",
     // Full Count-Min replay: identical md5 positions → identical counter
     // relation → identical estimates, plus the exact counts and the
     // est ≥ exact guarantee evaluated on both engines.

@@ -806,6 +806,68 @@ trait RegistryEvent extends RegistryTs {
               THEN 1 ELSE 0 END""").cast("long").as("sig_flag"))
   }
 
+  /** Hour-of-day × day-of-week activity heatmap — the load-shape matrix
+    * behind capacity planning and send-time optimization: event counts
+    * and per-cell share (frac4 of the whole corpus) on the 7×24 grid.
+    * dow uses the epoch-day +4 fold (1970-01-01 was a Thursday; 0 =
+    * Sunday), all integer. One groupBy to a 168-row relation. */
+  protected def eHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val dayNs = 24L * hourNs
+    val cells = t(spark, dir, "events")
+      .groupBy(expr(s"((ts div $dayNs) + 4) % 7").as("dow"),
+        expr(s"(ts div $hourNs) % 24").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .crossJoin(broadcast(cells.agg(sum(col("n")).as("tot"))))
+      .select(col("dow"), col("hour"), col("n"),
+        expr("n * 10000 div tot").as("frac4"))
+      .orderBy("dow", "hour")
+  }
+
+  /** Experiment power / sample-size planner (Lehr 1992's n = 16·p(1−p)/δ²
+    * per arm at α=0.05, power 0.8) — the pre-experiment companion to
+    * [[eExpSrm]]/[[eExpTwoProp]]: for each event type, the baseline rate
+    * is the observed share of users emitting it, the MDE is a relative
+    * 10% lift (δ = p/10), and the per-arm requirement clears to the
+    * FULLY integer ceiling n = ⌈1600·u·(u−c) / c²⌉ = (1600·u·(u−c) +
+    * c² − 1) div c² — no z-table float ever materializes. days_to_power
+    * divides by the observed distinct-user daily rate, the go/no-go
+    * number a platform actually schedules against. Scale shape: one
+    * (type, user) distinct + one user distinct; everything after is
+    * |types|-bounded. */
+  protected def eExpPower(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val ev = t(spark, dir, "events")
+    val conv = ev.select(col("event_type"), col("user_id")).distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("c"))
+    val tot = ev.agg(
+      countDistinct("user_id").as("u"),
+      (expr(s"max(ts div $dayNs) - min(ts div $dayNs)") + 1).as("n_days"))
+    conv.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("u").as("n_users"),
+        col("c").as("n_converters"),
+        expr("c * 1000000 div u").as("rate6"),
+        expr("""CASE WHEN c = 0 OR c = u THEN CAST(-1 AS BIGINT)
+                ELSE CAST((CAST(1600 AS DECIMAL(38,0)) * u * (u - c)
+                     + c * c - 1) div (c * c) AS BIGINT) END""")
+          .as("n_per_arm"))
+      .withColumn("n_total",
+        expr("CASE WHEN n_per_arm < 0 THEN CAST(-1 AS BIGINT)" +
+          " ELSE 2 * n_per_arm END"))
+      .crossJoin(broadcast(tot.select(col("u").as("u2"),
+        col("n_days").as("nd"))))
+      .withColumn("days_to_power",
+        expr("""CASE WHEN n_total < 0 THEN CAST(-1 AS BIGINT)
+                ELSE CAST((CAST(n_total AS DECIMAL(38,0)) * nd + u2 - 1)
+                     div u2 AS BIGINT) END"""))
+      .select(col("event_type"), col("n_users"), col("n_converters"),
+        col("rate6"), col("n_per_arm"), col("n_total"),
+        col("days_to_power"))
+      .orderBy("event_type")
+  }
+
   /** CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013) — the
     * pre-experiment covariate adjustment every mature A/B platform
     * applies before the t-test: per user, X = pre-period purchase
@@ -1360,6 +1422,40 @@ trait RegistryEvent extends RegistryTs {
                   >= 3841459 * ((a + b) * (c + d) * (a + c) * (b + d))
                 THEN 1 ELSE 0 END AS BIGINT) AS sig_flag
          FROM cells""",
+    "q_e_heatmap" ->
+      """WITH cells AS (SELECT
+             ((epoch_ns(ts) // 86400000000000) + 4) % 7 AS dow,
+             (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM cells)
+         SELECT dow, hour, n, n * 10000 // tot AS frac4
+         FROM cells, tt ORDER BY dow, hour""",
+    "q_exp_power" ->
+      """WITH conv AS (SELECT event_type,
+             CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT DISTINCT event_type, user_id FROM events)
+           GROUP BY 1),
+         tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS u,
+             max(epoch_ns(ts) // 86400000000000)
+               - min(epoch_ns(ts) // 86400000000000) + 1 AS n_days
+           FROM events),
+         base AS (SELECT event_type, u AS n_users, c AS n_converters,
+             c * 1000000 // u AS rate6,
+             CASE WHEN c = 0 OR c = u THEN CAST(-1 AS BIGINT)
+                  ELSE CAST((CAST(1600 AS HUGEINT) * u * (u - c)
+                       + c * c - 1) // (c * c) AS BIGINT) END AS n_per_arm
+           FROM conv, tot),
+         wt AS (SELECT *,
+             CASE WHEN n_per_arm < 0 THEN CAST(-1 AS BIGINT)
+                  ELSE 2 * n_per_arm END AS n_total
+           FROM base)
+         SELECT event_type, n_users, n_converters, rate6, n_per_arm,
+           n_total,
+           CASE WHEN n_total < 0 THEN CAST(-1 AS BIGINT)
+                ELSE CAST((CAST(n_total AS HUGEINT) * tot.n_days + tot.u - 1)
+                     // tot.u AS BIGINT) END AS days_to_power
+         FROM wt, tot ORDER BY event_type""",
     "q_exp_cuped" ->
       """WITH ev AS (SELECT user_id, event_type,
              epoch_ns(ts) // 86400000000000 AS day,

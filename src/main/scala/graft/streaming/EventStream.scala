@@ -50,6 +50,25 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming SRM monitor — the live twin of the batch `q_exp_srm`
+    * experimentation audit: distinct users within the watermark horizon
+    * ([[dedupStream]]'s state shape keyed by user), the IDENTICAL
+    * row-local md5 arm assignment across 8 layers, and per-(layer, arm)
+    * running counts as a streaming aggregation — the "assignment went
+    * 60/40 an hour ago" alarm an experiment platform runs against its
+    * live exposure feed instead of discovering SRM at readout time.
+    * EventStreamSpec pins streamed final counts == the batch query's. */
+  def streamingSrm(events: DataFrame,
+                   watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id")
+      .select(col("user_id"), explode(expr("sequence(0L, 7L)")).as("layer"))
+      .select(col("layer"),
+        (conv(substring(md5(concat_ws("|", col("layer"), col("user_id"))),
+          1, 8), 16, 10).cast("long") % 2).as("arm"))
+      .groupBy("layer", "arm")
+      .agg(count(lit(1)).as("n_users"))
+
   /** Stream-stream inner join: correlate two live event feeds per user
     * within a bounded event-time band (right side within [left.ts,
     * left.ts + `band`]). BOTH sides carry watermarks and the join

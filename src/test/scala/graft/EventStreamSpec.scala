@@ -50,6 +50,31 @@ class EventStreamSpec extends SparkSpecBase {
     assert(streamed == batch)
   }
 
+  test("streaming SRM arm counts equal the batch q_exp_srm audit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-srm").toString
+    import spark.implicits._
+    val base = 1700000000000L
+    // 30 distinct users, 15 of them re-appearing — the streaming distinct
+    // must collapse repeats exactly like the batch DISTINCT does.
+    val rows = ((1 to 30) ++ (1 to 15)).zipWithIndex.map { case (u, i) =>
+      (i.toLong, new Timestamp(base + i * 1000L), u.toLong, "view", 1.0)
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    df.repartition(4).write.parquet(s"$dir/stream")
+    df.write.parquet(s"$dir/events.parquet")
+    val q = EventStream.replayParquetAsStream(spark, s"$dir/stream", schema,
+      d => EventStream.streamingSrm(d), "srm_sink",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    q.awaitTermination(60000)
+    val streamed = spark.table("srm_sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = SparkEntry.queries("q_exp_srm")(spark, dir).collect()
+      .flatMap(r => Seq((r.getLong(0), 0L) -> r.getLong(1),
+        (r.getLong(0), 1L) -> r.getLong(2)))
+      .filter(_._2 > 0).toMap // streamed emits no zero-count rows
+    assert(streamed == batch)
+  }
+
   test("streaming dedup drops replayed duplicate event ids") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-dd").toString
     import spark.implicits._
