@@ -25,6 +25,28 @@ trait RegistryLlmCuration extends RegistryLlmSearch {
     * AGGREGATED relation (#sources rows), so the single-partition window
     * is scale-safe: 100 TB of documents still aggregates to a handful of
     * sources before any window sees it. */
+  /** Tokenizer fertility by language — the per-language cost model a
+    * multilingual training pipeline prices its token budget with
+    * (chars-per-token varies ~2× across scripts, so a chars-based
+    * sampling quota silently over-trains char-dense languages): docs,
+    * whitespace tokens ([[TextAnalysis.tokenCount]], the established
+    * oracle-parity estimator), declared n_chars, chars-per-token at
+    * 10⁻⁴ and tokens-per-doc — all truncating integer ratios. One
+    * groupBy to a |langs|-bounded relation. */
+  protected def llmFertility(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+          .as("tokens"),
+        sum(col("n_chars")).as("chars"))
+      .select(col("lang"), col("n_docs"), col("tokens"),
+        col("chars").cast("long").as("chars"),
+        expr("CASE WHEN tokens = 0 THEN CAST(0 AS BIGINT)" +
+          " ELSE chars * 10000 div tokens END").as("chars_per_token4"),
+        expr("tokens div n_docs").as("tokens_per_doc"))
+      .orderBy("lang")
+
   protected def llmTokenBudget(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def r4(c: Column) = floor(c * 10000.0 + 0.5) / 10000.0
@@ -1383,6 +1405,17 @@ trait RegistryLlmCuration extends RegistryLlmSearch {
       """SELECT doc_id, source FROM documents
          QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 30
          ORDER BY doc_id""",
+    "q_llm_fertility" ->
+      """WITH g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split_regex(trim(text), '\s+')))
+               AS BIGINT) AS tokens,
+             CAST(sum(n_chars) AS BIGINT) AS chars
+           FROM documents GROUP BY lang)
+         SELECT lang, n_docs, tokens, chars,
+           CASE WHEN tokens = 0 THEN CAST(0 AS BIGINT)
+                ELSE chars * 10000 // tokens END AS chars_per_token4,
+           tokens // n_docs AS tokens_per_doc
+         FROM g ORDER BY lang""",
     "q_llm_token_budget" ->
       """WITH s AS (SELECT source, count(*) AS n_docs,
                CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)

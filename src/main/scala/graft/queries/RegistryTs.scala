@@ -449,6 +449,55 @@ trait RegistryTs extends RegistryStats {
         expr("st.se[6]").as("seas7"))
   }
 
+  /** Croston's method for intermittent demand (Croston 1972) — the
+    * forecasting family member the dense-series ops ([[tsEwma]],
+    * [[tsHolt]]) mishandle by construction: per part brand, daily
+    * shipment demand is mostly zeros, so Croston smooths the nonzero
+    * demand SIZES and the inter-demand INTERVALS separately (α = 1/5,
+    * truncating updates with the sign split both engines replay) and
+    * forecasts size/interval. Bounded state by contract: only the LAST
+    * 64 demand points per brand enter the fold (WindowGroupLimit prunes
+    * pre-shuffle; forecast warm-up never needs the full history), so
+    * the per-group row is O(64) at any corpus size. The fold is one
+    * row-local `aggregate` over the sorted point array; the oracle
+    * replays it via the DTW list_reduce accumulator trick. */
+  protected def tsCroston(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val demands = t(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        expr("datediff(l_shipdate, DATE'1970-01-01')").cast("long")
+          .as("day"),
+        floor(col("l_quantity") + 0.5).cast("long").as("q"))
+      .join(t(spark, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand")),
+        Seq("l_partkey"))
+      .groupBy("p_brand", "day").agg(sum(col("q")).as("x"))
+    val last64 = demands
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("p_brand").orderBy(col("day").desc)))
+      .filter(col("rn") <= 64)
+    // tdiv = truncate-toward-zero division by 5 (Spark div truncates,
+    // DuckDB // floors — they agree only through this sign split).
+    def tdiv(a: String): String =
+      s"CASE WHEN ($a) < 0 THEN -((-($a)) div 5) ELSE ($a) div 5 END"
+    val fold =
+      s"""aggregate(slice(arr, 2, size(arr) - 1),
+          named_struct('z', arr[0].x, 'p', CAST(1 AS BIGINT),
+            'pd', arr[0].day),
+          (acc, e) -> named_struct(
+            'z', acc.z + ${tdiv("e.x - acc.z")},
+            'p', acc.p + ${tdiv("(e.day - acc.pd) - acc.p")},
+            'pd', e.day))"""
+    last64.groupBy("p_brand")
+      .agg(sort_array(collect_list(struct(col("day"), col("x"))))
+        .as("arr"))
+      .select(col("p_brand"), size(col("arr")).cast("long").as("n_points"),
+        expr(s"$fold.z").as("z_size"),
+        expr(s"$fold.p").as("p_interval"),
+        expr(s"($fold.z) * 10000 div ($fold.p)").as("forecast4"))
+      .orderBy("p_brand")
+  }
+
   /** Dynamic time warping with a Sakoe–Chiba band (Sakoe & Chiba 1978,
     * |i−j| ≤ 5) between every pair of event-type daily-activity
     * profiles — the shape-similarity measure that survives phase shifts
@@ -514,6 +563,34 @@ trait RegistryTs extends RegistryStats {
   }
 
   protected val tsOracleSql: ListMap[String, String] = ListMap(
+    "q_ts_croston" ->
+      """WITH d0 AS (SELECT p_brand,
+             CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS day,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS q
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         dm AS (SELECT p_brand, day, CAST(sum(q) AS BIGINT) AS x
+           FROM d0 GROUP BY 1, 2),
+         l64 AS (SELECT * FROM dm QUALIFY row_number()
+           OVER (PARTITION BY p_brand ORDER BY day DESC) <= 64),
+         arrs AS (SELECT p_brand, list([day, x] ORDER BY day) AS pts
+           FROM l64 GROUP BY 1),
+         folded AS (SELECT p_brand,
+             CAST(len(pts) AS BIGINT) AS n_points,
+             list_reduce(
+               [[pts[1][2], CAST(1 AS BIGINT), pts[1][1]]] || pts[2:],
+               (acc, e) -> [
+                 acc[1] + CASE WHEN e[2] - acc[1] < 0
+                   THEN -((-(e[2] - acc[1])) // 5)
+                   ELSE (e[2] - acc[1]) // 5 END,
+                 acc[2] + CASE WHEN (e[1] - acc[3]) - acc[2] < 0
+                   THEN -((-((e[1] - acc[3]) - acc[2])) // 5)
+                   ELSE ((e[1] - acc[3]) - acc[2]) // 5 END,
+                 e[1]]) AS st
+           FROM arrs)
+         SELECT p_brand, n_points, st[1] AS z_size, st[2] AS p_interval,
+           st[1] * 10000 // st[2] AS forecast4
+         FROM folded ORDER BY p_brand""",
     "q_ts_dtw" ->
       """WITH cnt AS (SELECT event_type,
              (epoch_ns(ts) // 86400000000000) % 31 AS ph,
