@@ -1118,6 +1118,67 @@ trait RegistryCore extends RegistryBase {
          GROUP BY n_name ORDER BY n_name""")
   }
 
+  /** TPC-H Q3-shaped shipping-priority top-k: unshipped-revenue per
+    * order for one market segment around a date cut — the canonical
+    * "3-way join, filter every side, top-10 by measure" OLAP probe.
+    * Revenue is EXACT integer cent-hundredths (cents × (100 − whole-pct
+    * discount) — no decimal rounding anywhere), and the global top-10
+    * is ordered by (revenue DESC, orderkey) so the rank-limit pattern
+    * rewrites to a distributed TakeOrderedAndProject (plan-pinned,
+    * like the md5-panel family). The customer dimension filter
+    * broadcasts; date filters push to both parquet scans. */
+  protected def sqlShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cut = "1998-06-01"
+    val cust = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit(cut).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit(cut).cast("timestamp"))
+      .select(col("l_orderkey"),
+        (floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+          * (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long")))
+          .as("rev_c2"))
+    val per = li
+      .join(ord.join(broadcast(cust),
+        col("o_custkey") === col("c_custkey")).drop("c_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(col("rev_c2")).as("rev_c2"))
+    per
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rev_c2").desc, col("l_orderkey"))))
+      .filter(col("rk") <= 10)
+      .select(col("l_orderkey"), col("rev_c2").cast("long").as("rev_c2"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"), col("rk").cast("long").as("rk"))
+      .orderBy("rk")
+  }
+
+  /** TPC-H Q4-shaped order-priority census: orders (in a date band)
+    * having at least one lineitem shipped after the order date, counted
+    * by priority — the canonical EXISTS → left-semi-join probe (the
+    * semi side never materializes matches, so the join state is the
+    * distinct key set, not the lineitem multiset). */
+  protected def sqlOrderPriorityCheck(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val lateShip = t(spark, dir, "lineitem")
+      .join(ord.select(col("o_orderkey").as("l_orderkey"),
+        col("o_orderdate")), Seq("l_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate"))
+      .select(col("l_orderkey")).distinct()
+    ord.join(lateShip, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Avro interop roundtrip: a deterministic lineitem slice goes out
     * through [[graft.io.AvroIo.write]] and back through the sync-marker-
     * splittable read, then aggregates; the oracle computes the same
@@ -1572,6 +1633,37 @@ trait RegistryCore extends RegistryBase {
   }
 
   protected val coreOracleSql: ListMap[String, String] = ListMap(
+    "q_sql_shipping_priority" ->
+      """WITH li AS (SELECT l_orderkey,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+               AS rev_c2
+           FROM lineitem
+           WHERE l_shipdate > TIMESTAMP '1998-06-01'),
+         per AS (SELECT l_orderkey,
+             CAST(sum(rev_c2) AS BIGINT) AS rev_c2,
+             strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+             o_orderpriority
+           FROM li
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           WHERE o_orderdate < TIMESTAMP '1998-06-01'
+             AND c_mktsegment = 'BUILDING'
+           GROUP BY l_orderkey, orderdate, o_orderpriority),
+         rk AS (SELECT *, CAST(row_number() OVER
+             (ORDER BY rev_c2 DESC, l_orderkey) AS BIGINT) AS rk
+           FROM per)
+         SELECT l_orderkey, rev_c2, orderdate, o_orderpriority, rk
+         FROM rk WHERE rk <= 10 ORDER BY rk""",
+    "q_sql_order_priority_check" ->
+      """WITH ord AS (SELECT * FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+             AND o_orderdate < TIMESTAMP '1998-01-01')
+         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+         FROM ord
+         WHERE EXISTS (SELECT 1 FROM lineitem
+           WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+         GROUP BY 1 ORDER BY 1""",
     "q_gov_k_anonymity" ->
       """WITH cust AS (SELECT c_custkey,
              CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,

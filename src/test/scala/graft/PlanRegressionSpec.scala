@@ -15,6 +15,19 @@ class PlanRegressionSpec extends SparkSpecBase {
     df.queryExecution.executedPlan.toString
   }
 
+  test("Q3 shape: global top-10 rewrites to TakeOrderedAndProject and " +
+      "the segment dimension broadcasts") {
+    val p = plan("q_sql_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject(limit=10"), s"plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+  }
+
+  test("Q4 shape: the EXISTS probe stays a semi join (never materializes " +
+      "lineitem matches)") {
+    val p = plan("q_sql_order_priority_check")
+    assert(p.contains("LeftSemi"), s"plan:\n$p")
+  }
+
   test("broadcast dims: both dimension joins broadcast, no sort-merge join") {
     val p = plan("q_j_broadcast_dims")
     assert(p.contains("BroadcastHashJoin"))
