@@ -806,6 +806,160 @@ trait RegistryEvent extends RegistryTs {
               THEN 1 ELSE 0 END""").cast("long").as("sig_flag"))
   }
 
+  /** Markov removal-effect attribution (Anderl et al. 2016, the
+    * data-driven alternative to [[eAttribution]]'s positional rules):
+    * journeys are per-user event sequences cut at the FIRST purchase
+    * (START → channels → CONV, non-converters → END), the first-order
+    * chain's 12-step absorption probability v(START) is the conversion
+    * propensity, and each channel's credit is the removal effect — how
+    * much v(START) drops when that channel is forced to a dead state.
+    * EVERYTHING is the integer micro-unit lattice of
+    * [[eMarkovStationary]]: p₆ cells by truncating division, per-term
+    * p₆·v₆ div 10⁶ flooring inside each DP step, so the generated
+    * oracle (12 unrolled steps × (full + 4 removal variants)) replays
+    * bit-for-bit. The transition matrix is |types|²-bounded, so the
+    * driver fold is a KB-scale collect — the corpus never leaves the
+    * cluster (one window pass + one groupBy). Oracle contract: removal
+    * variants are generated for the canonical channel universe
+    * (click/error/signup/view); the final semi-join keeps only
+    * channels present in the data. */
+  protected def eMarkovAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .localCheckpoint(true)
+    val firstP = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(col("rn")).as("pr"))
+    val kept = ev.join(firstP, Seq("user_id"), "left")
+      .filter(col("pr").isNull || col("rn") <= col("pr"))
+      .localCheckpoint(true)
+    val steps = kept
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .select(coalesce(col("prev"), lit("START")).as("f"),
+        when(col("event_type") === "purchase", "CONV")
+          .otherwise(col("event_type")).as("t2"))
+    val ends = kept.filter(col("pr").isNull)
+      .withColumn("mx", max(col("rn")).over(
+        Window.partitionBy("user_id")))
+      .filter(col("rn") === col("mx"))
+      .select(col("event_type").as("f"), lit("END").as("t2"))
+    val cells = steps.unionByName(ends)
+      .groupBy("f", "t2").agg(count(lit(1)).as("n"))
+      .withColumn("rt", sum(col("n")).over(Window.partitionBy("f")))
+      .select(col("f"), col("t2"), expr("n * 1000000 div rt").as("p6"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val channels = t(spark, dir, "events")
+      .select(col("event_type")).distinct()
+      .filter(col("event_type") =!= "purchase")
+      .orderBy("event_type").collect().map(_.getString(0))
+    if (channels.isEmpty || cells.isEmpty)
+      return Seq.empty[(String, Long, Long, Long, Long)]
+        .toDF("channel", "p_full6", "p_removed6", "removal6", "share_bp")
+    val transient = cells.map(_._1).distinct
+    def absorb(dead: Option[String]): Long = {
+      var v = Map("CONV" -> 1000000L, "END" -> 0L) ++
+        transient.map(_ -> 0L).toMap ++ dead.map(_ -> 0L).toMap
+      for (_ <- 1 to 12) {
+        val next = scala.collection.mutable.Map(transient.map(_ -> 0L): _*)
+        cells.foreach { case (f, t2, p6) =>
+          val vt = if (dead.contains(t2)) 0L else v.getOrElse(t2, 0L)
+          next(f) += p6 * vt / 1000000L
+        }
+        v = Map("CONV" -> 1000000L, "END" -> 0L) ++ next.toMap
+        dead.foreach(d => v += d -> 0L)
+      }
+      v.getOrElse("START", 0L)
+    }
+    val pFull = absorb(None)
+    val rows = channels.map { c =>
+      val pc = absorb(Some(c))
+      (c, pFull, pc, pFull - pc)
+    }
+    val sr = rows.map(_._4).sum
+    rows.map { case (c, pf, pc, re) =>
+      (c, pf, pc, re, if (sr == 0) 0L else re * 10000L / sr)
+    }.toSeq
+      .toDF("channel", "p_full6", "p_removed6", "removal6", "share_bp")
+      .orderBy("channel")
+  }
+
+  /** Generated DuckDB replay for [[eMarkovAttribution]]: journeys,
+    * micro-unit cells, then `steps` unrolled DP iterations for the
+    * full chain plus one removal variant per canonical channel (reads
+    * of a dead channel's value are CASE'd to zero — the exact driver
+    * fold). The final semi-join keeps only channels present. */
+  protected def markovAttributionOracle(steps: Int,
+                                        removalChannels: Seq[String]): String = {
+    val sb = new StringBuilder
+    sb.append("""WITH ev AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+        event_type,
+        row_number() OVER (PARTITION BY user_id
+          ORDER BY epoch_ns(ts), event_id) AS rn
+      FROM events),
+    fp AS (SELECT user_id, min(rn) AS pr FROM ev
+      WHERE event_type = 'purchase' GROUP BY 1),
+    kept AS (SELECT ev.*, fp.pr FROM ev LEFT JOIN fp USING (user_id)
+      WHERE fp.pr IS NULL OR ev.rn <= fp.pr),
+    steps AS (SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id
+          ORDER BY tsn, event_id), 'START') AS f,
+        CASE WHEN event_type = 'purchase' THEN 'CONV'
+             ELSE event_type END AS t2
+      FROM kept),
+    ends AS (SELECT event_type AS f, 'END' AS t2 FROM (
+        SELECT *, max(rn) OVER (PARTITION BY user_id) AS mx
+        FROM kept WHERE pr IS NULL)
+      WHERE rn = mx),
+    tr AS (SELECT f, t2, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT * FROM steps UNION ALL SELECT * FROM ends) GROUP BY 1, 2),
+    cells AS MATERIALIZED (SELECT f, t2,
+        n * 1000000 // (sum(n) OVER (PARTITION BY f)) AS p6 FROM tr)""")
+    val variants = ("full", None) +:
+      removalChannels.map(c => (c.replaceAll("[^a-z0-9]", "_"), Some(c)))
+    for ((tag, dead) <- variants) {
+      val vread = dead match {
+        case Some(c) => s"CASE WHEN v.state = '$c' THEN 0 ELSE v.v6 END"
+        case None    => "v.v6"
+      }
+      sb.append(s""",
+      v_${tag}_0 AS (SELECT 'CONV' AS state, CAST(1000000 AS BIGINT) AS v6
+        UNION ALL SELECT 'END', CAST(0 AS BIGINT)
+        UNION ALL SELECT DISTINCT f, CAST(0 AS BIGINT) FROM cells)""")
+      for (k <- 1 to steps) {
+        sb.append(s""",
+        v_${tag}_$k AS (
+          SELECT c.f AS state,
+            CAST(sum(c.p6 * ($vread) // 1000000) AS BIGINT) AS v6
+          FROM cells c JOIN v_${tag}_${k - 1} v ON c.t2 = v.state
+          GROUP BY c.f
+          UNION ALL SELECT 'CONV', CAST(1000000 AS BIGINT)
+          UNION ALL SELECT 'END', CAST(0 AS BIGINT))""")
+      }
+    }
+    val resRows = removalChannels.map { c =>
+      val tag = c.replaceAll("[^a-z0-9]", "_")
+      s"""SELECT '$c' AS channel, (SELECT v6 FROM v_${tag}_$steps
+          WHERE state = 'START') AS p_removed6"""
+    }.mkString(" UNION ALL ")
+    sb.append(s""",
+    chs AS (SELECT DISTINCT event_type AS channel FROM events
+      WHERE event_type <> 'purchase'),
+    fullv AS (SELECT v6 AS p_full6 FROM v_full_$steps WHERE state = 'START'),
+    res AS ($resRows),
+    j AS (SELECT chs.channel, fullv.p_full6,
+        coalesce(res.p_removed6, 0) AS p_removed6,
+        fullv.p_full6 - coalesce(res.p_removed6, 0) AS removal6
+      FROM chs JOIN res USING (channel) CROSS JOIN fullv),
+    tot AS (SELECT CAST(sum(removal6) AS BIGINT) AS sr FROM j)
+    SELECT channel, p_full6, p_removed6, removal6,
+      CASE WHEN sr = 0 THEN CAST(0 AS BIGINT)
+           ELSE removal6 * 10000 // sr END AS share_bp
+    FROM j, tot ORDER BY channel""")
+    sb.toString
+  }
+
   /** Hour-of-day × day-of-week activity heatmap — the load-shape matrix
     * behind capacity planning and send-time optimization: event counts
     * and per-cell share (frac4 of the whole corpus) on the 7×24 grid.
@@ -1422,6 +1576,8 @@ trait RegistryEvent extends RegistryTs {
                   >= 3841459 * ((a + b) * (c + d) * (a + c) * (b + d))
                 THEN 1 ELSE 0 END AS BIGINT) AS sig_flag
          FROM cells""",
+    "q_e_markov_attribution" -> markovAttributionOracle(12,
+      Seq("click", "error", "signup", "view")),
     "q_e_heatmap" ->
       """WITH cells AS (SELECT
              ((epoch_ns(ts) // 86400000000000) + 4) % 7 AS dow,
