@@ -503,6 +503,51 @@ trait RegistryAgg extends RegistryCore {
         grouping_id().as("gid"))
       .orderBy("gid", "o_orderstatus", "o_year")
 
+  /** AMS F₂ sketch (Alon–Matias–Szegedy 1996) — the second-frequency-
+    * moment estimator that completes the sketch family (HLL counts
+    * distincts = F₀, count-min answers points, AMS answers Σc² — the
+    * self-join size, the number a join planner wants BEFORE shuffling):
+    * 32 ±1-signed counters from md5 bits (row-local, merge = sum — the
+    * mergeability that makes it a one-aggregate distributed pass), 4
+    * group means of counter², lower-median of the means, audited
+    * against the EXACT Σc² from a per-key aggregate. All integers:
+    * signs are exact, squares go through DECIMAL(38,0) (counters top
+    * Long-squared at ~10¹⁰ rows), means and the error are truncating
+    * divisions. Scale: ONE pass over the corpus (32 codegen'd md5
+    * columns per row), one 32-row reduce; the exact side is the usual
+    * key aggregate. */
+  protected def sketchAmsF2(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val li = t(spark, dir, "lineitem").select(col("l_partkey"))
+    // 32 sign columns in ONE projection (the minhash 32-column
+    // precedent) — not an explode, so the corpus pass stays 1×.
+    val signs = (0 until 32).map { j =>
+      sum((conv(substring(md5(concat_ws(":", lit(j), col("l_partkey"))),
+        1, 8), 16, 10).cast("long") % 2 * 2 - 1)).as(s"c$j")
+    }
+    val counters = li.agg(signs.head, signs.tail: _*)
+    val medianEst = counters.select(
+        (0 until 4).map { g =>
+          (0 until 8).map(i =>
+            col(s"c${g * 8 + i}").cast(dec) * col(s"c${g * 8 + i}"))
+            .reduce(_ + _).as(s"s$g")
+        }: _*)
+      .select((0 until 4).map(g =>
+        expr(s"CAST(s$g div 8 AS BIGINT)").as(s"m$g")): _*)
+      .select(expr("element_at(array_sort(array(m0, m1, m2, m3)), 2)")
+        .as("f2_est"))
+    val exact = li.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(col("c")).cast("long").as("n_rows"),
+        sum(col("c").cast(dec) * col("c")).cast("long").as("f2_exact"))
+    exact.crossJoin(medianEst)
+      .select(col("n_rows"), col("n_distinct"), col("f2_exact"),
+        col("f2_est"),
+        expr("CASE WHEN f2_exact = 0 THEN CAST(0 AS BIGINT)" +
+          " ELSE abs(f2_est - f2_exact) * 10000 div f2_exact END")
+          .as("err_bp"))
+  }
+
   /** Herfindahl–Hirschman supplier concentration per nation (the
     * antitrust/market-structure summary; HHI = Σ shareᵢ², 10000 =
     * monopoly) — the per-market companion of [[statsGini]]'s global
@@ -542,6 +587,31 @@ trait RegistryAgg extends RegistryCore {
   }
 
   protected val aggOracleSql: ListMap[String, String] = ListMap(
+    "q_sketch_ams_f2" -> {
+      val cols = (0 until 32).map(j =>
+        s"""CAST(sum((('0x' || substr(md5('$j:' ||
+            CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT % 2) * 2 - 1)
+            AS HUGEINT) AS c$j""").mkString(", ")
+      val means = (0 until 4).map { g =>
+        val sq = (0 until 8).map(i => s"c${g * 8 + i} * c${g * 8 + i}")
+          .mkString(" + ")
+        s"CAST(($sq) // 8 AS BIGINT) AS m$g"
+      }.mkString(", ")
+      s"""WITH cnt AS (SELECT $cols FROM lineitem),
+         mts AS (SELECT $means FROM cnt),
+         med AS (SELECT list_sort([m0, m1, m2, m3])[2] AS f2_est
+           FROM mts),
+         ex AS (SELECT CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS f2_exact
+           FROM (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+                 FROM lineitem GROUP BY 1))
+         SELECT n_rows, n_distinct, f2_exact, f2_est,
+           CASE WHEN f2_exact = 0 THEN CAST(0 AS BIGINT)
+                ELSE abs(f2_est - f2_exact) * 10000 // f2_exact END
+             AS err_bp
+         FROM ex, med"""
+    },
     "q_agg_hhi" ->
       """WITH rev AS (SELECT l_suppkey,
              CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))

@@ -774,6 +774,77 @@ trait RegistryCore extends RegistryBase {
         col("classes_with_orders"), col("min_l"), col("classes_l1"))
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the layer
+    * above [[govKAnonymity]]'s l-diversity: a class can be diverse yet
+    * still leak if its sensitive DISTRIBUTION skews far from the
+    * table's. Sensitive attribute = ordinal order priority (1..5), and
+    * distance is the ordinal Earth-Mover's Distance — mean |cumulative
+    * gap|. FULLY integer: per-priority cumulative counts clear the two
+    * denominators to |cum_c·N − cum_g·n_c|, summed then divided ONCE
+    * by n_c·N·(m−1) at 10⁴ scale (the top-priority term is identically
+    * zero, so the sum runs over the whole grid). Reports the 5 worst
+    * classes (the global top-5 is the rank-limit rewrite pattern —
+    * TakeOrderedAndProject, not a single-partition sort) with the
+    * τ = 0.25 violation flag. Scale shape: one customer⋈orders join,
+    * class-keyed aggregates, per-class windows over the ≤|priorities|
+    * grid. */
+  protected def govTCloseness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nat"),
+        col("c_mktsegment").as("seg"),
+        expr("(floor(c_acctbal * 100 + 0.5) + 100000) div 200000")
+          .as("bal_band"))
+    val rows = cust
+      .join(t(spark, dir, "orders")
+        .select(col("o_custkey"),
+          expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)")
+            .as("pj")),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("nat"), col("seg"), col("bal_band"), col("pj"))
+    val ccnt = rows.groupBy("nat", "seg", "bal_band", "pj")
+      .agg(count(lit(1)).as("cnt"))
+    val classes = ccnt.groupBy("nat", "seg", "bal_band")
+      .agg(sum(col("cnt")).as("n_c"))
+    val dense = classes
+      .crossJoin(broadcast(rows.select(col("pj")).distinct()))
+      .join(ccnt, Seq("nat", "seg", "bal_band", "pj"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val g = rows.groupBy("pj").agg(count(lit(1)).as("gcnt"))
+      .withColumn("cum_g", sum(col("gcnt")).over(
+        Window.orderBy("pj")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = rows.agg(count(lit(1)).as("nn"),
+      countDistinct(col("pj")).as("m"))
+    val wc = Window.partitionBy("nat", "seg", "bal_band").orderBy("pj")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val emd = dense
+      .withColumn("cum_c", sum(col("cnt")).over(wc))
+      .join(broadcast(g.select(col("pj"), col("cum_g"))), Seq("pj"))
+      .crossJoin(broadcast(tot))
+      .groupBy("nat", "seg", "bal_band")
+      .agg(first(col("n_c")).as("n_c"),
+        sum(abs(col("cum_c").cast(dec) * col("nn")
+          - col("cum_g").cast(dec) * col("n_c"))).as("num"),
+        first(col("nn")).as("nn"), first(col("m")).as("m"))
+      .select(col("nat"), col("seg"), col("bal_band"),
+        col("n_c").cast("long").as("n_c"),
+        expr("""CASE WHEN m <= 1 THEN CAST(0 AS BIGINT)
+                ELSE CAST(num * 10000
+                  div (CAST(n_c AS DECIMAL(38,0)) * nn * (m - 1))
+                  AS BIGINT) END""").as("emd_bp"))
+    emd
+      .withColumn("rk", row_number().over(Window.orderBy(
+        col("emd_bp").desc, col("nat"), col("seg"), col("bal_band"))))
+      .filter(col("rk") <= 5)
+      .select(col("nat"), col("seg"), col("bal_band"), col("n_c"),
+        col("emd_bp"),
+        when(col("emd_bp") > 2500, 1L).otherwise(0L).as("violates_t25"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("rk")
+  }
+
   /** Data-rule audit: functional-dependency and key-constraint checking,
     * the profiling pass a pipeline runs before trusting joins (a
     * violated FD silently fans out a "1:1" join). Each rule is one
@@ -1664,6 +1735,55 @@ trait RegistryCore extends RegistryBase {
          WHERE EXISTS (SELECT 1 FROM lineitem
            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
          GROUP BY 1 ORDER BY 1""",
+    "q_gov_t_closeness" ->
+      """WITH cust AS (SELECT c_custkey,
+             CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+             (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000)
+               // 200000 AS bal_band
+           FROM customer),
+         rws AS (SELECT nat, seg, bal_band,
+             CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS pj
+           FROM cust JOIN orders ON c_custkey = o_custkey),
+         ccnt AS (SELECT nat, seg, bal_band, pj,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM rws GROUP BY 1, 2, 3, 4),
+         classes AS (SELECT nat, seg, bal_band,
+             CAST(sum(cnt) AS BIGINT) AS n_c
+           FROM ccnt GROUP BY 1, 2, 3),
+         pjs AS (SELECT DISTINCT pj FROM rws),
+         dense AS (SELECT c.nat, c.seg, c.bal_band, c.n_c, p.pj,
+             coalesce(cc.cnt, 0) AS cnt
+           FROM classes c CROSS JOIN pjs p
+           LEFT JOIN ccnt cc ON cc.nat = c.nat AND cc.seg = c.seg
+             AND cc.bal_band = c.bal_band AND cc.pj = p.pj),
+         g AS (SELECT pj, CAST(count(*) AS BIGINT) AS gcnt
+           FROM rws GROUP BY 1),
+         gc AS (SELECT pj, CAST(sum(gcnt) OVER (ORDER BY pj
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_g FROM g),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+             CAST(count(DISTINCT pj) AS BIGINT) AS m FROM rws),
+         cums AS (SELECT d.*, CAST(sum(cnt) OVER (PARTITION BY nat, seg,
+             bal_band ORDER BY pj ROWS BETWEEN UNBOUNDED PRECEDING AND
+             CURRENT ROW) AS BIGINT) AS cum_c FROM dense d),
+         emd AS (SELECT nat, seg, bal_band, max(n_c) AS n_c,
+             CAST(sum(abs(CAST(cum_c AS HUGEINT) * nn
+               - CAST(cum_g AS HUGEINT) * n_c)) AS HUGEINT) AS num,
+             max(nn) AS nn, max(m) AS m
+           FROM cums JOIN gc USING (pj) CROSS JOIN tot
+           GROUP BY 1, 2, 3),
+         scored AS (SELECT nat, seg, bal_band, n_c,
+             CASE WHEN m <= 1 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(num * 10000
+                    // (CAST(n_c AS HUGEINT) * nn * (m - 1)) AS BIGINT)
+             END AS emd_bp
+           FROM emd),
+         rk AS (SELECT *, CAST(row_number() OVER (ORDER BY emd_bp DESC,
+             nat, seg, bal_band) AS BIGINT) AS rk FROM scored)
+         SELECT nat, seg, bal_band, n_c, emd_bp,
+           CAST(CASE WHEN emd_bp > 2500 THEN 1 ELSE 0 END AS BIGINT)
+             AS violates_t25, rk
+         FROM rk WHERE rk <= 5 ORDER BY rk""",
     "q_gov_k_anonymity" ->
       """WITH cust AS (SELECT c_custkey,
              CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
