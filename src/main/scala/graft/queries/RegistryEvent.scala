@@ -806,6 +806,44 @@ trait RegistryEvent extends RegistryTs {
               THEN 1 ELSE 0 END""").cast("long").as("sig_flag"))
   }
 
+  /** MATCH_RECOGNIZE-style journey pattern matching — the
+    * complex-event-processing feature SQL:2016 standardized and Spark
+    * lacks natively: each user's event sequence folds to an
+    * initial-letter string (c/e/p/s/v, ordered by (ts, event_id),
+    * capped at 1024 events BY CONTRACT so per-user state is bounded at
+    * any corpus size), and patterns run as regexes — 'vp' adjacency,
+    * 'v[ce]*p' (view reaches purchase through clicks/errors only), and
+    * 'ee+' error bursts. Counts are non-overlapping leftmost matches
+    * (regexp_count / regexp_extract_all agree on these patterns).
+    * Scale shape: ONE user-keyed aggregate builds the strings; the
+    * regex pass is row-local; output is 3 rows via stack. */
+  protected def ePatternMatch(spark: SparkSession, dir: String): DataFrame = {
+    val j = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("ini"))
+      .groupBy("user_id")
+      .agg(concat_ws("", slice(expr(
+        "transform(sort_array(collect_list(struct(ts, event_id, ini)))," +
+          " x -> x.ini)"), 1, 1024)).as("s"))
+    j.select(
+        expr("regexp_count(s, 'vp')").as("m1"),
+        expr("regexp_count(s, 'v[ce]*p')").as("m2"),
+        expr("regexp_count(s, 'ee+')").as("m3"))
+      .agg(
+        sum(when(col("m1") > 0, 1L).otherwise(0L)).as("u1"),
+        sum(col("m1")).as("c1"),
+        sum(when(col("m2") > 0, 1L).otherwise(0L)).as("u2"),
+        sum(col("m2")).as("c2"),
+        sum(when(col("m3") > 0, 1L).otherwise(0L)).as("u3"),
+        sum(col("m3")).as("c3"))
+      .selectExpr("""stack(3,
+          'adjacent_view_purchase', u1, CAST(c1 AS BIGINT),
+          'view_reaches_purchase', u2, CAST(c2 AS BIGINT),
+          'error_burst', u3, CAST(c3 AS BIGINT))
+        AS (pattern, n_users, n_matches)""")
+      .orderBy("pattern")
+  }
+
   /** Markov removal-effect attribution (Anderl et al. 2016, the
     * data-driven alternative to [[eAttribution]]'s positional rules):
     * journeys are per-user event sequences cut at the FIRST purchase
@@ -1576,6 +1614,32 @@ trait RegistryEvent extends RegistryTs {
                   >= 3841459 * ((a + b) * (c + d) * (a + c) * (b + d))
                 THEN 1 ELSE 0 END AS BIGINT) AS sig_flag
          FROM cells""",
+    "q_e_pattern_match" ->
+      """WITH j AS (SELECT user_id,
+             substr(string_agg(substr(event_type, 1, 1), ''
+               ORDER BY epoch_ns(ts), event_id), 1, 1024) AS s
+           FROM events GROUP BY user_id),
+         m AS (SELECT
+             len(regexp_extract_all(s, 'vp')) AS m1,
+             len(regexp_extract_all(s, 'v[ce]*p')) AS m2,
+             len(regexp_extract_all(s, 'ee+')) AS m3
+           FROM j),
+         a AS (SELECT
+             CAST(sum(CASE WHEN m1 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS u1,
+             CAST(sum(m1) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN m2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS u2,
+             CAST(sum(m2) AS BIGINT) AS c2,
+             CAST(sum(CASE WHEN m3 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS u3,
+             CAST(sum(m3) AS BIGINT) AS c3
+           FROM m)
+         SELECT 'adjacent_view_purchase' AS pattern, u1 AS n_users,
+           c1 AS n_matches FROM a
+         UNION ALL SELECT 'error_burst', u3, c3 FROM a
+         UNION ALL SELECT 'view_reaches_purchase', u2, c2 FROM a
+         ORDER BY pattern""",
     "q_e_markov_attribution" -> markovAttributionOracle(12,
       Seq("click", "error", "signup", "view")),
     "q_e_heatmap" ->
