@@ -1060,6 +1060,34 @@ trait RegistryEvent extends RegistryTs {
       .orderBy("event_type")
   }
 
+  /** Continuous-metric power planner — [[eExpPower]]'s companion for
+    * revenue-style metrics (Lehr's n = 16·σ²/δ² per arm at a 5%
+    * relative MDE): with δ = mean/20 the requirement clears to the
+    * FULLY integer ceiling n = ⌈6400·(n·Σx²−(Σx)²) / (Σx)²⌉ — the
+    * variance and the squared mean share the n² factor, so no float
+    * ever materializes. Per event type over exact per-event cents;
+    * cleared moments in DECIMAL(38,0)/HUGEINT. One type-keyed moment
+    * aggregate; |types|-bounded after. */
+  protected def eExpPowerMeans(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    t(spark, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("cents").cast(dec)).as("sx"),
+        sum(col("cents").cast(dec) * col("cents")).as("sxx"))
+      .select(col("event_type"), col("n").cast("long").as("n_obs"),
+        expr("CAST(sx div n AS BIGINT)").as("mean_cents"),
+        expr("""CASE WHEN sx = 0 THEN CAST(-1 AS BIGINT)
+                ELSE CAST((6400 * (n * sxx - sx * sx) + sx * sx - 1)
+                     div (sx * sx) AS BIGINT) END""").as("n_per_arm"))
+      .withColumn("n_total",
+        expr("CASE WHEN n_per_arm < 0 THEN CAST(-1 AS BIGINT)" +
+          " ELSE 2 * n_per_arm END"))
+      .orderBy("event_type")
+  }
+
   /** CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013) — the
     * pre-experiment covariate adjustment every mature A/B platform
     * applies before the t-test: per user, X = pre-period purchase
@@ -1676,6 +1704,25 @@ trait RegistryEvent extends RegistryTs {
                 ELSE CAST((CAST(n_total AS HUGEINT) * tot.n_days + tot.u - 1)
                      // tot.u AS BIGINT) END AS days_to_power
          FROM wt, tot ORDER BY event_type""",
+    "q_exp_power_means" ->
+      """WITH m AS (SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+               AS HUGEINT) AS sx,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+               * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS HUGEINT)
+               AS sxx
+           FROM events GROUP BY 1),
+         b AS (SELECT event_type, CAST(n AS BIGINT) AS n_obs,
+             CAST(sx // n AS BIGINT) AS mean_cents,
+             CASE WHEN sx = 0 THEN CAST(-1 AS BIGINT)
+                  ELSE CAST((6400 * (n * sxx - sx * sx) + sx * sx - 1)
+                       // (sx * sx) AS BIGINT) END AS n_per_arm
+           FROM m)
+         SELECT event_type, n_obs, mean_cents, n_per_arm,
+           CASE WHEN n_per_arm < 0 THEN CAST(-1 AS BIGINT)
+                ELSE 2 * n_per_arm END AS n_total
+         FROM b ORDER BY event_type""",
     "q_exp_cuped" ->
       """WITH ev AS (SELECT user_id, event_type,
              epoch_ns(ts) // 86400000000000 AS day,

@@ -34,6 +34,27 @@ class PowerHhiSpec extends SparkSpecBase {
     assert(got("view") == (10L, 10L, 1000000L, -1L, -1L, -1L))
   }
 
+  test("continuous power planner: hand moments produce the exact ceiling") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pmean").toString
+    // 'buy' cents {100, 300}: n=2, sx=400, sxx=100000 →
+    // n*sxx - sx^2 = 40000; n = ceil(6400*40000/160000) = 1600.
+    // 'flat' cents {200, 200}: zero variance → n_per_arm = 0 exactly
+    // (ceil of 0 with the +sx^2-1 trick stays 0).
+    val rows = Seq((1L, "buy", 1.00), (2L, "buy", 3.00),
+      (3L, "flat", 2.00), (4L, "flat", 2.00))
+    rows.zipWithIndex.map { case ((u, ty, v), i) =>
+      (i.toLong, i * 1000L + 1, u, ty, v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_exp_power_means")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got("buy") == (2L, 200L, 1600L, 3200L))
+    assert(got("flat") == (2L, 200L, 0L, 0L))
+  }
+
   test("heatmap: hand events land in their dow/hour cells with exact shares") {
     import spark.implicits._
     val hourNs = 3600L * 1000 * 1000 * 1000
