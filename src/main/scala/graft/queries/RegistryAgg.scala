@@ -503,6 +503,27 @@ trait RegistryAgg extends RegistryCore {
         grouping_id().as("gid"))
       .orderBy("gid", "o_orderstatus", "o_year")
 
+  /** Exact per-group mode with a deterministic tie-break (smallest
+    * modal value) — the categorical "typical value" the mean/median
+    * family can't give: modal order quantity per return flag, plus its
+    * share. Two aggregates and a per-group struct-min — the
+    * grouped-top-1 shape without a window ((count DESC, value ASC)
+    * encoded as min over (−count, value)). */
+  protected def aggMode(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        floor(col("l_quantity") + 0.5).cast("long").as("q"))
+      .groupBy("l_returnflag", "q").agg(count(lit(1)).as("c"))
+    counts.groupBy("l_returnflag")
+      .agg(min(struct((-col("c")).as("nc"), col("q").as("q")))
+          .as("best"),
+        sum(col("c")).as("n"))
+      .select(col("l_returnflag"), col("best.q").as("mode_qty"),
+        (-col("best.nc")).as("mode_count"),
+        expr("CAST((-best.nc) * 10000 div n AS BIGINT)").as("share_bp"))
+      .orderBy("l_returnflag")
+  }
+
   /** AMS F₂ sketch (Alon–Matias–Szegedy 1996) — the second-frequency-
     * moment estimator that completes the sketch family (HLL counts
     * distincts = F₀, count-min answers points, AMS answers Σc² — the
@@ -587,6 +608,20 @@ trait RegistryAgg extends RegistryCore {
   }
 
   protected val aggOracleSql: ListMap[String, String] = ListMap(
+    "q_agg_mode" ->
+      """WITH c AS (SELECT l_returnflag,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+             CAST(count(*) AS BIGINT) AS c
+           FROM lineitem GROUP BY 1, 2),
+         b AS (SELECT l_returnflag, q AS mode_qty, c AS mode_count,
+             CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT)
+               AS n,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY c DESC, q) AS rn
+           FROM c)
+         SELECT l_returnflag, mode_qty, mode_count,
+           mode_count * 10000 // n AS share_bp
+         FROM b WHERE rn = 1 ORDER BY l_returnflag""",
     "q_sketch_ams_f2" -> {
       val cols = (0 until 32).map(j =>
         s"""CAST(sum((('0x' || substr(md5('$j:' ||

@@ -1230,6 +1230,31 @@ trait RegistryCore extends RegistryBase {
       .orderBy("rk")
   }
 
+  /** Keyset (seek-method) pagination — the API-backend pattern that
+    * replaces OFFSET at scale: page N+1 starts strictly after the last
+    * (o_orderdate, o_orderkey) cursor of page N, so the scan prunes on
+    * a pushed range predicate and the page fetch is a distributed
+    * top-20 (TakeOrderedAndProject — plan-pinned), never a
+    * skip-10-million-rows sort. The cursor here is a fixed literal
+    * (the deterministic "page 2" of the 1997 order book). */
+  protected def wKeysetPagination(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cur = lit("1997-03-15").cast("timestamp")
+    val curKey = 29702L
+    val page = t(spark, dir, "orders")
+      .filter(col("o_orderdate") > cur ||
+        (col("o_orderdate") === cur && col("o_orderkey") > curKey))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("o_orderdate"), col("o_orderkey"))))
+      .filter(col("rk") <= 20)
+    page.select(col("rk").cast("long").as("rk"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long")
+          .as("total_cents"))
+      .orderBy("rk")
+  }
+
   /** TPC-H Q4-shaped order-priority census: orders (in a date band)
     * having at least one lineitem shipped after the order date, counted
     * by priority — the canonical EXISTS → left-semi-join probe (the
@@ -1726,6 +1751,20 @@ trait RegistryCore extends RegistryBase {
            FROM per)
          SELECT l_orderkey, rev_c2, orderdate, o_orderpriority, rk
          FROM rk WHERE rk <= 10 ORDER BY rk""",
+    "q_w_keyset_pagination" ->
+      """WITH pg AS (SELECT o_orderkey, o_orderdate, o_orderpriority,
+             o_totalprice,
+             CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey)
+               AS BIGINT) AS rk
+           FROM orders
+           WHERE o_orderdate > TIMESTAMP '1997-03-15'
+             OR (o_orderdate = TIMESTAMP '1997-03-15'
+                 AND o_orderkey > 29702))
+         SELECT rk, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
+         FROM pg WHERE rk <= 20 ORDER BY rk""",
     "q_sql_order_priority_check" ->
       """WITH ord AS (SELECT * FROM orders
            WHERE o_orderdate >= TIMESTAMP '1997-01-01'

@@ -28,6 +28,13 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(p.contains("LeftSemi"), s"plan:\n$p")
   }
 
+  test("keyset pagination: cursor predicate pushes to the scan and the " +
+      "page fetch is a distributed top-20") {
+    val p = plan("q_w_keyset_pagination")
+    assert(p.contains("TakeOrderedAndProject(limit=20"), s"plan:\n$p")
+    assert(p.contains("PushedFilters"), s"plan:\n$p")
+  }
+
   test("broadcast dims: both dimension joins broadcast, no sort-merge join") {
     val p = plan("q_j_broadcast_dims")
     assert(p.contains("BroadcastHashJoin"))
