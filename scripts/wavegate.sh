@@ -19,7 +19,15 @@ python3 scripts/selfcheck.py /root/testdata/sf0.01 "$out" $names
 echo "== wavegate 2/3: InvarianceSweep (widths 3 vs 32) =="
 sbt -batch "runMain graft.InvarianceSweep /root/testdata/sf0.001 3 32 $names"
 
-echo "== wavegate 3/3: WindowSweep (sf0.001 vs sf0.01) =="
+echo "== wavegate 3/4: WindowSweep (sf0.001 vs sf0.01) =="
 sbt -batch "runMain graft.WindowSweep /root/testdata/sf0.001 /root/testdata/sf0.01 $names"
+
+# Pair-mass growth gate (VERDICT r13 item 1): whenever a wave touches the
+# semdedup family, the registered gate's candidate-pair mass must stay
+# ~linear across a 4x corpus step. Also run unconditionally at round wrap.
+if echo " $names " | grep -q "semdedup"; then
+  echo "== wavegate 4/4: PairMassSweep (sf0.01 vs sf0.1) =="
+  sbt -batch "runMain graft.PairMassSweep /root/testdata/sf0.01 /root/testdata/sf0.1"
+fi
 
 echo "== wavegate: ALL GREEN for: $names =="

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -117,4 +117,102 @@ object SemDedup {
       maxCluster = maxCluster)
     Dedup.dedupByCluster(corpus.select(col(idCol)), idCol, pairs)
   }
+
+  // ---------------- deterministic bounded pairing (the DetKMeans gate) ----
+
+  /** Integer sign-LSH planes for the deterministic mega-cell sub-split:
+    * `numPlanes` × `dim` md5-derived components in [-2^19, 2^19). All-long
+    * arithmetic — the sub-key is an exact integer dot-product sign over the
+    * point's micro-unit coordinates (`DetKMeans.toUnits`), so an external
+    * SQL engine replays it verbatim:
+    * `CAST(('0x' || substr(md5('semsub:'||j||':'||i), 1, 5)) AS BIGINT)
+    *  - 524288`. Overflow headroom: |u| ≤ ~10⁹ × |p| < 2¹⁹ × 64 dims
+    * < 2⁶³. */
+  def subPlanes(numPlanes: Int, dim: Int): Array[Array[Long]] =
+    Array.tabulate(numPlanes, dim) { (j, i) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"semsub:$j:$i".getBytes("UTF-8"))
+      val hex = md.take(3).map(b => f"$b%02x").mkString.take(5)
+      java.lang.Long.parseLong(hex, 16) - 524288L
+    }
+
+  /** Sign-LSH bucket id of a unit-space (array&lt;long&gt;) point. */
+  def subBucket(u: Column, planes: Array[Array[Long]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val dotU = aggregate(
+        zip_with(u, array(p.map(lit(_)): _*), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)
+      when(dotU >= 0L, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Attach the bounded-pairing key to a DetKMeans-assigned relation
+    * (columns: idCol, `u`, `cid`, plus whatever else rides along): cells
+    * ≤ `maxCluster` keep `_sub = 0`; larger cells sub-split by the integer
+    * sign-LSH bucket. `_sn` = the resulting (cid, _sub) population — the
+    * quantity every downstream pairing decision branches on. */
+  private def detKey(withCell: DataFrame, maxCluster: Int,
+                     planes: Array[Array[Long]]): DataFrame =
+    withCell
+      .withColumn("_cn", count(lit(1)).over(Window.partitionBy("cid")))
+      .withColumn("_sub", when(col("_cn") <= maxCluster, lit(0L))
+        .otherwise(subBucket(col("u"), planes)))
+      .withColumn("_sn",
+        count(lit(1)).over(Window.partitionBy("cid", "_sub")))
+      .drop("_cn")
+
+  /** Bounded within-cell pairing over the DETERMINISTIC k-means gate —
+    * the [[semanticPairs]] scale contract (maxCluster cap + sign-LSH
+    * sub-split + O(n) chain degrade for true mega-groups) re-expressed in
+    * md5/integer arithmetic an external SQL engine can replay end to end.
+    * `withCell` must carry idCol, embCol, `u` (unit coords) and `cid`
+    * (cell id). Cost is Σ|bucket|² with |bucket| ≤ maxCluster plus O(n)
+    * chain links — never corpus-quadratic, whatever the cell skew.
+    * Returns (id_a, id_b, cos) with id_a &lt; id_b, cos ≥ threshold at the
+    * engine's 6-dp half-up floor rounding. */
+  def detBoundedPairs(withCell: DataFrame, idCol: String, embCol: String,
+                      threshold: Double, dim: Int = 64,
+                      maxCluster: Int = 40, numPlanes: Int = 8): DataFrame = {
+    val planes = subPlanes(numPlanes, dim)
+    val keyed = detKey(withCell, maxCluster, planes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def cosCol(a: Column, b: Column): Column =
+      Similarity.roundHalfUp(Similarity.cosineUnrolled(a, b, dim), 6)
+    val small = keyed.filter(col("_sn") <= maxCluster)
+    val a = small.select(col("cid"), col("_sub"),
+      col(idCol).as("id_a"), col(embCol).as("_ea"))
+    val b = small.select(col("cid"), col("_sub"),
+      col(idCol).as("id_b"), col(embCol).as("_eb"))
+    val allPairs = a.join(b, Seq("cid", "_sub"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosCol(col("_ea"), col("_eb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+    val chainOrd = Window.partitionBy("cid", "_sub").orderBy(col(idCol))
+    val chainPairs = keyed.filter(col("_sn") > maxCluster)
+      .withColumn("_nid", lead(col(idCol), 1).over(chainOrd))
+      .withColumn("_ne", lead(col(embCol), 1).over(chainOrd))
+      .filter(col("_nid").isNotNull)
+      .withColumn("cos", cosCol(col(embCol), col("_ne")))
+      .filter(col("cos") >= threshold)
+      .select(col(idCol).as("id_a"), col("_nid").as("id_b"), col("cos"))
+    // Same lifecycle contract as semanticPairs: the pair set is bounded,
+    // so checkpoint it eagerly and release the keyed relation now.
+    val pairs = allPairs.unionByName(chainPairs).localCheckpoint()
+    keyed.unpersist()
+    pairs
+  }
+
+  /** Candidate-pair MASS of the bounded gate (pre-threshold): Σ C(n,2)
+    * over all-pairs buckets + Σ (n−1) over chain buckets. This is the
+    * quantity the scale gate tracks across scale factors — for a bounded
+    * plan it must grow ~linearly in N, never quadratically. */
+  def detPairMass(withCell: DataFrame, maxCluster: Int = 40,
+                  numPlanes: Int = 8, dim: Int = 64): Long =
+    detKey(withCell, maxCluster, subPlanes(numPlanes, dim))
+      .groupBy("cid", "_sub").agg(count(lit(1)).as("n"))
+      .select(when(col("n") <= maxCluster,
+          (col("n") * (col("n") - 1) / 2).cast("long"))
+        .otherwise(col("n") - 1).as("m"))
+      .agg(coalesce(sum("m"), lit(0L)).as("mass"))
+      .head.getLong(0)
 }

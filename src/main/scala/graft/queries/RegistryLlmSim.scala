@@ -49,37 +49,58 @@ trait RegistryLlmSim extends RegistryLlmCuration {
 
   /** SemDeDup semantic dedup over NEAR-duplicates: plant 20 scaled
     * replicas (×1.001 in double space — cosine ≈ 1 to their originals but
-    * bitwise distinct), cluster with the DETERMINISTIC integer-unit
-    * k-means gate ([[graft.llm.DetKMeans]]), cosine-pair within cells,
-    * drop non-representatives. Output = the dropped documents (the
-    * replicas: min-id representatives win). Scaling in double space keeps
-    * every arithmetic step IEEE-replayable, so the DuckDB oracle replays
-    * training, gating, pairing and the component fixpoint — the near-dup
-    * sibling of [[llmSemDedupDet]] (exact copies). The seeded Spark-ML
-    * k-means gate variant stays pinned in SemDedupSpec. */
-  protected def llmSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    * bitwise distinct) plus a 45-copy mega-group, cluster with the
+    * DETERMINISTIC integer-unit k-means gate ([[graft.llm.DetKMeans]]),
+    * then pair through the BOUNDED kernel
+    * ([[graft.llm.SemDedup.detBoundedPairs]]): cells over maxCluster=40
+    * sub-split by an integer sign-LSH key, still-oversized sub-buckets
+    * (true mega-groups) degrade to O(n) chain pairing — Σ|bucket|² stays
+    * ≤ maxCluster·N, never corpus-quadratic, whatever the cell skew.
+    * Output = the dropped documents (min-id representatives win). Every
+    * arithmetic step is integer or IEEE-double, so the DuckDB oracle
+    * replays training, gating, sub-split, BOTH pair branches and the
+    * component fixpoint — the near-dup sibling of [[llmSemDedupDet]]
+    * (exact copies). The seeded Spark-ML k-means gate variant stays
+    * pinned in SemDedupSpec.
+    *
+    * This helper builds the gate INPUT (corpus ∪ planted replicas ∪ the
+    * 45-copy mega-group, DetKMeans-assigned; columns id, embedding, u,
+    * cid) — shared between the registered query [[llmSemDedup]] and
+    * [[graft.PairMassSweep]] so the scale gate measures EXACTLY the
+    * registered plan's candidate-pair mass. */
+  private[graft] def semDedupWithCell(spark: SparkSession,
+                                      dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("embedding"))
     val planted = emb.filter(col("vec_id") < 20)
       .withColumn("vec_id", col("vec_id") + 10000)
       .withColumn("embedding", transform(col("embedding"), x => x * lit(1.001)))
-    val all = emb.unionByName(planted)
+    // A 45-copy mega-group of vector 0 (ids 20000+r): with its original and
+    // its +10000 replica it exceeds maxCluster=40 INSIDE one sign-LSH
+    // sub-bucket, so the oracle exercises the O(n) chain-degrade branch of
+    // the bounded gate, not just the capped all-pairs branch.
+    val mega = emb.filter(col("vec_id") === 0)
+      .crossJoin(spark.range(45).select(col("id").as("_r")))
+      .select((col("vec_id") + 20000 + col("_r")).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001)).as("embedding"))
+    val all = emb.unionByName(planted).unionByName(mega)
     val (_, cents) = graft.llm.DetKMeans.fit(
       all, "vec_id", "embedding", k = 16, iters = 2, dim = 64)
-    val cells = graft.llm.DetKMeans.assignTo(
+    val assigned = graft.llm.DetKMeans.assignTo(
         graft.llm.DetKMeans.unitPoints(all, "vec_id", "embedding"), cents)
-      .select(col("id"), col("cid"))
-    val withCell = all.select(col("vec_id").as("id"), col("embedding"))
-      .join(cells, "id")
-    val pairs = withCell.as("a").join(withCell.as("b"),
-        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        graft.llm.Similarity.roundHalfUp(graft.llm.Similarity.cosineUnrolled(
-          col("a.embedding"), col("b.embedding"), 64), 6).as("cos"))
-      .filter(col("cos") >= 0.999)
+      .select(col("id"), col("u"), col("cid"))
+    all.select(col("vec_id").as("id"), col("embedding"))
+      .join(assigned, "id")
+  }
+
+  protected def llmSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val withCell = semDedupWithCell(spark, dir)
+    val pairs = graft.llm.SemDedup.detBoundedPairs(withCell, "id", "embedding",
+        threshold = 0.999, dim = 64, maxCluster = 40)
       .select("id_a", "id_b")
-    graft.llm.Dedup.dedupByCluster(all.select(col("vec_id")), "vec_id", pairs)
+    graft.llm.Dedup.dedupByCluster(
+        withCell.select(col("id").as("vec_id")), "vec_id", pairs)
       .filter(!col("is_representative"))
       .select(col("vec_id"), col("component"))
       .orderBy("vec_id")
@@ -343,30 +364,35 @@ trait RegistryLlmSim extends RegistryLlmCuration {
   }
 
   /** SemDeDup with the DETERMINISTIC k-means gate: cluster in integer
-    * units (DetKMeans), cosine-pair within cells, connected components,
-    * drop non-representatives. Planted exact copies (ids +10000) land in
-    * their original's cell by construction. The DuckDB oracle replays
-    * training, gating, pairing AND the component fixpoint (recursive
+    * units (DetKMeans), pair through the BOUNDED kernel
+    * ([[graft.llm.SemDedup.detBoundedPairs]] — maxCluster cap + sign-LSH
+    * sub-split + chain degrade), connected components, drop
+    * non-representatives. Planted exact copies (ids +10000, plus the
+    * 45-copy mega-group at 20000+) land in their original's cell by
+    * construction. The DuckDB oracle replays training, gating, the
+    * sub-split, BOTH pair branches AND the component fixpoint (recursive
     * CTE) — the first semantic-dedup query whose DROP SET is
     * hash-checked, not just property-tested. */
   protected def llmSemDedupDet(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
     val planted = emb.filter(col("vec_id") < 20)
       .withColumn("vec_id", col("vec_id") + 10000)
-    val all = emb.unionByName(planted)
+    // Exact-copy mega-group (see llmSemDedup): forces the chain-degrade
+    // branch of the bounded gate through the oracle.
+    val mega = emb.filter(col("vec_id") === 0)
+      .crossJoin(spark.range(45).select(col("id").as("_r")))
+      .select((col("vec_id") + 20000 + col("_r")).as("vec_id"),
+        col("embedding"))
+    val all = emb.unionByName(planted).unionByName(mega)
     val (_, cents) = graft.llm.DetKMeans.fit(
       all, "vec_id", "embedding", k = 16, iters = 2, dim = 64)
-    val cells = graft.llm.DetKMeans.assignTo(
+    val assigned = graft.llm.DetKMeans.assignTo(
         graft.llm.DetKMeans.unitPoints(all, "vec_id", "embedding"), cents)
-      .select(col("id"), col("cid"))
-    val e = all.select(col("vec_id").as("id"), col("embedding"))
-    val withCell = e.join(cells, "id")
-    val pairs = withCell.as("a").join(withCell.as("b"),
-        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        graft.llm.Similarity.roundHalfUp(graft.llm.Similarity.cosineUnrolled(
-          col("a.embedding"), col("b.embedding"), 64), 6).as("cos"))
-      .filter(col("cos") >= 0.999)
+      .select(col("id"), col("u"), col("cid"))
+    val withCell = all.select(col("vec_id").as("id"), col("embedding"))
+      .join(assigned, "id")
+    val pairs = graft.llm.SemDedup.detBoundedPairs(withCell, "id", "embedding",
+        threshold = 0.999, dim = 64, maxCluster = 40)
       .select("id_a", "id_b")
     graft.llm.Dedup.dedupByCluster(all.select(col("vec_id")), "vec_id", pairs)
       .filter(!col("is_representative"))
@@ -710,6 +736,63 @@ trait RegistryLlmSim extends RegistryLlmCuration {
         col("l1_shift"))
   }
 
+  /** Shared oracle tail for the BOUNDED semdedup gate
+    * ([[graft.llm.SemDedup.detBoundedPairs]]): given the generated k-means
+    * CTEs (a3 = final assignment, with unit coords u) and an `ev` CTE of
+    * (id, e double-list), replays cell counts, the md5-derived integer
+    * sign-LSH sub-split of mega-cells (maxCluster = 40), the capped
+    * all-pairs branch, the O(n) chain-degrade branch, and the component
+    * fixpoint. Mirrors the Scala kernel step for step. */
+  private val semDedupBoundedTail: String =
+    """,
+       celln AS (SELECT cid, count(*) AS cn FROM a3 GROUP BY cid),
+       splanes AS (SELECT j, list_transform(range(64), i ->
+           CAST(('0x' || substr(md5('semsub:' || CAST(j AS VARCHAR) || ':'
+               || CAST(i AS VARCHAR)), 1, 5)) AS BIGINT) - 524288) AS p
+         FROM (SELECT unnest(range(8)) AS j)),
+       bkt AS (SELECT a.id,
+           CAST(SUM(CASE WHEN list_sum(list_transform(list_zip(a.u, s.p),
+               z -> z[1] * z[2])) >= 0
+             THEN (CAST(1 AS BIGINT) << s.j)
+             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bu
+         FROM a3 a, splanes s GROUP BY a.id),
+       keyed AS (SELECT a.id, a.cid,
+           CASE WHEN c.cn <= 40 THEN CAST(0 AS BIGINT) ELSE b.bu END AS sub
+         FROM a3 a JOIN celln c USING (cid) JOIN bkt b ON b.id = a.id),
+       subn AS (SELECT cid, sub, count(*) AS sn FROM keyed GROUP BY cid, sub),
+       kk AS (SELECT k.id, k.cid, k.sub, s.sn, e.e
+         FROM keyed k JOIN subn s USING (cid, sub) JOIN ev e ON e.id = k.id),
+       smallp AS (SELECT ca.id AS id_a, cb.id AS id_b
+         FROM kk ca JOIN kk cb
+           ON ca.cid = cb.cid AND ca.sub = cb.sub AND ca.id < cb.id
+         WHERE ca.sn <= 40 AND
+           floor(list_sum(list_transform(list_zip(ca.e, cb.e),
+               p -> p[1] * p[2])) /
+             (sqrt(list_sum(list_transform(ca.e, x -> x*x)))
+              * sqrt(list_sum(list_transform(cb.e, x -> x*x))))
+             * 1000000 + 0.5) / 1000000 >= 0.999),
+       ch AS (SELECT id, e, sn,
+           lead(id) OVER (PARTITION BY cid, sub ORDER BY id) AS nid,
+           lead(e) OVER (PARTITION BY cid, sub ORDER BY id) AS ne
+         FROM kk WHERE sn > 40),
+       chp AS (SELECT id AS id_a, nid AS id_b FROM ch
+         WHERE nid IS NOT NULL AND
+           floor(list_sum(list_transform(list_zip(e, ne), p -> p[1] * p[2])) /
+             (sqrt(list_sum(list_transform(e, x -> x*x)))
+              * sqrt(list_sum(list_transform(ne, x -> x*x))))
+             * 1000000 + 0.5) / 1000000 >= 0.999),
+       pr AS (SELECT * FROM smallp UNION ALL SELECT * FROM chp),
+       edges AS (SELECT id_a AS a, id_b AS b FROM pr
+                 UNION ALL SELECT id_b, id_a FROM pr),
+       nodes AS (SELECT DISTINCT a AS id FROM edges),
+       reach(id, lab) AS (
+         SELECT id, id FROM nodes
+         UNION
+         SELECT e.b AS id, r.lab FROM reach r JOIN edges e ON e.a = r.id),
+       labels AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
+       SELECT id AS vec_id, component FROM labels
+       WHERE component < id ORDER BY vec_id"""
+
   protected val llmSimOracleSql: ListMap[String, String] = ListMap(
     // Generated training replay; a2 is the final assignment (iters=2).
     "q_llm_ivf_balance" ->
@@ -858,7 +941,7 @@ trait RegistryLlmSim extends RegistryLlmCuration {
          ORDER BY exact_dist, vec_id LIMIT 10"""),
     "q_llm_ann_ivfpq" -> ivfPqDetOracle,
     "q_llm_ann_ivfpq_rerank" -> ivfPqDetRerankOracle,
-    // NEAR-dup SemDeDup replay: same generated k-means + pairing +
+    // NEAR-dup SemDeDup replay: same generated k-means + BOUNDED pairing +
     // component fixpoint as q_llm_semdedup_det below, but the planted
     // replicas are ×1.001 in DOUBLE space (bitwise-distinct, cosine ≈ 1)
     // — every step stays IEEE-double so the replay is exact.
@@ -868,7 +951,10 @@ trait RegistryLlmSim extends RegistryLlmCuration {
         " FROM embeddings UNION ALL" +
         " SELECT vec_id + 10000, list_transform(embedding," +
         "   x -> CAST(x AS DOUBLE) * CAST(1.001 AS DOUBLE))" +
-        " FROM embeddings WHERE vec_id < 20) un",
+        " FROM embeddings WHERE vec_id < 20 UNION ALL" +
+        " SELECT 20000 + t.r, list_transform(embedding," +
+        "   x -> CAST(x AS DOUBLE) * CAST(1.001 AS DOUBLE))" +
+        " FROM embeddings, range(45) t(r) WHERE vec_id = 0) un",
         "vec_id", "embedding", k = 16, iters = 3, dim = 64)
         .replaceFirst("WITH ", "WITH RECURSIVE ") +
       """,
@@ -877,36 +963,27 @@ trait RegistryLlmSim extends RegistryLlmCuration {
                     x -> CAST(x AS DOUBLE) * CAST(1.001 AS DOUBLE)) AS e
                 FROM embeddings WHERE vec_id < 20
                 UNION ALL
+                SELECT 20000 + t.r AS id,
+                  list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(1.001 AS DOUBLE)) AS e
+                FROM embeddings, range(45) t(r) WHERE vec_id = 0
+                UNION ALL
                 SELECT vec_id AS id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-                FROM embeddings),
-         pr AS (SELECT ca.id AS id_a, cb.id AS id_b
-                FROM a3 ca JOIN a3 cb ON ca.cid = cb.cid AND ca.id < cb.id
-                JOIN ev a ON a.id = ca.id JOIN ev b ON b.id = cb.id
-                WHERE floor(list_sum(list_transform(list_zip(a.e, b.e),
-                    p -> p[1] * p[2])) /
-                  (sqrt(list_sum(list_transform(a.e, x -> x*x)))
-                   * sqrt(list_sum(list_transform(b.e, x -> x*x))))
-                  * 1000000 + 0.5) / 1000000 >= 0.999),
-         edges AS (SELECT id_a AS a, id_b AS b FROM pr
-                   UNION ALL SELECT id_b, id_a FROM pr),
-         nodes AS (SELECT DISTINCT a AS id FROM edges),
-         reach(id, lab) AS (
-           SELECT id, id FROM nodes
-           UNION
-           SELECT e.b AS id, r.lab FROM reach r JOIN edges e ON e.a = r.id),
-         labels AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
-         SELECT id AS vec_id, component FROM labels
-         WHERE component < id ORDER BY vec_id"""),
+                FROM embeddings)""" +
+      semDedupBoundedTail),
     // Full SemDeDup replay: generated k-means CTEs (a3 = assignment to
-    // the final round-2 centroids), within-cell cosine pairs at the
-    // engine's 6dp floor-rounded threshold, then the component fixpoint
-    // as a recursive min-label closure — non-representatives must match
-    // id for id, component for component.
+    // the final round-2 centroids), BOUNDED within-cell pairing (sub-split
+    // + chain degrade, see semDedupBoundedTail) at the engine's 6dp
+    // floor-rounded threshold, then the component fixpoint as a recursive
+    // min-label closure — non-representatives must match id for id,
+    // component for component.
     "q_llm_semdedup_det" ->
       (graft.llm.DetKMeans.oracleCtes(
         "(SELECT vec_id, embedding FROM embeddings UNION ALL" +
-        " SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 20) un",
+        " SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 20" +
+        " UNION ALL SELECT 20000 + t.r, embedding" +
+        " FROM embeddings, range(45) t(r) WHERE vec_id = 0) un",
         "vec_id", "embedding", k = 16, iters = 3, dim = 64)
         .replaceFirst("WITH ", "WITH RECURSIVE ") +
       """,
@@ -914,27 +991,14 @@ trait RegistryLlmSim extends RegistryLlmCuration {
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
                 FROM embeddings WHERE vec_id < 20
                 UNION ALL
+                SELECT 20000 + t.r AS id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings, range(45) t(r) WHERE vec_id = 0
+                UNION ALL
                 SELECT vec_id AS id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-                FROM embeddings),
-         pr AS (SELECT ca.id AS id_a, cb.id AS id_b
-                FROM a3 ca JOIN a3 cb ON ca.cid = cb.cid AND ca.id < cb.id
-                JOIN ev a ON a.id = ca.id JOIN ev b ON b.id = cb.id
-                WHERE floor(list_sum(list_transform(list_zip(a.e, b.e),
-                    p -> p[1] * p[2])) /
-                  (sqrt(list_sum(list_transform(a.e, x -> x*x)))
-                   * sqrt(list_sum(list_transform(b.e, x -> x*x))))
-                  * 1000000 + 0.5) / 1000000 >= 0.999),
-         edges AS (SELECT id_a AS a, id_b AS b FROM pr
-                   UNION ALL SELECT id_b, id_a FROM pr),
-         nodes AS (SELECT DISTINCT a AS id FROM edges),
-         reach(id, lab) AS (
-           SELECT id, id FROM nodes
-           UNION
-           SELECT e.b AS id, r.lab FROM reach r JOIN edges e ON e.a = r.id),
-         labels AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
-         SELECT id AS vec_id, component FROM labels
-         WHERE component < id ORDER BY vec_id"""),
+                FROM embeddings)""" +
+      semDedupBoundedTail),
     // Brute-force replay of the LSH-bucketed near-dup pass: every planted
     // scaled copy shares its original's bucket for ANY hyperplanes (same
     // direction ⇒ same signs), and at this data scale no natural pair

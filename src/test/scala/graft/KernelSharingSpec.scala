@@ -56,4 +56,19 @@ class KernelSharingSpec extends AnyFunSuite {
         s"$d no longer calls TextAnalysis.deflateLen")
     }
   }
+
+  test("q_llm_semdedup and q_llm_semdedup_det share the BOUNDED pairing " +
+      "kernel SemDedup.detBoundedPairs (neither may fork back to an " +
+      "uncapped within-cell self-join — the corpus-quadratic shape)") {
+    for (d <- Seq("llmSemDedup", "llmSemDedupDet")) {
+      val body = defBody(d)
+      assert(body.contains("SemDedup.detBoundedPairs("),
+        s"$d no longer routes pairing through SemDedup.detBoundedPairs")
+    }
+    // And the production query's gate input is the helper PairMassSweep
+    // measures — the scale gate must watch the REGISTERED plan.
+    assert(defBody("llmSemDedup").contains("semDedupWithCell("),
+      "llmSemDedup no longer builds its gate input via semDedupWithCell " +
+        "(PairMassSweep would measure a different plan)")
+  }
 }
