@@ -112,6 +112,14 @@ object Boruvka {
           .localCheckpoint(true)
       }
     }
+    // Borůvka halves the component count every round, so maxRounds = 20
+    // covers ~2^20 initial components; past that the loop would exit with
+    // a PARTIAL forest. Fail loudly — a silently truncated spanning forest
+    // looks exactly like a converged one to every downstream consumer.
+    require(done || round < maxRounds,
+      s"Boruvka did not converge within maxRounds=$maxRounds rounds - " +
+        "the selected forest is incomplete; raise maxRounds (each round " +
+        "halves the component count, so rounds ~ log2(components))")
     if (chosen == null)
       e0.filter(lit(false)).select(col("lo"), col("hi"), col("d"))
     else chosen

@@ -893,6 +893,16 @@ trait RegistryEvent extends RegistryTs {
       .select(col("event_type")).distinct()
       .filter(col("event_type") =!= "purchase")
       .orderBy("event_type").collect().map(_.getString(0))
+    // The generated oracle unrolls one removal variant per CANONICAL
+    // channel; a dataset with an extra non-purchase event_type would make
+    // this query emit a channel the oracle never modeled (and shift the
+    // share_bp denominator). Enforce the contract instead of assuming it.
+    val extra = channels.toSet -- markovCanonicalChannels
+    require(extra.isEmpty,
+      s"markov attribution: observed channels ${extra.mkString(",")} are " +
+        s"outside the canonical universe " +
+        s"${markovCanonicalChannels.mkString("{", ",", "}")} the oracle " +
+        "unrolls removal variants for - extend markovCanonicalChannels")
     if (channels.isEmpty || cells.isEmpty)
       return Seq.empty[(String, Long, Long, Long, Long)]
         .toDF("channel", "p_full6", "p_removed6", "removal6", "share_bp")
@@ -923,6 +933,13 @@ trait RegistryEvent extends RegistryTs {
       .toDF("channel", "p_full6", "p_removed6", "removal6", "share_bp")
       .orderBy("channel")
   }
+
+  /** The canonical non-purchase channel universe the attribution oracle
+    * unrolls removal variants for; [[eMarkovAttribution]] REQUIRES the
+    * observed channels to be a subset (the contract is enforced, not
+    * assumed — an unexpected event_type fails loudly). */
+  protected val markovCanonicalChannels: Seq[String] =
+    Seq("click", "error", "signup", "view")
 
   /** Generated DuckDB replay for [[eMarkovAttribution]]: journeys,
     * micro-unit cells, then `steps` unrolled DP iterations for the
@@ -1668,8 +1685,8 @@ trait RegistryEvent extends RegistryTs {
          UNION ALL SELECT 'error_burst', u3, c3 FROM a
          UNION ALL SELECT 'view_reaches_purchase', u2, c2 FROM a
          ORDER BY pattern""",
-    "q_e_markov_attribution" -> markovAttributionOracle(12,
-      Seq("click", "error", "signup", "view")),
+    "q_e_markov_attribution" ->
+      markovAttributionOracle(12, markovCanonicalChannels),
     "q_e_heatmap" ->
       """WITH cells AS (SELECT
              ((epoch_ns(ts) // 86400000000000) + 4) % 7 AS dow,

@@ -1161,10 +1161,16 @@ trait RegistryStats extends RegistryAgg {
       .agg(sum(col("cents")).as("v"))
     val x = daily.filter(col("am")).select(col("event_type"), col("v"))
     val y = daily.filter(!col("am")).select(col("event_type"), col("v"))
+    // Squared daily cents totals route through DECIMAL(38,0) (the
+    // aggHhi / eExpPowerMeans convention): a Long v*v overflows silently
+    // past ~$30M per type/half-day under non-ANSI mode.
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val mx = x.groupBy("event_type").agg(count(lit(1)).as("n"),
-      sum(col("v")).as("sx"), sum(col("v") * col("v")).as("sxx"))
+      sum(col("v")).as("sx"),
+      sum(col("v").cast(dec38) * col("v").cast(dec38)).as("sxx"))
     val my = y.groupBy("event_type").agg(count(lit(1)).as("m"),
-      sum(col("v")).as("sy"), sum(col("v") * col("v")).as("syy"))
+      sum(col("v")).as("sy"),
+      sum(col("v").cast(dec38) * col("v").cast(dec38)).as("syy"))
     val pairs = x.as("a")
       .join(broadcast(y.as("b")), "event_type")
       .groupBy("event_type")

@@ -57,7 +57,17 @@ object EventStream {
     * running counts as a streaming aggregation — the "assignment went
     * 60/40 an hour ago" alarm an experiment platform runs against its
     * live exposure feed instead of discovering SRM at readout time.
-    * EventStreamSpec pins streamed final counts == the batch query's. */
+    *
+    * Divergence bound vs the batch query: the user dedup state ages out
+    * at the watermark, so a user whose events span MORE than the
+    * watermark horizon is counted once per horizon — streamed `n_users`
+    * is an UPPER bound on batch distinct users, exact when every user's
+    * activity fits inside one horizon (the spec's data does; EventStream-
+    * Spec pins streamed final counts == the batch query's there). An SRM
+    * monitor tolerates this one-sidedness — re-counted users land in the
+    * same arm (the md5 assignment is a pure row function), so the RATIO
+    * the alarm watches is unbiased; for production feeds set the
+    * watermark to the p99 user-activity span or accept the bound. */
   def streamingSrm(events: DataFrame,
                    watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
