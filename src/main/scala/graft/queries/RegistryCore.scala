@@ -845,6 +845,56 @@ trait RegistryCore extends RegistryBase {
       .orderBy("rk")
   }
 
+  /** Recursive (c,l)-diversity audit (Machanavajjhala et al. 2007 §4) —
+    * the rung between [[govKAnonymity]]'s distinct-l and
+    * [[govTCloseness]]: a QI class is (c,2)-diverse iff its most common
+    * sensitive value is outweighed by the rest combined, r1 < c·(n−r1)
+    * with c = 3; a class failing it is a handful of suppressed records
+    * away from a homogeneity attack even when distinct-l looks fine.
+    * FULLY integer: r1 is a plain max over per-value counts (no sorted
+    * rank needed at l = 2), margin_bp = r1·10⁴ div (n−r1) with the
+    * single-valued class pinned to the 10⁸ sentinel. Reports the 5 worst
+    * classes (rank-limit rewrite, the govTCloseness shape) with the
+    * global violation count alongside. Scale shape: customer⋈orders
+    * shuffles once on the join key, two class-grain aggregates, a
+    * top-5 — no window over the corpus. */
+  protected def govClDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cBound = 3L
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nat"),
+        col("c_mktsegment").as("seg"),
+        expr("(floor(c_acctbal * 100 + 0.5) + 100000) div 200000")
+          .as("bal_band"))
+    val svc = cust
+      .join(t(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderpriority").as("sv")),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy("nat", "seg", "bal_band", "sv")
+      .agg(count(lit(1)).as("cnt"))
+    val cls = svc.groupBy("nat", "seg", "bal_band")
+      .agg(sum(col("cnt")).as("n_c"), max(col("cnt")).as("r1"),
+        count(lit(1)).as("m_distinct"))
+      .withColumn("tail", col("n_c") - col("r1"))
+      .withColumn("margin_bp", when(col("tail") === 0, lit(100000000L))
+        .otherwise(expr("r1 * 10000 div tail")))
+      .withColumn("violates_c3",
+        when(col("r1") >= lit(cBound) * col("tail"), 1L).otherwise(0L))
+    val totals = cls.agg(count(lit(1)).as("n_classes"),
+      sum(col("violates_c3")).as("n_violating"))
+    cls
+      .withColumn("rk", row_number().over(Window.orderBy(
+        col("margin_bp").desc, col("nat"), col("seg"), col("bal_band"))))
+      .filter(col("rk") <= 5)
+      .crossJoin(broadcast(totals))
+      .select(col("nat"), col("seg"), col("bal_band"),
+        col("n_c").cast("long").as("n_c"), col("m_distinct"),
+        col("r1"), col("margin_bp"), col("violates_c3"),
+        col("rk").cast("long").as("rk"),
+        col("n_classes"), col("n_violating"))
+      .orderBy("rk")
+  }
+
   /** Data-rule audit: functional-dependency and key-constraint checking,
     * the profiling pass a pipeline runs before trusting joins (a
     * violated FD silently fans out a "1:1" join). Each rule is one
@@ -1852,6 +1902,33 @@ trait RegistryCore extends RegistryBase {
            rows_lt5 * 10000 // n_rows AS risk_bp,
            classes_with_orders, min_l, classes_l1
          FROM ks, ls""",
+    "q_gov_cl_diversity" ->
+      """WITH cust AS (SELECT c_custkey,
+             CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+             (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000)
+               // 200000 AS bal_band
+           FROM customer),
+         svc AS (SELECT nat, seg, bal_band, o_orderpriority AS sv,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM cust JOIN orders ON c_custkey = o_custkey
+           GROUP BY 1, 2, 3, 4),
+         cls AS (SELECT nat, seg, bal_band,
+             CAST(sum(cnt) AS BIGINT) AS n_c, max(cnt) AS r1,
+             CAST(count(*) AS BIGINT) AS m_distinct
+           FROM svc GROUP BY 1, 2, 3),
+         scored AS (SELECT nat, seg, bal_band, n_c, m_distinct, r1,
+             CASE WHEN n_c - r1 = 0 THEN CAST(100000000 AS BIGINT)
+                  ELSE r1 * 10000 // (n_c - r1) END AS margin_bp,
+             CAST(CASE WHEN r1 >= 3 * (n_c - r1) THEN 1 ELSE 0 END
+               AS BIGINT) AS violates_c3
+           FROM cls),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(sum(violates_c3) AS BIGINT) AS n_violating FROM scored),
+         rnk AS (SELECT *, CAST(row_number() OVER (ORDER BY margin_bp DESC,
+             nat, seg, bal_band) AS BIGINT) AS rk FROM scored)
+         SELECT nat, seg, bal_band, n_c, m_distinct, r1, margin_bp,
+           violates_c3, rk, n_classes, n_violating
+         FROM rnk, tot WHERE rk <= 5 ORDER BY rk""",
     // The merged read must equal v1-rows-with-NULL-rev ∪ v2 rows.
     "q_s_schema_evolution" ->
       """SELECT CAST(r_regionkey AS BIGINT) AS k, r_name AS name,

@@ -203,6 +203,84 @@ trait RegistryLlmDedup extends RegistryMm {
           "ELSE errsum div n_verified END").as("mae_est4"))
   }
 
+  /** SimHash recipe evaluation — the Hamming-space sibling of
+    * [[llmMinhashEval]]: an md5-space SimHash (60-bit fingerprint from
+    * each gram's 15-hex md5 prefix; bit b = sign of Σ_grams ±1, tie → 0)
+    * runs over the same planted corpus, bands the fingerprint 4 × 15 bits
+    * (pigeonhole: a pair within Hamming ≤ 3 differs in at most 3 bands,
+    * so it SHARES at least one — the banding is recall-complete for the
+    * radius it is tuned for, and the query proves it: recall4 must be
+    * 10000, pinned in RegistryNewQuerySpec), and scores candidate
+    * precision at radius 3 plus the planted pairs' mean Hamming distance
+    * (the mutation-displacement diagnostic). md5 so the ENTIRE sketch
+    * replays in DuckDB — the production kernel (llmSimhashNearDup) stays
+    * on xxhash64. All scores integer. Scale shape: fingerprints are one
+    * exploded-gram aggregate (60 conditional sums, no lambda, no per-bit
+    * row explosion); the bucket join is the banded-candidate contract;
+    * the per-pair verify is one codegen'd bit_count(xor). The 15-bit band
+    * keys are sized for the fixed-rate eval sample (the mod-2 modulus of
+    * llmMinhashEval) — the production recipe widens bands with the
+    * corpus. */
+  protected def llmSimhashEval(spark: SparkSession, dir: String): DataFrame = {
+    val bits = 60; val bandBits = 15; val nBands = 4
+    val docs = t(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(2)) === 0)
+    val mutated = docs.filter(col("doc_id") < 30)
+      .withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("text", concat(col("text"), lit(" appended marker token")))
+    val grams = docs.unionByName(mutated)
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("grams"))
+    val bitSums = (0 until bits).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1L).otherwise(-1L)).as(s"b$b"))
+    val fp = grams
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(b =>
+          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("fp"))
+      .localCheckpoint(true) // feeds band keys AND both Hamming verifies
+    val bandRows = fp.select(col("doc_id"), posexplode(array(
+        (0 until nBands).map(j =>
+          expr(s"(fp >> ${j * bandBits}) & ${(1 << bandBits) - 1}")): _*))
+      .as(Seq("band", "key")))
+    val cand = bandRows.as("x").join(bandRows.as("y"), Seq("band", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    def ham(pairs: DataFrame): DataFrame = pairs
+      .join(fp.select(col("doc_id").as("id_a"), col("fp").as("fa")),
+        Seq("id_a"))
+      .join(fp.select(col("doc_id").as("id_b"), col("fp").as("fb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(bit_count(fa ^ fb) AS BIGINT)").as("ham"))
+    val scored = ham(cand)
+    val planted = docs.filter(col("doc_id") < 30)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 10000).as("id_b"))
+    val ph = ham(planted).localCheckpoint(true) // truth + mean-distance
+    val truth = ph.filter(col("ham") <= 3).select("id_a", "id_b")
+    val hits = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+    val candAgg = scored.agg(count(lit(1)).as("n_cand"),
+      sum(when(col("ham") <= 3, 1L).otherwise(0L)).as("n_within3"))
+    val truthAgg = truth.agg(count(lit(1)).as("n_truth"))
+    val hitAgg = hits.agg(count(lit(1)).as("n_hits"))
+    val plantAgg = ph.agg(count(lit(1)).as("n_planted"),
+      sum(col("ham")).as("hamsum"))
+    candAgg.crossJoin(truthAgg).crossJoin(hitAgg).crossJoin(plantAgg)
+      .select(col("n_cand"), col("n_within3"),
+        expr("CASE WHEN n_cand = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE n_within3 * 10000 div n_cand END").as("precision4"),
+        col("n_truth"), col("n_hits"),
+        expr("CASE WHEN n_truth = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE n_hits * 10000 div n_truth END").as("recall4"),
+        expr("CASE WHEN n_planted = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE hamsum * 100 div n_planted END").as("mean_ham_x100"))
+  }
+
   /** MinHash-LSH near-dups over documents ∪ lightly-mutated copies.
     * Deterministic seeds; verified against exact Jaccard. Not DuckDB-
     * expressible (xxhash64) → rows-only driver check. */
@@ -652,6 +730,69 @@ trait RegistryLlmDedup extends RegistryMm {
            CASE WHEN n_verified = 0 THEN CAST(NULL AS BIGINT)
                 ELSE errsum // n_verified END AS mae_est4
          FROM ca, ta, ha""",
+    // Full md5-SimHash replay: per-gram 60-bit hashes, per-bit sign sums,
+    // fingerprint assembly, 4x15-bit banding, bit_count(xor) Hamming.
+    "q_llm_simhash_eval" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT doc_id + 10000, text || ' appended marker token'
+           FROM documents WHERE doc_id < 30 AND doc_id % 2 = 0),
+         tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                FROM corpus),
+         g AS (SELECT doc_id,
+                 CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                      ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                             i -> array_to_string(t[i:i+2], ' '))) END
+                   AS grams
+               FROM tk),
+         hh AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h
+           FROM (SELECT doc_id, unnest(grams) AS gram FROM g)),
+         bs AS (SELECT doc_id, b.b,
+             CAST(sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END)
+               AS BIGINT) AS s
+           FROM hh, (SELECT unnest(range(60)) AS b) b GROUP BY 1, 2),
+         fp AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+               ELSE 0 END) AS BIGINT) AS fp
+           FROM bs GROUP BY 1),
+         br AS (SELECT doc_id, j.j AS band,
+             (fp >> (j.j * 15)) & 32767 AS key
+           FROM fp, (SELECT unnest(range(4)) AS j) j),
+         cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           FROM br x JOIN br y ON x.band = y.band AND x.key = y.key
+           WHERE x.doc_id < y.doc_id),
+         sc AS (SELECT c.id_a, c.id_b,
+             CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS ham
+           FROM cand c JOIN fp a ON c.id_a = a.doc_id
+             JOIN fp b ON c.id_b = b.doc_id),
+         planted AS (SELECT doc_id AS id_a, doc_id + 10000 AS id_b
+           FROM documents WHERE doc_id < 30 AND doc_id % 2 = 0),
+         ph AS (SELECT p.id_a, p.id_b,
+             CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS ham
+           FROM planted p JOIN fp a ON p.id_a = a.doc_id
+             JOIN fp b ON p.id_b = b.doc_id),
+         truth AS (SELECT id_a, id_b FROM ph WHERE ham <= 3),
+         ca AS (SELECT CAST(count(*) AS BIGINT) AS n_cand,
+             CAST(sum(CASE WHEN ham <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_within3
+           FROM sc),
+         ta AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+         ha AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+           FROM truth t SEMI JOIN cand c
+             ON t.id_a = c.id_a AND t.id_b = c.id_b),
+         pa AS (SELECT CAST(count(*) AS BIGINT) AS n_planted,
+             CAST(sum(ham) AS BIGINT) AS hamsum FROM ph)
+         SELECT n_cand, n_within3,
+           CASE WHEN n_cand = 0 THEN CAST(NULL AS BIGINT)
+                ELSE n_within3 * 10000 // n_cand END AS precision4,
+           n_truth, n_hits,
+           CASE WHEN n_truth = 0 THEN CAST(NULL AS BIGINT)
+                ELSE n_hits * 10000 // n_truth END AS recall4,
+           CASE WHEN n_planted = 0 THEN CAST(NULL AS BIGINT)
+                ELSE hamsum * 100 // n_planted END AS mean_ham_x100
+         FROM ca, ta, ha, pa""",
     // Aho–Corasick substring semantics == per-pattern `contains`; the
     // oracle runs the O(|text|·|patterns|) plan the automaton avoids.
     "q_llm_blocklist" ->

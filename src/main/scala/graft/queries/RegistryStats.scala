@@ -1195,6 +1195,68 @@ trait RegistryStats extends RegistryAgg {
       .orderBy("event_type")
   }
 
+  /** Randomization (permutation) test for the am-vs-pm daily-revenue mean
+    * difference per event type (Fisher 1935's exact-under-exchangeability
+    * complement to [[statsWelch]]'s asymptotics — the test that stays
+    * honest when n is small or the distribution is ugly): 200 md5-derived
+    * relabelings of the day-grain bins, two-sided
+    * p = (1 + #extreme) · 10⁶ div 201. EVERYTHING integer: group sums stay
+    * exact cents, and mean comparisons CROSS-MULTIPLY —
+    * |sa·nb − sb·na| · (na·nb)_obs ≥ |obs cross| · (na·nb)_perm — so no
+    * division ever happens (DECIMAL(38,0) products, the effect-size
+    * convention); a degenerate relabeling (one side empty) makes both
+    * sides' permuted cross-product zero and counts extreme, identically
+    * on both engines. Scale shape: the corpus reduces ONCE to
+    * ≤ |types|·|days|·2 bins; the 200-way fanout and every comparison run
+    * over that bounded relation, never the corpus. */
+  protected def statsPermTest(spark: SparkSession, dir: String): DataFrame = {
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val dayNs = 24L * hourNs
+    val nPerms = 200
+    val dec = DecimalType(38, 0)
+    val bins = t(spark, dir, "events")
+      .select(col("event_type"), expr(s"ts div $dayNs").as("day"),
+        (expr(s"(ts div $hourNs) % 24") < 12).as("am"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("event_type", "day", "am")
+      .agg(sum(col("cents")).as("v"))
+      .localCheckpoint(true) // observed stat + the 200-way fanout
+    val obs = bins.groupBy("event_type").agg(
+      sum(when(col("am"), 1L).otherwise(0L)).as("n_am"),
+      sum(when(col("am"), col("v")).otherwise(0L)).as("s_am"),
+      sum(when(!col("am"), 1L).otherwise(0L)).as("n_pm"),
+      sum(when(!col("am"), col("v")).otherwise(0L)).as("s_pm"))
+    val perms = bins
+      .select(col("event_type"), col("day"), col("am"), col("v"),
+        explode(expr(s"sequence(0L, ${nPerms - 1}L)")).as("p"))
+      .withColumn("grp", pmod(
+        conv(substring(md5(concat_ws("|", col("p"), col("event_type"),
+          col("day"), when(col("am"), lit(1)).otherwise(lit(0)))), 1, 8),
+          16, 10).cast("long"), lit(2)))
+      .groupBy("event_type", "p")
+      .agg(sum(when(col("grp") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("grp") === 0, col("v")).otherwise(0L)).as("sa"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("grp") === 1, col("v")).otherwise(0L)).as("sb"))
+    val ext = perms.join(obs, "event_type")
+      .select(col("event_type"),
+        when(abs(col("sa").cast(dec) * col("nb")
+              - col("sb").cast(dec) * col("na"))
+            * (col("n_am").cast(dec) * col("n_pm"))
+          >= abs(col("s_am").cast(dec) * col("n_pm")
+              - col("s_pm").cast(dec) * col("n_am"))
+            * (col("na").cast(dec) * col("nb")), 1L).otherwise(0L).as("x"))
+      .groupBy("event_type").agg(sum(col("x")).as("n_extreme"))
+    obs.join(ext, "event_type")
+      .select(col("event_type"), col("n_am"), col("n_pm"),
+        abs(col("s_am").cast(dec) * col("n_pm")
+          - col("s_pm").cast(dec) * col("n_am")).cast("long")
+          .as("obs_cross"),
+        col("n_extreme"),
+        expr(s"(1 + n_extreme) * 1000000 div ${nPerms + 1}").as("p_micro"))
+      .orderBy("event_type")
+  }
+
   /** Exact two-sided Fisher test per event type (Fisher 1935) — the
     * small-table independence test the χ² family cannot honestly run
     * when cells are sparse: is a phase's am-majority independent of the
@@ -1257,6 +1319,48 @@ trait RegistryStats extends RegistryAgg {
   }
 
   protected val statsOracleSql: ListMap[String, String] = ListMap(
+    // 200 md5-relabelings replayed verbatim; extremeness via HUGEINT
+    // cross-products (== the engine's DECIMAL(38,0) exact comparison).
+    "q_stats_perm_test" ->
+      """WITH daily AS (SELECT event_type,
+             epoch_ns(ts) // 86400000000000 AS day,
+             (epoch_ns(ts) // 3600000000000) % 24 < 12 AS am,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS v
+           FROM events GROUP BY 1, 2, 3),
+         obs AS (SELECT event_type,
+             CAST(sum(CASE WHEN am THEN 1 ELSE 0 END) AS BIGINT) AS n_am,
+             CAST(sum(CASE WHEN am THEN v ELSE 0 END) AS BIGINT) AS s_am,
+             CAST(sum(CASE WHEN am THEN 0 ELSE 1 END) AS BIGINT) AS n_pm,
+             CAST(sum(CASE WHEN am THEN 0 ELSE v END) AS BIGINT) AS s_pm
+           FROM daily GROUP BY 1),
+         lab AS (SELECT d.event_type, d.v, p.p,
+             CAST(('0x' || substr(md5(CAST(p.p AS VARCHAR) || '|' ||
+               d.event_type || '|' || CAST(d.day AS VARCHAR) || '|' ||
+               CASE WHEN d.am THEN '1' ELSE '0' END), 1, 8)) AS BIGINT)
+               % 2 AS grp
+           FROM daily d, (SELECT unnest(range(200)) AS p) p),
+         pr AS (SELECT event_type, p,
+             CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN grp = 0 THEN v ELSE 0 END) AS BIGINT) AS sa,
+             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+             CAST(sum(CASE WHEN grp = 1 THEN v ELSE 0 END) AS BIGINT) AS sb
+           FROM lab GROUP BY 1, 2),
+         ext AS (SELECT pr.event_type,
+             CAST(sum(CASE WHEN
+                 abs(CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na)
+                   * (CAST(n_am AS HUGEINT) * n_pm)
+                 >= abs(CAST(s_am AS HUGEINT) * n_pm
+                      - CAST(s_pm AS HUGEINT) * n_am)
+                   * (CAST(na AS HUGEINT) * nb)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+           FROM pr JOIN obs USING (event_type) GROUP BY 1)
+         SELECT event_type, n_am, n_pm,
+           CAST(abs(CAST(s_am AS HUGEINT) * n_pm
+             - CAST(s_pm AS HUGEINT) * n_am) AS BIGINT) AS obs_cross,
+           n_extreme,
+           (1 + n_extreme) * 1000000 // 201 AS p_micro
+         FROM obs JOIN ext USING (event_type) ORDER BY event_type""",
     "q_stats_effect_size" ->
       """WITH daily AS (SELECT event_type,
              epoch_ns(ts) // 86400000000000 AS day,
