@@ -382,6 +382,47 @@ trait RegistryEvent extends RegistryTs {
         gap = 30L * 60 * 1000 * 1000 * 1000)
       .orderBy("user_id")
 
+  /** Top-10 session PATHS (the clickstream-pattern table a product team
+    * reads before funnel design — which exact event sequences actually
+    * happen): sessions cut at 30-min event-time gaps (the [[eSessions]]
+    * contract), each session's path = its event types joined in
+    * (ts, event_id) order, then path-grain counts and the global top-10
+    * via the rank-limit rewrite. Path assembly is
+    * array_sort(collect_list(struct)) — the struct sorts by (ts,
+    * event_id) so the order is data-pinned, never partition-pinned.
+    * Scale shape: per-user windows (bounded per key), one path-grain
+    * groupBy, TakeOrdered top-10; sessions longer than 40 events
+    * truncate to their first 40 (deterministic prefix) so one
+    * pathological bot session cannot build an unbounded grouping key. */
+  protected def eSessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapNs = 30L * 60 * 1000 * 1000 * 1000
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val sess = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("_gap",
+        when(col("ts") - lag(col("ts"), 1).over(w) > gapNs, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("sid", sum(col("_gap")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val paths = sess.groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"),
+        expr("""array_join(transform(slice(array_sort(
+            collect_list(struct(ts, event_id, event_type))), 1, 40),
+          s -> s.event_type), '>')""").as("path"))
+    val byPath = paths.groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("n_events")).as("n_events"))
+    byPath
+      .withColumn("rk", row_number().over(Window.orderBy(
+        col("n_sessions").desc, col("path"))))
+      .filter(col("rk") <= 10)
+      .select(col("rk").cast("long").as("rk"), col("path"),
+        col("n_sessions"), col("n_users"), col("n_events"))
+      .orderBy("rk")
+  }
+
   // ------------------------------------------------------------- Multimodal
 
   /** JSONB-analogue handling (reference ingestion_logs.details JSONB,
@@ -1167,6 +1208,34 @@ trait RegistryEvent extends RegistryTs {
            CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_value,
            count(DISTINCT user_id) AS users
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // Session cut + ordered path assembly + rank-limit top-10; the rn<=40
+    // CASE inside string_agg is the deterministic 40-event path prefix
+    // (aggregates skip NULLs, so no stray separators).
+    "q_e_session_paths" ->
+      """WITH ev AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+             event_type FROM events),
+         s1 AS (SELECT *, CASE WHEN tsn - lag(tsn) OVER
+               (PARTITION BY user_id ORDER BY tsn, event_id)
+               > 1800000000000 THEN 1 ELSE 0 END AS gap
+           FROM ev),
+         s2 AS (SELECT *, CAST(sum(gap) OVER (PARTITION BY user_id
+             ORDER BY tsn, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+             CURRENT ROW) AS BIGINT) AS sid FROM s1),
+         s3 AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid
+             ORDER BY tsn, event_id) AS rn FROM s2),
+         paths AS (SELECT user_id, sid,
+             CAST(count(*) AS BIGINT) AS n_events,
+             string_agg(CASE WHEN rn <= 40 THEN event_type END, '>'
+               ORDER BY tsn, event_id) AS path
+           FROM s3 GROUP BY 1, 2),
+         bp AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(sum(n_events) AS BIGINT) AS n_events
+           FROM paths GROUP BY 1),
+         rnk AS (SELECT *, CAST(row_number() OVER (ORDER BY
+             n_sessions DESC, path) AS BIGINT) AS rk FROM bp)
+         SELECT rk, path, n_sessions, n_users, n_events
+         FROM rnk WHERE rk <= 10 ORDER BY rk""",
     "q_e_sessions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events),
            f AS (SELECT user_id, event_id, tsn,

@@ -1195,6 +1195,45 @@ trait RegistryStats extends RegistryAgg {
       .orderBy("event_type")
   }
 
+  /** CUSUM drift monitor over daily revenue per event type (Page 1954) —
+    * the sequential complement to `q_ts_changepoint`'s retrospective
+    * split: S_t = max(0, S_{t−1} + x_t − μ), computed WITHOUT the
+    * textbook recursion via its closed form
+    * S_t = C_t − min(0, min_{j≤t} C_j) with C the prefix sum of (x − μ)
+    * — two ordered windows over the bounded day-grain relation instead
+    * of iterative state, so the operator is one pass however long the
+    * series. All integer cents (μ = sum div n); alarm threshold h = μ
+    * (one mean day's excess mass). Reports per type the peak CUSUM, the
+    * EARLIEST peak day (struct-max argmax, deterministic), and the alarm
+    * count. Scale shape: corpus → day bins once; windows run per type
+    * over ≤366 rows each. */
+  protected def statsCusum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val daily = t(spark, dir, "events")
+      .select(col("event_type"), expr(s"ts div $dayNs").as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("cents")).as("x"))
+      .localCheckpoint(true) // mean + windowed scan
+    val mu = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), expr("sum(x) div count(1)").as("mu"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(mu), "event_type")
+      .withColumn("c", sum(col("x") - col("mu")).over(w))
+      .withColumn("s", col("c") - least(lit(0L), min(col("c")).over(w)))
+      .groupBy("event_type")
+      .agg(first(col("n_days")).as("n_days"), first(col("mu")).as("mu_cents"),
+        max(struct(col("s"), (-col("day")).as("negday"))).as("pk"),
+        sum(when(col("s") > col("mu"), 1L).otherwise(0L)).as("n_alarm_days"))
+      .select(col("event_type"), col("n_days"), col("mu_cents"),
+        col("pk").getField("s").as("max_cusum"),
+        (-col("pk").getField("negday")).as("peak_day"),
+        col("n_alarm_days"))
+      .orderBy("event_type")
+  }
+
   /** Randomization (permutation) test for the am-vs-pm daily-revenue mean
     * difference per event type (Fisher 1935's exact-under-exchangeability
     * complement to [[statsWelch]]'s asymptotics — the test that stays
@@ -1319,6 +1358,38 @@ trait RegistryStats extends RegistryAgg {
   }
 
   protected val statsOracleSql: ListMap[String, String] = ListMap(
+    // The prefix-min closed form replayed: C = prefix sum of (x - mu),
+    // S = C - least(0, prefix min C); argmax = (S, -day) tuple max.
+    "q_stats_cusum" ->
+      """WITH daily AS (SELECT event_type,
+             epoch_ns(ts) // 86400000000000 AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS x
+           FROM events GROUP BY 1, 2),
+         mu AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(x) // count(*) AS BIGINT) AS mu
+           FROM daily GROUP BY 1),
+         cs AS (SELECT d.event_type, d.day, m.n_days, m.mu,
+             CAST(sum(d.x - m.mu) OVER (PARTITION BY d.event_type
+               ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND
+               CURRENT ROW) AS BIGINT) AS c
+           FROM daily d JOIN mu m USING (event_type)),
+         sv AS (SELECT *, c - least(CAST(0 AS BIGINT),
+             min(c) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+           FROM cs)
+         SELECT event_type, CAST(max(n_days) AS BIGINT) AS n_days,
+           CAST(max(mu) AS BIGINT) AS mu_cents,
+           -- (s, -day) lexicographic == the packed key s*2^20 - day while
+           -- day < 2^20 (epoch days are ~2*10^4): same argmax as the
+           -- engine's struct max.
+           CAST(max_by(s, CAST(s AS HUGEINT) * 1048576 - day) AS BIGINT)
+             AS max_cusum,
+           CAST(max_by(day, CAST(s AS HUGEINT) * 1048576 - day) AS BIGINT)
+             AS peak_day,
+           CAST(sum(CASE WHEN s > mu THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarm_days
+         FROM sv GROUP BY 1 ORDER BY 1""",
     // 200 md5-relabelings replayed verbatim; extremeness via HUGEINT
     // cross-products (== the engine's DECIMAL(38,0) exact comparison).
     "q_stats_perm_test" ->
