@@ -74,6 +74,36 @@ object ScaleSmoke {
         .filter(col("is_representative")).count())
     println(s"[scale] semdedup representatives kept: $semReps")
 
+    // The DETERMINISTIC bounded gate (the registered q_llm_semdedup shape,
+    // round 14) at the same 20× corpus: k stays FIXED at 16, so the cap +
+    // sign-LSH sub-split + chain degrade carry the whole scale load — with
+    // ~factor near-identical replicas per base vector, every cell blows
+    // past maxCluster and the mega-groups land in the chain branch. The
+    // witness checks pair mass stays ~linear (the wavegate PairMassSweep
+    // contract at 20× instead of 4×) before running the pairing itself.
+    val detEmb = bigEmb.select(col("vec_id"),
+      org.apache.spark.sql.functions.transform(col("embedding"),
+        x => x.cast("double")).as("embedding"))
+    val (_, detCents) = timed("det semdedup: DetKMeans fit (k=16 fixed)")(
+      graft.llm.DetKMeans.fit(detEmb, "vec_id", "embedding", 16, 2, 64))
+    val detCell = detEmb.select(col("vec_id").as("id"), col("embedding"))
+      .join(graft.llm.DetKMeans.assignTo(
+          graft.llm.DetKMeans.unitPoints(detEmb, "vec_id", "embedding"),
+          detCents)
+        .select(col("id"), col("u"), col("cid")), "id")
+      .persist()
+    val nDet = detCell.count()
+    val detMass = graft.llm.SemDedup.detPairMass(detCell, maxCluster = 40)
+    println(s"[scale] det semdedup pair mass: $detMass over $nDet vectors")
+    require(detMass <= 60L * nDet,
+      s"bounded-gate pair mass super-linear at 20x: $detMass for $nDet " +
+        "vectors (cap/sub-split stopped binding)")
+    val detPairs = timed("det semdedup: bounded pairing (cap+LSH+chain)")(
+      graft.llm.SemDedup.detBoundedPairs(detCell, "id", "embedding",
+        threshold = 0.9999, dim = 64, maxCluster = 40).count())
+    println(s"[scale] det semdedup pairs: $detPairs")
+    detCell.unpersist()
+
     // Round-5 curation ops at the blown-up corpus: decontamination must
     // stay linear in corpus grams (benchmark side broadcast), the inverted
     // index must stay bounded per term (pre-shuffle posting cap with
