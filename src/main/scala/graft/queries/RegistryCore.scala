@@ -895,6 +895,68 @@ trait RegistryCore extends RegistryBase {
       .orderBy("rk")
   }
 
+  /** ε-differentially-private histogram release via the two-sided
+    * geometric mechanism (Ghosh, Roughgarden & Sundararajan 2009 — the
+    * discrete Laplace, and the mechanism they prove universally
+    * utility-maximizing for counts) — the release side of the
+    * governance family: [[govKAnonymity]]/[[govTCloseness]] audit what
+    * a raw export leaks, this one actually protects a published count
+    * table. Counts customers per market segment (sensitivity 1: each
+    * customer lands in exactly one cell) and adds integer noise
+    * Z ~ (1−α)/(1+α)·α^|z| with RATIONAL α = 3/5, i.e. exactly ε-DP at
+    * ε = ln(5/3) ≈ 0.5108 — rational α makes every inverse-CDF
+    * threshold an exact integer on the 2⁶⁰ lattice, so both engines
+    * replay the draw bit-for-bit (no transcendental in the data path).
+    * Support is truncated to |z| ≤ 20 (residual mass < 2·10⁻⁵ folded
+    * into the endpoints by the ELSE arm — the bounded-range variant);
+    * the per-cell uniform is the md5-of-cell-key 60-bit draw (the
+    * [[RegistryStats]] permutation/jackknife precedent, salted so a
+    * rerun is a REPLAY, not a fresh privacy spend), and the release is
+    * clamped at zero (post-processing, DP-safe). Scale shape: one
+    * groupBy to |segments| rows; the noise is a row-local CASE chain
+    * over 41 generated literals. */
+  protected def govDpRelease(spark: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(md5(concat_ws("|",
+      col("seg"), lit(dpSalt))), 1, 15), 16, 10).cast("long")
+    t(spark, dir, "customer")
+      .groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("u", u)
+      .withColumn("z", expr(dpGeomCase("u")))
+      .select(col("seg"), col("n_true"), col("z"),
+        greatest(lit(0L), col("n_true") + col("z")).as("n_released"))
+      .orderBy("seg")
+  }
+
+  /** Salt for the DP release draw: versioned so the noise is a stable
+    * REPLAY of one privacy spend, never a fresh draw per run. */
+  protected val dpSalt = "graft_dp_v1"
+
+  /** Inverse-CDF CASE chain for the two-sided geometric with α = 3/5 on
+    * the [0, 2⁶⁰) uniform lattice, support truncated to [−20, 20].
+    * Exact BigInt thresholds: F(−j) = 3ʲ/(8·5ʲ⁻¹) scaled by 2⁶⁰
+    * (floor), F(k≥0) = 1 − 3ᵏ⁺¹/(8·5ᵏ) scaled by 2⁶⁰ (floor = 2⁶⁰ −
+    * ceil of the tail). The same generated text runs in Spark and
+    * DuckDB, so the draw is identical by construction. */
+  protected def dpGeomCase(uCol: String): String = {
+    val lattice = BigInt(1) << 60
+    val arms = (-20 to 19).map { k =>
+      val t =
+        if (k < 0) {
+          val j = -k
+          lattice * BigInt(3).pow(j) / (BigInt(8) * BigInt(5).pow(j - 1))
+        } else {
+          val num = lattice * BigInt(3).pow(k + 1)
+          val den = BigInt(8) * BigInt(5).pow(k)
+          lattice - (num + den - 1) / den
+        }
+      // No L suffix: the text must parse in BOTH engines (Spark infers
+      // BIGINT for wide literals; DuckDB has no L suffix at all).
+      s"WHEN $uCol < $t THEN CAST($k AS BIGINT)"
+    }
+    s"CASE ${arms.mkString(" ")} ELSE CAST(20 AS BIGINT) END"
+  }
+
   /** Data-rule audit: functional-dependency and key-constraint checking,
     * the profiling pass a pipeline runs before trusting joins (a
     * violated FD silently fans out a "1:1" join). Each rule is one
@@ -1778,7 +1840,87 @@ trait RegistryCore extends RegistryBase {
         expr(s"(total_chars + $cap - 1) div $cap").as("lower_bound"))
   }
 
+  /** File-overlap clustering depth (the metric behind Delta OPTIMIZE /
+    * Iceberg rewrite planning: how many files a point lookup on the
+    * sort key must open) for two simulated lineitem layouts — 16
+    * interleaved hash files (`l_orderkey % 16`, the "ingest order"
+    * worst case: every file spans the whole keyspace) vs 16
+    * range-clustered files (`l_orderkey div stride`, disjoint ranges).
+    * Depth is the exact interval-stabbing profile by boundary sweep:
+    * each file range [lo, hi] contributes +1/−1 events, a running sum
+    * over the sorted boundaries gives the depth of every inter-boundary
+    * segment, and the report is max depth plus the key-width-weighted
+    * average (×10⁴, truncating). Scale shape: the sweep runs at
+    * MANIFEST grain — 2 rows per file, never per data row, and the file
+    * count is fixed by the layout (16) regardless of corpus size, so
+    * the global ordering window is bounded by construction (at a real
+    * 100 TB manifest the same sweep shards by key range first). The
+    * interleaved layout must report ~16× the clustered depth — the
+    * metric is what justifies paying for a re-cluster. */
+  protected def storeClusteringDepth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = t(spark, dir, "lineitem").select(col("l_orderkey").as("k"))
+    val maxk = keys.agg(max(col("k"))).collect()(0).getLong(0)
+    val stride = maxk / 16 + 1
+    def layout(tag: String, fid: Column): DataFrame = {
+      val f = keys.withColumn("fid", fid)
+        .groupBy("fid").agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+      val ev = f.select(col("lo").as("pos"), lit(1L).as("d"))
+        .unionByName(f.select((col("hi") + 1).as("pos"), lit(-1L).as("d")))
+        .groupBy("pos").agg(sum(col("d")).as("d"))
+      val w = Window.orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val seg = ev
+        .withColumn("depth", sum(col("d")).over(w))
+        .withColumn("width",
+          lead(col("pos"), 1).over(Window.orderBy("pos")) - col("pos"))
+        .filter(col("width").isNotNull && col("depth") > 0)
+      seg.agg(max(col("depth")).as("max_depth"),
+          sum(col("depth") * col("width")).as("dw"),
+          sum(col("width")).as("wsum"))
+        .crossJoin(broadcast(f.agg(count(lit(1)).as("n_files"))))
+        .select(lit(tag).as("layout"), col("n_files"), col("max_depth"),
+          expr("dw * 10000 div wsum").as("avg_depth_bp"),
+          col("wsum").as("covered_keyspan"))
+    }
+    layout("interleaved", pmod(col("k"), lit(16L)))
+      .unionByName(layout("range_clustered", expr(s"k div $stride")))
+      .orderBy("layout")
+  }
+
   protected val coreOracleSql: ListMap[String, String] = ListMap(
+    "q_store_clustering_depth" ->
+      """WITH keys AS (SELECT l_orderkey AS k FROM lineitem),
+         mx AS (SELECT max(k) // 16 + 1 AS stride FROM keys),
+         fa AS (SELECT k % 16 AS fid, min(k) AS lo, max(k) AS hi
+           FROM keys GROUP BY 1),
+         fb AS (SELECT k // stride AS fid, min(k) AS lo, max(k) AS hi
+           FROM keys, mx GROUP BY 1),
+         eva AS (SELECT pos, CAST(sum(d) AS BIGINT) AS d FROM (
+             SELECT lo AS pos, 1 AS d FROM fa
+             UNION ALL SELECT hi + 1, -1 FROM fa) GROUP BY 1),
+         evb AS (SELECT pos, CAST(sum(d) AS BIGINT) AS d FROM (
+             SELECT lo AS pos, 1 AS d FROM fb
+             UNION ALL SELECT hi + 1, -1 FROM fb) GROUP BY 1),
+         sga AS (SELECT sum(d) OVER (ORDER BY pos) AS depth,
+             lead(pos) OVER (ORDER BY pos) - pos AS width FROM eva),
+         sgb AS (SELECT sum(d) OVER (ORDER BY pos) AS depth,
+             lead(pos) OVER (ORDER BY pos) - pos AS width FROM evb),
+         ra AS (SELECT 'interleaved' AS layout,
+             (SELECT CAST(count(*) AS BIGINT) FROM fa) AS n_files,
+             CAST(max(depth) AS BIGINT) AS max_depth,
+             CAST(sum(depth * width) * 10000
+               // sum(width) AS BIGINT) AS avg_depth_bp,
+             CAST(sum(width) AS BIGINT) AS covered_keyspan
+           FROM sga WHERE width IS NOT NULL AND depth > 0),
+         rb AS (SELECT 'range_clustered' AS layout,
+             (SELECT CAST(count(*) AS BIGINT) FROM fb) AS n_files,
+             CAST(max(depth) AS BIGINT) AS max_depth,
+             CAST(sum(depth * width) * 10000
+               // sum(width) AS BIGINT) AS avg_depth_bp,
+             CAST(sum(width) AS BIGINT) AS covered_keyspan
+           FROM sgb WHERE width IS NOT NULL AND depth > 0)
+         SELECT * FROM ra UNION ALL SELECT * FROM rb ORDER BY layout""",
     "q_sql_shipping_priority" ->
       """WITH li AS (SELECT l_orderkey,
              CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
@@ -1873,6 +2015,18 @@ trait RegistryCore extends RegistryBase {
            CAST(CASE WHEN emd_bp > 2500 THEN 1 ELSE 0 END AS BIGINT)
              AS violates_t25, rk
          FROM rk WHERE rk <= 5 ORDER BY rk""",
+    "q_gov_dp_release" ->
+      s"""WITH h AS (SELECT c_mktsegment AS seg,
+             CAST(count(*) AS BIGINT) AS n_true
+           FROM customer GROUP BY 1),
+         d AS (SELECT seg, n_true,
+             CAST(('0x' || substr(md5(seg || '|$dpSalt'), 1, 15))
+               AS BIGINT) AS u
+           FROM h),
+         z AS (SELECT seg, n_true, ${dpGeomCase("u")} AS z FROM d)
+         SELECT seg, n_true, z,
+           greatest(CAST(0 AS BIGINT), n_true + z) AS n_released
+         FROM z ORDER BY seg""",
     "q_gov_k_anonymity" ->
       """WITH cust AS (SELECT c_custkey,
              CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,

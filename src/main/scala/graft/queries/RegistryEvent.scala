@@ -1056,6 +1056,124 @@ trait RegistryEvent extends RegistryTs {
     sb.toString
   }
 
+  /** Exact Shapley-value attribution over pre-purchase channel PRESENCE
+    * sets (Shapley 1953; the order-free "simplified Shapley" MTA of
+    * Dalessandro et al. 2012 / Shao & Li 2011 — the cooperative-game
+    * counterpart to [[eMarkovAttribution]]'s chain model): each
+    * converting user contributes their set T of distinct channels
+    * touched strictly before the FIRST purchase; the characteristic
+    * function v(S) counts converters whose T is a nonempty subset of
+    * coalition S, and each channel's credit is its exact Shapley value
+    * φ(c) = Σ_{S∌c} |S|!·(n−|S|−1)!/n! · (v(S∪{c}) − v(S)) over the
+    * canonical 4-channel universe. Scaled by n! = 24 so φ24 is exact
+    * integer (|T| ∈ 1..4 divides 24); absent channels are null players,
+    * which by the Shapley null-player axiom contribute 0 and shift
+    * nobody else — so the fixed canonical universe is safe whatever
+    * subset the data contains. Scale shape: one per-user window + one
+    * distinct + one groupBy reduce the corpus to ≤16 coalition-mask
+    * counts; the Shapley fold is a KB-scale driver computation over
+    * that lattice (the [[eMarkovAttribution]] precedent), and the
+    * oracle replays v(S) and all 32 weighted marginals bit-for-bit. */
+  protected def eShapleyAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val chans = markovCanonicalChannels // sorted; bit i = chans(i)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .localCheckpoint(true)
+    val firstP = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(col("rn")).as("pr"))
+    val pre = ev.join(firstP, Seq("user_id"))
+      .filter(col("rn") < col("pr"))
+      .select(col("user_id"), col("event_type")).distinct()
+    val observedPre = pre.select(col("event_type")).distinct()
+      .orderBy("event_type").collect().map(_.getString(0))
+    val extra = observedPre.toSet -- chans
+    require(extra.isEmpty,
+      s"shapley attribution: observed pre-purchase channels " +
+        s"${extra.mkString(",")} are outside the canonical universe " +
+        s"${chans.mkString("{", ",", "}")} the coalition lattice is " +
+        "built over - extend markovCanonicalChannels")
+    val bitExpr = chans.zipWithIndex.foldLeft(lit(null).cast("long")) {
+      case (acc, (c, i)) =>
+        when(col("event_type") === c, lit(1L << i)).otherwise(acc)
+    }
+    val cnt = pre.withColumn("b", bitExpr)
+      .groupBy("user_id").agg(sum(col("b")).as("m"))
+      .groupBy("m").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1))).toMap
+    val full = (1 << chans.size) - 1
+    def v(s: Int): Long =
+      cnt.collect { case (m, c) if m != 0 && (m & ~s & full) == 0 => c }.sum
+    // |S|! * (n-1-|S|)! for n = 4
+    val wgt = Array(6L, 2L, 2L, 6L)
+    val phi = chans.zipWithIndex.map { case (c, i) =>
+      val bit = 1 << i
+      val s = (0 to full).filter(m => (m & bit) == 0).map { m =>
+        wgt(Integer.bitCount(m)) * (v(m | bit) - v(m))
+      }.sum
+      c -> s
+    }.toMap
+    val chs = t(spark, dir, "events")
+      .select(col("event_type")).distinct()
+      .filter(col("event_type") =!= "purchase")
+      .orderBy("event_type").collect().map(_.getString(0))
+    val sp = chs.map(c => phi.getOrElse(c, 0L)).sum
+    chs.map { c =>
+      val p = phi.getOrElse(c, 0L)
+      (c, p, if (sp == 0) 0L else p * 10000L / sp)
+    }.toSeq.toDF("channel", "phi24", "share_bp").orderBy("channel")
+  }
+
+  /** Generated DuckDB replay for [[eShapleyAttribution]]: masks, the
+    * 16-coalition v(S) lattice by subset join, then the 32 weighted
+    * marginals as a generated VALUES relation — the exact driver fold. */
+  protected def shapleyAttributionOracle(channels: Seq[String]): String = {
+    val n = channels.size
+    val full = (1 << n) - 1
+    val bitCase = channels.zipWithIndex.map { case (c, i) =>
+      s"WHEN '$c' THEN ${1L << i}"
+    }.mkString(" ")
+    val fact = Array(1L, 1L, 2L, 6L, 24L)
+    def wgt(s: Int) = fact(s) * fact(n - 1 - s)
+    val terms = for {
+      i <- 0 until n
+      m <- 0 to full if (m & (1 << i)) == 0
+    } yield s"('${channels(i)}', ${m | (1 << i)}, $m, ${wgt(Integer.bitCount(m))})"
+    val coals = (0 to full).map(s => s"($s)").mkString(", ")
+    s"""WITH ev AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id, event_type,
+        row_number() OVER (PARTITION BY user_id
+          ORDER BY epoch_ns(ts), event_id) AS rn
+      FROM events),
+    fp AS (SELECT user_id, min(rn) AS pr FROM ev
+      WHERE event_type = 'purchase' GROUP BY 1),
+    pre AS (SELECT DISTINCT ev.user_id, ev.event_type
+      FROM ev JOIN fp USING (user_id) WHERE ev.rn < fp.pr),
+    masks AS (SELECT user_id,
+        CAST(sum(CASE event_type $bitCase END) AS BIGINT) AS m
+      FROM pre GROUP BY 1),
+    cnt AS (SELECT m, CAST(count(*) AS BIGINT) AS c FROM masks GROUP BY 1),
+    v AS (SELECT s.s, CAST(coalesce(sum(cnt.c), 0) AS BIGINT) AS v
+      FROM (VALUES $coals) s(s)
+      LEFT JOIN cnt ON cnt.m <> 0 AND (cnt.m & ($full - s.s)) = 0
+      GROUP BY 1),
+    phi AS (SELECT t.channel,
+        CAST(sum(t.w * (vw.v - vo.v)) AS BIGINT) AS phi24
+      FROM (VALUES ${terms.mkString(",\n        ")}) t(channel, sw, so, w)
+      JOIN v vw ON vw.s = t.sw JOIN v vo ON vo.s = t.so
+      GROUP BY 1),
+    chs AS (SELECT DISTINCT event_type AS channel FROM events
+      WHERE event_type <> 'purchase'),
+    tot AS (SELECT CAST(sum(coalesce(phi.phi24, 0)) AS BIGINT) AS sp
+      FROM chs LEFT JOIN phi USING (channel))
+    SELECT chs.channel, coalesce(phi.phi24, 0) AS phi24,
+      CASE WHEN tot.sp = 0 THEN CAST(0 AS BIGINT)
+           ELSE coalesce(phi.phi24, 0) * 10000 // tot.sp END AS share_bp
+    FROM chs LEFT JOIN phi USING (channel), tot ORDER BY channel"""
+  }
+
   /** Hour-of-day × day-of-week activity heatmap — the load-shape matrix
     * behind capacity planning and send-time optimization: event counts
     * and per-cell share (frac4 of the whole corpus) on the 7×24 grid.
@@ -1756,6 +1874,8 @@ trait RegistryEvent extends RegistryTs {
          ORDER BY pattern""",
     "q_e_markov_attribution" ->
       markovAttributionOracle(12, markovCanonicalChannels),
+    "q_e_shapley_attribution" ->
+      shapleyAttributionOracle(markovCanonicalChannels),
     "q_e_heatmap" ->
       """WITH cells AS (SELECT
              ((epoch_ns(ts) // 86400000000000) + 4) % 7 AS dow,
