@@ -244,6 +244,43 @@ object Multimodal {
     }
   }
 
+  /** Per-frame energy SEQUENCE off a REAL audio decode — the frame-grain
+    * sibling of [[audioEnergyFrames]] feeding voice-activity
+    * segmentation: (frame index, Σ|s − 128|) for every frame including
+    * the partial tail. Empty on undecodable or zero-sample payloads. */
+  def audioFrameEnergies(payload: Array[Byte],
+                         frameLen: Int): Seq[(Long, Long)] = {
+    require(frameLen >= 1)
+    import javax.sound.sampled.AudioSystem
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var frame = 0L; var inFrame = 0; var e = 0L
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n > 0) {
+          var i = 0
+          while (i < n) {
+            e += math.abs(java.lang.Byte.toUnsignedInt(buf(i)) - 128)
+            inFrame += 1
+            if (inFrame == frameLen) {
+              out += ((frame, e)); frame += 1; inFrame = 0; e = 0
+            }
+            i += 1
+          }
+          n = in.read(buf)
+        }
+        if (inFrame > 0) out += ((frame, e))
+        out.toSeq
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => Seq.empty
+      case _: java.io.IOException => Seq.empty
+    }
+  }
+
   /** Partition-local audio decode, the audio twin of [[decode]]: payloads
     * the JDK cannot parse are dropped, everything else streams through
     * without collecting. */

@@ -139,6 +139,51 @@ trait RegistryMm extends RegistryGraph {
       .orderBy("media_id")
   }
 
+  /** Voice-activity segmentation over REAL WAV decodes — the
+    * energy-threshold VAD every speech-corpus pipeline runs before
+    * transcription or clipping (Rabiner & Sambur 1975's energy gate,
+    * minus the zero-crossing refinement): per-frame energies (the
+    * [[graft.llm.Multimodal.audioFrameEnergies]] kernel, 10-sample
+    * frames), frames with Σ|s−128| > 700 are active, and consecutive
+    * active frames merge into segments via the gaps-and-islands
+    * constant-group trick (frame − row_number over active frames).
+    * Per clip: frame count, segment count, longest segment, active
+    * frames, active ratio ×10⁴. Scale shape: decode is partition-local
+    * (no collect), islands use per-clip windows only, one groupBy per
+    * grain. The oracle rebuilds every frame arithmetically from the
+    * synthetic sample formula and replays the same islands. */
+  protected def mmVad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val thr = 700L
+    val frames = t(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        (col("doc_id") % 100 + 50).cast("int").as("n"))
+      .as[(Long, Int)]
+      .map { case (id, n) => (id, Multimodal.encodeWav(n, 8000, id)) }
+      .flatMap { case (id, wav) =>
+        Multimodal.audioFrameEnergies(wav, frameLen = 10).map {
+          case (fr, e) => (id, fr, e) } }
+      .toDF("media_id", "fr", "e")
+    val nf = frames.groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"))
+    val isl = frames.filter(col("e") > thr)
+      .withColumn("grp", col("fr") - row_number().over(
+        Window.partitionBy("media_id").orderBy("fr")))
+    val seg = isl.groupBy("media_id", "grp")
+      .agg(count(lit(1)).as("len"))
+    val per = seg.groupBy("media_id")
+      .agg(count(lit(1)).as("n_segments"), max(col("len")).as("max_run"),
+        sum(col("len")).as("n_active"))
+    nf.join(per, Seq("media_id"), "left")
+      .select(col("media_id"), col("n_frames"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"),
+        coalesce(col("n_active"), lit(0L)).cast("long").as("n_active"),
+        expr("coalesce(n_active, 0) * 10000 div n_frames").as("active_bp"))
+      .orderBy("media_id")
+  }
+
   protected def mmDhash(spark: SparkSession, dir: String): DataFrame =
     mmDhashes(spark, dir)
       .select(col("media_id"), col("dhash"),
@@ -351,6 +396,32 @@ trait RegistryMm extends RegistryGraph {
            CAST(min(CASE WHEN e = me THEN fr END) AS BIGINT)
              AS argmax_frame
          FROM g GROUP BY media_id ORDER BY media_id""",
+    // VAD replay: same frame energies as the audio-energy replay, same
+    // 700 gate, islands via frame - row_number.
+    "q_mm_vad" ->
+      """WITH f AS (SELECT d.doc_id AS media_id, s.i // 10 AS fr,
+             CAST(SUM(abs(((s.i + d.doc_id) % 256) - 128)) AS BIGINT) AS e
+           FROM documents d
+           JOIN range(0, 150) s(i) ON s.i < 50 + d.doc_id % 100
+           GROUP BY 1, 2),
+         nf AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames
+           FROM f GROUP BY 1),
+         isl AS (SELECT media_id, fr,
+             fr - row_number() OVER (PARTITION BY media_id ORDER BY fr)
+               AS grp
+           FROM f WHERE e > 700),
+         seg AS (SELECT media_id, grp, CAST(count(*) AS BIGINT) AS len
+           FROM isl GROUP BY 1, 2),
+         per AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(max(len) AS BIGINT) AS max_run,
+             CAST(sum(len) AS BIGINT) AS n_active
+           FROM seg GROUP BY 1)
+         SELECT nf.media_id, nf.n_frames,
+           coalesce(per.n_segments, 0) AS n_segments,
+           coalesce(per.max_run, 0) AS max_run,
+           coalesce(per.n_active, 0) AS n_active,
+           coalesce(per.n_active, 0) * 10000 // nf.n_frames AS active_bp
+         FROM nf LEFT JOIN per USING (media_id) ORDER BY media_id""",
     // Scene-cut replay: every frame's pixel sum rebuilt arithmetically
     // (the q_mm_frames formula over ALL five frames), same lag deltas.
     "q_mm_scene_cuts" ->
