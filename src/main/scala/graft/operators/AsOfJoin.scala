@@ -46,4 +46,104 @@ object AsOfJoin {
     carried.filter(col("_side") === 1)
       .select((leftCols ++ rightVals).map(col): _*)
   }
+
+  /** Shared union builder: left and right stacked on one timeline per
+    * key, right-side values parked in `_rv_*` columns. `rightFirst`
+    * controls the same-instant tie: right rows sort BEFORE left rows
+    * when true (inclusive backward `<=`), AFTER when false (inclusive
+    * forward `>=`). */
+  private def stack(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    leftTime: String, rightTime: String,
+                    rightVals: Seq[String],
+                    rightFirst: Boolean): (DataFrame, Seq[String]) = {
+    val leftCols = left.columns.toSeq
+    val (lSide, rSide) = if (rightFirst) (1, 0) else (0, 1)
+    val l = rightVals.foldLeft(
+        left.withColumn("_t", col(leftTime)).withColumn("_side", lit(lSide))
+          .withColumn("_isleft", lit(true)))(
+        (df, c) => df.withColumn(s"_rv_$c",
+          lit(null).cast(right.schema(c).dataType)))
+    val r = leftCols.filterNot(keys.contains).foldLeft(
+        right.withColumn("_t", col(rightTime)).withColumn("_side", lit(rSide))
+          .withColumn("_isleft", lit(false)))(
+        (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+      .withColumns(rightVals.map(c => s"_rv_$c" -> col(c)).toMap)
+    val cols = (keys ++ leftCols.filterNot(keys.contains)).map(col) ++
+      Seq(col("_t"), col("_side"), col("_isleft")) ++
+      rightVals.map(c => col(s"_rv_$c"))
+    (l.select(cols: _*).unionByName(r.select(cols: _*)), leftCols)
+  }
+
+  /** Forward as-of: the single right row with the SMALLEST
+    * `rightTime >= leftTime` per key — "the next schedule that will
+    * take effect". Same one-shuffle union + window shape as [[asOf]],
+    * mirrored: right rows sort after left rows at the same instant (so
+    * an exactly-coincident right row matches, inclusive `>=`) and the
+    * carry runs over current-row..unbounded-following. */
+  def asOfForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTime: String, rightTime: String,
+                  rightVals: Seq[String]): DataFrame = {
+    val (unioned, leftCols) =
+      stack(left, right, keys, leftTime, rightTime, rightVals,
+        rightFirst = false)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = rightVals.foldLeft(unioned)((df, c) =>
+      df.withColumn(c, first(col(s"_rv_$c"), ignoreNulls = true).over(w)))
+    carried.filter(col("_isleft"))
+      .select((leftCols ++ rightVals).map(col): _*)
+  }
+
+  /** Nearest as-of: whichever of the backward / forward matches is
+    * closer in time, ties to the EARLIER (backward) row — the sensor /
+    * telemetry alignment join. One union pass, ONE shuffle and sort:
+    * both carries share the same partitioning and ordering (right rows
+    * first at equal instants, so a coincident right row wins backward
+    * at distance 0), differing only in frame. The time column must be
+    * date, timestamp, or numeric (distance needs arithmetic).
+    *
+    * Output: left columns, then for each right value `c` and `c_dir`
+    * ("backward"/"forward"/null = no match on either side). */
+  def asOfNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTime: String, rightTime: String,
+                  rightVals: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    val (unioned, leftCols) =
+      stack(left, right, keys, leftTime, rightTime, rightVals,
+        rightFirst = true)
+    // `_t` may be widened by the union (e.g. a DATE right side against a
+    // TIMESTAMP_NTZ left side), so map whatever the UNION carries, not
+    // the left column's original type. Session TZ is pinned UTC, so the
+    // NTZ wall-clock reads as the same instant.
+    def asNum(c: Column): Column = unioned.schema("_t").dataType match {
+      case DateType => unix_date(c)
+      case TimestampType | TimestampNTZType =>
+        unix_micros(c.cast(TimestampType))
+      case _ => c.cast("long")
+    }
+    val ord = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_side"))
+    val wB = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rt = when(!col("_isleft"), col("_t"))
+    val withTimes = unioned
+      .withColumn("_bt", last(rt, ignoreNulls = true).over(wB))
+      .withColumn("_ft", first(rt, ignoreNulls = true).over(wF))
+    val carried = rightVals.foldLeft(withTimes)((df, c) =>
+      df.withColumn(s"_bv_$c", last(col(s"_rv_$c"), ignoreNulls = true).over(wB))
+        .withColumn(s"_fv_$c", first(col(s"_rv_$c"), ignoreNulls = true).over(wF)))
+    val useBwd = col("_ft").isNull ||
+      (col("_bt").isNotNull &&
+        asNum(col("_t")) - asNum(col("_bt")) <=
+          asNum(col("_ft")) - asNum(col("_t")))
+    val out = rightVals.foldLeft(carried)((df, c) =>
+      df.withColumn(c, when(useBwd, col(s"_bv_$c")).otherwise(col(s"_fv_$c")))
+        .withColumn(s"${c}_dir",
+          when(col("_bt").isNull && col("_ft").isNull, lit(null).cast("string"))
+            .when(useBwd, lit("backward")).otherwise(lit("forward"))))
+    out.filter(col("_isleft"))
+      .select((leftCols ++ rightVals.flatMap(c =>
+        Seq(c, s"${c}_dir"))).map(col): _*)
+  }
 }

@@ -420,6 +420,31 @@ trait RegistryCore extends RegistryBase {
       .orderBy("o_orderkey")
   }
 
+  /** Nearest as-of join: every order matched to the temporally CLOSEST
+    * rate change (backward or forward, ties to the earlier row) — the
+    * sensor/telemetry alignment semantics [[asofRates]]' backward-only
+    * contract cannot express (a reading 1 day before the change should
+    * beat one 300 days after it). Same union + one-shuffle window shape:
+    * both directional carries share one partitioning and sort, differing
+    * only in frame, so the plan still contains NO join operator
+    * (spec-pinned). The oracle replays both directional picks with
+    * arg_max/arg_min and the same tie rule. */
+  protected def asofNearest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = t(spark, dir, "orders")
+      .select(col("o_orderkey"), pmod(col("o_custkey"), lit(5)).as("bucket"),
+        col("o_orderdate"))
+    val rates = Seq(
+        (0L, "1993-01-01", 1.0), (0L, "1995-06-01", 1.5),
+        (1L, "1994-01-01", 2.0), (2L, "1992-06-01", 3.0),
+        (2L, "1996-01-01", 3.5), (3L, "1997-01-01", 4.0))
+      .toDF("bucket", "eff", "rate")
+      .select(col("bucket"), to_date(col("eff")).as("eff_date"), col("rate"))
+    graft.operators.AsOfJoin.asOfNearest(orders, rates, Seq("bucket"),
+        "o_orderdate", "eff_date", Seq("rate"))
+      .orderBy("o_orderkey")
+  }
+
   /** Bucketed range join: orders matched to OVERLAPPING price bands via the
     * explode-buckets equi-join (no broadcast-nested-loop), aggregated per
     * band with an order-key checksum. */
@@ -2416,6 +2441,42 @@ trait RegistryCore extends RegistryBase {
          FROM o ASOF LEFT JOIN rates r
            ON o.bucket = r.bucket AND o.o_orderdate >= r.eff_date
          ORDER BY o_orderkey""",
+    "q_asof_nearest" ->
+      """WITH rates(bucket, eff_date, rate) AS (VALUES
+           (0, DATE '1993-01-01', CAST(1.0 AS DOUBLE)),
+           (0, DATE '1995-06-01', 1.5),
+           (1, DATE '1994-01-01', 2.0),
+           (2, DATE '1992-06-01', 3.0),
+           (2, DATE '1996-01-01', 3.5),
+           (3, DATE '1997-01-01', 4.0)),
+         o AS (SELECT o_orderkey, o_custkey % 5 AS bucket, o_orderdate
+               FROM orders),
+         bwd AS (SELECT o.o_orderkey,
+             arg_max(r.rate, r.eff_date) AS bv, max(r.eff_date) AS bt
+           FROM o LEFT JOIN rates r
+             ON o.bucket = r.bucket AND r.eff_date <= o.o_orderdate
+           GROUP BY 1),
+         fwd AS (SELECT o.o_orderkey,
+             arg_min(r.rate, r.eff_date) AS fv, min(r.eff_date) AS ft
+           FROM o LEFT JOIN rates r
+             ON o.bucket = r.bucket AND r.eff_date > o.o_orderdate
+           GROUP BY 1),
+         j AS (SELECT o.o_orderkey, o.bucket, o.o_orderdate,
+             bwd.bv, bwd.bt, fwd.fv, fwd.ft
+           FROM o JOIN bwd USING (o_orderkey) JOIN fwd USING (o_orderkey))
+         SELECT o_orderkey, bucket, o_orderdate,
+           CASE WHEN ft IS NULL THEN bv
+                WHEN bt IS NOT NULL
+                  AND o_orderdate - CAST(bt AS TIMESTAMP)
+                      <= CAST(ft AS TIMESTAMP) - o_orderdate THEN bv
+                ELSE fv END AS rate,
+           CASE WHEN bt IS NULL AND ft IS NULL THEN NULL
+                WHEN ft IS NULL THEN 'backward'
+                WHEN bt IS NOT NULL
+                  AND o_orderdate - CAST(bt AS TIMESTAMP)
+                      <= CAST(ft AS TIMESTAMP) - o_orderdate THEN 'backward'
+                ELSE 'forward' END AS rate_dir
+         FROM j ORDER BY o_orderkey""",
     "q_version_diff" ->
       """WITH v1(hcpcs_code, work_rvu, status) AS (VALUES
            ('99213', 1.30, 'A'), ('99214', 1.92, 'A'),
