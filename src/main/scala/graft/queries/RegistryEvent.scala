@@ -502,6 +502,43 @@ trait RegistryEvent extends RegistryTs {
         .as("n_full_funnel"))
   }
 
+  /** Time-WINDOWED funnel (the ClickHouse `windowFunnel` shape —
+    * [[eFunnelConversion]] without the window is the "ever converted"
+    * lie: a purchase 2 years after signup is not a funnel): steps
+    * signup → click → purchase where each step must land strictly
+    * after the previous step and within 7 days of it, anchored at the
+    * user's FIRST signup and then the EARLIEST qualifying event per
+    * step (first-anchor semantics — deterministic and engine-replayable
+    * with plain conditional window minima, no fold state). Per user the
+    * reached level is 0..3; output is the level histogram with corpus
+    * shares. Scale shape: one shuffle by user, three whole-partition
+    * window projections sharing the same partitioning (no orderBy, no
+    * sort), then a 4-row groupBy. */
+  protected def eWindowFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val winNs = 7L * 86400 * 1000 * 1000 * 1000
+    val w = Window.partitionBy("user_id")
+    val base = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val s1 = base.withColumn("t1",
+      min(when(col("event_type") === "signup", col("ts"))).over(w))
+    val s2 = s1.withColumn("t2",
+      min(when(col("event_type") === "click" && col("ts") > col("t1")
+        && col("ts") <= col("t1") + winNs, col("ts"))).over(w))
+    val s3 = s2.withColumn("t3",
+      min(when(col("event_type") === "purchase" && col("ts") > col("t2")
+        && col("ts") <= col("t2") + winNs, col("ts"))).over(w))
+    val lv = s3.groupBy("user_id")
+      .agg(max(when(col("t3").isNotNull, 3L)
+        .when(col("t2").isNotNull, 2L)
+        .when(col("t1").isNotNull, 1L).otherwise(0L)).as("level"))
+    val hist = lv.groupBy("level").agg(count(lit(1)).as("n_users"))
+    hist.crossJoin(broadcast(hist.agg(sum(col("n_users")).as("tot"))))
+      .select(col("level"), col("n_users"),
+        expr("n_users * 10000 div tot").as("share_bp"))
+      .orderBy("level")
+  }
+
   /** The ranking-window suite (rank / dense_rank / percent_rank /
     * cume_dist / ntile) in one pass per status partition — one shuffle,
     * one in-partition sort shared by all five functions. The (price,
@@ -1876,6 +1913,31 @@ trait RegistryEvent extends RegistryTs {
       markovAttributionOracle(12, markovCanonicalChannels),
     "q_e_shapley_attribution" ->
       shapleyAttributionOracle(markovCanonicalChannels),
+    "q_e_window_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn, event_type
+           FROM events),
+         u1 AS (SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN tsn END) AS t1
+           FROM e GROUP BY 1),
+         u2 AS (SELECT e.user_id,
+             min(CASE WHEN event_type = 'click' AND tsn > t1
+               AND tsn <= t1 + 604800000000000 THEN tsn END) AS t2
+           FROM e JOIN u1 USING (user_id) GROUP BY 1),
+         u3 AS (SELECT e.user_id,
+             min(CASE WHEN event_type = 'purchase' AND tsn > t2
+               AND tsn <= t2 + 604800000000000 THEN tsn END) AS t3
+           FROM e JOIN u2 USING (user_id) GROUP BY 1),
+         lv AS (SELECT u1.user_id,
+             CASE WHEN t3 IS NOT NULL THEN 3
+                  WHEN t2 IS NOT NULL THEN 2
+                  WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS level
+           FROM u1 JOIN u2 USING (user_id) JOIN u3 USING (user_id)),
+         h AS (SELECT level, CAST(count(*) AS BIGINT) AS n_users
+           FROM lv GROUP BY 1),
+         t AS (SELECT CAST(sum(n_users) AS BIGINT) AS tot FROM h)
+         SELECT CAST(level AS BIGINT) AS level, n_users,
+           n_users * 10000 // tot AS share_bp
+         FROM h, t ORDER BY level""",
     "q_e_heatmap" ->
       """WITH cells AS (SELECT
              ((epoch_ns(ts) // 86400000000000) + 4) % 7 AS dow,

@@ -1357,7 +1357,89 @@ trait RegistryStats extends RegistryAgg {
       .orderBy("event_type")
   }
 
+  /** Shewhart individuals / moving-range (XmR) control chart (Shewhart
+    * 1931; Wheeler's "process behavior chart" — the SPC default when
+    * there is one observation per period): daily revenue-cents totals
+    * per event type as the individuals series, mR̄ = mean |xᵢ − xᵢ₋₁|,
+    * natural process limits x̄ ± 2.66·mR̄ (2.66 = 3/d₂ at d₂ = 1.128 —
+    * carried as the RATIONAL 266/100, no float). Out-of-control points
+    * are counted with the fully-cleared integer rule
+    * 100·(n−1)·|x·n − Σx| > 266·n·ΣmR through DECIMAL(38,0)/HUGEINT —
+    * exact at the boundary; the reported center/limits are the usual
+    * ×10⁴ truncating projections. Complements [[statsCusum]]: CUSUM
+    * finds small sustained shifts, XmR flags individual excursions.
+    * Scale shape: the corpus reduces once to (type, day) bins; the lag
+    * window and the per-type combine run on the bounded bin relation;
+    * the ≤|types| summary broadcasts back for the ooc count. */
+  protected def statsXmr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val dec38 = DecimalType(38, 0)
+    val daily = t(spark, dir, "events")
+      .select(col("event_type"), expr(s"ts div $dayNs").as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .groupBy("event_type", "day").agg(sum(col("c")).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val mr = daily.withColumn("m",
+      abs(col("x") - lag(col("x"), 1).over(w)))
+    val a = mr.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("m")).as("smr"))
+    val ooc = mr.join(broadcast(a), "event_type")
+      .groupBy("event_type")
+      .agg(sum(when(col("n") >= 2 &&
+        abs(col("x").cast(dec38) * col("n") - col("sx")) * 100
+          * (col("n") - 1) >
+          col("smr").cast(dec38) * 266 * col("n"), 1L).otherwise(0L))
+        .as("n_ooc"))
+    a.join(ooc, "event_type")
+      .select(col("event_type"), col("n").as("n_days"),
+        expr("sx * 10000 div n").as("center4"),
+        expr("CASE WHEN n < 2 THEN CAST(-1 AS BIGINT) " +
+          "ELSE smr * 10000 div (n - 1) END").as("mrbar4"),
+        expr("CASE WHEN n < 2 THEN CAST(-1 AS BIGINT) " +
+          "ELSE sx * 10000 div n " +
+          "+ (smr * 10000 div (n - 1)) * 266 div 100 END").as("ucl4"),
+        expr("CASE WHEN n < 2 THEN CAST(-1 AS BIGINT) " +
+          "ELSE sx * 10000 div n " +
+          "- (smr * 10000 div (n - 1)) * 266 div 100 END").as("lcl4"),
+        col("n_ooc"))
+      .orderBy("event_type")
+  }
+
   protected val statsOracleSql: ListMap[String, String] = ListMap(
+    "q_stats_xmr" ->
+      """WITH d AS (SELECT event_type,
+             epoch_ns(ts) // 86400000000000 AS day,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+           FROM events),
+         daily AS (SELECT event_type, day, CAST(sum(c) AS BIGINT) AS x
+           FROM d GROUP BY 1, 2),
+         mr AS (SELECT event_type, day, x,
+             abs(x - lag(x) OVER (PARTITION BY event_type ORDER BY day))
+               AS m
+           FROM daily),
+         a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(m) AS BIGINT) AS smr
+           FROM mr GROUP BY 1),
+         o AS (SELECT mr.event_type,
+             CAST(sum(CASE WHEN a.n >= 2
+               AND abs(CAST(mr.x AS HUGEINT) * a.n - a.sx) * 100
+                 * (a.n - 1) > CAST(a.smr AS HUGEINT) * 266 * a.n
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_ooc
+           FROM mr JOIN a USING (event_type) GROUP BY 1)
+         SELECT a.event_type, a.n AS n_days,
+           sx * 10000 // n AS center4,
+           CASE WHEN n < 2 THEN CAST(-1 AS BIGINT)
+                ELSE smr * 10000 // (n - 1) END AS mrbar4,
+           CASE WHEN n < 2 THEN CAST(-1 AS BIGINT)
+                ELSE sx * 10000 // n
+                  + (smr * 10000 // (n - 1)) * 266 // 100 END AS ucl4,
+           CASE WHEN n < 2 THEN CAST(-1 AS BIGINT)
+                ELSE sx * 10000 // n
+                  - (smr * 10000 // (n - 1)) * 266 // 100 END AS lcl4,
+           o.n_ooc
+         FROM a JOIN o USING (event_type) ORDER BY event_type""",
     // The prefix-min closed form replayed: C = prefix sum of (x - mu),
     // S = C - least(0, prefix min C); argmax = (S, -day) tuple max.
     "q_stats_cusum" ->
