@@ -1407,7 +1407,142 @@ trait RegistryStats extends RegistryAgg {
       .orderBy("event_type")
   }
 
+  /** TOST equivalence test (Schuirmann 1987, two one-sided tests — the
+    * experimentation decision [[statsWelch]] cannot make: "the morning
+    * and afternoon revenue processes are the SAME to within ±5%", the
+    * non-inferiority call every do-no-harm launch gate needs): am vs
+    * pm daily revenue totals per event type (the [[statsEffectSize]]
+    * samples, floored to DOLLAR grain so every cleared product fits
+    * HUGEINT/DECIMAL(38,0)), margin δ = 5% of the average of the two
+    * means, large-sample z at the RATIONAL critical values 1.645 =
+    * 329/200 (one-sided, z² = 108241/40000) and 1.96 = 49/25
+    * (two-sided, z² = 9604/625). Every decision is a fully-cleared
+    * integer inequality — with A = 40·(S₁n₂ − S₂n₁) and
+    * B = S₁n₂ + S₂n₁ (so d±δ ∝ A±B over 40·n₁n₂), equivalence needs
+    * BOTH (A+B) > 0 ∧ (A+B)²·25·U > 108241·D²·N_se and the mirrored
+    * (B−A) arm, where N_se/U is Welch's se² on the shared denominator
+    * U = n₁²(n₁−1)·n₂²(n₂−1), D = n₁n₂. The two-sided difference test
+    * clears to d²·625·U > 9604·D²·N_se. Verdict quadrant: equivalent /
+    * different / inconclusive / equivalent_and_different (tiny-but-
+    * nonzero shift inside the margin). Scale shape: corpus reduces
+    * once to (type, day, half) bins; everything after is a ≤|types|
+    * relation. */
+  protected def statsTost(spark: SparkSession, dir: String): DataFrame = {
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val dayNs = 24L * hourNs
+    val dec = DecimalType(38, 0)
+    val daily = t(spark, dir, "events")
+      .select(col("event_type"), expr(s"ts div $dayNs").as("day"),
+        (expr(s"(ts div $hourNs) % 24") < 12).as("am"),
+        floor(col("value")).cast("long").as("d"))
+      .groupBy("event_type", "day", "am")
+      .agg(sum(col("d")).as("v"))
+    val m = daily.groupBy("event_type").agg(
+      sum(when(col("am"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("am"), col("v")).otherwise(0L)).cast(dec).as("s1"),
+      sum(when(col("am"), col("v").cast(dec) * col("v"))
+        .otherwise(lit(0).cast(dec))).as("q1"),
+      sum(when(!col("am"), 1L).otherwise(0L)).as("n2"),
+      sum(when(!col("am"), col("v")).otherwise(0L)).cast(dec).as("s2"),
+      sum(when(!col("am"), col("v").cast(dec) * col("v"))
+        .otherwise(lit(0).cast(dec))).as("q2"))
+    m.select(col("event_type"), col("n1"), col("n2"),
+        expr("s1 * n2 - s2 * n1").as("dnum"),
+        expr("s1 * n2 + s2 * n1").as("b"),
+        expr("CAST(n1 AS DECIMAL(38,0)) * n2").as("dd"),
+        expr("""(CAST(n1 AS DECIMAL(38,0)) * q1 - s1 * s1)
+            * n2 * n2 * (n2 - 1)
+          + (CAST(n2 AS DECIMAL(38,0)) * q2 - s2 * s2)
+            * n1 * n1 * (n1 - 1)""").as("nse"),
+        expr("""CAST(n1 AS DECIMAL(38,0)) * n1 * (n1 - 1)
+          * n2 * n2 * (n2 - 1)""").as("u"))
+      .select(col("event_type"), col("n1"), col("n2"),
+        // Sign split: Spark div truncates, DuckDB // floors — they
+        // agree only on non-negative operands.
+        expr("""CAST(CASE WHEN dnum < 0
+            THEN -((-dnum) * 1000000 div dd)
+            ELSE dnum * 1000000 div dd END AS BIGINT)""").as("d6"),
+        expr("CAST(b * 1000000 div (40 * dd) AS BIGINT)").as("delta6"),
+        expr("""CASE WHEN n1 < 2 OR n2 < 2 THEN CAST(0 AS BIGINT)
+            WHEN (40 * dnum + b) > 0
+              AND (40 * dnum + b) * (40 * dnum + b) * 25 * u
+                > 108241 * dd * dd * nse
+              AND (b - 40 * dnum) > 0
+              AND (b - 40 * dnum) * (b - 40 * dnum) * 25 * u
+                > 108241 * dd * dd * nse
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END""")
+          .as("equivalent"),
+        expr("""CASE WHEN n1 < 2 OR n2 < 2 THEN CAST(0 AS BIGINT)
+            WHEN dnum * dnum * 625 * u > 9604 * dd * dd * nse
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END""")
+          .as("different"))
+      .select(col("event_type"), col("n1"), col("n2"), col("d6"),
+        col("delta6"), col("equivalent"), col("different"),
+        expr("""CASE WHEN n1 < 2 OR n2 < 2 THEN 'insufficient'
+            WHEN equivalent = 1 AND different = 1
+              THEN 'equivalent_and_different'
+            WHEN equivalent = 1 THEN 'equivalent'
+            WHEN different = 1 THEN 'different'
+            ELSE 'inconclusive' END""").as("verdict"))
+      .orderBy("event_type")
+  }
+
   protected val statsOracleSql: ListMap[String, String] = ListMap(
+    "q_stats_tost" ->
+      """WITH d AS (SELECT event_type,
+             epoch_ns(ts) // 86400000000000 AS day,
+             (epoch_ns(ts) // 3600000000000) % 24 < 12 AS am,
+             CAST(floor(value) AS BIGINT) AS v
+           FROM events),
+         daily AS (SELECT event_type, day, am,
+             CAST(sum(v) AS HUGEINT) AS v
+           FROM d GROUP BY 1, 2, 3),
+         m AS (SELECT event_type,
+             CAST(sum(CASE WHEN am THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+             CAST(sum(CASE WHEN am THEN v ELSE 0 END) AS HUGEINT) AS s1,
+             CAST(sum(CASE WHEN am THEN v * v ELSE 0 END) AS HUGEINT)
+               AS q1,
+             CAST(sum(CASE WHEN am THEN 0 ELSE 1 END) AS HUGEINT) AS n2,
+             CAST(sum(CASE WHEN am THEN 0 ELSE v END) AS HUGEINT) AS s2,
+             CAST(sum(CASE WHEN am THEN 0 ELSE v * v END) AS HUGEINT)
+               AS q2
+           FROM daily GROUP BY 1),
+         k AS (SELECT event_type, n1, n2,
+             s1 * n2 - s2 * n1 AS dnum,
+             s1 * n2 + s2 * n1 AS b,
+             n1 * n2 AS dd,
+             (n1 * q1 - s1 * s1) * n2 * n2 * (n2 - 1)
+               + (n2 * q2 - s2 * s2) * n1 * n1 * (n1 - 1) AS nse,
+             n1 * n1 * (n1 - 1) * n2 * n2 * (n2 - 1) AS u
+           FROM m),
+         f AS (SELECT event_type,
+             CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             CAST(CASE WHEN dnum < 0
+               THEN -((-dnum) * 1000000 // dd)
+               ELSE dnum * 1000000 // dd END AS BIGINT) AS d6,
+             CAST(b * 1000000 // (40 * dd) AS BIGINT) AS delta6,
+             CASE WHEN n1 < 2 OR n2 < 2 THEN CAST(0 AS BIGINT)
+                  WHEN (40 * dnum + b) > 0
+                    AND (40 * dnum + b) * (40 * dnum + b) * 25 * u
+                      > 108241 * dd * dd * nse
+                    AND (b - 40 * dnum) > 0
+                    AND (b - 40 * dnum) * (b - 40 * dnum) * 25 * u
+                      > 108241 * dd * dd * nse
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+               AS equivalent,
+             CASE WHEN n1 < 2 OR n2 < 2 THEN CAST(0 AS BIGINT)
+                  WHEN dnum * dnum * 625 * u > 9604 * dd * dd * nse
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+               AS different
+           FROM k)
+         SELECT event_type, n1, n2, d6, delta6, equivalent, different,
+           CASE WHEN n1 < 2 OR n2 < 2 THEN 'insufficient'
+                WHEN equivalent = 1 AND different = 1
+                  THEN 'equivalent_and_different'
+                WHEN equivalent = 1 THEN 'equivalent'
+                WHEN different = 1 THEN 'different'
+                ELSE 'inconclusive' END AS verdict
+         FROM f ORDER BY event_type""",
     "q_stats_xmr" ->
       """WITH d AS (SELECT event_type,
              epoch_ns(ts) // 86400000000000 AS day,
