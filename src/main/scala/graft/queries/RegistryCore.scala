@@ -1865,6 +1865,41 @@ trait RegistryCore extends RegistryBase {
         expr(s"(total_chars + $cap - 1) div $cap").as("lower_bound"))
   }
 
+  /** Version retention / vacuum plan (the Delta VACUUM / Iceberg
+    * expire_snapshots decision at metadata grain — the missing end of
+    * the version lifecycle: U2 creates, U3 swaps current, U5 cascades,
+    * this one says what HISTORY is safe to reclaim): versions modeled
+    * as (part, month) loads over orders, policy = keep the 3 most
+    * recent versions per part (current included by construction),
+    * expire the rest, report the reclaimable byte mass (cents proxy)
+    * and the kept window. Scale shape: the corpus reduces once to
+    * version-metadata grain (parts × months); the rank window runs on
+    * that KB-scale relation, never on data rows — exactly how a real
+    * 100 TB store plans vacuum from its manifest, not its files. */
+  protected def storeRetentionPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keep = 3
+    val versions = t(spark, dir, "orders")
+      .select(pmod(col("o_custkey"), lit(5)).as("part_id"),
+        expr("CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)")
+          .as("vmonth"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("part_id", "vmonth")
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("bytes_proxy"))
+    val rk = versions.withColumn("rn", row_number().over(
+      Window.partitionBy("part_id").orderBy(col("vmonth").desc)))
+    rk.groupBy("part_id")
+      .agg(count(lit(1)).as("n_versions"),
+        sum(when(col("rn") > keep, 1L).otherwise(0L)).as("n_expired"),
+        sum(when(col("rn") > keep, col("bytes_proxy")).otherwise(0L))
+          .as("reclaim_proxy"),
+        sum(when(col("rn") > keep, col("n_rows")).otherwise(0L))
+          .as("reclaim_rows"),
+        min(when(col("rn") <= keep, col("vmonth"))).as("kept_min_month"),
+        max(col("vmonth")).as("kept_max_month"))
+      .orderBy("part_id")
+  }
+
   /** File-overlap clustering depth (the metric behind Delta OPTIMIZE /
     * Iceberg rewrite planning: how many files a point lookup on the
     * sort key must open) for two simulated lineitem layouts — 16
@@ -2040,6 +2075,26 @@ trait RegistryCore extends RegistryBase {
            CAST(CASE WHEN emd_bp > 2500 THEN 1 ELSE 0 END AS BIGINT)
              AS violates_t25, rk
          FROM rk WHERE rk <= 5 ORDER BY rk""",
+    "q_store_retention_plan" ->
+      """WITH v AS (SELECT o_custkey % 5 AS part_id,
+             year(o_orderdate) * 12 + month(o_orderdate) AS vmonth,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS bytes_proxy
+           FROM orders GROUP BY 1, 2),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY part_id
+             ORDER BY vmonth DESC) AS rn FROM v)
+         SELECT part_id, CAST(count(*) AS BIGINT) AS n_versions,
+           CAST(sum(CASE WHEN rn > 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_expired,
+           CAST(sum(CASE WHEN rn > 3 THEN bytes_proxy ELSE 0 END)
+             AS BIGINT) AS reclaim_proxy,
+           CAST(sum(CASE WHEN rn > 3 THEN n_rows ELSE 0 END) AS BIGINT)
+             AS reclaim_rows,
+           CAST(min(CASE WHEN rn <= 3 THEN vmonth END) AS BIGINT)
+             AS kept_min_month,
+           CAST(max(vmonth) AS BIGINT) AS kept_max_month
+         FROM rk GROUP BY part_id ORDER BY part_id""",
     "q_gov_dp_release" ->
       s"""WITH h AS (SELECT c_mktsegment AS seg,
              CAST(count(*) AS BIGINT) AS n_true
