@@ -1865,6 +1865,62 @@ trait RegistryCore extends RegistryBase {
         expr(s"(total_chars + $cap - 1) div $cap").as("lower_bound"))
   }
 
+  /** Offline recommender evaluation (the Cremonesi/Koren top-N
+    * protocol: train a co-purchase item-item recommender on 80 % of
+    * orders, score the held-out 20 %): recommendations for part a are
+    * its top-10 training co-purchase partners by (count desc, id asc);
+    * every (holdout order, anchor part) with at least one sibling is an
+    * evaluation case, scored by hits = |rec₁₀(a) ∩ siblings|. Reports
+    * HitRate@10 and Precision@10 in bp and the MRR with the EXACT
+    * integer trick: rank ≤ 10 divides 2520 = lcm(1..10), so Σ 2520/r₁
+    * is exact and mrr4 is one truncating projection — no float
+    * anywhere. The holdout split is the salted-md5 20 % (replayable,
+    * the train/test-split precedent). Scale shape: both pair builds
+    * self-join keyed by ORDER (bounded fanout per order — the
+    * co-purchase shape), the rec cut is a per-anchor rank window
+    * (WindowGroupLimit), the eval join is keyed (anchor, candidate);
+    * nothing is corpus². Anchors whose part never appears in training
+    * count as misses — the protocol's cold-start honesty. */
+  protected def recEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+      .withColumn("holdout", pmod(
+        conv(substring(md5(concat_ws("|", col("o"), lit("rec_v1"))), 1, 8),
+          16, 10).cast("long"), lit(5)) === 0)
+    val train = li.filter(!col("holdout"))
+    val pairs = train.as("x").join(train.as("y"), Seq("o"))
+      .filter(col("x.p") =!= col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("n"))
+    val recs = pairs.withColumn("rk", row_number().over(
+        Window.partitionBy("a").orderBy(col("n").desc, col("b"))))
+      .filter(col("rk") <= 10)
+    val ho = li.filter(col("holdout"))
+    val cases = ho.as("x").join(ho.as("y"), Seq("o"))
+      .filter(col("x.p") =!= col("y.p"))
+      .select(col("o"), col("x.p").as("a"), col("y.p").as("rel"))
+    val scored = cases
+      .join(recs.select(col("a"), col("b").as("rel"), col("rk")),
+        Seq("a", "rel"), "left")
+      .groupBy("o", "a")
+      .agg(count(lit(1)).as("n_rel"),
+        sum(when(col("rk").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+        min(col("rk")).as("r1"))
+    scored.agg(count(lit(1)).as("n_anchors"),
+        sum(when(col("n_hits") > 0, 1L).otherwise(0L)).as("n_hit_anchors"),
+        sum(col("n_hits")).as("sum_hits"),
+        sum(when(col("r1").isNotNull, expr("2520 div r1")).otherwise(0L))
+          .as("mrr_num"))
+      .select(col("n_anchors"), col("n_hit_anchors"),
+        expr("n_hit_anchors * 10000 div n_anchors").as("hitrate_bp"),
+        col("sum_hits").cast("long").as("sum_hits"),
+        expr("sum_hits * 10000 div (10 * n_anchors)").as("precision_bp"),
+        col("mrr_num").cast("long").as("mrr_num"),
+        expr("mrr_num * 10000 div (2520 * n_anchors)").as("mrr4"))
+  }
+
   /** Version retention / vacuum plan (the Delta VACUUM / Iceberg
     * expire_snapshots decision at metadata grain — the missing end of
     * the version lifecycle: U2 creates, U3 swaps current, U5 cascades,
@@ -2075,6 +2131,45 @@ trait RegistryCore extends RegistryBase {
            CAST(CASE WHEN emd_bp > 2500 THEN 1 ELSE 0 END AS BIGINT)
              AS violates_t25, rk
          FROM rk WHERE rk <= 5 ORDER BY rk""",
+    "q_rec_eval" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem),
+         lh AS (SELECT o, p,
+             CAST(('0x' || substr(md5(CAST(o AS VARCHAR) || '|rec_v1'),
+               1, 8)) AS BIGINT) % 5 = 0 AS holdout
+           FROM li),
+         pairs AS (SELECT x.p AS a, y.p AS b,
+             CAST(count(*) AS BIGINT) AS n
+           FROM lh x JOIN lh y ON x.o = y.o AND x.p <> y.p
+           WHERE NOT x.holdout AND NOT y.holdout
+           GROUP BY 1, 2),
+         recs AS (SELECT a, b, rk FROM (
+             SELECT a, b, row_number() OVER (PARTITION BY a
+               ORDER BY n DESC, b) AS rk
+             FROM pairs)
+           WHERE rk <= 10),
+         cases AS (SELECT x.o, x.p AS a, y.p AS rel
+           FROM lh x JOIN lh y ON x.o = y.o AND x.p <> y.p
+           WHERE x.holdout AND y.holdout),
+         scored AS (SELECT c.o, c.a,
+             CAST(count(*) AS BIGINT) AS n_rel,
+             CAST(sum(CASE WHEN r.rk IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hits,
+             min(r.rk) AS r1
+           FROM cases c LEFT JOIN recs r ON c.a = r.a AND c.rel = r.b
+           GROUP BY 1, 2),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS n_anchors,
+             CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit_anchors,
+             CAST(sum(n_hits) AS BIGINT) AS sum_hits,
+             CAST(sum(CASE WHEN r1 IS NOT NULL THEN 2520 // r1 ELSE 0 END)
+               AS BIGINT) AS mrr_num
+           FROM scored)
+         SELECT n_anchors, n_hit_anchors,
+           n_hit_anchors * 10000 // n_anchors AS hitrate_bp,
+           sum_hits, sum_hits * 10000 // (10 * n_anchors) AS precision_bp,
+           mrr_num, mrr_num * 10000 // (2520 * n_anchors) AS mrr4
+         FROM agg""",
     "q_store_retention_plan" ->
       """WITH v AS (SELECT o_custkey % 5 AS part_id,
              year(o_orderdate) * 12 + month(o_orderdate) AS vmonth,
