@@ -1865,6 +1865,52 @@ trait RegistryCore extends RegistryBase {
         expr(s"(total_chars + $cap - 1) div $cap").as("lower_bound"))
   }
 
+  /** Subject-access export audit (GDPR Art. 15 DSAR — the read side of
+    * the privacy lifecycle whose delete side is U5's cascade: "give me
+    * everything you hold on me", verified by counts and sums rather
+    * than a dump): for each audit subject (every 997th customer key —
+    * deterministic, a handful of rows), the cross-table footprint —
+    * orders, line items, exact spend cents, open orders, and the
+    * first/last order months. Scale shape: the subject filter pushes
+    * to every scan, all joins are keyed (customer → orders →
+    * lineitem), aggregates per subject; at 100 TB this is three pruned
+    * index-shaped scans, never a full-table pass. */
+  protected def govSubjectExport(spark: SparkSession, dir: String): DataFrame = {
+    val subjects = t(spark, dir, "customer")
+      .filter(pmod(col("c_custkey"), lit(997)) === 0)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    val ords = subjects.join(t(spark, dir, "orders"),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy("c_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L))
+          .as("n_open_orders"),
+        min(expr("CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)"))
+          .as("first_month"),
+        max(expr("CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)"))
+          .as("last_month"))
+    val lis = subjects
+      .join(t(spark, dir, "orders").select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"))
+      .join(t(spark, dir, "lineitem")
+        .select(col("l_orderkey"),
+          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+            .as("cents")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("c_custkey")
+      .agg(count(lit(1)).as("n_lineitems"), sum(col("cents")).as("spend_cents"))
+    subjects.join(ords, Seq("c_custkey"), "left")
+      .join(lis, Seq("c_custkey"), "left")
+      .select(col("c_custkey"), col("segment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_open_orders"), lit(0L)).as("n_open_orders"),
+        coalesce(col("n_lineitems"), lit(0L)).as("n_lineitems"),
+        coalesce(col("spend_cents"), lit(0L)).as("spend_cents"),
+        coalesce(col("first_month"), lit(-1L)).as("first_month"),
+        coalesce(col("last_month"), lit(-1L)).as("last_month"))
+      .orderBy("c_custkey")
+  }
+
   /** Offline recommender evaluation (the Cremonesi/Koren top-N
     * protocol: train a co-purchase item-item recommender on 80 % of
     * orders, score the held-out 20 %): recommendations for part a are
@@ -2131,6 +2177,37 @@ trait RegistryCore extends RegistryBase {
            CAST(CASE WHEN emd_bp > 2500 THEN 1 ELSE 0 END AS BIGINT)
              AS violates_t25, rk
          FROM rk WHERE rk <= 5 ORDER BY rk""",
+    "q_gov_subject_export" ->
+      """WITH subj AS (SELECT c_custkey, c_mktsegment AS segment
+           FROM customer WHERE c_custkey % 997 = 0),
+         o AS (SELECT s.c_custkey,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_open_orders,
+             CAST(min(year(o_orderdate) * 12 + month(o_orderdate))
+               AS BIGINT) AS first_month,
+             CAST(max(year(o_orderdate) * 12 + month(o_orderdate))
+               AS BIGINT) AS last_month
+           FROM subj s JOIN orders ON s.c_custkey = o_custkey
+           GROUP BY 1),
+         l AS (SELECT s.c_custkey,
+             CAST(count(*) AS BIGINT) AS n_lineitems,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS spend_cents
+           FROM subj s
+           JOIN orders ON s.c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+           GROUP BY 1)
+         SELECT s.c_custkey, s.segment,
+           coalesce(o.n_orders, 0) AS n_orders,
+           coalesce(o.n_open_orders, 0) AS n_open_orders,
+           coalesce(l.n_lineitems, 0) AS n_lineitems,
+           coalesce(l.spend_cents, 0) AS spend_cents,
+           coalesce(o.first_month, -1) AS first_month,
+           coalesce(o.last_month, -1) AS last_month
+         FROM subj s LEFT JOIN o USING (c_custkey)
+         LEFT JOIN l USING (c_custkey)
+         ORDER BY c_custkey""",
     "q_rec_eval" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
            FROM lineitem),

@@ -237,6 +237,40 @@ trait RegistryLlmCuration extends RegistryLlmSearch {
       .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
+  /** Code-vs-prose detection (the pretraining-mix router every corpus
+    * pipeline runs before language-specific filters — StarCoder/The
+    * Stack route on exactly these surface signals): three integer
+    * signal families per document — structural punctuation `[{}();]`,
+    * indented continuation lines (literal `\n` + 4 spaces or tab — no
+    * regex-flag portability risk), and code keywords on word
+    * boundaries — combined as sig = punct + 2·indent + 3·keywords and
+    * gated on density: is_code ⟺ sig·200 > chars (0.5 %). Output is
+    * the per-class census with signal densities in bp. Scale shape:
+    * one projection pass, a 2-row groupBy; the regex counts are
+    * codegen'd row-local work. */
+  protected def llmCodeDetect(spark: SparkSession, dir: String): DataFrame = {
+    // Column-API regexp_count with Scala-string patterns: the SQL-literal
+    // form would run through Spark's escape processing ('\b' -> backspace)
+    // and silently diverge from the oracle's RE2 text.
+    val sig = (regexp_count(col("text"), lit("[{}();]"))
+      + regexp_count(col("text"), lit("\n    ")) * 2
+      + regexp_count(col("text"), lit("\n\t")) * 2
+      + regexp_count(col("text"),
+          lit("""\b(def|class|return|import|function|var|const)\b""")) * 3)
+      .cast("long")
+    t(spark, dir, "documents")
+      .select(col("doc_id"), sig.as("sig"),
+        length(col("text")).cast("long").as("chars"))
+      .withColumn("label",
+        when(col("sig") * 200 > col("chars"), "code").otherwise("text"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_docs"), sum(col("sig")).as("sum_sig"),
+        sum(col("chars")).as("sum_chars"))
+      .select(col("label"), col("n_docs"), col("sum_sig"), col("sum_chars"),
+        expr("sum_sig * 10000 div sum_chars").as("density_bp"))
+      .orderBy("label")
+  }
+
   /** ROC-AUC of the heuristic quality score against the Gopher gate
     * (Hanley & McNeil 1982's U-statistic identity) — the THRESHOLD-FREE
     * member of the classifier-pair family: McNemar fixes quality at 0.5
@@ -1310,6 +1344,24 @@ trait RegistryLlmCuration extends RegistryLlmSearch {
            floor(CAST(sum(CASE WHEN score > 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
              / count(*) * 1000000 + 0.5) / 1000000 AS frac_pass
          FROM s GROUP BY cls ORDER BY cls""",
+    "q_llm_code_detect" ->
+      """WITH s AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[{}();]'))
+               + 2 * len(regexp_extract_all(text, '\n    '))
+               + 2 * len(regexp_extract_all(text, '\n\t'))
+               + 3 * len(regexp_extract_all(text,
+                   '\b(def|class|return|import|function|var|const)\b'))
+               AS BIGINT) AS sig,
+             CAST(length(text) AS BIGINT) AS chars
+           FROM documents),
+         l AS (SELECT CASE WHEN sig * 200 > chars THEN 'code'
+                 ELSE 'text' END AS label, sig, chars
+           FROM s)
+         SELECT label, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(sig) AS BIGINT) AS sum_sig,
+           CAST(sum(chars) AS BIGINT) AS sum_chars,
+           CAST(sum(sig) * 10000 // sum(chars) AS BIGINT) AS density_bp
+         FROM l GROUP BY 1 ORDER BY label""",
     "q_llm_gopher" ->
       """WITH m AS (SELECT doc_id,
            CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS wc,
