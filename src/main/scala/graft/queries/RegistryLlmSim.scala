@@ -106,6 +106,51 @@ trait RegistryLlmSim extends RegistryLlmCuration {
       .orderBy("vec_id")
   }
 
+  /** Recipe evaluation for the bounded semdedup gate — the SemDeDup
+    * member of the recipe-eval trio ([[RegistryLlmDedup]]'s
+    * `q_llm_minhash_eval` scores an LSH recipe, `q_llm_simhash_eval` a
+    * Hamming sketch; this scores the k-means + sub-split + chain gate
+    * itself): planted truth = the 19 (i, i+10000) replica pairs plus
+    * the 47-member mega-clique ({0, 10000, 20000..20044} — C(47,2) =
+    * 1081 pairs), a truth pair is CAPTURED when both ends land in the
+    * same near-dup component. Reports recall plus the truth-component
+    * fragmentation (ideal: 19 pair-components + 1 mega component).
+    * Shares [[semDedupWithCell]] and the bounded kernel with the
+    * registered production query, so the eval prices exactly the
+    * registered plan — not a lookalike. */
+  protected def llmSemdedupEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val withCell = semDedupWithCell(spark, dir)
+    val pairs = graft.llm.SemDedup.detBoundedPairs(withCell, "id", "embedding",
+        threshold = 0.999, dim = 64, maxCluster = 40)
+      .select("id_a", "id_b")
+    val comp = graft.llm.Dedup.dedupByCluster(
+        withCell.select(col("id").as("vec_id")), "vec_id", pairs)
+      .select(col("vec_id"), col("component"))
+    val megaIds = Seq(0L, 10000L) ++ (20000L until 20045L)
+    val truth = ((1L to 19L).map(i => (i, i + 10000L)) ++
+      (for (a <- megaIds; b <- megaIds if a < b) yield (a, b)))
+      .toDF("a", "b")
+    val cj = truth
+      .join(comp.select(col("vec_id").as("a"), col("component").as("compa")),
+        Seq("a"))
+      .join(comp.select(col("vec_id").as("b"), col("component").as("compb")),
+        Seq("b"))
+    val m = cj.agg(count(lit(1)).as("n_truth"),
+      sum(when(col("compa") === col("compb"), 1L).otherwise(0L))
+        .as("n_captured"))
+    val tids = truth.select(col("a").as("vec_id"))
+      .unionByName(truth.select(col("b").as("vec_id"))).distinct()
+    val tc = comp.join(tids, "vec_id").groupBy("component")
+      .agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_truth_components"),
+        max(col("sz")).as("max_truth_component"))
+    m.crossJoin(tc)
+      .select(col("n_truth"), col("n_captured"),
+        expr("n_captured * 10000 div n_truth").as("recall_bp"),
+        col("n_truth_components"), col("max_truth_component"))
+  }
+
   // ------------------------------------------------------ LLM-pipeline: text
 
   /** Deterministic DBSCAN over the embedding corpus
@@ -743,7 +788,7 @@ trait RegistryLlmSim extends RegistryLlmCuration {
     * sign-LSH sub-split of mega-cells (maxCluster = 40), the capped
     * all-pairs branch, the O(n) chain-degrade branch, and the component
     * fixpoint. Mirrors the Scala kernel step for step. */
-  private val semDedupBoundedTail: String =
+  private val semDedupBoundedCtes: String =
     """,
        celln AS (SELECT cid, count(*) AS cn FROM a3 GROUP BY cid),
        splanes AS (SELECT j, list_transform(range(64), i ->
@@ -789,9 +834,44 @@ trait RegistryLlmSim extends RegistryLlmCuration {
          SELECT id, id FROM nodes
          UNION
          SELECT e.b AS id, r.lab FROM reach r JOIN edges e ON e.a = r.id),
-       labels AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
+       labels AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)"""
+
+  private val semDedupBoundedTail: String = semDedupBoundedCtes +
+    """
        SELECT id AS vec_id, component FROM labels
        WHERE component < id ORDER BY vec_id"""
+
+  /** Shared oracle prefix for the PRODUCTION (×1.001 double-scaled)
+    * semdedup corpus: generated k-means CTEs over corpus ∪ planted
+    * replicas ∪ mega-group, plus the `ev` double-vector relation the
+    * bounded-pairing tail reads. Used by `q_llm_semdedup` and
+    * `q_llm_semdedup_eval` so the two replays cannot drift. */
+  private lazy val semDedupProdPrefix: String =
+    graft.llm.DetKMeans.oracleCtes(
+      "(SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding" +
+      " FROM embeddings UNION ALL" +
+      " SELECT vec_id + 10000, list_transform(embedding," +
+      "   x -> CAST(x AS DOUBLE) * CAST(1.001 AS DOUBLE))" +
+      " FROM embeddings WHERE vec_id < 20 UNION ALL" +
+      " SELECT 20000 + t.r, list_transform(embedding," +
+      "   x -> CAST(x AS DOUBLE) * CAST(1.001 AS DOUBLE))" +
+      " FROM embeddings, range(45) t(r) WHERE vec_id = 0) un",
+      "vec_id", "embedding", k = 16, iters = 3, dim = 64)
+      .replaceFirst("WITH ", "WITH RECURSIVE ") +
+    """,
+       ev AS (SELECT vec_id + 10000 AS id,
+                list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(1.001 AS DOUBLE)) AS e
+              FROM embeddings WHERE vec_id < 20
+              UNION ALL
+              SELECT 20000 + t.r AS id,
+                list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(1.001 AS DOUBLE)) AS e
+              FROM embeddings, range(45) t(r) WHERE vec_id = 0
+              UNION ALL
+              SELECT vec_id AS id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings)"""
 
   protected val llmSimOracleSql: ListMap[String, String] = ListMap(
     // Generated training replay; a2 is the final assignment (iters=2).
@@ -945,33 +1025,41 @@ trait RegistryLlmSim extends RegistryLlmCuration {
     // component fixpoint as q_llm_semdedup_det below, but the planted
     // replicas are ×1.001 in DOUBLE space (bitwise-distinct, cosine ≈ 1)
     // — every step stays IEEE-double so the replay is exact.
-    "q_llm_semdedup" ->
-      (graft.llm.DetKMeans.oracleCtes(
-        "(SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding" +
-        " FROM embeddings UNION ALL" +
-        " SELECT vec_id + 10000, list_transform(embedding," +
-        "   x -> CAST(x AS DOUBLE) * CAST(1.001 AS DOUBLE))" +
-        " FROM embeddings WHERE vec_id < 20 UNION ALL" +
-        " SELECT 20000 + t.r, list_transform(embedding," +
-        "   x -> CAST(x AS DOUBLE) * CAST(1.001 AS DOUBLE))" +
-        " FROM embeddings, range(45) t(r) WHERE vec_id = 0) un",
-        "vec_id", "embedding", k = 16, iters = 3, dim = 64)
-        .replaceFirst("WITH ", "WITH RECURSIVE ") +
+    "q_llm_semdedup" -> (semDedupProdPrefix + semDedupBoundedTail),
+    // Recipe eval for the bounded gate: the same full pipeline replay up
+    // to the component labels, then planted-truth pairs (19 replica
+    // pairs + the 47-member mega-clique) scored by same-component
+    // capture — the SemDeDup member of the minhash_eval / simhash_eval
+    // recipe-eval trio.
+    "q_llm_semdedup_eval" -> (semDedupProdPrefix + semDedupBoundedCtes +
       """,
-         ev AS (SELECT vec_id + 10000 AS id,
-                  list_transform(embedding,
-                    x -> CAST(x AS DOUBLE) * CAST(1.001 AS DOUBLE)) AS e
-                FROM embeddings WHERE vec_id < 20
-                UNION ALL
-                SELECT 20000 + t.r AS id,
-                  list_transform(embedding,
-                    x -> CAST(x AS DOUBLE) * CAST(1.001 AS DOUBLE)) AS e
-                FROM embeddings, range(45) t(r) WHERE vec_id = 0
-                UNION ALL
-                SELECT vec_id AS id,
-                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-                FROM embeddings)""" +
-      semDedupBoundedTail),
+         compx AS (SELECT a.id, coalesce(l.component, a.id) AS comp
+           FROM a3 a LEFT JOIN labels l USING (id)),
+         truthids AS (SELECT CAST(0 AS BIGINT) AS id
+           UNION ALL SELECT 10000
+           UNION ALL SELECT 20000 + t.r FROM range(45) t(r)),
+         trep AS (SELECT CAST(s.i AS BIGINT) AS a,
+             CAST(s.i + 10000 AS BIGINT) AS b
+           FROM range(1, 20) s(i)),
+         tmega AS (SELECT x.id AS a, y.id AS b
+           FROM truthids x JOIN truthids y ON x.id < y.id),
+         truth AS (SELECT * FROM trep UNION ALL SELECT * FROM tmega),
+         cj AS (SELECT t.a, t.b, ca.comp AS compa, cb.comp AS compb
+           FROM truth t JOIN compx ca ON ca.id = t.a
+           JOIN compx cb ON cb.id = t.b),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n_truth,
+             CAST(sum(CASE WHEN compa = compb THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_captured
+           FROM cj),
+         tid AS (SELECT DISTINCT id FROM (
+             SELECT a AS id FROM truth UNION ALL SELECT b FROM truth)),
+         tc AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz
+           FROM compx JOIN tid USING (id) GROUP BY 1)
+         SELECT n_truth, n_captured,
+           n_captured * 10000 // n_truth AS recall_bp,
+           (SELECT CAST(count(*) AS BIGINT) FROM tc) AS n_truth_components,
+           (SELECT CAST(max(sz) AS BIGINT) FROM tc) AS max_truth_component
+         FROM m"""),
     // Full SemDeDup replay: generated k-means CTEs (a3 = assignment to
     // the final round-2 centroids), BOUNDED within-cell pairing (sub-split
     // + chain degrade, see semDedupBoundedTail) at the engine's 6dp

@@ -1487,7 +1487,72 @@ trait RegistryStats extends RegistryAgg {
       .orderBy("event_type")
   }
 
+  /** Empirical-Bayes rate shrinkage (the beta-binomial "add-m
+    * pseudo-counts at the global rate" estimator — Efron & Morris
+    * 1975's lesson operationalized the way every ranking dashboard
+    * should: a 3-customer nation at 100 % activity must NOT outrank a
+    * 3000-customer nation at 70 %): per-nation active-customer rate
+    * (has ≥ 1 order) shrunk toward the global rate with m = 100
+    * pseudo-customers, shrunk₆ = (x·N + 100·X)·10⁶ div (N·(n+100)) —
+    * one truncating division over DECIMAL(38,0) products, exact.
+    * Reports both rankings; the rank flips ARE the operator's point.
+    * Scale shape: one left-semi to flag active customers, one nation
+    * aggregate, the ≤|nations| relation broadcasts its own total and
+    * ranks in a bounded window. */
+  protected def statsEbShrink(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val active = t(spark, dir, "customer")
+      .join(t(spark, dir, "orders").select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_nationkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nat"))
+      .agg(count(lit(1)).as("x"))
+    val nations = t(spark, dir, "customer")
+      .groupBy(col("c_nationkey").cast("long").as("nat"))
+      .agg(count(lit(1)).as("n"))
+      .join(active, Seq("nat"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    val tot = nations.agg(sum(col("n")).as("nn"), sum(col("x")).as("xx"))
+    val sc = nations.crossJoin(broadcast(tot))
+      .select(col("nat"), col("n"), col("x"),
+        expr("x * 1000000 div n").as("raw6"),
+        expr("""CAST((CAST(x AS DECIMAL(38,0)) * nn + CAST(100 AS DECIMAL(38,0)) * xx)
+            * 1000000
+            div (CAST(nn AS DECIMAL(38,0)) * (n + 100)) AS BIGINT)""")
+          .as("shrunk6"))
+    sc.select(col("nat"), col("n"), col("x"), col("raw6"), col("shrunk6"),
+        row_number().over(Window.orderBy(col("raw6").desc, col("nat")))
+          .cast("long").as("rank_raw"),
+        row_number().over(Window.orderBy(col("shrunk6").desc, col("nat")))
+          .cast("long").as("rank_shrunk"))
+      .orderBy("nat")
+  }
+
   protected val statsOracleSql: ListMap[String, String] = ListMap(
+    "q_stats_eb_shrink" ->
+      """WITH act AS (SELECT CAST(c_nationkey AS BIGINT) AS nat,
+             CAST(count(*) AS BIGINT) AS x
+           FROM customer
+           WHERE c_custkey IN (SELECT o_custkey FROM orders)
+           GROUP BY 1),
+         nat AS (SELECT CAST(c_nationkey AS BIGINT) AS nat,
+             CAST(count(*) AS BIGINT) AS n
+           FROM customer GROUP BY 1),
+         j AS (SELECT nat.nat, nat.n, coalesce(act.x, 0) AS x
+           FROM nat LEFT JOIN act USING (nat)),
+         tt AS (SELECT CAST(sum(n) AS HUGEINT) AS nn,
+             CAST(sum(x) AS HUGEINT) AS xx FROM j),
+         sc AS (SELECT nat, n, x,
+             x * 1000000 // n AS raw6,
+             CAST((CAST(x AS HUGEINT) * nn + 100 * xx) * 1000000
+               // (nn * (n + 100)) AS BIGINT) AS shrunk6
+           FROM j, tt)
+         SELECT nat, n, x, raw6, shrunk6,
+           CAST(row_number() OVER (ORDER BY raw6 DESC, nat) AS BIGINT)
+             AS rank_raw,
+           CAST(row_number() OVER (ORDER BY shrunk6 DESC, nat) AS BIGINT)
+             AS rank_shrunk
+         FROM sc ORDER BY nat""",
     "q_stats_tost" ->
       """WITH d AS (SELECT event_type,
              epoch_ns(ts) // 86400000000000 AS day,
