@@ -651,6 +651,54 @@ trait RegistryEvent extends RegistryTs {
     * of exact sums. Scale shape: the pair distinct is the only
     * corpus-sized shuffle; the three grain aggregates run over the
     * bounded (user, day) relation and combine to one row. */
+  /** Growth accounting (the Social-Capital / a16z MAU decomposition —
+    * the layer [[eDauWauMau]]'s totals hide: a flat WAU can be healthy
+    * retention or a churn-for-new treadmill, and only the
+    * new/retained/resurrected/churned split tells you which): weekly
+    * active grain (distinct user-week, epoch-week = day div 7), each
+    * active (user, week) classified by the user's own timeline — new
+    * (first week ever), retained (active the week before), resurrected
+    * (gap ≥ 2 weeks); churned is emitted AT week w+1 for users active
+    * in w but not w+1 (bounded to the corpus horizon). Net growth =
+    * new + resurrected − churned and the quick ratio
+    * (new+resurrected)/churned in bp (−1 sentinel when nobody
+    * churned). Scale shape: one distinct to user-week grain, per-user
+    * lag/lead windows, one groupBy week — the corpus never fans out. */
+  protected def eGrowthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekNs = 7L * 86400 * 1000 * 1000 * 1000
+    val w = Window.partitionBy("user_id").orderBy("week")
+    val uw = t(spark, dir, "events")
+      .select(col("user_id"), expr(s"ts div $weekNs").as("week"))
+      .distinct()
+    val tl = uw
+      .withColumn("prev", lag(col("week"), 1).over(w))
+      .withColumn("nxt", lead(col("week"), 1).over(w))
+    val maxWeek = broadcast(uw.agg(max(col("week")).as("max_week")))
+    val states = tl.select(col("week"),
+        when(col("prev").isNull, "new")
+          .when(col("prev") === col("week") - 1, "retained")
+          .otherwise("resurrected").as("state"))
+    val churn = tl.crossJoin(maxWeek)
+      .filter((col("nxt").isNull || col("nxt") =!= col("week") + 1)
+        && col("week") < col("max_week"))
+      .select((col("week") + 1).as("week"), lit("churned").as("state"))
+    states.unionByName(churn)
+      .groupBy("week")
+      .pivot("state", Seq("new", "retained", "resurrected", "churned"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("week"), col("new").as("n_new"),
+        col("retained").as("n_retained"),
+        col("resurrected").as("n_resurrected"),
+        col("churned").as("n_churned"),
+        (col("new") + col("resurrected") - col("churned")).as("net_growth"),
+        expr("""CASE WHEN churned = 0 THEN CAST(-1 AS BIGINT)
+            ELSE (new + resurrected) * 10000 div churned END""")
+          .as("quick_ratio_bp"))
+      .orderBy("week")
+  }
+
   protected def eDauWauMau(spark: SparkSession, dir: String): DataFrame = {
     val dayNs = 86400L * 1000 * 1000 * 1000
     val ud = t(spark, dir, "events")
@@ -1913,6 +1961,39 @@ trait RegistryEvent extends RegistryTs {
       markovAttributionOracle(12, markovCanonicalChannels),
     "q_e_shapley_attribution" ->
       shapleyAttributionOracle(markovCanonicalChannels),
+    "q_e_growth_accounting" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+             epoch_ns(ts) // 604800000000000 AS week
+           FROM events),
+         tl AS (SELECT user_id, week,
+             lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev,
+             lead(week) OVER (PARTITION BY user_id ORDER BY week) AS nxt
+           FROM uw),
+         mx AS (SELECT max(week) AS max_week FROM uw),
+         st AS (SELECT week,
+             CASE WHEN prev IS NULL THEN 'new'
+                  WHEN prev = week - 1 THEN 'retained'
+                  ELSE 'resurrected' END AS state
+           FROM tl
+           UNION ALL
+           SELECT week + 1, 'churned' FROM tl, mx
+           WHERE (nxt IS NULL OR nxt <> week + 1) AND week < max_week),
+         g AS (SELECT week,
+             CAST(sum(CASE WHEN state = 'new' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_new,
+             CAST(sum(CASE WHEN state = 'retained' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_retained,
+             CAST(sum(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_resurrected,
+             CAST(sum(CASE WHEN state = 'churned' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_churned
+           FROM st GROUP BY 1)
+         SELECT week, n_new, n_retained, n_resurrected, n_churned,
+           n_new + n_resurrected - n_churned AS net_growth,
+           CASE WHEN n_churned = 0 THEN CAST(-1 AS BIGINT)
+                ELSE (n_new + n_resurrected) * 10000 // n_churned END
+             AS quick_ratio_bp
+         FROM g ORDER BY week""",
     "q_e_window_funnel" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn, event_type
            FROM events),
