@@ -532,8 +532,13 @@ trait RegistryEvent extends RegistryTs {
       .agg(max(when(col("t3").isNotNull, 3L)
         .when(col("t2").isNotNull, 2L)
         .when(col("t1").isNotNull, 1L).otherwise(0L)).as("level"))
+    // Total via a global window over the ≤4-row histogram (bounded by
+    // construction), NOT a crossJoin(broadcast(hist.agg)) — that form
+    // re-executes the whole window chain for the broadcast side.
     val hist = lv.groupBy("level").agg(count(lit(1)).as("n_users"))
-    hist.crossJoin(broadcast(hist.agg(sum(col("n_users")).as("tot"))))
+    hist
+      .withColumn("tot", sum(col("n_users")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
       .select(col("level"), col("n_users"),
         expr("n_users * 10000 div tot").as("share_bp"))
       .orderBy("level")

@@ -71,4 +71,14 @@ class KernelSharingSpec extends AnyFunSuite {
       "llmSemDedup no longer builds its gate input via semDedupWithCell " +
         "(PairMassSweep would measure a different plan)")
   }
+
+  test("q_llm_semdedup_eval prices the registered plan: same gate input " +
+      "helper and the same bounded pairing kernel as production") {
+    val body = defBody("llmSemdedupEval")
+    assert(body.contains("semDedupWithCell("),
+      "llmSemdedupEval no longer evaluates the registered gate input")
+    assert(body.contains("SemDedup.detBoundedPairs("),
+      "llmSemdedupEval no longer scores the bounded pairing kernel — " +
+        "its recall number would describe a lookalike, not the plan")
+  }
 }

@@ -460,4 +460,33 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("nearest as-of: union-window shape holds — no join operator, " +
+      "both directional carries share one key shuffle") {
+    val p = plan("q_asof_nearest")
+    assert(!p.toLowerCase.contains("join"), s"plan:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"expected exactly one key shuffle for both carries, got $exchanges:\n$p")
+  }
+
+  test("clustering depth: the sweep reads only the layout key") {
+    val p = plan("q_store_clustering_depth")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"), s"plan:\n$p")
+  }
+
+  test("rec eval: the top-10 rec cut gets rank-limit pruning before " +
+      "the anchor shuffle") {
+    val p = plan("q_rec_eval")
+    assert(p.contains("WindowGroupLimit"), s"plan:\n$p")
+  }
+
+  test("window funnel: the three conditional minima and the level " +
+      "aggregate all reuse ONE user-keyed shuffle") {
+    val p = plan("q_e_window_funnel")
+    val userExchanges =
+      "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(userExchanges == 1,
+      s"expected one shared user shuffle, got $userExchanges:\n$p")
+  }
 }
