@@ -382,6 +382,61 @@ object Multimodal {
       } finally if (iis != null) iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Fixed-point 8-point DCT-II basis, T[u][x] = round(cos((2x+1)uπ/16)
+    * · 2¹⁴): generated ONCE here and injected as integer literals into
+    * both the Scala kernel and the SQL oracle, so no transcendental is
+    * ever evaluated in either engine's data path. */
+  private[graft] lazy val dctTable8: Array[Array[Long]] =
+    Array.tabulate(8, 8) { (u, x) =>
+      Math.round(math.cos((2 * x + 1) * u * math.Pi / 16) * 16384.0)
+    }
+
+  /** Perceptual pHash (the DCT hash of the pHash/ImageHash family —
+    * dHash sees local gradients, this sees the global frequency
+    * envelope, so it survives smoothing and small shifts that flip
+    * gradient bits): nearest-neighbor resample the REAL decoded raster
+    * to 8×8 (the [[resizeImage]] x·w div 8 rule), 2-D fixed-point
+    * DCT-II via [[dctTable8]] (coefficients fit long: 255·64·2²⁸), drop
+    * the DC term, threshold the 63 AC coefficients at their median
+    * (value-based — the 32nd smallest — so tie order cannot matter),
+    * pack strict-greater bits at position u·8+v−1. 63 bits ⇒ always a
+    * positive long. None on undecodable payloads, quarantine-style. */
+  def phashImage(payload: Array[Byte]): Option[Long] = {
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) return None
+          val raster = reader.read(0).getRaster
+          val p = Array.tabulate(8, 8)((x, y) =>
+            raster.getSample(x * w / 8, y * h / 8, 0).toLong)
+          val t = dctTable8
+          val coef = Array.tabulate(8, 8) { (u, v) =>
+            var s = 0L
+            var x = 0
+            while (x < 8) {
+              var y = 0
+              while (y < 8) { s += p(x)(y) * t(u)(x) * t(v)(y); y += 1 }
+              x += 1
+            }
+            s
+          }
+          val ac = for {
+            u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0
+          } yield (u * 8 + v - 1, coef(u)(v))
+          val med = ac.map(_._2).sorted.apply(31)
+          Some(ac.collect { case (b, c) if c > med => 1L << b }.sum)
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Difference-hash perceptual fingerprint (dHash — the standard
     * near-duplicate key for images; Krawetz's 2013 popularization of the
     * row-gradient hash): nearest-neighbor resample the REAL decoded

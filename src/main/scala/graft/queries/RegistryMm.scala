@@ -184,6 +184,63 @@ trait RegistryMm extends RegistryGraph {
       .orderBy("media_id")
   }
 
+  /** Perceptual DCT hash over REAL PNG decodes — the frequency-domain
+    * sibling of [[mmDhash]] (gradients flip under smoothing; the DCT
+    * envelope does not): 8×8 nearest-neighbor resample, fixed-point
+    * DCT-II ([[graft.llm.Multimodal.dctTable8]] — the cosine basis is
+    * generated once as integer literals shared with the oracle, no
+    * float in either data path), 63 AC coefficients thresholded at
+    * their value-median. The oracle rebuilds every pixel from the
+    * synthetic formula and replays the full integer transform. */
+  protected def mmPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        (col("doc_id") % 16 + 1).cast("int").as("w"),
+        (col("doc_id") % 12 + 1).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .map { case (id, w, h) => (id, Multimodal.encodePng(w, h, id)) }
+      .flatMap { case (id, png) =>
+        Multimodal.phashImage(png).map(bits =>
+          (id, bits, java.lang.Long.bitCount(bits).toLong)) }
+      .toDF("media_id", "phash", "n_bits")
+      .orderBy("media_id")
+  }
+
+  /** Generated DuckDB replay for [[mmPhash]]: synthetic pixels, the
+    * same integer DCT basis literals, rank-32 median, strict-greater
+    * bit pack. */
+  protected def phashOracle: String = {
+    val t = Multimodal.dctTable8
+    val tvals = (for (u <- 0 until 8; x <- 0 until 8)
+      yield s"($u, $x, ${t(u)(x)})").mkString(", ")
+    s"""WITH g AS (SELECT doc_id AS media_id,
+           doc_id % 16 + 1 AS w, doc_id % 12 + 1 AS h
+         FROM documents),
+       tv(u, x, c) AS (VALUES $tvals),
+       px AS (SELECT media_id, x.i AS x, y.i AS y,
+           ((x.i * w // 8) + (y.i * h // 8) * w + media_id) % 256 AS p
+         FROM g, range(8) x(i), range(8) y(i)),
+       coef AS (SELECT media_id, tu.u AS u, tv2.u AS v,
+           CAST(sum(px.p * tu.c * tv2.c) AS BIGINT) AS c
+         FROM px JOIN tv tu ON tu.x = px.x JOIN tv tv2 ON tv2.x = px.y
+         GROUP BY 1, 2, 3),
+       f AS (SELECT media_id, u, v, c, u * 8 + v - 1 AS b
+         FROM coef WHERE NOT (u = 0 AND v = 0)),
+       med AS (SELECT media_id, c AS m FROM (
+           SELECT media_id, c, row_number() OVER (PARTITION BY media_id
+             ORDER BY c, b) AS rk
+           FROM f)
+         WHERE rk = 32)
+       SELECT f.media_id,
+         CAST(sum(CASE WHEN f.c > med.m
+           THEN (CAST(1 AS BIGINT) << f.b) ELSE 0 END) AS BIGINT) AS phash,
+         CAST(sum(CASE WHEN f.c > med.m THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bits
+       FROM f JOIN med USING (media_id)
+       GROUP BY 1 ORDER BY media_id"""
+  }
+
   protected def mmDhash(spark: SparkSession, dir: String): DataFrame =
     mmDhashes(spark, dir)
       .select(col("media_id"), col("dhash"),
@@ -422,6 +479,7 @@ trait RegistryMm extends RegistryGraph {
            coalesce(per.n_active, 0) AS n_active,
            coalesce(per.n_active, 0) * 10000 // nf.n_frames AS active_bp
          FROM nf LEFT JOIN per USING (media_id) ORDER BY media_id""",
+    "q_mm_phash" -> phashOracle,
     // Scene-cut replay: every frame's pixel sum rebuilt arithmetically
     // (the q_mm_frames formula over ALL five frames), same lag deltas.
     "q_mm_scene_cuts" ->
