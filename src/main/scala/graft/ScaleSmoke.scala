@@ -856,11 +856,56 @@ object ScaleSmoke {
         "q_stats_signed_rank", "q_llm_isotonic",
         "q_llm_split_leakage", "q_agg_abc", "q_agg_exact_median",
         "q_e_markov_stationary", "q_e_trigrams",
-        "q_e_cohort_revenue", "q_graph_degree_dist")) {
+        "q_e_cohort_revenue", "q_graph_degree_dist",
+        // round-14 additions: attribution/experimentation/governance/
+        // storage/recsys/multimodal operators at their registered shapes
+        "q_e_shapley_attribution", "q_e_window_funnel",
+        "q_e_growth_accounting", "q_stats_xmr", "q_stats_tost",
+        "q_stats_eb_shrink", "q_gov_dp_release", "q_gov_subject_export",
+        "q_store_clustering_depth", "q_store_retention_plan",
+        "q_rec_eval", "q_asof_nearest", "q_mm_vad", "q_mm_phash",
+        "q_llm_code_detect", "q_llm_semdedup_eval")) {
       val n = timed(s"$qn (registered shape)")(
         SparkEntry.queries(qn)(spark, sfDir).count())
       println(s"[scale] $qn rows: $n")
     }
+
+    // Round-14: the two new per-user event-window operators at a TRUE
+    // 20× (~2M events) — both are shared-partitioning window plans
+    // whose cost must scale with events, never events².
+    val wfLevels = timed("window funnel (2M events, 3 shared-shuffle minima)")({
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      val winNs = 7L * 86400 * 1000 * 1000 * 1000
+      ev20b.select(col("user_id"), col("ts"), col("event_type"))
+        .withColumn("t1", min(when(col("event_type") === "signup",
+          col("ts"))).over(w))
+        .withColumn("t2", min(when(col("event_type") === "click"
+          && col("ts") > col("t1") && col("ts") <= col("t1") + winNs,
+          col("ts"))).over(w))
+        .withColumn("t3", min(when(col("event_type") === "purchase"
+          && col("ts") > col("t2") && col("ts") <= col("t2") + winNs,
+          col("ts"))).over(w))
+        .groupBy("user_id")
+        .agg(max(when(col("t3").isNotNull, 3L)
+          .when(col("t2").isNotNull, 2L)
+          .when(col("t1").isNotNull, 1L).otherwise(0L)).as("level"))
+        .groupBy("level").count().count()
+    })
+    println(s"[scale] window-funnel levels at 20x: $wfLevels")
+    val gaWeeks = timed("growth accounting (2M events, per-user lag/lead)")({
+      val weekNs = 7L * 86400 * 1000 * 1000 * 1000
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("week")
+      val uw = ev20b.select(col("user_id"),
+        expr(s"ts div $weekNs").as("week")).distinct()
+      uw.withColumn("prev", lag(col("week"), 1).over(w))
+        .select(col("week"),
+          when(col("prev").isNull, "new")
+            .when(col("prev") === col("week") - 1, "retained")
+            .otherwise("resurrected").as("state"))
+        .groupBy("week", "state").count().count()
+    })
+    println(s"[scale] growth-accounting cells at 20x: $gaWeeks")
 
     // Round-12: the two event-window shapes additionally at a TRUE 20×
     // (~2M events) — both are per-user window / bounded fan-out plans
