@@ -145,6 +145,53 @@ object EventStream {
       }
   }
 
+  final case class FunnelEv(user_id: Long, ts_ns: Long, event_type: String)
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+  final case class FunnelLevel(user_id: Long, level: Int)
+
+  /** Streaming windowed funnel — the live twin of the batch
+    * `q_e_window_funnel` (first-anchor semantics: signup → click →
+    * purchase, each step strictly after the previous and within
+    * `windowNs` of it): per-user state is just the three anchor
+    * timestamps (−1 = unreached), O(24 bytes) per user FOREVER — the
+    * property that makes an unbounded feed safe — and each trigger
+    * re-emits the user's current level.
+    *
+    * Divergence bound vs the batch query: events are folded in
+    * event-time order WITHIN each micro-batch (sorted here), so the
+    * streamed level equals the batch level whenever each user's events
+    * arrive in event-time order ACROSS batches (the replay harness and
+    * any per-key-ordered feed guarantee this; EventStreamSpec pins
+    * streamed == batch there). A cross-batch straggler can only arrive
+    * too late to anchor a step, never fabricate one — the streamed
+    * level is a LOWER bound on the batch level, the safe direction for
+    * a conversion alarm. */
+  def streamingWindowFunnel(events: Dataset[FunnelEv],
+                            windowNs: Long = 7L * 86400 * 1000 * 1000 * 1000)
+      : Dataset[FunnelLevel] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelLevel](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          rows.toSeq.sortBy(_.ts_ns).foreach { e =>
+            if (e.event_type == "signup" && st.t1 < 0)
+              st = st.copy(t1 = e.ts_ns)
+            else if (e.event_type == "click" && st.t2 < 0 && st.t1 >= 0 &&
+                e.ts_ns > st.t1 && e.ts_ns <= st.t1 + windowNs)
+              st = st.copy(t2 = e.ts_ns)
+            else if (e.event_type == "purchase" && st.t3 < 0 && st.t2 >= 0 &&
+                e.ts_ns > st.t2 && e.ts_ns <= st.t2 + windowNs)
+              st = st.copy(t3 = e.ts_ns)
+          }
+          state.update(st)
+          FunnelLevel(uid,
+            if (st.t3 >= 0) 3 else if (st.t2 >= 0) 2
+            else if (st.t1 >= 0) 1 else 0)
+      }
+  }
+
   final case class TopKRow(group: String, item: String)
   final case class TopKReport(group: String, items: Seq[String],
                               counts: Seq[Long], err: Long)
