@@ -84,6 +84,59 @@ object NgramLm {
           .as("avg_logp"))
   }
 
+  /** Absolute-discounting bigram score with continuation backoff —
+    * Kneser–Ney's two ideas at rational D = 1/2 (Ney, Essen & Kneser
+    * 1994; Kneser & Ney 1995; the smoothing add-one demonstrably gets
+    * wrong: add-one hands unseen bigrams mass proportional to context
+    * frequency, KN hands it to words that complete MANY contexts):
+    *
+    *   P(w₂|w₁) = max(c₂ − ½, 0)/c₁(w₁) + ½·N₁₊(w₁•)/c₁(w₁) · Pcont(w₂)
+    *   Pcont(w₂) = (N₁₊(•w₂) + 1) / (B + V)   (add-one on continuation
+    *                                           types so no gram is −∞)
+    *
+    * with pure continuation backoff P = Pcont when w₁ was never a
+    * context. All continuation relations derive from the fitted
+    * bigram-TYPE relation (vocabulary-sized, broadcast); scoring keeps
+    * [[scoreAvgLogProb]]'s shape — the corpus never shuffles. Same
+    * 8 dp-round-then-decimal-sum determinism discipline. Returns
+    * (idCol, n_bigrams, kn_logp 6 dp). */
+  def scoreKneserNey(docs: DataFrame, idCol: String, textCol: String,
+                     model: Model): DataFrame = {
+    val fwd = model.bigrams
+      .withColumn("_w1", split(col("gram"), " ").getItem(0))
+      .groupBy("_w1").agg(count(lit(1)).as("nf"))
+    val bwd = model.bigrams
+      .withColumn("_w2", split(col("gram"), " ").getItem(1))
+      .filter(col("_w2").isNotNull)
+      .groupBy("_w2").agg(count(lit(1)).as("nb"))
+    val bv = model.bigrams.count().toDouble + model.vocabSize.toDouble
+    val terms = docs.select(col(idCol).as("_id"),
+        explode(TextAnalysis.wordGrams(col(textCol), 2)).as("gram"))
+      .withColumn("_w1", split(col("gram"), " ").getItem(0))
+      .withColumn("_w2", split(col("gram"), " ").getItem(1))
+      .join(broadcast(model.bigrams), Seq("gram"), "left")
+      .join(broadcast(model.unigrams.withColumnRenamed("tok", "_w1")),
+        Seq("_w1"), "left")
+      .join(broadcast(fwd), Seq("_w1"), "left")
+      .join(broadcast(bwd), Seq("_w2"), "left")
+      .withColumn("_pc",
+        (coalesce(col("nb"), lit(0L)) + lit(1.0)) / lit(bv))
+      // nf known ⇒ the token HAS appeared as a context (and so c1 is
+      // non-null); a token seen only at document ends backs off to pure
+      // continuation — without this gate its p would be exactly 0.
+      .withColumn("_p", when(col("nf").isNotNull,
+        greatest(coalesce(col("c2"), lit(0L)).cast("double") - lit(0.5),
+          lit(0.0)) / col("c1")
+          + (lit(0.5) * col("nf") / col("c1")) * col("_pc"))
+        .otherwise(col("_pc")))
+      .withColumn("_logp",
+        (floor(log(col("_p")) * 1e8 + 0.5) / 1e8).cast(DecimalType(28, 8)))
+    terms.groupBy(col("_id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (floor(sum(col("_logp")).cast("double") / count(lit(1)) * 1e6 + 0.5)
+          / 1e6).as("kn_logp"))
+  }
+
   /** Min-K% probability membership signal (Shi et al., ICLR 2024,
     * "Detecting Pretraining Data from Large Language Models"): the mean
     * of each document's LOWEST 20% per-bigram log-probs — member text has

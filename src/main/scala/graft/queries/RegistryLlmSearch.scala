@@ -392,6 +392,18 @@ trait RegistryLlmSearch extends RegistryLlmDedup {
       .orderBy("doc_id")
   }
 
+  /** Kneser–Ney-lite LM quality score — the absolute-discounting +
+    * continuation-backoff upgrade of [[llmLmScore]] (see
+    * [[graft.llm.NgramLm.scoreKneserNey]]): same corpus fit, same
+    * broadcast-scoring shape, but unseen-bigram mass goes to words
+    * that complete many contexts instead of merely frequent ones. */
+  protected def llmLmKn(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val model = graft.llm.NgramLm.fit(docs, "text")
+    graft.llm.NgramLm.scoreKneserNey(docs, "doc_id", "text", model)
+      .orderBy("doc_id")
+  }
+
   /** Min-K% probability membership probe over the corpus-fit bigram LM —
     * see [[graft.llm.NgramLm.minKScore]]; ranked ascending (the most
     * "surprising" documents first — the contamination review queue). */
@@ -962,6 +974,48 @@ trait RegistryLlmSearch extends RegistryLlmDedup {
                 floor(CAST(SUM(CAST(logp AS DECIMAL(28,8))) AS DOUBLE)
                   / count(*) * 1e6 + 0.5) / 1e6 AS avg_logp
          FROM terms GROUP BY doc_id ORDER BY doc_id""",
+    "q_llm_lm_kn" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                     FROM documents),
+         g AS (SELECT doc_id,
+                 CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                      ELSE list_transform(range(1, len(t)),
+                             i -> t[i] || ' ' || t[i+1]) END AS grams
+               FROM tk),
+         dg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         big AS (SELECT gram, count(*) AS c2 FROM dg GROUP BY gram),
+         unic AS (SELECT tok, count(*) AS c1
+                  FROM (SELECT unnest(t) AS tok FROM tk) GROUP BY tok),
+         v AS (SELECT count(*) AS vs FROM unic),
+         bt AS (SELECT count(*) AS bt FROM big),
+         fwd AS (SELECT string_split(gram, ' ')[1] AS w1, count(*) AS nf
+                 FROM big GROUP BY 1),
+         bwd AS (SELECT string_split(gram, ' ')[2] AS w2, count(*) AS nb
+                 FROM big WHERE string_split(gram, ' ')[2] IS NOT NULL
+                 GROUP BY 1),
+         terms AS (SELECT d.doc_id,
+                     CASE WHEN f.nf IS NOT NULL THEN
+                       greatest(CAST(COALESCE(b.c2, 0) AS DOUBLE)
+                           - CAST(0.5 AS DOUBLE), CAST(0 AS DOUBLE))
+                         / u.c1
+                       + (CAST(0.5 AS DOUBLE) * f.nf / u.c1)
+                         * ((COALESCE(w.nb, 0) + CAST(1.0 AS DOUBLE))
+                            / (CAST(bt.bt AS DOUBLE) + CAST(v.vs AS DOUBLE)))
+                     ELSE (COALESCE(w.nb, 0) + CAST(1.0 AS DOUBLE))
+                          / (CAST(bt.bt AS DOUBLE) + CAST(v.vs AS DOUBLE))
+                     END AS p
+                   FROM dg d
+                   LEFT JOIN big b USING (gram)
+                   LEFT JOIN unic u ON string_split(d.gram, ' ')[1] = u.tok
+                   LEFT JOIN fwd f ON string_split(d.gram, ' ')[1] = f.w1
+                   LEFT JOIN bwd w ON string_split(d.gram, ' ')[2] = w.w2
+                   CROSS JOIN v CROSS JOIN bt),
+         lg AS (SELECT doc_id,
+                  floor(ln(p) * 1e8 + 0.5) / 1e8 AS logp FROM terms)
+         SELECT doc_id, count(*) AS n_bigrams,
+                floor(CAST(SUM(CAST(logp AS DECIMAL(28,8))) AS DOUBLE)
+                  / count(*) * 1e6 + 0.5) / 1e6 AS kn_logp
+         FROM lg GROUP BY doc_id ORDER BY doc_id""",
     "q_llm_postings" ->
       """WITH tk AS (SELECT DISTINCT doc_id,
                        unnest(string_split_regex(trim(text), '\s+')) AS term
