@@ -562,7 +562,81 @@ trait RegistryTs extends RegistryStats {
       .orderBy("type_a", "type_b")
   }
 
+  /** Permutation entropy (Bandt & Pompe 2002 — the complexity measure
+    * of a series' ORDINAL structure: a monotone ramp scores 0, noise
+    * scores ~1, regardless of amplitude or marginal distribution; the
+    * regularity screen that catches what variance-based monitors like
+    * [[RegistryStats]]'s XmR cannot): per event type, embed the daily
+    * count series at order m = 3 over consecutive OBSERVED days, encode
+    * each triple's ordinal pattern by three strict pairwise
+    * comparisons (later-equal ranks after earlier — the Bandt–Pompe
+    * index tie rule; the 3-bit code hits exactly the 6 legal
+    * patterns), then Shannon entropy over pattern frequencies via the
+    * [[RegistryStats]] entropy identity (H·n = ln(n)·n − Σ c·ln c on
+    * the 10⁻⁶ grid, one division), normalized by ln 3! = 1.791759 to
+    * npe_bp. Scale shape: the corpus reduces once to (type, day) bins;
+    * lead windows and the pattern groupBy run on that bounded
+    * relation. */
+  protected def tsPermEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val dec = DecimalType(38, 0)
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"), expr(s"ts div $dayNs").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val tri = daily
+      .withColumn("x1", lead(col("x"), 1).over(w))
+      .withColumn("x2", lead(col("x"), 2).over(w))
+      .filter(col("x2").isNotNull)
+      .withColumn("pat",
+        when(col("x1") < col("x"), 4L).otherwise(0L)
+          + when(col("x2") < col("x"), 2L).otherwise(0L)
+          + when(col("x2") < col("x1"), 1L).otherwise(0L))
+    tri.groupBy("event_type", "pat").agg(count(lit(1)).as("cnt"))
+      .groupBy("event_type")
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_patterns"),
+        sum(floor(log(col("cnt").cast("double")) * 1e6).cast(dec)
+          * col("cnt")).as("se"))
+      .select(col("event_type"), col("n").cast("long").as("n_triples"),
+        col("n_patterns"),
+        expr("(CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6) AS DECIMAL(38,0))" +
+          " * n - se) div n").as("h_micro"),
+        expr("CAST((CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6) " +
+          "AS DECIMAL(38,0)) * n - se) div n AS BIGINT) " +
+          "* 10000 div 1791759").as("npe_bp"))
+      .orderBy("event_type")
+  }
+
   protected val tsOracleSql: ListMap[String, String] = ListMap(
+    "q_ts_perm_entropy" ->
+      """WITH daily AS (SELECT event_type,
+             epoch_ns(ts) // 86400000000000 AS day,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         tri AS (SELECT event_type, x,
+             lead(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS x1,
+             lead(x, 2) OVER (PARTITION BY event_type ORDER BY day) AS x2
+           FROM daily),
+         pat AS (SELECT event_type,
+             CAST(CASE WHEN x1 < x THEN 4 ELSE 0 END
+               + CASE WHEN x2 < x THEN 2 ELSE 0 END
+               + CASE WHEN x2 < x1 THEN 1 ELSE 0 END AS BIGINT) AS pat
+           FROM tri WHERE x2 IS NOT NULL),
+         c AS (SELECT event_type, pat, CAST(count(*) AS BIGINT) AS cnt
+           FROM pat GROUP BY 1, 2),
+         a AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_patterns,
+             CAST(sum(CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6)
+               AS HUGEINT) * cnt) AS HUGEINT) AS se
+           FROM c GROUP BY 1),
+         h AS (SELECT event_type, n AS n_triples, n_patterns,
+             CAST((CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6) AS HUGEINT)
+               * n - se) // n AS BIGINT) AS h_micro
+           FROM a)
+         SELECT event_type, n_triples, n_patterns, h_micro,
+           h_micro * 10000 // 1791759 AS npe_bp
+         FROM h ORDER BY event_type""",
     "q_ts_croston" ->
       """WITH d0 AS (SELECT p_brand,
              CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
