@@ -199,14 +199,24 @@ object Multimodal {
     }
   }
 
+  /** The energy kernels' stated contract: |s − 128| per byte is only
+    * meaningful for 8-bit UNSIGNED PCM (the canonical WAV grain
+    * [[encodeWav]] emits). A 16-bit or signed-PCM payload decodes
+    * successfully but byte-wise |s − 128| is noise — quarantine it
+    * instead of skewing downstream energy gates (e.g. the VAD's 700). */
+  private def isUnsigned8BitPcm(fmt: javax.sound.sampled.AudioFormat): Boolean =
+    fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED &&
+      fmt.getSampleSizeInBits == 8
+
   /** Frame-energy profile off a REAL audio decode — the
     * silence-detection / loudness-segmentation kernel an audio-corpus
     * pass runs before clipping or captioning: stream the decoded 8-bit
     * samples once, accumulate per-frame energy Σ|s − 128|, and report
     * (n_frames incl. the partial tail, total_energy, max_energy,
     * argmax_frame — FIRST frame on ties, the deterministic tie-break the
-    * oracle mirrors as min-frame-with-max). None on undecodable OR
-    * zero-sample payloads, quarantine-style — never -1 sentinels. */
+    * oracle mirrors as min-frame-with-max). None on undecodable,
+    * zero-sample, or non-8-bit-unsigned-PCM payloads, quarantine-style —
+    * never -1 sentinels. */
   def audioEnergyFrames(payload: Array[Byte],
                         frameLen: Int): Option[(Long, Long, Long, Long)] = {
     require(frameLen >= 1)
@@ -215,6 +225,7 @@ object Multimodal {
       val in = AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
+        if (!isUnsigned8BitPcm(in.getFormat)) return None
         var frame = 0L; var inFrame = 0; var e = 0L
         var total = 0L; var maxE = -1L; var argmax = -1L; var nFrames = 0L
         def closeFrame(): Unit = {
@@ -247,7 +258,8 @@ object Multimodal {
   /** Per-frame energy SEQUENCE off a REAL audio decode — the frame-grain
     * sibling of [[audioEnergyFrames]] feeding voice-activity
     * segmentation: (frame index, Σ|s − 128|) for every frame including
-    * the partial tail. Empty on undecodable or zero-sample payloads. */
+    * the partial tail. Empty on undecodable, zero-sample, or
+    * non-8-bit-unsigned-PCM payloads. */
   def audioFrameEnergies(payload: Array[Byte],
                          frameLen: Int): Seq[(Long, Long)] = {
     require(frameLen >= 1)
@@ -256,6 +268,7 @@ object Multimodal {
       val in = AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
+        if (!isUnsigned8BitPcm(in.getFormat)) return Seq.empty
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
         var frame = 0L; var inFrame = 0; var e = 0L
         val buf = new Array[Byte](8192)

@@ -24,6 +24,7 @@ object AsOfJoin {
            leftTime: String, rightTime: String,
            rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    requireDisjoint(leftCols, keys, rightVals)
     // Tag sides; right rows sort BEFORE left rows at the same instant so
     // a right row effective exactly at leftTime matches (inclusive <=).
     val l = rightVals.foldLeft(
@@ -47,6 +48,18 @@ object AsOfJoin {
       .select((leftCols ++ rightVals).map(col): _*)
   }
 
+  /** A right value column sharing its name with a left non-key column
+    * would be nulled out by the union's column alignment BEFORE the
+    * `_rv_*` park — a silent all-null carry. Fail loudly instead. */
+  private def requireDisjoint(leftCols: Seq[String], keys: Seq[String],
+                              rightVals: Seq[String]): Unit = {
+    val clash = rightVals.toSet.intersect(
+      leftCols.filterNot(keys.contains).toSet)
+    require(clash.isEmpty,
+      s"as-of join: right value column(s) ${clash.mkString(", ")} collide " +
+        "with left non-key columns - rename the right side before joining")
+  }
+
   /** Shared union builder: left and right stacked on one timeline per
     * key, right-side values parked in `_rv_*` columns. `rightFirst`
     * controls the same-instant tie: right rows sort BEFORE left rows
@@ -57,6 +70,7 @@ object AsOfJoin {
                     rightVals: Seq[String],
                     rightFirst: Boolean): (DataFrame, Seq[String]) = {
     val leftCols = left.columns.toSeq
+    requireDisjoint(leftCols, keys, rightVals)
     val (lSide, rSide) = if (rightFirst) (1, 0) else (0, 1)
     val l = rightVals.foldLeft(
         left.withColumn("_t", col(leftTime)).withColumn("_side", lit(lSide))
@@ -126,13 +140,22 @@ object AsOfJoin {
       .orderBy(col("_t"), col("_side"))
     val wB = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wF = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val rt = when(!col("_isleft"), col("_t"))
-    val withTimes = unioned
-      .withColumn("_bt", last(rt, ignoreNulls = true).over(wB))
-      .withColumn("_ft", first(rt, ignoreNulls = true).over(wF))
-    val carried = rightVals.foldLeft(withTimes)((df, c) =>
-      df.withColumn(s"_bv_$c", last(col(s"_rv_$c"), ignoreNulls = true).over(wB))
-        .withColumn(s"_fv_$c", first(col(s"_rv_$c"), ignoreNulls = true).over(wF)))
+    // Carry ONE struct(t, vals) per right row through each direction's
+    // ignoreNulls window, so the timestamp that decides the tie and the
+    // values reported always come from the SAME right row — independent
+    // per-column carries would pull a value from an OLDER row whenever
+    // the nearest right row holds a NULL in that column (arg_max
+    // semantics, not last-non-null-per-column).
+    val rrow = when(!col("_isleft"), struct(
+      col("_t").as("t") +: rightVals.map(c => col(s"_rv_$c").as(c)): _*))
+    val withRows = unioned
+      .withColumn("_brow", last(rrow, ignoreNulls = true).over(wB))
+      .withColumn("_frow", first(rrow, ignoreNulls = true).over(wF))
+    val carried = rightVals.foldLeft(
+        withRows.withColumn("_bt", col("_brow.t"))
+          .withColumn("_ft", col("_frow.t")))((df, c) =>
+      df.withColumn(s"_bv_$c", col(s"_brow.$c"))
+        .withColumn(s"_fv_$c", col(s"_frow.$c")))
     val useBwd = col("_ft").isNull ||
       (col("_bt").isNotNull &&
         asNum(col("_t")) - asNum(col("_bt")) <=

@@ -1197,8 +1197,16 @@ trait RegistryEvent extends RegistryTs {
     val full = (1 << chans.size) - 1
     def v(s: Int): Long =
       cnt.collect { case (m, c) if m != 0 && (m & ~s & full) == 0 => c }.sum
-    // |S|! * (n-1-|S|)! for n = 4
-    val wgt = Array(6L, 2L, 2L, 6L)
+    // |S|! * (n-1-|S|)! derived from the actual channel-universe size —
+    // the same derivation shapleyAttributionOracle uses — so growing or
+    // shrinking markovCanonicalChannels can never silently misweight.
+    val nCh = chans.size
+    val fact = Array(1L, 1L, 2L, 6L, 24L, 120L, 720L, 5040L)
+    require(nCh >= 1 && nCh < fact.length,
+      s"shapley attribution: channel universe size $nCh outside supported " +
+        s"1..${fact.length - 1} (the 2^n lattice and n! scaling assume a " +
+        "small canonical universe)")
+    def wgt(s: Int): Long = fact(s) * fact(nCh - 1 - s)
     val phi = chans.zipWithIndex.map { case (c, i) =>
       val bit = 1 << i
       val s = (0 to full).filter(m => (m & bit) == 0).map { m =>

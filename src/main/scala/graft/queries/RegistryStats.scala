@@ -1392,16 +1392,22 @@ trait RegistryStats extends RegistryAgg {
           * (col("n") - 1) >
           col("smr").cast(dec38) * 266 * col("n"), 1L).otherwise(0L))
         .as("n_ooc"))
+    // Sign-split center4 (sx may be negative for negative daily sums;
+    // Spark div truncates, DuckDB // floors — they agree only on
+    // non-negative operands). mrbar4 is a sum of abs moving ranges, so
+    // it and the ±2.66·mrbar spread are always non-negative.
+    val center4 = "CASE WHEN sx < 0 THEN -((-sx) * 10000 div n) " +
+      "ELSE sx * 10000 div n END"
     a.join(ooc, "event_type")
       .select(col("event_type"), col("n").as("n_days"),
-        expr("sx * 10000 div n").as("center4"),
+        expr(center4).as("center4"),
         expr("CASE WHEN n < 2 THEN CAST(-1 AS BIGINT) " +
           "ELSE smr * 10000 div (n - 1) END").as("mrbar4"),
         expr("CASE WHEN n < 2 THEN CAST(-1 AS BIGINT) " +
-          "ELSE sx * 10000 div n " +
+          s"ELSE $center4 " +
           "+ (smr * 10000 div (n - 1)) * 266 div 100 END").as("ucl4"),
         expr("CASE WHEN n < 2 THEN CAST(-1 AS BIGINT) " +
-          "ELSE sx * 10000 div n " +
+          s"ELSE $center4 " +
           "- (smr * 10000 div (n - 1)) * 266 div 100 END").as("lcl4"),
         col("n_ooc"))
       .orderBy("event_type")
@@ -1419,10 +1425,16 @@ trait RegistryStats extends RegistryAgg {
     * (two-sided, z² = 9604/625). Every decision is a fully-cleared
     * integer inequality — with A = 40·(S₁n₂ − S₂n₁) and
     * B = S₁n₂ + S₂n₁ (so d±δ ∝ A±B over 40·n₁n₂), equivalence needs
-    * BOTH (A+B) > 0 ∧ (A+B)²·25·U > 108241·D²·N_se and the mirrored
-    * (B−A) arm, where N_se/U is Welch's se² on the shared denominator
-    * U = n₁²(n₁−1)·n₂²(n₂−1), D = n₁n₂. The two-sided difference test
-    * clears to d²·625·U > 9604·D²·N_se. Verdict quadrant: equivalent /
+    * BOTH (A+B) > 0 ∧ (A+B)²·25·(n₁−1)(n₂−1) > 108241·N_se and the
+    * mirrored (B−A) arm, where N_se/U is Welch's se² on the shared
+    * denominator U = n₁²(n₁−1)·n₂²(n₂−1) = D²·(n₁−1)(n₂−1), D = n₁n₂ —
+    * the inequalities are stated with the common D² factor cancelled,
+    * keeping every cleared product ~D² (≈10¹⁰ at sf0.01) below
+    * DECIMAL(38,0)/HUGEINT capacity. The two-sided difference test
+    * clears to d²·625·(n₁−1)(n₂−1) > 9604·N_se. Both ratio columns
+    * (d6, delta6) are sign-split so Spark's truncating div and DuckDB's
+    * flooring // agree for negative daily sums too. Verdict quadrant:
+    * equivalent /
     * different / inconclusive / equivalent_and_different (tiny-but-
     * nonzero shift inside the margin). Scale shape: corpus reduces
     * once to (type, day, half) bins; everything after is a ≤|types|
@@ -1454,26 +1466,33 @@ trait RegistryStats extends RegistryAgg {
             * n2 * n2 * (n2 - 1)
           + (CAST(n2 AS DECIMAL(38,0)) * q2 - s2 * s2)
             * n1 * n1 * (n1 - 1)""").as("nse"),
-        expr("""CAST(n1 AS DECIMAL(38,0)) * n1 * (n1 - 1)
-          * n2 * n2 * (n2 - 1)""").as("u"))
+        // U = n1²(n1−1)·n2²(n2−1) = D²·(n1−1)(n2−1), so every decision
+        // inequality below is divided through by D² = (n1·n2)² > 0:
+        // identical verdicts, but the cleared products shrink by ~D²
+        // (~10¹⁸ at sf0.01) — without this, (40·dnum+b)²·25·U pressed
+        // DECIMAL(38,0) capacity, where Spark non-ANSI yields NULL
+        // (silent 'inconclusive') while DuckDB HUGEINT raises.
+        expr("""CAST(n1 - 1 AS DECIMAL(38,0)) * (n2 - 1)""").as("uu"))
       .select(col("event_type"), col("n1"), col("n2"),
         // Sign split: Spark div truncates, DuckDB // floors — they
         // agree only on non-negative operands.
         expr("""CAST(CASE WHEN dnum < 0
             THEN -((-dnum) * 1000000 div dd)
             ELSE dnum * 1000000 div dd END AS BIGINT)""").as("d6"),
-        expr("CAST(b * 1000000 div (40 * dd) AS BIGINT)").as("delta6"),
+        expr("""CAST(CASE WHEN b < 0
+            THEN -((-b) * 1000000 div (40 * dd))
+            ELSE b * 1000000 div (40 * dd) END AS BIGINT)""").as("delta6"),
         expr("""CASE WHEN n1 < 2 OR n2 < 2 THEN CAST(0 AS BIGINT)
             WHEN (40 * dnum + b) > 0
-              AND (40 * dnum + b) * (40 * dnum + b) * 25 * u
-                > 108241 * dd * dd * nse
+              AND (40 * dnum + b) * (40 * dnum + b) * 25 * uu
+                > 108241 * nse
               AND (b - 40 * dnum) > 0
-              AND (b - 40 * dnum) * (b - 40 * dnum) * 25 * u
-                > 108241 * dd * dd * nse
+              AND (b - 40 * dnum) * (b - 40 * dnum) * 25 * uu
+                > 108241 * nse
             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END""")
           .as("equivalent"),
         expr("""CASE WHEN n1 < 2 OR n2 < 2 THEN CAST(0 AS BIGINT)
-            WHEN dnum * dnum * 625 * u > 9604 * dd * dd * nse
+            WHEN dnum * dnum * 625 * uu > 9604 * nse
             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END""")
           .as("different"))
       .select(col("event_type"), col("n1"), col("n2"), col("d6"),
@@ -1578,25 +1597,27 @@ trait RegistryStats extends RegistryAgg {
              n1 * n2 AS dd,
              (n1 * q1 - s1 * s1) * n2 * n2 * (n2 - 1)
                + (n2 * q2 - s2 * s2) * n1 * n1 * (n1 - 1) AS nse,
-             n1 * n1 * (n1 - 1) * n2 * n2 * (n2 - 1) AS u
+             (n1 - 1) * (n2 - 1) AS uu
            FROM m),
          f AS (SELECT event_type,
              CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
              CAST(CASE WHEN dnum < 0
                THEN -((-dnum) * 1000000 // dd)
                ELSE dnum * 1000000 // dd END AS BIGINT) AS d6,
-             CAST(b * 1000000 // (40 * dd) AS BIGINT) AS delta6,
+             CAST(CASE WHEN b < 0
+               THEN -((-b) * 1000000 // (40 * dd))
+               ELSE b * 1000000 // (40 * dd) END AS BIGINT) AS delta6,
              CASE WHEN n1 < 2 OR n2 < 2 THEN CAST(0 AS BIGINT)
                   WHEN (40 * dnum + b) > 0
-                    AND (40 * dnum + b) * (40 * dnum + b) * 25 * u
-                      > 108241 * dd * dd * nse
+                    AND (40 * dnum + b) * (40 * dnum + b) * 25 * uu
+                      > 108241 * nse
                     AND (b - 40 * dnum) > 0
-                    AND (b - 40 * dnum) * (b - 40 * dnum) * 25 * u
-                      > 108241 * dd * dd * nse
+                    AND (b - 40 * dnum) * (b - 40 * dnum) * 25 * uu
+                      > 108241 * nse
                   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
                AS equivalent,
              CASE WHEN n1 < 2 OR n2 < 2 THEN CAST(0 AS BIGINT)
-                  WHEN dnum * dnum * 625 * u > 9604 * dd * dd * nse
+                  WHEN dnum * dnum * 625 * uu > 9604 * nse
                   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
                AS different
            FROM k)
@@ -1629,14 +1650,17 @@ trait RegistryStats extends RegistryAgg {
                THEN 1 ELSE 0 END) AS BIGINT) AS n_ooc
            FROM mr JOIN a USING (event_type) GROUP BY 1)
          SELECT a.event_type, a.n AS n_days,
-           sx * 10000 // n AS center4,
+           CASE WHEN sx < 0 THEN -((-sx) * 10000 // n)
+                ELSE sx * 10000 // n END AS center4,
            CASE WHEN n < 2 THEN CAST(-1 AS BIGINT)
                 ELSE smr * 10000 // (n - 1) END AS mrbar4,
            CASE WHEN n < 2 THEN CAST(-1 AS BIGINT)
-                ELSE sx * 10000 // n
+                ELSE (CASE WHEN sx < 0 THEN -((-sx) * 10000 // n)
+                      ELSE sx * 10000 // n END)
                   + (smr * 10000 // (n - 1)) * 266 // 100 END AS ucl4,
            CASE WHEN n < 2 THEN CAST(-1 AS BIGINT)
-                ELSE sx * 10000 // n
+                ELSE (CASE WHEN sx < 0 THEN -((-sx) * 10000 // n)
+                      ELSE sx * 10000 // n END)
                   - (smr * 10000 // (n - 1)) * 266 // 100 END AS lcl4,
            o.n_ooc
          FROM a JOIN o USING (event_type) ORDER BY event_type""",
