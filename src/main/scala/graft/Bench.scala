@@ -106,6 +106,24 @@ object Bench {
       })
     }
     val load2 = loadavg()
+    // Self-adjudication (judge directive r14 item 5): a bench sampled
+    // under sustained competing load is an upper bound, not a
+    // measurement — r13's artifact recorded 29 s for a 3.4 s query that
+    // way. min-of-two absorbs ONE loaded pass, so the artifact is only
+    // tainted when the load never let up: all three 1-min loadavg
+    // samples (before / between / after the passes) above the
+    // threshold. Quiet-host runs here read ~1-3; loaded rounds read
+    // 9-13. Threshold overridable via SPARK_GRAFT_LOAD_MAX.
+    val loadMax = sys.env.get("SPARK_GRAFT_LOAD_MAX").map(_.toDouble)
+      .getOrElse(4.0)
+    val tainted = Seq(load0, load1, load2).min > loadMax
+    if (tainted)
+      System.err.println(f"[bench] loadavg-tainted: all samples " +
+        f"[$load0%.1f, $load1%.1f, $load2%.1f] > $loadMax%.1f - treat " +
+        "this artifact as an upper bound and re-run on a quiet host")
+    else
+      System.err.println(f"[bench] loadavg verdict: quiet " +
+        f"(min sample ${Seq(load0, load1, load2).min}%.1f <= $loadMax%.1f)")
     // The harness that captures this output keeps only the final 2000
     // characters of the log (sbt's trailing "[success] Total time" line
     // included). At 149 queries a full per-query map (~1,900 chars) no
@@ -138,11 +156,12 @@ object Bench {
     // pass 2: an artifact inflated by neighbor load now self-describes
     // (quiet host ≈ the worker count; competing load shows >> that).
     val loadField =
-      s""","loadavg":[${compact(load0, 1)},${compact(load1, 1)},${compact(load2, 1)}]"""
+      s""","loadavg":[${compact(load0, 1)},${compact(load1, 1)},${compact(load2, 1)}]""" +
+        (if (tainted) ""","tainted":true""" else "")
     val line =
       s"""{"metric":"total","value":${compact(total, 2)},"unit":"sec","n_queries":${results.size},"queries":$qs$failedField$loadField,"sf":$sfToken}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failed,"loadavg":[$load0,$load1,$load2],"sf":"$sfDir","ts":${System.currentTimeMillis / 1000}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failed,"loadavg":[$load0,$load1,$load2],"tainted":$tainted,"sf":"$sfDir","ts":${System.currentTimeMillis / 1000}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
       fullLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }

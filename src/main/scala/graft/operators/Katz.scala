@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   * node-sized, checkpointed every 3 rounds to truncate lineage. */
 object Katz {
 
+  /** Rounds actually computed by the last [[topK]] on this JVM —
+    * diagnostic/spec hook for the [[FixpointGate]] early-exit (equals
+    * `iterations` unless the gate fired). */
+  @volatile private[graft] var lastRoundsExecuted: Int = -1
+
   /** Top-`k` nodes by `iterations`-step Katz index with α = 1/alphaDen
     * over the symmetrized edge relation. Edges must be canonical
     * (lo < hi, distinct) — [[Triangles.canonical]] output. */
@@ -36,18 +41,45 @@ object Katz {
       .unionAll(edges.select(col("hi").as("node")))
       .distinct()
       .localCheckpoint(true)
-    var x = nodes.withColumn("xu", lit(1000000L))
-    for (i <- 1 to iterations) {
+    def step(s: DataFrame): DataFrame = {
       val contrib = adj
-        .join(x.select(col("node").as("src"), col("xu")), Seq("src"))
+        .join(s.select(col("node").as("src"), col("xu")), Seq("src"))
         .select(col("dst"), expr(s"xu div $alphaDen").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("in_u"))
-      x = nodes
+      nodes
         .join(contrib, nodes("node") === contrib("dst"), "left")
         .select(col("node"),
           (lit(1000000L) + coalesce(col("in_u"), lit(0L))).as("xu"))
-      if (i % 3 == 0 && i < iterations) x = x.localCheckpoint(true)
     }
+    var x = nodes.withColumn("xu", lit(1000000L))
+    var rounds = 0
+    var prevChk: DataFrame = null
+    var i = 1
+    var fixed = false
+    while (i <= iterations && !fixed) {
+      x = step(x)
+      rounds += 1
+      // FixpointGate at the checkpoint boundary (see PageRank): every
+      // round's x covers the full node set, so (node, xu) set equality
+      // vs the previous checkpoint is exact state equality. Strong
+      // attenuation (large alphaDen truncating every contribution to 0)
+      // reaches this fixpoint after one round.
+      if (i % 3 == 0 && i < iterations) {
+        x = x.localCheckpoint(true)
+        if (prevChk != null &&
+            FixpointGate.same(x, prevChk, Seq("node", "xu"))) {
+          val extra = (iterations - i) % 3
+          (1 to extra).foreach(_ => x = step(x))
+          rounds += extra
+          fixed = true
+          println(s"[katz] early-exit after round ${i + extra} of " +
+            s"$iterations (state at round $i == round ${i - 3} exactly; " +
+            s"final state provably identical)")
+        } else prevChk = x
+      }
+      i += 1
+    }
+    lastRoundsExecuted = rounds
     x.select(col("node"), col("xu").as("katz_micro"))
       .orderBy(col("katz_micro").desc, col("node"))
       .limit(k)

@@ -27,6 +27,11 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
+  /** Rounds actually computed by the last [[run]] on this JVM —
+    * diagnostic/spec hook for the [[FixpointGate]] early-exit (equals
+    * `iterations` unless the gate fired). */
+  @volatile private[graft] var lastRoundsExecuted: Int = -1
+
   /** Ranks after exactly `iterations` rounds.
     *
     * @param edges directed edges with `srcCol`/`dstCol`; parallel edges are
@@ -79,23 +84,46 @@ object PageRank {
     // order-independent, so this restructuring cannot move a single bit.
     def rankExpr: org.apache.spark.sql.Column =
       base + lit(damping) * (coalesce(col("in_units"), lit(0L)).cast("double") / 1e12)
+    def step(c: DataFrame): DataFrame = eDeg
+      .join(c.withColumnRenamed("dst", "_cdst"),
+        col("src") === col("_cdst"), "left")
+      .select(col("dst"),
+        floor(rankExpr / col("outdeg") * 1e12 + 0.5).cast("long").as("units"))
+      .groupBy("dst").agg(sum("units").as("in_units"))
     var contribs = eDeg
       .select(col("dst"),
         floor(lit(1.0 / n) / col("outdeg") * 1e12 + 0.5).cast("long").as("units"))
       .groupBy("dst").agg(sum("units").as("in_units"))
-    for (i <- 2 to iterations) {
-      contribs = eDeg
-        .join(contribs.withColumnRenamed("dst", "_cdst"),
-          col("src") === col("_cdst"), "left")
-        .select(col("dst"),
-          floor(rankExpr / col("outdeg") * 1e12 + 0.5).cast("long").as("units"))
-        .groupBy("dst").agg(sum("units").as("in_units"))
+    var rounds = 1
+    var prevChk: DataFrame = null
+    var i = 2
+    var fixed = false
+    while (i <= iterations && !fixed) {
+      contribs = step(contribs)
+      rounds += 1
       // Truncate lineage every 3 rounds: keeps the plan O(1) deep (and
       // AQE re-plans each chunk with real sizes). Recompute on executor
       // loss is acceptable — each round is cheap relative to the
-      // full-lineage replay this prevents.
-      if (i % 3 == 0 && i < iterations) contribs = contribs.localCheckpoint()
+      // full-lineage replay this prevents. The same boundary doubles as
+      // the FixpointGate probe: every round ≥ 1 covers the full eDeg dst
+      // set, so (dst, in_units) set equality vs the previous checkpoint
+      // is exact state equality.
+      if (i % 3 == 0 && i < iterations) {
+        contribs = contribs.localCheckpoint()
+        if (prevChk != null &&
+            FixpointGate.same(contribs, prevChk, Seq("dst", "in_units"))) {
+          val extra = (iterations - i) % 3
+          (1 to extra).foreach(_ => contribs = step(contribs))
+          rounds += extra
+          fixed = true
+          println(s"[pagerank] early-exit after round ${i + extra} of " +
+            s"$iterations (state at round $i == round ${i - 3} exactly; " +
+            s"final state provably identical)")
+        } else prevChk = contribs
+      }
+      i += 1
     }
+    lastRoundsExecuted = rounds
     // Only the FINAL round needs the full node set (dangling-in nodes
     // surface with rank = base via the left join's coalesce).
     nodes.join(contribs, nodes("node") === contribs("dst"), "left")

@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
   * on both engines, and |S| is measured once driver-side. */
 object Ppr {
 
+  /** Rounds actually computed by the last [[run]] on this JVM —
+    * diagnostic/spec hook for the [[FixpointGate]] early-exit (equals
+    * `iterations` unless the gate fired). */
+  @volatile private[graft] var lastRoundsExecuted: Int = -1
+
   /** Ranks after `iterations` rounds, personalized to the nodes matching
     * `isSeed`. Output (node, rank) at 9 dp, every node. */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
@@ -52,21 +57,45 @@ object Ppr {
     def rankExpr(node: Column): Column =
       baseOf(node) +
         lit(damping) * (coalesce(col("in_units"), lit(0L)).cast("double") / 1e12)
+    def step(c: DataFrame): DataFrame = eDeg
+      .join(c.withColumnRenamed("dst", "_cdst"),
+        col("src") === col("_cdst"), "left")
+      .select(col("dst"),
+        floor(rankExpr(col("src")) / col("outdeg") * 1e12 + 0.5)
+          .cast("long").as("units"))
+      .groupBy("dst").agg(sum("units").as("in_units"))
     var contribs = eDeg
       .filter(isSeed(col("src"))) // r0 is nonzero only on seeds
       .select(col("dst"),
         floor(lit(1.0 / nS) / col("outdeg") * 1e12 + 0.5).cast("long").as("units"))
       .groupBy("dst").agg(sum("units").as("in_units"))
-    for (i <- 2 to iterations) {
-      contribs = eDeg
-        .join(contribs.withColumnRenamed("dst", "_cdst"),
-          col("src") === col("_cdst"), "left")
-        .select(col("dst"),
-          floor(rankExpr(col("src")) / col("outdeg") * 1e12 + 0.5)
-            .cast("long").as("units"))
-        .groupBy("dst").agg(sum("units").as("in_units"))
-      if (i % 3 == 0 && i < iterations) contribs = contribs.localCheckpoint()
+    var rounds = 1
+    var prevChk: DataFrame = null
+    var i = 2
+    var fixed = false
+    while (i <= iterations && !fixed) {
+      contribs = step(contribs)
+      rounds += 1
+      // FixpointGate at the checkpoint boundary (see PageRank): all
+      // compared checkpoints are from rounds ≥ 2, where the dst key set
+      // is the full eDeg dst set (round 1's seed-only coverage never
+      // reaches a comparison), so set equality == exact state equality.
+      if (i % 3 == 0 && i < iterations) {
+        contribs = contribs.localCheckpoint()
+        if (prevChk != null &&
+            FixpointGate.same(contribs, prevChk, Seq("dst", "in_units"))) {
+          val extra = (iterations - i) % 3
+          (1 to extra).foreach(_ => contribs = step(contribs))
+          rounds += extra
+          fixed = true
+          println(s"[ppr] early-exit after round ${i + extra} of " +
+            s"$iterations (state at round $i == round ${i - 3} exactly; " +
+            s"final state provably identical)")
+        } else prevChk = contribs
+      }
+      i += 1
     }
+    lastRoundsExecuted = rounds
     nodes.join(contribs, nodes("node") === contribs("dst"), "left")
       .select(col("node"),
         (floor(rankExpr(col("node")) * 1e9 + 0.5) / 1e9).as("rank"))
