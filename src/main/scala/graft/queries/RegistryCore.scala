@@ -581,6 +581,42 @@ trait RegistryCore extends RegistryBase {
       .orderBy("r_name")
   }
 
+  /** Bloom semi-join reduction (Bloomjoin, Mackert & Lohman 1986 — the
+    * runtime-filter shape every distributed engine uses): high-value
+    * orders (o_totalprice > 490000) define a SELECTIVE build-key set;
+    * an md5-Bloom of those custkeys prefilters the customer probe side
+    * WITHOUT a shuffle (codegen'd projection against a treeAggregate'd
+    * m-bit array), and the exact join removes the false positives the
+    * one-sided filter admits. At 100 TB only |matches| + |FP| probe rows
+    * reach the join exchange instead of |probe|. The summary counts
+    * candidates / matches / FPs / FNs — FNs are structurally zero (a set
+    * key always passes), and the oracle rebuilds the identical bitset
+    * (same sizing formulas, same md5 position arithmetic) so even the
+    * false-positive count matches bit for bit. */
+  protected def jBloomSemijoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.BloomJoin
+    val build = t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 490000)
+      .select(col("o_custkey"))
+    val buildKeys = build.distinct()
+    val (bits, m, k) = BloomJoin.buildBits(build, "o_custkey", fpp = 0.02)
+    t(spark, dir, "customer")
+      .select(col("c_custkey"),
+        BloomJoin.mayContain(col("c_custkey"), bits, m, k).as("bloom_pass"))
+      .join(broadcast(buildKeys.withColumnRenamed("o_custkey", "bk")),
+        col("c_custkey") === col("bk"), "left")
+      .agg(count(lit(1)).as("n_probe"),
+        sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_candidates"),
+        sum(when(col("bk").isNotNull, 1L).otherwise(0L)).as("n_matches"),
+        sum(when(col("bloom_pass") && col("bk").isNull, 1L).otherwise(0L))
+          .as("false_positives"),
+        sum(when(!col("bloom_pass") && col("bk").isNotNull, 1L).otherwise(0L))
+          .as("false_negatives"))
+      .select(col("n_probe"), col("n_candidates"), col("n_matches"),
+        col("false_positives"), col("false_negatives"),
+        lit(m).as("num_bits"), lit(k.toLong).as("num_hashes"))
+  }
+
   /** S1: CSV round-trip through the encoding cascade — the file is written
     * in latin-1 (0xE9 é) so UTF-8 strict decode fails and the reader must
     * fall back; quoted commas, leading zeros, and empty-stays-"" are all in
@@ -2558,6 +2594,45 @@ trait RegistryCore extends RegistryBase {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name ORDER BY r_name""",
+    // Full replay of the Bloom semi-join reduction: DuckDB rebuilds the
+    // exact md5 bitset (same sizing formulas, same position arithmetic)
+    // and reproduces candidate membership INCLUDING false positives.
+    "q_j_bloom_semijoin" ->
+      """WITH bk AS (SELECT DISTINCT o_custkey,
+             CAST(o_custkey AS VARCHAR) AS kk
+           FROM orders WHERE o_totalprice > 490000),
+         pr AS (SELECT CAST(greatest(count(*), 1) AS DOUBLE) AS n,
+             CAST(ceil(-CAST(greatest(count(*), 1) AS DOUBLE) * ln(0.02)
+               / (ln(2) * ln(2))) AS BIGINT) AS m
+           FROM bk),
+         kp AS (SELECT n, m,
+             greatest(1, CAST(floor(CAST(m AS DOUBLE) / n * ln(2) + 0.5)
+               AS BIGINT)) AS k
+           FROM pr),
+         pos AS (SELECT DISTINCT
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || kk), 1, 13))::BIGINT
+               % m AS p
+           FROM bk, kp, range(64) r(j) WHERE j < k),
+         pp AS (SELECT c_custkey,
+             ('0x' || substr(md5(CAST(j AS VARCHAR)
+               || ':' || CAST(c_custkey AS VARCHAR)), 1, 13))::BIGINT % m AS p
+           FROM customer, kp, range(64) r(j) WHERE j < k),
+         passed AS (SELECT c_custkey FROM pp JOIN pos USING (p)
+           GROUP BY c_custkey HAVING count(*) = (SELECT k FROM kp))
+         SELECT CAST(count(*) AS BIGINT) AS n_probe,
+           CAST(SUM(CASE WHEN pa.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN b.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_matches,
+           CAST(SUM(CASE WHEN pa.c_custkey IS NOT NULL AND b.o_custkey IS NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS false_positives,
+           CAST(SUM(CASE WHEN pa.c_custkey IS NULL AND b.o_custkey IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS false_negatives,
+           (SELECT m FROM kp) AS num_bits,
+           (SELECT k FROM kp) AS num_hashes
+         FROM customer c
+         LEFT JOIN passed pa ON c.c_custkey = pa.c_custkey
+         LEFT JOIN (SELECT o_custkey FROM bk) b ON c.c_custkey = b.o_custkey""",
     "q_s1_csv_roundtrip" ->
       """SELECT * FROM (VALUES
            ('01112', 'Smith, John', 'café', '100', CAST(1 AS BIGINT)),
