@@ -608,7 +608,120 @@ trait RegistryTs extends RegistryStats {
       .orderBy("event_type")
   }
 
+  /** Symbolic Aggregate approXimation + motif mining (Lin, Keogh,
+    * Lonardi & Chiu 2003, "A symbolic representation of time series"):
+    * each event type's daily value series reduces to PAA segments
+    * (length-4 piecewise sums) discretized against the series' OWN
+    * rank-based quartiles into a 4-letter alphabet, and the most
+    * frequent length-3 symbol motif surfaces per series — the
+    * dimensionality-reduction + pattern-mining pass run before any
+    * subsequence search at scale. Exactness: breakpoints are exact
+    * order statistics (the x at ranks ⌈n/4⌉, ⌈n/2⌉, ⌈3n/4⌉ under the
+    * deterministic (x, day) order — empirical quartiles, not the
+    * Gaussian table, so no normalization doubles anywhere), and each
+    * PAA-vs-breakpoint comparison clears to the integer S > q·L — the
+    * whole pipeline is integer/character arithmetic both engines
+    * replay bit for bit. Scale shape: the corpus reduces ONCE to
+    * (type, day) bins; ranking, segmenting, and motif windows all run
+    * over day-grain (≤ n-days) or segment-grain relations partitioned
+    * by event_type. */
+  protected def tsSax(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"), expr(s"ts div $dayNs").as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("x"))
+    val idx = daily
+      .withColumn("i", row_number()
+        .over(Window.partitionBy("event_type").orderBy("day")).cast("long"))
+      .withColumn("r", row_number()
+        .over(Window.partitionBy("event_type").orderBy(col("x"), col("day")))
+        .cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy("event_type")).cast("long"))
+    val q = idx.groupBy("event_type").agg(
+      max(when(col("r") === expr("(n + 3) div 4"), col("x"))).as("q1"),
+      max(when(col("r") === expr("(n + 1) div 2"), col("x"))).as("q2"),
+      max(when(col("r") === expr("(3 * n + 3) div 4"), col("x"))).as("q3"),
+      max(col("n")).as("n_days"))
+    val sym = idx.withColumn("seg", expr("(i - 1) div 4"))
+      .groupBy("event_type", "seg")
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("l"))
+      .join(broadcast(q), "event_type")
+      .select(col("event_type"), col("seg"), col("n_days"),
+        expr("""chr(97 + (CASE WHEN s > q1 * l THEN 1 ELSE 0 END)
+          + (CASE WHEN s > q2 * l THEN 1 ELSE 0 END)
+          + (CASE WHEN s > q3 * l THEN 1 ELSE 0 END))""").as("sym"))
+    val word = sym.groupBy("event_type")
+      .agg(max(col("n_days")).as("n_days"),
+        count(lit(1)).as("n_segments"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg"), col("sym")))),
+          x => x.getField("sym")), "").as("sax_word"))
+    val wSeg = Window.partitionBy("event_type").orderBy("seg")
+    val motif = sym
+      .withColumn("m", concat(col("sym"), lead(col("sym"), 1).over(wSeg),
+        lead(col("sym"), 2).over(wSeg)))
+      .filter(col("m").isNotNull)
+      .groupBy("event_type", "m").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("c").desc, col("m"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("m").as("top_motif"),
+        col("c").as("motif_count"))
+    word.join(motif, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_days"), col("n_segments"),
+        col("sax_word"), col("top_motif"), col("motif_count"))
+      .orderBy("event_type")
+  }
+
   protected val tsOracleSql: ListMap[String, String] = ListMap(
+    "q_ts_sax" ->
+      """WITH daily AS (SELECT event_type,
+             epoch_ns(ts) // 86400000000000 AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS x
+           FROM events GROUP BY 1, 2),
+         idx AS (SELECT event_type, day, x,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS BIGINT) AS i,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY x, day)
+               AS BIGINT) AS r,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           FROM daily),
+         q AS (SELECT event_type,
+             max(CASE WHEN r = (n + 3) // 4 THEN x END) AS q1,
+             max(CASE WHEN r = (n + 1) // 2 THEN x END) AS q2,
+             max(CASE WHEN r = (3 * n + 3) // 4 THEN x END) AS q3,
+             max(n) AS n_days
+           FROM idx GROUP BY 1),
+         seg AS (SELECT event_type, (i - 1) // 4 AS seg,
+             CAST(sum(x) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS l
+           FROM idx GROUP BY 1, 2),
+         sym AS (SELECT seg.event_type, seg.seg, q.n_days,
+             chr(97 + (CASE WHEN s > q1 * l THEN 1 ELSE 0 END)
+               + (CASE WHEN s > q2 * l THEN 1 ELSE 0 END)
+               + (CASE WHEN s > q3 * l THEN 1 ELSE 0 END)) AS sym
+           FROM seg JOIN q USING (event_type)),
+         word AS (SELECT event_type, CAST(max(n_days) AS BIGINT) AS n_days,
+             CAST(count(*) AS BIGINT) AS n_segments,
+             string_agg(sym, '' ORDER BY seg) AS sax_word
+           FROM sym GROUP BY 1),
+         tri AS (SELECT event_type, sym
+               || lead(sym, 1) OVER (PARTITION BY event_type ORDER BY seg)
+               || lead(sym, 2) OVER (PARTITION BY event_type ORDER BY seg)
+               AS m
+           FROM sym),
+         mc AS (SELECT event_type, m, CAST(count(*) AS BIGINT) AS c
+           FROM tri WHERE m IS NOT NULL GROUP BY 1, 2),
+         top AS (SELECT event_type, m AS top_motif, c AS motif_count
+           FROM (SELECT event_type, m, c, row_number() OVER (
+                   PARTITION BY event_type ORDER BY c DESC, m) AS rn
+                 FROM mc) WHERE rn = 1)
+         SELECT word.event_type, n_days, n_segments, sax_word,
+           top_motif, motif_count
+         FROM word LEFT JOIN top USING (event_type)
+         ORDER BY event_type""",
     "q_ts_perm_entropy" ->
       """WITH daily AS (SELECT event_type,
              epoch_ns(ts) // 86400000000000 AS day,
