@@ -112,6 +112,53 @@ object Index {
       .select(col("_id").as(idCol), col("n_terms_matched"), col("score"))
   }
 
+  /** Multi-query sibling of [[bm25Search]] sharing ONE token pass: the
+    * evaluation-harness shape, where scoring Q queries as Q separate
+    * kernel calls would scan the corpus Q times. Same per-term integer
+    * 1e-4-unit arithmetic (IndexSpec pins per-query agreement with the
+    * single-query kernel); the per-query top-k is a qid-partitioned
+    * rank-limit window (WindowGroupLimit prunes candidates before the
+    * shuffle), and only documents matching ≥ 1 query term ever leave the
+    * token explode.
+    *
+    * @return (qid, idCol, n_terms_matched, score, r) — rank 1..k per qid
+    *         by (score desc, id). */
+  def bm25SearchMulti(docs: DataFrame, idCol: String, textCol: String,
+                      queries: Seq[(Long, Seq[String])], k: Int = 100,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "bm25SearchMulti needs at least one query, each with terms")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val qrel = queries.flatMap { case (qid, ts) =>
+      ts.distinct.map(t => (qid, t)) }.toDF("qid", "term")
+    val terms = docs.select(col(idCol).as("_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val dl = terms.groupBy("_id").agg(count(lit(1)).as("dl"))
+    val qtf = terms.filter(col("term").isInCollection(allTerms))
+      .groupBy("_id", "term").agg(count(lit(1)).as("tf"))
+    val df = qtf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("_nd"),
+      avg(col("dl")).as("_avgdl"))
+    val idf = log(lit(1.0) + (col("_nd") - col("df") + 0.5) / (col("df") + 0.5))
+    val norm = col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("_avgdl"))
+    qtf.join(dl, "_id").join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_c4",
+        floor(idf * (col("tf") * lit(k1 + 1)) / norm * 1e4 + 0.5).cast("long"))
+      .join(broadcast(qrel), Seq("term"))
+      .groupBy("qid", "_id")
+      .agg(count(lit(1)).as("n_terms_matched"),
+        (sum(col("_c4")) / 1e4).as("score"))
+      .withColumn("r", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("score").desc, col("_id"))).cast("long"))
+      .filter(col("r") <= k)
+      .select(col("qid"), col("_id").as(idCol), col("n_terms_matched"),
+        col("score"), col("r"))
+  }
+
   /** Top-k terms per document by TF-IDF (tf · ln(N/df)), the classic
     * relevance weighting. Scores are rounded half-up to 4 decimals so they
     * hash-compare across engines; ties break on the term itself.

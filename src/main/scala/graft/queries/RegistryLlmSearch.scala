@@ -755,6 +755,52 @@ trait RegistryLlmSearch extends RegistryLlmDedup {
       .select(col("id").as("doc_id"), col("n_lists"), col("rrf_units"))
   }
 
+  /** The MRR eval's fixed query set: five two-term queries over the
+    * corpus vocabulary; a document is RELEVANT to a query iff it
+    * contains BOTH terms (the deterministic AND-match label an eval
+    * without human judgments can honestly claim). */
+  protected val mrrQueries: Seq[(Long, String, String)] = Seq(
+    (1L, "data", "query"), (2L, "spark", "join"), (3L, "hash", "merge"),
+    (4L, "scan", "filter"), (5L, "stream", "window"))
+
+  /** Mean Reciprocal Rank of BM25 retrieval (the standard TREC QA /
+    * retrieval-eval metric, Voorhees 1999) over [[mrrQueries]]: rank the
+    * corpus per query via the one-token-pass
+    * [[graft.llm.Index.bm25SearchMulti]] kernel (top-100 cap), find the
+    * first AND-relevant hit, and report per-query reciprocal rank in
+    * integer micro-units (1e6 div rank; 0 and first_rank = −1 when no
+    * relevant doc ranks) plus the suite MRR. Every number is integer
+    * arithmetic over deterministic ranks — the oracle replays the shared
+    * token pass, the per-query rank windows, and the micro-unit folds.
+    * Scale shape: one corpus token pass for all queries; ranking windows
+    * run per-qid over term-matching candidates only (WindowGroupLimit
+    * prunes before the shuffle); everything after is a 5-row relation
+    * (its global window is bounded by the query count). */
+  protected def llmSearchMrr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ranked = Index.bm25SearchMulti(t(spark, dir, "documents"),
+      "doc_id", "text",
+      mrrQueries.map { case (q, a, b) => (q, Seq(a, b)) }, k = 100)
+    val per = ranked.groupBy("qid").agg(
+      count(lit(1)).as("n_candidates"),
+      sum(when(col("n_terms_matched") === 2, 1L).otherwise(0L))
+        .as("n_relevant_topk"),
+      coalesce(min(when(col("n_terms_matched") === 2, col("r"))), lit(-1L))
+        .as("first_rank"))
+    broadcast(mrrQueries.toDF("qid", "term_a", "term_b"))
+      .join(per, Seq("qid"), "left")
+      .select(col("qid"), col("term_a"), col("term_b"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_relevant_topk"), lit(0L)).as("n_relevant_topk"),
+        coalesce(col("first_rank"), lit(-1L)).as("first_rank"))
+      .withColumn("rr_micro", expr(
+        "CASE WHEN first_rank > 0 THEN 1000000 div first_rank " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("mrr_micro", expr(
+        s"CAST(sum(rr_micro) OVER () AS BIGINT) div ${mrrQueries.size}"))
+      .orderBy("qid")
+  }
+
   /** Heaps'-law vocabulary-growth curve (Heaps 1978): distinct-term
     * count vs cumulative token volume at doc-id milestones — the curve
     * that sizes a tokenizer's vocab and says when a corpus stops
@@ -1229,6 +1275,54 @@ trait RegistryLlmSearch extends RegistryLlmDedup {
                 CAST(SUM(c4) AS DOUBLE) / 10000.0 AS score
          FROM s GROUP BY doc_id
          ORDER BY score DESC, doc_id LIMIT 10""",
+    // MRR replay: the shared token pass, the identical c4 unit formula,
+    // per-qid rank windows, and the micro-unit reciprocal-rank folds.
+    "q_llm_search_mrr" ->
+      """WITH q(qid, term_a, term_b) AS (VALUES
+             (CAST(1 AS BIGINT), 'data', 'query'), (2, 'spark', 'join'),
+             (3, 'hash', 'merge'), (4, 'scan', 'filter'),
+             (5, 'stream', 'window')),
+         qt AS (SELECT qid, term_a AS term FROM q
+                UNION ALL SELECT qid, term_b FROM q),
+         tk AS (SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\s+')) AS term
+           FROM documents),
+         dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tk
+                WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS nd, avg(dl) AS avgdl
+                FROM dl),
+         c AS (SELECT tf.doc_id, tf.term,
+             CAST(floor(ln(1.0 + (nd - df + 0.5) / (df + 0.5))
+                   * (tf.tf * CAST(2.2 AS DOUBLE))
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+                   * 10000 + 0.5) AS BIGINT) AS c4
+           FROM tf JOIN dl USING (doc_id) JOIN df USING (term), st),
+         s AS (SELECT qt.qid, c.doc_id,
+             CAST(count(*) AS BIGINT) AS n_terms_matched,
+             CAST(sum(c4) AS DOUBLE) / 10000.0 AS score
+           FROM c JOIN qt USING (term) GROUP BY 1, 2),
+         rk AS (SELECT *, CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS r
+           FROM s),
+         per AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_candidates,
+             CAST(sum(CASE WHEN n_terms_matched = 2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_relevant_topk,
+             CAST(coalesce(min(CASE WHEN n_terms_matched = 2 THEN r END),
+               -1) AS BIGINT) AS first_rank
+           FROM rk WHERE r <= 100 GROUP BY 1),
+         fin AS (SELECT q.qid, q.term_a, q.term_b,
+             CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates,
+             CAST(coalesce(n_relevant_topk, 0) AS BIGINT) AS n_relevant_topk,
+             CAST(coalesce(first_rank, -1) AS BIGINT) AS first_rank,
+             CAST(CASE WHEN coalesce(first_rank, -1) > 0
+               THEN 1000000 // first_rank ELSE 0 END AS BIGINT) AS rr_micro
+           FROM q LEFT JOIN per USING (qid))
+         SELECT qid, term_a, term_b, n_candidates, n_relevant_topk,
+           first_rank, rr_micro,
+           CAST((SELECT sum(rr_micro) FROM fin) AS BIGINT) // 5 AS mrr_micro
+         FROM fin ORDER BY qid""",
     // Positional replay via indexed list_transform (1-based i → pos i−1,
     // matching posexplode); adjacency is the same (doc, pos+1) equi-join.
     "q_llm_phrase_search" ->
