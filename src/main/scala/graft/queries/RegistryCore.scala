@@ -835,6 +835,38 @@ trait RegistryCore extends RegistryBase {
         col("classes_with_orders"), col("min_l"), col("classes_l1"))
   }
 
+  /** Quasi-identifier uniqueness audit (Sweeney 2000, "Simple
+    * demographics often identify people uniquely" — the re-identification
+    * risk scan run BEFORE choosing which columns [[govKAnonymity]] must
+    * generalize): for every non-empty subset of the QI set
+    * {nation, segment, balance-band}, the equivalence-class count, the
+    * number of SINGLETON rows (unique on that subset — linkable by an
+    * adversary holding just those attributes), and the singleton risk in
+    * basis points. One CUBE pass computes all 7 subsets — the
+    * grouping-id bitmask names the subset — instead of 7 separate
+    * aggregations; everything after is a ≤7-row relation. */
+  protected def govUniqueness(spark: SparkSession, dir: String): DataFrame = {
+    val qi = t(spark, dir, "customer")
+      .select(col("c_nationkey").cast("long").as("nat"),
+        col("c_mktsegment").as("seg"),
+        expr("(floor(c_acctbal * 100 + 0.5) + 100000) div 200000")
+          .as("bal_band"))
+    qi.cube("nat", "seg", "bal_band")
+      .agg(count(lit(1)).as("k"), grouping_id().as("gid"))
+      .filter(col("gid") < 7) // drop the grand total; 0 = all three QIs
+      .groupBy("gid").agg(
+        count(lit(1)).as("n_classes"),
+        sum(col("k")).cast("long").as("n_rows"),
+        sum(when(col("k") === 1, 1L).otherwise(0L)).as("n_singletons"))
+      .select(col("gid").cast("long").as("gid"),
+        expr("""CASE gid WHEN 0 THEN 'nat+seg+bal' WHEN 1 THEN 'nat+seg'
+          WHEN 2 THEN 'nat+bal' WHEN 3 THEN 'nat' WHEN 4 THEN 'seg+bal'
+          WHEN 5 THEN 'seg' ELSE 'bal' END""").as("qi_set"),
+        col("n_classes"), col("n_rows"), col("n_singletons"),
+        expr("n_singletons * 10000 div n_rows").as("uniq_risk_bp"))
+      .orderBy("gid")
+  }
+
   /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the layer
     * above [[govKAnonymity]]'s l-diversity: a class can be diverse yet
     * still leak if its sensitive DISTRIBUTION skews far from the
@@ -2315,6 +2347,29 @@ trait RegistryCore extends RegistryBase {
          SELECT seg, n_true, z,
            greatest(CAST(0 AS BIGINT), n_true + z) AS n_released
          FROM z ORDER BY seg""",
+    // CUBE replay: DuckDB's GROUPING(nat, seg, bal_band) bitmask (1 =
+    // rolled up, first column = high bit) matches Spark's grouping_id().
+    "q_gov_uniqueness" ->
+      """WITH qi AS (SELECT CAST(c_nationkey AS BIGINT) AS nat,
+             c_mktsegment AS seg,
+             (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000)
+               // 200000 AS bal_band
+           FROM customer),
+         cls AS (SELECT nat, seg, bal_band, CAST(count(*) AS BIGINT) AS k,
+             CAST(GROUPING(nat, seg, bal_band) AS BIGINT) AS gid
+           FROM qi GROUP BY CUBE (nat, seg, bal_band)),
+         s AS (SELECT gid, CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(sum(k) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_singletons
+           FROM cls WHERE gid < 7 GROUP BY 1)
+         SELECT gid,
+           CASE gid WHEN 0 THEN 'nat+seg+bal' WHEN 1 THEN 'nat+seg'
+             WHEN 2 THEN 'nat+bal' WHEN 3 THEN 'nat' WHEN 4 THEN 'seg+bal'
+             WHEN 5 THEN 'seg' ELSE 'bal' END AS qi_set,
+           n_classes, n_rows, n_singletons,
+           n_singletons * 10000 // n_rows AS uniq_risk_bp
+         FROM s ORDER BY gid""",
     "q_gov_k_anonymity" ->
       """WITH cust AS (SELECT c_custkey,
              CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
