@@ -121,8 +121,11 @@ class StreamRecoveryOpsSpec extends SparkSpecBase {
     val boom = runStream(in, s"$root/out", s"$root/cp", mode, Some(4L))(build)
     assert(boom.exists(_.getMessage.contains("injected crash")),
       s"expected the injected crash to kill the first run, got $boom")
-    val committed = readBatches(s"$root/out")
-      .agg(max(col("batch_id"))).head.getLong(0)
+    // NULL max = the crash landed before any row was emitted (e.g. the
+    // band join's first pairs only materialize when a right row arrives
+    // post-crash) — still a valid interruption.
+    val committedRow = readBatches(s"$root/out").agg(max(col("batch_id"))).head
+    val committed = if (committedRow.isNullAt(0)) -1L else committedRow.getLong(0)
     assert(committed < 7,
       "crash landed too late to test recovery (all batches committed)")
     assert(runStream(in, s"$root/out", s"$root/cp", mode, None)(build).isEmpty)
@@ -215,14 +218,46 @@ class StreamRecoveryOpsSpec extends SparkSpecBase {
     funnelCase()
   }
 
-  // ---- the same three under RocksDB (the CLUSTER.md 100 TB config) -----
+  // ---- stream-stream band join (buffered two-sided join state) ---------
 
-  test("dedup, SRM, and funnel recovery under RocksDBStateStoreProvider") {
+  private def bandJoinCase(): Unit = {
+    def build(s: DataFrame): DataFrame =
+      EventStream.bandJoin(
+        s.filter(col("event_type").isin("signup", "click")),
+        s.filter(col("event_type") === "purchase"),
+        band = "5 minutes", watermark = "10 minutes")
+    def pairs(df: DataFrame): Seq[(Long, Long, Long, Long)] =
+      df.select("user_id", "l_event_id", "r_event_id", "lag_ms").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+    val (ref, rec) = roundTrip("bandjoin", OutputMode.Append(), build, pairs)
+    assert(rec == ref, s"recovered band join != uninterrupted\nref=$ref\ngot=$rec")
+    // Hand-derived truth: user 0's purchase@5min pairs with its signup@0
+    // (lag exactly at the 5-minute band edge, inclusive) and click@2 —
+    // each TWICE, because the dedup-case input replays those left rows
+    // in batches 3/5 and a stream-stream join does not dedup; the left
+    // rows buffered in batches 0-3 meet a right row arriving at batch 5,
+    // so the buffered join state straddles the batch-4 crash. User 2's
+    // purchase@7min pairs with signup@3 and click@4 (its click@0 is
+    // outside the band).
+    assert(rec == Seq((0L, 0L, 8L, 300000L), (0L, 0L, 8L, 300000L),
+      (0L, 4L, 8L, 180000L), (0L, 4L, 8L, 180000L),
+      (2L, 6L, 10L, 240000L), (2L, 7L, 10L, 180000L)))
+  }
+
+  test("stream-stream band join resumes buffered join state (HDFS)") {
+    bandJoinCase()
+  }
+
+  // ---- the same four under RocksDB (the CLUSTER.md 100 TB config) ------
+
+  test("dedup, SRM, funnel, and band-join recovery under " +
+      "RocksDBStateStoreProvider") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try { dedupCase(); srmCase(); funnelCase() }
+    try { dedupCase(); srmCase(); funnelCase(); bandJoinCase() }
     finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
