@@ -904,12 +904,18 @@ trait RegistryLlmDedup extends RegistryMm {
                 THEN 1 ELSE 0 END) AS BIGINT) AS false_positives
          FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
                           LEFT JOIN bdoc b ON d.doc_id = b.doc_id""",
-    // Brute-force replay of the banded simhash near-dup pass: the 4×16-bit
-    // banding GUARANTEES recall at Hamming ≤ 3 (pigeonhole: 4 bands, ≤3
-    // differing bits ⇒ one band untouched), so bucketed output ==
-    // exhaustive output by construction, not by luck. Fingerprints replay
-    // exactly: md5 high/low 32-bit halves vote ±1 per bit; -9223372036854775807-1
-    // is bit 63 (1<<63 overflows DuckDB's checked shift).
+    // FULL replay of the banded simhash near-dup pass INCLUDING the
+    // maxBucket=1000 hot-bucket cap (round 15: the sf1 oracle sweep
+    // caught the old exhaustive-pairs oracle diverging once 16-bit band
+    // buckets exceed the cap at 50k docs — the cap is the documented
+    // 100 TB contract, so the oracle now replays it: band postings in
+    // over-cap buckets are dropped on BOTH sides). Recall at Hamming ≤ 3
+    // is pigeonhole-guaranteed (4 bands, ≤3 differing bits ⇒ one band
+    // untouched) for docs whose shared band survives the cap.
+    // Fingerprints replay exactly: md5 high/low 32-bit halves vote ±1
+    // per bit; -9223372036854775807-1 is bit 63 (1<<63 overflows
+    // DuckDB's checked shift); (fp >> 16j) & 65535 reads band j of the
+    // signed fp (arithmetic-shift fill sits above the mask).
     "q_llm_simhash_neardup" ->
       """WITH corpus AS (
            SELECT doc_id, text FROM documents
@@ -935,11 +941,21 @@ trait RegistryLlmDedup extends RegistryMm {
                       CASE WHEN j = 63 THEN -9223372036854775807 - 1
                            ELSE (CAST(1 AS BIGINT) << CAST(j AS INT)) END
                       ELSE 0 END) AS BIGINT) AS fp
-                FROM v GROUP BY doc_id)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming_dist
-         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.fp, b.fp)) <= 3
+                FROM v GROUP BY doc_id),
+         bands AS (SELECT doc_id, fp, j AS band_idx,
+                  (fp >> CAST(j * 16 AS INT)) & 65535 AS band_val
+                FROM fp, (SELECT unnest(range(4)) AS j) bj),
+         kept AS (SELECT doc_id, fp, band_idx, band_val FROM (
+                  SELECT *, count(*) OVER (PARTITION BY band_idx, band_val)
+                    AS bn FROM bands) WHERE bn <= 1000),
+         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.fp AS fa, b.fp AS fb
+                FROM kept a JOIN kept b
+                  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                  AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b,
+           CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming_dist
+         FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
          ORDER BY id_a, id_b""",
     "q_llm_exact_dedup" ->
       """WITH all_docs AS (
