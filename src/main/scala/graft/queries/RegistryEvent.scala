@@ -1418,7 +1418,237 @@ trait RegistryEvent extends RegistryTs {
           .as("var_red_bp"))
   }
 
+  /** The k-term pass@k basis-point expression over per-problem (n, c),
+    * emitted ONCE for both engines so the arithmetic cannot drift
+    * (`spark` toggles `div`/DECIMAL(38,0) vs `//`/HUGEINT — the only
+    * dialect differences): C(n−c,k)/C(n,k) telescopes to
+    * Π_{i<k}(n−c−i) / Π_{i<k}(n−i); with n ≤ 40 each k-term product is
+    * ≤ 40·39·…·31 ≈ 3.1e15 (exact in BIGINT), the ×10000 step clears
+    * through the wide cast, and n−c<k short-circuits to the certain
+    * pass (C(n−c,k) = 0). All operands non-negative, so truncating and
+    * flooring division agree. */
+  private def passAtKBp(k: Int, spark: Boolean): String = {
+    val num = (0 until k).map(i => s"(n - c - $i)").mkString(" * ")
+    val den = (0 until k).map(i => s"(n - $i)").mkString(" * ")
+    val cast = if (spark) "DECIMAL(38,0)" else "HUGEINT"
+    val div = if (spark) "div" else "//"
+    s"CAST(CASE WHEN n - c < $k THEN 10000 " +
+      s"ELSE 10000 - (CAST($num AS $cast) * 10000) $div ($den) END " +
+      "AS BIGINT)"
+  }
+
+  /** pass@k — the unbiased combinatorial estimator from the Codex paper
+    * (Chen, Tworek et al. 2021, "Evaluating Large Language Models
+    * Trained on Code", eq. 1): sample n candidate solutions per
+    * problem, count the c that pass, and estimate
+    * pass@k = E[1 − C(n−c,k)/C(n,k)] — the hypergeometric probability
+    * that a size-k draw misses every passing sample, which makes the
+    * naive 1−(1−c/n)^k estimator's bias vanish. THE headline metric of
+    * every code-generation eval harness, and a pure integer ratio, so
+    * it oracle-checks exactly. Mapping: problems ⇔ users, trials ⇔ the
+    * user's first 40 events under the deterministic (ts, event_id)
+    * order (the paper likewise fixes n per problem; the cap also keeps
+    * every factorial product exact — see [[passAtKBp]]), a trial
+    * passes when its cent grain clears 10 000. Problems with fewer
+    * than 10 trials are excluded so k = 10 stays well-defined. Scale
+    * shape: one user-keyed window pass caps trials, one groupBy
+    * reduces the corpus to user grain, and the k ∈ {1, 5, 10} fan is a
+    * 3-way stack of that bounded relation — no joins, no skew. */
+  protected def llmPassAtK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trials = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 40)
+    val probs = trials.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") >= 10000L, 1L).otherwise(0L)).as("c"))
+      .filter(col("n") >= 10)
+    probs
+      .select(col("user_id"), col("n"), col("c"),
+        expr(passAtKBp(1, spark = true)).as("p1"),
+        expr(passAtKBp(5, spark = true)).as("p5"),
+        expr(passAtKBp(10, spark = true)).as("p10"))
+      .select(expr("stack(3, CAST(1 AS BIGINT), p1, CAST(5 AS BIGINT), " +
+        "p5, CAST(10 AS BIGINT), p10) AS (k, bp)"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_problems"), sum(col("bp")).as("s"),
+        min(col("bp")).as("min_bp"), max(col("bp")).as("max_bp"))
+      .select(col("k"), col("n_problems"),
+        expr("s div n_problems").as("mean_bp"),
+        col("min_bp"), col("max_bp"))
+      .orderBy("k")
+  }
+
+  /** Bradley–Terry pairwise-preference ranking (Bradley & Terry 1952)
+    * fit by Hunter's MM algorithm (Hunter 2004, "MM algorithms for
+    * generalized Bradley-Terry models", the update
+    * wᵢ ← Wᵢ / Σ_j n_ij/(wᵢ+w_j)) — the model Chatbot-Arena-style LLM
+    * eval (Chiang et al. 2024) uses to turn pairwise battles into a
+    * leaderboard. Battles: consecutive event pairs per user under the
+    * deterministic (ts, event_id) order where the types differ and the
+    * cent grains differ — the higher grain wins (equal grains are
+    * ties and skipped, as in the arena). Exactness: the corpus reduces
+    * to a ≤ T² win/battle matrix (T = battle-observed event types,
+    * required ≤ 12 — the Shapley driver-fold precedent), then 20 MM
+    * iterations run on the integer micro grid with truncating division
+    * and a sum-normalization to T·10⁶ per iteration; the oracle
+    * replays the same 20 iterations as generated CTE pairs over
+    * HUGEINT, so both engines walk bit-identical score trajectories —
+    * no convergence tolerance anywhere. A zero MM denominator (every
+    * opponent share truncates to 0 — tiny fixtures) keeps the previous
+    * score on both sides. Scale shape: ONE user-keyed window pass
+    * builds battles, one groupBy reduces to the bounded matrix, and
+    * the driver fold is O(T²·iterations) — corpus size only ever
+    * enters through the matrix counts. */
+  protected def eBtArena(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("a"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("va"))
+    val counts = ev
+      .withColumn("b", lead(col("a"), 1).over(w))
+      .withColumn("vb", lead(col("va"), 1).over(w))
+      .filter(col("b").isNotNull && col("a") =!= col("b")
+        && col("va") =!= col("vb"))
+      .select(
+        when(col("va") > col("vb"), col("a")).otherwise(col("b"))
+          .as("winner"),
+        when(col("va") > col("vb"), col("b")).otherwise(col("a"))
+          .as("loser"))
+      .groupBy("winner", "loser").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val types = counts.keys.flatMap { case (a, b) => Seq(a, b) }
+      .toSeq.distinct.sorted
+    if (types.isEmpty)
+      return Seq.empty[(String, Long, Long, Long, Long)]
+        .toDF("event_type", "n_battles", "wins", "bt_micro", "bt_rank")
+    require(types.size <= 12,
+      s"bt arena: ${types.size} battle types exceed the bounded-universe " +
+        "contract (<= 12) the T^2 driver matrix assumes")
+    val m = types.size
+    val idx = types.zipWithIndex.toMap
+    val nij = Array.ofDim[Long](m, m)
+    val wins = Array.fill(m)(0L)
+    counts.foreach { case ((wn, ls), c) =>
+      val i = idx(wn); val j = idx(ls)
+      nij(i)(j) += c; nij(j)(i) += c; wins(i) += c
+    }
+    var wv: IndexedSeq[BigInt] = IndexedSeq.fill(m)(BigInt(1000000))
+    for (_ <- 1 to 20) {
+      val raw = (0 until m).map { i =>
+        val den = (0 until m).iterator
+          .filter(j => j != i && nij(i)(j) > 0)
+          .map(j => (BigInt(nij(i)(j)) * 1000000) / (wv(i) + wv(j))).sum
+        if (den == 0) wv(i) else (BigInt(wins(i)) * 1000000) / den
+      }
+      val s = raw.sum
+      require(s > 0, "bt arena: all scores collapsed to zero")
+      wv = raw.map(r => (r * m * 1000000) / s)
+    }
+    val ranked = types.indices
+      .sortBy(i => (-wv(i).toLong, types(i)))
+      .zipWithIndex
+      .map { case (i, r) =>
+        (types(i), nij(i).sum, wins(i), wv(i).toLong, r + 1L)
+      }
+    ranked.toDF("event_type", "n_battles", "wins", "bt_micro", "bt_rank")
+      .orderBy("bt_rank")
+  }
+
+  /** Generated DuckDB replay for [[eBtArena]]: the battle window, the
+    * symmetric matrix, then 20 unrolled (raw, normalize) CTE pairs with
+    * the identical HUGEINT truncating arithmetic. */
+  protected def btArenaOracle: String = {
+    val iters = (1 to 20).map { t =>
+      val prev = if (t == 1) "it0" else s"it${t - 1}"
+      s"""r$t AS MATERIALIZED (SELECT a.i,
+             CASE WHEN coalesce(d.den, 0) = 0 THEN a.w
+                  ELSE (CAST(wn.wins AS HUGEINT) * 1000000) // d.den
+             END AS w
+           FROM $prev a JOIN wn ON wn.i = a.i
+           LEFT JOIN (SELECT s.i,
+               SUM((CAST(s.n AS HUGEINT) * 1000000) // (wi.w + wj.w))
+                 AS den
+             FROM sy s JOIN $prev wi ON s.i = wi.i
+             JOIN $prev wj ON s.j = wj.i
+             GROUP BY s.i) d ON d.i = a.i),
+         it$t AS MATERIALIZED (SELECT i,
+             (w * (SELECT m FROM mm) * 1000000)
+               // (SELECT SUM(w) FROM r$t) AS w
+           FROM r$t)"""
+    }.mkString(",\n         ")
+    s"""WITH ev AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+             event_type AS a,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS va
+           FROM events),
+         nx AS (SELECT a, va,
+             lead(a) OVER (PARTITION BY user_id ORDER BY tsn, event_id)
+               AS b,
+             lead(va) OVER (PARTITION BY user_id ORDER BY tsn, event_id)
+               AS vb
+           FROM ev),
+         bt AS (SELECT CASE WHEN va > vb THEN a ELSE b END AS winner,
+             CASE WHEN va > vb THEN b ELSE a END AS loser
+           FROM nx WHERE b IS NOT NULL AND a <> b AND va <> vb),
+         wl AS MATERIALIZED (SELECT winner, loser,
+             CAST(count(*) AS BIGINT) AS n
+           FROM bt GROUP BY 1, 2),
+         sym AS (SELECT winner AS i, loser AS j, n FROM wl
+           UNION ALL SELECT loser, winner, n FROM wl),
+         sy AS MATERIALIZED (SELECT i, j, CAST(sum(n) AS BIGINT) AS n
+           FROM sym GROUP BY 1, 2),
+         uni AS MATERIALIZED (SELECT DISTINCT i FROM sym),
+         wn AS MATERIALIZED (SELECT u.i,
+             CAST(coalesce(ww.c, 0) AS BIGINT) AS wins
+           FROM uni u LEFT JOIN (SELECT winner AS i,
+               CAST(sum(n) AS BIGINT) AS c FROM wl GROUP BY 1) ww
+             ON ww.i = u.i),
+         mm AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS m
+           FROM uni),
+         it0 AS MATERIALIZED (SELECT i, CAST(1000000 AS HUGEINT) AS w
+           FROM uni),
+         $iters
+         SELECT t.i AS event_type, nb.n_battles, wn.wins,
+           CAST(t.w AS BIGINT) AS bt_micro,
+           CAST(row_number() OVER (ORDER BY t.w DESC, t.i) AS BIGINT)
+             AS bt_rank
+         FROM it20 t JOIN wn ON wn.i = t.i
+         JOIN (SELECT i, CAST(sum(n) AS BIGINT) AS n_battles
+           FROM sy GROUP BY 1) nb ON nb.i = t.i
+         ORDER BY bt_rank"""
+  }
+
   protected val eventOracleSql: ListMap[String, String] = ListMap(
+    "q_e_bt_arena" -> btArenaOracle,
+    "q_llm_pass_at_k" ->
+      s"""WITH tr AS (SELECT user_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_ns(ts), event_id) AS rn
+           FROM events),
+         pr AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN v >= 10000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c
+           FROM tr WHERE rn <= 40 GROUP BY 1 HAVING count(*) >= 10),
+         pk AS (
+           SELECT CAST(1 AS BIGINT) AS k,
+             ${passAtKBp(1, spark = false)} AS bp FROM pr
+           UNION ALL SELECT CAST(5 AS BIGINT),
+             ${passAtKBp(5, spark = false)} FROM pr
+           UNION ALL SELECT CAST(10 AS BIGINT),
+             ${passAtKBp(10, spark = false)} FROM pr)
+         SELECT k, CAST(count(*) AS BIGINT) AS n_problems,
+           CAST(CAST(sum(bp) AS HUGEINT) // count(*) AS BIGINT) AS mean_bp,
+           CAST(min(bp) AS BIGINT) AS min_bp,
+           CAST(max(bp) AS BIGINT) AS max_bp
+         FROM pk GROUP BY k ORDER BY k""",
     "q_e_events_summary" ->
       """SELECT event_type, count(*) AS n,
            CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_value,
