@@ -1482,6 +1482,129 @@ trait RegistryEvent extends RegistryTs {
       .orderBy("k")
   }
 
+  /** The bandit arms: the canonical channel universe plus the
+    * conversion type — a FIXED sorted list shared by the Spark plan and
+    * the generated oracle (the [[markovCanonicalChannels]] contract),
+    * so the per-arm conditional windows and the argmax CASE chain are
+    * generated identically on both sides. */
+  protected val banditArms: Seq[String] =
+    (markovCanonicalChannels :+ "purchase").sorted
+
+  /** Offline bandit policy evaluation by REPLAY (Li, Chu, Langford &
+    * Wang 2011, "Unbiased offline evaluation of contextual-bandit-based
+    * news article recommendation algorithms", WSDM — the estimator:
+    * walk the logged stream, keep exactly the rows where the candidate
+    * policy picks the logged arm, and average their rewards): the
+    * candidate is a per-user greedy policy with optimistic cold start —
+    * at each logged event it picks the arm with the highest exact
+    * running success rate over that user's PRIOR events (unpulled arms
+    * rank above every pulled one via a 2·10⁶ sentinel > any real 10⁶
+    * mean; ties break to the lexicographically smallest arm). Reward =
+    * the cent grain clearing 10 000. Everything is integer (the mean is
+    * suc·10⁶ div cnt on non-negative operands), so the replay set — not
+    * just the estimate — is bit-identical across engines. Scale shape:
+    * ONE user-keyed window pass computes all 2·|arms| running sums
+    * (shared frame, one shuffle), and the aggregate is a 5-row
+    * groupBy; per-user policy state never leaves the window. */
+  protected def eBanditReplay(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val arms = banditArms
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        expr("CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) >= 10000 " +
+          "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END").as("r"))
+    val observed = ev.select(col("event_type")).distinct()
+      .orderBy("event_type").collect().map(_.getString(0))
+    val extra = observed.toSet -- arms
+    require(extra.isEmpty,
+      s"bandit replay: observed arms ${extra.mkString(",")} outside the " +
+        s"canonical universe ${arms.mkString("{", ",", "}")} the policy " +
+        "CASE chain is generated over - extend banditArms")
+    val withStats = arms.zipWithIndex.foldLeft(ev) { case (df, (a, i)) =>
+      df.withColumn(s"c$i", coalesce(
+          sum(when(col("event_type") === a, 1L).otherwise(0L)).over(w),
+          lit(0L)))
+        .withColumn(s"s$i", coalesce(
+          sum(when(col("event_type") === a, col("r")).otherwise(0L)).over(w),
+          lit(0L)))
+    }
+    val meanExprs = arms.indices.map(i =>
+      s"CASE WHEN c$i = 0 THEN CAST(2000000 AS BIGINT) " +
+        s"ELSE s$i * 1000000 div c$i END AS m$i")
+    val best = arms.indices.map(i => s"m$i").mkString("greatest(", ", ", ")")
+    val pick = arms.zipWithIndex
+      .map { case (a, i) => s"WHEN m$i = best THEN '$a'" }
+      .mkString("CASE ", " ", " END")
+    withStats
+      .selectExpr(Seq("event_type", "r") ++ meanExprs: _*)
+      .withColumn("best", expr(best))
+      .withColumn("pick", expr(pick))
+      .groupBy(col("event_type").as("arm"))
+      .agg(count(lit(1)).as("n_logged"),
+        sum(when(col("pick") === col("event_type"), 1L).otherwise(0L))
+          .as("n_matched"),
+        sum(when(col("pick") === col("event_type"), col("r")).otherwise(0L))
+          .as("matched_successes"))
+      .select(col("arm"), col("n_logged"), col("n_matched"),
+        col("matched_successes"),
+        expr("n_matched * 10000 div n_logged").as("match_rate_bp"),
+        expr("CASE WHEN n_matched = 0 THEN CAST(-1 AS BIGINT) " +
+          "ELSE matched_successes * 10000 div n_matched END").as("est_bp"))
+      .orderBy("arm")
+  }
+
+  /** Generated DuckDB replay for [[eBanditReplay]]: the identical
+    * per-arm conditional running windows, sentinel means, argmax CASE
+    * chain, and replay aggregate over [[banditArms]]. */
+  protected def banditReplayOracle: String = {
+    val arms = banditArms
+    val stats = arms.zipWithIndex.map { case (a, i) =>
+      s"""coalesce(CAST(sum(CASE WHEN event_type = '$a' THEN 1 ELSE 0 END)
+             OVER uw AS BIGINT), 0) AS c$i,
+           coalesce(CAST(sum(CASE WHEN event_type = '$a' THEN r ELSE 0 END)
+             OVER uw AS BIGINT), 0) AS s$i"""
+    }.mkString(",\n           ")
+    val means = arms.indices.map(i =>
+      s"CASE WHEN c$i = 0 THEN CAST(2000000 AS BIGINT) " +
+        s"ELSE s$i * 1000000 // c$i END AS m$i").mkString(",\n           ")
+    val best = arms.indices.map(i => s"m$i").mkString("greatest(", ", ", ")")
+    val pick = arms.zipWithIndex
+      .map { case (a, i) => s"WHEN m$i = best THEN '$a'" }
+      .mkString("CASE ", " ", " END")
+    s"""WITH ev AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+             event_type,
+             CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) >= 10000
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS r
+           FROM events),
+         st AS (SELECT event_type, r,
+           $stats
+           FROM ev WINDOW uw AS (PARTITION BY user_id
+             ORDER BY tsn, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         mn AS (SELECT event_type, r,
+           $means
+           FROM st),
+         pk AS (SELECT event_type, r, $pick AS pick
+           FROM (SELECT *, $best AS best FROM mn))
+         SELECT event_type AS arm, CAST(count(*) AS BIGINT) AS n_logged,
+           CAST(sum(CASE WHEN pick = event_type THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_matched,
+           CAST(sum(CASE WHEN pick = event_type THEN r ELSE 0 END)
+             AS BIGINT) AS matched_successes,
+           CAST(sum(CASE WHEN pick = event_type THEN 1 ELSE 0 END)
+             AS BIGINT) * 10000
+             // CAST(count(*) AS BIGINT) AS match_rate_bp,
+           CASE WHEN sum(CASE WHEN pick = event_type THEN 1 ELSE 0 END) = 0
+                THEN CAST(-1 AS BIGINT)
+                ELSE CAST(sum(CASE WHEN pick = event_type THEN r ELSE 0 END)
+                  AS BIGINT) * 10000
+                  // CAST(sum(CASE WHEN pick = event_type THEN 1 ELSE 0 END)
+                    AS BIGINT) END AS est_bp
+         FROM pk GROUP BY 1 ORDER BY arm"""
+  }
+
   /** Bradley–Terry pairwise-preference ranking (Bradley & Terry 1952)
     * fit by Hunter's MM algorithm (Hunter 2004, "MM algorithms for
     * generalized Bradley-Terry models", the update
@@ -1627,6 +1750,7 @@ trait RegistryEvent extends RegistryTs {
 
   protected val eventOracleSql: ListMap[String, String] = ListMap(
     "q_e_bt_arena" -> btArenaOracle,
+    "q_e_bandit_replay" -> banditReplayOracle,
     "q_llm_pass_at_k" ->
       s"""WITH tr AS (SELECT user_id,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,

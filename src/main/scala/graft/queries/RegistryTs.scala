@@ -675,7 +675,100 @@ trait RegistryTs extends RegistryStats {
       .orderBy("event_type")
   }
 
+  /** Classical seasonal decomposition by moving averages (Macaulay
+    * 1931; the `decompose()` of every stats package, and the
+    * fixed-window ancestor of STL, Cleveland et al. 1990): per event
+    * type, the daily count series splits into trend (centered 7-day
+    * moving average over consecutive OBSERVED days, defined only where
+    * the full window exists), seasonal (per-day-of-week mean of the
+    * detrended series), and remainder. Exactness: trend is the integer
+    * (Σx)·10⁶ div 7 on non-negative counts; the seasonal mean is the
+    * ONE signed division (detrended values go negative below trend) so
+    * it gets the truncate-vs-floor sign split both engines agree on;
+    * remainder health is reported as mean ABSOLUTE deviation — no
+    * squares, so nothing approaches the 64-bit cliff even at hot-key
+    * sf1 magnitudes. Scale shape: the corpus reduces once to
+    * (type, day) bins; the ±3-row trend window, the dow groupBy, and
+    * the MAD aggregate all run on that bounded day-grain relation
+    * partitioned by event_type. */
+  protected def tsDecompose(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"), expr(s"ts div $dayNs").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("dow", expr("(day + 4) % 7"))
+    val w7 = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-3, 3)
+    val tr = daily
+      .withColumn("s7", sum(col("x")).over(w7))
+      .withColumn("c7", count(lit(1)).over(w7))
+      .withColumn("n_days",
+        count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("c7") === 7)
+      .withColumn("trend_micro", expr("s7 * 1000000 div 7"))
+      .withColumn("d", expr("x * 1000000 - trend_micro"))
+    val seas = tr.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_days_dow"), sum(col("d")).as("sd"),
+        max(col("n_days")).as("n_days"))
+      .withColumn("seasonal_micro", expr(
+        "CASE WHEN sd < 0 THEN -((-sd) div n_days_dow) " +
+          "ELSE sd div n_days_dow END"))
+    val rem = tr
+      .join(seas.select(col("event_type"), col("dow"),
+        col("seasonal_micro").as("sm")), Seq("event_type", "dow"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_trend_days"),
+        sum(abs(col("d") - col("sm"))).as("sabs"))
+      .select(col("event_type"), col("n_trend_days"),
+        expr("sabs div n_trend_days").as("rem_mad_micro"))
+    seas
+      .join(rem, Seq("event_type"))
+      .select(col("event_type"), col("dow").cast("long").as("dow"),
+        col("n_days_dow"), col("seasonal_micro"),
+        col("n_days").cast("long").as("n_days"), col("n_trend_days"),
+        col("rem_mad_micro"))
+      .orderBy("event_type", "dow")
+  }
+
   protected val tsOracleSql: ListMap[String, String] = ListMap(
+    "q_ts_decompose" ->
+      """WITH daily AS (SELECT event_type,
+             epoch_ns(ts) // 86400000000000 AS day,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         d2 AS (SELECT *, (day + 4) % 7 AS dow,
+             CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS s7,
+             count(*) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n_days
+           FROM daily),
+         tr AS (SELECT event_type, day, dow, x, n_days,
+             s7 * 1000000 // 7 AS trend_micro,
+             x * 1000000 - s7 * 1000000 // 7 AS d
+           FROM d2 WHERE c7 = 7),
+         seas AS (SELECT event_type, dow,
+             CAST(count(*) AS BIGINT) AS n_days_dow,
+             CAST(sum(d) AS BIGINT) AS sd,
+             CAST(max(n_days) AS BIGINT) AS n_days
+           FROM tr GROUP BY 1, 2),
+         s2 AS (SELECT *, CASE WHEN sd < 0
+               THEN -((-sd) // n_days_dow)
+               ELSE sd // n_days_dow END AS seasonal_micro
+           FROM seas),
+         rem AS (SELECT tr.event_type,
+             CAST(count(*) AS BIGINT) AS n_trend_days,
+             CAST(sum(abs(tr.d - s2.seasonal_micro)) AS BIGINT) AS sabs
+           FROM tr JOIN s2 ON tr.event_type = s2.event_type
+             AND tr.dow = s2.dow
+           GROUP BY 1)
+         SELECT s2.event_type, CAST(s2.dow AS BIGINT) AS dow,
+           s2.n_days_dow, s2.seasonal_micro, s2.n_days,
+           rem.n_trend_days, sabs // n_trend_days AS rem_mad_micro
+         FROM s2 JOIN rem ON s2.event_type = rem.event_type
+         ORDER BY s2.event_type, dow""",
     "q_ts_sax" ->
       """WITH daily AS (SELECT event_type,
              epoch_ns(ts) // 86400000000000 AS day,
