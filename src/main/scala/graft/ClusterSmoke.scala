@@ -74,7 +74,12 @@ object ClusterSmoke {
     "q_llm_bpe", "q_llm_compress_ratio", "q_llm_decontaminate",
     "q_llm_pii_scrub", "q_llm_cdc_chunks", "q_llm_ngram_jaccard",
     "q_llm_langid", "q_llm_ann_pq", "q_layout_hilbert",
-    "q_llm_er_linkage", "q_llm_nfc")
+    "q_llm_er_linkage", "q_llm_nfc",
+    // round-15 additions: generated CASE-chain windows (bandit), the
+    // driver-fold reductions (bt arena), the k-term combinatorics
+    // (pass@k), and the signed seasonal split (decompose)
+    "q_llm_pass_at_k", "q_e_bt_arena", "q_e_bandit_replay",
+    "q_ts_decompose")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -138,20 +138,24 @@ object PageRank {
   def oracleSql(edgesSql: String, iterations: Int = 10,
                 damping: Double = 0.85): String = {
     val body = new StringBuilder
-    body ++= s"""WITH e AS ($edgesSql),
-      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-      n_cte AS (SELECT COUNT(*) AS n FROM nodes),
-      outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
-      r0 AS (SELECT node, CAST(1.0 AS DOUBLE)/(SELECT n FROM n_cte) AS rank FROM nodes)"""
+    // MATERIALIZED everywhere: DuckDB inlines plain CTEs once per
+    // reference, so without it `e`'s DISTINCT/UNION re-runs inside every
+    // iteration's join and the concurrent hash tables spill tens of GB
+    // at sf1 (the Katz/Hits/Closeness generators always did this).
+    body ++= s"""WITH e AS MATERIALIZED ($edgesSql),
+      nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      n_cte AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+      outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+      r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE)/(SELECT n FROM n_cte) AS rank FROM nodes)"""
     // Every fractional literal is CAST(... AS DOUBLE): DuckDB parses bare
     // 0.85 as DECIMAL(3,2), which would silently switch the arithmetic to
     // decimal and break bit-lockstep with the Scala double math.
     for (i <- 1 to iterations) {
       body ++= s""",
-      c$i AS (SELECT e.dst, SUM(CAST(FLOOR(r.rank / outdeg.outdeg * 1e12 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS in_units
+      c$i AS MATERIALIZED (SELECT e.dst, SUM(CAST(FLOOR(r.rank / outdeg.outdeg * 1e12 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS in_units
               FROM r${i - 1} r JOIN outdeg ON r.node = outdeg.src JOIN e ON e.src = outdeg.src
               GROUP BY e.dst),
-      r$i AS (SELECT nodes.node,
+      r$i AS MATERIALIZED (SELECT nodes.node,
                 (CAST(1.0 AS DOUBLE) - CAST($damping AS DOUBLE))/(SELECT n FROM n_cte)
                   + CAST($damping AS DOUBLE) * (COALESCE(c$i.in_units, 0) / 1e12) AS rank
               FROM nodes LEFT JOIN c$i ON nodes.node = c$i.dst)"""

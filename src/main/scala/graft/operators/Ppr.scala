@@ -106,22 +106,24 @@ object Ppr {
   def oracleSql(edgesSql: String, seedPredSql: String, iterations: Int = 10,
                 damping: Double = 0.85): String = {
     val body = new StringBuilder
-    body ++= s"""WITH e AS ($edgesSql),
-      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-      s_cte AS (SELECT COUNT(*) AS ns FROM nodes WHERE $seedPredSql),
-      outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
-      r0 AS (SELECT node,
+    // MATERIALIZED everywhere — see PageRank.oracleSql: plain CTEs
+    // re-inline per reference and spill at sf1.
+    body ++= s"""WITH e AS MATERIALIZED ($edgesSql),
+      nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      s_cte AS MATERIALIZED (SELECT COUNT(*) AS ns FROM nodes WHERE $seedPredSql),
+      outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+      r0 AS MATERIALIZED (SELECT node,
                CASE WHEN $seedPredSql
                  THEN CAST(1.0 AS DOUBLE)/(SELECT ns FROM s_cte)
                  ELSE CAST(0.0 AS DOUBLE) END AS rank
              FROM nodes)"""
     for (i <- 1 to iterations) {
       body ++= s""",
-      c$i AS (SELECT e.dst, SUM(CAST(FLOOR(r.rank / outdeg.outdeg * 1e12 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS in_units
+      c$i AS MATERIALIZED (SELECT e.dst, SUM(CAST(FLOOR(r.rank / outdeg.outdeg * 1e12 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS in_units
               FROM r${i - 1} r JOIN outdeg ON r.node = outdeg.src JOIN e ON e.src = outdeg.src
               WHERE r.rank <> 0
               GROUP BY e.dst),
-      r$i AS (SELECT nodes.node,
+      r$i AS MATERIALIZED (SELECT nodes.node,
                 (CASE WHEN $seedPredSql
                    THEN (CAST(1.0 AS DOUBLE) - CAST($damping AS DOUBLE))/(SELECT ns FROM s_cte)
                    ELSE CAST(0.0 AS DOUBLE) END)

@@ -82,17 +82,17 @@ object WeightedPageRank {
     body ++= s"""WITH e0 AS ($edgesSql),
       e AS MATERIALIZED (
         SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM e0 GROUP BY src, dst),
-      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-      n_cte AS (SELECT COUNT(*) AS n FROM nodes),
-      wdeg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wdeg FROM e GROUP BY src),
-      r0 AS (SELECT node, CAST(1.0 AS DOUBLE)/(SELECT n FROM n_cte) AS rank FROM nodes)"""
+      nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      n_cte AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+      wdeg AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS wdeg FROM e GROUP BY src),
+      r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE)/(SELECT n FROM n_cte) AS rank FROM nodes)"""
     for (i <- 1 to iterations) {
       body ++= s""",
-      c$i AS (SELECT e.dst,
+      c$i AS MATERIALIZED (SELECT e.dst,
                 SUM(CAST(FLOOR(r.rank * e.w / wdeg.wdeg * 1e12 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS in_units
               FROM r${i - 1} r JOIN wdeg ON r.node = wdeg.src JOIN e ON e.src = wdeg.src
               GROUP BY e.dst),
-      r$i AS (SELECT nodes.node,
+      r$i AS MATERIALIZED (SELECT nodes.node,
                 (CAST(1.0 AS DOUBLE) - CAST($damping AS DOUBLE))/(SELECT n FROM n_cte)
                   + CAST($damping AS DOUBLE) * (COALESCE(c$i.in_units, 0) / 1e12) AS rank
               FROM nodes LEFT JOIN c$i ON nodes.node = c$i.dst)"""

@@ -192,6 +192,69 @@ object EventStream {
       }
   }
 
+  final case class BanditEv(user_id: Long, ts_ns: Long, event_id: Long,
+                            event_type: String, r: Long)
+  final case class BanditState(cnt: Seq[Long], suc: Seq[Long],
+                               logged: Seq[Long], matched: Seq[Long],
+                               msuc: Seq[Long])
+  final case class BanditReport(user_id: Long, logged: Seq[Long],
+                                matched: Seq[Long], msuc: Seq[Long])
+
+  /** Streaming twin of the batch `q_e_bandit_replay` (Li et al. 2011
+    * replay evaluation of a per-user greedy policy with optimistic cold
+    * start): per-user state carries the per-arm (pulls, successes) the
+    * policy consults plus the per-arm (logged, matched,
+    * matched-successes) replay counters — 5·|arms| longs per user
+    * FOREVER, the bound that makes an unbounded exposure feed safe. The
+    * decision rule is the IDENTICAL integer arithmetic the batch CASE
+    * chain evaluates (sentinel 2·10⁶ for unpulled arms, exact
+    * suc·10⁶/cnt truncating means, first-arm-in-sorted-order
+    * tie-break), and stats update AFTER the decision — prior-events
+    * only, the batch window's [unbounded preceding, 1 preceding] frame
+    * — so under in-order arrival the streamed replay set equals the
+    * batch one row for row (spec pins final per-arm aggregates ==
+    * the batch query across real micro-batch boundaries). */
+  def streamingBanditReplay(events: Dataset[BanditEv], arms: Seq[String])
+      : Dataset[BanditReport] = {
+    import events.sparkSession.implicits._
+    require(arms.nonEmpty && arms == arms.sorted,
+      "bandit stream: arms must be the sorted canonical universe so the " +
+        "tie-break matches the batch CASE chain")
+    val m = arms.size
+    val armIdx = arms.zipWithIndex.toMap
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[BanditState, BanditReport](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[BanditState]) =>
+          val st = state.getOption.getOrElse(BanditState(
+            Seq.fill(m)(0L), Seq.fill(m)(0L), Seq.fill(m)(0L),
+            Seq.fill(m)(0L), Seq.fill(m)(0L)))
+          val cnt = st.cnt.toArray
+          val suc = st.suc.toArray
+          val logged = st.logged.toArray
+          val matched = st.matched.toArray
+          val msuc = st.msuc.toArray
+          rows.toSeq.sortBy(e => (e.ts_ns, e.event_id)).foreach { e =>
+            val a = armIdx.getOrElse(e.event_type,
+              throw new IllegalArgumentException(
+                s"bandit stream: logged arm '${e.event_type}' outside " +
+                  s"the canonical universe ${arms.mkString("{", ",", "}")}"))
+            // (mean, -index) max == highest mean, smallest arm on ties.
+            val pick = (0 until m).maxBy(i =>
+              (if (cnt(i) == 0) 2000000L else suc(i) * 1000000L / cnt(i),
+                -i))
+            if (pick == a) { matched(a) += 1; msuc(a) += e.r }
+            logged(a) += 1
+            cnt(a) += 1
+            suc(a) += e.r
+          }
+          val ns = BanditState(cnt.toSeq, suc.toSeq, logged.toSeq,
+            matched.toSeq, msuc.toSeq)
+          state.update(ns)
+          BanditReport(uid, ns.logged, ns.matched, ns.msuc)
+      }
+  }
+
   final case class TopKRow(group: String, item: String)
   final case class TopKReport(group: String, items: Seq[String],
                               counts: Seq[Long], err: Long)
