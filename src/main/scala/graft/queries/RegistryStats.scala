@@ -1547,7 +1547,72 @@ trait RegistryStats extends RegistryAgg {
       .orderBy("nat")
   }
 
+  /** Hodges–Lehmann pseudomedian (Hodges & Lehmann 1963, "Estimates of
+    * location based on rank tests" — the location estimator dual to the
+    * Wilcoxon signed-rank test [[statsSignedRank]] pins: the median of
+    * all Walsh averages (xᵢ+xⱼ)/2, i ≤ j, with ~29% breakdown and near
+    *-full efficiency at the normal): per event type over the daily
+    * cent-sum series. Exactness: Walsh SUMS stay integer (halving is
+    * deferred), the two middle order statistics are rank-selected from
+    * the sorted sums — duplicate sums are harmless because the k-th
+    * order VALUE of a multiset needs no tie-break — and the final
+    * milli-unit estimate is (lo+hi)·250, exactly (lo+hi)/4·1000. Scale
+    * shape: the corpus reduces once to (type, day) bins; the pairwise
+    * self-join is O(days²) per type — bounded by the CALENDAR, not the
+    * corpus (31 days → 496 Walsh sums), the same day-grain contract as
+    * the signed-rank/runs tests. */
+  protected def statsHodgesLehmann(spark: SparkSession, dir: String)
+  : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"), expr(s"ts div $dayNs").as("day"))
+      .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("x"))
+    val pr = daily.as("a")
+      .join(daily.as("b"), col("a.event_type") === col("b.event_type")
+        && col("a.day") <= col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        (col("a.x") + col("b.x")).as("ws"))
+    pr.withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy("ws")))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(max(col("m")).as("n_pairs"),
+        max(when(col("rk") === expr("(m + 1) div 2"), col("ws")))
+          .as("hl_lo"),
+        max(when(col("rk") === expr("(m + 2) div 2"), col("ws")))
+          .as("hl_hi"))
+      .select(col("event_type"), col("n_pairs"), col("hl_lo"),
+        col("hl_hi"),
+        expr("(hl_lo + hl_hi) * 250").as("hl_milli"))
+      .orderBy("event_type")
+  }
+
   protected val statsOracleSql: ListMap[String, String] = ListMap(
+    "q_stats_hodges_lehmann" ->
+      """WITH daily AS (SELECT event_type,
+             epoch_ns(ts) // 86400000000000 AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS x
+           FROM events GROUP BY 1, 2),
+         pr AS (SELECT a.event_type, a.x + b.x AS ws
+           FROM daily a JOIN daily b
+             ON a.event_type = b.event_type AND a.day <= b.day),
+         rk AS (SELECT event_type, ws,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY ws)
+               AS BIGINT) AS rk,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+           FROM pr)
+         SELECT event_type, CAST(max(m) AS BIGINT) AS n_pairs,
+           CAST(max(CASE WHEN rk = (m + 1) // 2 THEN ws END) AS BIGINT)
+             AS hl_lo,
+           CAST(max(CASE WHEN rk = (m + 2) // 2 THEN ws END) AS BIGINT)
+             AS hl_hi,
+           CAST((max(CASE WHEN rk = (m + 1) // 2 THEN ws END)
+             + max(CASE WHEN rk = (m + 2) // 2 THEN ws END)) * 250
+             AS BIGINT) AS hl_milli
+         FROM rk GROUP BY 1 ORDER BY event_type""",
     "q_stats_eb_shrink" ->
       """WITH act AS (SELECT CAST(c_nationkey AS BIGINT) AS nat,
              CAST(count(*) AS BIGINT) AS x
