@@ -171,6 +171,35 @@ object Multimodal {
     out.array()
   }
 
+  /** [[encodeWav]] sibling with a BUSY deterministic waveform: sample
+    * i = (i² + seed) mod 256. The linear ramp [[encodeWav]] emits is
+    * shift-invariant across seeds (clip B is clip A time-shifted), which
+    * would make every clip pair a spurious landmark match; the quadratic
+    * residue pattern has jagged consecutive diffs ((2i+1) mod 256), so
+    * frame energies peak densely and only genuinely identical clips
+    * align. Same real 8-bit-unsigned mono PCM container — the decode
+    * path stays the true `javax.sound.sampled` parse. */
+  def encodeWavSq(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(44 + nSamples)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + nSamples)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)
+      .putShort(1.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate)
+      .putShort(1.toShort)
+      .putShort(8.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(nSamples)
+    var i = 0
+    while (i < nSamples) {
+      out.put(java.lang.Math.floorMod(i.toLong * i + seed, 256L).toByte)
+      i += 1
+    }
+    out.array()
+  }
+
   /** REAL audio decode via JDK `javax.sound.sampled` (headless-safe: file
     * parsing needs no audio device): true (sampleRate, channels, frame
     * count, sum of unsigned 8-bit samples). None if the payload is not a

@@ -329,7 +329,119 @@ trait RegistryMm extends RegistryGraph {
       .orderBy("media_id")
   }
 
+  /** Audio duplicate detection by LANDMARK FINGERPRINTING (Wang 2003,
+    * "An industrial-strength audio search algorithm" — the Shazam
+    * constellation: energy peaks become anchor points, nearby peak
+    * pairs hash to (e₁, e₂, Δt) landmarks, and a true match is a set of
+    * shared landmarks COHERENT at one time offset, scored by offset
+    * votes): clips are REAL WAV decodes ([[graft.llm.Multimodal
+    * .encodeWavSq]] synthesizes the busy deterministic waveform, the
+    * JDK sound stack parses it back), doc_id < 30 get bit-identical
+    * twins at +10000 — the planted duplicates the join must find at
+    * offset 0. Frames of 10 samples → strict-local-max peaks over 600
+    * → fan-out-1 landmarks (each peak pairs with its successor within
+    * 8 frames) → hash (e₁·2048 + e₂)·16 + Δt (exact energies: the
+    * deterministic-replay variant; production would band e for noise
+    * robustness) → hot-hash cap 200 (the minhash maxBucket contract —
+    * a boilerplate landmark cannot quadratically blow up the join) →
+    * per-(pair, offset) votes, best offset per pair by (votes desc,
+    * offset), report pairs with ≥ 3 coherent votes. All integer; the
+    * oracle rebuilds every frame energy arithmetically from the sample
+    * formula and replays peaks, hashes, cap, and voting. Scale shape:
+    * decode is partition-local, peaks/landmarks are per-clip windows,
+    * and the only join is hash-bucketed and capped. */
+  protected def mmAudioFp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = t(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"), col("doc_id").as("seed"),
+        (col("doc_id") % 300 + 200).cast("int").as("n"))
+    val twins = base.filter(col("seed") < 30)
+      .select((col("media_id") + 10000).as("media_id"), col("seed"),
+        col("n"))
+    val frames = base.unionByName(twins)
+      .as[(Long, Long, Int)]
+      .map { case (id, seed, n) =>
+        (id, Multimodal.encodeWavSq(n, 8000, seed)) }
+      .flatMap { case (id, wav) =>
+        Multimodal.audioFrameEnergies(wav, frameLen = 10).map {
+          case (fr, e) => (id, fr, e) } }
+      .toDF("media_id", "fr", "e")
+    val w = Window.partitionBy("media_id").orderBy("fr")
+    val peaks = frames
+      .withColumn("ep", lag(col("e"), 1).over(w))
+      .withColumn("en", lead(col("e"), 1).over(w))
+      .filter(col("e") > 600L
+        && (col("ep").isNull || col("e") > col("ep"))
+        && (col("en").isNull || col("e") > col("en")))
+      .select(col("media_id"), col("fr"), col("e"))
+    val marks = peaks
+      .withColumn("fr2", lead(col("fr"), 1).over(w))
+      .withColumn("e2", lead(col("e"), 1).over(w))
+      .filter(col("fr2").isNotNull && col("fr2") - col("fr") <= 8)
+      .select(col("media_id"), col("fr").as("t0"),
+        expr("(e * 2048 + e2) * 16 + (fr2 - fr)").as("h"))
+    val bounded = marks.withColumn("_n",
+        count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("_n") <= 200).drop("_n")
+    bounded.as("a").join(bounded.as("b"),
+        col("a.h") === col("b.h")
+          && col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("media_a"),
+        col("b.media_id").as("media_b"),
+        (col("b.t0") - col("a.t0")).as("t_offset"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("media_a", "media_b")
+          .orderBy(col("votes").desc, col("t_offset"))))
+      .filter(col("rk") === 1 && col("votes") >= 3)
+      .select(col("media_a"), col("media_b"), col("t_offset"),
+        col("votes"))
+      .orderBy("media_a", "media_b")
+  }
+
   protected val mmOracleSql: ListMap[String, String] = ListMap(
+    "q_mm_audio_fp" ->
+      """WITH clips AS MATERIALIZED (
+           SELECT doc_id AS media_id, doc_id AS seed,
+                  doc_id % 300 + 200 AS n
+           FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, doc_id, doc_id % 300 + 200
+           FROM documents WHERE doc_id < 30),
+         f AS MATERIALIZED (SELECT c.media_id, s.i // 10 AS fr,
+             CAST(SUM(abs((s.i * s.i + c.seed) % 256 - 128)) AS BIGINT)
+               AS e
+           FROM clips c JOIN range(0, 500) s(i) ON s.i < c.n
+           GROUP BY 1, 2),
+         pk AS MATERIALIZED (SELECT media_id, fr, e FROM (
+             SELECT media_id, fr, e,
+               lag(e) OVER (PARTITION BY media_id ORDER BY fr) AS ep,
+               lead(e) OVER (PARTITION BY media_id ORDER BY fr) AS en
+             FROM f)
+           WHERE e > 600 AND (ep IS NULL OR e > ep)
+             AND (en IS NULL OR e > en)),
+         mk AS MATERIALIZED (SELECT media_id, t0,
+             (e * 2048 + e2) * 16 + (fr2 - t0) AS h
+           FROM (SELECT media_id, fr AS t0, e,
+               lead(fr) OVER (PARTITION BY media_id ORDER BY fr) AS fr2,
+               lead(e) OVER (PARTITION BY media_id ORDER BY fr) AS e2
+             FROM pk)
+           WHERE fr2 IS NOT NULL AND fr2 - t0 <= 8),
+         bd AS MATERIALIZED (SELECT media_id, t0, h FROM (
+             SELECT *, count(*) OVER (PARTITION BY h) AS _n FROM mk)
+           WHERE _n <= 200),
+         vt AS (SELECT a.media_id AS media_a, b.media_id AS media_b,
+             b.t0 - a.t0 AS t_offset, CAST(count(*) AS BIGINT) AS votes
+           FROM bd a JOIN bd b
+             ON a.h = b.h AND a.media_id < b.media_id
+           GROUP BY 1, 2, 3)
+         SELECT media_a, media_b, CAST(t_offset AS BIGINT) AS t_offset, votes
+         FROM (SELECT *, row_number() OVER (
+             PARTITION BY media_a, media_b
+             ORDER BY votes DESC, t_offset) AS rk FROM vt)
+         WHERE rk = 1 AND votes >= 3
+         ORDER BY media_a, media_b""",
     "q_mm_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len
          FROM documents ORDER BY doc_id""",
