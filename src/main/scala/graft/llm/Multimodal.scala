@@ -171,15 +171,19 @@ object Multimodal {
     out.array()
   }
 
-  /** [[encodeWav]] sibling with a BUSY deterministic waveform: sample
-    * i = (i² + seed) mod 256. The linear ramp [[encodeWav]] emits is
-    * shift-invariant across seeds (clip B is clip A time-shifted), which
-    * would make every clip pair a spurious landmark match; the quadratic
-    * residue pattern has jagged consecutive diffs ((2i+1) mod 256), so
-    * frame energies peak densely and only genuinely identical clips
-    * align. Same real 8-bit-unsigned mono PCM container — the decode
-    * path stays the true `javax.sound.sampled` parse. */
-  def encodeWavSq(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+  /** [[encodeWav]] sibling with a PSEUDO-RANDOM deterministic
+    * waveform: sample i is byte (i mod 16) of md5("<seed>:<i div 16>") —
+    * the same engine-replayable md5 grain every hash-derived oracle in
+    * the registry uses. The linear ramp [[encodeWav]] emits is
+    * shift-invariant across seeds, and any LOW-DEGREE polynomial mod
+    * 256 keeps period-128 structure (measured: a quadratic fill made
+    * clips sharing one coefficient match at offsets ±13/±26, growing
+    * the landmark pair mass ~quadratically); md5 noise has neither —
+    * clips collide only when the seed matches, so fingerprint matches
+    * are exactly the planted twins plus vanishing chance collisions.
+    * Same real 8-bit-unsigned mono PCM container — the decode path
+    * stays the true `javax.sound.sampled` parse. */
+  def encodeWavNoise(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
     val out = java.nio.ByteBuffer.allocate(44 + nSamples)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     out.put("RIFF".getBytes("US-ASCII")).putInt(36 + nSamples)
@@ -192,9 +196,15 @@ object Multimodal {
       .putShort(1.toShort)
       .putShort(8.toShort)
       .put("data".getBytes("US-ASCII")).putInt(nSamples)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var digest: Array[Byte] = null
     var i = 0
     while (i < nSamples) {
-      out.put(java.lang.Math.floorMod(i.toLong * i + seed, 256L).toByte)
+      if (i % 16 == 0 || digest == null) {
+        md.reset()
+        digest = md.digest((seed.toString + ":" + (i / 16)).getBytes("US-ASCII"))
+      }
+      out.put(digest(i % 16))
       i += 1
     }
     out.array()

@@ -335,7 +335,7 @@ trait RegistryMm extends RegistryGraph {
     * pairs hash to (e₁, e₂, Δt) landmarks, and a true match is a set of
     * shared landmarks COHERENT at one time offset, scored by offset
     * votes): clips are REAL WAV decodes ([[graft.llm.Multimodal
-    * .encodeWavSq]] synthesizes the busy deterministic waveform, the
+    * .encodeWavNoise]] synthesizes the md5-noise waveform, the
     * JDK sound stack parses it back), doc_id < 30 get bit-identical
     * twins at +10000 — the planted duplicates the join must find at
     * offset 0. Frames of 10 samples → strict-local-max peaks over 600
@@ -362,7 +362,7 @@ trait RegistryMm extends RegistryGraph {
     val frames = base.unionByName(twins)
       .as[(Long, Long, Int)]
       .map { case (id, seed, n) =>
-        (id, Multimodal.encodeWavSq(n, 8000, seed)) }
+        (id, Multimodal.encodeWavNoise(n, 8000, seed)) }
       .flatMap { case (id, wav) =>
         Multimodal.audioFrameEnergies(wav, frameLen = 10).map {
           case (fr, e) => (id, fr, e) } }
@@ -410,7 +410,9 @@ trait RegistryMm extends RegistryGraph {
            SELECT doc_id + 10000, doc_id, doc_id % 300 + 200
            FROM documents WHERE doc_id < 30),
          f AS MATERIALIZED (SELECT c.media_id, s.i // 10 AS fr,
-             CAST(SUM(abs((s.i * s.i + c.seed) % 256 - 128)) AS BIGINT)
+             CAST(SUM(abs(('0x' || substr(md5(CAST(c.seed AS VARCHAR) || ':' ||
+                 CAST(s.i // 16 AS VARCHAR)), (s.i % 16) * 2 + 1, 2))::BIGINT
+                 - 128)) AS BIGINT)
                AS e
            FROM clips c JOIN range(0, 500) s(i) ON s.i < c.n
            GROUP BY 1, 2),
