@@ -1418,6 +1418,150 @@ trait RegistryEvent extends RegistryTs {
           .as("var_red_bp"))
   }
 
+  /** Sign-split micro-mean `⌊|s|·10⁶ / n⌋·sign(s)` emitted ONCE for both
+    * engines (Spark `div` truncates toward zero, DuckDB `//` floors —
+    * dividing the absolute value and re-signing makes both truncate, the
+    * house fix from theta6). `s`/`n` are column names already cast wide
+    * (DECIMAL(38,0) on Spark, HUGEINT in DuckDB) by the caller. */
+  private def signedMean6(s: String, n: String, spark: Boolean): String = {
+    val div = if (spark) "div" else "//"
+    s"(CASE WHEN $n = 0 THEN 0 WHEN $s >= 0 THEN ($s * 1000000) $div $n " +
+      s"ELSE -((-($s) * 1000000) $div $n) END)"
+  }
+
+  /** Difference-in-differences over the md5 A/A split — the 2×2 panel
+    * contrast behind Card & Krueger 1994 (see Angrist & Pischke 2009
+    * §5.2): treatment = deterministic md5 hash of user_id (salt "did",
+    * so assignment replays in any engine and is independent of
+    * behavior by construction), periods split at the midpoint of the
+    * observed day range, outcome = per-user purchase cents per period
+    * (non-purchasers are zero-filled — the panel is ALL users), and
+    * DiD₆ = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) in micro-cents.
+    * A/A by construction, so the expected read is ≈ 0; the query also
+    * carries its own falsification column — a placebo DiD inside the
+    * pre-period (pre split again at its own midpoint), the standard
+    * parallel-trends probe: a pipeline that alarms on did6 but not on
+    * placebo_did6 is seeing a real post-period shift, not a trend
+    * artifact. FULLY integer: period sums are exact cents, each group
+    * mean is one [[signedMean6]] division, and the two contrasts are
+    * differences of those integers — bit-identical across engines.
+    * Scale shape: one user-keyed aggregate over purchase rows + one
+    * distinct-user left join (arm assignment is row-local hashing,
+    * never a join), then a single 8-cell global reduce to ONE row —
+    * no window, no corpus pair, no collect. */
+  protected def eExpDid(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr(s"ts div $dayNs").as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    // Epoch days are non-negative, so div/// agree on both cut points.
+    val cuts = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("lo"), expr("(lo + hi + 1) div 2").as("mid"))
+      .select(expr("(lo + mid + 1) div 2").as("q"), col("mid"))
+    val per = ev.filter(col("event_type") === "purchase")
+      .crossJoin(broadcast(cuts))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("day") < col("q"), col("cents")).otherwise(0L))
+          .as("pa"),
+        sum(when(col("day") >= col("q") && col("day") < col("mid"),
+          col("cents")).otherwise(0L)).as("pb"),
+        sum(when(col("day") < col("mid"), col("cents")).otherwise(0L))
+          .as("pre"),
+        sum(when(col("day") >= col("mid"), col("cents")).otherwise(0L))
+          .as("post"))
+    val panel = ev.select("user_id").distinct()
+      .join(per, Seq("user_id"), "left")
+      .select(
+        (conv(substring(md5(concat_ws("|", lit("did"), col("user_id"))),
+          1, 8), 16, 10).cast("long") % 2).as("arm"),
+        coalesce(col("pa"), lit(0L)).cast(dec).as("pa"),
+        coalesce(col("pb"), lit(0L)).cast(dec).as("pb"),
+        coalesce(col("pre"), lit(0L)).cast(dec).as("pre"),
+        coalesce(col("post"), lit(0L)).cast(dec).as("post"))
+    val zero = lit(0L).cast(dec)
+    val cells = panel.agg(
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).cast(dec).as("nt"),
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).cast(dec).as("nc"),
+      sum(when(col("arm") === 1, col("pre")).otherwise(zero)).as("tpre"),
+      sum(when(col("arm") === 1, col("post")).otherwise(zero)).as("tpost"),
+      sum(when(col("arm") === 0, col("pre")).otherwise(zero)).as("cpre"),
+      sum(when(col("arm") === 0, col("post")).otherwise(zero)).as("cpost"),
+      sum(when(col("arm") === 1, col("pa")).otherwise(zero)).as("tpa"),
+      sum(when(col("arm") === 1, col("pb")).otherwise(zero)).as("tpb"),
+      sum(when(col("arm") === 0, col("pa")).otherwise(zero)).as("cpa"),
+      sum(when(col("arm") === 0, col("pb")).otherwise(zero)).as("cpb"))
+    def m6(s: String, n: String) = signedMean6(s, n, spark = true)
+    cells.select(
+      expr("CAST(nt AS BIGINT)").as("n_treat"),
+      expr("CAST(nc AS BIGINT)").as("n_ctrl"),
+      expr(s"CAST(${m6("tpre", "nt")} AS BIGINT)").as("treat_pre_m6"),
+      expr(s"CAST(${m6("tpost", "nt")} AS BIGINT)").as("treat_post_m6"),
+      expr(s"CAST(${m6("cpre", "nc")} AS BIGINT)").as("ctrl_pre_m6"),
+      expr(s"CAST(${m6("cpost", "nc")} AS BIGINT)").as("ctrl_post_m6"),
+      expr(s"CAST((${m6("tpost", "nt")} - ${m6("tpre", "nt")})" +
+        s" - (${m6("cpost", "nc")} - ${m6("cpre", "nc")}) AS BIGINT)")
+        .as("did6"),
+      expr(s"CAST((${m6("tpb", "nt")} - ${m6("tpa", "nt")})" +
+        s" - (${m6("cpb", "nc")} - ${m6("cpa", "nc")}) AS BIGINT)")
+        .as("placebo_did6"))
+  }
+
+  /** The generated DuckDB replay of [[eExpDid]] — same cut points, same
+    * md5 arm, the final SELECT's arithmetic emitted from the same
+    * [[signedMean6]] generator so the engines cannot drift. */
+  protected def didOracle: String = {
+    def m6(s: String, n: String) = signedMean6(s, n, spark = false)
+    s"""WITH ev AS (SELECT user_id, event_type,
+           epoch_ns(ts) // 86400000000000 AS day,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+       cuts AS (SELECT (min(day) + (min(day) + max(day) + 1) // 2 + 1) // 2
+             AS q,
+           (min(day) + max(day) + 1) // 2 AS mid FROM ev),
+       per AS (SELECT user_id,
+           sum(CASE WHEN day < q THEN cents ELSE 0 END) AS pa,
+           sum(CASE WHEN day >= q AND day < mid THEN cents ELSE 0 END)
+             AS pb,
+           sum(CASE WHEN day < mid THEN cents ELSE 0 END) AS pre,
+           sum(CASE WHEN day >= mid THEN cents ELSE 0 END) AS post
+         FROM ev, cuts WHERE event_type = 'purchase' GROUP BY user_id),
+       panel AS (SELECT
+           ('0x' || substr(md5('did|' || CAST(u.user_id AS VARCHAR)),
+             1, 8))::BIGINT % 2 AS arm,
+           CAST(coalesce(per.pa, 0) AS HUGEINT) AS pa,
+           CAST(coalesce(per.pb, 0) AS HUGEINT) AS pb,
+           CAST(coalesce(per.pre, 0) AS HUGEINT) AS pre,
+           CAST(coalesce(per.post, 0) AS HUGEINT) AS post
+         FROM (SELECT DISTINCT user_id FROM ev) u
+         LEFT JOIN per ON u.user_id = per.user_id),
+       cells AS (SELECT
+           CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS nt,
+           CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS nc,
+           sum(CASE WHEN arm = 1 THEN pre ELSE 0 END) AS tpre,
+           sum(CASE WHEN arm = 1 THEN post ELSE 0 END) AS tpost,
+           sum(CASE WHEN arm = 0 THEN pre ELSE 0 END) AS cpre,
+           sum(CASE WHEN arm = 0 THEN post ELSE 0 END) AS cpost,
+           sum(CASE WHEN arm = 1 THEN pa ELSE 0 END) AS tpa,
+           sum(CASE WHEN arm = 1 THEN pb ELSE 0 END) AS tpb,
+           sum(CASE WHEN arm = 0 THEN pa ELSE 0 END) AS cpa,
+           sum(CASE WHEN arm = 0 THEN pb ELSE 0 END) AS cpb
+         FROM panel)
+       SELECT CAST(nt AS BIGINT) AS n_treat, CAST(nc AS BIGINT) AS n_ctrl,
+         CAST(${m6("tpre", "nt")} AS BIGINT) AS treat_pre_m6,
+         CAST(${m6("tpost", "nt")} AS BIGINT) AS treat_post_m6,
+         CAST(${m6("cpre", "nc")} AS BIGINT) AS ctrl_pre_m6,
+         CAST(${m6("cpost", "nc")} AS BIGINT) AS ctrl_post_m6,
+         CAST((${m6("tpost", "nt")} - ${m6("tpre", "nt")})
+           - (${m6("cpost", "nc")} - ${m6("cpre", "nc")}) AS BIGINT)
+           AS did6,
+         CAST((${m6("tpb", "nt")} - ${m6("tpa", "nt")})
+           - (${m6("cpb", "nc")} - ${m6("cpa", "nc")}) AS BIGINT)
+           AS placebo_did6
+       FROM cells"""
+  }
+
   /** The k-term pass@k basis-point expression over per-problem (n, c),
     * emitted ONCE for both engines so the arithmetic cannot drift
     * (`spark` toggles `div`/DECIMAL(38,0) vs `//`/HUGEINT — the only
@@ -1749,6 +1893,7 @@ trait RegistryEvent extends RegistryTs {
   }
 
   protected val eventOracleSql: ListMap[String, String] = ListMap(
+    "q_e_did" -> didOracle,
     "q_e_bt_arena" -> btArenaOracle,
     "q_e_bandit_replay" -> banditReplayOracle,
     "q_llm_pass_at_k" ->
