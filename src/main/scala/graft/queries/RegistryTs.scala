@@ -731,7 +731,82 @@ trait RegistryTs extends RegistryStats {
       .orderBy("event_type", "dow")
   }
 
+  /** Matrix profile over the daily purchase-cents series (Yeh et al.
+    * 2016, "Matrix Profile I", ICDM) — for every length-7 subsequence,
+    * the distance to its nearest non-trivial neighbor: small profile
+    * values are motifs (a repeated weekly shape), large ones are
+    * discords (the week unlike any other — the anomaly read). Engine
+    * contract deviates from the paper's z-normalized Euclidean in two
+    * documented ways, both for exactness: the distance is UNnormalized
+    * L1 (Σ|vᵢ₊ₖ − vⱼ₊ₖ|, exact in BIGINT — no square ever approaches
+    * the 64-bit cliff at hot-key sf1, the wave-11 lesson), and the
+    * exclusion zone is |i−j| ≥ ⌈m/2⌉ = 4 (the paper's trivial-match
+    * guard). Subsequences whose admissible neighbor set is empty
+    * (series shorter than 11 days) drop out. Scale shape: ONE corpus
+    * pass (the day-grain aggregate); everything after is bounded by
+    * the CALENDAR — the zero-filled series, the pair set, and the
+    * 7-offset value joins are all broadcastable at any corpus scale,
+    * the reduce-then-pair shape shared with [[tsCcf]]/[[tsSeasonality]].
+    * Ties on the minimum break to the smallest neighbor index on both
+    * engines (min over (d, j) pairs). */
+  protected def tsMatrixProfile(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+    val mm = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val cal = mm.select(col("hi"), explode(expr("sequence(lo, hi)")).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), col("hi"),
+        coalesce(col("cents"), lit(0L)).as("v"))
+    val idx = cal.filter(col("day") <= col("hi") - 6)
+      .select(col("day").as("i"))
+    val pairs = idx
+      .join(broadcast(idx.select(col("i").as("j"))),
+        abs(col("i") - col("j")) >= 4)
+      .select(col("i"), col("j"), explode(expr("sequence(0L, 6L)")).as("k"))
+    val dist = pairs
+      .join(broadcast(cal.select(col("day").as("ad"), col("v").as("va"))),
+        col("ad") === col("i") + col("k"))
+      .join(broadcast(cal.select(col("day").as("bd"), col("v").as("vb"))),
+        col("bd") === col("j") + col("k"))
+      .groupBy("i", "j")
+      .agg(sum(abs(col("va") - col("vb"))).as("d"))
+    dist.groupBy("i")
+      .agg(min(struct(col("d"), col("j"))).as("m"))
+      .select(col("i"), col("m.j").as("nn_idx"), col("m.d").as("nn_dist_l1"))
+      .orderBy("i")
+  }
+
   protected val tsOracleSql: ListMap[String, String] = ListMap(
+    "q_ts_matrix_profile" ->
+      """WITH daily AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         mm AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+         cal AS (SELECT lo + unnest(range(0, CAST(hi - lo + 1 AS BIGINT)))
+               AS day, hi
+           FROM mm),
+         v AS (SELECT c.day, c.hi, CAST(coalesce(d.cents, 0) AS BIGINT)
+               AS v
+           FROM cal c LEFT JOIN daily d ON c.day = d.day),
+         idx AS (SELECT day AS i FROM v WHERE day <= hi - 6),
+         pairs AS (SELECT a.i AS i, b.i AS j
+           FROM idx a, idx b WHERE abs(a.i - b.i) >= 4),
+         ks AS (SELECT unnest(range(0, 7)) AS k),
+         dist AS (SELECT p.i, p.j,
+             CAST(sum(abs(va.v - vb.v)) AS BIGINT) AS d
+           FROM pairs p CROSS JOIN ks
+           JOIN v va ON va.day = p.i + ks.k
+           JOIN v vb ON vb.day = p.j + ks.k
+           GROUP BY p.i, p.j),
+         mn AS (SELECT i, min(d) AS d FROM dist GROUP BY i)
+         SELECT CAST(dist.i AS BIGINT) AS i,
+           CAST(min(dist.j) AS BIGINT) AS nn_idx,
+           CAST(mn.d AS BIGINT) AS nn_dist_l1
+         FROM dist JOIN mn ON dist.i = mn.i AND dist.d = mn.d
+         GROUP BY dist.i, mn.d ORDER BY i""",
     "q_ts_decompose" ->
       """WITH daily AS (SELECT event_type,
              epoch_ns(ts) // 86400000000000 AS day,
