@@ -1509,6 +1509,142 @@ trait RegistryEvent extends RegistryTs {
         .as("placebo_did6"))
   }
 
+  /** Sign-split truncating division `⌊|s| / n⌋·sign(s)` emitted ONCE for
+    * both engines — [[signedMean6]] without the 10⁶ scale step, for
+    * ratios whose numerator is already in micro units. */
+  private def signedDiv(s: String, n: String, spark: Boolean): String = {
+    val div = if (spark) "div" else "//"
+    s"(CASE WHEN $n = 0 THEN 0 WHEN $s >= 0 THEN $s $div $n " +
+      s"ELSE -((-($s)) $div $n) END)"
+  }
+
+  /** Coarsened exact matching (Iacus, King & Porro 2012) for the SAME
+    * md5 "did" experiment as [[eExpDid]] — the matched-strata companion
+    * estimator: pre-period covariates (activity bucket over the event
+    * count — 0, 1–2, 3–5, 6–10, 11+ — and a prior-buyer flag) are
+    * coarsened into ≤ 10 strata; a stratum is MATCHED when both arms
+    * are present; the per-stratum read is the treated-vs-control
+    * post-period purchase-cents mean gap, and ATT₆ is the
+    * treated-count-weighted average of matched-stratum gaps (King &
+    * Nielsen 2019's argument for CEM over propensity scores: exact
+    * balance inside strata, imbalance only ACROSS pruned strata —
+    * which the `matched` column surfaces instead of hiding). A/A by
+    * construction, so the expected ATT read is ≈ 0. FULLY integer:
+    * covariates are counts, means are [[signedMean6]], the weighted
+    * ATT is one [[signedDiv]] over micro units. Scale shape: one
+    * user-keyed aggregate (covariates + outcome in a single pass),
+    * row-local arm hashing, a ≤10-row strata aggregate, a 1-row ATT
+    * reduce broadcast back — no window, no corpus pair, no collect. */
+  protected def eExpCem(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr(s"ts div $dayNs").as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val mid = ev.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    val per = ev.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("day") < col("mid"), 1L).otherwise(0L)).as("pre_n"),
+        sum(when(col("day") < col("mid")
+          && col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("pre_buys"),
+        sum(when(col("day") >= col("mid")
+          && col("event_type") === "purchase", col("cents"))
+          .otherwise(0L)).as("post"))
+    val strata = per.select(
+      (conv(substring(md5(concat_ws("|", lit("did"), col("user_id"))),
+        1, 8), 16, 10).cast("long") % 2).as("arm"),
+      expr("""CASE WHEN pre_n = 0 THEN 0 WHEN pre_n <= 2 THEN 1
+              WHEN pre_n <= 5 THEN 2 WHEN pre_n <= 10 THEN 3
+              ELSE 4 END""").cast("long").as("act_bucket"),
+      when(col("pre_buys") > 0, 1L).otherwise(0L).as("pre_buyer"),
+      col("post").cast(dec).as("post"))
+    val zero = lit(0L).cast(dec)
+    val cells = strata.groupBy("act_bucket", "pre_buyer")
+      .agg(
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).cast(dec).as("nt"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).cast(dec).as("nc"),
+        sum(when(col("arm") === 1, col("post")).otherwise(zero))
+          .as("tpost"),
+        sum(when(col("arm") === 0, col("post")).otherwise(zero))
+          .as("cpost"))
+    def m6(s: String, n: String) = signedMean6(s, n, spark = true)
+    val scored = cells.select(
+      col("act_bucket"), col("pre_buyer"),
+      expr("CAST(nt AS BIGINT)").as("n_treat"),
+      expr("CAST(nc AS BIGINT)").as("n_ctrl"),
+      expr(s"CAST(${m6("tpost", "nt")} AS BIGINT)").as("treat_m6"),
+      expr(s"CAST(${m6("cpost", "nc")} AS BIGINT)").as("ctrl_m6"),
+      expr("CASE WHEN nt > 0 AND nc > 0 THEN 1 ELSE 0 END").cast("long")
+        .as("matched"))
+      .withColumn("diff6",
+        expr("CASE WHEN matched = 1 THEN treat_m6 - ctrl_m6" +
+          " ELSE CAST(0 AS BIGINT) END"))
+    val att = scored.filter(col("matched") === 1)
+      .agg(coalesce(sum(col("n_treat").cast(dec) * col("diff6")), zero)
+          .as("s"),
+        coalesce(sum(col("n_treat").cast(dec)), zero).as("w"))
+      .select(expr(s"CAST(${signedDiv("s", "w", spark = true)} AS BIGINT)")
+        .as("att6"))
+    scored.crossJoin(broadcast(att))
+      .orderBy("act_bucket", "pre_buyer")
+  }
+
+  /** The generated DuckDB replay of [[eExpCem]] — same coarsening, same
+    * md5 arm, means/ATT emitted from the same [[signedMean6]] /
+    * [[signedDiv]] generators. */
+  protected def cemOracle: String = {
+    def m6(s: String, n: String) = signedMean6(s, n, spark = false)
+    s"""WITH ev AS (SELECT user_id, event_type,
+           epoch_ns(ts) // 86400000000000 AS day,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+       cut AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM ev),
+       per AS (SELECT user_id,
+           sum(CASE WHEN day < mid THEN 1 ELSE 0 END) AS pre_n,
+           sum(CASE WHEN day < mid AND event_type = 'purchase'
+               THEN 1 ELSE 0 END) AS pre_buys,
+           sum(CASE WHEN day >= mid AND event_type = 'purchase'
+               THEN cents ELSE 0 END) AS post
+         FROM ev, cut GROUP BY user_id),
+       strata AS (SELECT
+           ('0x' || substr(md5('did|' || CAST(user_id AS VARCHAR)),
+             1, 8))::BIGINT % 2 AS arm,
+           CAST(CASE WHEN pre_n = 0 THEN 0 WHEN pre_n <= 2 THEN 1
+                WHEN pre_n <= 5 THEN 2 WHEN pre_n <= 10 THEN 3
+                ELSE 4 END AS BIGINT) AS act_bucket,
+           CAST(CASE WHEN pre_buys > 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS pre_buyer,
+           CAST(post AS HUGEINT) AS post
+         FROM per),
+       cells AS (SELECT act_bucket, pre_buyer,
+           CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS nt,
+           CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS nc,
+           sum(CASE WHEN arm = 1 THEN post ELSE 0 END) AS tpost,
+           sum(CASE WHEN arm = 0 THEN post ELSE 0 END) AS cpost
+         FROM strata GROUP BY act_bucket, pre_buyer),
+       scored AS (SELECT act_bucket, pre_buyer,
+           CAST(nt AS BIGINT) AS n_treat, CAST(nc AS BIGINT) AS n_ctrl,
+           CAST(${m6("tpost", "nt")} AS BIGINT) AS treat_m6,
+           CAST(${m6("cpost", "nc")} AS BIGINT) AS ctrl_m6,
+           CAST(CASE WHEN nt > 0 AND nc > 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS matched,
+           CAST(CASE WHEN nt > 0 AND nc > 0
+                THEN ${m6("tpost", "nt")} - ${m6("cpost", "nc")}
+                ELSE 0 END AS BIGINT) AS diff6
+         FROM cells),
+       att AS (SELECT
+           CAST(coalesce(sum(CAST(n_treat AS HUGEINT) * diff6), 0)
+             AS HUGEINT) AS s,
+           CAST(coalesce(sum(CAST(n_treat AS HUGEINT)), 0) AS HUGEINT)
+             AS w
+         FROM scored WHERE matched = 1)
+       SELECT scored.*,
+         CAST(${signedDiv("s", "w", spark = false)} AS BIGINT) AS att6
+       FROM scored, att ORDER BY act_bucket, pre_buyer"""
+  }
+
   /** The generated DuckDB replay of [[eExpDid]] — same cut points, same
     * md5 arm, the final SELECT's arithmetic emitted from the same
     * [[signedMean6]] generator so the engines cannot drift. */
@@ -1894,6 +2030,7 @@ trait RegistryEvent extends RegistryTs {
 
   protected val eventOracleSql: ListMap[String, String] = ListMap(
     "q_e_did" -> didOracle,
+    "q_e_cem" -> cemOracle,
     "q_e_bt_arena" -> btArenaOracle,
     "q_e_bandit_replay" -> banditReplayOracle,
     "q_llm_pass_at_k" ->
