@@ -1480,6 +1480,36 @@ trait RegistryCore extends RegistryBase {
       .orderBy("o_orderpriority")
   }
 
+  /** TPC-H Q17-shaped small-quantity revenue probe (per brand): lineitems
+    * whose quantity falls below 20% of their part's average quantity,
+    * revenue summed per brand plus the Q17 weekly-average read (÷ 7) —
+    * the canonical correlated-scalar-subquery DECORRELATION: the
+    * per-part average becomes ONE aggregate equi-joined back to the
+    * probe (both sides hash on l_partkey, so the exchange is shared),
+    * and the part dimension broadcasts (plan-pinned). Exactness: the
+    * 0.2·avg threshold clears its division — qty < sum/(5·cnt) ⟺
+    * 5·qty·cnt < sum over exact integer quantities — and revenue stays
+    * in integer cents (÷ 7 on a non-negative sum, so truncating and
+    * flooring division agree). */
+  protected def sqlSmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        floor(col("l_quantity") + 0.5).cast("long").as("qty"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+          .as("price_c"))
+    val avgq = li.groupBy("l_partkey")
+      .agg(count(lit(1)).as("cnt"), sum(col("qty")).as("sq"))
+    val part = t(spark, dir, "part").select(col("p_partkey"), col("p_brand"))
+    li.join(avgq, Seq("l_partkey"))
+      .filter(col("qty") * 5 * col("cnt") < col("sq"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_small"), sum(col("price_c")).as("rev_c"))
+      .select(col("p_brand"), col("n_small"), col("rev_c"),
+        expr("CAST(rev_c div 7 AS BIGINT)").as("avg_weekly_c"))
+      .orderBy("p_brand")
+  }
+
   /** Avro interop roundtrip: a deterministic lineitem slice goes out
     * through [[graft.io.AvroIo.write]] and back through the sync-marker-
     * splittable read, then aggregates; the oracle computes the same
@@ -2187,6 +2217,21 @@ trait RegistryCore extends RegistryBase {
            o_orderpriority,
            CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
          FROM pg WHERE rk <= 20 ORDER BY rk""",
+    "q_sql_small_qty_revenue" ->
+      """WITH li AS (SELECT l_partkey,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
+           FROM lineitem),
+         a AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(qty) AS BIGINT) AS sq
+           FROM li GROUP BY 1)
+         SELECT p_brand, CAST(count(*) AS BIGINT) AS n_small,
+           CAST(sum(li.price_c) AS BIGINT) AS rev_c,
+           CAST(sum(li.price_c) AS BIGINT) // 7 AS avg_weekly_c
+         FROM li JOIN a USING (l_partkey)
+         JOIN part ON li.l_partkey = p_partkey
+         WHERE li.qty * 5 * a.cnt < a.sq
+         GROUP BY p_brand ORDER BY p_brand""",
     "q_sql_order_priority_check" ->
       """WITH ord AS (SELECT * FROM orders
            WHERE o_orderdate >= TIMESTAMP '1997-01-01'

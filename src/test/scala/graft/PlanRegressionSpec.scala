@@ -35,6 +35,13 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(p.contains("PushedFilters"), s"plan:\n$p")
   }
 
+  test("Q17 shape: the decorrelated per-part average probe keeps the part " +
+      "dimension broadcast and never goes cartesian") {
+    val p = plan("q_sql_small_qty_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
   test("broadcast dims: both dimension joins broadcast, no sort-merge join") {
     val p = plan("q_j_broadcast_dims")
     assert(p.contains("BroadcastHashJoin"))
