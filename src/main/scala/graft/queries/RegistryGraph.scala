@@ -52,6 +52,41 @@ trait RegistryGraph extends RegistryEvent {
       .limit(20)
   }
 
+  /** Rectangle (4-cycle / "butterfly") support per diagonal pair — the
+    * dense-block detector behind bipartite fraud/spam sweeps
+    * (Sanei-Mehri et al. 2018, "Butterfly Counting in Bipartite
+    * Networks"): for a pair (a,b) with cn common neighbors, every
+    * unordered neighbor 2-subset closes a distinct 4-cycle through the
+    * pair's diagonal, so support = C(cn,2) — pairs with outsized
+    * support sit inside near-biclique blocks that organic co-purchase
+    * behavior doesn't produce. Shares [[graphJaccardSim]]'s capped
+    * wedge kernel verbatim (centers with degree in 2..256 — the
+    * bounded candidate contract at 100 TB; endpoint degrees uncapped),
+    * so the pair mass stays Σ min(deg,256)² by construction. FULLY
+    * integer: cn·(cn−1) div 2 on non-negative counts. Top-20 by
+    * support with the (a,b) tie-break. */
+  protected def graphRectangles(spark: SparkSession, dir: String): DataFrame = {
+    val sub = coPurchaseSubPairs(spark, dir)
+    val canon = graft.operators.Triangles.canonical(sub, "x", "y")
+      .localCheckpoint(true)
+    val nbr = canon.select(col("lo").as("w"), col("hi").as("n"))
+      .unionAll(canon.select(col("hi").as("w"), col("lo").as("n")))
+    val deg = nbr.groupBy("w").agg(count(lit(1)).as("d"))
+    val wedges = nbr
+      .join(deg.filter(col("d").between(2, 256)).select("w"), Seq("w"))
+      .groupBy("w").agg(sort_array(collect_set(col("n"))).as("ns"))
+      .select(explode(expr(
+        "flatten(transform(ns, (x, i) -> " +
+          "transform(slice(ns, i + 2, size(ns)), y -> struct(x, y))))"))
+        .as("e"))
+      .select(col("e.x").as("a"), col("e.y").as("b"))
+    wedges.groupBy("a", "b").agg(count(lit(1)).as("cn"))
+      .select(col("a"), col("b"), col("cn"),
+        expr("cn * (cn - 1) div 2").as("rect"))
+      .orderBy(col("rect").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   /** Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k − 1)) at k ∈
     * {32, 64, 128} — do the hubs preferentially wire to each other
     * (Colizza 2006)? The structural companion to [[graphAssortativity]]
@@ -1003,6 +1038,25 @@ trait RegistryGraph extends RegistryEvent {
       ORDER BY relation"""),
     // Jaccard-similarity replay: same capped wedge centers, uncapped
     // endpoint degrees, same integer division.
+    "q_graph_rectangles" ->
+      """WITH e0 AS MATERIALIZED (
+           SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0),
+         nbr AS (SELECT lo AS w, hi AS n FROM e0
+                 UNION ALL SELECT hi, lo FROM e0),
+         deg AS (SELECT w, CAST(count(*) AS BIGINT) AS d FROM nbr
+                 GROUP BY 1),
+         wedges AS (SELECT n1.n AS a, n2.n AS b
+                    FROM nbr n1 JOIN nbr n2
+                      ON n1.w = n2.w AND n1.n < n2.n
+                    JOIN deg ON deg.w = n1.w
+                    WHERE deg.d BETWEEN 2 AND 256),
+         cn AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cn
+                FROM wedges GROUP BY 1, 2)
+         SELECT a, b, cn, cn * (cn - 1) // 2 AS rect
+         FROM cn ORDER BY rect DESC, a, b LIMIT 20""",
     "q_graph_jaccard_sim" ->
       """WITH e0 AS MATERIALIZED (
            SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
