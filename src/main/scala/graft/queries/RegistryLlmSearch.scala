@@ -801,6 +801,139 @@ trait RegistryLlmSearch extends RegistryLlmDedup {
       .orderBy("qid")
   }
 
+  private val ndcgK = 10
+
+  /** Fixed-point DCG position weights ⌊10⁶/log₂(i+1) + ½⌋ for ranks
+    * 1..10, computed once and EMBEDDED AS LITERALS into both engines'
+    * expressions (the DCT-basis precedent from phash: one shared
+    * constant table, so no float drift can exist between engines). */
+  private val ndcgW: IndexedSeq[Long] = (1 to ndcgK).map(i =>
+    math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0)) + 0.5).toLong)
+
+  /** Σ_{r≤10} gain·W_r over ranked rows — emitted once for both engines
+    * (pure integer CASE lookup, engine-neutral SQL). */
+  private def ndcgDcgSum(rCol: String, gCol: String): String = {
+    val cases = (1 to ndcgK).map(i => s"WHEN $i THEN ${ndcgW(i - 1)}")
+      .mkString(" ")
+    s"sum((CASE $rCol $cases ELSE 0 END) * $gCol)"
+  }
+
+  /** Ideal DCG@10 from the pool's grade counts alone (n₂ rel-2 docs
+    * fill the top ranks at gain 3, then n₁ rel-1 docs at gain 1) — no
+    * sort needed, emitted once for both engines. */
+  private def ndcgIdealSum(n2: String, n1: String): String =
+    (1 to ndcgK).map(i =>
+      s"(CASE WHEN $i <= $n2 THEN ${3 * ndcgW(i - 1)} " +
+        s"WHEN $i <= $n2 + $n1 THEN ${ndcgW(i - 1)} ELSE 0 END)")
+      .mkString(" + ")
+
+  /** NDCG@10 of BM25 retrieval (Järvelin & Kekäläinen 2002) over the
+    * same [[mrrQueries]] suite and the same one-token-pass
+    * [[graft.llm.Index.bm25SearchMulti]] kernel as [[llmSearchMrr]] —
+    * the GRADED companion to MRR's binary read: relevance 2 when a doc
+    * holds both query terms, 1 for one term, gain 2^rel − 1, and the
+    * ideal ordering normalizes within the retrieved top-100 pool (the
+    * TREC pooling reality — judgments only exist for what was
+    * retrieved). FULLY integer: position weights are the shared
+    * [[ndcgW]] literal table, DCG is one CASE-lookup sum, IDCG needs
+    * only the pool's (n₂, n₁) grade counts, and NDCG is one
+    * non-negative truncating division at 10⁻⁶ scale. Scale shape:
+    * identical to MRR — one corpus token pass, per-qid rank windows
+    * over term-matching candidates, then a 5-row relation whose global
+    * window is bounded by the query count. */
+  protected def llmSearchNdcg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ranked = Index.bm25SearchMulti(t(spark, dir, "documents"),
+      "doc_id", "text",
+      mrrQueries.map { case (q, a, b) => (q, Seq(a, b)) }, k = 100)
+    val per = ranked
+      .withColumn("g", expr(
+        "CASE n_terms_matched WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END"))
+      .groupBy("qid").agg(
+        count(lit(1)).as("n_candidates"),
+        expr(ndcgDcgSum("r", "g")).cast("long").as("dcg_micro"),
+        sum(when(col("n_terms_matched") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("n_terms_matched") === 1, 1L).otherwise(0L)).as("n1"))
+    broadcast(mrrQueries.toDF("qid", "term_a", "term_b"))
+      .join(per, Seq("qid"), "left")
+      .select(col("qid"), col("term_a"), col("term_b"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n2"), lit(0L)).as("n2"),
+        coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"))
+      .withColumn("idcg_micro",
+        expr(ndcgIdealSum("n2", "n1")).cast("long"))
+      .withColumn("ndcg_micro", expr(
+        "CASE WHEN idcg_micro > 0 THEN dcg_micro * 1000000 div idcg_micro" +
+          " ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("mean_ndcg_micro", expr(
+        s"CAST(sum(ndcg_micro) OVER () AS BIGINT) div ${mrrQueries.size}"))
+      .orderBy("qid")
+  }
+
+  /** The generated DuckDB replay of [[llmSearchNdcg]]: the shared BM25
+    * token-pass CTE chain (identical to the MRR oracle through `rk`),
+    * then the DCG/IDCG folds emitted from the same generators. */
+  protected def ndcgOracle: String =
+    s"""WITH q(qid, term_a, term_b) AS (VALUES
+           (CAST(1 AS BIGINT), 'data', 'query'), (2, 'spark', 'join'),
+           (3, 'hash', 'merge'), (4, 'scan', 'filter'),
+           (5, 'stream', 'window')),
+       qt AS (SELECT qid, term_a AS term FROM q
+              UNION ALL SELECT qid, term_b FROM q),
+       tk AS (SELECT doc_id,
+           unnest(string_split_regex(trim(text), '\\s+')) AS term
+         FROM documents),
+       dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM tk
+              WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+       df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       st AS (SELECT CAST(count(*) AS DOUBLE) AS nd, avg(dl) AS avgdl
+              FROM dl),
+       c AS (SELECT tf.doc_id, tf.term,
+           CAST(floor(ln(1.0 + (nd - df + 0.5) / (df + 0.5))
+                 * (tf.tf * CAST(2.2 AS DOUBLE))
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+                 * 10000 + 0.5) AS BIGINT) AS c4
+         FROM tf JOIN dl USING (doc_id) JOIN df USING (term), st),
+       s AS (SELECT qt.qid, c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms_matched,
+           CAST(sum(c4) AS DOUBLE) / 10000.0 AS score
+         FROM c JOIN qt USING (term) GROUP BY 1, 2),
+       rk AS (SELECT *, CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS r
+         FROM s),
+       g AS (SELECT qid, r,
+           CASE n_terms_matched WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END
+             AS g,
+           n_terms_matched
+         FROM rk WHERE r <= 100),
+       per AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(${ndcgDcgSum("r", "g")} AS BIGINT) AS dcg_micro,
+           CAST(sum(CASE WHEN n_terms_matched = 2 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n2,
+           CAST(sum(CASE WHEN n_terms_matched = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n1
+         FROM g GROUP BY 1),
+       fin AS (SELECT q.qid, q.term_a, q.term_b,
+           CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(coalesce(n2, 0) AS BIGINT) AS n2,
+           CAST(coalesce(n1, 0) AS BIGINT) AS n1,
+           CAST(coalesce(dcg_micro, 0) AS BIGINT) AS dcg_micro,
+           CAST(${ndcgIdealSum("coalesce(n2, 0)", "coalesce(n1, 0)")}
+             AS BIGINT) AS idcg_micro
+         FROM q LEFT JOIN per USING (qid)),
+       fin2 AS (SELECT *,
+           CAST(CASE WHEN idcg_micro > 0
+             THEN dcg_micro * 1000000 // idcg_micro
+             ELSE 0 END AS BIGINT) AS ndcg_micro
+         FROM fin)
+       SELECT qid, term_a, term_b, n_candidates, n2, n1, dcg_micro,
+         idcg_micro, ndcg_micro,
+         CAST((SELECT sum(ndcg_micro) FROM fin2) AS BIGINT)
+           // ${mrrQueries.size} AS mean_ndcg_micro
+       FROM fin2 ORDER BY qid"""
+
   /** Heaps'-law vocabulary-growth curve (Heaps 1978): distinct-term
     * count vs cumulative token volume at doc-id milestones — the curve
     * that sizes a tokenizer's vocab and says when a corpus stops
@@ -964,6 +1097,7 @@ trait RegistryLlmSearch extends RegistryLlmDedup {
   }
 
   protected val llmSearchOracleSql: ListMap[String, String] = ListMap(
+    "q_llm_search_ndcg" -> ndcgOracle,
     // Independent derivation of the co-occurrence counts: positions table
     // self-joined on window distance (exact, quadratic-ish — oracle scale
     // only) vs the engine's array-side shifted zips; PMI mirrored op for op.
