@@ -630,6 +630,27 @@ trait RegistryCore extends RegistryBase {
     FileReader.withRowNumbers(df).orderBy("_row_number")
   }
 
+  /** Fixed-width read (beyond-reference source): byte-range columns over
+    * a splittable text scan — right-trimmed padding, a short line NULLs
+    * the columns it cannot reach and flags `_short_line`, and the
+    * numeric parse rides the same non-ANSI cast contract as the CSV
+    * path (unparseable → NULL, never a throw). */
+  protected def sFwfRead(spark: SparkSession, dir: String): DataFrame = {
+    val p = java.nio.file.Files.createTempFile("graft-fwf", ".txt")
+    java.nio.file.Files.write(p,
+      ("01112Smith John  0100\n" +
+        "00500plain       0042\n" +
+        "00042short\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val df = graft.io.FwfReader.read(spark, p.toString,
+      Seq(("code", 1, 5), ("name", 6, 12), ("qty", 18, 4)))
+    FileReader.withRowNumbers(df)
+      .withColumn("qty_n", col("qty").cast("long"))
+      .select(col("code"), col("name"), col("qty"), col("qty_n"),
+        col("_short_line"), col("_row_number"))
+      .orderBy("_row_number")
+  }
+
   /** JSONL read (beyond-reference source): explicit schema (no inference
     * pass), missing field → NULL, unicode intact. */
   protected def sJsonlRead(spark: SparkSession, dir: String): DataFrame = {
@@ -2738,6 +2759,15 @@ trait RegistryCore extends RegistryBase {
            ('01112', 'Smith, John', 'café', '100', CAST(1 AS BIGINT)),
            ('00500', 'plain', '', '0042', 2))
          t(_c0, _c1, _c2, _c3, _row_number) ORDER BY _row_number""",
+    "q_s_fwf_read" ->
+      """SELECT * FROM (VALUES
+           ('01112', 'Smith John', '0100', CAST(100 AS BIGINT), false,
+             CAST(1 AS BIGINT)),
+           ('00500', 'plain', '0042', 42, false, 2),
+           ('00042', 'short', CAST(NULL AS VARCHAR),
+             CAST(NULL AS BIGINT), true, 3))
+         t(code, name, qty, qty_n, _short_line, _row_number)
+         ORDER BY _row_number""",
     "q_s_orc_roundtrip" ->
       """SELECT * FROM (VALUES
            (CAST(1 AS BIGINT), 'alpha', CAST(1.5 AS DOUBLE), DATE '2024-01-15'),
