@@ -179,6 +179,76 @@ trait RegistryEvent extends RegistryTs {
       .orderBy("bucket")
   }
 
+  /** Fixed-point half-life weights ⌊2²⁰·2^(−age/7) + ½⌋ for ages 0..62
+    * days, computed once and emitted into BOTH engines (the ndcgW /
+    * DCT-basis precedent: one shared literal table, no float drift).
+    * Ages past the horizon weigh 0 (< 0.22% of fresh weight). */
+  private val decayW: IndexedSeq[Long] = (0 to 62).map(a =>
+    math.floor(math.pow(2.0, 20.0 - a / 7.0) + 0.5).toLong)
+
+  /** Time-decayed engagement scoring with a 7-day half-life — the
+    * recency-weighted feature every ranking/CRM pipeline derives before
+    * anything else (decayed counts: Cormode, Shkapenyuk, Srivastava &
+    * Xu 2009 frame the backward/forward-decay trade-off; this is the
+    * classic backward form anchored at the corpus max day). Per user:
+    * decayed event mass Σ w(age) and decayed purchase cents
+    * Σ cents·w(age), both in 2²⁰ fixed point via the shared [[decayW]]
+    * table — FULLY integer, no pow()/exp() anywhere near the data.
+    * Scale shape: one events pass; the weight lookup is a 63-row
+    * BROADCAST join on age (never a per-row pow), the max-day anchor a
+    * 1-row broadcast; wide sums in DECIMAL(38,0); top-20 by decayed
+    * cents with a user_id tie-break. */
+  protected def eDecayScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = DecimalType(38, 0)
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr(s"ts div $dayNs").as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val mx = ev.agg(max("day").as("max_day"))
+    val w = decayW.zipWithIndex
+      .map { case (wv, a) => (a.toLong, wv) }.toDF("age", "w")
+    ev.crossJoin(broadcast(mx))
+      .withColumn("age", col("max_day") - col("day"))
+      .join(broadcast(w), Seq("age"), "left")
+      .withColumn("wv", coalesce(col("w"), lit(0L)))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("wv").cast(dec)).as("ew"),
+        sum(when(col("event_type") === "purchase", col("cents"))
+          .otherwise(0L).cast(dec) * col("wv")).as("cw"))
+      .select(col("user_id"), col("n_events"),
+        col("ew").cast("long").as("events_w20"),
+        col("cw").cast("long").as("cents_w20"))
+      .orderBy(col("cents_w20").desc, col("user_id"))
+      .limit(20)
+  }
+
+  /** The generated DuckDB replay of [[eDecayScore]] — the weight VALUES
+    * list emitted from the same [[decayW]] table. */
+  protected def decayOracle: String = {
+    val values = decayW.zipWithIndex.map { case (wv, a) =>
+      if (a == 0) s"(CAST(0 AS BIGINT), CAST($wv AS BIGINT))"
+      else s"($a, $wv)"
+    }.mkString(", ")
+    s"""WITH ev AS (SELECT user_id, event_type,
+           epoch_ns(ts) // 86400000000000 AS day,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+       mx AS (SELECT max(day) AS max_day FROM ev),
+       w(age, w) AS (VALUES $values),
+       j AS (SELECT ev.user_id, ev.event_type, ev.cents,
+           coalesce(w.w, 0) AS wv
+         FROM ev CROSS JOIN mx
+         LEFT JOIN w ON w.age = mx.max_day - ev.day)
+       SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(wv AS HUGEINT)) AS BIGINT) AS events_w20,
+         CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN cents
+           ELSE 0 END AS HUGEINT) * wv) AS BIGINT) AS cents_w20
+       FROM j GROUP BY user_id
+       ORDER BY cents_w20 DESC, user_id LIMIT 20"""
+  }
+
   /** RFM segmentation (Hughes 1994's Recency/Frequency/Monetary triple,
     * the canonical CRM user-value cube): per-user recency (days since
     * last purchase, against the corpus max purchase day), frequency
@@ -2031,6 +2101,7 @@ trait RegistryEvent extends RegistryTs {
   protected val eventOracleSql: ListMap[String, String] = ListMap(
     "q_e_did" -> didOracle,
     "q_e_cem" -> cemOracle,
+    "q_e_decay_score" -> decayOracle,
     "q_e_bt_arena" -> btArenaOracle,
     "q_e_bandit_replay" -> banditReplayOracle,
     "q_llm_pass_at_k" ->
