@@ -79,7 +79,15 @@ object ClusterSmoke {
     // driver-fold reductions (bt arena), the k-term combinatorics
     // (pass@k), and the signed seasonal split (decompose)
     "q_llm_pass_at_k", "q_e_bt_arena", "q_e_bandit_replay",
-    "q_ts_decompose")
+    "q_ts_decompose",
+    // round-15 wave-15..22 additions: the causal pair (md5-arm hashing +
+    // sign-split contrasts), the calendar-bounded profile pairs, the
+    // capped wedge rectangles, the decorrelated Q17 probe, the shared
+    // BM25 NDCG fold, the fwf text source (executors parse the lines),
+    // and the broadcast decay-weight join
+    "q_e_did", "q_e_cem", "q_ts_matrix_profile", "q_graph_rectangles",
+    "q_sql_small_qty_revenue", "q_llm_search_ndcg", "q_s_fwf_read",
+    "q_e_decay_score")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
