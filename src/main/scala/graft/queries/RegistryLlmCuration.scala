@@ -341,6 +341,46 @@ trait RegistryLlmCuration extends RegistryLlmSearch {
       .orderBy("bin")
   }
 
+  /** Precision/recall/F1 operating-point sweep of the quality score
+    * against the Gopher gate — the third member of the classifier-pair
+    * eval family ([[llmCalibration]] asks whether the score means what
+    * it says, [[llmGains]] how much positive mass the top bands
+    * capture; this one picks the GATE THRESHOLD: at every cut t₄ ∈
+    * {0, 500, …, 10000}, predict positive iff s₄ ≥ t₄ and read
+    * precision₄ / recall₄ / F1₄ in 10⁻⁴ units). FULLY integer via the
+    * nested truncating discipline (F1 composes the two already-
+    * truncated ratios — identical on both engines). Scale shape: one
+    * corpus pass reduces to a score HISTOGRAM bounded by the 10⁴+1
+    * score universe (never the corpus), the 21 thresholds broadcast
+    * against it, and totals are a 1-row broadcast. */
+  protected def llmPrCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = t(spark, dir, "documents").select(
+      floor(TextAnalysis.qualityScore(col("text")) * 10000 + 0.5)
+        .cast("long").as("s4"),
+      TextAnalysis.gopherPass(col("text")).as("y"))
+    val hist = d.groupBy("s4").agg(
+      sum(when(col("y"), 1L).otherwise(0L)).as("pos"),
+      sum(when(col("y"), 0L).otherwise(1L)).as("neg"))
+    val tot = hist.agg(coalesce(sum("pos"), lit(0L)).as("tot_pos"))
+    val th = (0L to 10000L by 500L).toDF("t4")
+    broadcast(th).join(hist, col("s4") >= col("t4"), "left")
+      .groupBy("t4").agg(
+        coalesce(sum("pos"), lit(0L)).as("tp"),
+        coalesce(sum("neg"), lit(0L)).as("fp"))
+      .crossJoin(broadcast(tot))
+      .select(col("t4"), col("tp"), col("fp"),
+        (col("tot_pos") - col("tp")).as("fn"),
+        expr("CASE WHEN tp + fp = 0 THEN CAST(0 AS BIGINT)" +
+          " ELSE tp * 10000 div (tp + fp) END").as("prec4"),
+        expr("CASE WHEN tot_pos = 0 THEN CAST(0 AS BIGINT)" +
+          " ELSE tp * 10000 div tot_pos END").as("rec4"))
+      .withColumn("f1_4",
+        expr("CASE WHEN prec4 + rec4 = 0 THEN CAST(0 AS BIGINT)" +
+          " ELSE 2 * prec4 * rec4 div (prec4 + rec4) END"))
+      .orderBy("t4")
+  }
+
   /** Cumulative gains / lift table of the quality score against the
     * Gopher gate — the TARGETING member of the classifier-pair eval
     * family: calibration asks whether the score means what it says,
@@ -1684,6 +1724,34 @@ trait RegistryLlmCuration extends RegistryLlmSearch {
     // Calibration replay: the shared gopher+quality prefix, the same
     // 4dp re-round, equal-width bins, and the integer conf/acc/gap/ECE
     // surfaces.
+    "q_llm_pr_curve" ->
+      (gopherQualityCtes + """,
+         db AS (SELECT CAST(floor(qq.quality * 10000 + 0.5) AS BIGINT)
+                  AS s4, gp.gp AS y
+           FROM qq JOIN gp USING (doc_id)),
+         h AS (SELECT s4,
+             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg
+           FROM db GROUP BY 1),
+         tot AS (SELECT CAST(coalesce(sum(pos), 0) AS BIGINT) AS tot_pos
+           FROM h),
+         th AS (SELECT CAST(unnest(range(0, 10001, 500)) AS BIGINT)
+           AS t4),
+         c AS (SELECT t4,
+             CAST(coalesce(sum(h.pos), 0) AS BIGINT) AS tp,
+             CAST(coalesce(sum(h.neg), 0) AS BIGINT) AS fp
+           FROM th LEFT JOIN h ON h.s4 >= th.t4 GROUP BY t4),
+         pr AS (SELECT t4, tp, fp, tot_pos - tp AS fn,
+             CAST(CASE WHEN tp + fp = 0 THEN 0
+               ELSE tp * 10000 // (tp + fp) END AS BIGINT) AS prec4,
+             CAST(CASE WHEN tot_pos = 0 THEN 0
+               ELSE tp * 10000 // tot_pos END AS BIGINT) AS rec4
+           FROM c, tot)
+         SELECT t4, tp, fp, fn, prec4, rec4,
+           CAST(CASE WHEN prec4 + rec4 = 0 THEN 0
+             ELSE 2 * prec4 * rec4 // (prec4 + rec4) END AS BIGINT)
+             AS f1_4
+         FROM pr ORDER BY t4"""),
     "q_llm_calibration" ->
       (gopherQualityCtes + """,
          db AS (SELECT least(CAST(floor(qq.quality * 10000 + 0.5)
