@@ -731,6 +731,108 @@ trait RegistryTs extends RegistryStats {
       .orderBy("event_type", "dow")
   }
 
+  /** ⌊2¹⁴·2cos(2π/p) + ½⌋ — the one fixed-point constant a Goertzel
+    * recursion at period p needs, computed once and emitted into BOTH
+    * engines (the ndcgW / DCT-basis shared-literal discipline). */
+  private def goertzelC(period: Int): Long =
+    math.floor(16384.0 * 2.0 * math.cos(2 * math.Pi / period) + 0.5).toLong
+
+  /** The fixed-point resonator feedback term ⌊C·s / 2¹⁴⌋ sign-split
+    * (truncate-toward-zero on both engines — s goes negative every
+    * half-cycle), emitted once for Spark HOF lambdas and the DuckDB
+    * recursive CTE. */
+  private def goertzelFx(c: Long, s: String, spark: Boolean): String = {
+    val div = if (spark) "div" else "//"
+    s"(CASE WHEN $s >= 0 THEN ($c * $s) $div 16384 " +
+      s"ELSE -(($c * -($s)) $div 16384) END)"
+  }
+
+  /** Single-bin spectral power via the Goertzel algorithm (Goertzel
+    * 1958) at the two cycle lengths an ops calendar cares about —
+    * period 7 (the weekly rhythm) and period 5 (the workweek) — over
+    * the daily event-count series: the frequency-domain companion to
+    * [[tsSeasonality]]'s time-domain day-of-week means. The resonator
+    * s_t = x_t + ⌊C·s_{t−1}/2¹⁴⌋ − s_{t−2} runs as ONE integer struct
+    * fold over the sorted bounded daily series (both periods share the
+    * fold), and the final power |X|² = s₁² + s₂² − ⌊C·s₁/2¹⁴⌋·s₂ clears
+    * through DECIMAL(38,0)/HUGEINT, clamps the truncation-noise
+    * negatives at zero (the form is PSD exactly; only fixed-point
+    * noise can dip below), and reports in 10⁶-unit steps (Long-safe to
+    * ~10¹¹ events/day). The oracle replays the recursion with the
+    * [[tsHolt]] recursive-CTE mechanism, both periods in one chain.
+    * Scale shape: one corpus pass to the day grain; the fold and the
+    * 2-row fan-out are calendar-bounded. */
+  protected def tsGoertzel(spark: SparkSession, dir: String): DataFrame = {
+    val c7 = goertzelC(7); val c5 = goertzelC(5)
+    def fold(c: Long) = {
+      val fx = goertzelFx(c, "acc.a", spark = true)
+      s"aggregate(vals, named_struct('a', CAST(0 AS BIGINT), " +
+        s"'b', CAST(0 AS BIGINT)), " +
+        s"(acc, x) -> named_struct('a', x + $fx - acc.b, 'b', acc.a))"
+    }
+    def power(st: String, c: Long) = {
+      val fx = goertzelFx(c, s"$st.a", spark = true)
+      s"CAST(greatest(CAST($st.a AS DECIMAL(38,0)) * $st.a " +
+        s"+ CAST($st.b AS DECIMAL(38,0)) * $st.b " +
+        s"- CAST($fx AS DECIMAL(38,0)) * $st.b, CAST(0 AS DECIMAL(38,0)))" +
+        s" div 1000000 AS BIGINT)"
+    }
+    t(spark, dir, "events")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("transform(sort_array(collect_list(struct(day, x))), " +
+          "p -> p.x)").as("vals"))
+      .withColumn("s7", expr(fold(c7)))
+      .withColumn("s5", expr(fold(c5)))
+      .select(col("n_days"), explode(expr(
+        s"array(named_struct('period', CAST(7 AS BIGINT), " +
+          s"'c14', CAST($c7 AS BIGINT), 's1', s7.a, 's2', s7.b, " +
+          s"'power_mega', ${power("s7", c7)}), " +
+          s"named_struct('period', CAST(5 AS BIGINT), " +
+          s"'c14', CAST($c5 AS BIGINT), 's1', s5.a, 's2', s5.b, " +
+          s"'power_mega', ${power("s5", c5)}))")).as("r"))
+      .select(col("r.period").as("period"), col("r.c14").as("c14"),
+        col("n_days"), col("r.s1").as("s1"), col("r.s2").as("s2"),
+        col("r.power_mega").as("power_mega"))
+      .orderBy(col("period").desc)
+  }
+
+  /** The generated DuckDB replay of [[tsGoertzel]] — both resonators in
+    * one recursive CTE, constants and feedback emitted from the same
+    * generators. */
+  protected def goertzelOracle: String = {
+    val c7 = goertzelC(7); val c5 = goertzelC(5)
+    def fx(c: Long, s: String) = goertzelFx(c, s, spark = false)
+    def power(a: String, b: String, c: Long) =
+      s"CAST(greatest(CAST($a AS HUGEINT) * $a + CAST($b AS HUGEINT) * $b" +
+        s" - CAST(${fx(c, a)} AS HUGEINT) * $b, 0) // 1000000 AS BIGINT)"
+    s"""WITH RECURSIVE days AS (SELECT
+           epoch_ns(ts) // 86400000000000 AS day,
+           CAST(count(*) AS BIGINT) AS x
+         FROM events GROUP BY 1),
+       s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               list(x ORDER BY day) AS vals FROM days),
+       r AS (SELECT 0 AS i, CAST(0 AS BIGINT) AS a7, CAST(0 AS BIGINT)
+               AS b7, CAST(0 AS BIGINT) AS a5, CAST(0 AS BIGINT) AS b5
+             UNION ALL
+             SELECT i + 1,
+               s.vals[i + 1] + ${fx(c7, "a7")} - b7, a7,
+               s.vals[i + 1] + ${fx(c5, "a5")} - b5, a5
+             FROM r, s WHERE i < s.n),
+       f AS (SELECT r.* FROM r, s WHERE r.i = s.n)
+       SELECT * FROM (
+         SELECT CAST(7 AS BIGINT) AS period, CAST($c7 AS BIGINT) AS c14,
+           s.n AS n_days, f.a7 AS s1, f.b7 AS s2,
+           ${power("f.a7", "f.b7", c7)} AS power_mega
+         FROM f, s
+         UNION ALL
+         SELECT CAST(5 AS BIGINT), CAST($c5 AS BIGINT), s.n, f.a5, f.b5,
+           ${power("f.a5", "f.b5", c5)}
+         FROM f, s)
+       ORDER BY period DESC"""
+  }
+
   /** Matrix profile over the daily purchase-cents series (Yeh et al.
     * 2016, "Matrix Profile I", ICDM) — for every length-7 subsequence,
     * the distance to its nearest non-trivial neighbor: small profile
@@ -779,6 +881,7 @@ trait RegistryTs extends RegistryStats {
   }
 
   protected val tsOracleSql: ListMap[String, String] = ListMap(
+    "q_ts_goertzel" -> goertzelOracle,
     "q_ts_matrix_profile" ->
       """WITH daily AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
