@@ -1071,6 +1071,66 @@ trait RegistryCore extends RegistryBase {
     s"CASE ${arms.mkString(" ")} ELSE CAST(20 AS BIGINT) END"
   }
 
+  /** The inclusion-dependency candidate list [[qcIndAudit]] probes —
+    * every referential edge of the schema plus one REVERSE probe
+    * (orders.o_orderkey ⊆ lineitem.l_orderkey), so the audit
+    * demonstrably measures rather than rubber-stamps (the qcFdAudit
+    * discipline: a no-lineitem order breaks the reverse edge). */
+  private val indCandidates = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders", "o_orderkey", "lineitem", "l_orderkey"))
+
+  /** Inclusion-dependency (foreign-key) discovery — the other half of
+    * schema profiling next to [[qcFdAudit]]'s FDs (the SPIDER/Metanome
+    * task: Bauckmann et al. 2006; Papenbrock et al. 2015): for each
+    * candidate edge dep ⊆ ref over [[indCandidates]], count the
+    * distinct non-NULL dep values missing from ref — zero means the
+    * edge is join-safe, nonzero quantifies the orphan mass a
+    * referential join would silently drop. Scale shape: per candidate,
+    * ONE column-pruned distinct (parquet reads just the key column)
+    * anti-joined against the ref key's distinct — the 8-edge fan-out
+    * is a compile-time list, and every aggregate reduces to one row
+    * before the union. */
+  protected def qcIndAudit(spark: SparkSession, dir: String): DataFrame = {
+    indCandidates.map { case (dt, dc, rt, rc) =>
+      val dep = t(spark, dir, dt).select(col(dc).as("v"))
+        .filter(col("v").isNotNull).distinct()
+      val ref = t(spark, dir, rt).select(col(rc).as("r")).distinct()
+      val miss = dep.join(ref, col("v") === col("r"), "left_anti")
+        .agg(count(lit(1)).as("n_missing"))
+      dep.agg(count(lit(1)).as("n_dep_distinct"))
+        .crossJoin(miss)
+        .select(lit(s"$dt.$dc").as("dep"), lit(s"$rt.$rc").as("ref"),
+          col("n_dep_distinct"), col("n_missing"),
+          (col("n_missing") === 0L).as("holds"))
+    }.reduce(_ unionAll _)
+      .orderBy("dep", "ref")
+  }
+
+  /** The generated DuckDB replay of [[qcIndAudit]] — one EXCEPT-counted
+    * block per candidate from the same [[indCandidates]] list. */
+  protected def indOracle: String = {
+    val blocks = indCandidates.map { case (dt, dc, rt, rc) =>
+      s"""SELECT '$dt.$dc' AS dep, '$rt.$rc' AS ref,
+           (SELECT CAST(count(*) AS BIGINT) FROM
+             (SELECT DISTINCT $dc FROM $dt WHERE $dc IS NOT NULL) d)
+             AS n_dep_distinct,
+           (SELECT CAST(count(*) AS BIGINT) FROM
+             (SELECT DISTINCT $dc FROM $dt WHERE $dc IS NOT NULL
+              EXCEPT SELECT $rc FROM $rt) m) AS n_missing"""
+    }.mkString("\n         UNION ALL\n         ")
+    s"""SELECT dep, ref, n_dep_distinct, n_missing,
+         n_missing = 0 AS holds
+       FROM ($blocks)
+       ORDER BY dep, ref"""
+  }
+
   /** Data-rule audit: functional-dependency and key-constraint checking,
     * the profiling pass a pipeline runs before trusting joins (a
     * violated FD silently fans out a "1:1" join). Each rule is one
@@ -3136,6 +3196,7 @@ trait RegistryCore extends RegistryBase {
              AS n_exact_one,
            CAST(max(version_n) AS BIGINT) AS max_version
          FROM m GROUP BY user_id ORDER BY user_id""",
+    "q_qc_ind_audit" -> indOracle,
     "q_qc_fd_audit" ->
       """WITH r1 AS (SELECT 'orderkey_unique_in_orders' AS rule,
              CAST(count(*) AS BIGINT) AS n_groups,
