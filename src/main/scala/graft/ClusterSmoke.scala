@@ -87,7 +87,8 @@ object ClusterSmoke {
     // and the broadcast decay-weight join
     "q_e_did", "q_e_cem", "q_ts_matrix_profile", "q_graph_rectangles",
     "q_sql_small_qty_revenue", "q_llm_search_ndcg", "q_s_fwf_read",
-    "q_e_decay_score")
+    "q_e_decay_score", "q_llm_pr_curve", "q_ts_goertzel",
+    "q_qc_ind_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
