@@ -452,6 +452,40 @@ trait RegistryEvent extends RegistryTs {
         gap = 30L * 60 * 1000 * 1000 * 1000)
       .orderBy("user_id")
 
+  /** Peak session concurrency per hour — the capacity-planning read
+    * ("how many sessions are live at once?") computed WITHOUT the
+    * classic global +1/−1 sweep, whose running sum is one corpus-wide
+    * unpartitioned window (exactly the shape WindowSweep exists to
+    * kill): sessions cut at the [[eSessions]] 30-min gap contract
+    * reduce to [t₀, t₁] intervals, and each interval range-joins the
+    * CALENDAR-BOUNDED broadcast hour list it overlaps — per-hour
+    * active counts are then one groupBy. Hour membership is closed on
+    * both ends (a session touching an hour counts in it). Top-20
+    * busiest hours, ties to the earlier hour. Scale shape: one
+    * user-partitioned session pass (bounded per key), a ≤ calendar·24
+    * broadcast, no global window, no corpus pair. */
+  protected def eConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val gapNs = 30L * 60 * 1000 * 1000 * 1000
+    val sess = graft.operators.Sessionize.assign(
+        t(spark, dir, "events"), "user_id", "ts", "event_id", gapNs)
+      .groupBy("user_id", "session_id")
+      .agg(expr(s"min(ts) div $hourNs").as("h0"),
+        expr(s"max(ts) div $hourNs").as("h1"))
+    val hours = sess.agg(min("h0").as("lo"), max("h1").as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("h"))
+    sess.join(broadcast(hours),
+        col("h0") <= col("h") && col("h") <= col("h1"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("h0") === col("h"), 1L).otherwise(0L))
+          .as("n_starting"))
+      .select(expr("h div 24").as("day"), (col("h") % 24).as("hour_of_day"),
+        col("h").as("hour_idx"), col("n_active"), col("n_starting"))
+      .orderBy(col("n_active").desc, col("hour_idx"))
+      .limit(20)
+  }
+
   /** Top-10 session PATHS (the clickstream-pattern table a product team
     * reads before funnel design — which exact event sequences actually
     * happen): sessions cut at 30-min event-time gaps (the [[eSessions]]
@@ -2159,6 +2193,32 @@ trait RegistryEvent extends RegistryTs {
              n_sessions DESC, path) AS BIGINT) AS rk FROM bp)
          SELECT rk, path, n_sessions, n_users, n_events
          FROM rnk WHERE rk <= 10 ORDER BY rk""",
+    "q_e_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events),
+           f AS (SELECT user_id, event_id, tsn,
+                   CASE WHEN lag(tsn) OVER w IS NULL THEN 0
+                        WHEN tsn - lag(tsn) OVER w > 1800000000000 THEN 1
+                        ELSE 0 END AS newf
+                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
+           s AS (SELECT user_id, tsn,
+                   SUM(newf) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS session_id
+                 FROM f),
+           iv AS (SELECT user_id, session_id,
+                   min(tsn) // 3600000000000 AS h0,
+                   max(tsn) // 3600000000000 AS h1
+                 FROM s GROUP BY 1, 2),
+           mm AS (SELECT min(h0) AS lo, max(h1) AS hi FROM iv),
+           hrs AS (SELECT lo + unnest(range(0, CAST(hi - lo + 1 AS BIGINT)))
+                     AS h FROM mm),
+           c AS (SELECT h, CAST(count(*) AS BIGINT) AS n_active,
+                   CAST(sum(CASE WHEN h0 = h THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_starting
+                 FROM iv JOIN hrs ON h0 <= h AND h <= h1 GROUP BY h)
+         SELECT h // 24 AS day, h % 24 AS hour_of_day, h AS hour_idx,
+           n_active, n_starting
+         FROM c ORDER BY n_active DESC, hour_idx LIMIT 20""",
     "q_e_sessions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events),
            f AS (SELECT user_id, event_id, tsn,
