@@ -864,7 +864,14 @@ object ScaleSmoke {
         "q_stats_eb_shrink", "q_gov_dp_release", "q_gov_subject_export",
         "q_store_clustering_depth", "q_store_retention_plan",
         "q_rec_eval", "q_asof_nearest", "q_mm_vad", "q_mm_phash",
-        "q_llm_code_detect", "q_llm_semdedup_eval")) {
+        "q_llm_code_detect", "q_llm_semdedup_eval",
+        // round-15 additions: causal pair, calendar-bounded profile/
+        // spectral, capped butterflies, Q17 decorrelation, graded NDCG,
+        // PR sweep, IND audit, decay scoring, hourly concurrency
+        "q_e_did", "q_e_cem", "q_e_decay_score", "q_e_concurrency",
+        "q_ts_matrix_profile", "q_ts_goertzel", "q_graph_rectangles",
+        "q_sql_small_qty_revenue", "q_llm_search_ndcg", "q_llm_pr_curve",
+        "q_qc_ind_audit")) {
       val n = timed(s"$qn (registered shape)")(
         SparkEntry.queries(qn)(spark, sfDir).count())
       println(s"[scale] $qn rows: $n")
@@ -928,6 +935,27 @@ object ScaleSmoke {
         .distinct().groupBy("w").agg(count(lit(1)).as("n")).count()
     })
     println(s"[scale] sliding-distinct window cells: $sdCells")
+
+    // Round-15: session concurrency at a TRUE 20× — the session
+    // reduction is one per-user window pass and the hour range-join is
+    // bounded by the CALENDAR (the hour list does not grow with events),
+    // so cost must scale with events, never events².
+    val ccHours = timed("session concurrency (2M events, hour range-join)")({
+      val hourNs = 3600L * 1000 * 1000 * 1000
+      val gapNs = 30L * 60 * 1000 * 1000 * 1000
+      val sess = graft.operators.Sessionize.assign(
+          ev20b.select("user_id", "ts", "event_id"),
+          "user_id", "ts", "event_id", gapNs)
+        .groupBy("user_id", "session_id")
+        .agg(expr(s"min(ts) div $hourNs").as("h0"),
+          expr(s"max(ts) div $hourNs").as("h1"))
+      val hours = sess.agg(min("h0").as("lo"), max("h1").as("hi"))
+        .select(explode(expr("sequence(lo, hi)")).as("h"))
+      sess.join(broadcast(hours),
+          col("h0") <= col("h") && col("h") <= col("h1"))
+        .groupBy("h").agg(count(lit(1)).as("n")).count()
+    })
+    println(s"[scale] concurrency hours at 20x: $ccHours")
 
     // Round-12: streaming at scale (VERDICT r11 item 7) — 1.05M events
     // with 50k planted replays through the production file-source dedup
