@@ -356,8 +356,13 @@ trait RegistryMm extends RegistryGraph {
     val base = t(spark, dir, "documents")
       .select(col("doc_id").as("media_id"), col("doc_id").as("seed"),
         (col("doc_id") % 300 + 200).cast("int").as("n"))
+    // Twins live in the NEGATIVE id space: doc_id + 10000 collided with
+    // real doc ids once the corpus passed 10k docs (caught by the sf1
+    // oracle sweep: the oracle's frame GROUP BY then merged two distinct
+    // clips while the engine kept duplicate media_id rows with a
+    // nondeterministic window tie). -(id+1) cannot collide at any sf.
     val twins = base.filter(col("seed") < 30)
-      .select((col("media_id") + 10000).as("media_id"), col("seed"),
+      .select((-(col("media_id") + 1)).as("media_id"), col("seed"),
         col("n"))
     val frames = base.unionByName(twins)
       .as[(Long, Long, Int)]
@@ -407,7 +412,7 @@ trait RegistryMm extends RegistryGraph {
                   doc_id % 300 + 200 AS n
            FROM documents
            UNION ALL
-           SELECT doc_id + 10000, doc_id, doc_id % 300 + 200
+           SELECT -(doc_id + 1), doc_id, doc_id % 300 + 200
            FROM documents WHERE doc_id < 30),
          f AS MATERIALIZED (SELECT c.media_id, s.i // 10 AS fr,
              CAST(SUM(abs(('0x' || substr(md5(CAST(c.seed AS VARCHAR) || ':' ||

@@ -30,7 +30,7 @@ class AudioFpSpec extends SparkSpecBase {
     val rows = SparkEntry.queries("q_mm_audio_fp")(
       spark, "/root/testdata/sf0.001").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    val twinPairs = rows.filter { case (a, b, _, _) => b == a + 10000 }
+    val twinPairs = rows.filter { case (a, b, _, _) => a == -(b + 1) }
     assert(twinPairs.length == 30,
       s"all 30 planted twins must surface, got ${twinPairs.length}")
     twinPairs.foreach { case (a, b, off, votes) =>
