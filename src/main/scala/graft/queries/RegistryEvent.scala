@@ -961,6 +961,58 @@ trait RegistryEvent extends RegistryTs {
       .orderBy("streak_days")
   }
 
+  /** Cochran–Armitage trend test (Cochran 1954; Armitage 1955) —
+    * "does conversion rise MONOTONICALLY with activity?", the ordered
+    * sibling of the 2×2 χ² ([[eExpTwoProp]] asks *different*, this asks
+    * *trending*): users bucket into the ordinal activity scores 0..4
+    * (w = min(⌊events/20⌋, 4) — spread so sf-scale corpora populate
+    * several buckets), conversion =
+    * ≥1 purchase, and the 1-df trend statistic in cleared integer form
+    * Z²·10⁶ = N·(N·Σwr − R·Σwn)²·10⁶ div (R·(N−R)·(N·Σw²n − (Σwn)²)),
+    * flagged at the exact χ²₀.₀₅,₁ cut (≥ 3.841459·10⁶). Everything is
+    * DECIMAL(38,0)/HUGEINT; the N⁵-order numerator approaches the
+    * 38-digit cap near ~3·10⁶ users, so the envelope is guarded LOUDLY
+    * (sentinel −2, emitted identically on both engines — the silent
+    * NULL-overflow mode the r14 review flagged cannot occur). R = 0,
+    * R = N, or zero score variance read sentinel −1 (trend undefined).
+    * Scale shape: one user-keyed aggregate, a ≤5-row bucket table,
+    * a 1-row moment reduce broadcast back onto the buckets. */
+  protected def eExpTrend(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val per = t(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_ev"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("buys"))
+      .select(
+        expr("least(n_ev div 20, 4)").cast("long").as("w"),
+        when(col("buys") > 0, 1L).otherwise(0L).as("conv"))
+    val buckets = per.groupBy("w")
+      .agg(count(lit(1)).as("n"), sum("conv").as("r"))
+      .select(col("w"), col("n"), col("r"),
+        expr("r * 1000000 div n").as("rate6"))
+    val m = buckets.agg(
+      sum(col("n").cast(dec)).as("nn"),
+      sum(col("r").cast(dec)).as("rr"),
+      sum(col("w").cast(dec) * col("r")).as("swr"),
+      sum(col("w").cast(dec) * col("n")).as("swn"),
+      sum(col("w").cast(dec) * col("w") * col("n")).as("sw2n"))
+      .select(
+        expr("CAST(nn AS BIGINT)").as("n_users"),
+        expr("CAST(rr AS BIGINT)").as("n_conv"),
+        expr("""CAST(CASE
+            WHEN rr = 0 OR rr = nn
+              OR nn * sw2n - swn * swn = 0 THEN -1
+            WHEN nn > 3000000 THEN -2
+            ELSE (nn * (nn * swr - rr * swn) * (nn * swr - rr * swn)
+                  * 1000000)
+                 div (rr * (nn - rr) * (nn * sw2n - swn * swn))
+            END AS BIGINT)""").as("z2_6"))
+      .withColumn("trend_sig",
+        expr("CASE WHEN z2_6 >= 3841459 THEN 1 ELSE 0 END").cast("long"))
+    buckets.crossJoin(broadcast(m)).orderBy("w")
+  }
+
   /** Sample-ratio-mismatch audit across 8 synthetic assignment layers —
     * the first gate any experimentation platform runs before reading a
     * metric (Fabijan et al. 2019, "Diagnosing SRM"): each layer hashes
@@ -2193,6 +2245,43 @@ trait RegistryEvent extends RegistryTs {
              n_sessions DESC, path) AS BIGINT) AS rk FROM bp)
          SELECT rk, path, n_sessions, n_users, n_events
          FROM rnk WHERE rk <= 10 ORDER BY rk""",
+    "q_exp_trend" ->
+      """WITH per AS (SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_ev,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS buys
+           FROM events GROUP BY user_id),
+         scored AS (SELECT
+             CAST(least(n_ev // 20, 4) AS BIGINT) AS w,
+             CASE WHEN buys > 0 THEN 1 ELSE 0 END AS conv
+           FROM per),
+         buckets AS (SELECT w, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conv) AS BIGINT) AS r
+           FROM scored GROUP BY w),
+         b2 AS (SELECT w, n, r,
+             CAST(r * 1000000 // n AS BIGINT) AS rate6 FROM buckets),
+         m AS (SELECT CAST(sum(n) AS HUGEINT) AS nn,
+             CAST(sum(r) AS HUGEINT) AS rr,
+             CAST(sum(w * r) AS HUGEINT) AS swr,
+             CAST(sum(w * n) AS HUGEINT) AS swn,
+             CAST(sum(w * w * n) AS HUGEINT) AS sw2n
+           FROM buckets),
+         s AS (SELECT CAST(nn AS BIGINT) AS n_users,
+             CAST(rr AS BIGINT) AS n_conv,
+             CAST(CASE
+               WHEN rr = 0 OR rr = nn
+                 OR nn * sw2n - swn * swn = 0 THEN -1
+               WHEN nn > 3000000 THEN -2
+               ELSE (nn * (nn * swr - rr * swn) * (nn * swr - rr * swn)
+                     * 1000000)
+                    // (rr * (nn - rr) * (nn * sw2n - swn * swn))
+               END AS BIGINT) AS z2_6
+           FROM m),
+         s2 AS (SELECT *,
+             CAST(CASE WHEN z2_6 >= 3841459 THEN 1 ELSE 0 END AS BIGINT)
+               AS trend_sig
+           FROM s)
+         SELECT b2.*, s2.* FROM b2, s2 ORDER BY w""",
     "q_e_concurrency" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events),
            f AS (SELECT user_id, event_id, tsn,
