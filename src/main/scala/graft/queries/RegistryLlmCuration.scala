@@ -341,6 +341,60 @@ trait RegistryLlmCuration extends RegistryLlmSearch {
       .orderBy("bin")
   }
 
+  /** The signed squared-MCC expression over the four confusion cells,
+    * emitted ONCE for both engines (`spark` toggles div/DECIMAL(38,0)
+    * vs ///HUGEINT): MCC needs a square root, so the engine reports
+    * sign(ad−bc) · (ad−bc)²·10⁸ / Π(margins) — exact integer, same
+    * ordering as MCC itself (monotone through the square on each sign
+    * side). Zero margin → sentinel 0 (MCC undefined ≙ no association);
+    * the N⁴-order numerator approaches DECIMAL(38,0) near ~3·10⁷ docs,
+    * guarded LOUDLY with sentinel −2·10⁸ (impossible as a real value,
+    * |mcc2| ≤ 10⁸). */
+  private def mcc2S8(spark: Boolean): String = {
+    val div = if (spark) "div" else "//"
+    """CASE
+        WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) = 0 THEN 0
+        WHEN tp + fp + fn + tn > 30000000 THEN -200000000
+        WHEN tp * tn - fp * fn >= 0
+        THEN ((tp * tn - fp * fn) * (tp * tn - fp * fn) * 100000000)
+             DIV ((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+        ELSE -(((fp * fn - tp * tn) * (fp * fn - tp * tn) * 100000000)
+             DIV ((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)))
+        END""".replace("DIV", div)
+  }
+
+  /** Matthews correlation of the 0.5 quality gate against the Gopher
+    * label (Matthews 1975; Chicco & Jurman 2020 argue it over F1 for
+    * imbalanced data — exactly the corpus-curation regime, where most
+    * docs fail the gate): the fourth member of the classifier-pair
+    * family — calibration (meaning), gains (targeting), PR sweep
+    * (operating points), MCC (one imbalance-robust number using ALL
+    * FOUR cells, where F1 ignores TN). Reported as signed squared MCC
+    * in 10⁻⁸ units via [[mcc2S8]] (sqrt-free, order-identical).
+    * Scale shape: one corpus pass to a 4-cell reduce — nothing else. */
+  protected def llmMcc(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    t(spark, dir, "documents").select(
+      (floor(TextAnalysis.qualityScore(col("text")) * 10000 + 0.5)
+        .cast("long") >= 5000L).as("pred"),
+      TextAnalysis.gopherPass(col("text")).as("y"))
+      .agg(
+        sum(when(col("pred") && col("y"), 1L).otherwise(0L)).cast(dec)
+          .as("tp"),
+        sum(when(col("pred") && !col("y"), 1L).otherwise(0L)).cast(dec)
+          .as("fp"),
+        sum(when(!col("pred") && col("y"), 1L).otherwise(0L)).cast(dec)
+          .as("fn"),
+        sum(when(!col("pred") && !col("y"), 1L).otherwise(0L)).cast(dec)
+          .as("tn"))
+      .select(
+        expr("CAST(tp AS BIGINT)").as("tp"),
+        expr("CAST(fp AS BIGINT)").as("fp"),
+        expr("CAST(fn AS BIGINT)").as("fn"),
+        expr("CAST(tn AS BIGINT)").as("tn"),
+        expr(s"CAST(${mcc2S8(spark = true)} AS BIGINT)").as("mcc2_s8"))
+  }
+
   /** Precision/recall/F1 operating-point sweep of the quality score
     * against the Gopher gate — the third member of the classifier-pair
     * eval family ([[llmCalibration]] asks whether the score means what
@@ -1724,6 +1778,25 @@ trait RegistryLlmCuration extends RegistryLlmSearch {
     // Calibration replay: the shared gopher+quality prefix, the same
     // 4dp re-round, equal-width bins, and the integer conf/acc/gap/ECE
     // surfaces.
+    "q_llm_mcc" ->
+      (gopherQualityCtes + s""",
+         db AS (SELECT floor(qq.quality * 10000 + 0.5) >= 5000 AS pred,
+                  gp.gp AS y
+           FROM qq JOIN gp USING (doc_id)),
+         cells AS (SELECT
+             CAST(sum(CASE WHEN pred AND y THEN 1 ELSE 0 END)
+               AS HUGEINT) AS tp,
+             CAST(sum(CASE WHEN pred AND NOT y THEN 1 ELSE 0 END)
+               AS HUGEINT) AS fp,
+             CAST(sum(CASE WHEN NOT pred AND y THEN 1 ELSE 0 END)
+               AS HUGEINT) AS fn,
+             CAST(sum(CASE WHEN NOT pred AND NOT y THEN 1 ELSE 0 END)
+               AS HUGEINT) AS tn
+           FROM db)
+         SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           CAST(${mcc2S8(spark = false)} AS BIGINT) AS mcc2_s8
+         FROM cells"""),
     "q_llm_pr_curve" ->
       (gopherQualityCtes + """,
          db AS (SELECT CAST(floor(qq.quality * 10000 + 0.5) AS BIGINT)
