@@ -1073,9 +1073,14 @@ trait RegistryCore extends RegistryBase {
 
   /** The inclusion-dependency candidate list [[qcIndAudit]] probes —
     * every referential edge of the schema plus one REVERSE probe
-    * (orders.o_orderkey ⊆ lineitem.l_orderkey), so the audit
-    * demonstrably measures rather than rubber-stamps (the qcFdAudit
-    * discipline: a no-lineitem order breaks the reverse edge). */
+    * (orders.o_orderkey ⊆ lineitem.l_orderkey). On the driver corpus
+    * that edge genuinely FAILS — the synthetic orders table contains
+    * childless orders (measured: n_missing = 27/257/2764 at
+    * sf0.001/0.01/0.1) — so the audit's negative (n_missing > 0) path
+    * is exercised by every oracle sweep, not rubber-stamped. Note the
+    * property is corpus-dependent: on stock TPC-H (1–7 lineitems per
+    * order, clause 4.2.3) the reverse edge would hold and the probe
+    * would degrade to a semantic-only check. */
   private val indCandidates = Seq(
     ("lineitem", "l_orderkey", "orders", "o_orderkey"),
     ("lineitem", "l_partkey", "part", "p_partkey"),

@@ -970,10 +970,13 @@ trait RegistryEvent extends RegistryTs {
     * ≥1 purchase, and the 1-df trend statistic in cleared integer form
     * Z²·10⁶ = N·(N·Σwr − R·Σwn)²·10⁶ div (R·(N−R)·(N·Σw²n − (Σwn)²)),
     * flagged at the exact χ²₀.₀₅,₁ cut (≥ 3.841459·10⁶). Everything is
-    * DECIMAL(38,0)/HUGEINT; the N⁵-order numerator approaches the
-    * 38-digit cap near ~3·10⁶ users, so the envelope is guarded LOUDLY
-    * (sentinel −2, emitted identically on both engines — the silent
-    * NULL-overflow mode the r14 review flagged cannot occur). R = 0,
+    * DECIMAL(38,0)/HUGEINT; the numerator N·(N·Σwr−R·Σwn)²·10⁶ is
+    * bounded by the PROVEN envelope |N·Σwr−R·Σwn| = 4R(N−R) ≤ N²
+    * (max at R=N/2, all converters in bucket 4), i.e. ≤ N⁵·10⁶, which
+    * crosses the 38-digit cap at N ≈ 2.51·10⁶ — so the LOUD sentinel
+    * binds at N > 2·10⁶ (worst case 3.2·10³⁷ < 10³⁸, emitted
+    * identically on both engines; the silent NULL-overflow mode the
+    * r15 review flagged at the old 3·10⁶ guard cannot occur). R = 0,
     * R = N, or zero score variance read sentinel −1 (trend undefined).
     * Scale shape: one user-keyed aggregate, a ≤5-row bucket table,
     * a 1-row moment reduce broadcast back onto the buckets. */
@@ -1003,7 +1006,7 @@ trait RegistryEvent extends RegistryTs {
         expr("""CAST(CASE
             WHEN rr = 0 OR rr = nn
               OR nn * sw2n - swn * swn = 0 THEN -1
-            WHEN nn > 3000000 THEN -2
+            WHEN nn > 2000000 THEN -2
             ELSE (nn * (nn * swr - rr * swn) * (nn * swr - rr * swn)
                   * 1000000)
                  div (rr * (nn - rr) * (nn * sw2n - swn * swn))
@@ -2271,7 +2274,7 @@ trait RegistryEvent extends RegistryTs {
              CAST(CASE
                WHEN rr = 0 OR rr = nn
                  OR nn * sw2n - swn * swn = 0 THEN -1
-               WHEN nn > 3000000 THEN -2
+               WHEN nn > 2000000 THEN -2
                ELSE (nn * (nn * swr - rr * swn) * (nn * swr - rr * swn)
                      * 1000000)
                     // (rr * (nn - rr) * (nn * sw2n - swn * swn))

@@ -418,7 +418,10 @@ trait RegistryLlmCuration extends RegistryLlmSearch {
       sum(when(col("y"), 0L).otherwise(1L)).as("neg"))
     val tot = hist.agg(coalesce(sum("pos"), lit(0L)).as("tot_pos"))
     val th = (0L to 10000L by 500L).toDF("t4")
-    broadcast(th).join(hist, col("s4") >= col("t4"), "left")
+    // Broadcast the HISTOGRAM (bounded by the 10⁴+1 score universe),
+    // not th: Spark can't build on the outer-preserved left side of a
+    // left join, so a hint there is a planner no-op (r15 ADVICE).
+    th.join(broadcast(hist), col("s4") >= col("t4"), "left")
       .groupBy("t4").agg(
         coalesce(sum("pos"), lit(0L)).as("tp"),
         coalesce(sum("neg"), lit(0L)).as("fp"))
