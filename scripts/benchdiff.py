@@ -14,9 +14,15 @@ two history entries with matching "sf" dirs are diffed (a skewed-sf1 run
 appended between two sf0.1 rounds no longer poisons the diff); pass
 --sf <substring> to pick the series (e.g. --sf sf1).
 
+Anchor entries (graft.AnchorBench, fresh-JVM pinned subset, tagged
+"anchor":true) form their OWN series: they are excluded from full-bench
+comparisons and selected exclusively via --anchor, so the fresh-JVM numbers
+are only ever compared against other fresh-JVM numbers.
+
 Usage:
   benchdiff.py                     # last two same-sf entries of bench_history.jsonl
   benchdiff.py --sf sf1            # last two entries whose sf dir contains "sf1"
+  benchdiff.py --anchor            # last two same-sf ANCHOR entries
   benchdiff.py OLD.json NEW.json   # explicit files (one JSON object each)
   benchdiff.py --threshold 3.0
 
@@ -29,7 +35,11 @@ from pathlib import Path
 
 THRESHOLD = 2.0
 SF = None
+ANCHOR = False
 args = [a for a in sys.argv[1:]]
+if "--anchor" in args:
+    ANCHOR = True
+    args.remove("--anchor")
 if "--threshold" in args:
     i = args.index("--threshold")
     THRESHOLD = float(args[i + 1])
@@ -49,6 +59,10 @@ else:
         sys.exit(0)
     entries = [json.loads(ln) for ln in hist.read_text().splitlines()
                if ln.strip()]
+    entries = [e for e in entries if bool(e.get("anchor")) == ANCHOR]
+    if ANCHOR and len(entries) < 2:
+        print(f"[benchdiff] only {len(entries)} anchor entries; need 2")
+        sys.exit(0)
     if SF is not None:
         entries = [e for e in entries if SF in str(e.get("sf", ""))]
         if len(entries) < 2:

@@ -106,24 +106,35 @@ object Bench {
       })
     }
     val load2 = loadavg()
-    // Self-adjudication (judge directive r14 item 5): a bench sampled
-    // under sustained competing load is an upper bound, not a
-    // measurement — r13's artifact recorded 29 s for a 3.4 s query that
-    // way. min-of-two absorbs ONE loaded pass, so the artifact is only
-    // tainted when the load never let up: all three 1-min loadavg
-    // samples (before / between / after the passes) above the
-    // threshold. Quiet-host runs here read ~1-3; loaded rounds read
-    // 9-13. Threshold overridable via SPARK_GRAFT_LOAD_MAX.
+    // Self-adjudication (judge directive r14 item 5, rule tightened per
+    // r15 verdict): a bench sampled under competing load is an upper
+    // bound, not a measurement — r13's artifact recorded 29 s for a
+    // 3.4 s query that way. The verdict is decided by the FIRST sample:
+    // a hot start inflates pass 1's queries even if the host later
+    // quiets down, and the old min-of-samples rule absorbed exactly
+    // that (BENCH_r15 self-adjudicated "quiet" from loadavg
+    // [13.9, 3.5, 3.7]). Any later sample over threshold is still
+    // flagged on stderr for the record. Quiet-host runs here read
+    // ~1-3; loaded rounds read 9-13. Threshold via SPARK_GRAFT_LOAD_MAX.
     val loadMax = sys.env.get("SPARK_GRAFT_LOAD_MAX").map(_.toDouble)
       .getOrElse(4.0)
-    val tainted = Seq(load0, load1, load2).min > loadMax
+    val tainted = load0 > loadMax
+    val hotLater = Seq("mid" -> load1, "end" -> load2)
+      .filter(_._2 > loadMax)
     if (tainted)
-      System.err.println(f"[bench] loadavg-tainted: all samples " +
-        f"[$load0%.1f, $load1%.1f, $load2%.1f] > $loadMax%.1f - treat " +
-        "this artifact as an upper bound and re-run on a quiet host")
-    else
+      System.err.println(f"[bench] loadavg-tainted: HOT START " +
+        f"(first sample $load0%.1f > $loadMax%.1f; all samples " +
+        f"[$load0%.1f, $load1%.1f, $load2%.1f]) - treat this artifact " +
+        "as an upper bound and re-run on a quiet host")
+    else {
+      if (hotLater.nonEmpty)
+        System.err.println("[bench] WARNING: quiet start but hot " +
+          hotLater.map { case (k, v) => f"$k=$v%.1f" }.mkString(", ") +
+          f" (> $loadMax%.1f) - min-of-two absorbs one loaded pass, " +
+          "but cross-check benchdiff before trusting per-query deltas")
       System.err.println(f"[bench] loadavg verdict: quiet " +
-        f"(min sample ${Seq(load0, load1, load2).min}%.1f <= $loadMax%.1f)")
+        f"(first sample $load0%.1f <= $loadMax%.1f)")
+    }
     // The harness that captures this output keeps only the final 2000
     // characters of the log (sbt's trailing "[success] Total time" line
     // included). At 149 queries a full per-query map (~1,900 chars) no
