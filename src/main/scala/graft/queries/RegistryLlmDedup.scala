@@ -19,12 +19,15 @@ import scala.collection.immutable.ListMap
   * registration maps and conventions. */
 trait RegistryLlmDedup extends RegistryMm {
 
-  /** Documents plus exact copies (ids shifted +10000) — exact dedup must
-    * find precisely those 50 groups. */
+  /** Documents plus exact copies (twin ids in the NEGATIVE namespace,
+    * -(doc_id+1) — collision-free against real ids at ANY corpus scale;
+    * an additive offset collides past its magnitude, the r15 audio-fp
+    * lesson, gated by FixturePlantingSpec) — exact dedup must find
+    * precisely those 50 groups. */
   protected def llmExactDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val dupes = docs.filter(col("doc_id") < 50)
-      .withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("doc_id", -(col("doc_id") + 1))
     Dedup.exactDuplicateGroups(docs.unionByName(dupes), "doc_id", "text")
       .filter(col("copies") > 1)
       .orderBy("content_hash")
@@ -42,7 +45,7 @@ trait RegistryLlmDedup extends RegistryMm {
   protected def llmDupInflation(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val dupes = docs.filter(col("doc_id") < 50)
-      .withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("doc_id", -(col("doc_id") + 1))
     val toks = docs.unionByName(dupes)
       .select(col("doc_id"), sha2(col("text"), 256).as("h"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("ntok"))
@@ -127,7 +130,7 @@ trait RegistryLlmDedup extends RegistryMm {
     val docs = t(spark, dir, "documents")
       .filter(pmod(col("doc_id"), lit(2)) === 0)
     val mutated = docs.filter(col("doc_id") < 30)
-      .withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("doc_id", -(col("doc_id") + 1))
       .withColumn("text", concat(col("text"), lit(" appended marker token")))
     val grams = docs.unionByName(mutated)
       .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("grams"))
@@ -184,7 +187,7 @@ trait RegistryLlmDedup extends RegistryMm {
             * CAST(10000 AS BIGINT) div $perms""").as("est4"))
     val scored = candExact.join(est, Seq("id_a", "id_b"))
     val planted = docs.filter(col("doc_id") < 30)
-      .select(col("doc_id").as("id_a"), (col("doc_id") + 10000).as("id_b"))
+      .select((-(col("doc_id") + 1)).as("id_a"), col("doc_id").as("id_b"))
     val truth = exact(planted).filter(col("j4") >= 5000)
     val hits = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
     val candAgg = scored.agg(count(lit(1)).as("n_cand"),
@@ -226,7 +229,7 @@ trait RegistryLlmDedup extends RegistryMm {
     val docs = t(spark, dir, "documents")
       .filter(pmod(col("doc_id"), lit(2)) === 0)
     val mutated = docs.filter(col("doc_id") < 30)
-      .withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("doc_id", -(col("doc_id") + 1))
       .withColumn("text", concat(col("text"), lit(" appended marker token")))
     val grams = docs.unionByName(mutated)
       .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("grams"))
@@ -260,7 +263,7 @@ trait RegistryLlmDedup extends RegistryMm {
         expr("CAST(bit_count(fa ^ fb) AS BIGINT)").as("ham"))
     val scored = ham(cand)
     val planted = docs.filter(col("doc_id") < 30)
-      .select(col("doc_id").as("id_a"), (col("doc_id") + 10000).as("id_b"))
+      .select((-(col("doc_id") + 1)).as("id_a"), col("doc_id").as("id_b"))
     val ph = ham(planted).localCheckpoint(true) // truth + mean-distance
     val truth = ph.filter(col("ham") <= 3).select("id_a", "id_b")
     val hits = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
@@ -287,7 +290,7 @@ trait RegistryLlmDedup extends RegistryMm {
   protected def llmMinhashNearDup(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val mutated = docs.filter(col("doc_id") < 30)
-      .withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("doc_id", -(col("doc_id") + 1))
       .withColumn("text", concat(col("text"), lit(" appended marker token")))
     Dedup.minhashNearDuplicates(docs.unionByName(mutated), "doc_id", "text",
         shingleSize = 3, numPerms = 64, bands = 16, threshold = 0.5)
@@ -298,7 +301,7 @@ trait RegistryLlmDedup extends RegistryMm {
   protected def llmSimhashNearDup(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val mutated = docs.filter(col("doc_id") < 30)
-      .withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("doc_id", -(col("doc_id") + 1))
       .withColumn("text", concat(col("text"), lit(" appended marker token")))
     Dedup.simhashNearDuplicates(docs.unionByName(mutated), "doc_id", "text", maxDist = 3)
       .orderBy("id_a", "id_b")
@@ -489,7 +492,7 @@ trait RegistryLlmDedup extends RegistryMm {
   protected def llmDupRegions(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
     val copies = docs.filter(col("doc_id") < 40)
-      .select((col("doc_id") + 10000).as("doc_id"),
+      .select((-(col("doc_id") + 1)).as("doc_id"),
         concat(lit("prefix marker tokens added "), col("text")).as("text"))
     graft.llm.Dedup.duplicatedSpanRegions(
         docs.unionByName(copies), "doc_id", "text", seedTokens = 5)
@@ -605,7 +608,7 @@ trait RegistryLlmDedup extends RegistryMm {
     val base = t(spark, dir, "documents").filter(col("doc_id") < 300)
       .select(col("doc_id"), col("text"))
     val planted = base.filter(col("doc_id").isin(7L, 11L))
-      .select((col("doc_id") + 5000).as("doc_id"),
+      .select((-(col("doc_id") + 1)).as("doc_id"),
         concat_ws(" ",
           slice(split(trim(col("text")), "\\s+"), 5, 12),
           lit("fresh tail content entirely new")).as("text"))
@@ -623,7 +626,7 @@ trait RegistryLlmDedup extends RegistryMm {
     val base = t(spark, dir, "documents").filter(col("doc_id") < 300)
       .select(col("doc_id"), col("text"))
     val planted = base.filter(col("doc_id").isin(7L, 11L))
-      .select((col("doc_id") + 5000).as("doc_id"),
+      .select((-(col("doc_id") + 1)).as("doc_id"),
         concat_ws(" ",
           slice(split(trim(col("text")), "\\s+"), 5, 12),
           lit("fresh tail content entirely new")).as("text"))
@@ -637,7 +640,7 @@ trait RegistryLlmDedup extends RegistryMm {
       """WITH corpus AS (
            SELECT doc_id, text FROM documents
            UNION ALL
-           SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50),
+           SELECT -(doc_id + 1), text FROM documents WHERE doc_id < 50),
          tks AS (SELECT sha256(text) AS h,
              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
                AS ntok
@@ -662,7 +665,7 @@ trait RegistryLlmDedup extends RegistryMm {
       """WITH corpus AS (
            SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
            UNION ALL
-           SELECT doc_id + 10000, text || ' appended marker token'
+           SELECT -(doc_id + 1), text || ' appended marker token'
            FROM documents WHERE doc_id < 30 AND doc_id % 2 = 0),
          tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
                 FROM corpus),
@@ -703,7 +706,7 @@ trait RegistryLlmDedup extends RegistryMm {
            GROUP BY 1, 2),
          scored AS (SELECT ce.j4, est.est4 FROM ce
            JOIN est ON ce.id_a = est.id_a AND ce.id_b = est.id_b),
-         planted AS (SELECT doc_id AS id_a, doc_id + 10000 AS id_b
+         planted AS (SELECT -(doc_id + 1) AS id_a, doc_id AS id_b
            FROM documents WHERE doc_id < 30 AND doc_id % 2 = 0),
          truth AS (SELECT p.id_a, p.id_b
            FROM planted p JOIN g a ON p.id_a = a.doc_id
@@ -736,7 +739,7 @@ trait RegistryLlmDedup extends RegistryMm {
       """WITH corpus AS (
            SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
            UNION ALL
-           SELECT doc_id + 10000, text || ' appended marker token'
+           SELECT -(doc_id + 1), text || ' appended marker token'
            FROM documents WHERE doc_id < 30 AND doc_id % 2 = 0),
          tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
                 FROM corpus),
@@ -767,7 +770,7 @@ trait RegistryLlmDedup extends RegistryMm {
              CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS ham
            FROM cand c JOIN fp a ON c.id_a = a.doc_id
              JOIN fp b ON c.id_b = b.doc_id),
-         planted AS (SELECT doc_id AS id_a, doc_id + 10000 AS id_b
+         planted AS (SELECT -(doc_id + 1) AS id_a, doc_id AS id_b
            FROM documents WHERE doc_id < 30 AND doc_id % 2 = 0),
          ph AS (SELECT p.id_a, p.id_b,
              CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS ham
@@ -920,7 +923,7 @@ trait RegistryLlmDedup extends RegistryMm {
       """WITH corpus AS (
            SELECT doc_id, text FROM documents
            UNION ALL
-           SELECT doc_id + 10000, text || ' appended marker token'
+           SELECT -(doc_id + 1), text || ' appended marker token'
            FROM documents WHERE doc_id < 30),
          tok AS (SELECT doc_id,
                unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
@@ -961,7 +964,7 @@ trait RegistryLlmDedup extends RegistryMm {
       """WITH all_docs AS (
            SELECT doc_id, text FROM documents
            UNION ALL
-           SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50)
+           SELECT -(doc_id + 1), text FROM documents WHERE doc_id < 50)
          SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS copies
          FROM all_docs GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""",
     "q_llm_dedup_clusters" ->
@@ -1070,7 +1073,7 @@ trait RegistryLlmDedup extends RegistryMm {
       """WITH corpus AS (
            SELECT doc_id, text FROM documents
            UNION ALL
-           SELECT doc_id + 10000 AS doc_id, text || ' appended marker token' AS text
+           SELECT -(doc_id + 1) AS doc_id, text || ' appended marker token' AS text
            FROM documents WHERE doc_id < 30),
          tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM corpus),
          sh AS (SELECT doc_id,
@@ -1172,7 +1175,7 @@ trait RegistryLlmDedup extends RegistryMm {
       """WITH corpus AS (
            SELECT doc_id, text FROM documents
            UNION ALL
-           SELECT doc_id + 10000 AS doc_id,
+           SELECT -(doc_id + 1) AS doc_id,
                   'prefix marker tokens added ' || text AS text
            FROM documents WHERE doc_id < 40),
          tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
@@ -1223,7 +1226,7 @@ trait RegistryLlmDedup extends RegistryMm {
     "q_llm_winnow_pairs" ->
       """WITH doc AS (SELECT doc_id, text FROM documents WHERE doc_id < 300
                       UNION ALL
-                      SELECT doc_id + 5000,
+                      SELECT -(doc_id + 1),
                         array_to_string(string_split_regex(trim(text), '\s+')[5:16], ' ')
                           || ' fresh tail content entirely new'
                       FROM documents WHERE doc_id IN (7, 11)),
@@ -1256,7 +1259,7 @@ trait RegistryLlmDedup extends RegistryMm {
     "q_llm_winnow_locate" ->
       """WITH doc AS (SELECT doc_id, text FROM documents WHERE doc_id < 300
                       UNION ALL
-                      SELECT doc_id + 5000,
+                      SELECT -(doc_id + 1),
                         array_to_string(string_split_regex(trim(text), '\s+')[5:16], ' ')
                           || ' fresh tail content entirely new'
                       FROM documents WHERE doc_id IN (7, 11)),

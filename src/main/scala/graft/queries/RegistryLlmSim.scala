@@ -40,7 +40,7 @@ trait RegistryLlmSim extends RegistryLlmCuration {
   protected def llmCosineNearDup(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val scaled = emb.filter(col("vec_id") < 20)
-      .withColumn("vec_id", col("vec_id") + 10000)
+      .withColumn("vec_id", -(col("vec_id") + 1))
       .withColumn("embedding", transform(col("embedding"), x => x * lit(1.001f)))
     Similarity.cosineNearDuplicates(emb.unionByName(scaled), "embedding", "vec_id",
         threshold = 0.999, numPlanes = 8)
@@ -74,15 +74,17 @@ trait RegistryLlmSim extends RegistryLlmCuration {
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("embedding"))
     val planted = emb.filter(col("vec_id") < 20)
-      .withColumn("vec_id", col("vec_id") + 10000)
+      .withColumn("vec_id", -(col("vec_id") + 1))
       .withColumn("embedding", transform(col("embedding"), x => x * lit(1.001)))
-    // A 45-copy mega-group of vector 0 (ids 20000+r): with its original and
-    // its +10000 replica it exceeds maxCluster=40 INSIDE one sign-LSH
+    // A 45-copy mega-group of vector 0 (ids -(20001+r), the NEGATIVE
+    // planted namespace — collision-free at any corpus scale, gated by
+    // FixturePlantingSpec): with its original and its -(id+1) replica it
+    // exceeds maxCluster=40 INSIDE one sign-LSH
     // sub-bucket, so the oracle exercises the O(n) chain-degrade branch of
     // the bounded gate, not just the capped all-pairs branch.
     val mega = emb.filter(col("vec_id") === 0)
       .crossJoin(spark.range(45).select(col("id").as("_r")))
-      .select((col("vec_id") + 20000 + col("_r")).as("vec_id"),
+      .select((-(lit(20001L) + col("_r"))).as("vec_id"),
         transform(col("embedding"), x => x * lit(1.001)).as("embedding"))
     val all = emb.unionByName(planted).unionByName(mega)
     val (_, cents) = graft.llm.DetKMeans.fit(
@@ -110,8 +112,8 @@ trait RegistryLlmSim extends RegistryLlmCuration {
     * member of the recipe-eval trio ([[RegistryLlmDedup]]'s
     * `q_llm_minhash_eval` scores an LSH recipe, `q_llm_simhash_eval` a
     * Hamming sketch; this scores the k-means + sub-split + chain gate
-    * itself): planted truth = the 19 (i, i+10000) replica pairs plus
-    * the 47-member mega-clique ({0, 10000, 20000..20044} — C(47,2) =
+    * itself): planted truth = the 19 (-(i+1), i) replica pairs plus
+    * the 47-member mega-clique ({0, -1, -20001..-20045} — C(47,2) =
     * 1081 pairs), a truth pair is CAPTURED when both ends land in the
     * same near-dup component. Reports recall plus the truth-component
     * fragmentation (ideal: 19 pair-components + 1 mega component).
@@ -127,8 +129,8 @@ trait RegistryLlmSim extends RegistryLlmCuration {
     val comp = graft.llm.Dedup.dedupByCluster(
         withCell.select(col("id").as("vec_id")), "vec_id", pairs)
       .select(col("vec_id"), col("component"))
-    val megaIds = Seq(0L, 10000L) ++ (20000L until 20045L)
-    val truth = ((1L to 19L).map(i => (i, i + 10000L)) ++
+    val megaIds = Seq(0L, -1L) ++ (-20045L to -20001L)
+    val truth = ((1L to 19L).map(i => (-(i + 1), i)) ++
       (for (a <- megaIds; b <- megaIds if a < b) yield (a, b)))
       .toDF("a", "b")
     val cj = truth
@@ -412,8 +414,8 @@ trait RegistryLlmSim extends RegistryLlmCuration {
     * units (DetKMeans), pair through the BOUNDED kernel
     * ([[graft.llm.SemDedup.detBoundedPairs]] — maxCluster cap + sign-LSH
     * sub-split + chain degrade), connected components, drop
-    * non-representatives. Planted exact copies (ids +10000, plus the
-    * 45-copy mega-group at 20000+) land in their original's cell by
+    * non-representatives. Planted exact copies (ids -(id+1), plus the
+    * 45-copy mega-group at -(20001+r)) land in their original's cell by
     * construction. The DuckDB oracle replays training, gating, the
     * sub-split, BOTH pair branches AND the component fixpoint (recursive
     * CTE) — the first semantic-dedup query whose DROP SET is
@@ -421,12 +423,12 @@ trait RegistryLlmSim extends RegistryLlmCuration {
   protected def llmSemDedupDet(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
     val planted = emb.filter(col("vec_id") < 20)
-      .withColumn("vec_id", col("vec_id") + 10000)
+      .withColumn("vec_id", -(col("vec_id") + 1))
     // Exact-copy mega-group (see llmSemDedup): forces the chain-degrade
     // branch of the bounded gate through the oracle.
     val mega = emb.filter(col("vec_id") === 0)
       .crossJoin(spark.range(45).select(col("id").as("_r")))
-      .select((col("vec_id") + 20000 + col("_r")).as("vec_id"),
+      .select((-(lit(20001L) + col("_r"))).as("vec_id"),
         col("embedding"))
     val all = emb.unionByName(planted).unionByName(mega)
     val (_, cents) = graft.llm.DetKMeans.fit(
@@ -850,21 +852,21 @@ trait RegistryLlmSim extends RegistryLlmCuration {
     graft.llm.DetKMeans.oracleCtes(
       "(SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding" +
       " FROM embeddings UNION ALL" +
-      " SELECT vec_id + 10000, list_transform(embedding," +
+      " SELECT -(vec_id + 1), list_transform(embedding," +
       "   x -> CAST(x AS DOUBLE) * CAST(1.001 AS DOUBLE))" +
       " FROM embeddings WHERE vec_id < 20 UNION ALL" +
-      " SELECT 20000 + t.r, list_transform(embedding," +
+      " SELECT -(20001 + t.r), list_transform(embedding," +
       "   x -> CAST(x AS DOUBLE) * CAST(1.001 AS DOUBLE))" +
       " FROM embeddings, range(45) t(r) WHERE vec_id = 0) un",
       "vec_id", "embedding", k = 16, iters = 3, dim = 64)
       .replaceFirst("WITH ", "WITH RECURSIVE ") +
     """,
-       ev AS (SELECT vec_id + 10000 AS id,
+       ev AS (SELECT -(vec_id + 1) AS id,
                 list_transform(embedding,
                   x -> CAST(x AS DOUBLE) * CAST(1.001 AS DOUBLE)) AS e
               FROM embeddings WHERE vec_id < 20
               UNION ALL
-              SELECT 20000 + t.r AS id,
+              SELECT -(20001 + t.r) AS id,
                 list_transform(embedding,
                   x -> CAST(x AS DOUBLE) * CAST(1.001 AS DOUBLE)) AS e
               FROM embeddings, range(45) t(r) WHERE vec_id = 0
@@ -1036,10 +1038,10 @@ trait RegistryLlmSim extends RegistryLlmCuration {
          compx AS (SELECT a.id, coalesce(l.component, a.id) AS comp
            FROM a3 a LEFT JOIN labels l USING (id)),
          truthids AS (SELECT CAST(0 AS BIGINT) AS id
-           UNION ALL SELECT 10000
-           UNION ALL SELECT 20000 + t.r FROM range(45) t(r)),
-         trep AS (SELECT CAST(s.i AS BIGINT) AS a,
-             CAST(s.i + 10000 AS BIGINT) AS b
+           UNION ALL SELECT -1
+           UNION ALL SELECT -(20001 + t.r) FROM range(45) t(r)),
+         trep AS (SELECT CAST(-(s.i + 1) AS BIGINT) AS a,
+             CAST(s.i AS BIGINT) AS b
            FROM range(1, 20) s(i)),
          tmega AS (SELECT x.id AS a, y.id AS b
            FROM truthids x JOIN truthids y ON x.id < y.id),
@@ -1069,17 +1071,17 @@ trait RegistryLlmSim extends RegistryLlmCuration {
     "q_llm_semdedup_det" ->
       (graft.llm.DetKMeans.oracleCtes(
         "(SELECT vec_id, embedding FROM embeddings UNION ALL" +
-        " SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 20" +
-        " UNION ALL SELECT 20000 + t.r, embedding" +
+        " SELECT -(vec_id + 1), embedding FROM embeddings WHERE vec_id < 20" +
+        " UNION ALL SELECT -(20001 + t.r), embedding" +
         " FROM embeddings, range(45) t(r) WHERE vec_id = 0) un",
         "vec_id", "embedding", k = 16, iters = 3, dim = 64)
         .replaceFirst("WITH ", "WITH RECURSIVE ") +
       """,
-         ev AS (SELECT vec_id + 10000 AS id,
+         ev AS (SELECT -(vec_id + 1) AS id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
                 FROM embeddings WHERE vec_id < 20
                 UNION ALL
-                SELECT 20000 + t.r AS id,
+                SELECT -(20001 + t.r) AS id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
                 FROM embeddings, range(45) t(r) WHERE vec_id = 0
                 UNION ALL
@@ -1098,7 +1100,7 @@ trait RegistryLlmSim extends RegistryLlmCuration {
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
            FROM embeddings
            UNION ALL
-           SELECT vec_id + 10000,
+           SELECT -(vec_id + 1),
              list_transform(embedding,
                x -> CAST(CAST(x * CAST(1.001 AS FLOAT) AS FLOAT) AS DOUBLE))
            FROM embeddings WHERE vec_id < 20),

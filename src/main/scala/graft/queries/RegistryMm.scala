@@ -356,7 +356,7 @@ trait RegistryMm extends RegistryGraph {
     val base = t(spark, dir, "documents")
       .select(col("doc_id").as("media_id"), col("doc_id").as("seed"),
         (col("doc_id") % 300 + 200).cast("int").as("n"))
-    // Twins live in the NEGATIVE id space: doc_id + 10000 collided with
+    // Twins live in the NEGATIVE id space: a +10k id offset collided with
     // real doc ids once the corpus passed 10k docs (caught by the sf1
     // oracle sweep: the oracle's frame GROUP BY then merged two distinct
     // clips while the engine kept duplicate media_id rows with a

@@ -60,18 +60,20 @@ class EbShrinkSemEvalSpec extends SparkSpecBase {
     assert(r.getLong(0) == 19L + 47L * 46 / 2, "n_truth")
     // The 19 replica pairs go through the capped all-pairs branch and
     // are all captured. The 47-clique exceeds maxCluster=40 inside one
-    // sign-LSH bucket and degrades to the O(n) id-ordered chain — and
-    // on THIS corpus an unrelated vector shares that bucket and sits
-    // between id 0 and the rest of the clique in chain order, so both
-    // adjacent cosine checks fail and vector 0's 46 clique pairs are
-    // lost: 1054/1100 captured, a 46-member mega component plus the
-    // isolated 0. That measured recall loss is exactly the documented
-    // price of the chain degrade — the eval existing to surface it is
-    // the point of this operator (a 10000-recall pin here would assert
-    // the approximation away).
-    assert(r.getLong(1) == 1054L, "chain-degrade interloper costs 0's 46 pairs")
-    assert(r.getLong(2) == 9581L, "recall_bp prices the degrade honestly")
-    assert(r.getLong(3) == 21L, "19 pair components + mega + isolated 0")
-    assert(r.getLong(4) == 46L, "mega component missing exactly vector 0")
+    // sign-LSH bucket and degrades to the O(n) id-ordered chain. With
+    // the NEGATIVE planted namespace (r16: twins -(i+1), mega copies
+    // -(20001+r)) the clique is CONTIGUOUS in chain order — real
+    // corpus ids are >= 0, so an interloper sharing the bucket can only
+    // trail the clique (0 → interloper is the one link that fails, and
+    // 0 is already chained to -1), never split it. Under the old
+    // positive offsets an interloper landed between 0 and 10000 and
+    // cost vector 0 its 46 clique pairs (1054/1100) — contiguity at
+    // any corpus scale is exactly why planted ids moved to the
+    // negative space. The chain fallback's bounded link budget (the
+    // O(n) degrade itself) stays pinned by SemDedupSpec.
+    assert(r.getLong(1) == 1100L, "contiguous negative-id chain captures all")
+    assert(r.getLong(2) == 10000L, "recall_bp")
+    assert(r.getLong(3) == 20L, "19 pair components + 1 mega component")
+    assert(r.getLong(4) == 47L, "mega component complete")
   }
 }

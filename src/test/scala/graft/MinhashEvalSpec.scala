@@ -18,7 +18,8 @@ class MinhashEvalSpec extends SparkSpecBase {
   }
 
   test("planted near-dup is candidate, verified, and recalled") {
-    // doc 4 (< 30, even → sampled) gets the mutated +10000 twin: 20 shared tokens →
+    // doc 4 (< 30, even → sampled) gets the mutated negative-id twin
+    // (-(doc_id+1) = -5): 20 shared tokens →
     // J(orig, twin) = 18/23 ≈ 0.78 ≥ τ. Unrelated docs share no grams.
     val base = (0 until 20).map(i => s"tok$i").mkString(" ")
     val other = (0 until 20).map(i => s"zzz$i").mkString(" ")
