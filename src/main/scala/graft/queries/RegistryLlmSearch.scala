@@ -787,8 +787,10 @@ trait RegistryLlmSearch extends RegistryLlmDedup {
         .as("n_relevant_topk"),
       coalesce(min(when(col("n_terms_matched") === 2, col("r"))), lit(-1L))
         .as("first_rank"))
-    broadcast(mrrQueries.toDF("qid", "term_a", "term_b"))
-      .join(per, Seq("qid"), "left")
+    // Broadcast the ≤|queries|-row aggregate (the BUILD side); a hint on
+    // the preserved left of a left join is a planner no-op (r15 ADVICE).
+    mrrQueries.toDF("qid", "term_a", "term_b")
+      .join(broadcast(per), Seq("qid"), "left")
       .select(col("qid"), col("term_a"), col("term_b"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(col("n_relevant_topk"), lit(0L)).as("n_relevant_topk"),
@@ -854,8 +856,8 @@ trait RegistryLlmSearch extends RegistryLlmDedup {
         expr(ndcgDcgSum("r", "g")).cast("long").as("dcg_micro"),
         sum(when(col("n_terms_matched") === 2, 1L).otherwise(0L)).as("n2"),
         sum(when(col("n_terms_matched") === 1, 1L).otherwise(0L)).as("n1"))
-    broadcast(mrrQueries.toDF("qid", "term_a", "term_b"))
-      .join(per, Seq("qid"), "left")
+    mrrQueries.toDF("qid", "term_a", "term_b")
+      .join(broadcast(per), Seq("qid"), "left")
       .select(col("qid"), col("term_a"), col("term_b"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(col("n2"), lit(0L)).as("n2"),
@@ -938,9 +940,13 @@ trait RegistryLlmSearch extends RegistryLlmDedup {
     * count vs cumulative token volume at doc-id milestones — the curve
     * that sizes a tokenizer's vocab and says when a corpus stops
     * yielding new types. Scale shape: ONE term→min(first_doc) aggregate
-    * over the corpus and ONE token-count scan; the milestone fan-out is
-    * a 6-row broadcast nested loop against those BOUNDED relations
-    * (vocab-sized / doc-count-sized), never against the token stream. */
+    * over the corpus and ONE token-count scan, each collapsed by SIX
+    * codegen'd conditional aggregates to a single row, then reshaped by
+    * `stack` — no join at all. (The previous shape left-joined the
+    * milestones against the vocab-/doc-sized relations with a broadcast
+    * hint on the PRESERVED side — a planner no-op (r15 ADVICE class),
+    * so the fallback BNLJ would have broadcast the corpus-sized side
+    * at scale.) */
   protected def llmHeaps(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val first = docs.select(
@@ -949,16 +955,25 @@ trait RegistryLlmSearch extends RegistryLlmDedup {
       .groupBy("term").agg(min("doc_id").as("first_doc"))
     val ntok = docs.select(col("doc_id"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"))
-    import spark.implicits._
-    val ms = Seq(64L, 256L, 1024L, 4096L, 16384L, 65536L).toDF("m")
-    val vocab = broadcast(ms)
-      .join(first, col("first_doc") < col("m"), "left")
-      .groupBy("m").agg(count(col("term")).as("vocab"))
-    val vol = broadcast(ms)
-      .join(ntok, col("doc_id") < col("m"), "left")
-      .groupBy("m").agg(coalesce(sum(col("ntok")), lit(0L)).as("corpus_tokens"))
-    vocab.join(vol, Seq("m")).orderBy("m")
-      .select(col("m").as("milestone_doc"), col("corpus_tokens"), col("vocab"))
+    val milestones = Seq(64L, 256L, 1024L, 4096L, 16384L, 65536L)
+    val vocabRow = first.agg(
+      count(when(col("first_doc") < milestones.head, 1L)).as("v0"),
+      milestones.tail.zipWithIndex.map { case (m, i) =>
+        count(when(col("first_doc") < m, 1L)).as(s"v${i + 1}")
+      }: _*)
+    val volRow = ntok.agg(
+      coalesce(sum(when(col("doc_id") < milestones.head, col("ntok"))),
+        lit(0L)).as("t0"),
+      milestones.tail.zipWithIndex.map { case (m, i) =>
+        coalesce(sum(when(col("doc_id") < m, col("ntok"))), lit(0L))
+          .as(s"t${i + 1}")
+      }: _*)
+    val stackArgs = milestones.zipWithIndex
+      .map { case (m, i) => s"${m}L, t$i, v$i" }.mkString(", ")
+    vocabRow.crossJoin(volRow)
+      .select(expr(s"stack(${milestones.size}, $stackArgs)")
+        .as(Seq("milestone_doc", "corpus_tokens", "vocab")))
+      .orderBy("milestone_doc")
   }
 
   /** Zipf rank-frequency diagnostic (Zipf 1949): the top-50 terms with
