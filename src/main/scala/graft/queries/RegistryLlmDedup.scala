@@ -409,6 +409,54 @@ trait RegistryLlmDedup extends RegistryMm {
       .orderBy("doc_id")
   }
 
+  /** Leakage-safe train/eval split — the assignment step every
+    * training-data pipeline needs between dedup and packing: a random
+    * per-document split leaks whenever two near-duplicates straddle the
+    * boundary (the eval set then scores memorization, not
+    * generalization — the contamination mode decontaminate checks for
+    * AFTER the fact; this op prevents it BY CONSTRUCTION). Documents
+    * are assigned by connected COMPONENT over the near-dup graph, never
+    * individually: split(doc) = md5(component-label) hashed 80/20, so
+    * every member of a dup cluster lands on the same side at any
+    * corpus scale, with no coordination beyond the component labels the
+    * dedup pass already produced. Edges here are the deterministic
+    * 7-chain fixture ([[llmDedupClusters]] — the general operator is
+    * the assignment, which any LSH pair relation feeds); the query
+    * PROVES the guarantee by counting straddling edges (must be 0) and
+    * reports per-split document/component/token mass for ratio
+    * monitoring. Scale shape: the component fixpoint is the shared
+    * min-label propagation; split assignment is one row-local md5; the
+    * leak audit re-joins the edge relation once. */
+  protected def llmLeakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("ntok"))
+    val ids = docs.select(col("doc_id"))
+    val edges = ids.filter(pmod(col("doc_id"), lit(7)) =!= 6)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"))
+    val comp = Dedup.dedupByCluster(ids, "doc_id", edges)
+      .select(col("doc_id"), col("component"))
+    val assigned = comp.withColumn("split",
+      when(conv(substring(md5(col("component").cast("string")), 1, 8),
+          16, 10).cast("long") % 10 < 8, lit("train"))
+        .otherwise(lit("eval")))
+    val leak = edges
+      .join(assigned.select(col("doc_id").as("id_a"), col("split").as("sa")),
+        Seq("id_a"))
+      .join(assigned.select(col("doc_id").as("id_b"), col("split").as("sb")),
+        Seq("id_b"))
+      .agg(coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)),
+        lit(0L)).as("n_leaky_edges"))
+    assigned.join(docs, Seq("doc_id"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("component")).as("n_components"),
+        sum(col("ntok")).as("n_tokens"))
+      .crossJoin(broadcast(leak))
+      .orderBy("split")
+  }
+
   /** C4-style sub-document span dedup: 10-token spans, first occurrence
     * corpus-wide wins, documents reassembled from surviving spans. */
   protected def llmSpanDedup(spark: SparkSession, dir: String): DataFrame =
@@ -636,6 +684,37 @@ trait RegistryLlmDedup extends RegistryMm {
   }
 
   protected val llmDedupOracleSql: ListMap[String, String] = ListMap(
+    // Component labels are the min member id = the 7-block start
+    // (doc_id - doc_id % 7, the llmDedupClusters arithmetic oracle);
+    // the split hash replays md5 via the '0x'||substr cast, and the
+    // leak audit re-derives the same edge relation.
+    "q_llm_leakage_split" ->
+      """WITH docs AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS ntok
+           FROM documents),
+         comp AS (SELECT doc_id, doc_id - (doc_id % 7) AS component
+           FROM docs),
+         a AS (SELECT doc_id, component,
+             CASE WHEN ('0x' || substr(md5(CAST(component AS VARCHAR)),
+                 1, 8))::BIGINT % 10 < 8
+               THEN 'train' ELSE 'eval' END AS split
+           FROM comp),
+         e AS (SELECT x.doc_id AS id_a, x.doc_id + 1 AS id_b
+           FROM docs x
+           WHERE x.doc_id % 7 <> 6
+             AND EXISTS (SELECT 1 FROM docs y
+                         WHERE y.doc_id = x.doc_id + 1)),
+         leak AS (SELECT COALESCE(CAST(sum(CASE WHEN sa.split <> sb.split
+                 THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_leaky_edges
+           FROM e JOIN a sa ON sa.doc_id = e.id_a
+             JOIN a sb ON sb.doc_id = e.id_b)
+         SELECT a.split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT a.component) AS BIGINT) AS n_components,
+           CAST(sum(d.ntok) AS BIGINT) AS n_tokens, leak.n_leaky_edges
+         FROM a JOIN docs d USING (doc_id), leak
+         GROUP BY a.split, leak.n_leaky_edges
+         ORDER BY split""",
     "q_llm_dup_inflation" ->
       """WITH corpus AS (
            SELECT doc_id, text FROM documents

@@ -880,7 +880,83 @@ trait RegistryTs extends RegistryStats {
       .orderBy("i")
   }
 
+  /** Autocorrelation function of the daily event-count series at lags
+    * 1..7 — the first diagnostic a forecasting pipeline reads (weekly
+    * seasonality shows as a lag-7 peak; a near-unit lag-1 says
+    * difference before modeling). FULLY integer via N²-clearing of the
+    * mean: with S = Σc over the N calendar days (missing days count 0,
+    * so the series is contiguous by construction), r_k·10⁶ =
+    * 10⁶·Σ_t (N·c_t − S)(N·c_{t+k} − S) div Σ_t (N·c_t − S)² — the
+    * standard ACF estimator with both sides scaled by N², exact in
+    * DECIMAL(38,0)/HUGEINT (N ≤ ~4·10⁴ days, counts ≤ 10¹⁰/day at
+    * 100 TB ⇒ terms < 10³⁴). The numerator is sign-split (truncation
+    * toward zero on both engines); a zero-variance series reads r6
+    * NULL. Scale shape: ONE day-keyed aggregate collapses the corpus
+    * to a calendar-bounded series; the 7-lag fan-out and the pair
+    * join run on that ≤4·10⁴-row relation, never on events. */
+  protected def tsAcf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = DecimalType(38, 0)
+    val day = 86400000000000L
+    val counts = t(spark, dir, "events")
+      .select(expr(s"ts div $day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("cnt"))
+    val full = counts.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+      .join(counts, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .localCheckpoint(true) // feeds moments, denominator, both pair sides
+    val m = full.agg(count(lit(1)).cast(dec).as("nn"),
+      sum(col("cnt").cast(dec)).as("s"))
+    val den = full.crossJoin(broadcast(m))
+      .agg(sum(expr("(nn * cnt - s) * (nn * cnt - s)")).as("den"),
+        first(col("nn")).as("nn"))
+      .select(expr("CAST(nn AS BIGINT)").as("n_days"), col("den"))
+    val a = full.select(col("day").as("da"), col("cnt").as("ca"))
+    val b = full.select(col("day").as("db"), col("cnt").as("cb"))
+    val num = a.crossJoin(broadcast((1L to 7L).toDF("lag")))
+      .join(b, col("db") === col("da") + col("lag"))
+      .crossJoin(broadcast(m))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("(nn * ca - s) * (nn * cb - s)")).as("num"))
+    num.crossJoin(broadcast(den))
+      .select(col("lag"), col("n_days"), col("n_pairs"),
+        expr("""CAST(CASE WHEN den = 0 THEN NULL
+            ELSE (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                 * (abs(num) * 1000000 div den) END AS BIGINT)""")
+          .as("r6"))
+      .orderBy("lag")
+  }
+
   protected val tsOracleSql: ListMap[String, String] = ListMap(
+    // Same N²-cleared ACF estimator; HUGEINT mirrors DECIMAL(38,0) and
+    // the sign-split keeps DuckDB's flooring `//` on the magnitude.
+    "q_ts_acf" ->
+      """WITH d AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1),
+         bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+         f AS (SELECT g.day, COALESCE(d.cnt, 0) AS cnt
+           FROM (SELECT unnest(range(d0, d1 + 1)) AS day FROM bounds) g
+           LEFT JOIN d USING (day)),
+         m AS (SELECT CAST(count(*) AS HUGEINT) AS nn,
+             CAST(sum(cnt) AS HUGEINT) AS s FROM f),
+         den AS (SELECT CAST(nn AS BIGINT) AS n_days,
+             sum((nn * cnt - s) * (nn * cnt - s)) AS den
+           FROM f, m GROUP BY 1),
+         ks AS (SELECT unnest(range(1, 8)) AS lag),
+         num AS (SELECT ks.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+             sum((nn * a.cnt - s) * (nn * b.cnt - s)) AS num
+           FROM ks CROSS JOIN f a JOIN f b ON b.day = a.day + ks.lag
+             CROSS JOIN m
+           GROUP BY 1)
+         SELECT CAST(num.lag AS BIGINT) AS lag, den.n_days, num.n_pairs,
+           CAST(CASE WHEN den.den = 0 THEN NULL
+             ELSE (CASE WHEN num.num < 0 THEN -1 ELSE 1 END)
+                  * (abs(num.num) * 1000000 // den.den) END AS BIGINT)
+             AS r6
+         FROM num, den ORDER BY lag""",
     "q_ts_goertzel" -> goertzelOracle,
     "q_ts_matrix_profile" ->
       """WITH daily AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
