@@ -100,11 +100,20 @@ object AsOfJoin {
     val (unioned, leftCols) =
       stack(left, right, keys, leftTime, rightTime, rightVals,
         rightFirst = false)
+    // "First non-null from here forward" is computed as "last non-null
+    // up to here" over the REVERSED ordering: Spark executes a
+    // current-row..unbounded-following frame by re-scanning to the
+    // partition end for EVERY row (UnboundedFollowingWindowFunctionFrame,
+    // O(n²) per partition — the r16 sf1 sweep measured the cliff), while
+    // the unbounded-preceding..current-row frame is incremental O(n).
+    // The reversed (desc, desc) sort replays the exact tie order, so the
+    // result is bit-identical; the partitioning (and its exchange) is
+    // shared with any sibling window — only the sort differs.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_t"), col("_side"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("_t").desc, col("_side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rightVals.foldLeft(unioned)((df, c) =>
-      df.withColumn(c, first(col(s"_rv_$c"), ignoreNulls = true).over(w)))
+      df.withColumn(c, last(col(s"_rv_$c"), ignoreNulls = true).over(w)))
     carried.filter(col("_isleft"))
       .select((leftCols ++ rightVals).map(col): _*)
   }
@@ -139,7 +148,14 @@ object AsOfJoin {
     val ord = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_t"), col("_side"))
     val wB = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wF = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // Forward carry via the reversed ordering (see asOfForward): a
+    // current-row..unbounded-following frame is O(n²) per partition in
+    // Spark's window exec — at sf1 the 5-bucket fixture turned this
+    // query from seconds into tens of minutes. "Last non-null up to
+    // current" over (desc, desc) is the same value, incrementally.
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").desc, col("_side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // Carry ONE struct(t, vals) per right row through each direction's
     // ignoreNulls window, so the timestamp that decides the tie and the
     // values reported always come from the SAME right row — independent
@@ -150,7 +166,7 @@ object AsOfJoin {
       col("_t").as("t") +: rightVals.map(c => col(s"_rv_$c").as(c)): _*))
     val withRows = unioned
       .withColumn("_brow", last(rrow, ignoreNulls = true).over(wB))
-      .withColumn("_frow", first(rrow, ignoreNulls = true).over(wF))
+      .withColumn("_frow", last(rrow, ignoreNulls = true).over(wF))
     val carried = rightVals.foldLeft(
         withRows.withColumn("_bt", col("_brow.t"))
           .withColumn("_ft", col("_frow.t")))((df, c) =>
