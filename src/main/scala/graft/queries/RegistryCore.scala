@@ -1521,6 +1521,35 @@ trait RegistryCore extends RegistryBase {
       .orderBy("rk")
   }
 
+  /** TPC-H Q15-shaped top supplier(s): revenue per supplier over one
+    * quarter, returning EVERY supplier tied at the global max (Q15's
+    * view + scalar-max shape). Revenue is the same exact integer
+    * cent-hundredths kernel as [[sqlShippingPriority]]. Scale shape:
+    * the per-supplier aggregate is ONE shuffle on l_suppkey with the
+    * date filter pushed to the parquet scan; the global max reduces to
+    * a 1-row broadcast (crossJoin filter, never a corpus-wide window);
+    * the surviving tie set is tiny and broadcasts into the supplier
+    * dimension join. */
+  protected def sqlTopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-01-01").cast("timestamp")
+    val hi = lit("1997-04-01").cast("timestamp")
+    val rev = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select(col("l_suppkey"),
+        (floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+          * (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long")))
+          .as("rev_c2"))
+      .groupBy("l_suppkey").agg(sum(col("rev_c2")).as("total_c2"))
+    val mx = rev.agg(max(col("total_c2")).as("max_c2"))
+    val top = rev.crossJoin(broadcast(mx))
+      .filter(col("total_c2") === col("max_c2"))
+    t(spark, dir, "supplier")
+      .join(broadcast(top), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_c2").cast("long").as("total_c2"))
+      .orderBy("s_suppkey")
+  }
+
   /** Keyset (seek-method) pagination — the API-backend pattern that
     * replaces OFFSET at scale: page N+1 starts strictly after the last
     * (o_orderdate, o_orderkey) cursor of page N, so the scan prunes on
@@ -2289,6 +2318,21 @@ trait RegistryCore extends RegistryBase {
            FROM per)
          SELECT l_orderkey, rev_c2, orderdate, o_orderpriority, rk
          FROM rk WHERE rk <= 10 ORDER BY rk""",
+    // Q15 replay: same cent-hundredths kernel, same quarter, scalar
+    // subquery for the max (ties all kept).
+    "q_sql_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+               AS BIGINT) AS total_c2
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1997-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, total_c2
+         FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         WHERE total_c2 = (SELECT max(total_c2) FROM rev)
+         ORDER BY s_suppkey""",
     "q_w_keyset_pagination" ->
       """WITH pg AS (SELECT o_orderkey, o_orderdate, o_orderpriority,
              o_totalprice,
