@@ -14,8 +14,8 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size and oracle coverage match COVERAGE.md") {
-    assert(SparkEntry.queries.size == 403)
-    assert(SparkEntry.oracleSql.size == 401)
+    assert(SparkEntry.queries.size == 406)
+    assert(SparkEntry.oracleSql.size == 404)
     // The irreducible two: q_llm_bpe's production word table is capped at
     // 65536 rows (its _det twin replays the full merge loop under oracle),
     // and DuckDB has no DEFLATE for q_llm_compress_ratio — though its
