@@ -31,6 +31,21 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # Large-sf sweeps: cap DuckDB's memory and let it spill to disk
+    # instead of riding an unbounded allocation into the kernel
+    # OOM-killer (the sf1 q_graph_msf oracle reached 96 GB RSS).
+    # Under the cap DuckDB either spills or raises a catchable
+    # out-of-memory error -> a FAIL line, never a dead process.
+    import os
+    mem = os.environ.get("GRAFT_DUCKDB_MEM")
+    if mem:
+        spill = Path(f"/tmp/duck_spill_{os.getpid()}")
+        spill.mkdir(exist_ok=True)
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute(f"SET temp_directory='{spill}'")
+    threads = os.environ.get("GRAFT_DUCKDB_THREADS")
+    if threads:
+        con.execute(f"SET threads={int(threads)}")
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.is_dir():  # Spark-written dir (SfGen output): glob the parts
