@@ -1225,11 +1225,16 @@ trait RegistryCore extends RegistryBase {
         sum(col("n") * col("n")).as("sum_sq"))
       .select(col("col_name"), col("n_keys"),
         // floor(max_n/N·10⁴ + ½) and floor(Σn²/N²·10⁶ + ½), both exact
-        // integer `div`s (Spark's `/` would go through double). 10⁶ (not
-        // 10⁸) keeps Σn²·2·10⁶ inside Long for a 3-key 600k-row column
-        // (n² ≈ 4·10¹⁰ per key at bench sf).
+        // integer `div`s (Spark's `/` would go through double). The HHI
+        // numerator runs in DECIMAL(38,0): Σn²·2·10⁶ exceeds Long from
+        // N ≈ 2.1M rows on a low-cardinality column (the sf1 sweep
+        // caught l_returnflag at 6M rows: 1.2·10¹³·2·10⁶ wrapped
+        // silently in the Long form while DuckDB raised) — the decimal
+        // envelope holds to N ≈ 10¹⁵ rows.
         expr("(max_n * 20000 + total) div (2 * total)").as("max_share4"),
-        expr("(sum_sq * 2000000 + total * total) div (2 * total * total)")
+        expr("CAST((CAST(sum_sq AS DECIMAL(38,0)) * 2000000 " +
+          "+ CAST(total AS DECIMAL(38,0)) * total) " +
+          "div (CAST(total AS DECIMAL(38,0)) * total * 2) AS BIGINT)")
           .as("hhi6"))
       .orderBy("col_name")
   }
@@ -3315,7 +3320,9 @@ trait RegistryCore extends RegistryBase {
                FROM kc GROUP BY col_name)
          SELECT col_name, n_keys,
            (max_n * 20000 + total) // (2 * total) AS max_share4,
-           (sum_sq * 2000000 + total * total) // (2 * total * total) AS hhi6
+           CAST((CAST(sum_sq AS HUGEINT) * 2000000
+             + CAST(total AS HUGEINT) * total)
+             // (CAST(total AS HUGEINT) * total * 2) AS BIGINT) AS hhi6
          FROM s ORDER BY col_name""",
     // Exact 4dp-integer clipping on both engines; percentile pairs with
     // quantile_cont (the qc_robust_outliers-proven equivalence).
