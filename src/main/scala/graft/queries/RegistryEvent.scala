@@ -702,9 +702,11 @@ trait RegistryEvent extends RegistryTs {
     * and the 5 most anomalous (type, day) cells surface with the |z| ≥ 3
     * verdict in-row — the volume-spike monitor a pipeline runs on its
     * ingest feeds. Determinism: the trailing stats are EXACT integer
-    * (n, Σ, Σ²) frame sums; mean/variance/z derive from them in one fixed
-    * double-arithmetic order (IEEE-identical both engines), and z floors
-    * to 4 dp.
+    * (n, Σ, Σ²) frame sums — Σ² in DECIMAL(38,0)/HUGEINT (a Long cnt²
+    * wraps silently from ~3·10⁹ events per day-cell, inside a 100 TB
+    * feed's envelope) — and mean/variance/z derive from them in one
+    * fixed double-arithmetic order (the Σ·Σ square runs in DOUBLE on
+    * BOTH engines, IEEE-identical at any magnitude), z floored to 4 dp.
     *
     * Scale shape: the event stream collapses to (type, day) bins in one
     * shuffle; the trailing window runs over that bounded bins relation
@@ -719,11 +721,14 @@ trait RegistryEvent extends RegistryTs {
     bins
       .withColumn("w_n", count(lit(1)).over(w))
       .withColumn("w_sum", sum(col("cnt")).over(w))
-      .withColumn("w_sumsq", sum(col("cnt") * col("cnt")).over(w))
+      .withColumn("w_sumsq",
+        sum(col("cnt").cast(DecimalType(38, 0)) * col("cnt")).over(w))
       .filter(col("w_n") === 10)
       .withColumn("mean", col("w_sum") / 10.0)
       .withColumn("variance",
-        (col("w_sumsq") - col("w_sum") * col("w_sum") / 10.0) / 10.0)
+        (col("w_sumsq").cast("double")
+          - col("w_sum").cast("double") * col("w_sum").cast("double")
+            / 10.0) / 10.0)
       .filter(col("variance") > 0)
       .withColumn("z4",
         floor((col("cnt") - col("mean")) / sqrt(col("variance")) * 1e4 + 0.5) / 1e4)
@@ -2446,8 +2451,10 @@ trait RegistryEvent extends RegistryTs {
          SELECT prev_type, next_type, n,
            floor(n * 10000.0 / sum(n) OVER () + 0.5) / 10000 AS frac
          FROM t2 ORDER BY n DESC, prev_type, next_type LIMIT 20""",
-    // Exact integer (n, Σ, Σ²) trailing frames; one fixed double-op order
-    // for mean/variance/z on both engines; z floors to 4 dp.
+    // Exact integer (n, Σ, Σ²) trailing frames (Σ² in HUGEINT — the
+    // Long form wraps from ~3e9 events per day-cell); the Σ·Σ square
+    // and everything after runs in DOUBLE on both engines, one fixed
+    // IEEE op order; z floors to 4 dp.
     "q_e_anomaly" ->
       """WITH b AS (SELECT event_type,
                       epoch_ns(ts) // 86400000000000 AS day,
@@ -2456,11 +2463,13 @@ trait RegistryEvent extends RegistryTs {
            w AS (SELECT event_type, day, cnt,
                    count(*) OVER tw AS w_n,
                    sum(cnt) OVER tw AS w_sum,
-                   sum(cnt * cnt) OVER tw AS w_sumsq
+                   sum(CAST(cnt AS HUGEINT) * cnt) OVER tw AS w_sumsq
                  FROM b WINDOW tw AS (PARTITION BY event_type ORDER BY day
                    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
            s AS (SELECT event_type, day, cnt, w_sum / 10.0 AS mean,
-                   (w_sumsq - w_sum * w_sum / 10.0) / 10.0 AS variance
+                   (CAST(w_sumsq AS DOUBLE)
+                     - CAST(w_sum AS DOUBLE) * CAST(w_sum AS DOUBLE)
+                       / 10.0) / 10.0 AS variance
                  FROM w WHERE w_n = 10),
            z AS (SELECT event_type, day, cnt,
                    floor((cnt - mean) / sqrt(variance) * 10000 + 0.5) / 10000
