@@ -135,8 +135,15 @@ object Boruvka {
     * be ≥ ⌈log₂ max-component-size⌉ — extra rounds are no-ops. */
   def oracleCtes(edgesSql: String, rounds: Int): String = {
     val sb = new StringBuilder
+    // n0 dedups via GROUP BY, not UNION: inside a WITH RECURSIVE block
+    // DuckDB 1.0 compiles plain UNION between non-recursive CTEs as an
+    // appending union (no dedup) — the r16 sf1 sweep caught n0 carrying
+    // one row per edge ENDPOINT instead of per node, silently inflating
+    // every round's label relation ~30x (results survived only because
+    // the old consumers re-grouped).
     sb.append(s"""WITH RECURSIVE e0 AS MATERIALIZED ($edgesSql),
-      n0 AS (SELECT lo AS node FROM e0 UNION SELECT hi FROM e0),
+      n0 AS (SELECT node FROM (SELECT lo AS node FROM e0
+               UNION ALL SELECT hi FROM e0) GROUP BY node),
       c0 AS MATERIALIZED (SELECT node, node AS c FROM n0)""")
     for (r <- 1 to rounds) {
       val p = r - 1

@@ -1142,12 +1142,15 @@ trait RegistryGraph extends RegistryEvent {
               FROM s0 LEFT JOIN ec USING (s))
       SELECT seed, ecc, n_reached, max(ecc) OVER () AS diameter_lb
       FROM per ORDER BY seed"""),
-    // WCC replay: recursive min-label closure (a label walks only onto
-    // larger-id nodes, and the component minimum reaches everything),
-    // then the same size histogram + id checksum.
-    // Borůvka replay: 12 generated rounds (components ≤ 500 at sf0.01 →
-    // ≤ 9 needed; extras are no-ops), then min-id tree labels over the
-    // chosen edges via the wcc-style recursive label spread.
+    // Borůvka replay: 18 generated rounds (component count at least
+    // halves per round, so 2^18 initial components are covered — the
+    // r16 sf1 sweep found 12 rounds capped convergence at 4096 nodes
+    // per component, below sf1's subgraph). Tree labels come straight
+    // from the final round's contraction labels, min-id-relabelled in
+    // ONE GROUP BY — the earlier recursive min-label flood materialized
+    // O(n²) (node, label) pairs on sf1's giant tree and ran the oracle
+    // out of memory+spill (96 GB RSS); forest components ARE graph
+    // components, so no re-derivation from msf edges is needed.
     "q_graph_msf" -> (graft.operators.Boruvka.oracleCtes(
       """SELECT lo, hi, -CAST(count(*) AS BIGINT) AS d FROM (
            SELECT DISTINCT a.l_orderkey, a.l_partkey AS lo,
@@ -1156,16 +1159,12 @@ trait RegistryGraph extends RegistryEvent {
              ON a.l_orderkey = b.l_orderkey
                AND a.l_partkey < b.l_partkey
            WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0)
-         GROUP BY lo, hi""", rounds = 12) + """,
-      adj AS (SELECT lo AS src, hi AS dst FROM msf
-              UNION ALL SELECT hi, lo FROM msf),
-      rr AS (SELECT src AS node, src AS lbl
-             FROM (SELECT DISTINCT src FROM adj)
-             UNION
-             SELECT adj.dst, rr.lbl FROM rr JOIN adj ON adj.src = rr.node
-             WHERE rr.lbl < adj.dst),
-      tc AS (SELECT node, CAST(min(lbl) AS BIGINT) AS component
-             FROM rr GROUP BY node),
+         GROUP BY lo, hi""", rounds = 18) + """,
+      tcm AS MATERIALIZED (SELECT c, CAST(min(node) AS BIGINT) AS component
+             FROM c18 GROUP BY c),
+      tc AS MATERIALIZED (
+             SELECT DISTINCT cc.node, tcm.component
+             FROM c18 cc JOIN tcm ON cc.c = tcm.c),
       ts AS (SELECT component, CAST(count(*) AS BIGINT) AS n_nodes
              FROM tc GROUP BY component),
       tw AS (SELECT t.component, CAST(sum(-m.d) AS BIGINT) AS wsum,
@@ -1177,29 +1176,32 @@ trait RegistryGraph extends RegistryEvent {
         CAST(sum(ts.component) AS BIGINT) AS root_checksum
       FROM ts JOIN tw ON ts.component = tw.component
       GROUP BY ts.n_nodes ORDER BY tree_size"""),
-    "q_graph_wcc" ->
-      """WITH RECURSIVE e0 AS (
-             SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
-             FROM lineitem a JOIN lineitem b
-               ON a.l_orderkey = b.l_orderkey
-                 AND a.l_partkey < b.l_partkey
-             WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0),
-         adj AS (SELECT lo AS src, hi AS dst FROM e0
-                 UNION ALL SELECT hi, lo FROM e0),
-         r AS (SELECT src AS node, src AS lbl
-               FROM (SELECT DISTINCT src FROM adj)
-               UNION
-               SELECT adj.dst, r.lbl FROM r JOIN adj ON adj.src = r.node
-               WHERE r.lbl < adj.dst),
-         comp AS (SELECT node, CAST(min(lbl) AS BIGINT) AS component
-                  FROM r GROUP BY node),
-         sizes AS (SELECT component,
-                     CAST(count(*) AS BIGINT) AS component_size
-                   FROM comp GROUP BY component)
-         SELECT component_size, CAST(count(*) AS BIGINT) AS n_components,
-           CAST(sum(CAST(component AS HUGEINT)) AS BIGINT)
-             AS comp_checksum
-         FROM sizes GROUP BY component_size ORDER BY component_size""",
+    // WCC replay via the Borůvka contraction machinery (constant edge
+    // weight — only the component labels are consumed): the previous
+    // recursive min-label flood materialized every (node, smaller
+    // reaching label) pair, O(n²) on sf1's giant component. 18 rounds
+    // cover 2^18 initial components; final labels min-id-relabelled in
+    // one GROUP BY, exactly the engine's connectedComponents contract.
+    "q_graph_wcc" -> (graft.operators.Boruvka.oracleCtes(
+      """SELECT lo, hi, CAST(-1 AS BIGINT) AS d FROM (
+           SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+           WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0)""",
+      rounds = 18) + """,
+      tcm AS MATERIALIZED (SELECT c, CAST(min(node) AS BIGINT) AS component
+             FROM c18 GROUP BY c),
+      comp AS MATERIALIZED (
+             SELECT DISTINCT cc.node, tcm.component
+             FROM c18 cc JOIN tcm ON cc.c = tcm.c),
+      sizes AS (SELECT component,
+                  CAST(count(*) AS BIGINT) AS component_size
+                FROM comp GROUP BY component)
+      SELECT component_size, CAST(count(*) AS BIGINT) AS n_components,
+        CAST(sum(CAST(component AS HUGEINT)) AS BIGINT)
+          AS comp_checksum
+      FROM sizes GROUP BY component_size ORDER BY component_size"""),
     // Degree-histogram replay: canonical edges, two aggregates, the
     // same bounded top-down cumulative window.
     "q_graph_degree_dist" ->
