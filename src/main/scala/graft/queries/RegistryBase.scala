@@ -174,17 +174,18 @@ trait RegistryBase {
          cand AS MATERIALIZED (SELECT doc_id, CAST(sum(c4) AS BIGINT) AS rel4
                   FROM sc GROUP BY doc_id
                   ORDER BY sum(c4) DESC, doc_id LIMIT 20),
-         cm AS (SELECT max(rel4) AS mrel FROM cand),
-         cn AS (SELECT doc_id, rel4 * 10000 // mrel AS rel_norm4
-                FROM cand, cm),
          qv AS (SELECT vec_id, list_transform(embedding,
                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
                     AS BIGINT)) AS v
                 FROM embeddings),
-         nrm AS MATERIALIZED (SELECT cn.doc_id, cn.rel_norm4, qv.v,
+         cj AS MATERIALIZED (SELECT cand.doc_id, cand.rel4, qv.v
+                FROM cand JOIN qv ON qv.vec_id = cand.doc_id),
+         cm AS (SELECT max(rel4) AS mrel FROM cj),
+         nrm AS MATERIALIZED (SELECT cj.doc_id,
+                   cj.rel4 * 10000 // cm.mrel AS rel_norm4, cj.v,
                    CAST(list_sum(list_transform(range(1, 65),
-                     i -> qv.v[i] * qv.v[i])) AS BIGINT) AS n2
-                 FROM cn JOIN qv ON qv.vec_id = cn.doc_id),
+                     i -> cj.v[i] * cj.v[i])) AS BIGINT) AS n2
+                 FROM cj, cm),
          p AS MATERIALIZED (SELECT a.doc_id AS ia, b.doc_id AS ib,
                  CAST(floor(CAST(list_sum(list_transform(range(1, 65),
                      i -> a.v[i] * b.v[i])) AS DOUBLE)

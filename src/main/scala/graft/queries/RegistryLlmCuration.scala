@@ -537,7 +537,13 @@ trait RegistryLlmCuration extends RegistryLlmSearch {
     * [[Index.bm25Search]] plan; the greedy runs driver-side over the
     * k=20 candidate set and its 20×20 sim matrix — bounded by k, not
     * the corpus (the [[statsCorr]] collect discipline). The oracle
-    * replays the greedy as 10 generated argmax CTEs. */
+    * replays the greedy as 10 generated argmax CTEs.
+    *
+    * Pool contract (pinned by the r16 sf1 sweep): candidates without an
+    * embedding row drop BEFORE relevance normalization, so rel_norm4 is
+    * relative to the top score of the embedded pool the greedy actually
+    * ranks — at sf1 the global BM25 top-1 has no embedding and the two
+    * normalizations genuinely diverge. */
   protected def llmMmr(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = t(spark, dir, "documents")
