@@ -13,7 +13,10 @@ for p in "${opens[@]}"; do flags+=(--add-opens "java.base/$p=ALL-UNNAMED"); done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   flags+=(--add-opens "java.base/$p=ALL-UNNAMED")
 done
+# EXTRA_JAVA_OPTS: optional extra -D/-X flags (e.g. event-log profiling:
+#   EXTRA_JAVA_OPTS="-Dspark.eventLog.enabled=true -Dspark.eventLog.dir=file:///tmp/sparklogs")
 exec java "${flags[@]}" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  ${EXTRA_JAVA_OPTS:-} \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$main" "$@"

@@ -31,6 +31,16 @@ object Bfs {
   def hopSummary(canonEdges: DataFrame, seedsMod: Long,
                  rounds: Int): DataFrame = {
     val spark = canonEdges.sparkSession
+    // COST gate (SmallGraph): identical frontier expansion inside ONE
+    // executor task under the size threshold; the distributed loop
+    // below is the 100 TB path.
+    if (SmallGraph.smallEnough(canonEdges, "lo", "hi")) {
+      import spark.implicits._
+      return canonEdges.select(col("lo").cast("long"), col("hi").cast("long"))
+        .as[(Long, Long)].coalesce(1)
+        .mapPartitions(it => SmallGraph.bfsKernel(it, seedsMod, rounds))
+        .toDF("hop", "n_nodes", "sum_id")
+    }
     val edges = canonEdges.select(col("lo"), col("hi")).localCheckpoint(true)
     // Undirected graph, directed adjacency: each edge contributes both
     // directions so one semi-join by src expands a frontier fully.

@@ -27,6 +27,17 @@ object KCore {
     * (lo < hi, distinct) — [[Triangles.canonical]] produces exactly
     * that. */
   def peelSummary(canonEdges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    // COST gate (SmallGraph): identical peel rounds inside ONE executor
+    // task under the size threshold; the distributed loop below is the
+    // 100 TB path.
+    if (SmallGraph.smallEnough(canonEdges, "lo", "hi")) {
+      val spark = canonEdges.sparkSession
+      import spark.implicits._
+      return canonEdges.select(col("lo").cast("long"), col("hi").cast("long"))
+        .as[(Long, Long)].coalesce(1)
+        .mapPartitions(it => SmallGraph.kcoreKernel(it, k, rounds))
+        .toDF("round", "n_nodes", "n_edges")
+    }
     // localCheckpoint per round, NOT persist: each round references its
     // parent edge set 3–4 times, so the un-truncated logical lineage (and
     // its explain/UI string) grows ~4^R on top of whatever produced the

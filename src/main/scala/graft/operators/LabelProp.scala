@@ -46,6 +46,18 @@ object LabelProp {
     * all-singletons start. */
   def propagateSummary(canonEdges: DataFrame, rounds: Int,
                        broadcastMaxLabels: Long = BroadcastMaxLabels): DataFrame = {
+    // COST gate (SmallGraph): identical synchronous vote rounds inside
+    // ONE executor task under the size threshold; the distributed loop
+    // below is the 100 TB path.
+    if (SmallGraph.smallEnough(canonEdges, "lo", "hi")) {
+      val spark = canonEdges.sparkSession
+      import spark.implicits._
+      return canonEdges.select(col("lo").cast("long"), col("hi").cast("long"))
+        .as[(Long, Long)].coalesce(1)
+        .mapPartitions(it => SmallGraph.labelPropSummaryKernel(it, rounds)
+          .map { case (r, c, l) => (r, c, Option(l)) }) // nullable like
+        .toDF("round", "n_communities", "largest") // the distributed max()
+    }
     val snapshots = snapshotsOf(canonEdges, rounds, broadcastMaxLabels)
     // Peeling never reads the summaries, so they all evaluate in ONE
     // final job over the checkpointed snapshots instead of one collect
@@ -63,8 +75,20 @@ object LabelProp {
   /** The converged (n, lbl) assignment after `rounds` — the relation
     * downstream analytics (modularity scoring, community joins) consume. */
   def finalLabels(canonEdges: DataFrame, rounds: Int,
-                  broadcastMaxLabels: Long = BroadcastMaxLabels): DataFrame =
+                  broadcastMaxLabels: Long = BroadcastMaxLabels): DataFrame = {
+    // Same COST gate as [[propagateSummary]] — one shared kernel runs
+    // the rounds, so summary and final labels cannot drift apart.
+    if (SmallGraph.smallEnough(canonEdges, "lo", "hi")) {
+      val spark = canonEdges.sparkSession
+      import spark.implicits._
+      return canonEdges.select(col("lo").cast("long"), col("hi").cast("long"))
+        .as[(Long, Long)].coalesce(1)
+        .mapPartitions(it => SmallGraph.labelPropFinalKernel(it, rounds)
+          .map { case (n, l) => (n, Option(l)) }) // nullable like the
+        .toDF("n", "lbl") // distributed argmax's -w.neg
+    }
     snapshotsOf(canonEdges, rounds, broadcastMaxLabels).last
+  }
 
   private def snapshotsOf(canonEdges: DataFrame, rounds: Int,
                           broadcastMaxLabels: Long): Seq[DataFrame] = {

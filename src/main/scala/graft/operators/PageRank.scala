@@ -42,6 +42,22 @@ object PageRank {
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           iterations: Int = 10, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    // COST gate (SmallGraph): under the size threshold the whole power
+    // iteration runs inside ONE executor task with the identical
+    // picorank-unit arithmetic — bit-identical output, ~90 scheduler
+    // jobs collapse to 1. The distributed loop below stays the 100 TB
+    // path and is auto-selected above the threshold.
+    if (SmallGraph.smallEnough(edges, srcCol, dstCol)) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      lastRoundsExecuted = iterations
+      return edges.select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+        .as[(Long, Long)].coalesce(1)
+        .mapPartitions(it =>
+          SmallGraph.pagerankKernel(it, iterations, damping, null)
+            .map { case (n, r) => (n, Option(r)) }) // Option: match the
+        .toDF("node", "rank") // distributed rank column's nullability
+    }
     // Scheduler-floor guard: an iterative query launches
     // iterations × stages × partitions tasks, so at KB/MB edge scale the
     // session-wide partition count costs more in task launches than it

@@ -33,8 +33,24 @@ object Ppr {
     * `isSeed`. Output (node, rank) at 9 dp, every node. */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           isSeed: Column => Column, iterations: Int = 10,
-          damping: Double = 0.85): DataFrame = {
+          damping: Double = 0.85,
+          isSeedLocal: Long => Boolean = null): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    // COST gate (SmallGraph): callers that supply the seed predicate's
+    // Long twin opt in to the bounded single-task kernel — identical
+    // picorank arithmetic, one job instead of ~rounds×stages. Callers
+    // that pass only the Column predicate always run distributed.
+    if (isSeedLocal != null && SmallGraph.smallEnough(edges, srcCol, dstCol)) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      lastRoundsExecuted = iterations
+      return edges.select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+        .as[(Long, Long)].coalesce(1)
+        .mapPartitions(it =>
+          SmallGraph.pagerankKernel(it, iterations, damping, isSeedLocal)
+            .map { case (n, r) => (n, Option(r)) }) // nullable like the
+        .toDF("node", "rank") // distributed rank column
+    }
     val mUpper = edges.count()
     val defaultParts = edges.sparkSession.sessionState.conf.numShufflePartitions
     val parts =

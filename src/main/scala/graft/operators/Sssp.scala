@@ -34,6 +34,17 @@ object Sssp {
                       rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val spark = edges.sparkSession
+    // COST gate (SmallGraph): identical min-collapse + relax rounds
+    // inside ONE executor task under the size threshold; the
+    // distributed loop below is the 100 TB path.
+    if (SmallGraph.smallEnough(edges, "src", "dst", "w")) {
+      import spark.implicits._
+      return edges.select(col("src").cast("long"), col("dst").cast("long"),
+          col("w").cast("long"))
+        .as[(Long, Long, Long)].coalesce(1)
+        .mapPartitions(it => SmallGraph.ssspKernel(it, seedsMod, rounds))
+        .toDF("round", "n_reached", "sum_dist", "max_dist")
+    }
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
       .groupBy("src", "dst").agg(min("w").as("w"))
       .repartition(col("src")).localCheckpoint(true)

@@ -771,7 +771,8 @@ trait RegistryGraph extends RegistryEvent {
       (col("l_partkey") * 2 + 1).as("dst"))
     val edges = li.union(li.select(col("dst").as("src"), col("src").as("dst")))
     graft.operators.Ppr.run(edges, "src", "dst",
-        isSeed = n => n % 200 === 0, iterations = 10)
+        isSeed = n => n % 200 === 0, iterations = 10,
+        isSeedLocal = n => n % 200 == 0)
       .orderBy("node")
   }
 

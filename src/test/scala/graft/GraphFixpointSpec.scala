@@ -10,6 +10,18 @@ import org.apache.spark.sql.functions._
   * the operator itself. */
 class GraphFixpointSpec extends SparkSpecBase {
 
+  // These pins exercise the DISTRIBUTED loop's FixpointGate — the
+  // SmallGraph COST kernel (which bypasses the gate by running every
+  // round in one task) must stay off for the fixtures here.
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("graft.graph.smallKernel", "false")
+  }
+  override def afterAll(): Unit = {
+    spark.conf.unset("graft.graph.smallKernel")
+    super.afterAll()
+  }
+
   /** Driver-side replay of PageRank.run's exact picorank-unit recipe:
     * integer per-edge contributions, double rank reconstruction, final
     * 9-dp floor rounding. Also serves the all-seed Ppr case (where

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-16 optimization pins: every operator gated by the SmallGraph
+  * COST kernel must produce BIT-IDENTICAL rows (and schema) on both
+  * physical paths. Fixtures are tie-heavy on purpose: duplicate +
+  * reversed edges (dedup), vote ties (label-prop smallest-label rule),
+  * equal-distance relaxations, negative ids (pmod vs % divergence), and
+  * seeds present/absent — the places a replay diverges first. The DuckDB
+  * oracle independently replays the same arithmetic at every Verify gate; this
+  * spec is the in-repo witness that flipping `graft.graph.smallKernel`
+  * can never move a bit. */
+class SmallGraphParitySpec extends SparkSpecBase {
+
+  private def bothWays(f: => DataFrame): Unit = {
+    spark.conf.unset("graft.graph.smallKernel")
+    val localDf = f
+    val local = localDf.collect().toSeq
+    val localSchema = localDf.schema
+    spark.conf.set("graft.graph.smallKernel", "false")
+    try {
+      val distDf = f
+      val dist = distDf.collect().toSeq
+      assert(localSchema == distDf.schema,
+        s"schema drift: $localSchema vs ${distDf.schema}")
+      assert(local.map(_.toString).sorted == dist.map(_.toString).sorted,
+        "row-set drift between SmallGraph kernel and distributed loop")
+      assert(local.nonEmpty, "parity fixture produced no rows")
+    } finally spark.conf.unset("graft.graph.smallKernel")
+  }
+
+  // Hub 1 → {2,3,4,5}, chain 5-6-7, triangle 2-3-4, duplicate and
+  // reversed duplicates, a 2-cycle, and a negative-id appendage.
+  private def rawEdges = {
+    import spark.implicits._
+    Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (5L, 6L), (6L, 7L),
+      (2L, 3L), (3L, 4L), (2L, 4L), (4L, 2L), (1L, 2L), (7L, 1L),
+      (-3L, 1L), (-3L, -6L)).toDF("src", "dst")
+  }
+
+  private def canonEdges =
+    graft.operators.Triangles.canonical(rawEdges, "src", "dst")
+
+  test("pagerank kernel == distributed loop") {
+    bothWays(graft.operators.PageRank.run(rawEdges, "src", "dst",
+      iterations = 7))
+  }
+
+  test("ppr kernel == distributed loop (mod-3 seeds incl. negatives)") {
+    bothWays(graft.operators.Ppr.run(rawEdges, "src", "dst",
+      isSeed = n => pmod(n, lit(3L)) === 0, iterations = 7,
+      isSeedLocal = n => java.lang.Math.floorMod(n, 3L) == 0L))
+  }
+
+  test("bfs kernel == distributed loop (negative seed via floorMod)") {
+    bothWays(graft.operators.Bfs.hopSummary(canonEdges, seedsMod = 3,
+      rounds = 4))
+  }
+
+  test("kcore kernel == distributed loop") {
+    bothWays(graft.operators.KCore.peelSummary(canonEdges, k = 2,
+      rounds = 4))
+  }
+
+  test("labelprop kernels == distributed loop (vote ties)") {
+    bothWays(graft.operators.LabelProp.propagateSummary(canonEdges,
+      rounds = 3))
+    bothWays(graft.operators.LabelProp.finalLabels(canonEdges, rounds = 3))
+  }
+
+  test("sssp kernel == distributed loop (parallel edges min-collapse)") {
+    import spark.implicits._
+    val weighted = Seq((1L, 2L, 5L), (1L, 2L, 3L), (2L, 3L, 1L),
+      (3L, 1L, 2L), (2L, 4L, 7L), (4L, 5L, 1L), (-3L, 1L, 2L),
+      (1L, -3L, 9L), (5L, 6L, 4L)).toDF("src", "dst", "w")
+    bothWays(graft.operators.Sssp.distanceSummary(weighted, seedsMod = 3,
+      rounds = 4))
+  }
+}
