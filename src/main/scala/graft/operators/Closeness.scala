@@ -34,6 +34,16 @@ object Closeness {
     require(maxSeeds >= 1, "closeness needs a positive seed-count bound")
     val spark = canonEdges.sparkSession
     import spark.implicits._
+    // COST gate (SmallGraph): per-seed BFS accumulation with the same
+    // integer 10⁶ div r units inside ONE executor task under the size
+    // threshold; the bit-parallel frontier loop below is the 100 TB path.
+    if (SmallGraph.smallEnough(canonEdges, "lo", "hi")) {
+      return canonEdges.select(col("lo").cast("long"), col("hi").cast("long"))
+        .as[(Long, Long)].coalesce(1)
+        .mapPartitions(it =>
+          SmallGraph.closenessKernel(it, seedsMod, rounds, maxSeeds))
+        .toDF("seed", "n_reached", "harmonic_micro")
+    }
     val edges = canonEdges.select(col("lo"), col("hi")).localCheckpoint(true)
     val adj = edges.select(col("lo").as("src"), col("hi").as("dst"))
       .unionAll(edges.select(col("hi").as("src"), col("lo").as("dst")))

@@ -45,6 +45,17 @@ object Hits {
                          rounds: Int, k: Int = 10,
                          broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // COST gate (SmallGraph): the half-step sums and the truncating
+    // BigInt renormalization run inside ONE executor task under the
+    // size threshold; the distributed loop below is the 100 TB path.
+    if (SmallGraph.smallEnough(edges, leftCol, rightCol)) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return edges.select(col(leftCol).cast("long"), col(rightCol).cast("long"))
+        .as[(Long, Long)].coalesce(1)
+        .mapPartitions(it => SmallGraph.hitsKernel(it, rounds, k))
+        .toDF("kind", "id", "score_unit")
+    }
     val e = edges.select(col(leftCol).as("c"), col(rightCol).as("p"))
       .distinct().repartition(col("c")).localCheckpoint(true)
     var h = e.select(col("c")).distinct()

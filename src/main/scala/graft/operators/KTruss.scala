@@ -35,6 +35,18 @@ object KTruss {
     * distinct — [[Triangles.canonical]]). */
   def trussSummary(canonEdges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
+    // COST gate (SmallGraph): per-round support counting runs as
+    // sorted-adjacency intersections inside ONE executor task under the
+    // size threshold — same triangles, same peel; the distributed
+    // triangle join below is the 100 TB path.
+    if (SmallGraph.smallEnough(canonEdges, "lo", "hi")) {
+      val spark = canonEdges.sparkSession
+      import spark.implicits._
+      return canonEdges.select(col("lo").cast("long"), col("hi").cast("long"))
+        .as[(Long, Long)].coalesce(1)
+        .mapPartitions(it => SmallGraph.ktrussKernel(it, k, rounds))
+        .toDF("round", "n_nodes", "n_edges")
+    }
     var edges = canonEdges.select(col("lo"), col("hi")).localCheckpoint(true)
     val snapshots = scala.collection.mutable.ArrayBuffer(edges)
     for (_ <- 1 to rounds) {

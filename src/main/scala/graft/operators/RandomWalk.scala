@@ -33,6 +33,17 @@ object RandomWalk {
                   salt: String = "walk"): DataFrame = {
     require(steps >= 1, s"steps must be >= 1, got $steps")
     val spark = edges.sparkSession
+    // COST gate (SmallGraph): neighbor ranking + the md5 step picks run
+    // inside ONE executor task under the size threshold; the distributed
+    // frontier join below is the 100 TB path.
+    if (SmallGraph.smallEnough(edges, srcCol, dstCol)) {
+      import spark.implicits._
+      return edges.select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+        .as[(Long, Long)].coalesce(1)
+        .mapPartitions(it =>
+          SmallGraph.randomWalkKernel(it, seedsMod, steps, salt))
+        .toDF("step", "n_walks", "sum_cur")
+    }
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
     val nbr = e
       .withColumn("idx",

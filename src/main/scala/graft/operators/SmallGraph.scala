@@ -53,7 +53,15 @@ object SmallGraph {
     else {
       val maxBytes = conf.getOption("graft.graph.smallKernelMaxBytes")
         .map(_.toLong).getOrElse(DefaultMaxBytes)
-      edges.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(maxBytes)
+      // Sum the LEAF relation estimates, not the top-level one: without
+      // CBO column stats Catalyst prices an FK equi-join as the PRODUCT
+      // of its inputs, which would push any join-derived edge relation
+      // (e.g. the bipartite purchase graph) past every threshold. Leaf
+      // bytes bound the data actually scanned — the honest "fits in one
+      // task" signal at either scale (a 100 TB leaf still routes
+      // distributed).
+      val leaves = edges.queryExecution.optimizedPlan.collectLeaves()
+      leaves.map(_.stats.sizeInBytes).sum <= BigInt(maxBytes)
     }
   }
 
@@ -361,6 +369,277 @@ object SmallGraph {
     val (nodes, snaps) = labelPropRounds(lo, hi, rounds)
     val last = snaps.last
     nodes.iterator.zipWithIndex.map { case (id, i) => (id, last(i)) }
+  }
+
+  // ------------------------------------------------------------ k-truss
+
+  /** Bounded-kernel replay of [[KTruss.trussSummary]]: per-round
+    * triangle-support peel over canonical edges; emits
+    * (round, n_nodes, n_edges) for rounds 0..R. Support counting is a
+    * sorted-adjacency intersection per surviving edge — the same
+    * triangles the degree-oriented distributed join enumerates. */
+  private[operators] def ktrussKernel(it: Iterator[(Long, Long)],
+      k: Int, rounds: Int): Iterator[(Long, Long, Long)] = {
+    val (lo, hi) = drain(it)
+    val nodes = sortedNodes(lo, hi)
+    val n = nodes.length
+    val m = lo.length
+    val li = new Array[Int](m); val hj = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      li(i) = idxOf(nodes, lo(i)); hj(i) = idxOf(nodes, hi(i)); i += 1
+    }
+    var alive = new Array[Boolean](m)
+    java.util.Arrays.fill(alive, true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var r = 0
+    while (r <= rounds) {
+      var e = 0L
+      val seen = new Array[Boolean](n)
+      var nn = 0L
+      i = 0
+      while (i < m) {
+        if (alive(i)) {
+          e += 1
+          if (!seen(li(i))) { seen(li(i)) = true; nn += 1 }
+          if (!seen(hj(i))) { seen(hj(i)) = true; nn += 1 }
+        }
+        i += 1
+      }
+      out += ((r.toLong, nn, e))
+      if (r < rounds) {
+        // Sorted adjacency over alive edges, then per-edge intersection
+        // counts = per-edge triangle support.
+        val deg = new Array[Int](n)
+        i = 0
+        while (i < m) {
+          if (alive(i)) { deg(li(i)) += 1; deg(hj(i)) += 1 }
+          i += 1
+        }
+        val off = new Array[Int](n + 1)
+        i = 0
+        while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+        val pos = java.util.Arrays.copyOf(off, n)
+        val adj = new Array[Int](off(n))
+        i = 0
+        while (i < m) {
+          if (alive(i)) {
+            adj(pos(li(i))) = hj(i); pos(li(i)) += 1
+            adj(pos(hj(i))) = li(i); pos(hj(i)) += 1
+          }
+          i += 1
+        }
+        i = 0
+        while (i < n) {
+          java.util.Arrays.sort(adj, off(i), off(i + 1)); i += 1
+        }
+        val next = new Array[Boolean](m)
+        i = 0
+        while (i < m) {
+          if (alive(i)) {
+            var sup = 0
+            var x = off(li(i)); var y = off(hj(i))
+            val xe = off(li(i) + 1); val ye = off(hj(i) + 1)
+            while (x < xe && y < ye) {
+              if (adj(x) < adj(y)) x += 1
+              else if (adj(x) > adj(y)) y += 1
+              else { sup += 1; x += 1; y += 1 }
+            }
+            next(i) = sup >= k - 2
+          }
+          i += 1
+        }
+        alive = next
+      }
+      r += 1
+    }
+    out.iterator
+  }
+
+  // --------------------------------------------------- harmonic closeness
+
+  /** Bounded-kernel replay of [[Closeness.harmonicSummary]]: per-seed
+    * BFS accumulation with the integer 10⁶ div r hop units; emits
+    * (seed, n_reached, harmonic_micro) sorted by seed. */
+  private[operators] def closenessKernel(it: Iterator[(Long, Long)],
+      seedsMod: Long, rounds: Int, maxSeeds: Int): Iterator[(Long, Long, Long)] = {
+    val (lo, hi) = drain(it)
+    val nodes = sortedNodes(lo, hi)
+    val n = nodes.length
+    val (off, tgt) = csrUndirected(lo, hi, nodes)
+    val seeds = (0 until n).filter(i =>
+      java.lang.Math.floorMod(nodes(i), seedsMod) == 0L)
+    require(seeds.length <= maxSeeds,
+      s"closeness seed set exceeds maxSeeds=$maxSeeds for seedsMod=" +
+        s"$seedsMod — raise seedsMod (fewer seeds) or pass a larger " +
+        "explicit bound; the per-seed accumulator is driver-resident")
+    seeds.iterator.map { s =>
+      val visited = new Array[Boolean](n)
+      visited(s) = true
+      var frontier = Array(s)
+      var reached = 0L; var harmonic = 0L
+      var r = 1
+      while (r <= rounds && frontier.nonEmpty) {
+        val next = new scala.collection.mutable.ArrayBuilder.ofInt
+        var c = 0L
+        var i = 0
+        while (i < frontier.length) {
+          var j = off(frontier(i))
+          while (j < off(frontier(i) + 1)) {
+            val t = tgt(j)
+            if (!visited(t)) { visited(t) = true; next += t; c += 1 }
+            j += 1
+          }
+          i += 1
+        }
+        reached += c
+        harmonic += c * (1000000L / r)
+        frontier = next.result()
+        r += 1
+      }
+      (nodes(s), reached, harmonic)
+    }
+  }
+
+  // ------------------------------------------------------------- HITS
+
+  /** Bounded-kernel replay of [[Hits.topHubsAuthorities]]: integer 10⁶
+    * units, exact-integer half-step sums, truncating BigInt
+    * renormalization (the Decimal(38,0)/HUGEINT twin); emits the final
+    * ordered top-k report (kind, id, score_unit). */
+  private[operators] def hitsKernel(it: Iterator[(Long, Long)],
+      rounds: Int, k: Int): Iterator[(String, Long, Long)] = {
+    val (c, p) = drain(it)
+    val cs = sortedUnique(c)
+    val ps = sortedUnique(p)
+    // Distinct (c, p) pairs as (cIdx, pIdx) packed.
+    val pairs = {
+      val a = new Array[Long](c.length)
+      var i = 0
+      while (i < c.length) {
+        a(i) = (java.util.Arrays.binarySearch(cs, c(i)).toLong << 32) |
+          java.util.Arrays.binarySearch(ps, p(i)).toLong
+        i += 1
+      }
+      java.util.Arrays.sort(a)
+      var w = 0; i = 0
+      while (i < a.length) {
+        if (w == 0 || a(w - 1) != a(i)) { a(w) = a(i); w += 1 }
+        i += 1
+      }
+      java.util.Arrays.copyOf(a, w)
+    }
+    val unit = Hits.Unit6
+    var h = Array.fill(cs.length)(unit)
+    var a: Array[Long] = null
+    def renorm(raw: Array[Long]): Array[Long] = {
+      var mx = 0L
+      var i = 0
+      while (i < raw.length) { if (raw(i) > mx) mx = raw(i); i += 1 }
+      raw.map(s => (BigInt(s) * unit / mx).toLong)
+    }
+    var r = 1
+    while (r <= rounds) {
+      val aRaw = new Array[Long](ps.length)
+      var i = 0
+      while (i < pairs.length) {
+        aRaw((pairs(i) & 0xffffffffL).toInt) += h((pairs(i) >>> 32).toInt)
+        i += 1
+      }
+      a = renorm(aRaw)
+      val hRaw = new Array[Long](cs.length)
+      i = 0
+      while (i < pairs.length) {
+        hRaw((pairs(i) >>> 32).toInt) += a((pairs(i) & 0xffffffffL).toInt)
+        i += 1
+      }
+      h = renorm(hRaw)
+      r += 1
+    }
+    // Note: renorm excludes zero-degree side entries by construction on
+    // the distributed path (groupBy only sees joined rows) — here every
+    // c has ≥1 pair and every p has ≥1 pair (both id tables come from
+    // the pair list), so the aggregates agree.
+    def top(ids: Array[Long], score: Array[Long], kind: String) =
+      ids.indices.sortBy(i => (-score(i), ids(i))).take(k)
+        .map(i => (kind, ids(i), score(i)))
+    (top(ps, a, "auth") ++ top(cs, h, "hub"))
+      .sortBy { case (kind, id, s) => (kind, -s, id) }.iterator
+  }
+
+  private def sortedUnique(xs: Array[Long]): Array[Long] = {
+    val a = java.util.Arrays.copyOf(xs, xs.length)
+    java.util.Arrays.sort(a)
+    var w = 0; var i = 0
+    while (i < a.length) {
+      if (w == 0 || a(w - 1) != a(i)) { a(w) = a(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(a, w)
+  }
+
+  // ------------------------------------------------------- random walks
+
+  /** Bounded-kernel replay of [[RandomWalk.walkSummary]]: dense per-src
+    * neighbor ranks (by ascending dst over the distinct edge set), one
+    * walk per mod-seed, md5(walk:salt:step) picks; emits
+    * (step, n_walks, sum_cur) for steps 0..S. */
+  private[operators] def randomWalkKernel(it: Iterator[(Long, Long)],
+      seedsMod: Long, steps: Int, salt: String): Iterator[(Long, Long, Long)] = {
+    val (srcRaw, dstRaw) = drain(it)
+    val nodes = sortedNodes(srcRaw, dstRaw)
+    val n = nodes.length
+    val edges = packedDistinct(srcRaw, dstRaw, nodes)
+    // CSR of out-neighbors; packedDistinct sorts by (srcIdx, dstIdx) and
+    // dense idx order == dst id order, so ranks match row_number by dst.
+    val outdeg = new Array[Int](n)
+    var i = 0
+    while (i < edges.length) { outdeg((edges(i) >>> 32).toInt) += 1; i += 1 }
+    val off = new Array[Int](n + 1)
+    i = 0
+    while (i < n) { off(i + 1) = off(i) + outdeg(i); i += 1 }
+    val nb = new Array[Int](edges.length)
+    i = 0
+    while (i < edges.length) {
+      nb(i) = (edges(i) & 0xffffffffL).toInt; i += 1
+    } // edges sorted by (src, dst): positions off(s)..off(s+1) hold s's
+      // neighbors in ascending dst order already.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def pick(walk: Long, s: Int, deg: Int): Int = {
+      md.reset()
+      val hx = md.digest(s"$walk:$salt:$s".getBytes("UTF-8"))
+      // First 8 hex chars = first 4 bytes as an unsigned 32-bit value —
+      // the conv(substring(md5,1,8),16,10) twin.
+      val h = ((hx(0) & 0xffL) << 24) | ((hx(1) & 0xffL) << 16) |
+        ((hx(2) & 0xffL) << 8) | (hx(3) & 0xffL)
+      java.lang.Math.floorMod(h, deg.toLong).toInt
+    }
+    var walks = (0 until n).filter(v => outdeg(v) > 0 &&
+        java.lang.Math.floorMod(nodes(v), seedsMod) == 0L)
+      .map(v => (v, v)).toArray // (walkIdx, curIdx)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var s = 0
+    while (s <= steps) {
+      var c = 0L; var sum = 0L
+      var i2 = 0
+      while (i2 < walks.length) {
+        c += 1; sum += nodes(walks(i2)._2); i2 += 1
+      }
+      out += ((s.toLong, c, sum))
+      if (s < steps) {
+        val nw = new scala.collection.mutable.ArrayBuffer[(Int, Int)](walks.length)
+        i2 = 0
+        while (i2 < walks.length) {
+          val (wk, cur) = walks(i2)
+          val d = outdeg(cur)
+          if (d > 0) nw += ((wk, nb(off(cur) + pick(nodes(wk), s + 1, d))))
+          i2 += 1
+        }
+        walks = nw.toArray
+      }
+      s += 1
+    }
+    out.iterator
   }
 
   // ------------------------------------------------------- Bellman–Ford

@@ -55,12 +55,21 @@ class ClosenessSpec extends SparkSpecBase {
     val canon = graft.operators.Triangles.canonical(
       (0L until 9L).map(i => (i, i + 1)).toDF("a", "b"), "a", "b")
     // mod 1 → 10 seeds; bound of 4 must reject, and the error must name
-    // the knob so misuse on a huge graph is self-diagnosing.
-    val ex = intercept[IllegalArgumentException] {
+    // the knob so misuse on a huge graph is self-diagnosing. The eager
+    // driver-side require guards the DISTRIBUTED path's driver-resident
+    // accumulator (the SmallGraph kernel has none; it enforces the same
+    // bound inside the task — second intercept).
+    spark.conf.set("graft.graph.smallKernel", "false")
+    val ex = try intercept[IllegalArgumentException] {
       Closeness.harmonicSummary(canon, seedsMod = 1, rounds = 1,
         maxSeeds = 4)
-    }
+    } finally spark.conf.unset("graft.graph.smallKernel")
     assert(ex.getMessage.contains("maxSeeds"))
+    val exK = intercept[Exception] {
+      Closeness.harmonicSummary(canon, seedsMod = 1, rounds = 1,
+        maxSeeds = 4).count()
+    }
+    assert(exK.getMessage.contains("maxSeeds"))
     // At the bound exactly, the run proceeds.
     assert(Closeness.harmonicSummary(canon, seedsMod = 1, rounds = 1,
       maxSeeds = 10).count() == 10)

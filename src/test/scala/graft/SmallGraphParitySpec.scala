@@ -23,7 +23,13 @@ class SmallGraphParitySpec extends SparkSpecBase {
     try {
       val distDf = f
       val dist = distDf.collect().toSeq
-      assert(localSchema == distDf.schema,
+      // Names + types must match exactly; nullability may differ (it is
+      // input-dependent on the distributed path — parquet columns are
+      // nullable, spec fixtures are not — and neither the parquet dump
+      // nor the DuckDB compare distinguishes required from optional).
+      def shape(s: org.apache.spark.sql.types.StructType) =
+        s.fields.map(f => (f.name, f.dataType)).toSeq
+      assert(shape(localSchema) == shape(distDf.schema),
         s"schema drift: $localSchema vs ${distDf.schema}")
       assert(local.map(_.toString).sorted == dist.map(_.toString).sorted,
         "row-set drift between SmallGraph kernel and distributed loop")
@@ -68,6 +74,34 @@ class SmallGraphParitySpec extends SparkSpecBase {
     bothWays(graft.operators.LabelProp.propagateSummary(canonEdges,
       rounds = 3))
     bothWays(graft.operators.LabelProp.finalLabels(canonEdges, rounds = 3))
+  }
+
+  test("ktruss kernel == distributed loop") {
+    bothWays(graft.operators.KTruss.trussSummary(canonEdges, k = 3,
+      rounds = 3))
+  }
+
+  test("closeness kernel == distributed loop") {
+    bothWays(graft.operators.Closeness.harmonicSummary(canonEdges,
+      seedsMod = 3, rounds = 3))
+  }
+
+  test("hits kernel == distributed loop (renorm ties)") {
+    import spark.implicits._
+    // Bipartite with duplicate pairs and score ties after renorm.
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 12L),
+      (3L, 10L), (1L, 10L), (4L, 12L), (4L, 13L)).toDF("c", "p")
+    bothWays(graft.operators.Hits.topHubsAuthorities(e, "c", "p",
+      rounds = 3, k = 3))
+  }
+
+  test("random-walk kernel == distributed loop (md5 picks)") {
+    import spark.implicits._
+    val li = rawEdges
+    val sym = li.unionAll(li.select(col("dst").as("src"),
+      col("src").as("dst")))
+    bothWays(graft.operators.RandomWalk.walkSummary(sym, "src", "dst",
+      seedsMod = 3, steps = 6))
   }
 
   test("sssp kernel == distributed loop (parallel edges min-collapse)") {
