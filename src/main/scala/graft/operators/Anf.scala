@@ -32,6 +32,16 @@ object Anf {
     require(maxSeeds >= 1, "ANF needs a positive seed-count bound")
     val spark = canonEdges.sparkSession
     import spark.implicits._
+    // COST gate (SmallGraph): the whole sampled neighborhood profile in
+    // ONE executor task under the size threshold; the bit-parallel loop
+    // below is the 100 TB path.
+    if (SmallGraph.smallEnough(canonEdges, "lo", "hi")) {
+      return canonEdges.select(col("lo").cast("long"), col("hi").cast("long"))
+        .as[(Long, Long)].coalesce(1)
+        .mapPartitions(it =>
+          SmallGraph.anfKernel(it, seedsMod, rounds, maxSeeds))
+        .toDF("r", "reached", "cum", "frac_micro", "eff_diam")
+    }
     val edges = canonEdges.select(col("lo"), col("hi")).localCheckpoint(true)
     val adj = edges.select(col("lo").as("src"), col("hi").as("dst"))
       .unionAll(edges.select(col("hi").as("src"), col("lo").as("dst")))

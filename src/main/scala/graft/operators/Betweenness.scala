@@ -37,6 +37,19 @@ object Betweenness {
   def topK(canonEdges: DataFrame, seedsMod: Long, rounds: Int,
            k: Int): DataFrame = {
     require(rounds >= 2, "betweenness needs at least two expansion rounds")
+    // COST gate (SmallGraph): per-seed forward sigma BFS + backward
+    // integer delta accumulation in ONE executor task under the size
+    // threshold; the distributed (seed, node, sigma) loop below is the
+    // 100 TB path.
+    if (SmallGraph.smallEnough(canonEdges, "lo", "hi")) {
+      val spark = canonEdges.sparkSession
+      import spark.implicits._
+      return canonEdges.select(col("lo").cast("long"), col("hi").cast("long"))
+        .as[(Long, Long)].coalesce(1)
+        .mapPartitions(it =>
+          SmallGraph.betweennessKernel(it, seedsMod, rounds, k))
+        .toDF("n", "bc_micro")
+    }
     val edges = canonEdges.select(col("lo"), col("hi")).localCheckpoint(true)
     val adj = edges.select(col("lo").as("src"), col("hi").as("dst"))
       .unionAll(edges.select(col("hi").as("src"), col("lo").as("dst")))

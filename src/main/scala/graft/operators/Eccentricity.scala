@@ -31,6 +31,16 @@ object Eccentricity {
     require(maxSeeds >= 1, "eccentricity needs a positive seed-count bound")
     val spark = canonEdges.sparkSession
     import spark.implicits._
+    // COST gate (SmallGraph): per-seed BFS inside ONE executor task
+    // under the size threshold; the bit-parallel loop below is the
+    // 100 TB path.
+    if (SmallGraph.smallEnough(canonEdges, "lo", "hi")) {
+      return canonEdges.select(col("lo").cast("long"), col("hi").cast("long"))
+        .as[(Long, Long)].coalesce(1)
+        .mapPartitions(it =>
+          SmallGraph.eccentricityKernel(it, seedsMod, rounds, maxSeeds))
+        .toDF("seed", "ecc", "n_reached")
+    }
     val edges = canonEdges.select(col("lo"), col("hi")).localCheckpoint(true)
     val adj = edges.select(col("lo").as("src"), col("hi").as("dst"))
       .unionAll(edges.select(col("hi").as("src"), col("lo").as("dst")))

@@ -32,6 +32,19 @@ object Katz {
            k: Int): DataFrame = {
     require(iterations >= 1, "Katz needs at least one iteration")
     require(alphaDen >= 2, "alpha must be < 1: alphaDen >= 2")
+    // COST gate (SmallGraph): the integer attenuation rounds in ONE
+    // executor task under the size threshold; the distributed loop
+    // below is the 100 TB path.
+    if (SmallGraph.smallEnough(canonEdges, "lo", "hi")) {
+      val spark = canonEdges.sparkSession
+      import spark.implicits._
+      lastRoundsExecuted = iterations
+      return canonEdges.select(col("lo").cast("long"), col("hi").cast("long"))
+        .as[(Long, Long)].coalesce(1)
+        .mapPartitions(it =>
+          SmallGraph.katzKernel(it, alphaDen, iterations, k))
+        .toDF("node", "katz_micro")
+    }
     val edges = canonEdges.select(col("lo"), col("hi")).localCheckpoint(true)
     val adj = edges.select(col("lo").as("src"), col("hi").as("dst"))
       .unionAll(edges.select(col("hi").as("src"), col("lo").as("dst")))

@@ -408,48 +408,30 @@ object SmallGraph {
       }
       out += ((r.toLong, nn, e))
       if (r < rounds) {
-        // Sorted adjacency over alive edges, then per-edge intersection
-        // counts = per-edge triangle support.
-        val deg = new Array[Int](n)
+        // Degree-oriented triangle pass over the alive edge set; each
+        // triangle bumps the support of its three edges (packed-array
+        // binary search) — O(m^1.5), robust to skewed hubs.
+        val packed = new scala.collection.mutable.ArrayBuilder.ofLong
         i = 0
         while (i < m) {
-          if (alive(i)) { deg(li(i)) += 1; deg(hj(i)) += 1 }
+          if (alive(i)) packed += (li(i).toLong << 32) | hj(i).toLong
           i += 1
         }
-        val off = new Array[Int](n + 1)
-        i = 0
-        while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
-        val pos = java.util.Arrays.copyOf(off, n)
-        val adj = new Array[Int](off(n))
+        val ep = packed.result()
+        java.util.Arrays.sort(ep)
+        val sup = new Array[Long](ep.length)
+        trianglesOver(n, ep) { (a, b, c) =>
+          sup(java.util.Arrays.binarySearch(ep, (a.toLong << 32) | b.toLong)) += 1
+          sup(java.util.Arrays.binarySearch(ep, (a.toLong << 32) | c.toLong)) += 1
+          sup(java.util.Arrays.binarySearch(ep, (b.toLong << 32) | c.toLong)) += 1
+        }
         i = 0
         while (i < m) {
-          if (alive(i)) {
-            adj(pos(li(i))) = hj(i); pos(li(i)) += 1
-            adj(pos(hj(i))) = li(i); pos(hj(i)) += 1
-          }
+          if (alive(i))
+            alive(i) = sup(java.util.Arrays.binarySearch(ep,
+              (li(i).toLong << 32) | hj(i).toLong)) >= k - 2
           i += 1
         }
-        i = 0
-        while (i < n) {
-          java.util.Arrays.sort(adj, off(i), off(i + 1)); i += 1
-        }
-        val next = new Array[Boolean](m)
-        i = 0
-        while (i < m) {
-          if (alive(i)) {
-            var sup = 0
-            var x = off(li(i)); var y = off(hj(i))
-            val xe = off(li(i) + 1); val ye = off(hj(i) + 1)
-            while (x < xe && y < ye) {
-              if (adj(x) < adj(y)) x += 1
-              else if (adj(x) > adj(y)) y += 1
-              else { sup += 1; x += 1; y += 1 }
-            }
-            next(i) = sup >= k - 2
-          }
-          i += 1
-        }
-        alive = next
       }
       r += 1
     }
@@ -640,6 +622,581 @@ object SmallGraph {
       s += 1
     }
     out.iterator
+  }
+
+  // ----------------------------------------------- eccentricity / ANF
+
+  /** Bounded-kernel replay of [[Eccentricity.summary]]: per-seed BFS,
+    * ecc = last round discovering a new node; emits
+    * (seed, ecc, n_reached) sorted by seed. */
+  private[operators] def eccentricityKernel(it: Iterator[(Long, Long)],
+      seedsMod: Long, rounds: Int, maxSeeds: Int): Iterator[(Long, Long, Long)] = {
+    val (lo, hi) = drain(it)
+    val nodes = sortedNodes(lo, hi)
+    val n = nodes.length
+    val (off, tgt) = csrUndirected(lo, hi, nodes)
+    val seeds = (0 until n).filter(i =>
+      java.lang.Math.floorMod(nodes(i), seedsMod) == 0L)
+    require(seeds.length <= maxSeeds,
+      s"eccentricity seed set exceeds maxSeeds=$maxSeeds for seedsMod=" +
+        s"$seedsMod — raise seedsMod (fewer seeds) or pass a larger " +
+        "explicit bound; the per-seed accumulator is driver-resident")
+    seeds.iterator.map { s =>
+      val visited = new Array[Boolean](n)
+      visited(s) = true
+      var frontier = Array(s)
+      var reached = 0L; var ecc = 0L
+      var r = 1
+      while (r <= rounds && frontier.nonEmpty) {
+        val next = new scala.collection.mutable.ArrayBuilder.ofInt
+        var c = 0L
+        var i = 0
+        while (i < frontier.length) {
+          var j = off(frontier(i))
+          while (j < off(frontier(i) + 1)) {
+            val t = tgt(j)
+            if (!visited(t)) { visited(t) = true; next += t; c += 1 }
+            j += 1
+          }
+          i += 1
+        }
+        if (c > 0) { ecc = r.toLong; reached += c }
+        frontier = next.result()
+        r += 1
+      }
+      (nodes(s), ecc, reached)
+    }
+  }
+
+  /** Bounded-kernel replay of [[Anf.profile]]: per-round total new-node
+    * counts over the seed set; emits (r, reached, cum, frac_micro,
+    * eff_diam) for rounds 1..R. */
+  private[operators] def anfKernel(it: Iterator[(Long, Long)],
+      seedsMod: Long, rounds: Int,
+      maxSeeds: Int): Iterator[(Long, Long, Long, Long, Long)] = {
+    val (lo, hi) = drain(it)
+    val nodes = sortedNodes(lo, hi)
+    val n = nodes.length
+    val (off, tgt) = csrUndirected(lo, hi, nodes)
+    val seeds = (0 until n).filter(i =>
+      java.lang.Math.floorMod(nodes(i), seedsMod) == 0L)
+    require(seeds.length <= maxSeeds,
+      s"ANF seed set exceeds maxSeeds=$maxSeeds for seedsMod=$seedsMod " +
+        "— raise seedsMod (fewer seeds) or pass a larger explicit bound")
+    val roundTotals = Array.fill(rounds)(0L)
+    seeds.foreach { s =>
+      val visited = new Array[Boolean](n)
+      visited(s) = true
+      var frontier = Array(s)
+      var r = 1
+      while (r <= rounds && frontier.nonEmpty) {
+        val next = new scala.collection.mutable.ArrayBuilder.ofInt
+        var i = 0
+        while (i < frontier.length) {
+          var j = off(frontier(i))
+          while (j < off(frontier(i) + 1)) {
+            val t = tgt(j)
+            if (!visited(t)) {
+              visited(t) = true; next += t; roundTotals(r - 1) += 1
+            }
+            j += 1
+          }
+          i += 1
+        }
+        frontier = next.result()
+        r += 1
+      }
+    }
+    val cums = roundTotals.scanLeft(0L)(_ + _).tail
+    val total = cums.last
+    val effDiam =
+      if (total == 0L) 0L
+      else (1 to rounds).find(r => cums(r - 1) * 10 >= 9 * total).get.toLong
+    (1 to rounds).iterator.map { r =>
+      val frac = if (total == 0L) 0L else cums(r - 1) * 1000000L / total
+      (r.toLong, roundTotals(r - 1), cums(r - 1), frac, effDiam)
+    }
+  }
+
+  // ---------------------------------------------------------------- Katz
+
+  /** Bounded-kernel replay of [[Katz.topK]]: x₀ = 10⁶, per-edge
+    * truncating attenuation xu div alphaDen, top-k by (xu desc, node). */
+  private[operators] def katzKernel(it: Iterator[(Long, Long)],
+      alphaDen: Long, iterations: Int, k: Int): Iterator[(Long, Long)] = {
+    val (lo, hi) = drain(it)
+    val nodes = sortedNodes(lo, hi)
+    val n = nodes.length
+    val (off, tgt) = csrUndirected(lo, hi, nodes)
+    var x = Array.fill(n)(1000000L)
+    var r = 1
+    while (r <= iterations) {
+      val next = new Array[Long](n)
+      var v = 0
+      while (v < n) {
+        // in-contributions: undirected, so neighbors' xu div alphaDen.
+        var acc = 0L
+        var j = off(v)
+        while (j < off(v + 1)) { acc += x(tgt(j)) / alphaDen; j += 1 }
+        next(v) = 1000000L + acc
+        v += 1
+      }
+      x = next
+      r += 1
+    }
+    (0 until n).sortBy(v => (-x(v), nodes(v))).take(k)
+      .map(v => (nodes(v), x(v))).iterator
+  }
+
+  // --------------------------------------------------------- betweenness
+
+  /** Bounded-kernel replay of [[Betweenness.topK]]: per-seed forward σ
+    * BFS levels + backward integer δ accumulation
+    * (σv·(10⁶+δw) div σw per DAG edge); emits the top-k
+    * (n, bc_micro) ordered by (bc desc, n). */
+  private[operators] def betweennessKernel(it: Iterator[(Long, Long)],
+      seedsMod: Long, rounds: Int, k: Int): Iterator[(Long, Long)] = {
+    val (lo, hi) = drain(it)
+    val nodes = sortedNodes(lo, hi)
+    val n = nodes.length
+    val (off, tgt) = csrUndirected(lo, hi, nodes)
+    val bc = new Array[Long](n)
+    // The distributed union only carries nodes that appeared in some
+    // level 1..R for some seed (seeds-at-level-0 and never-reached
+    // nodes have no row at all, not a zero row).
+    val appeared = new Array[Boolean](n)
+    val level = new Array[Int](n) // -1 unvisited
+    val sigma = new Array[Long](n)
+    val delta = new Array[Long](n)
+    var s = 0
+    while (s < n) {
+      if (java.lang.Math.floorMod(nodes(s), seedsMod) == 0L) {
+        java.util.Arrays.fill(level, -1)
+        java.util.Arrays.fill(sigma, 0L)
+        java.util.Arrays.fill(delta, 0L)
+        level(s) = 0; sigma(s) = 1L
+        val levels = Array.fill(rounds + 1)(
+          new scala.collection.mutable.ArrayBuilder.ofInt)
+        levels(0) += s
+        var frontier = Array(s)
+        var r = 1
+        while (r <= rounds && frontier.nonEmpty) {
+          val next = new scala.collection.mutable.ArrayBuilder.ofInt
+          var i = 0
+          while (i < frontier.length) {
+            val v = frontier(i)
+            var j = off(v)
+            while (j < off(v + 1)) {
+              val w = tgt(j)
+              if (level(w) == -1) { level(w) = r; next += w }
+              j += 1
+            }
+            i += 1
+          }
+          frontier = next.result()
+          // σ(w) = Σ σ(v) over level-(r−1) in-neighbors, synchronous.
+          var x = 0
+          while (x < frontier.length) {
+            val w = frontier(x)
+            var j = off(w)
+            var acc = 0L
+            while (j < off(w + 1)) {
+              val v = tgt(j)
+              if (level(v) == r - 1) acc += sigma(v)
+              j += 1
+            }
+            sigma(w) = acc
+            levels(r) += w
+            appeared(w) = true
+            x += 1
+          }
+          r += 1
+        }
+        // Backward: δ over levels rounds-1 .. 1; horizon level carries 0.
+        var l = rounds - 1
+        while (l >= 1) {
+          val lv = levels(l).result()
+          var i = 0
+          while (i < lv.length) {
+            val v = lv(i)
+            var acc = 0L
+            var j = off(v)
+            while (j < off(v + 1)) {
+              val w = tgt(j)
+              if (level(w) == l + 1)
+                acc += sigma(v) * (1000000L + delta(w)) / sigma(w)
+              j += 1
+            }
+            delta(v) = acc
+            bc(v) += acc
+            i += 1
+          }
+          l -= 1
+        }
+      }
+      s += 1
+    }
+    (0 until n).filter(appeared).sortBy(v => (-bc(v), nodes(v))).take(k)
+      .map(v => (nodes(v), bc(v))).iterator
+  }
+
+  // ------------------------------------------- wedge / triangle family
+
+  /** Canonical (lo, hi) dense edge pairs from a raw pair iterator —
+    * least/greatest, loops dropped, duplicates collapsed — plus the
+    * node table. The [[Triangles.canonical]] twin. */
+  private def canonDense(it: Iterator[(Long, Long)]): (Array[Long], Array[Long]) = {
+    val (a, b) = drain(it)
+    val nodes = sortedNodes(a, b)
+    val p = new Array[Long](a.length)
+    var i = 0
+    var w = 0
+    while (i < a.length) {
+      if (a(i) != b(i)) {
+        val x = idxOf(nodes, math.min(a(i), b(i))).toLong
+        val y = idxOf(nodes, math.max(a(i), b(i))).toLong
+        p(w) = (x << 32) | y
+        w += 1
+      }
+      i += 1
+    }
+    val q = java.util.Arrays.copyOf(p, w)
+    java.util.Arrays.sort(q)
+    w = 0; i = 0
+    while (i < q.length) {
+      if (w == 0 || q(w - 1) != q(i)) { q(w) = q(i); w += 1 }
+      i += 1
+    }
+    (nodes, java.util.Arrays.copyOf(q, w))
+  }
+
+  /** (bucket, n_triangles) for bucket = floorMod(n1, 10) over every
+    * triangle (n1 < n2 < n3), sorted by bucket — the
+    * `q_graph_triangles` twin. */
+  private[graft] def triangleBucketsKernel(
+      it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val (nodes, edges) = canonDense(it)
+    val counts = new scala.collection.mutable.HashMap[Long, Long]
+    trianglesOver(nodes.length, edges) { (a, _, _) =>
+      // a is the smallest dense index == smallest node id (sorted table).
+      val b = java.lang.Math.floorMod(nodes(a), 10L)
+      counts.update(b, counts.getOrElse(b, 0L) + 1L)
+    }
+    counts.toSeq.sortBy(_._1).iterator
+  }
+
+  /** One-row clustering-coefficient summary — the
+    * `q_graph_clustering_coef` twin: (n_nodes, n_triangles, n_wedges,
+    * transitivity_micro, avg_lcc_micro) over nodes with degree ≥ 2,
+    * identical integer micro-unit arithmetic. */
+  private[graft] def clusteringKernel(
+      it: Iterator[(Long, Long)]): Iterator[(Long, Long, Long, Long, Long)] = {
+    val (nodes, edges) = canonDense(it)
+    val n = nodes.length
+    val deg = new Array[Long](n)
+    var i = 0
+    while (i < edges.length) {
+      deg((edges(i) >>> 32).toInt) += 1
+      deg((edges(i) & 0xffffffffL).toInt) += 1
+      i += 1
+    }
+    val tri = new Array[Long](n)
+    trianglesOver(n, edges) { (a, b, c) =>
+      tri(a) += 1; tri(b) += 1; tri(c) += 1
+    }
+    var nn = 0L; var t3 = BigInt(0); var w2 = BigInt(0); var slcc = BigInt(0)
+    i = 0
+    while (i < n) {
+      if (deg(i) >= 2) {
+        nn += 1
+        t3 += tri(i)
+        w2 += BigInt(deg(i)) * (deg(i) - 1)
+        slcc += (BigInt(tri(i)) * 2000000) / (BigInt(deg(i)) * (deg(i) - 1))
+      }
+      i += 1
+    }
+    Iterator(((nn), (t3 / 3).toLong, (w2 / 2).toLong,
+      ((t3 * 2000000) / w2).toLong, (slcc / nn).toLong))
+  }
+
+  /** Enumerate each triangle exactly once via DEGREE-ORIENTED
+    * out-adjacency intersection (the [[Triangles]] compact-forward
+    * scheme in one task): orient every edge ascending by (degree, id),
+    * so out-degrees are O(√m) even at a skewed hub and the total work
+    * is O(m^1.5), never Σd². `f` receives the dense indices sorted
+    * ascending (= ascending node id, the table is sorted). */
+  private def trianglesOver(n: Int, edges: Array[Long])(
+      f: (Int, Int, Int) => Unit): Unit = {
+    val deg = new Array[Int](n)
+    var i = 0
+    while (i < edges.length) {
+      deg((edges(i) >>> 32).toInt) += 1
+      deg((edges(i) & 0xffffffffL).toInt) += 1
+      i += 1
+    }
+    // Orientation key: (deg, idx) packed — idx < 2³¹, deg < 2³¹.
+    def okey(v: Int): Long = (deg(v).toLong << 32) | v.toLong
+    val outDeg = new Array[Int](n)
+    i = 0
+    while (i < edges.length) {
+      val a = (edges(i) >>> 32).toInt; val b = (edges(i) & 0xffffffffL).toInt
+      if (okey(a) < okey(b)) outDeg(a) += 1 else outDeg(b) += 1
+      i += 1
+    }
+    val off = new Array[Int](n + 1)
+    i = 0
+    while (i < n) { off(i + 1) = off(i) + outDeg(i); i += 1 }
+    val pos = java.util.Arrays.copyOf(off, n)
+    val adj = new Array[Int](off(n))
+    i = 0
+    while (i < edges.length) {
+      val a = (edges(i) >>> 32).toInt; val b = (edges(i) & 0xffffffffL).toInt
+      if (okey(a) < okey(b)) { adj(pos(a)) = b; pos(a) += 1 }
+      else { adj(pos(b)) = a; pos(b) += 1 }
+      i += 1
+    }
+    i = 0
+    while (i < n) { java.util.Arrays.sort(adj, off(i), off(i + 1)); i += 1 }
+    // For each oriented edge u→v: every w ∈ N⁺(u) ∩ N⁺(v) closes one
+    // triangle, exactly once (at its lowest-okey corner u).
+    val t = new Array[Int](3)
+    var u = 0
+    while (u < n) {
+      var e = off(u)
+      while (e < off(u + 1)) {
+        val v = adj(e)
+        var x = off(u); var y = off(v)
+        val xe = off(u + 1); val ye = off(v + 1)
+        while (x < xe && y < ye) {
+          if (adj(x) < adj(y)) x += 1
+          else if (adj(x) > adj(y)) y += 1
+          else {
+            t(0) = u; t(1) = v; t(2) = adj(x)
+            java.util.Arrays.sort(t)
+            f(t(0), t(1), t(2))
+            x += 1; y += 1
+          }
+        }
+        e += 1
+      }
+      u += 1
+    }
+  }
+
+  /** Wedge-pair counts over centers with degree in [2, 256] (the shared
+    * capped wedge kernel of jaccard/link-pred/rectangles): returns the
+    * node table, per-node UNCAPPED degrees, the canonical dense edge
+    * set, and sorted packed (aIdx<<32|bIdx) wedge pairs with counts. */
+  private def cappedWedgeCounts(it: Iterator[(Long, Long)]):
+      (Array[Long], Array[Long], Array[Long], Array[Long], Array[Long]) = {
+    val (nodes, edges) = canonDense(it)
+    val n = nodes.length
+    val deg = new Array[Long](n)
+    var i = 0
+    while (i < edges.length) {
+      deg((edges(i) >>> 32).toInt) += 1
+      deg((edges(i) & 0xffffffffL).toInt) += 1
+      i += 1
+    }
+    val off = new Array[Int](n + 1)
+    i = 0
+    while (i < n) { off(i + 1) = off(i) + deg(i).toInt; i += 1 }
+    val pos = java.util.Arrays.copyOf(off, n)
+    val adj = new Array[Int](off(n))
+    i = 0
+    while (i < edges.length) {
+      val a = (edges(i) >>> 32).toInt; val b = (edges(i) & 0xffffffffL).toInt
+      adj(pos(a)) = b; pos(a) += 1
+      adj(pos(b)) = a; pos(b) += 1
+      i += 1
+    }
+    i = 0
+    while (i < n) { java.util.Arrays.sort(adj, off(i), off(i + 1)); i += 1 }
+    val wb = new scala.collection.mutable.ArrayBuilder.ofLong
+    val cb = new scala.collection.mutable.ArrayBuilder.ofLong // center idx per wedge
+    i = 0
+    while (i < n) {
+      val d = off(i + 1) - off(i)
+      if (d >= 2 && d <= 256) {
+        var x = off(i)
+        while (x < off(i + 1)) {
+          var y = x + 1
+          while (y < off(i + 1)) {
+            wb += (adj(x).toLong << 32) | adj(y).toLong
+            cb += i.toLong
+            y += 1
+          }
+          x += 1
+        }
+      }
+      i += 1
+    }
+    (nodes, deg, edges, wb.result(), cb.result())
+  }
+
+  /** `q_graph_jaccard_sim` twin: top-20 wedge pairs by
+    * j6 = (cn·10⁶) div (da + db − cn), ties (a, b). */
+  private[graft] def jaccardSimKernel(
+      it: Iterator[(Long, Long)]): Iterator[(Long, Long, Long, Long, Long, Long)] = {
+    val (nodes, deg, _, wedges, _) = cappedWedgeCounts(it)
+    java.util.Arrays.sort(wedges)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long)]
+    var i = 0
+    while (i < wedges.length) {
+      var j = i + 1
+      while (j < wedges.length && wedges(j) == wedges(i)) j += 1
+      val cn = (j - i).toLong
+      val a = (wedges(i) >>> 32).toInt; val b = (wedges(i) & 0xffffffffL).toInt
+      val (da, db) = (deg(a), deg(b))
+      out += ((nodes(a), nodes(b), cn, da, db,
+        cn * 1000000L / (da + db - cn)))
+      i = j
+    }
+    out.sortBy { case (a, b, _, _, _, j6) => (-j6, a, b) }.take(20).iterator
+  }
+
+  /** `q_graph_rectangles` twin: top-20 wedge pairs by
+    * rect = cn·(cn−1) div 2, ties (a, b). */
+  private[graft] def rectanglesKernel(
+      it: Iterator[(Long, Long)]): Iterator[(Long, Long, Long, Long)] = {
+    val (nodes, _, _, wedges, _) = cappedWedgeCounts(it)
+    java.util.Arrays.sort(wedges)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var i = 0
+    while (i < wedges.length) {
+      var j = i + 1
+      while (j < wedges.length && wedges(j) == wedges(i)) j += 1
+      val cn = (j - i).toLong
+      out += ((nodes((wedges(i) >>> 32).toInt),
+        nodes((wedges(i) & 0xffffffffL).toInt), cn, cn * (cn - 1) / 2))
+      i = j
+    }
+    out.sortBy { case (a, b, _, r) => (-r, a, b) }.take(20).iterator
+  }
+
+  /** Primitive dual-array quicksort: sorts `keys` ascending and applies
+    * the same permutation to `vals` — no boxing, no index indirection. */
+  private def sortPairs(keys: Array[Long], vals: Array[Long],
+                        lo: Int, hi: Int): Unit = {
+    if (hi - lo < 24) { // insertion sort for small ranges
+      var i = lo + 1
+      while (i <= hi) {
+        val k = keys(i); val v = vals(i)
+        var j = i - 1
+        while (j >= lo && keys(j) > k) {
+          keys(j + 1) = keys(j); vals(j + 1) = vals(j); j -= 1
+        }
+        keys(j + 1) = k; vals(j + 1) = v
+        i += 1
+      }
+      return
+    }
+    val mid = lo + (hi - lo) / 2
+    val pivot = math.max(math.min(keys(lo), keys(mid)),
+      math.min(math.max(keys(lo), keys(mid)), keys(hi)))
+    var i = lo; var j = hi
+    while (i <= j) {
+      while (keys(i) < pivot) i += 1
+      while (keys(j) > pivot) j -= 1
+      if (i <= j) {
+        val tk = keys(i); keys(i) = keys(j); keys(j) = tk
+        val tv = vals(i); vals(i) = vals(j); vals(j) = tv
+        i += 1; j -= 1
+      }
+    }
+    if (lo < j) sortPairs(keys, vals, lo, j)
+    if (i < hi) sortPairs(keys, vals, i, hi)
+  }
+
+  /** `q_graph_link_pred` twin: non-adjacent wedge pairs ranked by
+    * (cn desc, Σ floor(10⁶/ln(center deg)) desc, a, b), top-20. */
+  private[graft] def linkPredKernel(
+      it: Iterator[(Long, Long)]): Iterator[(Long, Long, Long, Long)] = {
+    val (nodes, deg, edges, wedges, centers) = cappedWedgeCounts(it)
+    // aa6 per wedge entry (a function of its center only), then one
+    // primitive co-sort by pair key and a run-length accumulation.
+    val aa6 = new Array[Long](centers.length)
+    var i = 0
+    while (i < centers.length) {
+      aa6(i) = math.floor(1e6 / math.log(deg(centers(i).toInt).toDouble)).toLong
+      i += 1
+    }
+    if (wedges.length > 0) sortPairs(wedges, aa6, 0, wedges.length - 1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    i = 0
+    while (i < wedges.length) {
+      var j = i
+      var aa = 0L
+      while (j < wedges.length && wedges(j) == wedges(i)) { aa += aa6(j); j += 1 }
+      val key = wedges(i)
+      if (java.util.Arrays.binarySearch(edges, key) < 0) // non-adjacent
+        out += ((nodes((key >>> 32).toInt), nodes((key & 0xffffffffL).toInt),
+          (j - i).toLong, aa))
+      i = j
+    }
+    out.sortBy { case (a, b, cn, aa) => (-cn, -aa, a, b) }.take(20).iterator
+  }
+
+  /** `q_graph_rich_club` twin: φ(k) rows for k ∈ {32, 64, 128}. */
+  private[graft] def richClubKernel(
+      it: Iterator[(Long, Long)]): Iterator[(Long, Long, Long, Long)] = {
+    val (nodes, edges) = canonDense(it)
+    val n = nodes.length
+    val deg = new Array[Long](n)
+    var i = 0
+    while (i < edges.length) {
+      deg((edges(i) >>> 32).toInt) += 1
+      deg((edges(i) & 0xffffffffL).toInt) += 1
+      i += 1
+    }
+    Seq(32L, 64L, 128L).iterator.map { k =>
+      var nk = 0L
+      var v = 0
+      while (v < n) { if (deg(v) > k) nk += 1; v += 1 }
+      var ek = 0L
+      var e = 0
+      while (e < edges.length) {
+        if (deg((edges(e) >>> 32).toInt) > k &&
+          deg((edges(e) & 0xffffffffL).toInt) > k) ek += 1
+        e += 1
+      }
+      val phi =
+        if (nk >= 2) (BigInt(2) * ek * 1000000 / (BigInt(nk) * (nk - 1))).toLong
+        else 0L
+      (k, nk, ek, phi)
+    }
+  }
+
+  /** `q_graph_assortativity` twin: one row
+    * (n_directed_edges, r6) with the collapsed-denominator Pearson
+    * moments in exact integers and ONE double division. */
+  private[graft] def assortativityKernel(
+      it: Iterator[(Long, Long)]): Iterator[(Long, Double)] = {
+    val (nodes, edges) = canonDense(it)
+    val n = nodes.length
+    val deg = new Array[Long](n)
+    var i = 0
+    while (i < edges.length) {
+      deg((edges(i) >>> 32).toInt) += 1
+      deg((edges(i) & 0xffffffffL).toInt) += 1
+      i += 1
+    }
+    var n2 = BigInt(0); var sjk = BigInt(0); var sj = BigInt(0)
+    var sjj = BigInt(0)
+    i = 0
+    while (i < edges.length) {
+      val a = deg((edges(i) >>> 32).toInt); val b = deg((edges(i) & 0xffffffffL).toInt)
+      // both orientations of each canonical edge
+      n2 += 2
+      sjk += 2 * BigInt(a) * b
+      sj += BigInt(a) + b
+      sjj += BigInt(a) * a + BigInt(b) * b
+      i += 1
+    }
+    val num = (n2 * sjk - sj * sj).toDouble
+    val den = (n2 * sjj - sj * sj).toDouble
+    Iterator((n2.toLong, math.floor(num / den * 1e6) / 1e6))
   }
 
   // ------------------------------------------------------- Bellman–Ford

@@ -29,6 +29,16 @@ trait RegistryGraph extends RegistryEvent {
     * missing edges. */
   protected def graphJaccardSim(spark: SparkSession, dir: String): DataFrame = {
     val sub = coPurchaseSubPairs(spark, dir)
+    // COST gate (SmallGraph): the capped wedge kernel + scoring in ONE
+    // executor task under the size threshold; the distributed explode
+    // below is the 100 TB path.
+    if (graft.operators.SmallGraph.smallEnough(sub, "x", "y")) {
+      import spark.implicits._
+      return sub.select(col("x").cast("long"), col("y").cast("long"))
+        .as[(Long, Long)].coalesce(1)
+        .mapPartitions(it => graft.operators.SmallGraph.jaccardSimKernel(it))
+        .toDF("a", "b", "cn", "da", "db", "j6")
+    }
     val canon = graft.operators.Triangles.canonical(sub, "x", "y")
       .localCheckpoint(true)
     val nbr = canon.select(col("lo").as("w"), col("hi").as("n"))
@@ -67,6 +77,15 @@ trait RegistryGraph extends RegistryEvent {
     * support with the (a,b) tie-break. */
   protected def graphRectangles(spark: SparkSession, dir: String): DataFrame = {
     val sub = coPurchaseSubPairs(spark, dir)
+    // COST gate (SmallGraph): shared capped wedge kernel, C(cn,2)
+    // support in ONE executor task; distributed explode = 100 TB path.
+    if (graft.operators.SmallGraph.smallEnough(sub, "x", "y")) {
+      import spark.implicits._
+      return sub.select(col("x").cast("long"), col("y").cast("long"))
+        .as[(Long, Long)].coalesce(1)
+        .mapPartitions(it => graft.operators.SmallGraph.rectanglesKernel(it))
+        .toDF("a", "b", "cn", "rect")
+    }
     val canon = graft.operators.Triangles.canonical(sub, "x", "y")
       .localCheckpoint(true)
     val nbr = canon.select(col("lo").as("w"), col("hi").as("n"))
@@ -97,6 +116,19 @@ trait RegistryGraph extends RegistryEvent {
     * division. One degree aggregate + one filtered edge count per k over
     * the SAME cached relations. */
   protected def graphRichClub(spark: SparkSession, dir: String): DataFrame = {
+    // COST gate (SmallGraph): degrees + three filtered edge counts in
+    // ONE executor task; the distributed aggregates below are the
+    // 100 TB path.
+    {
+      val pairs = coPurchasePairs(spark, dir)
+      if (graft.operators.SmallGraph.smallEnough(pairs, "x", "y")) {
+        import spark.implicits._
+        return pairs.select(col("x").cast("long"), col("y").cast("long"))
+          .as[(Long, Long)].coalesce(1)
+          .mapPartitions(it => graft.operators.SmallGraph.richClubKernel(it))
+          .toDF("k", "n_club", "e_club", "phi_micro")
+      }
+    }
     val canon = graft.operators.Triangles.canonical(
         coPurchasePairs(spark, dir), "x", "y")
       .localCheckpoint(true)
@@ -328,7 +360,19 @@ trait RegistryGraph extends RegistryEvent {
     * naive a<b<c three-way self-join: same triangles, the plan the
     * orientation exists to avoid at skew. */
   protected def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
-    graft.operators.Triangles.triangles(coPurchasePairs(spark, dir), "x", "y")
+    val pairs = coPurchasePairs(spark, dir)
+    // COST gate (SmallGraph): canonicalize + degree-oriented triangle
+    // enumeration + bucket counts in ONE executor task under the size
+    // threshold; the distributed wedge join below is the 100 TB path.
+    if (graft.operators.SmallGraph.smallEnough(pairs, "x", "y")) {
+      import spark.implicits._
+      return pairs.select(col("x").cast("long"), col("y").cast("long"))
+        .as[(Long, Long)].coalesce(1)
+        .mapPartitions(it =>
+          graft.operators.SmallGraph.triangleBucketsKernel(it))
+        .toDF("bucket", "n_triangles")
+    }
+    graft.operators.Triangles.triangles(pairs, "x", "y")
       .groupBy(pmod(col("n1"), lit(10)).as("bucket"))
       .agg(count(lit(1)).as("n_triangles"))
       .orderBy("bucket")
@@ -381,6 +425,21 @@ trait RegistryGraph extends RegistryEvent {
     * aggregate of the TRIANGLE relation, degrees one aggregate of edges;
     * the oracle replays with naive a<b<c enumeration — same triangles. */
   protected def graphClusteringCoef(spark: SparkSession, dir: String): DataFrame = {
+    // COST gate (SmallGraph): triangles, degrees and the integer
+    // micro-unit lcc/transitivity summary in ONE executor task under
+    // the size threshold; the distributed pass below is the 100 TB path.
+    {
+      val pairs = coPurchasePairs(spark, dir)
+      if (graft.operators.SmallGraph.smallEnough(pairs, "x", "y")) {
+        import spark.implicits._
+        return pairs.select(col("x").cast("long"), col("y").cast("long"))
+          .as[(Long, Long)].coalesce(1)
+          .mapPartitions(it =>
+            graft.operators.SmallGraph.clusteringKernel(it))
+          .toDF("n_nodes", "n_triangles", "n_wedges",
+            "transitivity_micro", "avg_lcc_micro")
+      }
+    }
     val dec = DecimalType(38, 0)
     val canon = graft.operators.Triangles.canonical(
         coPurchasePairs(spark, dir), "x", "y")
@@ -432,6 +491,16 @@ trait RegistryGraph extends RegistryEvent {
     * from the materialized edge side-table with a residual filter). */
   protected def graphLinkPred(spark: SparkSession, dir: String): DataFrame = {
     val sub = coPurchaseSubPairs(spark, dir)
+    // COST gate (SmallGraph): capped wedges + per-center AA floors +
+    // the non-adjacency filter in ONE executor task; the distributed
+    // explode/anti-join below is the 100 TB path.
+    if (graft.operators.SmallGraph.smallEnough(sub, "x", "y")) {
+      import spark.implicits._
+      return sub.select(col("x").cast("long"), col("y").cast("long"))
+        .as[(Long, Long)].coalesce(1)
+        .mapPartitions(it => graft.operators.SmallGraph.linkPredKernel(it))
+        .toDF("a", "b", "cn", "aa_micro")
+    }
     val canon = graft.operators.Triangles.canonical(sub, "x", "y")
       .localCheckpoint(true)
     val nbr = canon.select(col("lo").as("w"), col("hi").as("n"))
@@ -652,6 +721,20 @@ trait RegistryGraph extends RegistryEvent {
     * a 6 dp floor. One degree aggregate + two joins + one moment
     * aggregate; nothing iterates. */
   protected def graphAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    // COST gate (SmallGraph): exact-integer moments + the single double
+    // division in ONE executor task; the distributed joins below are
+    // the 100 TB path.
+    {
+      val pairs = coPurchasePairs(spark, dir)
+      if (graft.operators.SmallGraph.smallEnough(pairs, "x", "y")) {
+        import spark.implicits._
+        return pairs.select(col("x").cast("long"), col("y").cast("long"))
+          .as[(Long, Long)].coalesce(1)
+          .mapPartitions(it =>
+            graft.operators.SmallGraph.assortativityKernel(it))
+          .toDF("n_directed_edges", "r6")
+      }
+    }
     val dec = DecimalType(38, 0)
     val canon = graft.operators.Triangles.canonical(
         coPurchasePairs(spark, dir), "x", "y")

@@ -112,4 +112,33 @@ class SmallGraphParitySpec extends SparkSpecBase {
     bothWays(graft.operators.Sssp.distanceSummary(weighted, seedsMod = 3,
       rounds = 4))
   }
+
+  test("eccentricity / anf kernels == distributed loops") {
+    bothWays(graft.operators.Eccentricity.summary(canonEdges, seedsMod = 3,
+      rounds = 3))
+    bothWays(graft.operators.Anf.profile(canonEdges, seedsMod = 3,
+      rounds = 3))
+  }
+
+  test("katz kernel == distributed loop (truncating attenuation)") {
+    bothWays(graft.operators.Katz.topK(canonEdges, alphaDen = 2,
+      iterations = 5, k = 10))
+  }
+
+  test("betweenness kernel == distributed loop (sigma/delta floors)") {
+    bothWays(graft.operators.Betweenness.topK(canonEdges, seedsMod = 2,
+      rounds = 3, k = 10))
+  }
+
+  // Registry-level kernels (wedge/triangle family): run the REGISTERED
+  // query both ways on real sf0.001 data — the strongest in-repo parity
+  // witness for the per-query kernels (the DuckDB oracle at sf0.01 is
+  // the independent one, exercised by every Verify gate).
+  private val sf = "/root/testdata/sf0.001"
+  for (q <- Seq("q_graph_triangles", "q_graph_clustering_coef",
+      "q_graph_jaccard_sim", "q_graph_rectangles", "q_graph_link_pred",
+      "q_graph_rich_club", "q_graph_assortativity"))
+    test(s"$q kernel == distributed plan at sf0.001") {
+      bothWays(SparkEntry.queries(q)(spark, sf))
+    }
 }
