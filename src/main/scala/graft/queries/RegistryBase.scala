@@ -70,6 +70,18 @@ trait RegistryBase {
   protected def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (spark, dir) => { configure(spark); f(spark, dir) }
 
+  /** Raise a relation's parallelism to the session default when the
+    * source scan under-parallelizes (a single small unsplittable file =
+    * ONE task, which serializes any heavy per-row kernel that follows).
+    * Strictly a widen: when the scan already has ≥ cores partitions —
+    * every many-file table at scale — this is a no-op, so nothing is
+    * ever shuffled down. Row-location changes never change results
+    * (every query is partition-invariant; InvarianceSweep pins it). */
+  protected def widen(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   // ---------------------------------------------------------------- F1–F15
 
   // Shared generated-oracle helpers (used across several domain

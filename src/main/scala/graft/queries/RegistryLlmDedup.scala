@@ -132,7 +132,14 @@ trait RegistryLlmDedup extends RegistryMm {
     val mutated = docs.filter(col("doc_id") < 30)
       .withColumn("doc_id", -(col("doc_id") + 1))
       .withColumn("text", concat(col("text"), lit(" appended marker token")))
-    val grams = docs.unionByName(mutated)
+    // Widen BEFORE the per-doc shingle work: documents.parquet is one
+    // small unsplittable file, so the scan is 1 task and the 3-gram
+    // explosion would run serially (measured 3.4 s of a 9 s query at
+    // sf0.1). The shuffle moves KBs of text; the shingling then uses
+    // every core. On a many-file 100 TB scan the partition count
+    // already exceeds the cores and this is a no-op (guide §2.5
+    // "input skew: repartition immediately after the read").
+    val grams = widen(docs.unionByName(mutated))
       .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("grams"))
       .localCheckpoint(true) // feeds signatures AND both exact-verify joins
     // The 32 per-gram hashes are 32 CODEGEN'D md5 column expressions
@@ -231,7 +238,7 @@ trait RegistryLlmDedup extends RegistryMm {
     val mutated = docs.filter(col("doc_id") < 30)
       .withColumn("doc_id", -(col("doc_id") + 1))
       .withColumn("text", concat(col("text"), lit(" appended marker token")))
-    val grams = docs.unionByName(mutated)
+    val grams = widen(docs.unionByName(mutated)) // 1-task scan, heavy shingles
       .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("grams"))
     val bitSums = (0 until bits).map(b =>
       sum(when(expr(s"(h >> $b) & 1") === 1, 1L).otherwise(-1L)).as(s"b$b"))
@@ -339,7 +346,7 @@ trait RegistryLlmDedup extends RegistryMm {
       .select((-col("doc_id") - 1).as("doc_id"),
         concat_ws(" ", expr("slice(tk, 1, greatest(size(tk) div 2, 5))"))
           .as("text"))
-    val corpus = base.unionAll(excerpts)
+    val corpus = widen(base.unionAll(excerpts)) // 1-task scan, heavy shingles
       .select(col("doc_id"), Dedup.shingles(col("text"), 5).as("grams"))
       .localCheckpoint(true) // feeds the bucket explode AND the verify join
     val gd = corpus.select(col("doc_id"), explode(col("grams")).as("gr"))
@@ -543,7 +550,7 @@ trait RegistryLlmDedup extends RegistryMm {
       .select((-(col("doc_id") + 1)).as("doc_id"),
         concat(lit("prefix marker tokens added "), col("text")).as("text"))
     graft.llm.Dedup.duplicatedSpanRegions(
-        docs.unionByName(copies), "doc_id", "text", seedTokens = 5)
+        widen(docs.unionByName(copies)), "doc_id", "text", seedTokens = 5)
       .select(col("doc_id"), col("n_dup_regions"),
         col("dup_tokens").cast("long").as("dup_tokens"),
         col("longest_region").cast("long").as("longest_region"))
