@@ -73,15 +73,161 @@ object DetKMeans {
     seeds.toSeq.toDF("cid", "c")
   }
 
+  // ---------------------------------------------------- bounded kernels
+  // COST-gated single-task Lloyd (the graft.operators.SmallGraph
+  // contract): under the size threshold the whole training loop — or a
+  // standalone assignment against a bounded collected codebook (the
+  // seedCentroids driver-read precedent) — runs inside ONE executor
+  // task with the identical integer-unit arithmetic, instead of
+  // iters × (broadcast + 2 aggregate) scheduler jobs over a KB-scale
+  // corpus. Distributed paths below are unchanged — the 100 TB shape.
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+
+  /** In-memory Lloyd: returns (assignments of the FINAL round against
+    * its pre-update centroids, post-update centroids), both in the
+    * exact fit() arithmetic. Centroid list keeps ascending cid order;
+    * empty clusters drop. */
+  private def lloydCore(pts: Array[(Long, Array[Long])], k: Int,
+      iters: Int): (Array[(Long, Long)], Seq[(Long, Array[Long])]) = {
+    val seeds = pts.sortBy { case (id, _) => (md5Hex(id.toString), id) }
+      .take(k)
+    var cents: Seq[(Long, Array[Long])] =
+      seeds.zipWithIndex.map { case ((_, u), i) => (i.toLong, u.clone()) }
+    var assign: Array[(Long, Long)] = null // (cid, d) per pts index
+    var it = 1
+    while (it <= iters) {
+      assign = pts.map { case (_, u) =>
+        var bestC = -1L; var bestD = Long.MaxValue
+        cents.foreach { case (cid, c) =>
+          var d = 0L
+          var i = 0
+          while (i < u.length) { val x = u(i) - c(i); d += x * x; i += 1 }
+          if (d < bestD || (d == bestD && cid < bestC)) { bestD = d; bestC = cid }
+        }
+        (bestC, bestD)
+      }
+      // Update: per-cluster per-dim integer mean, floor(sum / n) with
+      // the division in double (exact: |sum| < 2^53).
+      val dim = if (pts.isEmpty) 0 else pts(0)._2.length
+      val sums = scala.collection.mutable.LinkedHashMap
+        .empty[Long, (Array[Long], Long)]
+      var p = 0
+      while (p < pts.length) {
+        val (cid, _) = assign(p)
+        val e = sums.getOrElseUpdate(cid, (new Array[Long](dim), 0L))
+        val s = e._1
+        val u = pts(p)._2
+        var i = 0
+        while (i < dim) { s(i) += u(i); i += 1 }
+        sums(cid) = (s, e._2 + 1)
+        p += 1
+      }
+      cents = sums.toSeq.sortBy(_._1).map { case (cid, (s, nC)) =>
+        (cid, s.map(v => math.floor(v.toDouble / nC).toLong))
+      }
+      it += 1
+    }
+    (assign, cents)
+  }
+
+  private def drainPts(it: Iterator[(Long, Seq[Long])]): Array[(Long, Array[Long])] =
+    it.map { case (id, u) => (id, u.toArray) }.toArray
+
+  private[graft] def lloydAssignKernel(it: Iterator[(Long, Seq[Long])],
+      k: Int, iters: Int): Iterator[(Long, Seq[Long], Long, Long)] = {
+    val pts = drainPts(it)
+    val (assign, _) = lloydCore(pts, k, iters)
+    pts.iterator.zip(assign.iterator).map { case ((id, u), (cid, d)) =>
+      (id, u.toSeq, cid, d)
+    }
+  }
+
+  private[graft] def lloydCentroidsKernel(it: Iterator[(Long, Seq[Long])],
+      k: Int, iters: Int): Iterator[(Long, Seq[Long])] = {
+    val (_, cents) = lloydCore(drainPts(it), k, iters)
+    cents.iterator.map { case (cid, c) => (cid, c.toSeq) }
+  }
+
+  /** Grouped twin: per-group Lloyd with the shared (md5(id), id) seed
+    * order — every group holds the same id set (the PQ subspace
+    * explode), so the per-group row_number seeds are the same k ids. */
+  private def lloydGrouped(rows: Array[(Long, Long, Array[Long])], k: Int,
+      iters: Int): (Array[(Long, Long)], Seq[(Long, Long, Array[Long])]) = {
+    val groups = rows.map(_._1).distinct.sorted
+    val assignOut = new Array[(Long, Long)](rows.length)
+    val centsOut = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Array[Long])]
+    groups.foreach { g =>
+      val idxs = rows.indices.filter(i => rows(i)._1 == g)
+      val pts = idxs.map(i => (rows(i)._2, rows(i)._3)).toArray
+      val (assign, cents) = lloydCore(pts, k, iters)
+      idxs.indices.foreach(j => assignOut(idxs(j)) = assign(j))
+      cents.foreach { case (cid, c) => centsOut += ((g, cid, c)) }
+    }
+    (assignOut, centsOut.toSeq)
+  }
+
+  private[graft] def lloydAssignGroupedKernel(
+      it: Iterator[(Long, Long, Seq[Long])], k: Int,
+      iters: Int): Iterator[(Long, Long, Seq[Long], Long, Long)] = {
+    val rows = it.map { case (g, id, u) => (g, id, u.toArray) }.toArray
+    val (assign, _) = lloydGrouped(rows, k, iters)
+    rows.iterator.zip(assign.iterator).map { case ((g, id, u), (cid, d)) =>
+      (g, id, u.toSeq, cid, d)
+    }
+  }
+
+  private[graft] def lloydCentroidsGroupedKernel(
+      it: Iterator[(Long, Long, Seq[Long])], k: Int,
+      iters: Int): Iterator[(Long, Long, Seq[Long])] = {
+    val rows = it.map { case (g, id, u) => (g, id, u.toArray) }.toArray
+    val (_, cents) = lloydGrouped(rows, k, iters)
+    cents.iterator.map { case (g, cid, c) => (g, cid, c.toSeq) }
+  }
+
+  /** Single-task nearest-centroid assignment against a COLLECTED
+    * bounded codebook (k·dim longs — the seedCentroids driver-read
+    * class). Tie → smallest cid, identical to the struct-min. */
+  private[graft] def assignKernel(it: Iterator[(Long, Seq[Long])],
+      cents: Array[(Long, Array[Long])]): Iterator[(Long, Seq[Long], Long, Long)] =
+    it.map { case (id, u) =>
+      val ua = u.toArray
+      var bestC = -1L; var bestD = Long.MaxValue
+      cents.foreach { case (cid, c) =>
+        var d = 0L
+        var i = 0
+        while (i < ua.length) { val x = ua(i) - c(i); d += x * x; i += 1 }
+        if (d < bestD || (d == bestD && cid < bestC)) { bestD = d; bestC = cid }
+      }
+      (id, u, bestC, bestD)
+    }
+
   /** Assign each point to its nearest centroid (ties → smallest cid).
     * Returns (id, u, cid, d). */
-  def assignTo(pts: DataFrame, centroids: DataFrame): DataFrame =
+  def assignTo(pts: DataFrame, centroids: DataFrame): DataFrame = {
+    if (graft.operators.SmallGraph.smallEnough(pts, "id")) {
+      val spark = pts.sparkSession
+      import spark.implicits._
+      val cents = centroids.select(col("cid"), col("c")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1)
+      return pts.select(col("id"), col("u")).as[(Long, Seq[Long])]
+        .coalesce(1)
+        .mapPartitions(it => assignKernel(it, cents))
+        .toDF("id", "u", "cid", "d")
+    }
     pts.crossJoin(broadcast(centroids))
       .select(col("id"), col("u"), col("cid"), dist2(col("u"), col("c")).as("d"))
       .groupBy("id")
       .agg(first(col("u")).as("u"), min(struct(col("d"), col("cid"))).as("m"))
       .select(col("id"), col("u"),
         col("m").getField("cid").as("cid"), col("m").getField("d").as("d"))
+  }
 
   /** One Lloyd update: per-cluster per-dim integer mean. */
   def updateCentroids(assign: DataFrame, dim: Int): DataFrame =
@@ -98,6 +244,25 @@ object DetKMeans {
   def fit(df: DataFrame, idCol: String, embCol: String,
           k: Int, iters: Int, dim: Int): (DataFrame, DataFrame) = {
     require(k >= 1 && iters >= 1)
+    // COST gate: the whole Lloyd run in ONE executor task (identical
+    // seeds, assignment ties, floor-mean updates); assignment and
+    // centroids are two cheap kernel plans over the same scan.
+    locally {
+      val pts0 = unitPoints(df, idCol, embCol)
+      if (graft.operators.SmallGraph.smallEnough(pts0, "id")) {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val assign = pts0.select(col("id"), col("u")).as[(Long, Seq[Long])]
+          .coalesce(1)
+          .mapPartitions(it => lloydAssignKernel(it, k, iters))
+          .toDF("id", "u", "cid", "d")
+        val cents = pts0.select(col("id"), col("u")).as[(Long, Seq[Long])]
+          .coalesce(1)
+          .mapPartitions(it => lloydCentroidsKernel(it, k, iters))
+          .toDF("cid", "c")
+        return (assign, cents)
+      }
+    }
     val pts = unitPoints(df, idCol, embCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids = seedCentroids(pts, k)
@@ -112,7 +277,23 @@ object DetKMeans {
   /** Grouped [[assignTo]]: nearest centroid within each point's group
     * (product-quantization subspaces train side by side — `pts` and
     * `centroids` both carry a `g` column). Same math per group. */
-  def assignToGrouped(pts: DataFrame, centroids: DataFrame): DataFrame =
+  def assignToGrouped(pts: DataFrame, centroids: DataFrame): DataFrame = {
+    if (graft.operators.SmallGraph.smallEnough(pts, "g", "id")) {
+      val spark = pts.sparkSession
+      import spark.implicits._
+      // Bounded collected codebook (m groups × k × dim longs), assigned
+      // per group inside one task.
+      val byG = centroids.select(col("g"), col("cid"), col("c")).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Long](2).toArray)))
+        .groupBy(_._1).map { case (g, xs) => (g, xs.map(_._2).sortBy(_._1)) }
+      return pts.select(col("g"), col("id"), col("u"))
+        .as[(Long, Long, Seq[Long])].coalesce(1)
+        .mapPartitions(it => it.map { case (g, id, u) =>
+          val out = assignKernel(Iterator((id, u)), byG(g)).next()
+          (g, out._1, out._2, out._3, out._4)
+        })
+        .toDF("g", "id", "u", "cid", "d")
+    }
     pts.join(broadcast(centroids), Seq("g"))
       .select(col("g"), col("id"), col("u"), col("cid"),
         dist2(col("u"), col("c")).as("d"))
@@ -120,6 +301,7 @@ object DetKMeans {
       .agg(first(col("u")).as("u"), min(struct(col("d"), col("cid"))).as("m"))
       .select(col("g"), col("id"), col("u"),
         col("m").getField("cid").as("cid"), col("m").getField("d").as("d"))
+  }
 
   /** Grouped [[fit]] over (g, id, u) unit points: every group trains its
     * own k centroids, but ALL groups share each round's two aggregate
@@ -130,6 +312,21 @@ object DetKMeans {
     * ~2 s for q_llm_ann_pq at sf0.1. */
   def fitGrouped(pts: DataFrame, k: Int, iters: Int, dim: Int): (DataFrame, DataFrame) = {
     require(k >= 1 && iters >= 1)
+    // COST gate: all groups' Lloyd runs in ONE executor task (same
+    // shared (md5(id), id) seed order per group).
+    if (graft.operators.SmallGraph.smallEnough(pts, "g", "id")) {
+      val spark = pts.sparkSession
+      import spark.implicits._
+      val in = pts.select(col("g"), col("id"), col("u"))
+        .as[(Long, Long, Seq[Long])]
+      val assign = in.coalesce(1)
+        .mapPartitions(it => lloydAssignGroupedKernel(it, k, iters))
+        .toDF("g", "id", "u", "cid", "d")
+      val cents = in.coalesce(1)
+        .mapPartitions(it => lloydCentroidsGroupedKernel(it, k, iters))
+        .toDF("g", "cid", "c")
+      return (assign, cents)
+    }
     val p = pts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids = p.withColumn("h", md5(col("id").cast("string")))
       .withColumn("rn", row_number().over(

@@ -137,7 +137,11 @@ class SmallGraphParitySpec extends SparkSpecBase {
   private val sf = "/root/testdata/sf0.001"
   for (q <- Seq("q_graph_triangles", "q_graph_clustering_coef",
       "q_graph_jaccard_sim", "q_graph_rectangles", "q_graph_link_pred",
-      "q_graph_rich_club", "q_graph_assortativity"))
+      "q_graph_rich_club", "q_graph_assortativity",
+      // DetKMeans bounded-Lloyd kernel consumers (fit / fitGrouped /
+      // assignTo / assignToGrouped all exercised by these four):
+      "q_llm_kmeans_det", "q_llm_semdedup_det", "q_llm_ann_pq",
+      "q_llm_ann_ivfpq_rerank"))
     test(s"$q kernel == distributed plan at sf0.001") {
       bothWays(SparkEntry.queries(q)(spark, sf))
     }
