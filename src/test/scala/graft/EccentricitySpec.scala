@@ -53,10 +53,19 @@ class EccentricitySpec extends SparkSpecBase {
     import spark.implicits._
     val canon = graft.operators.Triangles.canonical(
       (0L until 9L).map(i => (i, i + 1)).toDF("a", "b"), "a", "b")
-    val ex = intercept[IllegalArgumentException] {
+    // Eager driver-side require on the DISTRIBUTED path (it guards the
+    // driver-resident accumulator); the SmallGraph kernel has none and
+    // enforces the same bound inside the task (second intercept).
+    spark.conf.set("graft.graph.smallKernel", "false")
+    val ex = try intercept[IllegalArgumentException] {
       Eccentricity.summary(canon, seedsMod = 1, rounds = 1, maxSeeds = 4)
-    }
+    } finally spark.conf.unset("graft.graph.smallKernel")
     assert(ex.getMessage.contains("maxSeeds"))
+    val exK = intercept[Exception] {
+      Eccentricity.summary(canon, seedsMod = 1, rounds = 1, maxSeeds = 4)
+        .count()
+    }
+    assert(exK.getMessage.contains("maxSeeds"))
   }
 
   test("seed sets wider than one 63-bit mask word chunk correctly") {

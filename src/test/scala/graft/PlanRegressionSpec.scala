@@ -258,7 +258,12 @@ class PlanRegressionSpec extends SparkSpecBase {
       "q_llm_er_linkage" -> "jaro_winkler4",
       "q_layout_hilbert" -> "hilbert_index",
       "q_llm_kmeans_det" -> "long_sq_dist")
-    targets.foreach { case (query, exprName) =>
+    // The pins are about the DISTRIBUTED plans' codegen spans — the
+    // SmallGraph/Lloyd bounded kernels (q_llm_kmeans_det's default path
+    // at fixture scale) evaluate inside a mapPartitions task and carry
+    // no Catalyst expression to pin.
+    spark.conf.set("graft.graph.smallKernel", "false")
+    try targets.foreach { case (query, exprName) =>
       graft.queries.Registry.configure(spark)
       val df = SparkEntry.queries(query)(spark, sfDir)
       df.collect() // finalize the AQE plan so codegen spans are annotated
@@ -270,7 +275,7 @@ class PlanRegressionSpec extends SparkSpecBase {
           .startsWith("*("))
       assert(inCodegenSpan,
         s"$query: no codegen'd operator contains $exprName; plan:\n$p")
-    }
+    } finally spark.conf.unset("graft.graph.smallKernel")
     // pq_encode's registry carrier became the DetKMeans twin in r11, so
     // probe the expression directly: seeded fit + encode over sf0.001.
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -462,10 +467,18 @@ class PlanRegressionSpec extends SparkSpecBase {
       "global sort, and no cartesian shape leaks from the seed join") {
     // The lazy last backward level's (s, n)-keyed joins may legitimately
     // sort-merge (co-partitioned equi-joins — the right shape at scale);
-    // what must never appear is a cartesian/unkeyed product.
-    val p = plan("q_graph_betweenness")
+    // what must never appear is a cartesian/unkeyed product. Pinned on
+    // the DISTRIBUTED path (the default plan at fixture scale is the
+    // SmallGraph kernel — pinned separately below).
+    spark.conf.set("graft.graph.smallKernel", "false")
+    val p = try plan("q_graph_betweenness")
+      finally spark.conf.unset("graft.graph.smallKernel")
     assert(p.contains("TakeOrderedAndProject"))
     assert(!p.contains("CartesianProduct"))
+    // Kernel path: one MapPartitions task, no join of any kind.
+    val pk = plan("q_graph_betweenness")
+    assert(pk.contains("MapPartitions"), s"plan:\n$pk")
+    assert(!pk.toLowerCase.contains("join"), s"plan:\n$pk")
   }
 
   test("nearest as-of: union-window shape holds — no join operator, " +
