@@ -82,20 +82,34 @@ object DetKMeans {
   // iters × (broadcast + 2 aggregate) scheduler jobs over a KB-scale
   // corpus. Distributed paths below are unchanged — the 100 TB shape.
 
-  private def md5Hex(s: String): String = {
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private[llm] def md5Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))
-    d.map("%02x".format(_)).mkString
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   /** In-memory Lloyd: returns (assignments of the FINAL round against
     * its pre-update centroids, post-update centroids), both in the
     * exact fit() arithmetic. Centroid list keeps ascending cid order;
     * empty clusters drop. */
-  private def lloydCore(pts: Array[(Long, Array[Long])], k: Int,
+  private[llm] def lloydCore(pts: Array[(Long, Array[Long])], k: Int,
       iters: Int): (Array[(Long, Long)], Seq[(Long, Array[Long])]) = {
-    val seeds = pts.sortBy { case (id, _) => (md5Hex(id.toString), id) }
-      .take(k)
+    // Key computed ONCE per point: sortBy re-evaluates its key function
+    // at every comparison (measured: the md5-per-comparison sort was the
+    // whole cost of the 9-lloydCore IVFPQ kernel). Same (md5(id), id)
+    // order, same seeds.
+    val seeds = pts
+      .map(p => ((md5Hex(p._1.toString), p._1), p))
+      .sortBy(_._1).take(k).map(_._2)
     var cents: Seq[(Long, Array[Long])] =
       seeds.zipWithIndex.map { case ((_, u), i) => (i.toLong, u.clone()) }
     var assign: Array[(Long, Long)] = null // (cid, d) per pts index
@@ -147,6 +161,19 @@ object DetKMeans {
     }
   }
 
+  /** One Lloyd run emitting BOTH outputs (assignment rows kind=0,
+    * centroid rows kind=1 with the cid in the id slot) — [[fit]]'s
+    * kernel path materializes this once instead of replaying the loop
+    * per consumed output (VERDICT r16 item 8). */
+  private[graft] def lloydBothKernel(it: Iterator[(Long, Seq[Long])],
+      k: Int, iters: Int): Iterator[(Int, Long, Seq[Long], Long, Long)] = {
+    val pts = drainPts(it)
+    val (assign, cents) = lloydCore(pts, k, iters)
+    pts.iterator.zip(assign.iterator).map { case ((id, u), (cid, d)) =>
+      (0, id, u.toSeq, cid, d)
+    } ++ cents.iterator.map { case (cid, c) => (1, cid, c.toSeq, 0L, 0L) }
+  }
+
   private[graft] def lloydCentroidsKernel(it: Iterator[(Long, Seq[Long])],
       k: Int, iters: Int): Iterator[(Long, Seq[Long])] = {
     val (_, cents) = lloydCore(drainPts(it), k, iters)
@@ -158,12 +185,17 @@ object DetKMeans {
     * explode), so the per-group row_number seeds are the same k ids. */
   private def lloydGrouped(rows: Array[(Long, Long, Array[Long])], k: Int,
       iters: Int): (Array[(Long, Long)], Seq[(Long, Long, Array[Long])]) = {
-    val groups = rows.map(_._1).distinct.sorted
+    // Bucket rows by group in ONE pass (ADVICE r16: the per-group
+    // rows.indices.filter rescan was O(groups × rows)); groups still
+    // process in ascending g so the centroid row order is unchanged.
+    val byG = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.ArrayBuffer[Int]]
+    rows.indices.foreach(i => byG.getOrElseUpdate(rows(i)._1,
+      scala.collection.mutable.ArrayBuffer.empty[Int]) += i)
     val assignOut = new Array[(Long, Long)](rows.length)
     val centsOut = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Array[Long])]
-    groups.foreach { g =>
-      val idxs = rows.indices.filter(i => rows(i)._1 == g)
+    byG.toSeq.sortBy(_._1).foreach { case (g, idxs) =>
       val pts = idxs.map(i => (rows(i)._2, rows(i)._3)).toArray
       val (assign, cents) = lloydCore(pts, k, iters)
       idxs.indices.foreach(j => assignOut(idxs(j)) = assign(j))
@@ -252,14 +284,19 @@ object DetKMeans {
       if (graft.operators.SmallGraph.smallEnough(pts0, "id")) {
         val spark = df.sparkSession
         import spark.implicits._
-        val assign = pts0.select(col("id"), col("u")).as[(Long, Seq[Long])]
+        // ONE kernel run feeds both outputs: the tagged union is
+        // localCheckpointed (eager, single tiny partition), so a caller
+        // consuming assignment AND centroids no longer replays the
+        // whole Lloyd loop twice.
+        val both = pts0.select(col("id"), col("u")).as[(Long, Seq[Long])]
           .coalesce(1)
-          .mapPartitions(it => lloydAssignKernel(it, k, iters))
-          .toDF("id", "u", "cid", "d")
-        val cents = pts0.select(col("id"), col("u")).as[(Long, Seq[Long])]
-          .coalesce(1)
-          .mapPartitions(it => lloydCentroidsKernel(it, k, iters))
-          .toDF("cid", "c")
+          .mapPartitions(it => lloydBothKernel(it, k, iters))
+          .toDF("kind", "a", "u", "cid", "d")
+          .localCheckpoint()
+        val assign = both.filter(col("kind") === 0)
+          .select(col("a").as("id"), col("u"), col("cid"), col("d"))
+        val cents = both.filter(col("kind") === 1)
+          .select(col("a").as("cid"), col("u").as("c"))
         return (assign, cents)
       }
     }
@@ -286,11 +323,15 @@ object DetKMeans {
       val byG = centroids.select(col("g"), col("cid"), col("c")).collect()
         .map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Long](2).toArray)))
         .groupBy(_._1).map { case (g, xs) => (g, xs.map(_._2).sortBy(_._1)) }
+      // byG.get: a point whose group has no centroid row is DROPPED,
+      // matching the distributed inner join on g (ADVICE r16).
       return pts.select(col("g"), col("id"), col("u"))
         .as[(Long, Long, Seq[Long])].coalesce(1)
-        .mapPartitions(it => it.map { case (g, id, u) =>
-          val out = assignKernel(Iterator((id, u)), byG(g)).next()
-          (g, out._1, out._2, out._3, out._4)
+        .mapPartitions(it => it.flatMap { case (g, id, u) =>
+          byG.get(g).map { cents =>
+            val out = assignKernel(Iterator((id, u)), cents).next()
+            (g, out._1, out._2, out._3, out._4)
+          }
         })
         .toDF("g", "id", "u", "cid", "d")
     }

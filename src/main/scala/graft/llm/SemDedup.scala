@@ -173,6 +173,26 @@ object SemDedup {
                       threshold: Double, dim: Int = 64,
                       maxCluster: Int = 40, numPlanes: Int = 8): DataFrame = {
     val planes = subPlanes(numPlanes, dim)
+    // COST gate (SmallGraph): the two count windows, the bounded
+    // self-join and the chain window all run in ONE executor task with
+    // the identical integer sub-split and IEEE cosine arithmetic
+    // (float→double widening is exact, so the cast below is bit-free),
+    // instead of 2 window shuffles + a self-join + a window over a
+    // KB-scale assigned relation. Distributed path below unchanged —
+    // the 100 TB shape. localCheckpoint keeps the same eager
+    // bounded-pair materialization contract either way.
+    if (graft.operators.SmallGraph.smallEnough(withCell, idCol, "cid")) {
+      val spark = withCell.sparkSession
+      import spark.implicits._
+      return withCell.select(col(idCol),
+          col(embCol).cast("array<double>"), col("u"), col("cid"))
+        .as[(Long, Seq[Double], Seq[Long], Long)]
+        .coalesce(1)
+        .mapPartitions(it =>
+          detPairsKernel(it, threshold, dim, maxCluster, planes))
+        .toDF("id_a", "id_b", "cos")
+        .localCheckpoint()
+    }
     val keyed = detKey(withCell, maxCluster, planes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def cosCol(a: Column, b: Column): Column =
@@ -200,6 +220,96 @@ object SemDedup {
     val pairs = allPairs.unionByName(chainPairs).localCheckpoint()
     keyed.unpersist()
     pairs
+  }
+
+  /** Bounded single-task replay of [[detBoundedPairs]]'s exact steps:
+    * per-cell counts, the md5-integer sign-LSH sub-split of mega-cells,
+    * the capped all-pairs branch (id_a &lt; id_b), the O(n) id-ordered
+    * chain branch, and the 6-dp half-up cosine floor — every double op
+    * in the same ascending-index order as [[graft.expressions.FloatDot]]
+    * / [[Similarity.roundHalfUp]]. Emits (id_a, id_b, cos). */
+  private[graft] def detPairsKernel(
+      it: Iterator[(Long, Seq[Double], Seq[Long], Long)],
+      threshold: Double, dim: Int, maxCluster: Int,
+      planes: Array[Array[Long]]): Iterator[(Long, Long, Double)] = {
+    val rows = it.map { case (id, e, u, cid) =>
+      (id, e.toArray, u.toArray, cid)
+    }.toArray
+    // cos6: cosineUnrolled (ascending-index double dots, 0.0 on zero
+    // norm, null→dropped on a dim mismatch) + the 6-dp half-up floor.
+    def cos6(a: Array[Double], b: Array[Double]): Option[Double] = {
+      if (a.length != dim || b.length != dim) return None
+      var aa = 0.0; var bb = 0.0; var ab = 0.0
+      var i = 0
+      while (i < dim) { aa += a(i) * a(i); i += 1 }
+      i = 0
+      while (i < dim) { bb += b(i) * b(i); i += 1 }
+      val na = math.sqrt(aa); val nb = math.sqrt(bb)
+      val c =
+        if (na == 0.0 || nb == 0.0) 0.0
+        else {
+          i = 0
+          while (i < dim) { ab += a(i) * b(i); i += 1 }
+          ab / (na * nb)
+        }
+      Some(math.floor(c * 1e6 + 0.5) / 1e6)
+    }
+    // Cell populations, then the sub-key: cells over maxCluster split by
+    // the integer sign-LSH bucket (exact long dot per plane).
+    val cellN = scala.collection.mutable.HashMap.empty[Long, Int]
+    rows.foreach { r => cellN.update(r._4, cellN.getOrElse(r._4, 0) + 1) }
+    def subOf(u: Array[Long]): Long = {
+      var s = 0L
+      var j = 0
+      while (j < planes.length) {
+        val p = planes(j)
+        var d = 0L
+        var i = 0
+        while (i < u.length) { d += u(i) * p(i); i += 1 }
+        if (d >= 0L) s += (1L << j)
+        j += 1
+      }
+      s
+    }
+    val buckets = scala.collection.mutable.LinkedHashMap
+      .empty[(Long, Long), scala.collection.mutable.ArrayBuffer[Int]]
+    rows.indices.foreach { i =>
+      val cid = rows(i)._4
+      val sub = if (cellN(cid) <= maxCluster) 0L else subOf(rows(i)._3)
+      buckets.getOrElseUpdate((cid, sub),
+        scala.collection.mutable.ArrayBuffer.empty[Int]) += i
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    buckets.valuesIterator.foreach { members =>
+      if (members.size <= maxCluster) {
+        // capped all-pairs branch: id_a < id_b, cos ≥ threshold
+        var x = 0
+        while (x < members.size) {
+          var y = x + 1
+          while (y < members.size) {
+            val rx = rows(members(x)); val ry = rows(members(y))
+            val (a, b) = if (rx._1 < ry._1) (rx, ry) else (ry, rx)
+            cos6(a._2, b._2).foreach { c =>
+              if (c >= threshold) out += ((a._1, b._1, c))
+            }
+            y += 1
+          }
+          x += 1
+        }
+      } else {
+        // chain-degrade branch: consecutive by ascending id
+        val sorted = members.toArray.sortBy(i => rows(i)._1)
+        var x = 0
+        while (x + 1 < sorted.length) {
+          val a = rows(sorted(x)); val b = rows(sorted(x + 1))
+          cos6(a._2, b._2).foreach { c =>
+            if (c >= threshold) out += ((a._1, b._1, c))
+          }
+          x += 1
+        }
+      }
+    }
+    out.iterator
   }
 
   /** Candidate-pair MASS of the bounded gate (pre-threshold): Σ C(n,2)

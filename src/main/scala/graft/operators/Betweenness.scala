@@ -41,7 +41,7 @@ object Betweenness {
     // integer delta accumulation in ONE executor task under the size
     // threshold; the distributed (seed, node, sigma) loop below is the
     // 100 TB path.
-    if (SmallGraph.smallEnough(canonEdges, "lo", "hi")) {
+    if (SmallGraph.smallEnoughScaled(canonEdges, SmallGraph.SuperlinearMaxBytes, "lo", "hi")) {
       val spark = canonEdges.sparkSession
       import spark.implicits._
       return canonEdges.select(col("lo").cast("long"), col("hi").cast("long"))

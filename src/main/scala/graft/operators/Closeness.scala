@@ -37,7 +37,7 @@ object Closeness {
     // COST gate (SmallGraph): per-seed BFS accumulation with the same
     // integer 10⁶ div r units inside ONE executor task under the size
     // threshold; the bit-parallel frontier loop below is the 100 TB path.
-    if (SmallGraph.smallEnough(canonEdges, "lo", "hi")) {
+    if (SmallGraph.smallEnoughScaled(canonEdges, SmallGraph.SuperlinearMaxBytes, "lo", "hi")) {
       return canonEdges.select(col("lo").cast("long"), col("hi").cast("long"))
         .as[(Long, Long)].coalesce(1)
         .mapPartitions(it =>

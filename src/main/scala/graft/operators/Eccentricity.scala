@@ -34,7 +34,7 @@ object Eccentricity {
     // COST gate (SmallGraph): per-seed BFS inside ONE executor task
     // under the size threshold; the bit-parallel loop below is the
     // 100 TB path.
-    if (SmallGraph.smallEnough(canonEdges, "lo", "hi")) {
+    if (SmallGraph.smallEnoughScaled(canonEdges, SmallGraph.SuperlinearMaxBytes, "lo", "hi")) {
       return canonEdges.select(col("lo").cast("long"), col("hi").cast("long"))
         .as[(Long, Long)].coalesce(1)
         .mapPartitions(it =>

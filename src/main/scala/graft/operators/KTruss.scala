@@ -39,7 +39,7 @@ object KTruss {
     // sorted-adjacency intersections inside ONE executor task under the
     // size threshold — same triangles, same peel; the distributed
     // triangle join below is the 100 TB path.
-    if (SmallGraph.smallEnough(canonEdges, "lo", "hi")) {
+    if (SmallGraph.smallEnoughScaled(canonEdges, SmallGraph.SuperlinearMaxBytes, "lo", "hi")) {
       val spark = canonEdges.sparkSession
       import spark.implicits._
       return canonEdges.select(col("lo").cast("long"), col("hi").cast("long"))

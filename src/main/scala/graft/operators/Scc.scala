@@ -33,9 +33,22 @@ object Scc {
     require(rounds >= 1, "scc probe needs at least one expansion round")
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col(srcCol).cast("string").as("src"),
+    val e0 = edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
+      .filter(col("src") =!= col("dst"))
+    // COST gate (SmallGraph, size-only — nodes are strings): dedup,
+    // pivot pick, both BFS closures and the intersection in ONE
+    // executor task (identical tie-breaks: the pivot's string order is
+    // UTF-8 binary, matching Spark's), instead of a driver collect plus
+    // 4·rounds eager localCheckpoints. Distributed path below unchanged
+    // — the 100 TB shape.
+    if (SmallGraph.smallEnoughAnyKey(e0)) {
+      return e0.as[(String, String)].coalesce(1)
+        .mapPartitions(it => kernel(it, rounds))
+        .toDF("relation", "pivot", "n_nodes", "checksum")
+        .orderBy("relation")
+    }
+    val e = e0.distinct()
       .localCheckpoint(true)
     // An edge relation that is empty after self-loop/duplicate filtering
     // has no pivot to probe from: return the empty summary, don't throw.
@@ -73,6 +86,111 @@ object Scc {
     row(fwd, "forward").unionAll(row(bwd, "backward"))
       .unionAll(row(core, "core"))
       .orderBy("relation")
+  }
+
+  /** Bounded single-task replay of [[pivotSccSummary]]'s exact steps:
+    * distinct loop-free edges, highest-degree pivot (ties to the
+    * UTF-8-binary-smallest node — Spark's string order), `rounds`-hop
+    * forward/backward closures, intersection, md5-prefix checksums.
+    * Emits the 3 summary rows (or nothing for an empty graph — the
+    * distributed path's empty-summary contract). */
+  private[graft] def kernel(it: Iterator[(String, String)],
+      rounds: Int): Iterator[(String, String, Long, Long)] = {
+    val eset = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
+    it.foreach(eset += _)
+    if (eset.isEmpty) return Iterator.empty
+    val idx = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def id(s: String): Int = idx.getOrElseUpdate(s, idx.size)
+    val m = eset.size
+    val srcA = new Array[Int](m)
+    val dstA = new Array[Int](m)
+    var i = 0
+    eset.foreach { case (s, d) => srcA(i) = id(s); dstA(i) = id(d); i += 1 }
+    val n = idx.size
+    val names = new Array[String](n)
+    idx.foreach { case (s, ix) => names(ix) = s }
+    // Pivot: max degree over both endpoints of the DISTINCT edge list,
+    // tie to the smallest node in UTF-8 binary order (Spark's).
+    val deg = new Array[Long](n)
+    i = 0
+    while (i < m) { deg(srcA(i)) += 1; deg(dstA(i)) += 1; i += 1 }
+    def utf8Less(a: String, b: String): Boolean = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      val k = math.min(x.length, y.length)
+      var j = 0
+      while (j < k) {
+        val c = (x(j) & 0xff) - (y(j) & 0xff)
+        if (c != 0) return c < 0
+        j += 1
+      }
+      x.length < y.length
+    }
+    var pivot = 0
+    i = 1
+    while (i < n) {
+      if (deg(i) > deg(pivot) ||
+        (deg(i) == deg(pivot) && utf8Less(names(i), names(pivot)))) pivot = i
+      i += 1
+    }
+    // CSR adjacency, both directions.
+    def csr(src: Array[Int], dst: Array[Int]): (Array[Int], Array[Int]) = {
+      val cnt = new Array[Int](n + 1)
+      var j = 0
+      while (j < m) { cnt(src(j) + 1) += 1; j += 1 }
+      j = 1
+      while (j <= n) { cnt(j) += cnt(j - 1); j += 1 }
+      val pos = java.util.Arrays.copyOf(cnt, n)
+      val tgt = new Array[Int](m)
+      j = 0
+      while (j < m) { tgt(pos(src(j))) = dst(j); pos(src(j)) += 1; j += 1 }
+      (cnt, tgt)
+    }
+    def closure(off: Array[Int], tgt: Array[Int]): Array[Boolean] = {
+      val visited = new Array[Boolean](n)
+      visited(pivot) = true
+      var frontier = Array(pivot)
+      var r = 0
+      while (r < rounds && frontier.nonEmpty) {
+        val next = new scala.collection.mutable.ArrayBuffer[Int]
+        frontier.foreach { u =>
+          var p = off(u)
+          while (p < off(u + 1)) {
+            val v = tgt(p)
+            if (!visited(v)) { visited(v) = true; next += v }
+            p += 1
+          }
+        }
+        frontier = next.toArray
+        r += 1
+      }
+      visited
+    }
+    val (fo, ft) = csr(srcA, dstA)
+    val (bo, bt) = csr(dstA, srcA)
+    val fwd = closure(fo, ft)
+    val bwd = closure(bo, bt)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def chkOf(s: String): Long = {
+      md.reset()
+      val h = md.digest(s.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16)
+    }
+    var (nf, nb, nc) = (0L, 0L, 0L)
+    var (cf, cb, cc) = (0L, 0L, 0L)
+    i = 0
+    while (i < n) {
+      if (fwd(i) || bwd(i)) {
+        val c = chkOf(names(i))
+        if (fwd(i)) { nf += 1; cf += c }
+        if (bwd(i)) { nb += 1; cb += c }
+        if (fwd(i) && bwd(i)) { nc += 1; cc += c }
+      }
+      i += 1
+    }
+    val p = names(pivot)
+    Iterator(("backward", p, nb, cb), ("core", p, nc, cc),
+      ("forward", p, nf, cf))
   }
 
   /** Generated DuckDB replay: pivot pick, both closures as chained

@@ -35,24 +35,61 @@ object SmallGraph {
 
   /** Default ceiling on the estimated edge-relation bytes for the
     * bounded kernel: 256 MB of source scan ≈ tens of millions of edges
-    * — comfortably one task's work (COST regime), far below executor
-    * memory, and orders of magnitude under any relation that actually
-    * needs a cluster. */
+    * — comfortably one task's work (COST regime) for a LINEAR-pass
+    * kernel, far below executor memory, and orders of magnitude under
+    * any relation that actually needs a cluster. */
   val DefaultMaxBytes: Long = 256L << 20
+
+  /** Ceiling for kernels whose single-task WORK grows faster than the
+    * scanned bytes (the r16 verdict's "latency cliff, not a cost
+    * model"): oriented triangle/wedge enumeration is O(m^1.5) (ktruss,
+    * triangles, clustering_coef, jaccard_sim, rectangles, link_pred,
+    * rich_club) and per-seed BFS sweeps are O(seeds·m) (closeness,
+    * eccentricity, anf, betweenness). 256 MB of edges is a fine linear
+    * pass but tens of minutes of wedge work in one task; 64 MB (~m ≈
+    * 4M edges → m^1.5 ≈ 8·10⁹ steps) keeps the worst gated kernel in
+    * the same few-second class as a linear pass at [[DefaultMaxBytes]].
+    * `graft.graph.smallKernelMaxBytes` still overrides both ceilings.
+    *
+    * Join-fan-out note (ADVICE r16): the leaf-sum bounds bytes SCANNED,
+    * not join output — the wedge kernels' pair inputs are FK-join-
+    * derived and can exceed their leaves. Those kernels already cap
+    * per-entry wedge work (the capped-wedge helpers), and this lower
+    * ceiling bounds the residual blow-up; raise it only with a
+    * `graft.graph.smallKernel=false` A/B at the new size. */
+  val SuperlinearMaxBytes: Long = 64L << 20
 
   /** True when `edges` is small enough (by optimizer estimate — no job
     * is launched) for the bounded single-task kernel, and every key
     * column is LongType (the kernels work on primitive longs; other id
     * types — e.g. the string ids some specs exercise — keep the
-    * distributed path, the [[graft.llm.Dedup]] `longIds` contract). */
-  def smallEnough(edges: DataFrame, keyCols: String*): Boolean = {
+    * distributed path, the [[graft.llm.Dedup]] `longIds` contract).
+    * Null keys are the caller's contract (the TPC-H-derived and planted
+    * id spaces are null-free): a null key would throw in the kernel's
+    * Long decode where the distributed joins would drop the row. */
+  def smallEnough(edges: DataFrame, keyCols: String*): Boolean =
+    smallEnoughScaled(edges, DefaultMaxBytes, keyCols: _*)
+
+  /** [[smallEnough]] with a per-operator ceiling — pass
+    * [[SuperlinearMaxBytes]] for kernels with a superlinear work
+    * exponent. */
+  def smallEnoughScaled(edges: DataFrame, defaultMax: Long,
+                        keyCols: String*): Boolean = {
+    if (!keyCols.forall(c => edges.schema(c).dataType ==
+      org.apache.spark.sql.types.LongType)) false
+    else smallEnoughAnyKey(edges, defaultMax)
+  }
+
+  /** Size-only gate (no key-type requirement) for kernels that intern
+    * arbitrary comparable ids in-task — the string token graphs
+    * ([[graft.operators.WeightedPageRank]], [[graft.operators.Scc]]). */
+  def smallEnoughAnyKey(edges: DataFrame,
+                        defaultMax: Long = DefaultMaxBytes): Boolean = {
     val conf = edges.sparkSession.conf
     if (conf.getOption("graft.graph.smallKernel").contains("false")) false
-    else if (!keyCols.forall(c => edges.schema(c).dataType ==
-      org.apache.spark.sql.types.LongType)) false
     else {
       val maxBytes = conf.getOption("graft.graph.smallKernelMaxBytes")
-        .map(_.toLong).getOrElse(DefaultMaxBytes)
+        .map(_.toLong).getOrElse(defaultMax)
       // Sum the LEAF relation estimates, not the top-level one: without
       // CBO column stats Catalyst prices an FK equi-join as the PRODUCT
       // of its inputs, which would push any join-derived edge relation

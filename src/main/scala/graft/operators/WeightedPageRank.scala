@@ -32,6 +32,36 @@ object WeightedPageRank {
   def run(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
           iterations: Int = 10, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    // COST gate (SmallGraph, size-only — node ids may be strings, the
+    // TextRank keyword case): the weight collapse, degree fold and every
+    // rank round run in ONE executor task with the identical fixed
+    // double-op-order unit arithmetic, instead of count + 3 eager
+    // localCheckpoints + iterations × (join + aggregate) scheduler
+    // rounds over a vocabulary-scale graph. Distributed path below is
+    // unchanged — the 100 TB shape.
+    locally {
+      val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).cast("long").as("w"))
+      val st = e0.schema("src").dataType
+      val longKeys = st == org.apache.spark.sql.types.LongType &&
+        e0.schema("dst").dataType == st
+      val strKeys = st == org.apache.spark.sql.types.StringType &&
+        e0.schema("dst").dataType == st
+      if ((longKeys || strKeys) && SmallGraph.smallEnoughAnyKey(e0)) {
+        val spark = edges.sparkSession
+        import spark.implicits._
+        val ds =
+          if (strKeys)
+            e0.as[(String, String, Long)].coalesce(1)
+              .mapPartitions(it => kernel[String](it, iterations, damping))
+              .toDF("node", "rank")
+          else
+            e0.as[(Long, Long, Long)].coalesce(1)
+              .mapPartitions(it => kernel[Long](it, iterations, damping))
+              .toDF("node", "rank")
+        return ds
+      }
+    }
     val mUpper = edges.count()
     val defaultParts = edges.sparkSession.sessionState.conf.numShufflePartitions
     val parts =
@@ -69,6 +99,64 @@ object WeightedPageRank {
     nodes.join(contribs, nodes("node") === contribs("dst"), "left")
       .select(col("node"),
         (floor(rankExpr * 1e9 + 0.5) / 1e9).as("rank"))
+  }
+
+  /** Bounded single-task replay of [[run]]'s exact arithmetic: intern
+    * ids to dense indices, collapse parallel edges by weight sum, fold
+    * weighted degrees, then per round fold every edge's contribution
+    * floor(rank·w/wdeg·10¹² + 0.5) into exact Long in-unit sums with
+    * the SAME left-to-right double-op order as the Column expression.
+    * Output (node, rank at 9 dp) per node (src ∪ dst), order
+    * unspecified (callers sort). Weights must be non-null positive
+    * integers — [[run]]'s documented contract. */
+  private[graft] def kernel[K](it: Iterator[(K, K, Long)], iterations: Int,
+      damping: Double): Iterator[(K, Double)] = {
+    val idx = scala.collection.mutable.LinkedHashMap.empty[K, Int]
+    def id(k: K): Int = idx.getOrElseUpdate(k, idx.size)
+    val collapsed = scala.collection.mutable.HashMap.empty[Long, Long]
+    it.foreach { case (s, d, w) =>
+      val key = (id(s).toLong << 32) | id(d).toLong
+      collapsed.update(key, collapsed.getOrElse(key, 0L) + w)
+    }
+    val n = idx.size
+    if (n == 0) return Iterator.empty
+    val m = collapsed.size
+    val srcA = new Array[Int](m)
+    val dstA = new Array[Int](m)
+    val wA = new Array[Long](m)
+    var i = 0
+    collapsed.foreach { case (key, w) =>
+      srcA(i) = (key >>> 32).toInt; dstA(i) = (key & 0xffffffffL).toInt
+      wA(i) = w; i += 1
+    }
+    val wdeg = new Array[Long](n)
+    i = 0
+    while (i < m) { wdeg(srcA(i)) += wA(i); i += 1 }
+    val base = (1.0 - damping) / n
+    // floor(rank · w / wdeg · 1e12 + 0.5) — the ONE fixed double-op
+    // order shared with the Column expression and the oracle.
+    def units(rank: Double, e: Int): Long =
+      math.floor(rank * wA(e) / wdeg(srcA(e)) * 1e12 + 0.5).toLong
+    var inUnits = new Array[Long](n)
+    val r0 = 1.0 / n
+    i = 0
+    while (i < m) { inUnits(dstA(i)) += units(r0, i); i += 1 }
+    var round = 2
+    while (round <= iterations) {
+      val next = new Array[Long](n)
+      i = 0
+      while (i < m) {
+        val rank = base + damping * (inUnits(srcA(i)).toDouble / 1e12)
+        next(dstA(i)) += units(rank, i)
+        i += 1
+      }
+      inUnits = next
+      round += 1
+    }
+    idx.iterator.map { case (k, ix) =>
+      val rank = base + damping * (inUnits(ix).toDouble / 1e12)
+      (k, math.floor(rank * 1e9 + 0.5) / 1e9)
+    }
   }
 
   /** Generated DuckDB replay: `edgesSql` must produce (src, dst, w) rows

@@ -32,7 +32,7 @@ trait RegistryGraph extends RegistryEvent {
     // COST gate (SmallGraph): the capped wedge kernel + scoring in ONE
     // executor task under the size threshold; the distributed explode
     // below is the 100 TB path.
-    if (graft.operators.SmallGraph.smallEnough(sub, "x", "y")) {
+    if (graft.operators.SmallGraph.smallEnoughScaled(sub, graft.operators.SmallGraph.SuperlinearMaxBytes, "x", "y")) {
       import spark.implicits._
       return sub.select(col("x").cast("long"), col("y").cast("long"))
         .as[(Long, Long)].coalesce(1)
@@ -79,7 +79,7 @@ trait RegistryGraph extends RegistryEvent {
     val sub = coPurchaseSubPairs(spark, dir)
     // COST gate (SmallGraph): shared capped wedge kernel, C(cn,2)
     // support in ONE executor task; distributed explode = 100 TB path.
-    if (graft.operators.SmallGraph.smallEnough(sub, "x", "y")) {
+    if (graft.operators.SmallGraph.smallEnoughScaled(sub, graft.operators.SmallGraph.SuperlinearMaxBytes, "x", "y")) {
       import spark.implicits._
       return sub.select(col("x").cast("long"), col("y").cast("long"))
         .as[(Long, Long)].coalesce(1)
@@ -364,7 +364,7 @@ trait RegistryGraph extends RegistryEvent {
     // COST gate (SmallGraph): canonicalize + degree-oriented triangle
     // enumeration + bucket counts in ONE executor task under the size
     // threshold; the distributed wedge join below is the 100 TB path.
-    if (graft.operators.SmallGraph.smallEnough(pairs, "x", "y")) {
+    if (graft.operators.SmallGraph.smallEnoughScaled(pairs, graft.operators.SmallGraph.SuperlinearMaxBytes, "x", "y")) {
       import spark.implicits._
       return pairs.select(col("x").cast("long"), col("y").cast("long"))
         .as[(Long, Long)].coalesce(1)
@@ -430,7 +430,7 @@ trait RegistryGraph extends RegistryEvent {
     // the size threshold; the distributed pass below is the 100 TB path.
     {
       val pairs = coPurchasePairs(spark, dir)
-      if (graft.operators.SmallGraph.smallEnough(pairs, "x", "y")) {
+      if (graft.operators.SmallGraph.smallEnoughScaled(pairs, graft.operators.SmallGraph.SuperlinearMaxBytes, "x", "y")) {
         import spark.implicits._
         return pairs.select(col("x").cast("long"), col("y").cast("long"))
           .as[(Long, Long)].coalesce(1)
@@ -494,7 +494,7 @@ trait RegistryGraph extends RegistryEvent {
     // COST gate (SmallGraph): capped wedges + per-center AA floors +
     // the non-adjacency filter in ONE executor task; the distributed
     // explode/anti-join below is the 100 TB path.
-    if (graft.operators.SmallGraph.smallEnough(sub, "x", "y")) {
+    if (graft.operators.SmallGraph.smallEnoughScaled(sub, graft.operators.SmallGraph.SuperlinearMaxBytes, "x", "y")) {
       import spark.implicits._
       return sub.select(col("x").cast("long"), col("y").cast("long"))
         .as[(Long, Long)].coalesce(1)

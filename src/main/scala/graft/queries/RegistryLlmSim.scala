@@ -454,7 +454,31 @@ trait RegistryLlmSim extends RegistryLlmCuration {
     * oracle, so the TRAINED-index ANN answer is hash-checked. This IS
     * the registered `q_llm_ann_pq` (the seeded float-codebook variant
     * lives on as PqSpec coverage of graft.llm.Pq). */
+  /** Bounded-kernel PQ ADC relation (id, adc_dist, exact_dist): the
+    * whole train-encode-ADC chain in ONE executor task
+    * ([[graft.llm.PqDet.pqAdcKernel]] — identical arithmetic, same
+    * oracle) when the unit-point relation passes the SmallGraph gate;
+    * None routes the distributed chain (the 100 TB path). exact_dist
+    * is the full-precision refine distance the rerank tail consumes. */
+  private def pqDetKernelAdc(spark: SparkSession,
+                             dir: String): Option[DataFrame] = {
+    import graft.llm.DetKMeans
+    val emb = t(spark, dir, "embeddings")
+    val full = DetKMeans.unitPoints(emb, "vec_id", "embedding")
+    if (!graft.operators.SmallGraph.smallEnough(full, "id")) return None
+    import spark.implicits._
+    Some(full.select(col("id"), col("u")).as[(Long, Seq[Long])]
+      .coalesce(1)
+      .mapPartitions(it => graft.llm.PqDet.pqAdcKernel(it,
+        m = 8, subDim = 8, kCodes = 16, iters = 2))
+      .toDF("id", "adc_dist", "exact_dist"))
+  }
+
   protected def llmAnnPqDet(spark: SparkSession, dir: String): DataFrame = {
+    pqDetKernelAdc(spark, dir).foreach { adc =>
+      return adc.select(col("id").as("vec_id"), col("adc_dist"))
+        .orderBy(col("adc_dist"), col("vec_id")).limit(10)
+    }
     import graft.llm.DetKMeans
     val emb = t(spark, dir, "embeddings")
     val m = 8; val subDim = 8; val kCodes = 16; val iters = 2
@@ -489,6 +513,14 @@ trait RegistryLlmSim extends RegistryLlmCuration {
     * which is the whole point of refine at scale: full-precision I/O
     * proportional to the shortlist, not the corpus. */
   protected def llmAnnPqDetRerank(spark: SparkSession, dir: String): DataFrame = {
+    pqDetKernelAdc(spark, dir).foreach { adc =>
+      // Shortlist by (ADC, id), exact-refine by the kernel's
+      // full-precision distance — the same integers the distributed
+      // tail's shortlist semi-join + dist2 recompute yields.
+      return adc.orderBy(col("adc_dist"), col("id")).limit(50)
+        .select(col("id").as("vec_id"), col("exact_dist"))
+        .orderBy(col("exact_dist"), col("vec_id")).limit(10)
+    }
     import graft.llm.DetKMeans
     val emb = t(spark, dir, "embeddings")
     val m = 8; val subDim = 8; val kCodes = 16; val iters = 2
@@ -542,6 +574,11 @@ trait RegistryLlmSim extends RegistryLlmCuration {
     import graft.llm.DetKMeans
     val (adcById, full) = ivfPqDetAdc(spark, dir)
     val shortlist = adcById.orderBy(col("adc_dist"), col("id")).limit(50)
+    // Kernel path: the refine distance rode along (same integers the
+    // dist2 recompute below yields) — rank the shortlist directly.
+    if (adcById.columns.contains("exact_dist"))
+      return shortlist.select(col("id").as("vec_id"), col("exact_dist"))
+        .orderBy(col("exact_dist"), col("vec_id")).limit(10)
     val qFull = full.filter(col("id") === 0).select(col("u").as("qu"))
     full.join(broadcast(shortlist.select(col("id"))), Seq("id"))
       .crossJoin(broadcast(qFull))
@@ -558,10 +595,26 @@ trait RegistryLlmSim extends RegistryLlmCuration {
     import graft.llm.DetKMeans
     val emb = t(spark, dir, "embeddings")
     val m = 8; val subDim = 8; val kCodes = 16; val kCoarse = 8
+    val full = DetKMeans.unitPoints(emb, "vec_id", "embedding")
+    // Bounded kernel: the whole IVFADC chain (coarse fit → cells →
+    // residuals → per-subspace codebooks → probe → ADC) in ONE executor
+    // task ([[graft.llm.PqDet.ivfPqAdcKernel]] — identical arithmetic;
+    // the r16 partial-kernel plan still paid 2 collected codebooks,
+    // 4 persists and a 4-relation ADC join tree). The extra exact_dist
+    // column is the refine distance [[llmAnnIvfPqDetRerank]] consumes.
+    if (graft.operators.SmallGraph.smallEnough(full, "id")) {
+      import spark.implicits._
+      val adc = full.select(col("id"), col("u")).as[(Long, Seq[Long])]
+        .coalesce(1)
+        .mapPartitions(it => graft.llm.PqDet.ivfPqAdcKernel(it,
+          kCoarse, coarseIters = 2, m, subDim, kCodes,
+          pqIters = 2, nprobe = 2))
+        .toDF("id", "adc_dist", "exact_dist")
+      return (adc, full)
+    }
     val (_, co0) = DetKMeans.fit(emb, "vec_id", "embedding",
       kCoarse, iters = 2, dim = 64)
     val coarse = co0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val full = DetKMeans.unitPoints(emb, "vec_id", "embedding")
     val cells = DetKMeans.assignTo(full, coarse)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val res = cells.join(broadcast(coarse), "cid")

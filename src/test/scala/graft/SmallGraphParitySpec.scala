@@ -141,7 +141,12 @@ class SmallGraphParitySpec extends SparkSpecBase {
       // DetKMeans bounded-Lloyd kernel consumers (fit / fitGrouped /
       // assignTo / assignToGrouped all exercised by these four):
       "q_llm_kmeans_det", "q_llm_semdedup_det", "q_llm_ann_pq",
-      "q_llm_ann_ivfpq_rerank"))
+      "q_llm_ann_ivfpq_rerank",
+      // r17 whole-chain kernels: PqDet (full PQ / IVFADC in one task),
+      // SemDedup.detPairsKernel (bounded pairing), the string-id
+      // WeightedPageRank / Scc kernels:
+      "q_llm_ann_pq_rerank", "q_llm_ann_ivfpq", "q_llm_semdedup",
+      "q_llm_semdedup_eval", "q_llm_keywords", "q_graph_scc_pivot"))
     test(s"$q kernel == distributed plan at sf0.001") {
       bothWays(SparkEntry.queries(q)(spark, sf))
     }
