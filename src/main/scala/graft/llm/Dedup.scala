@@ -74,7 +74,7 @@ object Dedup {
   // Deterministic MinHash permutation constants (a·x + b mod p), generated
   // from a fixed LCG seed so runs and tests are reproducible.
   private val MinhashPrime = 2305843009213693951L // 2^61 - 1
-  private def permConstants(numPerms: Int): (Array[Long], Array[Long]) = {
+  private[llm] def permConstants(numPerms: Int): (Array[Long], Array[Long]) = {
     var state = 42L
     def next(): Long = { state = state * 6364136223846793005L + 1442695040888963407L; state }
     val as = Array.fill(numPerms)(math.abs(next()) % (MinhashPrime - 1) + 1)
@@ -122,6 +122,28 @@ object Dedup {
                             bands: Int = 16, threshold: Double = 0.5,
                             maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numPerms / bands
+    // COST gate (SmallGraph): signatures, banding, bucket caps, the
+    // signature screen and the exact-Jaccard verify in ONE executor
+    // task over the per-doc shingle arrays (the shingling itself stays
+    // the native in-plan WordNGrams kernel) — instead of 3 persists +
+    // a bucket window + self-join + two verify joins (~14 scheduler
+    // jobs at dev scale). Same xxhash64/perm/band/round arithmetic —
+    // the DuckDB oracle independently recomputes the J ≥ τ pair set.
+    // Distributed chain below unchanged — the 100 TB shape.
+    locally {
+      val in = docs.select(col(idCol).cast("long").as("id"),
+        shingles(col(textCol), shingleSize).as("sh"))
+      if (docs.schema(idCol).dataType ==
+          org.apache.spark.sql.types.LongType &&
+          graft.operators.SmallGraph.smallEnough(in, "id")) {
+        val spark = docs.sparkSession
+        import spark.implicits._
+        return in.as[(Long, Seq[String])].coalesce(1)
+          .mapPartitions(it => minhashNearDupKernel(it, numPerms, bands,
+            rowsPerBand, threshold, maxBucket))
+          .toDF("id_a", "id_b", "jaccard")
+      }
+    }
     val withShingles = docs.select(col(idCol).as("id"),
         shingles(col(textCol), shingleSize).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -163,6 +185,166 @@ object Dedup {
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .select(col("id_a"), col("id_b"), round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Bounded single-task replay of [[minhashNearDuplicates]] over per-doc
+    * shingle arrays: identical xxhash64 signatures (seed 42, the Spark
+    * expression's own hash via XxHash64Function), identical band hashes
+    * (xxhash64 of the "_"-joined band slice — concat_ws casts the longs
+    * to decimal strings), the maxBucket window cap, the signature
+    * screen, and the exact-Jaccard verify with Spark's round(j, 4)
+    * HALF_UP semantics (BigDecimal.valueOf — the codegen path). Docs
+    * with empty shingle arrays drop out exactly as the explode does. */
+  private[llm] def minhashNearDupKernel(it: Iterator[(Long, Seq[String])],
+      numPerms: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      maxBucket: Int): Iterator[(Long, Long, Double)] = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.unsafe.types.UTF8String
+    val P = MinhashPrime
+    val (as, bs) = permConstants(numPerms)
+    val docs = it.collect { case (id, sh) if sh.nonEmpty =>
+      (id, sh.toArray)
+    }.toArray
+    def xx(s: String): Long = XxHash64Function.hash(
+      UTF8String.fromString(s), org.apache.spark.sql.types.StringType, 42L)
+    val sigs = docs.map { case (_, sh) =>
+      val sig = Array.fill(numPerms)(Long.MaxValue)
+      sh.foreach { s =>
+        val h = { val x = xx(s) % P; if (x < 0) x + P else x }
+        var i = 0
+        while (i < numPerms) {
+          val v = { val x = (as(i) * h + bs(i)) % P; if (x < 0) x + P else x }
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      sig
+    }
+    // LSH buckets with the maxBucket cap, then distinct candidates.
+    val buckets = scala.collection.mutable.HashMap
+      .empty[(Int, Long), scala.collection.mutable.ArrayBuffer[Int]]
+    docs.indices.foreach { d =>
+      var b = 0
+      while (b < bands) {
+        val key = sigs(d).slice(b * rowsPerBand, (b + 1) * rowsPerBand)
+          .mkString("_")
+        buckets.getOrElseUpdate((b, xx(key)),
+          scala.collection.mutable.ArrayBuffer.empty[Int]) += d
+        b += 1
+      }
+    }
+    val cand = scala.collection.mutable.LinkedHashSet.empty[(Int, Int)]
+    buckets.valuesIterator.foreach { ms =>
+      if (ms.size <= maxBucket) {
+        var x = 0
+        while (x < ms.size) {
+          var y = x + 1
+          while (y < ms.size) {
+            val (i, j) = (ms(x), ms(y))
+            if (docs(i)._1 < docs(j)._1) cand += ((i, j))
+            else if (docs(j)._1 < docs(i)._1) cand += ((j, i))
+            y += 1
+          }
+          x += 1
+        }
+      }
+    }
+    // Signature screen (same margin formula), then exact Jaccard.
+    val margin = 3.5 * math.sqrt(threshold * (1 - threshold) / numPerms)
+    val minAgree = math.floor((threshold - margin) * numPerms).toInt
+    val shSets = docs.map(d => d._2.toSet)
+    cand.iterator.flatMap { case (i, j) =>
+      var agree = 0
+      var p = 0
+      while (p < numPerms) {
+        if (sigs(i)(p) == sigs(j)(p)) agree += 1
+        p += 1
+      }
+      if (agree < minAgree) None
+      else {
+        val (sa, sb) = (shSets(i), shSets(j))
+        val inter = sa.count(sb.contains)
+        val union = sa.size + sb.size - inter
+        val jac =
+          if (union == 0) 0.0
+          else java.math.BigDecimal.valueOf(inter.toDouble / union.toDouble)
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (jac >= threshold) Some((docs(i)._1, docs(j)._1, jac)) else None
+      }
+    }
+  }
+
+  /** Bounded single-task replay of [[simhashNearDuplicates]] over per-doc
+    * token arrays: identical md5 hi/lo bit sums (tie → 0 bit), 4×16-bit
+    * banding, maxBucket cap, Hamming verify. Empty-token docs drop out
+    * exactly as the explode does. */
+  private[llm] def simhashNearDupKernel(it: Iterator[(Long, Seq[String])],
+      maxDist: Int, maxBucket: Int): Iterator[(Long, Long, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hexChars = "0123456789abcdef".toCharArray
+    def md5Hex16(s: String): String = {
+      md.reset()
+      val dg = md.digest(s.getBytes("UTF-8"))
+      val out = new Array[Char](16)
+      var i = 0
+      while (i < 8) {
+        out(2 * i) = hexChars((dg(i) >> 4) & 0xf)
+        out(2 * i + 1) = hexChars(dg(i) & 0xf)
+        i += 1
+      }
+      new String(out)
+    }
+    val docs = it.collect { case (id, toks) if toks.nonEmpty =>
+      val sums = new Array[Long](64)
+      toks.foreach { t =>
+        val hex = md5Hex16(t)
+        val hi = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+        val lo = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+        var j = 0
+        while (j < 64) {
+          val half = if (j < 32) lo else hi
+          sums(j) += (if (((half >> (j % 32)) & 1L) == 1L) 1L else -1L)
+          j += 1
+        }
+      }
+      var fp = 0L
+      var j = 0
+      while (j < 64) {
+        if (sums(j) > 0) fp += (1L << j)
+        j += 1
+      }
+      (id, fp)
+    }.toArray
+    val buckets = scala.collection.mutable.HashMap
+      .empty[(Int, Long), scala.collection.mutable.ArrayBuffer[Int]]
+    docs.indices.foreach { d =>
+      var b = 0
+      while (b < 4) {
+        buckets.getOrElseUpdate((b, (docs(d)._2 >>> (b * 16)) & 0xFFFFL),
+          scala.collection.mutable.ArrayBuffer.empty[Int]) += d
+        b += 1
+      }
+    }
+    val cand = scala.collection.mutable.LinkedHashSet.empty[(Int, Int)]
+    buckets.valuesIterator.foreach { ms =>
+      if (ms.size <= maxBucket) {
+        var x = 0
+        while (x < ms.size) {
+          var y = x + 1
+          while (y < ms.size) {
+            val (i, j) = (ms(x), ms(y))
+            if (docs(i)._1 < docs(j)._1) cand += ((i, j))
+            else if (docs(j)._1 < docs(i)._1) cand += ((j, i))
+            y += 1
+          }
+          x += 1
+        }
+      }
+    }
+    cand.iterator.flatMap { case (i, j) =>
+      val ham = java.lang.Long.bitCount(docs(i)._2 ^ docs(j)._2).toLong
+      if (ham <= maxDist) Some((docs(i)._1, docs(j)._1, ham)) else None
+    }
   }
 
   /** Pair-count gate below which [[connectedComponents]] solves the
@@ -464,6 +646,22 @@ object Dedup {
     * candidate; guarantees recall for distance ≤ 3), verify Hamming ≤ maxDist. */
   def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                             maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    // COST gate (SmallGraph): fingerprints, banding, cap and Hamming
+    // verify in ONE executor task (see minhashNearDuplicates — same
+    // rationale, same escape hatch). Distributed chain unchanged below.
+    locally {
+      val in = docs.select(col(idCol).cast("long").as("id"),
+        TextAnalysis.tokens(col(textCol)).as("tk"))
+      if (docs.schema(idCol).dataType ==
+          org.apache.spark.sql.types.LongType &&
+          graft.operators.SmallGraph.smallEnough(in, "id")) {
+        val spark = docs.sparkSession
+        import spark.implicits._
+        return in.as[(Long, Seq[String])].coalesce(1)
+          .mapPartitions(it => simhashNearDupKernel(it, maxDist, maxBucket))
+          .toDF("id_a", "id_b", "hamming_dist")
+      }
+    }
     val fp = simhashes(docs.select(col(idCol).as("id"), col(textCol)), "id", textCol)
     val banded = fp.select(col("id"), col("fp"), posexplode(
       array((0 until 4).map(b =>

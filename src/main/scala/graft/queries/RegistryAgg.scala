@@ -262,6 +262,9 @@ trait RegistryAgg extends RegistryCore {
     * reaches n — no global sort, no corpus-wide window. */
   protected def aggExactMedian(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // widen REJECTED here (r17 A/B: 1.94 -> 2.25 s — the repartition
+    // exchange costs more than the single-task partial agg saves; the
+    // (flag, cents) grid collapses 600k rows to ~45k pre-shuffle anyway).
     val vc = t(spark, dir, "lineitem")
       .select(col("l_returnflag").as("flag"),
         floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))

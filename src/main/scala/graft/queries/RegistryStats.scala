@@ -26,8 +26,12 @@ trait RegistryStats extends RegistryAgg {
     * integer cents), broadcast back, and binning is a row-local CASE.
     * Counts land within ±ties of n/4 by construction. */
   protected def statsHistogramEqdepth(spark: SparkSession, dir: String): DataFrame = {
-    val l = t(spark, dir, "lineitem")
-      .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("c"))
+    // widen: the sf0.1 lineitem is ONE parquet split, so the exact
+    // percentile() buffers the whole column in ONE task (3.2 s); spread
+    // the narrow cents column so the partial buffers build 32-way
+    // (no-op at a many-file 100 TB scan — guide §2.5).
+    val l = widen(t(spark, dir, "lineitem")
+      .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("c")))
     // ONE array-percentile aggregate (three scalar percentile() aggs each
     // buffer the column independently — measured 3× the cost).
     val qs = l.agg(expr("percentile(c, array(0.25D, 0.5D, 0.75D))").as("qa"))
@@ -198,28 +202,33 @@ trait RegistryStats extends RegistryAgg {
       .select(col("l_orderkey"), col("l_linenumber"),
         floor(col("l_quantity") * 100 + 0.5).cast(dec).as("x"),
         floor(col("l_extendedprice") * 100 + 0.5).cast(dec).as("y"))
-    val m = li.agg(count(lit(1)).cast(dec).as("n"),
+    val m0 = li.agg(count(lit(1)).cast(dec).as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
       sum((col("x") * col("x")).cast(dec)).as("sxx"),
       sum((col("y") * col("y")).cast(dec)).as("syy"),
       sum((col("x") * col("y")).cast(dec)).as("sxy"))
+    // Scatter terms A/B/C and the double surfaces are CONSTANTS of the
+    // moment row: compute them once here (same DECIMAL ops, same cast)
+    // instead of re-running six DECIMAL(38,0) multiplies per scored row
+    // — per-row work drops to the two u/v residual multiplies.
+    val m = m0.select(col("n"), col("sx"), col("sy"),
+      expr("CAST(n AS DOUBLE)").as("nd"),
+      expr("CAST(n * syy - sy * sy AS DOUBLE)").as("cyy"),
+      expr("CAST(n * sxy - sx * sy AS DOUBLE)").as("cxy"),
+      expr("CAST(n * sxx - sx * sx AS DOUBLE)").as("cxx"))
     li.crossJoin(broadcast(m))
       .select(col("l_orderkey"), col("l_linenumber"),
         col("x").cast("long").as("x_centi"),
         col("y").cast("long").as("y_centi"),
         expr("""floor(
-          (CAST(n AS DOUBLE) - 1.0) * (
-              CAST(n * syy - sy * sy AS DOUBLE)
+          (nd - 1.0) * (
+              cyy
                 * CAST(n * x - sx AS DOUBLE) * CAST(n * x - sx AS DOUBLE)
-            - 2.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+            - 2.0 * cxy
                 * CAST(n * x - sx AS DOUBLE) * CAST(n * y - sy AS DOUBLE)
-            + CAST(n * sxx - sx * sx AS DOUBLE)
+            + cxx
                 * CAST(n * y - sy AS DOUBLE) * CAST(n * y - sy AS DOUBLE))
-          / (CAST(n AS DOUBLE)
-             * ((CAST(n * sxx - sx * sx AS DOUBLE)
-                 * CAST(n * syy - sy * sy AS DOUBLE))
-                - CAST(n * sxy - sx * sy AS DOUBLE)
-                  * CAST(n * sxy - sx * sy AS DOUBLE)))
+          / (nd * ((cxx * cyy) - cxy * cxy))
           * 10000) / 10000""").as("md2_4dp"))
       .orderBy(col("md2_4dp").desc, col("l_orderkey"), col("l_linenumber"))
       .limit(20)

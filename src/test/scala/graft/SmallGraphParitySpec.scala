@@ -146,7 +146,10 @@ class SmallGraphParitySpec extends SparkSpecBase {
       // SemDedup.detPairsKernel (bounded pairing), the string-id
       // WeightedPageRank / Scc kernels:
       "q_llm_ann_pq_rerank", "q_llm_ann_ivfpq", "q_llm_semdedup",
-      "q_llm_semdedup_eval", "q_llm_keywords", "q_graph_scc_pivot"))
+      "q_llm_semdedup_eval", "q_llm_keywords", "q_graph_scc_pivot",
+      // whole-chain LSH near-dup kernels (xxhash64 / md5 sketches,
+      // banding, bucket caps, screens, exact verifies):
+      "q_llm_minhash_neardup", "q_llm_simhash_neardup"))
     test(s"$q kernel == distributed plan at sf0.001") {
       bothWays(SparkEntry.queries(q)(spark, sf))
     }
