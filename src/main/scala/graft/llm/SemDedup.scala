@@ -312,6 +312,71 @@ object SemDedup {
     out.iterator
   }
 
+  /** Deterministic corpus → bounded pairs in one step: DetKMeans gate
+    * (k, iters) + [[detBoundedPairs]]. Under the SmallGraph gate the
+    * WHOLE chain — quantize, Lloyd fit, assignment, sub-split, both
+    * pair branches — runs in ONE executor task (the r17 semdedup-family
+    * residue was ~20 scheduler jobs of eager fit/assign/join/pair
+    * materializations over a KB-scale corpus); above it, exactly the
+    * pre-existing composition. Identical arithmetic either way — the
+    * oracle replays training, gating and pairing independently. */
+  def detCorpusPairs(corpus: DataFrame, idCol: String, embCol: String,
+                     k: Int, iters: Int, threshold: Double, dim: Int = 64,
+                     maxCluster: Int = 40, numPlanes: Int = 8): DataFrame = {
+    val planes = subPlanes(numPlanes, dim)
+    locally {
+      val in = corpus.select(col(idCol).cast("long").as("id"),
+        col(embCol).cast("array<double>").as("e"))
+      if (corpus.schema(idCol).dataType ==
+          org.apache.spark.sql.types.LongType &&
+          graft.operators.SmallGraph.smallEnough(in, "id")) {
+        val spark = corpus.sparkSession
+        import spark.implicits._
+        return in.as[(Long, Seq[Double])].coalesce(1)
+          .mapPartitions(it => detCorpusPairsKernel(it, k, iters,
+            threshold, dim, maxCluster, planes))
+          .toDF("id_a", "id_b", "cos")
+          .localCheckpoint()
+      }
+    }
+    val (_, cents) = DetKMeans.fit(corpus, idCol, embCol, k, iters, dim)
+    val assigned = DetKMeans.assignTo(
+        DetKMeans.unitPoints(corpus, idCol, embCol), cents)
+      .select(col("id"), col("u"), col("cid"))
+    val withCell = corpus.select(col(idCol).as("id"), col(embCol))
+      .join(assigned, "id")
+    detBoundedPairs(withCell, "id", embCol, threshold, dim, maxCluster,
+      numPlanes)
+  }
+
+  /** Single-task body of [[detCorpusPairs]]: toUnits quantization, the
+    * exact Lloyd fit (DetKMeans.lloydCore), the smallest-cid-tie
+    * assignment against the post-update centroids, then
+    * [[detPairsKernel]]. */
+  private[graft] def detCorpusPairsKernel(it: Iterator[(Long, Seq[Double])],
+      k: Int, iters: Int, threshold: Double, dim: Int, maxCluster: Int,
+      planes: Array[Array[Long]]): Iterator[(Long, Long, Double)] = {
+    val rows = it.map { case (id, e) => (id, e.toArray) }.toArray
+    val pts = rows.map { case (id, e) =>
+      (id, e.map(x => math.floor(x * 1000000 + 0.5).toLong))
+    }
+    val (_, cents) = DetKMeans.lloydCore(pts, k, iters)
+    val cid = pts.map { case (_, u) =>
+      var bestC = -1L
+      var bestD = Long.MaxValue
+      cents.foreach { case (c, cv) =>
+        var d = 0L
+        var i = 0
+        while (i < u.length) { val x = u(i) - cv(i); d += x * x; i += 1 }
+        if (d < bestD || (d == bestD && c < bestC)) { bestD = d; bestC = c }
+      }
+      bestC
+    }
+    detPairsKernel(rows.indices.iterator.map(i =>
+        (rows(i)._1, rows(i)._2.toSeq, pts(i)._2.toSeq, cid(i))),
+      threshold, dim, maxCluster, planes)
+  }
+
   /** Candidate-pair MASS of the bounded gate (pre-threshold): Σ C(n,2)
     * over all-pairs buckets + Σ (n−1) over chain buckets. This is the
     * quantity the scale gate tracks across scale factors — for a bounded

@@ -68,8 +68,11 @@ trait RegistryLlmSim extends RegistryLlmCuration {
     * cid) — shared between the registered query [[llmSemDedup]] and
     * [[graft.PairMassSweep]] so the scale gate measures EXACTLY the
     * registered plan's candidate-pair mass. */
-  private[graft] def semDedupWithCell(spark: SparkSession,
-                                      dir: String): DataFrame = {
+  /** The semdedup gate-input CORPUS (corpus ∪ ×1.001 planted replicas ∪
+    * the 45-copy mega-group): shared by the registered queries and, via
+    * [[semDedupWithCell]], by [[graft.PairMassSweep]]. */
+  private[graft] def semDedupCorpus(spark: SparkSession,
+                                    dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("embedding"))
@@ -86,7 +89,12 @@ trait RegistryLlmSim extends RegistryLlmCuration {
       .crossJoin(spark.range(45).select(col("id").as("_r")))
       .select((-(lit(20001L) + col("_r"))).as("vec_id"),
         transform(col("embedding"), x => x * lit(1.001)).as("embedding"))
-    val all = emb.unionByName(planted).unionByName(mega)
+    emb.unionByName(planted).unionByName(mega)
+  }
+
+  private[graft] def semDedupWithCell(spark: SparkSession,
+                                      dir: String): DataFrame = {
+    val all = semDedupCorpus(spark, dir)
     val (_, cents) = graft.llm.DetKMeans.fit(
       all, "vec_id", "embedding", k = 16, iters = 2, dim = 64)
     val assigned = graft.llm.DetKMeans.assignTo(
@@ -97,12 +105,15 @@ trait RegistryLlmSim extends RegistryLlmCuration {
   }
 
   protected def llmSemDedup(spark: SparkSession, dir: String): DataFrame = {
-    val withCell = semDedupWithCell(spark, dir)
-    val pairs = graft.llm.SemDedup.detBoundedPairs(withCell, "id", "embedding",
-        threshold = 0.999, dim = 64, maxCluster = 40)
+    val all = semDedupCorpus(spark, dir)
+    // Whole-chain bounded kernel (fit + assign + pair in one task under
+    // the gate); [[semDedupWithCell]] + detBoundedPairs is the identical
+    // composition detCorpusPairs falls back to above it.
+    val pairs = graft.llm.SemDedup.detCorpusPairs(all, "vec_id", "embedding",
+        k = 16, iters = 2, threshold = 0.999, dim = 64, maxCluster = 40)
       .select("id_a", "id_b")
     graft.llm.Dedup.dedupByCluster(
-        withCell.select(col("id").as("vec_id")), "vec_id", pairs)
+        all.select(col("vec_id")), "vec_id", pairs)
       .filter(!col("is_representative"))
       .select(col("vec_id"), col("component"))
       .orderBy("vec_id")
@@ -122,12 +133,12 @@ trait RegistryLlmSim extends RegistryLlmCuration {
     * registered plan — not a lookalike. */
   protected def llmSemdedupEval(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val withCell = semDedupWithCell(spark, dir)
-    val pairs = graft.llm.SemDedup.detBoundedPairs(withCell, "id", "embedding",
-        threshold = 0.999, dim = 64, maxCluster = 40)
+    val all = semDedupCorpus(spark, dir)
+    val pairs = graft.llm.SemDedup.detCorpusPairs(all, "vec_id", "embedding",
+        k = 16, iters = 2, threshold = 0.999, dim = 64, maxCluster = 40)
       .select("id_a", "id_b")
     val comp = graft.llm.Dedup.dedupByCluster(
-        withCell.select(col("id").as("vec_id")), "vec_id", pairs)
+        all.select(col("vec_id")), "vec_id", pairs)
       .select(col("vec_id"), col("component"))
     val megaIds = Seq(0L, -1L) ++ (-20045L to -20001L)
     val truth = ((1L to 19L).map(i => (-(i + 1), i)) ++
@@ -431,15 +442,8 @@ trait RegistryLlmSim extends RegistryLlmCuration {
       .select((-(lit(20001L) + col("_r"))).as("vec_id"),
         col("embedding"))
     val all = emb.unionByName(planted).unionByName(mega)
-    val (_, cents) = graft.llm.DetKMeans.fit(
-      all, "vec_id", "embedding", k = 16, iters = 2, dim = 64)
-    val assigned = graft.llm.DetKMeans.assignTo(
-        graft.llm.DetKMeans.unitPoints(all, "vec_id", "embedding"), cents)
-      .select(col("id"), col("u"), col("cid"))
-    val withCell = all.select(col("vec_id").as("id"), col("embedding"))
-      .join(assigned, "id")
-    val pairs = graft.llm.SemDedup.detBoundedPairs(withCell, "id", "embedding",
-        threshold = 0.999, dim = 64, maxCluster = 40)
+    val pairs = graft.llm.SemDedup.detCorpusPairs(all, "vec_id", "embedding",
+        k = 16, iters = 2, threshold = 0.999, dim = 64, maxCluster = 40)
       .select("id_a", "id_b")
     graft.llm.Dedup.dedupByCluster(all.select(col("vec_id")), "vec_id", pairs)
       .filter(!col("is_representative"))
