@@ -142,21 +142,21 @@ trait RegistryLlmDedup extends RegistryMm {
     val grams = widen(docs.unionByName(mutated))
       .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("grams"))
       .localCheckpoint(true) // feeds signatures AND both exact-verify joins
-    // The 32 per-gram hashes are 32 CODEGEN'D md5 column expressions
-    // aggregated by 32 mins in ONE pass (no (doc, gram, perm) row
-    // explosion — that shape shuffled 19M rows at sf0.1 and cost 12 s;
-    // and no transform() lambda — higher-order functions evaluate their
-    // lambda INTERPRETED per element, which measured ~2.5× the codegen
-    // path on the same 15M-hash workload).
-    val minCols = (0 until perms).map(p =>
-      min(substring(md5(concat(col("gram"), lit(s"|$p"))), 1, 16))
-        .as(s"h$p"))
+    // Native all-perms signature kernel ([[graft.expressions.MinhashMd5Sig]],
+    // r17): one md5 stream per gram computing every permutation's min
+    // row-locally — no explode, no 32-aggregate shuffle, gram bytes
+    // encoded once instead of per perm. Bit-identical to the
+    // 32-min-aggregate formulation it replaces (Md5SketchSpec pins it;
+    // the history of THAT shape vs the 19M-row explosion is in r14's
+    // notes); gramless docs drop via the null filter exactly as the
+    // explode dropped them.
     val sig = grams
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
-      .groupBy("doc_id")
-      .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
-        array((0 until perms).map(p => col(s"h$p")): _*).as("sig"))
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.expressions.MinhashMd5Sig(
+            org.apache.spark.sql.graftbridge.Bridge.expression(col("grams")),
+            perms)).as("sig"))
+      .filter(col("sig").isNotNull)
       .localCheckpoint(true) // feeds band keys AND the per-pair agreement
     // Band key = the band's 4 signature values comma-joined (hex is
     // fixed-width and comma-free, so key equality == tuple equality —
@@ -240,18 +240,18 @@ trait RegistryLlmDedup extends RegistryMm {
       .withColumn("text", concat(col("text"), lit(" appended marker token")))
     val grams = widen(docs.unionByName(mutated)) // 1-task scan, heavy shingles
       .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("grams"))
-    val bitSums = (0 until bits).map(b =>
-      sum(when(expr(s"(h >> $b) & 1") === 1, 1L).otherwise(-1L)).as(s"b$b"))
+    // Native all-bits fingerprint kernel ([[graft.expressions.SimhashMd5Fp]],
+    // r17): one md5 per gram feeding all 60 bit votes row-locally — no
+    // explode, no 60-aggregate shuffle. Bit-identical to the aggregate
+    // formulation (Md5SketchSpec); gramless docs drop via the null
+    // filter exactly as the explode dropped them.
     val fp = grams
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
       .select(col("doc_id"),
-        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h"))
-      .groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until bits).map(b =>
-          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("fp"))
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.expressions.SimhashMd5Fp(
+            org.apache.spark.sql.graftbridge.Bridge.expression(col("grams")),
+            bits)).as("fp"))
+      .filter(col("fp").isNotNull)
       .localCheckpoint(true) // feeds band keys AND both Hamming verifies
     val bandRows = fp.select(col("doc_id"), posexplode(array(
         (0 until nBands).map(j =>
