@@ -171,8 +171,16 @@ object Bench {
         (if (tainted) ""","tainted":true""" else "")
     val line =
       s"""{"metric":"total","value":${compact(total, 2)},"unit":"sec","n_queries":${results.size},"queries":$qs$failedField$loadField,"sf":$sfToken}"""
+    // History entries tag the physical-path mode so benchdiff and the
+    // round ledger can tell kernel-gated runs from forced-distributed
+    // coverage runs (scripts/distbench.sh) — the stdout driver-contract
+    // line is untouched.
+    val mode =
+      if (spark.conf.getOption("graft.graph.smallKernel").contains("false"))
+        ""","mode":"distributed""""
+      else ""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failed,"loadavg":[$load0,$load1,$load2],"tainted":$tainted,"sf":"$sfDir","ts":${System.currentTimeMillis / 1000}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failed,"loadavg":[$load0,$load1,$load2],"tainted":$tainted$mode,"sf":"$sfDir","ts":${System.currentTimeMillis / 1000}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
       fullLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }

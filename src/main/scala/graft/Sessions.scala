@@ -32,7 +32,14 @@ object Sessions {
       .config("spark.ui.enabled", "false")
     val b2 = sys.env.get("SPARK_GRAFT_SCRATCH")
       .fold(b)(d => b.config("graft.xlsx.scratchDir", d))
-    val spark = b2.getOrCreate()
+    // SPARK_GRAFT_SMALL_KERNEL=false forces every SmallGraph-gated
+    // operator onto its distributed formulation — the recurring
+    // distributed-coverage bench lever (scripts/distbench.sh): without
+    // it the 100 TB plans the kernels bypass at dev scale would have
+    // zero benchmark coverage (VERDICT r16 item 2).
+    val b3 = sys.env.get("SPARK_GRAFT_SMALL_KERNEL")
+      .fold(b2)(v => b2.config("graft.graph.smallKernel", v))
+    val spark = b3.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
