@@ -542,6 +542,24 @@ object Dedup {
     * tokens), longest_region. Docs with no duplicated region are absent. */
   def duplicatedSpanRegions(docs: DataFrame, idCol: String, textCol: String,
                             seedTokens: Int = 5): DataFrame = {
+    // COST gate (SmallGraph): seed counting, the dup-position filter and
+    // the gaps-and-islands merge in ONE executor task (the distributed
+    // chain is an eager corpus-wide explode checkpoint + groupBy + join
+    // + window); identical seed strings, counts and island arithmetic.
+    // Distributed shape below unchanged — the 100 TB path.
+    locally {
+      val in = docs.select(col(idCol).cast("long").as("id"),
+        TextAnalysis.tokens(col(textCol)).as("tk"))
+      if (docs.schema(idCol).dataType ==
+          org.apache.spark.sql.types.LongType &&
+          graft.operators.SmallGraph.smallEnough(in, "id")) {
+        val spark = docs.sparkSession
+        import spark.implicits._
+        return in.as[(Long, Seq[String])].coalesce(1)
+          .mapPartitions(it => dupRegionsKernel(it, seedTokens))
+          .toDF(idCol, "n_dup_regions", "dup_tokens", "longest_region")
+      }
+    }
     val toks = TextAnalysis.tokens(col(textCol))
     val nSeeds = size(toks) - (seedTokens - 1)
     // localCheckpoint: the seed relation feeds BOTH the occurrence count
@@ -567,6 +585,85 @@ object Dedup {
       .agg(count(lit(1)).as("n_dup_regions"),
         sum(col("_end") - col("_start") + seedTokens).as("dup_tokens"),
         max(col("_end") - col("_start") + seedTokens).as("longest_region"))
+  }
+
+  /** Bounded single-task replay of [[duplicatedSpanRegions]]: per-doc
+    * sliding seeds (space-joined token windows), global occurrence
+    * counts, dup positions, consecutive-run islands (pos − rank), and
+    * the per-doc region aggregates. Docs shorter than `seedTokens`
+    * tokens or with no duplicated region are absent, as distributed.
+    * Output types match the distributed aggregate exactly
+    * (count→long, sum(int)→long, max(int)→int). */
+  private[llm] def dupRegionsKernel(it: Iterator[(Long, Seq[String])],
+      seedTokens: Int): Iterator[(Long, Long, Long, Int)] = {
+    val docs = it.collect {
+      case (id, toks) if toks.size >= seedTokens =>
+        val n = toks.size - (seedTokens - 1)
+        val seeds = new Array[String](n)
+        var i = 0
+        while (i < n) {
+          seeds(i) = toks.slice(i, i + seedTokens).mkString(" ")
+          i += 1
+        }
+        (id, seeds)
+    }.toArray
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    docs.foreach(_._2.foreach(s =>
+      counts.update(s, counts.getOrElse(s, 0) + 1)))
+    docs.iterator.flatMap { case (id, seeds) =>
+      var nRegions = 0L
+      var dupTokens = 0L
+      var longest = 0
+      var i = 0
+      while (i < seeds.length) {
+        if (counts(seeds(i)) >= 2) {
+          var j = i + 1
+          while (j < seeds.length && counts(seeds(j)) >= 2) j += 1
+          val len = (j - 1) - i + seedTokens
+          nRegions += 1
+          dupTokens += len
+          if (len > longest) longest = len
+          i = j
+        } else i += 1
+      }
+      if (nRegions == 0) None else Some((id, nRegions, dupTokens, longest))
+    }
+  }
+
+  /** Bounded single-task replay of q_llm_containment's candidate chain
+    * over per-doc distinct gram arrays: gram → sorted doc postings,
+    * the df ∈ [dfMin, dfMax] hot-gram cap, ordered candidate pairs,
+    * and the integer containment score
+    * (|A∩B|·10⁴ div min(|A|,|B|), kept when ≥ minScore). */
+  private[graft] def containmentKernel(it: Iterator[(Long, Seq[String])],
+      dfMin: Int, dfMax: Int, minScore: Long): Iterator[(Long, Long, Long, Long)] = {
+    val docs = it.map { case (id, g) => (id, g.toArray) }.toArray
+    val idx = docs.indices.map(i => docs(i)._1 -> i).toMap
+    val postings = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+    docs.foreach { case (id, grams) =>
+      grams.foreach(g => postings.getOrElseUpdate(g,
+        scala.collection.mutable.ArrayBuffer.empty[Long]) += id)
+    }
+    val cand = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+    postings.valuesIterator.foreach { ds0 =>
+      if (ds0.size >= dfMin && ds0.size <= dfMax) {
+        val ds = ds0.toArray.sorted
+        var i = 0
+        while (i < ds.length) {
+          var j = i + 1
+          while (j < ds.length) { cand += ((ds(i), ds(j))); j += 1 }
+          i += 1
+        }
+      }
+    }
+    val sets = docs.map(d => d._2.toSet)
+    cand.iterator.flatMap { case (da, db) =>
+      val (sa, sb) = (sets(idx(da)), sets(idx(db)))
+      val inter = sa.count(sb.contains).toLong
+      val c4 = inter * 10000L / math.min(sa.size, sb.size)
+      if (c4 >= minScore) Some((da, db, inter, c4)) else None
+    }
   }
 
   /** Shared first-occurrence-wins unit dedup: explode an ordered unit

@@ -346,6 +346,23 @@ trait RegistryLlmDedup extends RegistryMm {
       .select((-col("doc_id") - 1).as("doc_id"),
         concat_ws(" ", expr("slice(tk, 1, greatest(size(tk) div 2, 5))"))
           .as("text"))
+    // COST gate (SmallGraph): postings, hot-gram cap, candidate pairs
+    // and the integer containment verify in ONE executor task (the
+    // distributed chain below is an eager shingle checkpoint + groupBy
+    // + pair explode + two verify joins); identical gram sets, caps and
+    // truncating score. Distributed shape unchanged — the 100 TB path.
+    locally {
+      val in = base.unionAll(excerpts)
+        .select(col("doc_id"), Dedup.shingles(col("text"), 5).as("grams"))
+      if (graft.operators.SmallGraph.smallEnough(in, "doc_id")) {
+        import spark.implicits._
+        return in.as[(Long, Seq[String])].coalesce(1)
+          .mapPartitions(it => graft.llm.Dedup.containmentKernel(it,
+            dfMin = 2, dfMax = 8, minScore = 8000L))
+          .toDF("doc_a", "doc_b", "n_common", "containment4")
+          .orderBy("doc_a", "doc_b")
+      }
+    }
     val corpus = widen(base.unionAll(excerpts)) // 1-task scan, heavy shingles
       .select(col("doc_id"), Dedup.shingles(col("text"), 5).as("grams"))
       .localCheckpoint(true) // feeds the bucket explode AND the verify join

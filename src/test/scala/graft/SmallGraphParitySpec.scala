@@ -149,7 +149,9 @@ class SmallGraphParitySpec extends SparkSpecBase {
       "q_llm_semdedup_eval", "q_llm_keywords", "q_graph_scc_pivot",
       // whole-chain LSH near-dup kernels (xxhash64 / md5 sketches,
       // banding, bucket caps, screens, exact verifies):
-      "q_llm_minhash_neardup", "q_llm_simhash_neardup"))
+      "q_llm_minhash_neardup", "q_llm_simhash_neardup",
+      // posting/sliding-seed chains (hot-gram caps, islands):
+      "q_llm_containment", "q_llm_dup_regions"))
     test(s"$q kernel == distributed plan at sf0.001") {
       bothWays(SparkEntry.queries(q)(spark, sf))
     }
