@@ -240,7 +240,12 @@ object DetKMeans {
     }
 
   /** Assign each point to its nearest centroid (ties → smallest cid).
-    * Returns (id, u, cid, d). */
+    * Returns (id, u, cid, d). Contract (ADVICE r16): point ids must be
+    * UNIQUE (the distributed groupBy(id) would collapse duplicates to
+    * one row where the kernel emits one per input row) and `centroids`
+    * non-empty (an empty codebook yields cid=-1/d=MaxValue rows on the
+    * kernel path vs zero rows distributed) — every in-repo caller
+    * passes unique ids and a fitted codebook. */
   def assignTo(pts: DataFrame, centroids: DataFrame): DataFrame = {
     if (graft.operators.SmallGraph.smallEnough(pts, "id")) {
       val spark = pts.sparkSession

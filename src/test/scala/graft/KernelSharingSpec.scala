@@ -58,27 +58,42 @@ class KernelSharingSpec extends AnyFunSuite {
   }
 
   test("q_llm_semdedup and q_llm_semdedup_det share the BOUNDED pairing " +
-      "kernel SemDedup.detBoundedPairs (neither may fork back to an " +
+      "chain SemDedup.detCorpusPairs (neither may fork back to an " +
       "uncapped within-cell self-join — the corpus-quadratic shape)") {
     for (d <- Seq("llmSemDedup", "llmSemDedupDet")) {
       val body = defBody(d)
-      assert(body.contains("SemDedup.detBoundedPairs("),
-        s"$d no longer routes pairing through SemDedup.detBoundedPairs")
+      assert(body.contains("SemDedup.detCorpusPairs("),
+        s"$d no longer routes pairing through SemDedup.detCorpusPairs")
     }
-    // And the production query's gate input is the helper PairMassSweep
-    // measures — the scale gate must watch the REGISTERED plan.
-    assert(defBody("llmSemDedup").contains("semDedupWithCell("),
-      "llmSemDedup no longer builds its gate input via semDedupWithCell " +
-        "(PairMassSweep would measure a different plan)")
+    // detCorpusPairs itself must stay a front door to the bounded
+    // kernel: its distributed fallback composes detBoundedPairs and its
+    // single-task path composes detPairsKernel (the same capped /
+    // sub-split / chain-degrade arithmetic both ways).
+    val semSrc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/llm/SemDedup.scala")),
+      "UTF-8")
+    val front = semSrc.substring(semSrc.indexOf("def detCorpusPairs("))
+    assert(front.contains("detBoundedPairs(") &&
+      front.contains("detPairsKernel("),
+      "detCorpusPairs no longer routes both paths through the bounded " +
+        "pairing kernel")
+    // And the production query's gate input is the corpus helper that
+    // PairMassSweep's semDedupWithCell consumes — the scale gate must
+    // watch the REGISTERED plan's input.
+    assert(defBody("llmSemDedup").contains("semDedupCorpus("),
+      "llmSemDedup no longer builds its gate input via semDedupCorpus")
+    assert(defBody("semDedupWithCell").contains("semDedupCorpus("),
+      "PairMassSweep's semDedupWithCell no longer shares the registered " +
+        "corpus builder (the scale gate would measure a different input)")
   }
 
   test("q_llm_semdedup_eval prices the registered plan: same gate input " +
-      "helper and the same bounded pairing kernel as production") {
+      "helper and the same bounded pairing chain as production") {
     val body = defBody("llmSemdedupEval")
-    assert(body.contains("semDedupWithCell("),
+    assert(body.contains("semDedupCorpus("),
       "llmSemdedupEval no longer evaluates the registered gate input")
-    assert(body.contains("SemDedup.detBoundedPairs("),
-      "llmSemdedupEval no longer scores the bounded pairing kernel — " +
+    assert(body.contains("SemDedup.detCorpusPairs("),
+      "llmSemdedupEval no longer scores the bounded pairing chain — " +
         "its recall number would describe a lookalike, not the plan")
   }
 }
